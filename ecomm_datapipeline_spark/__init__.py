@@ -1,0 +1,25 @@
+"""PySpark-native analytics engine with the query and data-processing
+capabilities of the reference e-commerce ELT pipeline
+(Zackkki/ecomm_datapipeline: Airflow orchestration + BigQuery SQL).
+
+Everything the reference computes is re-expressed Spark-first:
+
+- sources: NDJSON / CSV / Parquet readers with declared schemas
+  (reference: order_processing_incremental.py:48-76)
+- operators.transforms: the fact-orders build (explode_outer + broadcast
+  dim joins + derived columns + anti-join idempotency)
+  (reference: order_processing_incremental.py:127-174)
+- operators.checks: hard/soft data-quality checks + audit log
+  (reference: order_processing_incremental.py:79-124)
+- operators.aggregates: incrementally maintained aggregate tables
+  (reference: order_processing_incremental.py:177-210)
+- operators.reports: the README-declared analytics surface
+  (reference: README.md:105-143)
+- plans.pipeline: the 15-minute incremental driver
+  (reference: order_processing_incremental.py:236-237 task DAG)
+- streaming: Structured Streaming variant (Trigger.AvailableNow)
+- operators.{dedup,similarity,text,multimodal,sessionize}: large-scale
+  training-data-pipeline extensions (no reference counterpart)
+"""
+
+__version__ = "0.1.0"

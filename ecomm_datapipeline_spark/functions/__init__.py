@@ -1,0 +1,67 @@
+"""Shared column expressions — the reference's scalar-function surface
+(SURVEY.md §2.6) as reusable, Catalyst-native Column builders.
+
+Zero Python UDFs: every expression here stays inside whole-stage
+codegen. The one subtle mapping is `items_subtotal`: BigQuery's
+correlated `(SELECT SUM(quantity*unit_price) FROM UNNEST(items))`
+(order_processing_incremental.py:114) returns NULL for empty/NULL
+arrays, while Spark's `aggregate` HOF with a 0.0 seed returns 0.0 —
+wrapped with a size() guard to match SQL semantics exactly
+(SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# West / East / Southwest CASE over shipping state
+# (order_processing_incremental.py:154-159).
+_WEST = ("CA", "OR", "WA")
+_EAST = ("NY", "NJ", "PA")
+_SOUTHWEST = ("TX", "AZ", "NM")
+
+
+def region_case(state: Column | str) -> Column:
+    """CASE WHEN state IN (...) THEN region ELSE 'Other' END."""
+    state = F.col(state) if isinstance(state, str) else state
+    return (
+        F.when(state.isin(*_WEST), F.lit("West"))
+        .when(state.isin(*_EAST), F.lit("East"))
+        .when(state.isin(*_SOUTHWEST), F.lit("Southwest"))
+        .otherwise(F.lit("Other"))
+    )
+
+
+def items_subtotal(items: Column | str) -> Column:
+    """SUM(quantity * unit_price) over the items array, SQL-NULL on
+    empty/missing arrays; rounded to cents
+    (order_processing_incremental.py:114).
+
+    Implemented as the `aggregate` higher-order function: per-row, no
+    join, no shuffle — Catalyst cannot decorrelate this any better.
+    """
+    items = F.col(items) if isinstance(items, str) else items
+    total = F.aggregate(
+        items,
+        F.lit(0.0),
+        lambda acc, x: acc + x["quantity"] * x["unit_price"],
+    )
+    return F.when(F.size(items) > 0, F.round(total, 2))
+
+
+def line_total(quantity: Column | str, unit_price: Column | str) -> Column:
+    """quantity * unit_price (int64 x float64 -> float64),
+    order_processing_incremental.py:148."""
+    quantity = F.col(quantity) if isinstance(quantity, str) else quantity
+    unit_price = F.col(unit_price) if isinstance(unit_price, str) else unit_price
+    return quantity * unit_price
+
+
+def amount_mismatch(calculated: Column | str, actual: Column | str, tol: float = 0.01) -> Column:
+    """ABS(calculated - actual) > tol epsilon predicate
+    (order_processing_incremental.py:118). Money is float64 by design —
+    do not 'fix' to decimal (SURVEY.md §1.2)."""
+    calculated = F.col(calculated) if isinstance(calculated, str) else calculated
+    actual = F.col(actual) if isinstance(actual, str) else actual
+    return F.abs(calculated - actual) > F.lit(tol)

@@ -1,0 +1,62 @@
+"""Incrementally maintained aggregate tables
+(order_processing_incremental.py:177-210; README.md:79-81).
+
+The reference MERGEs a recomputed current-day hourly slice into
+`agg_hourly_metrics`. Because the MERGE source recomputes every hour of
+the day from the fact table, the upsert is equivalent to "replace
+today's hour rows" — realized here as dynamic partition overwrite on a
+`metric_date` partition column (sources.tables.write_table). That keeps
+the 100 TB story clean: one day's partition rewrite, never a full-table
+scan-and-merge.
+
+Note A6 (SURVEY.md §2.4): fact grain is per-line with `total_amount`
+denormalized onto every line, so SUM(total_amount) double-counts
+multi-item orders BY DESIGN — replicated faithfully.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_metrics(fact: DataFrame, run_date: dt.date | None = None) -> DataFrame:
+    """Recompute the hourly slice (order_processing_incremental.py:183-193).
+
+    TIMESTAMP_TRUNC(order_timestamp, HOUR) -> date_trunc; the four
+    metrics are map-side-partial aggregates under Catalyst (one shuffle
+    on metric_hour).
+    """
+    src = fact
+    if run_date is not None:
+        src = src.filter(F.col("order_date") == F.lit(run_date))
+    return src.groupBy(
+        F.date_trunc("hour", "order_timestamp").alias("metric_hour")
+    ).agg(
+        F.countDistinct("order_id").alias("total_orders"),
+        F.sum("total_amount").alias("total_revenue"),
+        F.avg("total_amount").alias("avg_order_value"),
+        F.countDistinct("customer_id").alias("unique_customers"),
+    )
+
+
+def hourly_metrics_with_audit_cols(fact: DataFrame, run_date: dt.date) -> DataFrame:
+    """Adds updated_at (CURRENT_TIMESTAMP, order_processing_incremental.py:201,204)
+    and the metric_date partition column for the upsert writer."""
+    return hourly_metrics(fact, run_date).select(
+        "*",
+        F.current_timestamp().alias("updated_at"),
+        F.to_date("metric_hour").alias("metric_date"),
+    )
+
+
+def category_revenue(fact: DataFrame) -> DataFrame:
+    """agg_category_revenue (README.md:80-81 — declared, code-absent).
+    Revenue per product category from line totals."""
+    return fact.groupBy("category").agg(
+        F.round(F.sum("line_total"), 2).alias("category_revenue"),
+        F.countDistinct("order_id").alias("order_count"),
+        F.sum("quantity").alias("units_sold"),
+    )

@@ -1,0 +1,136 @@
+"""Data-quality check framework (SURVEY.md §3.3).
+
+The reference has two check styles:
+
+- HARD: BigQueryCheckOperator runs SQL, fails the task when the first
+  row is falsy — duplicate order_ids today abort the pipeline
+  (order_processing_incremental.py:79-93).
+- SOFT: violations are INSERTed into an append-only
+  `data_quality_checks` audit table and the pipeline continues —
+  amount mismatches log `warning` rows
+  (order_processing_incremental.py:96-124).
+
+Spark realization: a check is (name, severity, violations-DataFrame
+builder). Hard checks raise `DataQualityError` when any violation
+exists; soft checks append rows shaped like DQ_CHECKS_SCHEMA to the
+audit table. `limit(1).count()` keeps the hard-check probe O(first
+violation), not a full scan+agg.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import amount_mismatch, items_subtotal
+
+
+class DataQualityError(RuntimeError):
+    """A hard check failed — pipeline must stop (reference: Airflow task
+    failure blocks downstream, order_processing_incremental.py:236)."""
+
+
+def duplicate_orders_violations(staging: DataFrame, run_date: dt.date) -> DataFrame:
+    """order_ids appearing more than once today
+    (order_processing_incremental.py:83-88: GROUP BY + HAVING cnt>1)."""
+    return (
+        staging.filter(F.to_date("order_timestamp") == F.lit(run_date))
+        .groupBy("order_id")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def amount_mismatch_violations(staging: DataFrame, run_date: dt.date) -> DataFrame:
+    """Orders whose item-sum disagrees with total_amount beyond +-0.01
+    (order_processing_incremental.py:110-123). Columns feed the audit
+    message; calculated_total is the rounded array-sum (A3)."""
+    return (
+        staging.filter(F.to_date("order_timestamp") == F.lit(run_date))
+        .select(
+            "order_id",
+            items_subtotal("items").alias("calculated_total"),
+            F.col("total_amount"),
+        )
+        .filter(amount_mismatch("calculated_total", "total_amount"))
+    )
+
+
+def missing_reference_violations(
+    fact: DataFrame, dim_customers: DataFrame, dim_products: DataFrame
+) -> DataFrame:
+    """Fact rows referencing absent customer/product keys
+    (README.md:127 — declared, code-absent in the reference).
+    Anti-joins against broadcast dims; returns (order_id, issue)."""
+    missing_cust = (
+        fact.select("order_id", "customer_id")
+        .join(F.broadcast(dim_customers.select("customer_id")), "customer_id", "left_anti")
+        .select("order_id", F.lit("missing customer reference").alias("issue"))
+    )
+    missing_prod = (
+        fact.filter(F.col("product_id").isNotNull())
+        .select("order_id", "product_id")
+        .join(F.broadcast(dim_products.select("product_id")), "product_id", "left_anti")
+        .select("order_id", F.lit("missing product reference").alias("issue"))
+    )
+    return missing_cust.unionByName(missing_prod)
+
+
+def required_fields_violations(staging: DataFrame) -> DataFrame:
+    """REQUIRED-field enforcement (SURVEY.md §1.3): Spark's JSON reader
+    treats nullability as advisory, so NULLs in REQUIRED columns are
+    checked explicitly (BigQuery would fail the load job)."""
+    required = ["order_id", "customer_id", "order_timestamp", "total_amount"]
+    cond = None
+    for c in required:
+        clause = F.col(c).isNull()
+        cond = clause if cond is None else (cond | clause)
+    return staging.filter(cond)
+
+
+def run_hard_check(name: str, violations: DataFrame) -> None:
+    """Fail fast if any violation exists (A2: COUNT(*)=0 assert)."""
+    if violations.limit(1).count() > 0:
+        raise DataQualityError(f"hard check failed: {name}")
+
+
+def audit_rows(
+    violations: DataFrame,
+    check_type: str,
+    severity: str,
+    issue_col: str | None = None,
+) -> DataFrame:
+    """Shape violations into data_quality_checks rows
+    (order_processing_incremental.py:101-109). check_id/check_timestamp
+    are nondeterministic by design (GENERATE_UUID / CURRENT_TIMESTAMP)
+    and stay out of any oracle comparison (SURVEY.md §7.4)."""
+    issue = (
+        F.col(issue_col)
+        if issue_col
+        else F.concat(
+            F.lit("Calculated total: "),
+            F.col("calculated_total").cast("string"),
+            F.lit(", Recorded total: "),
+            F.col("total_amount").cast("string"),
+        )
+    )
+    return violations.select(
+        F.expr("uuid()").alias("check_id"),
+        F.current_timestamp().alias("check_timestamp"),
+        F.lit(check_type).alias("check_type"),
+        F.col("order_id"),
+        issue.alias("issue_description"),
+        F.lit(severity).alias("severity"),
+    )
+
+
+def dq_summary(audit: DataFrame) -> DataFrame:
+    """Daily audit summary: violations by type and severity
+    (README.md:116)."""
+    return (
+        audit.groupBy("check_type", "severity")
+        .agg(F.count("*").alias("violation_count"))
+        .orderBy("check_type", "severity")
+    )

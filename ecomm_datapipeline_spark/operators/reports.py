@@ -1,0 +1,112 @@
+"""README-declared analytics surface (SURVEY.md §2.9) — promised by the
+reference's README with no code behind it (README.md:105-143); built
+here as first-class operators over fact_orders + dims.
+
+All are single-shuffle groupBy plans or broadcast-joined anti-joins;
+top-k uses orderBy().limit(k) which Spark executes as TakeOrdered
+(per-partition heap + driver merge — no global sort even at 100 TB).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def inactive_customers(
+    dim_customers: DataFrame, fact: DataFrame, run_date: dt.date, days: int = 30
+) -> DataFrame:
+    """Customers with no order in the last `days` days, including those
+    who never ordered (README.md:113,141)."""
+    cutoff = F.lit(run_date) - F.expr(f"INTERVAL {days} DAYS")
+    last_order = fact.groupBy("customer_id").agg(
+        F.max("order_timestamp").alias("last_order_ts")
+    )
+    return (
+        dim_customers.join(last_order, "customer_id", "left")
+        .filter(F.col("last_order_ts").isNull() | (F.col("last_order_ts") < cutoff))
+        .select("customer_id", "name", "email", "customer_tier", "last_order_ts")
+    )
+
+
+def low_stock_alerts(
+    fact: DataFrame,
+    dim_products: DataFrame,
+    run_date: dt.date,
+    demand_days: int = 7,
+    min_units: int = 10,
+    max_stock: int = 20,
+) -> DataFrame:
+    """High recent demand + low inventory (README.md:114,142)."""
+    window_start = F.lit(run_date) - F.expr(f"INTERVAL {demand_days} DAYS")
+    demand = (
+        fact.filter(F.col("order_date") >= window_start)
+        .filter(F.col("product_id").isNotNull())
+        .groupBy("product_id")
+        .agg(F.sum("quantity").alias("units_sold"))
+        .filter(F.col("units_sold") >= min_units)
+    )
+    return (
+        demand.join(F.broadcast(dim_products), "product_id")
+        .filter(F.col("stock_level") < max_stock)
+        .select("product_id", "product_name", "category", "units_sold", "stock_level")
+    )
+
+
+def revenue_trends(fact: DataFrame, run_date: dt.date, days: int = 90) -> DataFrame:
+    """Daily revenue by region & category over a trailing window
+    (README.md:115,143)."""
+    start = F.lit(run_date) - F.expr(f"INTERVAL {days} DAYS")
+    return (
+        fact.filter((F.col("order_date") >= start) & (F.col("order_date") <= F.lit(run_date)))
+        .groupBy("region", "category", "order_date")
+        .agg(F.round(F.sum("line_total"), 2).alias("daily_revenue"))
+    )
+
+
+def top_products(fact: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k products by revenue (README.md:136). Deterministic
+    tie-break on product_id so results are stable under re-partitioning."""
+    return (
+        fact.filter(F.col("product_id").isNotNull())
+        .groupBy("product_id", "product_name")
+        .agg(
+            F.round(F.sum("line_total"), 2).alias("revenue"),
+            F.sum("quantity").alias("units_sold"),
+        )
+        .orderBy(F.desc("revenue"), "product_id")
+        .limit(k)
+    )
+
+
+def aov_by_tier(fact: DataFrame) -> DataFrame:
+    """Average order value by customer tier (README.md:137). AOV is per
+    ORDER, so dedupe the per-line grain to order level first."""
+    per_order = fact.select("order_id", "customer_tier", "total_amount").distinct()
+    return per_order.groupBy("customer_tier").agg(
+        F.round(F.avg("total_amount"), 2).alias("avg_order_value"),
+        F.count("*").alias("order_count"),
+    )
+
+
+def geo_distribution(fact: DataFrame) -> DataFrame:
+    """Geographic distribution of orders (README.md:138)."""
+    per_order = fact.select("order_id", "region", "state", "city").distinct()
+    return per_order.groupBy("region", "state").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+def top_n_per_group(
+    fact: DataFrame, group_col: str, rank_col: str, n: int = 3
+) -> DataFrame:
+    """Generic windowed top-N within group (SURVEY.md §2.5: row_number
+    OVER). Used e.g. for 'top products per category'."""
+    w = Window.partitionBy(group_col).orderBy(F.desc(rank_col), "product_id")
+    return (
+        fact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n)
+        .drop("rn")
+    )

@@ -1,0 +1,110 @@
+"""The fact-orders build — the heart of the reference pipeline
+(order_processing_incremental.py:127-174) re-expressed as one
+declarative DataFrame plan.
+
+Reference SQL shape:
+
+    INSERT INTO fact_orders
+    SELECT <18 derived cols>
+    FROM staging_orders o
+    LEFT JOIN UNNEST(o.items) AS item          -- keeps empty/NULL items
+    LEFT JOIN dim_customers c USING (customer_id)
+    LEFT JOIN dim_products  p ON item.product_id = p.product_id
+    WHERE DATE(o.order_timestamp) = CURRENT_DATE()
+      AND NOT EXISTS (SELECT 1 FROM fact_orders f
+                      WHERE f.order_id = o.order_id)
+
+Spark-first notes (SURVEY.md §2.3, §7.4):
+
+- LEFT JOIN UNNEST == `explode_outer` (plain `explode` drops orders
+  with empty/NULL item arrays — a silent row-loss bug).
+- Both dims are small (daily full reloads) -> `broadcast()`; the big
+  staging side never shuffles for the joins.
+- NOT EXISTS == `left_anti` against the fact table's order_id set. At
+  100 TB the fact side is huge, but the P2 current-day filter means
+  only today's fact partition is scanned (partition pruning on
+  order_date) before the anti-join — expressed below by pre-filtering
+  the fact probe side.
+- CURRENT_DATE is parameterized as `run_date` for determinism
+  (wall-clock coupling is the reference's testability bug, not a
+  semantic we want).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import line_total, region_case
+
+
+def build_fact_orders(
+    staging: DataFrame,
+    dim_customers: DataFrame,
+    dim_products: DataFrame,
+    existing_fact: DataFrame | None,
+    run_date: dt.date,
+) -> DataFrame:
+    """Return the new fact rows for `run_date` (idempotent under re-run).
+
+    Grain: one row per product-line per order; orders with empty/NULL
+    items produce one row with NULL product columns (explode_outer).
+    """
+    o = staging.filter(F.to_date("order_timestamp") == F.lit(run_date))
+
+    if existing_fact is not None:
+        # NOT EXISTS (order_processing_incremental.py:165-168). Probe
+        # side pruned to the run_date partition: idempotency only ever
+        # collides with rows from the same day (P2 filters both sides).
+        seen = existing_fact.filter(F.col("order_date") == F.lit(run_date)).select(
+            "order_id"
+        )
+        o = o.join(seen, "order_id", "left_anti")
+
+    # LEFT JOIN UNNEST(items) (order_processing_incremental.py:161).
+    exploded = o.select(
+        "order_id",
+        "customer_id",
+        "order_timestamp",
+        "total_amount",
+        "payment_status",
+        "shipping_address",
+        F.explode_outer("items").alias("item"),
+    )
+
+    joined = exploded.join(
+        F.broadcast(dim_customers.select("customer_id", "customer_tier")),
+        "customer_id",
+        "left",
+    ).join(
+        F.broadcast(dim_products.select("product_id", "product_name", "category")),
+        exploded["item.product_id"] == dim_products["product_id"],
+        "left",
+    )
+
+    # Projection: the 18 derived columns
+    # (order_processing_incremental.py:136-159).
+    return joined.select(
+        F.col("order_id"),
+        F.col("customer_id"),
+        F.coalesce("customer_tier", F.lit("bronze")).alias("customer_tier"),
+        F.col("order_timestamp"),
+        F.to_date("order_timestamp").alias("order_date"),
+        F.hour("order_timestamp").alias("order_hour"),
+        F.col("item.product_id").alias("product_id"),
+        F.col("product_name"),
+        F.col("category"),
+        F.col("item.quantity").alias("quantity"),
+        F.col("item.unit_price").alias("unit_price"),
+        line_total(F.col("item.quantity"), F.col("item.unit_price")).alias(
+            "line_total"
+        ),
+        F.col("total_amount"),
+        F.col("payment_status"),
+        F.col("shipping_address.city").alias("city"),
+        F.col("shipping_address.state").alias("state"),
+        F.col("shipping_address.country").alias("country"),
+        region_case(F.col("shipping_address.state")).alias("region"),
+    )

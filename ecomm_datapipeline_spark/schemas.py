@@ -1,0 +1,137 @@
+"""Declared schemas — never inferred (SURVEY.md §1.3).
+
+The orders schema mirrors the reference's explicit BigQuery load schema
+(autodetect=False): /root/reference/order_processing_incremental.py:55-74.
+BigQuery FLOAT64 -> DoubleType, INT64 -> LongType; money stays float64
+on purpose — the reference compares with a +-0.01 epsilon
+(order_processing_incremental.py:114,118) and "fixing" it to decimal
+would diverge from the oracle.
+
+Nullability in Spark's JSON reader is advisory; REQUIRED enforcement is
+a separate check stage (operators.checks.required_fields_check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# --- Landing-zone inputs (reference-shaped) -------------------------------
+
+ORDER_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("product_id", T.StringType()),
+        T.StructField("quantity", T.LongType()),
+        T.StructField("unit_price", T.DoubleType()),
+    ]
+)
+
+SHIPPING_ADDRESS_SCHEMA = T.StructType(
+    [
+        T.StructField("street", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("zipcode", T.StringType()),
+        T.StructField("country", T.StringType()),
+    ]
+)
+
+# order_processing_incremental.py:56-74 (REQUIRED -> nullable=False)
+ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.StringType(), nullable=False),
+        T.StructField("customer_id", T.StringType(), nullable=False),
+        T.StructField("order_timestamp", T.TimestampType(), nullable=False),
+        T.StructField("items", T.ArrayType(ORDER_ITEM_SCHEMA)),
+        T.StructField("total_amount", T.DoubleType(), nullable=False),
+        T.StructField("payment_status", T.StringType()),
+        T.StructField("shipping_address", SHIPPING_ADDRESS_SCHEMA),
+    ]
+)
+
+# generate_product.py:12-22 (CSV with header)
+PRODUCTS_SCHEMA = T.StructType(
+    [
+        T.StructField("product_id", T.StringType(), nullable=False),
+        T.StructField("product_name", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("stock_level", T.LongType()),
+    ]
+)
+
+# generate_customers.py:12-22 (CSV with header)
+CUSTOMERS_SCHEMA = T.StructType(
+    [
+        T.StructField("customer_id", T.StringType(), nullable=False),
+        T.StructField("name", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("registration_date", T.DateType()),
+        T.StructField("customer_tier", T.StringType()),
+    ]
+)
+
+# --- Derived tables (golden-output targets, FIXTURES.md A4) ---------------
+
+# fact_orders: one row per product-line per order
+# (order_processing_incremental.py:133-159)
+FACT_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.StringType()),
+        T.StructField("customer_id", T.StringType()),
+        T.StructField("customer_tier", T.StringType()),
+        T.StructField("order_timestamp", T.TimestampType()),
+        T.StructField("order_date", T.DateType()),
+        T.StructField("order_hour", T.IntegerType()),
+        T.StructField("product_id", T.StringType()),
+        T.StructField("product_name", T.StringType()),
+        T.StructField("category", T.StringType()),
+        T.StructField("quantity", T.LongType()),
+        T.StructField("unit_price", T.DoubleType()),
+        T.StructField("line_total", T.DoubleType()),
+        T.StructField("total_amount", T.DoubleType()),
+        T.StructField("payment_status", T.StringType()),
+        T.StructField("city", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("country", T.StringType()),
+        T.StructField("region", T.StringType()),
+    ]
+)
+
+# agg_hourly_metrics (order_processing_incremental.py:182-204)
+AGG_HOURLY_METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("metric_hour", T.TimestampType()),
+        T.StructField("total_orders", T.LongType()),
+        T.StructField("total_revenue", T.DoubleType()),
+        T.StructField("avg_order_value", T.DoubleType()),
+        T.StructField("unique_customers", T.LongType()),
+        T.StructField("updated_at", T.TimestampType()),
+    ]
+)
+
+# data_quality_checks audit log (order_processing_incremental.py:101-109)
+DQ_CHECKS_SCHEMA = T.StructType(
+    [
+        T.StructField("check_id", T.StringType()),
+        T.StructField("check_timestamp", T.TimestampType()),
+        T.StructField("check_type", T.StringType()),
+        T.StructField("order_id", T.StringType()),
+        T.StructField("issue_description", T.StringType()),
+        T.StructField("severity", T.StringType()),
+    ]
+)
+
+# --- Driver testdata tables (FIXTURES.md §B) -------------------------------
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)

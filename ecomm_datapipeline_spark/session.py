@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness-parity with the reference (BigQuery
+executes in UTC; order_processing_incremental.py:86 relies on
+CURRENT_DATE() in UTC) and for scale:
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast conversion — the 100 TB plan self-tunes.
+- dynamic partition overwrite: the plain-Parquet realization of the
+  reference's MERGE (order_processing_incremental.py:182-204) rewrites
+  only the touched date/hour partitions.
+- Arrow enabled: any Pandas-UDF extension operator moves data in
+  columnar batches, not pickled rows.
+
+On a real cluster, only ``master`` and memory sizing change; nothing in
+the engine assumes local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Local test parallelism; the driver benches on local[$SPARK_GRAFT_CPUS].
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "ecomm-datapipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``shuffle_partitions`` defaults to the local core count: at test
+    scale every shuffle fits in one wave. On a 1000-executor cluster
+    set it to 2-3x total cores (or leave AQE's coalescing to shrink
+    an intentionally high number — we set the initial partition count
+    high and let AQE coalesce, which is the scale-proof default).
+    """
+    master = master or f"local[{_DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Determinism / parity with BigQuery-in-UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Adaptive execution: coalesce shuffles, split skewed joins,
+        # convert to broadcast at runtime.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # MERGE-equivalent upserts rewrite only touched partitions.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Arrow for any pandas_udf/applyInPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Keep the UI off in tests; the driver doesn't need it either.
+        .config("spark.ui.enabled", "false")
+    )
+    if shuffle_partitions is None:
+        shuffle_partitions = int(_DEFAULT_CPUS) if str(_DEFAULT_CPUS).isdigit() else 32
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,19 @@
+from .landing import (
+    archive_processed_files,
+    discover_landing_files,
+    read_customers_csv,
+    read_orders_json,
+    read_products_csv,
+)
+from .tables import load_testdata, read_table, write_table
+
+__all__ = [
+    "archive_processed_files",
+    "discover_landing_files",
+    "read_customers_csv",
+    "read_orders_json",
+    "read_products_csv",
+    "load_testdata",
+    "read_table",
+    "write_table",
+]

@@ -1,0 +1,94 @@
+"""Landing-zone file sources and the archive mover.
+
+Reference behavior being re-expressed:
+
+- S1 file-arrival sensor (order_processing_incremental.py:36-45): poll a
+  GCS prefix, gate the pipeline. Batch equivalent: list the landing dir
+  and short-circuit when empty. (The streaming variant gets discovery
+  for free from the file stream source.)
+- S2 NDJSON scan -> staging append (order_processing_incremental.py:48-76):
+  explicit schema, autodetect off.
+- S3 CSV dim scans (README.md:17-19,110).
+- S7 archive mover (order_processing_incremental.py:213-233): rename
+  processed *.json from landing/ to archive/{yyyymmdd_HHMMSS}/ only
+  after downstream commit — per-file exactly-once.
+
+Paths are plain directories here; on a cluster they are object-store
+URIs and the same `spark.read` calls apply (the mover would use the
+Hadoop FileSystem API instead of os.rename — isolated in one function).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..schemas import CUSTOMERS_SCHEMA, ORDERS_SCHEMA, PRODUCTS_SCHEMA
+
+
+def discover_landing_files(landing_dir: str, suffix: str = ".json") -> list[str]:
+    """List data files waiting in the landing zone (S1).
+
+    Mirrors the sensor's gating role: the pipeline driver short-circuits
+    when this returns []. Suffix filter mirrors
+    order_processing_incremental.py:224 (`blob.name.endswith('.json')`).
+    """
+    if not os.path.isdir(landing_dir):
+        return []
+    return sorted(
+        os.path.join(landing_dir, f)
+        for f in os.listdir(landing_dir)
+        if f.endswith(suffix)
+    )
+
+
+def read_orders_json(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """NDJSON orders scan with the declared nested schema (S2).
+
+    `mode=FAILFAST` stands in for BigQuery's load-job schema
+    enforcement: a malformed row fails the load, it does not silently
+    null out (order_processing_incremental.py:55 autodetect=False).
+    """
+    return (
+        spark.read.schema(ORDERS_SCHEMA)
+        .option("mode", "FAILFAST")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")
+        .json(paths)
+    )
+
+
+def read_products_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Products dim CSV (S3; format from generate_product.py:10-22)."""
+    return spark.read.schema(PRODUCTS_SCHEMA).option("header", True).csv(path)
+
+
+def read_customers_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Customers dim CSV (S3; format from generate_customers.py:10-22)."""
+    return spark.read.schema(CUSTOMERS_SCHEMA).option("header", True).csv(path)
+
+
+def archive_processed_files(
+    landing_dir: str,
+    archive_dir: str,
+    files: list[str],
+    batch_ts: datetime | None = None,
+) -> str:
+    """Move processed files landing/ -> archive/{yyyymmdd_HHMMSS}/ (S7).
+
+    Called by the pipeline only AFTER the fact/agg writes commit
+    (ordering from order_processing_incremental.py:236-237), so a crash
+    before this point re-processes the same files and the anti-join
+    dedup (transforms.build_fact_orders) keeps the fact table exact.
+    Returns the archive batch directory.
+    """
+    stamp = (batch_ts or datetime.utcnow()).strftime("%Y%m%d_%H%M%S")
+    batch_dir = os.path.join(archive_dir, stamp)
+    os.makedirs(batch_dir, exist_ok=True)
+    for f in files:
+        if os.path.dirname(os.path.abspath(f)) != os.path.abspath(landing_dir):
+            raise ValueError(f"refusing to archive non-landing file: {f}")
+        shutil.move(f, os.path.join(batch_dir, os.path.basename(f)))
+    return batch_dir

@@ -1,0 +1,62 @@
+"""Warehouse-table IO: parquet-backed tables with append / upsert-style
+writes (S4, S5, S6 in SURVEY.md §2.1).
+
+The reference's MERGE INTO agg_hourly_metrics
+(order_processing_incremental.py:182-204) recomputes the full current
+day and upserts it. With plain Parquet the faithful — and at 100 TB,
+cheaper — realization is dynamic partition overwrite: the recomputed
+slice replaces exactly the partitions it covers, all other partitions
+untouched. `spark.sql.sources.partitionOverwriteMode=dynamic` is set in
+session.py; a Delta MERGE could slot in behind `write_table(mode=
+"overwrite_partitions")` without touching callers.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Table scan (S4)."""
+    return spark.read.parquet(path)
+
+
+def table_exists(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        f.endswith(".parquet") or f.startswith("_SUCCESS") or "=" in f
+        for f in os.listdir(path)
+    )
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Table sink (S5 append / S6 upsert-by-partition-overwrite).
+
+    mode="overwrite_partitions" rewrites only the partitions present in
+    `df` (requires partition_by; Spark's dynamic partitionOverwriteMode).
+    """
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if mode == "overwrite_partitions":
+        if not partition_by:
+            raise ValueError("overwrite_partitions requires partition_by")
+        writer.mode("overwrite").parquet(path)
+    else:
+        writer.mode(mode).parquet(path)
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver testdata tables (TESTDATA.md) as DataFrames."""
+    from ..schemas import TESTDATA_TABLES
+
+    return {
+        name: spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for name in TESTDATA_TABLES
+    }

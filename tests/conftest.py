@@ -1,0 +1,10 @@
+import pytest
+
+from ecomm_datapipeline_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", shuffle_partitions=8)
+    yield s
+    # Session is shared across the whole test run; Spark shuts down at exit.

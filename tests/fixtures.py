@@ -1,0 +1,139 @@
+"""Seeded reference-shaped fixtures (FIXTURES.md §A).
+
+Deterministic re-expression of the reference's unseeded generators
+(/root/reference/generate_order.py, generate_product.py,
+generate_customers.py) with the edge rows FIXTURES.md calls for:
+duplicate order_ids, empty/NULL items, perturbed totals, prior-day
+timestamps, unmapped states, NULL address.
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime as dt
+import json
+import os
+import random
+import uuid
+
+RUN_DATE = dt.date(2024, 3, 15)
+RUN_TS = dt.datetime(2024, 3, 15, 12, 0, 0)
+
+CATEGORIES = ["Electronics", "Clothing", "Home & Garden", "Books", "Sports"]
+TIERS = ["bronze", "silver", "gold"]
+STATUSES = ["completed", "pending", "failed"]
+CITY_STATE = [
+    ("New York", "NY"),
+    ("Los Angeles", "CA"),
+    ("Houston", "TX"),
+    ("Portland", "OR"),
+    ("Chicago", "IL"),  # unmapped state -> region 'Other'
+    ("Phoenix", "AZ"),
+    ("Philadelphia", "PA"),
+]
+
+
+def make_order(rng: random.Random, ts: dt.datetime, customer_range=(1000, 5000)):
+    n_items = rng.randint(1, 5)
+    items = [
+        {
+            "product_id": f"PROD-{rng.randint(1000, 9999)}",
+            "quantity": rng.randint(1, 3),
+            "unit_price": round(rng.uniform(10, 500), 2),
+        }
+        for _ in range(n_items)
+    ]
+    total = round(sum(i["quantity"] * i["unit_price"] for i in items), 2)
+    city, state = rng.choice(CITY_STATE)
+    return {
+        "order_id": str(uuid.UUID(int=rng.getrandbits(128), version=4)),
+        "customer_id": f"CUST-{rng.randint(*customer_range)}",
+        "order_timestamp": ts.strftime("%Y-%m-%dT%H:%M:%S"),
+        "items": items,
+        "total_amount": total,
+        "payment_status": rng.choice(STATUSES),
+        "shipping_address": {
+            "street": f"{rng.randint(1, 999)} Main St",
+            "city": city,
+            "state": state,
+            "zipcode": f"{rng.randint(10000, 99999)}",
+            "country": "USA",
+        },
+    }
+
+
+def write_orders_ndjson(path: str, n: int = 50, seed: int = 42) -> list[dict]:
+    """Standard batch: n orders today, plus FIXTURES.md edge rows:
+    one empty-items, one null-items, one prior-day, one perturbed total,
+    one null address."""
+    rng = random.Random(seed)
+    orders = []
+    for i in range(n):
+        ts = RUN_TS - dt.timedelta(minutes=rng.randint(0, 60))
+        orders.append(make_order(rng, ts))
+    # edge: empty items array
+    o = make_order(rng, RUN_TS)
+    o["items"] = []
+    o["total_amount"] = 0.0
+    orders.append(o)
+    # edge: null items
+    o = make_order(rng, RUN_TS)
+    o["items"] = None
+    o["total_amount"] = 0.0
+    orders.append(o)
+    # edge: prior-day timestamp (dropped by the P2 run_date filter)
+    o = make_order(rng, RUN_TS - dt.timedelta(days=1))
+    orders.append(o)
+    # edge: amount mismatch beyond +-0.01
+    o = make_order(rng, RUN_TS)
+    o["total_amount"] = round(o["total_amount"] + 5.0, 2)
+    orders.append(o)
+    # edge: null shipping address
+    o = make_order(rng, RUN_TS)
+    o["shipping_address"] = None
+    orders.append(o)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for o in orders:
+            f.write(json.dumps(o) + "\n")
+    return orders
+
+
+def write_products_csv(path: str, n: int = 100, seed: int = 43) -> None:
+    rng = random.Random(seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["product_id", "product_name", "category", "price", "stock_level"])
+        for i in range(n):
+            cat = rng.choice(CATEGORIES)
+            # include low-stock rows for the low-stock report
+            stock = rng.choice([rng.randint(0, 9), rng.randint(10, 1000)])
+            w.writerow(
+                [
+                    f"PROD-{1000 + i}",
+                    f"{cat} Product {i}",
+                    cat,
+                    round(rng.uniform(10, 500), 2),
+                    stock,
+                ]
+            )
+
+
+def write_customers_csv(path: str, n: int = 1000, seed: int = 44) -> None:
+    rng = random.Random(seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["customer_id", "name", "email", "registration_date", "customer_tier"])
+        for i in range(n):
+            reg = RUN_DATE - dt.timedelta(days=rng.randint(1, 365))
+            w.writerow(
+                [
+                    f"CUST-{1000 + i}",
+                    f"Customer {i}",
+                    f"customer{i}@example.com",
+                    reg.isoformat(),
+                    rng.choice(TIERS),
+                ]
+            )

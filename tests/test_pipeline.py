@@ -1,0 +1,180 @@
+"""End-to-end + operator tests for the reference-shaped pipeline
+(SURVEY.md §3.1, §7.2): fact build semantics, DQ checks, hourly
+aggregates, idempotency, archive ordering."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import aggregates, checks, transforms
+from ecomm_datapipeline_spark.plans import pipeline
+from ecomm_datapipeline_spark.sources import landing
+
+from .fixtures import (
+    RUN_DATE,
+    write_customers_csv,
+    write_orders_ndjson,
+    write_products_csv,
+)
+
+
+@pytest.fixture(scope="module")
+def env(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pipe"))
+    paths = pipeline.PipelinePaths(root)
+    os.makedirs(paths.landing_orders, exist_ok=True)
+    orders = write_orders_ndjson(os.path.join(paths.landing_orders, "orders_1.json"))
+    prod_csv = os.path.join(root, "in", "products.csv")
+    cust_csv = os.path.join(root, "in", "customers.csv")
+    write_products_csv(prod_csv)
+    write_customers_csv(cust_csv)
+    pipeline.load_dims(spark, paths, prod_csv, cust_csv)
+    return paths, orders
+
+
+def test_orders_schema_roundtrip(spark, env):
+    paths, orders = env
+    files = landing.discover_landing_files(paths.landing_orders)
+    df = landing.read_orders_json(spark, files)
+    assert df.count() == len(orders)
+    assert dict(df.dtypes)["items"].startswith("array<struct<")
+    assert dict(df.dtypes)["order_timestamp"] == "timestamp"
+
+
+def test_fact_build_semantics(spark, env):
+    paths, orders = env
+    files = landing.discover_landing_files(paths.landing_orders)
+    staging = landing.read_orders_json(spark, files)
+    dimc = spark.read.parquet(paths.dim_customers)
+    dimp = spark.read.parquet(paths.dim_products)
+    fact = transforms.build_fact_orders(staging, dimc, dimp, None, RUN_DATE).cache()
+
+    today = [o for o in orders if o["order_timestamp"].startswith("2024-03-15")]
+    # explode_outer: empty/null items orders still produce exactly 1 row
+    expected_rows = sum(len(o["items"]) if o["items"] else 1 for o in today)
+    assert fact.count() == expected_rows
+
+    empties = [o for o in today if not o["items"]]
+    got = fact.filter(F.col("order_id").isin([o["order_id"] for o in empties]))
+    assert got.count() == len(empties) == 2
+    assert got.filter(F.col("product_id").isNull()).count() == 2
+
+    # prior-day order dropped (P2 semantics)
+    prior = [o for o in orders if not o["order_timestamp"].startswith("2024-03-15")]
+    assert fact.filter(
+        F.col("order_id").isin([o["order_id"] for o in prior])
+    ).count() == 0
+
+    # COALESCE tier default: customers outside CUST-1000..1999 -> bronze
+    missing = fact.filter(~F.col("customer_id").between("CUST-1000", "CUST-1999"))
+    assert missing.count() > 0
+    assert missing.filter(F.col("customer_tier") != "bronze").count() == 0
+
+    # region CASE branches
+    regions = {r["state"]: r["region"] for r in fact.select("state", "region").distinct().collect()}
+    for state, want in [("CA", "West"), ("NY", "East"), ("TX", "Southwest"), ("IL", "Other")]:
+        if state in regions:
+            assert regions[state] == want
+    # null address -> region Other (CASE else)
+    assert regions.get(None, "Other") == "Other"
+
+    # line_total arithmetic
+    bad = fact.filter(
+        F.col("quantity").isNotNull()
+        & (F.abs(F.col("line_total") - F.col("quantity") * F.col("unit_price")) > 1e-9)
+    )
+    assert bad.count() == 0
+    fact.unpersist()
+
+
+def test_checks(spark, env):
+    paths, orders = env
+    files = landing.discover_landing_files(paths.landing_orders)
+    staging = landing.read_orders_json(spark, files)
+
+    # no duplicates in the clean batch -> hard check passes
+    checks.run_hard_check(
+        "dup", checks.duplicate_orders_violations(staging, RUN_DATE)
+    )
+
+    # inject a duplicate -> hard check raises
+    dup = staging.limit(1)
+    with pytest.raises(checks.DataQualityError):
+        checks.run_hard_check(
+            "dup",
+            checks.duplicate_orders_violations(staging.unionByName(dup), RUN_DATE),
+        )
+
+    # amount mismatch: exactly the perturbed order, plus the empty/null
+    # items orders (SUM over empty array is NULL -> excluded, matching
+    # BigQuery: NULL > 0.01 is not TRUE)
+    viol = checks.amount_mismatch_violations(staging, RUN_DATE)
+    assert viol.count() == 1
+
+    audit = checks.audit_rows(viol, "amount_mismatch", "warning")
+    row = audit.first()
+    assert row["severity"] == "warning"
+    assert row["check_type"] == "amount_mismatch"
+    assert "Calculated total" in row["issue_description"]
+
+
+def test_required_fields_check(spark):
+    df = spark.createDataFrame(
+        [("a", None, dt.datetime(2024, 3, 15), 1.0)],
+        "order_id string, customer_id string, order_timestamp timestamp, total_amount double",
+    )
+    assert checks.required_fields_violations(df).count() == 1
+
+
+def test_hourly_metrics_double_count_by_design(spark, env):
+    paths, _ = env
+    files = landing.discover_landing_files(paths.landing_orders)
+    staging = landing.read_orders_json(spark, files)
+    dimc = spark.read.parquet(paths.dim_customers)
+    dimp = spark.read.parquet(paths.dim_products)
+    fact = transforms.build_fact_orders(staging, dimc, dimp, None, RUN_DATE)
+    hourly = aggregates.hourly_metrics(fact)
+    # A6: SUM(total_amount) over per-line grain double-counts
+    # multi-item orders by design (SURVEY.md §2.4) — revenue >= the
+    # order-level sum.
+    per_line_sum = fact.agg(F.sum("total_amount")).first()[0]
+    order_level = (
+        fact.select("order_id", "total_amount").distinct().agg(F.sum("total_amount")).first()[0]
+    )
+    got = hourly.agg(F.sum("total_revenue")).first()[0]
+    assert abs(got - per_line_sum) < 1e-6
+    assert got > order_level
+
+
+def test_pipeline_end_to_end_and_idempotency(spark, env):
+    paths, orders = env
+    res1 = pipeline.run_incremental(spark, paths, RUN_DATE)
+    assert res1.files_processed == 1
+    assert res1.fact_rows_added > 0
+    assert res1.soft_violations == 1
+    assert res1.archived_to and os.path.isdir(res1.archived_to)
+    # landing now empty -> sensor short-circuit
+    res2 = pipeline.run_incremental(spark, paths, RUN_DATE)
+    assert res2.files_processed == 0
+
+    # re-drop the SAME batch (simulated retry) -> anti-join adds 0 rows
+    archived = [
+        os.path.join(res1.archived_to, f) for f in os.listdir(res1.archived_to)
+    ]
+    import shutil
+
+    for f in archived:
+        shutil.copy(f, paths.landing_orders)
+    before = spark.read.parquet(paths.fact_orders).count()
+    res3 = pipeline.run_incremental(spark, paths, RUN_DATE)
+    assert res3.fact_rows_added == 0
+    assert spark.read.parquet(paths.fact_orders).count() == before
+
+    # hourly agg table exists, partitioned by metric_date, no dup hours
+    hourly = spark.read.parquet(paths.agg_hourly)
+    hours = hourly.groupBy("metric_hour").count().filter("count > 1")
+    assert hours.count() == 0
+    # dq audit written
+    assert spark.read.parquet(paths.dq_checks).count() >= 1
