@@ -1,0 +1,804 @@
+"""Query catalog: every operator from SURVEY.md §2 (and the §2.9
+README-declared surface) expressed over the driver testdata tables,
+each paired with the ANSI-SQL oracle DuckDB runs for the correctness
+gate (driver contract in /root/repo/__spark_entry__.py).
+
+Cross-engine float determinism (the catalog's one hard rule):
+never hash-compare a direct SUM/AVG of doubles — Spark and DuckDB
+accumulate in different orders, and round() at half-boundaries
+disagrees between the engines. Instead:
+
+  cents(expr)  = CAST(FLOOR(expr*100 + 0.5) AS BIGINT)   -- per ROW
+
+Per-row arithmetic on parquet-identical doubles is bit-identical in
+both engines (same IEEE ops, same order); integer sums are exact and
+order-independent; a single final division by 100.0 is deterministic.
+Averages are computed as sum/count of exact integers, never avg().
+
+Each query function takes (spark, sf_dir) and returns a DataFrame;
+aliases match the oracle SQL column-for-column (the driver sorts
+columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) read as long (session config
+        # nanosAsLong); truncate to micros exactly as DuckDB does.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return df
+
+
+def cents(col: Column) -> Column:
+    """Exact per-row money-to-cents: deterministic across engines."""
+    return F.floor(col * F.lit(100.0) + F.lit(0.5)).cast("long")
+
+
+def dollars(col: Column) -> Column:
+    """Single deterministic division back to a readable double."""
+    return col / F.lit(100.0)
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None -> non-SQL-expressible, rows-only check
+    survey_ref: str  # SURVEY.md §2 operator ids this query covers
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, survey_ref: str):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, oracle, survey_ref)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (A4-A8 aggregate shapes; SURVEY §2.4).
+# TPC-H Q1 form: the canonical "grouped metrics over the big fact" —
+# one shuffle, map-side partial aggregation, no joins.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      SUM(l_quantity) AS sum_qty,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+      CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_charge,
+      SUM(l_quantity) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(FLOOR(l_discount*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A1,A4-A8,P2",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        dollars(F.sum(cents(F.col("l_extendedprice")))).alias("sum_base_price"),
+        dollars(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        ).alias("sum_disc_price"),
+        dollars(
+            F.sum(
+                cents(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            )
+        ).alias("sum_charge"),
+        (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+        (dollars(F.sum(cents(F.col("l_discount")))) / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# The reference's hourly MERGE source (order_processing_incremental.py:183-193)
+# over the events stream table: TIMESTAMP_TRUNC -> date_trunc (A4),
+# COUNT DISTINCT (A5/A8), SUM/AVG (A6/A7).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hourly_event_metrics",
+    """
+    SELECT
+      date_trunc('hour', ts) AS metric_hour,
+      COUNT(*) AS total_events,
+      COUNT(DISTINCT user_id) AS unique_users,
+      CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
+      CAST(SUM(CAST(FLOOR(value*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    "A4,A5,A6,A7,A8",
+)
+def hourly_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("hour", "ts").alias("metric_hour")).agg(
+        F.count("*").alias("total_events"),
+        F.countDistinct("user_id").alias("unique_users"),
+        dollars(F.sum(cents(F.col("value")))).alias("total_value"),
+        (dollars(F.sum(cents(F.col("value")))) / F.count("*")).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate detection: GROUP BY + HAVING cnt>1 (A1, P4;
+# order_processing_incremental.py:83-88). No duplicate orderkeys exist,
+# so the "key" here is the customer: customers with >1 open-status order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dup_detection",
+    """
+    SELECT o_custkey, COUNT(*) AS cnt
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_custkey
+    HAVING COUNT(*) > 1
+    """,
+    "A1,A2,P4",
+)
+def dup_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Amount-mismatch soft check (P3 epsilon predicate + A3 sum-per-order;
+# order_processing_incremental.py:110-123): recompute each order's total
+# from its lines, flag |calc - recorded| > epsilon. On TPC-H,
+# o_totalprice == sum(extprice*(1-disc)*(1+tax)) per generator, so the
+# epsilon filter is exercised with a tolerance tight enough to return
+# the rounding tails.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "amount_mismatch",
+    """
+    WITH calc AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+               AS calculated_total
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderkey, calculated_total, o_totalprice AS total_amount
+    FROM orders JOIN calc ON o_orderkey = l_orderkey
+    WHERE ABS(calculated_total - o_totalprice) > 0.05
+    """,
+    "P3,A3,J2",
+)
+def amount_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    calc = l.groupBy("l_orderkey").agg(
+        dollars(
+            F.sum(
+                cents(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            )
+        ).alias("calculated_total")
+    )
+    return (
+        o.join(calc, o["o_orderkey"] == calc["l_orderkey"])
+        .filter(F.abs(F.col("calculated_total") - F.col("o_totalprice")) > 0.05)
+        .select(
+            "o_orderkey",
+            "calculated_total",
+            F.col("o_totalprice").alias("total_amount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# The fact build (SURVEY §2.3 J2/J3 left joins + §2.2 P1 projection +
+# P6 CASE + §2.6 scalar fns) over the TPC-H star: enrich every line
+# with order, part, customer->nation->region attributes and derived
+# columns — the catalog twin of operators.transforms.build_fact_orders.
+# Dim joins (part/customer/nation/region) broadcast; lineitem never
+# shuffles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fact_enrichment",
+    """
+    SELECT
+      l.l_orderkey, l.l_linenumber,
+      o.o_custkey,
+      COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+      p.p_brand,
+      CAST(year(o.o_orderdate) AS INT) AS order_year,
+      CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT) / 100.0 AS line_total,
+      CASE WHEN n.n_name IN ('UNITED STATES','CANADA') THEN 'NA'
+           WHEN n.n_name IN ('FRANCE','GERMANY','UNITED KINGDOM','RUSSIA','ROMANIA') THEN 'EU'
+           ELSE 'Other' END AS region_bucket,
+      CASE WHEN l.l_quantity >= 40 THEN 'bulk' ELSE 'standard' END AS size_class
+    FROM lineitem l
+    LEFT JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    LEFT JOIN part p     ON l.l_partkey  = p.p_partkey
+    LEFT JOIN customer c ON o.o_custkey  = c.c_custkey
+    LEFT JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+    "P1,P2,P6,J2,J3,§2.6",
+)
+def fact_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left")
+        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "left")
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+    )
+    eu = ("FRANCE", "GERMANY", "UNITED KINGDOM", "RUSSIA", "ROMANIA")
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        "p_brand",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        dollars(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "line_total"
+        ),
+        F.when(F.col("n_name").isin("UNITED STATES", "CANADA"), F.lit("NA"))
+        .when(F.col("n_name").isin(*eu), F.lit("EU"))
+        .otherwise(F.lit("Other"))
+        .alias("region_bucket"),
+        F.when(F.col("l_quantity") >= 40, F.lit("bulk"))
+        .otherwise(F.lit("standard"))
+        .alias("size_class"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join (J4, order_processing_incremental.py:165-168): customers
+# that never placed an order — the NOT EXISTS idempotency primitive.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_never_ordered",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+    )
+    """,
+    "J4",
+)
+def customers_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join (J4). Probe side filtered to recent orders
+    so the result is non-empty at every SF (every customer has SOME
+    order in the synthetic data — an unfiltered anti-join would
+    vacuously match the oracle on zero rows)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    return c.join(
+        o.select("o_custkey"), c["c_custkey"] == o["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# agg_category_revenue (README.md:80-81) over part brands.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "category_revenue",
+    """
+    SELECT
+      p.p_brand AS category,
+      CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS category_revenue,
+      COUNT(DISTINCT l.l_orderkey) AS order_count,
+      SUM(l.l_quantity) AS units_sold
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    "A5,A6,J3,§2.9",
+)
+def category_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("category"))
+        .agg(
+            dollars(
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("category_revenue"),
+            F.countDistinct("l_orderkey").alias("order_count"),
+            F.sum("l_quantity").alias("units_sold"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k (README.md:136; SURVEY §2.5): TakeOrdered physical plan — a
+# per-partition heap + driver merge, no global sort. Deterministic
+# tie-break on the key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_products",
+    """
+    SELECT p.p_partkey, p.p_name,
+      CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+      SUM(l.l_quantity) AS units_sold
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY revenue DESC, p_partkey
+    LIMIT 10
+    """,
+    "§2.5 top-k,§2.9",
+)
+def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_name")), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", "p_name")
+        .agg(
+            dollars(
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue"),
+            F.sum("l_quantity").alias("units_sold"),
+        )
+        .orderBy(F.desc("revenue"), "p_partkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 90-day revenue trend by region (README.md:115,143).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_trends_90d",
+    """
+    SELECT
+      r.r_name AS region,
+      CAST(o.o_orderdate AS DATE) AS order_date,
+      CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS daily_revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-05-03' AND o.o_orderdate <= TIMESTAMP '1998-08-01'
+    GROUP BY 1, 2
+    """,
+    "P2,J2,§2.9",
+)
+def revenue_trends_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-05-03").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1998-08-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.to_date("o_orderdate").alias("order_date"),
+        )
+        .agg(
+            dollars(
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("daily_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inactive customers (README.md:113,141): left join + max + filter,
+# includes never-ordered customers (NULL last_order_date).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inactive_customers",
+    """
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment, MAX(o.o_orderdate) AS last_order_date
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2, 3
+    HAVING MAX(o.o_orderdate) IS NULL OR MAX(o.o_orderdate) < TIMESTAMP '1999-01-01'
+    """,
+    "J2,A2,§2.9",
+)
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o["o_custkey"] == c["c_custkey"], "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.max("o_orderdate").alias("last_order_date"))
+        .filter(
+            F.col("last_order_date").isNull()
+            | (F.col("last_order_date") < F.lit("1999-01-01").cast("timestamp"))
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Low-stock alerts (README.md:114,142): recent demand vs inventory.
+# p_size stands in for stock_level in the TPC-H star.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "low_stock_alerts",
+    """
+    SELECT p.p_partkey, p.p_name, p.p_size AS stock_level, SUM(l.l_quantity) AS units_sold
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '2001-01-01' AND p.p_size <= 5
+    GROUP BY 1, 2, 3
+    HAVING SUM(l.l_quantity) >= 50
+    """,
+    "P2,J3,A6,§2.9",
+)
+def low_stock_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    return (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", "p_name", F.col("p_size").alias("stock_level"))
+        .agg(F.sum("l_quantity").alias("units_sold"))
+        .filter(F.col("units_sold") >= 50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# AOV by tier (README.md:137): c_mktsegment is the tier analog.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "aov_by_segment",
+    """
+    SELECT c.c_mktsegment AS customer_tier,
+      CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*) AS avg_order_value,
+      COUNT(*) AS order_count
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    "A7,J2,§2.9",
+)
+def aov_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("customer_tier"))
+        .agg(
+            (dollars(F.sum(cents(F.col("o_totalprice")))) / F.count("*")).alias(
+                "avg_order_value"
+            ),
+            F.count("*").alias("order_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geo distribution (README.md:138).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "geo_distribution",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS order_count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+    "J2,A1,§2.9",
+)
+def geo_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ audit summary shape (README.md:116): groupBy type + count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_type_summary",
+    """
+    SELECT event_type, COUNT(*) AS event_count, COUNT(DISTINCT user_id) AS unique_users
+    FROM events GROUP BY 1
+    """,
+    "A1,A8,§2.9",
+)
+def event_type_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("event_count"),
+        F.countDistinct("user_id").alias("unique_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.5): top-N per group via row_number.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top3_per_brand",
+    """
+    WITH part_rev AS (
+      SELECT p.p_brand, p.p_partkey,
+        CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, p_partkey, revenue, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS INT) AS rn
+      FROM part_rev
+    ) WHERE rn <= 3
+    """,
+    "§2.5 window",
+)
+def top3_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    part_rev = (
+        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            dollars(
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), "p_partkey")
+    return (
+        part_rev.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "revenue", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window frame (SURVEY §2.5): 7-day moving average of daily revenue per
+# region. Daily totals are exact cents; the MA divides a 7-value
+# integer sum — deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "moving_avg_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT r.r_name AS region, CAST(o.o_orderdate AS DATE) AS order_date,
+        CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE o.o_orderdate >= TIMESTAMP '1998-01-01' AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      GROUP BY 1, 2
+    )
+    SELECT region, order_date, revenue_cents / 100.0 AS daily_revenue,
+      CAST(SUM(revenue_cents) OVER w AS BIGINT) / 100.0
+        / CAST(COUNT(*) OVER w AS BIGINT) AS ma7
+    FROM daily
+    WINDOW w AS (PARTITION BY region ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "§2.5 window frame",
+)
+def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-07-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    daily = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.to_date("o_orderdate").alias("order_date")
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("revenue_cents"))
+    )
+    w = Window.partitionBy("region").orderBy("order_date").rowsBetween(-6, 0)
+    return daily.select(
+        "region",
+        "order_date",
+        dollars(F.col("revenue_cents")).alias("daily_revenue"),
+        (
+            (F.sum("revenue_cents").over(w) / F.lit(100.0))
+            / F.count("*").over(w)
+        ).alias("ma7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (SURVEY §2.7 extension): gap > 30 min starts a new
+# session; session id = running count of boundaries — the batch twin of
+# the streaming stateful operator (streaming/sessionize).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    "§2.5 window,§2.7",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.count("*").alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured extraction (events.props is a JSON string).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_extract_events",
+    """
+    SELECT event_type,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    "§2.6 extension (JSON)",
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.5: absent from the reference, part of a
+# complete engine): customers active in 1995 but not in 1996.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "churned_1995_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "§2.5 set ops",
+)
+def churned_1995_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    # subtract == EXCEPT DISTINCT (set semantics, matching the SQL)
+    return y95.subtract(y96)
+
+
+def names() -> list[str]:
+    return list(REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }

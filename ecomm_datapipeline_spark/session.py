@@ -57,6 +57,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep the UI off in tests; the driver doesn't need it either.
         .config("spark.ui.enabled", "false")
+        # events.parquet stores TIMESTAMP(NANOS) which Spark has no
+        # native type for; read as long and convert (sources.tables).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if shuffle_partitions is None:
         shuffle_partitions = int(_DEFAULT_CPUS) if str(_DEFAULT_CPUS).isdigit() else 32
