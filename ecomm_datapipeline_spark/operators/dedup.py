@@ -1,0 +1,309 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash
+(BASELINE.json north star; no reference counterpart).
+
+Scale design notes (the 100 TB story):
+
+- EXACT: group on md5(text), never on the document body — the shuffle
+  carries 32-byte keys + ids, not documents. One shuffle total.
+- N-GRAM JACCARD: documents explode to distinct shingles; the
+  shingle-equijoin finds candidate pairs; Jaccard from exact integer
+  counts. Hot shingles are a skew bomb at scale — `max_shingle_freq`
+  drops shingles appearing in more than N docs (standard df-pruning:
+  a shingle shared by thousands of docs carries no near-dup signal
+  but produces O(n^2) join rows).
+- MINHASH+LSH: fixed-width signature (num_perm xxhash64 values) per
+  doc, banded; only docs sharing a band bucket become candidates —
+  O(n) shuffle instead of O(n^2) compare. Everything is built-in
+  xxhash64/aggregate — no UDF.
+- SIMHASH: 64-bit signature via per-token hash bit votes; near-dups
+  share the 16-bit prefix bucket and have hamming distance <= k
+  (bit_count(xor) — one JVM instruction per pair).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _parallelize(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition when the source arrives under-split.
+
+    Small/compacted parquet inputs can scan as a handful of partitions;
+    the shingle/hash map work in this module is CPU-bound per row, so
+    an under-split input serializes it (measured 3.5x on the bench: a
+    single-file documents table ran the whole explode on one core).
+    On a real cluster inputs arrive well-split and this is a no-op.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    minimal id as the kept representative and the duplicate count."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return (
+        df.select(F.md5(norm).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly the representative rows (min id per fingerprint)."""
+    keep = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def shingle_array(text_col: str, k: int = 3) -> Column:
+    """Per-row array of DISTINCT word k-shingles — array_distinct keeps
+    the dedup inside the row (no shuffle; a post-explode global
+    distinct() would shuffle every shingle instance)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # Guard: sequence(1, n) DESCENDS when n < 1 (would fabricate
+    # shingles for docs shorter than k tokens) -> empty array instead.
+    sh = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(sh)
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle)."""
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(text_col, k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) by word-k-gram Jaccard similarity.
+
+    jaccard = |A ∩ B| / (|A| + |B| - |A ∩ B|), all exact integers;
+    the only float op is one division -> cross-engine deterministic.
+
+    Plan shape for scale: shingle sets and sizes computed PER ROW (no
+    shuffle); shingles join on their xxhash64 (8-byte keys instead of
+    strings); the only shuffles are the equijoin and the pair-count
+    groupBy. Set sizes ride along with each shingle row, so no
+    separate sizes join is needed afterwards.
+    """
+    # explode(array(...)) = a Generate-node barrier: CollapseProject
+    # would otherwise inline the shingle-array expression into every
+    # consumer and recompute it per reference (measured 4.5x on the
+    # minhash path).
+    base = _parallelize(df).select(
+        F.col(id_col),
+        F.explode(F.array(shingle_array(text_col, k))).alias("_sh"),
+    ).select(
+        F.col(id_col),
+        F.size("_sh").alias("n_sh"),
+        F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("shingle_h"),
+    )
+    if max_shingle_freq is not None:
+        # df-pruning: drop degenerate hot shingles (skew + no signal).
+        hot = (
+            base.groupBy("shingle_h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_freq)
+            .select("shingle_h")
+        )
+        base = base.join(hot, "shingle_h", "left_anti")
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle_h"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle_h"
+    )
+    inter = (
+        a.join(b, "shingle_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """MinHash signature per doc: for each of num_perm seeded xxhash64
+    functions, the min hash over the doc's shingle set.
+
+    Computed entirely PER ROW — array_min(transform(shingles, hash)) —
+    so signature generation is a pure map stage: zero shuffle at any
+    scale (the naive explode+groupBy formulation shuffles every
+    (shingle, doc) pair)."""
+    # Generate-node barrier (see ngram_jaccard_pairs): materialize the
+    # shingle array ONCE; the num_perm min-hash expressions then read
+    # an attribute instead of each re-deriving the array.
+    base = _parallelize(df).select(
+        F.col(id_col),
+        F.explode(F.array(shingle_array(text_col, k))).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    mins = [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh_{i}")
+        for i in range(num_perm)
+    ]
+    return base.select(F.col(id_col), *mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs
+    (a < b), with the fraction of matching minhashes as the similarity
+    estimate. Shuffle is O(n * bands), never O(n^2)."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm).cache()
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.lit(b),
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    buckets = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "bucket"
+        ),
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig_a"),
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig_b"),
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / num_perm
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1, the
+    sign of the vote sum forms the signature bit. Expressed as `bits`
+    conditional-sum aggregates over exploded tokens — all JVM-side."""
+    toks = _parallelize(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    h = F.xxhash64(F.col("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    voted = toks.groupBy(id_col).agg(*votes)
+    sig = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(
+                F.lit(0).cast("long")
+            )
+            for i in range(bits - 1)  # keep the sign bit clear
+        ],
+    )
+    return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """Candidate near-dup pairs: same simhash prefix bucket AND
+    hamming(simhash_a, simhash_b) <= max_hamming via bit_count(xor)."""
+    sig = simhash(df, text_col, id_col)
+    bucketed = sig.withColumn(
+        "bucket", F.shiftright(F.col("simhash"), 63 - prefix_bits)
+    )
+    a = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bucket"
+    )
+    b = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,140 @@
+"""Multimodal columns: image/audio/video as opaque `binary` payloads
+with typed metadata, processed via Arrow-batched `mapInPandas`
+(BASELINE.json north star; no reference counterpart).
+
+The Spark-side plumbing here is REAL and tested: asset schema, binary
+payload handling, Arrow batch shapes, partition sizing. The actual
+codec work (JPEG decode, resampling, frame extraction) is STUBBED —
+the image/audio libraries are not in this container — behind
+`_decode_payload`, which either raises NotImplementedError
+(`fake=False`) or produces a deterministic fake derived from the bytes
+(`fake=True`, the test path). Swapping in Pillow/torchaudio changes
+only `_decode_payload`'s body: the distributed plan is already right —
+scan -> repartition by size -> mapInPandas (vectorized batches) ->
+columnar features.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Asset table layout: payloads are opaque bytes; metadata is typed.
+ASSET_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), nullable=False),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("content_hash", T.StringType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha16", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+    ]
+)
+
+
+def assets_from_documents(docs: DataFrame, media_type: str = "image") -> DataFrame:
+    """Build an asset table from the documents fixture: the utf-8 bytes
+    of `text` stand in for an encoded media payload. Schema and
+    plumbing are production-shaped; only the bytes are fake."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit(media_type).alias("media_type"),
+        payload.alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+            F.md5(F.col("text")).alias("content_hash"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes, fake: bool) -> tuple[int, int, float]:
+    """STUB codec. Real implementation would be e.g.
+    `PIL.Image.open(io.BytesIO(payload))` — library not present in
+    this container. fake=True derives (width, height, mean_luma)
+    deterministically from the bytes so the distributed plumbing is
+    testable end-to-end."""
+    if not fake:
+        raise NotImplementedError(
+            "media codecs unavailable in this environment; "
+            "swap _decode_payload body for PIL/torchaudio when present"
+        )
+    digest = hashlib.sha256(payload).digest()
+    width = 64 + digest[0] % 192  # 64..255
+    height = 64 + digest[1] % 192
+    mean_luma = digest[2] / 255.0
+    return width, height, mean_luma
+
+
+def extract_image_features(
+    assets: DataFrame, fake_decode: bool = True, batch_partitions: int | None = None
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas: Arrow moves payload
+    batches to Python columnar; one Python roundtrip for the whole
+    feature set. At 100 TB: repartition so each task holds a bounded
+    byte volume (payload sizes, not row counts, bound memory)."""
+    src = assets
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            decoded = [_decode_payload(bytes(p), fake_decode) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha16": payloads.map(
+                        lambda p: hashlib.sha256(bytes(p)).hexdigest()[:16]
+                    ),
+                    "width": pd.Series([d[0] for d in decoded], dtype="int32"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int32"),
+                    "mean_luma": [d[2] for d in decoded],
+                }
+            )
+
+    return src.mapInPandas(_extract, IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """Video frame-sampling PLUMBING: expand each asset into (asset_id,
+    frame_no, offset) rows — the shuffle-free lateral expansion a real
+    frame sampler needs (decode stays in mapInPandas downstream).
+    Offsets are byte-positions in the fake payload, standing in for
+    timestamps."""
+    n_frames = F.greatest(
+        (F.col("meta.n_bytes") / every_n_bytes).cast("int"), F.lit(1)
+    )
+    return assets.select(
+        "asset_id",
+        F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no", "_i"),
+    ).select(
+        "asset_id",
+        "frame_no",
+        (F.col("frame_no") * every_n_bytes).cast("long").alias("byte_offset"),
+    )

@@ -1,0 +1,208 @@
+"""Similarity search over embedding columns (array<float>) —
+BASELINE.json north star; no reference counterpart.
+
+Two tiers:
+
+- BRUTE FORCE (the correctness baseline): broadcast the query set,
+  compute cosine per (candidate, query) with built-in higher-order
+  functions (zip_with/aggregate in DOUBLE — bit-identical to the
+  DuckDB oracle, verified), rank with a per-query window. Cost
+  O(N*Q): fine when Q is small and N is a full scan anyway.
+- LSH (the 100 TB path): random-hyperplane signatures bucket vectors;
+  only same-bucket candidates are scored. The plane set is a seeded
+  Python constant folded into the plan as literals — deterministic,
+  no shuffle to distribute it. Probing multiple sign-flips of the
+  query signature trades recall for candidate count.
+
+Norms are precomputed once per side; no UDF anywhere.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column | str, b: Column | str) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _as_double(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.col(vec_col).cast("array<double>"))
+
+
+def cosine_topk_bruteforce(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    queries: (query_id_col, vec_col) — small, broadcast.
+    Deterministic ranking: (sim DESC, candidate id) tie-break.
+    """
+    c = _as_double(candidates, vec_col, "_cv").select(
+        F.col(id_col), F.col("_cv"), _norm("_cv").alias("_cn")
+    )
+    q = _as_double(queries, vec_col, "_qv").select(
+        F.col(query_id_col), F.col("_qv"), _norm("_qv").alias("_qn")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("sim", _dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Seeded Gaussian hyperplanes, folded into plans as literals."""
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from hyperplane projections (one long)."""
+    vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        proj = _dot(vec, lit_plane)
+        bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """All bit-masks of weight <= probe_hamming over n_planes bits
+    (multi-probe LSH: a query checks every bucket within hamming
+    distance h of its own signature)."""
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << i for i in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j)
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ]
+    return masks
+
+
+def cosine_topk_lsh(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    probe_hamming: int = 2,
+) -> DataFrame:
+    """Approximate top-k: candidates scored only within buckets the
+    query probes. Multi-probe (sign-flip neighborhoods of the query's
+    signature) buys recall without extra hash tables — at 100 TB the
+    candidate side is hashed ONCE and only the tiny query side fans
+    out to `sum(C(n_planes,i) for i<=h)` probe rows. Shuffle O(N),
+    score O(N*Q*probes/2^n_planes)."""
+    dim = len(candidates.select(vec_col).first()[0])
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = _as_double(candidates, vec_col, "_cv").select(
+        F.col(id_col),
+        "_cv",
+        _norm("_cv").alias("_cn"),
+        lsh_bucket("_cv", planes).alias("bucket"),
+    )
+    masks = _probe_masks(n_planes, probe_hamming)
+    q = (
+        _as_double(queries, vec_col, "_qv")
+        .select(
+            F.col(query_id_col),
+            "_qv",
+            _norm("_qv").alias("_qn"),
+            lsh_bucket("_qv", planes).alias("_sig"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(*[F.col("_sig").bitwiseXOR(F.lit(m)) for m in masks])
+            ),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("sim", _dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b).
+
+    exact=True: full O(n^2) self-join (correctness oracle path).
+    exact=False: LSH-bucketed — pairs must share a hyperplane bucket
+    (the scale path; recall < 1 by design).
+    """
+    d = _as_double(df, vec_col, "_v").select(
+        F.col(id_col), "_v", _norm("_v").alias("_n"),
+        lsh_bucket("_v", random_hyperplanes(
+            len(df.select(vec_col).first()[0]), n_planes, seed
+        )).alias("bucket"),
+    )
+    a = d.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"), F.col("bucket").alias("ba"),
+    )
+    b = d.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"), F.col("bucket").alias("bb"),
+    )
+    joined = (
+        a.crossJoin(b) if exact else a.join(b, F.col("ba") == F.col("bb"))
+    )
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", _dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

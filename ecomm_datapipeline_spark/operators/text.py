@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(BASELINE.json north star; no reference counterpart).
+
+All operators are pure built-in-function column pipelines — JVM-side,
+whole-stage-codegen, zero Python in the hot path — so they scan 100 TB
+of documents at parquet-read speed. Ratios/scores are derived from
+exact integer counts (divisions of ints are single deterministic IEEE
+ops), keeping results bit-identical across engines for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenization shared by every operator.
+_WS = r"\s+"
+
+# BPE-ish pre-tokenizer: letter runs, single digits, or single
+# non-alnum-non-space symbols — a cheap proxy for subword token counts.
+BPE_ISH = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword profiles for the n-gram lang-id heuristic.
+LANG_PROFILES: dict[str, str] = {
+    "en": r"\b(the|a|of|and|to|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|ein)\b",
+    "fr": r"\b(le|la|les|et|est|une|pas)\b",
+    "es": r"\b(el|los|las|y|es|una|no)\b",
+}
+CJK = "[一-鿿]"
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), _WS)
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex token estimate
+    + average token length (bytes-sans-spaces / tokens)."""
+    t = F.col(text_col)
+    n_tokens = F.size(tokens(t))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        _count_matches(t, BPE_ISH).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars_computed"),
+        (
+            F.length(F.regexp_replace(t, _WS, "")).cast("double") / n_tokens
+        ).alias("avg_token_len"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword language heuristic. Fixed precedence (zh by CJK
+    chars, then the profile with the strictly-highest hit count, ties
+    -> 'en') keeps the operator deterministic."""
+    t = F.col(text_col)
+    hits = {lang: _count_matches(t, pat) for lang, pat in LANG_PROFILES.items()}
+    zh = _count_matches(t, CJK)
+    pred = (
+        F.when(zh > 0, F.lit("zh"))
+        .when(
+            (hits["de"] > hits["en"]) & (hits["de"] > hits["fr"]) & (hits["de"] > hits["es"]),
+            F.lit("de"),
+        )
+        .when((hits["fr"] > hits["en"]) & (hits["fr"] > hits["es"]), F.lit("fr"))
+        .when(hits["es"] > hits["en"], F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+    return df.select(
+        F.col(id_col),
+        *[hits[lang].alias(f"{lang}_hits") for lang in LANG_PROFILES],
+        zh.alias("zh_hits"),
+        pred.alias("predicted_lang"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document quality scoring from length / punctuation / stopword /
+    digit signals. Score is 0-100, floor()ed from deterministic integer
+    ratios — a filter `score >= cutoff` is the 100 TB-scale quality
+    gate."""
+    t = F.col(text_col)
+    n_tokens = F.size(tokens(t))
+    n_chars = F.length(t)
+    n_punct = _count_matches(t, r"[^A-Za-z0-9\s]")
+    n_digit = _count_matches(t, r"[0-9]")
+    n_stop = _count_matches(t, LANG_PROFILES["en"])
+    length_component = F.least(F.lit(40.0), n_tokens.cast("double") * 40.0 / 100.0)
+    punct_penalty = n_punct.cast("double") * 30.0 / (n_chars + 1)
+    stop_component = F.least(
+        F.lit(30.0), n_stop.cast("double") * 30.0 * 5.0 / n_tokens
+    )
+    score = F.floor(
+        length_component + F.lit(30.0) - punct_penalty + stop_component
+    ).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_digit.alias("n_digit"),
+        n_stop.alias("n_stopwords"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized,
+    lowercased text — the exact-dedup key that shuffles 32 bytes
+    instead of whole documents."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), _WS, " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+    )

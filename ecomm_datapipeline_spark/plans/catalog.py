@@ -790,6 +790,275 @@ def churned_1995_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.subtract(y96)
 
 
+# ===========================================================================
+# Extension operators (BASELINE.json north star): dedup, similarity
+# search, text analysis, multimodal — over documents/embeddings.
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    r"""
+    SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY 1
+    """,
+    "ext: exact dedup (hash-groupBy)",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter,
+           CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+    """,
+    "ext: n-gram Jaccard near-dup",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    # Pruning off so the oracle SQL stays 1:1; the generic operator
+    # defaults to df-pruning for scale (operators/dedup.py).
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.05, max_shingle_freq=None
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64 seeds are Spark-specific; driver records rows-only
+    "ext: MinHash+LSH near-dup candidates",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based signature; driver records rows-only
+    "ext: SimHash near-dup candidates",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.v, q.qv) AS sim
+      FROM e, q WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+    "ext: similarity search (brute-force cosine top-k)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_bruteforce
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_bruteforce(emb, queries, k=5)
+
+
+@register(
+    "ann_cosine_topk_lsh",
+    None,  # approximate by design; driver records rows-only
+    "ext: similarity search (LSH-bucketed, scale path)",
+)
+def ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk_lsh(emb, queries, k=5, n_planes=6)
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(a.v, b.v) AS sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+    """,
+    "ext: embedding-cosine near-dup",
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45, exact=True
+    )
+
+
+@register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+      len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+      length(text) AS n_chars_computed,
+      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+    FROM documents
+    """,
+    "ext: token counting",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_language_id",
+    r"""
+    WITH hits AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS en_hits,
+        len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein)\b')) AS de_hits,
+        len(regexp_extract_all(text, '\b(le|la|les|et|est|une|pas)\b')) AS fr_hits,
+        len(regexp_extract_all(text, '\b(el|los|las|y|es|una|no)\b')) AS es_hits,
+        len(regexp_extract_all(text, '[一-鿿]')) AS zh_hits
+      FROM documents
+    )
+    SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+      CASE WHEN zh_hits > 0 THEN 'zh'
+           WHEN de_hits > en_hits AND de_hits > fr_hits AND de_hits > es_hits THEN 'de'
+           WHEN fr_hits > en_hits AND fr_hits > es_hits THEN 'fr'
+           WHEN es_hits > en_hits THEN 'es'
+           ELSE 'en' END AS predicted_lang
+    FROM hits
+    """,
+    "ext: language-ID heuristic",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import language_id
+
+    return language_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality_score",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+        len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        length(text) AS n_chars,
+        len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+        len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+        len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_punct AS n_punct, n_digit AS n_digit,
+           n_stop AS n_stopwords,
+      CAST(FLOOR(
+        least(40.0, CAST(n_tokens AS DOUBLE) * 40.0 / 100.0)
+        + 30.0 - CAST(n_punct AS DOUBLE) * 30.0 / (n_chars + 1)
+        + least(30.0, CAST(n_stop AS DOUBLE) * 30.0 * 5.0 / n_tokens)
+      ) AS BIGINT) AS quality_score
+    FROM c
+    """,
+    "ext: quality scoring",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+    "ext: document fingerprinting",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_asset_meta",
+    """
+    SELECT doc_id AS asset_id, 'image' AS media_type,
+           octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash
+    FROM documents
+    """,
+    "ext: multimodal asset table (binary payload + typed metadata)",
+)
+def multimodal_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import assets_from_documents
+
+    assets = assets_from_documents(_t(spark, sf_dir, "documents"))
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.content_hash").alias("content_hash"),
+    )
+
+
+@register(
+    "multimodal_image_features",
+    None,  # mapInPandas decode stub; driver records rows-only
+    "ext: multimodal decode/feature-extract (Arrow mapInPandas)",
+)
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import assets_from_documents, extract_image_features
+
+    assets = assets_from_documents(_t(spark, sf_dir, "documents"))
+    return extract_image_features(assets, fake_decode=True)
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

@@ -1,0 +1,140 @@
+"""Structured Streaming variant of the incremental pipeline
+(SURVEY.md §2.7).
+
+The reference's "streaming" is a 15-minute cron over a file landing
+zone (order_processing_incremental.py:29). The native Spark mapping:
+
+- `readStream.schema(...).json(landing)` — the file source replaces
+  the GCS sensor (S1): new files are discovered per micro-batch,
+  exactly-once via the checkpoint's file log.
+- `Trigger.AvailableNow` — drain everything currently in the landing
+  zone then stop; running it every 15 minutes reproduces the
+  reference cadence with checkpointed progress between runs.
+- `foreachBatch` — each micro-batch runs the SAME batch transforms
+  (checks -> fact build -> hourly upsert) used by plans/pipeline.py;
+  one code path for batch and streaming.
+- `cleanSource='archive'` — the file source itself moves consumed
+  files to the archive dir (S7) after commit.
+
+Watermarked event-time aggregation (absent in the reference — "late"
+data is just the next tick) is provided as `hourly_metrics_stream`
+for true-streaming deployments: 1-hour tumbling windows, late rows
+beyond the watermark dropped deterministically.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import aggregates, checks, transforms
+from ..schemas import ORDERS_SCHEMA
+from ..sources import tables
+
+
+def read_orders_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over the landing zone (S1+S2+S7 in one)."""
+    reader = (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")
+        .option("pathGlobFilter", "*.json")
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(landing_dir)
+
+
+def run_available_now(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse_root: str,
+    checkpoint_dir: str,
+    run_date: dt.date,
+    dim_customers: DataFrame,
+    dim_products: DataFrame,
+    archive_dir: str | None = None,
+    timeout_sec: int = 300,
+) -> None:
+    """Drain the landing zone once (Trigger.AvailableNow) applying the
+    batch pipeline stages per micro-batch via foreachBatch."""
+    fact_path = os.path.join(warehouse_root, "fact_orders")
+    agg_path = os.path.join(warehouse_root, "agg_hourly_metrics")
+    dq_path = os.path.join(warehouse_root, "data_quality_checks")
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        # Hard check fails the stream (Airflow task-failure semantics).
+        checks.run_hard_check(
+            "duplicate_orders",
+            checks.duplicate_orders_violations(batch, run_date),
+        )
+        soft = checks.amount_mismatch_violations(batch, run_date)
+        audit = checks.audit_rows(soft, "amount_mismatch", "warning")
+        if audit.limit(1).count() > 0:
+            tables.write_table(audit, dq_path, mode="append")
+
+        existing = (
+            tables.read_table(batch.sparkSession, fact_path)
+            if tables.table_exists(fact_path)
+            else None
+        )
+        fact_inc = transforms.build_fact_orders(
+            batch, dim_customers, dim_products, existing, run_date
+        )
+        tables.write_table(
+            fact_inc, fact_path, mode="append", partition_by=["order_date"]
+        )
+        fact = tables.read_table(batch.sparkSession, fact_path)
+        hourly = aggregates.hourly_metrics_with_audit_cols(fact, run_date)
+        tables.write_table(
+            hourly, agg_path, mode="overwrite_partitions", partition_by=["metric_date"]
+        )
+
+    stream = read_orders_stream(spark, landing_dir, archive_dir)
+    query = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(timeout_sec)
+    if query.isActive:
+        query.stop()
+        raise TimeoutError("stream did not drain within timeout")
+
+
+def hourly_metrics_stream(
+    orders_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """True-streaming hourly metrics: watermarked tumbling windows.
+    Late orders beyond the watermark are dropped (a policy the
+    reference lacks — its CURRENT_DATE filter silently drops
+    prior-day rows instead; SURVEY.md §2.7)."""
+    return (
+        orders_stream.withWatermark("order_timestamp", watermark)
+        .groupBy(F.window("order_timestamp", "1 hour").alias("w"))
+        .agg(
+            F.approx_count_distinct("order_id").alias("total_orders"),
+            F.sum("total_amount").alias("total_revenue"),
+            F.avg("total_amount").alias("avg_order_value"),
+            F.approx_count_distinct("customer_id").alias("unique_customers"),
+        )
+        .select(
+            F.col("w.start").alias("metric_hour"),
+            "total_orders",
+            "total_revenue",
+            "avg_order_value",
+            "unique_customers",
+        )
+    )

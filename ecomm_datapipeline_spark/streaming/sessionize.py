@@ -1,0 +1,83 @@
+"""Custom stateful streaming operator: event sessionization with
+`applyInPandasWithState` (SURVEY.md §7.6 extension surface — the
+reference has no stateful streaming at all).
+
+State per user_id: (last_ts, session_id, session_start, n_events).
+An incoming event more than `gap` after last_ts closes the session and
+opens the next. Emits one row per (user, session) update; the batch
+twin (plans/catalog.sessionize_events) computes identical sessions
+with window functions for the oracle check.
+
+GroupStateTimeout.ProcessingTimeTimeout evicts idle users' state —
+bounded state at 100 TB event volumes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_SECONDS_DEFAULT = 30 * 60
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame, gap_seconds: int = GAP_SECONDS_DEFAULT
+) -> DataFrame:
+    """events: streaming DataFrame with (user_id long, ts timestamp).
+    Returns per-(user, session) running event counts."""
+    gap_us = gap_seconds * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            last_ts_us, session_id, n_events = state.get
+        else:
+            last_ts_us, session_id, n_events = -1, 0, 0
+        out: dict[int, int] = {}
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"].astype("datetime64[us]").astype("int64")):
+                if last_ts_us >= 0 and ts - last_ts_us > gap_us:
+                    session_id += 1
+                    n_events = 0
+                n_events += 1
+                last_ts_us = ts
+                out[session_id] = n_events
+        state.update((int(last_ts_us), int(session_id), int(n_events)))
+        state.setTimeoutDuration(6 * gap_us // 1000)  # ms; idle eviction
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_id": list(out.keys()),
+                "n_events": list(out.values()),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

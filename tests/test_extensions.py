@@ -1,0 +1,150 @@
+"""Semantic tests for the training-data-pipeline extension operators
+(dedup family, similarity search, text analysis, multimodal plumbing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_drops_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello  world"), (3, "HELLO WORLD"), (4, "other doc")],
+        "doc_id long, text string",
+    )
+    # whitespace-normalized + lowercased: 1,2,3 are the same group
+    groups = dedup.exact_dedup_groups(df).collect()
+    assert {(g["keep_id"], g["dup_count"]) for g in groups} == {(1, 3), (4, 1)}
+    kept = dedup.drop_exact_duplicates(df)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 4]
+
+
+def test_shingles_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d")], "doc_id long, text string"
+    )
+    sh = dedup.shingles(df, "text", "doc_id", k=3).collect()
+    by_doc = {}
+    for r in sh:
+        by_doc.setdefault(r["doc_id"], set()).add(r["shingle"])
+    assert 1 not in by_doc  # <k tokens -> no shingles, not garbage
+    assert by_doc[2] == {"a b c", "b c d"}
+
+
+def test_minhash_lsh_recall_on_high_jaccard_pairs(docs):
+    """Pairs with true Jaccard >= 0.8 (planted near-dups) must be
+    recalled by the banded MinHash candidates."""
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, max_shingle_freq=None
+        ).collect()
+    }
+    assert truth, "fixture should contain planted near-dups"
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(docs).collect()
+    }
+    recalled = truth & cand
+    assert len(recalled) / len(truth) >= 0.9
+
+
+def test_simhash_identical_texts_collide(spark):
+    df = spark.createDataFrame(
+        [(1, "spark hash join table scan"), (2, "spark hash join table scan"),
+         (3, "completely different words entirely")],
+        "doc_id long, text string",
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    pairs = dedup.simhash_near_pairs(df, max_hamming=0).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_lsh_ann_subset_of_bruteforce_space(emb):
+    """LSH top-k sims must equal the brute-force sims for the same
+    (query, neighbor) pairs (same math, restricted candidates), and
+    recall@5 should be meaningfully above random."""
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    lsh = similarity.cosine_topk_lsh(emb, queries, k=5, n_planes=6)
+    bf_rows = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in bf.collect()}
+    lsh_rows = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in lsh.collect()}
+    overlap = set(bf_rows) & set(lsh_rows)
+    n_emb = emb.count()
+    assert len(overlap) / len(bf_rows) >= 0.2  # recall >> random (5/n)
+    assert len(bf_rows) / 5 >= 5  # brute force returned full k per query
+    for key in overlap:
+        assert bf_rows[key] == lsh_rows[key]  # identical math
+    assert 5 / n_emb < 0.05
+
+
+def test_embedding_neardup_exact_vs_lsh(emb):
+    exact = similarity.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
+    approx = similarity.embedding_near_dup_pairs(emb, threshold=0.4, exact=False)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    approx_pairs = {(r["id_a"], r["id_b"]) for r in approx.collect()}
+    assert approx_pairs <= exact_pairs  # LSH never invents pairs
+
+
+def test_text_ops_hand_built(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat and the dog, 4 times!")], "doc_id long, text string"
+    )
+    ts = text.token_stats(df).first()
+    assert ts["n_tokens"] == 7
+    # [The][cat][and][the][dog][,][4][times][!]
+    assert ts["n_bpe_tokens"] == 9
+    qs = text.quality_score(df).first()
+    assert qs["n_punct"] == 2 and qs["n_digit"] == 1
+    assert 0 <= qs["quality_score"] <= 100
+    lid = text.language_id(df).first()
+    assert lid["predicted_lang"] == "en"
+    fp1 = text.fingerprint(df).first()["fingerprint"]
+    df2 = spark.createDataFrame(
+        [(9, "the bird and the dog, 4 times!")], "doc_id long, text string"
+    )
+    assert text.fingerprint(df2).first()["fingerprint"] != fp1  # content differs
+    df3 = spark.createDataFrame(
+        [(9, "THE cat  AND the   dog, 4 times!")], "doc_id long, text string"
+    )
+    assert text.fingerprint(df3).first()["fingerprint"] == fp1  # ws/case-insensitive
+
+
+def test_multimodal_plumbing(docs):
+    assets = multimodal.assets_from_documents(docs)
+    row = assets.first()
+    assert isinstance(row["payload"], bytearray | bytes)
+    assert row["meta"]["n_bytes"] == len(row["payload"])
+
+    feats = multimodal.extract_image_features(assets, fake_decode=True)
+    f = feats.orderBy("asset_id").first()
+    assert 64 <= f["width"] <= 255 and 64 <= f["height"] <= 255
+    assert 0.0 <= f["mean_luma"] <= 1.0
+    assert feats.count() == docs.count()
+    # determinism: same payload -> same features
+    f2 = multimodal.extract_image_features(assets, fake_decode=True).orderBy(
+        "asset_id"
+    ).first()
+    assert f == f2
+
+    frames = multimodal.frame_sample_plan(assets, every_n_bytes=64)
+    per_asset = frames.groupBy("asset_id").count()
+    assert per_asset.filter(F.col("count") < 1).count() == 0
+
+    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+        multimodal.extract_image_features(assets, fake_decode=False).collect()

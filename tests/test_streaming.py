@@ -1,0 +1,118 @@
+"""Structured Streaming variant: AvailableNow drain over the landing
+zone (exactly-once via checkpoint), and the stateful sessionizer vs
+its batch twin."""
+
+import datetime as dt
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.sources import landing
+from ecomm_datapipeline_spark.streaming import incremental, sessionize
+
+from .fixtures import RUN_DATE, write_customers_csv, write_orders_ndjson, write_products_csv
+
+
+@pytest.fixture(scope="module")
+def stream_env(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("stream"))
+    landing_dir = os.path.join(root, "landing")
+    os.makedirs(landing_dir, exist_ok=True)
+    orders = write_orders_ndjson(os.path.join(landing_dir, "orders_1.json"), n=30)
+    prod_csv, cust_csv = os.path.join(root, "p.csv"), os.path.join(root, "c.csv")
+    write_products_csv(prod_csv)
+    write_customers_csv(cust_csv)
+    dimp = landing.read_products_csv(spark, prod_csv).cache()
+    dimc = landing.read_customers_csv(spark, cust_csv).cache()
+    return root, landing_dir, orders, dimc, dimp
+
+
+def test_available_now_drain_and_checkpoint_exactly_once(spark, stream_env):
+    root, landing_dir, orders, dimc, dimp = stream_env
+    wh = os.path.join(root, "wh")
+    ckpt = os.path.join(root, "ckpt")
+    archive = os.path.join(root, "archive")
+
+    incremental.run_available_now(
+        spark, landing_dir, wh, ckpt, RUN_DATE, dimc, dimp, archive_dir=archive
+    )
+    fact = spark.read.parquet(os.path.join(wh, "fact_orders"))
+    n1 = fact.count()
+    assert n1 > 0
+    today = [o for o in orders if o["order_timestamp"].startswith(str(RUN_DATE))]
+    expected = sum(len(o["items"]) if o["items"] else 1 for o in today)
+    assert n1 == expected
+
+    # second drain with no new files: checkpoint means zero reprocessing
+    incremental.run_available_now(
+        spark, landing_dir, wh, ckpt, RUN_DATE, dimc, dimp, archive_dir=archive
+    )
+    assert spark.read.parquet(os.path.join(wh, "fact_orders")).count() == n1
+
+    # drop a NEW file -> only its rows are added
+    extra = write_orders_ndjson(os.path.join(landing_dir, "orders_2.json"), n=5, seed=77)
+    incremental.run_available_now(
+        spark, landing_dir, wh, ckpt, RUN_DATE, dimc, dimp, archive_dir=archive
+    )
+    n2 = spark.read.parquet(os.path.join(wh, "fact_orders")).count()
+    today2 = [o for o in extra if o["order_timestamp"].startswith(str(RUN_DATE))]
+    assert n2 == n1 + sum(len(o["items"]) if o["items"] else 1 for o in today2)
+
+    # hourly agg table refreshed, no duplicate hours
+    hourly = spark.read.parquet(os.path.join(wh, "agg_hourly_metrics"))
+    assert hourly.groupBy("metric_hour").count().filter("count > 1").count() == 0
+
+
+def test_stateful_sessionize_matches_batch_twin(spark, tmp_path):
+    """Feed the events fixture through the applyInPandasWithState
+    sessionizer (rate-limited file stream) and compare final per-user
+    session counts with the batch window-function implementation."""
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+    src = str(tmp_path / "events_in")
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    sess = sessionize.sessionize_stream(stream, gap_seconds=30 * 60)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("sess_out")
+        .groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.sum("n_events").alias("n_events_lastwins"),
+        )
+    )
+    # batch twin: window-function sessionization
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    batch = flagged.groupBy("user_id").agg(F.sum("is_new").alias("n_sessions"))
+    got_map = {r["user_id"]: r["n_sessions"] for r in got.collect()}
+    batch_map = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert got_map == batch_map
