@@ -790,6 +790,129 @@ def churned_1995_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y95.subtract(y96)
 
 
+# ---------------------------------------------------------------------------
+# A3: correlated scalar aggregate over an array, as the `aggregate`
+# higher-order function — per-row, no join, no shuffle (the Spark twin
+# of BigQuery's `(SELECT SUM(...) FROM UNNEST(items))`,
+# order_processing_incremental.py:114). Applied to the embeddings
+# array column; SUM over an empty array must be NULL (SQL semantics),
+# which the HOF-with-seed formulation gets wrong without a guard.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_sum_hof",
+    """
+    SELECT vec_id,
+           CASE WHEN len(embedding) > 0
+                THEN list_aggregate(embedding::DOUBLE[], 'sum')
+           END AS vec_sum,
+           len(embedding) AS dim
+    FROM embeddings
+    """,
+    "A3,§2.6 UNNEST-scalar",
+)
+def array_sum_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    arr = F.col("embedding").cast("array<double>")
+    total = F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+    return e.select(
+        "vec_id",
+        F.when(F.size("embedding") > 0, total).alias("vec_sum"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1: lateral explode (LEFT JOIN UNNEST) as a standalone operator —
+# token frequencies over exploded document tokens.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_frequencies",
+    r"""
+    SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    )
+    GROUP BY token
+    HAVING COUNT(*) >= 5
+    """,
+    "J1,A1,P4",
+)
+def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+        )
+        .groupBy("token")
+        .agg(
+            F.count("*").alias("freq"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .filter(F.col("freq") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set op INTERSECT (complement of churned_1995_custkeys' EXCEPT).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "retained_1995_1996_custkeys",
+    """
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "§2.5 set ops",
+)
+def retained_1995_1996_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+# ---------------------------------------------------------------------------
+# Supplier-side rollup (completes table coverage): account-balance
+# stats per nation, negative-balance flags (P6 CASE + A6/A7 shapes).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_balance_by_nation",
+    """
+    SELECT n.n_name AS nation,
+      COUNT(*) AS n_suppliers,
+      CAST(SUM(CAST(FLOOR(s.s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal,
+      SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    "A1,A6,P6,J2",
+)
+def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dollars(F.sum(cents(F.col("s_acctbal")))).alias("total_acctbal"),
+            F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0)).alias(
+                "n_negative"
+            ),
+        )
+    )
+
+
 # ===========================================================================
 # Extension operators (BASELINE.json north star): dedup, similarity
 # search, text analysis, multimodal — over documents/embeddings.

@@ -1,0 +1,101 @@
+"""Independent-engine parity for the MAIN pipeline transform: the fact
+build (transforms.build_fact_orders) vs DuckDB executing the
+reference's SQL shape (order_processing_incremental.py:133-168 —
+LEFT JOIN UNNEST + dim left-joins + COALESCE + CASE + derived cols)
+over the same NDJSON/CSV fixtures."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ecomm_datapipeline_spark.operators import transforms
+from ecomm_datapipeline_spark.sources import landing
+
+from .fixtures import RUN_DATE, write_customers_csv, write_orders_ndjson, write_products_csv
+
+FACT_SQL = """
+WITH o AS (
+  SELECT * FROM read_json('{orders}', format='newline_delimited', columns={{
+    'order_id': 'VARCHAR', 'customer_id': 'VARCHAR',
+    'order_timestamp': 'TIMESTAMP',
+    'items': 'STRUCT(product_id VARCHAR, quantity BIGINT, unit_price DOUBLE)[]',
+    'total_amount': 'DOUBLE', 'payment_status': 'VARCHAR',
+    'shipping_address': 'STRUCT(street VARCHAR, city VARCHAR, state VARCHAR, zipcode VARCHAR, country VARCHAR)'
+  }})
+  WHERE CAST(order_timestamp AS DATE) = DATE '{run_date}'
+)
+SELECT
+  o.order_id, o.customer_id,
+  COALESCE(c.customer_tier, 'bronze') AS customer_tier,
+  o.order_timestamp,
+  CAST(o.order_timestamp AS DATE) AS order_date,
+  CAST(hour(o.order_timestamp) AS INT) AS order_hour,
+  u.item.product_id AS product_id,
+  p.product_name, p.category,
+  u.item.quantity AS quantity,
+  u.item.unit_price AS unit_price,
+  u.item.quantity * u.item.unit_price AS line_total,
+  o.total_amount, o.payment_status,
+  o.shipping_address.city AS city,
+  o.shipping_address.state AS state,
+  o.shipping_address.country AS country,
+  CASE WHEN o.shipping_address.state IN ('CA','OR','WA') THEN 'West'
+       WHEN o.shipping_address.state IN ('NY','NJ','PA') THEN 'East'
+       WHEN o.shipping_address.state IN ('TX','AZ','NM') THEN 'Southwest'
+       ELSE 'Other' END AS region
+FROM o
+LEFT JOIN LATERAL (SELECT unnest(o.items) AS item) AS u ON TRUE
+LEFT JOIN read_csv('{customers}', header=true) c ON o.customer_id = c.customer_id
+LEFT JOIN read_csv('{products}', header=true) p ON u.item.product_id = p.product_id
+"""
+
+
+@pytest.fixture(scope="module")
+def fixture_paths(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fact_oracle"))
+    orders = os.path.join(root, "orders.json")
+    products = os.path.join(root, "products.csv")
+    customers = os.path.join(root, "customers.csv")
+    write_orders_ndjson(orders)
+    write_products_csv(products)
+    write_customers_csv(customers)
+    return orders, products, customers
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def test_fact_build_matches_duckdb_reference_sql(spark, fixture_paths):
+    orders, products, customers = fixture_paths
+    staging = landing.read_orders_json(spark, [orders])
+    dimc = landing.read_customers_csv(spark, customers)
+    dimp = landing.read_products_csv(spark, products)
+    got = transforms.build_fact_orders(staging, dimc, dimp, None, RUN_DATE).toPandas()
+    # Spark DateType -> python date objects; DuckDB DATE -> datetime64.
+    got["order_date"] = pd.to_datetime(got["order_date"])
+
+    con = duckdb.connect()
+    want = con.execute(
+        FACT_SQL.format(
+            orders=orders,
+            customers=customers,
+            products=products,
+            run_date=RUN_DATE.isoformat(),
+        )
+    ).fetchdf()
+
+    a, b = canon(got), canon(want)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -65,6 +65,50 @@ def test_available_now_drain_and_checkpoint_exactly_once(spark, stream_env):
     assert hourly.groupBy("metric_hour").count().filter("count > 1").count() == 0
 
 
+def test_watermarked_hourly_metrics_stream(spark, stream_env, tmp_path):
+    """hourly_metrics_stream over a file stream: windowed counts match
+    a batch groupBy(hour) on the same data (no late rows here, so the
+    watermark drops nothing)."""
+    root, landing_dir, orders, dimc, dimp = stream_env
+    src = os.path.join(root, "orders_copy")
+    os.makedirs(src, exist_ok=True)
+    # stream_env's landing files may already be archived; rewrite fresh
+    batch = write_orders_ndjson(os.path.join(src, "orders_w.json"), n=40, seed=5)
+    from ecomm_datapipeline_spark.schemas import ORDERS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(ORDERS_SCHEMA)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")
+        .json(src)
+    )
+    agg = incremental.hourly_metrics_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hourly_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_h"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["metric_hour"]: r["total_revenue"]
+        for r in spark.table("hourly_out").collect()
+    }
+    batch_df = landing.read_orders_json(spark, [os.path.join(src, "orders_w.json")])
+    want = {
+        r["metric_hour"]: r["total_revenue"]
+        for r in batch_df.groupBy(
+            F.date_trunc("hour", "order_timestamp").alias("metric_hour")
+        )
+        .agg(F.sum("total_amount").alias("total_revenue"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for h in got:
+        assert abs(got[h] - want[h]) < 1e-6
+
+
 def test_stateful_sessionize_matches_batch_twin(spark, tmp_path):
     """Feed the events fixture through the applyInPandasWithState
     sessionizer (rate-limited file stream) and compare final per-user
