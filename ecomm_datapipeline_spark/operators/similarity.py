@@ -168,6 +168,97 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style approximate top-k: k-means-partition the candidate
+    vectors (pyspark.ml KMeans, seeded), then score each query only
+    against its n_probe nearest clusters.
+
+    The 100 TB shape: centroids are tiny (n_clusters x dim) and
+    broadcast; assignment is a map stage; the probe join is an
+    equijoin on cluster id — candidates shuffle once at build time
+    and never again across queries. Complements the LSH variant:
+    IVF adapts to the data distribution, LSH needs no training."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = _as_double(candidates, vec_col, "_cv").withColumn(
+        "_features", array_to_vector("_cv")
+    )
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cluster"
+    ).fit(c.select("_features"))
+    assigned = km.transform(c).select(
+        F.col(id_col), "_cv", _norm("_cv").alias("_cn"), "_cluster"
+    )
+    centroids = [list(ctr) for ctr in km.clusterCenters()]
+
+    q = _as_double(queries, vec_col, "_qv").select(
+        F.col(query_id_col), "_qv", _norm("_qv").alias("_qn")
+    )
+    # Rank this query's distance to every centroid; probe the nearest
+    # n_probe clusters (centroid list is a plan literal — broadcast-free).
+    dist_array = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    "_qv",
+                    F.array(*[F.lit(float(x)) for x in ctr]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for ctr in centroids
+        ]
+    )
+    probed = (
+        q.withColumn("_dists", dist_array)
+        .withColumn(
+            "_cluster",
+            F.explode(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.transform(
+                                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                                lambda i: F.struct(
+                                    F.element_at("_dists", i + 1).alias("d"),
+                                    i.alias("c"),
+                                ),
+                            )
+                        ),
+                        lambda s: s["c"],
+                    ),
+                    1,
+                    n_probe,
+                )
+            ),
+        )
+        .select(query_id_col, "_qv", "_qn", "_cluster")
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "_cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("sim", _dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -73,6 +73,78 @@ def load_dims(
     )
 
 
+@dataclass
+class DailyResult:
+    inactive_customers: int
+    low_stock_alerts: int
+    missing_reference_violations: int
+    report_paths: dict[str, str]
+
+
+def run_daily(
+    spark: SparkSession,
+    paths: PipelinePaths,
+    run_date: dt.date,
+    products_csv: str | None = None,
+    customers_csv: str | None = None,
+) -> DailyResult:
+    """The README-declared daily batch DAG (README.md:105-116, §2.9):
+    midnight dim reloads, analytics reports, referential-integrity
+    audit, DQ summary — materialized as parquet report tables under
+    warehouse/reports/.
+    """
+    from ..operators import checks, reports
+
+    if products_csv and customers_csv:
+        load_dims(spark, paths, products_csv, customers_csv)
+
+    fact = tables.read_table(spark, paths.fact_orders)
+    dim_customers = tables.read_table(spark, paths.dim_customers)
+    dim_products = tables.read_table(spark, paths.dim_products)
+    report_root = os.path.join(paths.root, "warehouse", "reports")
+
+    # Missing-FK audit rows (README.md:127) -> append to the DQ log.
+    missing = checks.missing_reference_violations(
+        fact, dim_customers, dim_products
+    )
+    audit = checks.audit_rows(
+        missing, "missing_reference", "warning", issue_col="issue"
+    )
+    n_missing = audit.count()
+    if n_missing:
+        tables.write_table(audit, paths.dq_checks, mode="append")
+
+    outputs = {
+        "inactive_customers": reports.inactive_customers(
+            dim_customers, fact, run_date
+        ),
+        "low_stock_alerts": reports.low_stock_alerts(
+            fact, dim_products, run_date
+        ),
+        "revenue_trends": reports.revenue_trends(fact, run_date),
+        "top_products": reports.top_products(fact),
+        "aov_by_tier": reports.aov_by_tier(fact),
+        "geo_distribution": reports.geo_distribution(fact),
+    }
+    if tables.table_exists(paths.dq_checks):
+        outputs["dq_summary"] = checks.dq_summary(
+            tables.read_table(spark, paths.dq_checks)
+        )
+    report_paths: dict[str, str] = {}
+    counts: dict[str, int] = {}
+    for name, df in outputs.items():
+        out = os.path.join(report_root, name)
+        df.write.mode("overwrite").parquet(out)
+        report_paths[name] = out
+        counts[name] = spark.read.parquet(out).count()
+    return DailyResult(
+        inactive_customers=counts.get("inactive_customers", 0),
+        low_stock_alerts=counts.get("low_stock_alerts", 0),
+        missing_reference_violations=n_missing,
+        report_paths=report_paths,
+    )
+
+
 def run_incremental(
     spark: SparkSession,
     paths: PipelinePaths,

@@ -93,6 +93,21 @@ def test_lsh_ann_subset_of_bruteforce_space(emb):
     assert 5 / n_emb < 0.05
 
 
+def test_ivf_ann_recall_and_sim_parity(emb):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    ivf = similarity.cosine_topk_ivf(emb, queries, k=5)
+    bf_rows = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in bf.collect()}
+    ivf_rows = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in ivf.collect()}
+    assert len(ivf_rows) == len(bf_rows)  # full k per query
+    overlap = set(bf_rows) & set(ivf_rows)
+    assert len(overlap) / len(bf_rows) >= 0.4  # >> n_probe/n_clusters floor
+    for key in overlap:
+        assert bf_rows[key] == ivf_rows[key]  # identical cosine math
+
+
 def test_embedding_neardup_exact_vs_lsh(emb):
     exact = similarity.embedding_near_dup_pairs(emb, threshold=0.4, exact=True)
     approx = similarity.embedding_near_dup_pairs(emb, threshold=0.4, exact=False)

@@ -178,3 +178,29 @@ def test_pipeline_end_to_end_and_idempotency(spark, env):
     assert hours.count() == 0
     # dq audit written
     assert spark.read.parquet(paths.dq_checks).count() >= 1
+
+
+def test_daily_batch_reports(spark, env):
+    paths, orders = env
+    # incremental run must have happened (test ordering: this runs
+    # after the e2e test below would be fragile — run it ourselves if
+    # the fact table is absent).
+    import os as _os
+
+    from ecomm_datapipeline_spark.sources import tables as _tables
+
+    if not _tables.table_exists(paths.fact_orders):
+        pipeline.run_incremental(spark, paths, RUN_DATE)
+    res = pipeline.run_daily(spark, paths, RUN_DATE)
+    # ~75% of orders reference customers outside the dim (FIXTURES.md)
+    assert res.missing_reference_violations > 0
+    # most of the 1000 dim customers never ordered -> inactive
+    assert res.inactive_customers > 900
+    for name, path in res.report_paths.items():
+        assert _os.path.isdir(path), name
+    dq = spark.read.parquet(res.report_paths["dq_summary"])
+    types = {r["check_type"] for r in dq.collect()}
+    assert "missing_reference" in types
+    # top products report is bounded and ranked
+    top = spark.read.parquet(res.report_paths["top_products"])
+    assert 0 < top.count() <= 10
