@@ -1,0 +1,70 @@
+"""Skew-handling primitives: salted aggregation and salted joins.
+
+AQE's skew-join splitting (on in session.py) covers most cases at
+runtime; these explicit operators are for the two places AQE cannot
+help at 100 TB:
+
+- SALTED TWO-STAGE AGGREGATION: a groupBy where one key holds a large
+  share of all rows (power-law user ids, null-ish defaults). Stage 1
+  aggregates (key, salt) partials across `salt_buckets` reducers;
+  stage 2 merges the per-salt partials. Works for any algebraic
+  aggregate (sum/count/min/max — pass the partial and merge exprs).
+- SALTED BROADCAST-SIDE EXPLOSION JOIN: a large fact joining a
+  medium dim where a handful of fact keys dominate. The fact side
+  gets a random salt in [0, n); the dim side is exploded n-fold with
+  every salt value, so the hot key's rows spread over n reducers.
+
+Both are pure DataFrame transforms; `rand(seed)` keeps tests
+deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_sum_count(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    salt_buckets: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-stage skew-safe groupBy: sum(value), count(*) per key.
+
+    Equivalent to df.groupBy(keys).agg(sum, count) but the heaviest
+    key's rows first combine across `salt_buckets` partial reducers.
+    """
+    salted = df.withColumn(
+        "_salt", (F.rand(seed) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(*key_cols, "_salt").agg(
+        F.sum(value_col).alias("_psum"),
+        F.count("*").alias("_pcnt"),
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("_psum").alias(f"sum_{value_col}"),
+        F.sum("_pcnt").alias("cnt"),
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equijoin: fact rows get a random salt; the dim is
+    exploded with all salts so every (key, salt) pair matches. The dim
+    grows salt_buckets-fold — use only when the dim is medium-sized
+    (too big to broadcast, small enough to replicate n times)."""
+    f = fact.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
+    d = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)])),
+    )
+    out = f.join(d, [key, "_salt"], how)
+    return out.drop("_salt")

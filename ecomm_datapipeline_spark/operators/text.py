@@ -108,6 +108,29 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+) -> DataFrame:
+    """Training-data text normalization + length gate: strip control
+    chars, collapse whitespace, trim; drop documents outside the token
+    window. The standard first stage of an LLM-data pipeline — pure
+    column expressions, scan-speed at any scale."""
+    t = F.col(text_col)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+            _WS,
+            " ",
+        )
+    )
+    out = df.withColumn(text_col, cleaned)
+    n = F.size(tokens(F.col(text_col)))
+    return out.filter((n >= min_tokens) & (n <= max_tokens))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized,
     lowercased text — the exact-dedup key that shuffles 32 bytes

@@ -913,6 +913,162 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ROLLUP (grouping-set hierarchy: region -> nation -> grand total) and
+# PIVOT — absent from the reference but part of a complete engine
+# (SURVEY §2.4 "not present" list). GROUPING() disambiguates real
+# NULLs from subtotal rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_rollup",
+    """
+    SELECT
+      CASE WHEN GROUPING(r.r_name) = 1 THEN 'ALL' ELSE r.r_name END AS region,
+      CASE WHEN GROUPING(n.n_name) = 1 THEN 'ALL' ELSE n.n_name END AS nation,
+      CAST(SUM(CAST(FLOOR(o.o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+      COUNT(*) AS order_count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    "§2.4 rollup/grouping sets",
+)
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            dollars(F.sum(cents(F.col("o_totalprice")))).alias("revenue"),
+            F.count("*").alias("order_count"),
+            F.grouping("r_name").alias("_gr"),
+            F.grouping("n_name").alias("_gn"),
+        )
+        .select(
+            F.when(F.col("_gr") == 1, F.lit("ALL")).otherwise(F.col("r_name")).alias("region"),
+            F.when(F.col("_gn") == 1, F.lit("ALL")).otherwise(F.col("n_name")).alias("nation"),
+            "revenue",
+            "order_count",
+        )
+    )
+
+
+@register(
+    "order_status_pivot",
+    """
+    SELECT c.c_mktsegment AS segment,
+      CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    "§2.4 pivot",
+)
+def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "segment",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@register(
+    "quantity_percentiles",
+    """
+    SELECT l_returnflag,
+      quantile_cont(l_quantity, 0.5) AS p50_qty,
+      quantile_cont(l_quantity, 0.9) AS p90_qty,
+      quantile_cont(l_extendedprice, 0.25) AS p25_price,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    "§2.4 exact percentile (verified identical interpolation to DuckDB)",
+)
+def quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "order_recency_gaps",
+    """
+    WITH gaps AS (
+      SELECT o_custkey, o_orderdate,
+        LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
+      FROM orders
+    )
+    SELECT o_custkey,
+      CAST(COUNT(prev_date) AS BIGINT) AS n_gaps,
+      CAST(MAX(date_diff('day', prev_date, o_orderdate)) AS BIGINT) AS max_gap_days
+    FROM gaps
+    GROUP BY 1
+    HAVING COUNT(prev_date) > 0
+    """,
+    "§2.5 lag/lead window",
+)
+def order_recency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    return (
+        gaps.groupBy("o_custkey")
+        .agg(
+            F.count("prev_date").alias("n_gaps"),
+            F.max(
+                F.datediff(F.to_date("o_orderdate"), F.to_date("prev_date"))
+            ).cast("long").alias("max_gap_days"),
+        )
+        .filter(F.col("n_gaps") > 0)
+    )
+
+
+@register(
+    "clean_text_gate",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g')) AS text,
+           lang
+    FROM documents
+    WHERE len(regexp_split_to_array(trim(regexp_replace(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g')), '\s+')) BETWEEN 5 AND 100000
+    """,
+    "ext: text normalization + length gate",
+)
+def clean_text_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import clean_text
+
+    return clean_text(_t(spark, sf_dir, "documents")).select("doc_id", "text", "lang")
+
+
 # ===========================================================================
 # Extension operators (BASELINE.json north star): dedup, similarity
 # search, text analysis, multimodal — over documents/embeddings.

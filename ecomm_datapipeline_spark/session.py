@@ -19,6 +19,7 @@ the engine assumes local mode.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -60,6 +61,16 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which Spark has no
         # native type for; read as long and convert (sources.tables).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Catalog tables (bucketed tables need saveAsTable) live under
+        # a scratch warehouse, not the repo cwd. Static config — must
+        # be set at session build time.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE",
+                os.path.join(tempfile.gettempdir(), "spark-warehouse"),
+            ),
+        )
     )
     if shuffle_partitions is None:
         shuffle_partitions = int(_DEFAULT_CPUS) if str(_DEFAULT_CPUS).isdigit() else 32

@@ -1,0 +1,48 @@
+"""Bucketed co-located joins: both sides bucketed on the join key with
+equal bucket counts must join with ZERO shuffle exchanges."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.sources import tables
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    # warehouse dir is static config, set in session.py (scratch tmp)
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    tables.write_bucketed_table(orders, "orders_b", ["o_orderkey"], 8)
+    tables.write_bucketed_table(
+        lineitem, "lineitem_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"]
+    )
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_shuffle(bucketed):
+    spark = bucketed
+    l = spark.table("lineitem_b")
+    o = spark.table("orders_b")
+    # disable auto-broadcast so the join strategy is bucket-driven
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "o_totalprice", "l_extendedprice"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        # and the result is still correct
+        n = joined.count()
+        plain = spark.read.parquet(
+            "/root/testdata/sf0.001/lineitem.parquet"
+        ).join(
+            spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert n == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")

@@ -140,6 +140,64 @@ def test_text_ops_hand_built(spark):
     assert text.fingerprint(df3).first()["fingerprint"] == fp1  # ws/case-insensitive
 
 
+def test_salted_aggregation_matches_plain(spark):
+    """Skewed input (one key owns 80% of rows): salted two-stage agg
+    must equal the plain groupBy exactly (integer values)."""
+    from ecomm_datapipeline_spark.operators import skew
+
+    rows = [("hot", i % 7) for i in range(8000)] + [
+        (f"k{i % 50}", i % 11) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "key string, v long").repartition(8)
+    got = {
+        r["key"]: (r["sum_v"], r["cnt"])
+        for r in skew.salted_sum_count(df, ["key"], "v").collect()
+    }
+    want = {
+        r["key"]: (r["s"], r["c"])
+        for r in df.groupBy("key")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    from ecomm_datapipeline_spark.operators import skew
+
+    fact = spark.createDataFrame(
+        [("hot", i) for i in range(5000)] + [(f"k{i}", i) for i in range(100)],
+        "key string, v long",
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H")] + [(f"k{i}", f"D{i}") for i in range(100)],
+        "key string, label string",
+    )
+    got = skew.salted_join(fact, dim, "key")
+    plain = fact.join(dim, "key")
+    assert got.count() == plain.count()
+    g = got.groupBy("label").count().collect()
+    p = plain.groupBy("label").count().collect()
+    assert {(r["label"], r["count"]) for r in g} == {
+        (r["label"], r["count"]) for r in p
+    }
+
+
+def test_clean_text_gate(spark):
+    from ecomm_datapipeline_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok doc with \x07 control\x00chars and   spaces here yes"),
+            (2, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = clean_text(df).collect()
+    assert len(out) == 1
+    assert out[0]["text"] == "ok doc with controlchars and spaces here yes"
+
+
 def test_multimodal_plumbing(docs):
     assets = multimodal.assets_from_documents(docs)
     row = assets.first()
