@@ -100,11 +100,19 @@ def geo_distribution(fact: DataFrame) -> DataFrame:
 
 
 def top_n_per_group(
-    fact: DataFrame, group_col: str, rank_col: str, n: int = 3
+    fact: DataFrame,
+    group_col: str,
+    rank_col: str,
+    n: int = 3,
+    tie_break_col: str | None = None,
 ) -> DataFrame:
     """Generic windowed top-N within group (SURVEY.md §2.5: row_number
-    OVER). Used e.g. for 'top products per category'."""
-    w = Window.partitionBy(group_col).orderBy(F.desc(rank_col), "product_id")
+    OVER). Used e.g. for 'top products per category'. A deterministic
+    tie-break column keeps results stable under re-partitioning."""
+    order = [F.desc(rank_col)]
+    if tie_break_col:
+        order.append(F.col(tie_break_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
         fact.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n)

@@ -180,6 +180,72 @@ def test_pipeline_end_to_end_and_idempotency(spark, env):
     assert spark.read.parquet(paths.dq_checks).count() >= 1
 
 
+def test_multi_day_ticks_preserve_prior_aggregates(spark, env):
+    """Day-2 tick recomputes only day-2's hourly slice; dynamic
+    partition overwrite must leave day-1's rows untouched."""
+    paths, _ = env
+    day1 = RUN_DATE
+    day2 = day1 + dt.timedelta(days=1)
+    hourly_before = spark.read.parquet(paths.agg_hourly)
+    day1_rows_before = {
+        (r["metric_hour"], r["total_orders"], r["total_revenue"])
+        for r in hourly_before.filter(F.to_date("metric_hour") == F.lit(day1)).collect()
+    }
+    assert day1_rows_before
+
+    # drop a day-2 batch and tick with run_date=day2
+    import json as _json
+    import random as _random
+    import uuid as _uuid
+
+    rng = _random.Random(99)
+    day2_orders = []
+    for i in range(10):
+        price = round(rng.uniform(10, 100), 2)
+        day2_orders.append(
+            {
+                "order_id": str(_uuid.UUID(int=rng.getrandbits(128), version=4)),
+                "customer_id": f"CUST-{rng.randint(1000, 1999)}",
+                "order_timestamp": f"{day2}T09:{i:02d}:00",
+                "items": [
+                    {"product_id": "PROD-1001", "quantity": 1, "unit_price": price}
+                ],
+                "total_amount": price,
+                "payment_status": "completed",
+                "shipping_address": {
+                    "street": "1 St",
+                    "city": "Portland",
+                    "state": "OR",
+                    "zipcode": "97201",
+                    "country": "USA",
+                },
+            }
+        )
+    with open(os.path.join(paths.landing_orders, "orders_day2.json"), "w") as f:
+        for o in day2_orders:
+            f.write(_json.dumps(o) + "\n")
+    res = pipeline.run_incremental(spark, paths, day2)
+    assert res.fact_rows_added == 10
+
+    hourly_after = spark.read.parquet(paths.agg_hourly)
+    day1_rows_after = {
+        (r["metric_hour"], r["total_orders"], r["total_revenue"])
+        for r in hourly_after.filter(F.to_date("metric_hour") == F.lit(day1)).collect()
+    }
+    assert day1_rows_after == day1_rows_before  # day 1 untouched
+    assert (
+        hourly_after.filter(F.to_date("metric_hour") == F.lit(day2)).count() == 1
+    )  # day 2 slice written (all 10 orders in hour 09)
+    # fact table now spans two date partitions
+    assert (
+        spark.read.parquet(paths.fact_orders)
+        .select("order_date")
+        .distinct()
+        .count()
+        == 2
+    )
+
+
 def test_daily_batch_reports(spark, env):
     paths, orders = env
     # incremental run must have happened (test ordering: this runs

@@ -65,6 +65,76 @@ def test_available_now_drain_and_checkpoint_exactly_once(spark, stream_env):
     assert hourly.groupBy("metric_hour").count().filter("count > 1").count() == 0
 
 
+def test_stateful_sessionize_across_microbatches(spark, tmp_path):
+    """State must persist BETWEEN micro-batches: split the events over
+    4 files, force maxFilesPerTrigger=1 (4+ batches), and require the
+    final per-user session counts to match the batch twin — sessions
+    spanning a batch boundary must not restart."""
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .filter(F.col("user_id") < 12)
+        .select("user_id", "ts")
+        .orderBy("ts")
+    )
+    pdf = events.toPandas()
+    src = str(tmp_path / "ev_multi")
+    os.makedirs(src, exist_ok=True)
+    quarter = len(pdf) // 4
+    # time-ordered file split: batch k holds older events than k+1,
+    # so sessions genuinely span batch boundaries
+    for i in range(4):
+        chunk = pdf.iloc[i * quarter : None if i == 3 else (i + 1) * quarter]
+        spark.createDataFrame(chunk).coalesce(1).write.mode("overwrite").parquet(
+            f"{src}/part{i}"
+        )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/part*")
+    )
+    sess = sessionize.sessionize_stream(stream, gap_seconds=30 * 60)
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_multi")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_multi"))
+        .start()
+    )
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 4  # really ran multiple batches
+    got = {
+        r["user_id"]: r["n_sessions"]
+        for r in spark.table("sess_multi")
+        .groupBy("user_id")
+        .agg((F.max("session_id") + 1).alias("n_sessions"))
+        .collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        events.select(
+            "user_id",
+            F.when(
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                    > 1800 * 1_000_000
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("is_new"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"))
+    )
+    want = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert got == want
+
+
 def test_watermarked_hourly_metrics_stream(spark, stream_env, tmp_path):
     """hourly_metrics_stream over a file stream: windowed counts match
     a batch groupBy(hour) on the same data (no late rows here, so the
