@@ -994,6 +994,68 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "monthly_revenue",
+    """
+    SELECT date_trunc('month', o_orderdate) AS month,
+      CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+      COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY 1
+    """,
+    "A4 (month grain), P2",
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        dollars(F.sum(cents(F.col("o_totalprice")))).alias("revenue"),
+        F.count("*").alias("order_count"),
+    )
+
+
+@register(
+    "quantity_dispersion",
+    """
+    SELECT l_returnflag,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq,
+      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*) AS mean_qty,
+      CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*)
+        - (CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*))
+          * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*)) AS var_qty
+    FROM lineitem GROUP BY 1
+    """,
+    "A6/A7 dispersion via exact integer moments (stddev-safe cross-engine)",
+)
+def quantity_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance from EXACT integer moments (sum, sum of
+    squares): Spark's stddev/var_pop aggregates are FP-order-dependent
+    and would hash-mismatch the oracle; n/sum/sum_sq are exact, and
+    the final mean/variance arithmetic is a fixed expression tree —
+    identical IEEE ops in both engines."""
+    l = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    agg = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sum_qty"),
+        F.sum(q * q).alias("sum_sq"),
+    )
+    mean = F.col("sum_qty") * F.lit(1.0) / F.col("n")
+    return agg.select(
+        "l_returnflag",
+        "n",
+        "sum_qty",
+        "sum_sq",
+        mean.alias("mean_qty"),
+        (F.col("sum_sq") * F.lit(1.0) / F.col("n") - mean * mean).alias("var_qty"),
+    )
+
+
+@register(
     "quantity_percentiles",
     """
     SELECT l_returnflag,
