@@ -16,7 +16,7 @@ Scale design notes (the 100 TB story):
   O(n) shuffle instead of O(n^2) compare. Everything is built-in
   xxhash64/aggregate — no UDF.
 - SIMHASH: 64-bit signature via per-token hash bit votes; near-dups
-  share the 16-bit prefix bucket and have hamming distance <= k
+  share a prefix bucket (top prefix_bits signature bits) and have hamming distance <= k
   (bit_count(xor) — one JVM instruction per pair).
 """
 
@@ -133,6 +133,15 @@ def ngram_jaccard_pairs(
             .select("shingle_h")
         )
         base = base.join(hot, "shingle_h", "left_anti")
+        # Recompute set sizes over the SURVIVING shingles: keeping the
+        # pre-prune n_sh would shrink the intersection but not the
+        # denominator, systematically underestimating Jaccard for
+        # boilerplate-heavy near-dups.
+        from pyspark.sql import Window as _W
+
+        base = base.withColumn(
+            "n_sh", F.count("*").over(_W.partitionBy(id_col))
+        )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle_h"
     )
@@ -260,13 +269,15 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    # bits-1 votes: the top (sign) bit stays clear, so computing a
+    # vote for it would be wasted work.
     votes = [
         F.sum(
             F.when(
                 F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
             ).otherwise(-1)
         ).alias(f"v_{i}")
-        for i in range(bits)
+        for i in range(bits - 1)
     ]
     voted = toks.groupBy(id_col).agg(*votes)
     # Assemble the signature as a flat binary-string -> conv(,2,10):
@@ -287,12 +298,16 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 8,
     prefix_bits: int = 12,
+    bits: int = 64,
 ) -> DataFrame:
-    """Candidate near-dup pairs: same simhash prefix bucket AND
-    hamming(simhash_a, simhash_b) <= max_hamming via bit_count(xor)."""
-    sig = simhash(df, text_col, id_col)
+    """Candidate near-dup pairs: same simhash prefix bucket (the top
+    prefix_bits signature bits) AND hamming(simhash_a, simhash_b) <=
+    max_hamming via bit_count(xor)."""
+    sig = simhash(df, text_col, id_col, bits)
+    # signature occupies bits 0..bits-2; the bucket is its top
+    # prefix_bits bits.
     bucketed = sig.withColumn(
-        "bucket", F.shiftright(F.col("simhash"), 63 - prefix_bits)
+        "bucket", F.shiftright(F.col("simhash"), (bits - 1) - prefix_bits)
     )
     a = bucketed.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "bucket"

@@ -79,6 +79,17 @@ def cosine_topk_bruteforce(
     )
 
 
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from the first non-null vector; clear
+    error instead of a NoneType crash on empty/NULL-headed input."""
+    row = df.filter(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer vector dim: no non-null '{vec_col}' rows"
+        )
+    return len(row[0])
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Seeded Gaussian hyperplanes, folded into plans as literals."""
     rng = random.Random(seed)
@@ -101,16 +112,17 @@ def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
 def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
     """All bit-masks of weight <= probe_hamming over n_planes bits
     (multi-probe LSH: a query checks every bucket within hamming
-    distance h of its own signature)."""
+    distance h of its own signature). Generic in h — probe counts grow
+    as sum(C(n_planes, i) for i <= h), so keep h small."""
+    import itertools
+
     masks = [0]
-    if probe_hamming >= 1:
-        masks += [1 << i for i in range(n_planes)]
-    if probe_hamming >= 2:
-        masks += [
-            (1 << i) | (1 << j)
-            for i in range(n_planes)
-            for j in range(i + 1, n_planes)
-        ]
+    for h in range(1, probe_hamming + 1):
+        for combo in itertools.combinations(range(n_planes), h):
+            m = 0
+            for i in combo:
+                m |= 1 << i
+            masks.append(m)
     return masks
 
 
@@ -131,7 +143,7 @@ def cosine_topk_lsh(
     candidate side is hashed ONCE and only the tiny query side fans
     out to `sum(C(n_planes,i) for i<=h)` probe rows. Shuffle O(N),
     score O(N*Q*probes/2^n_planes)."""
-    dim = len(candidates.select(vec_col).first()[0])
+    dim = _infer_dim(queries, vec_col)
     planes = random_hyperplanes(dim, n_planes, seed)
     c = _as_double(candidates, vec_col, "_cv").select(
         F.col(id_col),
@@ -270,27 +282,31 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b).
 
-    exact=True: full O(n^2) self-join (correctness oracle path).
+    exact=True: full O(n^2) self-join (correctness oracle path) — no
+    hyperplane computation at all.
     exact=False: LSH-bucketed — pairs must share a hyperplane bucket
     (the scale path; recall < 1 by design).
     """
     d = _as_double(df, vec_col, "_v").select(
-        F.col(id_col), "_v", _norm("_v").alias("_n"),
-        lsh_bucket("_v", random_hyperplanes(
-            len(df.select(vec_col).first()[0]), n_planes, seed
-        )).alias("bucket"),
+        F.col(id_col), "_v", _norm("_v").alias("_n")
     )
-    a = d.select(
+    if not exact:
+        planes = random_hyperplanes(_infer_dim(df, vec_col), n_planes, seed)
+        d = d.withColumn("bucket", lsh_bucket("_v", planes))
+    cols_a = [
         F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
-        F.col("_n").alias("na"), F.col("bucket").alias("ba"),
-    )
-    b = d.select(
+        F.col("_n").alias("na"),
+    ]
+    cols_b = [
         F.col(id_col).alias("id_b"), F.col("_v").alias("vb"),
-        F.col("_n").alias("nb"), F.col("bucket").alias("bb"),
-    )
-    joined = (
-        a.crossJoin(b) if exact else a.join(b, F.col("ba") == F.col("bb"))
-    )
+        F.col("_n").alias("nb"),
+    ]
+    if exact:
+        joined = d.select(*cols_a).crossJoin(d.select(*cols_b))
+    else:
+        a = d.select(*cols_a, F.col("bucket").alias("ba"))
+        b = d.select(*cols_b, F.col("bucket").alias("bb"))
+        joined = a.join(b, F.col("ba") == F.col("bb"))
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", _dot("va", "vb") / (F.col("na") * F.col("nb")))

@@ -60,7 +60,15 @@ def salted_join(
     """Skew-safe equijoin: fact rows get a random salt; the dim is
     exploded with all salts so every (key, salt) pair matches. The dim
     grows salt_buckets-fold — use only when the dim is medium-sized
-    (too big to broadcast, small enough to replicate n times)."""
+    (too big to broadcast, small enough to replicate n times).
+
+    Only fact-preserving join types are valid: a right/full outer join
+    would emit salt_buckets null-padded rows for every unmatched dim
+    key (each exploded copy fails to match independently)."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti", "cross"):
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, got {how!r}"
+        )
     f = fact.withColumn("_salt", (F.rand(seed) * salt_buckets).cast("int"))
     d = dim.withColumn(
         "_salt",

@@ -180,6 +180,15 @@ def run_incremental(
         tables.write_table(batch, paths.staging_orders, mode="append")
     staging = tables.read_table(spark, paths.staging_orders)
 
+    # REQUIRED-field enforcement (schemas.py): Spark's JSON reader
+    # treats nullability as advisory where BigQuery's load job would
+    # abort — replicate the abort as a hard check on the new batch.
+    if new_files:
+        checks.run_hard_check(
+            "required_fields",
+            checks.required_fields_violations(batch),
+        )
+
     # Parallel DQ fan-out (order_processing_incremental.py:236).
     checks.run_hard_check(
         "duplicate_orders",
@@ -207,10 +216,16 @@ def run_incremental(
     # Physical design from README.md:103: partition by order_date
     # ("clustered by customer_id" covered by sortWithinPartitions).
     fact_inc = fact_inc.sortWithinPartitions("customer_id")
-    n_added = fact_inc.count()
-    tables.write_table(
-        fact_inc, paths.fact_orders, mode="append", partition_by=["order_date"]
-    )
+    # Cache: count + write would otherwise execute the full
+    # explode/join/anti-join plan twice per tick.
+    fact_inc = fact_inc.cache()
+    try:
+        n_added = fact_inc.count()
+        tables.write_table(
+            fact_inc, paths.fact_orders, mode="append", partition_by=["order_date"]
+        )
+    finally:
+        fact_inc.unpersist()
 
     # Hourly MERGE == recompute today's slice + dynamic partition
     # overwrite (order_processing_incremental.py:177-210).

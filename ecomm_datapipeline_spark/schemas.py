@@ -8,7 +8,8 @@ on purpose — the reference compares with a +-0.01 epsilon
 would diverge from the oracle.
 
 Nullability in Spark's JSON reader is advisory; REQUIRED enforcement is
-a separate check stage (operators.checks.required_fields_check).
+a separate hard-check stage (operators.checks.required_fields_violations,
+wired into plans.pipeline.run_incremental).
 """
 
 from __future__ import annotations

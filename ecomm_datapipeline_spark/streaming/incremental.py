@@ -120,21 +120,25 @@ def hourly_metrics_stream(
     """True-streaming hourly metrics: watermarked tumbling windows.
     Late orders beyond the watermark are dropped (a policy the
     reference lacks — its CURRENT_DATE filter silently drops
-    prior-day rows instead; SURVEY.md §2.7)."""
+    prior-day rows instead; SURVEY.md §2.7).
+
+    Distinct counts are APPROXIMATE (HyperLogLog) and named so:
+    exact incremental count-distinct would need unbounded per-key
+    state. sum/avg match the batch pipeline exactly."""
     return (
         orders_stream.withWatermark("order_timestamp", watermark)
         .groupBy(F.window("order_timestamp", "1 hour").alias("w"))
         .agg(
-            F.approx_count_distinct("order_id").alias("total_orders"),
+            F.approx_count_distinct("order_id").alias("approx_total_orders"),
             F.sum("total_amount").alias("total_revenue"),
             F.avg("total_amount").alias("avg_order_value"),
-            F.approx_count_distinct("customer_id").alias("unique_customers"),
+            F.approx_count_distinct("customer_id").alias("approx_unique_customers"),
         )
         .select(
             F.col("w.start").alias("metric_hour"),
-            "total_orders",
+            "approx_total_orders",
             "total_revenue",
             "avg_order_value",
-            "unique_customers",
+            "approx_unique_customers",
         )
     )

@@ -51,19 +51,30 @@ def sessionize_stream(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # Idle eviction: the user has been quiet for 6x the gap —
+            # any future event starts a brand-new session anyway, so
+            # the state can be dropped (bounded state at scale).
+            state.remove()
+            return
         if state.exists:
             last_ts_us, session_id, n_events = state.get
         else:
             last_ts_us, session_id, n_events = -1, 0, 0
-        out: dict[int, int] = {}
+        # One micro-batch can deliver a group as several Arrow chunks
+        # in arbitrary order — sort ONCE across all of them (sorting
+        # per-chunk would sessionize out-of-time-order).
+        all_ts: list[int] = []
         for pdf in pdfs:
-            for ts in sorted(pdf["ts"].astype("datetime64[us]").astype("int64")):
-                if last_ts_us >= 0 and ts - last_ts_us > gap_us:
-                    session_id += 1
-                    n_events = 0
-                n_events += 1
-                last_ts_us = ts
-                out[session_id] = n_events
+            all_ts.extend(pdf["ts"].astype("datetime64[us]").astype("int64"))
+        out: dict[int, int] = {}
+        for ts in sorted(all_ts):
+            if last_ts_us >= 0 and ts - last_ts_us > gap_us:
+                session_id += 1
+                n_events = 0
+            n_events += 1
+            last_ts_us = ts
+            out[session_id] = n_events
         state.update((int(last_ts_us), int(session_id), int(n_events)))
         state.setTimeoutDuration(6 * gap_us // 1000)  # ms; idle eviction
         yield pd.DataFrame(

@@ -43,6 +43,33 @@ def test_shingles_short_doc_guard(spark):
     assert by_doc[2] == {"a b c", "b c d"}
 
 
+def test_jaccard_df_pruning_consistent_denominator(spark):
+    """With df-pruning active, both intersection AND set sizes must be
+    computed over surviving shingles — otherwise near-dups sharing hot
+    shingles get systematically underestimated similarity."""
+    # docs 1,2: identical except the last word; doc 3..12 all share
+    # the hot prefix shingles, pushing their df over the limit
+    hot = "common boilerplate header text here"
+    rows = [(1, f"{hot} alpha beta gamma"), (2, f"{hot} alpha beta delta")] + [
+        (i, f"{hot} unique{i} filler{i} tail{i}") for i in range(3, 13)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pruned = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.0, max_shingle_freq=5
+        ).collect()
+    }
+    # docs 1-2 share post-prune shingles ('here alpha beta' etc.);
+    # with a pre-prune denominator the ratio would be diluted by the
+    # pruned hot shingles. Exact value: survivors for doc1 =
+    # {text here alpha, here alpha beta, alpha beta gamma}, doc2 =
+    # {text here alpha, here alpha beta, alpha beta delta}
+    # (the 'common boilerplate ...' prefix shingles have df=12 > 5),
+    # intersection=2, union=4 -> 0.5
+    assert abs(pruned[(1, 2)] - 0.5) < 1e-12
+
+
 def test_minhash_lsh_recall_on_high_jaccard_pairs(docs):
     """Pairs with true Jaccard >= 0.8 (planted near-dups) must be
     recalled by the banded MinHash candidates."""

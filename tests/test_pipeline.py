@@ -180,6 +180,36 @@ def test_pipeline_end_to_end_and_idempotency(spark, env):
     assert spark.read.parquet(paths.dq_checks).count() >= 1
 
 
+def test_required_fields_hard_check_aborts_tick(spark, tmp_path):
+    """A batch with NULL in a REQUIRED column must abort the tick
+    (BigQuery's load job would refuse it; Spark's JSON reader won't,
+    so the pipeline enforces it as a hard check)."""
+    import json as _json
+
+    paths = pipeline.PipelinePaths(str(tmp_path))
+    os.makedirs(paths.landing_orders, exist_ok=True)
+    bad = {
+        "order_id": "ord-1",
+        "customer_id": None,  # REQUIRED
+        "order_timestamp": f"{RUN_DATE}T10:00:00",
+        "items": [{"product_id": "PROD-1001", "quantity": 1, "unit_price": 5.0}],
+        "total_amount": 5.0,
+        "payment_status": "completed",
+        "shipping_address": None,
+    }
+    with open(os.path.join(paths.landing_orders, "bad.json"), "w") as f:
+        f.write(_json.dumps(bad) + "\n")
+    # minimal dims so load_dims isn't needed
+    spark.createDataFrame([], "customer_id string, name string, email string, registration_date date, customer_tier string").write.mode("overwrite").parquet(paths.dim_customers)
+    spark.createDataFrame([], "product_id string, product_name string, category string, price double, stock_level long").write.mode("overwrite").parquet(paths.dim_products)
+    with pytest.raises(checks.DataQualityError, match="required_fields"):
+        pipeline.run_incremental(spark, paths, RUN_DATE)
+    # nothing reached the fact table
+    from ecomm_datapipeline_spark.sources import tables as _tables
+
+    assert not _tables.table_exists(paths.fact_orders)
+
+
 def test_multi_day_ticks_preserve_prior_aggregates(spark, env):
     """Day-2 tick recomputes only day-2's hourly slice; dynamic
     partition overwrite must leave day-1's rows untouched."""
