@@ -1,0 +1,92 @@
+"""Document-curation pipeline: the operators of this engine composed
+into the standard LLM training-data flow (BASELINE.json north star):
+
+    clean/normalize -> exact dedup -> near-dup dedup -> quality gate
+    -> language filter -> curated corpus + per-stage stats
+
+Every stage is a pure DataFrame transform from operators.{text,dedup},
+so the whole pipeline is ONE Catalyst plan: filters fuse, nothing
+materializes between stages unless a stage needs a shuffle of its own.
+At 100 TB the near-dup stage is the only superlinear step — it uses
+the banded MinHash candidates (O(n) shuffle), never exact pairwise.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, text
+
+
+@dataclass
+class CurationStats:
+    input_docs: int
+    after_clean: int
+    after_exact_dedup: int
+    after_near_dedup: int
+    after_quality: int
+    after_language: int
+
+
+def curate_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    near_dup_threshold: float = 0.8,
+    min_quality: int = 30,
+    keep_langs: tuple[str, ...] | None = None,
+    collect_stats: bool = True,
+) -> tuple[DataFrame, CurationStats | None]:
+    """Run the full curation flow; returns (curated_df, stats).
+
+    Near-dup removal keeps the lowest-id document of each candidate
+    pair that the MinHash-LSH stage confirms above `near_dup_threshold`
+    estimated Jaccard. `collect_stats=False` skips the per-stage
+    counts (each is an action) for production runs — the curated plan
+    itself stays lazy either way.
+    """
+    n_input = docs.count() if collect_stats else -1
+
+    cleaned = text.clean_text(docs, text_col, min_tokens, max_tokens)
+    n_clean = cleaned.count() if collect_stats else -1
+
+    exact = dedup.drop_exact_duplicates(cleaned, text_col, id_col)
+    n_exact = exact.count() if collect_stats else -1
+
+    # Near-dup: banded MinHash candidates; drop the higher id of every
+    # confirmed pair (transitive chains collapse toward the lowest id
+    # that survives — a union-find would be exact, but pair-drop is the
+    # standard large-scale approximation and never drops a singleton).
+    cand = dedup.minhash_lsh_candidates(exact, text_col, id_col)
+    to_drop = (
+        cand.filter(F.col("est_jaccard") >= near_dup_threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    near = exact.join(to_drop, id_col, "left_anti")
+    n_near = near.count() if collect_stats else -1
+
+    quality = text.quality_score(near, text_col, id_col).filter(
+        F.col("quality_score") >= min_quality
+    ).select(id_col)
+    gated = near.join(quality, id_col, "left_semi")
+    n_quality = gated.count() if collect_stats else -1
+
+    if keep_langs is not None:
+        lang = text.language_id(gated, text_col, id_col).filter(
+            F.col("predicted_lang").isin(*keep_langs)
+        ).select(id_col)
+        gated = gated.join(lang, id_col, "left_semi")
+    n_lang = gated.count() if collect_stats else -1
+
+    stats = (
+        CurationStats(n_input, n_clean, n_exact, n_near, n_quality, n_lang)
+        if collect_stats
+        else None
+    )
+    return gated, stats

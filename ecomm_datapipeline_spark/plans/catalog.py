@@ -1383,6 +1383,23 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curate_corpus",
+    None,  # composed pipeline incl. MinHash (Spark-hash-specific); rows-only
+    "ext: full curation pipeline (clean -> dedup -> near-dup -> quality -> lang)",
+)
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import curate_documents
+
+    curated, _ = curate_documents(
+        _t(spark, sf_dir, "documents"),
+        near_dup_threshold=0.8,
+        min_quality=30,
+        collect_stats=False,
+    )
+    return curated.select("doc_id", "lang", "n_chars")
+
+
+@register(
     "multimodal_asset_meta",
     """
     SELECT doc_id AS asset_id, 'image' AS media_type,

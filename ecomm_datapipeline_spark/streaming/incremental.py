@@ -114,6 +114,31 @@ def run_available_now(
         raise TimeoutError("stream did not drain within timeout")
 
 
+def dedup_documents_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop documents whose normalized-text
+    fingerprint was already seen.
+
+    With an event-time column, `dropDuplicatesWithinWatermark` bounds
+    the dedup state to the watermark horizon (the 100 TB stream mode —
+    state is bounded by arrival-time spread, not corpus size). Without
+    one, plain dropDuplicates keeps ALL fingerprints in state — only
+    for bounded backfills.
+    """
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    with_fp = docs_stream.withColumn("_fp", F.md5(norm))
+    if event_time_col is not None:
+        out = with_fp.withWatermark(event_time_col, watermark)
+        out = out.dropDuplicatesWithinWatermark(["_fp"])
+    else:
+        out = with_fp.dropDuplicates(["_fp"])
+    return out.drop("_fp")
+
+
 def hourly_metrics_stream(
     orders_stream: DataFrame, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -1,0 +1,79 @@
+"""End-to-end document-curation pipeline + streaming dedup."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.curation import curate_documents
+from ecomm_datapipeline_spark.streaming.incremental import dedup_documents_stream
+
+
+def test_curation_pipeline_stages(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find a quiet place to sleep"
+    )
+    near = base.replace("quiet", "silent")
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),            # exact dup of 1
+        (3, "  " + base + "  ", "en"),  # ws-variant dup of 1
+        (4, near, "en"),            # near-dup of 1
+        (5, "too short", "en"),     # fails length gate
+        (6, "@@ ## !! %% ^^ && ** (( )) {{ }} [[ ]] :: ;; ,,", "en"),  # punct junk
+        (7, "der hund und die katze und das haus und der baum sind hier und dort "
+            "und der wald ist der ort und die sonne ist das licht und der tag",
+         "de"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    curated, stats = curate_documents(
+        docs, near_dup_threshold=0.5, min_quality=30, keep_langs=("en",)
+    )
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    assert stats.input_docs == 7
+    assert stats.after_clean == 6          # doc 5 gated by length
+    assert stats.after_exact_dedup == 4    # docs 2,3 collapse into 1
+    assert stats.after_near_dedup == 3     # doc 4 near-dups onto 1
+    assert stats.after_quality <= 3        # doc 6 punct junk drops
+    assert 1 in kept and 4 not in kept and 2 not in kept
+    assert 7 not in kept                   # de filtered by keep_langs
+    assert 6 not in kept
+
+
+def test_curation_no_stats_single_pass(spark):
+    # fully distinct token streams so no stage drops anything
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{i}x{j}" for j in range(12)), "en") for i in range(20)],
+        "doc_id long, text string, lang string",
+    )
+    curated, stats = curate_documents(docs, collect_stats=False)
+    assert stats is None
+    assert curated.count() == 20
+
+
+def test_streaming_dedup_documents(spark, tmp_path):
+    rows = [
+        (1, "alpha beta gamma", dt.datetime(2024, 1, 1, 10, 0)),
+        (2, "alpha  BETA gamma", dt.datetime(2024, 1, 1, 10, 5)),  # dup (norm)
+        (3, "delta epsilon zeta", dt.datetime(2024, 1, 1, 10, 10)),
+    ]
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, "doc_id long, text string, ts timestamp").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(src)
+    out = dedup_documents_stream(stream, event_time_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.table("dedup_out").collect())
+    assert len(kept) == 2
+    assert 3 in kept
+    assert kept[0] in (1, 2)  # exactly one of the dup pair survives
