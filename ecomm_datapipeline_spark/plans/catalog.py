@@ -994,6 +994,103 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      FROM events GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND v.t_view IS NOT NULL AND e.ts > v.t_view
+      GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY 1
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM v WHERE t_view IS NOT NULL) AS BIGINT) AS n_viewed,
+      CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_clicked_after_view,
+      CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchased_after_click
+    """,
+    "ext: ordered conversion funnel (view -> click -> purchase)",
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: each stage's first event must occur strictly
+    after the previous stage's first event. Three conditional
+    aggregations over the same scan — Catalyst reuses the cached
+    exchange for the self-joins."""
+    e = _t(spark, sf_dir, "events")
+    v = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v.filter(F.col("t_view").isNotNull()), "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    n_viewed = v.filter(F.col("t_view").isNotNull()).count()
+    n_clicked = c.count()
+    n_purchased = p.count()
+    return spark.createDataFrame(
+        [(n_viewed, n_clicked, n_purchased)],
+        "n_viewed bigint, n_clicked_after_view bigint, n_purchased_after_click bigint",
+    )
+
+
+@register(
+    "weekly_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY 1
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_trunc('week', e.ts) AS active_week
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, active_week) / 7 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity
+    GROUP BY 1, 2
+    """,
+    "ext: cohort retention matrix",
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.date_trunc("week", "ts").alias("active_week"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        "cohort_week",
+        (
+            F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7
+        ).cast("int").alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))
+
+
+@register(
     "monthly_revenue",
     """
     SELECT date_trunc('month', o_orderdate) AS month,

@@ -42,12 +42,17 @@ class PipelinePaths:
     dim_customers: str = field(init=False)
     dim_products: str = field(init=False)
 
+    agg_category: str = field(init=False)
+
     def __post_init__(self) -> None:
         self.landing_orders = os.path.join(self.root, "landing", "orders")
         self.archive = os.path.join(self.root, "archive")
         self.staging_orders = os.path.join(self.root, "warehouse", "staging_orders")
         self.fact_orders = os.path.join(self.root, "warehouse", "fact_orders")
         self.agg_hourly = os.path.join(self.root, "warehouse", "agg_hourly_metrics")
+        self.agg_category = os.path.join(
+            self.root, "warehouse", "agg_category_revenue"
+        )
         self.dq_checks = os.path.join(self.root, "warehouse", "data_quality_checks")
         self.dim_customers = os.path.join(self.root, "warehouse", "dim_customers")
         self.dim_products = os.path.join(self.root, "warehouse", "dim_products")
@@ -236,6 +241,25 @@ def run_incremental(
         paths.agg_hourly,
         mode="overwrite_partitions",
         partition_by=["metric_date"],
+    )
+
+    # agg_category_revenue (README.md:80-81 — declared, code-absent in
+    # the reference), maintained with the SAME self-healing pattern as
+    # the hourly table: recompute today's (category, order_date) slice
+    # from the partition-pruned fact read, dynamic-overwrite that one
+    # date partition. Crash-and-retry converges because the slice is
+    # always derived from the fact table, never accumulated. Totals
+    # per category = a trivial rollup over this tiny table.
+    cat_daily = (
+        aggregates.category_revenue(
+            fact.filter(F.col("order_date") == F.lit(run_date))
+        ).withColumn("order_date", F.lit(run_date))
+    )
+    tables.write_table(
+        cat_daily,
+        paths.agg_category,
+        mode="overwrite_partitions",
+        partition_by=["order_date"],
     )
 
     # S7: archive only after everything committed.

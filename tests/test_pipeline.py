@@ -178,6 +178,16 @@ def test_pipeline_end_to_end_and_idempotency(spark, env):
     assert hours.count() == 0
     # dq audit written
     assert spark.read.parquet(paths.dq_checks).count() >= 1
+    # category revenue maintained, totals match the fact table
+    cat = spark.read.parquet(paths.agg_category)
+    fact_total = (
+        spark.read.parquet(paths.fact_orders)
+        .filter(F.col("line_total").isNotNull())
+        .agg(F.round(F.sum("line_total"), 2))
+        .first()[0]
+    )
+    cat_total = cat.agg(F.round(F.sum("category_revenue"), 2)).first()[0]
+    assert abs(cat_total - fact_total) < 0.05  # per-category rounding
 
 
 def test_required_fields_hard_check_aborts_tick(spark, tmp_path):
