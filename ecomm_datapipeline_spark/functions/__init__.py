@@ -15,11 +15,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# West / East / Southwest CASE over shipping state
-# (order_processing_incremental.py:154-159).
+# West / East / South CASE over shipping state
+# (order_processing_incremental.py:154-159; the TX/AZ/NM label is
+# 'South' in the reference, exactly as written there).
 _WEST = ("CA", "OR", "WA")
 _EAST = ("NY", "NJ", "PA")
-_SOUTHWEST = ("TX", "AZ", "NM")
+_SOUTH = ("TX", "AZ", "NM")
 
 
 def region_case(state: Column | str) -> Column:
@@ -28,7 +29,7 @@ def region_case(state: Column | str) -> Column:
     return (
         F.when(state.isin(*_WEST), F.lit("West"))
         .when(state.isin(*_EAST), F.lit("East"))
-        .when(state.isin(*_SOUTHWEST), F.lit("Southwest"))
+        .when(state.isin(*_SOUTH), F.lit("South"))
         .otherwise(F.lit("Other"))
     )
 

@@ -40,15 +40,23 @@ def curate_documents(
     near_dup_threshold: float = 0.8,
     min_quality: int = 30,
     keep_langs: tuple[str, ...] | None = None,
-    collect_stats: bool = True,
+    collect_stats: bool = False,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
-    Near-dup removal keeps the lowest-id document of each candidate
-    pair that the MinHash-LSH stage confirms above `near_dup_threshold`
-    estimated Jaccard. `collect_stats=False` skips the per-stage
-    counts (each is an action) for production runs — the curated plan
-    itself stays lazy either way.
+    Near-dup removal is EXACT on groups: confirmed candidate pairs are
+    collapsed into connected components (distributed union-find via
+    min-label propagation, dedup.connected_components), and only the
+    minimum-id representative of each component survives — a
+    transitive chain A~B~C keeps exactly A even though the (A,C) pair
+    was never emitted. The component graph is O(confirmed pairs),
+    tiny relative to the corpus, so the propagation rounds cost one
+    small shuffle each.
+
+    `collect_stats` defaults to False (production): each per-stage
+    count is a full action over the plan-so-far, 6 extra jobs per
+    call. Pass True for audit runs — all counts still come from the
+    same lazy stage definitions.
     """
     n_input = docs.count() if collect_stats else -1
 
@@ -58,15 +66,14 @@ def curate_documents(
     exact = dedup.drop_exact_duplicates(cleaned, text_col, id_col)
     n_exact = exact.count() if collect_stats else -1
 
-    # Near-dup: banded MinHash candidates; drop the higher id of every
-    # confirmed pair (transitive chains collapse toward the lowest id
-    # that survives — a union-find would be exact, but pair-drop is the
-    # standard large-scale approximation and never drops a singleton).
+    # Near-dup: banded MinHash candidates -> confirmed pairs -> exact
+    # connected components -> drop every non-representative member.
     cand = dedup.minhash_lsh_candidates(exact, text_col, id_col)
+    confirmed = cand.filter(F.col("est_jaccard") >= near_dup_threshold)
+    groups = dedup.connected_components(confirmed)
     to_drop = (
-        cand.filter(F.col("est_jaccard") >= near_dup_threshold)
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+        groups.filter(F.col("id") != F.col("rep"))
+        .select(F.col("id").alias(id_col))
     )
     near = exact.join(to_drop, id_col, "left_anti")
     n_near = near.count() if collect_stats else -1

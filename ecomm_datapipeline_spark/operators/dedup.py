@@ -207,7 +207,21 @@ def minhash_lsh_candidates(
     (a < b), with the fraction of matching minhashes as the similarity
     estimate. Shuffle is O(n * bands), never O(n^2)."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_perm).cache()
+    # Signature reuse WITHOUT a leaked cache: the plan reads `sig`
+    # three times (banding + the two per-side signature joins), so a
+    # recompute costs two extra full shingling+hashing passes. A
+    # `.cache()` here would leak — this function returns a LAZY frame,
+    # so there is no correct moment to unpersist, and the CacheManager
+    # pins the entry until someone does. `localCheckpoint(eager=False)`
+    # gives the reuse self-cleaningly: it materializes the RDD on first
+    # action and the ContextCleaner reclaims the blocks when the frame
+    # is garbage-collected — no registry entry survives the call.
+    # (Trade-off, documented: local checkpoints are not recomputable on
+    # executor loss; for an ephemeral analytics query that is an
+    # acceptable failure mode — the job retries.)
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm).localCheckpoint(
+        eager=False
+    )
     band_cols = [
         F.xxhash64(
             *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
@@ -324,3 +338,61 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Exact dedup groups over a candidate-pair graph: iterative
+    min-label propagation (the distributed union-find equivalent).
+
+    Input: (id_a, id_b) confirmed near-dup pairs. Output one row per
+    vertex: (id, rep) where rep is the minimum id in the vertex's
+    connected component — so a transitive chain A~B~C collapses to the
+    single representative A even when the (A,C) pair was never emitted.
+
+    Each iteration is one shuffle on vertex id over the PAIR graph
+    (size O(candidate pairs), tiny relative to the corpus); iterations
+    needed = graph diameter, and near-dup components are shallow in
+    practice. localCheckpoint() per round truncates the lineage so the
+    plan does not grow exponentially; convergence is detected by a
+    changed-label count hitting zero.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("rep", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # Best label reachable in one hop: min over each neighbour's
+        # current rep.
+        incoming = (
+            sym.join(labels, sym["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("rep").alias("nbr_rep"))
+        )
+        new_labels = (
+            labels.join(incoming, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
+                ).alias("rep"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

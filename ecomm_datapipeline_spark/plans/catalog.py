@@ -31,14 +31,16 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) read as long (session config
-        # nanosAsLong); truncate to micros exactly as DuckDB does.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return df
+        # events.parquet stores ts as TIMESTAMP(NANOS), which vanilla
+        # Spark rejects (PARQUET_TYPE_ILLEGAL). nanosAsLong is a
+        # runtime-settable SQL conf, so set it here — the caller's
+        # session (e.g. the driver gate) may not have it — then
+        # truncate nanos to micros exactly as DuckDB does.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
 def cents(col: Column) -> Column:
@@ -238,6 +240,43 @@ def amount_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def fact_enrichment_plan(
+    l: DataFrame, o: DataFrame, p: DataFrame, c: DataFrame, n: DataFrame
+) -> DataFrame:
+    """The fact-build join+projection over caller-supplied inputs.
+
+    Separated from the loader so the same logical plan runs over plain
+    parquet scans (gate path) OR over bucketed catalog tables
+    (`fact_enrichment_bucketed`): with lineitem and orders both
+    bucketed on the order key, the big-big join needs zero Exchange.
+    """
+    joined = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left")
+        .join(p, l["l_partkey"] == p["p_partkey"], "left")
+        .join(c, o["o_custkey"] == c["c_custkey"], "left")
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+    )
+    eu = ("FRANCE", "GERMANY", "UNITED KINGDOM", "RUSSIA", "ROMANIA")
+    return joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
+        "p_brand",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        dollars(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "line_total"
+        ),
+        F.when(F.col("n_name").isin("UNITED STATES", "CANADA"), F.lit("NA"))
+        .when(F.col("n_name").isin(*eu), F.lit("EU"))
+        .otherwise(F.lit("Other"))
+        .alias("region_bucket"),
+        F.when(F.col("l_quantity") >= 40, F.lit("bulk"))
+        .otherwise(F.lit("standard"))
+        .alias("size_class"),
+    )
+
+
 @register(
     "fact_enrichment",
     """
@@ -269,31 +308,29 @@ def fact_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
-    joined = (
-        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left")
-        .join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "left")
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "left")
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"], "left")
+    return fact_enrichment_plan(l, o, p, c, n)
+
+
+def fact_enrichment_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    lineitem_table: str = "lineitem_bkt",
+    orders_table: str = "orders_bkt",
+) -> DataFrame:
+    """Flagship fact build over bucketed catalog tables: lineitem and
+    orders bucketed on the order key (sources.tables.
+    write_bucketed_table) join WITHOUT any Exchange — at 100 TB this
+    removes the one big-big shuffle from the hottest query. Dims stay
+    broadcast-or-AQE joins. tests/test_bucketing.py asserts the
+    zero-Exchange plan shape."""
+    l = spark.table(lineitem_table).filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
     )
-    eu = ("FRANCE", "GERMANY", "UNITED KINGDOM", "RUSSIA", "ROMANIA")
-    return joined.select(
-        "l_orderkey",
-        "l_linenumber",
-        "o_custkey",
-        F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"),
-        "p_brand",
-        F.year("o_orderdate").cast("int").alias("order_year"),
-        dollars(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "line_total"
-        ),
-        F.when(F.col("n_name").isin("UNITED STATES", "CANADA"), F.lit("NA"))
-        .when(F.col("n_name").isin(*eu), F.lit("EU"))
-        .otherwise(F.lit("Other"))
-        .alias("region_bucket"),
-        F.when(F.col("l_quantity") >= 40, F.lit("bulk"))
-        .otherwise(F.lit("standard"))
-        .alias("size_class"),
-    )
+    o = spark.table(orders_table)
+    p = _t(spark, sf_dir, "part")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return fact_enrichment_plan(l, o, p, c, n)
 
 
 # ---------------------------------------------------------------------------
@@ -351,7 +388,7 @@ def category_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     return (
-        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l["l_partkey"] == p["p_partkey"])
+        l.join(p.select("p_partkey", "p_brand"), l["l_partkey"] == p["p_partkey"])
         .groupBy(F.col("p_brand").alias("category"))
         .agg(
             dollars(
@@ -387,7 +424,7 @@ def top_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     return (
-        l.join(F.broadcast(p.select("p_partkey", "p_name")), l["l_partkey"] == p["p_partkey"])
+        l.join(p.select("p_partkey", "p_name"), l["l_partkey"] == p["p_partkey"])
         .groupBy("p_partkey", "p_name")
         .agg(
             dollars(
@@ -433,7 +470,7 @@ def revenue_trends_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = _t(spark, sf_dir, "region")
     return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(
@@ -501,7 +538,7 @@ def low_stock_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
     return (
-        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        l.join(p, l["l_partkey"] == p["p_partkey"])
         .groupBy("p_partkey", "p_name", F.col("p_size").alias("stock_level"))
         .agg(F.sum("l_quantity").alias("units_sold"))
         .filter(F.col("units_sold") >= 50)
@@ -528,7 +565,7 @@ def aov_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o["o_custkey"] == c["c_custkey"])
+        o.join(c.select("c_custkey", "c_mktsegment"), o["o_custkey"] == c["c_custkey"])
         .groupBy(F.col("c_mktsegment").alias("customer_tier"))
         .agg(
             (dollars(F.sum(cents(F.col("o_totalprice")))) / F.count("*")).alias(
@@ -562,7 +599,7 @@ def geo_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     return (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -616,7 +653,7 @@ def top3_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
     part_rev = (
-        l.join(F.broadcast(p.select("p_partkey", "p_brand")), l["l_partkey"] == p["p_partkey"])
+        l.join(p.select("p_partkey", "p_brand"), l["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_partkey")
         .agg(
             dollars(
@@ -669,7 +706,7 @@ def moving_avg_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     daily = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
         .groupBy(
@@ -891,7 +928,7 @@ def retained_1995_1996_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_name AS nation,
       COUNT(*) AS n_suppliers,
       CAST(SUM(CAST(FLOOR(s.s_acctbal*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_acctbal,
-      SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS n_negative
+      CAST(SUM(CASE WHEN s.s_acctbal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
     FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
     GROUP BY 1
     """,
@@ -943,7 +980,7 @@ def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
     joined = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )
@@ -980,7 +1017,7 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     return (
-        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")), o["o_custkey"] == c["c_custkey"])
+        o.join(c.select("c_custkey", "c_mktsegment"), o["o_custkey"] == c["c_custkey"])
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
@@ -1019,33 +1056,48 @@ def order_status_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel: each stage's first event must occur strictly
-    after the previous stage's first event. Three conditional
-    aggregations over the same scan — Catalyst reuses the cached
-    exchange for the self-joins."""
+    after the previous stage's first event. Single lazy plan — one
+    shuffle on user_id (three chained window mins over the same
+    partition spec reuse the exchange), then a per-user collapse and
+    one global count aggregation. No driver-side actions; the gate
+    collects exactly one row."""
     e = _t(spark, sf_dir, "events")
-    v = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    w = Window.partitionBy("user_id")
+    stamped = (
+        e.withColumn(
+            "t_view",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "t_click",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v.filter(F.col("t_view").isNotNull()), "user_id")
-        .filter(F.col("ts") > F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_click"))
+    per_user = stamped.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_purchase"))
-    )
-    n_viewed = v.filter(F.col("t_view").isNotNull()).count()
-    n_clicked = c.count()
-    n_purchased = p.count()
-    return spark.createDataFrame(
-        [(n_viewed, n_clicked, n_purchased)],
-        "n_viewed bigint, n_clicked_after_view bigint, n_purchased_after_click bigint",
+    return per_user.agg(
+        F.count("t_view").alias("n_viewed"),
+        F.count("t_click").alias("n_clicked_after_view"),
+        F.count("t_purchase").alias("n_purchased_after_click"),
     )
 
 

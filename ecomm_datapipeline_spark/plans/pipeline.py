@@ -167,32 +167,45 @@ def run_incremental(
     # re-append (the reference would, and its own duplicate check
     # would then dead-letter the pipeline — flaw fixed, semantics
     # kept: genuinely duplicated DATA still trips the hard check).
-    already_loaded: set[str] = set()
+    new_files = list(files)
     if tables.table_exists(paths.staging_orders):
-        already_loaded = {
-            r["_source_file"]
-            for r in tables.read_table(spark, paths.staging_orders)
-            .select("_source_file")
-            .distinct()
-            .collect()
-        }
-    new_files = [f for f in files if os.path.basename(f) not in already_loaded]
+        # Distributive file registry: anti-join THIS tick's candidate
+        # basenames (tiny, broadcast) against staging's _source_file
+        # column — only the survivors (bounded by tick size) reach the
+        # driver, never the full historical file list, so the registry
+        # check stays O(tick) at the driver no matter how many years of
+        # files staging accumulates.
+        cand = spark.createDataFrame(
+            [(os.path.basename(f), f) for f in files],
+            "_source_file string, _path string",
+        )
+        survivors = cand.join(
+            tables.read_table(spark, paths.staging_orders).select("_source_file"),
+            "_source_file",
+            "left_anti",
+        ).collect()
+        new_files = sorted(r["_path"] for r in survivors)
     if new_files:
         batch = landing.read_orders_json(spark, new_files).withColumn(
             "_source_file",
             F.element_at(F.split(F.input_file_name(), "/"), -1),
         )
-        tables.write_table(batch, paths.staging_orders, mode="append")
+        # REQUIRED-field enforcement (schemas.py): Spark's JSON reader
+        # treats nullability as advisory where BigQuery's load job
+        # would abort — replicate the abort as a hard check on the new
+        # batch BEFORE it lands in staging. (If the check ran after the
+        # append, a crash-then-retry would classify these files as
+        # already loaded and the bad rows would flow on unchecked.)
+        batch = batch.cache()
+        try:
+            checks.run_hard_check(
+                "required_fields",
+                checks.required_fields_violations(batch),
+            )
+            tables.write_table(batch, paths.staging_orders, mode="append")
+        finally:
+            batch.unpersist()
     staging = tables.read_table(spark, paths.staging_orders)
-
-    # REQUIRED-field enforcement (schemas.py): Spark's JSON reader
-    # treats nullability as advisory where BigQuery's load job would
-    # abort — replicate the abort as a hard check on the new batch.
-    if new_files:
-        checks.run_hard_check(
-            "required_fields",
-            checks.required_fields_violations(batch),
-        )
 
     # Parallel DQ fan-out (order_processing_incremental.py:236).
     checks.run_hard_check(

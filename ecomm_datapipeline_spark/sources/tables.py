@@ -35,12 +35,21 @@ def write_table(
     path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_keys: list[str] | None = None,
 ) -> None:
-    """Table sink (S5 append / S6 upsert-by-partition-overwrite).
+    """Table sink (S5 append / S6 upsert).
 
     mode="overwrite_partitions" rewrites only the partitions present in
     `df` (requires partition_by; Spark's dynamic partitionOverwriteMode).
+    mode="merge" is a key-level MERGE (requires merge_keys): Delta
+    MERGE INTO when the delta backend is available, else a
+    partition-scoped parquet read-merge-rewrite (see merge_table).
     """
+    if mode == "merge":
+        if not merge_keys:
+            raise ValueError("merge requires merge_keys")
+        merge_table(df, path, merge_keys, partition_by)
+        return
     writer = df.write
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -50,6 +59,84 @@ def write_table(
         writer.mode("overwrite").parquet(path)
     else:
         writer.mode(mode).parquet(path)
+
+
+def delta_available() -> bool:
+    """True when the delta-spark package is importable (it is not baked
+    into this container; the Delta path is exercised wherever it is)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _is_delta_table(path: str) -> bool:
+    return os.path.isdir(os.path.join(path, "_delta_log"))
+
+
+def merge_table(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Key-level MERGE (the reference's MERGE INTO,
+    order_processing_incremental.py:182-204, as an upsert primitive):
+    rows of `df` replace target rows with the same key; unmatched
+    target rows survive; unmatched source rows insert.
+
+    Backend selection:
+
+    * Delta (delta-spark importable AND target is a Delta table):
+      real ``MERGE INTO`` — ACID, file-level pruning.
+    * Parquet fallback: partition-scoped read-merge-rewrite. Only the
+      partitions present in `df` are read back, anti-joined on the
+      keys, unioned with `df`, and dynamically overwritten — cost is
+      O(affected partitions), never O(table). Without partition_by the
+      whole table is rewritten (only acceptable for small tables).
+      ``localCheckpoint`` materializes the merged slice before the
+      overwrite because Spark refuses to overwrite a path it is
+      lazily reading from.
+    """
+    spark = df.sparkSession
+    if not table_exists(path) and not _is_delta_table(path):
+        write_table(df, path, mode="append", partition_by=partition_by)
+        return
+
+    if delta_available() and _is_delta_table(path):
+        from delta.tables import DeltaTable
+
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        (
+            DeltaTable.forPath(spark, path)
+            .alias("t")
+            .merge(df.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+
+    existing = read_table(spark, path)
+    if partition_by:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Prune the rewrite to the partitions df touches: semi-join on
+        # the (tiny, distinct, broadcast) partition-value set.
+        from pyspark.sql import functions as F
+
+        parts = df.select(*partition_by).distinct()
+        existing = existing.join(F.broadcast(parts), partition_by, "left_semi")
+    merged = (
+        existing.join(df.select(*keys).distinct(), keys, "left_anti")
+        .unionByName(df)
+        .localCheckpoint()
+    )
+    writer = merged.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode("overwrite").parquet(path)
 
 
 def write_bucketed_table(

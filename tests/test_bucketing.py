@@ -46,3 +46,23 @@ def test_bucketed_join_has_no_shuffle(bucketed):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_bucketed_fact_build_zero_shuffle(bucketed):
+    """The flagship fact build over bucketed lineitem/orders: the
+    big-big join must plan with ZERO shuffle exchanges (dims still
+    broadcast; broadcast exchanges are fine and expected)."""
+    from ecomm_datapipeline_spark.plans.catalog import (
+        fact_enrichment,
+        fact_enrichment_bucketed,
+    )
+
+    spark = bucketed
+    df = fact_enrichment_bucketed(
+        spark, "/root/testdata/sf0.001", "lineitem_b", "orders_b"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:3000]
+    assert "Exchange rangepartitioning" not in plan, plan[:3000]
+    # same row count as the plain-parquet flagship (shared plan body)
+    assert df.count() == fact_enrichment(spark, "/root/testdata/sf0.001").count()

@@ -28,7 +28,11 @@ def test_curation_pipeline_stages(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     curated, stats = curate_documents(
-        docs, near_dup_threshold=0.5, min_quality=30, keep_langs=("en",)
+        docs,
+        near_dup_threshold=0.5,
+        min_quality=30,
+        keep_langs=("en",),
+        collect_stats=True,
     )
     kept = sorted(r["doc_id"] for r in curated.collect())
     assert stats.input_docs == 7
@@ -50,6 +54,46 @@ def test_curation_no_stats_single_pass(spark):
     curated, stats = curate_documents(docs, collect_stats=False)
     assert stats is None
     assert curated.count() == 20
+
+
+def test_connected_components_chain(spark):
+    """A~B~C with no (A,C) pair must collapse to ONE representative
+    (exact union-find semantics), and disjoint pairs stay separate."""
+    from ecomm_datapipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23), (23, 24)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["rep"] for r in connected_components(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }
+
+
+def test_curation_transitive_chain_keeps_one(spark):
+    """Three docs forming a near-dup chain d1~d2~d3 (d1 vs d3 below
+    threshold) must collapse to exactly one survivor."""
+    base = [f"w{i}" for i in range(40)]
+    v2 = list(base)
+    v2[0], v2[1], v2[2] = "x0", "x1", "x2"          # d2: near d1
+    v3 = list(v2)
+    v3[37], v3[38], v3[39] = "y0", "y1", "y2"       # d3: near d2, farther from d1
+    rows = [
+        (1, " ".join(base), "en"),
+        (2, " ".join(v2), "en"),
+        (3, " ".join(v3), "en"),
+        (9, " ".join(f"z{i}" for i in range(40)), "en"),  # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    curated, _ = curate_documents(
+        docs, near_dup_threshold=0.5, min_quality=0, keep_langs=None
+    )
+    kept = sorted(r["doc_id"] for r in curated.collect())
+    assert 9 in kept
+    assert sum(1 for k in kept if k in (1, 2, 3)) == 1, kept
 
 
 def test_streaming_dedup_documents(spark, tmp_path):

@@ -43,7 +43,7 @@ SELECT
   o.shipping_address.country AS country,
   CASE WHEN o.shipping_address.state IN ('CA','OR','WA') THEN 'West'
        WHEN o.shipping_address.state IN ('NY','NJ','PA') THEN 'East'
-       WHEN o.shipping_address.state IN ('TX','AZ','NM') THEN 'Southwest'
+       WHEN o.shipping_address.state IN ('TX','AZ','NM') THEN 'South'
        ELSE 'Other' END AS region
 FROM o
 LEFT JOIN LATERAL (SELECT unnest(o.items) AS item) AS u ON TRUE

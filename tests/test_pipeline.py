@@ -74,7 +74,7 @@ def test_fact_build_semantics(spark, env):
 
     # region CASE branches
     regions = {r["state"]: r["region"] for r in fact.select("state", "region").distinct().collect()}
-    for state, want in [("CA", "West"), ("NY", "East"), ("TX", "Southwest"), ("IL", "Other")]:
+    for state, want in [("CA", "West"), ("NY", "East"), ("TX", "South"), ("IL", "Other")]:
         if state in regions:
             assert regions[state] == want
     # null address -> region Other (CASE else)

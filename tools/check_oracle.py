@@ -3,7 +3,17 @@ __spark_entry__.queries() entry on Spark AND its oracle_sql() on DuckDB
 over the same parquet tables, compare row count + column names +
 order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Two hardening rules learned in round 1 (VERDICT.md "What's wrong" #1/#4):
+
+* The Spark session here is a VANILLA one (no repo confs) — the
+  driver's gate builds its own SparkSession, so every query must work
+  on a session we didn't configure. Pass --repo-session to use the
+  repo factory instead.
+* The value hash uses full-precision CSV (no float_format): a float64
+  `0.0` vs an int64 `0` must FAIL here exactly as it fails at the
+  gate. The replica must never be more forgiving than the gate.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...] [--repo-session]
 """
 
 from __future__ import annotations
@@ -35,19 +45,39 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def value_hash(df: pd.DataFrame) -> str:
-    body = df.to_csv(index=False, float_format="%.10g").encode()
+    # No float_format: default full repr distinguishes 0.0 from 0, so a
+    # dtype drift (DuckDB HUGEINT -> pandas float64) fails loudly.
+    body = df.to_csv(index=False).encode()
     return hashlib.sha256(body).hexdigest()[:16]
 
 
+def vanilla_spark():
+    """A session shaped like the driver gate's: no repo-specific confs."""
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[8]")
+        .appName("check-oracle-vanilla")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--repo-session"]
+    use_repo_session = "--repo-session" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entry
 
-    from ecomm_datapipeline_spark.session import get_spark
+    if use_repo_session:
+        from ecomm_datapipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="check-oracle")
+        spark = get_spark(app_name="check-oracle")
+    else:
+        spark = vanilla_spark()
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -90,6 +120,13 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             if "value-hash mismatch" in problems and len(a) == len(b):
+                dt = [
+                    f"{c}: spark={a[c].dtype} duck={b[c].dtype}"
+                    for c in a.columns
+                    if str(a[c].dtype) != str(b[c].dtype)
+                ]
+                if dt:
+                    print("  dtype drift: " + "; ".join(dt))
                 neq = (a.fillna("~N~") != b.fillna("~N~")).any(axis=1)
                 print("  first diffs (spark vs duck):")
                 print(pd.concat([a[neq].head(3), b[neq].head(3)]).to_string())
