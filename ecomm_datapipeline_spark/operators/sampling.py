@@ -1,0 +1,78 @@
+"""Deterministic, engine-portable sampling and dataset splitting for
+training-data pipelines.
+
+`df.sample()` / `randomSplit()` are non-deterministic across runs,
+partitionings, and engines — a training pipeline needs the SAME row to
+land in the SAME split on every re-run, on every engine, forever (else
+test data leaks into training on the next backfill). The standard
+answer is content hashing: bucket = md5(id) taken as an integer, split
+by bucket range. md5 (unlike Spark's xxhash64/hash) has identical
+output in every engine — the splits here are reproducible in DuckDB,
+BigQuery, or plain Python, and are oracle-checked in the gate.
+
+All pure column expressions: a hash, a substring, a modulo — scan
+speed at any scale, no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 8 hex digits = 32 bits: plenty of resolution for per-million split
+# fractions, and small enough to stay exact in a BIGINT everywhere.
+_BUCKETS = 1_000_000
+
+
+def hash_bucket(id_col: Column | str, n_buckets: int = _BUCKETS) -> Column:
+    """Deterministic bucket in [0, n_buckets) from the row id:
+    first 8 hex digits of md5(id) as an integer, mod n_buckets.
+    Engine-portable: DuckDB `CAST('0x'||substr(md5(..),1,8) AS BIGINT)`
+    produces bit-identical buckets."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_buckets
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, float] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split by hash-bucket range.
+
+    `splits` maps name -> fraction (must sum to 1.0); ranges are laid
+    out in insertion order, so {"train": .8, "val": .1, "test": .1}
+    gives buckets [0, .8) / [.8, .9) / [.9, 1.0). Adding rows later
+    never moves an existing row between splits (assignment depends
+    only on the row's own id)."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1.0, got {total}")
+    bucket = hash_bucket(id_col)
+    expr: Column | None = None
+    edge = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        edge += splits[name]
+        cond = bucket < int(round(edge * _BUCKETS))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float
+) -> DataFrame:
+    """Keep a stable `fraction` of rows, chosen by id hash — the same
+    rows survive on every run/engine/partitioning (unlike
+    `df.sample`). Exact per-row filter, no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1]: {fraction}")
+    return df.filter(hash_bucket(id_col) < int(round(fraction * _BUCKETS)))

@@ -1581,6 +1581,177 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_features(assets, fake_decode=True)
 
 
+# ---------------------------------------------------------------------------
+# Join shapes Spark lacks natively (operators/joins.py): as-of join,
+# banded range join, time-grid gap-fill. "Beyond the reference"
+# training-pipeline operators — each oracle-checked against the plain
+# SQL formulation DuckDB can run.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_view_attribution",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase'),
+         v AS (SELECT event_id, user_id, ts FROM events WHERE event_type='view')
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+           v.event_id AS view_id, v.ts AS view_ts,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs_since_view
+    FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY p.event_id
+      ORDER BY v.ts DESC NULLS LAST, v.event_id DESC) = 1
+    """,
+    "ext: as-of join (attribution: purchase -> most recent prior view)",
+)
+def asof_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic attribution as-of join: every purchase matched to the
+    same user's most recent STRICTLY-earlier view. The oracle is the
+    join-then-rank SQL (fine at sf0.01); the Spark plan is the
+    union+window formulation (operators/joins.asof_join) — one keyed
+    shuffle per side, no (purchase x earlier-view) pair blow-up, which
+    is what survives hot users at 100 TB."""
+    from ..operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("view_ts")
+    )
+    out = asof_join(
+        p,
+        v,
+        on="user_id",
+        left_ts="purchase_ts",
+        right_ts="view_ts",
+        right_cols=["view_id"],
+        strict=True,
+        tiebreak="view_id",
+        suffix="",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        F.col("view_id").alias("view_id"),
+        F.col("view_ts").alias("view_ts"),
+        (
+            F.col("purchase_ts").cast("long") - F.col("view_ts").cast("long")
+        ).alias("secs_since_view"),
+    )
+
+
+@register(
+    "price_band_revenue",
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES ('budget', 0.0, 2000.0), ('mid', 2000.0, 10000.0),
+             ('high', 10000.0, 40000.0), ('premium', 40000.0, 200000.0)
+    )
+    SELECT b.band AS band, COUNT(*) AS n_lines,
+      CAST(SUM(CAST(FLOOR(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+        AS gross_revenue
+    FROM lineitem l JOIN bands b
+      ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+    GROUP BY 1
+    """,
+    "ext: banded range join (interval containment as bucket equijoin)",
+)
+def price_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: each lineitem priced into its [lo, hi) band. The
+    oracle is the inequality join DuckDB runs natively; the Spark plan
+    is the bucket-quantized equijoin (operators/joins.
+    banded_range_join) — never the O(rows x bands) nested loop."""
+    from ..operators.joins import banded_range_join
+
+    l = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 2000.0),
+            ("mid", 2000.0, 10000.0),
+            ("high", 10000.0, 40000.0),
+            ("premium", 40000.0, 200000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    joined = banded_range_join(
+        l, bands, "l_extendedprice", bucket_width=2000.0
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        dollars(F.sum(cents(F.col("l_extendedprice")))).alias("gross_revenue"),
+    )
+
+
+@register(
+    "events_hourly_gapfill",
+    """
+    WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi FROM events),
+    hours AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_bucket FROM b),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+                   COUNT(*) AS n_events FROM events GROUP BY 1, 2)
+    SELECT h.hour_bucket AS hour_bucket, t.event_type AS event_type,
+           COALESCE(a.n_events, 0) AS n_events
+    FROM hours h CROSS JOIN types t
+    LEFT JOIN agg a ON a.hour_bucket = h.hour_bucket AND a.event_type = t.event_type
+    """,
+    "ext: dense time-grid rollup (gap-fill / date-spine)",
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts per type with every missing (hour, type)
+    cell zero-filled — the hypertable-rollup shape. One lazy plan:
+    sequence() spine x distinct types, left join onto the sparse
+    rollup (operators/joins.time_gapfill)."""
+    from ..operators.joins import time_gapfill
+
+    e = _t(spark, sf_dir, "events")
+    out = time_gapfill(
+        e,
+        ts_col="ts",
+        grain="hour",
+        group_cols=["event_type"],
+        metrics=[F.count(F.lit(1)).alias("n_events")],
+    )
+    return out.select("hour_bucket", "event_type", "n_events")
+
+
+@register(
+    "train_split_assign",
+    """
+    SELECT doc_id,
+      CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 1000000 AS BIGINT) AS bucket,
+      CASE
+        WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 1000000 < 800000 THEN 'train'
+        WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 1000000 < 900000 THEN 'val'
+        ELSE 'test'
+      END AS split
+    FROM documents
+    """,
+    "ext: deterministic content-hash train/val/test split",
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable dataset split: md5(id)-bucket assignment
+    (operators/sampling.split_assign) — the same doc lands in the same
+    split on every run and every engine, so a backfill can never leak
+    test docs into training. Pure column expressions, scan-speed."""
+    from ..operators.sampling import hash_bucket, split_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    out = split_assign(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select(
+        "doc_id",
+        hash_bucket("doc_id").cast("bigint").alias("bucket"),
+        "split",
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

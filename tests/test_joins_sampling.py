@@ -1,0 +1,247 @@
+"""Unit tests for operators/joins.py (as-of join, banded range join,
+time gap-fill) and operators/sampling.py (deterministic splits)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.joins import (
+    asof_join,
+    banded_range_join,
+    time_gapfill,
+)
+from ecomm_datapipeline_spark.operators.sampling import (
+    deterministic_sample,
+    hash_bucket,
+    split_assign,
+)
+
+
+def _ts(h, m=0, s=0):
+    return dt.datetime(2024, 1, 1, h, m, s)
+
+
+@pytest.fixture()
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts(9, 0), 100.0),
+            (1, _ts(10, 0), 110.0),
+            (1, _ts(11, 0), 120.0),
+            (2, _ts(9, 30), 50.0),
+        ],
+        "key int, ts timestamp, px double",
+    )
+
+
+@pytest.fixture()
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ts(9, 30)),   # between quotes -> 9:00
+            (1, _ts(10, 0)),   # exactly at a quote -> strictness matters
+            (1, _ts(8, 0)),    # before any quote -> null
+            (2, _ts(12, 0)),   # -> 9:30
+            (3, _ts(12, 0)),   # key never quoted -> null
+        ],
+        "key int, ts timestamp",
+    )
+
+
+def _matches(df):
+    return {
+        (r["key"], r["ts"]): r["px_matched"]
+        for r in df.collect()
+    }
+
+
+def test_asof_backward_strict(quotes, trades):
+    got = _matches(
+        asof_join(trades, quotes, on="key", right_cols=["px"], strict=True)
+    )
+    assert got[(1, _ts(9, 30))] == 100.0
+    assert got[(1, _ts(10, 0))] == 100.0   # strict: equal ts excluded
+    assert got[(1, _ts(8, 0))] is None
+    assert got[(2, _ts(12, 0))] == 50.0
+    assert got[(3, _ts(12, 0))] is None
+
+
+def test_asof_backward_allow_exact(quotes, trades):
+    got = _matches(
+        asof_join(trades, quotes, on="key", right_cols=["px"], strict=False)
+    )
+    assert got[(1, _ts(10, 0))] == 110.0   # exact match allowed
+
+
+def test_asof_forward(quotes, trades):
+    got = _matches(
+        asof_join(
+            trades, quotes, on="key", right_cols=["px"],
+            strict=True, direction="forward",
+        )
+    )
+    assert got[(1, _ts(9, 30))] == 110.0   # next later quote
+    assert got[(1, _ts(8, 0))] == 100.0
+    assert got[(1, _ts(10, 0))] == 120.0   # strict: equal ts excluded
+    assert got[(2, _ts(12, 0))] is None    # nothing later
+
+
+def test_asof_tolerance(quotes, trades):
+    got = _matches(
+        asof_join(
+            trades, quotes, on="key", right_cols=["px"],
+            strict=True, tolerance_secs=1800,
+        )
+    )
+    assert got[(1, _ts(9, 30))] == 100.0   # 30 min gap: inside
+    assert got[(2, _ts(12, 0))] is None    # 150 min gap: nulled out
+
+
+def test_asof_tiebreak_deterministic(spark):
+    """Two right rows with the SAME ts: the tiebreak column picks the
+    max, on every run."""
+    left = spark.createDataFrame([(1, _ts(10))], "key int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(9), 7, 1.0), (1, _ts(9), 9, 2.0), (1, _ts(9), 8, 3.0)],
+        "key int, ts timestamp, rid int, v double",
+    )
+    for _ in range(3):
+        rows = asof_join(
+            left, right, on="key", right_cols=["rid", "v"], tiebreak="rid"
+        ).collect()
+        assert rows[0]["rid_matched"] == 9 and rows[0]["v_matched"] == 2.0
+
+
+def test_banded_range_join_inner_and_left(spark):
+    facts = spark.createDataFrame(
+        [(1, 5.0), (2, 1500.0), (3, 2500.0), (4, -10.0)],
+        "id int, v double",
+    )
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 1000.0), ("hi", 1000.0, 2000.0)],
+        "band string, lo double, hi double",
+    )
+    inner = banded_range_join(facts, bands, "v", bucket_width=500.0)
+    got = {r["id"]: r["band"] for r in inner.collect()}
+    assert got == {1: "lo", 2: "hi"}  # 2500 and -10 fall outside
+
+    left = banded_range_join(facts, bands, "v", bucket_width=500.0, how="left")
+    got = {r["id"]: r["band"] for r in left.collect()}
+    assert got == {1: "lo", 2: "hi", 3: None, 4: None}
+
+
+def test_banded_range_join_boundary(spark):
+    """Half-open [lo, hi): values exactly at lo belong to the band,
+    exactly at hi do not."""
+    facts = spark.createDataFrame([(1, 0.0), (2, 1000.0)], "id int, v double")
+    bands = spark.createDataFrame(
+        [("a", 0.0, 1000.0), ("b", 1000.0, 2000.0)],
+        "band string, lo double, hi double",
+    )
+    got = {
+        r["id"]: r["band"]
+        for r in banded_range_join(facts, bands, "v", bucket_width=300.0).collect()
+    }
+    assert got == {1: "a", 2: "b"}
+
+
+def test_time_gapfill_dense_grid(spark):
+    df = spark.createDataFrame(
+        [
+            (_ts(9, 5), "a"),
+            (_ts(9, 40), "a"),
+            (_ts(12, 10), "a"),   # 10:00 and 11:00 are gaps
+            (_ts(9, 15), "b"),
+        ],
+        "ts timestamp, g string",
+    )
+    out = time_gapfill(df, "ts", grain="hour", group_cols=["g"])
+    cells = {(r["hour_bucket"], r["g"]): r["n"] for r in out.collect()}
+    # 4 hours x 2 groups = 8 cells, all present
+    assert len(cells) == 8
+    assert cells[(_ts(9), "a")] == 2
+    assert cells[(_ts(10), "a")] == 0
+    assert cells[(_ts(11), "a")] == 0
+    assert cells[(_ts(12), "a")] == 1
+    assert cells[(_ts(12), "b")] == 0
+
+
+def test_time_gapfill_no_groups(spark):
+    df = spark.createDataFrame(
+        [(_ts(9, 5),), (_ts(11, 10),)], "ts timestamp"
+    )
+    out = time_gapfill(df, "ts", grain="hour")
+    cells = {r["hour_bucket"]: r["n"] for r in out.collect()}
+    assert cells == {_ts(9): 1, _ts(10): 0, _ts(11): 1}
+
+
+def test_split_assign_fractions_and_stability(spark):
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id")
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] / 2000 == pytest.approx(0.8, abs=0.05)
+    assert counts["val"] / 2000 == pytest.approx(0.1, abs=0.03)
+    # stability: same assignment on a re-run and under repartitioning
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(df.repartition(7), "doc_id").collect()
+    }
+    first = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert first == again
+
+
+def test_split_assign_superset_invariance(spark):
+    """Adding rows never moves an existing row between splits."""
+    small = split_assign(
+        spark.range(0, 100).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    big = split_assign(
+        spark.range(0, 1000).withColumnRenamed("id", "doc_id"), "doc_id"
+    )
+    s = {r["doc_id"]: r["split"] for r in small.collect()}
+    b = {r["doc_id"]: r["split"] for r in big.collect()}
+    assert all(b[k] == v for k, v in s.items())
+
+
+def test_split_assign_validates_fractions(spark):
+    df = spark.range(1).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        split_assign(df, "doc_id", {"train": 0.5, "test": 0.2})
+
+
+def test_deterministic_sample(spark):
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    s1 = sorted(r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.2).collect())
+    s2 = sorted(r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.2).collect())
+    assert s1 == s2
+    assert len(s1) / 5000 == pytest.approx(0.2, abs=0.03)
+    # monotone: a bigger fraction keeps a superset
+    s3 = set(r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.5).collect())
+    assert set(s1) <= s3
+
+
+def test_hash_bucket_matches_duckdb(spark):
+    """Cross-engine portability: the Spark bucket equals DuckDB's
+    md5-hex formulation for the same ids."""
+    import duckdb
+
+    ids = list(range(50))
+    got = {
+        r["doc_id"]: r["b"]
+        for r in spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        .select("doc_id", hash_bucket("doc_id").alias("b"))
+        .collect()
+    }
+    duck = dict(
+        duckdb.connect()
+        .execute(
+            """
+            SELECT i, CAST(('0x' || substr(md5(CAST(i AS VARCHAR)),1,8)) AS BIGINT) % 1000000
+            FROM range(50) t(i)
+            """
+        )
+        .fetchall()
+    )
+    assert got == duck
