@@ -1571,7 +1571,18 @@ def multimodal_asset_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_image_features",
-    None,  # mapInPandas decode stub; driver records rows-only
+    # The fake decode derives (width, height, mean_luma) from sha256 of
+    # the payload bytes — exactly replicable in SQL, so the Arrow
+    # mapInPandas plumbing is hash-checked end-to-end, not rows-only.
+    """
+    SELECT doc_id AS asset_id,
+      octet_length(encode(text)) AS n_bytes,
+      substr(sha256(text), 1, 16) AS sha16,
+      CAST(64 + CAST(('0x' || substr(sha256(text),1,2)) AS BIGINT) % 192 AS INT) AS width,
+      CAST(64 + CAST(('0x' || substr(sha256(text),3,2)) AS BIGINT) % 192 AS INT) AS height,
+      CAST(('0x' || substr(sha256(text),5,2)) AS BIGINT) / 255.0 AS mean_luma
+    FROM documents
+    """,
     "ext: multimodal decode/feature-extract (Arrow mapInPandas)",
 )
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1579,6 +1590,31 @@ def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = assets_from_documents(_t(spark, sf_dir, "documents"))
     return extract_image_features(assets, fake_decode=True)
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS asset_id,
+      unnest(generate_series(0,
+        GREATEST(CAST(FLOOR(octet_length(encode(text)) / 128.0) AS INT), 1) - 1)
+      ) AS frame_no,
+      CAST(unnest(generate_series(0,
+        GREATEST(CAST(FLOOR(octet_length(encode(text)) / 128.0) AS INT), 1) - 1)
+      ) * 128 AS BIGINT) AS byte_offset
+    FROM documents
+    """,
+    "ext: multimodal frame-sample expansion (lateral sequence explode)",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: each asset expands into its
+    (frame_no, byte_offset) rows via a shuffle-free posexplode of a
+    per-row sequence — the lateral shape a real frame sampler feeds
+    into a downstream mapInPandas decoder."""
+    from ..operators.multimodal import assets_from_documents, frame_sample_plan
+
+    assets = assets_from_documents(_t(spark, sf_dir, "documents"))
+    return frame_sample_plan(assets, every_n_bytes=128)
 
 
 # ---------------------------------------------------------------------------

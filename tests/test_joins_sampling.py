@@ -4,6 +4,8 @@ time gap-fill) and operators/sampling.py (deterministic splits)."""
 import datetime as dt
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from ecomm_datapipeline_spark.operators.joins import (
@@ -220,6 +222,57 @@ def test_deterministic_sample(spark):
     # monotone: a bigger fraction keeps a superset
     s3 = set(r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.5).collect())
     assert set(s1) <= s3
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)), min_size=0, max_size=15
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 60)), min_size=0, max_size=15
+    ),
+    strict=st.booleans(),
+)
+def test_asof_property_vs_bruteforce(spark, left, right, strict):
+    """asof_join(backward) equals the brute-force definition — for
+    every left row, the right row with max ts (< or <=) and max rid on
+    ties — over randomized keys/timestamps including duplicates."""
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    rrows = [
+        (i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(
+        lrows or [(None, None, None)], "lid int, key int, ts timestamp"
+    )
+    if not lrows:
+        ldf = ldf.filter("lid is not null")
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None)], "rid int, key int, ts timestamp"
+    )
+    if not rrows:
+        rdf = rdf.filter("rid is not null")
+
+    got = {
+        r["lid"]: r["rid_matched"]
+        for r in asof_join(
+            ldf, rdf, on="key", right_cols=["rid"], strict=strict, tiebreak="rid"
+        ).collect()
+    }
+
+    def brute(lid, k, ts):
+        cand = [
+            (rts, rid)
+            for rid, rk, rts in rrows
+            if rk == k and (rts < ts if strict else rts <= ts)
+        ]
+        return max(cand)[1] if cand else None
+
+    want = {lid: brute(lid, k, ts) for lid, k, ts in lrows}
+    assert got == want
 
 
 def test_hash_bucket_matches_duckdb(spark):
