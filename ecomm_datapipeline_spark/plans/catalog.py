@@ -1341,6 +1341,61 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_components",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.id
+    )
+    SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+    """,
+    "ext: connected components over the near-dup graph (iterative, oracle-checked vs recursive CTE)",
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: n-gram-Jaccard near-dup pairs collapsed into
+    connected components by distributed min-label propagation
+    (operators/dedup.connected_components — the union-find the curation
+    pipeline uses). The oracle computes the same fixpoint with a
+    recursive CTE: a genuinely iterative distributed algorithm, still
+    hash-checked. Per round: one shuffle over the PAIR graph (tiny
+    relative to the corpus); rounds = component diameter."""
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.4, max_shingle_freq=None
+    ).select("id_a", "id_b")
+    return connected_components(pairs).select(
+        F.col("id").alias("id"), F.col("rep").alias("rep")
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     None,  # xxhash64 seeds are Spark-specific; driver records rows-only
     "ext: MinHash+LSH near-dup candidates",
