@@ -1,0 +1,74 @@
+"""Stream-stream temporal joins (Structured Streaming).
+
+The batch catalog's attribution as-of join (plans/catalog.
+asof_view_attribution) has a streaming counterpart here: two live
+event streams joined on user within a look-back window. Spark's
+stream-stream join needs BOTH a watermark on each side and a time-range
+predicate — together they bound the join state: a buffered view can be
+dropped once the watermark passes (purchase_ts upper bound +
+look-back), so state is O(events inside the window), not O(stream).
+
+Semantics differ from the batch as-of by design: the interval join
+emits EVERY view inside the look-back (fan-out), not just the most
+recent — streaming "most recent prior" would need per-key ordered
+state (see streaming/sessionize.py for the applyInPandasWithState
+pattern); the standard streaming attribution shape is
+interval-join-then-downstream-aggregate, which is what this module
+provides (`attributed_purchases` collapses to last-touch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def view_purchase_interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    lookback_secs: int = 3600,
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each streaming purchase to the same user's views within
+    the preceding `lookback_secs` (strictly earlier).
+
+    `views` must carry (v_user_id, view_id, view_ts); `purchases`
+    (p_user_id, purchase_id, purchase_ts) — pre-renamed by the caller
+    so the join output is unambiguous. Both sides are watermarked;
+    with the range predicate this makes the buffered state provably
+    bounded and lets Spark emit/expire deterministically. `how` may be
+    "leftOuter" to keep never-attributed purchases (emitted only once
+    the watermark proves no match can still arrive)."""
+    v = views.withWatermark("view_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    cond = F.expr(
+        "p_user_id = v_user_id"
+        " AND view_ts < purchase_ts"
+        f" AND view_ts >= purchase_ts - INTERVAL {int(lookback_secs)} SECONDS"
+    )
+    return p.join(v, cond, how)
+
+
+def attributed_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    lookback_secs: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Last-touch attribution over the interval join: one row per
+    purchase with the latest qualifying view (max view_ts, max view_id
+    on ties). The aggregate keys on the purchase identity, so state for
+    a purchase expires with the watermark like any windowed agg."""
+    j = view_purchase_interval_join(
+        views, purchases, lookback_secs, watermark, how="inner"
+    )
+    return j.groupBy("purchase_id", "p_user_id", "purchase_ts").agg(
+        F.max(F.struct("view_ts", "view_id")).alias("_last"),
+    ).select(
+        "purchase_id",
+        F.col("p_user_id").alias("user_id"),
+        "purchase_ts",
+        F.col("_last.view_id").alias("view_id"),
+        F.col("_last.view_ts").alias("view_ts"),
+    )

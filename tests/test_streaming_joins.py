@@ -1,0 +1,182 @@
+"""Stream-stream interval join (streaming/joins.py): results must
+match the identical join computed in batch, late data beyond the
+watermark must be dropped, and state must stay bounded (watermark +
+range predicate accepted by the engine — an unbounded stream-stream
+join would be rejected/grow forever)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.streaming.joins import (
+    attributed_purchases,
+    view_purchase_interval_join,
+)
+
+
+def _ts(m, s=0):
+    return dt.datetime(2024, 1, 1, 10, m, s)
+
+
+VIEWS = [
+    (1, 100, _ts(0)),
+    (1, 101, _ts(5)),
+    (1, 102, _ts(5)),    # same ts as 101: tie on view_ts
+    (2, 200, _ts(10)),
+    (3, 300, _ts(0)),    # user never purchases
+]
+PURCHASES = [
+    (1, 900, _ts(6)),    # views 100,101,102 in 1h window
+    (2, 901, _ts(10)),   # view 200 at SAME ts -> strictly-earlier excludes
+    (2, 902, _ts(30)),   # view 200 20 min earlier -> matches
+    (4, 903, _ts(7)),    # user with no views
+]
+
+
+def _write_sources(spark, tmp_path):
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    spark.createDataFrame(
+        VIEWS, "v_user_id long, view_id long, view_ts timestamp"
+    ).coalesce(1).write.parquet(vdir)
+    spark.createDataFrame(
+        PURCHASES, "p_user_id long, purchase_id long, purchase_ts timestamp"
+    ).coalesce(1).write.parquet(pdir)
+    v = spark.readStream.schema(
+        "v_user_id long, view_id long, view_ts timestamp"
+    ).parquet(vdir)
+    p = spark.readStream.schema(
+        "p_user_id long, purchase_id long, purchase_ts timestamp"
+    ).parquet(pdir)
+    return v, p
+
+
+def test_interval_join_matches_batch_twin(spark, tmp_path):
+    v, p = _write_sources(spark, tmp_path)
+    out = view_purchase_interval_join(v, p, lookback_secs=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.sql("select * from ssj").collect()
+    }
+
+    bv = spark.createDataFrame(VIEWS, "v_user_id long, view_id long, view_ts timestamp")
+    bp = spark.createDataFrame(
+        PURCHASES, "p_user_id long, purchase_id long, purchase_ts timestamp"
+    )
+    want = {
+        (r["purchase_id"], r["view_id"])
+        for r in bp.join(
+            bv,
+            F.expr(
+                "p_user_id = v_user_id AND view_ts < purchase_ts "
+                "AND view_ts >= purchase_ts - INTERVAL 3600 SECONDS"
+            ),
+        ).collect()
+    }
+    assert got == want
+    # spot semantics: strict inequality, window fan-out, no cross-user
+    assert (900, 100) in got and (900, 101) in got and (900, 102) in got
+    assert (901, 200) not in got            # same-ts view excluded
+    assert (902, 200) in got
+    assert not any(p_id == 903 for p_id, _ in got)
+
+
+def test_attributed_purchases_last_touch_semantics(spark):
+    """Last-touch semantics of the composed plan, checked on batch
+    frames (withWatermark is a no-op in batch, the logical plan is
+    identical): max view_ts wins, ties broken by max view_id."""
+    bv = spark.createDataFrame(VIEWS, "v_user_id long, view_id long, view_ts timestamp")
+    bp = spark.createDataFrame(
+        PURCHASES, "p_user_id long, purchase_id long, purchase_ts timestamp"
+    )
+    got = {
+        r["purchase_id"]: (r["view_id"], r["view_ts"])
+        for r in attributed_purchases(bv, bp, lookback_secs=3600).collect()
+    }
+    assert got[900] == (102, _ts(5))   # tie on view_ts -> max view_id
+    assert got[902] == (200, _ts(10))
+    assert 901 not in got and 903 not in got
+
+
+def test_attributed_purchases_streaming_emits_after_watermark(spark, tmp_path):
+    """End-to-end streaming run: append-mode agg over the interval
+    join emits a purchase's final row once the watermark (advanced by
+    a later micro-batch on BOTH streams) passes it."""
+    import time
+
+    vdir, pdir = str(tmp_path / "views"), str(tmp_path / "purch")
+    spark.createDataFrame(
+        VIEWS, "v_user_id long, view_id long, view_ts timestamp"
+    ).coalesce(1).write.parquet(vdir)
+    spark.createDataFrame(
+        PURCHASES, "p_user_id long, purchase_id long, purchase_ts timestamp"
+    ).coalesce(1).write.parquet(pdir)
+    time.sleep(1.1)  # distinct mtimes: flush files must form a LATER batch
+    flush = dt.datetime(2024, 1, 2, 10, 0)  # +1 day >> 2h watermark
+    spark.createDataFrame(
+        [(99, 9999, flush)], "v_user_id long, view_id long, view_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(vdir)
+    spark.createDataFrame(
+        [(99, 9998, flush)], "p_user_id long, purchase_id long, purchase_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(pdir)
+
+    v = spark.readStream.schema(
+        "v_user_id long, view_id long, view_ts timestamp"
+    ).option("maxFilesPerTrigger", "1").parquet(vdir)
+    p = spark.readStream.schema(
+        "p_user_id long, purchase_id long, purchase_ts timestamp"
+    ).option("maxFilesPerTrigger", "1").parquet(pdir)
+    out = attributed_purchases(v, p, lookback_secs=3600)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attr_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["purchase_id"]: (r["view_id"], r["view_ts"])
+        for r in spark.sql("select * from attr_stream").collect()
+    }
+    assert got.get(900) == (102, _ts(5))
+    assert got.get(902) == (200, _ts(10))
+    assert 901 not in got and 903 not in got
+
+
+def test_interval_join_requires_bounded_state(spark, tmp_path):
+    """Without watermarks + range condition Spark rejects the
+    stream-stream join at analysis/start — the guard that keeps an
+    unbounded-state plan from ever reaching production."""
+    vdir, pdir = str(tmp_path / "v2"), str(tmp_path / "p2")
+    spark.createDataFrame(
+        VIEWS, "v_user_id long, view_id long, view_ts timestamp"
+    ).write.parquet(vdir)
+    spark.createDataFrame(
+        PURCHASES, "p_user_id long, purchase_id long, purchase_ts timestamp"
+    ).write.parquet(pdir)
+    v = spark.readStream.schema(
+        "v_user_id long, view_id long, view_ts timestamp"
+    ).parquet(vdir)
+    p = spark.readStream.schema(
+        "p_user_id long, purchase_id long, purchase_ts timestamp"
+    ).parquet(pdir)
+    bad = p.join(v, F.expr("p_user_id = v_user_id"), "leftOuter")
+    with pytest.raises(Exception, match="[Ww]atermark"):
+        q = (
+            bad.writeStream.format("memory")
+            .queryName("bad_ssj")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .start()
+        )
+        q.awaitTermination(60)
