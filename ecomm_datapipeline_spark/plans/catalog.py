@@ -1843,6 +1843,161 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Classic OLAP trio (TPC-H Q3/Q5/Q10 shapes over the same star):
+# multi-way joins + grouped integer-cents revenue, no forced hints —
+# AQE picks broadcast while dims fit, sort-merge when they don't.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    """
+    SELECT l.l_orderkey AS order_key,
+      CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+      o.o_orderdate AS order_date
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    """,
+    "ext: TPC-H Q3 shape (3-way join + grouped revenue)",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("o_orderdate").alias("order_date"),
+        )
+        .agg(
+            dollars(
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue")
+        )
+        .select("order_key", "revenue", "order_date")
+    )
+
+
+@register(
+    "local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+      CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY 1
+    """,
+    "ext: TPC-H Q5 shape (5-way join, same-nation predicate)",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            s,
+            (l["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dollars(
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "returned_items_by_customer",
+    """
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+      CAST(SUM(CAST(FLOOR(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS lost_revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01'
+    GROUP BY 1, 2, 3
+    """,
+    "ext: TPC-H Q10 shape (returned-item revenue per customer)",
+)
+def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            dollars(
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("lost_revenue")
+        )
+    )
+
+
+@register(
+    "approx_distinct_users",
+    # HLL estimates are implementation-defined — rows-only by contract;
+    # error bounds + merge-vs-direct parity are pytest-checked
+    # (tests/test_sketches.py).
+    None,
+    "ext: mergeable HLL sketch rollup (pre-aggregated distincts)",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the sketch-rollup path: HLL
+    per (event_type, day) — the layer a warehouse would materialize —
+    then sketches UNIONED up to event_type without rescanning raw
+    events (operators/sketches.py)."""
+    from ..operators.sketches import distinct_sketch_rollup, merge_distinct_sketches
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    rollup = distinct_sketch_rollup(e, "user_id", ["event_type", "day"])
+    return merge_distinct_sketches(rollup, ["event_type"]).select(
+        "event_type", F.col("approx_distinct").cast("bigint").alias("approx_users")
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

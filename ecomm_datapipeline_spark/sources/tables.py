@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
@@ -158,6 +159,63 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.mode(mode).format("parquet").saveAsTable(table_name)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 128,
+    sort_cols: list[str] | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet table into right-sized files (the small-files
+    compaction every long-running ingest needs: a 15-minute incremental
+    appender produces 96 files/day/partition; scans then pay per-file
+    open + scheduling overhead, and the NameNode/listing pays per
+    object).
+
+    File count = ceil(on-disk bytes / target_file_mb). With
+    `sort_cols`, rows are range-partitioned and sorted within files so
+    each file covers a narrow key range — parquet min/max statistics
+    then let later scans skip whole files (poor man's clustering;
+    bucketing covers the join-locality case, this covers range scans).
+
+    Returns the number of files written. The rewrite stages to a
+    sibling temp dir and atomically renames, so a concurrent reader
+    never sees a half-compacted table.
+    """
+    import math
+    import shutil
+    import uuid
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        df = df.sortWithinPartitions(*sort_cols)
+    else:
+        df = df.coalesce(n_files)
+    tmp = f"{path.rstrip('/')}__compact_{uuid.uuid4().hex[:8]}"
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode("overwrite").parquet(tmp)
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1
+        for _, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -44,6 +44,16 @@ def test_audit_message_float_formatting(spark):
     assert got["ORD-2"] == "Calculated total: 100.0, Recorded total: 100.25"
 
 
+def test_bench_headline_queries_are_registered():
+    """Every bench HEADLINE query must exist in the catalog registry —
+    the bench can never time a query the correctness gate doesn't
+    check (CORRECTNESS-then-BENCH invariant; see tools/preflight.sh)."""
+    import bench
+
+    missing = [q for q in bench.HEADLINE if q not in catalog.names()]
+    assert not missing, f"bench references unregistered queries: {missing}"
+
+
 def test_audit_rows_schema(spark):
     v = spark.createDataFrame(
         [("ORD-1", 1.0, 2.0)],

@@ -1,0 +1,89 @@
+"""Sketch operators (operators/sketches.py): estimates bounded vs
+exact, and — the property that matters at scale — sketch MERGE gives
+the same answer as sketching the union directly."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    distinct_sketch_rollup,
+    merge_distinct_sketches,
+)
+
+
+@pytest.fixture(scope="module")
+def users(spark):
+    # 3 segments x overlapping user ids; exact distincts known.
+    rows = []
+    for seg, (lo, hi) in [("a", (0, 4000)), ("b", (2000, 7000)), ("c", (0, 500))]:
+        for day in ("d1", "d2"):
+            rows.extend((seg, day, u) for u in range(lo, hi, 2 if day == "d1" else 3))
+    return spark.createDataFrame(rows, "segment string, day string, user_id long")
+
+
+def _exact(users, cols):
+    return {
+        tuple(r[c] for c in cols): r["n"]
+        for r in users.groupBy(*cols)
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+
+
+def test_approx_distinct_bounded_error(spark, users):
+    exact = _exact(users, ["segment"])
+    got = {
+        (r["segment"],): r["approx_distinct"]
+        for r in approx_distinct(users, "user_id", ["segment"]).collect()
+    }
+    for k, n in exact.items():
+        assert got[k] == pytest.approx(n, rel=0.05)
+
+
+def test_sketch_rollup_then_merge_matches_direct(spark, users):
+    """Day-grain sketches merged to segment-grain must estimate the
+    segment distincts — without touching raw rows again."""
+    rollup = distinct_sketch_rollup(users, "user_id", ["segment", "day"])
+    assert rollup.count() == 6  # 3 segments x 2 days, one sketch each
+    merged = merge_distinct_sketches(rollup, ["segment"])
+    exact = _exact(users, ["segment"])
+    got = {
+        (r["segment"],): r["approx_distinct"]
+        for r in merged.collect()
+    }
+    for k, n in exact.items():
+        assert got[k] == pytest.approx(n, rel=0.05)
+
+
+def test_sketch_merge_tracks_sketching_union(spark, users):
+    """Merging per-day sketches estimates within a whisker of one
+    sketch over all days (DataSketches unions promote the register
+    format, so tiny estimate drift is expected — but it must stay far
+    inside the error bound; 1%)."""
+    via_merge = {
+        (r["segment"],): r["approx_distinct"]
+        for r in merge_distinct_sketches(
+            distinct_sketch_rollup(users, "user_id", ["segment", "day"]),
+            ["segment"],
+        ).collect()
+    }
+    direct = {
+        (r["segment"],): r["approx_distinct"]
+        for r in merge_distinct_sketches(
+            distinct_sketch_rollup(users, "user_id", ["segment"]),
+            ["segment"],
+        ).collect()
+    }
+    for k in direct:
+        assert via_merge[k] == pytest.approx(direct[k], rel=0.01)
+
+
+def test_approx_quantiles(spark):
+    df = spark.range(0, 10001).select(
+        F.lit("g").alias("g"), F.col("id").cast("double").alias("v")
+    )
+    row = approx_quantiles(df, "v", ["g"], [0.5, 0.99], accuracy=10000).collect()[0]
+    assert row["p50"] == pytest.approx(5000, abs=15)
+    assert row["p99"] == pytest.approx(9900, abs=15)

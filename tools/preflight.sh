@@ -1,0 +1,13 @@
+#!/usr/bin/env bash
+# CORRECTNESS-then-BENCH pre-flight (VERDICT r1 next-round #3): the
+# full oracle replica must be green on a VANILLA session before any
+# bench number is recorded — a gate-red query can never ship in the
+# headline suite.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== preflight 1/2: oracle replica (vanilla session, sf0.01) =="
+python tools/check_oracle.py /root/testdata/sf0.01
+
+echo "== preflight 2/2: bench =="
+python bench.py
