@@ -43,8 +43,20 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     qs = catalog.queries()
 
-    # Warm the JVM + parquet footers once (excluded from timings).
+    # Warm the JVM + parquet footers once (excluded from timings): one
+    # trivial count over every table so no measured query pays the
+    # first-touch footer/schema read, then one full query for codegen
+    # warmup. The measured loop below is unchanged.
+    from ecomm_datapipeline_spark.schemas import TESTDATA_TABLES
+
+    for t in TESTDATA_TABLES:
+        if t == "events":
+            continue  # events needs the nanos conf; catalog._t handles it
+        spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
     qs["pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    qs["hourly_event_metrics"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
 
