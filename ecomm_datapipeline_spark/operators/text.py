@@ -141,3 +141,39 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("fingerprint"),
         F.octet_length(F.col(text_col)).alias("n_bytes"),
     )
+
+
+# Conservative, engine-portable PII/content patterns: plain character
+# classes + \b only (no backrefs, no lookaround), identical semantics
+# in Java regex (Spark) and RE2 (DuckDB/BigQuery) — which is what lets
+# the gate hash-check the counts cross-engine.
+PATTERNS = {
+    "n_emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "n_urls": r"https?://[^ ]+",
+    "n_phones": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "n_vowel_pairs": r"[aeiou]{2}",
+    "n_long_words": r"\b[a-z]{8,}\b",
+}
+
+
+def pattern_scan(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Per-document occurrence counts for a set of regex patterns —
+    the PII-screening / content-flagging pass of a training-data
+    pipeline (emails, URLs, phone numbers, plus arbitrary content
+    signals). Pure column expressions: one scan, zero shuffle, counts
+    only (never the matched spans, so nothing sensitive is
+    materialized)."""
+    patterns = patterns or PATTERNS
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        *[
+            _count_matches(t, pat).cast("bigint").alias(name)
+            for name, pat in patterns.items()
+        ],
+    )

@@ -1975,6 +1975,60 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_pattern_scan",
+    r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+      CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_vowel_pairs,
+      CAST(len(regexp_extract_all(text, '\b[a-z]{8,}\b')) AS BIGINT) AS n_long_words
+    FROM documents
+    """,
+    "ext: PII / content pattern scan (per-doc regex counts)",
+)
+def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-screening pass: per-doc counts of emails / URLs / phone
+    numbers plus content signals, engine-portable regex only
+    (operators/text.pattern_scan). Counts, never spans — nothing
+    sensitive materializes."""
+    from ..operators.text import pattern_scan
+
+    return pattern_scan(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_stats",
+    """
+    SELECT vec_id,
+      CAST(len(embedding) AS INT) AS dim,
+      list_aggregate(embedding::DOUBLE[], 'sum') AS vec_sum,
+      sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS l2_norm,
+      list_aggregate(embedding::DOUBLE[], 'min') AS vec_min,
+      list_aggregate(embedding::DOUBLE[], 'max') AS vec_max
+    FROM embeddings
+    """,
+    "ext: embedding vector stats (higher-order array aggregates)",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector sanity stats for an embedding column — the QC pass
+    before any ANN/dedup stage (catch NaN-ish, zero, or unnormalized
+    vectors). F.aggregate folds per ROW in array order, so the doubles
+    are bit-identical to the oracle's sequential list_aggregate."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    zero = F.lit(0.0)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.aggregate(v, zero, lambda acc, x: acc + x).alias("vec_sum"),
+        F.sqrt(F.aggregate(v, zero, lambda acc, x: acc + x * x)).alias("l2_norm"),
+        F.array_min(v).alias("vec_min"),
+        F.array_max(v).alias("vec_max"),
+    )
+
+
+@register(
     "approx_distinct_users",
     # HLL estimates are implementation-defined — rows-only by contract;
     # error bounds + merge-vs-direct parity are pytest-checked

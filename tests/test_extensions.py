@@ -167,6 +167,24 @@ def test_text_ops_hand_built(spark):
     assert text.fingerprint(df3).first()["fingerprint"] == fp1  # ws/case-insensitive
 
 
+def test_pattern_scan_finds_pii(spark):
+    """The gate corpus contains no PII, so the patterns' firing
+    behavior is pinned here on hand-built rows."""
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or call 555-123-4567"),
+            (2, "see https://example.com/a?b=1 and http://x.io twice"),
+            (3, "nothing suspicious here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in text.pattern_scan(df).collect()}
+    assert got[1]["n_emails"] == 1 and got[1]["n_phones"] == 1
+    assert got[2]["n_urls"] == 2 and got[2]["n_emails"] == 0
+    assert got[3]["n_emails"] == got[3]["n_urls"] == got[3]["n_phones"] == 0
+    assert got[3]["n_vowel_pairs"] > 0  # 'here', 'suspicious'
+
+
 def test_salted_aggregation_matches_plain(spark):
     """Skewed input (one key owns 80% of rows): salted two-stage agg
     must equal the plain groupBy exactly (integer values)."""
