@@ -92,6 +92,12 @@ def asof_join(
         null_payload.alias("_p"),
     )
     left_types = dict(left.dtypes)
+    # SQL join semantics: NULL keys never match. The window PARTITION
+    # BY would otherwise group null-key rows from both sides together
+    # and hand left rows a spurious match — so null-key/null-ts right
+    # rows are dropped up front (left rows keep flowing and simply
+    # match nothing).
+    right = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
     rp = right.select(
         *[
             F.col(on).alias(c)

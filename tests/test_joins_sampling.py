@@ -115,6 +115,27 @@ def test_asof_tiebreak_deterministic(spark):
         assert rows[0]["rid_matched"] == 9 and rows[0]["v_matched"] == 2.0
 
 
+def test_asof_null_keys_never_match(spark):
+    """SQL semantics: a NULL key matches nothing — on either side."""
+    left = spark.createDataFrame(
+        [(1, None, _ts(10)), (2, 1, _ts(10)), (3, 1, None)],
+        "lid int, key int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(7, None, _ts(9), 1.0), (8, 1, _ts(9), 2.0), (9, 1, None, 3.0)],
+        "rid int, key int, ts timestamp, px double",
+    )
+    got = {
+        r["lid"]: r["px_matched"]
+        for r in asof_join(
+            left, right, on="key", right_cols=["px"], tiebreak="rid"
+        ).collect()
+    }
+    assert got[1] is None   # null left key: no match (not the null-key right row)
+    assert got[2] == 2.0    # real match unaffected
+    assert got[3] is None   # null left ts: nothing strictly earlier
+
+
 def test_banded_range_join_inner_and_left(spark):
     facts = spark.createDataFrame(
         [(1, 5.0), (2, 1500.0), (3, 2500.0), (4, -10.0)],
