@@ -60,3 +60,36 @@ def category_revenue(fact: DataFrame) -> DataFrame:
         F.countDistinct("order_id").alias("order_count"),
         F.sum("quantity").alias("units_sold"),
     )
+
+
+def daily_user_sketch(fact: DataFrame, run_date: dt.date) -> DataFrame:
+    """One HLL sketch of the day's distinct customers (operators/
+    sketches.py) — the mergeable layer that makes trailing-window
+    distinct-actives reports O(days), never a rescan of raw facts.
+    Maintained per tick with the same recompute-the-slice + dynamic
+    partition overwrite pattern as the hourly table, so crash-and-retry
+    converges (the sketch is always derived from the fact table)."""
+    from .sketches import distinct_sketch_rollup
+
+    day = fact.filter(F.col("order_date") == F.lit(run_date))
+    return distinct_sketch_rollup(
+        day.withColumn("order_date", F.lit(run_date)),
+        "customer_id",
+        ["order_date"],
+    )
+
+
+def approx_active_customers(sketches: DataFrame) -> DataFrame:
+    """Merge daily sketches to one approximate distinct-actives number
+    (single row: n_days covered + the estimate) — sketch UNION only,
+    raw facts untouched."""
+    from .sketches import merge_distinct_sketches
+
+    merged = merge_distinct_sketches(
+        sketches.select(F.lit(1).alias("_g"), "hll"), ["_g"]
+    )
+    n_days = sketches.select(F.count("*").alias("n"))
+    return merged.crossJoin(n_days).select(
+        F.col("n").alias("n_days"),
+        F.col("approx_distinct").cast("bigint").alias("approx_active_customers"),
+    )

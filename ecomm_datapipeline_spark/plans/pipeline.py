@@ -43,6 +43,7 @@ class PipelinePaths:
     dim_products: str = field(init=False)
 
     agg_category: str = field(init=False)
+    agg_user_sketch: str = field(init=False)
 
     def __post_init__(self) -> None:
         self.landing_orders = os.path.join(self.root, "landing", "orders")
@@ -52,6 +53,9 @@ class PipelinePaths:
         self.agg_hourly = os.path.join(self.root, "warehouse", "agg_hourly_metrics")
         self.agg_category = os.path.join(
             self.root, "warehouse", "agg_category_revenue"
+        )
+        self.agg_user_sketch = os.path.join(
+            self.root, "warehouse", "agg_user_sketch"
         )
         self.dq_checks = os.path.join(self.root, "warehouse", "data_quality_checks")
         self.dim_customers = os.path.join(self.root, "warehouse", "dim_customers")
@@ -134,6 +138,10 @@ def run_daily(
     if tables.table_exists(paths.dq_checks):
         outputs["dq_summary"] = checks.dq_summary(
             tables.read_table(spark, paths.dq_checks)
+        )
+    if tables.table_exists(paths.agg_user_sketch):
+        outputs["approx_active_customers"] = aggregates.approx_active_customers(
+            tables.read_table(spark, paths.agg_user_sketch)
         )
     report_paths: dict[str, str] = {}
     counts: dict[str, int] = {}
@@ -271,6 +279,17 @@ def run_incremental(
     tables.write_table(
         cat_daily,
         paths.agg_category,
+        mode="overwrite_partitions",
+        partition_by=["order_date"],
+    )
+
+    # Daily customer sketch (mergeable HLL): recompute today's sketch
+    # from the fact slice, dynamic-overwrite its date partition. The
+    # daily DAG merges these for trailing-window distinct-actives
+    # without ever rescanning facts.
+    tables.write_table(
+        aggregates.daily_user_sketch(fact, run_date),
+        paths.agg_user_sketch,
         mode="overwrite_partitions",
         partition_by=["order_date"],
     )

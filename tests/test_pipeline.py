@@ -189,6 +189,20 @@ def test_pipeline_end_to_end_and_idempotency(spark, env):
     cat_total = cat.agg(F.round(F.sum("category_revenue"), 2)).first()[0]
     assert abs(cat_total - fact_total) < 0.05  # per-category rounding
 
+    # daily user sketch maintained: one sketch row per date, estimate
+    # within HLL error of the exact distinct
+    sk = spark.read.parquet(paths.agg_user_sketch)
+    per_date = sk.groupBy("order_date").count().filter("count > 1")
+    assert per_date.count() == 0
+    est = aggregates.approx_active_customers(sk).first()
+    exact = (
+        spark.read.parquet(paths.fact_orders)
+        .agg(F.countDistinct("customer_id"))
+        .first()[0]
+    )
+    assert est["approx_active_customers"] == pytest.approx(exact, rel=0.05)
+    assert est["n_days"] == sk.count()
+
 
 def test_required_fields_hard_check_aborts_tick(spark, tmp_path):
     """A batch with NULL in a REQUIRED column must abort the tick
