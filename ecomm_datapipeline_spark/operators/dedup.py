@@ -403,4 +403,14 @@ def connected_components(
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with labels still moving means some
+        # component has diameter > max_iter: returning now would
+        # silently SPLIT it (multiple reps for one real dup group).
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — raise "
+            "max_iter (components deeper than this are usually chain-"
+            "shaped boilerplate; consider tightening the pair threshold)"
+        )
     return labels

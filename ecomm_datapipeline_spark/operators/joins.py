@@ -119,17 +119,32 @@ def asof_join(
     side = F.when(F.col("_is_left") == 1, F.lit(1 if strict else 2)).otherwise(
         F.lit(2 if strict else 1)
     )
+    # Tiebreak: among right rows sharing the nearest timestamp, the MAX
+    # tiebreak value must sort LAST (last() picks it) — ascending in
+    # both directions (the direction flip applies to the timestamp
+    # only, not to the within-timestamp ordering).
     tb = F.col("_p")[tiebreak] if tiebreak else F.lit(0)
     if direction == "backward":
         order = [F.col(left_ts).asc(), side.asc(), tb.asc()]
     else:
-        order = [F.col(left_ts).desc(), side.asc(), tb.desc()]
+        order = [F.col(left_ts).desc(), side.asc(), tb.asc()]
     w = (
         Window.partitionBy(on)
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = both.withColumn("_m", F.last("_p", ignorenulls=True).over(w))
+    matched = both.withColumn(
+        "_m",
+        # A left row with NULL key or NULL timestamp matches nothing
+        # (SQL comparison semantics). The window alone guarantees this
+        # only in backward mode (nulls sort first there); forward mode
+        # sorts nulls last, where last(ignorenulls) would hand them a
+        # spurious match — so the guard is explicit.
+        F.when(
+            F.col(on).isNotNull() & F.col(left_ts).isNotNull(),
+            F.last("_p", ignorenulls=True).over(w),
+        ),
+    )
 
     out = matched.filter(F.col("_is_left") == 1).drop("_is_left", "_p")
     if tolerance_secs is not None:
@@ -190,11 +205,20 @@ def banded_range_join(
         # bucket equijoin + residual filter runs as an inner probe,
         # then unmatched facts come back via anti-join — both stages
         # reuse the same broadcast of the (tiny) exploded band side.
+        # The anti-join must be NULL-SAFE on every column: with plain
+        # equality a matched fact row containing any NULL would fail
+        # its own join condition and come back a second time with
+        # band=NULL.
         hit = f.join(b, "_bucket").filter(in_range).drop("_bucket")
         band_cols = [c for c in bands.columns]
-        miss = f.drop("_bucket").join(
-            hit.select(*facts.columns), facts.columns, "left_anti"
-        )
+        hit_keys = hit.select(*facts.columns)
+        fm = facts.alias("_f")
+        hm = hit_keys.alias("_h")
+        anti_cond = None
+        for c in facts.columns:
+            e = F.col(f"_f.{c}").eqNullSafe(F.col(f"_h.{c}"))
+            anti_cond = e if anti_cond is None else (anti_cond & e)
+        miss = fm.join(hm, anti_cond, "left_anti")
         for c in band_cols:
             miss = miss.withColumn(c, F.lit(None).cast(dict(bands.dtypes)[c]))
         return hit.unionByName(miss)
@@ -225,6 +249,10 @@ def time_gapfill(
     """
     group_cols = group_cols or []
     metrics = metrics or [F.count(F.lit(1)).alias("n")]
+    # A NULL timestamp has no place on a time grid — excluded up
+    # front, explicitly (otherwise it would form a null bucket the
+    # spine can never match and its counts would silently vanish).
+    df = df.filter(F.col(ts_col).isNotNull())
     bucket = F.date_trunc(grain, F.col(ts_col)).alias("_bucket")
 
     agg = df.groupBy(bucket, *group_cols).agg(*metrics)
@@ -243,7 +271,19 @@ def time_gapfill(
     if group_cols:
         grid = spine.crossJoin(df.select(*group_cols).distinct())
 
-    out = grid.join(agg, ["_bucket", *group_cols], "left")
+    # NULL-SAFE on the group columns: a NULL group value is a real
+    # group (it came out of the same distinct()), and a null-unsafe
+    # join would zero-fill its cells while dropping its true counts.
+    g = grid.alias("_g")
+    a = agg.alias("_a")
+    cond = F.col("_g._bucket") == F.col("_a._bucket")
+    for c in group_cols:
+        cond = cond & F.col(f"_g.{c}").eqNullSafe(F.col(f"_a.{c}"))
+    out = g.join(a, cond, "left").select(
+        F.col("_g._bucket").alias("_bucket"),
+        *[F.col(f"_g.{c}").alias(c) for c in group_cols],
+        *[F.col(f"_a.{m}").alias(m) for m in metric_names],
+    )
     fills = fill or {m: 0 for m in metric_names}
     for m, v in fills.items():
         out = out.withColumn(m, F.coalesce(F.col(m), F.lit(v)))

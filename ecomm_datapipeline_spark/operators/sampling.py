@@ -64,7 +64,11 @@ def split_assign(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
-    return df.withColumn(out_col, expr)
+    # A NULL id cannot be hashed: its split is NULL (explicitly in no
+    # split), never a silent fall-through into the last-named split —
+    # mirroring deterministic_sample, which drops NULL ids.
+    id_c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return df.withColumn(out_col, F.when(id_c.isNotNull(), expr))
 
 
 def deterministic_sample(

@@ -31,7 +31,13 @@ CJK = "[一-鿿]"
 
 
 def _count_matches(col: Column, pattern: str) -> Column:
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+    # Explicit NULL-in -> NULL-out: size(NULL array) is -1 under the
+    # legacy conf and the oracle (DuckDB len(regexp_extract_all(NULL)))
+    # is NULL — neither engine should ever see a count of -1.
+    return F.when(
+        col.isNotNull(),
+        F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))),
+    )
 
 
 def tokens(col: Column) -> Column:

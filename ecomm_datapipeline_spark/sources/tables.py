@@ -121,12 +121,14 @@ def merge_table(
         return
 
     existing = read_table(spark, path)
-    if partition_by:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # Prune the rewrite to the partitions df touches: semi-join on
-        # the (tiny, distinct, broadcast) partition-value set.
-        from pyspark.sql import functions as F
-
+    # Partition-scoped pruning is only SOUND when the partition columns
+    # are part of the merge key: then a key's target partition always
+    # equals its source partition, so untouched partitions cannot hold
+    # a matching key. If keys exclude the partition columns, a source
+    # row could "move" a key between partitions — the prune would leave
+    # the stale copy behind — so fall back to the full-table rewrite.
+    scoped = bool(partition_by) and set(partition_by) <= set(keys)
+    if scoped:
         parts = df.select(*partition_by).distinct()
         existing = existing.join(F.broadcast(parts), partition_by, "left_semi")
     merged = (
@@ -137,7 +139,19 @@ def merge_table(
     writer = merged.write
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.mode("overwrite").parquet(path)
+    # The overwrite mode must match the branch, whatever the session
+    # default is (the repo session sets dynamic globally): the scoped
+    # path NEEDS dynamic (replace only touched partitions), the full
+    # rewrite NEEDS static (a dynamic full rewrite would leave a
+    # moved-out key's old partition on disk). Saved and restored so
+    # callers keep their own semantics.
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic" if scoped else "static")
+    try:
+        writer.mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set(conf_key, prev)
 
 
 def write_bucketed_table(
@@ -181,8 +195,13 @@ def compact_table(
     bucketing covers the join-locality case, this covers range scans).
 
     Returns the number of files written. The rewrite stages to a
-    sibling temp dir and atomically renames, so a concurrent reader
-    never sees a half-compacted table.
+    sibling temp dir and swaps via two renames: readers never observe
+    a HALF-compacted table, but there is a milliseconds-wide window
+    between the renames where the path is absent (POSIX has no atomic
+    directory exchange) — a reader in that window fails cleanly with
+    path-not-found and succeeds on retry. If the second rename fails,
+    the original directory is restored; a crash mid-swap leaves the
+    data intact under a `__old_*` sibling.
     """
     import math
     import shutil
@@ -208,7 +227,11 @@ def compact_table(
     writer.mode("overwrite").parquet(tmp)
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll the original back in
+        raise
     shutil.rmtree(old)
     return sum(
         1

@@ -73,6 +73,23 @@ def test_connected_components_chain(spark):
     }
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain deeper than max_iter must raise, never silently return
+    split components."""
+    from ecomm_datapipeline_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough iterations the same chain collapses fully
+    got = {r["id"]: r["rep"] for r in connected_components(chain, max_iter=15).collect()}
+    assert set(got.values()) == {0}
+
+
 def test_curation_transitive_chain_keeps_one(spark):
     """Three docs forming a near-dup chain d1~d2~d3 (d1 vs d3 below
     threshold) must collapse to exactly one survivor."""

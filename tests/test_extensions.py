@@ -184,6 +184,11 @@ def test_pattern_scan_finds_pii(spark):
     assert got[3]["n_emails"] == got[3]["n_urls"] == got[3]["n_phones"] == 0
     assert got[3]["n_vowel_pairs"] > 0  # 'here', 'suspicious'
 
+    # NULL text -> NULL counts (never -1 from legacy size(NULL))
+    dfn = spark.createDataFrame([(4, None)], "doc_id long, text string")
+    row = text.pattern_scan(dfn).first()
+    assert row["n_emails"] is None and row["n_vowel_pairs"] is None
+
 
 def test_salted_aggregation_matches_plain(spark):
     """Skewed input (one key owns 80% of rows): salted two-stage agg

@@ -136,6 +136,56 @@ def test_asof_null_keys_never_match(spark):
     assert got[3] is None   # null left ts: nothing strictly earlier
 
 
+def test_asof_forward_null_left_ts_no_match(spark):
+    """Forward mode sorts NULL timestamps last, where the window would
+    hand them a spurious match — the explicit guard must null it."""
+    left = spark.createDataFrame(
+        [(1, 1, None), (2, None, _ts(9))], "lid int, key int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(7, 1, _ts(10), 2.0)], "rid int, key int, ts timestamp, px double"
+    )
+    got = {
+        r["lid"]: r["px_matched"]
+        for r in asof_join(
+            left, right, on="key", right_cols=["px"], direction="forward"
+        ).collect()
+    }
+    assert got[1] is None and got[2] is None
+
+
+def test_asof_forward_tiebreak_max_wins(spark):
+    """Equal-timestamp right rows in FORWARD mode: max tiebreak wins,
+    same as backward (regression: tb used to be flipped to desc)."""
+    left = spark.createDataFrame([(1, _ts(9))], "key int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 7, 1.0), (1, _ts(10), 9, 2.0)],
+        "key int, ts timestamp, rid int, v double",
+    )
+    row = asof_join(
+        left, right, on="key", right_cols=["rid", "v"],
+        direction="forward", tiebreak="rid",
+    ).collect()[0]
+    assert row["rid_matched"] == 9 and row["v_matched"] == 2.0
+
+
+def test_banded_range_join_left_null_columns_no_dup(spark):
+    """A matched fact row containing a NULL column must appear exactly
+    once in how='left' output (null-safe anti-join regression)."""
+    facts = spark.createDataFrame(
+        [(None, 500.0), (2, 500.0), (3, 5000.0)], "id int, v double"
+    )
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 1000.0)], "band string, lo double, hi double"
+    )
+    rows = banded_range_join(facts, bands, "v", bucket_width=500.0, how="left").collect()
+    assert len(rows) == 3
+    got = {(r["id"], r["v"]): r["band"] for r in rows}
+    assert got[(None, 500.0)] == "lo"
+    assert got[(2, 500.0)] == "lo"
+    assert got[(3, 5000.0)] is None
+
+
 def test_banded_range_join_inner_and_left(spark):
     facts = spark.createDataFrame(
         [(1, 5.0), (2, 1500.0), (3, 2500.0), (4, -10.0)],
@@ -190,6 +240,23 @@ def test_time_gapfill_dense_grid(spark):
     assert cells[(_ts(12), "b")] == 0
 
 
+def test_time_gapfill_null_group_kept(spark):
+    """A NULL group value is a real group: its counts must survive
+    (null-safe grid join regression), and null timestamps are
+    excluded from the grid explicitly."""
+    df = spark.createDataFrame(
+        [(_ts(9), None), (_ts(9), None), (_ts(11), "a"), (None, "a")],
+        "ts timestamp, g string",
+    )
+    out = time_gapfill(df, "ts", grain="hour", group_cols=["g"])
+    cells = {(r["hour_bucket"], r["g"]): r["n"] for r in out.collect()}
+    assert len(cells) == 6  # 3 hours x 2 groups (incl. the NULL group)
+    assert cells[(_ts(9), None)] == 2   # not zeroed out
+    assert cells[(_ts(11), "a")] == 1
+    assert cells[(_ts(10), None)] == 0
+    assert sum(v for v in cells.values()) == 3  # null-ts row excluded
+
+
 def test_time_gapfill_no_groups(spark):
     df = spark.createDataFrame(
         [(_ts(9, 5),), (_ts(11, 10),)], "ts timestamp"
@@ -226,6 +293,14 @@ def test_split_assign_superset_invariance(spark):
     s = {r["doc_id"]: r["split"] for r in small.collect()}
     b = {r["doc_id"]: r["split"] for r in big.collect()}
     assert all(b[k] == v for k, v in s.items())
+
+
+def test_split_assign_null_id_gets_null_split(spark):
+    """NULL ids land in NO split (never silently in the last one)."""
+    df = spark.createDataFrame([(1,), (None,)], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in split_assign(df, "doc_id").collect()}
+    assert got[None] is None
+    assert got[1] in ("train", "val", "test")
 
 
 def test_split_assign_validates_fractions(spark):

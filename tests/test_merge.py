@@ -55,8 +55,11 @@ def test_merge_partition_scoped_rewrite(spark, tmp_path):
         for f in os.listdir(os.path.join(path, "d=b"))
         if f.endswith(".parquet")
     }
+    # keys include the partition column — the precondition for the
+    # partition-scoped fast path (keys excluding it fall back to a
+    # full rewrite; see test_merge_key_moving_partition_no_stale_copy)
     upd = spark.createDataFrame([(2, "a", 99)], "k int, d string, v int")
-    tables.merge_table(upd, path, keys=["k"], partition_by=["d"])
+    tables.merge_table(upd, path, keys=["k", "d"], partition_by=["d"])
     after = {
         f: os.path.getmtime(os.path.join(path, "d=b", f))
         for f in os.listdir(os.path.join(path, "d=b"))
@@ -74,6 +77,34 @@ def test_merge_idempotent_rerun(spark, tmp_path):
     tables.merge_table(upd, path, keys=["k"], partition_by=["d"])
     tables.merge_table(upd, path, keys=["k"], partition_by=["d"])  # retry
     assert _rows(spark, path) == {(1, "a"): 77}
+
+
+def test_merge_key_moving_partition_no_stale_copy(spark, tmp_path):
+    """When the merge keys do NOT include the partition column, a
+    source row may move a key to a new partition — the partition-
+    scoped prune would leave the stale copy behind, so merge_table
+    must fall back to the full rewrite and keep the key unique."""
+    path = str(tmp_path / "t_move")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, d string, v int"
+    )
+    tables.write_table(base, path, mode="append", partition_by=["d"])
+    upd = spark.createDataFrame([(1, "b", 99)], "k int, d string, v int")
+    tables.merge_table(upd, path, keys=["k"], partition_by=["d"])
+    assert _rows(spark, path) == {(1, "b"): 99, (2, "b"): 20}
+
+
+def test_merge_does_not_leak_overwrite_mode(spark, tmp_path):
+    """The dynamic-overwrite conf set inside merge_table must be
+    restored afterwards."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    path = str(tmp_path / "t_conf")
+    base = spark.createDataFrame([(1, "a", 10)], "k int, d string, v int")
+    tables.write_table(base, path, mode="append", partition_by=["d"])
+    upd = spark.createDataFrame([(1, "a", 77)], "k int, d string, v int")
+    tables.merge_table(upd, path, keys=["k", "d"], partition_by=["d"])
+    assert spark.conf.get(key, "static") == prev
 
 
 def test_merge_requires_keys(spark, tmp_path):
