@@ -41,6 +41,7 @@ def curate_documents(
     min_quality: int = 30,
     keep_langs: tuple[str, ...] | None = None,
     collect_stats: bool = False,
+    near_dup: str = "minhash",
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
@@ -66,10 +67,23 @@ def curate_documents(
     exact = dedup.drop_exact_duplicates(cleaned, text_col, id_col)
     n_exact = exact.count() if collect_stats else -1
 
-    # Near-dup: banded MinHash candidates -> confirmed pairs -> exact
-    # connected components -> drop every non-representative member.
-    cand = dedup.minhash_lsh_candidates(exact, text_col, id_col)
-    confirmed = cand.filter(F.col("est_jaccard") >= near_dup_threshold)
+    # Near-dup: candidate pairs -> exact connected components -> drop
+    # every non-representative member. Two candidate generators:
+    #   "minhash" (default) — banded MinHash, O(n) shuffle, threshold
+    #     applies to the ESTIMATED Jaccard. The 100 TB path.
+    #   "ngram" — true n-gram Jaccard pairs (bucketed by shingle
+    #     hash). Deterministic and SQL-expressible end-to-end, so the
+    #     whole pipeline is oracle-checkable (gate: curate_corpus_exact).
+    if near_dup == "minhash":
+        cand = dedup.minhash_lsh_candidates(exact, text_col, id_col)
+        confirmed = cand.filter(F.col("est_jaccard") >= near_dup_threshold)
+    elif near_dup == "ngram":
+        confirmed = dedup.ngram_jaccard_pairs(
+            exact, text_col, id_col,
+            threshold=near_dup_threshold, max_shingle_freq=None,
+        )
+    else:
+        raise ValueError(f"near_dup must be minhash|ngram: {near_dup}")
     groups = dedup.connected_components(confirmed)
     to_drop = (
         groups.filter(F.col("id") != F.col("rep"))

@@ -1604,6 +1604,108 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curate_corpus_exact",
+    # The ENTIRE pipeline as one SQL statement: clean+gate -> exact
+    # dedup (min-id per fingerprint) -> true n-gram-Jaccard pairs ->
+    # recursive-CTE connected components -> drop non-representatives ->
+    # quality gate -> language filter. Every stage reuses its
+    # already-verified standalone oracle; this entry proves the
+    # COMPOSITION end-to-end.
+    r"""
+    WITH RECURSIVE cleaned AS (
+      SELECT doc_id,
+        trim(regexp_replace(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g')) AS text,
+        lang, n_chars
+      FROM documents
+      WHERE len(regexp_split_to_array(trim(regexp_replace(regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'), '\s+', ' ', 'g')), '\s+')) BETWEEN 5 AND 100000
+    ), keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM cleaned
+      GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+    ), exact AS (
+      SELECT c.* FROM cleaned c JOIN keepers k USING (doc_id)
+    ), toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM exact
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.4
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, rr.r FROM edges e JOIN reach rr ON e.src = rr.id
+    ), comp AS (
+      SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+    ), near AS (
+      SELECT e.* FROM exact e
+      WHERE e.doc_id NOT IN (SELECT id FROM comp WHERE id != rep)
+    ), q AS (
+      SELECT doc_id,
+        CAST(FLOOR(
+          least(40.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) * 40.0 / 100.0)
+          + 30.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) * 30.0 / (length(text) + 1)
+          + least(30.0, CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) * 30.0 * 5.0
+                  / len(regexp_split_to_array(trim(text), '\s+')))
+        ) AS BIGINT) AS quality_score
+      FROM near
+    ), gated AS (
+      SELECT n.* FROM near n JOIN q USING (doc_id) WHERE q.quality_score >= 30
+    ), lid AS (
+      SELECT doc_id,
+        len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS en_hits,
+        len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht|ein)\b')) AS de_hits,
+        len(regexp_extract_all(text, '\b(le|la|les|et|est|une|pas)\b')) AS fr_hits,
+        len(regexp_extract_all(text, '\b(el|los|las|y|es|una|no)\b')) AS es_hits,
+        len(regexp_extract_all(text, '[一-鿿]')) AS zh_hits
+      FROM gated
+    )
+    SELECT g.doc_id, g.lang, g.n_chars
+    FROM gated g JOIN lid ON g.doc_id = lid.doc_id
+    WHERE (CASE WHEN zh_hits > 0 THEN 'zh'
+                WHEN de_hits > en_hits AND de_hits > fr_hits AND de_hits > es_hits THEN 'de'
+                WHEN fr_hits > en_hits AND fr_hits > es_hits THEN 'fr'
+                WHEN es_hits > en_hits THEN 'es'
+                ELSE 'en' END) = 'en'
+    """,
+    "ext: full curation pipeline, oracle-checked end-to-end (ngram + union-find variant)",
+)
+def curate_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline with its deterministic near-dup stage
+    (true n-gram Jaccard + union-find): every stage — and their
+    COMPOSITION — hash-checked against one recursive-CTE SQL statement.
+    The minhash variant (curate_corpus) is the 100 TB path; this one is
+    the correctness anchor proving the pipeline's semantics."""
+    from ..operators.curation import curate_documents
+
+    curated, _ = curate_documents(
+        _t(spark, sf_dir, "documents"),
+        near_dup="ngram",
+        near_dup_threshold=0.4,
+        min_quality=30,
+        keep_langs=("en",),
+        collect_stats=False,
+    )
+    return curated.select("doc_id", "lang", "n_chars")
+
+
+@register(
     "multimodal_asset_meta",
     """
     SELECT doc_id AS asset_id, 'image' AS media_type,
