@@ -99,7 +99,7 @@ CROSS_ALLOWED = {
 
 # Iterative queries run driver-side loops at plan-build time; they are
 # audited by their own tests, and building them here is slow.
-SKIP = {"neardup_components", "curate_corpus"}
+SKIP = {"neardup_components", "curate_corpus", "curate_corpus_exact"}
 
 
 def test_no_cartesian_or_bnl_outside_allowlist(spark):
