@@ -414,3 +414,79 @@ def connected_components(
             "shaped boilerplate; consider tightening the pair threshold)"
         )
     return labels
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The materialized LSH index: (band bucket, doc id) rows for every
+    document. Persist this table once; incremental batches then probe
+    it (`incremental_minhash_candidates`) instead of recomputing
+    corpus-wide banding — the production shape for a corpus that grows
+    by appends: per batch cost is O(batch), never O(corpus).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm)
+    band_cols = [
+        F.xxhash64(
+            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            F.lit(b),
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    return sig.select(F.col(id_col), *band_cols).select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "bucket"
+        ),
+    )
+
+
+def incremental_minhash_candidates(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup candidates of a NEW batch against an existing corpus
+    via its band index: hash only the batch, equijoin its buckets
+    against the index (corpus documents are never re-read, let alone
+    re-hashed), plus the batch's internal pairs. Returns
+    (candidate_pairs, new_index_rows) — append the latter to the index
+    table to absorb the batch.
+
+    candidate_pairs columns: (id_new, id_existing); batch-internal
+    pairs appear with both ids from the batch. Callers confirm with a
+    similarity check on the texts they have at hand, exactly as with
+    minhash_lsh_candidates.
+    """
+    new_idx = minhash_band_index(new_docs, text_col, id_col, k, num_perm, bands)
+    vs_corpus = (
+        new_idx.alias("n")
+        .join(index.alias("o"), "bucket")
+        .filter(F.col(f"n.{id_col}") != F.col(f"o.{id_col}"))
+        .select(
+            F.col(f"n.{id_col}").alias("id_new"),
+            F.col(f"o.{id_col}").alias("id_existing"),
+        )
+        .distinct()
+    )
+    internal = (
+        new_idx.alias("x")
+        .join(new_idx.alias("y"), "bucket")
+        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_new"),
+            F.col(f"y.{id_col}").alias("id_existing"),
+        )
+        .distinct()
+    )
+    return vs_corpus.unionByName(internal).distinct(), new_idx

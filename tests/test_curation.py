@@ -138,3 +138,47 @@ def test_streaming_dedup_documents(spark, tmp_path):
     assert len(kept) == 2
     assert 3 in kept
     assert kept[0] in (1, 2)  # exactly one of the dup pair survives
+
+
+def test_incremental_minhash_index(spark):
+    """New-batch near-dup detection against a materialized band index:
+    the planted near-dup must surface as (new, existing) candidate
+    WITHOUT re-reading corpus text, and batch-internal dups are found
+    too. Appending the returned index rows absorbs the batch."""
+    from ecomm_datapipeline_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_band_index,
+    )
+
+    base_words = [f"w{i}" for i in range(40)]
+    corpus = spark.createDataFrame(
+        [
+            (1, " ".join(base_words)),
+            (2, " ".join(f"x{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(corpus).localCheckpoint()
+
+    near = list(base_words)
+    near[0] = "CHANGED"  # near-dup of corpus doc 1
+    batch = spark.createDataFrame(
+        [
+            (10, " ".join(near)),
+            (11, " ".join(near)),   # internal dup of 10
+            (12, " ".join(f"z{i}" for i in range(40))),  # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    cands, new_idx = incremental_minhash_candidates(batch, index)
+    pairs = {(r["id_new"], r["id_existing"]) for r in cands.collect()}
+    assert (10, 1) in pairs or (11, 1) in pairs   # found vs corpus
+    assert (10, 11) in pairs                       # found internally
+    assert not any(a == 12 or b == 12 for a, b in pairs)
+
+    # absorbing the batch: the union index now flags a future re-send
+    grown = index.unionByName(new_idx)
+    resend = spark.createDataFrame([(20, " ".join(near))], "doc_id long, text string")
+    c2, _ = incremental_minhash_candidates(resend, grown)
+    found = {r["id_existing"] for r in c2.collect()}
+    assert {10, 11} <= found
