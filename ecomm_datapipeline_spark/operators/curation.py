@@ -42,6 +42,7 @@ def curate_documents(
     keep_langs: tuple[str, ...] | None = None,
     collect_stats: bool = False,
     near_dup: str = "minhash",
+    ngram_max_shingle_freq: int | None = 1000,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
@@ -78,9 +79,13 @@ def curate_documents(
         cand = dedup.minhash_lsh_candidates(exact, text_col, id_col)
         confirmed = cand.filter(F.col("est_jaccard") >= near_dup_threshold)
     elif near_dup == "ngram":
+        # df-pruning ON by default (hot shingles are the skew bomb at
+        # scale); the oracle-parity catalog entry passes None because
+        # its SQL twin has no pruning.
         confirmed = dedup.ngram_jaccard_pairs(
             exact, text_col, id_col,
-            threshold=near_dup_threshold, max_shingle_freq=None,
+            threshold=near_dup_threshold,
+            max_shingle_freq=ngram_max_shingle_freq,
         )
     else:
         raise ValueError(f"near_dup must be minhash|ngram: {near_dup}")

@@ -206,7 +206,6 @@ def minhash_lsh_candidates(
     """LSH banding: docs sharing any band bucket become candidate pairs
     (a < b), with the fraction of matching minhashes as the similarity
     estimate. Shuffle is O(n * bands), never O(n^2)."""
-    rows_per_band = num_perm // bands
     # Signature reuse WITHOUT a leaked cache: the plan reads `sig`
     # three times (banding + the two per-side signature joins), so a
     # recompute costs two extra full shingling+hashing passes. A
@@ -222,20 +221,7 @@ def minhash_lsh_candidates(
     sig = minhash_signatures(df, text_col, id_col, k, num_perm).localCheckpoint(
         eager=False
     )
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-            F.lit(b),
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    buckets = banded.select(
-        F.col(id_col),
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
-            "bucket"
-        ),
-    )
+    buckets = _band_buckets(sig, id_col, num_perm, bands)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")
@@ -416,22 +402,12 @@ def connected_components(
     return labels
 
 
-def minhash_band_index(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
-    num_perm: int = 16,
-    bands: int = 4,
-) -> DataFrame:
-    """The materialized LSH index: (band bucket, doc id) rows for every
-    document. Persist this table once; incremental batches then probe
-    it (`incremental_minhash_candidates`) instead of recomputing
-    corpus-wide banding — the production shape for a corpus that grows
-    by appends: per batch cost is O(batch), never O(corpus).
-    """
+def _band_buckets(sig: DataFrame, id_col: str, num_perm: int, bands: int) -> DataFrame:
+    """(id, bucket) rows from a signature frame — THE band-hash
+    definition, shared by the one-shot candidate generator and the
+    materialized index so the two can never drift apart (an index
+    built by one must match buckets probed by the other)."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, k, num_perm)
     band_cols = [
         F.xxhash64(
             *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
@@ -444,6 +420,44 @@ def minhash_band_index(
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
             "bucket"
         ),
+    )
+
+
+def _index_params(k: int, num_perm: int, bands: int) -> str:
+    return f"k={k};num_perm={num_perm};bands={bands}"
+
+
+def minhash_band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """The materialized LSH index: (doc id, band bucket, signature,
+    params) rows. Persist this table once; incremental batches then
+    probe it (`incremental_minhash_candidates`) instead of recomputing
+    corpus-wide banding — the production shape for a corpus that grows
+    by appends: per batch cost is O(batch), never O(corpus).
+
+    The signature array rides along (num_perm × 8 bytes per row) so a
+    probe can compute est_jaccard for its candidates WITHOUT touching
+    corpus documents; the params column pins (k, num_perm, bands) —
+    a probe with different parameters would silently produce a
+    disjoint bucket space, so it is rejected instead.
+    """
+    sig = minhash_signatures(df, text_col, id_col, k, num_perm).localCheckpoint(
+        eager=False
+    )
+    sig_arr = sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig"),
+    )
+    return (
+        _band_buckets(sig, id_col, num_perm, bands)
+        .join(sig_arr, id_col)
+        .withColumn("_params", F.lit(_index_params(k, num_perm, bands)))
     )
 
 
@@ -463,30 +477,54 @@ def incremental_minhash_candidates(
     (candidate_pairs, new_index_rows) — append the latter to the index
     table to absorb the batch.
 
-    candidate_pairs columns: (id_new, id_existing); batch-internal
-    pairs appear with both ids from the batch. Callers confirm with a
-    similarity check on the texts they have at hand, exactly as with
-    minhash_lsh_candidates.
+    candidate_pairs columns: (id_new, id_existing, est_jaccard);
+    batch-internal pairs appear with both ids from the batch. The
+    estimate comes from the signatures stored in the index, so
+    confirmation thresholds apply without re-reading any corpus text.
+
+    Raises if the index was built with different (k, num_perm, bands)
+    — mismatched parameters hash into a disjoint bucket space and
+    would otherwise return an empty result, silently admitting every
+    near-duplicate.
     """
-    new_idx = minhash_band_index(new_docs, text_col, id_col, k, num_perm, bands)
-    vs_corpus = (
-        new_idx.alias("n")
-        .join(index.alias("o"), "bucket")
-        .filter(F.col(f"n.{id_col}") != F.col(f"o.{id_col}"))
-        .select(
-            F.col(f"n.{id_col}").alias("id_new"),
-            F.col(f"o.{id_col}").alias("id_existing"),
+    expected = _index_params(k, num_perm, bands)
+    first = index.select("_params").first()
+    if first is not None and first["_params"] != expected:
+        raise ValueError(
+            f"index built with {first['_params']!r}, probe uses {expected!r} "
+            "— rebuild the index or pass matching parameters"
         )
-        .distinct()
+    new_idx = minhash_band_index(
+        new_docs, text_col, id_col, k, num_perm, bands
+    ).localCheckpoint(eager=False)
+
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        ).cast("double")
+        / num_perm
     )
-    internal = (
-        new_idx.alias("x")
-        .join(new_idx.alias("y"), "bucket")
-        .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
-        .select(
-            F.col(f"x.{id_col}").alias("id_new"),
-            F.col(f"y.{id_col}").alias("id_existing"),
+
+    def pairs(left: DataFrame, right: DataFrame, strict_less: bool) -> DataFrame:
+        cmp = (
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+            if strict_less
+            else F.col(f"l.{id_col}") != F.col(f"r.{id_col}")
         )
-        .distinct()
-    )
+        return (
+            left.alias("l")
+            .join(right.alias("r"), "bucket")
+            .filter(cmp)
+            .select(
+                F.col(f"l.{id_col}").alias("id_new"),
+                F.col(f"r.{id_col}").alias("id_existing"),
+                F.col("l.sig").alias("sig_a"),
+                F.col("r.sig").alias("sig_b"),
+            )
+            .distinct()
+            .select("id_new", "id_existing", est.alias("est_jaccard"))
+        )
+
+    vs_corpus = pairs(new_idx, index, strict_less=False)
+    internal = pairs(new_idx, new_idx, strict_less=True)
     return vs_corpus.unionByName(internal).distinct(), new_idx

@@ -60,14 +60,14 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """n-gram/stopword language heuristic. Fixed precedence (zh by CJK
-    chars, then the profile with the strictly-highest hit count, ties
-    -> 'en') keeps the operator deterministic."""
-    t = F.col(text_col)
+def predicted_lang_col(text_col: Column | str) -> Column:
+    """The language-ID decision as a single Column expression — THE
+    definition of the heuristic, shared by the batch operator and the
+    streaming curation gate so the two modes can never diverge."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
     hits = {lang: _count_matches(t, pat) for lang, pat in LANG_PROFILES.items()}
     zh = _count_matches(t, CJK)
-    pred = (
+    return (
         F.when(zh > 0, F.lit("zh"))
         .when(
             (hits["de"] > hits["en"]) & (hits["de"] > hits["fr"]) & (hits["de"] > hits["es"]),
@@ -77,12 +77,40 @@ def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         .when(hits["es"] > hits["en"], F.lit("es"))
         .otherwise(F.lit("en"))
     )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """n-gram/stopword language heuristic. Fixed precedence (zh by CJK
+    chars, then the profile with the strictly-highest hit count, ties
+    -> 'en') keeps the operator deterministic."""
+    t = F.col(text_col)
+    hits = {lang: _count_matches(t, pat) for lang, pat in LANG_PROFILES.items()}
+    zh = _count_matches(t, CJK)
     return df.select(
         F.col(id_col),
         *[hits[lang].alias(f"{lang}_hits") for lang in LANG_PROFILES],
         zh.alias("zh_hits"),
-        pred.alias("predicted_lang"),
+        predicted_lang_col(t).alias("predicted_lang"),
     )
+
+
+def quality_score_col(text_col: Column | str) -> Column:
+    """The 0-100 quality score as a single Column expression — THE
+    definition of the formula, shared by the batch operator and the
+    streaming curation gate."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    n_tokens = F.size(tokens(t))
+    n_chars = F.length(t)
+    n_punct = _count_matches(t, r"[^A-Za-z0-9\s]")
+    n_stop = _count_matches(t, LANG_PROFILES["en"])
+    length_component = F.least(F.lit(40.0), n_tokens.cast("double") * 40.0 / 100.0)
+    punct_penalty = n_punct.cast("double") * 30.0 / (n_chars + 1)
+    stop_component = F.least(
+        F.lit(30.0), n_stop.cast("double") * 30.0 * 5.0 / n_tokens
+    )
+    return F.floor(
+        length_component + F.lit(30.0) - punct_penalty + stop_component
+    ).cast("long")
 
 
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -92,25 +120,16 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     gate."""
     t = F.col(text_col)
     n_tokens = F.size(tokens(t))
-    n_chars = F.length(t)
     n_punct = _count_matches(t, r"[^A-Za-z0-9\s]")
     n_digit = _count_matches(t, r"[0-9]")
     n_stop = _count_matches(t, LANG_PROFILES["en"])
-    length_component = F.least(F.lit(40.0), n_tokens.cast("double") * 40.0 / 100.0)
-    punct_penalty = n_punct.cast("double") * 30.0 / (n_chars + 1)
-    stop_component = F.least(
-        F.lit(30.0), n_stop.cast("double") * 30.0 * 5.0 / n_tokens
-    )
-    score = F.floor(
-        length_component + F.lit(30.0) - punct_penalty + stop_component
-    ).cast("long")
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
         n_punct.alias("n_punct"),
         n_digit.alias("n_digit"),
         n_stop.alias("n_stopwords"),
-        score.alias("quality_score"),
+        quality_score_col(t).alias("quality_score"),
     )
 
 

@@ -1701,6 +1701,7 @@ def curate_corpus_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_quality=30,
         keep_langs=("en",),
         collect_stats=False,
+        ngram_max_shingle_freq=None,  # oracle SQL has no df-pruning
     )
     return curated.select("doc_id", "lang", "n_chars")
 

@@ -179,55 +179,34 @@ def curate_documents_stream(
     min_quality: int = 30,
     keep_langs: tuple[str, ...] | None = None,
 ) -> DataFrame:
-    """Streaming curation: the batch pipeline's stateless stages
-    (clean/normalize -> length gate -> quality gate -> language
-    filter, operators/text.py) compose onto a document stream
-    unchanged — they are pure column transforms, so the SAME operator
-    code runs in both modes — followed by watermarked exact dedup
-    (the one stage that needs state, bounded by the watermark
-    horizon). Near-dup dedup stays batch-side: MinHash banding needs a
-    corpus-wide self-join, which streaming fundamentally cannot bound;
-    run it in the periodic compaction pass instead.
+    """Streaming curation in the SAME stage order as the batch
+    pipeline (operators/curation.curate_documents): clean/length gate
+    -> watermarked exact dedup -> quality gate -> language filter.
+    Order matters: dedup picks a representative BEFORE gating, so a
+    duplicate group lives or dies with its representative exactly as
+    in batch (the gates are case-sensitive while the dedup fingerprint
+    is case-insensitive — gating first could keep a doc whose batch
+    representative would have been gated away).
+
+    The gates use the same Column builders as the batch operators
+    (text.quality_score_col / text.predicted_lang_col) — one
+    definition, two execution modes; they apply inline on the single
+    stream frame (a self-join back onto the stream would need
+    watermarked join state for no reason). Near-dup dedup stays
+    batch-side by design: MinHash banding needs a corpus-wide
+    self-join, which streaming cannot bound; run it in the periodic
+    compaction pass (dedup.incremental_minhash_candidates).
     """
     from ..operators import text as text_ops
 
     cleaned = text_ops.clean_text(docs_stream, text_col, min_tokens, max_tokens)
-    # quality_score/language_id return (id, metrics) frames keyed by id;
-    # in streaming everything stays in ONE frame (a self-join back onto
-    # the stream would need watermarked join state for no reason), so
-    # the same formulas gate inline on the same columns.
-    t = F.col(text_col)
-    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
-    n_chars = F.length(t)
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
-    n_stop = F.size(
-        F.regexp_extract_all(t, F.lit(r"\b(the|a|of|and|to|in|is)\b"), F.lit(0))
-    )
-    score = F.floor(
-        F.least(F.lit(40.0), n_tokens.cast("double") * 40.0 / 100.0)
-        + F.lit(30.0)
-        - n_punct.cast("double") * 30.0 / (n_chars + 1)
-        + F.least(F.lit(30.0), n_stop.cast("double") * 30.0 * 5.0 / n_tokens)
-    ).cast("long")
-    gated = cleaned.filter(score >= min_quality)
-    if keep_langs is not None:
-        hits = {
-            lang: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
-            for lang, pat in text_ops.LANG_PROFILES.items()
-        }
-        zh = F.size(F.regexp_extract_all(t, F.lit(text_ops.CJK), F.lit(0)))
-        pred = (
-            F.when(zh > 0, F.lit("zh"))
-            .when(
-                (hits["de"] > hits["en"]) & (hits["de"] > hits["fr"]) & (hits["de"] > hits["es"]),
-                F.lit("de"),
-            )
-            .when((hits["fr"] > hits["en"]) & (hits["fr"] > hits["es"]), F.lit("fr"))
-            .when(hits["es"] > hits["en"], F.lit("es"))
-            .otherwise(F.lit("en"))
-        )
-        gated = gated.filter(pred.isin(*keep_langs))
-    return dedup_documents_stream(
-        gated, text_col=text_col,
+    deduped = dedup_documents_stream(
+        cleaned, text_col=text_col,
         event_time_col=event_time_col, watermark=watermark,
     )
+    gated = deduped.filter(text_ops.quality_score_col(text_col) >= min_quality)
+    if keep_langs is not None:
+        gated = gated.filter(
+            text_ops.predicted_lang_col(text_col).isin(*keep_langs)
+        )
+    return gated

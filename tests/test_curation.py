@@ -171,10 +171,22 @@ def test_incremental_minhash_index(spark):
         "doc_id long, text string",
     )
     cands, new_idx = incremental_minhash_candidates(batch, index)
-    pairs = {(r["id_new"], r["id_existing"]) for r in cands.collect()}
+    rows_ = cands.collect()
+    pairs = {(r["id_new"], r["id_existing"]) for r in rows_}
+    est = {(r["id_new"], r["id_existing"]): r["est_jaccard"] for r in rows_}
     assert (10, 1) in pairs or (11, 1) in pairs   # found vs corpus
     assert (10, 11) in pairs                       # found internally
     assert not any(a == 12 or b == 12 for a, b in pairs)
+    # the signature-based estimate confirms without corpus re-reads
+    assert est[(10, 11)] == 1.0                    # identical texts
+    vs = est.get((10, 1), est.get((11, 1)))
+    assert vs is not None and vs > 0.5             # near-dup, high estimate
+
+    # probing with different parameters must raise, never return empty
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rebuild the index"):
+        incremental_minhash_candidates(batch, index, bands=8)
 
     # absorbing the batch: the union index now flags a future re-send
     grown = index.unionByName(new_idx)

@@ -271,15 +271,17 @@ def test_streaming_curation_matches_batch_gates(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"] for r in spark.sql("select * from curated_stream").collect()}
 
+    # Batch twin in the SAME stage order as curate_documents:
+    # clean -> exact dedup -> quality -> language.
     batch = spark.createDataFrame(rows, "doc_id long, text string, ts timestamp")
     cleaned = text_ops.clean_text(batch)
-    quality = text_ops.quality_score(cleaned).filter(F.col("quality_score") >= 30)
-    langed = text_ops.language_id(cleaned).filter(F.col("predicted_lang") == "en")
-    gated = (
-        cleaned.join(quality.select("doc_id"), "doc_id", "left_semi")
+    deduped = dedup_ops.drop_exact_duplicates(cleaned)
+    quality = text_ops.quality_score(deduped).filter(F.col("quality_score") >= 30)
+    langed = text_ops.language_id(deduped).filter(F.col("predicted_lang") == "en")
+    want_deduped = (
+        deduped.join(quality.select("doc_id"), "doc_id", "left_semi")
         .join(langed.select("doc_id"), "doc_id", "left_semi")
     )
-    want_deduped = dedup_ops.drop_exact_duplicates(gated)
     want = {r["doc_id"] for r in want_deduped.collect()}
 
     # 1 and 3 are exact dups: batch keeps min id, streaming keeps the
