@@ -288,3 +288,142 @@ def time_gapfill(
     for m, v in fills.items():
         out = out.withColumn(m, F.coalesce(F.col(m), F.lit(v)))
     return out.withColumnRenamed("_bucket", f"{grain}_bucket")
+
+
+def asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    *,
+    strict: bool = True,
+    tiebreak: str | None = None,
+    suffix: str = "_matched",
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Backward as-of join partitioned by (key, time bucket) — the
+    hot-key scale-up path promised in docs/SCALE.md.
+
+    `asof_join` windows over the whole key: one pathological key (a
+    bot user, a default id) serializes into a single sorted partition.
+    Bucketing splits every key's timeline into `bucket`-sized slices
+    so the window partition is (key, bucket) — bounded by the bucket's
+    row count, whatever the key's total volume. Correctness across
+    bucket boundaries comes from carry-in state: for each (key,
+    bucket) the latest right row of all EARLIER buckets (a per-key
+    running `last` over the tiny bucket-summary frame — one row per
+    (key, bucket), not per event) is injected as a synthetic right row
+    at the bucket's start, so a left row with no in-bucket predecessor
+    still sees its true match.
+
+    Equivalent to `asof_join(..., direction="backward")` for every
+    input (property-tested); use when a key's per-bucket volume is
+    bounded but its total volume is not. Forward direction and
+    tolerance are not offered here — flip/bound the inputs upstream.
+    """
+    right_cols = right_cols or [c for c in right.columns if c != on]
+    payload_fields = list(dict.fromkeys([right_ts, *right_cols]))
+    if tiebreak and tiebreak not in payload_fields:
+        payload_fields.append(tiebreak)
+    b = F.window(F.col(right_ts), bucket).getField("start")
+
+    r = right.filter(F.col(on).isNotNull() & F.col(right_ts).isNotNull())
+    payload = F.struct(*[F.col(c).alias(c) for c in payload_fields])
+
+    # Per-(key, bucket) champion: the latest right payload (max ts,
+    # then max tiebreak) — one row per key per bucket.
+    tb = F.col(tiebreak) if tiebreak else F.lit(0)
+    champ = (
+        r.withColumn("_bkt", b)
+        .withColumn("_rank", F.struct(F.col(right_ts).alias("t"), tb.alias("tb")))
+        .groupBy(on, "_bkt")
+        .agg(F.max_by(payload, F.col("_rank")).alias("_p"))
+    )
+    lb = F.window(F.col(left_ts), bucket).getField("start")
+    lf = left.withColumn("_bkt", lb)
+
+    # In-bucket match: plain union+window as-of, partitioned by
+    # (key, bucket) — the bounded-partition core.
+    null_payload = F.lit(None).cast(
+        r.select(payload.alias("_p")).schema["_p"].dataType
+    )
+    l_cols = left.columns
+    lp = lf.select(
+        *l_cols, "_bkt", F.lit(1).alias("_is_left"), null_payload.alias("_p")
+    )
+    left_types = dict(left.dtypes)
+    rp = r.withColumn("_bkt", b).select(
+        *[
+            F.col(on).alias(c)
+            if c == on
+            else (
+                F.col(right_ts).alias(c)
+                if c == left_ts
+                else F.lit(None).cast(left_types[c]).alias(c)
+            )
+            for c in l_cols
+        ],
+        "_bkt",
+        F.lit(0).alias("_is_left"),
+        payload.alias("_p"),
+    )
+    both = lp.unionByName(rp)
+    side = F.when(F.col("_is_left") == 1, F.lit(1 if strict else 2)).otherwise(
+        F.lit(2 if strict else 1)
+    )
+    tbp = F.col("_p")[tiebreak] if tiebreak else F.lit(0)
+    w = (
+        Window.partitionBy(on, "_bkt")
+        .orderBy(F.col(left_ts).asc(), side.asc(), tbp.asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    in_bucket = both.withColumn(
+        "_m",
+        F.when(
+            F.col(on).isNotNull() & F.col(left_ts).isNotNull(),
+            F.last("_p", ignorenulls=True).over(w),
+        ),
+    ).filter(F.col("_is_left") == 1)
+
+    # Fallback for left rows with no in-bucket predecessor: the latest
+    # champion of a STRICTLY earlier bucket — itself a tiny as-of via
+    # union+window over the (key, bucket) summary rows (one row per
+    # key per bucket, never per event). A same-bucket champion must
+    # NOT serve as carry-in (it is in-bucket state, already handled by
+    # the window above, and might postdate the left row) — so at equal
+    # bucket the left marker sorts BEFORE the champion (_is_l desc).
+    lbuckets = lf.select(on, "_bkt").distinct()
+    champ_rows = champ.select(
+        on,
+        F.col("_bkt"),
+        F.lit(0).alias("_is_l"),
+        F.col("_p").alias("_cp"),
+    )
+    left_bucket_rows = lbuckets.select(
+        on, "_bkt", F.lit(1).alias("_is_l"),
+        F.lit(None).cast(r.select(payload.alias("_p")).schema["_p"].dataType).alias("_cp"),
+    )
+    wb = (
+        Window.partitionBy(on)
+        .orderBy(F.col("_bkt").asc(), F.col("_is_l").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_carry = (
+        champ_rows.unionByName(left_bucket_rows)
+        .withColumn("_carryin", F.last("_cp", ignorenulls=True).over(wb))
+        .filter(F.col("_is_l") == 1)
+        .select(on, "_bkt", "_carryin")
+    )
+
+    out = in_bucket.join(bucket_carry, [on, "_bkt"], "left").withColumn(
+        "_m", F.coalesce(F.col("_m"), F.col("_carryin"))
+    )
+    # strictness vs the carried champion: carry-in comes from an
+    # EARLIER bucket, so its ts < any ts in this bucket — strict or
+    # not, it is always admissible.
+    out = out.drop("_is_left", "_p", "_bkt", "_carryin")
+    for c in payload_fields:
+        out = out.withColumn(f"{c}{suffix}", F.col("_m")[c])
+    return out.drop("_m")

@@ -371,6 +371,58 @@ def test_asof_property_vs_bruteforce(spark, left, right, strict):
     assert got == want
 
 
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300)), min_size=0, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 300)), min_size=0, max_size=12
+    ),
+    strict=st.booleans(),
+)
+def test_asof_bucketed_equals_plain(spark, left, right, strict):
+    """asof_join_bucketed (the hot-key scale path: per-(key, time
+    bucket) windows + carry-forward champions) must equal plain
+    asof_join on every input — timestamps span ~5 one-minute buckets
+    so cross-bucket carry, empty buckets, and same-bucket ties are all
+    exercised."""
+    from ecomm_datapipeline_spark.operators.joins import asof_join_bucketed
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(left)
+    ]
+    rrows = [
+        (i, k, base + dt.timedelta(seconds=s)) for i, (k, s) in enumerate(right)
+    ]
+    ldf = spark.createDataFrame(
+        lrows or [(None, None, None)], "lid int, key int, ts timestamp"
+    )
+    if not lrows:
+        ldf = ldf.filter("lid is not null")
+    rdf = spark.createDataFrame(
+        rrows or [(None, None, None)], "rid int, key int, ts timestamp"
+    )
+    if not rrows:
+        rdf = rdf.filter("rid is not null")
+
+    plain = {
+        r["lid"]: r["rid_matched"]
+        for r in asof_join(
+            ldf, rdf, on="key", right_cols=["rid"], strict=strict, tiebreak="rid"
+        ).collect()
+    }
+    bucketed = {
+        r["lid"]: r["rid_matched"]
+        for r in asof_join_bucketed(
+            ldf, rdf, on="key", right_cols=["rid"], strict=strict,
+            tiebreak="rid", bucket="1 minute",
+        ).collect()
+    }
+    assert bucketed == plain
+
+
 def test_hash_bucket_matches_duckdb(spark):
     """Cross-engine portability: the Spark bucket equals DuckDB's
     md5-hex formulation for the same ids."""
