@@ -77,6 +77,27 @@ def _is_delta_table(path: str) -> bool:
     return os.path.isdir(os.path.join(path, "_delta_log"))
 
 
+def _swap_into(tmp: str, path: str) -> None:
+    """Swap a fully-written sibling directory into place via two
+    renames: readers never observe a half-written table, but there is a
+    milliseconds-wide window between the renames where the path is
+    absent (POSIX has no atomic directory exchange) — a reader in that
+    window fails cleanly with path-not-found and succeeds on retry. If
+    the second rename fails, the original directory is restored; a
+    crash mid-swap leaves the data intact under a `__old_*` sibling."""
+    import shutil
+    import uuid
+
+    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(old, path)  # roll the original back in
+        raise
+    shutil.rmtree(old)
+
+
 def merge_table(
     df: DataFrame,
     path: str,
@@ -91,22 +112,34 @@ def merge_table(
     Backend selection:
 
     * Delta (delta-spark importable AND target is a Delta table):
-      real ``MERGE INTO`` — ACID, file-level pruning.
-    * Parquet fallback: partition-scoped read-merge-rewrite. Only the
-      partitions present in `df` are read back, anti-joined on the
-      keys, unioned with `df`, and dynamically overwritten — cost is
-      O(affected partitions), never O(table). Without partition_by the
-      whole table is rewritten (only acceptable for small tables).
-      ``localCheckpoint`` materializes the merged slice before the
-      overwrite because Spark refuses to overwrite a path it is
-      lazily reading from.
+      real ``MERGE INTO`` — ACID, file-level pruning. A Delta target
+      WITHOUT delta-spark importable raises instead of falling through
+      to the parquet path: reading a Delta dir as raw parquet ignores
+      _delta_log and would resurrect superseded/deleted rows, then
+      leave an inconsistent log beside the rewritten data.
+    * Parquet, keys cover the partition columns: partition-scoped
+      read-merge-rewrite. Only the partitions present in `df` are read
+      back, anti-joined on the keys, unioned with `df`, and
+      dynamically overwritten — cost is O(affected partitions), never
+      O(table). ``localCheckpoint`` materializes the merged slice
+      before the overwrite because Spark refuses to overwrite a path
+      it is lazily reading from.
+    * Parquet, unpartitioned or keys not covering partition columns:
+      full rewrite STAGED to a sibling temp dir and swapped in via
+      rename (_swap_into, the compact_table pattern) — an in-place
+      static overwrite deletes the target at commit time, and
+      localCheckpoint blocks do not survive a driver crash, so a
+      failure mid-write would otherwise lose the table.
     """
     spark = df.sparkSession
-    if not table_exists(path) and not _is_delta_table(path):
-        write_table(df, path, mode="append", partition_by=partition_by)
-        return
-
-    if delta_available() and _is_delta_table(path):
+    if _is_delta_table(path):
+        if not delta_available():
+            raise RuntimeError(
+                f"{path} is a Delta table but delta-spark is not importable; "
+                "refusing the parquet read-merge-rewrite fallback (it would "
+                "ignore _delta_log and resurrect superseded rows) — install "
+                "delta-spark or convert the table"
+            )
         from delta.tables import DeltaTable
 
         cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
@@ -118,6 +151,9 @@ def merge_table(
             .whenNotMatchedInsertAll()
             .execute()
         )
+        return
+    if not table_exists(path):
+        write_table(df, path, mode="append", partition_by=partition_by)
         return
 
     existing = read_table(spark, path)
@@ -131,27 +167,35 @@ def merge_table(
     if scoped:
         parts = df.select(*partition_by).distinct()
         existing = existing.join(F.broadcast(parts), partition_by, "left_semi")
-    merged = (
-        existing.join(df.select(*keys).distinct(), keys, "left_anti")
-        .unionByName(df)
-        .localCheckpoint()
-    )
-    writer = merged.write
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    # The overwrite mode must match the branch, whatever the session
-    # default is (the repo session sets dynamic globally): the scoped
-    # path NEEDS dynamic (replace only touched partitions), the full
-    # rewrite NEEDS static (a dynamic full rewrite would leave a
-    # moved-out key's old partition on disk). Saved and restored so
-    # callers keep their own semantics.
-    conf_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(conf_key, "static")
-    spark.conf.set(conf_key, "dynamic" if scoped else "static")
-    try:
-        writer.mode("overwrite").parquet(path)
-    finally:
-        spark.conf.set(conf_key, prev)
+    merged = existing.join(
+        df.select(*keys).distinct(), keys, "left_anti"
+    ).unionByName(df)
+    if scoped:
+        # Dynamic partition overwrite in place: only the touched
+        # partitions are replaced. Forced dynamic for THIS write
+        # whatever the session default; restored after.
+        merged = merged.localCheckpoint()
+        writer = merged.write.partitionBy(*partition_by)
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            writer.mode("overwrite").parquet(path)
+        finally:
+            spark.conf.set(conf_key, prev)
+    else:
+        # Full rewrite: stage to a sibling dir (a DIFFERENT path, so
+        # no read-overwrite hazard and no checkpoint materialization
+        # needed), then swap via renames — the target is never deleted
+        # before its replacement is fully on disk.
+        import uuid
+
+        tmp = f"{path.rstrip('/')}__merge_{uuid.uuid4().hex[:8]}"
+        writer = merged.write
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.mode("overwrite").parquet(tmp)
+        _swap_into(tmp, path)
 
 
 def write_bucketed_table(
@@ -195,16 +239,10 @@ def compact_table(
     bucketing covers the join-locality case, this covers range scans).
 
     Returns the number of files written. The rewrite stages to a
-    sibling temp dir and swaps via two renames: readers never observe
-    a HALF-compacted table, but there is a milliseconds-wide window
-    between the renames where the path is absent (POSIX has no atomic
-    directory exchange) — a reader in that window fails cleanly with
-    path-not-found and succeeds on retry. If the second rename fails,
-    the original directory is restored; a crash mid-swap leaves the
-    data intact under a `__old_*` sibling.
+    sibling temp dir and swaps via two renames (_swap_into) so readers
+    never observe a half-compacted table.
     """
     import math
-    import shutil
     import uuid
 
     size = sum(
@@ -225,14 +263,7 @@ def compact_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.mode("overwrite").parquet(tmp)
-    old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
-    try:
-        os.rename(tmp, path)
-    except OSError:
-        os.rename(old, path)  # roll the original back in
-        raise
-    shutil.rmtree(old)
+    _swap_into(tmp, path)
     return sum(
         1
         for _, _, fs in os.walk(path)
