@@ -221,10 +221,16 @@ def run_incremental(
         checks.duplicate_orders_violations(staging, run_date),
     )
     soft = checks.amount_mismatch_violations(staging, run_date)
-    audit = checks.audit_rows(soft, "amount_mismatch", "warning")
-    n_soft = audit.count()
-    if n_soft:
-        tables.write_table(audit, paths.dq_checks, mode="append")
+    # Cache around the count + append pair (same pattern as fact_inc
+    # below): without it the write re-executes the full audit
+    # scan+filter as a second job per tick.
+    audit = checks.audit_rows(soft, "amount_mismatch", "warning").cache()
+    try:
+        n_soft = audit.count()
+        if n_soft:
+            tables.write_table(audit, paths.dq_checks, mode="append")
+    finally:
+        audit.unpersist()
 
     # Fact increment (idempotent via anti-join).
     existing = (
