@@ -17,7 +17,13 @@ columnar features.
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
+
+try:  # optional real codec — absent in this container, used when present
+    from PIL import Image as _PILImage
+except Exception:  # pragma: no cover - exercised only where PIL exists
+    _PILImage = None
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -46,6 +52,8 @@ ASSET_SCHEMA = T.StructType(
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("content_hash", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("sha16", T.StringType()),
         T.StructField("width", T.IntegerType()),
@@ -73,16 +81,24 @@ def assets_from_documents(docs: DataFrame, media_type: str = "image") -> DataFra
 
 
 def _decode_payload(payload: bytes, fake: bool) -> tuple[int, int, float]:
-    """STUB codec. Real implementation would be e.g.
-    `PIL.Image.open(io.BytesIO(payload))` — library not present in
-    this container. fake=True derives (width, height, mean_luma)
+    """The codec seam. fake=True derives (width, height, mean_luma)
     deterministically from the bytes so the distributed plumbing is
-    testable end-to-end."""
+    testable end-to-end in environments without image libraries.
+    fake=False decodes for real via Pillow when importable (grayscale
+    mean as luma), else raises — the distributed plan is identical
+    either way, only this function's body differs."""
     if not fake:
-        raise NotImplementedError(
-            "media codecs unavailable in this environment; "
-            "swap _decode_payload body for PIL/torchaudio when present"
-        )
+        if _PILImage is None:
+            raise NotImplementedError(
+                "media codecs unavailable in this environment; "
+                "install Pillow (or swap in torchaudio/av) for real decode"
+            )
+        img = _PILImage.open(io.BytesIO(payload)).convert("L")
+        width, height = img.size
+        hist = img.histogram()  # 256 luma bins
+        n_px = max(width * height, 1)
+        mean_luma = sum(i * c for i, c in enumerate(hist)) / n_px / 255.0
+        return width, height, mean_luma
     digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0] % 192  # 64..255
     height = 64 + digest[1] % 192
@@ -108,6 +124,13 @@ def extract_image_features(
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
+                    # typed-metadata passthrough: a feature table is
+                    # useless without the identity/type columns riding
+                    # along (struct arrives as dicts through Arrow)
+                    "media_type": pdf["media_type"],
+                    "content_hash": pdf["meta"].map(
+                        lambda m: m["content_hash"] if m is not None else None
+                    ),
                     "n_bytes": payloads.map(len).astype("int64"),
                     "sha16": payloads.map(
                         lambda p: hashlib.sha256(bytes(p)).hexdigest()[:16]
