@@ -33,7 +33,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "ann_cosine_topk",
-    "text_quality_score",
+    "text_quality_lang",
 ]
 
 

@@ -43,8 +43,15 @@ def curate_documents(
     collect_stats: bool = False,
     near_dup: str = "minhash",
     ngram_max_shingle_freq: int | None = 1000,
+    minhash_portable: bool = False,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
+
+    NOT fully lazy: the near-dup stage's connected-components step runs
+    its per-round convergence check eagerly (a one-scalar collect per
+    propagation round), so calling this triggers the candidate-
+    generation jobs even with collect_stats=False. Downstream stages
+    stay lazy on top of the checkpointed component labels.
 
     Near-dup removal is EXACT on groups: confirmed candidate pairs are
     collapsed into connected components (distributed union-find via
@@ -76,7 +83,9 @@ def curate_documents(
     #     hash). Deterministic and SQL-expressible end-to-end, so the
     #     whole pipeline is oracle-checkable (gate: curate_corpus_exact).
     if near_dup == "minhash":
-        cand = dedup.minhash_lsh_candidates(exact, text_col, id_col)
+        cand = dedup.minhash_lsh_candidates(
+            exact, text_col, id_col, portable=minhash_portable
+        )
         confirmed = cand.filter(F.col("est_jaccard") >= near_dup_threshold)
     elif near_dup == "ngram":
         # df-pruning ON by default (hot shingles are the skew bomb at

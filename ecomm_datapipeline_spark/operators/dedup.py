@@ -22,8 +22,37 @@ Scale design notes (the 100 TB story):
 
 from __future__ import annotations
 
+import random
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# --- engine-portable MinHash mode ------------------------------------------
+# xxhash64 (the fast default) exists only in Spark, so gate queries built on
+# it can never be hash-checked against DuckDB. Portable mode instead derives
+# ONE 32-bit base hash per shingle from md5 (the bit-for-bit-portable trick
+# proven by operators/sampling.hash_bucket and gate-checked in
+# train_split_assign), then expands it into num_perm universal-hash
+# permutations h_i = (a_i*h + b_i) mod P — pure 64-bit integer arithmetic
+# with identical semantics in every engine. a_i < 2^30 and h < 2^32 keep
+# a_i*h + b_i < 2^63: no signed overflow anywhere.
+PORTABLE_PRIME = 4_294_967_311  # smallest prime > 2^32
+
+
+def portable_perm_constants(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) universal-hash coefficients, identical on
+    every call — the SQL oracle embeds the same literals."""
+    rng = random.Random(0xD5EED)
+    return [
+        (rng.randrange(1, 1 << 30), rng.randrange(0, PORTABLE_PRIME))
+        for _ in range(num_perm)
+    ]
+
+
+def portable_hash32(col: Column) -> Column:
+    """First 8 md5 hex digits as a BIGINT in [0, 2^32) — bit-identical to
+    DuckDB's CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
 def _parallelize(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
@@ -171,26 +200,58 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_perm: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
-    """MinHash signature per doc: for each of num_perm seeded xxhash64
-    functions, the min hash over the doc's shingle set.
+    """MinHash signature per doc: for each of num_perm hash functions,
+    the min hash over the doc's shingle set.
 
     Computed entirely PER ROW — array_min(transform(shingles, hash)) —
     so signature generation is a pure map stage: zero shuffle at any
     scale (the naive explode+groupBy formulation shuffles every
-    (shingle, doc) pair)."""
+    (shingle, doc) pair).
+
+    Both modes hash each shingle ONCE to a 32-bit base value, then
+    expand it through num_perm universal-hash permutations
+    h_i = (a_i*h + b_i) mod P — integer arithmetic over the
+    materialized base-hash array (paying the string hash per
+    permutation would dominate the stage). portable=False (default):
+    base hash = low 32 bits of xxhash64 — the fast production path.
+    portable=True: base hash = md5-derived (portable_hash32) —
+    bit-identical in DuckDB, so the gate can hash-check the output.
+
+    Deliberately NOT the `xxhash64(shingle, seed_i)` formulation:
+    multiple structurally-similar HOF lambdas differing only in a
+    literal *function argument* collapse to the first lambda's result
+    in one projection (Spark 4.1.2; pinned by
+    tests/test_extensions.py::test_minhash_permutations_differ — r2
+    shipped that bug, making every permutation identical). The
+    arithmetic-lambda form evaluates correctly and is additionally
+    engine-portable."""
     # Generate-node barrier (see ngram_jaccard_pairs): materialize the
-    # shingle array ONCE; the num_perm min-hash expressions then read
-    # an attribute instead of each re-deriving the array.
+    # base-hash array ONCE; the num_perm min expressions then read an
+    # attribute instead of each re-deriving shingles + hashes.
+    if portable:
+        base_hash = portable_hash32
+    else:
+        def base_hash(s: Column) -> Column:
+            return F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1))
+
+    arr = F.transform(shingle_array(text_col, k), base_hash)
     base = _parallelize(df).select(
         F.col(id_col),
-        F.explode(F.array(shingle_array(text_col, k))).alias("_sh"),
+        F.explode(F.array(arr)).alias("_sh"),
     ).filter(F.size("_sh") > 0)
+    consts = portable_perm_constants(num_perm)
+
+    def _perm(a: int, b: int):
+        # single-arg closure: transform() counts lambda params, so
+        # default-arg capture (lambda h, a=a, b=b) would read as a
+        # 3-ary lambda and fail analysis.
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(PORTABLE_PRIME)
+
     mins = [
-        F.array_min(
-            F.transform(F.col("_sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))
-        ).alias(f"mh_{i}")
-        for i in range(num_perm)
+        F.array_min(F.transform(F.col("_sh"), _perm(a, b))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(consts)
     ]
     return base.select(F.col(id_col), *mins)
 
@@ -202,10 +263,15 @@ def minhash_lsh_candidates(
     k: int = 3,
     num_perm: int = 16,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs
     (a < b), with the fraction of matching minhashes as the similarity
-    estimate. Shuffle is O(n * bands), never O(n^2)."""
+    estimate. Shuffle is O(n * bands), never O(n^2).
+
+    portable=True derives signatures and band buckets from md5 (see
+    minhash_signatures) so the candidate set — and est_jaccard — are
+    bit-identical in DuckDB; the gate hash-checks this mode."""
     # Signature reuse WITHOUT a leaked cache: the plan reads `sig`
     # three times (banding + the two per-side signature joins), so a
     # recompute costs two extra full shingling+hashing passes. A
@@ -218,10 +284,10 @@ def minhash_lsh_candidates(
     # (Trade-off, documented: local checkpoints are not recomputable on
     # executor loss; for an ephemeral analytics query that is an
     # acceptable failure mode — the job retries.)
-    sig = minhash_signatures(df, text_col, id_col, k, num_perm).localCheckpoint(
-        eager=False
-    )
-    buckets = _band_buckets(sig, id_col, num_perm, bands)
+    sig = minhash_signatures(
+        df, text_col, id_col, k, num_perm, portable=portable
+    ).localCheckpoint(eager=False)
+    buckets = _band_buckets(sig, id_col, num_perm, bands, portable=portable)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")
@@ -344,7 +410,16 @@ def connected_components(
     practice. localCheckpoint() per round truncates the lineage so the
     plan does not grow exponentially; convergence is detected by a
     changed-label count hitting zero.
+
+    EAGER, not lazy: the per-round convergence check runs a driver
+    collect() of one scalar, so calling this triggers the full
+    upstream candidate-generation jobs immediately (callers like
+    curate_documents inherit that — their returned frame is no longer
+    a fully-lazy plan). Local-checkpoint blocks are not recomputable
+    on executor loss; the job retries instead.
     """
+    if max_iter <= 0:
+        raise ValueError(f"max_iter must be >= 1: {max_iter}")
     # Materialize the (tiny) symmetric edge list ONCE: every round
     # joins against it twice, and without the checkpoint each round
     # would recompute the upstream pair-generation plan (for near-dup
@@ -402,19 +477,40 @@ def connected_components(
     return labels
 
 
-def _band_buckets(sig: DataFrame, id_col: str, num_perm: int, bands: int) -> DataFrame:
+def _band_buckets(
+    sig: DataFrame, id_col: str, num_perm: int, bands: int, portable: bool = False
+) -> DataFrame:
     """(id, bucket) rows from a signature frame — THE band-hash
     definition, shared by the one-shot candidate generator and the
     materialized index so the two can never drift apart (an index
-    built by one must match buckets probed by the other)."""
+    built by one must match buckets probed by the other).
+
+    portable=True buckets via md5 of "b,sig...,sig" (the exact string
+    DuckDB's string_agg produces) instead of xxhash64 — 32-byte string
+    keys, engine-portable."""
     rows_per_band = num_perm // bands
-    band_cols = [
-        F.xxhash64(
-            *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
-            F.lit(b),
-        ).alias(f"band_{b}")
-        for b in range(bands)
-    ]
+    if portable:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.lit(str(b)),
+                    *[
+                        F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                F.lit(b),
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
     return sig.select(F.col(id_col), *band_cols).select(
         F.col(id_col),
         F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
@@ -423,8 +519,15 @@ def _band_buckets(sig: DataFrame, id_col: str, num_perm: int, bands: int) -> Dat
     )
 
 
-def _index_params(k: int, num_perm: int, bands: int) -> str:
-    return f"k={k};num_perm={num_perm};bands={bands}"
+def _index_params(k: int, num_perm: int, bands: int, portable: bool = False) -> str:
+    # hash= versions the signature family: an index persisted under a
+    # previous hash scheme (r2's collapsed-seed xxhash64) must be
+    # rejected at probe time, never silently probed into a disjoint
+    # bucket space.
+    return (
+        f"k={k};num_perm={num_perm};bands={bands};"
+        f"hash={'md5-uh' if portable else 'xx32-uh'}"
+    )
 
 
 def minhash_band_index(
@@ -434,6 +537,7 @@ def minhash_band_index(
     k: int = 3,
     num_perm: int = 16,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """The materialized LSH index: (doc id, band bucket, signature,
     params) rows. Persist this table once; incremental batches then
@@ -447,17 +551,19 @@ def minhash_band_index(
     a probe with different parameters would silently produce a
     disjoint bucket space, so it is rejected instead.
     """
-    sig = minhash_signatures(df, text_col, id_col, k, num_perm).localCheckpoint(
-        eager=False
-    )
+    sig = minhash_signatures(
+        df, text_col, id_col, k, num_perm, portable=portable
+    ).localCheckpoint(eager=False)
     sig_arr = sig.select(
         F.col(id_col),
         F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("sig"),
     )
     return (
-        _band_buckets(sig, id_col, num_perm, bands)
+        _band_buckets(sig, id_col, num_perm, bands, portable=portable)
         .join(sig_arr, id_col)
-        .withColumn("_params", F.lit(_index_params(k, num_perm, bands)))
+        .withColumn(
+            "_params", F.lit(_index_params(k, num_perm, bands, portable))
+        )
     )
 
 
@@ -469,6 +575,7 @@ def incremental_minhash_candidates(
     k: int = 3,
     num_perm: int = 16,
     bands: int = 4,
+    portable: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Near-dup candidates of a NEW batch against an existing corpus
     via its band index: hash only the batch, equijoin its buckets
@@ -487,7 +594,7 @@ def incremental_minhash_candidates(
     would otherwise return an empty result, silently admitting every
     near-duplicate.
     """
-    expected = _index_params(k, num_perm, bands)
+    expected = _index_params(k, num_perm, bands, portable)
     first = index.select("_params").first()
     if first is not None and first["_params"] != expected:
         raise ValueError(
@@ -495,7 +602,7 @@ def incremental_minhash_candidates(
             "— rebuild the index or pass matching parameters"
         )
     new_idx = minhash_band_index(
-        new_docs, text_col, id_col, k, num_perm, bands
+        new_docs, text_col, id_col, k, num_perm, bands, portable=portable
     ).localCheckpoint(eager=False)
 
     est = (
@@ -511,17 +618,30 @@ def incremental_minhash_candidates(
             if strict_less
             else F.col(f"l.{id_col}") != F.col(f"r.{id_col}")
         )
-        return (
+        # Dedup on the BARE id pair first (16 bytes/row through the
+        # distinct's shuffle), then re-attach the num_perm×8-byte
+        # signature arrays from one-row-per-id side frames — carrying
+        # the arrays through the pair-distinct would widen that shuffle
+        # by the full signature width per duplicated bucket hit.
+        cand = (
             left.alias("l")
             .join(right.alias("r"), "bucket")
             .filter(cmp)
             .select(
                 F.col(f"l.{id_col}").alias("id_new"),
                 F.col(f"r.{id_col}").alias("id_existing"),
-                F.col("l.sig").alias("sig_a"),
-                F.col("r.sig").alias("sig_b"),
             )
             .distinct()
+        )
+        lsig = left.select(
+            F.col(id_col).alias("id_new"), F.col("sig").alias("sig_a")
+        ).distinct()
+        rsig = right.select(
+            F.col(id_col).alias("id_existing"), F.col("sig").alias("sig_b")
+        ).distinct()
+        return (
+            cand.join(lsig, "id_new")
+            .join(rsig, "id_existing")
             .select("id_new", "id_existing", est.alias("est_jaccard"))
         )
 

@@ -133,6 +133,71 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Structural document profile: token counts + fingerprint in ONE
+    scan — the fused form of token_stats + fingerprint (the gate checks
+    this single-pass version; the standalone operators remain for
+    callers that need just one side)."""
+    t = F.col(text_col)
+    n_tokens = F.size(tokens(t))
+    norm = F.lower(F.regexp_replace(F.trim(t), _WS, " "))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        _count_matches(t, BPE_ISH).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars_computed"),
+        (
+            F.length(F.regexp_replace(t, _WS, "")).cast("double") / n_tokens
+        ).alias("avg_token_len"),
+        F.md5(norm).alias("fingerprint"),
+        F.octet_length(t).alias("n_bytes"),
+    )
+
+
+def quality_lang(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality scoring + language ID fused into ONE scan: the two
+    operators share the English-stopword count (quality's stopword
+    signal IS lang-id's en profile), so running them separately pays
+    that regex twice plus a second full document scan. One select,
+    each regex count appears once; whole-stage codegen's subexpression
+    elimination reuses the shared columns."""
+    t = F.col(text_col)
+    n_tokens = F.size(tokens(t))
+    n_chars = F.length(t)
+    n_punct = _count_matches(t, r"[^A-Za-z0-9\s]")
+    n_digit = _count_matches(t, r"[0-9]")
+    hits = {lang: _count_matches(t, pat) for lang, pat in LANG_PROFILES.items()}
+    zh = _count_matches(t, CJK)
+    length_component = F.least(F.lit(40.0), n_tokens.cast("double") * 40.0 / 100.0)
+    punct_penalty = n_punct.cast("double") * 30.0 / (n_chars + 1)
+    stop_component = F.least(
+        F.lit(30.0), hits["en"].cast("double") * 30.0 * 5.0 / n_tokens
+    )
+    score = F.floor(
+        length_component + F.lit(30.0) - punct_penalty + stop_component
+    ).cast("long")
+    predicted = (
+        F.when(zh > 0, F.lit("zh"))
+        .when(
+            (hits["de"] > hits["en"]) & (hits["de"] > hits["fr"]) & (hits["de"] > hits["es"]),
+            F.lit("de"),
+        )
+        .when((hits["fr"] > hits["en"]) & (hits["fr"] > hits["es"]), F.lit("fr"))
+        .when(hits["es"] > hits["en"], F.lit("es"))
+        .otherwise(F.lit("en"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        n_digit.alias("n_digit"),
+        *[hits[lang].alias(f"{lang}_hits") for lang in LANG_PROFILES],
+        zh.alias("zh_hits"),
+        score.alias("quality_score"),
+        predicted.alias("predicted_lang"),
+    )
+
+
 def clean_text(
     df: DataFrame,
     text_col: str = "text",

@@ -83,15 +83,14 @@ def test_compact_table_range_clustering(spark, tmp_path):
 #     LSH mode is the scale path)
 #   ann_cosine_topk — brute-force baseline by design (queries side is
 #     10 rows, broadcast)
-#   ann_cosine_topk_lsh / _ivf — tiny probe-side fan-out joins
+#   ann_cosine_topk_approx — tiny probe-side fan-out joins (LSH + IVF)
 #   events_hourly_gapfill — spine x distinct-groups grid (both sides
 #     tiny: output-sized)
 #   event_funnel / weekly_retention — scalar/spine-sized cross steps
 CROSS_ALLOWED = {
     "embedding_neardup_pairs",
     "ann_cosine_topk",
-    "ann_cosine_topk_lsh",
-    "ann_cosine_topk_ivf",
+    "ann_cosine_topk_approx",
     "events_hourly_gapfill",
     "event_funnel",
     "weekly_retention",

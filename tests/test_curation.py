@@ -194,3 +194,47 @@ def test_incremental_minhash_index(spark):
     c2, _ = incremental_minhash_candidates(resend, grown)
     found = {r["id_existing"] for r in c2.collect()}
     assert {10, 11} <= found
+
+
+def test_incremental_minhash_index_transitive_batches(spark):
+    """Three successive probe+append cycles: a batch-3 doc must match
+    docs absorbed in batch 1 AND batch 2 through the grown index —
+    transitivity of absorption, not just one append. Each batch only
+    hashes itself; the corpus is never re-read."""
+    from ecomm_datapipeline_spark.operators.dedup import (
+        incremental_minhash_candidates,
+        minhash_band_index,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+
+    def doc(doc_id, change_at=None):
+        w = list(words)
+        if change_at is not None:
+            w[change_at] = f"CH{doc_id}"
+        return (doc_id, " ".join(w))
+
+    corpus = spark.createDataFrame(
+        [doc(1), (2, " ".join(f"x{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    index = minhash_band_index(corpus).localCheckpoint()
+
+    # batch 1 and 2 each add one near-dup of the family; batch 3 probes
+    batches = [
+        [doc(10, change_at=1)],
+        [doc(20, change_at=2)],
+        [doc(30, change_at=3)],
+    ]
+    seen_by_batch = []
+    for rows in batches:
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        cands, new_idx = incremental_minhash_candidates(batch, index)
+        seen_by_batch.append(
+            {r["id_existing"] for r in cands.collect()}
+        )
+        index = index.unionByName(new_idx).localCheckpoint()
+
+    assert 1 in seen_by_batch[0]            # batch 1 matches the corpus
+    assert {1, 10} <= seen_by_batch[1]      # batch 2 matches corpus + batch 1
+    assert {1, 10, 20} <= seen_by_batch[2]  # batch 3 crosses batch 1 AND 2

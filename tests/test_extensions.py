@@ -88,6 +88,40 @@ def test_minhash_lsh_recall_on_high_jaccard_pairs(docs):
     assert len(recalled) / len(truth) >= 0.9
 
 
+def test_minhash_permutations_differ(spark):
+    """Regression pin for the Spark 4.1.2 HOF-lambda collapse:
+    structurally-similar transform() lambdas that differ only in a
+    literal FUNCTION ARGUMENT (the r2 `xxhash64(s, lit(i))` seeding)
+    all evaluate to the first lambda's result within one projection —
+    silently making every MinHash permutation identical. The
+    arithmetic-permutation formulation must produce genuinely distinct
+    permutations, in both hash modes, and est_jaccard must therefore
+    take fractional values for near (not identical) docs."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30)))], "doc_id long, text string"
+    )
+    for portable in (False, True):
+        sig = dedup.minhash_signatures(df, portable=portable).collect()[0]
+        vals = [sig[f"mh_{i}"] for i in range(16)]
+        assert len(set(vals)) > 8, (
+            f"permutations collapsed (portable={portable}): {vals}"
+        )
+    # near-dup (1 of 30 words changed): estimate must be fractional —
+    # with collapsed permutations it could only be 0.0 or 1.0
+    w = [f"w{i}" for i in range(30)]
+    w[7] = "CHANGED"
+    near = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(30))), (2, " ".join(w))],
+        "doc_id long, text string",
+    )
+    ests = [
+        r["est_jaccard"]
+        for r in dedup.minhash_lsh_candidates(near).collect()
+        if (r["id_a"], r["id_b"]) == (1, 2)
+    ]
+    assert ests and 0.0 < ests[0] < 1.0
+
+
 def test_simhash_identical_texts_collide(spark):
     df = spark.createDataFrame(
         [(1, "spark hash join table scan"), (2, "spark hash join table scan"),
@@ -269,5 +303,34 @@ def test_multimodal_plumbing(docs):
     per_asset = frames.groupBy("asset_id").count()
     assert per_asset.filter(F.col("count") < 1).count() == 0
 
-    with pytest.raises(Exception, match="NotImplementedError|media codecs"):
-        multimodal.extract_image_features(assets, fake_decode=False).collect()
+    if multimodal._PILImage is None:
+        # no codec libs in this container: the seam must fail loudly
+        with pytest.raises(Exception, match="NotImplementedError|media codecs"):
+            multimodal.extract_image_features(assets, fake_decode=False).collect()
+    else:
+        # Pillow present: text-bytes payloads are not decodable images,
+        # so real decode still fails — but with a codec error, not the
+        # NotImplementedError stub.
+        with pytest.raises(Exception):
+            multimodal.extract_image_features(assets, fake_decode=False).collect()
+
+
+@pytest.mark.skipif(
+    multimodal._PILImage is None, reason="Pillow not installed in container"
+)
+def test_multimodal_real_decode(spark):
+    """With Pillow importable, fake_decode=False decodes actual image
+    bytes through the SAME mapInPandas plan (only _decode_payload's
+    body changes)."""
+    import io
+
+    buf = io.BytesIO()
+    multimodal._PILImage.new("L", (12, 7), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    assets = spark.createDataFrame(
+        [(1, "image", bytearray(png), ("t", len(png), "h"))],
+        multimodal.ASSET_SCHEMA,
+    )
+    f = multimodal.extract_image_features(assets, fake_decode=False).first()
+    assert (f["width"], f["height"]) == (12, 7)
+    assert abs(f["mean_luma"] - 128 / 255.0) < 1e-9
