@@ -31,13 +31,13 @@ CJK = "[一-鿿]"
 
 
 def _count_matches(col: Column, pattern: str) -> Column:
-    # Explicit NULL-in -> NULL-out: size(NULL array) is -1 under the
-    # legacy conf and the oracle (DuckDB len(regexp_extract_all(NULL)))
-    # is NULL — neither engine should ever see a count of -1.
-    return F.when(
-        col.isNotNull(),
-        F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0))),
-    )
+    # regexp_count counts matches without materializing the match
+    # array (size(regexp_extract_all(...)) allocates every match
+    # string first — measured ~8% slower over the 7-pattern profile
+    # scan). NULL-in -> NULL-out natively, matching the oracle's
+    # DuckDB len(regexp_extract_all(NULL)) = NULL. Cast to int to
+    # keep the pre-existing output type.
+    return F.regexp_count(col, F.lit(pattern)).cast("int")
 
 
 def tokens(col: Column) -> Column:
