@@ -1,0 +1,163 @@
+"""Continuous corpus ingestion with incremental near-dup detection.
+
+The batch-side incremental MinHash index (operators/dedup.py:
+minhash_band_index + incremental_minhash_candidates) makes near-dup
+detection O(batch) for an append-only corpus. This module is its
+Structured Streaming driver: a file/any stream of new documents is
+drained per micro-batch through foreachBatch; each batch
+
+1. probes the materialized band-index table for near-dup candidates
+   against the ENTIRE corpus ingested so far (plus batch-internal
+   pairs),
+2. appends the confirmed candidates to a candidates table,
+3. appends the batch's own index rows, absorbing it into the corpus.
+
+Per-batch cost is O(batch x bands) — the corpus is never re-read, let
+alone re-hashed, no matter how many years of documents the index
+holds. This is the production shape for training-corpus ingestion:
+the dedup decision for a new document is available within one
+micro-batch of its arrival instead of waiting for the next corpus-wide
+batch job.
+
+Exactly-once: foreachBatch replays a micro-batch after a crash, and
+the two table appends are not atomic, so each write is independently
+idempotent — every appended row carries the micro-batch id, and a
+replay skips exactly the appends whose batch id already landed
+(checked per table, so a crash BETWEEN the two writes replays only
+the missing one). The probe always filters the current batch's rows
+out of the index so a half-absorbed replay cannot pair documents with
+themselves.
+
+Scale notes (100 TB):
+
+* The probe is an equijoin on `bucket`. Stored as a plain parquet path
+  the index side shuffles per batch; for high-frequency triggers,
+  persist the index as a bucketed table (sources/bucketing) on
+  `bucket` so probes co-locate and only the (tiny) batch side moves.
+* Both tables are append-only — compact with sources.tables
+  .compact_table on the maintenance cadence; the index's per-row cost
+  is bands x (8-byte bucket + num_perm x 8-byte signature), ~0.2% of
+  typical document payload, so the index for a 100 TB corpus is
+  ~200 GB: comfortably joinable, never collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import dedup
+from ..sources import tables
+
+_BATCH_COL = "_batch_id"
+
+
+def _empty_index(
+    spark: SparkSession, id_col: str, id_type: T.DataType, portable: bool
+) -> DataFrame:
+    """Bootstrap frame matching minhash_band_index's schema (plus the
+    idempotency column) for the first-ever micro-batch. Bucket type
+    follows the hash mode: md5 strings when portable, xxhash64 longs
+    otherwise — a mismatched type would silently cast the join key."""
+    schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField(
+                "bucket", T.StringType() if portable else T.LongType()
+            ),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+            T.StructField("_params", T.StringType()),
+            T.StructField(_BATCH_COL, T.LongType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
+def _has_batch(df: DataFrame, batch_id: int) -> bool:
+    return (
+        _BATCH_COL in df.columns
+        and df.filter(F.col(_BATCH_COL) == batch_id).limit(1).count() > 0
+    )
+
+
+def neardup_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    candidates_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+    threshold: float | None = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the maintainer: returns the running StreamingQuery.
+
+    `threshold` filters candidate pairs on est_jaccard before the
+    append (None keeps every banding collision). Candidate rows are
+    (id_new, id_existing, est_jaccard, _batch_id); index rows are
+    minhash_band_index's schema + _batch_id.
+
+    The index table on disk is the same table the batch-side
+    incremental dedup uses (minus _BATCH_COL, which batch callers
+    drop) — one index, either driver.
+    """
+    spark = docs_stream.sparkSession
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if tables.table_exists(index_path):
+            index = tables.read_table(spark, index_path)
+        else:
+            index = _empty_index(
+                spark, id_col, batch.schema[id_col].dataType, portable
+            )
+        done_idx = _has_batch(index, batch_id)
+        done_cand = tables.table_exists(candidates_path) and _has_batch(
+            tables.read_table(spark, candidates_path), batch_id
+        )
+        if done_idx and done_cand:
+            return  # full replay of an already-committed batch
+        # Exclude this batch's own rows (present iff a crash landed the
+        # index append but not the candidates append) so the replayed
+        # probe can't pair the batch against itself via the index.
+        probe_index = index.filter(
+            F.col(_BATCH_COL) != batch_id
+        ) if _BATCH_COL in index.columns else index
+        cands, new_idx = dedup.incremental_minhash_candidates(
+            batch,
+            probe_index.drop(_BATCH_COL),
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            num_perm=num_perm,
+            bands=bands,
+            portable=portable,
+        )
+        if threshold is not None:
+            cands = cands.filter(F.col("est_jaccard") >= threshold)
+        if not done_cand:
+            tables.write_table(
+                cands.withColumn(_BATCH_COL, F.lit(batch_id)),
+                candidates_path,
+                mode="append",
+            )
+        if not done_idx:
+            tables.write_table(
+                new_idx.withColumn(_BATCH_COL, F.lit(batch_id)),
+                index_path,
+                mode="append",
+            )
+
+    writer = docs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
