@@ -113,3 +113,41 @@ def test_replay_is_idempotent_per_table(spark, env):
     assert cands.count() == cand1
     pairs = {(r["id_new"], r["id_existing"]) for r in cands.collect()}
     assert (1, 20) in pairs  # batch-internal pair, id_new < id_existing
+
+
+def test_bucketed_index_probe_uses_bucketing(spark, tmp_path):
+    """The 100 TB probe shape: the index persisted as a table bucketed
+    on `bucket` joins the (tiny) batch without shuffling the corpus
+    side — the planner reads the bucketed scan in place and only the
+    batch moves. Results must equal the plain parquet-path index."""
+    from ecomm_datapipeline_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        [_doc(i, change_at=i % 30) for i in range(60)]
+        + [_doc(100 + i, alien=True) for i in range(20)],
+    )
+    idx = dedup.minhash_band_index(corpus)
+    tables.write_bucketed_table(idx, "nd_index_b", ["bucket"], 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = spark.createDataFrame([_doc(999, change_at=7)])
+        plain, _ = dedup.incremental_minhash_candidates(batch, idx)
+        bucketed, _ = dedup.incremental_minhash_candidates(
+            batch, spark.table("nd_index_b")
+        )
+        plan = bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan[:3000]
+        got = {
+            (r["id_new"], r["id_existing"]) for r in bucketed.collect()
+        }
+        want = {(r["id_new"], r["id_existing"]) for r in plain.collect()}
+        assert got == want
+        assert any(a == 999 for a, _ in got)  # the batch doc found its family
+        assert all(a != b for a, b in got)  # never a self-pair
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760"
+        )
+        spark.sql("DROP TABLE IF EXISTS nd_index_b")
