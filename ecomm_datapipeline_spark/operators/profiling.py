@@ -1,0 +1,92 @@
+"""Single-pass table profiling (dataset QC before training).
+
+At 100 TB you profile a table before you spend a cluster-day training
+on it: null rates, cardinalities, ranges — per column, in ONE scan.
+The whole profile is a single groupBy-less aggregate: every statistic
+is algebraic or sketch-mergeable (count / sum / min / max /
+approx_count_distinct's HLL), so executors compute partial states
+map-side and one 1-row exchange finishes the job. No per-column jobs,
+no driver loops, zero Python in the hot path.
+
+The wide 1-row aggregate is then unpivoted driver-side-free (an
+explode over per-column structs) into the tall (column, stats) shape
+humans and downstream gates consume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ATOMIC = (
+    T.NumericType,
+    T.StringType,
+    T.BooleanType,
+    T.DateType,
+    T.TimestampType,
+    T.TimestampNTZType,
+)
+
+
+def _is_atomic(dtype: T.DataType) -> bool:
+    return isinstance(dtype, _ATOMIC)
+
+
+def _distinct_key(c: Column, dtype: T.DataType) -> Column:
+    # approx_count_distinct needs an orderable/hashable input; complex
+    # types go through their canonical JSON form (stable key, never
+    # materialized beyond the hash inside the HLL update).
+    return c if _is_atomic(dtype) else F.to_json(c)
+
+
+def profile_table(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """One row per profiled column:
+    (column, dtype, n_rows, n_nulls, null_rate, approx_distinct,
+    min_value, max_value) — min/max as strings (cast AFTER the typed
+    aggregate, so numeric/temporal ordering is preserved; NULL for
+    complex types, which have no order).
+
+    `rsd` is the HLL relative standard deviation for approx_distinct.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    cols = list(columns) if columns is not None else df.columns
+    for c in cols:
+        if c not in fields:
+            raise ValueError(f"no such column: {c}")
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        col, dtype = F.col(c), fields[c]
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(
+            F.approx_count_distinct(_distinct_key(col, dtype), rsd).alias(
+                f"{c}__dist"
+            )
+        )
+        if _is_atomic(dtype):
+            aggs.append(F.min(col).cast("string").alias(f"{c}__min"))
+            aggs.append(F.max(col).cast("string").alias(f"{c}__max"))
+        else:
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__min"))
+            aggs.append(F.lit(None).cast("string").alias(f"{c}__max"))
+
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(fields[c].simpleString()).alias("dtype"),
+            F.col("_n").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            (F.col(f"{c}__nulls") / F.col("_n")).alias("null_rate"),
+            F.col(f"{c}__dist").alias("approx_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")

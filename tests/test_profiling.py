@@ -1,0 +1,78 @@
+"""profile_table: exact stats on a known frame, complex-type handling,
+single-job plan shape."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.profiling import profile_table
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        (1, "a", 10.5, dt.date(2025, 1, 1), [1, 2]),
+        (2, None, -3.25, dt.date(2025, 6, 30), []),
+        (3, "b", None, None, None),
+        (4, "a", 99.0, dt.date(2024, 12, 31), [7]),
+    ]
+    return spark.createDataFrame(
+        rows, "id long, s string, x double, d date, arr array<int>"
+    )
+
+
+def test_profile_exact_stats(frame):
+    prof = {r["column"]: r for r in profile_table(frame).collect()}
+    assert set(prof) == {"id", "s", "x", "d", "arr"}
+
+    assert all(r["n_rows"] == 4 for r in prof.values())
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["null_rate"] == 0.25
+    assert prof["x"]["n_nulls"] == 1
+    assert prof["id"]["n_nulls"] == 0
+
+    # typed ordering preserved (NOT lexicographic: "-3.25" < "10.5"
+    # numerically but not as strings; 2024-12-31 < 2025-01-01)
+    assert prof["x"]["min_value"] == "-3.25"
+    assert prof["x"]["max_value"] == "99.0"
+    assert prof["d"]["min_value"] == "2024-12-31"
+    assert prof["d"]["max_value"] == "2025-06-30"
+    assert prof["id"]["dtype"] == "bigint"
+
+    # small-cardinality HLL is exact in practice
+    assert prof["s"]["approx_distinct"] == 2  # nulls don't count
+    assert prof["id"]["approx_distinct"] == 4
+
+    # complex type: distinct via canonical JSON, no min/max
+    assert prof["arr"]["approx_distinct"] == 3
+    assert prof["arr"]["min_value"] is None
+    assert prof["arr"]["max_value"] is None
+    assert prof["arr"]["dtype"] == "array<int>"
+
+
+def test_profile_column_subset_and_unknown(frame):
+    assert {r["column"] for r in profile_table(frame, ["id", "x"]).collect()} == {
+        "id",
+        "x",
+    }
+    with pytest.raises(ValueError, match="no such column"):
+        profile_table(frame, ["nope"])
+
+
+def test_profile_is_one_aggregate(frame):
+    """The whole profile must stay a single partial-agg plan: one scan,
+    one 1-row exchange — never a per-column job or a driver loop."""
+    plan = (
+        profile_table(frame)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1, plan[:2000]
+
+
+def test_profile_on_testdata(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = {r["column"]: r for r in profile_table(docs).collect()}
+    n = docs.count()
+    assert prof["doc_id"]["n_rows"] == n
+    assert prof["doc_id"]["n_nulls"] == 0
+    # doc_id is unique: HLL at rsd=0.05 stays within 5%ish of n
+    assert abs(prof["doc_id"]["approx_distinct"] - n) <= max(3, 0.1 * n)
