@@ -80,3 +80,87 @@ def deterministic_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1]: {fraction}")
     return df.filter(hash_bucket(id_col) < int(round(fraction * _BUCKETS)))
+
+
+def sample_to_token_budget(
+    df: DataFrame,
+    id_col: str,
+    token_budget: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministically sample ~token_budget whitespace tokens' worth
+    of documents ("give me 10B tokens of this corpus, the same 10B
+    every time").
+
+    Two jobs: one scan totals the corpus tokens (a single sum — the
+    only driver-side value), then deterministic_sample keeps the
+    id-hash prefix at fraction budget/total. Expectation-exact, not
+    knapsack-exact: per-document token counts vary, so the kept sample
+    lands within sampling error of the budget — the right trade at
+    scale, where any exact packing would need a global sort + running
+    sum over the whole corpus. Budget >= corpus returns everything.
+
+    Determinism caveat: the fraction depends on the corpus total, so
+    the SAMPLE is stable only for a fixed corpus snapshot; rows keep
+    their inclusion order (hash prefix), meaning a grown corpus only
+    ever shrinks the kept set, never reshuffles it.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive: {token_budget}")
+    from .text import tokens
+
+    total = df.agg(
+        F.sum(F.size(tokens(F.col(text_col)))).alias("n")
+    ).first()["n"]
+    if not total or total <= token_budget:
+        return df
+    return deterministic_sample(df, id_col, token_budget / total)
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Weighted mixture of corpora at target proportions — the data-
+    mixture step of LLM training (e.g. 60% web, 30% code, 10% books).
+
+    Down-sampling only (never duplicates a row): the largest feasible
+    output is taken, i.e. the source with the least data relative to
+    its weight is kept whole and every other source is deterministically
+    down-sampled to match, so output proportions equal the normalized
+    weights (within sampling error). One count per source (k driver
+    scalars, k = number of corpora), then pure per-row hash filters and
+    a union — no shuffle anywhere.
+
+    Rows are tagged with their corpus name in `source_col`. Ids only
+    need to be unique WITHIN a source; (source, id) is the output key.
+    """
+    if not sources:
+        raise ValueError("mix_corpora needs at least one source")
+    weights = {name: w for name, (_, w) in sources.items()}
+    if any(w <= 0 for w in weights.values()):
+        raise ValueError(f"weights must be positive: {weights}")
+    total_w = sum(weights.values())
+    sizes = {
+        name: df.count() for name, (df, _) in sources.items()
+    }
+    if any(n == 0 for n in sizes.values()):
+        empty = [n for n, s in sizes.items() if s == 0]
+        raise ValueError(f"empty source corpora: {empty}")
+    # scale C = rows of output per unit of normalized weight; the
+    # binding source is the one that runs out of rows first.
+    scale = min(sizes[n] / (weights[n] / total_w) for n in weights)
+    parts = []
+    for name, (df, _) in sources.items():
+        target = scale * weights[name] / total_w
+        frac = min(1.0, target / sizes[name])
+        parts.append(
+            deterministic_sample(df, id_col, frac).withColumn(
+                source_col, F.lit(name)
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -246,6 +246,39 @@ PATTERNS = {
 }
 
 
+# PII patterns with their replacement tokens — the subset of PATTERNS
+# that identifies a person (content-signal patterns like vowel pairs
+# are measurement, not PII, and are never redacted). Same regex
+# dialect constraints as PATTERNS.
+PII_REDACTIONS = {
+    "email": (PATTERNS["n_emails"], "<EMAIL>"),
+    "url": (PATTERNS["n_urls"], "<URL>"),
+    "phone": (PATTERNS["n_phones"], "<PHONE>"),
+}
+
+
+def redact(
+    df: DataFrame,
+    text_col: str = "text",
+    redactions: dict[str, tuple[str, str]] | None = None,
+) -> DataFrame:
+    """Replace PII matches with typed placeholder tokens in place —
+    the redaction stage that follows a pattern_scan screen in a
+    training-data pipeline. A chain of regexp_replace calls (one per
+    pattern) over the text column: scan-speed, zero shuffle, and the
+    placeholders keep sentence structure for the tokenizer instead of
+    punching holes in it.
+
+    Order matters and is insertion order: emails before URLs would
+    mangle mailto-style URLs' local parts either way, so patterns
+    should stay disjoint (the defaults are)."""
+    redactions = redactions or PII_REDACTIONS
+    t: Column = F.col(text_col)
+    for pattern, token in redactions.values():
+        t = F.regexp_replace(t, pattern, token)
+    return df.withColumn(text_col, t)
+
+
 def pattern_scan(
     df: DataFrame,
     text_col: str = "text",

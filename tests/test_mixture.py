@@ -1,0 +1,106 @@
+"""PII redaction, token-budget sampling, and weighted corpus mixing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import sampling, text
+
+
+def test_redact_replaces_pii_with_tokens(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@site.org or call 555-123-4567"),
+            (2, "docs at https://ex.com/a?b=1 end"),
+            (3, "clean text stays identical"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in text.redact(df).collect()}
+    assert out[1] == "mail me at <EMAIL> or call <PHONE>"
+    assert out[2] == "docs at <URL> end"
+    assert out[3] == "clean text stays identical"
+    assert out[4] is None
+    # redacted text no longer fires the scan it came from
+    rescan = text.pattern_scan(text.redact(df)).agg(
+        F.sum("n_emails"), F.sum("n_urls"), F.sum("n_phones")
+    ).first()
+    assert list(rescan) == [0, 0, 0]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, " ".join(f"w{j}" for j in range(10 + i % 7))) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_budget_sample(corpus):
+    total = corpus.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+
+    kept = sampling.sample_to_token_budget(corpus, "doc_id", total // 3)
+    kept_tokens = kept.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    # expectation-exact: within 25% of the budget on 400 docs
+    assert abs(kept_tokens - total // 3) / (total // 3) < 0.25
+
+    # deterministic: same rows every time
+    a = {r["doc_id"] for r in kept.collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.sample_to_token_budget(
+            corpus, "doc_id", total // 3
+        ).collect()
+    }
+    assert a == b
+
+    # budget >= corpus: identity
+    assert (
+        sampling.sample_to_token_budget(corpus, "doc_id", total * 2).count()
+        == corpus.count()
+    )
+    with pytest.raises(ValueError, match="positive"):
+        sampling.sample_to_token_budget(corpus, "doc_id", 0)
+
+
+def test_mix_corpora_proportions(spark):
+    web = spark.createDataFrame(
+        [(i, f"web {i}") for i in range(3000)], "doc_id long, text string"
+    )
+    code = spark.createDataFrame(
+        [(i, f"code {i}") for i in range(500)], "doc_id long, text string"
+    )
+    books = spark.createDataFrame(
+        [(i, f"book {i}") for i in range(400)], "doc_id long, text string"
+    )
+    mixed = sampling.mix_corpora(
+        {"web": (web, 0.6), "code": (code, 0.3), "books": (books, 0.1)}
+    )
+    by_src = {
+        r["source"]: r["count"]
+        for r in mixed.groupBy("source").count().collect()
+    }
+    # binding source is code (500 / 0.3): web and books down-sample to
+    # match; proportions ~ 60/30/10 within sampling error
+    assert by_src["code"] == 500  # kept whole (binding)
+    total = sum(by_src.values())
+    assert abs(by_src["web"] / total - 0.6) < 0.05
+    assert abs(by_src["books"] / total - 0.1) < 0.03
+
+    # down-sampling only: every output row exists in its source
+    assert mixed.filter(F.col("source") == "web").count() <= 3000
+    # deterministic across runs
+    again = sampling.mix_corpora(
+        {"web": (web, 0.6), "code": (code, 0.3), "books": (books, 0.1)}
+    )
+    assert (
+        mixed.exceptAll(again).count() == 0
+        and again.exceptAll(mixed).count() == 0
+    )
+
+    with pytest.raises(ValueError, match="positive"):
+        sampling.mix_corpora({"web": (web, 0.0)})
+    with pytest.raises(ValueError, match="at least one"):
+        sampling.mix_corpora({})
