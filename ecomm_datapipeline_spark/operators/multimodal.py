@@ -161,3 +161,91 @@ def frame_sample_plan(assets: DataFrame, every_n_bytes: int = 1024) -> DataFrame
         "frame_no",
         (F.col("frame_no") * every_n_bytes).cast("long").alias("byte_offset"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def _fit(width: int, height: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit into a max_side square (never upscales)."""
+    longest = max(width, height)
+    if longest <= max_side:
+        return width, height
+    return (
+        max(1, (width * max_side) // longest),
+        max(1, (height * max_side) // longest),
+    )
+
+
+def resize_images(
+    assets: DataFrame,
+    max_side: int = 256,
+    fake_decode: bool = True,
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Resize every image to fit max_side (aspect-preserving, never
+    upscaling) via mapInPandas — the normalize-resolution stage before
+    feature extraction or training. Same batch shape as
+    extract_image_features: Arrow payload batches, one Python
+    roundtrip, repartition by batch_partitions so each task holds a
+    bounded BYTE volume (payload bytes, not row counts, bound task
+    memory — doubly so here, where input AND output payloads coexist
+    per batch).
+
+    fake_decode=True derives dimensions sha256-deterministically
+    (the _decode_payload convention) and emits a pseudo-payload of
+    exactly width*height bytes from repeated sha256 — so the
+    distributed plumbing (schema, partitioning, batch shape, output
+    sizes) is testable end-to-end without codec libraries.
+    fake_decode=False uses Pillow when importable (thumbnail + PNG
+    re-encode), else raises the documented codec error."""
+    src = assets
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def _fake_bytes(seed: bytes, n: int) -> bytes:
+        out, h = bytearray(), seed
+        while len(out) < n:
+            h = hashlib.sha256(h).digest()
+            out.extend(h)
+        return bytes(out[:n])
+
+    def _resize_one(payload: bytes) -> tuple[int, int, bytes]:
+        if fake_decode:
+            w, h, _ = _decode_payload(payload, fake=True)
+            nw, nh = _fit(w, h, max_side)
+            return nw, nh, _fake_bytes(payload, nw * nh)
+        if _PILImage is None:
+            raise NotImplementedError(
+                "media codecs unavailable in this environment; "
+                "install Pillow (or swap in torchaudio/av) for real decode"
+            )
+        img = _PILImage.open(io.BytesIO(payload))
+        nw, nh = _fit(*img.size, max_side)
+        img = img.resize((nw, nh))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return nw, nh, buf.getvalue()
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_resize_one(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "width": pd.Series([r[0] for r in resized], dtype="int32"),
+                    "height": pd.Series([r[1] for r in resized], dtype="int32"),
+                    "payload": [r[2] for r in resized],
+                }
+            )
+
+    return src.mapInPandas(_resize, RESIZED_SCHEMA)

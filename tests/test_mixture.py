@@ -104,3 +104,41 @@ def test_mix_corpora_proportions(spark):
         sampling.mix_corpora({"web": (web, 0.0)})
     with pytest.raises(ValueError, match="at least one"):
         sampling.mix_corpora({})
+
+
+def test_resize_images_plumbing(spark):
+    """Fake-decode resize: aspect-preserving fit, never upscales,
+    output payload is exactly width*height bytes and deterministic."""
+    from ecomm_datapipeline_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(i, f"payload body {i} " * (i + 1), "synthetic") for i in range(20)],
+        "doc_id long, text string, source string",
+    )
+    assets = multimodal.assets_from_documents(docs)
+    out = multimodal.resize_images(assets, max_side=100).collect()
+    assert len(out) == 20
+    for r in out:
+        assert max(r["width"], r["height"]) <= 100
+        assert len(r["payload"]) == r["width"] * r["height"]
+        assert r["media_type"] == "image"
+
+    # aspect ratio preserved vs the decoded (fake) dimensions
+    feats = {
+        f["asset_id"]: f
+        for f in multimodal.extract_image_features(assets).collect()
+    }
+    for r in out:
+        f = feats[r["asset_id"]]
+        if max(f["width"], f["height"]) <= 100:  # no upscaling
+            assert (r["width"], r["height"]) == (f["width"], f["height"])
+        else:
+            want = f["width"] / f["height"]
+            got = r["width"] / r["height"]
+            assert abs(want - got) / want < 0.15  # integer rounding slack
+
+    # deterministic payloads
+    again = multimodal.resize_images(assets, max_side=100).collect()
+    assert {r["asset_id"]: bytes(r["payload"]) for r in out} == {
+        r["asset_id"]: bytes(r["payload"]) for r in again
+    }
