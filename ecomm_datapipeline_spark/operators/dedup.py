@@ -322,19 +322,32 @@ def minhash_lsh_candidates(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64, each bit votes +1/-1, the
-    sign of the vote sum forms the signature bit. Expressed as `bits`
-    conditional-sum aggregates over exploded tokens — all JVM-side."""
+    """SimHash: per-token hash, each bit votes +1/-1, the sign of the
+    vote sum forms the signature bit. Expressed as `bits`
+    conditional-sum aggregates over exploded tokens — all JVM-side.
+
+    portable=False (default): 64-bit xxhash64 token hashes — the fast
+    production path. portable=True: md5-derived 32-bit token hashes
+    (portable_hash32, the same trick as the MinHash portable mode) —
+    every vote, signature bit, bucket, and hamming distance is then
+    bit-identical in DuckDB, so the gate can hash-check the output;
+    pass bits=32 with it (the hash has no higher bits to vote with).
+    """
     # Hash each token ONCE in a projection; the 64 vote aggregates
     # then do pure bit ops on the attribute (embedding xxhash64 in
     # every aggregate expression recomputes it 64x per row — measured
     # 40s -> ~3s at sf0.1).
+    tok_hash = portable_hash32(F.col("tok")) if portable else F.xxhash64("tok")
     toks = _parallelize(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
-    ).select(F.col(id_col), F.xxhash64("tok").alias("h"))
+    ).select(F.col(id_col), tok_hash.alias("h"))
     # bits-1 votes: the top (sign) bit stays clear, so computing a
     # vote for it would be wasted work.
     votes = [
@@ -365,11 +378,12 @@ def simhash_near_pairs(
     max_hamming: int = 8,
     prefix_bits: int = 12,
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs: same simhash prefix bucket (the top
     prefix_bits signature bits) AND hamming(simhash_a, simhash_b) <=
     max_hamming via bit_count(xor)."""
-    sig = simhash(df, text_col, id_col, bits)
+    sig = simhash(df, text_col, id_col, bits, portable=portable)
     # signature occupies bits 0..bits-2; the bucket is its top
     # prefix_bits bits.
     bucketed = sig.withColumn(

@@ -1387,15 +1387,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates(_t(spark, sf_dir, "documents"), portable=True)
 
 
+def _simhash_sql() -> str:
+    """The portable-mode SimHash chain as one DuckDB statement:
+    md5-derived 32-bit token hashes (bit-identical to
+    dedup.portable_hash32), 31 per-bit +1/-1 vote sums, signature
+    assembled from the vote signs, prefix-bucket self-join, hamming
+    via bit_count(xor) — exactly operators/dedup.simhash_near_pairs
+    (portable=True, bits=32)."""
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(31)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN CAST(1 AS BIGINT) << {i} ELSE CAST(0 AS BIGINT) END)"
+        for i in range(31)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h
+      FROM toks
+    ), votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM hashed GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {sig} AS simhash FROM votes
+    ), bucketed AS (
+      SELECT doc_id, simhash, simhash >> 19 AS bucket FROM sig
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM bucketed a JOIN bucketed b USING (bucket)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 4
+    """
+
+
 @register(
     "dedup_simhash",
-    None,  # xxhash64-based signature; driver records rows-only
-    "ext: SimHash near-dup candidates",
+    _simhash_sql(),
+    "ext: SimHash near-dup candidates (portable md5 mode, hash-checked)",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import simhash_near_pairs
 
-    return simhash_near_pairs(_t(spark, sf_dir, "documents"))
+    # Portable mode so the signature chain is engine-reproducible and
+    # the gate hash-checks it; xxhash64/64-bit stays the production
+    # default (operators/dedup.simhash docstring). max_hamming scaled
+    # to the 31-bit signature (4/31 ~ the default 8/63 selectivity).
+    return simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=4, bits=32, portable=True
+    )
 
 
 @register(

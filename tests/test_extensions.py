@@ -128,10 +128,17 @@ def test_simhash_identical_texts_collide(spark):
          (3, "completely different words entirely")],
         "doc_id long, text string",
     )
-    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
-    assert sigs[1] == sigs[2]
-    pairs = dedup.simhash_near_pairs(df, max_hamming=0).collect()
-    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+    for portable, bits in ((False, 64), (True, 32)):
+        sigs = {
+            r["doc_id"]: r["simhash"]
+            for r in dedup.simhash(df, bits=bits, portable=portable).collect()
+        }
+        assert sigs[1] == sigs[2], (portable, sigs)
+        assert sigs[1] != sigs[3], (portable, sigs)
+        pairs = dedup.simhash_near_pairs(
+            df, max_hamming=0, bits=bits, portable=portable
+        ).collect()
+        assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
 
 
 def test_lsh_ann_subset_of_bruteforce_space(emb):
