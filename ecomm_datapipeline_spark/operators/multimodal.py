@@ -249,3 +249,74 @@ def resize_images(
             )
 
     return src.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def _decode_audio(payload: bytes, fake: bool) -> tuple[int, int, float]:
+    """(sample_rate, n_samples, rms) — the audio leg of the codec seam.
+    fake=True treats each payload byte as one centered PCM sample at a
+    sha256-chosen rate, so durations and RMS are deterministic and the
+    distributed plumbing is testable without torchaudio/soundfile.
+    fake=False raises the documented codec error (no audio library in
+    this container; swap in torchaudio.load / soundfile.read here)."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs unavailable in this environment; "
+            "swap _decode_audio's body for torchaudio/soundfile when present"
+        )
+    digest = hashlib.sha256(payload).digest()
+    sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+    n_samples = len(payload)
+    if n_samples == 0:
+        return sample_rate, 0, 0.0
+    acc = 0
+    for b in payload:
+        s = b - 128  # center u8 around 0
+        acc += s * s
+    rms = (acc / n_samples) ** 0.5 / 128.0
+    return sample_rate, n_samples, rms
+
+
+def extract_audio_features(
+    assets: DataFrame, fake_decode: bool = True, batch_partitions: int | None = None
+) -> DataFrame:
+    """Audio decode + feature extraction via mapInPandas — identical
+    batch/partitioning shape to extract_image_features (bounded byte
+    volume per task); only the per-payload codec call differs."""
+    src = assets
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            decoded = [_decode_audio(bytes(p), fake_decode) for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sample_rate": pd.Series(
+                        [d[0] for d in decoded], dtype="int32"
+                    ),
+                    "n_samples": pd.Series(
+                        [d[1] for d in decoded], dtype="int64"
+                    ),
+                    "duration_s": [d[1] / d[0] for d in decoded],
+                    "rms": [d[2] for d in decoded],
+                }
+            )
+
+    return src.mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)

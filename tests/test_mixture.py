@@ -142,3 +142,32 @@ def test_resize_images_plumbing(spark):
     assert {r["asset_id"]: bytes(r["payload"]) for r in out} == {
         r["asset_id"]: bytes(r["payload"]) for r in again
     }
+
+
+def test_audio_features_plumbing(spark):
+    """Fake audio decode: deterministic sample-rate/duration/RMS, rms
+    bounded in [0,1], duration consistent with n_samples/rate; the
+    real-codec path fails loudly at the seam."""
+    import pytest as _pytest
+
+    from ecomm_datapipeline_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(i, f"pcm-ish payload {i} " * (i + 1), "synthetic") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    assets = multimodal.assets_from_documents(docs, media_type="audio")
+    rows = multimodal.extract_audio_features(assets).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["media_type"] == "audio"
+        assert r["sample_rate"] in (8000, 16000, 22050, 44100)
+        assert r["n_samples"] == r["n_bytes"]
+        assert abs(r["duration_s"] - r["n_samples"] / r["sample_rate"]) < 1e-12
+        assert 0.0 <= r["rms"] <= 1.0
+
+    again = multimodal.extract_audio_features(assets).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    with _pytest.raises(Exception, match="NotImplementedError|audio codecs"):
+        multimodal.extract_audio_features(assets, fake_decode=False).collect()
