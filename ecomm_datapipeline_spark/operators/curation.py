@@ -125,3 +125,58 @@ def curate_documents(
         else None
     )
     return gated, stats
+
+
+def build_training_corpus(
+    sources: dict[str, tuple[DataFrame, float]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_budget: int | None = None,
+    redact_pii: bool = True,
+    split_fractions: dict[str, float] | None = None,
+    **curate_kwargs,
+) -> DataFrame:
+    """The end-to-end corpus build a training-data team actually runs,
+    as one composition of this engine's operators:
+
+        weighted mixture -> curation (clean / exact dedup / near-dup /
+        quality / language) -> PII redaction -> token-budget sampling
+        -> deterministic train/val/test split
+
+    `sources` maps corpus name -> (DataFrame, mixture weight); see
+    sampling.mix_corpora. Ids need only be unique per source — a
+    composite `corpus_key` (source:id, engine-portable string) becomes
+    the working id for dedup, sampling, and splitting, so two corpora
+    reusing raw id ranges can never collide or cross-assign splits.
+
+    Ordering rationale: redaction runs AFTER near-dup detection so two
+    documents differing only in redacted spans still count as the
+    near-dups they are (their post-redaction text would be identical —
+    which exact dedup would then catch anyway, but the similarity
+    signal belongs to the original text); the token-budget sample runs
+    after all filtering so the budget buys only surviving documents;
+    the split is last and depends only on corpus_key, so re-running
+    with a different budget can never move a kept document between
+    splits (sampling and splitting hash the same key independently).
+
+    Returns the curated frame with `source`, `corpus_key`, and `split`
+    columns riding along. Stats collection stays available through
+    curate_documents for per-stage counts.
+    """
+    from . import sampling
+
+    key_col = "corpus_key"
+    mixed = sampling.mix_corpora(sources, id_col=id_col).withColumn(
+        key_col,
+        F.concat_ws(":", F.col("source"), F.col(id_col).cast("string")),
+    )
+    curated, _ = curate_documents(
+        mixed, text_col=text_col, id_col=key_col, **curate_kwargs
+    )
+    if redact_pii:
+        curated = text.redact(curated, text_col)
+    if token_budget is not None:
+        curated = sampling.sample_to_token_budget(
+            curated, key_col, token_budget, text_col
+        )
+    return sampling.split_assign(curated, key_col, split_fractions)

@@ -238,3 +238,65 @@ def test_incremental_minhash_index_transitive_batches(spark):
     assert 1 in seen_by_batch[0]            # batch 1 matches the corpus
     assert {1, 10} <= seen_by_batch[1]      # batch 2 matches corpus + batch 1
     assert {1, 10, 20} <= seen_by_batch[2]  # batch 3 crosses batch 1 AND 2
+
+
+def test_build_training_corpus_end_to_end(spark):
+    """Mixture -> curation -> redaction -> budget -> split in one call:
+    cross-corpus id collisions are impossible (composite corpus_key),
+    exact dups die, PII is gone, every kept row carries source + split,
+    and the whole build is deterministic."""
+    from ecomm_datapipeline_spark.operators.curation import build_training_corpus
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    web = spark.createDataFrame(
+        [(i, f"{base} web variant {i}") for i in range(40)]
+        + [(100, base), (101, base)],  # exact dups (within-source)
+        "doc_id long, text string",
+    )
+    # code reuses doc_id range 0.. — must NOT collide with web's ids
+    code = spark.createDataFrame(
+        [(i, f"def f{i}(): return {i} # {base}") for i in range(30)]
+        + [(200, f"email me at a.b@c.org about {base}")],
+        "doc_id long, text string",
+    )
+    out = build_training_corpus(
+        {"web": (web, 0.6), "code": (code, 0.4)},
+        near_dup_threshold=1.01,  # isolate exact-dedup behavior
+    ).cache()
+
+    rows = out.collect()
+    assert rows, "corpus should not be empty"
+    keys = [r["corpus_key"] for r in rows]
+    assert len(keys) == len(set(keys))
+    assert {r["source"] for r in rows} <= {"web", "code"}
+    assert all(r["split"] in ("train", "val", "test") for r in rows)
+    # composite keys: web:5 and code:5 may BOTH survive
+    assert all(":" in k for k in keys)
+    # exact dups collapsed to one representative
+    survivors_100 = [k for k in keys if k in ("web:100", "web:101")]
+    assert len(survivors_100) <= 1
+    # PII redacted
+    assert all("a.b@c.org" not in (r["text"] or "") for r in rows)
+    pii_rows = [r for r in rows if r["corpus_key"] == "code:200"]
+    if pii_rows:
+        assert "<EMAIL>" in pii_rows[0]["text"]
+
+    # deterministic end-to-end
+    again = build_training_corpus(
+        {"web": (web, 0.6), "code": (code, 0.4)},
+        near_dup_threshold=1.01,
+    )
+    assert (
+        out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
+    )
+
+    # a token budget only shrinks, never reshuffles splits
+    budgeted = build_training_corpus(
+        {"web": (web, 0.6), "code": (code, 0.4)},
+        near_dup_threshold=1.01,
+        token_budget=150,
+    )
+    full_split = {r["corpus_key"]: r["split"] for r in rows}
+    for r in budgeted.collect():
+        assert full_split[r["corpus_key"]] == r["split"]
+    out.unpersist()
