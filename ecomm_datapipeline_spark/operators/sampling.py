@@ -24,14 +24,27 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
-def hash_bucket(id_col: Column | str, n_buckets: int = _BUCKETS) -> Column:
+def hash_bucket(
+    id_col: Column | str, n_buckets: int = _BUCKETS, salt: str = ""
+) -> Column:
     """Deterministic bucket in [0, n_buckets) from the row id:
     first 8 hex digits of md5(id) as an integer, mod n_buckets.
     Engine-portable: DuckDB `CAST('0x'||substr(md5(..),1,8) AS BIGINT)`
-    produces bit-identical buckets."""
+    produces bit-identical buckets.
+
+    `salt` re-keys the hash ("epoch-3" draws a DIFFERENT deterministic
+    sample than "epoch-2" — how a training loop sees fresh data each
+    epoch while staying reproducible). The default empty salt hashes
+    the bare id, so salted and unsalted callers share one definition
+    and the gate-checked split/sample outputs are unchanged. The salt
+    is suffixed behind a 0x1f separator so distinct (id, salt) pairs
+    can never collide into one hashed string."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = c.cast("string")
+    if salt:
+        key = F.concat_ws("\x1f", key, F.lit(salt))
     return (
-        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10)
         .cast("bigint")
         % n_buckets
     )
@@ -72,14 +85,18 @@ def split_assign(
 
 
 def deterministic_sample(
-    df: DataFrame, id_col: str, fraction: float
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:
     """Keep a stable `fraction` of rows, chosen by id hash — the same
     rows survive on every run/engine/partitioning (unlike
-    `df.sample`). Exact per-row filter, no shuffle."""
+    `df.sample`). Exact per-row filter, no shuffle. A `salt` draws an
+    independent sample (per-epoch subsampling); same salt -> same
+    rows, forever."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1]: {fraction}")
-    return df.filter(hash_bucket(id_col) < int(round(fraction * _BUCKETS)))
+    return df.filter(
+        hash_bucket(id_col, salt=salt) < int(round(fraction * _BUCKETS))
+    )
 
 
 def sample_to_token_budget(
@@ -87,6 +104,7 @@ def sample_to_token_budget(
     id_col: str,
     token_budget: int,
     text_col: str = "text",
+    salt: str = "",
 ) -> DataFrame:
     """Deterministically sample ~token_budget whitespace tokens' worth
     of documents ("give me 10B tokens of this corpus, the same 10B
@@ -114,13 +132,14 @@ def sample_to_token_budget(
     ).first()["n"]
     if not total or total <= token_budget:
         return df
-    return deterministic_sample(df, id_col, token_budget / total)
+    return deterministic_sample(df, id_col, token_budget / total, salt=salt)
 
 
 def mix_corpora(
     sources: dict[str, tuple[DataFrame, float]],
     id_col: str = "doc_id",
     source_col: str = "source",
+    salt: str = "",
 ) -> DataFrame:
     """Weighted mixture of corpora at target proportions — the data-
     mixture step of LLM training (e.g. 60% web, 30% code, 10% books).
@@ -156,7 +175,7 @@ def mix_corpora(
         target = scale * weights[name] / total_w
         frac = min(1.0, target / sizes[name])
         parts.append(
-            deterministic_sample(df, id_col, frac).withColumn(
+            deterministic_sample(df, id_col, frac, salt=salt).withColumn(
                 source_col, F.lit(name)
             )
         )

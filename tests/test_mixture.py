@@ -171,3 +171,21 @@ def test_audio_features_plumbing(spark):
 
     with _pytest.raises(Exception, match="NotImplementedError|audio codecs"):
         multimodal.extract_audio_features(assets, fake_decode=False).collect()
+
+
+def test_salted_sampling_epochs(corpus):
+    """A salt draws an independent deterministic sample: different
+    salts -> different row sets at the same fraction; same salt ->
+    identical rows; empty salt == the original unsalted definition."""
+    base = {r["doc_id"] for r in sampling.deterministic_sample(corpus, "doc_id", 0.3).collect()}
+    e1 = {r["doc_id"] for r in sampling.deterministic_sample(corpus, "doc_id", 0.3, salt="epoch-1").collect()}
+    e2 = {r["doc_id"] for r in sampling.deterministic_sample(corpus, "doc_id", 0.3, salt="epoch-2").collect()}
+    again = {r["doc_id"] for r in sampling.deterministic_sample(corpus, "doc_id", 0.3, salt="epoch-1").collect()}
+    assert e1 == again
+    assert e1 != e2 and e1 != base and e2 != base
+    # all still ~30% of 400 docs
+    for s in (base, e1, e2):
+        assert 60 <= len(s) <= 180
+    # unsalted path is literally the salt="" path
+    empty = {r["doc_id"] for r in sampling.deterministic_sample(corpus, "doc_id", 0.3, salt="").collect()}
+    assert empty == base
