@@ -189,3 +189,28 @@ def test_salted_sampling_epochs(corpus):
     # unsalted path is literally the salt="" path
     empty = {r["doc_id"] for r in sampling.deterministic_sample(corpus, "doc_id", 0.3, salt="").collect()}
     assert empty == base
+
+
+def test_sampling_family_plans_have_no_shuffle(spark, corpus):
+    """The zero-shuffle claims, pinned on executed plans: sampling,
+    splitting, and the mixture union are pure per-row filters."""
+    sample_plan = (
+        sampling.deterministic_sample(corpus, "doc_id", 0.5, salt="e1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in sample_plan, sample_plan[:1500]
+
+    split_plan = (
+        sampling.split_assign(corpus, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in split_plan, split_plan[:1500]
+
+    other = spark.createDataFrame(
+        [(i, f"o {i}") for i in range(100)], "doc_id long, text string"
+    )
+    mix_plan = (
+        sampling.mix_corpora({"a": (corpus, 0.5), "b": (other, 0.5)})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in mix_plan, mix_plan[:1500]
