@@ -1,0 +1,197 @@
+"""Persisted, incrementally-maintained IVF index for embedding ANN.
+
+`similarity.cosine_topk_ivf` refits k-means per call — right for one-
+shot analytics, wrong for a serving corpus that grows by appends. This
+module persists the index once and lets both sides evolve cheaply:
+
+* build: fit seeded k-means, write a (tiny) centroids table and an
+  assignments table PARTITIONED BY cluster id.
+* append: assign only the new vectors to their nearest existing
+  centroid — pure column arithmetic against centroid literals, a map
+  stage; the corpus is never re-read (same incremental contract as
+  operators/dedup.minhash_band_index).
+* query: probe each query's n_probe nearest clusters. The probed
+  cluster set is collected driver-side (at most n_queries x n_probe
+  ints) and applied as a STATIC partition filter before the join, so
+  the scan reads only the probed clusters' files — at 100 TB with 1024
+  clusters and n_probe 8, ~0.8% of the index, enforced by the
+  directory layout rather than hoped for from the optimizer.
+
+Drift caveat (documented, by design): appended vectors join existing
+clusters; centroids are not refit, so heavy append traffic that shifts
+the distribution degrades recall until the next `build` — the standard
+IVF maintenance trade. Rebuild on the compaction cadence.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources import tables
+from .similarity import _as_double, _dot, _norm
+
+_CENTROIDS = "centroids"
+_ASSIGNMENTS = "assignments"
+
+
+def _centroid_literals(centroids: list[list[float]]) -> list[Column]:
+    return [F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centroids]
+
+
+def _sq_dists(vec_col: str, centroids: list[list[float]]) -> Column:
+    """Array of squared L2 distances from `vec_col` to every centroid —
+    centroids ride as plan literals (broadcast-free, like
+    similarity.cosine_topk_ivf)."""
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(vec_col, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for lit in _centroid_literals(centroids)
+        ]
+    )
+
+
+def _nearest_clusters(vec_col: str, centroids: list[list[float]], n: int) -> Column:
+    """The n nearest cluster ids, as an array column."""
+    return F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda i: F.struct(
+                        F.element_at(_sq_dists(vec_col, centroids), i + 1).alias(
+                            "d"
+                        ),
+                        i.alias("c"),
+                    ),
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        1,
+        n,
+    )
+
+
+def _read_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    rows = (
+        tables.read_table(spark, os.path.join(path, _CENTROIDS))
+        .orderBy("cluster_id")
+        .collect()
+    )
+    return [list(r["centroid"]) for r in rows]
+
+
+def ivf_index_build(
+    candidates: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> None:
+    """Fit + persist: centroids table (n_clusters rows) and the
+    assignments table partitioned by `_cluster` (vector + its norm
+    stored so queries never touch the source table)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = candidates.sparkSession
+    c = _as_double(candidates, vec_col, "_cv").withColumn(
+        "_features", array_to_vector("_cv")
+    )
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cluster"
+    ).fit(c.select("_features"))
+    assigned = km.transform(c).select(
+        F.col("_cluster"),
+        F.col(id_col),
+        F.col("_cv").alias("vec"),
+        _norm("_cv").alias("norm"),
+    )
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(km.clusterCenters())],
+        "cluster_id int, centroid array<double>",
+    )
+    tables.write_table(
+        assigned,
+        os.path.join(path, _ASSIGNMENTS),
+        mode="append",
+        partition_by=["_cluster"],
+    )
+    tables.write_table(centroids, os.path.join(path, _CENTROIDS), mode="append")
+
+
+def ivf_index_append(
+    new_vectors: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Absorb new vectors: nearest-centroid assignment as pure column
+    arithmetic (no k-means refit, no corpus read), appended into the
+    partitioned assignments table."""
+    spark = new_vectors.sparkSession
+    centroids = _read_centroids(spark, path)
+    v = _as_double(new_vectors, vec_col, "_cv")
+    assigned = v.select(
+        F.element_at(_nearest_clusters("_cv", centroids, 1), 1).alias("_cluster"),
+        F.col(id_col),
+        F.col("_cv").alias("vec"),
+        _norm("_cv").alias("norm"),
+    )
+    tables.write_table(
+        assigned,
+        os.path.join(path, _ASSIGNMENTS),
+        mode="append",
+        partition_by=["_cluster"],
+    )
+
+
+def ivf_index_query(
+    queries: DataFrame,
+    path: str,
+    k: int = 5,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbors from the persisted index.
+
+    Two driver-side smalls: the centroid list (n_clusters x dim) and
+    the union of probed cluster ids (<= n_queries x n_probe). The
+    latter becomes a static `_cluster IN (...)` filter on the
+    partitioned assignments table — partition pruning at the file
+    level, then a broadcast join of the (small) probe frame."""
+    spark = queries.sparkSession
+    centroids = _read_centroids(spark, path)
+    q = _as_double(queries, vec_col, "_qv").select(
+        F.col(query_id_col),
+        "_qv",
+        _norm("_qv").alias("_qn"),
+        F.explode(_nearest_clusters("_qv", centroids, n_probe)).alias("_cluster"),
+    )
+    probed_ids = sorted(
+        r["_cluster"] for r in q.select("_cluster").distinct().collect()
+    )
+    assignments = tables.read_table(
+        spark, os.path.join(path, _ASSIGNMENTS)
+    ).filter(F.col("_cluster").isin(probed_ids))
+    scored = (
+        assignments.join(F.broadcast(q), "_cluster")
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("sim", _dot("vec", "_qv") / (F.col("norm") * F.col("_qn")))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    )

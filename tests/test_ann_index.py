@@ -1,0 +1,70 @@
+"""Persisted IVF index: build / append / query, partition-pruned scan,
+sim parity with brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import ann_index, similarity
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def index(spark, emb, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("ivf"))
+    ann_index.ivf_index_build(emb, path, n_clusters=8)
+    return path
+
+
+def test_query_matches_bruteforce_math_and_recall(spark, emb, index):
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = ann_index.ivf_index_query(queries, index, k=5, n_probe=3)
+    bf = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    got_rows = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in got.collect()}
+    bf_rows = {(r["query_id"], r["neighbor_id"]): r["sim"] for r in bf.collect()}
+    assert len(got_rows) == len(bf_rows)  # full k per query
+    overlap = set(got_rows) & set(bf_rows)
+    assert len(overlap) / len(bf_rows) >= 0.4  # >> n_probe/n_clusters floor
+    for key in overlap:
+        assert got_rows[key] == bf_rows[key]  # identical cosine math
+
+
+def test_query_scan_is_partition_pruned(spark, emb, index):
+    """The probed-cluster filter must reach the assignments scan as a
+    PARTITION filter (directory-level pruning), not a post-scan one."""
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        ann_index.ivf_index_query(queries, index, k=3, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "_cluster" in m.group(1), plan[:3000]
+
+
+def test_append_then_find_planted_neighbor(spark, emb, index):
+    """An appended exact-duplicate vector must come back as its twin's
+    top neighbor with sim == 1.0 — through the index, no rebuild."""
+    twin_src = emb.filter(F.col("vec_id") == 7)
+    planted = twin_src.select(
+        F.lit(99_999).cast("long").alias("vec_id"), "embedding"
+    )
+    ann_index.ivf_index_append(planted, index)
+
+    queries = twin_src.select(F.col("vec_id").alias("query_id"), "embedding")
+    top = (
+        ann_index.ivf_index_query(queries, index, k=1, n_probe=2)
+        .collect()[0]
+    )
+    assert top["neighbor_id"] == 99_999
+    assert abs(top["sim"] - 1.0) < 1e-12
