@@ -41,6 +41,7 @@ class PipelinePaths:
     dq_checks: str = field(init=False)
     dim_customers: str = field(init=False)
     dim_products: str = field(init=False)
+    run_manifest: str = field(init=False)
 
     agg_category: str = field(init=False)
     agg_user_sketch: str = field(init=False)
@@ -60,6 +61,7 @@ class PipelinePaths:
         self.dq_checks = os.path.join(self.root, "warehouse", "data_quality_checks")
         self.dim_customers = os.path.join(self.root, "warehouse", "dim_customers")
         self.dim_products = os.path.join(self.root, "warehouse", "dim_products")
+        self.run_manifest = os.path.join(self.root, "warehouse", "run_manifest")
 
 
 @dataclass
@@ -304,4 +306,28 @@ def run_incremental(
     archived = landing.archive_processed_files(
         paths.landing_orders, paths.archive, files, batch_ts
     )
+
+    # Run manifest: one row per COMPLETED tick — the operational audit
+    # trail (what ran, what it saw, what it added). Written last, after
+    # the archive, so a manifest row certifies a fully-committed tick;
+    # aborted ticks (hard DQ failures raise above) and no-op ticks
+    # (early return) leave no row by design. Appends are tiny (one row)
+    # and the table is driver-queryable for ops dashboards.
+    manifest = spark.createDataFrame(
+        [
+            (
+                run_date,
+                batch_ts,
+                len(files),
+                len(new_files),
+                n_added,
+                n_soft,
+                archived,
+            )
+        ],
+        "run_date date, batch_ts timestamp, files_discovered int, "
+        "files_new int, fact_rows_added long, soft_violations long, "
+        "archived_to string",
+    ).withColumn("logged_at", F.current_timestamp())
+    tables.write_table(manifest, paths.run_manifest, mode="append")
     return RunResult(len(files), n_added, n_soft, archived)

@@ -172,6 +172,16 @@ def test_pipeline_end_to_end_and_idempotency(spark, env):
     assert res3.fact_rows_added == 0
     assert spark.read.parquet(paths.fact_orders).count() == before
 
+    # run manifest: one row per COMPLETED tick — res1 and res3; the
+    # no-op res2 and any aborted tick leave no row
+    manifest = spark.read.parquet(paths.run_manifest).orderBy("logged_at")
+    rows = manifest.collect()
+    assert len(rows) == 2
+    assert rows[0]["files_new"] == 1 and rows[0]["fact_rows_added"] > 0
+    assert rows[1]["files_new"] == 0 and rows[1]["fact_rows_added"] == 0
+    assert all(r["run_date"] == RUN_DATE for r in rows)
+    assert all(r["archived_to"] for r in rows)
+
     # hourly agg table exists, partitioned by metric_date, no dup hours
     hourly = spark.read.parquet(paths.agg_hourly)
     hours = hourly.groupBy("metric_hour").count().filter("count > 1")
