@@ -102,6 +102,12 @@ def ivf_index_build(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if tables.table_exists(os.path.join(path, _CENTROIDS)):
+        raise ValueError(
+            f"IVF index already exists at {path}; append new vectors with "
+            "ivf_index_append, or build into a fresh path (a second build "
+            "here would silently double the centroid and assignment tables)"
+        )
     spark = candidates.sparkSession
     c = _as_double(candidates, vec_col, "_cv").withColumn(
         "_features", array_to_vector("_cv")

@@ -68,3 +68,8 @@ def test_append_then_find_planted_neighbor(spark, emb, index):
     )
     assert top["neighbor_id"] == 99_999
     assert abs(top["sim"] - 1.0) < 1e-12
+
+
+def test_rebuild_into_existing_path_raises(spark, emb, index):
+    with pytest.raises(ValueError, match="already exists"):
+        ann_index.ivf_index_build(emb, index, n_clusters=8)
