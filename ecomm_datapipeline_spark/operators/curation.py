@@ -180,3 +180,88 @@ def build_training_corpus(
             curated, key_col, token_budget, text_col
         )
     return sampling.split_assign(curated, key_col, split_fractions)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "exact",
+    threshold: float = 0.8,
+    return_report: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Remove training documents contaminated by an evaluation set —
+    the decontamination pass every serious pretraining corpus runs.
+
+    mode="exact": whitespace/case-normalized md5 fingerprint anti-join
+    (text.fingerprint) — catches verbatim and trivially-reformatted
+    leaks; shuffles 32-byte digests, never documents.
+    mode="minhash": near-dup probe of the corpus against the
+    benchmark's band index (dedup.minhash_band_index +
+    incremental_minhash_candidates with the corpus as the "batch") —
+    catches paraphrase-level leaks at est_jaccard >= threshold. Cost is
+    O(corpus x bands) map work plus a bucket equijoin against an index
+    of BENCHMARK size (tiny); the benchmark is hashed once, the corpus
+    never self-joins. Exact matches are also removed in this mode
+    (identical texts share every band bucket, so they always surface
+    as candidates at est 1.0).
+
+    Returns the cleaned corpus; with return_report=True, also the
+    contamination report — (corpus id, benchmark id, how) rows naming
+    WHICH benchmark document each removed one leaked, the evidence an
+    eval audit needs.
+    """
+    bench_ids = benchmark.select(F.col(id_col).alias("_bench_id"), text_col)
+    if mode == "exact":
+        corp_fp = text.fingerprint(corpus, text_col, id_col).select(
+            id_col, "fingerprint"
+        )
+        bench_fp = text.fingerprint(
+            bench_ids.withColumnRenamed("_bench_id", id_col), text_col, id_col
+        ).select(F.col(id_col).alias("_bench_id"), "fingerprint")
+        hits = corp_fp.join(bench_fp, "fingerprint").select(
+            id_col, "_bench_id", F.lit("exact").alias("how")
+        )
+    elif mode == "minhash":
+        # Disjoint id namespaces: corpus and benchmark may reuse raw id
+        # values, and a shared value would both hide a same-id
+        # contaminated pair (the probe's a != b filter) and let
+        # corpus-internal candidate pairs masquerade as benchmark hits.
+        # String-prefix both sides before indexing; report original ids.
+        key = "_decon_id"
+        corp2 = corpus.withColumn(
+            key, F.concat(F.lit("C:"), F.col(id_col).cast("string"))
+        )
+        bench2 = bench_ids.withColumn(
+            key, F.concat(F.lit("B:"), F.col("_bench_id").cast("string"))
+        )
+        index = dedup.minhash_band_index(bench2, text_col, key)
+        cands, _ = dedup.incremental_minhash_candidates(
+            corp2.select(key, text_col), index, text_col, key
+        )
+        # keep only probes that landed on a benchmark doc (drop the
+        # corpus-internal pairs the probe also reports)
+        flagged = cands.filter(
+            (F.col("est_jaccard") >= threshold)
+            & F.col("id_existing").startswith("B:")
+        )
+        hits = (
+            flagged.join(
+                corp2.select(key, id_col), flagged["id_new"] == F.col(key)
+            )
+            .join(
+                bench2.select(
+                    F.col(key).alias("_bkey"), "_bench_id"
+                ),
+                flagged["id_existing"] == F.col("_bkey"),
+            )
+            .select(id_col, "_bench_id", F.lit("minhash").alias("how"))
+        )
+    else:
+        raise ValueError(f"mode must be exact|minhash: {mode}")
+
+    cleaned = corpus.join(hits.select(id_col).distinct(), id_col, "left_anti")
+    if return_report:
+        return cleaned, hits
+    return cleaned

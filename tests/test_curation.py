@@ -300,3 +300,49 @@ def test_build_training_corpus_end_to_end(spark):
     for r in budgeted.collect():
         assert full_split[r["corpus_key"]] == r["split"]
     out.unpersist()
+
+
+def test_decontaminate_exact_and_minhash(spark):
+    """Eval-set decontamination: verbatim and reformatted leaks die in
+    exact mode; paraphrase-level leaks die in minhash mode; clean docs
+    survive; the report names the benchmark twin. Corpus and benchmark
+    deliberately REUSE id values — disjoint namespaces are on the
+    operator, not the caller."""
+    from ecomm_datapipeline_spark.operators.curation import decontaminate
+
+    bench_text = " ".join(f"q{i} term{i}" for i in range(25))
+    near_leak = bench_text.replace("term3", "changed3")  # 1-token paraphrase
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                      # verbatim leak
+            (2, "  " + bench_text.upper() + " "), # reformatted leak
+            (3, near_leak),                       # near-dup leak
+            (4, "entirely unrelated document about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(1, bench_text), (2, "some other eval prompt")],
+        "doc_id long, text string",
+    )
+
+    cleaned, report = decontaminate(
+        corpus, benchmark, mode="exact", return_report=True
+    )
+    kept = {r["doc_id"] for r in cleaned.collect()}
+    assert kept == {3, 4}  # exact mode catches 1 and 2, not the paraphrase
+    rep = {(r["doc_id"], r["_bench_id"]) for r in report.collect()}
+    assert rep == {(1, 1), (2, 1)}
+
+    cleaned_mh, report_mh = decontaminate(
+        corpus, benchmark, mode="minhash", threshold=0.5, return_report=True
+    )
+    kept_mh = {r["doc_id"] for r in cleaned_mh.collect()}
+    assert 4 in kept_mh            # clean doc survives
+    assert {1, 3} & kept_mh == set()  # verbatim + paraphrase die
+    assert all(b == 1 for _, b in {
+        (r["doc_id"], r["_bench_id"]) for r in report_mh.collect()
+    })
+
+    with pytest.raises(ValueError, match="exact|minhash"):
+        decontaminate(corpus, benchmark, mode="nope")
