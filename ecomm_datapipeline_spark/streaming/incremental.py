@@ -178,6 +178,7 @@ def curate_documents_stream(
     max_tokens: int = 100_000,
     min_quality: int = 30,
     keep_langs: tuple[str, ...] | None = None,
+    redact_pii: bool = False,
 ) -> DataFrame:
     """Streaming curation in the SAME stage order as the batch
     pipeline (operators/curation.curate_documents): clean/length gate
@@ -209,4 +210,10 @@ def curate_documents_stream(
         gated = gated.filter(
             text_ops.predicted_lang_col(text_col).isin(*keep_langs)
         )
+    if redact_pii:
+        # Stateless column rewrite — streaming-safe by construction.
+        # AFTER dedup/gates, matching build_training_corpus's ordering:
+        # the dedup fingerprint and quality signals belong to the
+        # original text.
+        gated = text_ops.redact(gated, text_col)
     return gated

@@ -290,3 +290,35 @@ def test_streaming_curation_matches_batch_gates(spark, tmp_path):
     assert got - {1, 3} == want - {1, 3}
     assert 2 not in got and 4 not in got
     assert 5 in got
+
+
+def test_streaming_curation_redacts_pii(spark, tmp_path):
+    """redact_pii=True rewrites PII inline in the stream, after the
+    gates — a kept doc comes out with placeholder tokens."""
+    ts0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, "the quick brown fox wrote to a.b@c.org about the lazy dog", ts0),
+        (2, "a cat sat on the mat and looked out of the window today", ts0),
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    out = incremental.curate_documents_stream(stream, redact_pii=True)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_redacted")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckr"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql("select * from curated_redacted").collect()
+    }
+    assert "<EMAIL>" in got[1] and "a.b@c.org" not in got[1]
+    assert got[2] == rows[1][1]
