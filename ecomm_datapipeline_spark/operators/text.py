@@ -300,3 +300,70 @@ def pattern_scan(
             for name, pat in patterns.items()
         ],
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df_frac: float = 0.05,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Remove boilerplate LINES — lines that recur across more than
+    max_df_frac of the documents (nav bars, cookie banners, footers):
+    the line-level counterpart of document dedup, and a standard web-
+    corpus cleaning stage (the line-frequency idea behind CCNet-style
+    pipelines).
+
+    Plan shape: posexplode lines -> line-hash document frequency (one
+    groupBy on 8-byte xxhash64 keys, counting DISTINCT docs so a line
+    repeated within one doc is not inflated) -> anti-join the hot
+    lines -> reassemble with concat_ws over array_sort(collect_list(
+    (pos, line))) so surviving lines keep their original order. Two
+    keyed shuffles total (line-df agg + per-doc reassembly), both on
+    hashes/ids — document text crosses the wire only inside its own
+    doc's reassembly rows. Docs whose every line is boilerplate come
+    back EMPTY (''), not dropped — dropping is the length gate's job
+    (clean_text), and silently losing the row would break id joins.
+
+    Whitespace-only/short lines (< min_line_chars after trim) pass
+    through untouched: they carry layout, not boilerplate signal.
+    """
+    n_docs = df.count()
+    cutoff = max(1, int(max_df_frac * n_docs))
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn(
+        "_lh",
+        F.when(
+            F.length(F.trim("_line")) >= min_line_chars,
+            F.xxhash64(F.trim("_line")),
+        ),
+    )
+    hot = (
+        lines.filter(F.col("_lh").isNotNull())
+        .groupBy("_lh")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") > cutoff)
+        .select("_lh")
+    )
+    kept = lines.join(hot, "_lh", "left_anti")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_pos", "_line"))
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias(text_col)
+        )
+    )
+    # left join back so all-boilerplate docs survive as empty strings
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
+    )

@@ -214,3 +214,32 @@ def test_sampling_family_plans_have_no_shuffle(spark, corpus):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in mix_plan, mix_plan[:1500]
+
+
+def test_strip_boilerplate_lines(spark):
+    """Lines shared by most docs die; rare lines survive in order;
+    all-boilerplate docs come back empty, not dropped; within-doc
+    repetition doesn't inflate a line's document frequency."""
+    from ecomm_datapipeline_spark.operators.text import strip_boilerplate_lines
+
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    footer = "copyright example corp"
+    docs = [
+        (i, f"{banner}\nunique content {i}\nmore text {i}\n{footer}")
+        for i in range(10)
+    ]
+    docs.append((100, f"{banner}\n{footer}"))  # all boilerplate
+    # within-doc repetition: 'once once once' appears 3x in ONE doc only
+    docs.append((101, "once once once\nonce once once\nonce once once\nreal line"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    out = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate_lines(df, max_df_frac=0.5).collect()
+    }
+    assert len(out) == len(docs)
+    for i in range(10):
+        assert out[i] == f"unique content {i}\nmore text {i}"
+    assert out[100] == ""
+    # df=1 for the repeated line: kept, all three copies, in order
+    assert out[101] == "once once once\nonce once once\nonce once once\nreal line"
