@@ -21,8 +21,9 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import amount_mismatch, items_subtotal
 
@@ -133,4 +134,26 @@ def dq_summary(audit: DataFrame) -> DataFrame:
         audit.groupBy("check_type", "severity")
         .agg(F.count("*").alias("violation_count"))
         .orderBy("check_type", "severity")
+    )
+
+
+def schema_drift_fields(
+    spark: SparkSession, files: list[str], declared: T.StructType
+) -> list[str]:
+    """Top-level fields present in the landing files but ABSENT from
+    the declared schema — the upstream-added-a-column case the fixed-
+    schema reader silently drops (FAILFAST catches type violations and
+    malformed rows, but unknown fields are ignored by design).
+
+    Cost: one schema-INFERENCE read over just this tick's files
+    (bounded by tick size, never the table). Returns sorted field
+    names; empty list = no drift. Nested drift inside known structs is
+    out of scope — the declared nested types already FAILFAST on shape
+    changes that matter."""
+    inferred = spark.read.json(files).schema
+    known = {f.name for f in declared.fields}
+    return sorted(
+        f.name
+        for f in inferred.fields
+        if f.name not in known and not f.name.startswith("_corrupt")
     )

@@ -196,6 +196,26 @@ def run_incremental(
         ).collect()
         new_files = sorted(r["_path"] for r in survivors)
     if new_files:
+        # Schema-drift audit (soft): fields the upstream added that the
+        # declared schema silently drops. One inference read over just
+        # this tick's files; only writes when drift exists, so the
+        # steady state costs no dq rows.
+        drift = checks.schema_drift_fields(
+            spark, new_files, landing.ORDERS_SCHEMA
+        )
+        if drift:
+            drift_row = spark.createDataFrame(
+                [(f"unknown landing fields dropped by reader: {drift}",)],
+                "issue_description string",
+            ).select(
+                F.expr("uuid()").alias("check_id"),
+                F.current_timestamp().alias("check_timestamp"),
+                F.lit("schema_drift").alias("check_type"),
+                F.lit(None).cast("string").alias("order_id"),
+                F.col("issue_description"),
+                F.lit("warning").alias("severity"),
+            )
+            tables.write_table(drift_row, paths.dq_checks, mode="append")
         batch = landing.read_orders_json(spark, new_files).withColumn(
             "_source_file",
             F.element_at(F.split(F.input_file_name(), "/"), -1),

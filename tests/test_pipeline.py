@@ -334,3 +334,43 @@ def test_daily_batch_reports(spark, env):
     # top products report is bounded and ranked
     top = spark.read.parquet(res.report_paths["top_products"])
     assert 0 < top.count() <= 10
+
+
+def test_schema_drift_soft_audit(spark, tmp_path):
+    """A landing file carrying an unknown top-level field ('channel')
+    still loads — FAILFAST only aborts type/shape violations — but the
+    tick logs a schema_drift warning naming the dropped field."""
+    import json
+
+    from .fixtures import make_order
+    import random as _random
+
+    paths = pipeline.PipelinePaths(str(tmp_path))
+    os.makedirs(paths.landing_orders, exist_ok=True)
+    prod_csv = os.path.join(str(tmp_path), "p.csv")
+    cust_csv = os.path.join(str(tmp_path), "c.csv")
+    write_products_csv(prod_csv)
+    write_customers_csv(cust_csv)
+    pipeline.load_dims(spark, paths, prod_csv, cust_csv)
+
+    rng = _random.Random(5)
+    o = make_order(rng, dt.datetime.combine(RUN_DATE, dt.time(10, 0)))
+    o["channel"] = "mobile-app"  # upstream added a field
+    with open(os.path.join(paths.landing_orders, "drifted.json"), "w") as f:
+        f.write(json.dumps(o) + "\n")
+
+    res = pipeline.run_incremental(spark, paths, RUN_DATE)
+    assert res.files_processed == 1 and res.fact_rows_added > 0
+    dq = spark.read.parquet(paths.dq_checks)
+    drift = dq.filter(F.col("check_type") == "schema_drift").collect()
+    assert len(drift) == 1
+    assert "channel" in drift[0]["issue_description"]
+    assert drift[0]["severity"] == "warning"
+
+    # drift-free ticks stay silent: drop a clean file, no new drift row
+    o2 = make_order(rng, dt.datetime.combine(RUN_DATE, dt.time(11, 0)))
+    with open(os.path.join(paths.landing_orders, "clean.json"), "w") as f:
+        f.write(json.dumps(o2) + "\n")
+    pipeline.run_incremental(spark, paths, RUN_DATE)
+    dq2 = spark.read.parquet(paths.dq_checks)
+    assert dq2.filter(F.col("check_type") == "schema_drift").count() == 1
