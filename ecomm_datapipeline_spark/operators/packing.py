@@ -1,0 +1,105 @@
+"""Sequence packing: concatenate curated documents into training
+examples of at most `max_tokens` whitespace tokens — the last stage
+between a curated corpus and a tokenizer's input shards.
+
+Exact global greedy packing is a sequential fold over the whole corpus
+— unusable at 100 TB. The scalable version packs PARTITION-LOCALLY:
+documents are hash-assigned to a bin (deterministic md5 bucket, same
+family as sampling.hash_bucket), each bin packs its own documents in
+id order with a greedy first-fit-in-arrival-order pass inside one
+applyInPandas call. Waste vs global packing is bounded by one
+partially-filled sequence per bin — negligible when bins hold
+thousands of documents — and every stage is deterministic: the same
+corpus packs into byte-identical sequences on every run, regardless of
+cluster partitioning (the bin assignment and the in-bin order depend
+only on document ids).
+
+Python in the loop is deliberate here: greedy packing is genuinely
+sequential per bin, exactly the applyInPandas niche (Arrow-batched,
+one pass, no per-row UDF calls).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .sampling import hash_bucket
+
+PACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("seq_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("n_docs", T.IntegerType()),
+        T.StructField("doc_ids", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bins: int = 256,
+    separator: str = "\n\n",
+) -> DataFrame:
+    """Pack documents into sequences of <= max_tokens whitespace
+    tokens. Documents larger than max_tokens become single-doc
+    sequences (flagged by n_tokens > max_tokens) — truncation is the
+    tokenizer's decision, not silently done here. Output rows carry
+    the packed text, its token count, and the contributing doc ids
+    (provenance for contamination tracebacks).
+
+    seq_id = "<bin>-<index>" — stable across runs and engines.
+    `n_bins` sizes the parallelism: bins pack independently, so set it
+    to ~2-3x cluster cores; the deterministic output is unaffected.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive: {max_tokens}")
+    import pandas as pd
+
+    binned = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(text_col).alias("_text"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_nt"),
+        hash_bucket(id_col, n_bins).cast("int").alias("_bin"),
+    )
+
+    def _pack(key, pdf):  # untyped on purpose: grouped-map eval path
+        (bin_id,) = key
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        out, cur_ids, cur_texts, cur_nt, seq_no = [], [], [], 0, 0
+
+        def flush():
+            nonlocal cur_ids, cur_texts, cur_nt, seq_no
+            if cur_ids:
+                out.append(
+                    (
+                        f"{bin_id}-{seq_no}",
+                        separator.join(cur_texts),
+                        cur_nt,
+                        len(cur_ids),
+                        list(cur_ids),
+                    )
+                )
+                seq_no += 1
+                cur_ids, cur_texts, cur_nt = [], [], 0
+
+        for _id, _text, _nt in zip(pdf["_id"], pdf["_text"], pdf["_nt"]):
+            nt = int(_nt)
+            if cur_nt and cur_nt + nt > max_tokens:
+                flush()
+            cur_ids.append(_id)
+            cur_texts.append(_text)
+            cur_nt += nt
+            if cur_nt >= max_tokens:
+                flush()
+        flush()
+        return pd.DataFrame(
+            out, columns=["seq_id", "text", "n_tokens", "n_docs", "doc_ids"]
+        )
+
+    return binned.groupBy("_bin").applyInPandas(_pack, PACKED_SCHEMA)

@@ -243,3 +243,43 @@ def test_strip_boilerplate_lines(spark):
     assert out[100] == ""
     # df=1 for the repeated line: kept, all three copies, in order
     assert out[101] == "once once once\nonce once once\nonce once once\nreal line"
+
+
+def test_pack_sequences(spark):
+    """Every doc lands in exactly one sequence; sequences respect the
+    token budget (oversized docs become flagged singletons); packing is
+    deterministic; provenance ids survive."""
+    from ecomm_datapipeline_spark.operators.packing import pack_sequences
+
+    docs = [(i, " ".join(f"w{j}" for j in range(5 + i % 11))) for i in range(60)]
+    docs.append((999, " ".join(f"big{j}" for j in range(50))))  # > budget
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    packed = pack_sequences(df, max_tokens=30, n_bins=8).cache()
+    rows = packed.collect()
+
+    seen = [d for r in rows for d in r["doc_ids"]]
+    assert sorted(seen) == sorted(str(d) for d, _ in docs)  # exactly once
+
+    for r in rows:
+        toks = r["text"].split()
+        assert r["n_tokens"] == sum(
+            len(t.split()) for t in r["text"].split("\n\n")
+        )
+        if r["n_tokens"] > 30:  # only an oversized singleton may exceed
+            assert r["n_docs"] == 1
+        # multi-doc sequences stay within budget
+        if r["n_docs"] > 1:
+            assert r["n_tokens"] <= 30
+        assert len(toks) >= r["n_tokens"] - r["n_docs"] + 1  # separator math
+
+    again = pack_sequences(df, max_tokens=30, n_bins=8)
+    a = {(r["seq_id"], r["text"]) for r in rows}
+    b = {(r["seq_id"], r["text"]) for r in again.collect()}
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        pack_sequences(df, max_tokens=0)
+    packed.unpersist()
