@@ -42,6 +42,7 @@ class PipelinePaths:
     dim_customers: str = field(init=False)
     dim_products: str = field(init=False)
     run_manifest: str = field(init=False)
+    quarantine: str = field(init=False)
 
     agg_category: str = field(init=False)
     agg_user_sketch: str = field(init=False)
@@ -62,6 +63,7 @@ class PipelinePaths:
         self.dim_customers = os.path.join(self.root, "warehouse", "dim_customers")
         self.dim_products = os.path.join(self.root, "warehouse", "dim_products")
         self.run_manifest = os.path.join(self.root, "warehouse", "run_manifest")
+        self.quarantine = os.path.join(self.root, "warehouse", "quarantine_orders")
 
 
 @dataclass
@@ -70,6 +72,7 @@ class RunResult:
     fact_rows_added: int
     soft_violations: int
     archived_to: str | None
+    quarantined: int = 0
 
 
 def load_dims(
@@ -165,8 +168,20 @@ def run_incremental(
     paths: PipelinePaths,
     run_date: dt.date,
     batch_ts: dt.datetime | None = None,
+    malformed: str = "abort",
 ) -> RunResult:
-    """One tick of the incremental pipeline (SURVEY.md §3.1)."""
+    """One tick of the incremental pipeline (SURVEY.md §3.1).
+
+    `malformed` picks the bad-row policy: "abort" (default) FAILFASTs
+    the tick on any row that violates the declared schema — the
+    reference's BigQuery-load semantics; "quarantine" parses
+    PERMISSIVE, appends the offending raw lines (with their source
+    file) to a dead-letter table, and loads the clean remainder — the
+    production posture where one bad upstream line must not stall the
+    feed. Quarantined counts land in the RunResult and run manifest.
+    """
+    if malformed not in ("abort", "quarantine"):
+        raise ValueError(f"malformed must be abort|quarantine: {malformed}")
     files = landing.discover_landing_files(paths.landing_orders)
     if not files:
         # Sensor timeout semantics: nothing to do this tick.
@@ -195,6 +210,7 @@ def run_incremental(
             "left_anti",
         ).collect()
         new_files = sorted(r["_path"] for r in survivors)
+    n_quarantined = 0
     if new_files:
         # Schema-drift audit (soft): fields the upstream added that the
         # declared schema silently drops. One inference read over just
@@ -216,10 +232,33 @@ def run_incremental(
                 F.lit("warning").alias("severity"),
             )
             tables.write_table(drift_row, paths.dq_checks, mode="append")
-        batch = landing.read_orders_json(spark, new_files).withColumn(
-            "_source_file",
-            F.element_at(F.split(F.input_file_name(), "/"), -1),
-        )
+        if malformed == "quarantine":
+            raw = landing.read_orders_json_permissive(spark, new_files).withColumn(
+                "_source_file",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
+            # Spark disallows referencing ONLY the corrupt column off a
+            # raw scan; cache the full frame around the split.
+            raw = raw.cache()
+            try:
+                bad = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+                    "_source_file",
+                    F.col("_corrupt_record").alias("raw_line"),
+                    F.current_timestamp().alias("quarantined_at"),
+                )
+                n_quarantined = bad.count()
+                if n_quarantined:
+                    tables.write_table(bad, paths.quarantine, mode="append")
+                batch = raw.filter(F.col("_corrupt_record").isNull()).drop(
+                    "_corrupt_record"
+                )
+            finally:
+                raw.unpersist()
+        else:
+            batch = landing.read_orders_json(spark, new_files).withColumn(
+                "_source_file",
+                F.element_at(F.split(F.input_file_name(), "/"), -1),
+            )
         # REQUIRED-field enforcement (schemas.py): Spark's JSON reader
         # treats nullability as advisory where BigQuery's load job
         # would abort — replicate the abort as a hard check on the new
@@ -342,12 +381,13 @@ def run_incremental(
                 len(new_files),
                 n_added,
                 n_soft,
+                n_quarantined,
                 archived,
             )
         ],
         "run_date date, batch_ts timestamp, files_discovered int, "
         "files_new int, fact_rows_added long, soft_violations long, "
-        "archived_to string",
+        "quarantined long, archived_to string",
     ).withColumn("logged_at", F.current_timestamp())
     tables.write_table(manifest, paths.run_manifest, mode="append")
-    return RunResult(len(files), n_added, n_soft, archived)
+    return RunResult(len(files), n_added, n_soft, archived, n_quarantined)

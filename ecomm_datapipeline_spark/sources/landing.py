@@ -60,6 +60,31 @@ def read_orders_json(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     )
 
 
+def read_orders_json_permissive(
+    spark: SparkSession, paths: list[str] | str
+) -> DataFrame:
+    """The quarantine-mode variant of read_orders_json: PERMISSIVE
+    parse with the raw line captured in `_corrupt_record` for rows
+    that fail the declared schema — the caller splits good rows from
+    quarantined ones instead of aborting the tick (plans/pipeline
+    `malformed="quarantine"`). Spark requires the corrupt column
+    declared in the read schema; it is the caller's job to drop it
+    from the clean side."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(ORDERS_SCHEMA.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][XXX]")
+        .json(paths)
+    )
+
+
 def read_products_csv(spark: SparkSession, path: str) -> DataFrame:
     """Products dim CSV (S3; format from generate_product.py:10-22)."""
     return spark.read.schema(PRODUCTS_SCHEMA).option("header", True).csv(path)

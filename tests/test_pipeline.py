@@ -374,3 +374,44 @@ def test_schema_drift_soft_audit(spark, tmp_path):
     pipeline.run_incremental(spark, paths, RUN_DATE)
     dq2 = spark.read.parquet(paths.dq_checks)
     assert dq2.filter(F.col("check_type") == "schema_drift").count() == 1
+
+
+def test_quarantine_mode_dead_letters_bad_rows(spark, tmp_path):
+    """malformed='quarantine': the bad line lands in the dead-letter
+    table with its source file, the clean rows load, the tick
+    completes, and the manifest counts the quarantined row. Default
+    mode on the same input still aborts."""
+    import json
+    import random as _random
+
+    from .fixtures import make_order
+
+    paths = pipeline.PipelinePaths(str(tmp_path))
+    os.makedirs(paths.landing_orders, exist_ok=True)
+    prod_csv = os.path.join(str(tmp_path), "p.csv")
+    cust_csv = os.path.join(str(tmp_path), "c.csv")
+    write_products_csv(prod_csv)
+    write_customers_csv(cust_csv)
+    pipeline.load_dims(spark, paths, prod_csv, cust_csv)
+
+    rng = _random.Random(9)
+    good = make_order(rng, dt.datetime.combine(RUN_DATE, dt.time(9, 0)))
+    with open(os.path.join(paths.landing_orders, "mixed.json"), "w") as f:
+        f.write(json.dumps(good) + "\n")
+        f.write("{this is not json\n")
+
+    # reference-parity default: the tick aborts
+    with pytest.raises(Exception):
+        pipeline.run_incremental(spark, paths, RUN_DATE)
+
+    res = pipeline.run_incremental(
+        spark, paths, RUN_DATE, malformed="quarantine"
+    )
+    assert res.quarantined == 1
+    assert res.fact_rows_added == len(good["items"])
+    q = spark.read.parquet(paths.quarantine).collect()
+    assert len(q) == 1
+    assert q[0]["raw_line"].startswith("{this is not json")
+    assert q[0]["_source_file"] == "mixed.json"
+    manifest = spark.read.parquet(paths.run_manifest).collect()
+    assert len(manifest) == 1 and manifest[0]["quarantined"] == 1
