@@ -367,3 +367,38 @@ def strip_boilerplate_lines(
     return df.select(id_col).join(rebuilt, id_col, "left").select(
         F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col)
     )
+
+
+def ngram_doc_frequencies(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level word n-gram DOCUMENT frequencies — the diagnostic
+    behind boilerplate thresholds and shingle-pruning limits (which
+    n-grams recur across documents, and in how many). Distinct-per-doc
+    shingling (dedup.shingle_array) means a phrase repeated within one
+    document counts once, so `doc_freq` is a true document count.
+
+    One explode + one groupBy on the shingle string; top_k bounds the
+    result via the same rank-truncation every engine optimizes
+    (None = full distribution — size O(distinct n-grams), write it to
+    a table rather than collecting)."""
+    from .dedup import shingle_array
+
+    freqs = (
+        df.select(
+            F.col(id_col),
+            F.explode(shingle_array(text_col, n)).alias("ngram"),
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    if top_k is not None:
+        # orderBy+limit compiles to TakeOrderedAndProject — per-
+        # partition top-k merged at the driver; a global row_number
+        # window would sort the whole distribution in ONE task.
+        freqs = freqs.orderBy(F.desc("doc_freq"), F.col("ngram")).limit(top_k)
+    return freqs

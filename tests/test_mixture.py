@@ -283,3 +283,16 @@ def test_pack_sequences(spark):
     with _pytest.raises(ValueError, match="positive"):
         pack_sequences(df, max_tokens=0)
     packed.unpersist()
+
+
+def test_ngram_doc_frequencies(spark):
+    from ecomm_datapipeline_spark.operators.text import ngram_doc_frequencies
+
+    hot = "shared boilerplate phrase"
+    docs = [(i, f"{hot} unique tail {i} {i}") for i in range(8)]
+    docs.append((99, f"{hot} {hot} again"))  # within-doc repeat counts once
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["ngram"]: r["doc_freq"] for r in ngram_doc_frequencies(df, n=3, top_k=5).collect()}
+    assert out[hot] == 9  # every doc once, repetition not inflated
+    assert len(out) == 5
+    assert max(out.values()) == out[hot]
