@@ -135,6 +135,96 @@ def sample_to_token_budget(
     return deterministic_sample(df, id_col, token_budget / total, salt=salt)
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep `fractions[stratum]`
+    of each stratum's rows ("keep 100% of books, 10% of web, 1% of
+    logs"). The per-row threshold is a map-literal lookup on the
+    stratum value, so the whole operator stays a scan-speed filter —
+    zero shuffle, no per-stratum jobs, and the same row survives on
+    every run/engine exactly as in deterministic_sample.
+
+    Strata not named in `fractions` (and NULL strata) fall back to
+    `default_fraction` (0.0 = drop, the safe default for a curation
+    allowlist). Same id in two strata draws independently only if
+    `salt` differs; by default the id's hash — not the stratum —
+    decides, so a row that moves stratum keeps its draw iff the two
+    rates straddle its bucket the same way (deliberate: re-labelling
+    data never resamples everything)."""
+    for name, frac in fractions.items():
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {name!r} must be in [0,1]: {frac}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(f"default_fraction must be in [0,1]: {default_fraction}")
+    pairs: list[Column] = []
+    for name, frac in fractions.items():
+        pairs.append(F.lit(name))
+        pairs.append(F.lit(int(round(frac * _BUCKETS))))
+    default_t = F.lit(int(round(default_fraction * _BUCKETS)))
+    if pairs:
+        threshold = F.coalesce(
+            F.create_map(*pairs)[F.col(strata_col).cast("string")], default_t
+        )
+    else:
+        threshold = default_t
+    return df.filter(hash_bucket(id_col, salt=salt) < threshold)
+
+
+def sample_exact_n_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY min(n, group size) rows per group, deterministically:
+    the n ids with the smallest hash bucket within each group
+    (hash_bucket value first, full md5 then id as tiebreaks —
+    engine-portable, so the chosen set is reproducible anywhere). The
+    per-group balanced complement to stratified_sample's rate-based
+    draw — evaluation sets, per-domain caps, "at most 10k docs/site".
+
+    Ordering by the SAME bucket value deterministic_sample thresholds
+    on makes the two compose: a prefilter `deterministic_sample(df,
+    id, r)` keeps every row with bucket < r·1M, and the n smallest
+    buckets of any group that still has ≥ n survivors are all below
+    that cut — so pre-thinning huge groups preserves the exact answer
+    (asserted in tests) while the window sorts only survivors.
+
+    One keyed shuffle (the window), and row_number-≤-n compiles to
+    WindowGroupLimit with a PARTIAL stage before the exchange
+    (verified on the physical plan): every map task pre-trims to its
+    local top-n per group, so at most n rows per group PER MAP
+    PARTITION cross the shuffle — a hot group costs n×num_partitions
+    shuffled rows, never its full size. The prefilter composition
+    above bounds even the map-side sort when groups are pathological."""
+    if n <= 0:
+        raise ValueError(f"n must be >= 1: {n}")
+    from pyspark.sql.window import Window
+
+    id_c = F.col(id_col)
+    key = id_c.cast("string")
+    if salt:
+        key = F.concat_ws("\x1f", key, F.lit(salt))
+    rank = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(
+            hash_bucket(id_c, salt=salt), F.md5(key), id_c
+        )
+    )
+    return (
+        df.filter(id_c.isNotNull())
+        .withColumn("_rk", rank)
+        .filter(F.col("_rk") <= n)
+        .drop("_rk")
+    )
+
+
 def mix_corpora(
     sources: dict[str, tuple[DataFrame, float]],
     id_col: str = "doc_id",

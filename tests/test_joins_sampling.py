@@ -16,7 +16,9 @@ from ecomm_datapipeline_spark.operators.joins import (
 from ecomm_datapipeline_spark.operators.sampling import (
     deterministic_sample,
     hash_bucket,
+    sample_exact_n_per_group,
     split_assign,
+    stratified_sample,
 )
 
 
@@ -318,6 +320,92 @@ def test_deterministic_sample(spark):
     # monotone: a bigger fraction keeps a superset
     s3 = set(r["doc_id"] for r in deterministic_sample(df, "doc_id", 0.5).collect())
     assert set(s1) <= s3
+
+
+def _strata_df(spark, n=3000):
+    return (
+        spark.range(0, n)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "source",
+            F.when(F.col("doc_id") % 3 == 0, "web")
+            .when(F.col("doc_id") % 3 == 1, "books")
+            .otherwise("logs"),
+        )
+    )
+
+
+def test_stratified_sample_rates_and_consistency(spark):
+    df = _strata_df(spark)
+    out = stratified_sample(
+        df, "source", {"web": 0.5, "books": 1.0}, id_col="doc_id"
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts.get("books") == 1000          # kept whole
+    assert "logs" not in counts                 # default_fraction=0 drops
+    assert counts["web"] / 1000 == pytest.approx(0.5, abs=0.05)
+    # the per-stratum draw is the SAME draw deterministic_sample makes:
+    # a stratum sampled at rate r keeps exactly the global-sample rows
+    web = set(r["doc_id"] for r in out.filter("source='web'").collect())
+    expect = set(
+        r["doc_id"]
+        for r in deterministic_sample(
+            df.filter("source='web'"), "doc_id", 0.5
+        ).collect()
+    )
+    assert web == expect
+
+
+def test_stratified_sample_default_fraction_and_null(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "zzz")], "doc_id long, source string"
+    )
+    kept = stratified_sample(
+        df, "source", {"a": 1.0}, id_col="doc_id", default_fraction=1.0
+    )
+    # default 1.0 keeps unknown AND NULL strata
+    assert kept.count() == 3
+    with pytest.raises(ValueError):
+        stratified_sample(df, "source", {"a": 1.5}, id_col="doc_id")
+
+
+def test_sample_exact_n_per_group(spark):
+    df = _strata_df(spark, 900)
+    out = sample_exact_n_per_group(df, "source", 7, id_col="doc_id")
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"web": 7, "books": 7, "logs": 7}
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_exact_n_per_group(
+            df.repartition(11), "source", 7, id_col="doc_id"
+        ).collect()
+    )
+    assert a == b
+    # n >= group size keeps the whole group; salt redraws
+    assert sample_exact_n_per_group(df, "source", 10_000).count() == 900
+    salted = sorted(
+        r["doc_id"]
+        for r in sample_exact_n_per_group(
+            df, "source", 7, id_col="doc_id", salt="epoch-2"
+        ).collect()
+    )
+    assert salted != a
+    # the chosen rows are exactly the hash-prefix survivors' top-n:
+    # pre-thinning at a generous rate preserves the exact answer
+    thin = deterministic_sample(df, "doc_id", 0.5)
+    c = sorted(
+        r["doc_id"]
+        for r in sample_exact_n_per_group(thin, "source", 7, id_col="doc_id").collect()
+    )
+    assert c == a
 
 
 @settings(max_examples=12, deadline=None, derandomize=True)
