@@ -269,13 +269,12 @@ def _decode_audio(payload: bytes, fake: bool) -> tuple[int, int, float]:
     fake=True treats each payload byte as one centered PCM sample at a
     sha256-chosen rate, so durations and RMS are deterministic and the
     distributed plumbing is testable without torchaudio/soundfile.
-    fake=False raises the documented codec error (no audio library in
-    this container; swap in torchaudio.load / soundfile.read here)."""
+    fake=False decodes for real: soundfile when importable (any libsndfile
+    format), else stdlib `wave` for RIFF/WAVE PCM payloads (mirroring the
+    Pillow pattern on the image leg), else raises the documented codec
+    error for compressed formats that genuinely need an external codec."""
     if not fake:
-        raise NotImplementedError(
-            "audio codecs unavailable in this environment; "
-            "swap _decode_audio's body for torchaudio/soundfile when present"
-        )
+        return _decode_audio_real(payload)
     digest = hashlib.sha256(payload).digest()
     sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
     n_samples = len(payload)
@@ -287,6 +286,50 @@ def _decode_audio(payload: bytes, fake: bool) -> tuple[int, int, float]:
         acc += s * s
     rms = (acc / n_samples) ** 0.5 / 128.0
     return sample_rate, n_samples, rms
+
+
+def _decode_audio_real(payload: bytes) -> tuple[int, int, float]:
+    """Real audio decode, preferring soundfile (any libsndfile format).
+    WAV is RIFF + raw PCM, so where soundfile is absent the stdlib
+    `wave` module is a full decoder for the uncompressed case: parse
+    the header, read frames, and compute RMS with numpy over the
+    int8/int16/int32 samples. Only compressed codecs (mp3/flac/ogg)
+    still require an external library and raise at the seam."""
+    import numpy as np
+
+    try:  # optional — absent in this container, used when present
+        import soundfile as _sf
+
+        data, rate = _sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+        n = data.shape[0]
+        rms = float(np.sqrt(np.mean(np.square(data)))) if n else 0.0
+        return int(rate), int(n), rms
+    except ImportError:
+        pass
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate = wf.getframerate()
+            n_frames = wf.getnframes()
+            width = wf.getsampwidth()
+            raw = wf.readframes(n_frames)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        if dtype is None:
+            raise NotImplementedError(f"unsupported WAV sample width {width}")
+        samples = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+        if width == 1:  # u8 WAV is unsigned, centered at 128
+            samples = (samples - 128.0) / 128.0
+        else:
+            samples = samples / float(2 ** (8 * width - 1))
+        rms = float(np.sqrt(np.mean(np.square(samples)))) if samples.size else 0.0
+        return int(rate), int(n_frames), rms
+
+    raise NotImplementedError(
+        "compressed audio codecs unavailable in this environment; "
+        "install soundfile/torchaudio for non-WAV formats"
+    )
 
 
 def extract_audio_features(

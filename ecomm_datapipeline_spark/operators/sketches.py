@@ -9,10 +9,11 @@ DataSketches-compatible HLL as built-ins (`hll_sketch_agg`,
 `hll_union_agg`, `hll_sketch_estimate`), all JVM-side; quantiles come
 from `approx_percentile`, also mergeable internally.
 
-No oracle can hash-match these (estimates are implementation-defined),
-so catalog entries are rows-only by contract; the pytest suite bounds
-the error vs exact instead (HLL lgK=12 keeps relative standard error
-~1.6%; tests allow 5%).
+No oracle can hash-match the estimates themselves (implementation-
+defined), so the catalog entry self-verifies: it runs an exact
+COUNT(DISTINCT) leg in the same plan and emits a within-5%% check the
+oracle hash-pins (HLL lgK=12 keeps relative standard error ~1.6%).
+The pytest suite additionally bounds error and merge-vs-direct parity.
 """
 
 from __future__ import annotations

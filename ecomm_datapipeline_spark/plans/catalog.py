@@ -32,16 +32,24 @@ from pyspark.sql import functions as F
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which vanilla
-        # Spark rejects (PARQUET_TYPE_ILLEGAL). nanosAsLong is a
-        # runtime-settable SQL conf, so set it here — the caller's
-        # session (e.g. the driver gate) may not have it — then
-        # truncate nanos to micros exactly as DuckDB does. The previous
-        # value is restored afterwards (the parquet->catalyst schema is
-        # captured during spark.read, so the returned lazy frame still
-        # executes correctly — verified) so touching events never
-        # silently changes how the caller's session reads OTHER
-        # TIMESTAMP(NANOS) tables later.
+        # The testdata builder has shipped events.ts under more than one
+        # physical encoding across rounds (TIMESTAMP(NANOS), then
+        # timestamp[us]), so the reader must not assume one: read first,
+        # then branch on the RESOLVED Catalyst dtype and normalize to a
+        # session-zone TIMESTAMP in all cases.
+        #   - LongType: TIMESTAMP(NANOS) surfaced via nanosAsLong —
+        #     truncate nanos->micros exactly as DuckDB does.
+        #   - TimestampNTZType: timestamp[us] without a zone — cast to
+        #     TIMESTAMP (identity under the session's UTC zone, matching
+        #     the DuckDB oracle reading the same file).
+        #   - TimestampType: already what we want.
+        # nanosAsLong is set only for the read so a NANOS file resolves
+        # instead of throwing PARQUET_TYPE_ILLEGAL, then restored so the
+        # caller's session reads of other tables are unaffected (the
+        # parquet->catalyst schema is captured during spark.read, so the
+        # returned lazy frame still executes correctly).
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         prev = spark.conf.get(conf_key, None)
         spark.conf.set(conf_key, "true")
@@ -52,7 +60,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 spark.conf.unset(conf_key)
             else:
                 spark.conf.set(conf_key, prev)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+        return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
@@ -1473,28 +1486,96 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_topk_approx",
-    # Both approximate ANN paths in one tagged row. Rows-only by
-    # design: bucket/centroid assignment is implementation-defined, so
-    # the result set is estimate-specific — recall and sim-parity vs
-    # the exact baseline are pytest-checked (tests/test_extensions.py),
-    # and the exact twin `ann_cosine_topk` is fully hash-checked.
-    None,
+    # Self-verifying (VERDICT r3 item 8): the approximate result sets
+    # are implementation-defined (bucket/centroid assignment), so the
+    # ROWS can never hash-match an oracle — but their QUALITY can. The
+    # Spark side runs both approx paths AND the exact twin in one lazy
+    # plan and emits, per method, the exact-result size plus 1/0 checks
+    # for aggregate recall@5 (floors mirror tests/test_extensions.py)
+    # and sim parity (overlapping pairs must carry bit-identical
+    # cosines — same math, same data). The oracle computes the exact
+    # leg and asserts the checks as literal 1s; a hash match therefore
+    # certifies the approximation ran and met its contract.
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.v, q.qv) AS sim
+      FROM e, q WHERE e.vec_id != q.query_id
+    ), topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    )
+    SELECT m.method, (SELECT COUNT(*) FROM topk) AS exact_k_rows,
+           1 AS recall_ok, 1 AS sim_parity_ok
+    FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh') m
+    ORDER BY method
+    """,
     "ext: similarity search scale paths (LSH-bucketed + IVF/k-means)",
 )
 def ann_cosine_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine_topk_ivf, cosine_topk_lsh
+    from ..operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    exact = cosine_topk_bruteforce(emb, queries, k=5)
     lsh = cosine_topk_lsh(emb, queries, k=5, n_planes=6).select(
-        F.lit("lsh").alias("method"), "*"
+        F.lit("lsh").alias("method"), "query_id", "neighbor_id", "sim"
     )
     ivf = cosine_topk_ivf(emb, queries, k=5).select(
-        F.lit("ivf").alias("method"), "*"
+        F.lit("ivf").alias("method"), "query_id", "neighbor_id", "sim"
     )
-    return lsh.unionByName(ivf)
+    approx = lsh.unionByName(ivf)
+
+    overlap = approx.join(
+        exact.select(
+            "query_id", "neighbor_id", F.col("sim").alias("exact_sim")
+        ),
+        ["query_id", "neighbor_id"],
+    )
+    per_method = overlap.groupBy("method").agg(
+        F.count("*").alias("n_overlap"),
+        F.sum(
+            F.when(F.col("sim") == F.col("exact_sim"), 0).otherwise(1)
+        ).alias("n_sim_mismatch"),
+    )
+    # left-join from a literal method frame so a catastrophically bad
+    # path (zero overlap) still yields its row — with recall_ok=0
+    methods = spark.createDataFrame([("ivf",), ("lsh",)], "method string")
+    exact_n = exact.agg(F.count("*").alias("exact_k_rows"))
+    # aggregate recall floors per method, mirroring the pytest pins:
+    # IVF probes n_probe of n_clusters (>=0.4); LSH's 6-plane buckets
+    # are coarser (>=0.2) — both far above the random-candidate floor.
+    floor = F.when(F.col("method") == "ivf", F.lit(0.4)).otherwise(F.lit(0.2))
+    return (
+        methods.join(per_method, "method", "left")
+        .crossJoin(F.broadcast(exact_n))
+        .select(
+            "method",
+            "exact_k_rows",
+            F.when(
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                >= floor * F.col("exact_k_rows"),
+                1,
+            )
+            .otherwise(0)
+            .alias("recall_ok"),
+            F.when(F.coalesce(F.col("n_sim_mismatch"), F.lit(1)) == 0, 1)
+            .otherwise(0)
+            .alias("sim_parity_ok"),
+        )
+        .orderBy("method")
+    )
 
 
 @register(
@@ -2235,25 +2316,56 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users",
-    # HLL estimates are implementation-defined — rows-only by contract;
-    # error bounds + merge-vs-direct parity are pytest-checked
-    # (tests/test_sketches.py).
-    None,
+    # Self-verifying (VERDICT r3 item 8): HLL estimates are
+    # implementation-defined, so the estimate VALUE can't hash-match an
+    # oracle — but its error bound can. The Spark side runs the full
+    # sketch path (day-grain rollup -> sketch-union to event_type) AND
+    # an exact COUNT(DISTINCT) leg in one plan, emitting the exact
+    # count plus a 1/0 within-5%-relative-error check (lgK=12 RSE is
+    # ~1.6%; the 5% bound mirrors tests/test_sketches.py). The oracle
+    # computes the exact counts and asserts the check as a literal 1 —
+    # a hash match certifies the sketch pipeline ran inside its bound.
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           1 AS approx_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "ext: mergeable HLL sketch rollup (pre-aggregated distincts)",
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via the sketch-rollup path: HLL
     per (event_type, day) — the layer a warehouse would materialize —
     then sketches UNIONED up to event_type without rescanning raw
-    events (operators/sketches.py)."""
+    events (operators/sketches.py). The exact COUNT(DISTINCT) leg here
+    exists only to self-verify the estimate for the correctness gate;
+    production reads the rollup alone."""
     from ..operators.sketches import distinct_sketch_rollup, merge_distinct_sketches
 
     e = _t(spark, sf_dir, "events").withColumn(
         "day", F.date_trunc("day", F.col("ts"))
     )
     rollup = distinct_sketch_rollup(e, "user_id", ["event_type", "day"])
-    return merge_distinct_sketches(rollup, ["event_type"]).select(
+    approx = merge_distinct_sketches(rollup, ["event_type"]).select(
         "event_type", F.col("approx_distinct").cast("bigint").alias("approx_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(approx, "event_type", "left")
+        .select(
+            "event_type",
+            "exact_users",
+            F.when(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users"),
+                1,
+            )
+            .otherwise(0)
+            .alias("approx_ok"),
+        )
+        .orderBy("event_type")
     )
 
 

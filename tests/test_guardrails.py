@@ -23,7 +23,9 @@ def test_no_forced_broadcast_on_scaling_tables():
     args = re.findall(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", src)
     assert args, "expected some broadcast hints (nation/region) in catalog"
     # n = nation (25 rows), r = region (5 rows): fixed-size at any SF.
-    offenders = [a for a in args if a not in ("n", "r")]
+    # exact_n = a global count(*) aggregate — exactly ONE row at any SF
+    # (ann_cosine_topk_approx's self-verification denominator).
+    offenders = [a for a in args if a not in ("n", "r", "exact_n")]
     assert not offenders, (
         f"forced broadcast on scale-factor-dependent tables: {offenders}"
     )

@@ -9,6 +9,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from ecomm_datapipeline_spark.plans.catalog import _t
 from ecomm_datapipeline_spark.sources import landing
 from ecomm_datapipeline_spark.streaming import incremental, sessionize
 
@@ -70,9 +71,12 @@ def test_stateful_sessionize_across_microbatches(spark, tmp_path):
     4 files, force maxFilesPerTrigger=1 (4+ batches), and require the
     final per-user session counts to match the batch twin — sessions
     spanning a batch boundary must not restart."""
+    # Reads real testdata through the shared catalog reader on purpose:
+    # these twin tests double as integration canaries for `_t` — a
+    # testdata dtype drift fails here AND in the schema canary test,
+    # while the fixture-based streaming tests above stay unaffected.
     events = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _t(spark, "/root/testdata/sf0.001", "events")
         .filter(F.col("user_id") < 12)
         .select("user_id", "ts")
         .orderBy("ts")
@@ -184,8 +188,7 @@ def test_stateful_sessionize_matches_batch_twin(spark, tmp_path):
     sessionizer (rate-limited file stream) and compare final per-user
     session counts with the batch window-function implementation."""
     events = (
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        _t(spark, "/root/testdata/sf0.001", "events")
         .filter(F.col("user_id") < 20)
         .select("user_id", "ts")
     )

@@ -1,0 +1,99 @@
+"""Testdata-drift canary (VERDICT r3 item 2).
+
+Round 3 lost 10 gate rows, 4 tests, and the whole bench to ONE silent
+driver-side change: /root/testdata/sf*/events.parquet switched its `ts`
+physical encoding between rounds (TIMESTAMP(NANOS) -> timestamp[us]) and
+the shared reader assumed the old one. These tests read the REAL testdata
+schemas at every scale factor so any future regeneration fails one named
+test in seconds instead of torching a round's artifacts.
+
+Two layers:
+  1. `_t`-resolved dtypes — what every catalog query actually sees after
+     the reader's normalization (events.ts must land as TimestampType).
+  2. Raw parquet footers via pyarrow — catches drift even in encodings
+     `_t` happens to normalize away, so the canary fires on ANY change,
+     not only breaking ones.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from ecomm_datapipeline_spark.plans.catalog import _t
+
+TESTDATA_ROOT = "/root/testdata"
+SF_DIRS = [
+    os.path.join(TESTDATA_ROOT, d)
+    for d in sorted(os.listdir(TESTDATA_ROOT))
+    if d.startswith("sf") and os.path.isdir(os.path.join(TESTDATA_ROOT, d))
+]
+
+# Key dtypes per table, as pyarrow renders them at HEAD of round 4.
+# If the testdata builder changes an encoding, update BOTH this map and
+# any reader that normalizes the changed column (catalog._t for events).
+EXPECTED_ARROW = {
+    "region": {"r_regionkey": "int32", "r_name": "string"},
+    "nation": {"n_nationkey": "int32", "n_regionkey": "int32"},
+    "customer": {"c_custkey": "int64", "c_acctbal": "double", "c_nationkey": "int32"},
+    "supplier": {"s_suppkey": "int64", "s_acctbal": "double"},
+    "part": {"p_partkey": "int64", "p_retailprice": "double", "p_size": "int32"},
+    "orders": {
+        "o_orderkey": "int64",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp[us]",
+    },
+    "lineitem": {
+        "l_orderkey": "int64",
+        "l_quantity": "double",
+        "l_extendedprice": "double",
+        "l_shipdate": "timestamp[us]",
+    },
+    "events": {
+        "event_id": "int64",
+        "ts": "timestamp[us]",  # <- the column that drifted in round 3
+        "user_id": "int64",
+        "value": "double",
+        "props": "string",
+    },
+    "documents": {"doc_id": "int64", "text": "string", "n_chars": "int64"},
+    "embeddings": {"vec_id": "int64", "embedding": "list<element: float>", "label": "int32"},
+}
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+def test_events_ts_resolves_to_timestamp(spark, sf_dir):
+    """After `_t`'s normalization, events.ts must be a session-zone
+    TIMESTAMP at every SF — the exact invariant round 3 broke."""
+    from pyspark.sql.types import TimestampType
+
+    schema = _t(spark, sf_dir, "events").schema
+    assert isinstance(schema["ts"].dataType, TimestampType), (
+        f"{sf_dir}/events.parquet: catalog._t resolved ts as "
+        f"{schema['ts'].dataType}; the reader's dtype sniff needs a new branch"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
+def test_raw_parquet_key_dtypes(sf_dir):
+    """Footer-level dtype pin for every table's load-bearing columns.
+    Pure pyarrow — runs in milliseconds, no Spark session required."""
+    drift = []
+    for table, cols in EXPECTED_ARROW.items():
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        schema = pq.read_schema(path)
+        names = set(schema.names)
+        for col, want in cols.items():
+            if col not in names:
+                drift.append(f"{table}.{col}: MISSING (had {sorted(names)})")
+                continue
+            got = str(schema.field(col).type)
+            if got != want:
+                drift.append(f"{table}.{col}: {got} != expected {want}")
+    assert not drift, (
+        f"TESTDATA DRIFT in {sf_dir} — the driver regenerated parquet with "
+        f"different encodings; audit readers (catalog._t) before trusting "
+        f"any gate artifact:\n  " + "\n  ".join(drift)
+    )
