@@ -44,6 +44,7 @@ def curate_documents(
     near_dup: str = "minhash",
     ngram_max_shingle_freq: int | None = 1000,
     minhash_portable: bool = False,
+    drop_repetitive: bool = False,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
@@ -70,6 +71,13 @@ def curate_documents(
     n_input = docs.count() if collect_stats else -1
 
     cleaned = text.clean_text(docs, text_col, min_tokens, max_tokens)
+    if drop_repetitive:
+        # Gopher repetition rules (dup-line/paragraph fractions, modal
+        # n-gram coverage) run BEFORE dedup: repetitive boilerplate is
+        # exactly what inflates shingle frequencies downstream. Pure
+        # per-row column folds — extends the clean stage's scan, adds
+        # no shuffle; its removals land in the after_clean count.
+        cleaned = text.repetition_filter(cleaned, text_col, id_col)
     n_clean = cleaned.count() if collect_stats else -1
 
     exact = dedup.drop_exact_duplicates(cleaned, text_col, id_col)

@@ -96,14 +96,15 @@ def drop_exact_duplicates(
     return df.join(keep, id_col, "left_semi")
 
 
-def shingle_array(text_col: str, k: int = 3) -> Column:
-    """Per-row array of DISTINCT word k-shingles — array_distinct keeps
-    the dedup inside the row (no shuffle; a post-explode global
-    distinct() would shuffle every shingle instance)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+def shingle_array_all(text_col: str | Column, k: int = 3) -> Column:
+    """Per-row array of ALL word k-shingles (with repeats) — the raw
+    sequence for frequency-sensitive consumers (text.repetition_stats
+    counts modal-n-gram occurrences, which array_distinct would erase)."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
     # Guard: sequence(1, n) DESCENDS when n < 1 (would fabricate
     # shingles for docs shorter than k tokens) -> empty array instead.
-    sh = F.when(
+    return F.when(
         F.size(toks) >= k,
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - (k - 1)),
@@ -112,7 +113,13 @@ def shingle_array(text_col: str, k: int = 3) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(sh)
+
+
+def shingle_array(text_col: str, k: int = 3) -> Column:
+    """Per-row array of DISTINCT word k-shingles — array_distinct keeps
+    the dedup inside the row (no shuffle; a post-explode global
+    distinct() would shuffle every shingle instance)."""
+    return F.array_distinct(shingle_array_all(text_col, k))
 
 
 def shingles(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:

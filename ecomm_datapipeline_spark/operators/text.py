@@ -402,3 +402,183 @@ def ngram_doc_frequencies(
         # window would sort the whole distribution in ONE task.
         freqs = freqs.orderBy(F.desc("doc_freq"), F.col("ngram")).limit(top_k)
     return freqs
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def _dup_unit_fracs(units: Column) -> tuple[Column, Column]:
+    """(dup_frac, dup_char_frac) for an array of text units (lines or
+    paragraphs), computed entirely per-row:
+
+    * dup_frac: repeated-unit occurrences beyond the first, over total
+      units — size(a) - size(array_distinct(a)) needs no sort at all.
+    * dup_char_frac: characters inside units whose VALUE occurs more
+      than once (all occurrences, the Gopher counting rule). Sorting
+      the array makes equal values adjacent, so "is duplicated" is a
+      neighbor comparison — O(L log L) per row inside whole-stage
+      codegen, versus the explode -> groupBy(doc, unit) -> reassemble
+      formulation that shuffles every line of every document twice.
+    """
+    n = F.size(units)
+    n_dup = n - F.size(F.array_distinct(units))
+    srt = F.array_sort(units)
+    # One O(L) fold over the sorted array: equal values are adjacent,
+    # so track (prev, run_len, chars). On a match, add len(x) — plus
+    # len(x) again when this is the SECOND occurrence, retroactively
+    # counting the first (equal strings share a length). The initial
+    # NULL prev compares to nothing, so the first element never counts.
+    dup_chars = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("chars"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                acc["chars"]
+                + F.when(
+                    x == acc["prev"],
+                    F.length(x)
+                    * F.when(acc["run"] == 1, F.lit(2)).otherwise(F.lit(1)),
+                ).otherwise(F.lit(0))
+            ).alias("chars"),
+        ),
+        lambda acc: acc["chars"],
+    )
+    total_chars = F.aggregate(
+        F.transform(units, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    zero = F.lit(0.0)
+    return (
+        F.when(n > 0, n_dup.cast("double") / n).otherwise(zero),
+        F.when(total_chars > 0, dup_chars.cast("double") / total_chars).otherwise(zero),
+    )
+
+
+def _top_ngram_char_frac(text_col: Column, n: int) -> Column:
+    """Fraction of document characters covered by the most frequent
+    word n-gram (count * ngram_length / doc_chars — the Gopher rule
+    for n in 2..4). Per-row: sort the n-gram array, then the longest
+    run of equal neighbors IS the modal n-gram; a struct-accumulator
+    fold tracks (prev, run_len, best_chars) in one O(L) pass over the
+    sorted array — no explode, no shuffle, no window."""
+    from .dedup import shingle_array_all
+
+    grams = F.array_sort(shingle_array_all(text_col, n))
+    # Fold state: (prev, run, best_run, best_chars). The modal n-gram
+    # is chosen by occurrence count first, covered chars as the
+    # tiebreak. Runs of 1 are NOT repetition — a clean short document's
+    # longest n-gram would otherwise trip the threshold (the published
+    # rule assumes separate min-length gates); requiring run >= 2 keeps
+    # the metric zero on repetition-free text.
+    best = F.aggregate(
+        grams,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best_run"),
+            F.lit(0).alias("best_chars"),
+        ),
+        lambda acc, x: _top_ngram_step(acc, x, n),
+        lambda acc: acc["best_chars"],
+    )
+    doc_chars = F.length(text_col)
+    return F.when(
+        doc_chars > 0,
+        # overlapping occurrences can cover the same characters more
+        # than once (count * len accounting) -> clamp at 1.0
+        F.least(F.lit(1.0), best.cast("double") / doc_chars),
+    ).otherwise(F.lit(0.0))
+
+
+def _top_ngram_step(acc: Column, x: Column, n: int) -> Column:
+    run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    # chars covered per occurrence = the n-gram string itself,
+    # single-space joiners included (each occurrence spans them in the
+    # source text too)
+    cand = run * F.length(x)
+    better = (run >= 2) & (
+        (run > acc["best_run"])
+        | ((run == acc["best_run"]) & (cand > acc["best_chars"]))
+    )
+    return F.struct(
+        x.alias("prev"),
+        run.alias("run"),
+        F.when(better, run).otherwise(acc["best_run"]).alias("best_run"),
+        F.when(better, cand).otherwise(acc["best_chars"]).alias("best_chars"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition profile — the Gopher/RefinedWeb quality
+    rules a training-corpus pipeline filters on:
+
+    * dup_line_frac / dup_line_char_frac — repeated lines (split on
+      newline), occurrence- and character-weighted;
+    * dup_para_frac / dup_para_char_frac — same over paragraphs
+      (blank-line separated);
+    * top_{2,3,4}gram_char_frac — characters covered by the most
+      frequent word n-gram.
+
+    Every metric is a per-row built-in column expression (sorted-array
+    adjacency + HOF folds): the whole profile is ONE parquet scan with
+    zero shuffles at any corpus size. Typical thresholds (Gopher):
+    dup_line_frac > 0.30, dup_para_frac > 0.30, top_2gram > 0.20,
+    top_3gram > 0.18, top_4gram > 0.16 -> drop."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.length(F.trim(x)) > 0)
+    paras = F.filter(F.split(t, r"\n{2,}"), lambda x: F.length(F.trim(x)) > 0)
+    dl, dlc = _dup_unit_fracs(lines)
+    dp, dpc = _dup_unit_fracs(paras)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(paras).alias("n_paras"),
+        dl.alias("dup_line_frac"),
+        dlc.alias("dup_line_char_frac"),
+        dp.alias("dup_para_frac"),
+        dpc.alias("dup_para_char_frac"),
+        _top_ngram_char_frac(t, 2).alias("top_2gram_char_frac"),
+        _top_ngram_char_frac(t, 3).alias("top_3gram_char_frac"),
+        _top_ngram_char_frac(t, 4).alias("top_4gram_char_frac"),
+    )
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dup_line_frac: float = 0.30,
+    max_dup_para_frac: float = 0.30,
+    max_top_2gram_char_frac: float = 0.20,
+    max_top_3gram_char_frac: float = 0.18,
+    max_top_4gram_char_frac: float = 0.16,
+) -> DataFrame:
+    """Drop documents exceeding the repetition thresholds (defaults =
+    the published Gopher rules). Returns the surviving rows of `df`
+    unchanged. Every metric is per-row, so this is a plain FILTER over
+    the scan — no join, no shuffle; NULL text yields NULL metrics and
+    survives (degenerate-but-not-repetitive), matching the stats'
+    semantics."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.length(F.trim(x)) > 0)
+    paras = F.filter(F.split(t, r"\n{2,}"), lambda x: F.length(F.trim(x)) > 0)
+    dl, _ = _dup_unit_fracs(lines)
+    dp, _ = _dup_unit_fracs(paras)
+    drop = (
+        (dl > max_dup_line_frac)
+        | (dp > max_dup_para_frac)
+        | (_top_ngram_char_frac(t, 2) > max_top_2gram_char_frac)
+        | (_top_ngram_char_frac(t, 3) > max_top_3gram_char_frac)
+        | (_top_ngram_char_frac(t, 4) > max_top_4gram_char_frac)
+    )
+    # coalesce: NULL text -> NULL predicate -> keep (not repetitive)
+    return df.filter(~F.coalesce(drop, F.lit(False)))

@@ -45,6 +45,26 @@ def test_curation_pipeline_stages(spark):
     assert 6 not in kept
 
 
+def test_curation_drop_repetitive_stage(spark):
+    """drop_repetitive=True removes Gopher-rule violators during the
+    clean stage; the same corpus passes untouched with the default
+    flag off."""
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find a quiet place to sleep"
+    )
+    spammy = "click here to win now " * 12  # modal 4-gram run
+    docs = spark.createDataFrame(
+        [(1, clean, "en"), (2, spammy.strip(), "en")],
+        "doc_id long, text string, lang string",
+    )
+    kept_off, _ = curate_documents(docs)
+    assert {r["doc_id"] for r in kept_off.collect()} == {1, 2}
+    kept_on, stats = curate_documents(docs, drop_repetitive=True, collect_stats=True)
+    assert {r["doc_id"] for r in kept_on.collect()} == {1}
+    assert stats.after_clean == 1  # removal attributed to the clean stage
+
+
 def test_curation_no_stats_single_pass(spark):
     # fully distinct token streams so no stage drops anything
     docs = spark.createDataFrame(

@@ -1,0 +1,126 @@
+"""Gopher-style repetition stats/filter (operators/text.py): exact
+hand-computed fractions on planted docs, degenerate inputs, and the
+scale-shape pin — the whole profile must be one scan with ZERO
+shuffles and zero Python (per-row sorted-array folds only)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            # 4 non-empty lines; "dup me" twice.
+            # dup_line_frac = 1/4; dup chars = 12 of 24.
+            (1, "dup me\ndup me\nhello\nanother"),
+            # "spam ham " * 5: bigram "spam ham" runs 5x (8 chars each)
+            # over 44 chars -> 40/44.
+            (2, ("spam ham " * 5).strip()),
+            # no repetition anywhere -> all zeros.
+            (3, "just one line of perfectly normal text"),
+            # two identical paragraphs (blank-line separated).
+            (4, "para one here\n\npara one here"),
+            (5, ""),  # degenerate: empty text
+            (6, None),  # degenerate: NULL text
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_fractions(docs):
+    rows = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+
+    r1 = rows[1]
+    assert r1["n_lines"] == 4 and r1["n_paras"] == 1
+    assert abs(r1["dup_line_frac"] - 0.25) < 1e-12
+    assert abs(r1["dup_line_char_frac"] - 0.5) < 1e-12  # 12/24
+    assert r1["dup_para_frac"] == 0.0
+    # modal bigram "dup me": 2 occurrences x 6 chars over 27 chars
+    assert abs(r1["top_2gram_char_frac"] - 12 / 27) < 1e-12
+
+    r2 = rows[2]
+    assert abs(r2["top_2gram_char_frac"] - 40 / 44) < 1e-12
+    # overlapping runs clamp at 1.0, never exceed
+    assert r2["top_3gram_char_frac"] <= 1.0
+    assert r2["top_4gram_char_frac"] <= 1.0
+
+    # a clean document scores zero on EVERY metric (a single
+    # occurrence is not repetition)
+    r3 = rows[3]
+    for c in (
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "dup_para_frac",
+        "dup_para_char_frac",
+        "top_2gram_char_frac",
+        "top_3gram_char_frac",
+        "top_4gram_char_frac",
+    ):
+        assert r3[c] == 0.0, c
+
+    r4 = rows[4]
+    assert r4["n_paras"] == 2
+    assert abs(r4["dup_para_frac"] - 0.5) < 1e-12
+    assert r4["dup_para_char_frac"] == 1.0  # both paragraphs duplicated
+
+
+def test_degenerate_rows_survive(docs):
+    rows = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    for did in (5, 6):
+        r = rows[did]
+        assert r["n_lines"] in (0, None)
+        for c in ("dup_line_frac", "top_2gram_char_frac"):
+            assert r[c] in (0.0, None)
+
+
+def test_filter_drops_only_repetitive_docs(docs):
+    survivors = {r["doc_id"] for r in text.repetition_filter(docs).collect()}
+    # doc 3 is clean; 5/6 are degenerate-but-not-repetitive; doc 1's
+    # repeated "dup me" bigram (0.44 > 0.20), doc 2's spam run, and
+    # doc 4's duplicate paragraphs are all over threshold.
+    assert survivors == {3, 5, 6}
+
+
+def test_thresholds_configurable(docs):
+    # loosen every threshold to 1.0 -> nothing drops
+    all_docs = text.repetition_filter(
+        docs,
+        max_dup_line_frac=1.0,
+        max_dup_para_frac=1.0,
+        max_top_2gram_char_frac=1.0,
+        max_top_3gram_char_frac=1.0,
+        max_top_4gram_char_frac=1.0,
+    )
+    assert all_docs.count() == docs.count()
+
+
+def test_stats_plan_is_one_scan_zero_shuffle(spark, docs):
+    """The 100 TB shape: per-row folds only — no Exchange, no Python,
+    one scan of the input."""
+    for df in (text.repetition_stats(docs), text.repetition_filter(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Join" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_runs_on_real_documents_table(spark):
+    """Smoke over the driver testdata: every fraction lands in [0, 1]."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = text.repetition_stats(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        for c in (
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "dup_para_frac",
+            "dup_para_char_frac",
+            "top_2gram_char_frac",
+            "top_3gram_char_frac",
+            "top_4gram_char_frac",
+        ):
+            v = r[c]
+            assert v is None or 0.0 <= v <= 1.0, (r["doc_id"], c, v)
