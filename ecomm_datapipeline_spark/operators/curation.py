@@ -197,6 +197,7 @@ def decontaminate(
     id_col: str = "doc_id",
     mode: str = "exact",
     threshold: float = 0.8,
+    ngram_n: int = 13,
     return_report: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Remove training documents contaminated by an evaluation set —
@@ -205,6 +206,15 @@ def decontaminate(
     mode="exact": whitespace/case-normalized md5 fingerprint anti-join
     (text.fingerprint) — catches verbatim and trivially-reformatted
     leaks; shuffles 32-byte digests, never documents.
+    mode="ngram": any shared word n-gram (default n=13, the GPT-3/
+    PaLM decontamination rule) flags the document — catches a verbatim
+    benchmark SNIPPET quoted inside an otherwise-unrelated document,
+    which whole-document Jaccard modes structurally miss (the quote is
+    a tiny fraction of the host doc's shingle set). The benchmark's
+    distinct n-gram hashes are BROADCAST (benchmarks are small by
+    definition), so the corpus side is one map-side semi-join over its
+    exploded 8-byte shingle hashes: O(corpus tokens) work, no
+    corpus-sized shuffle.
     mode="minhash": near-dup probe of the corpus against the
     benchmark's band index (dedup.minhash_band_index +
     incremental_minhash_candidates with the corpus as the "batch") —
@@ -230,6 +240,27 @@ def decontaminate(
         ).select(F.col(id_col).alias("_bench_id"), "fingerprint")
         hits = corp_fp.join(bench_fp, "fingerprint").select(
             id_col, "_bench_id", F.lit("exact").alias("how")
+        )
+    elif mode == "ngram":
+        def _grams(df_in: DataFrame, key: str) -> DataFrame:
+            return df_in.select(
+                F.col(key),
+                F.explode(
+                    F.transform(
+                        dedup.shingle_array(text_col, ngram_n),
+                        lambda s: F.xxhash64(s),
+                    )
+                ).alias("_gram_h"),
+            )
+
+        bench_grams = (
+            _grams(bench_ids, "_bench_id").distinct()
+        )
+        hits = (
+            _grams(corpus, id_col)
+            .join(F.broadcast(bench_grams), "_gram_h")
+            .select(id_col, "_bench_id", F.lit(f"ngram{ngram_n}").alias("how"))
+            .distinct()
         )
     elif mode == "minhash":
         # Disjoint id namespaces: corpus and benchmark may reuse raw id
@@ -267,7 +298,7 @@ def decontaminate(
             .select(id_col, "_bench_id", F.lit("minhash").alias("how"))
         )
     else:
-        raise ValueError(f"mode must be exact|minhash: {mode}")
+        raise ValueError(f"mode must be exact|ngram|minhash: {mode}")
 
     cleaned = corpus.join(hits.select(id_col).distinct(), id_col, "left_anti")
     if return_report:

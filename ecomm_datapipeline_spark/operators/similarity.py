@@ -313,3 +313,59 @@ def embedding_near_dup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-based quality classifier (linear head over the embedding)
+# ---------------------------------------------------------------------------
+
+
+def linear_classifier_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    emb_col: str = "embedding",
+    out_col: str = "clf_score",
+    sigmoid: bool = False,
+) -> DataFrame:
+    """Score every row with a linear model over its embedding — the
+    fastText/DCLM-style quality-classifier pattern: train a small
+    head offline, apply it corpus-wide as a COLUMN EXPRESSION.
+
+    The weight vector is folded into the plan as an array literal
+    (model sizes here are classifier heads, not networks), so scoring
+    is dot+bias via zip_with/aggregate inside whole-stage codegen:
+    one scan, zero shuffle, zero Python at any corpus size.
+    `sigmoid=True` maps the logit to (0,1). Rows whose embedding
+    dimension differs from len(weights) score NULL (loud in downstream
+    filters, never a silent truncated dot product — zip_with would
+    otherwise NULL-pad the shorter side)."""
+    w = F.array(*[F.lit(float(x)) for x in weights])
+    v = F.col(emb_col).cast("array<double>")
+    s = _dot(v, w) + F.lit(float(bias))
+    if sigmoid:
+        s = F.lit(1.0) / (F.lit(1.0) + F.exp(-s))
+    score = F.when(F.size(v) == len(weights), s)
+    return df.withColumn(out_col, score)
+
+
+def classifier_filter(
+    df: DataFrame,
+    weights: list[float],
+    bias: float = 0.0,
+    min_score: float = 0.5,
+    emb_col: str = "embedding",
+    sigmoid: bool = True,
+    keep_null_embeddings: bool = False,
+) -> DataFrame:
+    """Keep rows the classifier scores >= min_score. A plain filter
+    over the scoring expression — no join, no shuffle. Rows with a
+    NULL/mismatched embedding drop by default (can't be vouched for);
+    keep_null_embeddings=True retains them for a later gate."""
+    scored = linear_classifier_score(
+        df, weights, bias, emb_col, "_clf_score", sigmoid
+    )
+    keep = F.col("_clf_score") >= min_score
+    if keep_null_embeddings:
+        keep = keep | F.col("_clf_score").isNull()
+    return scored.filter(keep).drop("_clf_score")

@@ -366,3 +366,64 @@ def test_decontaminate_exact_and_minhash(spark):
 
     with pytest.raises(ValueError, match="exact|minhash"):
         decontaminate(corpus, benchmark, mode="nope")
+
+
+def test_decontaminate_ngram_catches_quoted_snippet(spark):
+    """mode='ngram': a verbatim 13-word benchmark snippet QUOTED inside
+    a long unrelated document is caught — whole-document Jaccard modes
+    structurally miss it (the quote is a tiny fraction of the host's
+    shingles) — while a 12-word prefix of the same snippet survives."""
+    from ecomm_datapipeline_spark.operators.curation import decontaminate
+
+    bench_text = " ".join(f"benchword{i}" for i in range(20))
+    filler = " ".join(f"host{i} token{i}" for i in range(150))
+    snippet13 = " ".join(bench_text.split()[:13])
+    snippet12 = " ".join(bench_text.split()[:12])
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{filler} {snippet13} {filler}"),   # quotes 13 words
+            (2, f"{filler} {snippet12}-x {filler}"),  # only 12 intact
+            (3, filler),                              # clean
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(7, bench_text)], "doc_id long, text string"
+    )
+
+    # minhash mode misses the quote: host doc's est_jaccard vs the
+    # benchmark is far below any sane threshold
+    kept_mh = {
+        r["doc_id"]
+        for r in decontaminate(
+            corpus, benchmark, mode="minhash", threshold=0.5
+        ).collect()
+    }
+    assert kept_mh == {1, 2, 3}
+
+    cleaned, report = decontaminate(
+        corpus, benchmark, mode="ngram", ngram_n=13, return_report=True
+    )
+    kept = {r["doc_id"] for r in cleaned.collect()}
+    assert kept == {2, 3}
+    rep = {(r["doc_id"], r["_bench_id"], r["how"]) for r in report.collect()}
+    assert rep == {(1, 7, "ngram13")}
+
+
+def test_decontaminate_ngram_plan_broadcasts_benchmark(spark):
+    """The benchmark gram set must reach the corpus side as a
+    broadcast: no corpus-sized shuffle in the contamination probe."""
+    from ecomm_datapipeline_spark.operators.curation import decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(30))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(1, " ".join(f"b{j}" for j in range(30)))], "doc_id long, text string"
+    )
+    _, report = decontaminate(
+        corpus, benchmark, mode="ngram", return_report=True
+    )
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan

@@ -341,3 +341,74 @@ def test_multimodal_real_decode(spark):
     f = multimodal.extract_image_features(assets, fake_decode=False).first()
     assert (f["width"], f["height"]) == (12, 7)
     assert abs(f["mean_luma"] - 128 / 255.0) < 1e-9
+
+
+def test_linear_classifier_score_exact(spark):
+    """Hand-computed dot+bias, sigmoid mapping, and NULL on dimension
+    mismatch (never a silently truncated dot product)."""
+    import math
+
+    from ecomm_datapipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0, 3.0]),
+            (2, [0.0, 0.0, 0.0]),
+            (3, [1.0, 1.0]),      # wrong dimension
+            (4, None),            # NULL embedding
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    w = [0.5, -1.0, 2.0]
+    rows = {
+        r["vec_id"]: r["clf_score"]
+        for r in similarity.linear_classifier_score(df, w, bias=0.25).collect()
+    }
+    assert abs(rows[1] - (0.5 - 2.0 + 6.0 + 0.25)) < 1e-12
+    assert abs(rows[2] - 0.25) < 1e-12
+    assert rows[3] is None and rows[4] is None
+
+    sig = {
+        r["vec_id"]: r["clf_score"]
+        for r in similarity.linear_classifier_score(
+            df, w, bias=0.25, sigmoid=True
+        ).collect()
+    }
+    assert abs(sig[1] - 1.0 / (1.0 + math.exp(-4.75))) < 1e-12
+    assert all(v is None or 0.0 < v < 1.0 for v in sig.values())
+
+
+def test_classifier_filter_threshold_and_nulls(spark):
+    from ecomm_datapipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [4.0]), (2, [-4.0]), (3, None)],
+        "vec_id long, embedding array<float>",
+    )
+    kept = {
+        r["vec_id"]
+        for r in similarity.classifier_filter(df, [1.0], min_score=0.5).collect()
+    }
+    assert kept == {1}  # sigmoid(4) > .5 > sigmoid(-4); NULL drops
+    kept_null = {
+        r["vec_id"]
+        for r in similarity.classifier_filter(
+            df, [1.0], min_score=0.5, keep_null_embeddings=True
+        ).collect()
+    }
+    assert kept_null == {1, 3}
+
+
+def test_classifier_plan_zero_shuffle(spark):
+    from ecomm_datapipeline_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    for out in (
+        similarity.linear_classifier_score(df, [1.0, 1.0]),
+        similarity.classifier_filter(df, [1.0, 1.0]),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
