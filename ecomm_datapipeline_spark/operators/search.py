@@ -1,0 +1,113 @@
+"""Full-text BM25 ranking over a document corpus — the search-shaped
+query surface of the engine (no reference counterpart; standard
+Robertson/Lucene BM25).
+
+Scale shape: query terms are a small literal list, so per-document
+term frequencies are per-row array ops (size(filter(tokens, =term)))
+— no explode, no (doc, token) shuffle. Corpus statistics (N, avgdl,
+per-term document frequencies) come from ONE aggregation pass
+collected as k+2 driver scalars (k = |query|, the mixture-weights
+pattern), folded into the scoring expression as literals. Scoring is
+then a second pure map pass; top-k compiles to TakeOrderedAndProject
+(per-partition heaps merged at the driver), never a global sort. Two
+scans total, zero wide shuffles at any corpus size.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens as _tokens
+
+
+def _norm_terms(query_terms: list[str]) -> list[str]:
+    # lowercase + dedup, preserving order (dup terms would double-score)
+    seen: dict[str, None] = {}
+    for t in query_terms:
+        t = t.strip().lower()
+        if t and t not in seen:
+            seen[t] = None
+    return list(seen)
+
+
+def _tf(toks: Column, term: str) -> Column:
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document against the query (BM25, Lucene idf
+    variant: ln(1 + (N - df + 0.5)/(df + 0.5)) — non-negative even for
+    terms in most documents). Returns (id, bm25_score, n_terms_hit);
+    documents hitting no term score 0.0. Tokenization is the engine's
+    shared lowercase-whitespace rule (text.tokens)."""
+    terms = _norm_terms(query_terms)
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+
+    # pass 1: corpus stats — one aggregation, k+2 scalars to the driver
+    stat_row = df.agg(
+        F.count("*").alias("n"),
+        F.avg(F.size(_tokens(F.col(text_col)))).alias("avgdl"),
+        *[
+            F.sum((_tf(toks, t) > 0).cast("long")).alias(f"df_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).first()
+    n_docs = stat_row["n"] or 0
+    avgdl = float(stat_row["avgdl"] or 1.0) or 1.0
+    idf = {
+        t: math.log(
+            1.0
+            + (n_docs - (stat_row[f"df_{i}"] or 0) + 0.5)
+            / ((stat_row[f"df_{i}"] or 0) + 0.5)
+        )
+        for i, t in enumerate(terms)
+    }
+
+    # pass 2: score — pure per-row expression with the stats as literals
+    dl = F.size(toks).cast("double")
+    denom_norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
+    score = F.lit(0.0)
+    hits = F.lit(0)
+    for t in terms:
+        tf = _tf(toks, t).cast("double")
+        score = score + F.lit(idf[t]) * (
+            tf * F.lit(k1 + 1.0) / (tf + denom_norm)
+        )
+        hits = hits + (tf > 0).cast("int")
+    return df.select(
+        F.col(id_col),
+        score.alias("bm25_score"),
+        hits.alias("n_terms_hit"),
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents for the query, ties broken by id for
+    determinism. orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-k merged at the driver, no global sort."""
+    scored = bm25_scores(df, query_terms, text_col, id_col, k1, b)
+    return (
+        scored.filter(F.col("n_terms_hit") > 0)
+        .orderBy(F.desc("bm25_score"), F.col(id_col))
+        .limit(top_k)
+    )

@@ -1,0 +1,105 @@
+"""BM25 ranking (operators/search.py): scores match a from-scratch
+Python reference implementation exactly, ranking behaves, and the
+plan holds the two-scan/zero-wide-shuffle shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import search
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "a quick brown dog outpaces a quick fox"),
+    (3, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+    (4, "the dog sleeps all day the dog dreams of foxes"),
+    (5, "quick quick quick brown brown fox"),
+]
+
+
+def _bm25_reference(query, k1=1.2, b=0.75):
+    """Independent from-scratch implementation (Lucene idf)."""
+    docs = {i: t.lower().split() for i, t in CORPUS}
+    n = len(docs)
+    avgdl = sum(len(v) for v in docs.values()) / n
+    out = {}
+    for did, toks in docs.items():
+        s = 0.0
+        for term in dict.fromkeys(q.lower() for q in query):
+            df = sum(1 for v in docs.values() if term in v)
+            idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+            tf = toks.count(term)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(toks) / avgdl))
+        out[did] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+def test_scores_match_reference(docs):
+    got = {
+        r["doc_id"]: r["bm25_score"]
+        for r in search.bm25_scores(docs, ["quick", "fox"]).collect()
+    }
+    want = _bm25_reference(["quick", "fox"])
+    assert set(got) == set(want)
+    for did in want:
+        assert abs(got[did] - want[did]) < 1e-9, (did, got[did], want[did])
+    assert got[3] == 0.0  # no term hit -> exactly zero
+
+
+def test_rank_order_and_tiebreak(docs):
+    ranked = search.bm25_rank(docs, ["quick", "fox"], top_k=3).collect()
+    ids = [r["doc_id"] for r in ranked]
+    want = _bm25_reference(["quick", "fox"])
+    expected = sorted(
+        (d for d in want if want[d] > 0), key=lambda d: (-want[d], d)
+    )[:3]
+    assert ids == expected
+    # non-hitting docs never appear even with a large top_k
+    all_ranked = search.bm25_rank(docs, ["quick", "fox"], top_k=100).collect()
+    assert {r["doc_id"] for r in all_ranked} == {d for d in want if want[d] > 0}
+
+
+def test_query_normalization(docs):
+    """Case-insensitive, duplicate terms collapse (no double-scoring)."""
+    a = {r["doc_id"]: r["bm25_score"] for r in search.bm25_scores(docs, ["Quick"]).collect()}
+    c = {
+        r["doc_id"]: r["bm25_score"]
+        for r in search.bm25_scores(docs, ["quick", "QUICK", " quick "]).collect()
+    }
+    assert a == c
+    with pytest.raises(ValueError):
+        search.bm25_scores(docs, ["", "  "])
+
+
+def test_scoring_plan_no_wide_shuffle(docs):
+    """The scoring pass is per-row; ranking adds only TakeOrdered."""
+    plan = (
+        search.bm25_scores(docs, ["quick"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    rank_plan = (
+        search.bm25_rank(docs, ["quick"], top_k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in rank_plan, rank_plan
+    assert "BatchEvalPython" not in rank_plan
+
+
+def test_real_documents_smoke(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    top = search.bm25_rank(docs, ["data", "model"], top_k=5).collect()
+    assert 0 < len(top) <= 5
+    scores = [r["bm25_score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r["n_terms_hit"] >= 1 for r in top)
