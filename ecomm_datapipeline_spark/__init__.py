@@ -18,8 +18,13 @@ Everything the reference computes is re-expressed Spark-first:
 - plans.pipeline: the 15-minute incremental driver
   (reference: order_processing_incremental.py:236-237 task DAG)
 - streaming: Structured Streaming variant (Trigger.AvailableNow)
-- operators.{dedup,similarity,text,multimodal,sessionize}: large-scale
-  training-data-pipeline extensions (no reference counterpart)
+- operators.{dedup,similarity,text,multimodal,sessionize,curation,
+  sampling,packing,sketches,skew,search}: large-scale training-data-
+  pipeline extensions — dedup (exact/MinHash/SimHash/n-gram/embedding),
+  ANN search, text quality + repetition rules, PII redaction,
+  benchmark decontamination (exact/n-gram/minhash), corpus mixture /
+  token budgets / splits, sequence packing, mergeable sketches, BM25
+  ranking (no reference counterpart)
 """
 
 __version__ = "0.1.0"
