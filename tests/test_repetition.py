@@ -124,3 +124,88 @@ def test_runs_on_real_documents_table(spark):
         ):
             v = r[c]
             assert v is None or 0.0 <= v <= 1.0, (r["doc_id"], c, v)
+
+
+def _py_repetition_reference(text: str) -> dict:
+    """Pure-Python reference for the per-row metrics (independent of
+    the Spark fold implementations)."""
+    from collections import Counter
+
+    def unit_fracs(units):
+        units = [u for u in units if u.strip()]
+        n = len(units)
+        if n == 0:
+            return 0.0, 0.0
+        counts = Counter(units)
+        n_dup = n - len(counts)
+        total = sum(len(u) for u in units)
+        dup_chars = sum(len(u) * c for u, c in counts.items() if c > 1)
+        return n_dup / n, (dup_chars / total if total else 0.0)
+
+    def top_ngram(tok_text, n):
+        toks = tok_text.lower().split()
+        if len(toks) < n:
+            return 0.0
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        counts = Counter(grams)
+        # most frequent FIRST (the Gopher rule), covered chars only as
+        # the tiebreak among equally-frequent n-grams
+        best, best_c = 0, 0
+        for g, c in counts.items():
+            if c >= 2:
+                cand = c * len(g)
+                if c > best_c or (c == best_c and cand > best):
+                    best_c, best = c, cand
+        doc_chars = len(tok_text)
+        return min(1.0, best / doc_chars) if doc_chars else 0.0
+
+    import re
+
+    lines = text.split("\n")
+    paras = re.split(r"\n{2,}", text)
+    dl, dlc = unit_fracs(lines)
+    dp, dpc = unit_fracs(paras)
+    return {
+        "dup_line_frac": dl,
+        "dup_line_char_frac": dlc,
+        "dup_para_frac": dp,
+        "dup_para_char_frac": dpc,
+        "top_2gram_char_frac": top_ngram(text, 2),
+        "top_3gram_char_frac": top_ngram(text, 3),
+        "top_4gram_char_frac": top_ngram(text, 4),
+    }
+
+
+def test_randomized_differential_vs_python_reference(spark):
+    """Seeded randomized documents (repeated lines/paragraphs/phrases
+    planted at random rates) — Spark fold results must match the
+    independent Python reference bit-for-bit on every metric. One
+    DataFrame, one job, 60 cases."""
+    import random
+
+    rng = random.Random(20260813)
+    vocab = [f"w{i}" for i in range(30)]
+    cases = []
+    for did in range(60):
+        n_lines = rng.randint(1, 12)
+        lines = []
+        for _ in range(n_lines):
+            if lines and rng.random() < 0.35:
+                lines.append(rng.choice(lines))  # planted dup line
+            else:
+                k = rng.randint(1, 8)
+                words = [rng.choice(vocab) for _ in range(k)]
+                if rng.random() < 0.3 and k >= 2:
+                    # planted repeated phrase inside the line
+                    words = words + words[:2] * rng.randint(1, 3)
+                lines.append(" ".join(words))
+        sep = "\n\n" if rng.random() < 0.3 else "\n"
+        cases.append((did, sep.join(lines)))
+
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+    for did, raw in cases:
+        want = _py_repetition_reference(raw)
+        for metric, w in want.items():
+            g = got[did][metric]
+            assert abs(g - w) < 1e-12, (did, metric, g, w, raw)
