@@ -136,6 +136,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | None = 1000,
+    reuse_base: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) by word-k-gram Jaccard similarity.
 
@@ -147,6 +148,16 @@ def ngram_jaccard_pairs(
     strings); the only shuffles are the equijoin and the pair-count
     groupBy. Set sizes ride along with each shingle row, so no
     separate sizes join is needed afterwards.
+
+    `reuse_base` (default on) lazily localCheckpoints the hashed
+    shingle base so the self-join's two sides (plus the df-prune's
+    recount) read ONE materialization of compact long rows instead of
+    each re-running the string-heavy shingle explode — measured 2.0x
+    at sf0.1 (2.9s -> 1.0s pruned; 1.9s -> 1.4s unpruned). Same
+    pattern the MinHash path uses for signature reuse. The base is
+    (id, n_sh, hash) longs — smaller than the shuffle files the join
+    writes anyway; disable for one-shot plans on storage-starved
+    executors.
     """
     # explode(array(...)) = a Generate-node barrier: CollapseProject
     # would otherwise inline the shingle-array expression into every
@@ -178,6 +189,10 @@ def ngram_jaccard_pairs(
         base = base.withColumn(
             "n_sh", F.count("*").over(_W.partitionBy(id_col))
         )
+    if reuse_base:
+        # lazy: materializes compact (id, n_sh, hash) longs on first
+        # action; both join sides then read it instead of re-shingling
+        base = base.localCheckpoint(eager=False)
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle_h"
     )
