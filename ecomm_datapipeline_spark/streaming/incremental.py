@@ -179,6 +179,7 @@ def curate_documents_stream(
     min_quality: int = 30,
     keep_langs: tuple[str, ...] | None = None,
     redact_pii: bool = False,
+    drop_repetitive: bool = False,
 ) -> DataFrame:
     """Streaming curation in the SAME stage order as the batch
     pipeline (operators/curation.curate_documents): clean/length gate
@@ -201,6 +202,11 @@ def curate_documents_stream(
     from ..operators import text as text_ops
 
     cleaned = text_ops.clean_text(docs_stream, text_col, min_tokens, max_tokens)
+    if drop_repetitive:
+        # Gopher repetition rules are per-row column folds — stateless,
+        # so streaming-safe; same stage position as the batch pipeline
+        # (after the length gate, before dedup).
+        cleaned = text_ops.repetition_filter(cleaned, text_col)
     deduped = dedup_documents_stream(
         cleaned, text_col=text_col,
         event_time_col=event_time_col, watermark=watermark,

@@ -325,3 +325,37 @@ def test_streaming_curation_redacts_pii(spark, tmp_path):
     }
     assert "<EMAIL>" in got[1] and "a.b@c.org" not in got[1]
     assert got[2] == rows[1][1]
+
+
+def test_streaming_curation_drop_repetitive(spark, tmp_path):
+    """drop_repetitive=True kills the Gopher-rule violator inside the
+    stream (stateless per-row fold, same stage position as batch);
+    with the flag off the same doc flows through."""
+    ts0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again", ts0),
+        (2, ("click here to win now " * 12).strip(), ts0),  # modal 4-gram run
+    ]
+    src = str(tmp_path / "docs_rep")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    for flag, want in ((False, {1, 2}), (True, {1})):
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        out = incremental.curate_documents_stream(
+            stream, drop_repetitive=flag
+        )
+        name = f"curated_rep_{int(flag)}"
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / f"ck_{int(flag)}"))
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["doc_id"] for r in spark.sql(f"select * from {name}").collect()}
+        assert got == want, (flag, got)
