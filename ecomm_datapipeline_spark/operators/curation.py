@@ -77,7 +77,13 @@ def curate_documents(
         # exactly what inflates shingle frequencies downstream. Pure
         # per-row column folds — extends the clean stage's scan, adds
         # no shuffle; its removals land in the after_clean count.
-        cleaned = text.repetition_filter(cleaned, text_col, id_col)
+        # Lazily checkpoint the survivors: the near-dup stage's
+        # iterative connected-components re-executes its input every
+        # propagation round, and re-running the (deliberately thorough)
+        # repetition folds each round multiplied e2e cost ~3x at sf0.1.
+        cleaned = text.repetition_filter(cleaned, text_col, id_col).localCheckpoint(
+            eager=False
+        )
     n_clean = cleaned.count() if collect_stats else -1
 
     exact = dedup.drop_exact_duplicates(cleaned, text_col, id_col)

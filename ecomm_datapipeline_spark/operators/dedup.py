@@ -99,20 +99,32 @@ def drop_exact_duplicates(
 def shingle_array_all(text_col: str | Column, k: int = 3) -> Column:
     """Per-row array of ALL word k-shingles (with repeats) — the raw
     sequence for frequency-sensitive consumers (text.repetition_stats
-    counts modal-n-gram occurrences, which array_distinct would erase)."""
+    counts modal-n-gram occurrences, which array_distinct would erase).
+
+    The token array is BOUND as a lambda variable (transform over a
+    1-element wrapper) before the per-position element_at lambda uses
+    it: an outer expression referenced inside a HOF lambda is
+    re-evaluated PER ELEMENT, so the naive form re-ran the full
+    split() k times per shingle position — O(tokens^2) per document
+    (measured 6s for bare 2-shingles over 5k short docs at sf0.1;
+    ~0.2s bound)."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     toks = F.split(F.trim(F.lower(col)), r"\s+")
-    # Guard: sequence(1, n) DESCENDS when n < 1 (would fabricate
-    # shingles for docs shorter than k tokens) -> empty array instead.
-    return F.when(
-        F.size(toks) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
+
+    def _build(tk: Column) -> Column:
+        # Guard: sequence(1, n) DESCENDS when n < 1 (would fabricate
+        # shingles for docs shorter than k tokens) -> empty array.
+        return F.when(
+            F.size(tk) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tk) - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(k)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), _build), 1)
 
 
 def shingle_array(text_col: str, k: int = 3) -> Column:
