@@ -1,0 +1,104 @@
+"""Plan-shape regression lock: every catalog query's physical plan is
+pinned to a MAXIMUM number of Exchange (shuffle), Sort, and Generate
+nodes, captured from the audited round-4 plans. A change that adds a
+shuffle to any query fails HERE with the query's name, instead of
+surfacing as an unexplained bench regression two rounds later.
+
+Ceilings, not exact counts: an optimization that removes a shuffle
+passes (tighten the pin when that happens); only regressions fail.
+Iterative queries (driver-side loops) are excluded as in the other
+plan audits. Queries whose operators localCheckpoint internally
+(dedup_ngram_jaccard) pin only the post-checkpoint plan — their
+pre-checkpoint stages are audited by their operator tests.
+"""
+
+import re
+
+import pytest
+
+from ecomm_datapipeline_spark.plans import catalog
+
+SF = "/root/testdata/sf0.001"
+SKIP = {"neardup_components", "curate_corpus", "curate_corpus_exact"}
+
+# (max exchanges, max sorts, max generates) per query — round-4 plans.
+PINNED = {
+    "pricing_summary": (1, 0, 0),
+    "hourly_event_metrics": (2, 0, 0),
+    "dup_detection": (1, 0, 0),
+    "amount_mismatch": (1, 0, 0),
+    "fact_enrichment": (0, 0, 0),  # all-broadcast: ZERO shuffles
+    "customer_activity_audit": (1, 0, 0),
+    "category_revenue": (2, 0, 0),
+    "top_products": (1, 0, 0),
+    "revenue_trends_90d": (1, 0, 0),
+    "low_stock_alerts": (1, 0, 0),
+    "aov_by_segment": (1, 0, 0),
+    "event_type_summary": (2, 0, 0),
+    "top3_per_brand": (2, 2, 0),
+    "moving_avg_daily_revenue": (2, 1, 0),
+    "sessionize_events": (1, 1, 0),
+    "json_extract_events": (1, 0, 0),
+    "custkey_set_ops": (2, 0, 0),
+    "token_frequencies": (2, 0, 1),
+    "supplier_balance_by_nation": (1, 0, 0),
+    "revenue_rollup": (1, 0, 0),
+    "order_status_pivot": (2, 0, 0),
+    "event_funnel": (2, 1, 0),
+    "weekly_retention": (3, 0, 0),
+    "quantity_stats": (1, 0, 0),
+    "order_recency_gaps": (1, 1, 0),
+    "dedup_exact": (1, 0, 0),
+    "dedup_ngram_jaccard": (1, 0, 0),  # post-checkpoint plan
+    "dedup_minhash_lsh": (1, 0, 2),
+    "dedup_simhash": (4, 0, 2),
+    "ann_cosine_topk": (1, 2, 0),
+    "ann_cosine_topk_approx": (10, 13, 2),  # composite self-verifier
+    "embedding_neardup_pairs": (0, 0, 0),
+    "text_profile": (0, 0, 0),
+    "text_quality_lang": (0, 0, 0),
+    "multimodal_image_features": (0, 0, 0),
+    "multimodal_frame_sample": (0, 0, 1),
+    "asof_view_attribution": (1, 1, 0),  # the single-shuffle as-of shape
+    "asof_view_attribution_bucketed": (4, 4, 0),
+    "price_band_revenue": (1, 0, 1),
+    "events_hourly_gapfill": (3, 0, 1),
+    "train_split_assign": (0, 0, 0),
+    "shipping_priority": (1, 0, 0),
+    "local_supplier_volume": (1, 0, 0),
+    "returned_items_by_customer": (1, 0, 0),
+    "text_pattern_scan": (0, 0, 0),
+    "embedding_stats": (0, 0, 0),
+    "approx_distinct_users": (5, 1, 0),  # sketch rollup + exact twin
+}
+
+
+def test_every_registered_query_is_pinned():
+    """A new catalog entry must get a plan pin (or a SKIP entry with
+    rationale) — silent unpinned queries defeat the lock."""
+    unpinned = set(catalog.names()) - SKIP - set(PINNED)
+    stale = set(PINNED) - set(catalog.names())
+    assert not unpinned, f"add plan pins for: {sorted(unpinned)}"
+    assert not stale, f"remove stale pins: {sorted(stale)}"
+
+
+@pytest.mark.parametrize("name", sorted(PINNED))
+def test_plan_shape_within_pin(spark, name):
+    plan = (
+        catalog.queries()[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    got = (
+        len(re.findall(r"\bExchange\b", plan)),
+        len(re.findall(r"\bSort\b", plan)),
+        len(re.findall(r"\bGenerate\b", plan)),
+    )
+    max_ex, max_sort, max_gen = PINNED[name]
+    assert got[0] <= max_ex, (
+        f"{name}: {got[0]} exchanges > pinned {max_ex} — a shuffle regressed\n"
+        + plan[:2000]
+    )
+    assert got[1] <= max_sort, f"{name}: sorts {got[1]} > pinned {max_sort}"
+    assert got[2] <= max_gen, f"{name}: generates {got[2]} > pinned {max_gen}"
