@@ -92,3 +92,73 @@ def approx_quantiles(
     for i, p in enumerate(probabilities):
         out = out.withColumn(f"p{int(p * 100)}", F.col("_q")[i])
     return out.drop("_q")
+
+
+def freq_sketch_rollup(
+    df: DataFrame,
+    key_col: str,
+    group_cols: list[str],
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    sketch_col: str = "cms",
+) -> DataFrame:
+    """Per-group Count-Min sketch of `key_col` frequencies — the
+    frequency twin of distinct_sketch_rollup (HLL counts distincts,
+    CMS answers "how often did value X occur"). One shuffle; state per
+    group is the fixed-size counter matrix (width 2e/eps x depth
+    ln(1/(1-confidence))), whatever the cardinality. Counter merges
+    are exact additions, so rollup sketches re-aggregate to coarser
+    grains without rescanning raw rows — same seed => same hash
+    functions => a merged rollup is bit-identical to a direct sketch
+    of the union (asserted in tests)."""
+    return df.groupBy(*group_cols).agg(
+        F.count_min_sketch(
+            F.col(key_col), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias(sketch_col)
+    )
+
+
+class FreqEstimator:
+    """Driver-side handle over merged Count-Min sketches: point
+    frequency estimates with the CMS guarantee (never under-estimates;
+    over-estimates by at most eps * total with the configured
+    confidence)."""
+
+    def __init__(self, jvm_sketch, jvm):
+        self._cms = jvm_sketch
+        self._jvm = jvm
+
+    def total(self) -> int:
+        return self._cms.totalCount()
+
+    def estimate(self, item) -> int:
+        if isinstance(item, bool):
+            raise TypeError("boolean keys are not supported")
+        if isinstance(item, int):
+            item = self._jvm.java.lang.Long(item)
+        return self._cms.estimateCount(item)
+
+
+def merged_freq_sketch(
+    rollup: DataFrame, sketch_col: str = "cms"
+) -> FreqEstimator:
+    """Merge a rollup's sketches driver-side into one queryable
+    estimator. The collect is O(groups) fixed-size binaries (the
+    pre-aggregation contract: group count is the rollup grain, never
+    raw-data size); merging is exact counter addition via the JVM
+    CountMinSketch API, so estimates equal a direct global sketch."""
+    spark = rollup.sparkSession
+    jvm = spark._jvm
+    cms_cls = jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = None
+    for row in rollup.select(sketch_col).collect():
+        payload = bytes(row[sketch_col])
+        sk = cms_cls.readFrom(jvm.java.io.ByteArrayInputStream(payload))
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    if merged is None:
+        raise ValueError("rollup has no sketch rows to merge")
+    return FreqEstimator(merged, jvm)

@@ -87,3 +87,64 @@ def test_approx_quantiles(spark):
     row = approx_quantiles(df, "v", ["g"], [0.5, 0.99], accuracy=10000).collect()[0]
     assert row["p50"] == pytest.approx(5000, abs=15)
     assert row["p99"] == pytest.approx(9900, abs=15)
+
+
+def test_cms_rollup_merge_equals_direct(spark):
+    """Merging day-grain Count-Min sketches must give IDENTICAL
+    estimates to one direct global sketch (same seed => same hash
+    functions; counter merge is exact addition) — the pre-aggregation
+    contract: query coarse grains without rescanning raw rows."""
+    from ecomm_datapipeline_spark.operators import sketches
+
+    rows = [(d, i % 11) for d in range(4) for i in range(500 + 100 * d)]
+    df = spark.createDataFrame(rows, "day int, user_id long")
+
+    rollup = sketches.freq_sketch_rollup(df, "user_id", ["day"], eps=0.001)
+    assert rollup.count() == 4
+    merged = sketches.merged_freq_sketch(rollup)
+
+    direct = sketches.merged_freq_sketch(
+        sketches.freq_sketch_rollup(
+            df.withColumn("g", F.lit(1)), "user_id", ["g"], eps=0.001
+        )
+    )
+    assert merged.total() == direct.total() == len(rows)
+    for k in range(11):
+        assert merged.estimate(k) == direct.estimate(k)
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    """CMS guarantee on a planted heavy hitter among noise: the
+    estimate is >= the true count and <= true + eps * total."""
+    from ecomm_datapipeline_spark.operators import sketches
+
+    eps = 0.01
+    heavy = [(7,)] * 400
+    noise = [(1000 + i,) for i in range(600)]
+    df = spark.createDataFrame(heavy + noise, "user_id long")
+    est = sketches.merged_freq_sketch(
+        sketches.freq_sketch_rollup(
+            df.withColumn("g", F.lit(1)), "user_id", ["g"], eps=eps
+        )
+    )
+    e = est.estimate(7)
+    assert e >= 400
+    assert e <= 400 + eps * est.total()
+    # an absent key estimates at most eps * total (usually 0)
+    assert est.estimate(999_999) <= eps * est.total()
+
+
+def test_cms_string_keys(spark):
+    from ecomm_datapipeline_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("view",)] * 30 + [("click",)] * 10, "event_type string"
+    )
+    est = sketches.merged_freq_sketch(
+        sketches.freq_sketch_rollup(
+            df.withColumn("g", F.lit(1)), "event_type", ["g"], eps=0.01
+        )
+    )
+    assert est.estimate("view") >= 30
+    assert est.estimate("click") >= 10
+    assert est.estimate("view") + est.estimate("click") <= est.total() + 2 * 0.01 * est.total()
