@@ -1,0 +1,73 @@
+"""Compare a bench run against a recorded baseline artifact.
+
+Usage: python tools/bench_compare.py <baseline.json> [current.json]
+
+baseline.json is a driver artifact (BENCH_r{N}.json with a `parsed`
+field) or a raw bench.py output line; current.json likewise (default:
+run `python bench.py` fresh and read its stdout).
+
+Exit 1 if the suite exceeds 2x the baseline total (BASELINE.md's bar)
+or any shared query exceeds 2x its baseline time; per-query deltas are
+always printed. Queries present on only one side are reported, not
+failed (headline slots legitimately evolve between rounds — e.g.
+text_quality_score -> text_quality_lang in r3).
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+
+def load(path_or_json: str) -> dict:
+    with open(path_or_json) as fh:
+        doc = json.load(fh)
+    if "parsed" in doc and doc["parsed"]:
+        return doc["parsed"]
+    if "queries" in doc:
+        return doc
+    raise SystemExit(f"{path_or_json}: no parsed bench payload")
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        return 2
+    base = load(sys.argv[1])
+    if len(sys.argv) > 2:
+        cur = load(sys.argv[2])
+    else:
+        out = subprocess.run(
+            [sys.executable, "bench.py"], capture_output=True, text=True
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        cur = json.loads(line)
+
+    rc = 0
+    ratio = cur["value"] / base["value"] if base["value"] else float("inf")
+    print(f"suite: {base['value']:.3f}s -> {cur['value']:.3f}s  ({ratio:.2f}x)")
+    if ratio > 2.0:
+        print("FAIL: suite exceeds the 2x baseline bar")
+        rc = 1
+    bq, cq = base["queries"], cur["queries"]
+    for name in sorted(set(bq) | set(cq)):
+        if name not in cq:
+            print(f"  {name:<28} {bq[name]:>7.3f}s -> (slot removed)")
+        elif name not in bq:
+            print(f"  {name:<28}        (new) -> {cq[name]:>7.3f}s")
+        else:
+            r = cq[name] / bq[name] if bq[name] else float("inf")
+            flag = ""
+            if r > 2.0:
+                flag = "  FAIL >2x"
+                rc = 1
+            print(f"  {name:<28} {bq[name]:>7.3f}s -> {cq[name]:>7.3f}s  ({r:.2f}x){flag}")
+    if errs := cur.get("errors"):
+        print(f"FAIL: {len(errs)} erred queries: {sorted(errs)}")
+        rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -9,5 +9,11 @@ cd "$(dirname "$0")/.."
 echo "== preflight 1/2: oracle replica (vanilla session, sf0.01) =="
 python tools/check_oracle.py /root/testdata/sf0.01
 
-echo "== preflight 2/2: bench =="
-python bench.py
+echo "== preflight 2/2: bench vs recorded baseline =="
+python bench.py | tee /tmp/bench_current.json
+python - <<'PY'
+import json
+line = [l for l in open('/tmp/bench_current.json') if l.startswith('{')][-1]
+json.dump(json.loads(line), open('/tmp/bench_current_parsed.json', 'w'))
+PY
+python tools/bench_compare.py BENCH_r01.json /tmp/bench_current_parsed.json
