@@ -369,3 +369,166 @@ def classifier_filter(
     if keep_null_embeddings:
         keep = keep | F.col("_clf_score").isNull()
     return scored.filter(keep).drop("_clf_score")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed ANN for corpus-scale vectors
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 4,
+    k: int = 16,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: split each vector into m
+    subvectors and k-means each subspace independently (seeded, so
+    codebooks are reproducible). Returns codebooks[m][k][d_sub] as
+    plain Python lists — they become PLAN LITERALS downstream, never a
+    broadcast or join.
+
+    At 100 TB: fit on a deterministic sample
+    (sampling.deterministic_sample), not the full corpus — k-means
+    quality saturates long before corpus size; the m fits are the only
+    training jobs, and each reads one dim/m-wide slice."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    first = candidates.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("candidates is empty")
+    dim = first["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    codebooks = []
+    for j in range(m):
+        sub = candidates.select(
+            array_to_vector(F.slice(v, j * d_sub + 1, d_sub)).alias("_features")
+        )
+        km = KMeans(k=k, seed=seed + j, featuresCol="_features").fit(sub)
+        codebooks.append([list(c) for c in km.clusterCenters()])
+    return codebooks
+
+
+def _sub_argmin_code(sub: Column, codebook: list[list[float]]) -> Column:
+    """0-based index of the nearest centroid for one subvector: the
+    k squared-distance aggregates are built once, BOUND as a lambda
+    variable (docs/SCALE.md 'HOF lambda scoping'), then argmin'd via
+    array_position over the bound array."""
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    sub,
+                    F.array(*[F.lit(float(x)) for x in ctr]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for ctr in codebook
+        ]
+    )
+    return (
+        F.element_at(
+            F.transform(
+                F.array(dists),
+                lambda ds: F.array_position(ds, F.array_min(ds)),
+            ),
+            1,
+        )
+        - 1
+    ).cast("int")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Encode every vector to m small ints (one per subspace) — dim
+    floats become m codes (e.g. 16 float32 -> 4 codes: 16x smaller).
+    Pure per-row map with the codebooks folded in as literals: zero
+    shuffle, zero Python, whatever the corpus size. The code table is
+    what a 100 TB ANN deployment persists and scans at query time."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    codes = [
+        _sub_argmin_code(F.slice(v, j * d_sub + 1, d_sub), codebooks[j])
+        for j in range(m)
+    ]
+    return df.select(F.col(id_col), F.array(*codes).alias(code_col))
+
+
+def pq_topk(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: for each query,
+    LUT[j][c] = ||q_sub_j - codebook[j][c]||² is computed DRIVER-side
+    (queries are small by the same contract the brute-force path uses
+    to broadcast them) and folded into the plan as literals; a
+    candidate's approximate distance is m LUT lookups summed —
+    `element_at` on the code array, no vector math per candidate.
+
+    ONE scan of the compact code table scores every (candidate, query)
+    pair via stack(q columns); the only shuffle is the per-query top-k
+    window over scored rows. Returns (query_id, neighbor_id,
+    approx_dist, rank) ascending by distance."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    qrows = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+
+    def lut_for(qv: list[float], j: int) -> list[float]:
+        sub = qv[j * d_sub : (j + 1) * d_sub]
+        return [
+            sum((a - b) * (a - b) for a, b in zip(sub, ctr))
+            for ctr in codebooks[j]
+        ]
+
+    score_cols = []
+    for row in qrows:
+        qid, qv = row[query_id_col], row["_qv"]
+        dist = None
+        for j in range(m):
+            lut = F.array(*[F.lit(x) for x in lut_for(qv, j)])
+            term = F.element_at(lut, F.element_at(F.col(code_col), j + 1) + 1)
+            dist = term if dist is None else dist + term
+        score_cols.append((qid, dist))
+
+    stacked = encoded.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.stack(
+            F.lit(len(score_cols)),
+            *[
+                c
+                for qid, dist in score_cols
+                for c in (F.lit(qid), dist)
+            ],
+        ).alias(query_id_col, "approx_dist"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        stacked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "approx_dist", "rank")
+    )

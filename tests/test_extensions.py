@@ -412,3 +412,89 @@ def test_classifier_plan_zero_shuffle(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_pq_encode_properties(spark, emb):
+    """PQ codes: m ints in [0, k); identical vectors encode
+    identically; encode plan is a pure map (zero shuffle/Python)."""
+    from ecomm_datapipeline_spark.operators import similarity
+
+    cbs = similarity.pq_train(emb, m=4, k=16)
+    assert len(cbs) == 4 and len(cbs[0]) == 16
+    enc = similarity.pq_encode(emb, cbs)
+    rows = {r["vec_id"]: list(r["pq_code"]) for r in enc.collect()}
+    assert all(len(c) == 4 and all(0 <= x < 16 for x in c) for c in rows.values())
+
+    # duplicate vector -> identical code
+    twin = emb.limit(1).select(
+        F.lit(999_999).alias("vec_id"), "embedding", F.lit(0).alias("label")
+    )
+    first_id = emb.first()["vec_id"]
+    enc2 = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in similarity.pq_encode(emb.unionByName(twin), cbs).collect()
+    }
+    assert enc2[999_999] == enc2[first_id]
+
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan, plan
+
+
+def test_pq_topk_self_retrieval_and_recall(spark, emb):
+    """Every query retrieves ITSELF at rank 1 (its reconstruction
+    distance is the subspace-wise minimum), distances ascend with
+    rank, and recall@10 vs the exact-L2 top-10 is far above the
+    random-candidate floor even on these unstructured synthetic
+    vectors (PQ's worst case — no cluster structure for codebooks
+    to exploit)."""
+    from pyspark.sql import Window
+
+    from ecomm_datapipeline_spark.operators import similarity
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = similarity.pq_train(emb, m=8, k=16)
+    enc = similarity.pq_encode(emb, cbs)
+    top = similarity.pq_topk(enc, queries, cbs, k=11).collect()
+
+    by_q = {}
+    for r in top:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert rows[0]["neighbor_id"] == qid  # self at rank 1
+        dists = [r["approx_dist"] for r in rows]
+        assert dists == sorted(dists)
+
+    # exact L2 top-10 (excluding self)
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = queries.select("query_id", F.col("embedding").cast("array<double>").alias("qv"))
+    d = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("vec_id"))
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("_d", d)
+        .withColumn("rk", F.row_number().over(w))
+        .filter("rk <= 10")
+    )
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    pq_set = {
+        (r["query_id"], r["neighbor_id"]) for r in top if r["neighbor_id"] != r["query_id"]
+    }
+    n = emb.count()
+    recall = len(exact_set & pq_set) / len(exact_set)
+    assert recall >= 0.15, recall          # >> random (10/n ~ 0.02)
+    assert 10 / n < 0.05
+
+
+def test_pq_dimension_validation(spark, emb):
+    from ecomm_datapipeline_spark.operators import similarity
+
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.pq_train(emb, m=7)
