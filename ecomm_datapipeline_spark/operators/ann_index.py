@@ -58,24 +58,33 @@ def _sq_dists(vec_col: str, centroids: list[list[float]]) -> Column:
 
 
 def _nearest_clusters(vec_col: str, centroids: list[list[float]], n: int) -> Column:
-    """The n nearest cluster ids, as an array column."""
-    return F.slice(
-        F.transform(
-            F.array_sort(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                    lambda i: F.struct(
-                        F.element_at(_sq_dists(vec_col, centroids), i + 1).alias(
-                            "d"
+    """The n nearest cluster ids, as an array column. The k-distance
+    array is BOUND as a lambda variable before the per-index lambda
+    uses it (docs/SCALE.md 'HOF lambda scoping') — the naive
+    element_at(_sq_dists(...), i) form re-evaluated all k aggregates
+    per sequence element, k x the necessary work per row."""
+    k = len(centroids)
+
+    def _pick(ds: Column) -> Column:
+        return F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(k - 1)),
+                        lambda i: F.struct(
+                            F.element_at(ds, i + 1).alias("d"),
+                            i.alias("c"),
                         ),
-                        i.alias("c"),
-                    ),
-                )
+                    )
+                ),
+                lambda s: s["c"],
             ),
-            lambda s: s["c"],
-        ),
-        1,
-        n,
+            1,
+            n,
+        )
+
+    return F.element_at(
+        F.transform(F.array(_sq_dists(vec_col, centroids)), _pick), 1
     )
 
 

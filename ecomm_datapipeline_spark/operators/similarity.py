@@ -233,27 +233,33 @@ def cosine_topk_ivf(
             for ctr in centroids
         ]
     )
+    # Bind the k-distance array as a lambda variable before ranking
+    # (docs/SCALE.md 'HOF lambda scoping'): referencing the _dists
+    # projection by name lets CollapseProject inline the k aggregates
+    # into every element_at — k x the needed work per query row.
+    def _probe_list(ds: Column) -> Column:
+        return F.slice(
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                        lambda i: F.struct(
+                            F.element_at(ds, i + 1).alias("d"),
+                            i.alias("c"),
+                        ),
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            1,
+            n_probe,
+        )
+
     probed = (
-        q.withColumn("_dists", dist_array)
-        .withColumn(
+        q.withColumn(
             "_cluster",
             F.explode(
-                F.slice(
-                    F.transform(
-                        F.array_sort(
-                            F.transform(
-                                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-                                lambda i: F.struct(
-                                    F.element_at("_dists", i + 1).alias("d"),
-                                    i.alias("c"),
-                                ),
-                            )
-                        ),
-                        lambda s: s["c"],
-                    ),
-                    1,
-                    n_probe,
-                )
+                F.element_at(F.transform(F.array(dist_array), _probe_list), 1)
             ),
         )
         .select(query_id_col, "_qv", "_qn", "_cluster")
