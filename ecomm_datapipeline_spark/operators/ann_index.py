@@ -31,10 +31,11 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import tables
-from .similarity import _as_double, _dot, _norm
+from .similarity import _as_double, _dot, _norm, _sub_argmin_code
 
 _CENTROIDS = "centroids"
 _ASSIGNMENTS = "assignments"
+_PQ_CODEBOOKS = "pq_codebooks"
 
 
 def _centroid_literals(centroids: list[list[float]]) -> list[Column]:
@@ -97,6 +98,31 @@ def _read_centroids(spark: SparkSession, path: str) -> list[list[float]]:
     return [list(r["centroid"]) for r in rows]
 
 
+def _pq_code_col(vec_col: str, codebooks: list[list[list[float]]]) -> Column:
+    """m-code array for one vector column (similarity._sub_argmin_code
+    per subspace — codebooks are plan literals)."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    v = F.col(vec_col)
+    return F.array(
+        *[
+            _sub_argmin_code(F.slice(v, j * d_sub + 1, d_sub), codebooks[j])
+            for j in range(m)
+        ]
+    )
+
+
+def _read_codebooks(spark: SparkSession, path: str) -> list[list[list[float]]] | None:
+    cb_path = os.path.join(path, _PQ_CODEBOOKS)
+    if not tables.table_exists(cb_path):
+        return None
+    rows = tables.read_table(spark, cb_path).orderBy("subspace", "centroid_id").collect()
+    books: dict[int, list[list[float]]] = {}
+    for r in rows:
+        books.setdefault(r["subspace"], []).append(list(r["centroid"]))
+    return [books[j] for j in sorted(books)]
+
+
 def ivf_index_build(
     candidates: DataFrame,
     path: str,
@@ -104,10 +130,20 @@ def ivf_index_build(
     id_col: str = "vec_id",
     n_clusters: int = 16,
     seed: int = 42,
+    pq_m: int | None = None,
+    pq_k: int = 16,
 ) -> None:
     """Fit + persist: centroids table (n_clusters rows) and the
     assignments table partitioned by `_cluster` (vector + its norm
-    stored so queries never touch the source table)."""
+    stored so queries never touch the source table).
+
+    `pq_m` additionally trains product-quantization codebooks
+    (similarity.pq_train, seeded) and stores each vector's m-code
+    array in the assignments — the IVF-PQ composition: cluster
+    partitioning prunes WHICH files a query reads, PQ codes shrink
+    WHAT the ADC query mode scores (m ints instead of dim floats).
+    Codebooks persist as a table (subspace, centroid_id, centroid),
+    FS-agnostic like the centroids."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -124,12 +160,19 @@ def ivf_index_build(
     km = KMeans(
         k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cluster"
     ).fit(c.select("_features"))
-    assigned = km.transform(c).select(
+    assigned_cols = [
         F.col("_cluster"),
         F.col(id_col),
         F.col("_cv").alias("vec"),
         _norm("_cv").alias("norm"),
-    )
+    ]
+    codebooks = None
+    if pq_m is not None:
+        from .similarity import pq_train
+
+        codebooks = pq_train(candidates, vec_col, m=pq_m, k=pq_k, seed=seed)
+        assigned_cols.append(_pq_code_col("_cv", codebooks).alias("pq_code"))
+    assigned = km.transform(c).select(*assigned_cols)
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(km.clusterCenters())],
         "cluster_id int, centroid array<double>",
@@ -141,6 +184,19 @@ def ivf_index_build(
         partition_by=["_cluster"],
     )
     tables.write_table(centroids, os.path.join(path, _CENTROIDS), mode="append")
+    if codebooks is not None:
+        cb_rows = [
+            (j, i, [float(x) for x in ctr])
+            for j, cb in enumerate(codebooks)
+            for i, ctr in enumerate(cb)
+        ]
+        tables.write_table(
+            spark.createDataFrame(
+                cb_rows, "subspace int, centroid_id int, centroid array<double>"
+            ),
+            os.path.join(path, _PQ_CODEBOOKS),
+            mode="append",
+        )
 
 
 def ivf_index_append(
@@ -151,16 +207,23 @@ def ivf_index_append(
 ) -> None:
     """Absorb new vectors: nearest-centroid assignment as pure column
     arithmetic (no k-means refit, no corpus read), appended into the
-    partitioned assignments table."""
+    partitioned assignments table. A PQ-enabled index (built with
+    pq_m) encodes appends with the SAME persisted codebooks — codes
+    stay comparable across the append history (the codebook-drift
+    caveat mirrors the centroid one in the module docstring)."""
     spark = new_vectors.sparkSession
     centroids = _read_centroids(spark, path)
+    codebooks = _read_codebooks(spark, path)
     v = _as_double(new_vectors, vec_col, "_cv")
-    assigned = v.select(
+    cols = [
         F.element_at(_nearest_clusters("_cv", centroids, 1), 1).alias("_cluster"),
         F.col(id_col),
         F.col("_cv").alias("vec"),
         _norm("_cv").alias("norm"),
-    )
+    ]
+    if codebooks is not None:
+        cols.append(_pq_code_col("_cv", codebooks).alias("pq_code"))
+    assigned = v.select(*cols)
     tables.write_table(
         assigned,
         os.path.join(path, _ASSIGNMENTS),
@@ -177,14 +240,28 @@ def ivf_index_query(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     id_col: str = "vec_id",
+    mode: str = "exact",
+    rerank_factor: int = 4,
 ) -> DataFrame:
-    """Top-k cosine neighbors from the persisted index.
+    """Top-k neighbors from the persisted index.
 
     Two driver-side smalls: the centroid list (n_clusters x dim) and
     the union of probed cluster ids (<= n_queries x n_probe). The
     latter becomes a static `_cluster IN (...)` filter on the
     partitioned assignments table — partition pruning at the file
-    level, then a broadcast join of the (small) probe frame."""
+    level, then a broadcast join of the (small) probe frame.
+
+    mode="exact": cosine on the stored vectors (the default — the
+    partition pruning already bounded the candidate count).
+    mode="adc": asymmetric-distance scoring over the PQ codes (index
+    must be built with pq_m): each query's per-subspace lookup tables
+    ride as a map literal keyed by query id, so a candidate costs m
+    map+array lookups — no vector math; returns ascending
+    `approx_dist` instead of `sim`.
+    mode="adc_rerank": ADC-prune to k*rerank_factor per query, then
+    exact cosine ONLY on those — the production IVF-PQ shape: codes
+    bound the compute, the (few) exact scores restore ranking
+    quality; returns `sim` like exact mode."""
     spark = queries.sparkSession
     centroids = _read_centroids(spark, path)
     q = _as_double(queries, vec_col, "_qv").select(
@@ -199,14 +276,73 @@ def ivf_index_query(
     assignments = tables.read_table(
         spark, os.path.join(path, _ASSIGNMENTS)
     ).filter(F.col("_cluster").isin(probed_ids))
-    scored = (
-        assignments.join(F.broadcast(q), "_cluster")
-        .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn("sim", _dot("vec", "_qv") / (F.col("norm") * F.col("_qn")))
+    paired = assignments.join(F.broadcast(q), "_cluster").filter(
+        F.col(id_col) != F.col(query_id_col)
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+
+    if mode == "exact":
+        scored = paired.withColumn(
+            "sim", _dot("vec", "_qv") / (F.col("norm") * F.col("_qn"))
+        )
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+        )
+    if mode not in ("adc", "adc_rerank"):
+        raise ValueError(f"mode must be exact|adc|adc_rerank: {mode}")
+
+    codebooks = _read_codebooks(spark, path)
+    if codebooks is None:
+        raise ValueError(
+            f"index at {path} has no PQ codebooks; rebuild with pq_m to use ADC"
+        )
+    m, d_sub = len(codebooks), len(codebooks[0][0])
+    qrows = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).collect()
+    # per-subspace LUT map literal: query_id -> [dist(q_sub, centroid_c)]
+    lut_maps = []
+    for j in range(m):
+        entries = []
+        for row in qrows:
+            qv = row["_qv"]
+            sub = qv[j * d_sub : (j + 1) * d_sub]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(sub, ctr))
+                for ctr in codebooks[j]
+            ]
+            entries.extend([F.lit(row[query_id_col]), F.array(*[F.lit(x) for x in lut])])
+        lut_maps.append(F.create_map(*entries))
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(lut_maps[j], F.col(query_id_col)),
+            F.element_at(F.col("pq_code"), j + 1) + 1,
+        )
+        dist = term if dist is None else dist + term
+    adc = paired.withColumn("approx_dist", dist)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_dist").asc(), F.col(id_col)
+    )
+    if mode == "adc":
+        return (
+            adc.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select(
+                query_id_col, F.col(id_col).alias("neighbor_id"), "approx_dist", "rank"
+            )
+        )
+    pruned = adc.withColumn("_adc_rank", F.row_number().over(w)).filter(
+        F.col("_adc_rank") <= k * rerank_factor
+    )
+    reranked = pruned.withColumn(
+        "sim", _dot("vec", "_qv") / (F.col("norm") * F.col("_qn"))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        reranked.withColumn("rank", F.row_number().over(w2).cast("int"))
         .filter(F.col("rank") <= k)
         .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
     )
