@@ -6,10 +6,14 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== preflight 1/2: oracle replica (vanilla session, sf0.01) =="
+echo "== preflight 0/3: testdata drift canary (seconds; fails fast if the =="
+echo "== driver regenerated parquet with different encodings)            =="
+python -m pytest tests/test_testdata_canary.py -q -x
+
+echo "== preflight 1/3: oracle replica (vanilla session, sf0.01) =="
 python tools/check_oracle.py /root/testdata/sf0.01
 
-echo "== preflight 2/2: bench vs recorded baseline =="
+echo "== preflight 2/3: bench vs recorded baseline =="
 python bench.py | tee /tmp/bench_current.json
 python - <<'PY'
 import json
