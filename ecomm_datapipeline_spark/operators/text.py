@@ -582,3 +582,57 @@ def repetition_filter(
     )
     # coalesce: NULL text -> NULL predicate -> keep (not repetitive)
     return df.filter(~F.coalesce(drop, F.lit(False)))
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window stage before sequence packing: (id, chunk_id,
+    chunk_text, n_tokens), chunk i covering tokens
+    [1 + i*stride, 1 + i*stride + max_tokens) with
+    stride = max_tokens - overlap, so consecutive chunks share
+    `overlap` tokens and every token lands in at least one chunk.
+    Documents at or under max_tokens yield exactly one chunk; empty
+    or NULL text yields no rows.
+
+    Pure per-row: tokenization + window arithmetic + posexplode — a
+    Generate, zero shuffle at any corpus size. Chunk text is the
+    whitespace-normalized rejoin of its token slice (the engine's
+    shared tokenization rule, same as token counting and shingling).
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap {overlap} must be < max_tokens {max_tokens}")
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+
+    def _chunks(tk: Column) -> Column:
+        n = F.size(tk)
+        starts = F.sequence(
+            F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(stride)
+        )
+        return F.when(
+            (n > 0) & (F.length(F.trim(F.col(text_col))) > 0),
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    F.concat_ws(" ", F.slice(tk, s, max_tokens)).alias("chunk_text"),
+                    F.least(n - s + 1, F.lit(max_tokens)).alias("n_tokens"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<chunk_text:string,n_tokens:int>>"))
+
+    bound = F.element_at(F.transform(F.array(toks), _chunks), 1)
+    return df.select(
+        F.col(id_col),
+        F.posexplode(bound).alias("chunk_id", "_c"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").alias("n_tokens"),
+    )

@@ -209,3 +209,83 @@ def test_randomized_differential_vs_python_reference(spark):
         for metric, w in want.items():
             g = got[did][metric]
             assert abs(g - w) < 1e-12, (did, metric, g, w, raw)
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (context-window chunking before packing)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_boundaries_exact(spark):
+    """12 tokens, max 5, overlap 2 -> stride 3 -> starts 1,4,7,10 with
+    hand-computed windows; every token covered; consecutive chunks
+    share exactly `overlap` tokens until the tail."""
+    toks = [f"t{i}" for i in range(1, 13)]
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    rows = sorted(
+        text.chunk_documents(df, max_tokens=5, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    got = [(r["chunk_id"], r["chunk_text"], r["n_tokens"]) for r in rows]
+    assert got == [
+        (0, "t1 t2 t3 t4 t5", 5),
+        (1, "t4 t5 t6 t7 t8", 5),
+        (2, "t7 t8 t9 t10 t11", 5),
+        (3, "t10 t11 t12", 3),
+    ]
+    covered = set()
+    for _, chunk, _ in got:
+        covered.update(chunk.split())
+    assert covered == set(toks)
+
+
+def test_chunk_short_empty_null(spark):
+    df = spark.createDataFrame(
+        [(1, "only four tokens here"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    rows = text.chunk_documents(df, max_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {1}  # empty/NULL/whitespace docs: no chunks
+    assert len(by_doc[1]) == 1
+    assert by_doc[1][0]["chunk_text"] == "only four tokens here"
+    assert by_doc[1][0]["n_tokens"] == 4
+
+
+def test_chunk_validation_and_plan(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(df, max_tokens=8, overlap=8)
+    plan = (
+        text.chunk_documents(df, max_tokens=4, overlap=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan  # the posexplode — still a pure map stage
+
+
+def test_chunk_then_pack_composition(spark):
+    """Chunks feed the packer: every chunk fits max_tokens, so packing
+    never flags oversize singletons — the chunk->pack pipeline is the
+    long-document path."""
+    from ecomm_datapipeline_spark.operators import packing
+
+    long_doc = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, "short doc here")], "doc_id long, text string"
+    )
+    chunks = text.chunk_documents(df, max_tokens=32, overlap=4).select(
+        F.concat_ws("#", F.col("doc_id").cast("string"), F.col("chunk_id").cast("string")).alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    packed = packing.pack_sequences(chunks, max_tokens=64)
+    rows = packed.collect()
+    assert rows
+    assert all(r["n_tokens"] <= 64 for r in rows)
+    # exactly-once membership of every chunk
+    member = [d for r in rows for d in r["doc_ids"]]
+    assert sorted(member) == sorted({c["doc_id"] for c in chunks.collect()})
