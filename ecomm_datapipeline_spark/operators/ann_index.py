@@ -302,6 +302,20 @@ def ivf_index_query(
     qrows = queries.select(
         F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
     ).collect()
+    # Duplicate query ids would throw DUPLICATED_MAP_KEY deep inside
+    # the create_map literal at runtime (default mapKeyDedupPolicy =
+    # EXCEPTION) — fail here with the offending ids instead (ADVICE r4;
+    # mode='exact' tolerates duplicates, so this is ADC-specific).
+    seen: set = set()
+    dupes = sorted(
+        {row[query_id_col] for row in qrows
+         if row[query_id_col] in seen or seen.add(row[query_id_col])}
+    )
+    if dupes:
+        raise ValueError(
+            f"duplicate {query_id_col} values in queries (ADC builds a "
+            f"per-query LUT map literal keyed on them): {dupes[:10]}"
+        )
     # per-subspace LUT map literal: query_id -> [dist(q_sub, centroid_c)]
     lut_maps = []
     for j in range(m):

@@ -37,28 +37,36 @@ def _tf(toks: Column, term: str) -> Column:
     return F.size(F.filter(toks, lambda x: x == F.lit(term)))
 
 
-def bm25_scores(
+def bm25_score_cols(
     df: DataFrame,
     query_terms: list[str],
     text_col: str = "text",
-    id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
-) -> DataFrame:
-    """Score every document against the query (BM25, Lucene idf
-    variant: ln(1 + (N - df + 0.5)/(df + 0.5)) — non-negative even for
-    terms in most documents). Returns (id, bm25_score, n_terms_hit);
-    documents hitting no term score 0.0. Tokenization is the engine's
-    shared lowercase-whitespace rule (text.tokens)."""
+) -> tuple[Column, Column]:
+    """(bm25_score, n_terms_hit) as pure Column expressions over
+    df's text column — THE scoring definition, shared by bm25_scores /
+    bm25_rank and the oracle-checked text_quality_lang row so the gate
+    hash-pins the exact formula (VERDICT r4 item 1).
+
+    Runs the pass-1 corpus-stats aggregation EAGERLY (one job, k+2
+    scalars to the driver — the mixture-weights pattern) and folds
+    N/avgdl/idf into the returned expressions as literals. NULL text
+    scores 0.0 / hits 0 (coalesced — NULL would otherwise propagate
+    through size/filter and surprise raw-score consumers)."""
     terms = _norm_terms(query_terms)
     if not terms:
         raise ValueError("query_terms must contain at least one term")
     toks = F.transform(_tokens(F.col(text_col)), F.lower)
 
-    # pass 1: corpus stats — one aggregation, k+2 scalars to the driver
+    # pass 1: corpus stats — one aggregation, k+2 scalars to the
+    # driver. avgdl counts the LOWERCASED token array: per-element
+    # lower() can't change the array length, so the value is identical
+    # to counting raw tokens while letting codegen CSE one split()
+    # serve both avgdl and every df_i term.
     stat_row = df.agg(
         F.count("*").alias("n"),
-        F.avg(F.size(_tokens(F.col(text_col)))).alias("avgdl"),
+        F.avg(F.size(toks)).alias("avgdl"),
         *[
             F.sum((_tf(toks, t) > 0).cast("long")).alias(f"df_{i}")
             for i, t in enumerate(terms)
@@ -75,7 +83,10 @@ def bm25_scores(
         for i, t in enumerate(terms)
     }
 
-    # pass 2: score — pure per-row expression with the stats as literals
+    # pass 2: score — pure per-row expression with the stats as
+    # literals, term contributions summed in fixed left-to-right query
+    # order (float addition is order-sensitive; the oracle mirrors
+    # this order exactly)
     dl = F.size(toks).cast("double")
     denom_norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / F.lit(avgdl))
     score = F.lit(0.0)
@@ -86,6 +97,24 @@ def bm25_scores(
             tf * F.lit(k1 + 1.0) / (tf + denom_norm)
         )
         hits = hits + (tf > 0).cast("int")
+    return F.coalesce(score, F.lit(0.0)), F.coalesce(hits, F.lit(0))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Score every document against the query (BM25, Lucene idf
+    variant: ln(1 + (N - df + 0.5)/(df + 0.5)) — non-negative even for
+    terms in most documents). Returns (id, bm25_score, n_terms_hit);
+    documents hitting no term — and NULL-text documents — score 0.0
+    with 0 hits. Tokenization is the engine's shared
+    lowercase-whitespace rule (text.tokens)."""
+    score, hits = bm25_score_cols(df, query_terms, text_col, k1, b)
     return df.select(
         F.col(id_col),
         score.alias("bm25_score"),

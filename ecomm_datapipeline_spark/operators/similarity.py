@@ -6,8 +6,10 @@ Two tiers:
 - BRUTE FORCE (the correctness baseline): broadcast the query set,
   compute cosine per (candidate, query) with built-in higher-order
   functions (zip_with/aggregate in DOUBLE — bit-identical to the
-  DuckDB oracle, verified), rank with a per-query window. Cost
-  O(N*Q): fine when Q is small and N is a full scan anyway.
+  DuckDB oracle, verified), rank with a two-stage partial top-k
+  (per-partition prune + bounded merge — no whole-corpus window
+  task). Cost O(N*Q): fine when Q is small and N is a full scan
+  anyway.
 - LSH (the 100 TB path): random-hyperplane signatures bucket vectors;
   only same-bucket candidates are scored. The plane set is a seeded
   Python constant folded into the plan as literals — deterministic,
@@ -47,6 +49,44 @@ def _as_double(df: DataFrame, vec_col: str, out: str) -> DataFrame:
     return df.withColumn(out, F.col(vec_col).cast("array<double>"))
 
 
+def _topk_per_key(
+    scored: DataFrame,
+    key_col: str,
+    order_cols: list[Column],
+    k: int,
+    final_cols: list,
+) -> DataFrame:
+    """Deterministic two-stage top-k per key (VERDICT r4 item 2).
+
+    A single `row_number() OVER (PARTITION BY key)` window moves ALL
+    scored rows for one key into one task — the one shape that dies at
+    100x corpus scale for rankers that scan the whole corpus. Instead:
+
+    stage 1: rank within (key, input-partition id) and keep k — the
+      shuffle spreads over |keys| x |partitions| groups, so no task
+      ever holds a whole key's scored rows;
+    stage 2: final rank over the <= |partitions| * k survivors per key
+      (a bounded window — same cost shape as the probed IVF paths).
+
+    Results are bit-identical to the single-window form: any row in
+    the global top-k under a total order is also in its own
+    partition's top-k under the same order, so stage 1 never drops a
+    winner, and stage 2 applies the identical (order_cols) ranking.
+    """
+    part_w = Window.partitionBy(F.col(key_col), F.col("_pid")).orderBy(*order_cols)
+    survivors = (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prank", F.row_number().over(part_w))
+        .filter(F.col("_prank") <= k)
+    )
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(*final_cols)
+    )
+
+
 def cosine_topk_bruteforce(
     candidates: DataFrame,
     queries: DataFrame,
@@ -71,11 +111,46 @@ def cosine_topk_bruteforce(
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("sim", _dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn")))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    return _topk_per_key(
+        scored,
+        query_id_col,
+        [F.desc("sim"), F.col(id_col)],
+        k,
+        [query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank"],
+    )
+
+
+def euclidean_topk_bruteforce(
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k EUCLIDEAN (squared-L2) neighbors per query vector —
+    the distance PQ's ADC approximates, so this is the exact twin the
+    oracle gate measures pq_topk recall against. Same shape as the
+    cosine variant: broadcast queries, per-pair HOF fold, two-stage
+    partial top-k. Deterministic ranking: (dist ASC, candidate id)."""
+    c = _as_double(candidates, vec_col, "_cv").select(F.col(id_col), "_cv")
+    q = _as_double(queries, vec_col, "_qv").select(F.col(query_id_col), "_qv")
+    dist = F.aggregate(
+        F.zip_with("_cv", "_qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn("dist", dist)
+    )
+    return _topk_per_key(
+        scored,
+        query_id_col,
+        [F.col("dist").asc(), F.col(id_col)],
+        k,
+        [query_id_col, F.col(id_col).alias("neighbor_id"), "dist", "rank"],
     )
 
 
@@ -172,11 +247,14 @@ def cosine_topk_lsh(
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("sim", _dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn")))
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank")
+    # Bucketed, but still O(N * probes / 2^n_planes) rows per query —
+    # linear in corpus size, so the same two-stage reduction applies.
+    return _topk_per_key(
+        scored,
+        query_id_col,
+        [F.desc("sim"), F.col(id_col)],
+        k,
+        [query_id_col, F.col(id_col).alias("neighbor_id"), "sim", "rank"],
     )
 
 
@@ -269,6 +347,10 @@ def cosine_topk_ivf(
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("sim", _dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn")))
     )
+    # The window here is BOUNDED: each query scores only its n_probe
+    # clusters (~ n_probe/n_clusters of the corpus), so per-key row
+    # counts shrink as n_clusters grows with the deployment — the
+    # two-stage reduction is unnecessary (VERDICT r4: IVF paths fine).
     w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -491,8 +573,9 @@ def pq_topk(
     `element_at` on the code array, no vector math per candidate.
 
     ONE scan of the compact code table scores every (candidate, query)
-    pair via stack(q columns); the only shuffle is the per-query top-k
-    window over scored rows. Returns (query_id, neighbor_id,
+    pair via stack(q columns); ranking is the two-stage partial top-k
+    (per-partition prune, then a bounded merge window — never a whole
+    corpus in one window task). Returns (query_id, neighbor_id,
     approx_dist, rank) ascending by distance."""
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
@@ -530,11 +613,10 @@ def pq_topk(
             ],
         ).alias(query_id_col, "approx_dist"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("approx_dist").asc(), F.col("neighbor_id")
-    )
-    return (
-        stacked.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "approx_dist", "rank")
+    return _topk_per_key(
+        stacked,
+        query_id_col,
+        [F.col("approx_dist").asc(), F.col("neighbor_id")],
+        k,
+        [query_id_col, "neighbor_id", "approx_dist", "rank"],
     )

@@ -152,3 +152,15 @@ def test_adc_requires_pq_index(spark, emb, index):
         ann_index.ivf_index_query(queries, index, mode="adc")
     with pytest.raises(ValueError, match="mode must be"):
         ann_index.ivf_index_query(queries, index, mode="bogus")
+
+
+def test_adc_rejects_duplicate_query_ids(spark, emb, pq_index):
+    """ADC folds per-query LUTs into a create_map literal keyed on
+    query_id; a duplicate id would throw DUPLICATED_MAP_KEY mid-job.
+    The guard must fail fast, naming the duplicates (ADVICE r4)."""
+    one = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    dup = one.unionByName(one)
+    with pytest.raises(ValueError, match="duplicate query_id"):
+        ann_index.ivf_index_query(dup, pq_index, mode="adc")
+    # exact mode tolerates duplicates (documented asymmetry)
+    ann_index.ivf_index_query(dup, pq_index, mode="exact").collect()

@@ -1,6 +1,8 @@
 """Semantic tests for the training-data-pipeline extension operators
 (dedup family, similarity search, text analysis, multimodal plumbing)."""
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -139,6 +141,85 @@ def test_simhash_identical_texts_collide(spark):
             df, max_hamming=0, bits=bits, portable=portable
         ).collect()
         assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+
+def test_topk_two_stage_plan_and_equivalence(spark, emb):
+    """VERDICT r4 item 2: the corpus-scan rankers must rank via the
+    two-stage partial top-k — a per-(key, input-partition) pruning
+    window BEFORE the final per-key ranking window — so no task ever
+    holds a whole corpus' scored rows for one query. Results must be
+    bit-identical to the naive single-window form."""
+    from pyspark.sql import Window
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # partial-limit stage present: a window keyed on the synthetic
+    # partition id, and two Window operators total (prune + final)
+    assert "_pid" in plan, plan
+    assert len(re.findall(r"\bWindow\b", plan)) >= 2, plan
+    assert "_prank" in plan, plan  # the partial-rank pruning stage
+
+    # bit-identical to the single-window reference formulation
+    c = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    ).withColumn(
+        "_n",
+        F.sqrt(
+            F.aggregate(
+                F.transform("_v", lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+    )
+    q = (
+        queries.select(
+            "query_id", F.col("embedding").cast("array<double>").alias("_qv")
+        )
+        .withColumn(
+            "_qn",
+            F.sqrt(
+                F.aggregate(
+                    F.transform("_qv", lambda x: x * x),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+            ),
+        )
+    )
+    sim = F.aggregate(
+        F.zip_with("_v", "_qv", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / (F.col("_n") * F.col("_qn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    ref = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter("rank <= 5")
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rank"
+        )
+    )
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, ref.collect()))
+    assert got == want
+
+    # pq_topk ranks through the same two-stage helper
+    cbs = similarity.pq_train(emb, m=4, k=16)
+    pq_plan = (
+        similarity.pq_topk(similarity.pq_encode(emb, cbs), queries, cbs, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "_pid" in pq_plan, pq_plan
+    assert len(re.findall(r"\bWindow\b", pq_plan)) >= 2, pq_plan
 
 
 def test_lsh_ann_subset_of_bruteforce_space(emb):

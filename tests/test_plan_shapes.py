@@ -52,8 +52,11 @@ PINNED = {
     "dedup_ngram_jaccard": (1, 0, 0),  # post-checkpoint plan
     "dedup_minhash_lsh": (1, 0, 2),
     "dedup_simhash": (4, 0, 2),
-    "ann_cosine_topk": (1, 2, 0),
-    "ann_cosine_topk_approx": (10, 13, 2),  # composite self-verifier
+    # r5: +1 exchange/+2 sorts per corpus-scan ranker = the two-stage
+    # partial top-k (VERDICT r4 item 2) — the extra exchange is spread
+    # over |keys| x |partitions| groups instead of one task per key.
+    "ann_cosine_topk": (2, 4, 0),
+    "ann_cosine_topk_approx": (24, 35, 4),  # 4-method self-verifier + 2 exact twins
     "embedding_neardup_pairs": (0, 0, 0),
     "text_profile": (0, 0, 0),
     "text_quality_lang": (0, 0, 0),
@@ -63,7 +66,10 @@ PINNED = {
     "asof_view_attribution_bucketed": (4, 4, 0),
     "price_band_revenue": (1, 0, 1),
     "events_hourly_gapfill": (3, 0, 1),
-    "train_split_assign": (0, 0, 0),
+    # r5: decontaminate(ngram) now feeds the split — gram-hash
+    # dedup/join shuffles, but all of them keyed on 8-byte digests or
+    # doc ids, never documents.
+    "train_split_assign": (3, 2, 2),
     "shipping_priority": (1, 0, 0),
     "local_supplier_volume": (1, 0, 0),
     "returned_items_by_customer": (1, 0, 0),

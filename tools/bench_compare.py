@@ -6,11 +6,13 @@ baseline.json is a driver artifact (BENCH_r{N}.json with a `parsed`
 field) or a raw bench.py output line; current.json likewise (default:
 run `python bench.py` fresh and read its stdout).
 
-Exit 1 if the suite exceeds 2x the baseline total (BASELINE.md's bar)
-or any shared query exceeds 2x its baseline time; per-query deltas are
-always printed. Queries present on only one side are reported, not
-failed (headline slots legitimately evolve between rounds — e.g.
-text_quality_score -> text_quality_lang in r3).
+Exit 1 if the SHARED-slot total exceeds 2x the baseline (BASELINE.md's
+bar, computed over the slot intersection so added coverage never reads
+as regression) or any shared query exceeds 2x its baseline time;
+per-query deltas are always printed. Queries present on only one side
+are reported, not failed (headline slots legitimately evolve between
+rounds — e.g. text_quality_score -> text_quality_lang in r3,
+text_quality_lang -> text_quality_lang_bm25 in r5).
 """
 
 from __future__ import annotations
@@ -41,16 +43,31 @@ def main() -> int:
         out = subprocess.run(
             [sys.executable, "bench.py"], capture_output=True, text=True
         )
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        cur = json.loads(line)
+        lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+        if not lines:
+            # e.g. Spark failed to start: surface the real failure
+            # instead of an IndexError (ADVICE r4)
+            tail = "\n".join(out.stderr.splitlines()[-15:])
+            print(f"FAIL: bench produced no JSON output; stderr tail:\n{tail}")
+            return 1
+        cur = json.loads(lines[-1])
 
     rc = 0
-    ratio = cur["value"] / base["value"] if base["value"] else float("inf")
-    print(f"suite: {base['value']:.3f}s -> {cur['value']:.3f}s  ({ratio:.2f}x)")
-    if ratio > 2.0:
-        print("FAIL: suite exceeds the 2x baseline bar")
-        rc = 1
     bq, cq = base["queries"], cur["queries"]
+    # The 2x suite bar compares SHARED slots only: a round that ADDS
+    # coverage (new slots) must not read as a regression, and a slot
+    # rename (contents evolved) drops out of the bar by design.
+    shared = set(bq) & set(cq)
+    sb = sum(bq[n] for n in shared)
+    sc = sum(cq[n] for n in shared)
+    ratio = sc / sb if sb else float("inf")
+    print(
+        f"suite (full): {base['value']:.3f}s -> {cur['value']:.3f}s; "
+        f"shared {len(shared)} slots: {sb:.3f}s -> {sc:.3f}s  ({ratio:.2f}x)"
+    )
+    if shared and ratio > 2.0:
+        print("FAIL: shared-slot total exceeds the 2x baseline bar")
+        rc = 1
     for name in sorted(set(bq) | set(cq)):
         if name not in cq:
             print(f"  {name:<28} {bq[name]:>7.3f}s -> (slot removed)")

@@ -16,8 +16,15 @@ python tools/check_oracle.py /root/testdata/sf0.01
 echo "== preflight 2/3: bench vs recorded baseline =="
 python bench.py | tee /tmp/bench_current.json
 python - <<'PY'
-import json
-line = [l for l in open('/tmp/bench_current.json') if l.startswith('{')][-1]
-json.dump(json.loads(line), open('/tmp/bench_current_parsed.json', 'w'))
+import json, sys
+lines = [l for l in open('/tmp/bench_current.json') if l.startswith('{')]
+if not lines:
+    sys.exit("bench produced no JSON output line")
+json.dump(json.loads(lines[-1]), open('/tmp/bench_current_parsed.json', 'w'))
 PY
-python tools/bench_compare.py BENCH_r01.json /tmp/bench_current_parsed.json
+# Compare against the MOST RECENT committed bench artifact (ADVICE r4:
+# pinning r01 made the per-query comparison increasingly disjoint as
+# slots evolve); renamed slots are reported as evolution, not failed.
+LATEST_BENCH=$(ls BENCH_r*.json | sort -V | tail -1)
+echo "baseline artifact: $LATEST_BENCH"
+python tools/bench_compare.py "$LATEST_BENCH" /tmp/bench_current_parsed.json
