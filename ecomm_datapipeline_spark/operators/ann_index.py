@@ -172,6 +172,11 @@ def ivf_index_build(
 
         codebooks = pq_train(candidates, vec_col, m=pq_m, k=pq_k, seed=seed)
         assigned_cols.append(_pq_code_col("_cv", codebooks).alias("pq_code"))
+    # _batch_id is always present (null outside streaming) so every
+    # assignments file shares one schema — a streamed append
+    # (streaming/ann_index_stream) stamps its micro-batch id here and
+    # the replay check never needs mergeSchema to see the column.
+    assigned_cols.append(F.lit(None).cast("long").alias("_batch_id"))
     assigned = km.transform(c).select(*assigned_cols)
     centroids = spark.createDataFrame(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(km.clusterCenters())],
@@ -204,13 +209,17 @@ def ivf_index_append(
     path: str,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    batch_id: int | None = None,
 ) -> None:
     """Absorb new vectors: nearest-centroid assignment as pure column
     arithmetic (no k-means refit, no corpus read), appended into the
     partitioned assignments table. A PQ-enabled index (built with
     pq_m) encodes appends with the SAME persisted codebooks — codes
     stay comparable across the append history (the codebook-drift
-    caveat mirrors the centroid one in the module docstring)."""
+    caveat mirrors the centroid one in the module docstring).
+
+    `batch_id` stamps the appended rows' `_batch_id` (the streaming
+    maintainer's idempotency token); batch callers leave it None."""
     spark = new_vectors.sparkSession
     centroids = _read_centroids(spark, path)
     codebooks = _read_codebooks(spark, path)
@@ -223,6 +232,11 @@ def ivf_index_append(
     ]
     if codebooks is not None:
         cols.append(_pq_code_col("_cv", codebooks).alias("pq_code"))
+    cols.append(
+        (F.lit(batch_id) if batch_id is not None else F.lit(None))
+        .cast("long")
+        .alias("_batch_id")
+    )
     assigned = v.select(*cols)
     tables.write_table(
         assigned,

@@ -1,0 +1,88 @@
+"""Continuous maintenance of the persisted IVF / IVF-PQ ANN index.
+
+`operators/ann_index.ivf_index_append` makes absorbing new embedding
+vectors a pure map stage (nearest-centroid assignment + PQ encode
+against plan-literal centroids/codebooks — the corpus is never
+re-read). This module is its Structured Streaming driver, the mirror
+of streaming/dedup_index for the similarity surface: a stream of new
+embeddings is drained per micro-batch through foreachBatch, and each
+batch is assigned + appended into the partitioned assignments table.
+A vector becomes queryable (ivf_index_query) within one micro-batch
+of arrival instead of waiting for the next index rebuild.
+
+Exactly-once: foreachBatch replays micro-batches after a crash, so the
+append is idempotent — every appended row carries `_batch_id`, and a
+replayed batch whose id already landed is skipped. The check scans one
+column of the assignments table; the table's files are partitioned by
+`_cluster`, so at serving scale keep the check cheap by compacting on
+the maintenance cadence (sources.tables.compact_table), same contract
+as the dedup index.
+
+Drift caveat (inherited from ivf_index_append, by design): streamed
+vectors join EXISTING clusters; centroids and PQ codebooks are not
+refit, so a distribution shift in the stream degrades recall until the
+next `ivf_index_build` — the standard IVF maintenance trade. Rebuild
+on the compaction cadence; the stream then targets the fresh path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import ann_index
+from ..sources import tables
+
+_BATCH_COL = "_batch_id"
+
+
+def ivf_index_stream(
+    vectors_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the maintainer: returns the running StreamingQuery.
+
+    The index at `index_path` must already exist (ivf_index_build) —
+    k-means training needs a representative corpus, not the first
+    micro-batch, so a missing index is an error rather than an implicit
+    bootstrap. A PQ-enabled index PQ-encodes streamed vectors with the
+    persisted codebooks automatically (ivf_index_append reads them).
+    """
+    spark = vectors_stream.sparkSession
+    assignments_path = os.path.join(index_path, "assignments")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if not tables.table_exists(os.path.join(index_path, "centroids")):
+            raise ValueError(
+                f"no IVF index at {index_path}; build one with "
+                "ivf_index_build before starting the streaming maintainer"
+            )
+        if tables.table_exists(assignments_path):
+            done = (
+                tables.read_table(spark, assignments_path)
+                .filter(F.col(_BATCH_COL) == batch_id)
+                .limit(1)
+                .count()
+                > 0
+            )
+            if done:
+                return  # replay of an already-committed batch
+        ann_index.ivf_index_append(
+            batch, index_path, vec_col=vec_col, id_col=id_col, batch_id=batch_id
+        )
+
+    writer = vectors_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,111 @@
+"""Streaming maintainer of the persisted IVF/PQ ANN index
+(streaming/ann_index_stream.py): per-micro-batch assign + append, a
+streamed-in twin found at rank 1 through the index, and idempotent
+replay of the foreachBatch append (VERDICT r4 item 6)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import ann_index
+from ecomm_datapipeline_spark.sources import tables
+from ecomm_datapipeline_spark.streaming import ann_index_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture()
+def env(tmp_path, spark, emb):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    index = str(tmp_path / "idx")
+    # PQ-enabled so the stream exercises the codebook-encode leg too
+    ann_index.ivf_index_build(emb, index, n_clusters=8, pq_m=8)
+    return {"landing": landing, "index": index, "ckpt": str(tmp_path / "ckpt")}
+
+
+def _write_batch(landing, name, rows):
+    with open(os.path.join(landing, name), "w") as f:
+        for vec_id, embedding in rows:
+            f.write(json.dumps({"vec_id": vec_id, "embedding": embedding}) + "\n")
+
+
+def _stream(spark, env, ckpt=None, **kw):
+    vecs = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .json(env["landing"])
+    )
+    q = ann_index_stream.ivf_index_stream(
+        vecs, env["index"], ckpt or env["ckpt"], **kw
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def test_streamed_twin_found_at_rank_1(spark, emb, env):
+    """A twin of vector 7 streamed in across two micro-batches must
+    surface as vector 7's top neighbor (sim 1.0) via ivf_index_query —
+    exact AND adc_rerank modes — with no rebuild."""
+    src = emb.filter(F.col("vec_id") == 7).first()
+    other = emb.filter(F.col("vec_id") == 11).first()
+    _write_batch(env["landing"], "b1.json", [(500_011, list(other["embedding"]))])
+    _write_batch(env["landing"], "b2.json", [(500_007, list(src["embedding"]))])
+    _stream(spark, env)
+
+    a = tables.read_table(spark, os.path.join(env["index"], "assignments"))
+    streamed = a.filter(F.col("_batch_id").isNotNull())
+    assert {r["vec_id"] for r in streamed.select("vec_id").collect()} == {
+        500_007,
+        500_011,
+    }
+    # maxFilesPerTrigger=1 -> two distinct micro-batch ids
+    assert streamed.select("_batch_id").distinct().count() == 2
+    # streamed rows are PQ-encoded with the persisted codebooks
+    assert streamed.filter(F.size("pq_code") != 8).count() == 0
+
+    queries = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for mode in ("exact", "adc_rerank"):
+        top = ann_index.ivf_index_query(
+            queries, env["index"], k=1, n_probe=2, mode=mode
+        ).collect()[0]
+        assert top["neighbor_id"] == 500_007, mode
+        assert abs(top["sim"] - 1.0) < 1e-9, mode
+
+
+def test_replay_is_idempotent(spark, emb, env):
+    """A second checkpoint replaying the same file as ITS batch 0 must
+    skip the append — the batch id already landed in the assignments."""
+    src = emb.filter(F.col("vec_id") == 3).first()
+    _write_batch(env["landing"], "b1.json", [(600_003, list(src["embedding"]))])
+    _stream(spark, env)
+    a_path = os.path.join(env["index"], "assignments")
+    n1 = tables.read_table(spark, a_path).count()
+
+    _stream(spark, env, ckpt=env["ckpt"] + "2")  # fresh checkpoint: replay
+    assert tables.read_table(spark, a_path).count() == n1
+
+    # and a drain with no new files appends nothing either
+    _stream(spark, env)
+    assert tables.read_table(spark, a_path).count() == n1
+
+
+def test_stream_into_missing_index_raises(spark, tmp_path, env):
+    _write_batch(env["landing"], "b1.json", [(1, [0.0] * 64)])
+    vecs = spark.readStream.schema("vec_id long, embedding array<float>").json(
+        env["landing"]
+    )
+    q = ann_index_stream.ivf_index_stream(
+        vecs, str(tmp_path / "nonexistent"), str(tmp_path / "ck3")
+    )
+    with pytest.raises(Exception, match="no IVF index"):
+        q.awaitTermination(180)
