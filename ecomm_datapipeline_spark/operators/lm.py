@@ -1,0 +1,351 @@
+"""N-gram language-model perplexity scoring — the CCNet-style quality
+filter (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+Datasets from Web Crawl Data"): train a small bigram LM on a reference
+corpus, score every candidate document by perplexity, keep the
+low-perplexity head. The reference pipeline has no LM surface; this is
+part of the LLM-training-data extension family (SURVEY.md §6).
+
+Spark-first shape (the repo's "model as plan literal" pattern —
+mixture weights, PQ codebooks, IVF centroids):
+
+* TRAIN (`lm_train`): two passes over the REFERENCE corpus — unigram
+  counts (top-V vocabulary, deterministic count-desc/token-asc
+  tie-break) and bigram counts after OOV->UNK mapping (top-P pairs,
+  same determinism). Collected driver-side: <= V + P + 2 scalars, the
+  same contract as pq_train's codebooks. A reference LM is bounded by
+  design (CCNet's is 5-gram KenLM over Wikipedia); the 100 TB corpus
+  being SCORED never influences model size.
+* SCORE (`lm_perplexity` / `lm_logprob_cols`): the model rides as ONE
+  nested map literal `prev -> struct(prev_count, map word->count)`,
+  so scoring is a pure per-row fold over the token array — ZERO
+  shuffles, zero joins, zero Python; a 1000-executor scan where each
+  document costs O(len) map lookups. The fold is explicitly
+  left-to-right (F.aggregate from 0.0), so the double sum is
+  bit-deterministic and the oracle gate can hash-pin it.
+* For an LM too big for a plan literal (say > ~100k pairs),
+  `lm_perplexity_join` is the join shape: explode bigrams, left-join
+  the pair/prev count tables, re-group per doc. Two keyed shuffles of
+  8-byte-hashable grams + one regroup; prev-side skew (stopwords) is
+  probe-side only, AQE-handled. Same math, aggregation order not
+  bit-pinned (sum order is partition-dependent) — differentially
+  tested against the literal fold to 1e-9.
+
+Smoothing: add-alpha over V = |vocab| + 1 (UNK):
+P(w|prev) = (c(prev,w) + a) / (c(prev) + a*V); unseen prev degrades to
+the uniform 1/V. perplexity = exp(-avg_logprob); docs with < 2 tokens
+(or NULL text) get n_bigrams 0 and NULL avg/perplexity.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens as _ws_tokens
+
+#: OOV sentinel — a control character can never collide with a
+#: whitespace-split token.
+UNK = "\x02"
+
+
+@dataclass(frozen=True)
+class NgramLM:
+    """A collected bigram LM: bounded, broadcast-free, plan-literal-able."""
+
+    vocab: tuple[str, ...]  # top-V tokens, count desc then token asc
+    prev_counts: dict[str, float]  # mapped token -> count in prev position
+    pair_counts: dict[tuple[str, str], float]  # top-P (prev, word) -> count
+    alpha: float = 0.1
+
+    @property
+    def v_smooth(self) -> int:
+        """Smoothing vocabulary size: |vocab| + 1 for UNK."""
+        return len(self.vocab) + 1
+
+    def logprob(self, prev: str, word: str) -> float:
+        """Driver-side reference math (tests + docs), identical formula."""
+        import math
+
+        num = self.pair_counts.get((prev, word), 0.0) + self.alpha
+        den = self.prev_counts.get(prev, 0.0) + self.alpha * self.v_smooth
+        return math.log(num / den)
+
+
+def _lower_tokens(text_col: str | Column) -> Column:
+    return _ws_tokens(F.lower(text_col if isinstance(text_col, Column) else F.col(text_col)))
+
+
+def _mapped_tokens(text_col: str | Column, vocab: tuple[str, ...]) -> Column:
+    """Token array with OOV tokens collapsed to UNK. Membership probes
+    a V-entry map literal (element_at -> NULL when absent)."""
+    vmap = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in vocab]),
+        F.array(*[F.lit(True) for _ in vocab]),
+    )
+    return F.transform(
+        _lower_tokens(text_col),
+        lambda x: F.when(F.element_at(vmap, x).isNotNull(), x).otherwise(F.lit(UNK)),
+    )
+
+
+def lm_train(
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 256,
+    max_pairs: int = 4096,
+    alpha: float = 0.1,
+) -> NgramLM:
+    """Fit the bigram LM on the reference corpus.
+
+    Two aggregation passes (unigram counts, then mapped-bigram counts),
+    each ending in a deterministic top-k (ORDER BY count DESC, token(s)
+    ASC LIMIT k — a TakeOrderedAndProject, never a full collect).
+    prev_counts keeps EVERY mapped prev (<= vocab_size + 1 rows);
+    pair_counts keeps the top `max_pairs`; pairs outside the cap score
+    as unseen — the literal-LM trade, same spirit as PQ's k=16
+    codebooks. Both caps are the knobs that keep the scoring plan
+    literal bounded no matter the reference corpus size."""
+    toks = ref_docs.select(_lower_tokens(text_col).alias("_t")).filter(
+        F.col("_t").isNotNull()
+    )
+    uni = (
+        toks.select(F.explode("_t").alias("tok"))
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), F.asc("tok"))
+        .limit(vocab_size)
+        .collect()
+    )
+    vocab = tuple(r["tok"] for r in uni)
+
+    mapped = ref_docs.select(_mapped_tokens(text_col, vocab).alias("_m")).filter(
+        F.col("_m").isNotNull() & (F.size("_m") >= 2)
+    )
+    n = F.size("_m")
+    bi = mapped.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_m", 1, n - 1),
+                F.slice("_m", 2, n - 1),
+                lambda a, b: F.struct(a.alias("prev"), b.alias("word")),
+            )
+        ).alias("bg")
+    ).select("bg.prev", "bg.word")
+    prev_counts = {
+        r["prev"]: float(r["count"])
+        for r in bi.groupBy("prev").count().collect()  # <= V+1 rows
+    }
+    pair_rows = (
+        bi.groupBy("prev", "word")
+        .count()
+        .orderBy(F.desc("count"), F.asc("prev"), F.asc("word"))
+        .limit(max_pairs)
+        .collect()
+    )
+    pair_counts = {(r["prev"], r["word"]): float(r["count"]) for r in pair_rows}
+    return NgramLM(
+        vocab=vocab, prev_counts=prev_counts, pair_counts=pair_counts, alpha=alpha
+    )
+
+
+def _model_literal(model: NgramLM) -> Column:
+    """The nested scoring literal: prev -> struct(pc, pairs map).
+    A bigram lookup costs one probe of a <=V+1-entry outer map plus one
+    probe of that prev's (small) inner map — never a scan of all P
+    pairs (the flat-map alternative probed all P per bigram)."""
+    by_prev: dict[str, dict[str, float]] = {}
+    for (prev, word), c in model.pair_counts.items():
+        by_prev.setdefault(prev, {})[word] = c
+    prevs = sorted(set(model.prev_counts) | set(by_prev))
+    entries = []
+    for p in prevs:
+        inner = by_prev.get(p, {})
+        words = sorted(inner)
+        entries.append(
+            F.struct(
+                F.lit(model.prev_counts.get(p, 0.0)).alias("pc"),
+                F.map_from_arrays(
+                    F.array(*[F.lit(w) for w in words]),
+                    F.array(*[F.lit(inner[w]) for w in words]),
+                ).alias("pairs"),
+            )
+        )
+    return F.map_from_arrays(
+        F.array(*[F.lit(p) for p in prevs]), F.array(*entries)
+    )
+
+
+def lm_logprob_cols(model: NgramLM, text_col: str | Column = "text") -> dict[str, Column]:
+    """(n_bigrams, avg_logprob, perplexity) as pure Column expressions —
+    THE scoring definition, shared by lm_perplexity / lm_quality_filter
+    and the oracle-checked gate row. Left-to-right fold from 0.0 keeps
+    the double sum bit-deterministic (0.0 + x == x exactly, then
+    sequence order), so the gate hashes raw doubles, no rounding."""
+    mlit = _model_literal(model)
+    a = float(model.alpha)
+    v = float(model.v_smooth)
+    mapped = _mapped_tokens(text_col, model.vocab)
+
+    def _logp(s: Column, word: Column) -> Column:
+        return F.log(
+            (F.coalesce(F.element_at(s["pairs"], word), F.lit(0.0)) + F.lit(a))
+            / (F.coalesce(s["pc"], F.lit(0.0)) + F.lit(a * v))
+        )
+
+    def _score(m: Column) -> Column:
+        n = F.size(m)
+        # Bind the outer-map probe (an O(V) literal-map scan) as a
+        # lambda variable so each bigram probes `mlit` ONCE, not once
+        # per field reference (docs/SCALE.md "HOF lambda scoping").
+        logps = F.transform(
+            F.sequence(F.lit(1), n - 1),  # guarded by n >= 2 below
+            lambda i: F.element_at(
+                F.transform(
+                    F.array(F.element_at(mlit, F.element_at(m, i))),
+                    lambda s: _logp(s, F.element_at(m, i + 1)),
+                ),
+                1,
+            ),
+        )
+        return F.aggregate(logps, F.lit(0.0), lambda acc, x: acc + x)
+
+    # Bind `mapped` as a lambda variable so the OOV-mapping transform is
+    # built once per row, not once per metric (docs/SCALE.md "HOF
+    # lambda scoping").
+    wrapped = F.array(mapped)
+    n_bigrams = F.element_at(
+        F.transform(
+            wrapped,
+            lambda m: F.when(F.size(m) >= 2, F.size(m) - 1).otherwise(F.lit(0)),
+        ),
+        1,
+    )
+    total = F.element_at(
+        F.transform(
+            wrapped,
+            lambda m: F.when(F.size(m) >= 2, _score(m)),
+        ),
+        1,
+    )
+    # avg/perplexity divide these two; callers derive them (lm_perplexity)
+    # so the intermediates stay selectable under any outer column set.
+    return {
+        "n_bigrams": F.coalesce(n_bigrams, F.lit(0)).alias("n_bigrams"),
+        "_lm_total": total.alias("_lm_total"),
+    }
+
+
+def lm_perplexity(
+    docs: DataFrame,
+    model: NgramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document (n_bigrams, avg_logprob, perplexity) — one scan,
+    zero shuffles, model as plan literal."""
+    cols = lm_logprob_cols(model, text_col)
+    scored = docs.select(
+        F.col(id_col), cols["n_bigrams"], cols["_lm_total"]
+    )
+    avg = F.when(F.col("n_bigrams") > 0, F.col("_lm_total") / F.col("n_bigrams"))
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        avg.alias("avg_logprob"),
+        F.exp(-avg).alias("perplexity"),
+    )
+
+
+def lm_quality_filter(
+    docs: DataFrame,
+    model: NgramLM,
+    max_perplexity: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_unscorable: bool = False,
+) -> DataFrame:
+    """Keep the low-perplexity head (CCNet's 'head' bucket): documents
+    with perplexity <= max_perplexity. Docs with < 2 tokens have NULL
+    perplexity and are dropped unless keep_unscorable. Returns the
+    original columns + perplexity."""
+    cols = lm_logprob_cols(model, text_col)
+    scored = docs.withColumn("n_bigrams", cols["n_bigrams"]).withColumn(
+        "_lm_total", cols["_lm_total"]
+    )
+    avg = F.when(F.col("n_bigrams") > 0, F.col("_lm_total") / F.col("n_bigrams"))
+    scored = scored.withColumn("perplexity", F.exp(-avg)).drop(
+        "n_bigrams", "_lm_total"
+    )
+    pred = F.col("perplexity") <= max_perplexity
+    if keep_unscorable:
+        pred = pred | F.col("perplexity").isNull()
+    return scored.filter(pred)
+
+
+def lm_perplexity_join(
+    docs: DataFrame,
+    model: NgramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The join shape for LMs too large to ride as a plan literal:
+    explode each doc's mapped bigrams, left-join the pair- and
+    prev-count tables, re-aggregate per doc. Same smoothing math as
+    the fold; the per-doc double sum is partition-order-dependent, so
+    results match the literal fold to float tolerance, not bit-for-bit
+    (differential-tested in tests/test_lm.py). At scale both joins
+    broadcast when the model is modest, else they shuffle on gram keys;
+    the regroup is a map-side-combinable sum on `id_col`."""
+    spark = docs.sparkSession
+    a = float(model.alpha)
+    v = float(model.v_smooth)
+    pair_df = spark.createDataFrame(
+        [(p, w, c) for (p, w), c in model.pair_counts.items()],
+        "prev string, word string, pair_c double",
+    )
+    prev_df = spark.createDataFrame(
+        list(model.prev_counts.items()), "prev string, prev_c double"
+    )
+    m = _mapped_tokens(text_col, model.vocab)
+    n = F.size(m)
+    base = docs.select(
+        F.col(id_col),
+        F.when(n >= 2, n - 1).otherwise(F.lit(0)).alias("n_bigrams"),
+        F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(m, 1, n - 1),
+                F.slice(m, 2, n - 1),
+                lambda x, y: F.struct(x.alias("prev"), y.alias("word")),
+            ),
+        ).alias("_bi"),
+    )
+    exploded = base.select(id_col, F.explode("_bi").alias("bg")).select(
+        id_col, "bg.prev", "bg.word"
+    )
+    scored = (
+        exploded.join(F.broadcast(pair_df), ["prev", "word"], "left")
+        .join(F.broadcast(prev_df), "prev", "left")
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.coalesce("pair_c", F.lit(0.0)) + F.lit(a))
+                / (F.coalesce("prev_c", F.lit(0.0)) + F.lit(a * v))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("_lp").alias("_total"))
+    )
+    avg = F.when(F.col("n_bigrams") > 0, F.col("_total") / F.col("n_bigrams"))
+    return (
+        base.select(id_col, "n_bigrams")
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            "n_bigrams",
+            avg.alias("avg_logprob"),
+            F.exp(-avg).alias("perplexity"),
+        )
+    )

@@ -1,0 +1,176 @@
+"""N-gram LM perplexity scoring (operators/lm.py): differential test
+against a from-scratch Python reference, literal-fold vs join-shape
+parity, OOV/short/NULL edge cases, deterministic model truncation, and
+a zero-shuffle plan pin for the scoring scan."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import lm
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog sat on the log"),
+    (3, "a cat and a dog"),
+    (4, "the the the the"),
+    (5, "completely unseen zebra quagga xylophone"),
+    (6, "single"),  # 1 token -> unscorable
+    (7, ""),  # empty -> unscorable
+    (8, None),  # NULL -> unscorable
+    (9, "THE CAT SAT"),  # case-folding joins doc 1's statistics
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def model(docs):
+    # vocab_size covers every corpus token, so OOV genuinely means
+    # novel text (a tiny vocab would map most TRAINING tokens to UNK
+    # too, making UNK runs a high-probability context — real small-LM
+    # behavior, but not what the ranking assertions want to probe).
+    return lm.lm_train(docs, vocab_size=32, max_pairs=64, alpha=0.1)
+
+
+def _py_reference(model, texts):
+    """From-scratch scorer sharing NOTHING with the Spark implementation
+    but the NgramLM dataclass fields."""
+    out = {}
+    vocab = set(model.vocab)
+    for doc_id, text in texts:
+        if text is None:
+            out[doc_id] = (0, None, None)
+            continue
+        toks = [t for t in text.strip().lower().split() if True] if text.strip() else []
+        toks = [t if t in vocab else lm.UNK for t in toks]
+        if len(toks) < 2:
+            out[doc_id] = (0, None, None)
+            continue
+        total = 0.0
+        for prev, word in zip(toks, toks[1:]):
+            total += model.logprob(prev, word)
+        n = len(toks) - 1
+        avg = total / n
+        out[doc_id] = (n, avg, math.exp(-avg))
+    return out
+
+
+def test_train_is_deterministic_and_truncated(docs, model):
+    # every distinct corpus token — including '' from the empty doc
+    # (split(trim('')) -> [''], the repo tokenizer's semantics, mirrored
+    # by DuckDB's regexp_split_to_array; such docs are unscorable anyway)
+    assert len(model.vocab) == 16
+    # 'the' is the most frequent token; ties broken token-ascending
+    assert model.vocab[0] == "the"
+    again = lm.lm_train(docs, vocab_size=32, max_pairs=64, alpha=0.1)
+    assert again.vocab == model.vocab
+    assert again.pair_counts == model.pair_counts
+    assert again.prev_counts == model.prev_counts
+    # both caps really truncate, deterministically
+    small = lm.lm_train(docs, vocab_size=8, max_pairs=3, alpha=0.1)
+    assert len(small.vocab) == 8
+    assert len(small.pair_counts) == 3
+    assert small.vocab == model.vocab[:8]
+
+
+def test_perplexity_matches_python_reference(spark, docs, model):
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"], r["perplexity"])
+        for r in lm.lm_perplexity(docs, model).collect()
+    }
+    want = _py_reference(model, DOCS)
+    assert set(got) == set(want)
+    for doc_id in want:
+        n_w, avg_w, ppl_w = want[doc_id]
+        n_g, avg_g, ppl_g = got[doc_id]
+        assert n_g == n_w, doc_id
+        if avg_w is None:
+            assert avg_g is None and ppl_g is None, doc_id
+        else:
+            assert avg_g == pytest.approx(avg_w, abs=1e-12), doc_id
+            assert ppl_g == pytest.approx(ppl_w, rel=1e-12), doc_id
+
+
+def test_in_distribution_beats_held_out_oov(spark, docs, model):
+    """Held-out scoring: in-distribution text must be less perplexing
+    than genuinely novel text, and an all-OOV doc (UNK bigrams unseen
+    in training) lands exactly at the uniform-smoothing ceiling V."""
+    held_out = spark.createDataFrame(
+        [
+            (101, "the cat sat on the mat"),  # verbatim in-distribution
+            (102, "THE DOG SAT"),  # case folding joins training stats
+            (103, "zzz qqq www vvv"),  # all OOV -> UNK, unseen pairs
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm.lm_perplexity(held_out, model).collect()
+    }
+    assert got[101] < got[103]
+    assert got[102] < got[103]
+    # unseen prev + unseen pair: P = alpha/(alpha*V) = 1/V per bigram
+    assert got[103] == pytest.approx(model.v_smooth, rel=1e-12)
+
+
+def test_join_shape_matches_literal_fold(spark, docs, model):
+    lit = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm.lm_perplexity(docs, model).collect()
+    }
+    join = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in lm.lm_perplexity_join(docs, model).collect()
+    }
+    assert set(lit) == set(join)
+    for k in lit:
+        assert lit[k][0] == join[k][0]
+        if lit[k][1] is None:
+            assert join[k][1] is None
+        else:
+            assert join[k][1] == pytest.approx(lit[k][1], abs=1e-9)
+
+
+def test_quality_filter_keeps_low_perplexity_head(spark, docs, model):
+    ppl = {r["doc_id"]: r["perplexity"] for r in lm.lm_perplexity(docs, model).collect()}
+    cut = ppl[5]  # the OOV doc's perplexity as the threshold
+    kept = {
+        r["doc_id"]
+        for r in lm.lm_quality_filter(docs, model, max_perplexity=cut - 1e-9).collect()
+    }
+    assert kept == {d for d, p in ppl.items() if p is not None and p <= cut - 1e-9}
+    assert 5 not in kept and 6 not in kept and 8 not in kept
+    with_unscorable = {
+        r["doc_id"]
+        for r in lm.lm_quality_filter(
+            docs, model, max_perplexity=cut - 1e-9, keep_unscorable=True
+        ).collect()
+    }
+    assert with_unscorable == kept | {6, 7, 8}
+
+
+def test_scoring_plan_is_zero_shuffle(spark, docs, model):
+    plan = (
+        lm.lm_perplexity(docs, model)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Generate" not in plan, plan[:2000]  # no explode: pure fold
+
+
+def test_testdata_smoke(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = lm.lm_train(docs, vocab_size=128, max_pairs=1024)
+    out = lm.lm_perplexity(docs, model)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    scored = [r for r in rows if r["perplexity"] is not None]
+    assert scored, "expected scorable documents in testdata"
+    assert all(r["perplexity"] > 0 for r in scored)
