@@ -1,0 +1,232 @@
+"""Semantic deduplication over embeddings — SemDeDup (Abbas et al.
+2023, "SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication"): cluster the corpus' embeddings with k-means, then
+within each cluster drop all but one of every group of semantically
+near-identical documents (cosine >= threshold). The reference pipeline
+has no embedding surface; this is the LLM-training-data extension
+family's semantic-dup member, complementing the lexical near-dup stack
+(MinHash/SimHash/ngram-Jaccard) which cannot see paraphrases.
+
+Spark-first shape:
+
+* k-means fit on a (sampled) corpus — pyspark.ml, seeded, same
+  contract as ann_index.ivf_index_build.
+* cluster ASSIGNMENT is pure column arithmetic against centroid plan
+  literals (ann_index._nearest_clusters) — a map stage, no shuffle.
+* the candidate pair stage self-joins ONLY within a cluster: one
+  shuffle keyed on the cluster id, per-cluster O(c^2) pair work — the
+  SemDeDup design trade. At 100 TB you scale n_clusters with the
+  corpus (k ~ N / target_cluster_size, the paper uses ~10k-100k
+  points/cluster), keeping per-task work bounded; a skewed mega-
+  cluster is the known failure mode, so `max_cluster_size` fails
+  loudly instead of letting one task go quadratic.
+* the KEEP rule is a dominated-point anti-join, not union-find: drop
+  x iff some same-cluster y with cos(x, y) >= threshold has higher
+  priority. Priority is a total order, so for every above-threshold
+  pair the loser is dropped — the kept set provably contains no
+  internal pair >= threshold, and no driver-side iteration is needed
+  (connected_components stays the right tool for the lexical pipeline
+  where pair SETS are the product).
+
+Priority orders (`keep`):
+* "centroid_far" (paper's rule): keep the point LEAST similar to its
+  centroid — retains the cluster's diverse frontier; ties on id.
+* "min_id": deterministic, embedding-free — the exact-dedup
+  convention used across the dedup module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ann_index import _sq_dists
+from .similarity import _as_double, _dot, _norm
+
+
+def fit_centroids(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Seeded k-means centroids (driver-side list — n_clusters x dim
+    doubles, plan-literal-able). Fit on a sample for huge corpora;
+    assignment quality degrades gracefully with sample size."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = _as_double(emb, vec_col, "_cv").withColumn(
+        "_features", array_to_vector("_cv")
+    )
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cluster"
+    ).fit(c.select("_features"))
+    return [[float(x) for x in ctr] for ctr in km.clusterCenters()]
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster, vec, norm, centroid_sim): nearest-centroid
+    assignment + the paper's priority signal (cosine to own centroid),
+    all against centroid literals — zero shuffle, zero Python.
+
+    The k squared distances are computed ONCE per row (bound as a
+    lambda variable, docs/SCALE.md "HOF lambda scoping"); the cosine
+    to the winning centroid is recovered algebraically from its d^2
+    (<v,c> = (|v|^2 + |c|^2 - d^2) / 2) instead of a second O(k*dim)
+    dot pass — fp-identical ordering is not required of a priority
+    signal, and the assignment itself stays exact."""
+    import math
+
+    v = _as_double(emb, vec_col, "_cv")
+    k = len(centroids)
+
+    def _best(ds):
+        return F.element_at(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(k - 1)),
+                    lambda i: F.struct(
+                        F.element_at(ds, i + 1).alias("d2"), i.alias("c")
+                    ),
+                )
+            ),
+            1,
+        )
+
+    best = F.element_at(
+        F.transform(F.array(_sq_dists("_cv", centroids)), _best), 1
+    )
+    cnorms = F.array(
+        *[F.lit(math.sqrt(sum(x * x for x in ctr)) or 1.0) for ctr in centroids]
+    )
+    base = v.select(
+        F.col(id_col),
+        F.col("_cv").alias("vec"),
+        _norm("_cv").alias("norm"),
+        best.alias("_best"),
+    )
+    cn = F.element_at(cnorms, F.col("_best.c") + 1)
+    dot = (
+        F.col("norm") * F.col("norm") + cn * cn - F.col("_best.d2")
+    ) / F.lit(2.0)
+    return base.select(
+        id_col,
+        F.col("_best.c").alias("cluster"),
+        "vec",
+        "norm",
+        (dot / (F.col("norm") * cn)).alias("centroid_sim"),
+    )
+
+
+def semantic_dup_pairs(
+    assigned: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Within-cluster candidate pairs with cosine >= threshold:
+    (id_a, id_b, cluster, sim), id_a < id_b. One shuffle on the
+    cluster key; never a global all-pairs."""
+    a = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("vec").alias("_va"),
+        F.col("norm").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("vec").alias("_vb"),
+        F.col("norm").alias("_nb"),
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "cluster", "sim")
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    keep: str = "centroid_far",
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """The kept corpus: every input row except dominated semantic
+    duplicates. Returns the original `emb` rows (all columns) of the
+    keepers, semi/anti-joined on `id_col` — the embedding payload is
+    never duplicated through the pair join.
+
+    Pass precomputed `centroids` to skip the fit (e.g., reuse an IVF
+    index's), keeping this a pure two-shuffle pipeline."""
+    if keep not in ("centroid_far", "min_id"):
+        raise ValueError(f"keep must be centroid_far|min_id: {keep}")
+    if centroids is None:
+        centroids = fit_centroids(
+            emb, vec_col=vec_col, n_clusters=n_clusters, seed=seed
+        )
+    assigned = assign_clusters(emb, centroids, vec_col=vec_col, id_col=id_col)
+    if max_cluster_size is not None:
+        sizes = (
+            assigned.groupBy("cluster")
+            .count()
+            .filter(F.col("count") > max_cluster_size)
+            .collect()
+        )
+        if sizes:
+            worst = max(sizes, key=lambda r: r["count"])
+            raise ValueError(
+                f"cluster {worst['cluster']} holds {worst['count']} > "
+                f"max_cluster_size={max_cluster_size} vectors; the within-"
+                "cluster pair join would go quadratic on one key — raise "
+                "n_clusters (k ~ N / target_cluster_size) or the cap"
+            )
+    # Pair stage with BOTH orientations' priorities in one join: the
+    # dominated side is whichever end loses the priority comparison.
+    pri_cols = ["centroid_sim", id_col] if keep == "centroid_far" else [id_col]
+    a = assigned.select(
+        "cluster",
+        F.col(id_col).alias("_ia"),
+        F.col("vec").alias("_va"),
+        F.col("norm").alias("_na"),
+        *[F.col(c).alias(f"_pa_{c}") for c in pri_cols],
+    )
+    b = assigned.select(
+        "cluster",
+        F.col(id_col).alias("_ib"),
+        F.col("vec").alias("_vb"),
+        F.col("norm").alias("_nb"),
+        *[F.col(c).alias(f"_pb_{c}") for c in pri_cols],
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("_ia") < F.col("_ib"))
+        .filter(
+            _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")) >= threshold
+        )
+    )
+    if keep == "centroid_far":
+        # keep the LESS centroid-similar end (the paper's diversity
+        # rule); equal sims fall back to keeping the smaller id.
+        a_loses = (F.col("_pa_centroid_sim") > F.col("_pb_centroid_sim")) | (
+            (F.col("_pa_centroid_sim") == F.col("_pb_centroid_sim"))
+            & (F.col(f"_pa_{id_col}") > F.col(f"_pb_{id_col}"))
+        )
+    else:
+        a_loses = F.col(f"_pa_{id_col}") > F.col(f"_pb_{id_col}")
+    dropped = pairs.select(
+        F.when(a_loses, F.col("_ia")).otherwise(F.col("_ib")).alias(id_col)
+    ).distinct()
+    return emb.join(dropped, id_col, "left_anti")

@@ -1,0 +1,128 @@
+"""Semantic dedup (operators/semdedup.py): planted near-identical
+embedding groups collapse to one keeper, the kept set provably holds
+no within-cluster pair above threshold, the paper's centroid-far keep
+rule vs min_id, cluster-size guard, and plan shape."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import semdedup
+
+DIM = 8
+
+
+def _vec(base, jitter, rng):
+    v = [b + rng.uniform(-jitter, jitter) for b in base]
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Two far-apart families; within each, a trio of near-identical
+    vectors (cos > 0.999) plus distinct singletons."""
+    rng = random.Random(7)
+    a = [1.0] * DIM
+    b = [1.0 if i % 2 else -1.0 for i in range(DIM)]
+    rows = []
+    for i in range(3):  # family A dup-group: ids 0,1,2
+        rows.append((i, _vec(a, 0.001, rng)))
+    for i in range(3, 6):  # family A singletons: orthogonal-ish jitter
+        rows.append((i, _vec([x + (i if j == i % DIM else 0) for j, x in enumerate(a)], 0.0, rng)))
+    for i in range(6, 9):  # family B dup-group: ids 6,7,8
+        rows.append((i, _vec(b, 0.001, rng)))
+    rows.append((9, _vec([x * -1 for x in b[:4]] + b[4:], 0.0, rng)))
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def centroids(corpus):
+    return semdedup.fit_centroids(corpus, n_clusters=2, seed=42)
+
+
+def test_assignment_groups_families(spark, corpus, centroids):
+    assigned = semdedup.assign_clusters(corpus, centroids)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    fam_a = {got[i] for i in range(6)}
+    fam_b = {got[i] for i in range(6, 9)}
+    assert len(fam_a) == 1 and len(fam_b) == 1 and fam_a != fam_b
+    sims = {r["vec_id"]: r["centroid_sim"] for r in assigned.collect()}
+    assert all(-1.001 <= s <= 1.001 for s in sims.values())
+
+
+def test_dup_pairs_are_within_cluster_and_thresholded(spark, corpus, centroids):
+    assigned = semdedup.assign_clusters(corpus, centroids)
+    pairs = semdedup.semantic_dup_pairs(assigned, threshold=0.999).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(0, 1), (0, 2), (1, 2), (6, 7), (6, 8), (7, 8)} <= got
+    assert all(a < b for a, b in got)
+    assert all(r["sim"] >= 0.999 for r in pairs)
+    # nothing pairs across families
+    assert not any(a < 6 <= b for a, b in got)
+
+
+@pytest.mark.parametrize("keep", ["centroid_far", "min_id"])
+def test_dedup_keeps_one_per_group(spark, corpus, centroids, keep):
+    kept = semdedup.semantic_dedup(
+        corpus, n_clusters=2, threshold=0.999, keep=keep, centroids=centroids
+    )
+    ids = {r["vec_id"] for r in kept.select("vec_id").collect()}
+    assert len(ids & {0, 1, 2}) == 1
+    assert len(ids & {6, 7, 8}) == 1
+    assert {3, 4, 5, 9} <= ids  # singletons untouched
+    assert kept.columns == corpus.columns  # original payload, un-widened
+    if keep == "min_id":
+        assert 0 in ids and 6 in ids
+    # invariant: the kept set holds NO within-cluster pair >= threshold
+    assigned = semdedup.assign_clusters(kept, centroids)
+    assert semdedup.semantic_dup_pairs(assigned, threshold=0.999).count() == 0
+
+
+def test_centroid_far_keeps_the_frontier(spark, corpus, centroids):
+    """The keeper of each dup-group must be its least-centroid-similar
+    member (the paper's diversity rule), ties broken by id."""
+    assigned = semdedup.assign_clusters(corpus, centroids)
+    sims = {r["vec_id"]: r["centroid_sim"] for r in assigned.collect()}
+    kept = {
+        r["vec_id"]
+        for r in semdedup.semantic_dedup(
+            corpus, threshold=0.999, keep="centroid_far", centroids=centroids
+        ).collect()
+    }
+    for group in ({0, 1, 2}, {6, 7, 8}):
+        winner = min(group, key=lambda i: (sims[i], i))
+        assert group & kept == {winner}
+
+
+def test_max_cluster_size_guard(spark, corpus, centroids):
+    with pytest.raises(ValueError, match="quadratic"):
+        semdedup.semantic_dedup(
+            corpus, centroids=centroids, max_cluster_size=3
+        )
+    with pytest.raises(ValueError, match="keep must be"):
+        semdedup.semantic_dedup(corpus, centroids=centroids, keep="bogus")
+
+
+def test_plan_single_cluster_shuffle(spark, corpus, centroids):
+    """Assignment is shuffle-free; the pair stage shuffles only on the
+    cluster key. The end-to-end dedup plan must not exceed the
+    assignment-free budget: pair join (1 exchange per side max) +
+    distinct + anti-join."""
+    assigned = semdedup.assign_clusters(corpus, centroids)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_testdata_smoke(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kept = semdedup.semantic_dedup(
+        emb, n_clusters=8, threshold=0.999, max_cluster_size=100_000
+    )
+    n_in, n_kept = emb.count(), kept.count()
+    assert 0 < n_kept <= n_in
