@@ -1,0 +1,179 @@
+"""Byte-pair-encoding tokenizer TRAINING and encoding (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units") —
+the tokenizer-fitting stage of a training-data pipeline. The reference
+pipeline has no tokenizer surface; text.token_stats estimates BPE-ish
+token counts with a fixed regex, this module learns the actual merge
+table from the corpus.
+
+Why this scales: classic BPE trains on the WORD-FREQUENCY DICTIONARY,
+not the raw corpus — the first aggregation collapses 100 TB of text
+into one row per distinct word (millions of rows, not billions of
+documents), and every merge iteration then works on that bounded
+table:
+
+* pair counting: explode each word's adjacent symbol pairs weighted by
+  the word's corpus frequency -> groupBy(pair) sum -> the argmax pair
+  via a deterministic TakeOrdered(1) (count desc, pair asc). One
+  keyed shuffle of the dictionary per iteration.
+* applying the winning merge: a per-row left-to-right fold over the
+  symbol array (greedy leftmost-first, exactly the sequential
+  algorithm) — zero shuffle, zero Python.
+* `localCheckpoint` per iteration truncates the lineage, so the plan
+  stays one-fold deep no matter how many merges (the
+  connected_components iterative pattern).
+
+Driver state is the merge list itself (n_merges pairs — the model),
+same contract as pq_train's codebooks.
+
+Encoding (`bpe_encode_col` / `bpe_token_count`) replays the merge list
+in order as chained folds inside one expression — a pure map stage
+over the corpus, whole-stage-codegen-able, no shuffle, no UDF.
+
+The end-of-word sentinel is \\x03 appended as a SEPARATE symbol (the
+paper's </w>, but a control character, so no learned merge can ever
+collide with literal text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens as _ws_tokens
+
+#: End-of-word sentinel symbol.
+EOW = "\x03"
+
+
+def _chars_with_eow(word: Column) -> Column:
+    """['h','e','y','\\x03'] for 'hey' — the initial symbol array."""
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        ),
+        F.array(F.lit(EOW)),
+    )
+
+
+def _merge_fold(sym: Column, p1: str | Column, p2: str | Column) -> Column:
+    """Apply ONE merge (p1, p2) -> p1||p2 to a symbol array: greedy
+    leftmost-first via a left-to-right fold. The accumulator is the
+    rebuilt array; a merged symbol participates in FURTHER merges with
+    the following elements (matching the sequential re-scan)."""
+    p1c = F.lit(p1) if isinstance(p1, str) else p1
+    p2c = F.lit(p2) if isinstance(p2, str) else p2
+    return F.aggregate(
+        sym,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == p1c)
+            & (x == p2c),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(p1c, p2c)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_frequencies(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq): the corpus collapsed to its dictionary — the ONE
+    corpus-scale aggregation in BPE training. Lowercased whitespace
+    tokens (the repo's shared tokenization); empty-string tokens (from
+    blank docs) are dropped — they carry no pair structure."""
+    return (
+        docs.select(
+            F.explode(_ws_tokens(F.lower(F.col(text_col)))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 32,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn up to `n_merges` merges; stops early when no adjacent
+    pair reaches `min_pair_freq` (weighted by word frequency).
+    Deterministic: ties broken (count desc, p1 asc, p2 asc)."""
+    wf = word_frequencies(docs, text_col).select(
+        "freq", _chars_with_eow(F.col("word")).alias("sym")
+    )
+    wf = wf.localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        n = F.size("sym")
+        pairs = (
+            wf.filter(n >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice("sym", 1, n - 1),
+                        F.slice("sym", 2, n - 1),
+                        lambda a, b: F.struct(a.alias("p1"), b.alias("p2")),
+                    )
+                ).alias("pg"),
+            )
+            .groupBy("pg.p1", "pg.p2")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("p1"), F.asc("p2"))
+            .limit(1)
+            .collect()
+        )
+        if not pairs or pairs[0]["c"] < min_pair_freq:
+            break
+        p1, p2 = pairs[0]["p1"], pairs[0]["p2"]
+        merges.append((p1, p2))
+        wf = wf.select(
+            "freq", _merge_fold(F.col("sym"), p1, p2).alias("sym")
+        ).localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """The learned multi-character symbols, in merge order."""
+    return [p1 + p2 for p1, p2 in merges]
+
+
+def bpe_encode_col(
+    text_col: str | Column, merges: list[tuple[str, str]]
+) -> Column:
+    """Subword token array for a text column: tokenize, split each
+    word to chars + EOW, replay every merge in order, flatten. One
+    chained-fold expression — a pure map, no shuffle, no Python."""
+    toks = _ws_tokens(
+        F.lower(text_col if isinstance(text_col, Column) else F.col(text_col))
+    )
+
+    def _encode_word(w: Column) -> Column:
+        sym = _chars_with_eow(w)
+        for p1, p2 in merges:
+            sym = _merge_fold(sym, p1, p2)
+        return sym
+
+    return F.flatten(
+        F.transform(F.filter(toks, lambda t: t != ""), _encode_word)
+    )
+
+
+def bpe_token_count(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_bpe_tokens): the LEARNED-tokenizer replacement for
+    text.token_stats' regex estimate. NULL text counts NULL."""
+    return docs.select(
+        F.col(id_col),
+        F.size(bpe_encode_col(text_col, merges)).alias("n_bpe_tokens"),
+    )
