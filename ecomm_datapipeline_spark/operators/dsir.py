@@ -1,0 +1,98 @@
+"""Data Selection via Importance Resampling — DSIR (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling"):
+select raw-corpus documents whose n-gram distribution looks like a
+TARGET domain (e.g. Wikipedia/books) by importance weighting
+w(x) = p_target(x) / p_raw(x), then sampling k documents with
+probability proportional to w — the principled upgrade over
+hard perplexity thresholds (operators/lm.lm_quality_filter keeps the
+target-likelihood head; DSIR corrects for what the raw pool itself
+over-represents).
+
+Spark-first shape (pure composition over operators/lm.py):
+
+* both distributions are the bigram LMs this repo already trains —
+  `lm_train(target_docs)` and `lm_train(raw_sample)`; each rides as a
+  plan literal, so the per-document log importance weight
+  (sum log p_tgt - sum log p_raw over the SAME bigrams) is a single
+  zero-shuffle scan with two left-to-right folds.
+* sampling without replacement ~ w uses the Gumbel-top-k identity
+  (Efraimidis-Spirakis / Gumbel-max): key_i = log w_i + G_i with G_i
+  standard Gumbel; the k largest keys ARE a w-proportional sample
+  without replacement. G_i derives deterministically from
+  xxhash64(id, seed) -> uniform -> -ln(-ln(u)) — reproducible across
+  runs and cluster sizes, no Python RNG, and selection is a
+  TakeOrderedAndProject, never a global sort.
+
+Unscorable docs (< 2 tokens / NULL text) carry NULL weight and are
+never selected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .lm import NgramLM, lm_logprob_cols
+
+_U64_MAX = float(1 << 64)
+
+
+def importance_weight_cols(
+    target_lm: NgramLM,
+    raw_lm: NgramLM,
+    text_col: str = "text",
+) -> dict[str, object]:
+    """(n_bigrams, log_weight) expressions: log_weight = total log
+    p_target - total log p_raw over the document's bigrams. Each LM
+    maps OOV through its OWN vocabulary (the paper's hashed-feature
+    analogue); NULL when unscorable."""
+    tc = lm_logprob_cols(target_lm, text_col)
+    rc = lm_logprob_cols(raw_lm, text_col)
+    n = tc["n_bigrams"]
+    lw = F.when(n > 0, tc["_lm_total"] - rc["_lm_total"])
+    return {"n_bigrams": n, "log_weight": lw.alias("log_weight")}
+
+
+def importance_weights(
+    docs: DataFrame,
+    target_lm: NgramLM,
+    raw_lm: NgramLM,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document (id, n_bigrams, log_weight) — one scan, zero
+    shuffles, both LMs as plan literals."""
+    cols = importance_weight_cols(target_lm, raw_lm, text_col)
+    return docs.select(F.col(id_col), cols["n_bigrams"], cols["log_weight"])
+
+
+def dsir_sample(
+    docs: DataFrame,
+    target_lm: NgramLM,
+    raw_lm: NgramLM,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """The k-document w-proportional sample without replacement
+    (Gumbel-top-k), deterministic in (ids, seed). Returns the original
+    columns + log_weight; selection is a TakeOrderedAndProject on the
+    perturbed key — no global sort, no collect."""
+    cols = importance_weight_cols(target_lm, raw_lm, text_col)
+    # xxhash64 -> (0, 1]: shift the signed long into unsigned range,
+    # +1 so u is never 0 (log(0) = -inf would break the Gumbel).
+    u = (
+        (F.xxhash64(F.col(id_col), F.lit(seed)) + F.lit(2.0 ** 63) + F.lit(1.0))
+        / F.lit(_U64_MAX + 2.0)
+    )
+    gumbel = -F.log(-F.log(u))
+    scored = docs.withColumn("log_weight", cols["log_weight"]).filter(
+        F.col("log_weight").isNotNull()
+    )
+    return (
+        scored.withColumn("_gkey", F.col("log_weight") + gumbel)
+        .orderBy(F.desc("_gkey"), F.asc(id_col))
+        .limit(k)
+        .drop("_gkey")
+    )

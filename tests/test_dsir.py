@@ -1,0 +1,124 @@
+"""DSIR importance resampling (operators/dsir.py): weight math vs a
+Python reference over the same LMs, target-domain enrichment of the
+selected sample, Gumbel-top-k determinism, and plan shape."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import dsir, lm
+
+TARGET = [(100 + i, "the cat sat on the mat and the dog sat on the log") for i in range(4)]
+RAW = (
+    # target-like docs
+    [(i, "the cat sat on the mat") for i in range(0, 5)]
+    + [(i, "the dog sat on the log and the cat") for i in range(5, 10)]
+    # off-domain docs
+    + [(i, "buy cheap pills now click here win money") for i in range(10, 20)]
+    + [(20, ""), (21, None)]
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    target = spark.createDataFrame(TARGET, "doc_id long, text string")
+    raw = spark.createDataFrame(RAW, "doc_id long, text string")
+    return target, raw
+
+
+@pytest.fixture(scope="module")
+def lms(frames):
+    target, raw = frames
+    return (
+        lm.lm_train(target, vocab_size=64, max_pairs=512),
+        lm.lm_train(raw, vocab_size=64, max_pairs=512),
+    )
+
+
+def _py_log_weight(text, tgt, raw):
+    if text is None:
+        return None
+    toks = text.strip().lower().split() if text.strip() else []
+    if len(toks) < 2:
+        return None
+    total = 0.0
+    for model in (tgt, raw):
+        vocab = set(model.vocab)
+        m = [t if t in vocab else lm.UNK for t in toks]
+        s = sum(model.logprob(p, w) for p, w in zip(m, m[1:]))
+        total = s if model is tgt else total - s
+    return total
+
+
+def test_weights_match_python_reference(spark, frames, lms):
+    _, raw = frames
+    tgt_lm, raw_lm = lms
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir.importance_weights(raw, tgt_lm, raw_lm).collect()
+    }
+    for doc_id, text in RAW:
+        want = _py_log_weight(text, tgt_lm, raw_lm)
+        if want is None:
+            assert got[doc_id] is None, doc_id
+        else:
+            assert got[doc_id] == pytest.approx(want, abs=1e-9), doc_id
+
+
+def test_target_like_docs_outweigh_off_domain(spark, frames, lms):
+    _, raw = frames
+    got = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir.importance_weights(raw, *lms).collect()
+    }
+    target_like = [got[i] for i in range(10)]
+    off_domain = [got[i] for i in range(10, 20)]
+    assert min(target_like) > max(off_domain)
+
+
+def test_sample_is_enriched_and_deterministic(spark, frames, lms):
+    _, raw = frames
+    s1 = dsir.dsir_sample(raw, *lms, k=8, seed=7)
+    s2 = dsir.dsir_sample(raw, *lms, k=8, seed=7)
+    ids1 = [r["doc_id"] for r in s1.collect()]
+    ids2 = [r["doc_id"] for r in s2.collect()]
+    assert ids1 == ids2  # deterministic in (ids, seed)
+    assert "log_weight" in s1.columns
+    # heavy enrichment: most of the 8 picks come from the 10 target-like
+    assert sum(1 for i in ids1 if i < 10) >= 6
+    # unscorable docs can never be selected
+    assert not {20, 21} & set(ids1)
+    # a different seed perturbs the tail but stays enriched
+    ids3 = [r["doc_id"] for r in dsir.dsir_sample(raw, *lms, k=8, seed=8).collect()]
+    assert sum(1 for i in ids3 if i < 10) >= 6
+
+
+def test_sample_without_replacement_bounds(spark, frames, lms):
+    _, raw = frames
+    got = dsir.dsir_sample(raw, *lms, k=1000).collect()
+    ids = [r["doc_id"] for r in got]
+    assert len(ids) == len(set(ids))  # no replacement
+    assert len(ids) == 20  # every scorable doc, never the unscorable
+
+
+def test_weight_scan_is_zero_shuffle(spark, frames, lms):
+    _, raw = frames
+    plan = (
+        dsir.importance_weights(raw, *lms)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_sample_uses_take_ordered(spark, frames, lms):
+    _, raw = frames
+    plan = (
+        dsir.dsir_sample(raw, *lms, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
