@@ -1,0 +1,153 @@
+"""Multi-dimensional data layout: z-order (Morton-curve) clustering.
+
+`tables.compact_table(sort_cols=...)` clusters files along ONE sort
+key — range scans on that key skip files via parquet min/max, but a
+predicate on any OTHER column reads everything. Z-ordering interleaves
+the bits of several columns' rank-space positions into one sort key,
+so files cover small HYPER-RECTANGLES of the combined key space and
+min/max pruning works for predicates on ANY of the z-columns (the
+layout Delta Lake's OPTIMIZE ZORDER BY and Databricks liquid
+clustering provide; Morton 1966).
+
+Spark-first shape, all JVM:
+
+1. Per column, map values to a bounded rank space: 2^bits quantile
+   buckets from `approxQuantile` (driver-side: 2^bits doubles per
+   column — the Greenwald-Khanna sketch is ONE pass, mergeable, and
+   its boundaries ride back as an array literal). Quantile buckets,
+   not min/max ranges, so skewed columns still fill the space evenly.
+2. Bucket assignment = a fold over the boundary literal
+   (count-of-boundaries <= value), O(2^bits) comparisons per row.
+3. The Morton key = pure bit arithmetic interleaving the bucket ids
+   (shiftleft/or folds — whole-stage-codegen-able, no UDF).
+4. `repartitionByRange(n_files, zkey)` + `sortWithinPartitions(zkey)`
+   then write: one range shuffle, files = contiguous z-ranges.
+
+At 100 TB this is a maintenance-cadence rewrite (like compaction), not
+a per-query cost; the payoff is every subsequent scan's file skipping.
+Choose 2-4 z-columns: each added column halves the per-column
+resolution of a fixed-width key.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import uuid
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tables import _swap_into
+
+
+def _bucket_expr(col: str, boundaries: list[float], bits: int) -> Column:
+    """Rank-space bucket id (0 .. 2^bits - 1) for `col`: the number of
+    quantile boundaries STRICTLY below the value (a boundary value
+    itself stays in its lower bucket, so duplicate boundaries from a
+    heavy hitter still map it to one bucket). NULLs sort to bucket 0
+    (they cluster together, which is what a pruning layout wants)."""
+    blit = F.array(*[F.lit(float(b)) for b in boundaries])
+    v = F.col(col).cast("double")
+    n = F.aggregate(
+        blit,
+        F.lit(0),
+        lambda acc, b: acc + F.when(b < v, 1).otherwise(0),
+    )
+    return (
+        F.when(v.isNull(), F.lit(0))
+        .otherwise(F.least(n, F.lit((1 << bits) - 1)))
+        .cast("long")
+    )
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 8,
+    rel_err: float = 0.01,
+) -> Column:
+    """The Morton key Column for `cols` over this frame's value
+    distribution. Runs one eager `approxQuantile` job (all columns in
+    a single pass) and folds the boundaries in as literals."""
+    if not 1 <= len(cols) <= 4:
+        raise ValueError(f"z-order wants 1-4 columns, got {len(cols)}")
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits={bits} x {len(cols)} cols overflows a long")
+    n_b = (1 << bits) - 1
+    probs = [(i + 1) / (n_b + 1) for i in range(n_b)]
+    casted = df.select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    all_bounds = casted.approxQuantile(cols, probs, rel_err)
+    buckets = [
+        _bucket_expr(c, bounds, bits) for c, bounds in zip(cols, all_bounds)
+    ]
+    # interleave: output bit (i * n_cols + c) = bit i of bucket[c]
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for ci, b in enumerate(buckets):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                    i * len(buckets) + ci,
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    bits: int = 8,
+    rel_err: float = 0.01,
+) -> None:
+    """Write `df` as `n_files` z-ordered parquet files: range-partition
+    on the Morton key, sort within partitions, drop the key. Staged to
+    a temp dir and swapped in (compact_table's crash-safety contract)."""
+    keyed = df.withColumn("_zkey", zorder_key(df, cols, bits, rel_err))
+    out = (
+        keyed.repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+    )
+    tmp = f"{path.rstrip('/')}__zorder_{uuid.uuid4().hex[:8]}"
+    out.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(path):
+        _swap_into(tmp, path)
+    else:
+        os.rename(tmp, path)
+
+
+def file_skip_fraction(
+    path: str, col: str, lo: float, hi: float
+) -> tuple[int, int]:
+    """(skippable, total) parquet files for predicate col BETWEEN
+    lo AND hi, judged ONLY by footer min/max — the exact statistic a
+    scan's file pruning uses. Pure pyarrow, no Spark session; this is
+    the layout's measure of merit (tests assert it, and operators can
+    report it after a rewrite)."""
+    import pyarrow.parquet as pq
+
+    total = skip = 0
+    for dp, _, fs in os.walk(path):
+        for f in fs:
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            md = pq.ParquetFile(os.path.join(dp, f)).metadata
+            fmin = fmax = None
+            for rg in range(md.num_row_groups):
+                rgm = md.row_group(rg)
+                for i in range(rgm.num_columns):
+                    c = rgm.column(i)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        if s.has_min_max:
+                            fmin = s.min if fmin is None else min(fmin, s.min)
+                            fmax = s.max if fmax is None else max(fmax, s.max)
+            if fmin is not None and (fmax < lo or fmin > hi):
+                skip += 1
+    return skip, total

@@ -1,0 +1,112 @@
+"""Z-order layout writer (sources/layout.py): Morton key bit math,
+quantile-bucket balance, and the measure of merit — file skipping via
+parquet min/max on EVERY z-column, vs zero skipping for a single-key
+sort on the other column."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.sources import layout
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).cache()
+
+
+def test_zorder_key_is_bounded_and_balanced(spark, lineitem):
+    key = layout.zorder_key(lineitem, ["l_orderkey", "l_partkey"], bits=4)
+    stats = lineitem.select(key.alias("z")).agg(
+        F.min("z").alias("lo"),
+        F.max("z").alias("hi"),
+        F.countDistinct("z").alias("nd"),
+    ).collect()[0]
+    assert 0 <= stats["lo"] and stats["hi"] < (1 << 8)  # 2 cols x 4 bits
+    assert stats["nd"] > 16  # quantile buckets actually spread the space
+
+
+def test_zorder_interleaves_bits(spark):
+    """Hand-checked Morton math on a uniform grid: with 2 cols x 2
+    bits, the key of (bucket_a, bucket_b) must be the bit interleave
+    a0 b0 a1 b1 (LSB first: bit0=a0, bit1=b0, bit2=a1, bit3=b1)."""
+    rows = [(float(a), float(b)) for a in range(4) for b in range(4)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    key = layout.zorder_key(df, ["x", "y"], bits=2, rel_err=0.0001)
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", key.alias("z")).collect()
+    }
+
+    def morton(a, b):
+        out = 0
+        for i in range(2):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    # uniform 0..3 values with 4 quantile buckets -> bucket == value
+    for (x, y), z in got.items():
+        assert z == morton(int(x), int(y)), (x, y, z)
+
+
+def test_validation(spark, lineitem):
+    with pytest.raises(ValueError, match="1-4 columns"):
+        layout.zorder_key(lineitem, [])
+    with pytest.raises(ValueError, match="overflows"):
+        layout.zorder_key(lineitem, ["l_orderkey", "l_partkey"], bits=32)
+
+
+def test_zorder_files_prune_on_both_columns(spark, lineitem, tmp_path):
+    """THE payoff assertion: after write_zordered on (l_orderkey,
+    l_partkey), a narrow range predicate on EITHER column can skip
+    most files by min/max alone; a plain l_orderkey-sorted layout
+    skips nothing for the l_partkey predicate."""
+    n_files = 16
+    zpath = str(tmp_path / "z")
+    layout.write_zordered(
+        lineitem, zpath, ["l_orderkey", "l_partkey"], n_files=n_files
+    )
+    # single-key baseline: sorted + range-partitioned by l_orderkey only
+    spath = str(tmp_path / "s")
+    (
+        lineitem.repartitionByRange(n_files, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+    bounds = lineitem.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+    ok_lo, ok_hi, pk_lo, pk_hi = bounds
+    # ~10%-wide box on each dimension
+    ok_cut = (ok_lo, ok_lo + (ok_hi - ok_lo) * 0.1)
+    pk_cut = (pk_lo, pk_lo + (pk_hi - pk_lo) * 0.1)
+
+    z_ok = layout.file_skip_fraction(zpath, "l_orderkey", *ok_cut)
+    z_pk = layout.file_skip_fraction(zpath, "l_partkey", *pk_cut)
+    s_ok = layout.file_skip_fraction(spath, "l_orderkey", *ok_cut)
+    s_pk = layout.file_skip_fraction(spath, "l_partkey", *pk_cut)
+
+    assert z_ok[1] == n_files and z_pk[1] == n_files
+    # z-order skips a majority of files on BOTH dimensions
+    assert z_ok[0] / z_ok[1] >= 0.5, z_ok
+    assert z_pk[0] / z_pk[1] >= 0.5, z_pk
+    # the single-key sort is great on its key, blind on the other
+    assert s_ok[0] / s_ok[1] >= 0.5, s_ok
+    assert s_pk[0] == 0, s_pk
+
+
+def test_zordered_write_preserves_rows(spark, lineitem, tmp_path):
+    path = str(tmp_path / "zr")
+    layout.write_zordered(lineitem, path, ["l_orderkey", "l_partkey"], n_files=4)
+    back = spark.read.parquet(path)
+    assert back.count() == lineitem.count()
+    assert set(back.columns) == set(lineitem.columns)  # _zkey dropped
+    a = lineitem.groupBy().agg(F.sum("l_quantity")).collect()[0][0]
+    b = back.groupBy().agg(F.sum("l_quantity")).collect()[0][0]
+    assert a == b
