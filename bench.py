@@ -37,10 +37,10 @@ HEADLINE = [
     ("dedup_ngram_jaccard", "dedup_ngram_jaccard"),
     ("dedup_minhash_lsh", "dedup_minhash_lsh"),
     ("ann_cosine_topk", "ann_cosine_topk"),
-    # r5: slot renamed — the row now ALSO runs BM25 scoring (stats
-    # pass + scoring columns), so old-name ratios would compare
-    # different work.
-    ("text_quality_lang_bm25", "text_quality_lang"),
+    # r5: slot renamed — the row now ALSO runs BM25 scoring and the
+    # bigram-LM perplexity fold (train collect + literal-map scoring),
+    # so old-name ratios would compare different work.
+    ("text_quality_lang_bm25_ppl", "text_quality_lang"),
     # r5 (VERDICT r4 item 3): regression anchors for the round-4
     # families — the Gopher repetition folds + chunk fingerprints ride
     # text_profile; PQ ADC scoring gets a dedicated slot below.
@@ -82,6 +82,25 @@ def _pq_topk_slot(spark, sf_dir: str):
     return run
 
 
+def _semdedup_slot(spark, sf_dir: str):
+    """SemDeDup bench slot (r5): k-means fit is the offline model-build
+    step (fit_centroids outside the timed region, like PQ training);
+    the slot times the steady-state pipeline — literal-centroid
+    assignment, the within-cluster pair join, and the dominated-point
+    anti-join that yields the kept corpus."""
+    from ecomm_datapipeline_spark.operators import semdedup as sd
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = sd.fit_centroids(emb, n_clusters=16, seed=42)
+
+    def run(spark, sf_dir):
+        return sd.semantic_dedup(
+            emb, threshold=0.9, keep="centroid_far", centroids=cents
+        )
+
+    return run
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -116,6 +135,10 @@ def main() -> None:
         extra["pq_topk_adc"] = _pq_topk_slot(spark, sf_dir)
     except Exception as exc:
         extra["pq_topk_adc"] = exc
+    try:
+        extra["semantic_dedup"] = _semdedup_slot(spark, sf_dir)
+    except Exception as exc:
+        extra["semantic_dedup"] = exc
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -140,6 +140,7 @@ def profile(
     include_repetition: bool = False,
     chunk_max_tokens: int | None = None,
     chunk_overlap: int = 8,
+    extra_cols: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Structural document profile: token counts + fingerprint in ONE
     scan — the fused form of token_stats + fingerprint (the gate checks
@@ -182,6 +183,7 @@ def profile(
                 )
             ).alias("chunks_fingerprint")
         )
+    cols.extend(c.alias(name) for name, c in (extra_cols or {}).items())
     return df.select(*cols)
 
 

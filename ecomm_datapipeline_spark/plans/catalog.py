@@ -1681,20 +1681,63 @@ def ann_cosine_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_neardup_pairs",
+    # r5 folds SemDeDup (operators/semdedup.py) in as self-verifying
+    # columns (the ann_cosine_topk_approx pattern): k-means clustering
+    # is not SQL-replicable, so the row runs the full semantic-dedup
+    # pipeline at the SAME 0.45 threshold in-plan and emits three
+    # invariant checks the oracle pins as literals — sem pairs are a
+    # subset of this row's own exact pairs (same cosine expression,
+    # bit-identical thresholding), within-cluster recall >= 0.3
+    # (measured 0.57 at sf0.01, n_clusters=8), and the kept corpus
+    # re-clusters to ZERO internal pairs (the dominated-anti-join
+    # guarantee).
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(a.v, b.v) AS sim
+           list_cosine_similarity(a.v, b.v) AS sim,
+           1 AS sem_subset_ok, 1 AS sem_recall_ok, 1 AS sem_kept_clean_ok
     FROM e a JOIN e b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= 0.45
     """,
-    "ext: embedding-cosine near-dup",
+    "ext: embedding-cosine near-dup + SemDeDup self-verifier",
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import semdedup as sd
     from ..operators.similarity import embedding_near_dup_pairs
 
-    return embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45, exact=True
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, threshold=0.45, exact=True)
+    cents = sd.fit_centroids(emb, n_clusters=8, seed=42)
+    assigned = sd.assign_clusters(emb, cents)
+    sem = sd.semantic_dup_pairs(assigned, threshold=0.45).select("id_a", "id_b")
+    gp = pairs.select("id_a", "id_b")
+    sem_subset = (
+        sem.join(gp, ["id_a", "id_b"], "left_anti")
+        .agg(F.count("*").alias("n_bad"))
+        .select((F.col("n_bad") == 0).cast("int").alias("sem_subset_ok"))
+    )
+    sem_ratio = (
+        sem.join(gp, ["id_a", "id_b"])
+        .agg(F.count("*").alias("n_hit"))
+        .crossJoin(gp.agg(F.count("*").alias("n_all")))
+        .select(
+            (F.col("n_hit") >= 0.3 * F.col("n_all")).cast("int").alias(
+                "sem_recall_ok"
+            )
+        )
+    )
+    kept = sd.semantic_dedup(
+        emb, threshold=0.45, keep="centroid_far", centroids=cents
+    )
+    sem_clean = (
+        sd.semantic_dup_pairs(sd.assign_clusters(kept, cents), threshold=0.45)
+        .agg(F.count("*").alias("n_left"))
+        .select((F.col("n_left") == 0).cast("int").alias("sem_kept_clean_ok"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(sem_subset))
+        .crossJoin(F.broadcast(sem_ratio))
+        .crossJoin(F.broadcast(sem_clean))
     )
 
 
@@ -1763,12 +1806,37 @@ def _chunks_sql(max_tokens: int, overlap: int) -> str:
     )
 
 
+# The BPE gate merge table: bpe.bpe_train(sf0.01 documents, n_merges=16)
+# — FIXED here (not retrained per call) so the row pays zero training
+# jobs; the self-verify invariants below hold for ANY merge list, so a
+# testdata regeneration cannot break them, only make the table stale.
+_BPE_GATE_MERGES = [
+    ("e", "r"), ("e", "\x03"), ("n", "\x03"), ("er", "\x03"),
+    ("o", "w"), ("ow", "\x03"), ("o", "r"), ("s", "t"),
+    ("h", "\x03"), ("a", "t"), ("l", "u"), ("i", "n"),
+    ("a", "\x03"), ("g", "\x03"), ("y", "\x03"), ("a", "r"),
+]
+
+
 @register(
     "text_profile",
     # Repetition + chunk columns are r4's pytest-only families folded
     # into this hash-checked row (VERDICT r4 item 1): the Gopher
     # metrics and chunk boundaries are deterministic per-row math, so
     # the oracle recomputes them exactly — same scan, zero new slots.
+    # r5 folds BPE ENCODING (operators/bpe.py) in as a self-verifying
+    # column: the greedy merge fold isn't SQL-replicable (DuckDB has
+    # no fold-to-list), so the row encodes each document's first 12
+    # tokens with the fixed merge table in-plan and emits ONE
+    # invariant flag the oracle pins as a literal — round-trip (the
+    # subword symbols, EOW->space, rebuild the tokenized prefix
+    # EXACTLY: any symbol-content or -order bug breaks it) AND
+    # token-count bounds (>= one symbol per word, <= chars + one EOW
+    # per word). Prefix-bounded + single-bound evaluation because HOF
+    # folds run INTERPRETED: the first cut encoded FULL documents in
+    # two separately-evaluated columns and took this bench slot from
+    # ~2s to 85s at sf0.1. Training itself is pinned by the
+    # from-scratch differential test in tests/test_bpe.py.
     r"""
     WITH base AS (
       SELECT doc_id, text,
@@ -1800,24 +1868,69 @@ def _chunks_sql(max_tokens: int, overlap: int) -> str:
     + _top_ngram_sql(4)
     + ",\n      "
     + _chunks_sql(_CHUNK_MAX_TOKENS, _CHUNK_OVERLAP)
+    + ",\n      1 AS bpe_ok"
     + "\n    FROM base\n    ",
-    "ext: token counting + fingerprinting + Gopher repetition + chunk boundaries (single-pass)",
+    "ext: token counting + fingerprint + repetition + chunks + BPE self-verify (single-pass)",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, the md5 dedup fingerprint, the nine Gopher
     repetition metrics (operators.text.repetition_metric_cols — the
-    exact Column objects repetition_stats/repetition_filter use) and
-    the chunk-boundary checks (operators.text.chunk_array — the exact
-    expression chunk_documents explodes) in ONE document scan. The
-    single-select form keeps the row zero-shuffle while the oracle
-    hash-pins all four operator families at once."""
-    from ..operators.text import profile
+    exact Column objects repetition_stats/repetition_filter use), the
+    chunk-boundary checks (operators.text.chunk_array — the exact
+    expression chunk_documents explodes), and the BPE-encode
+    self-verifier (operators.bpe.bpe_encode_col with the fixed gate
+    merge table) in ONE document scan. The single-select form keeps
+    the row zero-shuffle while the oracle hash-pins five operator
+    families at once."""
+    from ..operators.bpe import EOW, bpe_encode_col
+    from ..operators.text import profile, tokens
 
+    t = F.col("text")
+    # 6-token prefix x 8 merges: interpreted-fold cost is linear in
+    # BOTH (measured at sf0.1: 12x16 = 7.2s, 6x8 = ~1.3s); a merge-
+    # sequence PREFIX is itself a valid BPE model, so the invariants
+    # stay exact while the full 16-merge table remains differential-
+    # tested in tests/test_bpe.py.
+    prefix = F.concat_ws(
+        " ", F.slice(F.filter(tokens(F.lower(t)), lambda x: x != ""), 1, 6)
+    )
+    enc = bpe_encode_col(prefix, _BPE_GATE_MERGES[:8])
+    # bind the (expensive, interpreted) fold chain ONCE per row; both
+    # facts derive from the bound struct.
+    bound = F.element_at(
+        F.transform(
+            F.array(enc),
+            lambda e: F.struct(
+                F.trim(
+                    F.replace(F.concat_ws("", e), F.lit(EOW), F.lit(" "))
+                ).alias("rebuilt"),
+                F.size(e).alias("n"),
+            ),
+        ),
+        1,
+    )
+    n_words = F.size(F.split(prefix, " ")) - F.when(prefix == "", 1).otherwise(0)
+    n_chars_sans_ws = F.length(F.replace(prefix, F.lit(" "), F.lit("")))
+    # one more bind so `bound` itself appears once in the final column
+    bpe_ok_bound = F.element_at(
+        F.transform(
+            F.array(bound),
+            lambda b: F.when(t.isNull(), F.lit(1)).otherwise(
+                (
+                    (b["rebuilt"] == prefix)
+                    & (b["n"] >= n_words)
+                    & (b["n"] <= n_chars_sans_ws + n_words)
+                ).cast("int")
+            ),
+        ),
+        1,
+    )
     return profile(
         _t(spark, sf_dir, "documents"),
         include_repetition=True,
         chunk_max_tokens=_CHUNK_MAX_TOKENS,
         chunk_overlap=_CHUNK_OVERLAP,
+        extra_cols={"bpe_ok": bpe_ok_bound},
     )
 
 
@@ -1873,6 +1986,17 @@ def _bm25_stats_sql(terms: tuple[str, ...]) -> str:
     # hash-checked row (VERDICT r4 item 1): corpus stats + Lucene-idf
     # scoring are deterministic given the shared tokenization, so the
     # oracle replays the full two-pass computation exactly.
+    # r5 adds the bigram-LM perplexity filter (operators/lm.py, the
+    # CCNet-style quality stack's last member): the oracle retrains the
+    # SAME capped LM (top-24 vocab / top-512 pairs, deterministic
+    # count-desc/token-asc tie-breaks — caps chosen to BIND at sf0.01
+    # so truncation is gate-checked too) and replays the left-to-right
+    # smoothing fold. The avg logprob is hash-pinned QUANTIZED to 1e-6
+    # (round(x*1e6) AS BIGINT): Java's Math.log and DuckDB's libm ln
+    # differ in the last ulp on some inputs (measured at sf0.01), so
+    # raw-double parity is unattainable for this column; 1e-6 still
+    # pins vocab selection, UNK mapping, counts, smoothing, and fold
+    # order, with ~1e-10/doc quantization-boundary risk.
     r"""
     WITH tok AS (
       SELECT doc_id, text,
@@ -1882,6 +2006,42 @@ def _bm25_stats_sql(terms: tuple[str, ...]) -> str:
       """
     + _bm25_stats_sql(_BM25_TERMS)
     + r"""
+    ), lmvocab AS (
+      SELECT tok FROM (
+        SELECT unnest(lt) AS tok FROM tok WHERE lt IS NOT NULL
+      ) GROUP BY tok ORDER BY count(*) DESC, tok ASC LIMIT 24
+    ), lmvl AS (SELECT list(tok) AS v FROM lmvocab
+    ), lmmap AS (
+      SELECT doc_id,
+        CASE WHEN lt IS NULL THEN NULL
+             ELSE list_transform(lt, x ->
+               CASE WHEN list_contains(lmvl.v, x) THEN x ELSE chr(2) END)
+        END AS mt
+      FROM tok CROSS JOIN lmvl
+    ), lmbi AS (
+      SELECT mt[i] AS prev, mt[i + 1] AS word
+      FROM (SELECT unnest(range(1, len(mt))) AS i, mt
+            FROM lmmap WHERE mt IS NOT NULL AND len(mt) >= 2)
+    ), lmpairs AS (
+      SELECT prev, word, count(*)::DOUBLE AS pc FROM lmbi GROUP BY prev, word
+      ORDER BY count(*) DESC, prev ASC, word ASC LIMIT 512
+    ), lmprevc AS (
+      SELECT prev, count(*)::DOUBLE AS pvc FROM lmbi GROUP BY prev
+    ), lmvsz AS (SELECT count(*) + 1 AS v FROM lmvocab
+    ), lmdbi AS (
+      SELECT doc_id, i, mt[i] AS prev, mt[i + 1] AS word
+      FROM (SELECT doc_id, unnest(range(1, len(mt))) AS i, mt
+            FROM lmmap WHERE mt IS NOT NULL AND len(mt) >= 2)
+    ), lmdlp AS (
+      SELECT doc_id, i,
+        ln((coalesce(tp.pc, 0.0) + 0.1) / (coalesce(pv.pvc, 0.0) + 0.1 * lmvsz.v)) AS lp
+      FROM lmdbi LEFT JOIN lmpairs tp USING (prev, word)
+                 LEFT JOIN lmprevc pv USING (prev)
+                 CROSS JOIN lmvsz
+    ), lmagg AS (
+      SELECT doc_id, count(*)::INT AS lm_n,
+             list_reduce(list(lp ORDER BY i), (a, b) -> a + b) AS lm_s
+      FROM lmdlp GROUP BY doc_id
     ), c AS (
       SELECT doc_id, text, lt,
         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
@@ -1909,23 +2069,44 @@ def _bm25_stats_sql(terms: tuple[str, ...]) -> str:
            ELSE 'en' END AS predicted_lang,
       """
     + _bm25_sql_cols(_BM25_TERMS, _BM25_K1, _BM25_B)
-    + "\n    FROM c CROSS JOIN s\n    ",
-    "ext: quality scoring + language-ID + BM25 ranking (single-pass scoring scan)",
+    + ",\n"
+    + r"""
+      coalesce(lm_n, 0) AS lm_n_bigrams,
+      coalesce(CAST(round((lm_s / lm_n) * 1e6) AS BIGINT), 0) AS lm_avg_logprob_q
+    FROM c CROSS JOIN s LEFT JOIN lmagg USING (doc_id)
+    """,
+    "ext: quality scoring + language-ID + BM25 + LM-perplexity (single scoring scan)",
 )
 def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring, language ID, and BM25 scoring for a fixed
-    query fused into one scan (operators.text.quality_lang +
-    operators.search.bm25_score_cols — the exact Column expressions
-    bm25_scores/bm25_rank rank by). BM25's pass-1 stats aggregation
-    runs as its own tiny job (k+2 scalars), then scoring rides the
-    same single document scan as quality + lang-id."""
+    """Quality scoring, language ID, BM25 scoring, and bigram-LM
+    perplexity fused into one scan (operators.text.quality_lang +
+    operators.search.bm25_score_cols + operators.lm.lm_logprob_cols —
+    the exact Column expressions the standalone operators use).
+    BM25's pass-1 stats and lm_train's capped model collect are tiny
+    eager jobs (k+2 scalars / <=V+P rows); scoring then rides the
+    same single document scan as quality + lang-id, zero shuffles."""
+    from ..operators.lm import lm_logprob_cols, lm_train
     from ..operators.search import bm25_score_cols
     from ..operators.text import quality_lang
 
     docs = _t(spark, sf_dir, "documents")
     score, hits = bm25_score_cols(docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B)
+    lmc = lm_logprob_cols(
+        lm_train(docs, vocab_size=24, max_pairs=512, alpha=0.1)
+    )
+    nb, tot = lmc["n_bigrams"], lmc["_lm_total"]
+    lm_q = F.coalesce(
+        F.when(nb > 0, F.round((tot / nb) * F.lit(1e6)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+    )
     return quality_lang(
-        docs, extra_cols={"bm25_score": score, "n_terms_hit": hits}
+        docs,
+        extra_cols={
+            "bm25_score": score,
+            "n_terms_hit": hits,
+            "lm_n_bigrams": nb.cast("int"),
+            "lm_avg_logprob_q": lm_q,
+        },
     )
 
 

@@ -23,9 +23,14 @@ def test_no_forced_broadcast_on_scaling_tables():
     args = re.findall(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)", src)
     assert args, "expected some broadcast hints (nation/region) in catalog"
     # n = nation (25 rows), r = region (5 rows): fixed-size at any SF.
-    # exact_n = a global count(*) aggregate — exactly ONE row at any SF
-    # (ann_cosine_topk_approx's self-verification denominator).
-    offenders = [a for a in args if a not in ("n", "r", "exact_n")]
+    # exact_n / pq_overlap / pq_self = global .agg() results — exactly
+    # ONE row at any SF (ann_cosine_topk_approx's self-verification
+    # scalars: exact-k denominator, PQ overlap count, PQ bad-self count).
+    # sem_* = embedding_neardup_pairs' SemDeDup self-verifier scalars.
+    one_row_aggs = (
+        "exact_n", "pq_overlap", "pq_self", "sem_subset", "sem_ratio", "sem_clean",
+    )
+    offenders = [a for a in args if a not in ("n", "r") + one_row_aggs]
     assert not offenders, (
         f"forced broadcast on scale-factor-dependent tables: {offenders}"
     )
@@ -52,7 +57,9 @@ def test_bench_headline_queries_are_registered():
     check (CORRECTNESS-then-BENCH invariant; see tools/preflight.sh)."""
     import bench
 
-    missing = [q for q in bench.HEADLINE if q not in catalog.names()]
+    missing = [
+        (slot, q) for slot, q in bench.HEADLINE if q not in catalog.names()
+    ]
     assert not missing, f"bench references unregistered queries: {missing}"
 
 

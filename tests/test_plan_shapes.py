@@ -57,7 +57,10 @@ PINNED = {
     # over |keys| x |partitions| groups instead of one task per key.
     "ann_cosine_topk": (2, 4, 0),
     "ann_cosine_topk_approx": (24, 35, 4),  # 4-method self-verifier + 2 exact twins
-    "embedding_neardup_pairs": (0, 0, 0),
+    # r5: the SemDeDup self-verifier runs the full cluster->pair->
+    # dedup->recheck pipeline in-plan (cluster-key joins + one-row
+    # aggs); the base exact-pair leg itself is still shuffle-free.
+    "embedding_neardup_pairs": (12, 8, 0),
     "text_profile": (0, 0, 0),
     "text_quality_lang": (0, 0, 0),
     "multimodal_image_features": (0, 0, 0),

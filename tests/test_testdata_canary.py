@@ -63,6 +63,22 @@ EXPECTED_ARROW = {
 }
 
 
+def test_embedding_element_is_nullable_float32(spark):
+    """The whole similarity/ANN surface assumes embeddings.embedding
+    resolves to array<float> (element float32) through the reader —
+    pin the Spark-side resolution too, not just the footer string
+    (VERDICT r4 item 5)."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    from ecomm_datapipeline_spark.plans.catalog import _t
+
+    for sf_dir in SF_DIRS:
+        dt = _t(spark, sf_dir, "embeddings").schema["embedding"].dataType
+        assert isinstance(dt, ArrayType) and isinstance(
+            dt.elementType, FloatType
+        ), f"{sf_dir}: embedding resolved as {dt}"
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS, ids=[os.path.basename(d) for d in SF_DIRS])
 def test_events_ts_resolves_to_timestamp(spark, sf_dir):
     """After `_t`'s normalization, events.ts must be a session-zone
