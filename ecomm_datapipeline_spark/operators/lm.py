@@ -133,18 +133,25 @@ def lm_train(
             )
         ).alias("bg")
     ).select("bg.prev", "bg.word")
+    # ONE corpus-side explode+aggregate; the resulting pair table is
+    # bounded by (V+1)^2 rows, so prev totals and the top-P cut both
+    # derive from it without re-reading the corpus (the second explode
+    # pass was the dominant lm_train cost at sf0.1).
+    pairs_full = (
+        bi.groupBy("prev", "word")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
+    )
     prev_counts = {
-        r["prev"]: float(r["count"])
-        for r in bi.groupBy("prev").count().collect()  # <= V+1 rows
+        r["prev"]: float(r["s"])
+        for r in pairs_full.groupBy("prev").agg(F.sum("c").alias("s")).collect()
     }
     pair_rows = (
-        bi.groupBy("prev", "word")
-        .count()
-        .orderBy(F.desc("count"), F.asc("prev"), F.asc("word"))
+        pairs_full.orderBy(F.desc("c"), F.asc("prev"), F.asc("word"))
         .limit(max_pairs)
         .collect()
     )
-    pair_counts = {(r["prev"], r["word"]): float(r["count"]) for r in pair_rows}
+    pair_counts = {(r["prev"], r["word"]): float(r["c"]) for r in pair_rows}
     return NgramLM(
         vocab=vocab, prev_counts=prev_counts, pair_counts=pair_counts, alpha=alpha
     )

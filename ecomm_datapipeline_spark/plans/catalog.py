@@ -1883,6 +1883,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the row zero-shuffle while the oracle hash-pins five operator
     families at once."""
     from ..operators.bpe import EOW, bpe_encode_col
+    from ..operators.dedup import _parallelize
     from ..operators.text import profile, tokens
 
     t = F.col("text")
@@ -1925,8 +1926,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
+    # One-row-group parquet scans as ONE task; the interpreted
+    # repetition/BPE folds are CPU-bound per row, so spread them —
+    # a <1 MB round-robin exchange vs seconds of single-core folds
+    # (dedup._parallelize's rationale; no-op on well-split input).
     return profile(
-        _t(spark, sf_dir, "documents"),
+        _parallelize(_t(spark, sf_dir, "documents")),
         include_repetition=True,
         chunk_max_tokens=_CHUNK_MAX_TOKENS,
         chunk_overlap=_CHUNK_OVERLAP,
@@ -2085,11 +2090,14 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25's pass-1 stats and lm_train's capped model collect are tiny
     eager jobs (k+2 scalars / <=V+P rows); scoring then rides the
     same single document scan as quality + lang-id, zero shuffles."""
+    from ..operators.dedup import _parallelize
     from ..operators.lm import lm_logprob_cols, lm_train
     from ..operators.search import bm25_score_cols
     from ..operators.text import quality_lang
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the CPU-bound scoring scan AND lm_train's aggregation
+    # passes off the one-row-group scan (see text_profile's note)
+    docs = _parallelize(_t(spark, sf_dir, "documents"))
     score, hits = bm25_score_cols(docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B)
     lmc = lm_logprob_cols(
         lm_train(docs, vocab_size=24, max_pairs=512, alpha=0.1)

@@ -61,8 +61,12 @@ PINNED = {
     # dedup->recheck pipeline in-plan (cluster-key joins + one-row
     # aggs); the base exact-pair leg itself is still shuffle-free.
     "embedding_neardup_pairs": (12, 8, 0),
-    "text_profile": (0, 0, 0),
-    "text_quality_lang": (0, 0, 0),
+    # r5: +1 exchange each — an explicit _parallelize spreads the
+    # one-row-group documents scan before the CPU-bound interpreted
+    # folds (repetition/BPE/LM); <1 MB shuffled vs seconds of
+    # single-core work. The scoring stage itself is still shuffle-free.
+    "text_profile": (1, 0, 0),
+    "text_quality_lang": (1, 0, 0),
     "multimodal_image_features": (0, 0, 0),
     "multimodal_frame_sample": (0, 0, 1),
     "asof_view_attribution": (1, 1, 0),  # the single-shuffle as-of shape
