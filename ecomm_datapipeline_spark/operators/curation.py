@@ -45,6 +45,8 @@ def curate_documents(
     ngram_max_shingle_freq: int | None = 1000,
     minhash_portable: bool = False,
     drop_repetitive: bool = False,
+    max_perplexity: float | None = None,
+    perplexity_lm=None,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
@@ -124,6 +126,22 @@ def curate_documents(
         F.col("quality_score") >= min_quality
     ).select(id_col)
     gated = near.join(quality, id_col, "left_semi")
+    if max_perplexity is not None:
+        # CCNet-style LM stage (operators/lm.py), AFTER dedup so the
+        # reference LM is not asked to rescue boilerplate dedup already
+        # kills: keep the low-perplexity head. The model defaults to
+        # self-trained on the deduped survivors (the fluency prior of
+        # the corpus itself); pass `perplexity_lm` (an NgramLM, e.g.
+        # trained on a target domain) for a CCNet-faithful external
+        # reference. Scoring is a zero-shuffle literal-model fold, so
+        # this extends the quality stage's scan; training (when
+        # self-trained) adds lm_train's one aggregation pass.
+        from . import lm as _lm
+
+        model = perplexity_lm or _lm.lm_train(gated, text_col)
+        gated = _lm.lm_quality_filter(
+            gated, model, max_perplexity, text_col, id_col
+        ).drop("perplexity")
     n_quality = gated.count() if collect_stats else -1
 
     if keep_langs is not None:

@@ -65,6 +65,55 @@ def test_curation_drop_repetitive_stage(spark):
     assert stats.after_clean == 1  # removal attributed to the clean stage
 
 
+def test_curation_lm_perplexity_stage(spark):
+    """max_perplexity engages the CCNet-style LM stage after dedup:
+    with an EXTERNAL reference LM, off-domain docs score above the
+    cutoff and die; the same corpus passes with the flag off."""
+    from ecomm_datapipeline_spark.operators import lm
+
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find a quiet place to sleep"
+    )
+    offdomain = "zxq wvu tsr qpo nml kji hgf edc ba zz yy xx ww vv uu tt"
+    docs = spark.createDataFrame(
+        [(1, fluent, "en"), (2, offdomain, "en")],
+        "doc_id long, text string, lang string",
+    )
+    # reference LM trained on the fluent register only
+    ref = spark.createDataFrame(
+        [(10 + i, fluent) for i in range(3)], "doc_id long, text string"
+    )
+    ref_lm = lm.lm_train(ref, vocab_size=64, max_pairs=512)
+
+    kept_off, _ = curate_documents(docs, near_dup_threshold=0.99)
+    assert {r["doc_id"] for r in kept_off.collect()} == {1, 2}
+
+    # pick the cutoff between the two docs' scores under the ref LM
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm.lm_perplexity(docs, ref_lm).collect()
+    }
+    assert ppl[1] < ppl[2]
+    cut = (ppl[1] + ppl[2]) / 2
+    kept_on, stats = curate_documents(
+        docs,
+        near_dup_threshold=0.99,
+        max_perplexity=cut,
+        perplexity_lm=ref_lm,
+        collect_stats=True,
+    )
+    assert {r["doc_id"] for r in kept_on.collect()} == {1}
+    assert stats.after_quality == 1  # removal attributed to quality stage
+    assert "perplexity" not in kept_on.columns  # payload un-widened
+
+    # self-trained default: a permissive cutoff keeps everything
+    kept_self, _ = curate_documents(
+        docs, near_dup_threshold=0.99, max_perplexity=1e9
+    )
+    assert {r["doc_id"] for r in kept_self.collect()} == {1, 2}
+
+
 def test_curation_no_stats_single_pass(spark):
     # fully distinct token streams so no stage drops anything
     docs = spark.createDataFrame(
