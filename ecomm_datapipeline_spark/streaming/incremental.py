@@ -180,6 +180,8 @@ def curate_documents_stream(
     keep_langs: tuple[str, ...] | None = None,
     redact_pii: bool = False,
     drop_repetitive: bool = False,
+    max_perplexity: float | None = None,
+    perplexity_lm=None,
 ) -> DataFrame:
     """Streaming curation in the SAME stage order as the batch
     pipeline (operators/curation.curate_documents): clean/length gate
@@ -212,6 +214,28 @@ def curate_documents_stream(
         event_time_col=event_time_col, watermark=watermark,
     )
     gated = deduped.filter(text_ops.quality_score_col(text_col) >= min_quality)
+    if max_perplexity is not None:
+        # LM stage (batch pipeline parity): the model MUST be
+        # pre-trained here — a stream cannot self-train on "the deduped
+        # survivors" without unbounded state, so unlike the batch
+        # default there is no implicit lm_train.
+        if perplexity_lm is None:
+            raise ValueError(
+                "streaming curation needs a pre-trained perplexity_lm "
+                "(an operators.lm.NgramLM); self-training on the stream "
+                "would require unbounded state"
+            )
+        from ..operators.lm import lm_logprob_cols
+
+        c = lm_logprob_cols(perplexity_lm, text_col)
+        nb, tot = c["n_bigrams"], c["_lm_total"]
+        # stateless per-row fold, streaming-safe; NULL/short docs are
+        # unscorable and dropped, matching batch lm_quality_filter
+        gated = gated.filter(
+            F.when(nb > 0, F.exp(-(tot / nb)) <= max_perplexity).otherwise(
+                F.lit(False)
+            )
+        )
     if keep_langs is not None:
         gated = gated.filter(
             text_ops.predicted_lang_col(text_col).isin(*keep_langs)

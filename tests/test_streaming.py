@@ -359,3 +359,54 @@ def test_streaming_curation_drop_repetitive(spark, tmp_path):
         q.awaitTermination(120)
         got = {r["doc_id"] for r in spark.sql(f"select * from {name}").collect()}
         assert got == want, (flag, got)
+
+
+def test_streaming_curation_lm_stage(spark, tmp_path):
+    """max_perplexity inside the stream: a pre-trained reference LM
+    kills the off-domain doc (stateless literal-model fold, batch
+    stage parity); self-training is refused — a stream cannot train."""
+    from ecomm_datapipeline_spark.operators import lm
+
+    fluent = "the quick brown fox jumps over the lazy dog again and again"
+    offdomain = "zxq wvu tsr qpo nml kji hgf edc ba zz yy xx ww vv uu tt"
+    ts0 = dt.datetime(2024, 1, 1, 10, 0)
+    rows = [(1, fluent, ts0), (2, offdomain, ts0)]
+    src = str(tmp_path / "docs_lm")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.parquet(src)
+
+    ref = spark.createDataFrame(
+        [(10 + i, fluent) for i in range(3)], "doc_id long, text string"
+    )
+    ref_lm = lm.lm_train(ref, vocab_size=64, max_pairs=512)
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in lm.lm_perplexity(
+            spark.createDataFrame(rows, "doc_id long, text string, ts timestamp"),
+            ref_lm,
+        ).collect()
+    }
+    cut = (ppl[1] + ppl[2]) / 2
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    out = incremental.curate_documents_stream(
+        stream, max_perplexity=cut, perplexity_lm=ref_lm
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("curated_lm")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck_lm"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("select * from curated_lm").collect()}
+    assert got == {1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pre-trained perplexity_lm"):
+        incremental.curate_documents_stream(stream, max_perplexity=cut)
