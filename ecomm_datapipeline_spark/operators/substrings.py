@@ -1,0 +1,155 @@
+"""Exact substring deduplication — Lee et al. 2021 ("Deduplicating
+Training Data Makes Language Models Better"): long token spans that
+repeat VERBATIM across (or within) documents are removed everywhere
+except one kept occurrence. Whole-document near-dup (MinHash/SimHash)
+misses a duplicated passage pasted into otherwise-distinct hosts, and
+boilerplate-line removal misses spans that don't align with line
+breaks; this operator closes that gap.
+
+The reference paper builds a corpus-wide suffix array; the Spark-first
+equivalent is rolling fixed-width window hashing (the decontaminate
+n-gram machinery, turned on the corpus itself):
+
+1. per document, every w-token rolling window (stride 1) hashes to
+   xxhash64 — (doc, pos, hash) rows, a Generate + map, no Python. The
+   explode is the one corpus-scale shuffle, keyed on 8-byte digests.
+2. one groupBy(hash) finds windows occurring >= min_count times and
+   elects the keeper occurrence: the (doc, pos) minimum — per-window
+   greedy, deterministic.
+3. every flagged non-keeper occurrence contributes a [pos, pos+w-1]
+   token span; spans collect per document (O(flagged) rows, tiny
+   relative to the corpus) and broadcast-join back.
+4. the rebuild is a per-row mask: keep token i unless some flagged
+   span covers it (two-arg transform lambda + exists over the span
+   array) — map-only, no second corpus shuffle.
+
+Matching is on LOWERCASED whitespace tokens (the repo's shared
+tokenization); the rebuilt text re-joins the ORIGINAL-case kept
+tokens with single spaces, the same whitespace normalization
+clean_text applies. Documents shorter than `window` tokens are never
+touched. Hash collisions (xxhash64, 64-bit) would merge unrelated
+windows at ~2^-64 per pair — the standard trade, same as the MinHash
+band index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens as _ws_tokens
+
+
+def _window_hash(
+    lt: Column, pos: Column, window: int, portable: bool = False
+) -> Column:
+    """Hash of the w-token window starting at 1-based `pos`.
+    portable=True uses md5 strings (bit-identical in DuckDB — the
+    dedup module's portable-mode convention, used by the differential
+    test); xxhash64 longs stay the production default (8-byte shuffle
+    keys, no hex materialization)."""
+    joined = F.concat_ws("\x01", F.slice(lt, pos, window))
+    return F.md5(joined) if portable else F.xxhash64(joined)
+
+
+def window_occurrences(
+    docs: DataFrame,
+    window: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """(id, pos, whash) for every rolling window — the corpus-scale
+    intermediate both the span finder and tests share."""
+    lt = _ws_tokens(F.lower(F.col(text_col)))
+    base = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        lt.alias("_lt"),
+    ).filter(F.size("_lt") >= window)
+    return base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_lt") - window + 1),
+                lambda p: _window_hash(F.col("_lt"), p, window, portable),
+            )
+        ).alias("_p0", "whash"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "whash")
+
+
+def shared_window_spans(
+    docs: DataFrame,
+    window: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """(id, start, end) 1-based inclusive token spans to remove: every
+    occurrence of a >= min_count-repeated window EXCEPT the globally
+    first one (min (doc, pos)). Overlapping flagged windows yield
+    overlapping spans; the rebuild mask unions them."""
+    occ = window_occurrences(docs, window, text_col, id_col, portable)
+    flagged = (
+        occ.groupBy("whash")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep"),
+        )
+        .filter(F.col("n") >= min_count)
+    )
+    return (
+        occ.join(flagged, "whash")
+        .filter(
+            (F.col(id_col) != F.col(f"keep.{id_col}"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select(
+            id_col,
+            F.col("pos").alias("start"),
+            (F.col("pos") + window - 1).alias("end"),
+        )
+    )
+
+
+def remove_shared_substrings(
+    docs: DataFrame,
+    window: int = 20,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """Rewrite `text_col` with every non-keeper repeated span's tokens
+    removed (original case kept, single-space re-join — clean_text's
+    whitespace normalization). Untouched documents pass through with
+    their text EXACTLY as-is (no re-join). Adds `n_removed_tokens`."""
+    spans = (
+        shared_window_spans(docs, window, min_count, text_col, id_col, portable)
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("start", "end")).alias("_spans"))
+    )
+    # no forced broadcast: the span table is tiny on healthy corpora
+    # but corpus-dependent in the worst case — AQE picks the strategy
+    joined = docs.join(spans, id_col, "left")
+    wt = _ws_tokens(F.col(text_col))
+    kept = F.filter(
+        wt,
+        lambda x, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i + 1 >= s["start"]) & (i + 1 <= s["end"]),
+        ),
+    )
+    out_text = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    n_removed = F.when(F.col("_spans").isNull(), F.lit(0)).otherwise(
+        F.size(wt) - F.size(kept)
+    )
+    others = [c for c in docs.columns if c != text_col]
+    return joined.select(
+        *others,
+        out_text.alias(text_col),
+        n_removed.cast("int").alias("n_removed_tokens"),
+    )

@@ -1,0 +1,214 @@
+"""Exact substring dedup (operators/substrings.py): a planted shared
+passage survives only in its first host, within-doc repetition
+collapses, short docs and unique text pass through byte-identical,
+and hand-computed rebuilds."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import substrings
+
+PASSAGE = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, f"one two three {PASSAGE} four five six"),
+        (2, f"seven eight {PASSAGE} nine ten"),  # shares the passage
+        (3, "totally unique words nobody else uses anywhere at all"),
+        (4, "tiny doc"),  # shorter than the window
+        (5, f"{PASSAGE} and then once more {PASSAGE}"),  # within-doc repeat
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_window_occurrences_counts(spark, docs):
+    occ = substrings.window_occurrences(docs, window=8)
+    # doc 4 (2 tokens) contributes nothing
+    assert occ.filter(F.col("doc_id") == 4).count() == 0
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in occ.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # doc 1: 14 tokens -> 7 windows of 8
+    assert per_doc[1] == 7
+
+
+def test_shared_passage_removed_from_later_hosts(spark, docs):
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in substrings.remove_shared_substrings(docs, window=8).collect()
+    }
+    # doc 1 is the first (min doc_id) host: passage kept, text untouched
+    assert out[1] == (f"one two three {PASSAGE} four five six", 0)
+    # doc 2 loses exactly the 8 passage tokens
+    assert out[2] == ("seven eight nine ten", 8)
+    # unique + short docs byte-identical
+    assert out[3][0] == "totally unique words nobody else uses anywhere at all"
+    assert out[4] == ("tiny doc", 0)
+    # doc 5: both occurrences are non-keeper (doc 1 holds the keeper),
+    # so both copies of the passage vanish
+    assert out[5] == ("and then once more", 16)
+
+
+def test_within_doc_repeat_without_external_host(spark):
+    """When the repeated passage exists ONLY inside one doc, its first
+    occurrence is the keeper and the second dies."""
+    docs = spark.createDataFrame(
+        [(1, f"{PASSAGE} filler words here {PASSAGE}")],
+        "doc_id long, text string",
+    )
+    out = substrings.remove_shared_substrings(docs, window=8).collect()[0]
+    assert out["text"] == f"{PASSAGE} filler words here"
+    assert out["n_removed_tokens"] == 8
+
+
+def test_case_insensitive_matching_preserves_original_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {PASSAGE} outro"),
+            (2, f"pre {PASSAGE.upper()} post"),  # same span, upper-cased
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in substrings.remove_shared_substrings(docs, window=8).collect()
+    }
+    assert out[1] == f"intro {PASSAGE} outro"  # keeper, untouched
+    assert out[2] == "pre post"  # matched case-insensitively, removed
+
+
+def test_min_count_threshold(spark, docs):
+    # min_count=4: the passage occurs 4 times (docs 1, 2, 5x2) -> still
+    # flagged; at 5 nothing reaches the bar and everything passes as-is
+    out4 = substrings.remove_shared_substrings(docs, window=8, min_count=4)
+    assert out4.filter(F.col("n_removed_tokens") > 0).count() > 0
+    out5 = substrings.remove_shared_substrings(docs, window=8, min_count=5)
+    assert out5.filter(F.col("n_removed_tokens") > 0).count() == 0
+
+
+def test_overlapping_windows_union_spans(spark):
+    """A 10-token shared passage with window 8 produces 3 overlapping
+    flagged windows in the dup host; the union removes all 10 tokens,
+    not 8 or 24."""
+    long_passage = PASSAGE + " iota kappa"  # 10 tokens
+    # distinct surroundings so the true shared span is EXACTLY the
+    # 10 passage tokens (a shared token adjacent to the passage would
+    # correctly extend the verbatim span — and the spans would grow)
+    docs = spark.createDataFrame(
+        [(1, f"{long_passage} tail one"), (2, f"head {long_passage} finale two")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in substrings.remove_shared_substrings(docs, window=8).collect()
+    }
+    assert out[1][1] == 0
+    assert out[2] == ("head finale two", 10)
+
+
+def test_testdata_smoke(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = substrings.remove_shared_substrings(docs, window=13)
+    assert out.count() == docs.count()
+    # conservation: removed tokens never exceed the original count
+    bad = out.filter(
+        F.col("n_removed_tokens") < 0
+    ).count()
+    assert bad == 0
+
+
+def test_duckdb_differential_on_testdata(spark):
+    """Oracle-grade evidence without a gate slot: the full pipeline
+    (portable md5 windows -> min-count flag -> keeper election ->
+    span union -> token mask -> rebuild) re-implemented in DuckDB SQL
+    must agree with the Spark operator on real testdata, text for
+    text. Window 5 so the synthetic corpus genuinely fires."""
+    import duckdb
+
+    W, SF = 5, "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(SF)
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in substrings.remove_shared_substrings(
+            docs, window=W, portable=True
+        ).collect()
+    }
+    assert any(n > 0 for _, n in got.values())  # the test actually bites
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}'")
+    sql = rf"""
+    WITH base AS (
+      SELECT doc_id, text,
+        regexp_split_to_array(lower(text), '\s+') AS lt,
+        regexp_split_to_array(text, '\s+') AS wt
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, i AS pos,
+        md5(array_to_string(list_slice(lt, i, i + {W} - 1), chr(1))) AS whash
+      FROM (SELECT doc_id, unnest(range(1, len(lt) - {W} + 2)) AS i, lt
+            FROM base WHERE len(lt) >= {W})
+    ), flagged AS (
+      SELECT whash, count(*) AS n,
+             min(ROW(doc_id, pos)) AS keep
+      FROM occ GROUP BY whash HAVING count(*) >= 2
+    ), spans AS (
+      SELECT o.doc_id, o.pos AS s, o.pos + {W} - 1 AS e
+      FROM occ o JOIN flagged f USING (whash)
+      WHERE ROW(o.doc_id, o.pos) != f.keep
+    ), per_doc AS (
+      SELECT doc_id, list(ROW(s, e)) AS sp FROM spans GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+      CASE WHEN p.sp IS NULL THEN b.text
+           ELSE array_to_string(
+             [b.wt[i] FOR i IN range(1, len(b.wt) + 1)
+              IF NOT EXISTS (SELECT 1 FROM unnest(p.sp) AS u(x)
+                             WHERE i >= x.s AND i <= x.e)], ' ')
+      END AS text
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """
+    try:
+        want = {r[0]: r[1] for r in con.execute(sql).fetchall()}
+    except duckdb.Error:
+        # list-comprehension-with-subquery support varies by DuckDB
+        # version; fall back to a Python rebuild over SQL-derived spans
+        spans = con.execute(
+            rf"""
+            WITH base AS (
+              SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS lt
+              FROM documents
+            ), occ AS (
+              SELECT doc_id, i AS pos,
+                md5(array_to_string(list_slice(lt, i, i + {W} - 1), chr(1))) AS whash
+              FROM (SELECT doc_id, unnest(range(1, len(lt) - {W} + 2)) AS i, lt
+                    FROM base WHERE len(lt) >= {W})
+            ), flagged AS (
+              SELECT whash, min(ROW(doc_id, pos)) AS keep
+              FROM occ GROUP BY whash HAVING count(*) >= 2
+            )
+            SELECT o.doc_id, o.pos FROM occ o JOIN flagged f USING (whash)
+            WHERE ROW(o.doc_id, o.pos) != f.keep
+            """
+        ).fetchall()
+        by_doc = {}
+        for doc_id, pos in spans:
+            by_doc.setdefault(doc_id, []).append((pos, pos + W - 1))
+        want = {}
+        for r in con.execute("SELECT doc_id, text FROM documents").fetchall():
+            doc_id, text = r
+            if doc_id not in by_doc or text is None:
+                want[doc_id] = text
+                continue
+            toks = text.split()
+            keep = [
+                t for i, t in enumerate(toks, start=1)
+                if not any(s <= i <= e for s, e in by_doc[doc_id])
+            ]
+            want[doc_id] = " ".join(keep)
+    assert set(got) == set(want)
+    for doc_id in want:
+        assert got[doc_id][0] == want[doc_id], doc_id
