@@ -1,0 +1,116 @@
+"""Corpus datasheet: the one-call summary a training-data pipeline
+publishes alongside a corpus (Gebru et al., "Datasheets for
+Datasets") — volume, token totals, length percentiles, language mix,
+quality distribution, duplication rate. Composes the per-row metric
+expressions the gate already pins (token counts, fingerprint, quality,
+lang-id) into three aggregation jobs over ONE shared per-document
+scan.
+
+Output is LONG format — (metric, key, value) — so scalars and
+distributions ride one DataFrame with a stable schema:
+
+    metric             key    value
+    docs               NULL   5000.0
+    tokens_total       NULL   312000.0
+    ...
+    lang               en     4400.0
+    quality_decile     3      180.0
+
+Scale notes: the per-doc frame is computed once and reused by the
+scalar aggregate and the two groupBys (lang: <= ~10 groups; quality
+decile: <= 11) — map-side combine makes both cheap; percentiles use
+percentile_approx (mergeable sketch), never a sort. The union of
+result frames is driver-trivial (tens of rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import predicted_lang_col, quality_score_col, tokens
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(metric, key, value) summary rows; value is always double.
+    NULL-text documents count toward `docs` and `docs_null_text` but
+    contribute nothing to token/char totals or distributions."""
+    t = F.col(text_col)
+    per_doc = docs.select(
+        F.col(id_col),
+        F.size(tokens(t)).alias("_n_tok"),
+        F.length(t).alias("_n_chars"),
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(t), r"\s+", " "))
+        ).alias("_fp"),
+        quality_score_col(t).alias("_q"),
+        predicted_lang_col(t).alias("_lang"),
+        t.isNull().cast("int").alias("_is_null"),
+    )
+
+    def _long(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("metric"),
+            F.col("key").cast("string"),
+            F.col("value").cast("double"),
+        )
+
+    scalars = per_doc.agg(
+        F.count("*").alias("docs"),
+        F.sum("_is_null").alias("docs_null_text"),
+        F.sum("_n_tok").alias("tokens_total"),
+        F.sum("_n_chars").alias("chars_total"),
+        F.avg("_n_tok").alias("tokens_mean"),
+        F.percentile_approx("_n_tok", 0.5).alias("tokens_p50"),
+        F.percentile_approx("_n_tok", 0.95).alias("tokens_p95"),
+        F.count_distinct("_fp").alias("distinct_fingerprints"),
+    )
+    scalar_rows = scalars.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("metric"),
+                        F.lit(None).cast("string").alias("key"),
+                        F.col(c).cast("double").alias("value"),
+                    )
+                    for c in scalars.columns
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    dup_rate = scalars.select(
+        F.lit("exact_dup_rate").alias("metric"),
+        F.lit(None).cast("string").alias("key"),
+        (
+            1.0
+            - F.col("distinct_fingerprints")
+            / F.greatest(F.col("docs") - F.col("docs_null_text"), F.lit(1))
+        ).alias("value"),
+    )
+    langs = (
+        per_doc.filter(F.col("_is_null") == 0)
+        .groupBy(F.col("_lang").alias("key"))
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(F.lit("lang").alias("metric"), "key", "value")
+    )
+    deciles = (
+        per_doc.filter(F.col("_is_null") == 0)
+        .groupBy(
+            F.least(F.greatest(F.floor(F.col("_q") / 10), F.lit(0)), F.lit(10))
+            .cast("string")
+            .alias("key")
+        )
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(F.lit("quality_decile").alias("metric"), "key", "value")
+    )
+    return (
+        _long(scalar_rows)
+        .unionByName(_long(dup_rate))
+        .unionByName(_long(langs))
+        .unionByName(_long(deciles))
+    )

@@ -1,0 +1,103 @@
+"""Trending top-k over sliding time windows — the "what's hot in the
+last hour, refreshed every N minutes" surface every event-analytics
+stack ships. Complements the existing event operators (funnel,
+retention, sessionize, gap-fill): those summarize behavior, this
+ranks entities inside overlapping windows.
+
+Spark-first shape:
+
+* `F.window(ts, window, slide)` + groupBy(key) is ONE shuffle with
+  map-side combine; a row lands in window/slide overlapping buckets
+  (the built-in handles the fan-out — no self-join against a window
+  spine).
+* ranking partitions by the time window: each partition holds at most
+  |distinct keys| count rows, already aggregated — bounded regardless
+  of event volume, so a row_number window here is safe at any scale
+  (unlike ranking raw scored rows; see similarity's two-stage top-k).
+* the streaming twin is the SAME aggregation under a watermark;
+  Structured Streaming cannot run a rank window over an unbounded
+  result, so the stream emits finalized windowed counts (append mode)
+  and the top-k SELECT runs on the sink — the standard pattern for
+  continuously-maintained leaderboards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def windowed_counts(
+    events: DataFrame,
+    key: Column | str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    measure: Column | None = None,
+) -> DataFrame:
+    """(window_start, window_end, key, n): the sliding-window
+    aggregate. `measure` defaults to count(*); pass e.g.
+    F.sum("value") for a revenue leaderboard."""
+    k = key if isinstance(key, Column) else F.col(key)
+    agg = measure if measure is not None else F.count("*")
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window, slide).alias("_w"),
+            k.alias("key"),
+        )
+        .agg(agg.alias("n"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            "key",
+            "n",
+        )
+    )
+
+
+def trending_topk(
+    events: DataFrame,
+    key: Column | str,
+    k: int = 3,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    measure: Column | None = None,
+) -> DataFrame:
+    """Top-k keys per sliding window, rank 1 = hottest; ties broken by
+    key ascending (deterministic). The rank partition is the already-
+    aggregated per-window count set — bounded by |keys|, never by
+    event volume."""
+    counts = windowed_counts(events, key, window, slide, ts_col, measure)
+    w = Window.partitionBy("window_start", "window_end").orderBy(
+        F.desc("n"), F.asc("key")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .orderBy("window_start", "rank")
+    )
+
+
+def windowed_counts_stream(
+    events_stream: DataFrame,
+    key: Column | str,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+    measure: Column | None = None,
+) -> DataFrame:
+    """Streaming twin of windowed_counts: identical aggregation under
+    a watermark, append-mode-ready (a window's counts emit once the
+    watermark passes its end). Rank at the sink:
+    `SELECT ... ROW_NUMBER() OVER (PARTITION BY window_start ...)`,
+    exactly trending_topk's definition."""
+    return windowed_counts(
+        events_stream.withWatermark(ts_col, watermark),
+        key,
+        window,
+        slide,
+        ts_col,
+        measure,
+    )

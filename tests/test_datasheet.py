@@ -1,0 +1,62 @@
+"""Corpus datasheet (operators/datasheet.py): hand-computed summary on
+a tiny corpus, NULL handling, long-format schema stability, smoke."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.datasheet import corpus_datasheet
+
+ROWS = [
+    (1, "the quick brown fox jumps over the lazy dog today"),  # 10 tokens, en
+    (2, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 1
+    (3, "der hund und die katze und das haus und der baum sind hier"),  # de
+    (4, None),
+]
+
+
+@pytest.fixture(scope="module")
+def sheet(spark):
+    docs = spark.createDataFrame(ROWS, "doc_id long, text string")
+    return corpus_datasheet(docs).collect()
+
+
+def _get(rows, metric, key=None):
+    for r in rows:
+        if r["metric"] == metric and r["key"] == key:
+            return r["value"]
+    raise KeyError((metric, key))
+
+
+def test_scalars_hand_computed(sheet):
+    assert _get(sheet, "docs") == 4.0
+    assert _get(sheet, "docs_null_text") == 1.0
+    assert _get(sheet, "tokens_total") == 10 + 10 + 13
+    assert _get(sheet, "distinct_fingerprints") == 2.0
+    # 3 non-null docs, 2 distinct texts -> 1/3 duplicated
+    assert _get(sheet, "exact_dup_rate") == pytest.approx(1 / 3)
+    assert _get(sheet, "tokens_mean") == pytest.approx(33 / 3)
+    assert _get(sheet, "tokens_p50") == 10.0
+
+
+def test_distributions(sheet):
+    assert _get(sheet, "lang", "en") == 2.0
+    assert _get(sheet, "lang", "de") == 1.0
+    decile_total = sum(r["value"] for r in sheet if r["metric"] == "quality_decile")
+    assert decile_total == 3.0  # every non-null doc lands in one decile
+
+
+def test_schema_and_types(sheet):
+    assert {tuple(r.asDict().keys()) for r in sheet} == {("metric", "key", "value")}
+    assert all(isinstance(r["value"], float) for r in sheet)
+
+
+def test_testdata_smoke(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = corpus_datasheet(docs).collect()
+    assert _get(rows, "docs") == float(docs.count())
+    assert _get(rows, "tokens_total") > 0
+    assert 0.0 <= _get(rows, "exact_dup_rate") <= 1.0
+    langs = [r for r in rows if r["metric"] == "lang"]
+    assert sum(r["value"] for r in langs) == float(
+        docs.filter(F.col("text").isNotNull()).count()
+    )

@@ -1,0 +1,138 @@
+"""Sliding-window trending top-k (operators/trending.py):
+hand-computed window membership and ranks, measure override, the
+streaming twin's counts match batch, plan shape."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import trending
+
+T0 = dt.datetime(2024, 1, 1, 10, 0)
+
+
+def _ev(mins, item, value=1.0):
+    return (T0 + dt.timedelta(minutes=mins), item, value)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = (
+        [_ev(5, "a")] * 3          # 10:05 x3
+        + [_ev(20, "b")] * 2       # 10:20 x2
+        + [_ev(40, "a", 5.0)]      # 10:40
+        + [_ev(70, "c")] * 4       # 11:10 x4
+    )
+    return spark.createDataFrame(rows, "ts timestamp, item string, value double")
+
+
+def test_sliding_membership_and_ranks(spark, events):
+    """1h windows sliding 30m: an event at 10:05 belongs to
+    [9:30,10:30) and [10:00,11:00); hand-check counts + ranks."""
+    got = {
+        (r["window_start"], r["key"]): (r["n"], r["rank"])
+        for r in trending.trending_topk(
+            events, "item", k=3, window="1 hour", slide="30 minutes"
+        ).collect()
+    }
+    w0930 = dt.datetime(2024, 1, 1, 9, 30)
+    w1000 = T0
+    w1030 = dt.datetime(2024, 1, 1, 10, 30)
+    w1100 = dt.datetime(2024, 1, 1, 11, 0)
+    # [9:30,10:30): a x3 (10:05), b x2 (10:20)
+    assert got[(w0930, "a")] == (3, 1)
+    assert got[(w0930, "b")] == (2, 2)
+    # [10:00,11:00): a x4 (10:05 x3 + 10:40), b x2
+    assert got[(w1000, "a")] == (4, 1)
+    assert got[(w1000, "b")] == (2, 2)
+    # [10:30,11:30): a x1 (10:40), c x4 (11:10)
+    assert got[(w1030, "c")] == (4, 1)
+    assert got[(w1030, "a")] == (1, 2)
+    # [11:00,12:00): c only
+    assert got[(w1100, "c")] == (4, 1)
+
+
+def test_k_truncates_and_ties_break_by_key(spark):
+    rows = [_ev(5, x) for x in ("b", "a", "c")]  # all count 1: tie
+    ev = spark.createDataFrame(rows, "ts timestamp, item string, value double")
+    got = [
+        (r["key"], r["rank"])
+        for r in trending.trending_topk(
+            ev, "item", k=2, window="1 hour", slide="1 hour"
+        )
+        .filter(F.col("window_start") == T0)
+        .collect()
+    ]
+    assert got == [("a", 1), ("b", 2)]  # c truncated, ties key-ascending
+
+
+def test_measure_override_revenue(spark, events):
+    got = {
+        (r["window_start"], r["key"]): r["n"]
+        for r in trending.trending_topk(
+            events, "item", window="1 hour", slide="1 hour",
+            measure=F.sum("value"),
+        ).collect()
+    }
+    assert got[(T0, "a")] == 3 * 1.0 + 5.0  # count-weighting replaced
+
+
+def test_streaming_counts_match_batch(spark, events, tmp_path):
+    src = str(tmp_path / "ev")
+    events.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "ts timestamp, item string, value double"
+    ).parquet(src)
+    out = trending.windowed_counts_stream(
+        stream, "item", window="1 hour", slide="30 minutes", watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trend_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["key"]): r["n"]
+        for r in spark.sql("select * from trend_stream").collect()
+    }
+    want = {
+        (r["window_start"], r["key"]): r["n"]
+        for r in trending.windowed_counts(
+            events, "item", window="1 hour", slide="30 minutes"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_plan_one_shuffle_for_counts(spark, events):
+    plan = (
+        trending.windowed_counts(events, "item")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    assert len(re.findall(r"\bExchange\b", plan)) <= 1, plan[:2000]
+
+
+def test_testdata_smoke(spark):
+    from ecomm_datapipeline_spark.plans.catalog import _t
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    item = F.get_json_object("props", "$.k")
+    out = trending.trending_topk(ev, item, k=5, window="6 hours", slide="3 hours")
+    rows = out.collect()
+    assert rows
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+    # within each window ranks are dense from 1
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["window_start"], []).append(r["rank"])
+    for ranks in by_w.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
