@@ -246,6 +246,55 @@ def ivf_index_append(
     )
 
 
+def ivf_index_rebuild(
+    spark: SparkSession,
+    path: str,
+    n_clusters: int = 16,
+    seed: int = 42,
+    pq_m: int | None = None,
+    pq_k: int = 16,
+) -> None:
+    """The maintenance-cadence rebuild the append/stream drift caveat
+    prescribes: refit k-means (and PQ codebooks when pq_m) on the
+    CURRENT contents of the index — stored vectors, including every
+    appended/streamed one — and atomically swap the fresh index into
+    `path` (tables._swap_into: readers never observe a half-built
+    index; a query racing the swap fails cleanly and retries).
+
+    The fresh assignments drop `_batch_id` history (a rebuilt index is
+    a new epoch; the streaming maintainer's checkpoint keeps its own
+    batch tracking, so replays of pre-rebuild batches re-append at
+    most once into the new epoch)."""
+    import uuid
+
+    assignments = tables.read_table(spark, os.path.join(path, _ASSIGNMENTS))
+    # the id column keeps the builder's original name — it's whatever
+    # isn't part of the index's own storage schema
+    known = {"_cluster", "vec", "norm", "pq_code", "_batch_id"}
+    id_cols = [c for c in assignments.columns if c not in known]
+    if len(id_cols) != 1:
+        raise ValueError(
+            f"cannot infer the id column of the index at {path}: "
+            f"non-storage columns {id_cols}"
+        )
+    id_col = id_cols[0]
+    vecs = assignments.select(id_col, F.col("vec").alias("embedding"))
+    tmp = f"{path.rstrip('/')}__rebuild_{uuid.uuid4().hex[:8]}"
+    ivf_index_build(
+        vecs,
+        tmp,
+        vec_col="embedding",
+        id_col=id_col,
+        n_clusters=n_clusters,
+        seed=seed,
+        pq_m=pq_m,
+        pq_k=pq_k,
+    )
+    from ..sources.tables import _swap_into
+
+    _swap_into(tmp, path)
+
+
 def ivf_index_query(
     queries: DataFrame,
     path: str,

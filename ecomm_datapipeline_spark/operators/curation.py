@@ -47,6 +47,8 @@ def curate_documents(
     drop_repetitive: bool = False,
     max_perplexity: float | None = None,
     perplexity_lm=None,
+    dedup_substrings_window: int | None = None,
+    substrings_min_count: int = 2,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
@@ -120,6 +122,23 @@ def curate_documents(
         .select(F.col("id").alias(id_col))
     )
     near = exact.join(to_drop, id_col, "left_anti")
+    if dedup_substrings_window is not None:
+        # Exact substring dedup (operators/substrings.py) rewrites
+        # surviving text AFTER whole-document dedup — similarity
+        # signals belong to the ORIGINAL text (the redaction-ordering
+        # argument), while the downstream quality/LM gates should
+        # judge what will actually ship. Lazily checkpoint: the
+        # rewrite involves a corpus-wide window-hash shuffle that the
+        # downstream gates must not re-execute per action.
+        from .substrings import remove_shared_substrings
+
+        near = remove_shared_substrings(
+            near,
+            window=dedup_substrings_window,
+            min_count=substrings_min_count,
+            text_col=text_col,
+            id_col=id_col,
+        ).drop("n_removed_tokens").localCheckpoint(eager=False)
     n_near = near.count() if collect_stats else -1
 
     quality = text.quality_score(near, text_col, id_col).filter(

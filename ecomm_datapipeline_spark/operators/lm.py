@@ -157,6 +157,61 @@ def lm_train(
     )
 
 
+def lm_merge(
+    models: list[NgramLM],
+    vocab_size: int | None = None,
+    max_pairs: int | None = None,
+) -> NgramLM:
+    """Combine per-shard LMs into one: counts are ADDITIVE, so models
+    trained independently on corpus shards (or on yesterday's corpus +
+    today's increment) merge exactly — the sketch-rollup property the
+    HLL/CMS operators rely on, applied to LM maintenance. No corpus
+    re-read, no Spark job.
+
+    Caveat (documented, by design): each shard maps OOV through its
+    OWN vocabulary, so merged counts agree with a monolithic retrain
+    only where the shards' vocabularies agree — the standard
+    approximation for incremental LM maintenance; retrain on the
+    rebuild cadence when vocabulary drift matters. The merged vocab is
+    the count-weighted union re-truncated to `vocab_size` (defaults to
+    the largest input's size); pairs re-truncate to `max_pairs`
+    (defaults to the sum of input budgets)."""
+    if not models:
+        raise ValueError("lm_merge needs at least one model")
+    alpha = models[0].alpha
+    if any(m.alpha != alpha for m in models):
+        raise ValueError("cannot merge models with different alpha")
+    vocab_size = vocab_size or max(len(m.vocab) for m in models)
+    max_pairs = max_pairs or sum(len(m.pair_counts) for m in models)
+
+    # vocab: rank by merged prev-position counts (the observable count
+    # signal the collected model retains), count desc then token asc —
+    # the same deterministic tie-break as lm_train.
+    vocab_counts: dict[str, float] = {}
+    for m in models:
+        for tok in m.vocab:
+            vocab_counts[tok] = vocab_counts.get(tok, 0.0) + m.prev_counts.get(
+                tok, 0.0
+            )
+    vocab = tuple(
+        sorted(vocab_counts, key=lambda t: (-vocab_counts[t], t))[:vocab_size]
+    )
+    prev_counts: dict[str, float] = {}
+    pair_counts: dict[tuple[str, str], float] = {}
+    for m in models:
+        for p, c in m.prev_counts.items():
+            prev_counts[p] = prev_counts.get(p, 0.0) + c
+        for pw, c in m.pair_counts.items():
+            pair_counts[pw] = pair_counts.get(pw, 0.0) + c
+    top = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:max_pairs]
+    return NgramLM(
+        vocab=vocab,
+        prev_counts=prev_counts,
+        pair_counts=dict(top),
+        alpha=alpha,
+    )
+
+
 def _model_literal(model: NgramLM) -> Column:
     """The nested scoring literal: prev -> struct(pc, pairs map).
     A bigram lookup costs one probe of a <=V+1-entry outer map plus one

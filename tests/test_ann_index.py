@@ -164,3 +164,60 @@ def test_adc_rejects_duplicate_query_ids(spark, emb, pq_index):
         ann_index.ivf_index_query(dup, pq_index, mode="adc")
     # exact mode tolerates duplicates (documented asymmetry)
     ann_index.ivf_index_query(dup, pq_index, mode="exact").collect()
+
+
+def test_rebuild_absorbs_appends_and_swaps_atomically(spark, emb, tmp_path_factory):
+    """After appends drift the index, ivf_index_rebuild refits on the
+    stored vectors (originals + appends), swaps in place, and queries
+    keep working — incl. a planted twin appended pre-rebuild."""
+    import os
+
+    from ecomm_datapipeline_spark.sources import tables
+
+    path = str(tmp_path_factory.mktemp("ivf_rb")) + "/idx"
+    ann_index.ivf_index_build(emb, path, n_clusters=8, pq_m=8)
+    src = emb.filter(F.col("vec_id") == 5).first()
+    twin = spark.createDataFrame(
+        [(700005, src["embedding"], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    ann_index.ivf_index_append(twin, path)
+    n_before = tables.read_table(spark, os.path.join(path, "assignments")).count()
+
+    ann_index.ivf_index_rebuild(spark, path, n_clusters=8, pq_m=8)
+
+    a = tables.read_table(spark, os.path.join(path, "assignments"))
+    assert a.count() == n_before  # every stored vector re-indexed
+    assert a.filter(F.col("_batch_id").isNotNull()).count() == 0  # new epoch
+    assert not [
+        d for d in os.listdir(os.path.dirname(path)) if "__rebuild_" in d
+    ]  # tmp dir swapped away
+    c = tables.read_table(spark, os.path.join(path, "centroids"))
+    assert c.count() == 8
+
+    queries = emb.filter(F.col("vec_id") == 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    for mode in ("exact", "adc_rerank"):
+        top = ann_index.ivf_index_query(
+            queries, path, k=1, n_probe=3, mode=mode
+        ).collect()[0]
+        assert top["neighbor_id"] == 700005, mode
+        assert abs(top["sim"] - 1.0) < 1e-9, mode
+
+
+def test_rebuild_without_pq_drops_codebooks(spark, emb, tmp_path_factory):
+    """Rebuilding WITHOUT pq_m yields a plain IVF index: ADC modes must
+    fail with the documented error, exact mode works."""
+    import os
+
+    from ecomm_datapipeline_spark.sources import tables
+
+    path = str(tmp_path_factory.mktemp("ivf_rb2")) + "/idx"
+    ann_index.ivf_index_build(emb, path, n_clusters=8, pq_m=8)
+    ann_index.ivf_index_rebuild(spark, path, n_clusters=8)  # no pq_m
+    assert not tables.table_exists(os.path.join(path, "pq_codebooks"))
+    queries = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    ann_index.ivf_index_query(queries, path, mode="exact").collect()
+    with pytest.raises(ValueError, match="no PQ codebooks"):
+        ann_index.ivf_index_query(queries, path, mode="adc")

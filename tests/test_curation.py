@@ -114,6 +114,33 @@ def test_curation_lm_perplexity_stage(spark):
     assert {r["doc_id"] for r in kept_self.collect()} == {1, 2}
 
 
+def test_curation_substring_dedup_stage(spark):
+    """dedup_substrings_window rewrites survivors after near-dup: a
+    passage shared between two otherwise-distinct docs survives only
+    in the first; with the flag off both texts pass untouched."""
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"one two three four five {passage} and some more words here", "en"),
+        (2, f"six seven eight nine ten {passage} plus other distinct tail text", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    kept_off, _ = curate_documents(docs, near_dup_threshold=0.99, min_quality=0)
+    texts_off = {r["doc_id"]: r["text"] for r in kept_off.collect()}
+    assert passage in texts_off[1] and passage in texts_off[2]
+
+    kept_on, _ = curate_documents(
+        docs,
+        near_dup_threshold=0.99,
+        min_quality=0,
+        dedup_substrings_window=8,
+    )
+    texts_on = {r["doc_id"]: r["text"] for r in kept_on.collect()}
+    assert passage in texts_on[1]  # keeper host
+    assert passage not in texts_on[2]
+    assert texts_on[2].startswith("six seven eight nine ten")
+    assert "n_removed_tokens" not in kept_on.columns  # payload un-widened
+
+
 def test_curation_no_stats_single_pass(spark):
     # fully distinct token streams so no stage drops anything
     docs = spark.createDataFrame(

@@ -174,3 +174,49 @@ def test_testdata_smoke(spark):
     scored = [r for r in rows if r["perplexity"] is not None]
     assert scored, "expected scorable documents in testdata"
     assert all(r["perplexity"] > 0 for r in scored)
+
+
+def test_lm_merge_matches_monolithic_when_vocabs_agree(spark):
+    """Shard the corpus, train per shard with a vocab big enough that
+    every shard sees every token, merge — prev/pair counts must equal
+    the monolithic retrain EXACTLY (additive counts), and scoring with
+    the merged model is identical."""
+    rows_a = [(1, "the cat sat on the mat"), (2, "the dog sat on the log")]
+    rows_b = [(3, "the cat and the dog sat"), (4, "a cat on a log")]
+    a = spark.createDataFrame(rows_a, "doc_id long, text string")
+    b = spark.createDataFrame(rows_b, "doc_id long, text string")
+    both = spark.createDataFrame(rows_a + rows_b, "doc_id long, text string")
+
+    kw = dict(vocab_size=64, max_pairs=512, alpha=0.1)
+    # pass the caps explicitly: lm_merge's DEFAULT vocab cap is the
+    # largest input's size (here ~8 observed tokens), which would
+    # truncate below the monolithic retrain's 64-cap vocabulary
+    merged = lm.lm_merge(
+        [lm.lm_train(a, **kw), lm.lm_train(b, **kw)],
+        vocab_size=64,
+        max_pairs=512,
+    )
+    mono = lm.lm_train(both, **kw)
+    assert merged.prev_counts == mono.prev_counts
+    assert merged.pair_counts == mono.pair_counts
+    assert set(merged.vocab) == set(mono.vocab)
+
+    got_m = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.lm_perplexity(both, merged).collect()
+    }
+    got_o = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in lm.lm_perplexity(both, mono).collect()
+    }
+    for k in got_m:
+        assert got_m[k] == pytest.approx(got_o[k], abs=1e-12)
+
+
+def test_lm_merge_validation():
+    with pytest.raises(ValueError, match="at least one"):
+        lm.lm_merge([])
+    m = lm.NgramLM(vocab=("a",), prev_counts={}, pair_counts={}, alpha=0.1)
+    n = lm.NgramLM(vocab=("a",), prev_counts={}, pair_counts={}, alpha=0.2)
+    with pytest.raises(ValueError, match="different alpha"):
+        lm.lm_merge([m, n])
