@@ -1,0 +1,84 @@
+"""Time-series anomaly flagging over event streams — the "did traffic
+spike or die this hour" check every event pipeline runs. Rolling
+z-score: each bucket's measure is compared against the mean/stddev of
+the TRAILING window (never including itself, so an anomaly can't
+suppress its own detection).
+
+Spark-first shape: ONE shuffle builds the per-(key, bucket) series —
+map-side combinable — and the rolling stats are a frame-bounded window
+over that AGGREGATED series: the window partition holds one row per
+bucket (hours, not events), bounded regardless of event volume — the
+same argument that makes trending's rank safe. Sparse series: buckets
+with zero events produce no row; compose with joins.time_gapfill first
+when silence itself must be flaggable as an anomaly (a dead hour then
+arrives as an explicit 0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucket_series(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    key_cols: list[str] | None = None,
+    measure: Column | None = None,
+) -> DataFrame:
+    """(key..., bucket_ts, n): the aggregated series. `measure`
+    defaults to count(*)."""
+    agg = measure if measure is not None else F.count("*")
+    keys = [F.col(c) for c in (key_cols or [])]
+    return events.groupBy(
+        *keys, F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts")
+    ).agg(agg.cast("double").alias("n"))
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    key_cols: list[str] | None = None,
+    measure: Column | None = None,
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+    min_history: int = 6,
+) -> DataFrame:
+    """(key..., bucket_ts, n, trailing_mean, trailing_std, zscore,
+    is_anomaly): every bucket scored against its trailing window.
+
+    A bucket needs `min_history` prior buckets before it can be
+    flagged (cold starts never alarm), and a zero trailing stddev
+    yields NULL zscore with is_anomaly true iff the value CHANGED
+    (any deviation from a perfectly flat history is anomalous — a
+    z-score is undefined there, not infinite)."""
+    series = bucket_series(events, ts_col, bucket, key_cols, measure)
+    w = (
+        Window.partitionBy(*[F.col(c) for c in (key_cols or [])])
+        .orderBy("bucket_ts")
+        .rowsBetween(-trailing, -1)
+    )
+    stats = (
+        series.withColumn("trailing_mean", F.avg("n").over(w))
+        .withColumn("trailing_std", F.stddev_samp("n").over(w))
+        .withColumn("_hist", F.count("n").over(w))
+    )
+    z = (F.col("n") - F.col("trailing_mean")) / F.col("trailing_std")
+    zscore = F.when(
+        (F.col("_hist") >= min_history) & (F.col("trailing_std") > 0), z
+    )
+    flat_deviation = (
+        (F.col("_hist") >= min_history)
+        & (F.col("trailing_std") == 0)
+        & (F.col("n") != F.col("trailing_mean"))
+    )
+    is_anomaly = F.coalesce(
+        (F.abs(zscore) >= z_threshold) | flat_deviation, F.lit(False)
+    )
+    return (
+        stats.withColumn("zscore", zscore)
+        .withColumn("is_anomaly", is_anomaly)
+        .drop("_hist")
+    )

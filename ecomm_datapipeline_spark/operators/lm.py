@@ -346,6 +346,49 @@ def lm_quality_filter(
     return scored.filter(pred)
 
 
+def lm_perplexity_buckets(
+    docs: DataFrame,
+    model: NgramLM,
+    fractions: tuple[float, float] = (1 / 3, 2 / 3),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rel_err: float = 0.001,
+) -> DataFrame:
+    """CCNet's head/middle/tail split: bucket documents by perplexity
+    QUANTILES of this corpus rather than a fixed threshold — the paper
+    keeps 'head' (lowest third) for training and samples from
+    'middle'. Returns the original columns + perplexity + bucket
+    ('head' | 'middle' | 'tail'; NULL for unscorable docs).
+
+    Two passes: score (zero-shuffle literal-model fold), then ONE
+    approxQuantile job (mergeable Greenwald-Khanna sketch — two driver
+    scalars) whose cuts come back as plan literals for the labeling
+    pass. No sort, no join."""
+    lo, hi = fractions
+    if not 0 < lo < hi < 1:
+        raise ValueError(f"fractions must satisfy 0 < lo < hi < 1: {fractions}")
+    cols = lm_logprob_cols(model, text_col)
+    scored = docs.withColumn("n_bigrams", cols["n_bigrams"]).withColumn(
+        "_lm_total", cols["_lm_total"]
+    )
+    avg = F.when(F.col("n_bigrams") > 0, F.col("_lm_total") / F.col("n_bigrams"))
+    scored = (
+        scored.withColumn("perplexity", F.exp(-avg))
+        .drop("n_bigrams", "_lm_total")
+        .localCheckpoint(eager=False)  # quantile pass + labeling share the scores
+    )
+    cut_lo, cut_hi = scored.filter(
+        F.col("perplexity").isNotNull()
+    ).approxQuantile("perplexity", [lo, hi], rel_err)
+    bucket = (
+        F.when(F.col("perplexity").isNull(), F.lit(None).cast("string"))
+        .when(F.col("perplexity") <= cut_lo, F.lit("head"))
+        .when(F.col("perplexity") <= cut_hi, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.withColumn("bucket", bucket)
+
+
 def lm_perplexity_join(
     docs: DataFrame,
     model: NgramLM,

@@ -1,0 +1,134 @@
+"""Rolling z-score anomalies (operators/anomaly.py): a planted traffic
+spike flags, steady traffic doesn't, cold starts never alarm, the
+flat-history deviation rule, per-key partitioning, and gap-fill
+composition for dead-hour detection."""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import anomaly
+
+T0 = dt.datetime(2024, 1, 1, 0, 0)
+
+
+def _hour_events(hour, n, key="web"):
+    rng = random.Random(hour * 1000)
+    return [
+        (T0 + dt.timedelta(hours=hour, minutes=rng.randint(0, 59)), key)
+        for _ in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = []
+    rng = random.Random(1)
+    for h in range(30):
+        rows += _hour_events(h, 10 + rng.randint(-2, 2))  # steady ~10/h
+    rows += _hour_events(30, 100)  # the spike
+    rows += _hour_events(31, 11)  # back to normal
+    return spark.createDataFrame(rows, "ts timestamp, site string")
+
+
+def test_spike_flags_and_steady_does_not(spark, events):
+    out = {
+        r["bucket_ts"]: (r["n"], r["zscore"], r["is_anomaly"])
+        for r in anomaly.rolling_zscore_anomalies(events).collect()
+    }
+    spike_ts = T0 + dt.timedelta(hours=30)
+    n, z, flag = out[spike_ts]
+    assert n == 100.0 and flag and z > 3
+    # every steady hour after warmup: unflagged
+    for h in range(6, 30):
+        assert not out[T0 + dt.timedelta(hours=h)][2], h
+    # hour 31 is judged against a window CONTAINING the spike: the
+    # inflated std must not flag a normal hour
+    assert not out[T0 + dt.timedelta(hours=31)][2]
+
+
+def test_cold_start_never_alarms(spark):
+    rows = _hour_events(0, 5) + _hour_events(1, 500) + _hour_events(2, 5)
+    ev = spark.createDataFrame(rows, "ts timestamp, site string")
+    out = anomaly.rolling_zscore_anomalies(ev, min_history=6).collect()
+    assert all(not r["is_anomaly"] for r in out)
+    assert all(r["zscore"] is None for r in out)  # below min_history
+
+
+def test_flat_history_deviation_rule(spark):
+    """Perfectly flat history (std 0): any change flags, equality
+    doesn't, zscore stays NULL (undefined, not infinite)."""
+    rows = []
+    for h in range(10):
+        rows += _hour_events(h, 7)
+    rows += _hour_events(10, 8)  # tiny change off a flat line
+    rows += [(T0 + dt.timedelta(hours=11, minutes=m), "web") for m in range(7)]
+    ev = spark.createDataFrame(rows, "ts timestamp, site string")
+    out = {
+        r["bucket_ts"]: (r["zscore"], r["is_anomaly"])
+        for r in anomaly.rolling_zscore_anomalies(ev, min_history=4).collect()
+    }
+    z10, flag10 = out[T0 + dt.timedelta(hours=10)]
+    assert z10 is None and flag10
+    z9, flag9 = out[T0 + dt.timedelta(hours=9)]
+    assert z9 is None and not flag9  # equal to the flat mean
+
+
+def test_per_key_partitioning(spark):
+    rows = []
+    rng = random.Random(2)
+    for h in range(20):
+        rows += _hour_events(h, 10 + rng.randint(-1, 1), "web")
+        rows += _hour_events(h, 50 + rng.randint(-2, 2), "api")
+    rows += _hour_events(20, 50, "web")  # spike FOR WEB, normal for api
+    rows += _hour_events(20, 50, "api")
+    ev = spark.createDataFrame(rows, "ts timestamp, site string")
+    out = {
+        (r["site"], r["bucket_ts"]): r["is_anomaly"]
+        for r in anomaly.rolling_zscore_anomalies(
+            ev, key_cols=["site"]
+        ).collect()
+    }
+    t20 = T0 + dt.timedelta(hours=20)
+    assert out[("web", t20)] is True
+    assert out[("api", t20)] is False
+
+
+def test_dead_hour_via_gapfill_composition(spark, events):
+    """A silent hour produces no series row; composing with
+    time_gapfill turns the silence into an explicit 0 that flags."""
+    from ecomm_datapipeline_spark.operators.joins import time_gapfill
+
+    # drop hour 15 entirely
+    ev = events.filter(
+        ~(
+            (F.col("ts") >= T0 + dt.timedelta(hours=15))
+            & (F.col("ts") < T0 + dt.timedelta(hours=16))
+        )
+    )
+    dense = time_gapfill(
+        ev,
+        ts_col="ts",
+        grain="hour",
+        metrics=[F.count(F.lit(1)).cast("double").alias("n")],
+        fill={"n": 0.0},
+    )
+    w_out = anomaly.rolling_zscore_anomalies(
+        dense, ts_col="hour_bucket", measure=F.sum("n")
+    )
+    out = {r["bucket_ts"]: r["is_anomaly"] for r in w_out.collect()}
+    assert out[T0 + dt.timedelta(hours=15)] is True  # the dead hour
+
+
+def test_testdata_smoke(spark):
+    from ecomm_datapipeline_spark.plans.catalog import _t
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    out = anomaly.rolling_zscore_anomalies(ev, key_cols=["event_type"])
+    rows = out.collect()
+    assert rows
+    flagged = [r for r in rows if r["is_anomaly"]]
+    # synthetic uniform traffic: anomalies should be rare
+    assert len(flagged) <= len(rows) * 0.1

@@ -220,3 +220,28 @@ def test_lm_merge_validation():
     n = lm.NgramLM(vocab=("a",), prev_counts={}, pair_counts={}, alpha=0.2)
     with pytest.raises(ValueError, match="different alpha"):
         lm.lm_merge([m, n])
+
+
+def test_perplexity_buckets_head_middle_tail(spark, docs, model):
+    """CCNet terciles: scorable docs split into head/middle/tail by
+    corpus quantiles; the lowest-ppl doc is head, the highest is tail,
+    unscorable docs bucket NULL."""
+    out = {
+        r["doc_id"]: (r["perplexity"], r["bucket"])
+        for r in lm.lm_perplexity_buckets(docs, model).collect()
+    }
+    scorable = {k: v for k, v in out.items() if v[0] is not None}
+    assert len(scorable) >= 5
+    best = min(scorable, key=lambda k: scorable[k][0])
+    worst = max(scorable, key=lambda k: scorable[k][0])
+    assert scorable[best][1] == "head"
+    assert scorable[worst][1] == "tail"
+    buckets = {v[1] for v in scorable.values()}
+    assert buckets == {"head", "middle", "tail"}
+    for k in (6, 7, 8):  # unscorable
+        assert out[k] == (None, None)
+    # original payload rides along
+    assert "text" in lm.lm_perplexity_buckets(docs, model).columns
+
+    with pytest.raises(ValueError, match="fractions"):
+        lm.lm_perplexity_buckets(docs, model, fractions=(0.9, 0.1))
