@@ -1,0 +1,301 @@
+"""Classic OLAP query shapes beyond the gate's 50-row window —
+TPC-H-flavored analytics adapted to the testdata schema (no partsupp /
+shipmode / commit-receipt dates, so Q2/Q4/Q12 keep their SHAPE with
+available columns). Every query here ships with a DuckDB SQL twin
+(`OLAP_ORACLES`) run differentially in tests/test_olap.py with the
+SAME canon + value-hash comparison the driver gate uses — oracle-grade
+verification without spending gate slots (the substrings-test
+pattern; see docs/GATE.md).
+
+Money columns follow the repo's cents convention (catalog.cents /
+dollars): per-row integer-cents rounding makes the big double sums
+order-independent and bit-identical across engines and partitionings.
+
+Shapes covered (and why they matter at 100 TB):
+* correlated scalar subquery -> window max (one shuffle, no re-scan)
+* EXISTS semi-join (left_semi: never duplicates, never materializes
+  the matches)
+* multi-hop star joins with broadcast dims
+* conditional-aggregate ratios (numerator/denominator in ONE pass,
+  never two scans)
+* CASE-bucket pivots
+* rank-family window functions (ntile / percent_rank / cume_dist)
+  with a deterministic total order
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.catalog import _t, cents, dollars
+
+_CENTS_SQL = "CAST(FLOOR(({e})*100 + 0.5) AS BIGINT)"
+
+
+def _c(e: str) -> str:
+    return _CENTS_SQL.format(e=e)
+
+
+def top_acctbal_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's correlated-scalar-subquery shape: customers whose account
+    balance equals their NATION's maximum. Spark-side the correlation
+    becomes a window max — one shuffle on nationkey, no rescan."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("_mx", F.max("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") == F.col("_mx"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_name", "c_acctbal")
+        .orderBy("n_name", "c_custkey")
+    )
+
+
+def late_ship_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's EXISTS shape: orders per priority having AT LEAST ONE line
+    shipped > 60 days after the order date — a left_semi join, which
+    can neither duplicate orders nor materialize the matches."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    late = l.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    return (
+        o.join(late.select("o_orderkey").distinct(), "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: revenue flowing between (supplier nation, customer nation)
+    pairs by order year — the multi-hop star join; both nation hops
+    broadcast."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("_ck"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("_ck"),
+        )
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("_sk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("_sk"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").alias("l_year"),
+        )
+        .agg(dollars(F.sum(rev)).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def market_share(
+    spark: SparkSession, sf_dir: str, nation: str = "NATION_1"
+) -> DataFrame:
+    """Q8: `nation`'s share of supplier revenue by year — numerator
+    and denominator as conditional aggregates in ONE pass (two scans
+    would double the fact read); the share divides two exact cents
+    sums, so the double ratio is bit-deterministic."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dollars(
+                F.sum(F.when(F.col("n_name") == nation, rev).otherwise(F.lit(0)))
+            ).alias("nation_revenue"),
+            dollars(F.sum(rev)).alias("total_revenue"),
+            (
+                F.sum(F.when(F.col("n_name") == nation, rev).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(rev)
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def promo_revenue_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: percentage of monthly revenue from PROMO-type parts —
+    the conditional-aggregate ratio over a broadcast part join."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(
+            F.broadcast(p.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.date_trunc("month", F.col("l_shipdate")).alias("ship_month"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+                .cast("double")
+                / F.sum(rev)
+            ).alias("promo_pct")
+        )
+        .orderBy("ship_month")
+    )
+
+
+def nation_part_revenue(
+    spark: SparkSession, sf_dir: str, name_like: str = "%widget%"
+) -> DataFrame:
+    """Q9's shape sans supplycost: revenue by supplier nation x order
+    year for parts whose name matches a pattern — pattern filter
+    pushed to the broadcast dim side before the fact join."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like(name_like))
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            o.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dollars(F.sum(rev)).alias("revenue"))
+        .orderBy("nation", "o_year")
+    )
+
+
+def acctbal_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-family window functions over a deterministic total
+    order (acctbal DESC, custkey): ntile quartile, percent_rank,
+    cume_dist per nation — the remaining §2.5 window surface."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    ).orderBy("c_nationkey", "c_custkey")
+
+
+OLAP_QUERIES = {
+    "top_acctbal_customer_per_nation": top_acctbal_customer_per_nation,
+    "late_ship_priority_counts": late_ship_priority_counts,
+    "volume_shipping": volume_shipping,
+    "market_share": market_share,
+    "promo_revenue_pct": promo_revenue_pct,
+    "nation_part_revenue": nation_part_revenue,
+    "acctbal_rank_profile": acctbal_rank_profile,
+}
+
+_REV = _c("l_extendedprice * (1 - l_discount)")
+
+OLAP_ORACLES = {
+    "top_acctbal_customer_per_nation": """
+        SELECT n_name, c_custkey, c_name, c_acctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c_acctbal = (SELECT max(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY n_name, c_custkey
+    """,
+    "late_ship_priority_counts": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "volume_shipping": f"""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               year(o_orderdate) AS l_year,
+               CAST(sum({_REV}) AS DOUBLE) / 100 AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        WHERE sn.n_name != cn.n_name
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+    "market_share": f"""
+        SELECT year(o_orderdate) AS o_year,
+               CAST(sum(CASE WHEN n_name = 'NATION_1' THEN {_REV} ELSE 0 END) AS DOUBLE) / 100
+                 AS nation_revenue,
+               CAST(sum({_REV}) AS DOUBLE) / 100 AS total_revenue,
+               CAST(sum(CASE WHEN n_name = 'NATION_1' THEN {_REV} ELSE 0 END) AS DOUBLE)
+                 / sum({_REV}) AS mkt_share
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "promo_revenue_pct": f"""
+        SELECT date_trunc('month', l_shipdate) AS ship_month,
+               100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END) AS DOUBLE)
+                 / sum({_REV}) AS promo_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "nation_part_revenue": f"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               CAST(sum({_REV}) AS DOUBLE) / 100 AS revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "acctbal_rank_profile": """
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               ntile(4) OVER w AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey
+                     ORDER BY c_acctbal DESC, c_custkey ASC)
+        ORDER BY c_nationkey, c_custkey
+    """,
+}

@@ -1,0 +1,92 @@
+"""Classic OLAP shapes (operators/olap.py): every query compared
+against its DuckDB SQL twin with the SAME canon + value-hash logic
+the driver gate uses — oracle-grade verification beyond the 50-row
+gate window. Plus plan assertions for the shapes that matter."""
+
+import hashlib
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ecomm_datapipeline_spark.operators.olap import OLAP_ORACLES, OLAP_QUERIES
+
+SF = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem".split()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(SF, t + '.parquet')}'"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", sorted(OLAP_QUERIES))
+def test_matches_duckdb_oracle(spark, duck, name):
+    got = _canon(OLAP_QUERIES[name](spark, SF).toPandas())
+    want = _canon(duck.execute(OLAP_ORACLES[name]).fetchdf())
+    assert len(got) == len(want), (len(got), len(want))
+    assert list(got.columns) == list(want.columns)
+    if _vhash(got) != _vhash(want):
+        neq = (got.fillna("~N~") != want.fillna("~N~")).any(axis=1)
+        raise AssertionError(
+            f"{name} value mismatch:\n"
+            + pd.concat([got[neq].head(3), want[neq].head(3)]).to_string()
+        )
+    assert len(got) > 0, f"{name}: empty result proves nothing"
+
+
+def test_exists_uses_semi_join(spark):
+    plan = (
+        OLAP_QUERIES["late_ship_priority_counts"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan, plan[:2000]
+
+
+def test_star_joins_broadcast_dims(spark):
+    plan = (
+        OLAP_QUERIES["volume_shipping"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_single_pass_conditional_ratio(spark):
+    """market_share must read lineitem ONCE — numerator and denominator
+    are conditional aggregates in the same scan, never two scans."""
+    plan = (
+        OLAP_QUERIES["market_share"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    scans = re.findall(r"Scan parquet[^\n]*lineitem", plan)
+    assert len(scans) == 1, plan[:3000]
