@@ -216,7 +216,102 @@ def acctbal_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_nationkey", "c_custkey")
 
 
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: how many customers placed exactly N orders — INCLUDING
+    zero (the left outer join is the whole point; an inner join
+    silently erases the never-ordered customers), then a histogram
+    over the per-customer counts. Two keyed shuffles, both on ids."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count() skips NULLs
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def large_volume_orders(
+    spark: SparkSession, sf_dir: str, min_qty: float = 150.0
+) -> DataFrame:
+    """Q18: orders whose TOTAL line quantity exceeds a threshold,
+    with customer attribution — the HAVING-then-join-back shape: the
+    qty aggregate (small result) semi-drives the detail join, so the
+    fact table is scanned once and the re-join touches only
+    qualifying orders."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > min_qty)
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            c.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "o_totalprice", "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+def idle_rich_customers(
+    spark: SparkSession, sf_dir: str, since: str = "2000-06-01"
+) -> DataFrame:
+    """Q22's shape: customers with above-average account balance and
+    NO order since `since` — the global-scalar subquery stays IN-PLAN
+    as a broadcast one-row cross-join (the pq_overlap pattern; no
+    eager collect), the NOT EXISTS is a left anti-join against the
+    date-filtered orders (the pure never-ordered form is degenerate
+    on this testdata: every customer has ordered at least once)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    )
+    # exact-average threshold: sum CENTS (bigint, order-independent)
+    # then one double division — bit-identical across engines, unlike
+    # avg() of doubles whose summation order varies
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(cents(F.col("c_acctbal"))).cast("double")
+            / (F.lit(100.0) * F.count("*"))
+        ).alias("_avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(
+            o.select("o_custkey").distinct(),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            dollars(F.sum(cents(F.col("c_acctbal")))).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 OLAP_QUERIES = {
+    "customer_order_distribution": customer_order_distribution,
+    "large_volume_orders": large_volume_orders,
+    "idle_rich_customers": idle_rich_customers,
     "top_acctbal_customer_per_nation": top_acctbal_customer_per_nation,
     "late_ship_priority_counts": late_ship_priority_counts,
     "volume_shipping": volume_shipping,
@@ -229,6 +324,36 @@ OLAP_QUERIES = {
 _REV = _c("l_extendedprice * (1 - l_discount)")
 
 OLAP_ORACLES = {
+    "customer_order_distribution": """
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    "large_volume_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               total_qty
+        FROM orders o
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 150.0) b
+          ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    "idle_rich_customers": f"""
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum({_c('c_acctbal')}) AS DOUBLE) / 100 AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT CAST(sum({_c('c_acctbal')}) AS DOUBLE)
+                                    / (100.0 * count(*))
+                           FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-06-01')
+        GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
     "top_acctbal_customer_per_nation": """
         SELECT n_name, c_custkey, c_name, c_acctbal
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
