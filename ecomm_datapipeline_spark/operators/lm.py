@@ -79,13 +79,19 @@ def _lower_tokens(text_col: str | Column) -> Column:
 
 def _mapped_tokens(text_col: str | Column, vocab: tuple[str, ...]) -> Column:
     """Token array with OOV tokens collapsed to UNK. Membership probes
-    a V-entry map literal (element_at -> NULL when absent)."""
+    a V-entry map literal (element_at -> NULL when absent). An EMPTY
+    vocabulary (a degenerate/empty training corpus) maps every token
+    to UNK — an empty F.array() literal would type as array<void> and
+    break downstream extraction."""
+    toks = _lower_tokens(text_col)
+    if not vocab:
+        return F.transform(toks, lambda x: F.lit(UNK))
     vmap = F.map_from_arrays(
         F.array(*[F.lit(t) for t in vocab]),
         F.array(*[F.lit(True) for _ in vocab]),
     )
     return F.transform(
-        _lower_tokens(text_col),
+        toks,
         lambda x: F.when(F.element_at(vmap, x).isNotNull(), x).otherwise(F.lit(UNK)),
     )
 
@@ -221,6 +227,14 @@ def _model_literal(model: NgramLM) -> Column:
     for (prev, word), c in model.pair_counts.items():
         by_prev.setdefault(prev, {})[word] = c
     prevs = sorted(set(model.prev_counts) | set(by_prev))
+    if not prevs:
+        # empty model (degenerate training corpus): a typed NULL map —
+        # every probe returns NULL, the coalesce path scores the
+        # uniform 1/V everywhere. An empty F.array() literal would
+        # type the map as map<void,void> and break field extraction.
+        return F.lit(None).cast(
+            "map<string,struct<pc:double,pairs:map<string,double>>>"
+        )
     entries = []
     for p in prevs:
         inner = by_prev.get(p, {})

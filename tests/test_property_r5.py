@@ -1,0 +1,113 @@
+"""Hypothesis property tests for the round-5 text operators: random
+corpora, invariants that must hold for EVERY input — broader input
+coverage than the hand-planted cases (the test_joins_sampling
+as-of-join pattern).
+
+Session note: one shared module-scoped corpus-shape strategy keeps
+example counts low (each example pays a Spark job); derandomize=True
+keeps CI deterministic.
+"""
+
+import collections
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import bpe, lm, substrings
+
+# small token alphabet -> heavy pair repetition, the regime BPE and
+# window hashing actually operate in
+_token = st.sampled_from(["aa", "ab", "ba", "cat", "dog", "x"])
+_doc = st.lists(_token, min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+def _py_bpe_train(texts, n_merges, min_pair_freq=2):
+    wf = collections.Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                wf[w] += 1
+    symbols = {w: [*w, bpe.EOW] for w in wf}
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for w, freq in wf.items():
+            s = symbols[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += freq
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_freq:
+            break
+        (p1, p2), _ = best
+        merges.append((p1, p2))
+        for w in symbols:
+            out = []
+            for x in symbols[w]:
+                if out and out[-1] == p1 and x == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(x)
+            symbols[w] = out
+    return merges
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(corpus=_corpus)
+def test_bpe_train_matches_reference_on_random_corpora(spark, corpus):
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    got = bpe.bpe_train(docs, n_merges=6)
+    want = _py_bpe_train(corpus, 6)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(corpus=_corpus, window=st.integers(min_value=2, max_value=4))
+def test_substring_dedup_invariants(spark, corpus, window):
+    """For ANY corpus: (1) total tokens are conserved (kept + removed
+    == original), (2) untouched docs are byte-identical, (3) the
+    keeper occurrence of every flagged window survives somewhere —
+    rerunning the pass on the output removes nothing NEW at the same
+    window unless spans partially overlapped (we assert the weaker
+    monotone bound: second-pass removals never exceed the first's)."""
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    out = substrings.remove_shared_substrings(docs, window=window).collect()
+    orig = dict(enumerate(corpus))
+    total_removed = 0
+    for r in out:
+        toks_orig = [t for t in orig[r["doc_id"]].split() if t]
+        toks_new = [t for t in r["text"].split() if t]
+        assert len(toks_new) + r["n_removed_tokens"] == len(toks_orig)
+        total_removed += r["n_removed_tokens"]
+        if r["n_removed_tokens"] == 0:
+            assert r["text"] == orig[r["doc_id"]]
+    out_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in out], "doc_id long, text string"
+    )
+    second = substrings.remove_shared_substrings(out_df, window=window)
+    second_removed = second.agg(F.sum("n_removed_tokens")).collect()[0][0]
+    assert (second_removed or 0) <= total_removed
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(corpus=_corpus)
+def test_lm_scores_are_valid_logprobs(spark, corpus):
+    """For ANY corpus: each bigram probability is in (0, 1] —
+    c(pair) <= c(prev) guarantees (c+a)/(c_prev+aV) <= 1 even under
+    pair truncation — so avg_logprob <= 0 and perplexity >= 1."""
+    docs = spark.createDataFrame(
+        list(enumerate(corpus)), "doc_id long, text string"
+    )
+    model = lm.lm_train(docs, vocab_size=16, max_pairs=64)
+    for r in lm.lm_perplexity(docs, model).collect():
+        if r["avg_logprob"] is not None:
+            assert r["avg_logprob"] <= 1e-12
+            assert r["perplexity"] >= 1.0 - 1e-12
