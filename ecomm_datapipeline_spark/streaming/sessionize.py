@@ -92,3 +92,45 @@ def sessionize_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def sessionize_native(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """The built-in `F.session_window` twin of the custom stateful
+    sessionizer — Spark's NATIVE session-window state store, the
+    idiomatic path when per-event custom state logic isn't needed.
+    Works on batch frames as-is; pass `watermark` on a streaming frame
+    (required for the state store to evict closed sessions).
+
+    Returns (key, session_start, session_end, n_events).
+
+    Boundary semantics MATCH the lag-rule sessionizer exactly,
+    including the exact-gap instant: Spark merges an event arriving
+    precisely `gap` after the previous one (windows touch), and the
+    lag rule's strict `> gap` test merges it too — pinned by
+    tests/test_sessionize_native.py, which asserts full agreement on
+    synthetic exact-gap data AND on real testdata.
+    """
+    from pyspark.sql import functions as F
+
+    e = events
+    if watermark is not None:
+        e = e.withWatermark(ts_col, watermark)
+    return (
+        e.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_sw"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            key_col,
+            F.col("_sw.start").alias("session_start"),
+            F.col("_sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,146 @@
+"""Built-in session_window sessionizer (streaming/sessionize.py
+sessionize_native): batch equivalence with the lag-rule catalog twin
+away from the exact-gap boundary, the documented one-instant boundary
+difference, and a streaming drain matching batch."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.plans import catalog
+from ecomm_datapipeline_spark.streaming.sessionize import sessionize_native
+
+T0 = dt.datetime(2024, 1, 1, 10, 0)
+
+
+def _rows():
+    # user 1: two sessions (gap 45 min); user 2: one session
+    return [
+        (1, T0),
+        (1, T0 + dt.timedelta(minutes=10)),
+        (1, T0 + dt.timedelta(minutes=55)),  # 45 min gap -> new session
+        (1, T0 + dt.timedelta(minutes=60)),
+        (2, T0 + dt.timedelta(minutes=5)),
+    ]
+
+
+def test_batch_matches_lag_rule_sessionizer(spark):
+    ev = spark.createDataFrame(_rows(), "user_id long, ts timestamp")
+    native = sessionize_native(ev).collect()
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in native
+    }
+    assert got == {
+        (1, T0): 2,
+        (1, T0 + dt.timedelta(minutes=55)): 2,
+        (2, T0 + dt.timedelta(minutes=5)): 1,
+    }
+    # session_end = last event + gap (half-open)
+    ends = {
+        (r["user_id"], r["session_start"]): r["session_end"] for r in native
+    }
+    assert ends[(1, T0)] == T0 + dt.timedelta(minutes=40)
+
+    # the lag-rule twin produces the same (user, start, count) triples
+    lag_w = catalog.queries()["sessionize_events"]
+    # catalog query reads testdata; rebuild its logic inline instead
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    lag_rule = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert lag_rule == got
+
+
+def test_exact_gap_boundary_agreement_is_pinned(spark):
+    """An event EXACTLY 30 minutes after the previous: Spark's
+    session_window merges touching windows, and the lag rule's strict
+    `> gap` merges too — the two sessionizers agree even at the
+    boundary instant (pinned so a Spark semantic change surfaces)."""
+    ev = spark.createDataFrame(
+        [(1, T0), (1, T0 + dt.timedelta(minutes=30))],
+        "user_id long, ts timestamp",
+    )
+    native = sessionize_native(ev).collect()
+    assert len(native) == 1  # merged: one session of two events
+    assert native[0]["n_events"] == 2
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.select(
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > 30 * 60 * 1_000_000
+            ),
+            1,
+        ).otherwise(0).alias("is_new")
+    ).collect()
+    assert sum(r["is_new"] for r in gaps) == 1  # lag rule: ONE session too
+
+
+def test_streaming_drain_matches_batch(spark, tmp_path):
+    ev = spark.createDataFrame(_rows(), "user_id long, ts timestamp")
+    src = str(tmp_path / "ev")
+    ev.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = sessionize_native(stream, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("native_sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in spark.sql("select * from native_sessions").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionize_native(ev).collect()
+    }
+    assert got == want
+
+
+def test_testdata_matches_catalog_sessionizer(spark):
+    """On real testdata (microsecond-random timestamps: the exact-gap
+    instant never occurs) the native and lag-rule sessionizers must
+    agree completely."""
+    e = catalog._t(spark, "/root/testdata/sf0.001", "events")
+    native = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionize_native(e).collect()
+    }
+    lag_rule = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in catalog.queries()["sessionize_events"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert native == lag_rule
