@@ -119,6 +119,155 @@ def freq_sketch_rollup(
     )
 
 
+def _bin_index(value: Column, lo: float, hi: float, n_bins: int) -> Column:
+    """Dense bin index for a fixed-range histogram: 0 = underflow
+    (v < lo), n_bins + 1 = overflow (v >= hi), else
+    floor((v - lo) * n / (hi - lo)) + 1 — the SQL-standard
+    width_bucket contract, spelled out with plain arithmetic so the
+    DuckDB oracle can reproduce it token-for-token (no reliance on
+    either engine's width_bucket edge conventions). NULL values get a
+    NULL bin (dropped by the aggregation)."""
+    v = value.cast("double")
+    body = (
+        F.floor((v - F.lit(float(lo))) * n_bins / F.lit(float(hi) - float(lo)))
+        + F.lit(1)
+    )
+    return (
+        F.when(v < F.lit(float(lo)), F.lit(0))
+        .when(v >= F.lit(float(hi)), F.lit(n_bins + 1))
+        .otherwise(body)
+        .cast("int")
+    )
+
+
+def histogram_rollup(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Per-group fixed-bin histogram of `value_col` — the mergeable
+    distribution twin of distinct_sketch_rollup (HLL answers "how
+    many distinct", CMS "how often X", this answers "how are values
+    DISTRIBUTED"). The bin range is fixed up front (lo/hi/n_bins), so
+    per-group state is an exact dense `array<bigint>` of n_bins + 2
+    counts (underflow + bins + overflow) and merging finer rollups to
+    coarser grains is plain per-position addition — no approximation
+    anywhere, unlike streaming-quantile sketches.
+
+    Scale shape: the bin counts compile to n_bins + 2 conditional
+    SUMs, all map-side partially aggregated, so the one shuffle
+    carries |groups| x (n_bins + 2) longs regardless of row count.
+    Keep n_bins modest (<= a few hundred): each bin is an aggregation
+    buffer slot."""
+    if hi <= lo:
+        raise ValueError(f"hi must exceed lo: [{lo}, {hi})")
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1: {n_bins}")
+    b = _bin_index(F.col(value_col), lo, hi, n_bins)
+    sums = [
+        F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).alias(f"_b{i}")
+        for i in range(n_bins + 2)
+    ]
+    return (
+        df.groupBy(*group_cols)
+        .agg(*sums)
+        .select(
+            *group_cols,
+            F.array(*[F.col(f"_b{i}") for i in range(n_bins + 2)]).alias(
+                hist_col
+            ),
+        )
+    )
+
+
+def merge_histogram_rollup(
+    rollup: DataFrame,
+    group_cols: list[str],
+    hist_col: str = "hist",
+) -> DataFrame:
+    """Re-aggregate a histogram rollup to coarser groups by summing
+    counts per bin position — the query-time path mirroring
+    merge_distinct_sketches: day-grain histograms -> month/total
+    distributions in O(groups), never rescanning raw rows. Exact (the
+    merged array is bit-identical to a direct histogram of the union,
+    asserted in tests).
+
+    Implementation: per-position SUMs over the array elements, not a
+    collect_list fold — each bin is an independent partially-
+    aggregable SUM, so the merge has the same one-shuffle /
+    fixed-size-state shape as the original rollup."""
+    first = rollup.select(F.size(F.col(hist_col)).alias("n")).first()
+    if first is None:
+        raise ValueError("rollup has no histogram rows to merge")
+    width = first["n"]
+    sums = [
+        F.sum(F.col(hist_col)[i]).alias(f"_b{i}") for i in range(width)
+    ]
+    return (
+        rollup.groupBy(*group_cols)
+        .agg(*sums)
+        .select(
+            *group_cols,
+            F.array(*[F.col(f"_b{i}") for i in range(width)]).alias(hist_col),
+        )
+    )
+
+
+def histogram_quantile(
+    hist_col: Column | str,
+    p: float,
+    lo: float,
+    hi: float,
+) -> Column:
+    """Quantile estimate from a fixed-bin histogram column (linear
+    interpolation within the bin containing the p-th ranked value;
+    error is bounded by one bin width). Underflow/overflow mass clamps
+    to lo/hi — callers who care should widen the range until those
+    bins are empty. Pure column expression (HOF folds over the array),
+    usable directly on rollup rows with zero extra shuffles; returns
+    NULL for an all-empty histogram."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"p must be in [0,1]: {p}")
+    h = F.col(hist_col) if isinstance(hist_col, str) else hist_col
+    n_plus_2 = F.size(h)
+    n = n_plus_2 - F.lit(2)
+    total = F.aggregate(h, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    target = F.lit(float(p)) * total.cast("double")
+    # cum[i] = count at or below bin i; find first bin whose running
+    # total reaches the target rank.
+    cum = F.transform(
+        F.sequence(F.lit(0), n_plus_2 - 1),
+        lambda i: F.aggregate(
+            F.slice(h, F.lit(1), i + 1),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ),
+    )
+    idx = F.array_position(
+        F.transform(cum, lambda c: c.cast("double") >= target), F.lit(True)
+    )  # 1-based position into the (n_bins + 2)-wide array
+    bin_i = idx - F.lit(2)  # -1 = underflow, 0..n-1 = body, n = overflow
+    width = (F.lit(float(hi)) - F.lit(float(lo))) / n.cast("double")
+    prev_cum = F.when(idx > 1, F.element_at(cum, (idx - 1).cast("int"))).otherwise(
+        F.lit(0)
+    )
+    in_bin = F.element_at(h, idx.cast("int"))
+    frac = F.when(
+        in_bin > 0, (target - prev_cum.cast("double")) / in_bin.cast("double")
+    ).otherwise(F.lit(0.0))
+    body = F.lit(float(lo)) + (bin_i.cast("double") + frac) * width
+    return (
+        F.when(total == 0, F.lit(None).cast("double"))
+        .when(bin_i < 0, F.lit(float(lo)))
+        .when(bin_i >= n, F.lit(float(hi)))
+        .otherwise(body)
+    )
+
+
 class FreqEstimator:
     """Driver-side handle over merged Count-Min sketches: point
     frequency estimates with the CMS guarantee (never under-estimates;

@@ -1,0 +1,148 @@
+"""Late-interaction MaxSim retrieval (operators/late_interaction.py):
+hand-computed scores, equivalence of rerank to the exact baseline on
+the candidate set, the prune->rerank composition finding a planted
+twin, and the plan shapes (broadcast probe, no full-corpus window)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.late_interaction import (
+    maxsim_rerank,
+    maxsim_score,
+    maxsim_topk,
+    pooled_vector,
+    split_into_token_vectors,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_maxsim_score_hand_computed(spark):
+    # q tokens: [1,0], [0,2]; doc tokens: [3,1], [0,1]
+    # token 1: max(dot([1,0],[3,1])=3, dot([1,0],[0,1])=0) = 3
+    # token 2: max(dot([0,2],[3,1])=2, dot([0,2],[0,1])=2) = 2
+    df = spark.createDataFrame(
+        [([[1.0, 0.0], [0.0, 2.0]], [[3.0, 1.0], [0.0, 1.0]])],
+        "qv array<array<double>>, dv array<array<double>>",
+    )
+    assert df.select(maxsim_score("qv", "dv").alias("s")).first()["s"] == 5.0
+    # empty doc -> NULL; empty query -> 0.0
+    edge = spark.createDataFrame(
+        [([[1.0, 0.0]], []), ([], [[1.0, 0.0]])],
+        "qv array<array<double>>, dv array<array<double>>",
+    )
+    got = [r["s"] for r in edge.select(maxsim_score("qv", "dv").alias("s")).collect()]
+    assert got == [None, 0.0]
+
+
+def test_pooled_vector_and_split(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0])], "id long, v array<float>"
+    )
+    row = df.select(
+        split_into_token_vectors("v", 2).alias("tv")
+    ).select(
+        "tv", pooled_vector("tv").alias("pool")
+    ).first()
+    assert row["tv"] == [[1.0, 2.0], [3.0, 4.0]]
+    assert row["pool"] == [2.0, 3.0]  # elementwise mean
+    # dim not divisible by m -> NULL
+    assert (
+        df.select(split_into_token_vectors("v", 3).alias("tv")).first()["tv"]
+        is None
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            split_into_token_vectors("embedding", 4).alias("token_vecs"),
+        )
+        .filter(F.col("token_vecs").isNotNull())
+    )
+    queries = (
+        docs.orderBy("doc_id")
+        .limit(3)
+        .select(F.col("doc_id").alias("query_id"), "token_vecs")
+    )
+    return docs, queries
+
+
+def test_maxsim_topk_self_retrieval(spark, corpus):
+    """A doc scored against its own token vectors dominates: MaxSim of
+    q with itself is sum of ||qi||^2, the max any aligned token can
+    reach — so each query's rank-1 neighbor is itself."""
+    docs, queries = corpus
+    top = maxsim_topk(docs, queries, k=3)
+    r1 = {r["query_id"]: r["neighbor_id"] for r in top.filter("rank = 1").collect()}
+    assert r1 == {q: q for q in r1}
+    assert set(r1) == {r["query_id"] for r in queries.select("query_id").collect()}
+
+
+def test_maxsim_rerank_matches_exact_on_candidates(spark, corpus):
+    """Rerank restricted to a candidate set returns exactly the
+    exact-topk rows that survive that set (bit-identical semantics)."""
+    docs, queries = corpus
+    exact = maxsim_topk(docs, queries, k=10)
+    cands = exact.select("query_id", "neighbor_id")
+    rer = maxsim_rerank(cands, docs, queries, k=5)
+    exact5 = exact.filter("rank <= 5")
+    sym_diff = rer.select("query_id", "neighbor_id", "rank").exceptAll(
+        exact5.select("query_id", "neighbor_id", "rank")
+    )
+    assert sym_diff.count() == 0
+    assert rer.count() == exact5.count()
+
+
+def test_prune_then_rerank_finds_planted_twin(spark, corpus):
+    """The production composition: ANN prune on POOLED vectors ->
+    MaxSim rerank — a planted near-twin is found at rank 1 (rank 2
+    behind the query itself)."""
+    from ecomm_datapipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    docs, queries = corpus
+    one_q = queries.limit(1)
+    qid = one_q.first()["query_id"]
+    twin = one_q.select(
+        F.lit(999_999).cast("long").alias("doc_id"),
+        F.transform(
+            "token_vecs",
+            lambda tv: F.transform(tv, lambda x: x * 1.001 + 1e-4),
+        ).alias("token_vecs"),
+    )
+    corpus_p = docs.unionByName(twin)
+    pooled_docs = corpus_p.select(
+        "doc_id", pooled_vector("token_vecs").alias("embedding")
+    )
+    pooled_q = one_q.select(
+        F.col("query_id"), pooled_vector("token_vecs").alias("embedding")
+    )
+    cands = cosine_topk_bruteforce(
+        pooled_docs, pooled_q, k=20, id_col="doc_id"
+    )
+    # cosine_topk_bruteforce excludes the self-pair (id == query_id),
+    # so the twin must win rank 1 outright.
+    top = maxsim_rerank(cands, corpus_p, one_q, k=2)
+    rows = {r["rank"]: r["neighbor_id"] for r in top.collect()}
+    assert rows[1] == 999_999, rows
+    assert rows[2] != qid
+
+
+def test_plan_shapes(spark, corpus):
+    """Queries broadcast; ranking is the two-stage partial top-k (a
+    window partitioned by (key, partition id) exists, i.e. no stage
+    ranks a whole key's corpus in one task)."""
+    docs, queries = corpus
+    plan = (
+        maxsim_topk(docs, queries, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "_pid" in plan  # stage-1 partial rank key

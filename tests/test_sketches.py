@@ -148,3 +148,137 @@ def test_cms_string_keys(spark):
     assert est.estimate("view") >= 30
     assert est.estimate("click") >= 10
     assert est.estimate("view") + est.estimate("click") <= est.total() + 2 * 0.01 * est.total()
+
+
+# ---- fixed-bin histogram rollups -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # (segment, day, value) with known distribution incl. out-of-range
+    # values on both sides and NULLs.
+    rows = []
+    for seg in ("a", "b"):
+        for day in ("d1", "d2"):
+            base = 100 if seg == "a" else 300
+            rows.extend(
+                (seg, day, float(base + i % 97)) for i in range(500)
+            )
+    rows += [("a", "d1", -5.0), ("b", "d2", 10_000.0), ("a", "d2", None)]
+    return spark.createDataFrame(
+        rows, "segment string, day string, v double"
+    )
+
+
+def test_histogram_counts_match_duckdb(spark, values):
+    """Differential oracle: the dense bin counts equal a DuckDB
+    twin using the identical floor arithmetic."""
+    import duckdb
+
+    from ecomm_datapipeline_spark.operators.sketches import histogram_rollup
+
+    lo, hi, n = 0.0, 500.0, 10
+    got = {
+        r["segment"]: r["hist"]
+        for r in histogram_rollup(
+            values, "v", ["segment"], lo, hi, n
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", values.toPandas())
+    want = {}
+    for seg, bin_i, cnt in con.execute(
+        f"""
+        SELECT segment,
+               CASE WHEN v < {lo} THEN 0
+                    WHEN v >= {hi} THEN {n + 1}
+                    ELSE CAST(floor((v - {lo}) * {n} / ({hi} - {lo})) AS INT) + 1
+               END AS b,
+               count(*) AS c
+        FROM t WHERE v IS NOT NULL GROUP BY 1, 2
+        """
+    ).fetchall():
+        want.setdefault(seg, [0] * (n + 2))[bin_i] = cnt
+    assert got == want
+
+
+def test_histogram_merge_equals_direct(spark, values):
+    """Merging the (segment, day) rollup to segment grain is
+    bit-identical to a direct segment-grain histogram — the
+    pre-aggregation contract."""
+    from ecomm_datapipeline_spark.operators.sketches import (
+        histogram_rollup,
+        merge_histogram_rollup,
+    )
+
+    lo, hi, n = 0.0, 500.0, 16
+    fine = histogram_rollup(values, "v", ["segment", "day"], lo, hi, n)
+    merged = {
+        r["segment"]: r["hist"]
+        for r in merge_histogram_rollup(fine, ["segment"]).collect()
+    }
+    direct = {
+        r["segment"]: r["hist"]
+        for r in histogram_rollup(values, "v", ["segment"], lo, hi, n).collect()
+    }
+    assert merged == direct
+
+
+def test_histogram_quantile_within_bin_width(spark, values):
+    """histogram_quantile lands within one bin width of the exact
+    percentile for in-range data; degenerate cases behave."""
+    from ecomm_datapipeline_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    lo, hi, n = 0.0, 500.0, 50
+    in_range = values.filter("v >= 0 AND v < 500")
+    exact = {
+        r["segment"]: r["q"]
+        for r in in_range.groupBy("segment")
+        .agg(F.expr("percentile(v, 0.5)").alias("q"))
+        .collect()
+    }
+    hist = histogram_rollup(in_range, "v", ["segment"], lo, hi, n)
+    est = {
+        r["segment"]: r["q"]
+        for r in hist.select(
+            "segment", histogram_quantile("hist", 0.5, lo, hi).alias("q")
+        ).collect()
+    }
+    width = (hi - lo) / n
+    for seg, q in exact.items():
+        assert abs(est[seg] - q) <= width, (seg, est[seg], q)
+    # p=0 / p=1 clamp to range; empty histogram -> NULL
+    row = (
+        hist.select(
+            histogram_quantile("hist", 0.0, lo, hi).alias("q0"),
+            histogram_quantile("hist", 1.0, lo, hi).alias("q1"),
+        )
+        .first()
+    )
+    assert lo <= row["q0"] <= hi and lo <= row["q1"] <= hi
+    empty = spark.createDataFrame([([0] * 12,)], "hist array<bigint>")
+    assert (
+        empty.select(histogram_quantile("hist", 0.5, lo, hi).alias("q"))
+        .first()["q"]
+        is None
+    )
+
+
+def test_histogram_rollup_single_shuffle(spark, values):
+    """Scale shape: the rollup is ONE exchange (map-side partial sums),
+    and the merge is also one exchange over rollup rows."""
+    from ecomm_datapipeline_spark.operators.sketches import (
+        histogram_rollup,
+        merge_histogram_rollup,
+    )
+
+    fine = histogram_rollup(values, "v", ["segment", "day"], 0.0, 500.0, 8)
+    plan = fine._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan[:2000]
+    merged = merge_histogram_rollup(fine, ["segment"])
+    plan2 = merged._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") == 2, plan2[:2000]
+    assert "partial" in plan.lower()
