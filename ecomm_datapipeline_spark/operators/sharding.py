@@ -1,0 +1,128 @@
+"""Training-shard layout: the last-mile stage between a curated
+corpus (operators/curation.build_training_corpus) and a training job.
+
+A trainer wants (a) a fixed number of roughly equal shards it can map
+to data-loader workers, (b) a pseudo-random *document order* that is
+reproducible run-to-run and engine-to-engine (so a resumed or
+re-launched job reads the same stream), and (c) a cheap way to get a
+fresh permutation per epoch without rewriting data.
+
+Everything here derives from `xxhash64(id, seed)` — never from
+Spark's partitioning, `rand()`, or `monotonically_increasing_id()`,
+all of which change with cluster size or task scheduling:
+
+* shard  = pmod(xxhash64(id, seed), n_shards)   — membership
+* order  = xxhash64(id, seed + epoch)           — within-shard order
+
+so shard membership and reading order are pure functions of the
+document id. Re-running on 1 executor or 1000 yields byte-identical
+shard contents and order (asserted in tests by re-partitioning the
+input arbitrarily).
+
+Scale shape: ONE hash-partition shuffle on the shard column (uniform
+by construction — no skew, shard sizes are binomial around n/shards),
+a per-partition sort for the order column, and a partitioned write.
+Per-epoch re-shuffles rewrite nothing: the reader just sorts each
+shard by a different epoch's order key (`epoch_order`), an O(shard)
+local sort in the loader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SHARD_COL = "shard"
+ORDER_COL = "read_order"
+
+
+def _key(id_col: str | Column) -> Column:
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return c.cast("string")
+
+
+def epoch_order(id_col: str | Column, seed: int = 42, epoch: int = 0) -> Column:
+    """The within-shard reading order for one epoch: a deterministic
+    pseudo-random total order over ids (ties impossible modulo 64-bit
+    hash collisions; the id itself is the final tie-break in
+    assign_shards' sort). A different epoch is a fresh independent
+    permutation of the SAME shard contents — no data movement."""
+    return F.xxhash64(_key(id_col), F.lit(seed + 1 + epoch))
+
+
+def assign_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+    epoch: int = 0,
+) -> DataFrame:
+    """Add `shard` (membership) and `read_order` (epoch-0 order)
+    columns. Pure per-row arithmetic — zero shuffle; composes with
+    split_assign (hash the same id with different seeds) without
+    correlation. NULL ids are rejected loudly: silently hashing NULL
+    would funnel every such row into one shard."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    null_shard = F.when(
+        F.col(id_col).isNull(),
+        F.raise_error(F.lit(f"assign_shards: NULL {id_col}")),
+    )
+    return df.withColumn(
+        SHARD_COL,
+        F.coalesce(
+            null_shard.cast("int"),
+            F.pmod(F.xxhash64(_key(id_col), F.lit(seed)), F.lit(n_shards)).cast(
+                "int"
+            ),
+        ),
+    ).withColumn(ORDER_COL, epoch_order(id_col, seed, epoch))
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+) -> None:
+    """Materialize the sharded corpus: one directory per shard
+    (`shard=K/`), rows within each shard's files sorted by the epoch-0
+    order key so a plain sequential read IS the epoch-0 stream.
+
+    One shuffle: hash-repartition on the shard value (each output
+    task holds whole shards — files never interleave shards), then a
+    partition-local sort by (shard, read_order, id). The id tie-break
+    makes the written order total even under a 64-bit hash collision.
+    """
+    out = assign_shards(df, id_col, n_shards, seed)
+    (
+        out.repartition(n_shards, F.col(SHARD_COL))
+        .sortWithinPartitions(SHARD_COL, ORDER_COL, id_col)
+        .write.mode("overwrite")
+        .partitionBy(SHARD_COL)
+        .parquet(path)
+    )
+
+
+def read_shard_stream(
+    spark,
+    path: str,
+    shard: int,
+    id_col: str,
+    seed: int = 42,
+    epoch: int = 0,
+) -> DataFrame:
+    """One loader worker's view: shard K in epoch order. Epoch 0 is
+    the written file order (the sort is a no-op re-assertion); any
+    other epoch re-sorts the shard locally by its own permutation —
+    an O(shard) sort over one shard's rows, no cross-shard shuffle
+    (partition pruning keeps the scan to `shard=K/`). The shard is
+    coalesced to ONE task before sorting — a multi-file shard would
+    otherwise sort per file, not per shard — which is the point: a
+    shard is one loader worker's sequential stream, sized by
+    n_shards, never by corpus size."""
+    df = spark.read.parquet(path).filter(F.col(SHARD_COL) == shard)
+    return df.coalesce(1).sortWithinPartitions(
+        epoch_order(id_col, seed, epoch), F.col(id_col)
+    )

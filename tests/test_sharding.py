@@ -1,0 +1,127 @@
+"""Training-shard layout (operators/sharding.py): determinism under
+arbitrary input partitioning, shard balance, epoch permutations, and
+the written-file contract (whole shards per file, epoch-0 order)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.sharding import (
+    ORDER_COL,
+    SHARD_COL,
+    assign_shards,
+    epoch_order,
+    read_shard_stream,
+    write_training_shards,
+)
+
+N = 2000
+SHARDS = 8
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+
+
+def test_assignment_independent_of_partitioning(spark, docs):
+    a = {
+        r["doc_id"]: (r[SHARD_COL], r[ORDER_COL])
+        for r in assign_shards(docs, "doc_id", SHARDS).collect()
+    }
+    b = {
+        r["doc_id"]: (r[SHARD_COL], r[ORDER_COL])
+        for r in assign_shards(
+            docs.repartition(13, "text"), "doc_id", SHARDS
+        ).collect()
+    }
+    assert a == b
+    assert len(a) == N
+
+
+def test_shard_balance_and_coverage(spark, docs):
+    sizes = {
+        r[SHARD_COL]: r["n"]
+        for r in assign_shards(docs, "doc_id", SHARDS)
+        .groupBy(SHARD_COL)
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert set(sizes) == set(range(SHARDS))
+    # binomial(N, 1/SHARDS): mean 250, std ~15 — 5 sigma tolerance
+    assert all(abs(n - N / SHARDS) < 80 for n in sizes.values()), sizes
+
+
+def test_epochs_are_distinct_permutations_of_same_shards(spark, docs):
+    e0 = assign_shards(docs, "doc_id", SHARDS, epoch=0)
+    e1 = assign_shards(docs, "doc_id", SHARDS, epoch=1)
+    # membership identical
+    assert (
+        e0.select("doc_id", SHARD_COL)
+        .exceptAll(e1.select("doc_id", SHARD_COL))
+        .count()
+        == 0
+    )
+    # order keys differ for nearly all rows (independent permutation)
+    same = (
+        e0.alias("a")
+        .join(e1.alias("b"), "doc_id")
+        .filter(F.col(f"a.{ORDER_COL}") == F.col(f"b.{ORDER_COL}"))
+        .count()
+    )
+    assert same < N * 0.01
+
+
+def test_null_id_rejected(spark):
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    bad = spark.createDataFrame([(None,)], "doc_id string")
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        assign_shards(bad, "doc_id", 4).collect()
+
+
+def test_written_shards_round_trip(spark, docs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("shards") / "corpus")
+    write_training_shards(docs, path, "doc_id", SHARDS)
+    # one directory per shard; files within a dir hold only that shard
+    dirs = sorted(
+        d for d in os.listdir(path) if d.startswith(f"{SHARD_COL}=")
+    )
+    assert len(dirs) == SHARDS
+    back = spark.read.parquet(path)
+    assert back.count() == N
+    assert back.select("doc_id").distinct().count() == N
+    # epoch-0 stream equals the expected hash order, exactly
+    got = [
+        r["doc_id"]
+        for r in read_shard_stream(spark, path, 3, "doc_id").collect()
+    ]
+    want = [
+        r["doc_id"]
+        for r in assign_shards(docs, "doc_id", SHARDS)
+        .filter(F.col(SHARD_COL) == 3)
+        .orderBy(ORDER_COL, "doc_id")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+    # epoch-1 stream: same membership, different order
+    got1 = [
+        r["doc_id"]
+        for r in read_shard_stream(spark, path, 3, "doc_id", epoch=1).collect()
+    ]
+    assert sorted(got1) == sorted(got) and got1 != got
+
+
+def test_assign_is_zero_shuffle(spark, docs):
+    plan = (
+        assign_shards(docs, "doc_id", SHARDS)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan[:1500]
