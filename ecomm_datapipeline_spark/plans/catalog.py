@@ -1178,21 +1178,71 @@ def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quantity_stats",
+    # r5 folds the fixed-bin histogram rollup (operators/sketches.
+    # histogram_rollup, lo=0 hi=50 n_bins=10 over l_quantity — the max
+    # quantity 50.0 lands in the overflow bin, so the edge convention
+    # is gate-checked) into the same grouped pass: `hist` is the dense
+    # bin-count vector serialized ':'-joined (exact BIGINTs — arrays
+    # canonicalize differently across engines, strings don't), and
+    # `hist_p50_ok` certifies the histogram_quantile estimator lands
+    # within one bin width of the EXACT p50 computed beside it. Both
+    # engines evaluate their own check — booleans are ulp-insensitive.
     """
-    SELECT l_returnflag,
-      COUNT(*) AS n,
-      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
-      CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq,
-      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*) AS mean_qty,
-      CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*)
-        - (CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*))
-          * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) * 1.0 / COUNT(*)) AS var_qty,
-      quantile_cont(l_quantity, 0.5) AS p50_qty,
-      quantile_cont(l_quantity, 0.9) AS p90_qty,
-      quantile_cont(l_extendedprice, 0.25) AS p25_price
-    FROM lineitem GROUP BY 1
+    WITH base AS (
+      SELECT l_returnflag,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_sq,
+        quantile_cont(l_quantity, 0.5) AS p50_qty,
+        quantile_cont(l_quantity, 0.9) AS p90_qty,
+        quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        list_value(
+          CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 50 AND CAST(floor((l_quantity - 0) * 10 / (50 - 0)) AS INT) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 50 AND CAST(floor((l_quantity - 0) * 10 / (50 - 0)) AS INT) = 1 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 50 AND CAST(floor((l_quantity - 0) * 10 / (50 - 0)) AS INT) = 2 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 50 AND CAST(floor((l_quantity - 0) * 10 / (50 - 0)) AS INT) = 3 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 50 AND CAST(floor((l_quantity - 0) * 10 / (50 - 0)) AS INT) = 4 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 50 AND CAST(floor((l_quantity - 0) * 10 / (50 - 0)) AS INT) = 5 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 50 AND CAST(floor((l_quantity - 0) * 10 / (50 - 0)) AS INT) = 6 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 50 AND CAST(floor((l_quantity - 0) * 10 / (50 - 0)) AS INT) = 7 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 50 AND CAST(floor((l_quantity - 0) * 10 / (50 - 0)) AS INT) = 8 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 0 AND l_quantity < 50 AND CAST(floor((l_quantity - 0) * 10 / (50 - 0)) AS INT) = 9 THEN 1 ELSE 0 END) AS BIGINT),
+          CAST(SUM(CASE WHEN l_quantity >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        ) AS hist
+      FROM lineitem GROUP BY 1
+    ), bins AS (
+      SELECT l_returnflag, generate_subscripts(hist, 1) AS idx,
+             unnest(hist) AS cnt
+      FROM base
+    ), cums AS (
+      SELECT l_returnflag, idx, cnt,
+        SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx) AS cum,
+        SUM(cnt) OVER (PARTITION BY l_returnflag) AS total
+      FROM bins
+    ), crossing AS (
+      SELECT l_returnflag, idx, cnt, cum, total,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY idx) AS pick
+      FROM cums WHERE CAST(cum AS DOUBLE) >= 0.5 * CAST(total AS DOUBLE)
+    ), est AS (
+      SELECT l_returnflag,
+        CASE WHEN idx - 2 < 0 THEN 0.0
+             WHEN idx - 2 >= 10 THEN 50.0
+             ELSE 0.0 + ((idx - 2) + CASE WHEN cnt > 0
+               THEN (0.5 * CAST(total AS DOUBLE) - CAST(cum - cnt AS DOUBLE)) / CAST(cnt AS DOUBLE)
+               ELSE 0.0 END) * 5.0
+        END AS hist_p50
+      FROM crossing WHERE pick = 1
+    )
+    SELECT b.l_returnflag, b.n, b.sum_qty, b.sum_sq,
+      b.sum_qty * 1.0 / b.n AS mean_qty,
+      b.sum_sq * 1.0 / b.n - (b.sum_qty * 1.0 / b.n) * (b.sum_qty * 1.0 / b.n) AS var_qty,
+      b.p50_qty, b.p90_qty, b.p25_price,
+      array_to_string(b.hist, ':') AS hist,
+      CASE WHEN abs(e.hist_p50 - b.p50_qty) <= 5.0 THEN 1 ELSE 0 END AS hist_p50_ok
+    FROM base b JOIN est e USING (l_returnflag)
     """,
-    "A6/A7 dispersion via exact integer moments + §2.4 exact percentile",
+    "A6/A7 dispersion via exact integer moments + §2.4 exact percentile + r5 histogram rollup fold",
 )
 def quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dispersion AND exact percentiles per return flag in one grouped
@@ -1203,9 +1253,18 @@ def quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_sq are exact, and the final mean/variance arithmetic is a
     fixed expression tree — identical IEEE ops in both engines.
     percentile() interpolation is verified identical to DuckDB's
-    quantile_cont."""
+    quantile_cont.
+
+    r5: the same grouped pass also carries the fixed-bin histogram
+    (operators/sketches — the bin sums ride the existing shuffle as
+    12 more partial-agg longs) plus a `hist_p50_ok` check pinning
+    histogram_quantile within one bin width of the exact p50."""
+    from ..operators.sketches import _bin_index, histogram_quantile
+
+    LO, HI, NB = 0.0, 50.0, 10
     l = _t(spark, sf_dir, "lineitem")
     q = F.col("l_quantity").cast("long")
+    b = _bin_index(F.col("l_quantity"), LO, HI, NB)
     agg = l.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(q).alias("sum_qty"),
@@ -1213,8 +1272,13 @@ def quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_quantity, 0.5)").alias("p50_qty"),
         F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
         F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+        *[
+            F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).alias(f"_b{i}")
+            for i in range(NB + 2)
+        ],
     )
     mean = F.col("sum_qty") * F.lit(1.0) / F.col("n")
+    hist = F.array(*[F.col(f"_b{i}") for i in range(NB + 2)])
     return agg.select(
         "l_returnflag",
         "n",
@@ -1225,6 +1289,14 @@ def quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_qty",
         "p90_qty",
         "p25_price",
+        F.array_join(hist, ":").alias("hist"),
+        F.when(
+            F.abs(histogram_quantile(hist, 0.5, LO, HI) - F.col("p50_qty"))
+            <= F.lit((HI - LO) / NB),
+            1,
+        )
+        .otherwise(0)
+        .alias("hist_p50_ok"),
     )
 
 
@@ -1502,30 +1574,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_topk",
+    # r5 folds late-interaction MaxSim (operators/late_interaction.py)
+    # in as a per-row column: each (query, neighbor) pair is re-scored
+    # with ColBERT MaxSim over the m=4 token split of the same
+    # embeddings — sum over query tokens of max over neighbor tokens
+    # of the inner product. Quantized to 1e-6 (the lm_avg_logprob_q
+    # convention: the two engines' token-sum fold orders may differ in
+    # the last ulp; the 16-dim dots themselves are sequential folds in
+    # both). The oracle computes it with DuckDB list comprehensions.
     """
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tv AS (SELECT vec_id,
+             list_transform(range(0, 4), j ->
+               v[1 + j * (len(v) // 4) : (j + 1) * (len(v) // 4)]) AS tvs
+           FROM e),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
     scored AS (
       SELECT q.query_id, e.vec_id AS neighbor_id,
              list_cosine_similarity(e.v, q.qv) AS sim
       FROM e, q WHERE e.vec_id != q.query_id
+    ), topk AS (
+      SELECT query_id, neighbor_id, sim, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        FROM scored
+      ) WHERE rank <= 5
     )
-    SELECT query_id, neighbor_id, sim, rank FROM (
-      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                   ORDER BY sim DESC, neighbor_id) AS INT) AS rank
-      FROM scored
-    ) WHERE rank <= 5
+    SELECT t.query_id, t.neighbor_id, t.sim, t.rank,
+      round(CAST(list_sum([list_max([list_inner_product(qt, dt)
+                                     for dt in dtv.tvs])
+                           for qt in qtv.tvs]) AS DOUBLE), 6) AS maxsim_q
+    FROM topk t
+    JOIN tv qtv ON qtv.vec_id = t.query_id
+    JOIN tv dtv ON dtv.vec_id = t.neighbor_id
     """,
-    "ext: similarity search (brute-force cosine top-k)",
+    "ext: similarity search (brute-force cosine top-k) + r5 MaxSim late-interaction fold",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.late_interaction import (
+        maxsim_score,
+        split_into_token_vectors,
+    )
     from ..operators.similarity import cosine_topk_bruteforce
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return cosine_topk_bruteforce(emb, queries, k=5)
+    topk50 = cosine_topk_bruteforce(emb, queries, k=5)
+    # token-split views for the MaxSim re-score; `top` is k x |queries|
+    # rows — fixed size at ANY sf (both k and the vec_id<10 query set
+    # are constants), so broadcasting it onto the corpus is safe.
+    tv = emb.select(
+        "vec_id", split_into_token_vectors("embedding", 4).alias("tvs")
+    )
+    qtv10 = tv.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("tvs").alias("_qtv")
+    )
+    return (
+        tv.join(F.broadcast(topk50), tv.vec_id == topk50.neighbor_id)
+        .join(F.broadcast(qtv10), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "sim",
+            "rank",
+            F.round(maxsim_score("_qtv", "tvs"), 6).alias("maxsim_q"),
+        )
+    )
 
 
 @register(
@@ -2585,10 +2701,11 @@ def _ngram_concat_sql(n: int) -> str:
         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
              % 1000000 < 900000 THEN 'val'
         ELSE 'test'
-      END AS split
+      END AS split,
+      1 AS shard_balance_ok, 8 AS shard_coverage
     FROM cleaned
     """,
-    "ext: n-gram benchmark decontamination -> deterministic train/val/test split",
+    "ext: n-gram benchmark decontamination -> deterministic train/val/test split + r5 shard-layout self-verify",
 )
 def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-portable dataset split over a decontaminated corpus:
@@ -2604,15 +2721,53 @@ def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % _DECON_BENCH_MOD == 0).select(
         "doc_id", "text"
     )
-    cleaned = decontaminate(docs, bench, mode="ngram", ngram_n=_DECON_NGRAM)
+    # The decontaminated id set feeds BOTH the split assignment and
+    # the r5 shard self-verifier; no checkpoint needed — the branches
+    # share identical shuffle subplans, so Catalyst's ReusedExchange
+    # materializes the decontamination join once (verified: the
+    # two-branch row runs at the single-branch row's wall clock, and
+    # an explicit localCheckpoint measured SLOWER by losing AQE).
+    cleaned = decontaminate(
+        docs, bench, mode="ngram", ngram_n=_DECON_NGRAM
+    ).select("doc_id")
     out = split_assign(
-        cleaned.select("doc_id"), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        cleaned, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    # r5 shard-layout self-verify (oracle pins the literals 1 / 8):
+    # xxhash64 shard membership is not reproducible in DuckDB, but its
+    # CONTRACT is checkable in-plan — all 8 shards populated, and every
+    # shard within 6 binomial sigmas of the uniform mean. shard_chk is
+    # a ONE-row aggregate at any sf (grouped on shard in 0..7).
+    from ..operators.sharding import SHARD_COL, assign_shards
+
+    n_sh = 8
+    sizes = (
+        assign_shards(cleaned, "doc_id", n_sh)
+        .groupBy(SHARD_COL)
+        .agg(F.count("*").alias("_n"))
+    )
+    shard_chk = sizes.agg(
+        F.count("*").alias("_cov"),
+        F.max("_n").alias("_mx"),
+        F.min("_n").alias("_mn"),
+        F.sum("_n").alias("_tot"),
+    ).select(
+        F.when(
+            (F.col("_mx") - F.col("_tot") / n_sh
+             <= F.lit(6.0) * F.sqrt(F.col("_tot") / n_sh))
+            & (F.col("_tot") / n_sh - F.col("_mn")
+               <= F.lit(6.0) * F.sqrt(F.col("_tot") / n_sh)),
+            1,
+        )
+        .otherwise(0)
+        .alias("shard_balance_ok"),
+        F.col("_cov").cast("int").alias("shard_coverage"),
     )
     return out.select(
         "doc_id",
         hash_bucket("doc_id").cast("bigint").alias("bucket"),
         "split",
-    )
+    ).crossJoin(F.broadcast(shard_chk))
 
 
 # ---------------------------------------------------------------------------

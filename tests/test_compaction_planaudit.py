@@ -87,6 +87,8 @@ def test_compact_table_range_clustering(spark, tmp_path):
 #   events_hourly_gapfill — spine x distinct-groups grid (both sides
 #     tiny: output-sized)
 #   event_funnel / weekly_retention — scalar/spine-sized cross steps
+#   train_split_assign — r5 shard self-verify: the ONE-row balance
+#     aggregate cross-joins onto the per-doc split rows (broadcast)
 CROSS_ALLOWED = {
     "embedding_neardup_pairs",
     "ann_cosine_topk",
@@ -94,6 +96,7 @@ CROSS_ALLOWED = {
     "events_hourly_gapfill",
     "event_funnel",
     "weekly_retention",
+    "train_split_assign",
 }
 
 # Iterative queries run driver-side loops at plan-build time; they are

@@ -27,8 +27,12 @@ def test_no_forced_broadcast_on_scaling_tables():
     # ONE row at any SF (ann_cosine_topk_approx's self-verification
     # scalars: exact-k denominator, PQ overlap count, PQ bad-self count).
     # sem_* = embedding_neardup_pairs' SemDeDup self-verifier scalars.
+    # r5 folds: topk50/qtv10 = ann_cosine_topk's MaxSim re-score frames
+    # (k x |vec_id<10 queries| and |queries| rows — constants at any
+    # SF); shard_chk = train_split_assign's one-row shard-balance agg.
     one_row_aggs = (
         "exact_n", "pq_overlap", "pq_self", "sem_subset", "sem_ratio", "sem_clean",
+        "topk50", "qtv10", "shard_chk",
     )
     offenders = [a for a in args if a not in ("n", "r") + one_row_aggs]
     assert not offenders, (

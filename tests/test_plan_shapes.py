@@ -46,7 +46,7 @@ PINNED = {
     "order_status_pivot": (2, 0, 0),
     "event_funnel": (2, 1, 0),
     "weekly_retention": (3, 0, 0),
-    "quantity_stats": (1, 0, 0),
+    "quantity_stats": (1, 0, 0),  # r5 histogram fold rides the same shuffle
     "order_recency_gaps": (1, 1, 0),
     "dedup_exact": (1, 0, 0),
     "dedup_ngram_jaccard": (1, 0, 0),  # post-checkpoint plan
@@ -55,7 +55,7 @@ PINNED = {
     # r5: +1 exchange/+2 sorts per corpus-scan ranker = the two-stage
     # partial top-k (VERDICT r4 item 2) — the extra exchange is spread
     # over |keys| x |partitions| groups instead of one task per key.
-    "ann_cosine_topk": (2, 4, 0),
+    "ann_cosine_topk": (2, 4, 0),  # r5 MaxSim fold joins are all-broadcast
     "ann_cosine_topk_approx": (24, 35, 4),  # 4-method self-verifier + 2 exact twins
     # r5: the SemDeDup self-verifier runs the full cluster->pair->
     # dedup->recheck pipeline in-plan (cluster-key joins + one-row
@@ -76,7 +76,12 @@ PINNED = {
     # r5: decontaminate(ngram) now feeds the split — gram-hash
     # dedup/join shuffles, but all of them keyed on 8-byte digests or
     # doc ids, never documents.
-    "train_split_assign": (3, 2, 2),
+    # r5: the shard self-verifier is a second branch over the same
+    # decontaminated base — the STATIC plan prints the subtree twice
+    # (hence 2x exchanges/generates + the 2-exchange shard agg), but
+    # at runtime ReusedExchange materializes it once (measured at the
+    # single-branch wall clock; an explicit localCheckpoint was slower).
+    "train_split_assign": (8, 4, 4),
     "shipping_priority": (1, 0, 0),
     "local_supplier_volume": (1, 0, 0),
     "returned_items_by_customer": (1, 0, 0),
