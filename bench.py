@@ -36,7 +36,10 @@ HEADLINE = [
     ("dedup_exact", "dedup_exact"),
     ("dedup_ngram_jaccard", "dedup_ngram_jaccard"),
     ("dedup_minhash_lsh", "dedup_minhash_lsh"),
-    ("ann_cosine_topk", "ann_cosine_topk"),
+    # r5: slot renamed — the row now ALSO re-scores every result pair
+    # with the MaxSim late-interaction fold over the m=4 token split,
+    # so old-name ratios would compare different work.
+    ("ann_cosine_topk_maxsim", "ann_cosine_topk"),
     # r5: slot renamed — the row now ALSO runs BM25 scoring and the
     # bigram-LM perplexity fold (train collect + literal-map scoring),
     # so old-name ratios would compare different work.
