@@ -1,0 +1,119 @@
+"""Corpus snapshot diff — dataset versioning between releases.
+
+A training-data platform ships corpus RELEASES; the first question
+about release N+1 is always "what changed since N?" — how many
+documents appeared, vanished, or were edited, and where (which
+source). This module answers it with one full-outer join keyed on the
+document id, comparing content FINGERPRINTS (md5 of the compared
+columns) rather than the columns themselves, so the shuffle carries
+ids + 32-byte digests, never document text.
+
+Scale shape: both snapshots scan once (projecting only id + the
+fingerprint input columns — column pruning reaches the parquet
+scan), fingerprints are per-row map-side md5, and the diff is ONE
+shuffle per side on the id. For repeated diffing of huge snapshots,
+write both with sources/tables.write_bucketed_table on the id column
+and the sort-merge join runs shuffle-free. The summary re-aggregates
+the diff by (status, source) — map-side combinable, O(groups) out.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STATUS_COL = "diff_status"
+
+
+def _fingerprint(compare_cols: list[str]):
+    """Stable per-row content digest: md5 over the '\\x1f'-joined
+    string forms of the compared columns, with NULL encoded as a
+    sentinel distinct from any value ('\\x00'). Engine-portable (the
+    same expression is plain SQL), so diffs are reproducible outside
+    Spark."""
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+        for c in compare_cols
+    ]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    compare_cols: list[str],
+    carry_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Row-level diff of two corpus snapshots.
+
+    Returns (id_col, diff_status, *carry_cols) where diff_status is
+    'added' (id only in new), 'removed' (only in old), 'changed'
+    (both, fingerprints differ), or 'unchanged' (both, equal —
+    emitted only with include_unchanged=True; at 100 TB the unchanged
+    mass dominates and callers usually want the delta only, filtered
+    BEFORE anything downstream materializes it).
+
+    carry_cols ride from the NEW side ('added'/'changed'/'unchanged')
+    and from the OLD side for 'removed' rows — the diff is directly
+    usable as an incremental work list (e.g. re-curate exactly the
+    added+changed documents).
+    """
+    carry = carry_cols or []
+    o = old.select(
+        F.col(id_col),
+        _fingerprint(compare_cols).alias("_fp_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in carry],
+    )
+    n = new.select(
+        F.col(id_col),
+        _fingerprint(compare_cols).alias("_fp_new"),
+        *[F.col(c).alias(f"_new_{c}") for c in carry],
+    )
+    j = o.join(n, id_col, "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        F.col(id_col),
+        status.alias(STATUS_COL),
+        *[
+            F.coalesce(F.col(f"_new_{c}"), F.col(f"_old_{c}")).alias(c)
+            for c in carry
+        ],
+    )
+    if not include_unchanged:
+        out = out.filter(F.col(STATUS_COL) != "unchanged")
+    return out
+
+
+def diff_summary(
+    diff: DataFrame, by_cols: list[str] | None = None
+) -> DataFrame:
+    """Aggregate the diff to (status[, *by_cols]) counts — the release
+    note's headline table. Map-side combinable; output is
+    O(4 x |by groups|)."""
+    keys = [STATUS_COL, *(by_cols or [])]
+    return diff.groupBy(*keys).agg(F.count("*").alias("n_docs"))
+
+
+def snapshot_fingerprint(
+    df: DataFrame, id_col: str, compare_cols: list[str]
+) -> DataFrame:
+    """One-row whole-snapshot digest: order-insensitive combination
+    (sum of 64-bit prefixes of the row fingerprints, plus the count)
+    — cheap release-equality checks without a join: two snapshots
+    with equal (n_rows, fp_sum) are identical up to astronomically
+    unlikely collisions; any row edit shifts the sum."""
+    fp = _fingerprint(compare_cols)
+    prefix64 = F.conv(F.substring(fp, 1, 15), 16, 10).cast("decimal(20,0)")
+    return df.select(
+        F.col(id_col), prefix64.alias("_p")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_p").cast("decimal(38,0)").alias("fp_sum"),
+    )

@@ -1,0 +1,178 @@
+"""Corpus snapshot diff (operators/versioning.py): all four statuses
+on hand-built snapshots, a DuckDB SQL differential over real testdata
+mutations, the incremental-work-list composition, the whole-snapshot
+fingerprint, and the plan shape (pruned scans, id-keyed join)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.versioning import (
+    STATUS_COL,
+    corpus_diff,
+    diff_summary,
+    snapshot_fingerprint,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark):
+    old = spark.createDataFrame(
+        [
+            (1, "alpha", "web"),
+            (2, "beta", "web"),
+            (3, "gamma", "books"),
+            (4, None, "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [
+            (2, "beta", "web"),  # unchanged
+            (3, "gamma EDITED", "books"),  # changed
+            (4, "", "books"),  # NULL -> empty string must be 'changed'
+            (5, "delta", "web"),  # added
+        ],
+        "doc_id long, text string, source string",
+    )
+    return old, new
+
+
+def test_statuses_hand_built(spark, snapshots):
+    old, new = snapshots
+    got = {
+        r["doc_id"]: r[STATUS_COL]
+        for r in corpus_diff(
+            old, new, "doc_id", ["text"], include_unchanged=True
+        ).collect()
+    }
+    assert got == {
+        1: "removed",
+        2: "unchanged",
+        3: "changed",
+        4: "changed",
+        5: "added",
+    }
+    # default excludes unchanged
+    assert 2 not in {
+        r["doc_id"]
+        for r in corpus_diff(old, new, "doc_id", ["text"]).collect()
+    }
+
+
+def test_carry_cols_side_selection(spark, snapshots):
+    old, new = snapshots
+    rows = {
+        r["doc_id"]: (r[STATUS_COL], r["text"], r["source"])
+        for r in corpus_diff(
+            old, new, "doc_id", ["text"], carry_cols=["text", "source"]
+        ).collect()
+    }
+    assert rows[1] == ("removed", "alpha", "web")  # old side
+    assert rows[3] == ("changed", "gamma EDITED", "books")  # new side
+    assert rows[5] == ("added", "delta", "web")
+
+
+def test_diff_matches_duckdb_on_testdata(spark):
+    """Differential oracle on real documents: new = drop ids%17==0,
+    edit ids%13==0, add shifted copies — statuses match a from-scratch
+    SQL diff exactly."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    new = (
+        docs.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.limit(20).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    )
+    got = {
+        r["doc_id"]: r[STATUS_COL]
+        for r in corpus_diff(docs, new, "doc_id", ["text"]).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW old AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    con.register("new", new.toPandas())
+    want = dict(
+        con.execute(
+            """
+            SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                   ELSE 'unchanged' END AS s
+            FROM old o FULL OUTER JOIN new n USING (doc_id)
+            WHERE CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN n.doc_id IS NULL THEN 'removed'
+                   WHEN o.text IS DISTINCT FROM n.text THEN 'changed'
+                   ELSE 'unchanged' END != 'unchanged'
+            """
+        ).fetchall()
+    )
+    assert got == want and len(got) > 40
+
+
+def test_summary_and_incremental_worklist(spark, snapshots):
+    old, new = snapshots
+    diff = corpus_diff(
+        old, new, "doc_id", ["text"], carry_cols=["text", "source"]
+    )
+    summary = {
+        (r[STATUS_COL], r["source"]): r["n_docs"]
+        for r in diff_summary(diff, ["source"]).collect()
+    }
+    assert summary[("added", "web")] == 1
+    assert summary[("changed", "books")] == 2
+    # the delta is a usable work list: re-process added+changed only
+    work = diff.filter(F.col(STATUS_COL).isin("added", "changed"))
+    assert {r["doc_id"] for r in work.collect()} == {3, 4, 5}
+    assert all(r["text"] is not None for r in work.collect())
+
+
+def test_snapshot_fingerprint_detects_any_edit(spark, snapshots):
+    old, new = snapshots
+    a = snapshot_fingerprint(old, "doc_id", ["text"]).first()
+    b = snapshot_fingerprint(new, "doc_id", ["text"]).first()
+    a2 = snapshot_fingerprint(
+        old.repartition(7), "doc_id", ["text"]
+    ).first()
+    assert (a["n_rows"], a["fp_sum"]) == (a2["n_rows"], a2["fp_sum"])
+    assert (a["n_rows"], a["fp_sum"]) != (b["n_rows"], b["fp_sum"])
+    one_edit = old.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 1, F.lit("alpha!")).otherwise(F.col("text")),
+    )
+    c = snapshot_fingerprint(one_edit, "doc_id", ["text"]).first()
+    assert c["n_rows"] == a["n_rows"] and c["fp_sum"] != a["fp_sum"]
+
+
+def test_plan_prunes_and_joins_on_id(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = (
+        corpus_diff(docs, docs, "doc_id", ["text"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # only id + compared column reach the scan (no lang/source/n_chars)
+    assert "ReadSchema" in plan
+    schema_lines = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert all("lang" not in l and "n_chars" not in l for l in schema_lines), (
+        schema_lines
+    )
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
