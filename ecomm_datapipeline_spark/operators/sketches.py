@@ -162,18 +162,28 @@ def histogram_rollup(
     SUMs, all map-side partially aggregated, so the one shuffle
     carries |groups| x (n_bins + 2) longs regardless of row count.
     Keep n_bins modest (<= a few hundred): each bin is an aggregation
-    buffer slot."""
+    buffer slot.
+
+    The bin index is PROJECTED once before the aggregation: Catalyst
+    does not CSE an expression repeated across aggregate functions, so
+    inlining it would evaluate the floor/clamp arithmetic n_bins + 2
+    times per row; against the projected int each sum is a plain
+    equality."""
     if hi <= lo:
         raise ValueError(f"hi must exceed lo: [{lo}, {hi})")
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1: {n_bins}")
-    b = _bin_index(F.col(value_col), lo, hi, n_bins)
+    binned = df.withColumn(
+        "_hist_bin", _bin_index(F.col(value_col), lo, hi, n_bins)
+    )
     sums = [
-        F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).alias(f"_b{i}")
+        F.sum(
+            F.when(F.col("_hist_bin") == i, F.lit(1)).otherwise(F.lit(0))
+        ).alias(f"_b{i}")
         for i in range(n_bins + 2)
     ]
     return (
-        df.groupBy(*group_cols)
+        binned.groupBy(*group_cols)
         .agg(*sums)
         .select(
             *group_cols,
@@ -188,6 +198,7 @@ def merge_histogram_rollup(
     rollup: DataFrame,
     group_cols: list[str],
     hist_col: str = "hist",
+    n_bins: int | None = None,
 ) -> DataFrame:
     """Re-aggregate a histogram rollup to coarser groups by summing
     counts per bin position — the query-time path mirroring
@@ -199,11 +210,20 @@ def merge_histogram_rollup(
     Implementation: per-position SUMs over the array elements, not a
     collect_list fold — each bin is an independent partially-
     aggregable SUM, so the merge has the same one-shuffle /
-    fixed-size-state shape as the original rollup."""
-    first = rollup.select(F.size(F.col(hist_col)).alias("n")).first()
-    if first is None:
-        raise ValueError("rollup has no histogram rows to merge")
-    width = first["n"]
+    fixed-size-state shape as the original rollup.
+
+    Pass `n_bins` (the rollup's own setting) when known: the array
+    width is not in the schema, so without it a one-row probe must
+    EXECUTE the rollup plan once just to size the merge — fine on a
+    materialized rollup table, a doubled computation when merging a
+    freshly-built lazy rollup."""
+    if n_bins is not None:
+        width = n_bins + 2
+    else:
+        first = rollup.select(F.size(F.col(hist_col)).alias("n")).first()
+        if first is None:
+            raise ValueError("rollup has no histogram rows to merge")
+        width = first["n"]
     sums = [
         F.sum(F.col(hist_col)[i]).alias(f"_b{i}") for i in range(width)
     ]

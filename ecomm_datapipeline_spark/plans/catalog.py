@@ -1262,9 +1262,12 @@ def quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import _bin_index, histogram_quantile
 
     LO, HI, NB = 0.0, 50.0, 10
-    l = _t(spark, sf_dir, "lineitem")
+    # bin index projected once pre-agg (histogram_rollup's CSE note)
+    l = _t(spark, sf_dir, "lineitem").withColumn(
+        "_hb", _bin_index(F.col("l_quantity"), LO, HI, NB)
+    )
     q = F.col("l_quantity").cast("long")
-    b = _bin_index(F.col("l_quantity"), LO, HI, NB)
+    b = F.col("_hb")
     agg = l.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum(q).alias("sum_qty"),
