@@ -1,0 +1,103 @@
+"""Streaming maintainer of a fixed-bin histogram rollup.
+
+operators/sketches.histogram_rollup is mergeable by per-position
+addition, so continuous maintenance needs no read-modify-write at
+all: each micro-batch APPENDS one delta row per group (its own
+histogram of just that batch), and readers merge the deltas at query
+time — day-one rows and second-one rows sum identically. This is the
+cheapest possible streaming aggregation shape: the stored state per
+batch is O(groups x bins) longs, the write is append-only (no
+upsert machinery), and a reader's merge cost is O(delta rows), kept
+bounded by periodic compaction that collapses history to one row per
+group (atomic swap, crash-safe).
+
+Exactly-once: foreachBatch replays a micro-batch after a crash;
+every delta row carries the micro-batch id and a replay skips the
+append iff its batch id already landed — the single-table twin of
+streaming/dedup_index's two-table protocol.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.sketches import histogram_rollup, merge_histogram_rollup
+from ..sources import tables
+
+_BATCH_COL = "_batch_id"
+
+
+def histogram_rollup_stream(
+    stream: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int = 32,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the maintainer: each micro-batch appends its per-group
+    histogram delta. Bin parameters are fixed for the table's lifetime
+    (they define the array layout); changing them means a new rollup
+    path."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if tables.table_exists(rollup_path):
+            existing = tables.read_table(batch.sparkSession, rollup_path)
+            if (
+                existing.filter(F.col(_BATCH_COL) == batch_id).limit(1).count()
+                > 0
+            ):
+                return  # replay of a committed batch: exactly-once skip
+        delta = histogram_rollup(
+            batch, value_col, group_cols, lo, hi, n_bins
+        ).withColumn(_BATCH_COL, F.lit(batch_id))
+        tables.write_table(delta, rollup_path, mode="append")
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_histogram(
+    spark: SparkSession,
+    rollup_path: str,
+    group_cols: list[str],
+    n_bins: int,
+) -> DataFrame:
+    """Query-time merge of the delta rows to one histogram per group —
+    bit-identical to a direct batch histogram of everything ingested
+    (asserted in tests). O(delta rows), which compaction keeps at
+    O(groups)."""
+    deltas = tables.read_table(spark, rollup_path)
+    return merge_histogram_rollup(deltas, group_cols, n_bins=n_bins)
+
+
+def compact_histogram_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    group_cols: list[str],
+    n_bins: int,
+) -> None:
+    """Collapse the delta history to one row per group (keeping the
+    max absorbed batch id per group so replay detection still works
+    after compaction), staged to a tmp dir and atomically swapped in —
+    a crash mid-compaction leaves the old table intact."""
+    deltas = tables.read_table(spark, rollup_path)
+    merged = merge_histogram_rollup(deltas, group_cols, n_bins=n_bins)
+    max_batch = deltas.groupBy(*group_cols).agg(
+        F.max(_BATCH_COL).alias(_BATCH_COL)
+    )
+    compacted = merged.join(max_batch, group_cols)
+    tmp = rollup_path.rstrip("/") + "._compact_tmp"
+    tables.write_table(compacted, tmp, mode="overwrite")
+    tables._swap_into(tmp, rollup_path)

@@ -1,0 +1,117 @@
+"""Streaming histogram-rollup maintainer (streaming/hist_rollup.py):
+merged deltas bit-identical to a direct batch histogram of everything
+ingested, idempotent replay, and compaction preserving the answer."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.sketches import histogram_rollup
+from ecomm_datapipeline_spark.sources import tables
+from ecomm_datapipeline_spark.streaming import hist_rollup
+
+LO, HI, NB = 0.0, 100.0, 8
+
+
+def _write_batch(landing, name, rows):
+    with open(os.path.join(landing, name), "w") as f:
+        for seg, v in rows:
+            f.write(json.dumps({"segment": seg, "v": v}) + "\n")
+
+
+@pytest.fixture()
+def env(tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    return {
+        "landing": landing,
+        "rollup": str(tmp_path / "rollup"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _drain(spark, env):
+    stream = (
+        spark.readStream.schema("segment string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .json(env["landing"])
+    )
+    q = hist_rollup.histogram_rollup_stream(
+        stream, env["rollup"], env["ckpt"], "v", ["segment"], LO, HI, NB
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def _hists(df):
+    return {r["segment"]: r["hist"] for r in df.collect()}
+
+
+BATCH1 = [("a", 5.0), ("a", 15.0), ("b", 200.0), ("a", -3.0)]
+BATCH2 = [("a", 15.5), ("b", 50.0), ("c", 99.9), ("a", None)]
+
+
+def test_merged_deltas_equal_direct_batch(spark, env):
+    _write_batch(env["landing"], "b1.json", BATCH1)
+    _write_batch(env["landing"], "b2.json", BATCH2)
+    _drain(spark, env)
+    # one delta row per (batch, segment-seen-in-batch)
+    deltas = tables.read_table(spark, env["rollup"])
+    assert deltas.select("_batch_id").distinct().count() == 2
+    got = _hists(
+        hist_rollup.read_histogram(spark, env["rollup"], ["segment"], NB)
+    )
+    everything = spark.createDataFrame(
+        [r for r in BATCH1 + BATCH2], "segment string, v double"
+    )
+    want = _hists(histogram_rollup(everything, "v", ["segment"], LO, HI, NB))
+    assert got == want
+    assert got["a"][0] == 1  # underflow (-3) counted
+    assert got["b"][NB + 1] == 1  # overflow (200) counted
+
+
+def test_replay_is_idempotent(spark, env):
+    _write_batch(env["landing"], "b1.json", BATCH1)
+    _drain(spark, env)
+    before = _hists(
+        hist_rollup.read_histogram(spark, env["rollup"], ["segment"], NB)
+    )
+    n_rows = tables.read_table(spark, env["rollup"]).count()
+    # no-op drain (no new files) appends nothing
+    _drain(spark, env)
+    assert tables.read_table(spark, env["rollup"]).count() == n_rows
+    # the committed-batch guard the maintainer checks on replay
+    existing = tables.read_table(spark, env["rollup"])
+    committed = {r["_batch_id"] for r in existing.select("_batch_id").collect()}
+    assert 0 in committed
+    after = _hists(
+        hist_rollup.read_histogram(spark, env["rollup"], ["segment"], NB)
+    )
+    assert after == before
+
+
+def test_compaction_preserves_answer(spark, env):
+    _write_batch(env["landing"], "b1.json", BATCH1)
+    _write_batch(env["landing"], "b2.json", BATCH2)
+    _drain(spark, env)
+    before = _hists(
+        hist_rollup.read_histogram(spark, env["rollup"], ["segment"], NB)
+    )
+    hist_rollup.compact_histogram_rollup(
+        spark, env["rollup"], ["segment"], NB
+    )
+    deltas = tables.read_table(spark, env["rollup"])
+    assert deltas.count() == len(before)  # one row per group now
+    after = _hists(
+        hist_rollup.read_histogram(spark, env["rollup"], ["segment"], NB)
+    )
+    assert after == before
+    # a post-compaction drain of a NEW batch still merges correctly
+    _write_batch(env["landing"], "b3.json", [("a", 42.0)])
+    _drain(spark, env)
+    final = _hists(
+        hist_rollup.read_histogram(spark, env["rollup"], ["segment"], NB)
+    )
+    assert sum(final["a"]) == sum(before["a"]) + 1
