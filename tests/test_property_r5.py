@@ -111,3 +111,88 @@ def test_lm_scores_are_valid_logprobs(spark, corpus):
         if r["avg_logprob"] is not None:
             assert r["avg_logprob"] <= 1e-12
             assert r["perplexity"] >= 1.0 - 1e-12
+
+
+# ---- round-5 part-4 properties: histogram quantiles & MaxSim -------------
+
+_values = st.lists(
+    st.floats(min_value=-50.0, max_value=150.0, allow_nan=False),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(vals=_values, p=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]))
+@settings(max_examples=12, deadline=None, derandomize=True)
+def test_histogram_quantile_bounded_and_clamped(spark, vals, p):
+    """For ANY data (incl. out-of-range mass): the estimate stays in
+    [lo, hi], and with no under/overflow mass it lands within one bin
+    width of the exact percentile."""
+    from ecomm_datapipeline_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    LO, HI, NB = 0.0, 100.0, 10
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    hist = histogram_rollup(df.withColumn("g", F.lit(1)), "v", ["g"], LO, HI, NB)
+    est = hist.select(histogram_quantile("hist", p, LO, HI).alias("q")).first()["q"]
+    assert LO <= est <= HI
+    in_range = sorted(v for v in vals if LO <= v < HI)
+    if len(in_range) == len(vals) and in_range:
+        import math
+
+        rank = p * len(in_range)
+        lo_i = max(0, min(len(in_range) - 1, math.floor(rank) - 1))
+        hi_i = max(0, min(len(in_range) - 1, math.ceil(rank)))
+        width = (HI - LO) / NB
+        assert in_range[lo_i] - width <= est <= in_range[hi_i] + width
+
+
+@given(vals=_values)
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_histogram_quantile_monotone_in_p(spark, vals):
+    from ecomm_datapipeline_spark.operators.sketches import (
+        histogram_quantile,
+        histogram_rollup,
+    )
+
+    LO, HI, NB = 0.0, 100.0, 10
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    hist = histogram_rollup(df.withColumn("g", F.lit(1)), "v", ["g"], LO, HI, NB)
+    row = hist.select(
+        *[
+            histogram_quantile("hist", p, LO, HI).alias(f"q{i}")
+            for i, p in enumerate([0.1, 0.3, 0.5, 0.7, 0.9])
+        ]
+    ).first()
+    qs = [row[f"q{i}"] for i in range(5)]
+    assert qs == sorted(qs), qs
+
+
+_vec = st.lists(
+    st.floats(min_value=-2.0, max_value=2.0, allow_nan=False),
+    min_size=4,
+    max_size=4,
+)
+_tokvecs = st.lists(_vec, min_size=1, max_size=3)
+
+
+@given(q=_tokvecs, d=_tokvecs)
+@settings(max_examples=10, deadline=None, derandomize=True)
+def test_maxsim_matches_python_reference(spark, q, d):
+    """MaxSim fold == the from-scratch Python definition (sum over
+    query tokens of max over doc tokens of the dot product), to float
+    tolerance, for ANY token-vector pair."""
+    from ecomm_datapipeline_spark.operators.late_interaction import (
+        maxsim_score,
+    )
+
+    df = spark.createDataFrame(
+        [(q, d)], "qv array<array<double>>, dv array<array<double>>"
+    )
+    got = df.select(maxsim_score("qv", "dv").alias("s")).first()["s"]
+    want = sum(
+        max(sum(x * y for x, y in zip(qt, dt)) for dt in d) for qt in q
+    )
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
