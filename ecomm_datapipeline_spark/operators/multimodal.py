@@ -363,3 +363,158 @@ def extract_audio_features(
             )
 
     return src.mapInPandas(_extract, AUDIO_FEATURES_SCHEMA)
+
+
+# ---- perceptual-hash image near-dup (r5) ---------------------------------
+#
+# The image twin of the text near-dup family: decode each image to a
+# tiny grayscale GRID at the codec seam (the only Python step, same
+# mapInPandas shape as feature extraction), then everything downstream
+# is pure JVM — the average-hash signature is a HOF fold over the grid
+# column, and candidate pairing reuses the SimHash shape (prefix
+# bucket + bit_count(xor) hamming), one keyed shuffle, never all-pairs.
+# Real decode (Pillow thumbnail to n x n grayscale) and the fake both
+# emit the same array<double> column, so the whole dedup path is
+# testable without codecs; near-dup GEOMETRY is tested by injecting
+# grids directly (the fake decode is avalanche-random by design, so
+# byte-perturbed payloads cannot stand in for visually-similar images).
+
+GRID_SIDE = 8  # 8x8 luma grid -> 64-bit signature
+
+GRAY_GRID_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("gray_grid", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _decode_gray_grid(payload: bytes, fake: bool, side: int) -> list[float]:
+    """Codec seam: n x n row-major grayscale grid in [0, 1]. fake=True
+    expands sha256(payload) to side^2 deterministic bytes; fake=False
+    uses Pillow's resize when importable, else raises (the documented
+    codec contract)."""
+    if not fake:
+        if _PILImage is None:
+            raise NotImplementedError(
+                "media codecs unavailable in this environment; "
+                "install Pillow for real perceptual hashing"
+            )
+        img = _PILImage.open(io.BytesIO(payload)).convert("L").resize((side, side))
+        return [p / 255.0 for p in img.getdata()]
+    out: list[float] = []
+    block = hashlib.sha256(payload).digest()
+    while len(out) < side * side:
+        out.extend(b / 255.0 for b in block)
+        block = hashlib.sha256(block).digest()
+    return out[: side * side]
+
+
+def decode_gray_grids(
+    assets: DataFrame, fake_decode: bool = True, batch_partitions: int | None = None
+) -> DataFrame:
+    """(asset_id, gray_grid) via mapInPandas — the one Python stage of
+    the perceptual-hash path; byte-volume partitioning as in
+    extract_image_features."""
+    src = assets
+    if batch_partitions:
+        src = src.repartition(batch_partitions)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "gray_grid": [
+                        _decode_gray_grid(bytes(p), fake_decode, GRID_SIDE)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return src.mapInPandas(_decode, GRAY_GRID_SCHEMA)
+
+
+def ahash_signature(grid_col):
+    """Average-hash over a grid column, entirely JVM-side: bit i is 1
+    iff cell i exceeds the grid mean; bits assemble MSB-first into one
+    signed 64-bit signature (sign bit is just bit 0 of the hash — xor
+    and bit_count are sign-agnostic). NULL/empty grids yield NULL.
+
+    Assembly builds each 32-bit half with an acc*2+bit fold (values
+    stay < 2^32 — no long overflow even under ANSI; shiftleft can't be
+    used here, its shift amount must be a Python literal) and combines
+    them with explicit two's-complement arithmetic."""
+    g = F.col(grid_col) if isinstance(grid_col, str) else grid_col
+    n = F.size(g)
+    mean = F.aggregate(g, F.lit(0.0), lambda a, x: a + x) / n.cast("double")
+
+    def half(offset: int):
+        return F.aggregate(
+            F.sequence(F.lit(offset), F.lit(offset + 31)),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(
+                F.element_at(g, (i + 1).cast("int")) > mean, F.lit(1)
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+
+    high, low = half(0), half(32)
+    two32 = F.lit(2**32).cast("long")
+    signed = F.when(
+        high >= F.lit(2**31), (high - two32) * two32 + low
+    ).otherwise(high * two32 + low)
+    return F.when(n == GRID_SIDE * GRID_SIDE, signed)
+
+
+def hamming_near_pairs(
+    sigs: DataFrame,
+    sig_col: str = "ahash",
+    id_col: str = "asset_id",
+    max_hamming: int = 6,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """Candidate pairs with hamming(sig_a, sig_b) <= max_hamming among
+    rows sharing the top prefix_bits of the signature — the SimHash
+    candidate shape generalized to any 64-bit signature column: the
+    self-join keys on the (tiny) prefix bucket, so the shuffle is one
+    keyed exchange and comparisons stay within buckets. Recall
+    caveat (inherent to prefix bucketing, same as SimHash): a flipped
+    bit INSIDE the prefix moves the bucket; multi-probe or banding
+    over rotations recovers it when needed."""
+    s = sigs.select(
+        F.col(id_col),
+        F.col(sig_col),
+        F.shiftright(F.col(sig_col), 63 - prefix_bits).alias("_bucket"),
+    ).filter(F.col(sig_col).isNotNull())
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col(f"a.{sig_col}").bitwiseXOR(F.col(f"b.{sig_col}"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_near_dup_pairs(
+    assets: DataFrame,
+    fake_decode: bool = True,
+    max_hamming: int = 6,
+    prefix_bits: int = 12,
+) -> DataFrame:
+    """End-to-end perceptual near-dup: decode grids (Python seam) ->
+    aHash (JVM fold) -> prefix-bucketed hamming pairs (one shuffle)."""
+    sigs = decode_gray_grids(assets, fake_decode=fake_decode).select(
+        "asset_id", ahash_signature("gray_grid").alias("ahash")
+    )
+    return hamming_near_pairs(
+        sigs, "ahash", "asset_id", max_hamming, prefix_bits
+    )

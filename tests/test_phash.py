@@ -1,0 +1,134 @@
+"""Perceptual-hash image near-dup (operators/multimodal.py r5):
+hand-computed aHash bits, perturbation geometry via injected grids
+(the fake codec is avalanche-random by design, so similarity tests
+inject grids directly), end-to-end plumbing through the decode seam,
+and the one-shuffle bucketed-join plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.multimodal import (
+    GRID_SIDE,
+    ahash_signature,
+    decode_gray_grids,
+    hamming_near_pairs,
+    image_near_dup_pairs,
+)
+
+N = GRID_SIDE * GRID_SIDE
+
+
+def _grid(base=0.25, bright_cells=()):
+    g = [base] * N
+    for i in bright_cells:
+        g[i] = 0.9
+    return g
+
+
+def test_ahash_hand_computed(spark):
+    # cells 0 and 63 bright -> exactly bits 63 and 0 set (MSB-first):
+    # sig = (1<<63) + 1 as signed long = Long.MIN_VALUE + 1
+    df = spark.createDataFrame(
+        [(1, _grid(bright_cells=[0, 63]))], "asset_id long, gray_grid array<double>"
+    )
+    sig = df.select(ahash_signature("gray_grid").alias("s")).first()["s"]
+    assert sig == -(2**63) + 1
+    # uniform grid: no cell EXCEEDS the mean -> all bits zero
+    # (0.25 is binary-exact, so mean == cell exactly; a non-dyadic
+    # base would put FP jitter at the comparison boundary)
+    flat = spark.createDataFrame(
+        [(2, _grid())], "asset_id long, gray_grid array<double>"
+    )
+    assert flat.select(ahash_signature("gray_grid").alias("s")).first()["s"] == 0
+    # wrong-size / NULL grids -> NULL signature
+    bad = spark.createDataFrame(
+        [(3, [0.5] * 10), (4, None)], "asset_id long, gray_grid array<double>"
+    )
+    got = [r["s"] for r in bad.select(ahash_signature("gray_grid").alias("s")).collect()]
+    assert got == [None, None]
+
+
+def test_perturbation_geometry(spark):
+    """One flipped cell changes at most ~1 bit; an inverted image is
+    maximally distant."""
+    base_cells = list(range(20, 44))  # a 'shape' lighting 24 cells
+    a = _grid(bright_cells=base_cells)
+    b = _grid(bright_cells=base_cells[:-1] + [55])  # one cell moved
+    inv = [1.0 - v for v in a]
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, inv)], "asset_id long, gray_grid array<double>"
+    )
+    sigs = {
+        r["asset_id"]: r["s"]
+        for r in df.select("asset_id", ahash_signature("gray_grid").alias("s")).collect()
+    }
+
+    def ham(x, y):
+        return bin((x ^ y) & (2**64 - 1)).count("1")
+
+    assert ham(sigs[1], sigs[2]) <= 2
+    assert ham(sigs[1], sigs[3]) >= 50
+
+
+def test_near_pairs_from_injected_grids(spark):
+    """A planted near-twin pairs with its original; unrelated images
+    do not pair."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(30):
+        cells = rng.sample(range(N), 24)
+        rows.append((i, _grid(bright_cells=cells)))
+        if i == 5:  # plant a near-twin of image 5: one cell moved —
+            # both the removed and added cell sit BELOW the top-12
+            # prefix bits (the documented prefix-bucket recall caveat:
+            # a flip inside the prefix moves the bucket)
+            twin = [c for c in cells if c != max(cells)]
+            twin.append(next(c for c in range(20, N) if c not in cells))
+            rows.append((1005, _grid(bright_cells=twin)))
+    sigs = spark.createDataFrame(
+        rows, "asset_id long, gray_grid array<double>"
+    ).select("asset_id", ahash_signature("gray_grid").alias("ahash"))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in hamming_near_pairs(sigs, max_hamming=4).collect()
+    }
+    assert (5, 1005) in pairs
+    # random 24-of-64 subsets are far apart: the twin pair dominates
+    assert len(pairs) <= 3
+
+
+def test_end_to_end_through_decode_seam(spark):
+    """The full path runs on binary payloads with the fake codec:
+    deterministic signatures, exact byte-duplicates pair at hamming 0."""
+    payloads = [
+        (1, "image", bytearray(b"imgA"), None),
+        (2, "image", bytearray(b"imgB"), None),
+        (3, "image", bytearray(b"imgA"), None),  # byte-dup of 1
+    ]
+    assets = spark.createDataFrame(
+        payloads, "asset_id long, media_type string, payload binary, meta string"
+    ).drop("meta").withColumn("meta", F.lit(None).cast(
+        "struct<source:string,n_bytes:bigint,content_hash:string>"
+    ))
+    grids = decode_gray_grids(assets)
+    g = {r["asset_id"]: r["gray_grid"] for r in grids.collect()}
+    assert g[1] == g[3] and g[1] != g[2] and len(g[1]) == N
+    pairs = image_near_dup_pairs(assets, max_hamming=0).collect()
+    assert {(r["id_a"], r["id_b"], r["hamming"]) for r in pairs} == {(1, 3, 0)}
+
+
+def test_pair_join_is_bucketed_not_cartesian(spark):
+    sigs = spark.range(100).select(
+        F.col("id").alias("asset_id"),
+        F.xxhash64("id").alias("ahash"),
+    )
+    plan = (
+        hamming_near_pairs(sigs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "_bucket" in plan
