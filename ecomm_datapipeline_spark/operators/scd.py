@@ -1,0 +1,176 @@
+"""Slowly-changing-dimension (SCD type 2) history builder.
+
+The reference warehouse reloads `dim_customers`/`dim_products` in
+full every night (README.md:105-116) — current-state only, so "what
+tier was this customer on when they ordered in March?" is
+unanswerable. SCD2 keeps every version with a validity interval:
+
+    (key, attrs..., valid_from, valid_to, is_current)
+
+built here from either a stream of daily snapshots or an append-only
+change log. Spark-first shape:
+
+* `scd2_from_changes`: one window per key (lead(ts) closes each
+  version) — the partition holds one key's CHANGE ROWS, bounded by
+  how often an entity changes, never by fact volume.
+* `scd2_apply_snapshot`: the incremental nightly step — compare the
+  new snapshot to current rows by attribute fingerprint (md5, the
+  versioning.py convention), close changed/vanished versions, open
+  new ones. One key-equijoin per night, no history rescan: closed
+  history is untouched (append + targeted close only).
+* `as_of_lookup`: point-in-time enrichment — an equijoin on the key
+  plus a range predicate on the interval; at scale the dimension side
+  is versions (small multiple of entities), so it broadcasts exactly
+  like the current-state dim join in transforms.py.
+
+History semantics: intervals are half-open [valid_from, valid_to);
+the current version has valid_to = NULL. Deletes (key absent from a
+snapshot) close the version without opening a new one; a key
+reappearing later opens a fresh version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+VALID_FROM, VALID_TO, IS_CURRENT = "valid_from", "valid_to", "is_current"
+
+
+def _fp(attr_cols: list[str]):
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in attr_cols
+    ]
+    return F.md5(F.concat_ws("\x1f", *parts))
+
+
+def scd2_from_changes(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+) -> DataFrame:
+    """Full history from an append-only change log (one row per
+    observed state, e.g. CDC events): consecutive IDENTICAL states
+    collapse into one version; lead(ts) closes each version. Two
+    windows per key ordered by time — partitions are per-entity
+    change counts, not corpus-sized."""
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    fp = _fp(attr_cols)
+    versions = (
+        changes.withColumn("_fp", fp)
+        .withColumn("_prev_fp", F.lag("_fp").over(w))
+        # keep only rows where the state actually changed
+        .filter(
+            F.col("_prev_fp").isNull() | (F.col("_fp") != F.col("_prev_fp"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.col(ts_col))
+    return (
+        versions.withColumn(VALID_FROM, F.col(ts_col))
+        .withColumn(VALID_TO, F.lead(ts_col).over(w2))
+        .withColumn(IS_CURRENT, F.col(VALID_TO).isNull())
+        .drop("_fp", "_prev_fp", ts_col)
+    )
+
+
+def scd2_apply_snapshot(
+    history: DataFrame | None,
+    snapshot: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    snapshot_ts,
+) -> DataFrame:
+    """One incremental SCD2 step: fold tonight's full snapshot into
+    the history. Returns the new history frame (caller persists it —
+    composes with sources/tables.write_table + _swap_into for an
+    atomic nightly publish).
+
+    history=None bootstraps: every snapshot row opens at snapshot_ts.
+
+    Only CURRENT rows join the snapshot (closed history passes
+    through untouched); the join is a key equijoin:
+      - fingerprints equal      -> current row rides on unchanged
+      - differ                  -> close current, open new version
+      - key only in history     -> close current (delete)
+      - key only in snapshot    -> open first version (insert/revive)
+    """
+    ts = F.lit(snapshot_ts).cast("timestamp")
+    snap = snapshot.select(
+        F.col(key_col), *[F.col(c) for c in attr_cols]
+    ).withColumn("_snap_fp", _fp(attr_cols))
+    if history is None:
+        return snap.select(
+            key_col,
+            *attr_cols,
+            ts.alias(VALID_FROM),
+            F.lit(None).cast("timestamp").alias(VALID_TO),
+            F.lit(True).alias(IS_CURRENT),
+        )
+    closed = history.filter(~F.col(IS_CURRENT))
+    current = history.filter(F.col(IS_CURRENT)).withColumn(
+        "_cur_fp", _fp(attr_cols)
+    )
+    j = current.alias("c").join(
+        snap.alias("s"), F.col(f"c.{key_col}") == F.col(f"s.{key_col}"), "full_outer"
+    )
+    # surviving current rows: unchanged (ride on) or newly closed
+    kept_current = j.filter(F.col("_cur_fp").isNotNull()).select(
+        F.col(f"c.{key_col}").alias(key_col),
+        *[F.col(f"c.{a}").alias(a) for a in attr_cols],
+        F.col(f"c.{VALID_FROM}").alias(VALID_FROM),
+        F.when(
+            F.col("_snap_fp").isNull()  # deleted
+            | (F.col("_snap_fp") != F.col("_cur_fp")),  # changed
+            ts,
+        )
+        .otherwise(F.col(f"c.{VALID_TO}"))
+        .alias(VALID_TO),
+    )
+    # newly opened versions: brand-new keys or changed attributes
+    opened = j.filter(
+        F.col("_snap_fp").isNotNull()
+        & (F.col("_cur_fp").isNull() | (F.col("_snap_fp") != F.col("_cur_fp")))
+    ).select(
+        F.col(f"s.{key_col}").alias(key_col),
+        *[F.col(f"s.{a}").alias(a) for a in attr_cols],
+        ts.alias(VALID_FROM),
+        F.lit(None).cast("timestamp").alias(VALID_TO),
+    )
+    out = kept_current.unionByName(opened).withColumn(
+        IS_CURRENT, F.col(VALID_TO).isNull()
+    )
+    return closed.select(*out.columns).unionByName(out)
+
+
+def as_of_lookup(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time enrichment: each fact row joins the dimension
+    version valid AT its timestamp — equijoin on the key plus the
+    half-open interval predicate. Versions-per-entity is small, so
+    the history side broadcasts like any dim; rows with no valid
+    version (before first sighting) get NULL attrs under how='left'."""
+    h = F.broadcast(
+        history.select(
+            F.col(key_col),
+            *[F.col(a) for a in attr_cols],
+            F.col(VALID_FROM),
+            F.col(VALID_TO),
+        )
+    )
+    cond = (
+        (facts[key_col] == h[key_col])
+        & (facts[ts_col] >= h[VALID_FROM])
+        & (h[VALID_TO].isNull() | (facts[ts_col] < h[VALID_TO]))
+    )
+    return facts.join(h, cond, how).select(
+        *[facts[c] for c in facts.columns],
+        *[h[a] for a in attr_cols],
+    )

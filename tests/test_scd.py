@@ -1,0 +1,162 @@
+"""SCD2 dimension history (operators/scd.py): change-log builder with
+collapse-identical semantics, incremental snapshot folding across
+nights (change / delete / revive), point-in-time lookups against a
+DuckDB interval-join twin, and invariants (non-overlap, one current
+version per live key)."""
+
+import datetime as dt
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.scd import (
+    IS_CURRENT,
+    VALID_FROM,
+    VALID_TO,
+    as_of_lookup,
+    scd2_apply_snapshot,
+    scd2_from_changes,
+)
+
+
+def _ts(day):
+    return dt.datetime(2026, 1, day)
+
+
+def test_from_changes_collapses_and_closes(spark):
+    changes = spark.createDataFrame(
+        [
+            ("c1", _ts(1), "bronze"),
+            ("c1", _ts(2), "bronze"),  # identical -> collapses
+            ("c1", _ts(5), "gold"),
+            ("c2", _ts(3), "silver"),
+        ],
+        "customer_id string, ts timestamp, tier string",
+    )
+    hist = scd2_from_changes(changes, "customer_id", "ts", ["tier"])
+    rows = {
+        (r["customer_id"], r["tier"]): (
+            r[VALID_FROM],
+            r[VALID_TO],
+            r[IS_CURRENT],
+        )
+        for r in hist.collect()
+    }
+    assert rows[("c1", "bronze")] == (_ts(1), _ts(5), False)
+    assert rows[("c1", "gold")] == (_ts(5), None, True)
+    assert rows[("c2", "silver")] == (_ts(3), None, True)
+
+
+@pytest.fixture(scope="module")
+def nightly_history(spark):
+    """Three nights: change, delete, revive."""
+    n1 = spark.createDataFrame(
+        [("c1", "bronze"), ("c2", "silver")], "customer_id string, tier string"
+    )
+    n2 = spark.createDataFrame(
+        [("c1", "gold"), ("c2", "silver")], "customer_id string, tier string"
+    )  # c1 upgraded
+    n3 = spark.createDataFrame(
+        [("c1", "gold"), ("c3", "bronze")], "customer_id string, tier string"
+    )  # c2 deleted, c3 appears
+    h = scd2_apply_snapshot(None, n1, "customer_id", ["tier"], _ts(1))
+    h = scd2_apply_snapshot(h, n2, "customer_id", ["tier"], _ts(2))
+    h = scd2_apply_snapshot(h, n3, "customer_id", ["tier"], _ts(3))
+    return h.localCheckpoint()
+
+
+def test_snapshot_folding_versions(spark, nightly_history):
+    rows = sorted(
+        (
+            r["customer_id"],
+            r["tier"],
+            r[VALID_FROM],
+            r[VALID_TO],
+            r[IS_CURRENT],
+        )
+        for r in nightly_history.collect()
+    )
+    assert rows == [
+        ("c1", "bronze", _ts(1), _ts(2), False),
+        ("c1", "gold", _ts(2), None, True),
+        ("c2", "silver", _ts(1), _ts(3), False),
+        ("c3", "bronze", _ts(3), None, True),
+    ]
+
+
+def test_history_invariants(spark, nightly_history):
+    h = nightly_history
+    # exactly one current version per live key; none for deleted keys
+    cur = h.filter(F.col(IS_CURRENT)).groupBy("customer_id").count()
+    assert all(r["count"] == 1 for r in cur.collect())
+    assert {r["customer_id"] for r in cur.collect()} == {"c1", "c3"}
+    # intervals never overlap within a key
+    a, b = h.alias("a"), h.alias("b")
+    overlaps = (
+        a.join(b, F.col("a.customer_id") == F.col("b.customer_id"))
+        .filter(F.col(f"a.{VALID_FROM}") < F.col(f"b.{VALID_FROM}"))
+        .filter(
+            F.col(f"a.{VALID_TO}").isNull()
+            | (F.col(f"a.{VALID_TO}") > F.col(f"b.{VALID_FROM}"))
+        )
+        .count()
+    )
+    assert overlaps == 0
+
+
+def test_revived_key_opens_fresh_version(spark, nightly_history):
+    n4 = spark.createDataFrame(
+        [("c1", "gold"), ("c2", "platinum"), ("c3", "bronze")],
+        "customer_id string, tier string",
+    )
+    h = scd2_apply_snapshot(
+        nightly_history, n4, "customer_id", ["tier"], _ts(4)
+    )
+    c2 = sorted(
+        (r["tier"], r[VALID_FROM], r[VALID_TO])
+        for r in h.filter("customer_id = 'c2'").collect()
+    )
+    assert c2 == [("platinum", _ts(4), None), ("silver", _ts(1), _ts(3))]
+
+
+def test_as_of_lookup_matches_duckdb(spark, nightly_history):
+    facts = spark.createDataFrame(
+        [
+            (1, "c1", _ts(1)),  # bronze era
+            (2, "c1", _ts(2)),  # gold from day 2 (half-open: boundary -> new)
+            (3, "c2", _ts(2)),  # silver, before deletion
+            (4, "c2", _ts(3)),  # deleted at day 3 -> NULL
+            (5, "c3", _ts(1)),  # before first sighting -> NULL
+        ],
+        "order_id long, customer_id string, ts timestamp",
+    )
+    got = {
+        r["order_id"]: r["tier"]
+        for r in as_of_lookup(
+            facts, nightly_history, "customer_id", "ts", ["tier"]
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("facts", facts.toPandas())
+    con.register("hist", nightly_history.toPandas())
+    want = dict(
+        con.execute(
+            """
+            SELECT f.order_id, h.tier
+            FROM facts f LEFT JOIN hist h
+              ON f.customer_id = h.customer_id
+             AND f.ts >= h.valid_from
+             AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+            """
+        ).fetchall()
+    )
+    assert got == want
+    assert got[2] == "gold" and got[4] is None and got[5] is None
+    plan = (
+        as_of_lookup(facts, nightly_history, "customer_id", "ts", ["tier"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # dim versions broadcast, key equijoin
