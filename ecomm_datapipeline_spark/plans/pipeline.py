@@ -46,6 +46,7 @@ class PipelinePaths:
 
     agg_category: str = field(init=False)
     agg_user_sketch: str = field(init=False)
+    dim_customers_history: str = field(init=False)
 
     def __post_init__(self) -> None:
         self.landing_orders = os.path.join(self.root, "landing", "orders")
@@ -61,6 +62,9 @@ class PipelinePaths:
         )
         self.dq_checks = os.path.join(self.root, "warehouse", "data_quality_checks")
         self.dim_customers = os.path.join(self.root, "warehouse", "dim_customers")
+        self.dim_customers_history = os.path.join(
+            self.root, "warehouse", "dim_customers_history"
+        )
         self.dim_products = os.path.join(self.root, "warehouse", "dim_products")
         self.run_manifest = os.path.join(self.root, "warehouse", "run_manifest")
         self.quarantine = os.path.join(self.root, "warehouse", "quarantine_orders")
@@ -87,6 +91,39 @@ def load_dims(
     )
 
 
+def _fold_customer_history(
+    spark: SparkSession, paths: PipelinePaths, run_date: dt.date
+) -> None:
+    """SCD2 maintenance of the customer dimension (operators/scd.py):
+    each nightly reload folds the fresh snapshot into
+    dim_customers_history, so 'what tier was this customer on when
+    they ordered?' stays answerable after the full reload overwrites
+    current state. Published via staged write + atomic swap — a crash
+    mid-fold leaves yesterday's history intact; re-running the same
+    night is a no-op (equal fingerprints ride on unchanged)."""
+    from ..operators import scd
+
+    snapshot = tables.read_table(spark, paths.dim_customers)
+    attrs = [c for c in snapshot.columns if c != "customer_id"]
+    history = (
+        tables.read_table(spark, paths.dim_customers_history)
+        if tables.table_exists(paths.dim_customers_history)
+        else None
+    )
+    new_hist = scd.scd2_apply_snapshot(
+        history, snapshot, "customer_id", attrs, dt.datetime.combine(run_date, dt.time())
+    )
+    tmp = paths.dim_customers_history.rstrip("/") + "._tmp"
+    tables.write_table(new_hist, tmp, mode="overwrite")
+    if history is None:  # bootstrap: nothing to swap out yet
+        os.rename(tmp, paths.dim_customers_history)
+    else:
+        tables._swap_into(tmp, paths.dim_customers_history)
+    # drop the session's cached file listing for the swapped path —
+    # a reader holding the pre-swap index would chase renamed parts
+    spark.catalog.refreshByPath(paths.dim_customers_history)
+
+
 @dataclass
 class DailyResult:
     inactive_customers: int
@@ -111,6 +148,7 @@ def run_daily(
 
     if products_csv and customers_csv:
         load_dims(spark, paths, products_csv, customers_csv)
+        _fold_customer_history(spark, paths, run_date)
 
     fact = tables.read_table(spark, paths.fact_orders)
     dim_customers = tables.read_table(spark, paths.dim_customers)

@@ -160,3 +160,94 @@ def test_as_of_lookup_matches_duckdb(spark, nightly_history):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # dim versions broadcast, key equijoin
+
+
+def test_daily_pipeline_folds_customer_history(spark, tmp_path):
+    """run_daily with a dim reload maintains dim_customers_history:
+    night 1 opens versions, night 2's tier change closes + reopens,
+    re-running night 2 is a no-op (fingerprints ride on)."""
+    import os
+
+    from ecomm_datapipeline_spark.plans import pipeline
+    from ecomm_datapipeline_spark.sources import tables
+
+    paths = pipeline.PipelinePaths(root=str(tmp_path / "wh"))
+    prod = tmp_path / "products.csv"
+    prod.write_text(
+        "product_id,product_name,category,price,stock_level\n"
+        "PROD-1,Widget,tools,5.0,100\n"
+    )
+
+    def customers_csv(tier):
+        p = tmp_path / f"customers_{tier}.csv"
+        p.write_text(
+            "customer_id,name,email,registration_date,customer_tier\n"
+            f"CUST-1,Ann,a@x.com,2024-01-01,{tier}\n"
+            "CUST-2,Bob,b@x.com,2024-01-01,silver\n"
+        )
+        return str(p)
+
+    # fact table must exist for run_daily's reports
+    os.makedirs(paths.landing_orders, exist_ok=True)
+    import json as _json
+
+    with open(os.path.join(paths.landing_orders, "b1.json"), "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "order_id": "O1",
+                    "customer_id": "CUST-1",
+                    "order_timestamp": "2026-01-01T09:00:00",
+                    "items": [
+                        {"product_id": "PROD-1", "quantity": 1, "unit_price": 5.0}
+                    ],
+                    "total_amount": 5.0,
+                    "payment_status": "completed",
+                    "shipping_address": {
+                        "street": "1 Main",
+                        "city": "SF",
+                        "state": "CA",
+                        "zipcode": "94100",
+                        "country": "US",
+                    },
+                }
+            )
+            + "\n"
+        )
+    pipeline.load_dims(spark, paths, str(prod), customers_csv("bronze"))
+    pipeline.run_incremental(spark, paths, dt.date(2026, 1, 1))
+
+    pipeline.run_daily(
+        spark, paths, dt.date(2026, 1, 1), str(prod), customers_csv("bronze")
+    )
+    h1 = tables.read_table(spark, paths.dim_customers_history)
+    assert h1.count() == 2 and h1.filter(F.col(IS_CURRENT)).count() == 2
+
+    pipeline.run_daily(
+        spark, paths, dt.date(2026, 1, 2), str(prod), customers_csv("gold")
+    )
+    h2 = tables.read_table(spark, paths.dim_customers_history)
+    c1 = sorted(
+        (r["customer_tier"], r[IS_CURRENT])
+        for r in h2.filter("customer_id = 'CUST-1'").collect()
+    )
+    assert c1 == [("bronze", False), ("gold", True)]
+    assert h2.filter("customer_id = 'CUST-2'").count() == 1  # unchanged
+    n2 = h2.count()  # materialize BEFORE the next swap invalidates h2's file listing
+
+    # same-night re-run: no new versions
+    pipeline.run_daily(
+        spark, paths, dt.date(2026, 1, 2), str(prod), customers_csv("gold")
+    )
+    assert tables.read_table(spark, paths.dim_customers_history).count() == n2
+
+    # point-in-time: the order on Jan 1 09:00 was placed in the bronze era
+    fact = tables.read_table(spark, paths.fact_orders)
+    looked = as_of_lookup(
+        fact,
+        tables.read_table(spark, paths.dim_customers_history),
+        "customer_id",
+        "order_timestamp",
+        ["customer_tier"],
+    )
+    assert looked.filter("order_id = 'O1'").first()["customer_tier"] == "bronze"
