@@ -308,7 +308,114 @@ def idle_rich_customers(
     )
 
 
+def revenue_concentration(
+    spark: SparkSession, sf_dir: str, fraction: float = 0.0005
+) -> DataFrame:
+    """Q11's shape (no partsupp table, so parts play the role of
+    stock lines): per-part revenue HAVING > fraction of the GLOBAL
+    revenue. The global scalar stays in-plan as a broadcast one-row
+    cross-join against the per-part aggregate — the same single
+    lineitem scan feeds both sides (ReusedExchange), no second pass,
+    no eager collect. Cents make both sums bit-identical."""
+    l = _t(spark, sf_dir, "lineitem")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = l.groupBy("l_partkey").agg(F.sum(rev).alias("_part_cents"))
+    total = l.agg(F.sum(rev).alias("_total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("_part_cents").cast("double")
+            > F.lit(fraction) * F.col("_total_cents").cast("double")
+        )
+        .select(
+            "l_partkey",
+            dollars(F.col("_part_cents")).alias("part_revenue"),
+        )
+        .orderBy(F.desc("part_revenue"), "l_partkey")
+    )
+
+
+def supplier_variety_excluding(
+    spark: SparkSession, sf_dir: str, min_acctbal: float = 0.0
+) -> DataFrame:
+    """Q16's shape: distinct-supplier counts per part attribute,
+    EXCLUDING a blacklist subquery. The exclusion is an anti-join,
+    NOT a `NOT IN` column predicate: with SQL null semantics a single
+    NULL in a NOT-IN subquery silently empties the whole result — the
+    anti-join keeps set semantics and is also the scalable plan (no
+    broadcast NOT-IN literal list)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    blacklist = s.filter(F.col("s_acctbal") < min_acctbal).select("s_suppkey")
+    return (
+        l.join(blacklist, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+def sole_late_supplier(
+    spark: SparkSession, sf_dir: str, late_days: int = 60
+) -> DataFrame:
+    """Q21's shape (lateness = shipdate > orderdate + late_days, the
+    late_ship_priority_counts definition — no receipt/commit dates in
+    this schema): suppliers who were the ONLY late supplier on a
+    multi-supplier order. EXISTS (another supplier on the order) is a
+    left-semi; NOT EXISTS (another LATE supplier) is a left-anti —
+    both keyed on the order, composed without ever duplicating the
+    probe side."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lines = l.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+        ).alias("_late"),
+    )
+    late = lines.filter(F.col("_late")).select("l_orderkey", "l_suppkey").distinct()
+    others = lines.select("l_orderkey", F.col("l_suppkey").alias("_other")).distinct()
+    multi = late.alias("x").join(
+        others.alias("y"),
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") != F.col("y._other")),
+        "left_semi",
+    )
+    other_late = late.select(
+        "l_orderkey", F.col("l_suppkey").alias("_other_late")
+    )
+    sole = multi.alias("x").join(
+        other_late.alias("z"),
+        (F.col("x.l_orderkey") == F.col("z.l_orderkey"))
+        & (F.col("x.l_suppkey") != F.col("z._other_late")),
+        "left_anti",
+    )
+    srt = _t(spark, sf_dir, "supplier")
+    return (
+        sole.join(
+            F.broadcast(srt.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+    )
+
+
 OLAP_QUERIES = {
+    "revenue_concentration": revenue_concentration,
+    "supplier_variety_excluding": supplier_variety_excluding,
+    "sole_late_supplier": sole_late_supplier,
     "customer_order_distribution": customer_order_distribution,
     "large_volume_orders": large_volume_orders,
     "idle_rich_customers": idle_rich_customers,
@@ -324,6 +431,38 @@ OLAP_QUERIES = {
 _REV = _c("l_extendedprice * (1 - l_discount)")
 
 OLAP_ORACLES = {
+    "revenue_concentration": f"""
+        WITH pp AS (SELECT l_partkey, sum({_REV}) AS pc FROM lineitem GROUP BY 1),
+        tot AS (SELECT sum({_REV}) AS tc FROM lineitem)
+        SELECT l_partkey, CAST(pc AS DOUBLE) / 100 AS part_revenue
+        FROM pp, tot
+        WHERE CAST(pc AS DOUBLE) > 0.0005 * CAST(tc AS DOUBLE)
+        ORDER BY part_revenue DESC, l_partkey
+    """,
+    "supplier_variety_excluding": """
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey
+                            AND s.s_acctbal < 0.0)
+        GROUP BY 1, 2 ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+    "sole_late_supplier": """
+        WITH lines AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), late AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lines WHERE late)
+        SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+        FROM late x JOIN supplier s ON x.l_suppkey = s.s_suppkey
+        WHERE EXISTS (SELECT 1 FROM lines y
+                      WHERE y.l_orderkey = x.l_orderkey
+                        AND y.l_suppkey != x.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late z
+                          WHERE z.l_orderkey = x.l_orderkey
+                            AND z.l_suppkey != x.l_suppkey)
+        GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey
+    """,
     "customer_order_distribution": """
         SELECT c_count, count(*) AS custdist FROM (
           SELECT c.c_custkey, count(o.o_orderkey) AS c_count
