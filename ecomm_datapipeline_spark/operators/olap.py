@@ -21,6 +21,16 @@ Shapes covered (and why they matter at 100 TB):
 * CASE-bucket pivots
 * rank-family window functions (ntile / percent_rank / cume_dist)
   with a deterministic total order
+* full-pushdown filter-and-sum (Q6 — the WHERE reaches the scan)
+* view + scalar-max (Q15 — one agg exchange reused on both sides)
+* correlated per-group AVG (Q17 — window, not a rescan)
+* disjunctive OR-of-ANDs brackets (Q19 — one scan, no UNION)
+* nested semi-join chains (Q20)
+
+With pricing_summary (Q1), shipping_priority (Q3),
+local_supplier_volume (Q5) and returned_items_by_customer (Q10)
+living in the gate catalog, every TPC-H query shape Q1-Q22 now has
+an adapted, oracle-checked realization in this repo.
 """
 
 from __future__ import annotations
@@ -412,6 +422,221 @@ def sole_late_supplier(
     )
 
 
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: revenue delta from dropping a discount band for a year —
+    the canonical filter-and-sum whose whole WHERE clause must reach
+    the parquet scan as PushedFilters (tests pin this): shipdate
+    range, discount band, quantity cap are all min/max-prunable, so
+    at 100 TB the scan skips every row group outside the year. One
+    scan, partial agg, no joins, no shuffle beyond the final reduce."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            dollars(
+                F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+            ).alias("revenue"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
+def priority_lateness_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's shape (no shipmode column — lateness buckets play the
+    shipmode role, per the module contract): per bucket, how many
+    lines belong to critical-priority orders (1-URGENT / 2-HIGH) vs
+    the rest, as conditional CASE-sums in ONE pass over one
+    orders-join. The grouping key has two values, so the final agg is
+    tiny; all reduction happens map-side."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(
+            o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "late_bucket",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("LATE"),
+            ).otherwise(F.lit("ONTIME")),
+        )
+        .groupBy("late_bucket")
+        .agg(
+            F.sum(F.when(crit, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(crit, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("late_bucket")
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: the supplier(s) with maximum revenue over one quarter.
+    The view+scalar-subquery of the original becomes: per-supplier agg
+    once, then a one-row broadcast max cross-joined back — the SAME
+    aggregate exchange feeds both sides (ReusedExchange), so the fact
+    is scanned once and nothing re-runs. No window over a single
+    partition (the revenue_concentration pattern, not a global
+    row_number)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # The explicit isNotNull matches the constraint the planner infers
+    # on the join side; without it the two agg subtrees differ by ONE
+    # pushed filter, canonical equality fails, and AQE cannot reuse
+    # the exchange (tests pin the reuse).
+    per_supp = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+            & F.col("l_suppkey").isNotNull()
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("_rev_cents"))
+    )
+    mx = per_supp.agg(F.max("_rev_cents").alias("_mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev_cents") == F.col("_mx"))
+        .join(
+            F.broadcast(s.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            dollars(F.col("_rev_cents")).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def small_quantity_revenue(
+    spark: SparkSession, sf_dir: str, brand: str = "Brand#11"
+) -> DataFrame:
+    """Q17: average yearly revenue lost if small-quantity orders (<
+    20% of the part's average quantity) were not taken, for one
+    brand. The correlated per-part AVG subquery becomes a window AVG
+    partitioned by partkey — ONE shuffle on the same key the filter
+    needs, no second scan of lineitem. The brand predicate is applied
+    FIRST via a broadcast semi-join so the shuffle only carries that
+    brand's lines. Quantities are integer-valued doubles, so the
+    window AVG (exact sum / exact count) is bit-deterministic across
+    engines — the 0.2*avg comparison cannot flap."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand_parts = p.filter(F.col("p_brand") == brand).select("p_partkey")
+    w = Window.partitionBy("l_partkey")
+    return (
+        l.join(
+            F.broadcast(brand_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+        .agg(
+            (
+                dollars(F.sum(cents(F.col("l_extendedprice")))) / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("line_cnt"),
+        )
+    )
+
+
+def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: disjunctive OR-of-ANDs brackets (brand x quantity band x
+    size band) — the classic test that an optimizer keeps a
+    multi-bracket predicate as ONE scan with the OR pushed into the
+    join filter, instead of a UNION of three scans. Part is broadcast;
+    the bracket predicate references both sides so it rides the join
+    condition; lineitem is read exactly once."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = l.join(
+        F.broadcast(p.select("p_partkey", "p_brand", "p_size")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    qty = F.col("l_quantity")
+    size = F.col("p_size")
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & qty.between(1.0, 11.0)
+            & size.between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & qty.between(10.0, 20.0)
+            & size.between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & qty.between(20.0, 30.0)
+            & size.between(1, 15)
+        )
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return j.filter(bracket).agg(
+        dollars(F.sum(rev)).alias("revenue"),
+        F.count("*").alias("line_cnt"),
+    )
+
+
+def excess_volume_suppliers(
+    spark: SparkSession, sf_dir: str, name_like: str = "%widget%", min_qty: float = 60.0
+) -> DataFrame:
+    """Q20's shape (no partsupp availqty — a fixed shipped-quantity
+    threshold plays the 0.5*availqty role; 60.0 BINDS at sf0.01 —
+    8 of ~100 suppliers qualify, so the HAVING and both semi-joins
+    all do real work): suppliers who shipped more than `min_qty` units of at least one matching part in 1997,
+    with their nation. Two nested semi-joins exactly as the original:
+    part-name filter -> per-(supplier, part) quantity agg HAVING ->
+    DISTINCT suppliers -> left-semi against the supplier dim. The
+    name-filtered part set is broadcast; the only shuffle is the
+    (suppkey, partkey) agg, whose key set is bounded by
+    |suppliers| x |matching parts|."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    widget_parts = p.filter(F.col("p_name").like(name_like)).select("p_partkey")
+    qualifying = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(widget_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > min_qty)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
 OLAP_QUERIES = {
     "revenue_concentration": revenue_concentration,
     "supplier_variety_excluding": supplier_variety_excluding,
@@ -426,6 +651,12 @@ OLAP_QUERIES = {
     "promo_revenue_pct": promo_revenue_pct,
     "nation_part_revenue": nation_part_revenue,
     "acctbal_rank_profile": acctbal_rank_profile,
+    "forecast_revenue_change": forecast_revenue_change,
+    "priority_lateness_counts": priority_lateness_counts,
+    "top_supplier_revenue": top_supplier_revenue,
+    "small_quantity_revenue": small_quantity_revenue,
+    "bracket_revenue": bracket_revenue,
+    "excess_volume_suppliers": excess_volume_suppliers,
 }
 
 _REV = _c("l_extendedprice * (1 - l_discount)")
@@ -561,5 +792,73 @@ OLAP_ORACLES = {
         WINDOW w AS (PARTITION BY c_nationkey
                      ORDER BY c_acctbal DESC, c_custkey ASC)
         ORDER BY c_nationkey, c_custkey
+    """,
+    "forecast_revenue_change": f"""
+        SELECT CAST(sum({_c('l_extendedprice * l_discount')}) AS DOUBLE) / 100
+                 AS revenue,
+               count(*) AS line_cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount >= 0.04 AND l_discount <= 0.07
+          AND l_quantity < 24.0
+    """,
+    "priority_lateness_counts": """
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 'LATE' ELSE 'ONTIME' END AS late_bucket,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY 1
+    """,
+    "top_supplier_revenue": f"""
+        WITH pr AS (
+          SELECT l_suppkey, sum({_REV}) AS rc
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name,
+               CAST(rc AS DOUBLE) / 100 AS total_revenue
+        FROM pr JOIN supplier s ON pr.l_suppkey = s.s_suppkey
+        WHERE rc = (SELECT max(rc) FROM pr)
+        ORDER BY s_suppkey
+    """,
+    "small_quantity_revenue": f"""
+        SELECT CAST(sum({_c('l_extendedprice')}) AS DOUBLE) / 100 / 7.0
+                 AS avg_yearly,
+               count(*) AS line_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand = 'Brand#11'
+          AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+                                    FROM lineitem l2
+                                    WHERE l2.l_partkey = l.l_partkey)
+    """,
+    "bracket_revenue": f"""
+        SELECT CAST(sum({_REV}) AS DOUBLE) / 100 AS revenue,
+               count(*) AS line_cnt
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1.0 AND 11.0
+               AND p_size BETWEEN 1 AND 5)
+           OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10.0 AND 20.0
+               AND p_size BETWEEN 1 AND 10)
+           OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20.0 AND 30.0
+               AND p_size BETWEEN 1 AND 15)
+    """,
+    "excess_volume_suppliers": """
+        SELECT s.s_suppkey, s.s_name, n.n_name AS nation
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (
+          SELECT l_suppkey FROM lineitem l
+          WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%widget%')
+            AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > 60.0)
+        ORDER BY s_suppkey
     """,
 }

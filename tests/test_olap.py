@@ -90,3 +90,50 @@ def test_single_pass_conditional_ratio(spark):
 
     scans = re.findall(r"Scan parquet[^\n]*lineitem", plan)
     assert len(scans) == 1, plan[:3000]
+
+
+def test_q6_filters_reach_the_scan(spark):
+    """forecast_revenue_change's WHERE must appear as PushedFilters on
+    the parquet scan — at 100 TB the shipdate/discount/quantity bands
+    are what let the reader skip row groups."""
+    plan = (
+        OLAP_QUERIES["forecast_revenue_change"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+
+
+def test_q15_reuses_the_aggregate_exchange(spark):
+    """top_supplier_revenue computes the per-supplier aggregate ONCE.
+    Exchange reuse is an AQE runtime decision (the pre-execution plan
+    prints two identical agg subtrees), so execute first and assert
+    the FINAL adaptive plan replaced the max side's duplicate subtree
+    with a reuse node — i.e. the fact was scanned for one stage, not
+    two."""
+    df = OLAP_QUERIES["top_supplier_revenue"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan), plan[
+        :3000
+    ]
+
+
+def test_q19_single_scan_no_union(spark):
+    """bracket_revenue's OR-of-ANDs must stay ONE lineitem scan (no
+    UNION-of-three-scans rewrite)."""
+    plan = (
+        OLAP_QUERIES["bracket_revenue"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    scans = re.findall(r"Scan parquet[^\n]*lineitem", plan)
+    assert len(scans) == 1, plan[:3000]
