@@ -1,0 +1,208 @@
+"""Entity resolution (operators/linkage.py): the SQL-replicable core
+(blocking -> candidate pairs -> levenshtein scoring) is compared
+against a DuckDB twin with the gate's canon + value-hash logic over a
+typo-mutated record set; clustering and survivorship are pinned by
+planted ground truth (every injected typo-duplicate must resolve to
+its source record)."""
+
+import hashlib
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.linkage import (
+    blocking_keys,
+    blocking_stats,
+    candidate_pairs,
+    golden_records,
+    linkage_scores,
+    normalize_name,
+    resolve_entities,
+)
+
+FIRST = [
+    "alice", "bruno", "carmen", "dmitri", "elena", "farid", "gloria",
+    "hector", "ingrid", "jamal", "katya", "liam", "mona", "nikolai",
+    "oksana", "pedro",
+]
+LAST = [
+    "andersson", "bertrand", "castellano", "dubois", "eriksen",
+    "fontaine", "grigoriev", "hoffmann", "ivanova", "jankowski",
+    "kowalczyk", "lindqvist", "marchetti", "novakova", "ostrowski",
+    "petrenko",
+]
+
+
+def _records() -> pd.DataFrame:
+    """300 base records with pool-drawn names + a typo'd duplicate for
+    every third one (interior char dropped: prefix-4 and suffix-4 of
+    the normalized form both survive, so blocking must find it). Dups
+    null out the email field so survivorship has a completeness
+    signal."""
+    rows = []
+    for i in range(300):
+        name = f"{FIRST[(i * 7) % 16]} {LAST[(i * 13) % 16]}"
+        rows.append((i, name, f"u{i}@example.com"))
+        if i % 3 == 0:
+            norm = name.replace(" ", "")
+            cut = len(norm) // 2
+            # Re-insert the space so normalize() sees the same form
+            # minus one interior char.
+            typo = name[: cut + 1] + name[cut + 2 :] if len(name) > cut + 2 else name
+            rows.append((i + 1_000_000, typo, None))
+    return pd.DataFrame(rows, columns=["rec_id", "full_name", "email"])
+
+
+@pytest.fixture(scope="module")
+def rec_path(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("linkage") / "records.parquet")
+    _records().to_parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def records(spark, rec_path):
+    return spark.read.parquet(rec_path)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+DUCK_PAIRS = """
+WITH keyed AS (
+  SELECT rec_id AS id,
+         regexp_replace(lower(full_name), '[^a-z0-9]', '', 'g') AS nm
+  FROM records
+), nz AS (SELECT * FROM keyed WHERE length(nm) > 0),
+blocks AS (
+  SELECT id, nm, 'p:' || substring(nm, 1, 4) AS block_key FROM nz
+  UNION ALL
+  SELECT id, nm, 's:' || right(nm, 4) AS block_key FROM nz
+), ok AS (
+  SELECT block_key FROM blocks GROUP BY 1 HAVING count(*) <= {cap}
+), kb AS (SELECT b.* FROM blocks b JOIN ok USING (block_key)),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.nm AS name_a, b.nm AS name_b
+  FROM kb a JOIN kb b USING (block_key)
+  WHERE a.id < b.id
+)
+SELECT id_a, id_b, name_a, name_b,
+       1.0 - CAST(levenshtein(name_a, name_b) AS DOUBLE)
+           / greatest(length(name_a), length(name_b), 1) AS sim
+FROM pairs
+"""
+
+
+def test_scored_pairs_match_duckdb(spark, records, rec_path):
+    cap = 1000
+    got = _canon(
+        linkage_scores(
+            candidate_pairs(records, "rec_id", "full_name", max_block_size=cap)
+        ).toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW records AS SELECT * FROM '{rec_path}'")
+    want = _canon(con.execute(DUCK_PAIRS.format(cap=cap)).fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    assert _vhash(got) == _vhash(want)
+
+
+def test_planted_duplicates_all_link(spark, records):
+    """Recall on the planted ground truth must be 1.0: every typo'd
+    copy (id = source + 1e6) lands in its source's entity."""
+    resolved = resolve_entities(records, "rec_id", "full_name", threshold=0.85)
+    r = {row["id"]: row["entity_id"] for row in resolved.collect()}
+    planted = [(i, i + 1_000_000) for i in range(0, 300, 3)]
+    missed = [p for p in planted if r[p[0]] != r[p[1]]]
+    assert not missed, missed[:5]
+
+
+def test_resolution_matches_name_ground_truth(spark, records):
+    """With pool-drawn names, same CANONICAL name (typos undone) is
+    the ground-truth partition. Name-only ER cannot distinguish two
+    people who genuinely share a name, so the check is exactly that:
+    entity partition == canonical-name partition."""
+    resolved = resolve_entities(records, "rec_id", "full_name", threshold=0.85)
+    canonical = {}
+    for i in range(300):
+        name = f"{FIRST[(i * 7) % 16]} {LAST[(i * 13) % 16]}"
+        canonical[i] = name
+        if i % 3 == 0:
+            canonical[i + 1_000_000] = name
+    r = {row["id"]: row["entity_id"] for row in resolved.collect()}
+    assert set(r) == set(canonical)
+    # Same name -> same entity; different name -> different entity.
+    by_name, by_entity = {}, {}
+    for rid, nm in canonical.items():
+        by_name.setdefault(nm, set()).add(rid)
+    for rid, ent in r.items():
+        by_entity.setdefault(ent, set()).add(rid)
+    assert sorted(map(sorted, by_name.values())) == sorted(
+        map(sorted, by_entity.values())
+    )
+
+
+def test_skew_guard_reports_not_silently_drops(spark, records):
+    """A tiny cap mega-blocks out the common prefixes; blocking_stats
+    must REPORT those as blocked_out and candidate_pairs must emit
+    fewer pairs, never error."""
+    keys = blocking_keys(records, "rec_id", "full_name")
+    stats = blocking_stats(keys, max_block_size=5)
+    flagged = stats.filter(F.col("blocked_out")).count()
+    assert flagged > 0
+    few = candidate_pairs(
+        records, "rec_id", "full_name", max_block_size=5
+    ).count()
+    many = candidate_pairs(
+        records, "rec_id", "full_name", max_block_size=1000
+    ).count()
+    assert few < many
+
+
+def test_survivorship_prefers_complete_records(spark, records):
+    """Golden record per entity: originals carry an email, typo dups
+    do not — every multi-record cluster must surface the original's
+    row, with cluster_size counting its members."""
+    resolved = resolve_entities(records, "rec_id", "full_name", threshold=0.85)
+    gold = golden_records(records, resolved, "rec_id")
+    multi = gold.filter(F.col("cluster_size") > 1).collect()
+    assert len(multi) > 0
+    for row in multi:
+        assert row["email"] is not None, row
+        assert row["rec_id"] < 1_000_000, row
+
+
+def test_soundex_strategy_and_unknown_raise(spark, records):
+    keys = blocking_keys(
+        records, "rec_id", "full_name", strategies=("soundex",)
+    )
+    assert keys.filter(F.col("block_key").startswith("x:")).count() > 0
+    with pytest.raises(ValueError, match="unknown blocking"):
+        blocking_keys(records, "rec_id", "full_name", strategies=("prefx",))
+
+
+def test_pair_stage_is_single_block_join(spark, records):
+    """Plan shape: candidate generation is ONE self-join keyed on
+    block_key — no cartesian, no broadcast nested loop."""
+    plan = (
+        candidate_pairs(records, "rec_id", "full_name")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
