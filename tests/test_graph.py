@@ -1,0 +1,167 @@
+"""PageRank propagation (operators/graph.py): rank parity against a
+from-scratch numpy power iteration on the same graphs, the analytic
+fixpoint equations, stochastic invariants, TrustRank personalization
+semantics, and the bounded-lineage contract."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.graph import (
+    out_degrees,
+    pagerank,
+    rank_quality_filter,
+)
+
+
+def _np_pagerank(edges, damping=0.85, tol=1e-9, personalization=None):
+    """Textbook reference: dense power iteration with dangling mass
+    through the teleport vector."""
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    if personalization is None:
+        p = np.full(n, 1.0 / n)
+    else:
+        p = np.array([personalization.get(v, 0.0) for v in verts], float)
+        p /= p.sum()
+    r = p.copy()
+    for _ in range(500):
+        contrib = np.zeros(n)
+        for s, d in edges:
+            contrib[idx[d]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        new = (1 - damping) * p + damping * (contrib + dangling * p)
+        if np.abs(new - r).sum() < tol:
+            return dict(zip(verts, new))
+        r = new
+    raise AssertionError("reference did not converge")
+
+
+# Deterministic graph: hub/spoke structure + parallel edge + dangling
+# vertices (several ids never link out) + an isolated-ish sink.
+EDGES = (
+    [(i, (i * i + 1) % 17) for i in range(17)]
+    + [(3, 5), (3, 5), (8, 0), (9, 0), (11, 2)]
+)
+
+
+@pytest.fixture(scope="module")
+def edge_df(spark):
+    return spark.createDataFrame(EDGES, ["src", "dst"])
+
+
+def test_out_degrees(spark, edge_df):
+    got = {r["id"]: r["out_deg"] for r in out_degrees(edge_df).collect()}
+    want = {}
+    for s, d in EDGES:
+        want.setdefault(d, 0)
+        want[s] = want.get(s, 0) + 1
+    assert got == want
+
+
+def test_rank_parity_with_numpy(spark, edge_df):
+    """damping 0.6 converges in ~40 rounds at 1e-9 (vs ~127 at 0.85)
+    — same code path, same reference, a third of the wall time."""
+    got = {
+        r["id"]: r["rank"]
+        for r in pagerank(edge_df, damping=0.6, tol=1e-9).collect()
+    }
+    want = _np_pagerank(EDGES, damping=0.6)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+def test_two_node_analytic_fixpoint(spark):
+    """A->B with B dangling: the converged ranks must satisfy the
+    stationary equations r_A = (1-d)/2 + d*(r_B/2),
+    r_B = (1-d)/2 + d*(r_A + r_B/2) and sum to 1."""
+    d = 0.5
+    df = spark.createDataFrame([(0, 1)], ["src", "dst"])
+    r = {
+        row["id"]: row["rank"]
+        for row in pagerank(df, damping=d, tol=1e-10).collect()
+    }
+    assert abs(r[0] + r[1] - 1.0) < 1e-9
+    assert abs(r[0] - ((1 - d) * 0.5 + d * r[1] * 0.5)) < 1e-8
+    assert abs(r[1] - ((1 - d) * 0.5 + d * (r[0] + r[1] * 0.5))) < 1e-8
+
+
+def test_cycle_is_uniform_and_sums_to_one(spark):
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(cyc, ["src", "dst"])
+    ranks = [r["rank"] for r in pagerank(df).collect()]
+    assert abs(sum(ranks) - 1.0) < 1e-9
+    for v in ranks:
+        assert abs(v - 1.0 / 6) < 1e-8
+
+
+def test_personalization_shifts_mass(spark, edge_df):
+    """TrustRank seeding: teleporting only to {0, 2} must strictly
+    raise their ranks vs classic PageRank and match the numpy
+    reference under the same seeding."""
+    seeds = spark.createDataFrame([(0, 1.0), (2, 1.0)], ["id", "weight"])
+    classic = {
+        r["id"]: r["rank"] for r in pagerank(edge_df, damping=0.6).collect()
+    }
+    seeded = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            edge_df, damping=0.6, personalization=seeds, tol=1e-9
+        ).collect()
+    }
+    assert seeded[0] > classic[0] and seeded[2] > classic[2]
+    want = _np_pagerank(EDGES, damping=0.6, personalization={0: 1.0, 2: 1.0})
+    for v in want:
+        assert abs(seeded[v] - want[v]) < 1e-6, v
+
+
+def test_unconverged_raises(spark, edge_df):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pagerank(edge_df, max_iter=1, tol=1e-12)
+
+
+def test_bad_args_raise(spark, edge_df):
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edge_df, damping=1.0)
+    empty_seed = edge_df.sparkSession.createDataFrame(
+        [], "id bigint, weight double"
+    )
+    with pytest.raises(ValueError, match="sum > 0"):
+        pagerank(edge_df, personalization=empty_seed)
+
+
+def test_quality_filter_semantics(spark, edge_df):
+    """Docs without a vertex are KEPT (absence of link evidence);
+    docs below the percentile cutoff drop; docs above stay."""
+    ranks = pagerank(edge_df, damping=0.6, tol=1e-9)
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(17)] + [(999, "no-links")],
+        ["doc_id", "text"],
+    )
+    kept = rank_quality_filter(docs, ranks, "doc_id", min_rank_pctl=0.3)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 999 in ids
+    rank_map = {r["id"]: r["rank"] for r in ranks.collect()}
+    cutoff = sorted(rank_map.values())[int(0.3 * len(rank_map)) - 1]
+    dropped = {v for v, rk in rank_map.items() if rk < cutoff}
+    assert dropped.isdisjoint(ids)
+    assert len(ids) + len(dropped) >= 17
+
+
+def test_result_plan_is_checkpoint_shallow(spark, edge_df):
+    """The returned frame must read from the final checkpoint — the
+    per-round localCheckpoints truncate lineage, so the plan cannot
+    contain the iteration's joins/aggregates stacked N deep."""
+    plan = (
+        pagerank(edge_df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("SortMergeJoin") == 0 and plan.count("HashAggregate") == 0
