@@ -1,0 +1,143 @@
+"""Privacy release gates: k-anonymity suppression, l-diversity
+checks, and quasi-identifier generalization.
+
+A dataset release (the corpus builds in operators/curation.py,
+datasheets in operators/datasheet.py) that carries user-level metadata
+needs more than PII string redaction (text.redact): rows whose
+QUASI-IDENTIFIER combination (segment x region x balance bracket...)
+is nearly unique re-identify people by linkage even with names gone.
+The standard gates (Sweeney's k-anonymity; Machanavajjhala's
+l-diversity) are aggregation shapes Spark executes well:
+
+* Group size per quasi-identifier combination = ONE count over a
+  window partitioned by the quasi columns — a single keyed shuffle,
+  no join back, no second scan. Suppression is then a plain filter.
+* l-diversity = approx/exact distinct of the sensitive column per
+  group, same single-shuffle shape.
+* Generalization (coarsening a column until groups reach size k) is
+  per-row arithmetic: numeric binning, string prefix truncation —
+  zero-shuffle column expressions to apply BEFORE the size gate.
+
+All shapes are SQL-replicable; tests/test_privacy.py runs DuckDB
+differentials with the gate's canon + value-hash comparison, plus
+planted-violation semantics (a unique row must be suppressed, its
+group mass reported) and a single-Exchange plan pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def generalize_numeric(col: Column, width: float, lo: float = 0.0) -> Column:
+    """Coarsen a numeric column to [lo + i*width, lo + (i+1)*width)
+    bracket labels — deterministic floor arithmetic, zero shuffle."""
+    i = F.floor((col - F.lit(lo)) / F.lit(width)).cast("long")
+    return F.concat(
+        F.lit("["),
+        (F.lit(lo) + i * F.lit(width)).cast("long").cast("string"),
+        F.lit(","),
+        (F.lit(lo) + (i + F.lit(1)) * F.lit(width)).cast("long").cast("string"),
+        F.lit(")"),
+    )
+
+
+def generalize_prefix(col: Column, n: int) -> Column:
+    """Truncate an identifier-ish string (zip code, phone prefix) to
+    its first `n` chars with a '*' marker — the classic hierarchy
+    step."""
+    return F.concat(F.substring(col, 1, n), F.lit("*"))
+
+
+def k_anonymity_suppress(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Drop every row whose quasi-identifier group holds fewer than
+    `k` rows. NULL quasi values group together (SQL GROUP BY
+    semantics — a NULL segment is itself a linkable value, so it gets
+    no exemption). One window count, one filter; the output keeps the
+    input columns exactly."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    w = Window.partitionBy(*quasi_cols)
+    return (
+        df.withColumn("_gsz", F.count("*").over(w))
+        .filter(F.col("_gsz") >= k)
+        .drop("_gsz")
+    )
+
+
+def k_anonymity_report(
+    df: DataFrame, quasi_cols: list[str], k: int
+) -> DataFrame:
+    """Per-group audit: size and the suppression verdict — what a
+    release review reads before publishing. One aggregation."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("group_size"))
+        .withColumn("suppressed", F.col("group_size") < k)
+    )
+
+
+def l_diversity_report(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """Distinct sensitive values per quasi-group; a group where every
+    member shares one sensitive value leaks it even at k-anonymous
+    sizes. Exact countDistinct (group counts are release-audit
+    numbers, not telemetry); diverse = distinct >= l. NULL sensitive
+    values count as a value (knowing the field is missing is itself
+    disclosure)."""
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count("*").alias("group_size"),
+            F.countDistinct(sensitive_col).alias("_nn_distinct"),
+            F.max(F.col(sensitive_col).isNull().cast("int")).alias("_has_null"),
+        )
+        .select(
+            *quasi_cols,
+            "group_size",
+            (F.col("_nn_distinct") + F.col("_has_null")).alias(
+                "sensitive_distinct"
+            ),
+            ((F.col("_nn_distinct") + F.col("_has_null")) >= l).alias(
+                "diverse"
+            ),
+        )
+    )
+
+
+def anonymize_release(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int,
+    sensitive_col: str | None = None,
+    l: int | None = None,
+) -> DataFrame:
+    """The composed release gate: k-suppress, then (optionally) also
+    drop groups failing l-diversity on `sensitive_col`. Both gates
+    ride ONE window pass — the group size and the distinct-sensitive
+    count are computed over the same partitioning, so adding
+    l-diversity costs no extra shuffle."""
+    if (sensitive_col is None) != (l is None):
+        raise ValueError("sensitive_col and l must be given together")
+    w = Window.partitionBy(*quasi_cols)
+    out = df.withColumn("_gsz", F.count("*").over(w))
+    keep = F.col("_gsz") >= k
+    if sensitive_col is not None:
+        # approx_count_distinct is not exact; a release gate must not
+        # pass a non-diverse group by estimation error, so use the
+        # collect_set size (bounded by the group, small by definition
+        # of a sensitive attribute's domain).
+        out = out.withColumn(
+            "_sdiv",
+            F.size(F.collect_set(sensitive_col).over(w))
+            + F.max(F.col(sensitive_col).isNull().cast("int")).over(w),
+        )
+        keep = keep & (F.col("_sdiv") >= l)
+    return out.filter(keep).drop("_gsz", "_sdiv")

@@ -1,0 +1,179 @@
+"""Privacy release gates (operators/privacy.py): DuckDB differentials
+over real testdata with the gate's canon + value-hash comparison, plus
+planted-violation semantics and the one-shuffle plan pin."""
+
+import hashlib
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.privacy import (
+    anonymize_release,
+    generalize_numeric,
+    generalize_prefix,
+    k_anonymity_report,
+    k_anonymity_suppress,
+    l_diversity_report,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+        elif str(df[c].dtype) in ("float64", "Float64"):
+            df[c] = df[c].round(9)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+@pytest.fixture(scope="module")
+def customers(spark):
+    return spark.read.parquet(os.path.join(SF, "customer.parquet"))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'"
+    )
+    return con
+
+
+# Quasi-identifiers: segment x nation x 2000-wide balance bracket —
+# realistic linkage columns with group sizes straddling any useful k.
+BRACKET = "'[' || CAST(CAST(floor(c_acctbal/2000)*2000 AS BIGINT) AS VARCHAR) || ',' || CAST(CAST(floor(c_acctbal/2000)*2000 + 2000 AS BIGINT) AS VARCHAR) || ')'"
+
+
+def _quasi(df):
+    return df.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        generalize_numeric(F.col("c_acctbal"), 2000.0).alias("bal_bracket"),
+    )
+
+
+def test_suppress_matches_duckdb(spark, customers, duck):
+    got = _canon(
+        k_anonymity_suppress(
+            _quasi(customers), ["c_mktsegment", "c_nationkey", "bal_bracket"], 3
+        ).toPandas()
+    )
+    want = _canon(
+        duck.execute(
+            f"""
+        WITH q AS (SELECT c_custkey, c_mktsegment, c_nationkey,
+                          {BRACKET} AS bal_bracket
+                   FROM customer),
+        w AS (SELECT *, count(*) OVER (PARTITION BY c_mktsegment,
+                          c_nationkey, bal_bracket) AS gsz FROM q)
+        SELECT c_custkey, c_mktsegment, c_nationkey, bal_bracket
+        FROM w WHERE gsz >= 3
+        """
+        ).fetchdf()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert _vhash(got) == _vhash(want)
+    # And the gate must actually bite at this k.
+    assert len(got) < customers.count()
+
+
+def test_report_matches_duckdb(spark, customers, duck):
+    got = _canon(
+        k_anonymity_report(
+            _quasi(customers).drop("c_custkey"),
+            ["c_mktsegment", "c_nationkey", "bal_bracket"],
+            3,
+        ).toPandas()
+    )
+    want = _canon(
+        duck.execute(
+            f"""
+        SELECT c_mktsegment, c_nationkey, {BRACKET} AS bal_bracket,
+               count(*) AS group_size, count(*) < 3 AS suppressed
+        FROM customer GROUP BY 1, 2, 3
+        """
+        ).fetchdf()
+    )
+    assert len(got) == len(want)
+    assert _vhash(got) == _vhash(want)
+
+
+def test_planted_unique_row_is_suppressed(spark):
+    rows = [(i, "SEG_A", 1) for i in range(5)] + [(99, "SEG_B", 7)]
+    df = spark.createDataFrame(rows, ["uid", "seg", "nat"])
+    kept = k_anonymity_suppress(df, ["seg", "nat"], 2)
+    ids = {r["uid"] for r in kept.collect()}
+    assert 99 not in ids and ids == {0, 1, 2, 3, 4}
+    rep = {
+        (r["seg"], r["nat"]): (r["group_size"], r["suppressed"])
+        for r in k_anonymity_report(df, ["seg", "nat"], 2).collect()
+    }
+    assert rep[("SEG_A", 1)] == (5, False)
+    assert rep[("SEG_B", 7)] == (1, True)
+
+
+def test_l_diversity_counts_null_as_value(spark):
+    rows = [
+        ("g1", "flu"), ("g1", "flu"), ("g1", "flu"),        # 1 value
+        ("g2", "flu"), ("g2", None), ("g2", "cold"),         # 3 w/ null
+    ]
+    df = spark.createDataFrame(rows, ["grp", "dx"])
+    rep = {
+        r["grp"]: (r["sensitive_distinct"], r["diverse"])
+        for r in l_diversity_report(df, ["grp"], "dx", 2).collect()
+    }
+    assert rep["g1"] == (1, False)
+    assert rep["g2"] == (3, True)
+
+
+def test_composed_gate_and_null_quasi_groups_together(spark):
+    rows = (
+        [(i, "A", "x") for i in range(4)]        # k ok, 1 sensitive -> dropped by l
+        + [(10 + i, "B", ["x", "y"][i % 2]) for i in range(4)]  # both pass
+        + [(20 + i, None, ["x", "y"][i % 2]) for i in range(4)]  # NULL quasi: a real group
+        + [(30, "C", "x")]                        # k fails
+    )
+    df = spark.createDataFrame(rows, ["uid", "seg", "dx"])
+    out = anonymize_release(df, ["seg"], k=2, sensitive_col="dx", l=2)
+    ids = {r["uid"] for r in out.collect()}
+    assert ids == {10, 11, 12, 13, 20, 21, 22, 23}
+    with pytest.raises(ValueError, match="together"):
+        anonymize_release(df, ["seg"], k=2, sensitive_col="dx")
+
+
+def test_generalizers(spark):
+    df = spark.createDataFrame(
+        [(1234.5, "94107"), (-1.0, "WC2N5DU")], ["v", "zip"]
+    )
+    got = df.select(
+        generalize_numeric(F.col("v"), 1000.0).alias("b"),
+        generalize_prefix(F.col("zip"), 3).alias("z"),
+    ).collect()
+    assert got[0]["b"] == "[1000,2000)" and got[0]["z"] == "941*"
+    assert got[1]["b"] == "[-1000,0)" and got[1]["z"] == "WC2*"
+
+
+def test_suppress_is_single_shuffle(spark, customers):
+    plan = (
+        k_anonymity_suppress(
+            _quasi(customers), ["c_mktsegment", "c_nationkey", "bal_bracket"], 3
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan[:2500]
