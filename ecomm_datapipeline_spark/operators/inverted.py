@@ -1,0 +1,223 @@
+"""Persisted inverted index for BM25 term lookup — the index-backed
+twin of operators/search.py.
+
+`bm25_rank` scans the whole corpus per query batch: the right shape
+for ad-hoc queries over an un-indexed table, and the wrong one for a
+search service issuing thousands of queries against a trillion-token
+corpus. The standard fix is the inverted index (token -> posting
+list), which maps onto the engine's persisted-index pattern
+(operators/ann_index.py): postings live in a parquet table
+PARTITIONED by a token hash bucket, so a query's terms compile to a
+static `_bucket IN (...)` partition filter — the files read scale
+with |query terms|, not corpus size. Everything else about BM25 is
+unchanged and shared:
+
+* Postings carry (token, doc_id, tf, dl): tf/dl are computed ONCE at
+  build time with the engine's shared tokenization (text.tokens,
+  lowercased), denormalized so query-time scoring needs no join back
+  to the corpus.
+* Corpus stats (N, avgdl) persist as a one-row table; per-term
+  document frequencies are NOT precomputed — df(t) = the posting
+  count for t, an aggregate over the already-pruned partitions,
+  so appends never invalidate a stored df.
+* Query-time scoring uses the identical Lucene-idf formula as
+  search.bm25_score_cols, summed per document over its matching
+  postings; ranking is orderBy+limit = TakeOrderedAndProject.
+  Floating-point sum ORDER differs from the literal-fold in
+  bm25_scores (SQL SUM is unordered), so parity with the scan-based
+  ranker is asserted to 1e-9, not bit-identity — documented here,
+  pinned in tests.
+* Appends reuse the partition layout (new postings land in their
+  buckets) and fold (doc_count, token_count) deltas into the stats
+  table the mergeable-rollup way: stats rows are SUMMED at read time,
+  so an append writes one delta row instead of read-modify-writing
+  the table (crash-safe, idempotent replay via content equality is
+  the caller's concern as in ann_index_append).
+
+tests/test_inverted.py pins: 1e-9 score parity + identical rank order
+vs bm25_rank on real testdata, partition pruning in the physical plan
+(files read < total buckets), append visibility (new doc findable,
+stats fold), and df-from-postings correctness after an append.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import tables
+from .text import tokens as _tokens
+
+_POSTINGS = "postings"
+_STATS = "stats"
+DEFAULT_BUCKETS = 64
+
+
+def _bucket(col, n_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
+def _postings_frame(
+    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+) -> DataFrame:
+    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("token"),
+    )
+    return (
+        exploded.groupBy("token", "doc_id")
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
+        .withColumn("_bucket", _bucket(F.col("token"), n_buckets))
+    )
+
+
+def _stats_delta(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+    toks = F.transform(_tokens(F.col(text_col)), F.lower)
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+        F.lit(n_buckets).alias("n_buckets"),
+    )
+
+
+def inverted_index_build(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> None:
+    """Tokenize once, write bucket-partitioned postings + the one-row
+    stats table. Refuses to double-build (the ann_index contract)."""
+    if tables.table_exists(os.path.join(path, _STATS)):
+        raise ValueError(
+            f"inverted index already exists at {path}; add documents with "
+            "inverted_index_append or build into a fresh path"
+        )
+    tables.write_table(
+        _postings_frame(docs, text_col, id_col, n_buckets),
+        os.path.join(path, _POSTINGS),
+        mode="append",
+        partition_by=["_bucket"],
+    )
+    tables.write_table(
+        _stats_delta(docs, text_col, n_buckets),
+        os.path.join(path, _STATS),
+        mode="append",
+    )
+
+
+def inverted_index_append(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append postings for new documents into the existing bucket
+    layout and one (n_docs, total_tokens) delta row into stats —
+    no read-modify-write anywhere. df(t) needs no maintenance: it is
+    derived from postings at query time."""
+    spark = new_docs.sparkSession
+    stats = spark.read.parquet(os.path.join(path, _STATS))
+    n_buckets = stats.select("n_buckets").first()[0]
+    tables.write_table(
+        _postings_frame(new_docs, text_col, id_col, n_buckets),
+        os.path.join(path, _POSTINGS),
+        mode="append",
+        partition_by=["_bucket"],
+    )
+    tables.write_table(
+        _stats_delta(new_docs, text_col, n_buckets),
+        os.path.join(path, _STATS),
+        mode="append",
+    )
+
+
+def _read_stats(spark: SparkSession, path: str) -> tuple[int, float, int]:
+    row = (
+        spark.read.parquet(os.path.join(path, _STATS))
+        .agg(
+            F.sum("n_docs").alias("n"),
+            F.sum("total_tokens").alias("tt"),
+            F.first("n_buckets").alias("b"),
+        )
+        .first()
+    )
+    n = row["n"] or 0
+    avgdl = (float(row["tt"]) / n) if n else 1.0
+    return n, (avgdl or 1.0), row["b"]
+
+
+def bm25_rank_indexed(
+    spark: SparkSession,
+    path: str,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k (doc_id, bm25_score, n_terms_hit) through the index: the
+    query's terms become a static (_bucket IN ..., token IN ...)
+    filter — partition pruning reads only the terms' posting files.
+    Same normalization, formula, and tie-break as search.bm25_rank;
+    score parity to 1e-9 (sum order differs, see module docstring)."""
+    from .search import _norm_terms
+
+    terms = _norm_terms(query_terms)
+    if not terms:
+        raise ValueError("query_terms must contain at least one term")
+    n_docs, avgdl, n_buckets = _read_stats(spark, path)
+    buckets = sorted(
+        {
+            r["_b"]
+            for r in spark.createDataFrame([(t,) for t in terms], "t string")
+            .select(_bucket(F.col("t"), n_buckets).alias("_b"))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(os.path.join(path, _POSTINGS))
+        .filter(F.col("_bucket").isin(buckets))
+        .filter(F.col("token").isin(terms))
+    )
+    # df per term from the pruned postings: k scalars to the driver,
+    # mirroring the pass-1 collect in bm25_score_cols.
+    df_map = {
+        r["token"]: r["df"]
+        for r in postings.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    idf = {
+        t: math.log(
+            1.0
+            + (n_docs - df_map.get(t, 0) + 0.5) / (df_map.get(t, 0) + 0.5)
+        )
+        for t in terms
+    }
+    idf_col = F.element_at(
+        F.create_map(
+            *[x for t in terms for x in (F.lit(t), F.lit(idf[t]))]
+        ),
+        F.col("token"),
+    )
+    tf = F.col("tf").cast("double")
+    denom_norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / F.lit(avgdl)
+    )
+    contrib = idf_col * (tf * F.lit(k1 + 1.0) / (tf + denom_norm))
+    return (
+        postings.select("doc_id", contrib.alias("_c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("_c").alias("bm25_score"),
+            F.count("*").cast("int").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25_score"), F.col("doc_id"))
+        .limit(top_k)
+    )
