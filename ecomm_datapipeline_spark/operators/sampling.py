@@ -273,3 +273,41 @@ def mix_corpora(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def temperature_weights(
+    sources: dict[str, DataFrame],
+    alpha: float = 0.3,
+    sizes: dict[str, int] | None = None,
+) -> dict[str, tuple[DataFrame, float]]:
+    """Temperature-scaled mixture weights: weight_i = size_i ** alpha,
+    the multilingual / multi-domain sampling rule (alpha=1 is
+    proportional-to-size, alpha=0 is uniform, and the 0.2-0.5 band is
+    the standard compromise that up-samples small corpora without
+    drowning large ones — mT5's alpha=0.3 convention).
+
+    Returns the {name: (df, weight)} shape mix_corpora consumes, so
+    the two compose directly:
+
+        mix_corpora(temperature_weights(corpora, alpha=0.3))
+
+    Sizes are one count per corpus (k driver scalars) unless the
+    caller already has them (`sizes`) — corpus catalogs usually do,
+    and recounting a 100 TB source to derive a weight is the kind of
+    hidden full scan this engine refuses to bury (the no-silent-caps
+    spirit: make the scan explicit or pass the known size).
+    """
+    if not sources:
+        raise ValueError("temperature_weights needs at least one source")
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    got = sizes or {name: df.count() for name, df in sources.items()}
+    missing = set(sources) - set(got)
+    if missing:
+        raise ValueError(f"sizes missing for sources: {sorted(missing)}")
+    bad = [n for n in sources if got[n] <= 0]
+    if bad:
+        raise ValueError(f"sizes must be positive: {bad}")
+    return {
+        name: (df, float(got[name]) ** alpha) for name, df in sources.items()
+    }

@@ -106,6 +106,49 @@ def test_mix_corpora_proportions(spark):
         sampling.mix_corpora({})
 
 
+def test_temperature_weights(spark):
+    """weight_i = size_i^alpha exactly; alpha endpoints degenerate to
+    proportional (1) and uniform (0); composes with mix_corpora so the
+    mixed proportions follow the tempered weights."""
+    web = spark.createDataFrame(
+        [(i, f"web {i}") for i in range(1600)], "doc_id long, text string"
+    )
+    code = spark.createDataFrame(
+        [(i, f"code {i}") for i in range(100)], "doc_id long, text string"
+    )
+    srcs = {"web": web, "code": code}
+    sizes = {"web": 1600, "code": 100}
+
+    # exact math, with and without precomputed sizes
+    for kwargs in ({"sizes": sizes}, {}):
+        w = sampling.temperature_weights(srcs, alpha=0.5, **kwargs)
+        assert w["web"][1] == pytest.approx(40.0)
+        assert w["code"][1] == pytest.approx(10.0)
+    uni = sampling.temperature_weights(srcs, alpha=0.0, sizes=sizes)
+    assert uni["web"][1] == uni["code"][1] == 1.0
+    prop = sampling.temperature_weights(srcs, alpha=1.0, sizes=sizes)
+    assert prop["web"][1] / prop["code"][1] == pytest.approx(16.0)
+
+    # composition: tempered 4:1 ratio -> code (binding at equal scale)
+    # kept whole, web down-sampled to ~4x code
+    mixed = sampling.mix_corpora(
+        sampling.temperature_weights(srcs, alpha=0.5, sizes=sizes)
+    )
+    by_src = {
+        r["source"]: r["count"]
+        for r in mixed.groupBy("source").count().collect()
+    }
+    assert by_src["code"] == 100
+    assert abs(by_src["web"] - 400) <= 40  # 4:1 within hash-sampling error
+
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_weights(srcs, alpha=1.5)
+    with pytest.raises(ValueError, match="missing"):
+        sampling.temperature_weights(srcs, sizes={"web": 1600})
+    with pytest.raises(ValueError, match="at least one"):
+        sampling.temperature_weights({})
+
+
 def test_resize_images_plumbing(spark):
     """Fake-decode resize: aspect-preserving fit, never upscales,
     output payload is exactly width*height bytes and deterministic."""
