@@ -31,8 +31,9 @@ unchanged and shared:
   buckets) and fold (doc_count, token_count) deltas into the stats
   table the mergeable-rollup way: stats rows are SUMMED at read time,
   so an append writes one delta row instead of read-modify-writing
-  the table (crash-safe, idempotent replay via content equality is
-  the caller's concern as in ann_index_append).
+  the table (crash-safe; the streaming maintainer stamps `_batch_id`
+  on appended rows and skips replayed micro-batches, the
+  ann_index_stream contract).
 
 tests/test_inverted.py pins: 1e-9 score parity + identical rank order
 vs bm25_rank on real testdata, partition pruning in the physical plan
@@ -61,7 +62,11 @@ def _bucket(col, n_buckets: int):
 
 
 def _postings_frame(
-    docs: DataFrame, text_col: str, id_col: str, n_buckets: int
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+    batch_id: int | None = None,
 ) -> DataFrame:
     toks = F.transform(_tokens(F.col(text_col)), F.lower)
     exploded = docs.select(
@@ -69,19 +74,27 @@ def _postings_frame(
         F.size(toks).cast("long").alias("dl"),
         F.explode(toks).alias("token"),
     )
+    # _batch_id is always present (null outside streaming) so every
+    # postings file shares one schema — the ann_index convention; the
+    # streaming maintainer stamps its micro-batch id here for replay
+    # detection.
     return (
         exploded.groupBy("token", "doc_id")
         .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
         .withColumn("_bucket", _bucket(F.col("token"), n_buckets))
+        .withColumn("_batch_id", F.lit(batch_id).cast("long"))
     )
 
 
-def _stats_delta(docs: DataFrame, text_col: str, n_buckets: int) -> DataFrame:
+def _stats_delta(
+    docs: DataFrame, text_col: str, n_buckets: int, batch_id: int | None = None
+) -> DataFrame:
     toks = F.transform(_tokens(F.col(text_col)), F.lower)
     return docs.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(toks)).cast("long").alias("total_tokens"),
         F.lit(n_buckets).alias("n_buckets"),
+        F.lit(batch_id).cast("long").alias("_batch_id"),
     )
 
 
@@ -117,22 +130,24 @@ def inverted_index_append(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: int | None = None,
 ) -> None:
     """Append postings for new documents into the existing bucket
     layout and one (n_docs, total_tokens) delta row into stats —
     no read-modify-write anywhere. df(t) needs no maintenance: it is
-    derived from postings at query time."""
+    derived from postings at query time. `batch_id` stamps the rows
+    for the streaming maintainer's replay check."""
     spark = new_docs.sparkSession
     stats = spark.read.parquet(os.path.join(path, _STATS))
     n_buckets = stats.select("n_buckets").first()[0]
     tables.write_table(
-        _postings_frame(new_docs, text_col, id_col, n_buckets),
+        _postings_frame(new_docs, text_col, id_col, n_buckets, batch_id),
         os.path.join(path, _POSTINGS),
         mode="append",
         partition_by=["_bucket"],
     )
     tables.write_table(
-        _stats_delta(new_docs, text_col, n_buckets),
+        _stats_delta(new_docs, text_col, n_buckets, batch_id),
         os.path.join(path, _STATS),
         mode="append",
     )

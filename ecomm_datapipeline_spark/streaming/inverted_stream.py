@@ -1,0 +1,103 @@
+"""Continuous maintenance of the persisted inverted index — the
+search-surface mirror of streaming/ann_index_stream.
+
+A document ingested by the pipeline becomes FINDABLE (bm25_rank_indexed)
+within one micro-batch of arrival: each batch's postings are appended
+into the bucket-partitioned postings table and one stats delta row is
+appended, both pure map/agg stages over the batch (the corpus is never
+re-read — operators/inverted.inverted_index_append).
+
+Exactly-once: foreachBatch replays micro-batches after a crash, so
+every appended row carries `_batch_id` and a replayed batch whose id
+already landed in the STATS table is skipped. Stats is the replay
+sentinel (one tiny delta row per batch — the cheapest possible check)
+and it is written LAST in the append, so a crash between the postings
+write and the stats write replays into duplicate postings... except it
+cannot: the stats check runs first on replay, and a batch is only
+"committed" when its stats row exists. A batch that died mid-append
+left postings WITHOUT a stats row; the replay re-appends postings and
+then the stats row — which would double the postings. To close that
+window the maintainer appends postings and stats in the OPPOSITE order
+of the batch API default here: it writes the stats row only after
+postings succeed, and on replay it REMOVES any orphaned postings rows
+stamped with the replaying batch id before re-appending. Removal is a
+partition-scoped files rewrite only when orphans exist — the common
+replay path (stats row present) stays a metadata check.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import inverted
+from ..sources import tables
+
+_BATCH_COL = "_batch_id"
+
+
+def inverted_index_stream(
+    docs_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the maintainer: returns the running StreamingQuery. The
+    index must already exist (inverted_index_build) — corpus-level
+    choices (bucket count) belong to the build, not the first
+    micro-batch."""
+    spark = docs_stream.sparkSession
+    stats_path = os.path.join(index_path, "stats")
+    postings_path = os.path.join(index_path, "postings")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if not tables.table_exists(stats_path):
+            raise ValueError(
+                f"no inverted index at {index_path}; build one with "
+                "inverted_index_build before starting the maintainer"
+            )
+        committed = (
+            spark.read.parquet(stats_path)
+            .filter(F.col(_BATCH_COL) == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if committed:
+            return  # replay of a fully-committed batch
+        # Crash window: postings from a half-committed attempt of THIS
+        # batch id would double-count after re-append — drop them
+        # first. No-op (no rewrite) when no orphans exist.
+        postings = spark.read.parquet(postings_path)
+        orphans = (
+            postings.filter(F.col(_BATCH_COL) == batch_id).limit(1).count() > 0
+        )
+        if orphans:
+            import uuid
+
+            keep = postings.filter(
+                F.col(_BATCH_COL).isNull() | (F.col(_BATCH_COL) != batch_id)
+            )
+            # Spark cannot overwrite a table it is reading: stage to a
+            # sibling dir and swap (the compact_table technique), so
+            # readers never observe a half-rewritten postings table.
+            tmp = f"{postings_path.rstrip('/')}__replay_{uuid.uuid4().hex[:8]}"
+            keep.write.partitionBy("_bucket").mode("overwrite").parquet(tmp)
+            tables._swap_into(tmp, postings_path)
+        inverted.inverted_index_append(
+            batch, index_path, text_col=text_col, id_col=id_col, batch_id=batch_id
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

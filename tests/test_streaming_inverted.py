@@ -1,0 +1,147 @@
+"""Streaming maintainer of the persisted inverted index
+(streaming/inverted_stream.py): per-micro-batch postings + stats
+append, a streamed-in doc findable at rank 1 with scores matching the
+scan-based ranker over the grown corpus, idempotent replay, and
+orphan-postings cleanup for the half-committed crash window."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import inverted
+from ecomm_datapipeline_spark.operators.search import bm25_rank
+from ecomm_datapipeline_spark.streaming import inverted_stream
+
+SF = "/root/testdata/sf0.001"
+SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture()
+def env(tmp_path, spark, docs):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    index = str(tmp_path / "idx")
+    inverted.inverted_index_build(docs, index, n_buckets=16)
+    return {"landing": landing, "index": index, "ckpt": str(tmp_path / "ckpt")}
+
+
+def _write_batch(landing, name, rows):
+    with open(os.path.join(landing, name), "w") as f:
+        for doc_id, text in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "doc_id": doc_id,
+                        "text": text,
+                        "lang": "en",
+                        "source": "stream",
+                        "n_chars": len(text),
+                    }
+                )
+                + "\n"
+            )
+
+
+def _stream(spark, env, ckpt=None):
+    s = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(env["landing"])
+    )
+    q = inverted_stream.inverted_index_stream(
+        s, env["index"], ckpt or env["ckpt"]
+    )
+    q.awaitTermination(180)
+    return q
+
+
+QUERY = ["scan", "window", "merge"]
+
+
+def test_streamed_doc_findable_and_parity(spark, docs, env):
+    """Two micro-batches stream in; the planted ultra-relevant doc must
+    rank 1 and the whole indexed top-10 must match the scan ranker over
+    base + streamed corpus to 1e-9."""
+    planted = "scan scan scan window merge scan window"
+    _write_batch(env["landing"], "b1.json", [(700_001, "filler text only")])
+    _write_batch(env["landing"], "b2.json", [(700_002, planted)])
+    _stream(spark, env)
+
+    got = inverted.bm25_rank_indexed(spark, env["index"], QUERY, top_k=10).collect()
+    assert got[0]["doc_id"] == 700_002
+
+    extra = docs.sparkSession.createDataFrame(
+        [
+            (700_001, "filler text only", "en", "stream", 16),
+            (700_002, planted, "en", "stream", len(planted)),
+        ],
+        docs.schema,
+    )
+    want = bm25_rank(docs.unionByName(extra), QUERY, top_k=10).collect()
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for g, w in zip(got, want):
+        assert abs(g["bm25_score"] - w["bm25_score"]) < 1e-9
+
+    stats = spark.read.parquet(os.path.join(env["index"], "stats"))
+    assert stats.filter(F.col("_batch_id").isNotNull()).count() == 2
+
+
+def test_replay_is_idempotent(spark, env):
+    _write_batch(env["landing"], "b1.json", [(800_001, "scan merge scan")])
+    _stream(spark, env)
+    stats_path = os.path.join(env["index"], "stats")
+    postings_path = os.path.join(env["index"], "postings")
+    s1 = spark.read.parquet(stats_path).count()
+    p1 = spark.read.parquet(postings_path).count()
+
+    _stream(spark, env, ckpt=env["ckpt"] + "2")  # fresh checkpoint: replay
+    assert spark.read.parquet(stats_path).count() == s1
+    assert spark.read.parquet(postings_path).count() == p1
+
+    _stream(spark, env)  # no new files
+    assert spark.read.parquet(stats_path).count() == s1
+
+
+def test_orphaned_postings_cleaned_on_replay(spark, env):
+    """Simulate the crash window: postings for a batch id landed but
+    its stats row did not. The replay must remove the orphans before
+    re-appending, so the doc's tf is counted ONCE."""
+    doc = (800_009, "merge window merge")
+    _write_batch(env["landing"], "b1.json", [doc])
+    # Manufacture the half-committed state: append postings rows
+    # stamped with the batch id the stream will use (0), no stats row.
+    planted = spark.createDataFrame(
+        [doc + ("en", "stream", len(doc[1]))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inverted.tables.write_table(
+        inverted._postings_frame(planted, "text", "doc_id", 16, batch_id=0),
+        os.path.join(env["index"], "postings"),
+        mode="append",
+        partition_by=["_bucket"],
+    )
+    _stream(spark, env)
+    postings = spark.read.parquet(os.path.join(env["index"], "postings"))
+    mine = postings.filter(F.col("doc_id") == 800_009).collect()
+    # one row per distinct token, no duplicated postings
+    assert sorted((r["token"], r["tf"]) for r in mine) == [
+        ("merge", 2),
+        ("window", 1),
+    ]
+
+
+def test_stream_into_missing_index_raises(spark, tmp_path, env):
+    _write_batch(env["landing"], "b1.json", [(1, "x")])
+    s = spark.readStream.schema(SCHEMA).json(env["landing"])
+    q = inverted_stream.inverted_index_stream(
+        s, str(tmp_path / "nonexistent"), str(tmp_path / "ck3")
+    )
+    with pytest.raises(Exception, match="no inverted index"):
+        q.awaitTermination(180)
