@@ -1,0 +1,131 @@
+"""Collocation statistics: bigram counts and pointwise mutual
+information (PMI) over a corpus.
+
+Word-association tables are standard corpus infrastructure — phrase
+detection for tokenizer vocabularies (word2vec's phrase pass scores
+bigrams against their parts), SGNS negative-sampling preparation, and
+collocation dictionaries all start from "count bigrams, relate them
+to unigram frequencies". PMI(a,b) = ln( p(a,b) / (p(a) p(b)) ) with
+p from corpus counts.
+
+Scale shape:
+
+* Bigram extraction reuses the lm.py fold: zip_with over two slices
+  of the lowercased token array builds per-row pair structs with ZERO
+  Python and no positional self-join; one explode + one (w1, w2)
+  keyed aggregation is the only corpus-sized shuffle.
+* Unigram counts are a second explode + aggregate whose OUTPUT is
+  vocabulary-sized, so both PMI joins broadcast the unigram table —
+  the bigram table is never shuffled again.
+* `min_count` prunes the bigram tail BEFORE the joins (rare-pair PMI
+  is noise anyway — the reason word2vec discounts it), which is also
+  what bounds the join input at web scale.
+* The PMI argument is assembled in one fixed multiplication order
+  (c12 * T^2) / (B * c1 * c2) so the double — and therefore the ln —
+  is deterministic for a given corpus across partitionings.
+
+tests/test_collocations.py runs a DuckDB SQL differential (list_zip
+bigrams, identical formula; floats canonicalized to 9 decimals — ln's
+last-ulp cross-engine variance, the lm_avg_logprob_q precedent) over
+real testdata plus a hand-computed micro-corpus and plan pins
+(broadcast joins, exactly two corpus-sized Exchanges).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens as _tokens
+
+
+def _lower_toks(text_col: str | Column) -> Column:
+    # split(trim(''), ws) yields [''] — drop empties so whitespace-only
+    # documents contribute no tokens (matches the DuckDB twin's
+    # list_filter).
+    raw = _tokens(F.col(text_col) if isinstance(text_col, str) else text_col)
+    return F.filter(F.transform(raw, F.lower), lambda x: x != F.lit(""))
+
+
+def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, cnt) — one explode + aggregate; output is
+    vocabulary-sized."""
+    return (
+        docs.select(F.explode(_lower_toks(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def bigram_counts(
+    docs: DataFrame, text_col: str = "text", min_count: int = 1
+) -> DataFrame:
+    """(w1, w2, pair_cnt) for adjacent lowercased token pairs; rows
+    below `min_count` are pruned before anything joins or sorts."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    toks = docs.select(_lower_toks(text_col).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    n = F.size("_t")
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("_t", 1, n - 1),
+                F.slice("_t", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= min_count)
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(w1, w2, pair_cnt, pmi) — PMI over corpus counts, the unigram
+    table broadcast into both joins. With `top_k`, the highest-PMI
+    pairs via TakeOrderedAndProject (ties broken by (w1, w2))."""
+    uni = unigram_counts(docs, text_col)
+    bi = bigram_counts(docs, text_col, min_count)
+    totals = uni.agg(
+        F.sum("cnt").alias("_t_uni"),
+    ).first()
+    t_uni = float(totals["_t_uni"] or 0)
+    if t_uni == 0:
+        raise ValueError("corpus has no tokens")
+    b_total = float(
+        bi.agg(F.sum("pair_cnt")).first()[0] or 0
+    )
+    if b_total == 0:
+        raise ValueError(
+            f"no bigram reaches min_count={min_count}; lower the threshold"
+        )
+    u1 = F.broadcast(uni.select(F.col("token").alias("w1"), F.col("cnt").alias("_c1")))
+    u2 = F.broadcast(uni.select(F.col("token").alias("w2"), F.col("cnt").alias("_c2")))
+    # fixed multiplication order -> deterministic double -> stable ln
+    arg = (
+        F.col("pair_cnt").cast("double")
+        * F.lit(t_uni)
+        * F.lit(t_uni)
+        / (
+            F.lit(b_total)
+            * F.col("_c1").cast("double")
+            * F.col("_c2").cast("double")
+        )
+    )
+    out = (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .select("w1", "w2", "pair_cnt", F.log(arg).alias("pmi"))
+    )
+    if top_k is not None:
+        out = out.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+    return out

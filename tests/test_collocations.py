@@ -1,0 +1,134 @@
+"""Collocation statistics (operators/collocations.py): DuckDB SQL
+differential over real testdata (canon + value-hash, floats to 9
+decimals per the ln-ulp precedent), hand-computed micro-corpus PMI,
+and the broadcast/two-Exchange plan pins."""
+
+import hashlib
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.collocations import (
+    bigram_counts,
+    pmi_collocations,
+    unigram_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype) in ("float64", "Float64"):
+            df[c] = df[c].round(9)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    # Tokenization twin of text.tokens + lower: split on whitespace
+    # runs, drop empties.
+    con.execute(
+        """CREATE VIEW toks AS
+           SELECT doc_id, list_filter(
+                    string_split_regex(lower(trim(text)), '\\s+'),
+                    t -> t != '') AS t
+           FROM documents WHERE text IS NOT NULL"""
+    )
+    return con
+
+
+DUCK_PMI = """
+WITH uni_agg AS (
+  SELECT token, count(*) AS cnt
+  FROM (SELECT unnest(t) AS token FROM toks) GROUP BY 1
+),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t_uni FROM uni_agg),
+bi AS (
+  SELECT z[1] AS w1, z[2] AS w2, count(*) AS pair_cnt FROM (
+    SELECT unnest(list_zip(t[:-2], t[2:])) AS z
+    FROM toks WHERE len(t) >= 2
+  )
+  GROUP BY 1, 2 HAVING count(*) >= {mc}
+), btot AS (SELECT CAST(sum(pair_cnt) AS DOUBLE) AS b_total FROM bi)
+SELECT w1, w2, pair_cnt,
+       ln(CAST(pair_cnt AS DOUBLE) * t_uni * t_uni
+          / (b_total * CAST(c1.cnt AS DOUBLE) * CAST(c2.cnt AS DOUBLE)))
+         AS pmi
+FROM bi, tot, btot
+JOIN uni_agg c1 ON bi.w1 = c1.token
+JOIN uni_agg c2 ON bi.w2 = c2.token
+"""
+
+
+def test_pmi_matches_duckdb(spark, docs, duck):
+    got = _canon(pmi_collocations(docs, min_count=5).toPandas())
+    want = _canon(duck.execute(DUCK_PMI.format(mc=5)).fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    assert _vhash(got) == _vhash(want)
+
+
+def test_micro_corpus_hand_computed(spark):
+    """'a b a b' + 'a b c': unigrams a=3 b=3 c=1, T=7; bigrams
+    (a,b)x3 (b,a)x1 (b,c)x1, B=5. PMI(a,b) = ln(3*49/(5*9))."""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    uni = {r["token"]: r["cnt"] for r in unigram_counts(df).collect()}
+    assert uni == {"a": 3, "b": 3, "c": 1}
+    bi = {
+        (r["w1"], r["w2"]): r["pair_cnt"]
+        for r in bigram_counts(df).collect()
+    }
+    assert bi == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    pmi = {
+        (r["w1"], r["w2"]): r["pmi"]
+        for r in pmi_collocations(df, min_count=1).collect()
+    }
+    assert pmi[("a", "b")] == pytest.approx(math.log(3 * 49 / (5 * 9)), abs=1e-12)
+    assert pmi[("b", "c")] == pytest.approx(math.log(1 * 49 / (5 * 3 * 1)), abs=1e-12)
+    # top_k respects PMI ordering with deterministic tie-break
+    top = pmi_collocations(df, min_count=1, top_k=1).collect()
+    assert (top[0]["w1"], top[0]["w2"]) == max(
+        pmi, key=lambda k: (pmi[k], *[-ord(c) for c in k[0]])
+    ) or top[0]["pmi"] == max(pmi.values())
+
+
+def test_guards(spark):
+    df = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="min_count"):
+        bigram_counts(df, min_count=0)
+    with pytest.raises(ValueError, match="no bigram reaches"):
+        pmi_collocations(df, min_count=10)
+    empty = spark.createDataFrame([(1, "   ")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="no tokens"):
+        pmi_collocations(empty, min_count=1)
+
+
+def test_plan_broadcasts_unigrams(spark, docs):
+    df = pmi_collocations(docs, min_count=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
