@@ -129,3 +129,74 @@ def pmi_collocations(
     if top_k is not None:
         out = out.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
     return out
+
+
+def phrase_merge(
+    docs: DataFrame,
+    phrases: list[tuple[str, str]],
+    text_col: str = "text",
+    joiner: str = "_",
+) -> DataFrame:
+    """Rewrite text with detected collocations fused into single
+    tokens ("new york" -> "new_york") — the word2vec phrases pass,
+    fed by pmi_collocations' top-k:
+
+        top = pmi_collocations(docs, min_count=50, top_k=1000)
+        fused = phrase_merge(docs, [(r.w1, r.w2) for r in top.collect()])
+
+    Greedy LEFT-TO-RIGHT, non-overlapping (word2vec semantics): after
+    a merge the fused token cannot start another merge, so
+    'a b b c' with phrases {(a,b),(b,c)} gives 'a_b b_c' and
+    'a a a' with {(a,a)} gives 'a_a a'.
+
+    The phrase table is a plan-literal MAP (the codebook pattern —
+    bounded by top_k, never a join), and the merge is one
+    F.aggregate fold over the token array carrying (output, pending)
+    — zero shuffles, zero Python, the whole operator is a per-row
+    projection. Case: matching is on lowercased tokens and output
+    tokens are lowercased (the engine's shared normalization).
+    """
+    if not phrases:
+        raise ValueError("phrases must be non-empty")
+    pair_map = F.create_map(
+        *[
+            x
+            for (a, b) in dict.fromkeys(
+                (a.lower(), b.lower()) for a, b in phrases
+            )
+            for x in (F.lit(f"{a} {b}"), F.lit(True))
+        ]
+    )
+    toks = _lower_toks(text_col)
+
+    # The fold carries pending explicitly: a non-merge appends the OLD
+    # pending (if any) and holds x; a merge appends the fused token and
+    # clears pending. finish() flushes the final pending.
+    def _step(acc, x):
+        can = acc["pend"].isNotNull() & F.element_at(
+            pair_map, F.concat(acc["pend"], F.lit(" "), x)
+        ).isNotNull()
+        merged = F.concat(acc["pend"], F.lit(joiner), x)
+        new_out = F.when(can, F.concat(acc["out"], F.array(merged))).otherwise(
+            F.when(
+                acc["pend"].isNotNull(),
+                F.concat(acc["out"], F.array(acc["pend"])),
+            ).otherwise(acc["out"])
+        )
+        new_pend = F.when(can, F.lit(None).cast("string")).otherwise(x)
+        return F.struct(new_out.alias("out"), new_pend.alias("pend"))
+
+    zero = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    folded = F.aggregate(
+        toks,
+        zero,
+        _step,
+        lambda acc: F.when(
+            acc["pend"].isNotNull(),
+            F.concat(acc["out"], F.array(acc["pend"])),
+        ).otherwise(acc["out"]),
+    )
+    return docs.withColumn(text_col, F.concat_ws(" ", folded))

@@ -132,3 +132,82 @@ def test_plan_broadcasts_unigrams(spark, docs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def _py_phrase_merge(tokens, phrases, joiner="_"):
+    """From-scratch greedy left-to-right reference."""
+    out, pend = [], None
+    for x in tokens:
+        if pend is not None and (pend, x) in phrases:
+            out.append(pend + joiner + x)
+            pend = None
+        else:
+            if pend is not None:
+                out.append(pend)
+            pend = x
+    if pend is not None:
+        out.append(pend)
+    return out
+
+
+def test_phrase_merge_hand_cases(spark):
+    from ecomm_datapipeline_spark.operators.collocations import phrase_merge
+
+    df = spark.createDataFrame(
+        [
+            (1, "new york is in new york state"),
+            (2, "a b b c"),
+            (3, "a a a"),
+            (4, "nothing matches here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in phrase_merge(
+            df, [("new", "york"), ("a", "b"), ("b", "c"), ("a", "a")]
+        ).collect()
+    }
+    assert got[1] == "new_york is in new_york state"
+    assert got[2] == "a_b b_c"          # fused token can't re-merge
+    assert got[3] == "a_a a"            # greedy non-overlapping
+    assert got[4] == "nothing matches here"
+    with pytest.raises(ValueError, match="non-empty"):
+        phrase_merge(df, [])
+
+
+def test_phrase_merge_matches_python_reference(spark):
+    """Seeded random token sequences over a tiny alphabet (dense
+    phrase hits, overlaps and runs) — Spark fold == reference."""
+    import random
+
+    from ecomm_datapipeline_spark.operators.collocations import phrase_merge
+
+    rng = random.Random(42)
+    alpha = ["a", "b", "c", "d"]
+    rows = [
+        (i, " ".join(rng.choice(alpha) for _ in range(rng.randint(0, 30))))
+        for i in range(200)
+    ]
+    phrases = {("a", "b"), ("b", "b"), ("c", "a"), ("d", "d")}
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in phrase_merge(df, sorted(phrases)).collect()
+    }
+    for i, text in rows:
+        want = " ".join(_py_phrase_merge(text.split(), phrases))
+        assert got[i] == want, (i, text, got[i], want)
+
+
+def test_phrase_merge_zero_shuffle(spark, docs):
+    from ecomm_datapipeline_spark.operators.collocations import phrase_merge
+
+    plan = (
+        phrase_merge(docs, [("table", "scan")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
