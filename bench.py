@@ -179,6 +179,44 @@ def _corpus_diff_slot(spark, sf_dir: str):
     return run
 
 
+def _pmi_slot(spark, sf_dir: str):
+    """Collocation bench slot (r5): unigram + bigram explode-aggregates
+    over documents plus the double-broadcast PMI join — anchors the
+    corpus-sized token shuffle the collocation/inverted-index builds
+    share."""
+    from ecomm_datapipeline_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def run(spark, sf_dir):
+        return pmi_collocations(docs, min_count=5)
+
+    return run
+
+
+def _linkage_slot(spark, sf_dir: str):
+    """Entity-resolution bench slot (r5): blocking keys + within-block
+    candidate pairs + levenshtein scoring over customer names — anchors
+    the block self-join. (Clustering is iterative/driver-paced and
+    benches poorly; the pair stage is where the data-volume cost
+    lives.)"""
+    from ecomm_datapipeline_spark.operators.linkage import (
+        candidate_pairs,
+        linkage_scores,
+    )
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+
+    def run(spark, sf_dir):
+        return linkage_scores(
+            candidate_pairs(cust, "c_custkey", "c_name", max_block_size=5000)
+        )
+
+    return run
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -225,6 +263,14 @@ def main() -> None:
         extra["corpus_diff"] = _corpus_diff_slot(spark, sf_dir)
     except Exception as exc:
         extra["corpus_diff"] = exc
+    try:
+        extra["pmi_collocations"] = _pmi_slot(spark, sf_dir)
+    except Exception as exc:
+        extra["pmi_collocations"] = exc
+    try:
+        extra["linkage_pairs"] = _linkage_slot(spark, sf_dir)
+    except Exception as exc:
+        extra["linkage_pairs"] = exc
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
