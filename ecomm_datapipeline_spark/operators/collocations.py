@@ -200,3 +200,64 @@ def phrase_merge(
         ).otherwise(acc["out"]),
     )
     return docs.withColumn(text_col, F.concat_ws(" ", folded))
+
+
+def cooccurrence_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 5,
+    min_count: int = 1,
+    glove_weights: bool = False,
+) -> DataFrame:
+    """(w1, w2, pair_cnt[, wsum]) for ORDERED token pairs within
+    `window` positions — the skip-gram context table (word2vec) and,
+    with `glove_weights`, the 1/distance-weighted co-occurrence matrix
+    GloVe factorizes.
+
+    Shape: one zip_with-over-slices fold PER OFFSET d in 1..window
+    (bounded, plan-literal loop), concatenated per row and exploded
+    once — so the corpus pays ONE explode + ONE (w1, w2) aggregation
+    regardless of window size, never a positional self-join. Window
+    growth multiplies exploded rows linearly (sum over offsets), the
+    inherent cost of the statistic.
+
+    Pairs are ordered (w1 before w2 in text); symmetric counts are one
+    further groupBy over least/greatest of this output if needed.
+    """
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1: {min_count}")
+    toks = docs.select(_lower_toks(text_col).alias("_t")).filter(
+        F.size("_t") >= 2
+    )
+    n = F.size("_t")
+    def _pair_maker(d: int):
+        # closure (not a default arg): PySpark reflects the lambda's
+        # arity, and a bound default would read as a 3-arg lambda
+        w = F.lit(1.0 / d)
+        return lambda a, b: F.struct(
+            a.alias("w1"), b.alias("w2"), w.alias("w")
+        )
+
+    per_offset = [
+        F.zip_with(
+            # greatest(.., 0): a doc shorter than the offset yields an
+            # empty slice, not a negative-length error
+            F.slice("_t", 1, F.greatest(n - d, F.lit(0))),
+            F.slice("_t", 1 + d, F.greatest(n - d, F.lit(0))),
+            _pair_maker(d),
+        )
+        for d in range(1, window + 1)
+    ]
+    pairs = toks.select(
+        F.explode(F.flatten(F.array(*per_offset))).alias("p")
+    ).select("p.w1", "p.w2", "p.w")
+    aggs = [F.count("*").alias("pair_cnt")]
+    if glove_weights:
+        aggs.append(F.sum("w").alias("wsum"))
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(*aggs)
+        .filter(F.col("pair_cnt") >= min_count)
+    )

@@ -211,3 +211,65 @@ def test_phrase_merge_zero_shuffle(spark, docs):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+DUCK_COOC = """
+SELECT w1, w2, count(*) AS pair_cnt
+FROM (
+  SELECT t[i] AS w1, t[i + d] AS w2 FROM (
+    SELECT t, d, unnest(generate_series(1, len(t) - d)) AS i
+    FROM toks, generate_series(1, {w}) AS gs(d)
+    WHERE len(t) - d >= 1
+  )
+)
+GROUP BY 1, 2 HAVING count(*) >= {mc}
+"""
+
+
+def test_cooccurrence_matches_duckdb(spark, docs, duck):
+    from ecomm_datapipeline_spark.operators.collocations import (
+        cooccurrence_counts,
+    )
+
+    got = _canon(cooccurrence_counts(docs, window=4, min_count=3).toPandas())
+    want = _canon(duck.execute(DUCK_COOC.format(w=4, mc=3)).fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    assert _vhash(got) == _vhash(want)
+
+
+def test_cooccurrence_hand_and_glove_weights(spark):
+    from ecomm_datapipeline_spark.operators.collocations import (
+        cooccurrence_counts,
+    )
+
+    df = spark.createDataFrame([(1, "a b c"), (2, "x y")], ["doc_id", "text"])
+    got = {
+        (r["w1"], r["w2"]): r["pair_cnt"]
+        for r in cooccurrence_counts(df, window=3).collect()
+    }
+    # window wider than any doc: empty-slice guard, no error
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("b", "c"): 1, ("x", "y"): 1}
+    g = {
+        (r["w1"], r["w2"]): r["wsum"]
+        for r in cooccurrence_counts(df, window=2, glove_weights=True).collect()
+    }
+    assert g[("a", "c")] == pytest.approx(0.5)  # distance-2 weight 1/2
+    assert g[("a", "b")] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="window"):
+        cooccurrence_counts(df, window=0)
+
+
+def test_cooccurrence_single_shuffle(spark, docs):
+    from ecomm_datapipeline_spark.operators.collocations import (
+        cooccurrence_counts,
+    )
+
+    plan = (
+        cooccurrence_counts(docs, window=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one explode (Generate), one keyed aggregation exchange
+    assert plan.count("Generate") == 1
+    assert plan.count("Exchange") == 1
