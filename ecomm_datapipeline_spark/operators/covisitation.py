@@ -1,0 +1,117 @@
+"""Item co-visitation: which items appear in the same user session —
+the classic e-commerce association signal ("customers who viewed X
+also viewed Y") and the candidate-generation table of retrieval-based
+recommenders.
+
+Composition of existing engine pieces, not a new primitive:
+
+* Sessions come from the catalog's sessionize shape (30-min gap rule,
+  lag window over user) applied to raw events; the item is a JSON
+  field of `props` (get_json_object, the json_extract_events rule).
+* Per (user, session): the DISTINCT item set via collect_set — one
+  keyed shuffle, session-bounded state.
+* All unordered within-session pairs via an index-aware nested
+  transform over the sorted set (x paired with everything after it) —
+  per-row HOF, no self-join — then ONE explode and ONE (item_a,
+  item_b) count. Session pair cost is C(k, 2); `max_items` drops
+  degenerate sessions (a crawler hitting every product) BEFORE the
+  quadratic step and the drop is observable via the returned frame's
+  companion `covisitation_skipped` count, not silent.
+
+Scale: the only corpus-sized shuffle is the sessionize window (same
+key as the session agg, reused); the pair explode is bounded by
+sum C(k_s, 2) over sessions, which `max_items` caps at C(cap, 2) per
+session. tests/test_covisitation.py runs a DuckDB differential
+(identical sessionization SQL + distinct-item self-join) over real
+testdata plus planted-session hand checks and the skew-guard pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GAP_MIN = 30
+
+
+def _session_items(
+    events: DataFrame, item_expr: str = "get_json_object(props, '$.k')"
+) -> DataFrame:
+    """(user_id, session_id, items: sorted distinct array) using the
+    catalog's 30-minute-gap sessionize shape."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.expr(item_expr).alias("item"),
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > GAP_MIN * 60 * 1_000_000
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sess.filter(F.col("item").isNotNull())
+        .groupBy("user_id", "session_id")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+    )
+
+
+def covisitation_counts(
+    events: DataFrame,
+    item_expr: str = "get_json_object(props, '$.k')",
+    min_sessions: int = 1,
+    max_items: int = 100,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, skipped): pairs = (item_a, item_b, n_sessions) with
+    item_a < item_b, counting SESSIONS containing both (a session
+    contributes each pair once — the co-visitation convention);
+    skipped = one row per dropped oversized session (user_id,
+    session_id, n_items) so the cap is auditable, never silent."""
+    if max_items < 2:
+        raise ValueError(f"max_items must be >= 2: {max_items}")
+    si = _session_items(events, item_expr)
+    n = F.size("items")
+    skipped = si.filter(n > max_items).select(
+        "user_id", "session_id", n.alias("n_items")
+    )
+    kept = si.filter((n >= 2) & (n <= max_items))
+    # x paired with every later element of the sorted set: index-aware
+    # transform over the outer array (bound as lambda var), flattened,
+    # exploded once.
+    pairs = kept.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "items",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("items"),
+                            i + F.lit(2),
+                            F.greatest(
+                                F.size(F.col("items")) - i - F.lit(1), F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("item_a"), y.alias("item_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.item_a", "p.item_b")
+    counts = (
+        pairs.groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_sessions)
+    )
+    return counts, skipped

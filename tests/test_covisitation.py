@@ -1,0 +1,130 @@
+"""Item co-visitation (operators/covisitation.py): DuckDB
+differential (same sessionize SQL + distinct-item self-join) over
+real testdata, planted-session hand checks, and the auditable skew
+guard."""
+
+import hashlib
+import os
+from datetime import datetime, timedelta
+
+import duckdb
+import pandas as pd
+import pytest
+
+from ecomm_datapipeline_spark.operators.covisitation import (
+    covisitation_counts,
+)
+from ecomm_datapipeline_spark.plans.catalog import _t
+
+SF = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def _vhash(df: pd.DataFrame) -> str:
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+DUCK_COVIS = """
+WITH flagged AS (
+  SELECT user_id, ts, json_extract_string(props, '$.k') AS item,
+    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id, item,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged WHERE item IS NOT NULL
+), si AS (
+  SELECT DISTINCT user_id, session_id, item FROM sessions
+), sized AS (
+  SELECT user_id, session_id FROM si GROUP BY 1, 2
+  HAVING count(*) BETWEEN 2 AND {cap}
+)
+SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_sessions
+FROM si a
+JOIN si b ON a.user_id = b.user_id AND a.session_id = b.session_id
+         AND a.item < b.item
+JOIN sized s ON a.user_id = s.user_id AND a.session_id = s.session_id
+GROUP BY 1, 2 HAVING count(*) >= {mc}
+"""
+
+
+def test_matches_duckdb(spark):
+    events = _t(spark, SF, "events")
+    got, _ = covisitation_counts(events, min_sessions=1, max_items=100)
+    got = _canon(got.toPandas())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    want = _canon(con.execute(DUCK_COVIS.format(cap=100, mc=1)).fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    assert _vhash(got) == _vhash(want)
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, props string"
+    )
+
+
+def test_planted_sessions_hand_counts(spark):
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    m = timedelta(minutes=1)
+    rows = [
+        # user 1, one session: items 5, 7, 5 (distinct {5,7})
+        (1, t0, '{"k": 5}'),
+        (1, t0 + m, '{"k": 7}'),
+        (1, t0 + 2 * m, '{"k": 5}'),
+        # user 1, NEW session 40 min later: {5, 7} again + 9
+        (1, t0 + timedelta(minutes=45), '{"k": 7}'),
+        (1, t0 + timedelta(minutes=46), '{"k": 5}'),
+        (1, t0 + timedelta(minutes=47), '{"k": 9}'),
+        # user 2: single-item session contributes nothing
+        (2, t0, '{"k": 5}'),
+    ]
+    pairs, skipped = covisitation_counts(_mk_events(spark, rows))
+    got = {
+        (r["item_a"], r["item_b"]): r["n_sessions"] for r in pairs.collect()
+    }
+    assert got == {
+        ("5", "7"): 2,
+        ("5", "9"): 1,
+        ("7", "9"): 1,
+    }
+    assert skipped.count() == 0
+
+
+def test_skew_guard_reports_dropped_sessions(spark):
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    s = timedelta(seconds=10)
+    crawler = [(9, t0 + i * s, '{"k": %d}' % i) for i in range(20)]
+    normal = [(8, t0, '{"k": 1}'), (8, t0 + s, '{"k": 2}')]
+    pairs, skipped = covisitation_counts(
+        _mk_events(spark, crawler + normal), max_items=10
+    )
+    sk = skipped.collect()
+    assert len(sk) == 1 and sk[0]["user_id"] == 9 and sk[0]["n_items"] == 20
+    got = {(r["item_a"], r["item_b"]) for r in pairs.collect()}
+    assert got == {("1", "2")}
+    with pytest.raises(ValueError, match="max_items"):
+        covisitation_counts(_mk_events(spark, normal), max_items=1)
+
+
+def test_single_explode_plan(spark):
+    events = _t(spark, SF, "events")
+    pairs, _ = covisitation_counts(events)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1
+    assert "CartesianProduct" not in plan
