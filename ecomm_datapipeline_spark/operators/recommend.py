@@ -1,0 +1,177 @@
+"""Collaborative-filtering recommendations: implicit-feedback ALS over
+event interactions, with factor serving through the engine's existing
+similarity machinery.
+
+The pipeline a retail stack runs on this data model:
+
+    events -> implicit ratings (interaction counts per user x item)
+           -> ALS factorization (Hu/Koren/Volinsky implicit variant,
+              Spark MLlib's distributed block implementation)
+           -> user/item factor tables (plain DataFrames)
+           -> top-k recommendation = max-inner-product over factors
+
+Design choices:
+
+* Ratings come from `covisitation._session_items`' sessionize shape's
+  raw events: strength = ln(1 + count) of (user, item) interactions —
+  the standard implicit confidence transform, computed as ONE keyed
+  aggregation. Item ids are indexed to ints via a dimension-sized
+  distinct + row_number (ALS requires int ids); the mapping rides
+  along as a DataFrame, never a driver dict.
+* ALS itself is MLlib's alternating least squares — the one iterative
+  numeric solver in this repo delegated to a library (like KMeans for
+  IVF/SemDeDup): it is Spark-distributed already (block factorization,
+  one shuffle per half-iteration) and re-implementing it adds risk,
+  not insight. Seeded, so runs are reproducible.
+* Serving: recommend_topk scores user x item factor dot products and
+  ranks with similarity._topk_per_key (the two-stage partial top-k —
+  never a whole-corpus window per user). `exclude_seen` anti-joins the
+  training interactions so recs are NEW items — the default every
+  production recommender wants and offline metrics silently break
+  without. Item factors are also valid input for ann_index/IVF-PQ
+  when |items| outgrows the broadcast (the embedding column contract).
+
+Verification (tests/test_recommend.py): a planted two-block
+preference structure (disjoint user/item communities) must reconstruct
+— every user's top recs stay inside their community, seen items are
+excluded, ratings match hand counts, determinism under re-run with the
+same seed, and the serving plan is pinned (broadcast + partial rank,
+no single-partition window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .similarity import _topk_per_key
+
+
+def implicit_ratings(
+    events: DataFrame,
+    item_expr: str = "get_json_object(props, '$.k')",
+    user_col: str = "user_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(ratings, item_index): ratings = (user_id, item_idx, strength)
+    with strength = ln(1 + interaction count); item_index = (item,
+    item_idx) for mapping back. One aggregation over events plus a
+    dimension-sized index build."""
+    inter = (
+        events.select(
+            F.col(user_col).cast("long").alias("user_id"),
+            F.expr(item_expr).alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy("user_id", "item")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    item_index = (
+        inter.select("item")
+        .distinct()
+        .withColumn(
+            "item_idx",
+            F.row_number().over(Window.orderBy("item")).cast("int"),
+        )
+    )
+    ratings = inter.join(F.broadcast(item_index), "item").select(
+        "user_id",
+        "item_idx",
+        F.log1p(F.col("_cnt").cast("double")).alias("strength"),
+    )
+    return ratings, item_index
+
+
+def als_factors(
+    ratings: DataFrame,
+    rank: int = 16,
+    reg: float = 0.05,
+    alpha: float = 10.0,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit implicit-feedback ALS; returns (user_factors, item_factors)
+    as (id, features array<float>) DataFrames — the embedding-column
+    contract the similarity/ANN operators consume."""
+    from pyspark.ml.recommendation import ALS
+
+    # ALS truncates its per-iteration RDD lineage only when a
+    # checkpoint dir exists (checkpointInterval=10); without one, deep
+    # maxIter runs overflow the JVM stack serializing the lineage —
+    # set a local default if the session has none (a cluster deploy
+    # points this at durable storage).
+    sc = ratings.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        import tempfile
+
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="als_ckpt_"))
+    als = ALS(
+        rank=rank,
+        regParam=reg,
+        alpha=alpha,
+        maxIter=max_iter,
+        seed=seed,
+        implicitPrefs=True,
+        userCol="user_id",
+        itemCol="item_idx",
+        ratingCol="strength",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    return model.userFactors, model.itemFactors
+
+
+def recommend_topk(
+    user_factors: DataFrame,
+    item_factors: DataFrame,
+    k: int = 10,
+    exclude_seen: DataFrame | None = None,
+) -> DataFrame:
+    """(user_id, item_idx, score, rank): top-k max-inner-product items
+    per user. Item factors broadcast (swap in the IVF index when
+    |items| outgrows a broadcast); ranking is the two-stage partial
+    top-k, bit-deterministic via (score DESC, item_idx) — never a
+    whole-catalog window per user. `exclude_seen`: (user_id, item_idx)
+    pairs anti-joined out BEFORE ranking."""
+    u = user_factors.select(
+        F.col("id").alias("user_id"), F.col("features").alias("_uf")
+    )
+    it = item_factors.select(
+        F.col("id").alias("item_idx"), F.col("features").alias("_if")
+    )
+    scored = u.crossJoin(F.broadcast(it)).withColumn(
+        "score",
+        F.aggregate(
+            F.zip_with("_uf", "_if", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    if exclude_seen is not None:
+        scored = scored.join(
+            exclude_seen.select("user_id", "item_idx"),
+            ["user_id", "item_idx"],
+            "left_anti",
+        )
+    return _topk_per_key(
+        scored,
+        "user_id",
+        [F.desc("score"), F.col("item_idx")],
+        k,
+        ["user_id", "item_idx", "score", "rank"],
+    )
+
+
+def recommend_for_events(
+    events: DataFrame,
+    k: int = 10,
+    item_expr: str = "get_json_object(props, '$.k')",
+    **als_kwargs,
+) -> DataFrame:
+    """End-to-end: events -> implicit ratings -> ALS -> top-k NEW
+    items per user, mapped back to the original item values."""
+    ratings, item_index = implicit_ratings(events, item_expr)
+    uf, itf = als_factors(ratings, **als_kwargs)
+    recs = recommend_topk(uf, itf, k, exclude_seen=ratings)
+    return recs.join(F.broadcast(item_index), "item_idx").select(
+        "user_id", "item", "score", "rank"
+    )
