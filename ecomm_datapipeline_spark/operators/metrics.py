@@ -1,0 +1,160 @@
+"""Distributed offline evaluation metrics: ranking quality
+(recall@k, precision@k, MRR, NDCG@k) and classifier quality (AUC).
+
+Every retrieval surface in this engine — ANN top-k, BM25, MaxSim,
+ALS recommendations — and every scoring surface (quality classifier,
+LM perplexity) needs the same offline questions answered: "how often
+is the right answer in the top k" and "does the score order positives
+above negatives". Computing these ON the cluster matters because the
+prediction tables are corpus-sized; collecting them to a driver-side
+sklearn call is the anti-pattern.
+
+Shapes:
+
+* Ranking metrics: predictions (qid, item, rank) join ground truth
+  (qid, item) — ONE equijoin on (qid, item) followed by ONE per-qid
+  aggregation; per-query metrics are conditional sums over the rank
+  column (hit = truth row matched at rank <= k), so nothing ever
+  windows over the corpus. Macro averages are a final scalar agg.
+  Queries with NO truth rows are excluded (metrics are undefined
+  there) but COUNTED in the returned summary (no-silent-caps).
+* AUC via the Mann-Whitney rank-sum identity:
+  AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with R_pos the
+  sum of positive ranks under the score ordering. Rows are aggregated
+  to per-score (count, positives) FIRST — one keyed shuffle — so the
+  ordered cumulative window (the serial part exact AUC cannot avoid)
+  runs over distinct scores, with the average-rank tie correction
+  falling out algebraically (rows-below + (n+1)/2). For continuous
+  scores distinct ~ rows; quantize upstream when that matters.
+
+All SQL-replicable: tests/test_metrics.py runs DuckDB differentials
+(identical formulas) plus hand-computed cases (including the tied-
+score average-rank correction) against sklearn-style expectations
+computed by hand.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranking_metrics(
+    predictions: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    qid_col: str = "qid",
+    item_col: str = "item",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query metrics: (qid, n_truth, n_hits_at_k, recall_at_k,
+    precision_at_k, mrr, ndcg_at_k).
+
+    predictions: one row per (qid, item) with its 1-based rank;
+    truth: the relevant (qid, item) pairs (binary relevance).
+    Queries present in truth but absent from predictions score 0 on
+    every metric; queries with no truth rows are dropped (undefined).
+    NDCG uses binary gains: DCG = sum 1/log2(1+rank) over hits at
+    <= k, IDCG = sum over first min(n_truth, k) positions."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    t = truth.select(
+        F.col(qid_col).alias("qid"), F.col(item_col).alias("item")
+    ).distinct()
+    p = predictions.select(
+        F.col(qid_col).alias("qid"),
+        F.col(item_col).alias("item"),
+        F.col(rank_col).cast("long").alias("rank"),
+    )
+    hits = t.join(p, ["qid", "item"], "left")
+    hit_at_k = F.col("rank").isNotNull() & (F.col("rank") <= k)
+    per_q = hits.groupBy("qid").agg(
+        F.count("*").alias("n_truth"),
+        F.sum(hit_at_k.cast("long")).alias("n_hits_at_k"),
+        F.max(
+            F.when(hit_at_k, F.lit(1.0) / F.col("rank")).otherwise(F.lit(0.0))
+        ).alias("mrr"),
+        F.sum(
+            F.when(
+                hit_at_k, F.lit(1.0) / F.log2(F.col("rank") + F.lit(1.0))
+            ).otherwise(F.lit(0.0))
+        ).alias("_dcg"),
+    )
+    # IDCG for binary gains: best case puts min(n_truth, k) hits at
+    # ranks 1..m — a per-row fold over that many terms.
+    m = F.least(F.col("n_truth"), F.lit(k))
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    return per_q.select(
+        "qid",
+        "n_truth",
+        "n_hits_at_k",
+        (F.col("n_hits_at_k").cast("double") / F.col("n_truth")).alias(
+            "recall_at_k"
+        ),
+        (F.col("n_hits_at_k").cast("double") / F.lit(float(k))).alias(
+            "precision_at_k"
+        ),
+        "mrr",
+        (F.col("_dcg") / idcg).alias("ndcg_at_k"),
+    )
+
+
+def ranking_summary(per_query: DataFrame) -> DataFrame:
+    """Macro averages over ranking_metrics' output — one scalar agg
+    row: (n_queries, recall_at_k, precision_at_k, mrr, ndcg_at_k)."""
+    return per_query.agg(
+        F.count("*").alias("n_queries"),
+        F.avg("recall_at_k").alias("recall_at_k"),
+        F.avg("precision_at_k").alias("precision_at_k"),
+        F.avg("mrr").alias("mrr"),
+        F.avg("ndcg_at_k").alias("ndcg_at_k"),
+    )
+
+
+def auc(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> float:
+    """Exact ROC AUC via the Mann-Whitney rank-sum identity, with the
+    average-rank tie correction. One keyed aggregation + an ordered
+    cumulative window over DISTINCT scores + a scalar aggregation;
+    returns a driver float.
+
+    label: 1/0 (or boolean). Raises when either class is absent —
+    AUC is undefined and a silent 0.5 would masquerade as a result."""
+    s = scored.select(
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+    ).filter(F.col("_s").isNotNull())
+    # Aggregate BEFORE ranking: per-score (n, npos) in one keyed
+    # shuffle, so the ordered cumulative window runs over DISTINCT
+    # scores, not raw rows. The average rank of a tied group =
+    # rows-strictly-below + (n+1)/2 — algebraically identical to
+    # averaging row_number over the group, without ever materializing
+    # per-row ranks. (For continuous scores |distinct| ~ |rows|;
+    # quantize upstream if that window partition matters.)
+    per_score = s.groupBy("_s").agg(
+        F.count("*").alias("_n_s"), F.sum("_y").alias("_npos_s")
+    )
+    w = Window.orderBy("_s").rowsBetween(Window.unboundedPreceding, -1)
+    avg_r = per_score.withColumn(
+        "_ar",
+        F.coalesce(F.sum("_n_s").over(w), F.lit(0)).cast("double")
+        + (F.col("_n_s") + F.lit(1)).cast("double") / F.lit(2.0),
+    )
+    row = avg_r.agg(
+        F.sum(F.col("_ar") * F.col("_npos_s")).alias("rpos"),
+        F.sum("_npos_s").alias("npos"),
+        F.sum(F.col("_n_s") - F.col("_npos_s")).alias("nneg"),
+    ).first()
+    npos, nneg = row["npos"] or 0, row["nneg"] or 0
+    if npos == 0 or nneg == 0:
+        raise ValueError(
+            f"AUC undefined: {npos} positives, {nneg} negatives"
+        )
+    return (row["rpos"] - npos * (npos + 1) / 2.0) / (npos * nneg)

@@ -1,0 +1,180 @@
+"""Offline evaluation metrics (operators/metrics.py): hand-computed
+ranking cases, a DuckDB SQL differential over a seeded prediction
+table, AUC vs a from-scratch reference (with ties), and composition
+with a real retrieval surface (BM25 self-retrieval)."""
+
+import hashlib
+import math
+import random
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.metrics import (
+    auc,
+    ranking_metrics,
+    ranking_summary,
+)
+
+
+def test_ranking_hand_computed(spark):
+    """q1: truth {a,b,c}, predicted ranks a=1, c=4 (b missed).
+    recall@3 = 1/3, precision@3 = 1/3, mrr = 1, dcg = 1/log2(2),
+    idcg = 1/log2(2)+1/log2(3)+1/log2(4).
+    q2: truth {x}, not predicted at all -> all zeros."""
+    preds = spark.createDataFrame(
+        [("q1", "a", 1), ("q1", "d", 2), ("q1", "e", 3), ("q1", "c", 4)],
+        ["qid", "item", "rank"],
+    )
+    truth = spark.createDataFrame(
+        [("q1", "a"), ("q1", "b"), ("q1", "c"), ("q2", "x")],
+        ["qid", "item"],
+    )
+    got = {r["qid"]: r for r in ranking_metrics(preds, truth, k=3).collect()}
+    q1 = got["q1"]
+    assert q1["n_truth"] == 3 and q1["n_hits_at_k"] == 1
+    assert q1["recall_at_k"] == pytest.approx(1 / 3)
+    assert q1["precision_at_k"] == pytest.approx(1 / 3)
+    assert q1["mrr"] == pytest.approx(1.0)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert q1["ndcg_at_k"] == pytest.approx((1 / math.log2(2)) / idcg)
+    q2 = got["q2"]
+    assert q2["recall_at_k"] == 0.0 and q2["mrr"] == 0.0 and q2["ndcg_at_k"] == 0.0
+    summ = ranking_summary(ranking_metrics(preds, truth, k=3)).first()
+    assert summ["n_queries"] == 2
+    assert summ["recall_at_k"] == pytest.approx((1 / 3 + 0) / 2)
+    with pytest.raises(ValueError, match="k must be"):
+        ranking_metrics(preds, truth, k=0)
+
+
+DUCK_RANKING = """
+WITH t AS (SELECT DISTINCT qid, item FROM truth),
+j AS (
+  SELECT t.qid, t.item, p.rank
+  FROM t LEFT JOIN preds p ON t.qid = p.qid AND t.item = p.item
+),
+per_q AS (
+  SELECT qid, count(*) AS n_truth,
+         CAST(sum(CASE WHEN rank IS NOT NULL AND rank <= {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_at_k,
+         max(CASE WHEN rank IS NOT NULL AND rank <= {k} THEN 1.0 / rank ELSE 0.0 END) AS mrr,
+         sum(CASE WHEN rank IS NOT NULL AND rank <= {k}
+                  THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END) AS dcg
+  FROM j GROUP BY qid
+)
+, idcg AS (
+  SELECT i AS m, sum(1.0 / log2(i + 1.0)) OVER (ORDER BY i) AS v
+  FROM generate_series(1, {k}) AS gs(i)
+)
+SELECT qid, n_truth, n_hits_at_k,
+       CAST(n_hits_at_k AS DOUBLE) / n_truth AS recall_at_k,
+       CAST(n_hits_at_k AS DOUBLE) / {k} AS precision_at_k,
+       mrr,
+       dcg / idcg.v AS ndcg_at_k
+FROM per_q JOIN idcg ON idcg.m = least(per_q.n_truth, {k})
+"""
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype) in ("float64", "Float64"):
+            df[c] = df[c].round(9)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(str)
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def test_ranking_matches_duckdb(spark):
+    rng = random.Random(7)
+    preds, truth = [], []
+    for q in range(40):
+        items = rng.sample(range(100), 10)
+        for rank, it in enumerate(items, 1):
+            preds.append((f"q{q}", f"i{it}", rank))
+        for it in rng.sample(range(100), rng.randint(1, 8)):
+            truth.append((f"q{q}", f"i{it}"))
+    p_df = spark.createDataFrame(preds, ["qid", "item", "rank"])
+    t_df = spark.createDataFrame(truth, ["qid", "item"])
+    got = _canon(ranking_metrics(p_df, t_df, k=5).toPandas())
+    con = duckdb.connect()
+    con.register("preds", pd.DataFrame(preds, columns=["qid", "item", "rank"]))
+    con.register("truth", pd.DataFrame(truth, columns=["qid", "item"]))
+    want = _canon(con.execute(DUCK_RANKING.format(k=5)).fetchdf())
+    assert len(got) == len(want) and len(got) > 0
+    h = lambda d: hashlib.sha256(d.to_csv(index=False).encode()).hexdigest()
+    assert h(got) == h(want)
+
+
+def _py_auc(pairs):
+    """From-scratch rank-sum AUC with average-rank ties."""
+    srt = sorted(pairs, key=lambda p: p[0])
+    ranks, i = {}, 0
+    while i < len(srt):
+        j = i
+        while j < len(srt) and srt[j][0] == srt[i][0]:
+            j += 1
+        ar = (i + 1 + j) / 2.0
+        for t in range(i, j):
+            ranks[t] = ar
+        i = j
+    rpos = sum(ranks[t] for t, (s, y) in enumerate(srt) if y == 1)
+    npos = sum(1 for _, y in pairs if y == 1)
+    nneg = len(pairs) - npos
+    return (rpos - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+def test_auc_matches_reference_with_ties(spark):
+    rng = random.Random(3)
+    # quantized scores force heavy ties; positives skew high
+    pairs = [
+        (round(rng.random() + (0.3 if y else 0.0), 1), y)
+        for y in ([1] * 80 + [0] * 120)
+    ]
+    df = spark.createDataFrame(pairs, ["score", "label"])
+    got = auc(df)
+    want = _py_auc(pairs)
+    assert got == pytest.approx(want, abs=1e-12)
+    assert 0.6 < got < 1.0  # the skew is detectable
+    # perfect and inverted separability
+    sep = spark.createDataFrame(
+        [(1.0, 1), (0.9, 1), (0.1, 0), (0.0, 0)], ["score", "label"]
+    )
+    assert auc(sep) == pytest.approx(1.0)
+    inv = spark.createDataFrame(
+        [(0.0, 1), (0.1, 1), (0.9, 0), (1.0, 0)], ["score", "label"]
+    )
+    assert auc(inv) == pytest.approx(0.0)
+    with pytest.raises(ValueError, match="undefined"):
+        auc(spark.createDataFrame([(0.5, 1)], ["score", "label"]))
+
+
+def test_composes_with_bm25_retrieval(spark):
+    """End-to-end through a real retrieval surface: docs carry one
+    UNIQUE marker token each plus shared filler; querying the marker
+    must put the source at rank 1 -> mrr == recall@3 == 1.0 through
+    the metrics path. (The sf testdata's shared tiny vocabulary makes
+    self-retrieval by common words genuinely ambiguous, so the planted
+    corpus is what a guaranteed ground truth requires.)"""
+    from ecomm_datapipeline_spark.operators.search import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"marker{i} shared filler words common to all docs")
+            for i in range(20)
+        ],
+        ["doc_id", "text"],
+    )
+    preds = []
+    for q in range(5):
+        top = bm25_rank(docs, [f"marker{q}", "shared"], top_k=3).collect()
+        for rank, t in enumerate(top, 1):  # bm25_rank is ordered
+            preds.append((str(q), str(t["doc_id"]), rank))
+    p_df = spark.createDataFrame(preds, ["qid", "item", "rank"])
+    t_df = spark.createDataFrame(
+        [(str(q), str(q)) for q in range(5)], ["qid", "item"]
+    )
+    summ = ranking_summary(ranking_metrics(p_df, t_df, k=3)).first()
+    assert summ["mrr"] == pytest.approx(1.0)
+    assert summ["recall_at_k"] == pytest.approx(1.0)
