@@ -1,0 +1,105 @@
+"""Categorical feature engineering for model training: the hashing
+trick and leakage-aware target encoding.
+
+The last mile between this engine's tables and a trainer is usually
+"turn these categories into numbers without leaking the label":
+
+* **Feature hashing** (Weinberger et al. 2009): category -> one of
+  `dim` buckets via xxhash64 — deterministic across runs and cluster
+  sizes (the training-shard rule: never derive features from
+  partitioning), zero shuffle, collisions by design.
+* **Target encoding** (Micci-Barreca 2001): replace a category with
+  the smoothed mean of the label over that category,
+  enc = (sum_c + m * prior) / (n_c + m) — one category-keyed
+  aggregation, broadcast back. The naive version LEAKS each row's own
+  label into its feature; the leave-one-out variant subtracts the row
+  out, enc_loo = (sum_c - y + m * prior) / (n_c - 1 + m), computed
+  with the SAME single category-keyed shuffle via a window — no
+  second pass, no per-fold re-aggregation. A singleton category
+  degrades to exactly the prior (0/0 guarded), which is the correct
+  cold-start behavior.
+
+The prior is the global label mean, one scalar collected up front and
+folded in as a literal (the corpus-stats pattern). All shapes are
+SQL-replicable; tests/test_features.py runs DuckDB differentials plus
+hand-computed encodings, the singleton-fallback pin, and an explicit
+leakage demonstration (naive encode memorizes a label the LOO encode
+cannot see).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_feature(col: Column | str, dim: int, seed: int = 42) -> Column:
+    """Deterministic bucket in [0, dim): xxhash64 of the value and a
+    seed, pmod'd. NULL categories map to a bucket too (hash of the
+    seed alone) — a missing value is itself a feature value."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2: {dim}")
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        F.xxhash64(F.coalesce(c.cast("string"), F.lit("\x00null")), F.lit(seed)),
+        F.lit(dim),
+    ).cast("int")
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Smoothed category-mean encoding (NOT leakage-safe for training
+    on the same rows — use target_encode_loo there; this is the
+    serving-time / new-data encoder). One aggregation + a broadcast
+    join; NULL categories form their own group."""
+    out_col = out_col or f"{cat_col}_te"
+    prior = df.agg(F.avg(target_col)).first()[0]
+    if prior is None:
+        raise ValueError(f"no non-null {target_col} values to encode against")
+    enc = df.groupBy(cat_col).agg(
+        F.sum(target_col).alias("_s"), F.count(target_col).alias("_n")
+    )
+    enc = enc.select(
+        cat_col,
+        (
+            (F.col("_s") + F.lit(smoothing) * F.lit(prior))
+            / (F.col("_n") + F.lit(smoothing))
+        ).alias(out_col),
+    )
+    joined = df.join(F.broadcast(enc), [cat_col], "left")
+    return joined.withColumn(out_col, F.coalesce(out_col, F.lit(prior)))
+
+
+def target_encode_loo(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: float = 20.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Leave-one-out target encoding for the TRAINING frame: each
+    row's feature excludes its own label, killing the memorization
+    channel. One window over the category key (single shuffle);
+    singleton categories and NULL labels fall back to the smoothed
+    prior (n-1 = 0 is guarded, never a divide-by-zero)."""
+    out_col = out_col or f"{cat_col}_te"
+    prior = df.agg(F.avg(target_col)).first()[0]
+    if prior is None:
+        raise ValueError(f"no non-null {target_col} values to encode against")
+    w = Window.partitionBy(cat_col)
+    y = F.col(target_col)
+    s = F.sum(target_col).over(w)
+    n = F.count(target_col).over(w)
+    # rows with a NULL label don't subtract themselves (they never
+    # entered the sum); rows with a label subtract it and one count
+    s_loo = F.when(y.isNotNull(), s - y).otherwise(s)
+    n_loo = F.when(y.isNotNull(), n - 1).otherwise(n)
+    enc = (s_loo + F.lit(smoothing) * F.lit(prior)) / (
+        n_loo + F.lit(smoothing)
+    )
+    return df.withColumn(out_col, F.coalesce(enc, F.lit(prior)))

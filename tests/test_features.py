@@ -1,0 +1,164 @@
+"""Feature engineering (operators/features.py): DuckDB differentials
+for both encoders over real testdata, hand-computed smoothing math,
+the leakage demonstration (naive memorizes, LOO cannot), singleton
+fallback, and hash determinism/zero-shuffle pins."""
+
+import hashlib
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.features import (
+    hash_feature,
+    target_encode,
+    target_encode_loo,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype) in ("float64", "Float64"):
+            df[c] = df[c].round(9)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    return df.sort_values(by=list(df.columns), na_position="last").reset_index(
+        drop=True
+    )
+
+
+def _vhash(df):
+    return hashlib.sha256(df.to_csv(index=False).encode()).hexdigest()[:16]
+
+
+@pytest.fixture(scope="module")
+def customers(spark):
+    return spark.read.parquet(os.path.join(SF, "customer.parquet"))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'"
+    )
+    return con
+
+
+def test_target_encode_matches_duckdb(spark, customers, duck):
+    got = _canon(
+        target_encode(customers, "c_mktsegment", "c_acctbal", smoothing=10.0)
+        .select("c_custkey", "c_mktsegment_te")
+        .toPandas()
+    )
+    want = _canon(
+        duck.execute(
+            """
+        WITH prior AS (SELECT avg(c_acctbal) AS p FROM customer),
+        enc AS (
+          SELECT c_mktsegment,
+                 (sum(c_acctbal) + 10.0 * (SELECT p FROM prior))
+                 / (count(c_acctbal) + 10.0) AS te
+          FROM customer GROUP BY 1
+        )
+        SELECT c.c_custkey, e.te AS c_mktsegment_te
+        FROM customer c JOIN enc e USING (c_mktsegment)
+        """
+        ).fetchdf()
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert _vhash(got) == _vhash(want)
+
+
+def test_loo_matches_duckdb(spark, customers, duck):
+    got = _canon(
+        target_encode_loo(customers, "c_nationkey", "c_acctbal", smoothing=5.0)
+        .select("c_custkey", "c_nationkey_te")
+        .toPandas()
+    )
+    want = _canon(
+        duck.execute(
+            """
+        WITH prior AS (SELECT avg(c_acctbal) AS p FROM customer)
+        SELECT c_custkey,
+               (sum(c_acctbal) OVER w - c_acctbal + 5.0 * (SELECT p FROM prior))
+               / (count(c_acctbal) OVER w - 1 + 5.0) AS c_nationkey_te
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey)
+        """
+        ).fetchdf()
+    )
+    assert len(got) == len(want)
+    assert _vhash(got) == _vhash(want)
+
+
+def test_hand_math_and_singleton_fallback(spark):
+    # cat A: labels 1, 0 (prior 0.5 over all); cat B singleton label 1
+    df = spark.createDataFrame(
+        [(1, "A", 1.0), (2, "A", 0.0), (3, "B", 1.0), (4, "A", 0.0)],
+        ["id", "cat", "y"],
+    )
+    prior = 0.5
+    m = 2.0
+    te = {
+        r["id"]: r["cat_te"]
+        for r in target_encode(df, "cat", "y", smoothing=m).collect()
+    }
+    assert te[1] == pytest.approx((1.0 + m * prior) / (3 + m))
+    assert te[3] == pytest.approx((1.0 + m * prior) / (1 + m))
+    loo = {
+        r["id"]: r["cat_te"]
+        for r in target_encode_loo(df, "cat", "y", smoothing=m).collect()
+    }
+    # row 1 (y=1, cat A): (sum-1 + m*prior)/(n-1+m) = (0+1)/(2+2)
+    assert loo[1] == pytest.approx((0.0 + m * prior) / (2 + m))
+    # singleton B: exactly the smoothed prior (0 + m*prior)/(0 + m)
+    assert loo[3] == pytest.approx(prior)
+
+
+def test_loo_kills_the_leak(spark):
+    """A category whose label is unique to one row: the naive encode
+    hands that row (almost) its own label; the LOO encode gives it the
+    prior — the memorization channel is gone."""
+    rows = [(i, f"c{i}", float(i % 2)) for i in range(100)]  # all singletons
+    df = spark.createDataFrame(rows, ["id", "cat", "y"])
+    naive = target_encode(df, "cat", "y", smoothing=0.01).collect()
+    loo = target_encode_loo(df, "cat", "y", smoothing=0.01).collect()
+    # naive ~= its own label -> perfectly separable (leak)
+    for r in naive:
+        assert abs(r["cat_te"] - r["y"]) < 0.01
+    # LOO: identical value for every row (the prior) -> zero signal
+    vals = {round(r["cat_te"], 12) for r in loo}
+    assert len(vals) == 1
+
+
+def test_hash_feature_deterministic_and_zero_shuffle(spark, customers):
+    out = customers.select(
+        "c_custkey", hash_feature("c_mktsegment", 64).alias("h")
+    )
+    a = {r["c_custkey"]: r["h"] for r in out.collect()}
+    b = {
+        r["c_custkey"]: r["h"]
+        for r in customers.repartition(7)
+        .select("c_custkey", hash_feature("c_mktsegment", 64).alias("h"))
+        .collect()
+    }
+    assert a == b  # partitioning-independent
+    assert all(0 <= v < 64 for v in a.values())
+    # NULL maps to a stable bucket, distinct seed moves buckets
+    df = customers.limit(1).select(
+        hash_feature(F.lit(None).cast("string"), 64).alias("hn"),
+        hash_feature("c_mktsegment", 64, seed=1).alias("h1"),
+        hash_feature("c_mktsegment", 64, seed=2).alias("h2"),
+    )
+    r = df.first()
+    assert r["hn"] is not None and r["h1"] != r["h2"]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="dim"):
+        hash_feature("c_mktsegment", 1)
