@@ -103,3 +103,41 @@ def target_encode_loo(
         n_loo + F.lit(smoothing)
     )
     return df.withColumn(out_col, F.coalesce(enc, F.lit(prior)))
+
+
+def rolling_user_features(
+    events: DataFrame,
+    windows_days: tuple[int, ...] = (7, 30),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Point-in-time-correct rolling activity features: AT each event,
+    the user's trailing count / sum / avg over each lookback window —
+    the feature-store shape that feeds churn/propensity models without
+    future leakage (each row sees strictly its own past, including
+    itself; pair with scd.as_of_lookup for dimension features).
+
+    One shuffle total: every lookback is a RANGE frame over the same
+    (user, event-time) ordering, so Spark sorts once and evaluates all
+    frames in one pass over each partition. The frame is
+    [now - days, now] in event time — rangeBetween over unix seconds,
+    NOT row counts, so irregular event spacing is handled exactly.
+    """
+    if not windows_days or any(d < 1 for d in windows_days):
+        raise ValueError(f"windows_days must be positive: {windows_days}")
+    sec = F.unix_timestamp(F.col(ts_col))
+    base = events.withColumn("_sec", sec)
+    cols = list(events.columns)
+    for d in windows_days:
+        w = (
+            Window.partitionBy(user_col)
+            .orderBy("_sec")
+            .rangeBetween(-(d * 86400), 0)
+        )
+        cols += [
+            F.count("*").over(w).alias(f"cnt_{d}d"),
+            F.sum(value_col).over(w).alias(f"sum_{d}d"),
+            F.avg(value_col).over(w).alias(f"avg_{d}d"),
+        ]
+    return base.select(*cols)

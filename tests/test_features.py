@@ -162,3 +162,72 @@ def test_hash_feature_deterministic_and_zero_shuffle(spark, customers):
     assert "Exchange" not in plan
     with pytest.raises(ValueError, match="dim"):
         hash_feature("c_mktsegment", 1)
+
+def test_rolling_user_features(spark):
+    """Hand-timed events: the 7d frame sees only the trailing week AT
+    each event (point-in-time, self-inclusive); DuckDB RANGE-frame
+    differential over real events pins the full output."""
+    from datetime import datetime, timedelta
+
+    from ecomm_datapipeline_spark.operators.features import (
+        rolling_user_features,
+    )
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 10.0),
+        (1, t0 + timedelta(days=3), 20.0),
+        (1, t0 + timedelta(days=10), 40.0),  # day-0 event aged out of 7d
+        (2, t0 + timedelta(days=1), 5.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["ts"]): (r["cnt_7d"], r["sum_7d"])
+        for r in rolling_user_features(df, windows_days=(7,)).collect()
+    }
+    assert got[(1, t0)] == (1, 10.0)
+    assert got[(1, t0 + timedelta(days=3))] == (2, 30.0)
+    assert got[(1, t0 + timedelta(days=10))] == (2, 60.0)  # not 70: day 0 aged out
+    assert got[(2, t0 + timedelta(days=1))] == (1, 5.0)
+
+    events = _t_events(spark)
+    out = _canon(
+        rolling_user_features(events, windows_days=(7,))
+        .select("event_id", "cnt_7d", "sum_7d", "avg_7d")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    want = _canon(
+        con.execute(
+            """
+        SELECT event_id,
+               CAST(count(*) OVER w AS BIGINT) AS cnt_7d,
+               sum(value) OVER w AS sum_7d,
+               avg(value) OVER w AS avg_7d
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        """
+        ).fetchdf()
+    )
+    assert len(out) == len(want) and len(out) > 0
+    assert _vhash(out) == _vhash(want)
+
+    plan = (
+        rolling_user_features(events, windows_days=(7, 30))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1  # all lookbacks share one shuffle
+    with pytest.raises(ValueError, match="positive"):
+        rolling_user_features(events, windows_days=())
+
+
+def _t_events(spark):
+    from ecomm_datapipeline_spark.plans.catalog import _t
+
+    return _t(spark, SF, "events")
