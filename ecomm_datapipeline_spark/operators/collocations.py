@@ -261,3 +261,86 @@ def cooccurrence_counts(
         .agg(*aggs)
         .filter(F.col("pair_cnt") >= min_count)
     )
+
+
+def _alias_table(weights: list[float]) -> tuple[list[float], list[int]]:
+    """Vose's alias method setup (Walker 1977; Vose 1991): O(V) build,
+    O(1) per sample. Returns (prob, alias) arrays."""
+    v = len(weights)
+    total = sum(weights)
+    scaled = [w * v / total for w in weights]
+    prob = [0.0] * v
+    alias = [0] * v
+    small = [i for i, s in enumerate(scaled) if s < 1.0]
+    large = [i for i, s in enumerate(scaled) if s >= 1.0]
+    while small and large:
+        s, l = small.pop(), large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = (scaled[l] + scaled[s]) - 1.0
+        (small if scaled[l] < 1.0 else large).append(l)
+    for i in large + small:
+        prob[i] = 1.0
+    return prob, alias
+
+
+def negative_samples(
+    positives: DataFrame,
+    uni: DataFrame,
+    n_neg: int = 5,
+    power: float = 0.75,
+    vocab_size: int = 4096,
+    seed: int = 42,
+) -> DataFrame:
+    """SGNS negative sampling: for each positive (w1, w2) pair,
+    `n_neg` context words drawn from the unigram^power distribution
+    (word2vec's 3/4 rule) — appended as (w1, w2, neg, sample_idx)
+    rows.
+
+    Deterministic and distributed-correct: the sampling distribution
+    compiles to Vose ALIAS TABLES over the capped top-`vocab_size`
+    vocabulary (deterministic count-desc/token-asc truncation — the
+    lm_train cap contract) embedded as plan literals; each draw uses
+    two xxhash64 values of (w1, w2, sample_idx, seed), so the same
+    pair always gets the same negatives on any cluster size — O(1)
+    per sample, no per-row search, no rand(). Word2vec does not
+    exclude accidental positives and neither does this (they are rare
+    and re-weighting them would bias the distribution).
+    """
+    if n_neg < 1:
+        raise ValueError(f"n_neg must be >= 1: {n_neg}")
+    rows = (
+        uni.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_size)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty unigram table")
+    vocab = [r["token"] for r in rows]
+    prob, alias = _alias_table([float(r["cnt"]) ** power for r in rows])
+    v = len(vocab)
+    vocab_lit = F.array(*[F.lit(t) for t in vocab])
+    prob_lit = F.array(*[F.lit(p) for p in prob])
+    alias_lit = F.array(*[F.lit(a) for a in alias])
+    # uniform in [0, 1) from the low 53 bits of xxhash64 (exactly the
+    # double-precision mantissa width)
+    mask = F.lit((1 << 53) - 1)
+    denom = F.lit(float(1 << 53))
+
+    def _draw(j: int) -> Column:
+        h1 = F.xxhash64(F.col("w1"), F.col("w2"), F.lit(j), F.lit(seed))
+        h2 = F.xxhash64(F.col("w1"), F.col("w2"), F.lit(j), F.lit(seed + 1))
+        i = F.pmod(h1, F.lit(v)).cast("int")
+        u = F.pmod(h2, mask).cast("double") / denom
+        idx = F.when(
+            u < F.element_at(prob_lit, i + 1), i
+        ).otherwise(F.element_at(alias_lit, i + 1))
+        return F.element_at(vocab_lit, idx + 1)
+
+    draws = F.array(*[
+        F.struct(F.lit(j).alias("sample_idx"), _draw(j).alias("neg"))
+        for j in range(n_neg)
+    ])
+    return positives.select(
+        "w1", "w2", F.explode(draws).alias("_d")
+    ).select("w1", "w2", F.col("_d.neg").alias("neg"), "_d.sample_idx")

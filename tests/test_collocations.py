@@ -273,3 +273,63 @@ def test_cooccurrence_single_shuffle(spark, docs):
     # one explode (Generate), one keyed aggregation exchange
     assert plan.count("Generate") == 1
     assert plan.count("Exchange") == 1
+
+
+def test_alias_table_exact_mass(spark):
+    """Alias-method invariant, checked exactly (no sampling): the
+    probability of drawing outcome k under (uniform cell i, biased
+    coin prob[i]) equals weight_k/total for every k."""
+    from ecomm_datapipeline_spark.operators.collocations import _alias_table
+
+    for weights in ([1.0, 2.0, 3.0], [5.0], [0.1, 0.1, 9.8], [2, 2, 2, 2]):
+        prob, alias = _alias_table([float(w) for w in weights])
+        v, total = len(weights), sum(weights)
+        mass = [prob[i] for i in range(v)]
+        for i in range(v):
+            mass[alias[i]] += 1.0 - prob[i]
+        for k in range(v):
+            assert mass[k] / v == pytest.approx(weights[k] / total, abs=1e-12)
+
+
+def test_negative_samples_distribution_and_determinism(spark):
+    from ecomm_datapipeline_spark.operators.collocations import (
+        negative_samples,
+    )
+
+    uni = spark.createDataFrame(
+        [("a", 81), ("b", 16), ("c", 1)], ["token", "cnt"]
+    )
+    pos = spark.createDataFrame(
+        [(f"w{i}", f"v{i}") for i in range(500)], ["w1", "w2"]
+    )
+    out = negative_samples(pos, uni, n_neg=8, power=0.75, seed=3)
+    rows = out.collect()
+    assert len(rows) == 500 * 8
+    freq = {}
+    for r in rows:
+        freq[r["neg"]] = freq.get(r["neg"], 0) + 1
+    # target ∝ cnt^0.75: 27, 8, 1 -> normalized
+    tot = sum(freq.values())
+    for tok, w in [("a", 27.0), ("b", 8.0), ("c", 1.0)]:
+        assert freq[tok] / tot == pytest.approx(w / 36.0, abs=0.02), tok
+    # partitioning-independent determinism
+    again = {
+        (r["w1"], r["w2"], r["sample_idx"]): r["neg"]
+        for r in negative_samples(
+            pos.repartition(13), uni, n_neg=8, power=0.75, seed=3
+        ).collect()
+    }
+    first = {
+        (r["w1"], r["w2"], r["sample_idx"]): r["neg"] for r in rows
+    }
+    assert first == again
+    # different seed -> different draws (almost surely, 4000 draws)
+    other = {
+        (r["w1"], r["w2"], r["sample_idx"]): r["neg"]
+        for r in negative_samples(pos, uni, n_neg=8, seed=4).collect()
+    }
+    assert first != other
+    with pytest.raises(ValueError, match="n_neg"):
+        negative_samples(pos, uni, n_neg=0)
+    with pytest.raises(ValueError, match="empty unigram"):
+        negative_samples(pos, uni.filter("cnt < 0"), n_neg=1)
