@@ -1,0 +1,115 @@
+"""T5 span corruption (operators/corruption.py): the sampling-free
+round-trip invariant (input + target re-interleave to the original
+text exactly), empirical rate, determinism, seed sensitivity, edge
+semantics, and the zero-shuffle plan pin."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.corruption import (
+    t5_span_corruption,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _reconstruct(input_text: str, target_text: str) -> str:
+    """Splice each sentinel's target span back into the input."""
+    tgt_parts = {}
+    cur = None
+    for tok in target_text.split():
+        m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+        if m:
+            cur = int(m.group(1))
+            tgt_parts[cur] = []
+        else:
+            tgt_parts[cur].append(tok)
+    out = []
+    for tok in input_text.split():
+        m = re.fullmatch(r"<extra_id_(\d+)>", tok)
+        if m:
+            out.extend(tgt_parts[int(m.group(1))])
+        else:
+            out.append(tok)
+    return " ".join(out)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_round_trip_every_document(spark, docs):
+    rows = t5_span_corruption(docs, corruption_rate=0.3).select(
+        "text", "input_text", "target_text"
+    ).collect()
+    assert len(rows) > 0
+    masked_any = 0
+    for r in rows:
+        orig = " ".join(r["text"].split())
+        assert _reconstruct(r["input_text"], r["target_text"]) == orig
+        if r["target_text"]:
+            masked_any += 1
+    assert masked_any > len(rows) * 0.8  # rate .3 masks almost every doc
+
+
+def test_rate_and_span_statistics(spark, docs):
+    out = t5_span_corruption(docs, corruption_rate=0.15, mean_span=3)
+    stats = out.select(
+        F.size(F.filter(F.split("target_text", " "), lambda t: ~t.startswith("<extra_id"))).alias("masked"),
+        F.size(F.split("text", " ")).alias("total"),
+    ).agg(F.sum("masked").alias("m"), F.sum("total").alias("t")).first()
+    frac = stats["m"] / stats["t"]
+    assert 0.10 < frac < 0.20, frac  # ~0.15 within sampling noise
+
+
+def test_determinism_and_seed_sensitivity(spark, docs):
+    a = {
+        r["doc_id"]: (r["input_text"], r["target_text"])
+        for r in t5_span_corruption(docs, seed=5).collect()
+    }
+    b = {
+        r["doc_id"]: (r["input_text"], r["target_text"])
+        for r in t5_span_corruption(docs.repartition(11), seed=5).collect()
+    }
+    assert a == b
+    c = {
+        r["doc_id"]: (r["input_text"], r["target_text"])
+        for r in t5_span_corruption(docs, seed=6).collect()
+    }
+    assert a != c
+
+
+def test_edges(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, None)],
+        ["doc_id", "text"],
+    )
+    z = {r["doc_id"]: r for r in t5_span_corruption(df, corruption_rate=0.0).collect()}
+    assert z[1]["input_text"] == "one two three" and z[1]["target_text"] == ""
+    assert z[2]["input_text"] == "" and z[3]["input_text"] == ""
+    full = {
+        r["doc_id"]: r
+        for r in t5_span_corruption(df, corruption_rate=1.0, mean_span=1).collect()
+    }
+    # every position starts a 1-token span: all sentinels in input,
+    # all tokens in target, round-trip still exact
+    assert "one" not in full[1]["input_text"]
+    assert _reconstruct(full[1]["input_text"], full[1]["target_text"]) == "one two three"
+    with pytest.raises(ValueError, match="corruption_rate"):
+        t5_span_corruption(df, corruption_rate=1.5)
+    with pytest.raises(ValueError, match="mean_span"):
+        t5_span_corruption(df, mean_span=0)
+
+
+def test_zero_shuffle_plan(spark, docs):
+    plan = (
+        t5_span_corruption(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
