@@ -1,0 +1,108 @@
+"""Change-data-capture log application: fold an (op, seq) change
+stream into a warehouse table.
+
+The reference's pipeline is append + MERGE
+(`order_processing_incremental.py:182-204` upserts hourly slices);
+the step every warehouse takes next is consuming a CDC log —
+insert/update/delete rows stamped with a log sequence number — from a
+source database. Applying one correctly has exactly two hard parts,
+both handled here:
+
+1. **Collapse before apply.** A batch can carry many changes per key,
+   out of ORDER (parallel extractors). The survivor per key is the
+   change with the highest (seq, op) — one max_by aggregate over the
+   batch (never a window over the table), with the deterministic
+   (seq, op, all-columns) tie-break making replays and reshuffles
+   reproducible. Applying changes one-by-one in arrival order would
+   be O(changes) table rewrites AND wrong under reordering.
+2. **Deletes are not upserts.** Survivors split: op != 'D' MERGEs
+   through sources.tables.merge_table (Delta MERGE or the
+   partition-scoped parquet rewrite); op == 'D' anti-joins the target
+   ONCE via the same staged-swap rewrite discipline. A delete for an
+   absent key is a no-op, an insert for a present key degrades to an
+   update (the merge semantic) — the standard at-least-once CDC
+   contract, which makes the whole apply IDEMPOTENT: re-applying any
+   suffix of the log reproduces the same table.
+
+tests/test_cdc.py verifies against a from-scratch Python dict replay
+of the same logs: random interleaved I/U/D across keys, out-of-order
+delivery, duplicate seqs, replay idempotency, delete-then-revive, and
+the collapse plan (one aggregation, no per-change work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources import tables
+
+#: op precedence inside a (key, seq) tie: a delete at the same seq as
+#: an update wins — the convention debezium-style extractors use for
+#: transactional "update then delete" collapses.
+_OP_RANK = {"I": 1, "U": 2, "D": 3}
+
+
+def collapse_changes(
+    changes: DataFrame,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """One surviving change per key: max_by over (seq, op-rank) with a
+    final all-column struct comparison so exact-duplicate rows cannot
+    make the survivor nondeterministic. Single keyed aggregation."""
+    op_rank = F.element_at(
+        F.create_map(
+            *[x for k, v in _OP_RANK.items() for x in (F.lit(k), F.lit(v))]
+        ),
+        F.col(op_col),
+    )
+    bad = changes.filter(op_rank.isNull()).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"unknown {op_col} value {bad[0][op_col]!r}; expected I/U/D"
+        )
+    payload = [c for c in changes.columns if c not in key_cols]
+    order = F.struct(
+        F.col(seq_col).alias("s"),
+        op_rank.alias("r"),
+        F.struct(*payload).alias("p"),
+    )
+    return (
+        changes.groupBy(*key_cols)
+        .agg(F.max_by(F.struct(*payload), order).alias("_c"))
+        .select(*key_cols, *[F.col(f"_c.{c}").alias(c) for c in payload])
+    )
+
+
+def apply_cdc(
+    changes: DataFrame,
+    path: str,
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Collapse the batch, MERGE the upserts, rewrite-out the deletes.
+    Idempotent: re-applying the same (or an overlapping) batch leaves
+    the table unchanged. The op/seq columns are bookkeeping and do not
+    land in the table."""
+    surv = collapse_changes(changes, key_cols, seq_col, op_col).localCheckpoint()
+    upserts = surv.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    deletes = surv.filter(F.col(op_col) == "D").select(*key_cols)
+    if upserts.limit(1).count() > 0:
+        tables.merge_table(upserts, path, key_cols, partition_by)
+    if deletes.limit(1).count() > 0 and tables.table_exists(path):
+        import uuid
+
+        spark = changes.sparkSession
+        remaining = tables.read_table(spark, path).join(
+            deletes, key_cols, "left_anti"
+        )
+        tmp = f"{path.rstrip('/')}__cdc_{uuid.uuid4().hex[:8]}"
+        w = remaining.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.mode("overwrite").parquet(tmp)
+        tables._swap_into(tmp, path)

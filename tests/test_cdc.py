@@ -1,0 +1,103 @@
+"""CDC application (operators/cdc.py): differential against a
+from-scratch Python dict replay over random interleaved logs with
+out-of-order delivery, replay idempotency, delete/revive, duplicate
+rows, and the single-aggregation collapse plan."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.cdc import apply_cdc, collapse_changes
+
+SCHEMA = "k long, v string, seq long, op string"
+
+
+def _py_apply(state: dict, log):
+    """Reference: sort by (seq, op-rank), keep the last change per
+    key, then apply it."""
+    rank = {"I": 1, "U": 2, "D": 3}
+    last = {}
+    for k, v, seq, op in log:
+        cur = last.get(k)
+        if cur is None or (seq, rank[op], v or "") >= (
+            cur[0],
+            rank[cur[2]],
+            cur[1] or "",
+        ):
+            last[k] = (seq, v, op)
+    for k, (_, v, op) in last.items():
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    return state
+
+
+def _table_state(spark, path):
+    return {
+        r["k"]: r["v"] for r in spark.read.parquet(path).collect()
+    }
+
+
+def test_matches_python_reference_over_random_logs(spark, tmp_path):
+    rng = random.Random(11)
+    path = str(tmp_path / "t")
+    state = {}
+    seq = 0
+    for batch_no in range(4):
+        log = []
+        for _ in range(60):
+            seq += 1
+            k = rng.randrange(12)
+            op = rng.choice(["I", "U", "U", "D"])
+            log.append((k, f"v{seq}" if op != "D" else None, seq, op))
+        rng.shuffle(log)  # out-of-order delivery within the batch
+        apply_cdc(
+            spark.createDataFrame(log, SCHEMA), path, ["k"]
+        )
+        state = _py_apply(state, log)
+        assert _table_state(spark, path) == state, batch_no
+    assert len(state) > 0
+
+
+def test_replay_is_idempotent_and_delete_revive(spark, tmp_path):
+    path = str(tmp_path / "t")
+    b1 = [(1, "a", 1, "I"), (2, "b", 2, "I"), (1, None, 3, "D")]
+    apply_cdc(spark.createDataFrame(b1, SCHEMA), path, ["k"])
+    assert _table_state(spark, path) == {2: "b"}
+    # replay the same batch: unchanged
+    apply_cdc(spark.createDataFrame(b1, SCHEMA), path, ["k"])
+    assert _table_state(spark, path) == {2: "b"}
+    # revive key 1, delete absent key 9 (no-op)
+    b2 = [(1, "a2", 4, "I"), (9, None, 5, "D")]
+    apply_cdc(spark.createDataFrame(b2, SCHEMA), path, ["k"])
+    assert _table_state(spark, path) == {1: "a2", 2: "b"}
+
+
+def test_collapse_tie_and_guards(spark):
+    # same key, same seq: D outranks U outranks I
+    df = spark.createDataFrame(
+        [(1, "x", 5, "U"), (1, None, 5, "D"), (1, "y", 5, "I")], SCHEMA
+    )
+    out = collapse_changes(df, ["k"]).collect()
+    assert len(out) == 1 and out[0]["op"] == "D"
+    # exact duplicates collapse deterministically
+    dup = spark.createDataFrame([(1, "x", 5, "U")] * 3, SCHEMA)
+    assert collapse_changes(dup, ["k"]).count() == 1
+    with pytest.raises(ValueError, match="expected I/U/D"):
+        collapse_changes(
+            spark.createDataFrame([(1, "x", 5, "Z")], SCHEMA), ["k"]
+        ).collect()
+
+
+def test_collapse_is_single_aggregation(spark):
+    df = spark.createDataFrame([(1, "x", 5, "U")], SCHEMA)
+    plan = (
+        collapse_changes(df, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "Window" not in plan
