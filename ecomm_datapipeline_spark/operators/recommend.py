@@ -65,6 +65,11 @@ def implicit_ratings(
         .groupBy("user_id", "item")
         .agg(F.count("*").alias("_cnt"))
     )
+    # Deterministic dense int ids (ALS requirement): row_number over a
+    # global order of the DISTINCT item dimension. The single-partition
+    # window is over |catalog| rows, not events — the deliberate trade
+    # for ids that are stable across runs and partitionings (hashing
+    # would collide; monotonically_increasing_id is partition-defined).
     item_index = (
         inter.select("item")
         .distinct()
