@@ -1,0 +1,177 @@
+"""Declarative data-quality expectations: a rule list evaluated in
+the minimum number of passes, returning an audit report.
+
+The reference hard-codes four checks (duplicates, amount mismatch,
+missing FKs, required fields — operators/checks.py carries those
+faithfully); a production warehouse accumulates DOZENS, and the
+anti-pattern is one scan per check. This runner groups rules by
+evaluation shape:
+
+* **Row-level rules** (not_null, in_set, in_range, matches, custom
+  predicate): ALL of them compile to conditional sums in ONE
+  aggregation pass — adding the 30th rule costs one more column in
+  the same scan, not a 30th scan.
+* **unique(cols)**: one groupBy per distinct key set; violations =
+  sum(cnt - 1) (every row beyond the first per key).
+* **references(col -> dim[key])**: one left-anti count per dim, the
+  dim side broadcast when small (Spark decides; the join is keyed).
+
+`expect` returns the report — (rule, violations, total, passed) — as
+a DataFrame so it can be appended to the audit table
+(checks.audit_rows' destination) like every other DQ artifact.
+`enforce` raises checks.DataQualityError naming every failing rule
+(abort-the-DAG semantics, the reference's hard-check contract).
+
+tests/test_expectations.py: DuckDB SQL differential of the full
+report over real testdata, planted-violation counts per rule kind,
+the one-scan plan pin for row rules, and enforce's error listing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .checks import DataQualityError
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    kind: str  # 'row' | 'unique' | 'references'
+    payload: Any = None
+    keys: tuple[str, ...] = field(default_factory=tuple)
+
+
+def not_null(col: str) -> Rule:
+    return Rule(f"not_null({col})", "row", F.col(col).isNotNull())
+
+
+def in_set(col: str, values: list) -> Rule:
+    return Rule(
+        f"in_set({col})", "row", F.col(col).isin(values) | F.col(col).isNull()
+    )
+
+
+def in_range(col: str, lo: float, hi: float) -> Rule:
+    c = F.col(col)
+    return Rule(
+        f"in_range({col},{lo},{hi})",
+        "row",
+        (c.isNull()) | ((c >= F.lit(lo)) & (c <= F.lit(hi))),
+    )
+
+
+def matches(col: str, pattern: str) -> Rule:
+    c = F.col(col)
+    return Rule(
+        f"matches({col})", "row", c.isNull() | c.rlike(pattern)
+    )
+
+
+def satisfies(name: str, predicate: Column) -> Rule:
+    """Escape hatch: any boolean Column; NULL counts as a violation
+    (write `cond | col.isNull()` to exempt missing values)."""
+    return Rule(f"satisfies({name})", "row", predicate)
+
+
+def unique(*cols: str) -> Rule:
+    return Rule(f"unique({','.join(cols)})", "unique", None, tuple(cols))
+
+
+def references(col: str, dim: DataFrame, dim_key: str) -> Rule:
+    """Rows whose non-null `col` has no match in dim[dim_key]."""
+    return Rule(f"references({col}->{dim_key})", "references", dim, (col, dim_key))
+
+
+def expect(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Evaluate every rule; returns (rule, violations, total, passed).
+    Row rules share ONE aggregation pass; NULL predicate results count
+    as violations (a check that cannot decide has failed)."""
+    if not rules:
+        raise ValueError("expect needs at least one rule")
+    names = [r.name for r in rules]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate rule names: {dupes}")
+    spark = df.sparkSession
+    row_rules = [r for r in rules if r.kind == "row"]
+    reports: list[DataFrame] = []
+    if row_rules:
+        aggs = [F.count("*").alias("_total")] + [
+            F.sum(
+                (~F.coalesce(r.payload, F.lit(False))).cast("long")
+            ).alias(f"_v{i}")
+            for i, r in enumerate(row_rules)
+        ]
+        row = df.agg(*aggs)
+        # UNPIVOT the one aggregate row via explode instead of one
+        # union branch per rule — a per-rule union would re-plan the
+        # aggregate (and re-scan the table) once per rule.
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.col(f"_v{i}").alias("violations"),
+                )
+                for i, r in enumerate(row_rules)
+            ]
+        )
+        reports.append(
+            row.select(F.col("_total"), F.explode(pairs).alias("_p")).select(
+                F.col("_p.rule").alias("rule"),
+                F.col("_p.violations").alias("violations"),
+                F.col("_total").alias("total"),
+            )
+        )
+    for r in rules:
+        if r.kind == "unique":
+            rep = (
+                df.groupBy(*r.keys)
+                .agg(F.count("*").alias("_n"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1)),
+                        F.lit(0),
+                    ).alias("violations"),
+                    F.sum("_n").alias("total"),
+                )
+                .select(
+                    F.lit(r.name).alias("rule"), "violations", "total"
+                )
+            )
+            reports.append(rep)
+        elif r.kind == "references":
+            col, dim_key = r.keys
+            dim = r.payload.select(F.col(dim_key).alias(col)).distinct()
+            missing = (
+                df.filter(F.col(col).isNotNull())
+                .join(dim, [col], "left_anti")
+                .agg(F.count("*").alias("violations"))
+            )
+            total = df.agg(F.count("*").alias("total"))
+            reports.append(
+                missing.crossJoin(total).select(
+                    F.lit(r.name).alias("rule"), "violations", "total"
+                )
+            )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.withColumn("passed", F.col("violations") == 0)
+
+
+def enforce(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """expect + abort: raises DataQualityError naming every failing
+    rule with its count; returns the report when all pass."""
+    report = expect(df, rules)
+    failing = report.filter(~F.col("passed")).collect()
+    if failing:
+        detail = ", ".join(
+            f"{r['rule']}={r['violations']}" for r in failing
+        )
+        raise DataQualityError(f"expectations failed: {detail}")
+    return report

@@ -1,0 +1,137 @@
+"""Declarative expectations (operators/expectations.py): DuckDB SQL
+differential of the full report over real testdata, planted
+violations per rule kind, the one-scan row-rule plan pin, and
+enforce's abort contract."""
+
+import hashlib
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.checks import DataQualityError
+from ecomm_datapipeline_spark.operators.expectations import (
+    enforce,
+    expect,
+    in_range,
+    in_set,
+    matches,
+    not_null,
+    references,
+    satisfies,
+    unique,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def customers(spark):
+    return spark.read.parquet(f"{SF}/customer.parquet")
+
+
+def test_report_matches_duckdb(spark, orders, customers):
+    rules = [
+        not_null("o_custkey"),
+        in_set("o_orderstatus", ["F", "O", "P"]),
+        in_range("o_totalprice", 0.0, 1e6),
+        unique("o_orderkey"),
+        references("o_custkey", customers, "c_custkey"),
+    ]
+    got = {
+        r["rule"]: (r["violations"], r["total"], r["passed"])
+        for r in expect(orders, rules).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM '{SF}/customer.parquet'"
+    )
+    want_rows = con.execute(
+        """
+        SELECT
+          count(*) AS total,
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v_notnull,
+          sum(CASE WHEN o_orderstatus IN ('F','O','P')
+                     OR o_orderstatus IS NULL THEN 0 ELSE 1 END) AS v_inset,
+          sum(CASE WHEN o_totalprice IS NULL
+                     OR (o_totalprice >= 0 AND o_totalprice <= 1e6)
+                   THEN 0 ELSE 1 END) AS v_range,
+          (SELECT sum(n - 1) FROM (
+             SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+           WHERE n > 1) AS v_unique,
+          (SELECT count(*) FROM orders o
+           WHERE o.o_custkey IS NOT NULL
+             AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))
+            AS v_ref
+        FROM orders
+        """
+    ).fetchdf().iloc[0]
+    total = int(want_rows["total"])
+    assert got["not_null(o_custkey)"] == (int(want_rows["v_notnull"]), total, True)
+    assert got["in_set(o_orderstatus)"][0] == int(want_rows["v_inset"])
+    assert got["in_range(o_totalprice,0.0,1000000.0)"][0] == int(want_rows["v_range"])
+    assert got["unique(o_orderkey)"][0] == int(0 if pd.isna(want_rows["v_unique"]) else want_rows["v_unique"])
+    assert got["references(o_custkey->c_custkey)"][0] == int(want_rows["v_ref"])
+
+
+def test_planted_violations_per_kind(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 5.0, "a@x.io"),
+            (1, "ok", 50.0, "b@x.io"),      # dup id
+            (None, "bad", -1.0, "nope"),    # null id, bad status/range/email
+        ],
+        ["id", "status", "amt", "email"],
+    )
+    dim = spark.createDataFrame([("ok",)], ["s"])
+    rules = [
+        not_null("id"),
+        in_set("status", ["ok"]),
+        in_range("amt", 0.0, 10.0),
+        matches("email", r"^[^@]+@[^@]+$"),
+        unique("id"),
+        references("status", dim, "s"),
+        satisfies("amt_whole", (F.col("amt") % 1 == 0) | F.col("amt").isNull()),
+    ]
+    got = {r["rule"]: r["violations"] for r in expect(df, rules).collect()}
+    assert got["not_null(id)"] == 1
+    assert got["in_set(status)"] == 1
+    assert got["in_range(amt,0.0,10.0)"] == 2  # -1 and 50
+    assert got["matches(email)"] == 1
+    assert got["unique(id)"] == 1  # one extra row beyond the first
+    assert got["references(status->s)"] == 1
+    assert got["satisfies(amt_whole)"] == 0
+    with pytest.raises(DataQualityError, match=r"not_null\(id\)=1"):
+        enforce(df, rules)
+    clean = df.filter(F.col("id") == 1).limit(1)
+    rep = enforce(clean, [not_null("id")])
+    assert rep.collect()[0]["passed"]
+
+
+def test_row_rules_share_one_scan(spark, orders):
+    rules = [
+        not_null("o_custkey"),
+        in_set("o_orderstatus", ["F", "O", "P"]),
+        in_range("o_totalprice", 0.0, 1e6),
+        matches("o_orderpriority", r"^\d-"),
+    ]
+    report = expect(orders, rules)
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    scans = re.findall(r"Scan parquet[^\n]*orders", plan)
+    assert len(scans) == 1, len(scans)  # 4 row rules, ONE scan
+
+
+def test_guards(spark, orders):
+    with pytest.raises(ValueError, match="at least one"):
+        expect(orders, [])
+    with pytest.raises(ValueError, match="duplicate rule names"):
+        expect(orders, [not_null("o_custkey"), not_null("o_custkey")])
