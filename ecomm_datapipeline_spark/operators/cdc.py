@@ -83,13 +83,43 @@ def apply_cdc(
     seq_col: str = "seq",
     op_col: str = "op",
     partition_by: list[str] | None = None,
+    versioned: bool = False,
 ) -> None:
     """Collapse the batch, MERGE the upserts, rewrite-out the deletes.
     Idempotent: re-applying the same (or an overlapping) batch leaves
-    the table unchanged. The op/seq columns are bookkeeping and do not
-    land in the table."""
+    the table unchanged.
+
+    versioned=False: the op/seq columns are bookkeeping and do not
+    land in the table; correctness assumes batches arrive in seq order
+    (true for per-partition Kafka/file delivery). versioned=True: the
+    table KEEPS `seq_col`, and each apply folds the affected EXISTING
+    rows (as op='U' changes at their stored seq) into the same
+    collapse — last-writer-wins by seq across ANY delivery order, so
+    a late batch carrying an older change for a key cannot clobber
+    newer data. Cost: one semi-join read of the affected keys, the
+    same order as the merge itself."""
     surv = collapse_changes(changes, key_cols, seq_col, op_col).localCheckpoint()
-    upserts = surv.filter(F.col(op_col) != "D").drop(op_col, seq_col)
+    if versioned and tables.table_exists(path):
+        spark = changes.sparkSession
+        existing = tables.read_table(spark, path)
+        if seq_col not in existing.columns:
+            raise ValueError(
+                f"versioned apply requires the table to carry {seq_col!r}; "
+                f"{path} does not (was it built with versioned=False?)"
+            )
+        affected = existing.join(
+            surv.select(*key_cols), key_cols, "left_semi"
+        ).withColumn(op_col, F.lit("U"))
+        # fold stored state into the collapse: missing payload columns
+        # (none — schema matches by construction) would fail loudly
+        surv = collapse_changes(
+            surv.unionByName(affected.select(*surv.columns)),
+            key_cols,
+            seq_col,
+            op_col,
+        ).localCheckpoint()
+    drop_cols = [op_col] if versioned else [op_col, seq_col]
+    upserts = surv.filter(F.col(op_col) != "D").drop(*drop_cols)
     deletes = surv.filter(F.col(op_col) == "D").select(*key_cols)
     if upserts.limit(1).count() > 0:
         tables.merge_table(upserts, path, key_cols, partition_by)

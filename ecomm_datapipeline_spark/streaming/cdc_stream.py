@@ -1,0 +1,62 @@
+"""Continuous CDC application: drive operators/cdc.apply_cdc from a
+Structured Streaming source.
+
+The third member of the foreachBatch-maintainer family (dedup index,
+ANN index, inverted index, histogram rollups) — but simpler than all
+of them: apply_cdc is IDEMPOTENT BY SEMANTICS (at-least-once
+collapse-then-merge — re-applying any overlapping batch reproduces
+the same table), so replay after a crash needs no _batch_id
+bookkeeping, no orphan cleanup, no sentinel ordering. The change
+log's own sequence numbers are the replay protection: a replayed
+change either loses the per-key max_by to a newer change already in
+the table's history (no-op merge) or re-writes the same value.
+
+One caveat: foreachBatch delivers micro-batches in order, but nothing
+stops a LATER batch from carrying an EARLIER seq (parallel
+extractors). Pass versioned=True to keep `seq` in the table and make
+every apply last-writer-wins by seq across any delivery order
+(apply_cdc folds the affected existing rows into the collapse);
+versioned=False assumes cross-batch seq ordering, which per-partition
+Kafka/file delivery provides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import cdc
+
+
+def cdc_stream(
+    changes_stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+    partition_by: list[str] | None = None,
+    versioned: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Apply each micro-batch of changes to the table at `path`."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        cdc.apply_cdc(
+            batch,
+            path,
+            key_cols,
+            seq_col=seq_col,
+            op_col=op_col,
+            partition_by=partition_by,
+            versioned=versioned,
+        )
+
+    writer = changes_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -101,3 +101,77 @@ def test_collapse_is_single_aggregation(spark):
     )
     assert plan.count("Exchange") <= 1
     assert "Window" not in plan
+
+def test_versioned_survives_cross_batch_reordering(spark, tmp_path):
+    """Batch 2 carries an OLDER change for key 1 than what batch 1
+    applied: versioned keeps the newer value (last-writer-wins by
+    seq); unversioned clobbers it — both behaviors pinned."""
+    for versioned, expect_v in [(True, "new"), (False, "old")]:
+        path = str(tmp_path / f"t_{versioned}")
+        apply_cdc(
+            spark.createDataFrame([(1, "new", 10, "U")], SCHEMA),
+            path, ["k"], versioned=versioned,
+        )
+        apply_cdc(
+            spark.createDataFrame([(1, "old", 5, "U")], SCHEMA),
+            path, ["k"], versioned=versioned,
+        )
+        got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+        assert got == {1: expect_v}, (versioned, got)
+    # versioned: a LATE delete older than the stored row is a no-op
+    path = str(tmp_path / "t_del")
+    apply_cdc(
+        spark.createDataFrame([(1, "keep", 10, "U")], SCHEMA),
+        path, ["k"], versioned=True,
+    )
+    apply_cdc(
+        spark.createDataFrame([(1, None, 5, "D")], SCHEMA),
+        path, ["k"], versioned=True,
+    )
+    assert _table_state(spark, path) == {1: "keep"}
+    # mixing modes fails loudly
+    plain = str(tmp_path / "t_plain")
+    apply_cdc(
+        spark.createDataFrame([(1, "x", 1, "U")], SCHEMA), plain, ["k"]
+    )
+    with pytest.raises(ValueError, match="versioned apply requires"):
+        apply_cdc(
+            spark.createDataFrame([(1, "y", 2, "U")], SCHEMA),
+            plain, ["k"], versioned=True,
+        )
+
+
+def test_cdc_stream_end_to_end(spark, tmp_path):
+    """File-source change log streamed through cdc_stream: final
+    state matches, and a fresh-checkpoint replay is a no-op (CDC
+    idempotency, no _batch_id machinery needed)."""
+    import json as _json
+    import os
+
+    from ecomm_datapipeline_spark.streaming.cdc_stream import cdc_stream
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    path = str(tmp_path / "table")
+
+    def _write(name, log):
+        with open(os.path.join(landing, name), "w") as f:
+            for k, v, seq, op in log:
+                f.write(_json.dumps({"k": k, "v": v, "seq": seq, "op": op}) + "\n")
+
+    _write("b1.json", [(1, "a", 1, "I"), (2, "b", 2, "I")])
+    _write("b2.json", [(1, None, 3, "D"), (3, "c", 4, "I"), (2, "b2", 5, "U")])
+
+    def _run(ckpt):
+        s = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(landing)
+        )
+        q = cdc_stream(s, path, ["k"], ckpt, versioned=True)
+        q.awaitTermination(180)
+
+    _run(str(tmp_path / "ck1"))
+    assert _table_state(spark, path) == {2: "b2", 3: "c"}
+    _run(str(tmp_path / "ck2"))  # full replay from scratch
+    assert _table_state(spark, path) == {2: "b2", 3: "c"}
