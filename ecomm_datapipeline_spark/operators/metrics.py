@@ -158,3 +158,48 @@ def auc(
             f"AUC undefined: {npos} positives, {nneg} negatives"
         )
     return (row["rpos"] - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+
+def calibration_curve(
+    scored: DataFrame,
+    n_bins: int = 10,
+    score_col: str = "score",
+    label_col: str = "label",
+) -> DataFrame:
+    """Reliability diagram data: per score bin, (bin, n, mean_score,
+    positive_rate) — a well-calibrated classifier has
+    positive_rate ~= mean_score per bin. Scores are clipped to [0, 1]
+    and binned by floor(score * n_bins) with 1.0 folding into the top
+    bin; ONE aggregation pass (the histogram-rollup shape), empty
+    bins absent from the output. NULL scores are excluded and
+    reported via the n_null column on every row (no-silent-drops)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    s = F.col(score_col).cast("double")
+    # Spark's greatest/least SKIP nulls (they return the non-null
+    # extremum), so clipping must re-null explicitly or every NULL
+    # score would silently land in bin 0 as 0.0.
+    clipped = F.when(
+        s.isNotNull(), F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))
+    )
+    bin_ = F.least(
+        F.floor(clipped * n_bins).cast("int"), F.lit(n_bins - 1)
+    )
+    base = scored.select(
+        bin_.alias("bin"),
+        clipped.alias("_s"),
+        F.col(label_col).cast("int").alias("_y"),
+        F.col(score_col).isNull().cast("long").alias("_isnull"),
+    )
+    n_null = base.agg(F.sum("_isnull")).first()[0] or 0
+    return (
+        base.filter(F.col("_s").isNotNull())
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("_s").alias("mean_score"),
+            F.avg("_y").alias("positive_rate"),
+        )
+        .withColumn("n_null", F.lit(int(n_null)))
+        .orderBy("bin")
+    )

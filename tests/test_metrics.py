@@ -13,6 +13,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from ecomm_datapipeline_spark.operators.metrics import (
+    calibration_curve,
     auc,
     ranking_metrics,
     ranking_summary,
@@ -178,3 +179,49 @@ def test_composes_with_bm25_retrieval(spark):
     summ = ranking_summary(ranking_metrics(p_df, t_df, k=3)).first()
     assert summ["mrr"] == pytest.approx(1.0)
     assert summ["recall_at_k"] == pytest.approx(1.0)
+
+def test_calibration_curve(spark):
+    """Hand-built bins + DuckDB differential: a perfectly calibrated
+    synthetic set (rate == mean score per bin) and edge folding."""
+    rows = []
+    # bin 0.2x: 1 positive of 5 at scores .25; bin 0.7x: 3 of 4 at .75
+    rows += [(0.25, 1)] + [(0.25, 0)] * 4
+    rows += [(0.75, 1)] * 3 + [(0.75, 0)]
+    rows += [(1.0, 1), (None, 1)]  # 1.0 folds into top bin; null tracked
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: r for r in calibration_curve(df, n_bins=10).collect()}
+    assert got[2]["n"] == 5 and got[2]["positive_rate"] == pytest.approx(0.2)
+    assert got[7]["n"] == 4 and got[7]["positive_rate"] == pytest.approx(0.75)
+    assert got[9]["n"] == 1  # score 1.0 -> top bin, not bin 10
+    assert all(r["n_null"] == 1 for r in got.values())
+
+    import duckdb as _duck
+    import pandas as _pd
+
+    con = _duck.connect()
+    con.register(
+        "scored", _pd.DataFrame(rows, columns=["score", "label"])
+    )
+    want = con.execute(
+        """
+        SELECT least(CAST(floor(least(greatest(score,0),1)*10) AS INT), 9)
+                 AS bin,
+               count(*) AS n, avg(least(greatest(score,0),1)) AS mean_score,
+               avg(label) AS positive_rate
+        FROM scored WHERE score IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchdf()
+    got_df = (
+        calibration_curve(df, n_bins=10)
+        .drop("n_null")
+        .toPandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    want = want.sort_values("bin").reset_index(drop=True)
+    assert (got_df["bin"] == want["bin"]).all()
+    assert (got_df["n"] == want["n"]).all()
+    assert abs(got_df["positive_rate"] - want["positive_rate"]).max() < 1e-12
+    with pytest.raises(ValueError, match="n_bins"):
+        calibration_curve(df, n_bins=1)
