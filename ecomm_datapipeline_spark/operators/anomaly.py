@@ -82,3 +82,73 @@ def rolling_zscore_anomalies(
         .withColumn("is_anomaly", is_anomaly)
         .drop("_hist")
     )
+
+
+def seasonal_zscore_anomalies(
+    events: DataFrame,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    period: int = 24,
+    key_cols: list[str] | None = None,
+    measure: Column | None = None,
+    trailing_periods: int = 4,
+    z_threshold: float = 3.0,
+    min_history: int = 2,
+) -> DataFrame:
+    """Seasonal-baseline variant of rolling_zscore_anomalies: each
+    bucket is compared against the SAME PHASE of previous periods
+    (this hour vs the same hour on prior days with period=24), so a
+    daily rush-hour peak stops reading as an anomaly and a quiet
+    rush-hour starts to.
+
+    Shape: identical cost to the plain z-score — the window simply
+    partitions by (key..., phase) where phase = bucket position within
+    the period, so 'previous rows in this partition' ARE the same
+    phase of previous periods. Still one aggregated-series shuffle;
+    the phase column is pure timestamp arithmetic. Gap caveat: phase
+    derives from the bucket TIMESTAMP (epoch // bucket_seconds mod
+    period), so missing buckets cannot shift the phase alignment the
+    way a row-offset lag would.
+    """
+    if period < 2:
+        raise ValueError(f"period must be >= 2: {period}")
+    seconds = {"hour": 3600, "day": 86400, "minute": 60, "week": 604800}
+    if bucket not in seconds:
+        raise ValueError(
+            f"bucket must be one of {sorted(seconds)}: {bucket!r}"
+        )
+    series = bucket_series(events, ts_col, bucket, key_cols, measure)
+    phase = F.pmod(
+        F.floor(F.unix_timestamp("bucket_ts") / seconds[bucket]),
+        F.lit(period),
+    ).cast("int")
+    keyed = series.withColumn("phase", phase)
+    w = (
+        Window.partitionBy(
+            *[F.col(c) for c in (key_cols or [])], F.col("phase")
+        )
+        .orderBy("bucket_ts")
+        .rowsBetween(-trailing_periods, -1)
+    )
+    stats = (
+        keyed.withColumn("seasonal_mean", F.avg("n").over(w))
+        .withColumn("seasonal_std", F.stddev_samp("n").over(w))
+        .withColumn("_hist", F.count("n").over(w))
+    )
+    z = (F.col("n") - F.col("seasonal_mean")) / F.col("seasonal_std")
+    zscore = F.when(
+        (F.col("_hist") >= min_history) & (F.col("seasonal_std") > 0), z
+    )
+    flat_deviation = (
+        (F.col("_hist") >= min_history)
+        & (F.col("seasonal_std") == 0)
+        & (F.col("n") != F.col("seasonal_mean"))
+    )
+    is_anomaly = F.coalesce(
+        (F.abs(zscore) >= z_threshold) | flat_deviation, F.lit(False)
+    )
+    return (
+        stats.withColumn("zscore", zscore)
+        .withColumn("is_anomaly", is_anomaly)
+        .drop("_hist")
+    )

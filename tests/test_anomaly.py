@@ -132,3 +132,88 @@ def test_testdata_smoke(spark):
     flagged = [r for r in rows if r["is_anomaly"]]
     # synthetic uniform traffic: anomalies should be rare
     assert len(flagged) <= len(rows) * 0.1
+
+
+def test_seasonal_baseline_accepts_daily_rhythm(spark):
+    """A clean daily rhythm (rush hour = 100, off-peak = 10) trips
+    the PLAIN rolling z-score every rush hour but is invisible to the
+    seasonal baseline — and a rush hour that fails to materialize IS
+    flagged by the seasonal one."""
+    from datetime import datetime, timedelta
+
+    from ecomm_datapipeline_spark.operators.anomaly import (
+        rolling_zscore_anomalies,
+        seasonal_zscore_anomalies,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(6):
+        for hour in range(24):
+            # rush at hour 8; on day 5 the rush DIES (count 10)
+            n = 100 if (hour == 8 and day < 5) else 10
+            if hour == 8 and day == 5:
+                n = 10
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, t0 + timedelta(days=day, hours=hour, seconds=eid % 3000)))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+
+    plain = rolling_zscore_anomalies(ev, trailing=24, min_history=6)
+    plain_flags = {
+        r["bucket_ts"] for r in plain.filter("is_anomaly").collect()
+    }
+    # the plain detector fires on healthy rush hours (day >= 1, 8:00)
+    assert any(b.hour == 8 and b.day > 1 and b.day < 6 for b in plain_flags)
+
+    seas = seasonal_zscore_anomalies(
+        ev, period=24, trailing_periods=4, min_history=2, z_threshold=3.0
+    )
+    flags = {r["bucket_ts"] for r in seas.filter("is_anomaly").collect()}
+    # healthy rush hours are NOT seasonal anomalies...
+    assert not any(b.hour == 8 and b.day in (3, 4, 5) for b in flags)
+    # ...the dead rush hour on day 6 (Jan 6, 8:00) IS (flat history
+    # of 100s -> deviation rule)
+    assert datetime(2024, 1, 6, 8, 0) in flags
+
+
+def test_seasonal_phase_alignment_survives_gaps(spark):
+    """A missing bucket must not shift the phase: day 3's hour-8 still
+    compares against hour-8 history even though day 2 hour 8 is
+    absent."""
+    from datetime import datetime, timedelta
+
+    from ecomm_datapipeline_spark.operators.anomaly import (
+        seasonal_zscore_anomalies,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for day in range(4):
+        for hour in (7, 8):
+            if day == 2 and hour == 8:
+                continue  # gap
+            n = 50 if hour == 8 else 5
+            for _ in range(n):
+                eid += 1
+                rows.append((eid, t0 + timedelta(days=day, hours=hour)))
+    ev = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    seas = seasonal_zscore_anomalies(
+        ev, period=24, trailing_periods=4, min_history=2
+    ).collect()
+    day3_h8 = [
+        r for r in seas
+        if r["bucket_ts"] == datetime(2024, 1, 4, 8, 0)
+    ][0]
+    # history = day 1 + day 2 hour-8 (50, 50): mean 50, not polluted
+    # by hour-7 fives
+    assert day3_h8["seasonal_mean"] == 50.0
+    assert not day3_h8["is_anomaly"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="period"):
+        seasonal_zscore_anomalies(ev, period=1)
+    with _pytest.raises(ValueError, match="bucket must be"):
+        seasonal_zscore_anomalies(ev, bucket="fortnight")
