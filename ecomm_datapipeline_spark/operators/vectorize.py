@@ -1,0 +1,108 @@
+"""Encoder-free document vectors: feature-hashed TF-IDF embeddings.
+
+Every similarity surface in this engine consumes an `embedding
+array<float>` column (cosine top-k, IVF/PQ index, SemDeDup,
+embedding QC). Real deployments get that column from a neural
+encoder; this operator provides the classical, fully-JVM fallback —
+hashed TF-IDF (the sklearn HashingVectorizer + TfidfTransformer
+composition) — so the ENTIRE similarity stack runs end-to-end with no
+model and no Python:
+
+* token -> bucket via xxhash64 mod dim (features.hash_feature's
+  trick): collisions by design, dimensionality fixed up front, no
+  vocabulary state to store or synchronize.
+* tf per (doc, bucket): ONE explode + keyed aggregation — the same
+  corpus-sized token shuffle the inverted-index build pays.
+* idf per bucket: the bucket table has exactly `dim` rows, so
+  document frequencies aggregate tiny and BROADCAST back
+  (idf = ln((N+1)/(df+1)) + 1, the smoothed sklearn variant).
+* dense assembly + L2 norm: map_from_entries over each doc's
+  (bucket, weight) list, then one transform over sequence(0, dim-1)
+  — per-row work O(dim + nnz), no second shuffle.
+
+The output satisfies the embedding-column contract: unit-norm
+array<float>, so cosine == dot and every downstream operator
+(similarity.cosine_topk_bruteforce, ann_index, semdedup) composes
+unchanged.
+
+Verification (tests/test_vectorize.py): a Python reference computes
+the exact same vectors FROM Spark's own token->bucket assignments
+(differential on everything downstream of the hash — the hash itself
+is pinned by determinism tests elsewhere), plus unit-norm, identical
+docs -> cosine 1.0, planted near-dup retrieved at rank 1 through
+cosine_topk_bruteforce, and the single-token-shuffle plan pin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .collocations import _lower_toks
+from .features import hash_feature
+
+
+def hashed_tfidf_vectors(
+    docs: DataFrame,
+    dim: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, embedding): unit-L2 hashed TF-IDF vectors. Documents
+    with no tokens yield an all-zero vector (norm guard: 0/1, not
+    0/0). N for idf counts documents WITH tokens."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2: {dim}")
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.explode(_lower_toks(text_col)).alias("_tok"),
+        )
+        .withColumn("_b", hash_feature(F.col("_tok"), dim))
+        .groupBy("_id", "_b")
+        .agg(F.count("*").cast("double").alias("_tf"))
+    )
+    n_docs = pairs.select("_id").distinct().count()
+    idf = pairs.groupBy("_b").agg(
+        F.countDistinct("_id").alias("_df")
+    ).select(
+        "_b",
+        (
+            F.log((F.lit(float(n_docs + 1))) / (F.col("_df") + F.lit(1.0)))
+            + F.lit(1.0)
+        ).alias("_idf"),
+    )
+    weighted = pairs.join(F.broadcast(idf), "_b").select(
+        "_id", "_b", (F.col("_tf") * F.col("_idf")).alias("_w")
+    )
+    assembled = weighted.groupBy("_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_w")))
+        ).alias("_m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0.0)),
+    )
+    norm = F.sqrt(
+        F.aggregate(dense, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    vec = F.transform(
+        dense,
+        lambda x: (x / F.when(norm > 0, norm).otherwise(F.lit(1.0))).cast(
+            "float"
+        ),
+    )
+    out = assembled.select(F.col("_id").alias(id_col), vec.alias("embedding"))
+    # docs with zero tokens never reach `pairs`: restore them with a
+    # zero vector so the output covers every input id. Derived from
+    # the SOURCE (a map-only scan), not an anti-join against `out` —
+    # that join would duplicate the whole explode/aggregate subtree in
+    # the plan and re-pay the token shuffle.
+    empty = docs.filter(F.size(_lower_toks(text_col)) == 0).select(
+        F.col(id_col)
+    )
+    zero_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)), lambda i: F.lit(0.0).cast("float")
+    )
+    return out.unionByName(empty.select(id_col, zero_vec.alias("embedding")))

@@ -1,0 +1,133 @@
+"""Hashed TF-IDF vectors (operators/vectorize.py): Python-reference
+differential downstream of Spark's own bucket assignments, unit-norm
+and duplicate-cosine invariants, planted near-dup retrieval through
+the similarity stack, and the single-token-shuffle plan pin."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.features import hash_feature
+from ecomm_datapipeline_spark.operators.vectorize import (
+    hashed_tfidf_vectors,
+)
+
+SF = "/root/testdata/sf0.001"
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").limit(100).cache()
+
+
+def test_matches_python_reference_given_buckets(spark, docs):
+    """Everything downstream of the hash is re-derived from scratch in
+    Python using Spark's OWN token->bucket map: tf, smoothed idf,
+    dense assembly, L2 norm — exact to 1e-6 (float32 storage)."""
+    buckets = {
+        r["tok"]: r["b"]
+        for r in docs.select(
+            F.explode(
+                F.filter(
+                    F.transform(F.split(F.trim("text"), r"\s+"), F.lower),
+                    lambda x: x != F.lit(""),
+                )
+            ).alias("tok")
+        )
+        .distinct()
+        .withColumn("b", hash_feature(F.col("tok"), DIM))
+        .collect()
+    }
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    tf = {}
+    for did, text in texts.items():
+        toks = [t.lower() for t in text.split()]
+        if not toks:
+            continue
+        m = {}
+        for t in toks:
+            m[buckets[t]] = m.get(buckets[t], 0) + 1
+        tf[did] = m
+    n = len(tf)
+    df_cnt = {}
+    for m in tf.values():
+        for b in m:
+            df_cnt[b] = df_cnt.get(b, 0) + 1
+    want = {}
+    for did, m in tf.items():
+        v = [0.0] * DIM
+        for b, c in m.items():
+            v[b] = c * (math.log((n + 1) / (df_cnt[b] + 1)) + 1.0)
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        want[did] = [x / norm for x in v]
+    got = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hashed_tfidf_vectors(docs, dim=DIM).collect()
+    }
+    assert set(got) == set(texts)
+    for did, wv in want.items():
+        gv = got[did]
+        assert max(abs(a - b) for a, b in zip(gv, wv)) < 1e-6, did
+
+
+def test_unit_norm_and_duplicate_cosine(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta eps zeta"), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    vecs = {
+        r["doc_id"]: list(r["embedding"])
+        for r in hashed_tfidf_vectors(df, dim=32).collect()
+    }
+    for did in (1, 2, 3):
+        assert sum(x * x for x in vecs[did]) == pytest.approx(1.0, abs=1e-6)
+    dot12 = sum(a * b for a, b in zip(vecs[1], vecs[2]))
+    assert dot12 == pytest.approx(1.0, abs=1e-6)  # identical docs
+    dot13 = sum(a * b for a, b in zip(vecs[1], vecs[3]))
+    assert dot13 < 0.5  # disjoint vocab (modulo hash collisions)
+    assert vecs[4] == [0.0] * 32  # tokenless doc: zero vector, present
+    with pytest.raises(ValueError, match="dim"):
+        hashed_tfidf_vectors(df, dim=1)
+
+
+def test_composes_with_cosine_topk(spark, docs):
+    """A near-duplicate of doc X (one word changed) vectorizes next to
+    X: rank-1 neighbor through the standard similarity stack."""
+    from ecomm_datapipeline_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    src = docs.filter(F.col("doc_id") == docs.first()["doc_id"]).first()
+    twin_text = "changed " + " ".join(src["text"].split()[1:])
+    twin = spark.createDataFrame(
+        [(900_001, twin_text, "en", "synth", len(twin_text))], docs.schema
+    )
+    vecs = hashed_tfidf_vectors(docs.unionByName(twin), dim=256).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    queries = vecs.filter(F.col("vec_id") == 900_001).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk_bruteforce(vecs, queries, k=1).collect()[0]
+    assert top["neighbor_id"] == src["doc_id"]
+    assert top["sim"] > 0.7  # one word of ~20 changed; shared-vocab corpus
+
+
+def test_single_token_shuffle(spark):
+    """The tf and idf branches both read the (doc, bucket) aggregate;
+    the static plan prints that subtree (and its explode) twice, but
+    AQE must REUSE the exchange at runtime so the token explode
+    physically runs once (the Q15 exchange-reuse pattern). Uncached
+    input: a cached source breaks canonical subtree equality and with
+    it the reuse this test pins."""
+    # limit(101), not 100: the module fixture CACHED limit(100), and
+    # Spark's cache manager substitutes cached fragments by canonical
+    # plan — which would re-break the equality dodged above.
+    fresh = spark.read.parquet(f"{SF}/documents.parquet").limit(101)
+    df = hashed_tfidf_vectors(fresh, dim=DIM)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert ("ReusedExchange" in plan) or ("ReusedQueryStage" in plan)
