@@ -1,0 +1,209 @@
+"""ROUGE-L near-duplicate detection for instruction / SFT corpora.
+
+Set-based near-dup (Jaccard over shingles, MinHash, SimHash) treats a
+document as a bag of n-grams, so two responses that share vocabulary
+but say different things can collide, while a light paraphrase that
+reorders clauses can escape. Instruction-tuning dedup pipelines
+therefore score candidate pairs with ROUGE-L — the longest common
+SUBSEQUENCE of the token streams — which rewards shared *ordered*
+content and is the standard metric for "these two responses are the
+same answer" (e.g. self-instruct-style dedup keeps a sample only if
+max ROUGE-L against the pool is below a threshold).
+
+Two-stage shape (the only one that scales — LCS is O(n*m) per pair,
+so the job is to never run it on pairs that can't match):
+
+1. CANDIDATES, all JVM: any bounded pair generator. The default is
+   `ngram_jaccard_pairs` at a LOW threshold (high recall — unigram
+   overlap is an upper bound on ROUGE-L recall, so a pair whose token
+   Jaccard is tiny cannot score high ROUGE-L); callers can pass
+   MinHash/LSH candidates instead. Never all-pairs.
+2. SCORE, Arrow-batched Python: join the two token arrays (each
+   TRUNCATED to `max_tokens` — bounds both the join payload and the
+   per-pair DP at max_tokens^2) onto the pair list and compute LCS
+   with a vectorized numpy DP (one O(m) cummax row per token of the
+   shorter side, not a Python-level n*m loop). This is the
+   genuinely-non-SQL niche where a Pandas UDF is the right tool.
+
+At 100 TB: stage-1 pair counts are bounded by the blocking (df-pruned
+hot shingles, banding); stage-2 cost is pairs * max_tokens^2 with
+zero additional shuffles beyond the two id-equijoins that attach the
+token arrays. The token arrays are attached AFTER candidate
+generation, so full text never rides through the blocking shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import connected_components, ngram_jaccard_pairs
+from .text import tokens
+
+ROUGE_SCHEMA = (
+    "id_a long, id_b long, lcs_len int, len_a int, len_b int, "
+    "rouge_l_p double, rouge_l_r double, rouge_l_f double"
+)
+
+
+def _lcs_numpy(a, b):
+    """LCS length of two int-coded numpy arrays via the rolling-row
+    DP with the cummax vectorization: row values of an LCS DP are
+    non-decreasing in j, so dp[j] = cummax(max(prev_row[j], diag+1 on
+    match)) — one O(m) vector op per row instead of an inner loop.
+    Differential-tested against the classic O(n*m) table in
+    tests/test_rouge.py."""
+    import numpy as np
+
+    if len(a) == 0 or len(b) == 0:
+        return 0
+    if len(a) > len(b):  # iterate the SHORTER side: fewer numpy calls
+        a, b = b, a
+    prev = np.zeros(len(b) + 1, dtype=np.int32)
+    for x in a:
+        cand = np.where(b == x, prev[:-1] + 1, 0)
+        cur = np.maximum(prev[1:], cand)
+        np.maximum.accumulate(cur, out=cur)
+        prev[1:] = cur
+    return int(prev[-1])
+
+
+def _score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = {k: [] for k in (
+            "id_a", "id_b", "lcs_len", "len_a", "len_b",
+            "rouge_l_p", "rouge_l_r", "rouge_l_f",
+        )}
+        for row in pdf.itertuples(index=False):
+            ta = list(row.toks_a) if row.toks_a is not None else []
+            tb = list(row.toks_b) if row.toks_b is not None else []
+            # int-code both sides over their joint vocabulary so the
+            # DP compares int64s, not Python strings
+            codes, inv = np.unique(np.array(ta + tb, dtype=object),
+                                   return_inverse=True)
+            del codes
+            ca, cb = inv[: len(ta)], inv[len(ta):]
+            lcs = _lcs_numpy(ca, cb)
+            p = lcs / len(ta) if ta else 0.0
+            r = lcs / len(tb) if tb else 0.0
+            f = 2.0 * p * r / (p + r) if (p + r) > 0 else 0.0
+            out["id_a"].append(row.id_a)
+            out["id_b"].append(row.id_b)
+            out["lcs_len"].append(lcs)
+            out["len_a"].append(len(ta))
+            out["len_b"].append(len(tb))
+            out["rouge_l_p"].append(p)
+            out["rouge_l_r"].append(r)
+            out["rouge_l_f"].append(f)
+        yield pd.DataFrame(out)
+
+
+def _token_prefix(text_col: str, max_tokens: int) -> Column:
+    # drop the "" artifact split() emits for empty/whitespace-only
+    # text so lengths match plain python str.split() semantics
+    return F.slice(
+        F.filter(tokens(F.col(text_col)), lambda t: t != ""), 1, max_tokens
+    )
+
+
+def rouge_l_score_pairs(
+    pairs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 256,
+) -> DataFrame:
+    """Score (id_a, id_b) candidate pairs with ROUGE-L over the first
+    `max_tokens` whitespace tokens of each side.
+
+    Precision/recall denominators are the TRUNCATED lengths (the DP
+    never saw the tail, so scoring against full lengths would
+    systematically deflate long documents). NULL/empty text on either
+    side scores 0.0 across the board.
+
+    Plan: two id-equijoins attach the compact token-prefix arrays to
+    the (small) pair frame, then one Arrow-batched mapInPandas scores
+    each pair — no shuffle after the joins."""
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be >= 1: {max_tokens}")
+    toks = df.select(
+        F.col(id_col).alias("_tid"),
+        _token_prefix(text_col, max_tokens).alias("_toks"),
+    )
+    joined = (
+        pairs.select("id_a", "id_b")
+        .join(toks.withColumnRenamed("_toks", "toks_a"),
+              F.col("id_a") == F.col("_tid"))
+        .drop("_tid")
+        .join(toks.withColumnRenamed("_toks", "toks_b"),
+              F.col("id_b") == F.col("_tid"))
+        .select("id_a", "id_b", "toks_a", "toks_b")
+    )
+    return joined.mapInPandas(_score_batches, ROUGE_SCHEMA)
+
+
+def rouge_l_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_tokens: int = 256,
+    candidate_pairs: DataFrame | None = None,
+    candidate_k: int = 1,
+    candidate_threshold: float = 0.2,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs (a < b) with ROUGE-L F1 >= threshold.
+
+    Candidates default to word-UNIGRAM Jaccard >= `candidate_threshold`
+    (k=1): unigram multiset overlap upper-bounds LCS, so a high-recall
+    low-threshold unigram block rarely loses a true ROUGE-L pair while
+    still pruning the quadratic space. Pass `candidate_pairs` (any
+    frame with id_a/id_b, e.g. `minhash_lsh_candidates`) to swap the
+    blocking strategy."""
+    if candidate_pairs is None:
+        candidate_pairs = ngram_jaccard_pairs(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            k=candidate_k,
+            threshold=candidate_threshold,
+            max_shingle_freq=max_shingle_freq,
+        )
+    scored = rouge_l_score_pairs(
+        candidate_pairs, df, text_col=text_col, id_col=id_col,
+        max_tokens=max_tokens,
+    )
+    return scored.filter(F.col("rouge_l_f") >= threshold)
+
+
+def rouge_l_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_tokens: int = 256,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Kept corpus after ROUGE-L dedup: collapse each connected
+    component of the >=threshold pair graph to its minimum-id
+    representative (transitive A~B~C chains fall together even when
+    the A~C pair was never scored), anti-join the rest away. Returns
+    the original rows of the keepers, all columns.
+
+    EAGER like every components-based dedup here (the label
+    propagation collects one convergence scalar per round)."""
+    pairs = rouge_l_pairs(
+        df, text_col=text_col, id_col=id_col, threshold=threshold,
+        max_tokens=max_tokens, candidate_pairs=candidate_pairs,
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    losers = comp.filter(F.col("id") != F.col("rep")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

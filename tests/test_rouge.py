@@ -1,0 +1,136 @@
+"""ROUGE-L near-dup (operators/rouge.py): the vectorized LCS DP is
+differential-tested against the classic O(n*m) table, pair scores are
+checked against hand/from-scratch ROUGE-L, planted paraphrase chains
+collapse through the end-to-end dedup, and truncation + NULL-text
+semantics are pinned."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import rouge
+
+
+def _lcs_ref(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            if a[i - 1] == b[j - 1]:
+                dp[i][j] = dp[i - 1][j - 1] + 1
+            else:
+                dp[i][j] = max(dp[i - 1][j], dp[i][j - 1])
+    return dp[-1][-1]
+
+
+def _rouge_ref(ta, tb):
+    lcs = _lcs_ref(ta, tb)
+    p = lcs / len(ta) if ta else 0.0
+    r = lcs / len(tb) if tb else 0.0
+    f = 2 * p * r / (p + r) if p + r else 0.0
+    return lcs, p, r, f
+
+
+def test_lcs_numpy_differential():
+    import numpy as np
+
+    rng = random.Random(11)
+    for _ in range(200):
+        n, m = rng.randint(0, 25), rng.randint(0, 25)
+        a = [rng.randint(0, 6) for _ in range(n)]
+        b = [rng.randint(0, 6) for _ in range(m)]
+        got = rouge._lcs_numpy(
+            np.array(a, dtype=np.int64), np.array(b, dtype=np.int64)
+        )
+        assert got == _lcs_ref(a, b), (a, b)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        # light paraphrase of 0: clause reorder + one substitution
+        (1, "the quick brown fox leaps over the lazy dog today"),
+        # shares vocabulary with 0 but scrambled order (low LCS)
+        (2, "dog lazy the over jumps fox brown quick the today"),
+        (3, "completely different content about spark shuffle plans"),
+        # paraphrase CHAIN partner of 1 (transitive with 0)
+        (4, "a quick brown fox leaps over the lazy dog today"),
+        (5, None),
+        (6, "   "),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_scores_match_reference(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 5), (5, 6)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): r
+        for r in rouge.rouge_l_score_pairs(pairs, docs).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for (ia, ib), row in out.items():
+        ta = (texts[ia] or "").split()
+        tb = (texts[ib] or "").split()
+        lcs, p, r_, f = _rouge_ref(ta, tb)
+        assert row.lcs_len == lcs
+        assert row.rouge_l_p == pytest.approx(p)
+        assert row.rouge_l_r == pytest.approx(r_)
+        assert row.rouge_l_f == pytest.approx(f)
+    # ordered paraphrase scores high; scrambled same-vocab scores low
+    assert out[(0, 1)].rouge_l_f > 0.85
+    assert out[(0, 2)].rouge_l_f < 0.5
+    assert out[(0, 3)].rouge_l_f < 0.1
+    # NULL text and whitespace-only text score 0.0, never NULL/NaN
+    assert out[(0, 5)].rouge_l_f == 0.0
+    assert out[(5, 6)].lcs_len == 0 and out[(5, 6)].rouge_l_f == 0.0
+
+
+def test_truncation_bounds_dp(spark, docs):
+    long_docs = spark.createDataFrame(
+        [
+            (0, " ".join(f"w{i}" for i in range(500))),
+            (1, " ".join(f"w{i}" for i in range(400)) + " tail extra"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    row = rouge.rouge_l_score_pairs(
+        pairs, long_docs, max_tokens=100
+    ).collect()[0]
+    # both sides truncated to 100 identical tokens -> perfect score,
+    # and the denominators are the truncated lengths
+    assert (row.len_a, row.len_b, row.lcs_len) == (100, 100, 100)
+    assert row.rouge_l_f == 1.0
+
+
+def test_end_to_end_pairs_and_dedup(spark, docs):
+    pairs = rouge.rouge_l_pairs(
+        docs, threshold=0.7, candidate_threshold=0.2, max_shingle_freq=None
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # the paraphrase chain 0~1~4 is found; scrambled/distinct are not
+    assert (0, 1) in got and (1, 4) in got
+    assert all(2 not in p and 3 not in p for p in got)
+    kept = rouge.rouge_l_dedup(
+        docs, threshold=0.7, candidate_pairs=pairs.select("id_a", "id_b")
+    )
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # chain collapses to min-id rep 0 even if (0,4) was never scored
+    assert 0 in kept_ids and 1 not in kept_ids and 4 not in kept_ids
+    assert {2, 3, 5, 6} <= kept_ids
+
+
+def test_custom_candidates_swap(spark, docs):
+    cands = spark.createDataFrame([(0, 3)], "id_a long, id_b long")
+    out = rouge.rouge_l_pairs(docs, threshold=0.0, candidate_pairs=cands)
+    rows = out.collect()
+    assert {(r.id_a, r.id_b) for r in rows} == {(0, 3)}
+
+
+def test_rejects_bad_max_tokens(spark, docs):
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_tokens"):
+        rouge.rouge_l_score_pairs(pairs, docs, max_tokens=0)
