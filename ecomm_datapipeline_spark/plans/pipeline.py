@@ -360,7 +360,15 @@ def run_incremental(
 
     # Hourly MERGE == recompute today's slice + dynamic partition
     # overwrite (order_processing_incremental.py:177-210).
-    fact = tables.read_table(spark, paths.fact_orders)
+    if existing is None and n_added == 0:
+        # First-ever tick whose rows ALL fell outside run_date: the
+        # append committed only a _SUCCESS marker (no parquet footer),
+        # so a read-back cannot infer a schema. Recompute the (empty)
+        # downstream slices from the typed increment frame instead —
+        # the tick still archives + manifests like any other.
+        fact = fact_inc
+    else:
+        fact = tables.read_table(spark, paths.fact_orders)
     hourly = aggregates.hourly_metrics_with_audit_cols(fact, run_date)
     tables.write_table(
         hourly,

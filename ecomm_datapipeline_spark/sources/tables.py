@@ -25,9 +25,20 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def table_exists(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        f.endswith(".parquet") or f.startswith("_SUCCESS") or "=" in f
-        for f in os.listdir(path)
+    """True iff `path` is a READABLE parquet table: at least one data
+    file with a footer, at top level or under partition dirs. A
+    _SUCCESS-only directory (a committed append of an EMPTY frame —
+    e.g. a first tick whose rows all failed the run-date filter) is
+    NOT a table: spark.read.parquet on it raises
+    UNABLE_TO_INFER_SCHEMA, so existence checks gating a read must say
+    no. os.walk short-circuits at the first data file, so the cost is
+    O(1) dirs for any non-empty table."""
+    if not os.path.isdir(path):
+        return False
+    return any(
+        f.endswith(".parquet")
+        for _dir, _subdirs, files in os.walk(path)
+        for f in files
     )
 
 

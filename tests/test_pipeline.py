@@ -415,3 +415,43 @@ def test_quarantine_mode_dead_letters_bad_rows(spark, tmp_path):
     assert q[0]["_source_file"] == "mixed.json"
     manifest = spark.read.parquet(paths.run_manifest).collect()
     assert len(manifest) == 1 and manifest[0]["quarantined"] == 1
+
+
+def test_first_tick_all_rows_outside_run_date(spark, tmp_path):
+    """First-EVER tick whose orders all fall outside run_date: the
+    fact append commits only a _SUCCESS marker (no parquet footer), so
+    the downstream read-back cannot infer a schema. The tick must
+    complete as a zero-add run — archive + manifest like any other —
+    and a later in-date tick must work normally (regression for the
+    UNABLE_TO_INFER_SCHEMA crash found by the pipeline drive probe)."""
+    import json
+    import random as _random
+
+    from .fixtures import make_order
+
+    paths = pipeline.PipelinePaths(str(tmp_path))
+    os.makedirs(paths.landing_orders, exist_ok=True)
+    rng = _random.Random(5)
+    stale = make_order(
+        rng, dt.datetime.combine(RUN_DATE - dt.timedelta(days=30), dt.time(9, 0))
+    )
+    with open(os.path.join(paths.landing_orders, "stale.json"), "w") as f:
+        f.write(json.dumps(stale) + "\n")
+    pcsv, ccsv = str(tmp_path / "p.csv"), str(tmp_path / "c.csv")
+    write_products_csv(pcsv)
+    write_customers_csv(ccsv)
+    pipeline.load_dims(spark, paths, pcsv, ccsv)
+
+    res = pipeline.run_incremental(spark, paths, RUN_DATE)
+    assert res.files_processed == 1 and res.fact_rows_added == 0
+    assert res.archived_to and os.path.isdir(res.archived_to)
+    manifest = spark.read.parquet(paths.run_manifest).collect()
+    assert len(manifest) == 1 and manifest[0]["fact_rows_added"] == 0
+
+    # the warehouse is not wedged: a normal tick lands afterwards
+    fresh = make_order(rng, dt.datetime.combine(RUN_DATE, dt.time(10, 0)))
+    with open(os.path.join(paths.landing_orders, "fresh.json"), "w") as f:
+        f.write(json.dumps(fresh) + "\n")
+    res2 = pipeline.run_incremental(spark, paths, RUN_DATE)
+    assert res2.fact_rows_added == len(fresh["items"])
+    assert spark.read.parquet(paths.fact_orders).count() == res2.fact_rows_added
