@@ -14,9 +14,9 @@ Two-stage shape (the only one that scales — LCS is O(n*m) per pair,
 so the job is to never run it on pairs that can't match):
 
 1. CANDIDATES, all JVM: any bounded pair generator. The default is
-   `ngram_jaccard_pairs` at a LOW threshold (high recall — unigram
-   overlap is an upper bound on ROUGE-L recall, so a pair whose token
-   Jaccard is tiny cannot score high ROUGE-L); callers can pass
+   `ngram_jaccard_pairs` at a LOW threshold — a high-recall heuristic
+   (set Jaccard over distinct unigrams; see rouge_l_pairs' docstring
+   for the repeated-token corner it can miss); callers can pass
    MinHash/LSH candidates instead. Never all-pairs.
 2. SCORE, Arrow-batched Python: join the two token arrays (each
    TRUNCATED to `max_tokens` — bounds both the join payload and the
@@ -135,13 +135,17 @@ def rouge_l_score_pairs(
         F.col(id_col).alias("_tid"),
         _token_prefix(text_col, max_tokens).alias("_toks"),
     )
+    # LEFT joins: a caller-supplied pair referencing an id absent from
+    # `df` still comes back (scored 0.0 — _score_batches treats NULL
+    # token arrays as empty) instead of silently vanishing from the
+    # output on an id typo/mismatch.
     joined = (
         pairs.select("id_a", "id_b")
         .join(toks.withColumnRenamed("_toks", "toks_a"),
-              F.col("id_a") == F.col("_tid"))
+              F.col("id_a") == F.col("_tid"), "left")
         .drop("_tid")
         .join(toks.withColumnRenamed("_toks", "toks_b"),
-              F.col("id_b") == F.col("_tid"))
+              F.col("id_b") == F.col("_tid"), "left")
         .select("id_a", "id_b", "toks_a", "toks_b")
     )
     return joined.mapInPandas(_score_batches, ROUGE_SCHEMA)
@@ -156,16 +160,31 @@ def rouge_l_pairs(
     candidate_pairs: DataFrame | None = None,
     candidate_k: int = 1,
     candidate_threshold: float = 0.2,
-    max_shingle_freq: int | None = 1000,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (a < b) with ROUGE-L F1 >= threshold.
 
-    Candidates default to word-UNIGRAM Jaccard >= `candidate_threshold`
-    (k=1): unigram multiset overlap upper-bounds LCS, so a high-recall
-    low-threshold unigram block rarely loses a true ROUGE-L pair while
-    still pruning the quadratic space. Pass `candidate_pairs` (any
-    frame with id_a/id_b, e.g. `minhash_lsh_candidates`) to swap the
-    blocking strategy."""
+    Candidates default to word-UNIGRAM SET Jaccard >= the low
+    `candidate_threshold` (k=1). This blocker is a high-recall
+    HEURISTIC, not a bound: ngram_jaccard_pairs computes set Jaccard
+    over array_distinct shingles, so two near-identical documents
+    dominated by a few repeated tokens can have ROUGE-L F >= threshold
+    while their set Jaccard sits below candidate_threshold — repeated
+    tokens inflate LCS but not the distinct-token sets. It prunes the
+    quadratic space well on natural text but misses that repetition
+    corner.
+
+    `max_shingle_freq` defaults to None (no df-pruning) here, unlike
+    the dedup-oriented defaults in ngram_jaccard_pairs: with k=1 the
+    shingles ARE words, and dropping every word appearing in more than
+    N documents removes nearly all common vocabulary once the corpus
+    exceeds ~N docs — paraphrase pairs of ordinary text would then
+    only surface via shared RARE words, gutting recall. The cost of
+    None is that stopword-grade tokens fan out in the pair-generation
+    join; for large corpora prefer passing `candidate_pairs` from
+    `minhash_lsh_candidates` (banding bounds the blow-up without the
+    recall cliff), or set max_shingle_freq to a meaningful fraction of
+    the corpus size knowing the trade."""
     if candidate_pairs is None:
         candidate_pairs = ngram_jaccard_pairs(
             df,

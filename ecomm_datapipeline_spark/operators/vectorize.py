@@ -12,7 +12,15 @@ model and no Python:
   trick): collisions by design, dimensionality fixed up front, no
   vocabulary state to store or synchronize.
 * tf per (doc, bucket): ONE explode + keyed aggregation — the same
-  corpus-sized token shuffle the inverted-index build pays.
+  corpus-sized token shuffle the inverted-index build pays. The
+  aggregate is eagerly `localCheckpoint`ed so the tf branch, the idf
+  branch, and the N count all read the MATERIALIZED frame: "one token
+  shuffle" is a structural property of the plan, not an
+  AQE-exchange-reuse outcome (which cross-plan cache state can break
+  — the optimizer substitutes cached fragments by canonical subtree,
+  destroying the equality reuse depends on). The checkpoint holds the
+  (doc, bucket) aggregate — O(docs × min(dim, distinct_tokens)) rows,
+  far smaller than the corpus — on executor-local storage.
 * idf per bucket: the bucket table has exactly `dim` rows, so
   document frequencies aggregate tiny and BROADCAST back
   (idf = ln((N+1)/(df+1)) + 1, the smoothed sklearn variant).
@@ -61,6 +69,11 @@ def hashed_tfidf_vectors(
         .withColumn("_b", hash_feature(F.col("_tok"), dim))
         .groupBy("_id", "_b")
         .agg(F.count("*").cast("double").alias("_tf"))
+        # Eager materialization: tf, idf, and n_docs below all branch
+        # off this frame; without it the explode subtree appears (and
+        # would RUN) once per branch unless AQE happens to reuse the
+        # exchange — a property outside this function's control.
+        .localCheckpoint(eager=True)
     )
     n_docs = pairs.select("_id").distinct().count()
     idf = pairs.groupBy("_b").agg(

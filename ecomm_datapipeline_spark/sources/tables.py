@@ -31,15 +31,22 @@ def table_exists(path: str) -> bool:
     e.g. a first tick whose rows all failed the run-date filter) is
     NOT a table: spark.read.parquet on it raises
     UNABLE_TO_INFER_SCHEMA, so existence checks gating a read must say
-    no. os.walk short-circuits at the first data file, so the cost is
-    O(1) dirs for any non-empty table."""
+    no. Hidden subtrees (underscore/dot-prefixed dirs — Spark's reader
+    ignores them, e.g. a crashed atomic-swap's leftover `_staging`) are
+    pruned from the walk for the same reason: a parquet file the
+    reader won't see must not make this return True. os.walk
+    short-circuits at the first data file, so the cost is O(1) dirs
+    for any non-empty table."""
     if not os.path.isdir(path):
         return False
-    return any(
-        f.endswith(".parquet")
-        for _dir, _subdirs, files in os.walk(path)
-        for f in files
-    )
+    for _dir, subdirs, files in os.walk(path):
+        subdirs[:] = [d for d in subdirs if not d.startswith(("_", "."))]
+        if any(
+            f.endswith(".parquet") and not f.startswith(("_", "."))
+            for f in files
+        ):
+            return True
+    return False
 
 
 def write_table(

@@ -455,3 +455,27 @@ def test_first_tick_all_rows_outside_run_date(spark, tmp_path):
     res2 = pipeline.run_incremental(spark, paths, RUN_DATE)
     assert res2.fact_rows_added == len(fresh["items"])
     assert spark.read.parquet(paths.fact_orders).count() == res2.fact_rows_added
+
+
+def test_table_exists_ignores_hidden_subtrees(tmp_path):
+    """Parquet files inside underscore/dot-prefixed dirs (crashed
+    atomic-swap staging, committer temp dirs) are invisible to Spark's
+    reader, so they must not make table_exists say True (ADVICE r5).
+    Hidden FILES (e.g. .part-0.parquet.crc-style artifacts) likewise."""
+    from ecomm_datapipeline_spark.sources import tables as _t
+
+    root = tmp_path / "tbl"
+    staged = root / "_staging_12345"
+    staged.mkdir(parents=True)
+    (staged / "part-0.parquet").write_bytes(b"PAR1")
+    (root / "_SUCCESS").write_text("")
+    (root / ".hidden.parquet").write_bytes(b"PAR1")
+    assert not _t.table_exists(str(root))
+    # a real top-level data file flips it
+    (root / "part-1.parquet").write_bytes(b"PAR1")
+    assert _t.table_exists(str(root))
+    # ...and partition-dir layouts still count
+    part_root = tmp_path / "tbl2"
+    (part_root / "dt=2024-01-01").mkdir(parents=True)
+    (part_root / "dt=2024-01-01" / "part-0.parquet").write_bytes(b"PAR1")
+    assert _t.table_exists(str(part_root))

@@ -134,3 +134,20 @@ def test_rejects_bad_max_tokens(spark, docs):
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     with pytest.raises(ValueError, match="max_tokens"):
         rouge.rouge_l_score_pairs(pairs, docs, max_tokens=0)
+
+
+def test_unknown_id_scores_zero_not_dropped(spark, docs):
+    """Caller-supplied pair referencing an id absent from df must come
+    back scored 0.0 (left-join semantics), not silently vanish
+    (ADVICE r5)."""
+    pairs = spark.createDataFrame(
+        [(0, 999_999), (888_888, 777_777)], "id_a long, id_b long"
+    )
+    rows = {(r.id_a, r.id_b): r for r in rouge.rouge_l_score_pairs(
+        pairs, docs
+    ).collect()}
+    assert set(rows) == {(0, 999_999), (888_888, 777_777)}
+    missing = rows[(0, 999_999)]
+    assert (missing.len_b, missing.lcs_len, missing.rouge_l_f) == (0, 0, 0.0)
+    both = rows[(888_888, 777_777)]
+    assert (both.len_a, both.len_b, both.rouge_l_f) == (0, 0, 0.0)
