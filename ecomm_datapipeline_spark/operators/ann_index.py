@@ -31,7 +31,14 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import tables
-from .similarity import _as_double, _dot, _norm, _sub_argmin_code
+from .similarity import (
+    _as_double,
+    _dot,
+    _norm,
+    _sub_argmin_code,
+    adc_dist_col,
+    pq_lut_col,
+)
 
 _CENTROIDS = "centroids"
 _ASSIGNMENTS = "assignments"
@@ -361,45 +368,40 @@ def ivf_index_query(
         raise ValueError(
             f"index at {path} has no PQ codebooks; rebuild with pq_m to use ADC"
         )
-    m, d_sub = len(codebooks), len(codebooks[0][0])
-    qrows = queries.select(
-        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("_qv")
-    ).collect()
-    # Duplicate query ids would throw DUPLICATED_MAP_KEY deep inside
-    # the create_map literal at runtime (default mapKeyDedupPolicy =
-    # EXCEPTION) — fail here with the offending ids instead (ADVICE r4;
-    # mode='exact' tolerates duplicates, so this is ADC-specific).
-    seen: set = set()
+    # Duplicate query ids are an API-contract error for ADC ranking:
+    # two different query VECTORS sharing an id would interleave under
+    # one window partition and rank as garbage. Fail fast, naming the
+    # duplicates (ADVICE r4; mode='exact' tolerates duplicates).
     dupes = sorted(
-        {row[query_id_col] for row in qrows
-         if row[query_id_col] in seen or seen.add(row[query_id_col])}
+        r[query_id_col]
+        for r in queries.groupBy(query_id_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .select(query_id_col)
+        .limit(10)
+        .collect()
     )
     if dupes:
         raise ValueError(
-            f"duplicate {query_id_col} values in queries (ADC builds a "
-            f"per-query LUT map literal keyed on them): {dupes[:10]}"
+            f"duplicate {query_id_col} values in queries (ADC ranks one "
+            f"window per query id): {dupes}"
         )
-    # per-subspace LUT map literal: query_id -> [dist(q_sub, centroid_c)]
-    lut_maps = []
-    for j in range(m):
-        entries = []
-        for row in qrows:
-            qv = row["_qv"]
-            sub = qv[j * d_sub : (j + 1) * d_sub]
-            lut = [
-                sum((a - b) * (a - b) for a, b in zip(sub, ctr))
-                for ctr in codebooks[j]
-            ]
-            entries.extend([F.lit(row[query_id_col]), F.array(*[F.lit(x) for x in lut])])
-        lut_maps.append(F.create_map(*entries))
-    dist = None
-    for j in range(m):
-        term = F.element_at(
-            F.element_at(lut_maps[j], F.col(query_id_col)),
-            F.element_at(F.col("pq_code"), j + 1) + 1,
-        )
-        dist = term if dist is None else dist + term
-    adc = paired.withColumn("approx_dist", dist)
+    # Per-query ADC LUTs as an EXPRESSION on the probe frame — plan
+    # size is O(m·pq_k) codebook literals regardless of the query-batch
+    # size, so a 10k-query retrieval batch costs the driver the same
+    # plan analysis as one query (the join-LUT shape of
+    # similarity.pq_topk; closes the r5 large-query-batch gap). The
+    # LUT column is projected on the BUILD side of the broadcast join,
+    # so it's computed once per (query, probed cluster) row at
+    # broadcast time; each candidate then costs m lookups, not
+    # m·pq_k·d_sub flops.
+    q_adc = q.withColumn("_luts", pq_lut_col("_qv", codebooks))
+    paired_adc = assignments.join(F.broadcast(q_adc), "_cluster").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    adc = paired_adc.withColumn(
+        "approx_dist", adc_dist_col("_luts", F.col("pq_code"))
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_dist").asc(), F.col(id_col)
     )

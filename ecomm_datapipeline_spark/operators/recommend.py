@@ -47,6 +47,67 @@ from pyspark.sql import functions as F
 from .similarity import _topk_per_key
 
 
+def dense_index(
+    df: DataFrame,
+    col: str,
+    idx_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(col, idx_col): 1-based DENSE ids equal to each row's global
+    rank under `col`'s ordering — the distributed zipWithIndex.
+
+    Rows must be distinct on `col` (ranks would otherwise be
+    arbitrary among ties). The classic scale shape, no global window:
+
+    1. repartitionByRange on `col` (partitions are ordered and
+       contiguous in key space), stamp spark_partition_id, and
+       localCheckpoint — the per-partition COUNT job and the final
+       plan must observe the SAME partitioning, and range sampling is
+       not deterministic across jobs.
+    2. collect the n per-partition counts (n scalars, never rows) and
+       fold them into cumulative offsets as a plan literal.
+    3. idx = offset[pid] + row_number within the partition.
+
+    The result is partitioning- and run-independent even though range
+    BOUNDARIES are neither: partitions tile the key space in order, so
+    offset[pid] + within-partition rank IS the global rank wherever
+    the boundaries fell. The id of an item therefore depends only on
+    the SET of keys, exactly like the single-partition row_number it
+    replaces."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    stamped = (
+        df.repartitionByRange(n, F.col(col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in stamped.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[
+                    c
+                    for pid, o in offsets.items()
+                    for c in (F.lit(pid), F.lit(o))
+                ]
+            ),
+            F.col("_pid"),
+        ),
+        F.lit(0),
+    )
+    w = Window.partitionBy("_pid").orderBy(col)
+    return stamped.select(
+        col,
+        (off + F.row_number().over(w)).cast("int").alias(idx_col),
+    )
+
+
 def implicit_ratings(
     events: DataFrame,
     item_expr: str = "get_json_object(props, '$.k')",
@@ -65,19 +126,13 @@ def implicit_ratings(
         .groupBy("user_id", "item")
         .agg(F.count("*").alias("_cnt"))
     )
-    # Deterministic dense int ids (ALS requirement): row_number over a
-    # global order of the DISTINCT item dimension. The single-partition
-    # window is over |catalog| rows, not events — the deliberate trade
-    # for ids that are stable across runs and partitionings (hashing
-    # would collide; monotonically_increasing_id is partition-defined).
-    item_index = (
-        inter.select("item")
-        .distinct()
-        .withColumn(
-            "item_idx",
-            F.row_number().over(Window.orderBy("item")).cast("int"),
-        )
-    )
+    # Deterministic dense int ids (ALS requirement): global rank of
+    # each DISTINCT item, computed with the distributed zipWithIndex
+    # (dense_index) — no single-partition window, so a 10⁸-item
+    # catalog never funnels through one task. Hashing would collide;
+    # monotonically_increasing_id is partition-defined; rank is the
+    # only id that's stable across runs AND partitionings.
+    item_index = dense_index(inter.select("item").distinct(), "item", "item_idx")
     ratings = inter.join(F.broadcast(item_index), "item").select(
         "user_id",
         "item_idx",

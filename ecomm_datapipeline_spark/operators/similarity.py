@@ -555,6 +555,60 @@ def pq_encode(
     return df.select(F.col(id_col), F.array(*codes).alias(code_col))
 
 
+def pq_lut_col(vec_col: Column | str, codebooks: list[list[list[float]]]) -> Column:
+    """Per-query ADC lookup tables as ONE JVM expression:
+    array<array<double>> where out[j][c] = ||q_sub_j - codebook[j][c]||²,
+    computed from the query's vector column with the codebooks folded
+    in as literals. Plan size is O(m·pq_k·d_sub) — the CODEBOOK, not
+    the query batch — so any number of query rows shares the same
+    expression; the per-row cost (m·pq_k·d_sub flops) runs
+    distributed inside whole-stage codegen. This is what lets the
+    join-based ADC paths serve 10k+ query batches where the literal
+    path's O(Q) driver-side plan analysis would dominate."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast(
+        "array<double>"
+    )
+    d_sub = len(codebooks[0][0])
+
+    def lut_for_sub(sub: Column, book: list[list[float]]) -> Column:
+        # one-arg lambda on purpose: F.transform dispatches on lambda
+        # ARITY, so capturing `sub` via a default arg would make it the
+        # (int) element index
+        cb = F.array(
+            *[F.array(*[F.lit(float(x)) for x in ctr]) for ctr in book]
+        )
+        return F.transform(
+            cb,
+            lambda ctr: F.aggregate(
+                F.zip_with(sub, ctr, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+
+    return F.array(
+        *[
+            lut_for_sub(F.slice(v, j * d_sub + 1, d_sub), book)
+            for j, book in enumerate(codebooks)
+        ]
+    )
+
+
+def adc_dist_col(lut_col: Column | str, code_col: Column | str) -> Column:
+    """Approximate (asymmetric) squared-L2 distance: m LUT lookups
+    summed in fixed subspace order — zip the per-subspace LUT arrays
+    with the candidate's code array and fold. Bit-identical to the
+    literal path's term-by-term sum (same left-to-right double
+    addition)."""
+    lc = F.col(lut_col) if isinstance(lut_col, str) else lut_col
+    cc = F.col(code_col) if isinstance(code_col, str) else code_col
+    return F.aggregate(
+        F.zip_with(lc, cc, lambda l, c: F.element_at(l, c + 1)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def pq_topk(
     encoded: DataFrame,
     queries: DataFrame,
@@ -564,19 +618,59 @@ def pq_topk(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     code_col: str = "pq_code",
+    method: str = "auto",
+    literal_max_queries: int = 100,
 ) -> DataFrame:
-    """Asymmetric-distance top-k over PQ codes: for each query,
-    LUT[j][c] = ||q_sub_j - codebook[j][c]||² is computed DRIVER-side
-    (queries are small by the same contract the brute-force path uses
-    to broadcast them) and folded into the plan as literals; a
-    candidate's approximate distance is m LUT lookups summed —
-    `element_at` on the code array, no vector math per candidate.
+    """Asymmetric-distance top-k over PQ codes. Two physical paths,
+    bit-identical results:
 
-    ONE scan of the compact code table scores every (candidate, query)
-    pair via stack(q columns); ranking is the two-stage partial top-k
-    (per-partition prune, then a bounded merge window — never a whole
-    corpus in one window task). Returns (query_id, neighbor_id,
-    approx_dist, rank) ascending by distance."""
+    method="literal" — per-query LUTs (LUT[j][c] = ||q_sub_j -
+    codebook[j][c]||²) are computed DRIVER-side and folded into the
+    plan; one scan of the code table scores every pair via stack().
+    Cheapest for a handful of queries, but plan analysis is O(Q) —
+    wrong shape for a 10k-query retrieval batch.
+
+    method="join" — queries stay a DATAFRAME: each row grows an
+    array<array<double>> LUT column via `pq_lut_col` (codebooks as
+    literals, O(m·pq_k) plan size regardless of Q), then joins the
+    code table; a candidate's distance is m lookups via
+    `adc_dist_col`. The join is a plain crossJoin so Catalyst/AQE
+    picks BroadcastNestedLoopJoin while the LUT frame fits the
+    broadcast threshold and a partitioned cartesian beyond it — the
+    scale path for large query batches.
+
+    method="auto" (default) — "join" above `literal_max_queries`
+    query rows (probed with a limit-bounded count, never a full
+    scan), "literal" otherwise.
+
+    Ranking is always the two-stage partial top-k (per-partition
+    prune, bounded merge window). Returns (query_id, neighbor_id,
+    approx_dist, rank) ascending by distance, ties broken on
+    neighbor_id."""
+    if method not in ("auto", "literal", "join"):
+        raise ValueError(f"method must be auto|literal|join: {method}")
+    if method == "auto":
+        probe = queries.limit(literal_max_queries + 1).count()
+        if probe == 0:
+            raise ValueError("queries is empty")
+        method = "literal" if probe <= literal_max_queries else "join"
+    if method == "join":
+        q = queries.select(
+            F.col(query_id_col),
+            pq_lut_col(F.col(vec_col), codebooks).alias("_luts"),
+        )
+        scored = (
+            encoded.select(F.col(id_col).alias("neighbor_id"), code_col)
+            .crossJoin(q)
+            .withColumn("approx_dist", adc_dist_col("_luts", code_col))
+        )
+        return _topk_per_key(
+            scored,
+            query_id_col,
+            [F.col("approx_dist").asc(), F.col("neighbor_id")],
+            k,
+            [query_id_col, "neighbor_id", "approx_dist", "rank"],
+        )
     m = len(codebooks)
     d_sub = len(codebooks[0][0])
     qrows = queries.select(

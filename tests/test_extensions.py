@@ -579,3 +579,66 @@ def test_pq_dimension_validation(spark, emb):
 
     with pytest.raises(ValueError, match="not divisible"):
         similarity.pq_train(emb, m=7)
+
+
+def test_pq_topk_join_matches_literal(spark, emb):
+    """The join-LUT path (queries as a table, LUTs computed
+    distributed via pq_lut_col) must return BIT-identical rows to the
+    driver-side literal path on the same codebooks: same LUT values
+    (same left-to-right double additions), same two-stage ranking,
+    same tie-breaks. Auto mode picks literal under the threshold and
+    join above it."""
+    cbs = similarity.pq_train(emb, m=4, k=16)
+    enc = similarity.pq_encode(emb, cbs)
+    queries = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["approx_dist"], r["rank"])
+            for r in df.collect()
+        )
+
+    lit_rows = rows(similarity.pq_topk(enc, queries, cbs, k=5, method="literal"))
+    join_rows = rows(similarity.pq_topk(enc, queries, cbs, k=5, method="join"))
+    assert lit_rows == join_rows  # exact equality incl. float distances
+
+    # auto dispatch: small batch -> literal, large -> join
+    auto_small = rows(
+        similarity.pq_topk(enc, queries, cbs, k=5, literal_max_queries=100)
+    )
+    assert auto_small == lit_rows
+    auto_forced_join = rows(
+        similarity.pq_topk(enc, queries, cbs, k=5, literal_max_queries=3)
+    )
+    assert auto_forced_join == lit_rows
+
+    with pytest.raises(ValueError, match="method"):
+        similarity.pq_topk(enc, queries, cbs, method="nope")
+    with pytest.raises(ValueError, match="empty"):
+        similarity.pq_topk(enc, queries.limit(0), cbs)
+
+
+def test_pq_topk_join_plan_independent_of_query_count(spark, emb):
+    """The join path's analyzed plan must not grow with the query
+    batch: LUTs are an expression over the codebook literals, so the
+    plan string for Q=2 and Q=50 differs only in the source relation —
+    the scale property that makes 10k-query batches serveable. Also
+    pins the broadcast: Catalyst picks BroadcastNestedLoopJoin for a
+    small LUT frame (no cartesian at test scale)."""
+    cbs = similarity.pq_train(emb, m=4, k=16)
+    enc = similarity.pq_encode(emb, cbs)
+
+    def plan_len(q_count):
+        qs = emb.filter(F.col("vec_id") < q_count).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        out = similarity.pq_topk(enc, qs, cbs, k=3, method="join")
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    p2, p50 = plan_len(2), plan_len(50)
+    assert "BroadcastNestedLoopJoin" in p50
+    # plan size must be query-count-invariant (same operator tree;
+    # only runtime stats may differ) — allow small noise, not O(Q)
+    assert abs(len(p2) - len(p50)) < max(200, len(p2) // 10)

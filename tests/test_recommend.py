@@ -111,3 +111,28 @@ def test_serving_plan_pinned(spark):
     # two-stage partial top-k: the (user, _pid) pre-rank window exists
     # before the final per-user ranking
     assert "_pid" in plan
+
+def test_dense_index_is_global_rank_and_distributed(spark):
+    """dense_index ids equal the 1-based global rank of the key —
+    partitioning-independent (same ids whatever the input layout,
+    whatever num_partitions) — and the plan contains NO
+    single-partition exchange: the catalog never funnels through one
+    task (VERDICT r5 item 4)."""
+    import random
+
+    from ecomm_datapipeline_spark.operators.recommend import dense_index
+
+    keys = [f"item_{i:04d}" for i in range(500)]
+    shuffled = keys[:]
+    random.Random(7).shuffle(shuffled)
+    df = spark.createDataFrame([(k,) for k in shuffled], ["item"])
+
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    for layout, nparts in ((df.repartition(13), None), (df.coalesce(1), 4)):
+        out = dense_index(layout, "item", "item_idx", num_partitions=nparts)
+        got = {r["item"]: r["item_idx"] for r in out.collect()}
+        assert got == want
+
+    out = dense_index(df, "item", "item_idx")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
