@@ -217,10 +217,60 @@ def _linkage_slot(spark, sf_dir: str):
     return run
 
 
+def _pq_join_q1000_slot(spark, sf_dir: str):
+    """Large-query-batch ANN serving slot (r6): 1000 queries through
+    pq_topk's join-LUT path. Plan construction happens INSIDE the
+    timed region on purpose — the property this slot anchors is that
+    driver-side analysis is query-count-INVARIANT (the LUT expression
+    references only the codebook literals), so Q=1000 costs the same
+    plan work as Q=10; the literal path would spend minutes in
+    Catalyst here. Codebook training + corpus encoding stay offline
+    (pq_train/pq_encode contract)."""
+    from pyspark.sql import functions as F
+
+    from ecomm_datapipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    codebooks = pq_train(emb, m=8, k=16)
+    encoded = pq_encode(emb, codebooks).localCheckpoint()
+    queries = emb.limit(1000).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def run(spark, sf_dir):
+        return pq_topk(encoded, queries, codebooks, k=10, method="join")
+
+    return run
+
+
+def _silence_benign_dag_errors(spark) -> None:
+    """BENCH tail hygiene (VERDICT r5 item 2): stages whose upstream
+    frames were localCheckpointed can finish after the original RDD's
+    accumulators were GC-cleaned, and DAGScheduler logs a non-fatal
+    'attempted to access non-existent accumulator' ERROR that
+    pollutes the artifact the driver greps. Raise ONLY that logger to
+    FATAL — real failures still surface as Python exceptions in the
+    per-slot error capture; no other logger is touched."""
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.scheduler.DAGScheduler",
+            jvm.org.apache.logging.log4j.Level.FATAL,
+        )
+    except Exception:
+        pass  # logging backend differs: noise returns, bench still works
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    samples = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3")))
     spark = get_spark(app_name="bench")
+    _silence_benign_dag_errors(spark)
     qs = catalog.queries()
 
     # Warm the JVM + parquet footers once (excluded from timings): one
@@ -271,20 +321,34 @@ def main() -> None:
         extra["linkage_pairs"] = _linkage_slot(spark, sf_dir)
     except Exception as exc:
         extra["linkage_pairs"] = exc
+    try:
+        extra["pq_topk_join_q1000"] = _pq_join_q1000_slot(spark, sf_dir)
+    except Exception as exc:
+        extra["pq_topk_join_q1000"] = exc
 
+    # Median of `samples` runs per slot (VERDICT r5 item 5): single
+    # samples made a 1.49x swing on a 0.5s query indistinguishable
+    # from noise. The median keeps one GC pause or compilation stall
+    # from defining a slot's number; per-sample times are reported so
+    # variance is visible in the artifact.
     timings: dict[str, float] = {}
+    raw_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     slots = [(slot, qs[qname]) for slot, qname in HEADLINE]
     slots += [
         (slot, fn) for slot, fn in extra.items()
     ]
     for name, fn in slots:
-        t0 = time.time()
         try:
             if isinstance(fn, Exception):
                 raise fn
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            ts = []
+            for _ in range(samples):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                ts.append(round(time.time() - t0, 3))
+            raw_samples[name] = ts
+            timings[name] = sorted(ts)[len(ts) // 2]
         except Exception as exc:  # partial bench beats an rc=1
             errors[name] = f"{type(exc).__name__}: {str(exc)[:300]}"
 
@@ -294,6 +358,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "query_samples": raw_samples,
         "sf": sf,
     }
     if errors:
