@@ -1,0 +1,206 @@
+"""Corpus-level statistical profiles: Zipf fit, hapax/type-token
+ratios, and Heaps'-law vocabulary growth.
+
+A training-corpus datasheet (see `operators/datasheet.py` for the
+per-column profile) reports the LINGUISTIC shape of the text too:
+natural-language corpora follow Zipf's law (token frequency ~
+rank^-s, s near 1) and Heaps' law (vocabulary ~ K·tokens^beta, beta
+in 0.4-0.6); large deviations flag boilerplate floods, template spam,
+or tokenizer problems before any model sees the data.
+
+Scale shapes:
+
+* Frequency ranks come from `recommend.global_rank` (the distributed
+  zipWithIndex) — a 10^8-type vocabulary never funnels through a
+  single-partition window.
+* Both fits are CLOSED-FORM least squares on (ln x, ln y): one
+  aggregation produces the five OLS sums, the slope/intercept/r²
+  arithmetic happens on scalars. No iteration, no driver-side data.
+* The Heaps curve is evaluated at K explicit document-count
+  checkpoints (K conditional aggregates in one pass over the
+  token->first-position table), not via a cumulative window over
+  every prefix — K is ~20, the corpus is not.
+
+Verification: DuckDB window-SQL differentials in
+tests/test_corpus_stats.py (exact rank parity; fits to 1e-9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .collocations import _lower_toks, unigram_counts
+from .recommend import global_rank
+
+
+def _ols_cols(x, y):
+    """The five sums OLS needs, as aggregate expressions."""
+    return [
+        F.count("*").cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(y * y).alias("_syy"),
+    ]
+
+
+def _ols_fit(row) -> tuple[float, float, float]:
+    """(slope, intercept, r2) from the collected sum row."""
+    n, sx, sy = row["_n"], row["_sx"], row["_sy"]
+    sxx, sxy, syy = row["_sxx"], row["_sxy"], row["_syy"]
+    den = n * sxx - sx * sx
+    if den == 0:
+        raise ValueError("degenerate fit: zero variance in x")
+    slope = (n * sxy - sx * sy) / den
+    intercept = (sy - slope * sx) / n
+    ss_tot = syy - sy * sy / n
+    ss_res = ss_tot - slope * (sxy - sx * sy / n)
+    r2 = 1.0 - ss_res / ss_tot if ss_tot > 0 else 1.0
+    return slope, intercept, r2
+
+
+def token_frequency_profile(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(token, cnt, rank): corpus unigram frequencies with the global
+    frequency rank (1 = most common; ties broken on token so the rank
+    is a total order). One explode+aggregate, then the distributed
+    rank — no single-task window at any vocabulary size."""
+    freqs = unigram_counts(docs, text_col)
+    return global_rank(freqs, [F.desc("cnt"), F.col("token")], "rank")
+
+
+def zipf_fit(docs: DataFrame, text_col: str = "text") -> dict:
+    """Corpus Zipf profile as driver scalars:
+
+    n_types, n_tokens, hapax_frac (types occurring once),
+    type_token_ratio, zipf_slope / zipf_intercept / zipf_r2 — OLS of
+    ln(cnt) on ln(rank). Natural text gives slope ~ -1; slopes far
+    shallower flag template/boilerplate floods, far steeper flag
+    tiny/degenerate vocabularies.
+
+    Two jobs total (rank materialization + one aggregation); only
+    scalars reach the driver. Raises on an empty/token-free corpus —
+    a silent NaN profile would poison a datasheet."""
+    ranked = token_frequency_profile(docs, text_col)
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    row = ranked.agg(
+        *_ols_cols(x, y),
+        F.sum("cnt").alias("_tok"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("_hapax"),
+    ).first()
+    if not row["_n"]:
+        raise ValueError("empty corpus: no tokens to profile")
+    slope, intercept, r2 = _ols_fit(row)
+    n_types, n_tokens = int(row["_n"]), int(row["_tok"])
+    return {
+        "n_types": n_types,
+        "n_tokens": n_tokens,
+        "hapax_frac": row["_hapax"] / n_types,
+        "type_token_ratio": n_types / n_tokens,
+        "zipf_slope": slope,
+        "zipf_intercept": intercept,
+        "zipf_r2": r2,
+    }
+
+
+def _checkpoints(n_docs: int, k: int) -> list[int]:
+    """K log-spaced prefix sizes ending exactly at n_docs."""
+    if n_docs < 1:
+        raise ValueError("empty corpus")
+    pts = sorted(
+        {
+            max(1, round(n_docs ** (i / (k - 1)))) if k > 1 else n_docs
+            for i in range(k)
+        }
+    )
+    if pts[-1] != n_docs:
+        pts.append(n_docs)
+    return pts
+
+
+def heaps_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_points: int = 20,
+) -> DataFrame:
+    """Vocabulary-growth curve: one row per checkpoint with
+    (n_docs_prefix, n_tokens_prefix, vocab) where the prefix is the
+    first n documents in `id_col` order (documented, deterministic).
+
+    Shape: documents get their global position via the distributed
+    rank; each token's FIRST position is a min-aggregate over one
+    explode; both curves are K conditional sums in one pass each —
+    never a cumulative window over every prefix."""
+    # global_rank localCheckpoints its result, so the doc-grain and
+    # token-grain branches below read ONE materialized frame — the
+    # rank job never reruns per branch.
+    ranked = global_rank(
+        docs.select(id_col, text_col), [F.col(id_col)], "_pos"
+    )
+    n_docs = ranked.count()
+    pts = _checkpoints(n_docs, n_points)
+    # tokens per prefix ride the doc grain; vocab per prefix rides the
+    # token grain (first occurrence position)
+    doc_row = ranked.select(
+        "_pos", F.size(_lower_toks(text_col)).alias("_len")
+    ).agg(
+        *[
+            F.sum(F.when(F.col("_pos") <= p, F.col("_len"))).alias(f"_t{i}")
+            for i, p in enumerate(pts)
+        ]
+    ).first()
+    first = (
+        ranked.select(
+            "_pos", F.explode(_lower_toks(text_col)).alias("_tok")
+        )
+        .groupBy("_tok")
+        .agg(F.min("_pos").alias("_first"))
+    )
+    vocab_row = first.agg(
+        *[
+            F.sum((F.col("_first") <= p).cast("long")).alias(f"_v{i}")
+            for i, p in enumerate(pts)
+        ]
+    ).first()
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                p,
+                int(doc_row[f"_t{i}"] or 0),
+                int(vocab_row[f"_v{i}"] or 0),
+            )
+            for i, p in enumerate(pts)
+        ],
+        "n_docs_prefix long, n_tokens_prefix long, vocab long",
+    )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_points: int = 20,
+) -> dict:
+    """Heaps'-law fit vocab = K * tokens^beta over the checkpoint
+    curve: returns {"heaps_k": K, "heaps_beta": beta, "heaps_r2": r2}.
+    beta for natural text sits around 0.4-0.6; beta near 1 means
+    vocabulary grows as fast as the corpus (ids/hashes/noise flood),
+    beta near 0 a closed template vocabulary."""
+    curve = heaps_curve(docs, text_col, id_col, n_points).filter(
+        (F.col("n_tokens_prefix") > 0) & (F.col("vocab") > 0)
+    )
+    x = F.log(F.col("n_tokens_prefix").cast("double"))
+    y = F.log(F.col("vocab").cast("double"))
+    row = curve.agg(*_ols_cols(x, y)).first()
+    if not row["_n"] or row["_n"] < 2:
+        raise ValueError("need >= 2 non-empty checkpoints for a Heaps fit")
+    slope, intercept, r2 = _ols_fit(row)
+    import math
+
+    return {"heaps_k": math.exp(intercept), "heaps_beta": slope, "heaps_r2": r2}

@@ -47,19 +47,20 @@ from pyspark.sql import functions as F
 from .similarity import _topk_per_key
 
 
-def dense_index(
+def global_rank(
     df: DataFrame,
-    col: str,
+    order_cols: list,
     idx_col: str = "idx",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """(col, idx_col): 1-based DENSE ids equal to each row's global
-    rank under `col`'s ordering — the distributed zipWithIndex.
+    """All input columns + `idx_col`: each row's 1-based GLOBAL rank
+    under `order_cols` — the distributed zipWithIndex.
 
-    Rows must be distinct on `col` (ranks would otherwise be
-    arbitrary among ties). The classic scale shape, no global window:
+    The ordering must be total (no ties — include a unique column
+    last), else ranks among tied rows are arbitrary. The classic
+    scale shape, no global window:
 
-    1. repartitionByRange on `col` (partitions are ordered and
+    1. repartitionByRange on `order_cols` (partitions are ordered and
        contiguous in key space), stamp spark_partition_id, and
        localCheckpoint — the per-partition COUNT job and the final
        plan must observe the SAME partitioning, and range sampling is
@@ -71,12 +72,13 @@ def dense_index(
     The result is partitioning- and run-independent even though range
     BOUNDARIES are neither: partitions tile the key space in order, so
     offset[pid] + within-partition rank IS the global rank wherever
-    the boundaries fell. The id of an item therefore depends only on
-    the SET of keys, exactly like the single-partition row_number it
+    the boundaries fell. A row's rank therefore depends only on the
+    SET of rows, exactly like the single-partition row_number this
     replaces."""
+    in_cols = df.columns
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     stamped = (
-        df.repartitionByRange(n, F.col(col))
+        df.repartitionByRange(n, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -101,11 +103,24 @@ def dense_index(
         ),
         F.lit(0),
     )
-    w = Window.partitionBy("_pid").orderBy(col)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
     return stamped.select(
-        col,
-        (off + F.row_number().over(w)).cast("int").alias(idx_col),
+        *in_cols,
+        (off + F.row_number().over(w)).cast("long").alias(idx_col),
     )
+
+
+def dense_index(
+    df: DataFrame,
+    col: str,
+    idx_col: str = "idx",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(col, idx_col): 1-based dense ids = global rank of the key
+    under its natural ordering (see `global_rank`). Rows must be
+    distinct on `col`."""
+    out = global_rank(df, [F.col(col)], idx_col, num_partitions)
+    return out.select(col, F.col(idx_col).cast("int").alias(idx_col))
 
 
 def implicit_ratings(

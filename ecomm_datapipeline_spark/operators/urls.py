@@ -1,0 +1,234 @@
+"""URL and domain curation for web-crawl training corpora.
+
+Web-scale pretraining pipelines (CommonCrawl-derived sets like C4,
+RefinedWeb, FineWeb) spend an early pass on the URL column: parse and
+normalize (so byte-different URLs of the same page dedup together),
+reduce hosts to registrable domains (so caps and blocklists act on
+site identity, not subdomain spam), enforce per-domain document caps
+(a handful of template-heavy domains otherwise dominate the token
+budget), and apply domain block/allow lists.
+
+Everything here is a pure JVM column expression (regexp + array HOFs)
+or a broadcast/anti join — zero Python in the hot path, zero
+shuffles except where a cap genuinely ranks per domain (and that uses
+the two-stage `_topk_per_key`, never a whole-domain-in-one-task
+window). Extends the curation surface of `operators/curation.py`
+(quality gates) and `operators/dedup.py` (content dedup) with the
+URL axis the reference's e-commerce schema doesn't carry; tests pin
+every definition against DuckDB string/list SQL differentials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _topk_per_key
+
+# Query parameters that identify a CAMPAIGN, not a page: stripping
+# them merges byte-different URLs of identical content. Public
+# convention (Google Analytics / ad-click ids / Mailchimp); callers
+# pass their own list to extend.
+TRACKING_PARAMS = (
+    "gclid",
+    "fbclid",
+    "msclkid",
+    "igshid",
+    "mc_cid",
+    "mc_eid",
+    "ref",
+    "ref_src",
+)
+TRACKING_PREFIXES = ("utm_",)
+
+# Multi-label public suffixes for the registrable-domain heuristic:
+# hosts ending in one of these keep THREE labels, anything else keeps
+# two. A deliberately small, well-known subset of the Mozilla Public
+# Suffix List — enough for caps/blocklists to act on site identity;
+# callers needing the full PSL pass their own list.
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "co.kr", "co.in", "co.nz", "co.za",
+    "com.br", "com.mx", "com.cn", "com.tw", "com.sg", "com.hk",
+)
+
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$"
+
+
+def url_parts(url_col: Column | str) -> dict[str, Column]:
+    """Decompose a URL into (scheme, authority, host, port, path,
+    query, fragment) column expressions — one regexp per part over
+    the RFC-3986 shape. Unparseable URLs (no scheme://) yield empty
+    strings throughout: downstream filters treat them as junk rather
+    than crashing a 100 TB scan on one malformed row."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    authority = F.regexp_extract(u, _URL_RE, 2)
+    # authority = [userinfo@]host[:port]; split both decorations off
+    host_port = F.element_at(F.split(authority, "@"), -1)
+    host = F.element_at(F.split(host_port, ":"), 1)
+    port = F.when(
+        host_port.contains(":"), F.element_at(F.split(host_port, ":"), -1)
+    ).otherwise(F.lit(""))
+    return {
+        "scheme": F.lower(F.regexp_extract(u, _URL_RE, 1)),
+        "authority": authority,
+        "host": F.lower(host),
+        "port": port,
+        "path": F.regexp_extract(u, _URL_RE, 3),
+        "query": F.regexp_extract(u, _URL_RE, 4),
+        "fragment": F.regexp_extract(u, _URL_RE, 5),
+    }
+
+
+def registrable_domain(
+    host_col: Column | str,
+    multi_label_suffixes: tuple[str, ...] = MULTI_LABEL_SUFFIXES,
+) -> Column:
+    """Registrable ("eTLD+1") domain of a lowercase host: the last two
+    labels, or three when the last two are a known multi-label public
+    suffix (`co.uk` etc. — heuristic subset, see MULTI_LABEL_SUFFIXES).
+    IPv4 literals and single-label hosts pass through unchanged. Pure
+    expression: one split + slice/concat, suffix set as literals."""
+    h = F.col(host_col) if isinstance(host_col, str) else host_col
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    is_ip = h.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    keep = F.when(
+        last2.isin(*multi_label_suffixes) & (n >= 3), F.lit(3)
+    ).otherwise(F.lit(2))
+    return (
+        F.when(is_ip | (n <= 2), h)
+        .otherwise(F.concat_ws(".", F.slice(labels, -keep, keep)))
+    )
+
+
+def _clean_query(query: Column, params: tuple, prefixes: tuple) -> Column:
+    """Drop tracking parameters from a query string and SORT the
+    survivors, so parameter order never distinguishes two URLs of the
+    same page. split/filter/array_sort/join — all JVM HOFs."""
+    pairs = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    key = lambda p: F.lower(F.element_at(F.split(p, "="), 1))  # noqa: E731
+
+    def is_tracking(p: Column) -> Column:
+        cond = key(p).isin(*params)
+        for px in prefixes:  # static tuple: unrolled into the plan
+            cond = cond | key(p).startswith(px)
+        return cond
+
+    kept = F.filter(pairs, lambda p: ~is_tracking(p))
+    return F.array_join(F.array_sort(kept), "&")
+
+
+def normalize_url(
+    url_col: Column | str,
+    strip_params: tuple[str, ...] = TRACKING_PARAMS,
+    strip_prefixes: tuple[str, ...] = TRACKING_PREFIXES,
+) -> Column:
+    """Canonical URL for dedup keys:
+
+    * scheme and host lowercased; userinfo and fragment dropped;
+    * default ports removed (`:80` for http, `:443` for https);
+    * tracking params removed (exact names + `utm_` prefixes),
+      remaining query params SORTED;
+    * empty path becomes `/`; trailing `?` never emitted.
+
+    Idempotent (normalize(normalize(u)) == normalize(u) — pinned in
+    tests) and a pure expression: safe as a dedup key at any scale.
+    Unparseable URLs normalize to the empty string."""
+    p = url_parts(url_col)
+    default_port = (
+        (p["scheme"].eqNullSafe("http") & (p["port"] == "80"))
+        | (p["scheme"].eqNullSafe("https") & (p["port"] == "443"))
+    )
+    hostport = F.when(
+        (p["port"] == "") | default_port, p["host"]
+    ).otherwise(F.concat(p["host"], F.lit(":"), p["port"]))
+    path = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
+    q = _clean_query(p["query"], strip_params, strip_prefixes)
+    return F.when(p["scheme"] == "", F.lit("")).otherwise(
+        F.concat(
+            p["scheme"],
+            F.lit("://"),
+            hostport,
+            path,
+            F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+        )
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", count_col: str = "n_docs"
+) -> DataFrame:
+    """(domain, n_docs, n_urls) per registrable domain — the profile a
+    curation run reads before choosing caps. One keyed aggregation;
+    distinct-URL counting rides the same shuffle as the count."""
+    dom = registrable_domain(url_parts(url_col)["host"])
+    return (
+        df.select(dom.alias("domain"), normalize_url(url_col).alias("_nu"))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias(count_col),
+            F.countDistinct("_nu").alias("n_urls"),
+        )
+    )
+
+
+def per_domain_cap(
+    df: DataFrame,
+    n: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep at most `n` documents per registrable domain. Ranking is
+    deterministic: `order_col` DESC when given (keep the best-scored),
+    then xxhash64(id) — partitioning-independent, no quality column
+    required. Uses the two-stage `_topk_per_key`, so a domain with 10M
+    pages never ranks in a single task. Returns the input rows of the
+    keepers (all columns)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    dom = registrable_domain(url_parts(url_col)["host"])
+    scored = df.withColumn("_dom", dom).withColumn(
+        "_tie", F.xxhash64(F.col(id_col))
+    )
+    order = (
+        [F.desc(order_col), F.col("_tie")] if order_col else [F.col("_tie")]
+    )
+    kept = _topk_per_key(
+        scored, "_dom", order, n, [F.col(id_col).alias("_keep_id")]
+    )
+    return df.join(
+        kept.withColumnRenamed("_keep_id", id_col), id_col, "left_semi"
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: DataFrame | list[str] | None = None,
+    allowlist: DataFrame | list[str] | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose registrable domain is blocklisted (or keep only
+    allowlisted ones). Lists may be Python lists (folded in as an
+    `isin` literal set — the common few-thousand-entry case) or
+    DataFrames with a `domain` column (broadcast anti/semi join — the
+    list is always the small side). Exactly one of blocklist/allowlist
+    must be given."""
+    if (blocklist is None) == (allowlist is None):
+        raise ValueError("pass exactly one of blocklist / allowlist")
+    dom = registrable_domain(url_parts(url_col)["host"])
+    tagged = df.withColumn("_dom", dom)
+    lst, how = (
+        (blocklist, "left_anti") if blocklist is not None else (allowlist, "left_semi")
+    )
+    if isinstance(lst, list):
+        cond = F.col("_dom").isin(*lst) if lst else F.lit(False)
+        out = tagged.filter(~cond if how == "left_anti" else cond)
+    else:
+        small = lst.select(F.col("domain").alias("_dom")).distinct()
+        out = tagged.join(F.broadcast(small), "_dom", how)
+    return out.drop("_dom")

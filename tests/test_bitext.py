@@ -1,0 +1,140 @@
+"""Margin-kNN bitext mining (operators/bitext.py): from-scratch numpy
+parity on the margin math, planted-translation retrieval with hub
+rejection, mutual-consistency semantics, and the candidate_pairs
+scale path."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import bitext
+
+DIM = 16
+
+
+def _mk(spark, vecs, ids=None):
+    ids = ids if ids is not None else range(len(vecs))
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """60 src / 60 tgt vectors: tgt[i] is a noisy copy of src[i] (the
+    planted translation), plus one hub vector on the tgt side near
+    everything."""
+    rng = np.random.default_rng(11)
+    src = rng.normal(size=(60, DIM))
+    src /= np.linalg.norm(src, axis=1, keepdims=True)
+    tgt = src + rng.normal(scale=0.15, size=src.shape)
+    # hub: the mean direction — cosine-close to many src vectors
+    tgt[59] = src.mean(axis=0) + rng.normal(scale=0.01, size=DIM)
+    return _mk(spark, src), _mk(spark, tgt, ids=range(100, 160))
+
+
+def _numpy_margins(src, tgt, k):
+    """Reference margin computation straight from the paper formula,
+    float64 end-to-end."""
+    sv = np.array([v for _, v in sorted(src)], dtype=np.float64)
+    tv = np.array([v for _, v in sorted(tgt)], dtype=np.float64)
+    sids = [i for i, _ in sorted(src)]
+    tids = [i for i, _ in sorted(tgt)]
+    cos = (sv / np.linalg.norm(sv, axis=1, keepdims=True)) @ (
+        tv / np.linalg.norm(tv, axis=1, keepdims=True)
+    ).T
+    out = {}
+    avg_s = np.sort(cos, axis=1)[:, -k:].mean(axis=1)
+    avg_t = np.sort(cos, axis=0)[-k:, :].mean(axis=0)
+    for a in range(len(sids)):
+        # forward top-k with (cos desc, tgt_id) tie-break
+        order = sorted(range(len(tids)), key=lambda b: (-cos[a, b], tids[b]))
+        for b in order[:k]:
+            out[(sids[a], tids[b])] = cos[a, b] / (
+                avg_s[a] / 2.0 + avg_t[b] / 2.0
+            )
+    return out
+
+
+def test_margin_matches_numpy_reference(spark):
+    rng = np.random.default_rng(3)
+    src_v = rng.normal(size=(12, DIM))
+    tgt_v = rng.normal(size=(15, DIM))
+    src_rows = [(i, src_v[i]) for i in range(12)]
+    tgt_rows = [(100 + j, tgt_v[j]) for j in range(15)]
+    want = _numpy_margins(src_rows, tgt_rows, k=4)
+    got = {
+        (r["src_id"], r["tgt_id"]): r["margin"]
+        for r in bitext.margin_scores(
+            _mk(spark, src_v), _mk(spark, tgt_v, ids=range(100, 115)), k=4
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for pair, m in want.items():
+        # float32 embedding storage bounds the agreement
+        assert got[pair] == pytest.approx(m, abs=1e-5), pair
+
+
+def test_planted_translations_mined(spark, planted):
+    src, tgt = planted
+    mined = bitext.mine_bitext(src, tgt, k=4, threshold=1.0).collect()
+    pairs = {r["src_id"]: r["tgt_id"] for r in mined}
+    # high precision: every mined pair is the planted twin
+    correct = sum(1 for s, t in pairs.items() if t == s + 100)
+    assert correct / max(len(pairs), 1) >= 0.9
+    # high recall on this easy noise level
+    assert correct >= 45
+    # margins are finite and above threshold
+    assert all(r["margin"] >= 1.0 for r in mined)
+
+
+def test_hub_vector_does_not_flood(spark, planted):
+    """The hub (tgt 159) is cosine-close to many sources; raw-cosine
+    mining would pair it broadly. Margin + mutual-best allows it at
+    most ONE source."""
+    src, tgt = planted
+    mined = bitext.mine_bitext(src, tgt, k=4, threshold=0.0, mutual=True)
+    hub_pairs = [r for r in mined.collect() if r["tgt_id"] == 159]
+    assert len(hub_pairs) <= 1
+
+
+def test_mutual_is_subset_of_forward(spark, planted):
+    src, tgt = planted
+    fwd = {
+        (r["src_id"], r["tgt_id"])
+        for r in bitext.mine_bitext(
+            src, tgt, k=4, threshold=1.0, mutual=False
+        ).collect()
+    }
+    mut = {
+        (r["src_id"], r["tgt_id"])
+        for r in bitext.mine_bitext(
+            src, tgt, k=4, threshold=1.0, mutual=True
+        ).collect()
+    }
+    assert mut <= fwd
+
+
+def test_candidate_pairs_path_matches_bruteforce(spark, planted):
+    """Restricting candidates to the full cross product through the
+    candidate_pairs path must reproduce the broadcast path exactly —
+    the seam the ANN index plugs into at scale."""
+    src, tgt = planted
+    cands = src.select(F.col("vec_id").alias("src_id")).crossJoin(
+        tgt.select(F.col("vec_id").alias("tgt_id"))
+    )
+    a = sorted(
+        (r["src_id"], r["tgt_id"], r["margin"])
+        for r in bitext.margin_scores(src, tgt, k=3).collect()
+    )
+    b = sorted(
+        (r["src_id"], r["tgt_id"], r["margin"])
+        for r in bitext.margin_scores(
+            src, tgt, k=3, candidate_pairs=cands
+        ).collect()
+    )
+    assert a == b
+
+    with pytest.raises(ValueError, match="k must"):
+        bitext.margin_scores(src, tgt, k=0)

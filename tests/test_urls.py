@@ -1,0 +1,174 @@
+"""URL/domain curation (operators/urls.py): DuckDB SQL differentials
+for parsing/normalization/registrable-domain, idempotency and
+determinism properties, per-domain cap semantics, and block/allow
+filtering."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import urls
+
+URLS = [
+    (1, "https://www.example.com/a/b?utm_source=x&b=2&a=1#frag"),
+    (2, "HTTP://Sub.Example.COM:80/path?gclid=abc"),
+    (3, "https://news.bbc.co.uk:443/story?id=7&utm_campaign=z"),
+    (4, "https://shop.example.co.uk/item?color=red&REF=tw"),
+    (5, "http://192.168.0.1:8080/admin?x=1"),
+    (6, "https://example.com"),
+    (7, "http://user:pw@host.io/p?z=1&y=2&fbclid=f"),
+    (8, "not a url at all"),
+    (9, "ftp://files.archive.org/pub/data.bin"),
+    (10, "https://a.b.c.d.example.com.au/deep?utm_x=1&k=v"),
+    (11, "https://example.com/?utm_source=only"),
+    (12, "https://EXAMPLE.com:8443/Q?b=2&a=1&a=0"),
+]
+
+
+@pytest.fixture(scope="module")
+def udf(spark):
+    return spark.createDataFrame(URLS, "doc_id long, url string")
+
+
+def test_normalize_matches_duckdb_reference(spark, udf):
+    """The full normalization pipeline re-expressed in DuckDB list SQL
+    must agree URL-for-URL with the Spark expressions."""
+    got = {
+        r["doc_id"]: r["nu"]
+        for r in udf.select(
+            "doc_id", urls.normalize_url("url").alias("nu")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE u(doc_id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO u VALUES (?, ?)", URLS)
+    want = dict(
+        con.execute(
+            r"""
+            WITH parts AS (
+              SELECT doc_id,
+                lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$', 1)) AS scheme,
+                regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$', 2) AS auth,
+                regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$', 3) AS path,
+                regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#(.*))?$', 4) AS query
+              FROM u
+            ), hp AS (
+              SELECT doc_id, scheme, path, query,
+                list_extract(str_split(auth, '@'), -1) AS host_port
+              FROM parts
+            ), h AS (
+              SELECT doc_id, scheme, path, query,
+                lower(str_split(host_port, ':')[1]) AS host,
+                CASE WHEN contains(host_port, ':')
+                     THEN list_extract(str_split(host_port, ':'), -1)
+                     ELSE '' END AS port
+              FROM hp
+            ), q AS (
+              SELECT doc_id, scheme, host, port, path,
+                list_aggregate(
+                  list_sort(list_filter(
+                    list_filter(str_split(query, '&'), p -> p <> ''),
+                    p -> NOT (
+                      lower(str_split(p, '=')[1]) IN
+                        ('gclid','fbclid','msclkid','igshid','mc_cid','mc_eid','ref','ref_src')
+                      OR starts_with(lower(str_split(p, '=')[1]), 'utm_'))
+                  )), 'string_agg', '&') AS cq
+              FROM h
+            )
+            SELECT doc_id,
+              CASE WHEN scheme = '' THEN '' ELSE
+                scheme || '://' ||
+                CASE WHEN port = '' OR (scheme='http' AND port='80')
+                          OR (scheme='https' AND port='443')
+                     THEN host ELSE host || ':' || port END ||
+                CASE WHEN path = '' THEN '/' ELSE path END ||
+                CASE WHEN cq IS NULL OR cq = '' THEN '' ELSE '?' || cq END
+              END AS nu
+            FROM q
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_normalize_is_idempotent(spark, udf):
+    once = udf.select("doc_id", urls.normalize_url("url").alias("n1"))
+    twice = once.select("doc_id", urls.normalize_url("n1").alias("n2"))
+    rows = once.join(twice, "doc_id").collect()
+    assert rows and all(r["n1"] == r["n2"] for r in rows)
+
+
+def test_registrable_domain_cases(spark):
+    cases = {
+        "www.example.com": "example.com",
+        "a.b.c.example.co.uk": "example.co.uk",
+        "news.bbc.co.uk": "bbc.co.uk",
+        "example.com.au": "example.com.au",
+        "deep.sub.shop.com.au": "shop.com.au",
+        "localhost": "localhost",
+        "192.168.0.1": "192.168.0.1",
+        "co.uk": "co.uk",
+        "x.io": "x.io",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], ["host"])
+    got = {
+        r["host"]: r["dom"]
+        for r in df.select(
+            "host", urls.registrable_domain("host").alias("dom")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_domain_stats_and_cap(spark):
+    rows = [
+        (i, f"https://{'big' if i < 8 else 'small'}.site{'A' if i < 8 else 'B'}.com/p{i}?utm_x=1", float(i))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    stats = {
+        r["domain"]: (r["n_docs"], r["n_urls"])
+        for r in urls.domain_stats(df).collect()
+    }
+    assert stats == {"sitea.com": (8, 8), "siteb.com": (2, 2)}
+
+    capped = urls.per_domain_cap(df, 3, order_col="score")
+    kept = sorted(r["doc_id"] for r in capped.collect())
+    # siteA keeps its 3 best-scored (5,6,7); siteB keeps both
+    assert kept == [5, 6, 7, 8, 9]
+    # deterministic under repartitioning
+    kept2 = sorted(
+        r["doc_id"]
+        for r in urls.per_domain_cap(df.repartition(7), 3, order_col="score").collect()
+    )
+    assert kept2 == kept
+    with pytest.raises(ValueError, match="n must"):
+        urls.per_domain_cap(df, 0)
+
+
+def test_domain_filter_block_and_allow(spark, udf):
+    blocked = urls.domain_filter(udf, blocklist=["example.com"])
+    ids = sorted(r["doc_id"] for r in blocked.collect())
+    assert 1 not in ids and 2 not in ids and 6 not in ids and 3 in ids
+
+    allow_df = udf.sparkSession.createDataFrame([("bbc.co.uk",)], ["domain"])
+    allowed = urls.domain_filter(udf, allowlist=allow_df)
+    assert [r["doc_id"] for r in allowed.collect()] == [3]
+    assert allowed.columns == udf.columns  # helper column dropped
+
+    with pytest.raises(ValueError, match="exactly one"):
+        urls.domain_filter(udf)
+    with pytest.raises(ValueError, match="exactly one"):
+        urls.domain_filter(udf, blocklist=["x"], allowlist=["y"])
+
+
+def test_all_jvm_no_shuffle_for_rowwise_ops(spark, udf):
+    """normalize/parts/domain are per-row expressions: zero Exchange,
+    zero Python eval in the plan."""
+    out = udf.select(
+        urls.normalize_url("url"),
+        urls.registrable_domain(urls.url_parts("url")["host"]),
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
