@@ -327,13 +327,16 @@ def pattern_scan(
     text_col: str = "text",
     id_col: str = "doc_id",
     patterns: dict[str, str] | None = None,
+    extra: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Per-document occurrence counts for a set of regex patterns —
     the PII-screening / content-flagging pass of a training-data
     pipeline (emails, URLs, phone numbers, plus arbitrary content
     signals). Pure column expressions: one scan, zero shuffle, counts
     only (never the matched spans, so nothing sensitive is
-    materialized)."""
+    materialized). `extra` appends additional named per-row column
+    expressions to the same single-scan projection (so composed gates
+    never pay a join)."""
     patterns = patterns or PATTERNS
     t = F.col(text_col)
     return df.select(
@@ -342,6 +345,7 @@ def pattern_scan(
             _count_matches(t, pat).cast("bigint").alias(name)
             for name, pat in patterns.items()
         ],
+        *[c.alias(name) for name, c in (extra or {}).items()],
     )
 
 

@@ -887,17 +887,36 @@ _CMS_EPS = 0.001
     # within eps * total above it. The checks run at plan build
     # (driver scalars, the merged_freq_sketch contract) and the oracle
     # pins the verdict literal.
+    # zipf_slope_q is the r6 corpus-statistics family folded into this
+    # hash-checked row (docs/GATE.md): the oracle re-derives the OLS
+    # slope of ln(freq) on ln(rank) with its own window ranks, Spark
+    # computes it through corpus_stats.zipf_fit (explode + agg + the
+    # DISTRIBUTED global rank + closed-form sums). Quantized 1e-6 —
+    # cross-engine double-sum order differs in the last ulps (the
+    # lm_avg_logprob_q precedent).
     r"""
-    SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq,
-           1 AS cms_ok
-    FROM (
+    WITH toks AS (
       SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
       FROM documents
+    ),
+    zr AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rk
+      FROM (SELECT token, count(*) AS cnt FROM toks WHERE token <> '' GROUP BY token)
+    ),
+    zf AS (
+      SELECT round(
+        (count(*)::DOUBLE * sum(ln(rk)*ln(cnt)) - sum(ln(rk)) * sum(ln(cnt)))
+        / (count(*)::DOUBLE * sum(ln(rk)*ln(rk)) - sum(ln(rk)) * sum(ln(rk))),
+        6) AS slope_q
+      FROM zr
     )
+    SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS doc_freq,
+           1 AS cms_ok, (SELECT slope_q FROM zf) AS zipf_slope_q
+    FROM toks
     GROUP BY token
     HAVING COUNT(*) >= 5
     """,
-    "J1,A1,P4 + ext: Count-Min frequency rollup (self-verifying bounds)",
+    "J1,A1,P4 + ext: Count-Min bounds + Zipf-slope fold (self-verifying)",
 )
 def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import freq_sketch_rollup, merged_freq_sketch
@@ -932,6 +951,13 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in _CMS_PROBE_TOKENS
     )
 
+    # Zipf fold: the real operator (distributed rank + closed-form
+    # OLS), quantized to 1e-6 and attached as a literal — the oracle
+    # recomputes it from its own window ranks.
+    from ..operators.corpus_stats import zipf_fit
+
+    zipf_slope_q = round(zipf_fit(d)["zipf_slope"], 6)
+
     return (
         toks.groupBy("token")
         .agg(
@@ -940,6 +966,7 @@ def token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("freq") >= 5)
         .withColumn("cms_ok", F.lit(1 if cms_ok else 0))
+        .withColumn("zipf_slope_q", F.lit(zipf_slope_q))
     )
 
 
@@ -2906,25 +2933,85 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_pattern_scan",
+    # url_norm / url_domain are the r6 URL-curation family folded into
+    # this hash-checked row (docs/GATE.md): each document synthesizes
+    # a deterministic MESSY url (three rotating shapes — mixed case,
+    # default vs explicit port, tracking params, unsorted params,
+    # fragment, empty path, multi-label public suffix) and the row
+    # carries the REAL operators' outputs (urls.normalize_url /
+    # registrable_domain). The oracle states the EXPECTED canonical
+    # form directly from the construction rules — an independent
+    # derivation, so any parser/normalizer defect hash-mismatches.
     r"""
     SELECT doc_id,
       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
       CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
       CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
       CAST(len(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT) AS n_vowel_pairs,
-      CAST(len(regexp_extract_all(text, '\b[a-z]{8,}\b')) AS BIGINT) AS n_long_words
+      CAST(len(regexp_extract_all(text, '\b[a-z]{8,}\b')) AS BIGINT) AS n_long_words,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN 'https://www.' || source || '.example.co.uk/doc/' || doc_id
+                    || '?a=1&b=' || (doc_id % 5)
+        WHEN 1 THEN 'http://sub.a.' || source || '-shop.example.com:8443/doc/' || doc_id
+        ELSE 'https://' || source || '.io/'
+      END AS url_norm,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN 'example.co.uk'
+        WHEN 1 THEN 'example.com'
+        ELSE source || '.io'
+      END AS url_domain
     FROM documents
     """,
-    "ext: PII / content pattern scan (per-doc regex counts)",
+    "ext: PII / content pattern scan + URL normalize/eTLD+1 fold",
 )
 def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-screening pass: per-doc counts of emails / URLs / phone
     numbers plus content signals, engine-portable regex only
     (operators/text.pattern_scan). Counts, never spans — nothing
-    sensitive materializes."""
-    from ..operators.text import pattern_scan
+    sensitive materializes.
 
-    return pattern_scan(_t(spark, sf_dir, "documents"))
+    url_norm/url_domain: urls.normalize_url + registrable_domain over
+    a synthesized messy URL (self-verifying fold, still one scan /
+    zero shuffle — the extra columns ride pattern_scan's projection)."""
+    from ..operators.text import pattern_scan
+    from ..operators.urls import normalize_url, registrable_domain, url_parts
+
+    mod = (F.col("doc_id") % 3).cast("int")
+    host = (
+        F.when(mod == 0, F.concat(F.lit("WWW."), F.col("source"), F.lit(".Example.CO.UK")))
+        .when(mod == 1, F.concat(F.lit("sub.a."), F.col("source"), F.lit("-shop.Example.COM")))
+        .otherwise(F.concat(F.col("source"), F.lit(".IO")))
+    )
+    port = (
+        F.when(mod == 0, F.lit(":443"))
+        .when(mod == 1, F.lit(":8443"))
+        .otherwise(F.lit(""))
+    )
+    scheme = F.when(mod == 1, F.lit("http")).otherwise(F.lit("HTTPS"))
+    path = F.when(mod == 2, F.lit("")).otherwise(
+        F.concat(F.lit("/doc/"), F.col("doc_id").cast("string"))
+    )
+    query = (
+        F.when(
+            mod == 0,
+            F.concat(
+                F.lit("?utm_source=x&b="),
+                (F.col("doc_id") % 5).cast("string"),
+                F.lit("&a=1"),
+            ),
+        )
+        .when(mod == 1, F.lit("?gclid=g"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(mod == 0, F.lit("#frag")).otherwise(F.lit(""))
+    u = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+    return pattern_scan(
+        _t(spark, sf_dir, "documents"),
+        extra={
+            "url_norm": normalize_url(u),
+            "url_domain": registrable_domain(url_parts(u)["host"]),
+        },
+    )
 
 
 # Classifier-head gate parameters: a deterministic 64-dim weight
