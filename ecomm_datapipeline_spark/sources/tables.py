@@ -34,17 +34,23 @@ def table_exists(path: str) -> bool:
     no. Hidden subtrees (underscore/dot-prefixed dirs — Spark's reader
     ignores them, e.g. a crashed atomic-swap's leftover `_staging`) are
     pruned from the walk for the same reason: a parquet file the
-    reader won't see must not make this return True. os.walk
-    short-circuits at the first data file, so the cost is O(1) dirs
-    for any non-empty table."""
+    reader won't see must not make this return True. The prune rule
+    mirrors Spark's InMemoryFileIndex filter EXACTLY: a `_`/`.` prefix
+    hides a name UNLESS it contains `=` — partition directories of an
+    underscore-named column (`_cluster=3/`, the ANN assignments
+    layout) are real data Spark does read, and pruning them made
+    table_exists deny live tables (caught by the streaming ANN replay
+    test). os.walk short-circuits at the first data file, so the cost
+    is O(1) dirs for any non-empty table."""
+
+    def hidden(name: str) -> bool:
+        return name.startswith(("_", ".")) and "=" not in name
+
     if not os.path.isdir(path):
         return False
     for _dir, subdirs, files in os.walk(path):
-        subdirs[:] = [d for d in subdirs if not d.startswith(("_", "."))]
-        if any(
-            f.endswith(".parquet") and not f.startswith(("_", "."))
-            for f in files
-        ):
+        subdirs[:] = [d for d in subdirs if not hidden(d)]
+        if any(f.endswith(".parquet") and not hidden(f) for f in files):
             return True
     return False
 

@@ -479,3 +479,11 @@ def test_table_exists_ignores_hidden_subtrees(tmp_path):
     (part_root / "dt=2024-01-01").mkdir(parents=True)
     (part_root / "dt=2024-01-01" / "part-0.parquet").write_bytes(b"PAR1")
     assert _t.table_exists(str(part_root))
+    # UNDERSCORE-NAMED partition columns produce `_col=value` dirs that
+    # Spark's reader DOES read (its hidden-path filter exempts names
+    # containing '='): the ANN assignments table partitions by
+    # _cluster, and denying it broke streaming replay detection.
+    upart = tmp_path / "tbl3"
+    (upart / "_cluster=3").mkdir(parents=True)
+    (upart / "_cluster=3" / "part-0.parquet").write_bytes(b"PAR1")
+    assert _t.table_exists(str(upart))
