@@ -1,0 +1,178 @@
+"""Chat-transcript rendering and validation for SFT corpora.
+
+Instruction-tuning data arrives as structured conversations —
+`array<struct<role, content>>` — and leaves as flat training text
+plus LOSS SPANS (which character ranges belong to assistant turns, so
+the loss masks out prompts). Both directions of that transformation
+are per-row work, and doing them in Python row loops is the classic
+pipeline bottleneck; here they are single `F.aggregate` folds over
+the turn array — zero shuffle, zero Python, any corpus size.
+
+* `render_chat`: turns -> (text, spans). Templates: "chatml"
+  (`<|im_start|>role\\ncontent<|im_end|>\\n`) and "simple"
+  (`role: content\\n`). Spans are 1-based inclusive character ranges
+  of each turn's CONTENT inside the rendered text, with a `loss`
+  flag for assistant turns — the slice invariant
+  `substr(text, start, end-start+1) == content` is pinned in tests
+  for every turn of every template.
+* `turn_stats` / `valid_dialogues`: the SFT-prep structure gate —
+  turn counts, role histogram, and the canonical shape check
+  (optional leading system; then strictly alternating user/assistant
+  starting at user; ending on assistant). Violations are the #1
+  silent poison in scraped instruction data (double-user turns train
+  the model to answer itself).
+
+NULL contents render as empty strings (span of length 0 keeps the
+turn count honest); NULL turn arrays yield NULL text and fail
+validation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPAN_T = "array<struct<role:string,start:int,end:int,loss:boolean>>"
+
+TEMPLATES = {
+    # role -> (header builder, footer builder)
+    "chatml": (
+        lambda role: F.concat(F.lit("<|im_start|>"), role, F.lit("\n")),
+        lambda role: F.lit("<|im_end|>\n"),
+    ),
+    "simple": (
+        lambda role: F.concat(role, F.lit(": ")),
+        lambda role: F.lit("\n"),
+    ),
+}
+
+
+def rendered_chat_cols(
+    turns: Column | str,
+    template: str = "chatml",
+    loss_roles: tuple[str, ...] = ("assistant",),
+) -> Column:
+    """struct(text, spans) rendered from a turn array — THE rendering
+    definition, one fold: the accumulator carries the text built so
+    far plus the span list, each step appends header+content+footer
+    and records the content's character range. All arithmetic is on
+    `length()` of the accumulator, so spans are exact by
+    construction."""
+    if template not in TEMPLATES:
+        raise ValueError(
+            f"unknown template {template!r}; have {sorted(TEMPLATES)}"
+        )
+    header, footer = TEMPLATES[template]
+    t = F.col(turns) if isinstance(turns, str) else turns
+    init = F.struct(
+        F.lit("").alias("text"),
+        F.lit(None).cast(_SPAN_T).alias("spans"),
+    )
+
+    def step(acc: Column, turn: Column) -> Column:
+        role = turn["role"]
+        content = F.coalesce(turn["content"], F.lit(""))
+        head = header(role)
+        start = (F.length(acc["text"]) + F.length(head) + 1).cast("int")
+        end = (start + F.length(content) - 1).cast("int")
+        span = F.struct(
+            role.alias("role"),
+            start.alias("start"),
+            end.alias("end"),
+            role.isin(*loss_roles).alias("loss"),
+        )
+        return F.struct(
+            F.concat(acc["text"], head, content, footer(role)).alias("text"),
+            F.concat(
+                F.coalesce(acc["spans"], F.array().cast(_SPAN_T)),
+                F.array(span),
+            ).alias("spans"),
+        )
+
+    return F.aggregate(t, init, step)
+
+
+def render_chat(
+    df: DataFrame,
+    turns_col: str = "turns",
+    id_col: str = "conv_id",
+    template: str = "chatml",
+    loss_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """(id_col, text, spans): flat training text + loss spans per
+    conversation. NULL turn arrays yield NULL text/spans (loud
+    downstream, never a fabricated empty sample)."""
+    r = rendered_chat_cols(turns_col, template, loss_roles)
+    return df.select(
+        F.col(id_col), r["text"].alias("text"), r["spans"].alias("spans")
+    )
+
+
+def _shape_ok(turns: Column) -> Column:
+    """The canonical SFT shape as one fold: optional leading system,
+    then user/assistant strictly alternating starting at user, ending
+    on assistant. Accumulator carries (expect, ok): expect is the
+    role class the next turn must be."""
+    init = F.struct(F.lit("start").alias("expect"), F.lit(True).alias("ok"))
+
+    def step(acc: Column, turn: Column) -> Column:
+        role = turn["role"]
+        is_start = acc["expect"] == "start"
+        nxt = (
+            F.when(is_start & (role == "system"), F.lit("user"))
+            .when(
+                (is_start | (acc["expect"] == "user")) & (role == "user"),
+                F.lit("assistant"),
+            )
+            .when(
+                (acc["expect"] == "assistant") & (role == "assistant"),
+                F.lit("user"),
+            )
+            .otherwise(F.lit("bad"))
+        )
+        return F.struct(
+            nxt.alias("expect"),
+            (acc["ok"] & (nxt != "bad")).alias("ok"),
+        )
+
+    fin = F.aggregate(turns, init, step)
+    # must END having just seen an assistant turn (expect flipped to
+    # "user") and never hit a bad transition; empty/NULL arrays fail
+    return F.coalesce(
+        fin["ok"] & (fin["expect"] == "user"), F.lit(False)
+    )
+
+
+def turn_stats(
+    df: DataFrame, turns_col: str = "turns", id_col: str = "conv_id"
+) -> DataFrame:
+    """(id_col, n_turns, n_assistant, n_user, n_system, total_chars,
+    shape_ok): the per-conversation structure profile. One per-row
+    fold family, no shuffle."""
+    t = F.col(turns_col)
+
+    def n_role(role: str) -> Column:
+        return F.size(F.filter(t, lambda x: x["role"] == role))
+
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_turns"),
+        n_role("assistant").alias("n_assistant"),
+        n_role("user").alias("n_user"),
+        n_role("system").alias("n_system"),
+        F.aggregate(
+            t,
+            F.lit(0),
+            lambda acc, x: acc + F.length(F.coalesce(x["content"], F.lit(""))),
+        ).alias("total_chars"),
+        _shape_ok(t).alias("shape_ok"),
+    )
+
+
+def valid_dialogues(
+    df: DataFrame, turns_col: str = "turns", id_col: str = "conv_id"
+) -> DataFrame:
+    """Rows passing the canonical-shape gate (see `_shape_ok`).
+    Returns input rows, all columns — a plain filter predicate, no
+    join, no shuffle."""
+    return df.filter(_shape_ok(F.col(turns_col)))

@@ -1,0 +1,125 @@
+"""Cross-document n-gram novelty: the duplicated-n-gram fraction.
+
+RefinedWeb/Gopher-style pipelines use two repetition axes. WITHIN a
+document, `text.repetition_stats` scores self-repetition; ACROSS the
+corpus, this module scores how much of a document is made of n-grams
+that also appear in OTHER documents — boilerplate, templates, chain
+letters, and licence blocks score high even when no single pair of
+documents is similar enough for pairwise near-dup to fire. (Distinct
+from `curation.decontaminate`, which tests against a BENCHMARK set —
+here the corpus is tested against itself.)
+
+Shape (the dedup-family discipline):
+
+* per-document DISTINCT k-shingles, hashed to 8-byte keys per row —
+  no shuffle, strings never leave the scan;
+* document frequency per shingle hash: ONE keyed aggregation over the
+  exploded hashes (the same corpus-sized shuffle every dedup blocker
+  pays);
+* per-document novelty: re-join the df counts onto the shingle rows
+  (8-byte keys both sides) and aggregate the shared fraction — one
+  more keyed shuffle, output is document-sized.
+
+dup_ngram_frac = fraction of a doc's distinct k-grams with df >= 2.
+Documents shorter than k tokens have no k-grams and score NULL (not
+0.0 — "no evidence" must not read as "novel"; the filter treats NULL
+as pass-through, documented).
+
+Verification: full DuckDB SQL differential (tests/test_novelty.py)
+plus planted boilerplate/unique corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingle_array
+
+
+def ngram_doc_frequency(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """(gram_hash, df): corpus document-frequency per distinct word
+    k-shingle, keyed on xxhash64 of the shingle string (8 bytes ride
+    the shuffle, never the text)."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(shingle_array(text_col, k)).alias("_sh"),
+        )
+        .select(id_col, F.xxhash64("_sh").alias("gram_hash"))
+        .groupBy("gram_hash")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    doc_freq: DataFrame | None = None,
+) -> DataFrame:
+    """(id_col, n_grams, n_shared, dup_ngram_frac): per document, the
+    count of distinct k-grams, how many occur in at least one OTHER
+    document, and their fraction. Docs with no k-grams score NULL.
+
+    A document's own occurrence contributes 1 to every df, so
+    "shared" means df >= 2 — exact, no self-match correction needed on
+    distinct shingles. Pass `doc_freq` (from `ngram_doc_frequency`,
+    possibly persisted) to amortize the corpus aggregation across
+    scoring runs."""
+    if doc_freq is None:
+        doc_freq = ngram_doc_frequency(df, text_col, id_col, k)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingle_array(text_col, k)).alias("_sh"),
+    ).select(id_col, F.xxhash64("_sh").alias("gram_hash"))
+    scored = (
+        grams.join(doc_freq, "gram_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "dup_ngram_frac",
+            F.col("n_shared").cast("double") / F.col("n_grams"),
+        )
+    )
+    # restore gram-free documents (shorter than k tokens) with NULLs —
+    # derived from the source scan, not an anti-join against `scored`
+    # (the vectorize.py precedent: that join would duplicate the whole
+    # explode/aggregate subtree in the plan)
+    empty = df.filter(F.size(shingle_array(text_col, k)) == 0).select(
+        F.col(id_col),
+        F.lit(None).cast("long").alias("n_grams"),
+        F.lit(None).cast("long").alias("n_shared"),
+        F.lit(None).cast("double").alias("dup_ngram_frac"),
+    )
+    return scored.unionByName(empty)
+
+
+def novelty_filter(
+    df: DataFrame,
+    max_dup_frac: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    doc_freq: DataFrame | None = None,
+) -> DataFrame:
+    """Rows whose duplicated-k-gram fraction is <= max_dup_frac.
+    Gram-free documents (NULL score) PASS — no evidence of duplication
+    is not duplication; pair with a min-length quality gate if short
+    docs should go. Returns input rows, all columns."""
+    if not 0.0 <= max_dup_frac <= 1.0:
+        raise ValueError(f"max_dup_frac must be in [0, 1]: {max_dup_frac}")
+    scores = ngram_novelty(df, text_col, id_col, k, doc_freq)
+    losers = scores.filter(
+        F.col("dup_ngram_frac") > max_dup_frac
+    ).select(id_col)
+    return df.join(losers, id_col, "left_anti")

@@ -1,0 +1,119 @@
+"""Chat rendering/validation (operators/chat.py): hand-pinned
+templates, the span slice invariant (substr(text, span) == content
+for every turn), shape-gate truth table, NULL semantics, and the
+zero-shuffle plan pin."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import chat
+
+SCHEMA = (
+    "conv_id long, turns array<struct<role:string, content:string>>"
+)
+
+
+def _conv(spark, *rows):
+    return spark.createDataFrame(list(rows), SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def convs(spark):
+    return _conv(
+        spark,
+        (1, [("system", "be terse"), ("user", "hi"), ("assistant", "hello")]),
+        (2, [("user", "2+2?"), ("assistant", "4"), ("user", "3+3?"), ("assistant", "6")]),
+        (3, [("user", "no answer")]),                      # ends on user
+        (4, [("assistant", "unprompted")]),                # starts wrong
+        (5, [("user", "a"), ("user", "b"), ("assistant", "c")]),  # double user
+        (6, []),                                           # empty
+        (7, None),                                         # NULL turns
+        (8, [("user", None), ("assistant", "ok")]),        # NULL content
+    )
+
+
+def test_chatml_render_hand_pinned(spark, convs):
+    got = {
+        r["conv_id"]: r["text"]
+        for r in chat.render_chat(convs, template="chatml").collect()
+    }
+    assert got[1] == (
+        "<|im_start|>system\nbe terse<|im_end|>\n"
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>\n"
+    )
+    assert got[6] == ""  # empty conversation renders empty, not NULL
+    assert got[7] is None  # NULL turns stay NULL (loud downstream)
+    assert got[8] == (
+        "<|im_start|>user\n<|im_end|>\n<|im_start|>assistant\nok<|im_end|>\n"
+    )
+
+
+def test_simple_render_hand_pinned(spark, convs):
+    got = {
+        r["conv_id"]: r["text"]
+        for r in chat.render_chat(convs, template="simple").collect()
+    }
+    assert got[2] == "user: 2+2?\nassistant: 4\nuser: 3+3?\nassistant: 6\n"
+    with pytest.raises(ValueError, match="unknown template"):
+        chat.render_chat(convs, template="nope")
+
+
+@pytest.mark.parametrize("template", ["chatml", "simple"])
+def test_span_slice_invariant(spark, convs, template):
+    """For every turn of every conversation: the span slices the
+    rendered text back to exactly the turn's content, and loss flags
+    mark assistant turns only."""
+    rows = chat.render_chat(convs, template=template).collect()
+    originals = {
+        r["conv_id"]: r["turns"] for r in convs.collect()
+    }
+    checked = 0
+    for r in rows:
+        if r["text"] is None:
+            continue
+        turns = originals[r["conv_id"]] or []
+        assert len(r["spans"] or []) == len(turns)
+        for span, turn in zip(r["spans"] or [], turns):
+            content = turn["content"] or ""
+            sliced = r["text"][span["start"] - 1 : span["end"]]
+            assert sliced == content, (r["conv_id"], span)
+            assert span["loss"] == (turn["role"] == "assistant")
+            assert span["role"] == turn["role"]
+            checked += 1
+    assert checked >= 10
+
+
+def test_shape_gate_truth_table(spark, convs):
+    got = {
+        r["conv_id"]: r["shape_ok"] for r in chat.turn_stats(convs).collect()
+    }
+    assert got == {
+        1: True,   # system, user, assistant
+        2: True,   # two full exchanges
+        3: False,  # ends on user
+        4: False,  # starts with assistant
+        5: False,  # double user
+        6: False,  # empty
+        7: False,  # NULL
+        8: True,   # NULL content is a structure-valid turn
+    }
+    kept = {r["conv_id"] for r in chat.valid_dialogues(convs).collect()}
+    assert kept == {1, 2, 8}
+
+
+def test_turn_stats_counts(spark, convs):
+    row = {r["conv_id"]: r for r in chat.turn_stats(convs).collect()}[2]
+    assert (row["n_turns"], row["n_assistant"], row["n_user"], row["n_system"]) == (4, 2, 2, 0)
+    assert row["total_chars"] == len("2+2?") + 1 + len("3+3?") + 1
+
+
+def test_zero_shuffle_zero_python(spark, convs):
+    for out in (
+        chat.render_chat(convs),
+        chat.turn_stats(convs),
+        chat.valid_dialogues(convs),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "EvalPython" not in plan, plan

@@ -1,0 +1,115 @@
+"""Cross-document n-gram novelty (operators/novelty.py): DuckDB SQL
+differential over real testdata, planted boilerplate/unique corpora,
+NULL semantics for gram-free docs, filter contract, and the
+8-byte-key plan shape."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import novelty
+
+SF = "/root/testdata/sf0.001"
+K = 3
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").limit(150).cache()
+
+
+def test_matches_duckdb_reference(spark, docs):
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_shared"], r["dup_ngram_frac"])
+        for r in novelty.ngram_novelty(docs, k=K).collect()
+    }
+    con = duckdb.connect()
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    want = {
+        did: (ng, ns, frac)
+        for did, ng, ns, frac in con.execute(
+            r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                                 t -> t <> '') AS tk
+              FROM d
+            ),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(tk[i : i + ?1 - 1], ' ') AS g
+              FROM toks, unnest(range(1, len(tk) - ?1 + 2)) AS r(i)
+              WHERE len(tk) >= ?1
+            ),
+            dfreq AS (
+              SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY g
+            )
+            SELECT doc_id, count(*) AS n_grams,
+                   sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared,
+                   sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS frac
+            FROM grams JOIN dfreq USING (g)
+            GROUP BY doc_id
+            """,
+            [K],
+        ).fetchall()
+    }
+    # DuckDB side only emits docs WITH grams; Spark adds NULL rows
+    with_grams = {d: v for d, v in got.items() if v[0] is not None}
+    assert with_grams == want
+    for d, v in got.items():
+        if v[0] is None:
+            assert v == (None, None, None), d
+
+
+def test_planted_boilerplate_scores_high(spark):
+    tmpl = "this agreement is governed by the laws of the state"
+    rows = [(i, f"{tmpl} clause {i} applies here") for i in range(5)]
+    rows += [(100, "completely unrelated prose about gardening and soil health")]
+    rows += [(101, "short doc")]  # 2 tokens < k -> NULL
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["dup_ngram_frac"]
+        for r in novelty.ngram_novelty(df, k=K).collect()
+    }
+    assert all(got[i] > 0.5 for i in range(5))  # template grams shared
+    assert got[100] == 0.0  # fully novel
+    assert got[101] is None  # gram-free
+    assert set(got) == set(range(5)) | {100, 101}  # every doc present
+
+    kept = novelty.novelty_filter(df, max_dup_frac=0.5, k=K)
+    kept_ids = {r["doc_id"] for r in kept.collect()}
+    assert kept_ids == {100, 101}  # NULL passes, template docs drop
+    with pytest.raises(ValueError, match="max_dup_frac"):
+        novelty.novelty_filter(df, max_dup_frac=1.5)
+
+
+def test_precomputed_doc_freq_reused(spark, docs):
+    dfreq = novelty.ngram_doc_frequency(docs, k=K).localCheckpoint()
+    a = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in novelty.ngram_novelty(docs, k=K).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_shared"])
+        for r in novelty.ngram_novelty(docs, k=K, doc_freq=dfreq).collect()
+    )
+    assert a == b
+
+
+def test_shuffle_carries_hashes_not_text(spark, docs):
+    """The exploded frame projects to (id, xxhash64) before any
+    Exchange: no string shingle column ever rides a shuffle."""
+    plan = (
+        novelty.ngram_doc_frequency(docs, k=K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "xxhash64" in plan
+    # the Exchange inputs are hash/id columns only — the shingle
+    # string column _sh must not appear in any exchange row
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "_sh" not in line, line
