@@ -1,0 +1,109 @@
+"""Hypothesis property tests for the round-6 operators: random URLs
+through the normalizer (idempotency + tracking-param absence), random
+frames through global_rank (rank == sorted position, any
+partitioning), and random conversations through the chat renderer
+(span slice invariant).
+
+Session note (the r5 pattern): low example counts — each example pays
+Spark jobs — and derandomize=True for deterministic CI.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import chat, urls
+from ecomm_datapipeline_spark.operators.recommend import global_rank
+
+# --- URL strategy: structured generation so most URLs parse ---------
+_label = st.sampled_from(["www", "sub", "a", "shop", "x9"])
+_domain = st.sampled_from(
+    ["example.com", "example.co.uk", "test.io", "site.com.au", "192.168.0.1"]
+)
+_param = st.sampled_from(
+    ["a=1", "b=2", "utm_source=x", "utm_campaign=y", "gclid=g", "z=", "q=hello"]
+)
+_scheme = st.sampled_from(["http", "HTTPS", "Http"])
+_port = st.sampled_from(["", ":80", ":443", ":8080"])
+
+
+@st.composite
+def _url(draw):
+    host = ".".join(draw(st.lists(_label, max_size=2)) + [draw(_domain)])
+    path = draw(st.sampled_from(["", "/", "/a/b", "/p%20q"]))
+    params = "&".join(draw(st.lists(_param, max_size=4)))
+    frag = draw(st.sampled_from(["", "#frag"]))
+    q = f"?{params}" if params else ""
+    return f"{draw(_scheme)}://{host}{draw(_port)}{path}{q}{frag}"
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(batch=st.lists(_url(), min_size=1, max_size=8))
+def test_normalize_idempotent_and_tracking_free(spark, batch):
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(batch)], "doc_id long, url string"
+    )
+    out = df.select(
+        "url",
+        urls.normalize_url("url").alias("n1"),
+        urls.normalize_url(urls.normalize_url("url")).alias("n2"),
+    ).collect()
+    for r in out:
+        assert r["n1"] == r["n2"], r["url"]  # idempotent
+        assert "#" not in r["n1"]            # fragment gone
+        assert "utm_" not in r["n1"] and "gclid" not in r["n1"]
+        if r["n1"]:
+            # query params, if any, are sorted
+            if "?" in r["n1"]:
+                qs = r["n1"].split("?", 1)[1].split("&")
+                assert qs == sorted(qs)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    keys=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=40, unique=True
+    ),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+def test_global_rank_is_sorted_position(spark, keys, nparts):
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(3)
+    out = {
+        r["k"]: r["idx"]
+        for r in global_rank(df, [F.col("k")], "idx", num_partitions=nparts).collect()
+    }
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert out == want
+
+
+_role_content = st.tuples(
+    st.sampled_from(["system", "user", "assistant", "tool"]),
+    st.text(
+        alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+        max_size=12,
+    ),
+)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    convs=st.lists(
+        st.lists(_role_content, max_size=5), min_size=1, max_size=4
+    ),
+    template=st.sampled_from(["chatml", "simple"]),
+)
+def test_chat_spans_slice_back_for_any_roles(spark, convs, template):
+    df = spark.createDataFrame(
+        [(i, [(r, c) for r, c in turns] if turns is not None else None)
+         for i, turns in enumerate(convs)],
+        "conv_id long, turns array<struct<role:string, content:string>>",
+    )
+    originals = {i: turns for i, turns in enumerate(convs)}
+    for row in chat.render_chat(df, template=template).collect():
+        turns = originals[row["conv_id"]]
+        spans = row["spans"] or []
+        assert len(spans) == len(turns)
+        for span, (role, content) in zip(spans, turns):
+            assert row["text"][span["start"] - 1 : span["end"]] == content
+            assert span["role"] == role
