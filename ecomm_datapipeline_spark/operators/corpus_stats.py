@@ -84,7 +84,13 @@ def zipf_fit(docs: DataFrame, text_col: str = "text") -> dict:
     Two jobs total (rank materialization + one aggregation); only
     scalars reach the driver. Raises on an empty/token-free corpus —
     a silent NaN profile would poison a datasheet."""
-    ranked = token_frequency_profile(docs, text_col)
+    return zipf_fit_from_counts(unigram_counts(docs, text_col))
+
+
+def zipf_fit_from_counts(freqs: DataFrame) -> dict:
+    """zipf_fit from a precomputed (token, cnt) table — the seam the
+    streaming token-counts rollup feeds (no document rescan)."""
+    ranked = global_rank(freqs, [F.desc("cnt"), F.col("token")], "rank")
     x = F.log(F.col("rank").cast("double"))
     y = F.log(F.col("cnt").cast("double"))
     row = ranked.agg(

@@ -1,0 +1,97 @@
+"""Streaming maintainer of corpus token statistics.
+
+`collocations.unigram_counts` is a mergeable rollup — counts add — so
+continuous corpus-statistics maintenance (the live twin of
+`operators/corpus_stats`) follows the delta-append contract of
+streaming/hist_rollup: each micro-batch of documents APPENDS its own
+(token, cnt) delta rows, readers sum at query time, and compaction
+collapses history to one row per token. Nothing is ever
+read-modified-rewritten; the per-batch state is vocabulary-sized, not
+corpus-sized.
+
+From the merged counts a reader gets the full profile — token
+frequency ranks, the Zipf fit, hapax/type-token ratios — for the
+ENTIRE ingested stream without rescanning one document:
+`read_token_counts` feeds `corpus_stats`' rank/OLS machinery
+directly. (Document-count-dependent stats like Heaps' curve need the
+doc axis, which a count rollup deliberately drops; run heaps_curve on
+the archived corpus instead.)
+
+Exactly-once: delta rows carry the micro-batch id; a replayed batch
+whose id already landed is skipped (the hist_rollup protocol).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.collocations import unigram_counts
+from ..sources import tables
+
+_BATCH_COL = "_batch_id"
+
+
+def token_stats_stream(
+    docs_stream: DataFrame,
+    counts_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the maintainer: per micro-batch, one explode+aggregate
+    over just that batch's documents, appended as (token, cnt,
+    _batch_id) delta rows."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        if tables.table_exists(counts_path):
+            existing = tables.read_table(batch.sparkSession, counts_path)
+            if (
+                existing.filter(F.col(_BATCH_COL) == batch_id).limit(1).count()
+                > 0
+            ):
+                return  # replay of a committed batch: exactly-once skip
+        delta = unigram_counts(batch, text_col).withColumn(
+            _BATCH_COL, F.lit(batch_id)
+        )
+        tables.write_table(delta, counts_path, mode="append")
+
+    writer = docs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_token_counts(spark: SparkSession, counts_path: str) -> DataFrame:
+    """(token, cnt) merged over all deltas — identical to
+    unigram_counts over every ingested document (asserted in tests).
+    Feed this to corpus_stats.zipf-style consumers via the
+    `precomputed counts` seam."""
+    deltas = tables.read_table(spark, counts_path)
+    return deltas.groupBy("token").agg(F.sum("cnt").alias("cnt"))
+
+
+def streamed_zipf_fit(spark: SparkSession, counts_path: str) -> dict:
+    """The corpus_stats.zipf_fit profile over the merged stream counts
+    — same OLS-on-distributed-ranks machinery, no document rescan."""
+    from ..operators.corpus_stats import zipf_fit_from_counts
+
+    return zipf_fit_from_counts(read_token_counts(spark, counts_path))
+
+
+def compact_token_counts(spark: SparkSession, counts_path: str) -> None:
+    """Collapse delta history to one row per token (keeping the max
+    absorbed batch id so replay detection survives), staged + atomic
+    swap (crash-safe, the hist_rollup shape)."""
+    deltas = tables.read_table(spark, counts_path)
+    compacted = deltas.groupBy("token").agg(
+        F.sum("cnt").alias("cnt"), F.max(_BATCH_COL).alias(_BATCH_COL)
+    )
+    tmp = counts_path.rstrip("/") + "._compact_tmp"
+    tables.write_table(compacted, tmp, mode="overwrite")
+    tables._swap_into(tmp, counts_path)

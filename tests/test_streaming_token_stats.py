@@ -1,0 +1,96 @@
+"""Streaming token-stats maintainer (streaming/token_stats_stream.py):
+merged deltas identical to direct unigram counts over everything
+ingested, idempotent replay, compaction preserving answer + replay
+detection, and the Zipf profile served from the rollup without a
+document rescan."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.collocations import unigram_counts
+from ecomm_datapipeline_spark.operators.corpus_stats import zipf_fit
+from ecomm_datapipeline_spark.sources import tables
+from ecomm_datapipeline_spark.streaming import token_stats_stream as tss
+
+
+def _write_batch(landing, name, texts):
+    with open(os.path.join(landing, name), "w") as f:
+        for i, t in enumerate(texts):
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+
+@pytest.fixture()
+def env(tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    return {
+        "landing": landing,
+        "counts": str(tmp_path / "counts"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _drain(spark, env, ckpt=None):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(env["landing"])
+    )
+    q = tss.token_stats_stream(stream, env["counts"], ckpt or env["ckpt"])
+    q.awaitTermination(180)
+    return q
+
+
+B1 = ["the cat sat", "the dog RAN", "   "]
+B2 = ["the cat returned", "a wholly new sentence"]
+
+
+def _counts(df):
+    return {r["token"]: r["cnt"] for r in df.collect()}
+
+
+def test_merged_equals_direct_and_zipf_served(spark, env):
+    _write_batch(env["landing"], "b1.json", B1)
+    _write_batch(env["landing"], "b2.json", B2)
+    _drain(spark, env)
+    deltas = tables.read_table(spark, env["counts"])
+    assert deltas.select("_batch_id").distinct().count() == 2
+
+    got = _counts(tss.read_token_counts(spark, env["counts"]))
+    everything = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(B1 + B2)], "doc_id long, text string"
+    )
+    want = _counts(unigram_counts(everything))
+    assert got == want
+    assert got["the"] == 3 and "" not in got  # whitespace-only doc adds nothing
+
+    # zipf profile from the rollup == zipf profile from the documents
+    stream_fit = tss.streamed_zipf_fit(spark, env["counts"])
+    direct_fit = zipf_fit(everything)
+    assert stream_fit == pytest.approx(direct_fit, abs=1e-9)
+
+
+def test_replay_idempotent_and_compaction(spark, env):
+    _write_batch(env["landing"], "b1.json", B1)
+    _drain(spark, env)
+    before = _counts(tss.read_token_counts(spark, env["counts"]))
+
+    _drain(spark, env, ckpt=env["ckpt"] + "2")  # fresh checkpoint: replay
+    assert _counts(tss.read_token_counts(spark, env["counts"])) == before
+
+    # compaction: one row per token, same answer, replay still skipped
+    tss.compact_token_counts(spark, env["counts"])
+    deltas = tables.read_table(spark, env["counts"])
+    assert deltas.count() == deltas.select("token").distinct().count()
+    assert _counts(tss.read_token_counts(spark, env["counts"])) == before
+    _drain(spark, env, ckpt=env["ckpt"] + "3")
+    assert _counts(tss.read_token_counts(spark, env["counts"])) == before
+
+    # post-compaction ingestion keeps absorbing
+    _write_batch(env["landing"], "b2.json", B2)
+    _drain(spark, env)
+    after = _counts(tss.read_token_counts(spark, env["counts"]))
+    assert after["the"] == before["the"] + 1
