@@ -217,6 +217,20 @@ def _linkage_slot(spark, sf_dir: str):
     return run
 
 
+def _novelty_slot(spark, sf_dir: str):
+    """Cross-document n-gram novelty bench slot (r6): distinct
+    3-shingle hashing, the corpus df aggregation, and the per-doc
+    rejoin — the dedup-family shuffle shape with 8-byte keys."""
+    from ecomm_datapipeline_spark.operators.novelty import ngram_novelty
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def run(spark, sf_dir):
+        return ngram_novelty(docs, k=3)
+
+    return run
+
+
 def _zipf_slot(spark, sf_dir: str):
     """Corpus-statistics bench slot (r6): the full token frequency
     profile — explode + aggregate + the DISTRIBUTED global rank
@@ -375,6 +389,10 @@ def main() -> None:
         extra["zipf_token_ranks"] = _zipf_slot(spark, sf_dir)
     except Exception as exc:
         extra["zipf_token_ranks"] = exc
+    try:
+        extra["ngram_novelty"] = _novelty_slot(spark, sf_dir)
+    except Exception as exc:
+        extra["ngram_novelty"] = exc
     try:
         extra["bitext_margin_mine"] = _bitext_slot(spark, sf_dir)
     except Exception as exc:
