@@ -35,10 +35,18 @@ def corpus_datasheet(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    include_linguistic: bool = False,
 ) -> DataFrame:
     """(metric, key, value) summary rows; value is always double.
     NULL-text documents count toward `docs` and `docs_null_text` but
-    contribute nothing to token/char totals or distributions."""
+    contribute nothing to token/char totals or distributions.
+
+    `include_linguistic=True` appends the corpus_stats shape page —
+    zipf_slope / zipf_r2 / hapax_frac / type_token_ratio / heaps_beta
+    / heaps_k — the deviation-from-natural-text alarms. Opt-in
+    because those fits run extra EAGER jobs (frequency ranks + the
+    Heaps checkpoint curve) beyond this function's three aggregation
+    jobs."""
     t = F.col(text_col)
     per_doc = docs.select(
         F.col(id_col),
@@ -108,9 +116,32 @@ def corpus_datasheet(
         .agg(F.count("*").cast("double").alias("value"))
         .select(F.lit("quality_decile").alias("metric"), "key", "value")
     )
-    return (
+    out = (
         _long(scalar_rows)
         .unionByName(_long(dup_rate))
         .unionByName(_long(langs))
         .unionByName(_long(deciles))
     )
+    if include_linguistic:
+        from .corpus_stats import heaps_fit, zipf_fit
+
+        zf = zipf_fit(docs.filter(F.col(text_col).isNotNull()), text_col)
+        hf = heaps_fit(
+            docs.filter(F.col(text_col).isNotNull()), text_col, id_col
+        )
+        ling = docs.sparkSession.createDataFrame(
+            [
+                (m, None, float(v))
+                for m, v in {
+                    "zipf_slope": zf["zipf_slope"],
+                    "zipf_r2": zf["zipf_r2"],
+                    "hapax_frac": zf["hapax_frac"],
+                    "type_token_ratio": zf["type_token_ratio"],
+                    "heaps_beta": hf["heaps_beta"],
+                    "heaps_k": hf["heaps_k"],
+                }.items()
+            ],
+            "metric string, key string, value double",
+        )
+        out = out.unionByName(ling)
+    return out

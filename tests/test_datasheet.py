@@ -60,3 +60,26 @@ def test_testdata_smoke(spark):
     assert sum(r["value"] for r in langs) == float(
         docs.filter(F.col("text").isNotNull()).count()
     )
+
+
+def test_linguistic_page_optional(spark):
+    """include_linguistic appends the corpus_stats shape rows, exactly
+    matching the standalone fits; default output carries none."""
+    from ecomm_datapipeline_spark.operators.corpus_stats import (
+        heaps_fit,
+        zipf_fit,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(80).cache()
+    base = corpus_datasheet(docs).collect()
+    assert not [r for r in base if r["metric"] == "zipf_slope"]
+
+    rows = corpus_datasheet(docs, include_linguistic=True).collect()
+    zf, hf = zipf_fit(docs), heaps_fit(docs)
+    assert _get(rows, "zipf_slope") == pytest.approx(zf["zipf_slope"])
+    assert _get(rows, "hapax_frac") == pytest.approx(zf["hapax_frac"])
+    assert _get(rows, "heaps_beta") == pytest.approx(hf["heaps_beta"])
+    # the non-linguistic rows are unchanged by the flag
+    assert _get(rows, "docs") == _get(base, "docs")
