@@ -94,11 +94,17 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
-    queries: (query_id_col, vec_col) — small, broadcast.
-    Deterministic ranking: (sim DESC, candidate id) tie-break.
+    queries: (query_id_col, vec_col) — broadcast by default (right up
+    to ~10^5 queries x typical dims). `broadcast_queries=False` drops
+    the hint for bigger batches: the cross join becomes a partitioned
+    cartesian (each task scores one candidate-block x query-block
+    pair), which is the only shape that exists for exact all-pairs at
+    that size — results identical, pinned in tests. Deterministic
+    ranking: (sim DESC, candidate id) tie-break.
     """
     c = _as_double(candidates, vec_col, "_cv").select(
         F.col(id_col), F.col("_cv"), _norm("_cv").alias("_cn")
@@ -107,7 +113,7 @@ def cosine_topk_bruteforce(
         F.col(query_id_col), F.col("_qv"), _norm("_qv").alias("_qn")
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q) if broadcast_queries else q)
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("sim", _dot("_cv", "_qv") / (F.col("_cn") * F.col("_qn")))
     )
@@ -127,12 +133,15 @@ def euclidean_topk_bruteforce(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Exact top-k EUCLIDEAN (squared-L2) neighbors per query vector —
     the distance PQ's ADC approximates, so this is the exact twin the
     oracle gate measures pq_topk recall against. Same shape as the
-    cosine variant: broadcast queries, per-pair HOF fold, two-stage
-    partial top-k. Deterministic ranking: (dist ASC, candidate id)."""
+    cosine variant: broadcast queries (or a partitioned cartesian via
+    `broadcast_queries=False` for batches too big to broadcast),
+    per-pair HOF fold, two-stage partial top-k. Deterministic
+    ranking: (dist ASC, candidate id)."""
     c = _as_double(candidates, vec_col, "_cv").select(F.col(id_col), "_cv")
     q = _as_double(queries, vec_col, "_qv").select(F.col(query_id_col), "_qv")
     dist = F.aggregate(
@@ -141,7 +150,7 @@ def euclidean_topk_bruteforce(
         lambda acc, x: acc + x,
     )
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.crossJoin(F.broadcast(q) if broadcast_queries else q)
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn("dist", dist)
     )

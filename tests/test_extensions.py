@@ -642,3 +642,35 @@ def test_pq_topk_join_plan_independent_of_query_count(spark, emb):
     # plan size must be query-count-invariant (same operator tree;
     # only runtime stats may differ) — allow small noise, not O(Q)
     assert abs(len(p2) - len(p50)) < max(200, len(p2) // 10)
+
+
+def test_bruteforce_no_broadcast_path_identical(spark, emb):
+    """broadcast_queries=False (the too-big-to-broadcast batch shape)
+    must return identical rows to the broadcast path for both metric
+    variants."""
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def rows(df, val):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r[val], r["rank"])
+            for r in df.collect()
+        )
+
+    a = rows(similarity.cosine_topk_bruteforce(emb, queries, k=4), "sim")
+    b = rows(
+        similarity.cosine_topk_bruteforce(
+            emb, queries, k=4, broadcast_queries=False
+        ),
+        "sim",
+    )
+    assert a == b
+    c = rows(similarity.euclidean_topk_bruteforce(emb, queries, k=4), "dist")
+    d = rows(
+        similarity.euclidean_topk_bruteforce(
+            emb, queries, k=4, broadcast_queries=False
+        ),
+        "dist",
+    )
+    assert c == d
