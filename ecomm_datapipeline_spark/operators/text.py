@@ -710,3 +710,93 @@ def chunk_documents(
         F.col("_c.chunk_text").alias("chunk_text"),
         F.col("_c.n_tokens").alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode script profile (r6) — the orthographic complement of the
+# n-gram lang-id: which WRITING SYSTEMS a document's characters come
+# from. Mixed-script text flags spam/homoglyph attacks and encoding
+# damage (mojibake) that a token-level language model scores as merely
+# "unusual"; single-script fractions also sanity-check lang-id output
+# (predicted "en" with 0.6 CJK fraction is a bug, somewhere).
+# ---------------------------------------------------------------------------
+
+# Script -> character-class regex over the dominant Unicode blocks.
+# Deliberately block-based (not \p{Script=...}, which DuckDB's RE2
+# twin also supports only partially): portable across JVM regex, RE2,
+# and Python for the differential tests.
+SCRIPT_CLASSES = {
+    "latin": r"[A-Za-zÀ-ɏ]",
+    "cyrillic": r"[Ѐ-ӿ]",
+    "greek": r"[Ͱ-Ͽ]",
+    "arabic": r"[؀-ۿ]",
+    "hebrew": r"[֐-׿]",
+    "devanagari": r"[ऀ-ॿ]",
+    "cjk": r"[一-鿿぀-ヿ가-힯]",
+    "digit": r"[0-9]",
+}
+
+
+def script_profile_cols(text_col: Column | str) -> dict[str, Column]:
+    """{script}_frac columns: fraction of NON-WHITESPACE characters in
+    each script class, plus other_frac (whatever no class claims) and
+    main_script (argmax via struct array_max, ties deterministically
+    to the lexicographically GREATEST script name — struct comparison
+    order). NULL/empty/whitespace-only text: fractions 0.0,
+    main_script NULL. Pure per-row regexp counts — zero shuffle at
+    any size."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    base = F.length(F.regexp_replace(t, r"\s", ""))
+    denom = F.when(base > 0, base.cast("double"))
+    fracs = {
+        f"{name}_frac": F.coalesce(
+            _count_matches(t, cls).cast("double") / denom, F.lit(0.0)
+        )
+        for name, cls in SCRIPT_CLASSES.items()
+    }
+    covered = None
+    for c in fracs.values():
+        covered = c if covered is None else covered + c
+    fracs["other_frac"] = F.coalesce(
+        F.greatest(F.lit(0.0), F.lit(1.0) - covered), F.lit(0.0)
+    )
+    pairs = F.array(
+        *[
+            F.struct(fracs[f"{n}_frac"].alias("f"), F.lit(n).alias("s"))
+            for n in sorted(SCRIPT_CLASSES)
+        ]
+    )
+    best = F.array_max(pairs)
+    fracs["main_script"] = F.when(
+        base > 0, best["s"]
+    )
+    return fracs
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, {script}_frac..., other_frac, main_script) per document."""
+    cols = script_profile_cols(text_col)
+    return df.select(
+        F.col(id_col), *[c.alias(n) for n, c in cols.items()]
+    )
+
+
+def mixed_script_filter(
+    df: DataFrame,
+    min_main_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows whose dominant script covers >= min_main_frac of non-space
+    characters (digits and unclassified characters count against it —
+    the homoglyph/mojibake gate). Tokenless docs PASS (no evidence);
+    a plain filter predicate, no join."""
+    if not 0.0 < min_main_frac <= 1.0:
+        raise ValueError(f"min_main_frac must be in (0, 1]: {min_main_frac}")
+    cols = script_profile_cols(text_col)
+    best_frac = F.greatest(
+        *[cols[f"{n}_frac"] for n in SCRIPT_CLASSES if n != "digit"]
+    )
+    return df.filter(cols["main_script"].isNull() | (best_frac >= min_main_frac))

@@ -1,0 +1,90 @@
+"""Unicode script profile (operators/text.py r6): DuckDB regex
+differential, hand-pinned multilingual rows, mixed-script gate
+semantics, and the zero-shuffle plan pin."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import text as t
+
+ROWS = [
+    (1, "hello plain english text"),
+    (2, "привет мир как дела сегодня"),
+    (3, "这是中文文本 示例"),
+    (4, "абвгд abcde"),  # exactly 50/50 cyrillic/latin
+    (5, "مرحبا بالعالم"),
+    (6, "12345 67890"),
+    (7, "   "),
+    (8, None),
+    (9, "καλημέρα κόσμε"),
+    (10, "नमस्ते दुनिया"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_matches_duckdb_reference(spark, docs):
+    got = {r["doc_id"]: r.asDict() for r in t.script_profile(docs).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", ROWS)
+    for name, cls in t.SCRIPT_CLASSES.items():
+        want = dict(
+            con.execute(
+                r"""
+                SELECT doc_id,
+                  CASE WHEN length(regexp_replace(text, '\s', '', 'g')) > 0
+                       THEN len(regexp_extract_all(text, ?))::DOUBLE
+                            / length(regexp_replace(text, '\s', '', 'g'))
+                       ELSE 0.0 END
+                FROM d WHERE text IS NOT NULL
+                """,
+                [cls],
+            ).fetchall()
+        )
+        for did, frac in want.items():
+            assert got[did][f"{name}_frac"] == pytest.approx(frac, abs=1e-12), (
+                did,
+                name,
+            )
+
+
+def test_hand_pinned_main_scripts(spark, docs):
+    got = {
+        r["doc_id"]: (r["main_script"], r["other_frac"])
+        for r in t.script_profile(docs).collect()
+    }
+    assert got[1][0] == "latin"
+    assert got[2][0] == "cyrillic"
+    assert got[3][0] == "cjk"
+    assert got[5][0] == "arabic"
+    assert got[6][0] == "digit"
+    assert got[9][0] == "greek"
+    assert got[10][0] == "devanagari"
+    assert got[7][0] is None and got[8][0] is None  # no evidence
+    # fully classified rows leak nothing into other_frac
+    assert got[1][1] == pytest.approx(0.0, abs=1e-12)
+    assert got[2][1] == pytest.approx(0.0, abs=1e-12)
+
+
+def test_mixed_script_gate(spark, docs):
+    kept = {
+        r["doc_id"] for r in t.mixed_script_filter(docs, min_main_frac=0.6).collect()
+    }
+    # single-script rows pass; the two-script row 4 is near 50/50 and
+    # drops; digits-only row 6 drops (digits never count as a main
+    # script for the gate); no-evidence rows pass
+    assert {1, 2, 3, 5, 9, 10, 7, 8} <= kept
+    assert 4 not in kept and 6 not in kept
+    with pytest.raises(ValueError, match="min_main_frac"):
+        t.mixed_script_filter(docs, min_main_frac=0.0)
+
+
+def test_zero_shuffle(spark, docs):
+    for out in (t.script_profile(docs), t.mixed_script_filter(docs)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan, plan
