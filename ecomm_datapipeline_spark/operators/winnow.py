@@ -1,0 +1,129 @@
+"""Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+the MOSS algorithm) — local-minimum selection over rolling k-gram
+hashes.
+
+`substrings.window_occurrences` emits EVERY rolling window hash —
+right for exact shared-span REMOVAL, but its corpus-sized (id, pos,
+hash) table is ~L rows per document. Winnowing keeps only each
+w-window's MINIMUM hash (rightmost on ties, per the paper), selecting
+an expected 2/(w+1) of positions while preserving the paper's
+guarantee: any shared token run of length >= t = w + k - 1 still
+shares at least one SELECTED fingerprint. That makes
+overlap-detection joins ~w/2 x cheaper at the same detection
+threshold t — the shape difference between "find every copied span"
+(substrings) and "find which documents copied" (this module).
+
+Per row, everything is HOF folds (k-gram hashes, then the window-min
+scan) — the exploded output is fingerprints only. The overlap join
+groups by an 8-byte hash, df-prunes ubiquitous fingerprints
+(boilerplate — same trade as the dedup blockers, reported via the cap
+argument, never silent), and counts shared fingerprints per pair.
+
+Verification: from-scratch Python winnow parity on Spark's own hash
+values, the >= t shared-run guarantee under planted spans, and the
+expected-density bound (tests/test_winnow.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens as _ws_tokens
+
+
+def _kgram_hashes(lt: Column, k: int) -> Column:
+    """array<long>: xxhash64 of each k-token gram (positions 1..L-k+1)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(lt) - k + 1, F.lit(0))),
+        lambda p: F.xxhash64(F.concat_ws("\x01", F.slice(lt, p, k))),
+    )
+
+
+def winnow_cols(
+    text_col: Column | str, k: int = 5, w: int = 4
+) -> Column:
+    """array<long> of winnowed fingerprints for one document: the
+    distinct window-minimum k-gram hashes (rightmost minimum per
+    window — the robust-winnowing tie rule). One fold over window
+    start positions; grams array BOUND as a lambda variable first
+    (the shingle_array_all O(L²) trap)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    lt = _ws_tokens(F.lower(t))
+
+    def _select(grams: Column) -> Column:
+        n_windows = F.greatest(F.size(grams) - w + 1, F.lit(0))
+        # rightmost minimum of grams[p .. p+w-1]: fold positions in
+        # REVERSE preference by scanning left-to-right keeping <=
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda p: F.array_min(F.slice(grams, p, w)),
+            )
+        )
+
+    # rightmost-tie selection note: array_min returns the minimum
+    # VALUE; ties between equal hash values select the same value, so
+    # the distinct fingerprint SET is identical whichever occurrence
+    # wins — position choice only matters for span reporting, which
+    # this module does not do (substrings.py does).
+    return F.when(
+        F.size(lt) >= k + w - 1,
+        F.element_at(F.transform(F.array(_kgram_hashes(lt, k)), _select), 1),
+    ).otherwise(F.array().cast("array<long>"))
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fp): exploded winnowed fingerprints — expected ~2/(w+1) of
+    the document's gram positions, 8-byte keys only."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1: k={k}, w={w}")
+    return docs.select(
+        F.col(id_col),
+        F.explode(winnow_cols(text_col, k, w)).alias("fp"),
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, shared_fps) with id_a < id_b: document pairs
+    sharing >= min_shared winnowed fingerprints — the MOSS overlap
+    report. Any shared token run of length >= w + k - 1 contributes
+    at least one shared fingerprint (the winnowing guarantee), so
+    min_shared=1 catches single copied spans of that length.
+
+    `max_fp_freq` df-prunes fingerprints appearing in more documents
+    (boilerplate floods would otherwise go quadratic in the pair
+    join); prune before pairing, same contract as the dedup blockers.
+    Set None to disable."""
+    fps = winnow_fingerprints(docs, k, w, text_col, id_col).distinct()
+    if max_fp_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.countDistinct(id_col).alias("_df"))
+            .filter(F.col("_df") > max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

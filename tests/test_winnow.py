@@ -1,0 +1,108 @@
+"""Winnowing fingerprints (operators/winnow.py): from-scratch Python
+parity on Spark's own k-gram hashes, the shared-run guarantee, the
+density bound, overlap-pair semantics, and df-pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import winnow
+
+K, W = 3, 4
+
+
+def _spark_kgram_hashes(spark, text):
+    """Spark's xxhash64 values for text's k-grams (ground truth the
+    Python reference wins from — the vectorize-test pattern: verify
+    everything downstream of the hash)."""
+    df = spark.createDataFrame([(text,)], ["text"])
+    row = df.select(
+        winnow._kgram_hashes(
+            winnow._ws_tokens(F.lower(F.col("text"))), K
+        ).alias("h")
+    ).first()
+    return list(row["h"])
+
+
+def _py_winnow(grams, w):
+    out = set()
+    for p in range(len(grams) - w + 1):
+        out.add(min(grams[p : p + w]))
+    return out
+
+
+def test_matches_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a b c d e f g h i j k l m n o p",
+        "repeat repeat repeat repeat repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {}
+    for r in winnow.winnow_fingerprints(df, k=K, w=W).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    for i, t in enumerate(texts):
+        grams = _spark_kgram_hashes(spark, t)
+        assert got.get(i, set()) == _py_winnow(grams, W), i
+
+
+def test_short_docs_yield_nothing(spark):
+    df = spark.createDataFrame(
+        [(1, "too short"), (2, " ".join(["w"] * (K + W - 2)))],
+        "doc_id long, text string",
+    )
+    assert winnow.winnow_fingerprints(df, k=K, w=W).count() == 0
+    with pytest.raises(ValueError, match="k and w"):
+        winnow.winnow_fingerprints(df, k=0)
+
+
+def test_shared_run_guarantee_and_overlap(spark):
+    """Two documents sharing a token run of length >= k + w - 1 must
+    share a fingerprint (the winnowing guarantee); disjoint documents
+    share none."""
+    span = "alpha beta gamma delta epsilon zeta"  # 6 tokens >= 3+4-1
+    rows = [
+        (1, f"unrelated prefix one {span} suffix here"),
+        (2, f"totally different opening {span} and another tail"),
+        (3, "no overlap with anything else at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["shared_fps"]
+        for r in winnow.winnow_overlap_pairs(
+            df, k=K, w=W, min_shared=1, max_fp_freq=None
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all(3 not in p for p in pairs)
+
+
+def test_density_bound(spark):
+    """Winnowing selects far fewer positions than full window hashing:
+    expected 2/(w+1) of grams; assert a loose < 60% bound on varied
+    natural-ish text."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    n_grams = docs.select(
+        F.sum(
+            F.greatest(
+                F.size(winnow._ws_tokens(F.lower(F.col("text")))) - K + 1,
+                F.lit(0),
+            )
+        ).alias("n")
+    ).first()["n"]
+    n_fps = winnow.winnow_fingerprints(docs, k=K, w=W).count()
+    assert 0 < n_fps < 0.6 * n_grams
+
+
+def test_df_pruning_drops_boilerplate(spark):
+    tmpl = "this exact boilerplate sentence appears in every document here"
+    rows = [(i, f"{tmpl} unique tail {i} {'x'*(i%3)} y{i} z{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unpruned = winnow.winnow_overlap_pairs(
+        df, k=K, w=W, min_shared=1, max_fp_freq=None
+    ).count()
+    pruned = winnow.winnow_overlap_pairs(
+        df, k=K, w=W, min_shared=1, max_fp_freq=4
+    ).count()
+    assert unpruned >= pruned  # hot template fingerprints pruned
