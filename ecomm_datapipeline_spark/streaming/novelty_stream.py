@@ -1,0 +1,163 @@
+"""Streaming novelty scoring: duplicated-n-gram fractions against the
+corpus-so-far.
+
+Batch `novelty.ngram_novelty` answers "how much of this document
+appears elsewhere in THIS corpus". The streaming question is causal:
+"how much of this arriving document has the corpus ALREADY seen" —
+the online curation gate that rejects boilerplate floods as they
+arrive instead of in a nightly recompute.
+
+State is the gram document-frequency rollup, and it is MERGEABLE
+under the streaming contract that each document arrives exactly once
+(micro-batches hold disjoint documents, so per-batch df deltas add
+exactly — the token-counts/histogram append-only shape, no
+read-modify-write). Per micro-batch:
+
+1. append the batch's own (gram_hash, df) delta (replay-guarded by
+   batch id);
+2. score the batch's documents against the MERGED rollup — which now
+   includes the batch itself, so a duplicate WITHIN the arriving
+   batch is caught too;
+3. append (doc, n_grams, n_shared, dup_ngram_frac, _batch_id) to the
+   scores table.
+
+Scoring semantics (documented, asserted in tests): a document's score
+is measured against everything ingested UP TO AND INCLUDING its own
+batch. The LAST batch's scores therefore equal the batch operator's
+scores over the full corpus; earlier batches' scores are causal
+lower bounds (a gram later re-seen doesn't retroactively change an
+old score — rescore offline with novelty.ngram_novelty if final
+scores are needed).
+
+Crash window: a crash between steps 1 and 3 leaves the df delta
+committed but no scores; the replay detects the committed batch id in
+the DF table and re-runs ONLY the scoring+append against the same
+merged state (df skip + scores-append idempotence guard), so scores
+are exactly-once too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.dedup import shingle_array
+from ..sources import tables
+
+_BATCH_COL = "_batch_id"
+_DF_DIR = "gram_df"
+_SCORES_DIR = "scores"
+
+
+def _batch_grams(batch: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    return batch.select(
+        F.col(id_col),
+        F.explode(shingle_array(text_col, k)).alias("_sh"),
+    ).select(id_col, F.xxhash64("_sh").alias("gram_hash"))
+
+
+def novelty_stream(
+    docs_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the maintainer. `state_path` holds two tables:
+    `gram_df` (the mergeable frequency rollup) and `scores` (one row
+    per ingested document)."""
+    df_path = os.path.join(state_path, _DF_DIR)
+    scores_path = os.path.join(state_path, _SCORES_DIR)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        grams = _batch_grams(batch, text_col, id_col, k).localCheckpoint()
+
+        df_done = tables.table_exists(df_path) and (
+            tables.read_table(spark, df_path)
+            .filter(F.col(_BATCH_COL) == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if not df_done:
+            delta = (
+                grams.groupBy("gram_hash")
+                .agg(F.countDistinct(id_col).alias("df"))
+                .withColumn(_BATCH_COL, F.lit(batch_id))
+            )
+            tables.write_table(delta, df_path, mode="append")
+
+        scores_done = tables.table_exists(scores_path) and (
+            tables.read_table(spark, scores_path)
+            .filter(F.col(_BATCH_COL) == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        )
+        if scores_done:
+            return  # full replay of a committed batch
+        merged = (
+            tables.read_table(spark, df_path)
+            .groupBy("gram_hash")
+            .agg(F.sum("df").alias("df"))
+        )
+        scored = (
+            grams.join(merged, "gram_hash")
+            .groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_grams"),
+                F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+            )
+            .withColumn(
+                "dup_ngram_frac",
+                F.col("n_shared").cast("double") / F.col("n_grams"),
+            )
+        )
+        # gram-free docs in the batch get NULL rows (the batch
+        # operator's contract), restored from the batch scan
+        empty = batch.filter(
+            F.size(shingle_array(text_col, k)) == 0
+        ).select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("n_grams"),
+            F.lit(None).cast("long").alias("n_shared"),
+            F.lit(None).cast("double").alias("dup_ngram_frac"),
+        )
+        out = scored.unionByName(empty).withColumn(
+            _BATCH_COL, F.lit(batch_id)
+        )
+        tables.write_table(out, scores_path, mode="append")
+
+    writer = docs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_novelty_scores(spark: SparkSession, state_path: str) -> DataFrame:
+    """(doc_id, n_grams, n_shared, dup_ngram_frac, _batch_id) for every
+    ingested document — causal scores (see module docstring)."""
+    return tables.read_table(spark, os.path.join(state_path, _SCORES_DIR))
+
+
+def compact_gram_df(spark: SparkSession, state_path: str) -> None:
+    """Collapse the df rollup to one row per gram (max batch id kept
+    for replay detection), staged + atomic swap."""
+    df_path = os.path.join(state_path, _DF_DIR)
+    deltas = tables.read_table(spark, df_path)
+    compacted = deltas.groupBy("gram_hash").agg(
+        F.sum("df").alias("df"), F.max(_BATCH_COL).alias(_BATCH_COL)
+    )
+    tmp = df_path.rstrip("/") + "._compact_tmp"
+    tables.write_table(compacted, tmp, mode="overwrite")
+    tables._swap_into(tmp, df_path)

@@ -1,0 +1,132 @@
+"""Streaming novelty scorer (streaming/novelty_stream.py): causal
+semantics (last batch == batch operator over the full corpus;
+within-batch dups caught), replay idempotence incl. the df-committed/
+scores-missing crash window, NULL rows for gram-free docs, and
+compaction."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.novelty import ngram_novelty
+from ecomm_datapipeline_spark.sources import tables
+from ecomm_datapipeline_spark.streaming import novelty_stream as ns
+
+K = 3
+TMPL = "this exact template sentence repeats in many documents"
+
+
+def _write_batch(landing, name, rows):
+    with open(os.path.join(landing, name), "w") as f:
+        for did, text in rows:
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+
+
+@pytest.fixture()
+def env(tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    return {
+        "landing": landing,
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _drain(spark, env, ckpt=None):
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(env["landing"])
+    )
+    q = ns.novelty_stream(stream, env["state"], ckpt or env["ckpt"], k=K)
+    q.awaitTermination(180)
+    return q
+
+
+B1 = [
+    (1, f"{TMPL} alpha beta"),
+    (2, "completely original first text about rivers"),
+    (3, "xy"),  # gram-free (2 tokens < k)
+]
+B2 = [
+    (4, f"{TMPL} gamma delta"),          # template re-seen -> shared
+    (5, f"{TMPL} gamma delta"),          # exact within-batch dup of 4
+    (6, "another fully novel document entirely"),
+]
+
+
+def _scores(spark, env):
+    return {
+        r["doc_id"]: (r["n_shared"], r["dup_ngram_frac"], r["_batch_id"])
+        for r in ns.read_novelty_scores(spark, env["state"]).collect()
+    }
+
+
+def test_causal_semantics(spark, env):
+    _write_batch(env["landing"], "b1.json", B1)
+    _write_batch(env["landing"], "b2.json", B2)
+    _drain(spark, env)
+    got = _scores(spark, env)
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # batch 1: nothing seen before -> zero shared; gram-free doc NULL
+    assert got[1][0] == 0 and got[2][0] == 0
+    assert got[3] == (None, None, got[3][2])
+    # batch 2: template grams were seen in batch 1 -> doc 4 shares
+    # them; docs 4 and 5 are identical twins IN the same batch -> both
+    # fully shared (the merged rollup includes the batch itself)
+    assert got[4][1] > 0.5
+    assert got[5][1] == 1.0 and got[4][1] == 1.0
+    assert got[6][0] == 0
+
+    # LAST batch's scores == the batch operator over the full corpus
+    all_docs = spark.createDataFrame(B1 + B2, "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["n_shared"], r["dup_ngram_frac"])
+        for r in ngram_novelty(all_docs, k=K).collect()
+    }
+    for did in (4, 5, 6):
+        assert (got[did][0], got[did][1]) == want[did], did
+
+
+def test_replay_idempotent_and_crash_window(spark, env):
+    _write_batch(env["landing"], "b1.json", B1)
+    _drain(spark, env)
+    before = _scores(spark, env)
+    n_df = tables.read_table(spark, os.path.join(env["state"], "gram_df")).count()
+
+    # full replay from a fresh checkpoint: nothing changes
+    _drain(spark, env, ckpt=env["ckpt"] + "2")
+    assert _scores(spark, env) == before
+    assert (
+        tables.read_table(spark, os.path.join(env["state"], "gram_df")).count()
+        == n_df
+    )
+
+    # crash window: df committed, scores missing -> replay re-scores
+    # against the SAME merged state without double-appending df
+    scores_path = os.path.join(env["state"], "scores")
+    import shutil
+
+    shutil.rmtree(scores_path)
+    _drain(spark, env, ckpt=env["ckpt"] + "3")
+    assert _scores(spark, env) == before
+    assert (
+        tables.read_table(spark, os.path.join(env["state"], "gram_df")).count()
+        == n_df
+    )
+
+
+def test_compaction_preserves_answers(spark, env):
+    _write_batch(env["landing"], "b1.json", B1)
+    _drain(spark, env)
+    ns.compact_gram_df(spark, env["state"])
+    dfr = tables.read_table(spark, os.path.join(env["state"], "gram_df"))
+    assert dfr.count() == dfr.select("gram_hash").distinct().count()
+    # post-compaction batches still score against full history
+    _write_batch(env["landing"], "b2.json", B2)
+    _drain(spark, env)
+    got = _scores(spark, env)
+    assert got[4][1] == 1.0  # template + twin grams all seen
