@@ -1,0 +1,91 @@
+"""Quality-classifier head training over embedding columns.
+
+`similarity.linear_classifier_score` applies a linear head as a plan
+literal — the serving contract ("train a small head offline"). This
+module IS that offline step, in-engine: MLlib LogisticRegression
+(the library-delegated iterative solver, like ALS and KMeans) fit on
+an (embedding, label) frame, returning plain Python weights/bias that
+feed straight back into the serving expression. The full loop —
+hashed TF-IDF or neural embeddings → train → corpus-wide zero-shuffle
+scoring → AUC — runs with no external model at any point (the
+DCLM/fastText-style quality-classifier pattern).
+
+Scale: training reads one (dim+1)-wide projection of the labeled
+frame (labeled sets are samples, not corpora — fit on
+sampling.deterministic_sample output); the returned model is O(dim)
+floats. Scoring cost is the serving expression's: zero shuffle, zero
+Python, whole corpus.
+
+Determinism: LBFGS on a fixed dataset is deterministic given fixed
+partitioning of the (small) training frame; tests pin
+repartition-stability of the SCORES (weights may differ in late ulps
+across layouts — the treeAggregate sum-order caveat — but planted
+structure recovery and score ranking must not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_linear_classifier(
+    labeled: DataFrame,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    reg: float = 0.0,
+    elastic_net: float = 0.0,
+    max_iter: int = 100,
+) -> tuple[list[float], float]:
+    """(weights, bias) of a logistic-regression head fit on
+    (emb_col: array<float>, label_col: 0/1). Rows with NULL embedding
+    or NULL label are dropped (counted against you loudly: raises if
+    NOTHING survives, or if only one class is present — a head trained
+    on one class scores constant and poisons every downstream
+    filter)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    clean = labeled.filter(
+        F.col(emb_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    train = clean.select(
+        array_to_vector(F.col(emb_col).cast("array<double>")).alias("features"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    classes = [r["label"] for r in train.select("label").distinct().collect()]
+    if not classes:
+        raise ValueError("no usable rows: all embeddings/labels NULL")
+    if len(classes) < 2:
+        raise ValueError(
+            f"need both classes to train; only label={classes[0]} present"
+        )
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg, elasticNetParam=elastic_net
+    )
+    model = lr.fit(train)
+    return [float(w) for w in model.coefficients], float(model.intercept)
+
+
+def train_and_score(
+    labeled: DataFrame,
+    corpus: DataFrame,
+    emb_col: str = "embedding",
+    label_col: str = "label",
+    out_col: str = "clf_score",
+    sigmoid: bool = True,
+    **train_kwargs,
+) -> DataFrame:
+    """One call for the whole loop: fit the head on `labeled`, score
+    `corpus` with the serving expression (weights as plan literals —
+    zero shuffle, zero Python on the corpus side). Returns corpus +
+    out_col; `sigmoid=True` yields probabilities."""
+    from .similarity import linear_classifier_score
+
+    weights, bias = train_linear_classifier(
+        labeled, emb_col, label_col, **train_kwargs
+    )
+    return linear_classifier_score(
+        corpus, weights, bias=bias, emb_col=emb_col, out_col=out_col,
+        sigmoid=sigmoid,
+    )

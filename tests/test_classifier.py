@@ -1,0 +1,86 @@
+"""Quality-classifier training (operators/classifier.py): planted
+linear structure recovered (AUC ~ 1 on held-out), composition with
+the serving expression and the TF-IDF vectorizer (fully encoder-free
+loop), guards, and ranking stability under repartitioning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import classifier
+from ecomm_datapipeline_spark.operators.metrics import auc
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """400 vectors; label = 1 iff w*.x > 0 for a fixed hidden w* (a
+    perfectly linearly separable problem LBFGS must nail)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(400, DIM))
+    w_star = rng.normal(size=DIM)
+    y = (X @ w_star > 0).astype(int)
+    rows = [(i, [float(v) for v in X[i]], int(y[i])) for i in range(400)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_recovers_planted_structure(spark, planted):
+    train = planted.filter(F.col("vec_id") < 300)
+    held = planted.filter(F.col("vec_id") >= 300)
+    scored = classifier.train_and_score(train, held)
+    a = auc(scored, score_col="clf_score", label_col="label")
+    assert a > 0.97, a
+    # probabilities, since sigmoid=True
+    mm = scored.agg(
+        F.min("clf_score").alias("lo"), F.max("clf_score").alias("hi")
+    ).first()
+    assert 0.0 <= mm["lo"] and mm["hi"] <= 1.0
+
+
+def test_encoder_free_loop_tfidf_to_head(spark):
+    """hashed TF-IDF -> train -> score: label = doc mentions 'spark';
+    the head must separate by vocabulary with no neural encoder."""
+    from ecomm_datapipeline_spark.operators.vectorize import (
+        hashed_tfidf_vectors,
+    )
+
+    rows = [(i, f"doc about spark jobs and shuffles number {i}", 1) for i in range(30)]
+    rows += [(100 + i, f"essay on gardening and rivers number {i}", 0) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    vecs = hashed_tfidf_vectors(docs, dim=64).join(
+        docs.select("doc_id", "label"), "doc_id"
+    )
+    train = vecs.filter(F.col("doc_id") % 3 != 0)
+    held = vecs.filter(F.col("doc_id") % 3 == 0)
+    scored = classifier.train_and_score(train, held)
+    assert auc(scored, score_col="clf_score", label_col="label") > 0.95
+
+
+def test_guards(spark, planted):
+    one_class = planted.filter(F.col("label") == 1)
+    with pytest.raises(ValueError, match="both classes"):
+        classifier.train_linear_classifier(one_class)
+    nulls = spark.createDataFrame(
+        [(1, None, 1), (2, None, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="no usable rows"):
+        classifier.train_linear_classifier(nulls)
+
+
+def test_score_ranking_stable_under_repartition(spark, planted):
+    train = planted.filter(F.col("vec_id") < 300)
+    held = planted.filter(F.col("vec_id") >= 300)
+
+    def ranked(tr):
+        out = classifier.train_and_score(tr, held)
+        return [
+            r["vec_id"]
+            for r in out.orderBy(F.desc("clf_score"), "vec_id").collect()
+        ]
+
+    assert ranked(train) == ranked(train.repartition(13))
