@@ -1,0 +1,145 @@
+"""Document structure: markdown sectioning and content-shape signals.
+
+RAG and pretraining preps both need structure the flat text hides:
+retrieval chunks should follow SECTION boundaries (a chunk spanning
+two headers retrieves badly), and corpus mixing wants to know how
+much of a document is code, tables, or lists versus prose (the
+"code fraction" knob in pretraining mixes). Both are per-row work:
+
+* `split_markdown_sections`: one `F.aggregate` fold over the line
+  array groups lines under their governing ATX header (`#`..`######`)
+  — an array<struct<header, body>> per document, exploded to one row
+  per section with its index and level. Text before the first header
+  becomes a NULL-header preamble section. The fold preserves every
+  line verbatim (reconstruction invariant pinned in tests: headers +
+  bodies re-interleave to the exact original text).
+* `content_shape_cols`: line-class fractions — code (indent/brace
+  heuristics), table (markdown pipe rows), bullet, header, blank —
+  as pure column expressions over one split. The DuckDB differential
+  pins each class regex.
+
+Zero shuffle, zero Python, any corpus size; `chunk_documents`
+(operators/text.py) composes downstream of the section rows for
+size-bounded chunks that never cross a header.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SECTION_T = "array<struct<header:string,level:int,body:string>>"
+_HEADER_RE = r"^#{1,6} "
+
+# Line-class regexes: portable (JVM regex / RE2 / Python) and
+# deliberately simple — these are mixing SIGNALS, not parsers.
+LINE_CLASSES = {
+    "code": r"^(    |\t)|[{};]\s*$",
+    "table": r"^\s*\|.*\|\s*$",
+    "bullet": r"^\s*([-*+]|\d+\.) ",
+    "header": _HEADER_RE,
+    "blank": r"^\s*$",
+}
+
+
+def _lines(text_col: Column) -> Column:
+    return F.split(text_col, "\n")
+
+
+def sections_col(text_col: Column | str) -> Column:
+    """array<struct<header, level, body>> for one document — ONE fold
+    over the line array. header is the full header line (NULL for the
+    preamble); level is the number of #s (0 preamble); body is the
+    lines under it joined with \\n ('' for a header with no body)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    init = F.lit(None).cast(_SECTION_T)
+
+    def step(acc: Column, line: Column) -> Column:
+        is_header = line.rlike(_HEADER_RE)
+        level = F.length(F.regexp_extract(line, r"^(#{1,6}) ", 1)).cast("int")
+        new_sec = F.struct(
+            line.alias("header"), level.alias("level"), F.lit("").alias("body")
+        )
+        preamble = F.struct(
+            F.lit(None).cast("string").alias("header"),
+            F.lit(0).alias("level"),
+            line.alias("body"),
+        )
+        base = F.coalesce(acc, F.array().cast(_SECTION_T))
+        last = F.element_at(base, -1)
+        grown = F.struct(
+            last["header"].alias("header"),
+            last["level"].alias("level"),
+            F.when(
+                (last["body"] == "") & last["header"].isNotNull(), line
+            ).otherwise(F.concat(last["body"], F.lit("\n"), line)).alias("body"),
+        )
+        return (
+            F.when(is_header, F.concat(base, F.array(new_sec)))
+            .when(F.size(base) == 0, F.array(preamble))
+            .otherwise(F.concat(F.slice(base, 1, F.size(base) - 1), F.array(grown)))
+        )
+
+    return F.aggregate(_lines(t), init, step)
+
+
+def split_markdown_sections(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, section_idx, header, level, body): one row per section in
+    document order (0-based index). NULL text yields no rows; a
+    headerless document yields exactly one preamble section holding
+    the whole text."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(sections_col(text_col)).alias("section_idx", "_s"),
+    ).select(
+        id_col,
+        "section_idx",
+        F.col("_s.header").alias("header"),
+        F.col("_s.level").alias("level"),
+        F.col("_s.body").alias("body"),
+    )
+
+
+def content_shape_cols(text_col: Column | str) -> dict[str, Column]:
+    """{cls}_line_frac per LINE_CLASSES plus n_lines and
+    prose_line_frac (lines in no class). NULL text: fractions 0.0,
+    n_lines 0. One split, pure expressions."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = _lines(t)
+    n = F.coalesce(F.size(lines), F.lit(0))
+    denom = F.when(n > 0, n.cast("double"))
+    out: dict[str, Column] = {"n_lines": F.greatest(n, F.lit(0))}
+    covered = None
+    for name, pat in LINE_CLASSES.items():
+        cnt = F.size(F.filter(lines, lambda ln: ln.rlike(pat)))
+        frac = F.coalesce(cnt.cast("double") / denom, F.lit(0.0))
+        out[f"{name}_line_frac"] = frac
+        covered = frac if covered is None else covered + frac
+    # classes can overlap (an indented bullet is code AND bullet), so
+    # prose is computed from lines matching NO class, not 1 - sum
+    none_cnt = F.size(
+        F.filter(
+            lines,
+            lambda ln: ~F.coalesce(
+                F.lit(False)
+                | ln.rlike(LINE_CLASSES["code"])
+                | ln.rlike(LINE_CLASSES["table"])
+                | ln.rlike(LINE_CLASSES["bullet"])
+                | ln.rlike(LINE_CLASSES["header"])
+                | ln.rlike(LINE_CLASSES["blank"]),
+                F.lit(False),
+            ),
+        )
+    )
+    out["prose_line_frac"] = F.coalesce(none_cnt.cast("double") / denom, F.lit(0.0))
+    return out
+
+
+def content_shape(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, n_lines, {cls}_line_frac..., prose_line_frac) per doc."""
+    cols = content_shape_cols(text_col)
+    return df.select(F.col(id_col), *[c.alias(n) for n, c in cols.items()])

@@ -1,0 +1,134 @@
+"""Markdown structure (operators/segments.py): reconstruction
+invariant (sections re-interleave to the exact original text),
+hand-pinned sectioning, DuckDB regex differential for line-class
+fractions, NULL semantics, zero-shuffle pin."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import segments
+
+MD = """preamble line one
+preamble line two
+
+# Title
+intro text
+more intro
+
+## Setup
+step one
+step two
+
+### Deep
+detail
+
+## Usage
+| a | b |
+| 1 | 2 |
+- bullet one
+- bullet two
+
+    indented code line
+done"""
+
+ROWS = [
+    (1, MD),
+    (2, "no headers at all\njust prose"),
+    (3, "# only a header"),
+    (4, ""),
+    (5, None),
+    (6, "# h\nbody\n# h2"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_hand_pinned_sections(spark, docs):
+    rows = sorted(
+        (
+            (r["doc_id"], r["section_idx"], r["header"], r["level"], r["body"])
+            for r in segments.split_markdown_sections(docs).collect()
+        )
+    )
+    by_doc = {}
+    for did, idx, header, level, body in rows:
+        by_doc.setdefault(did, []).append((idx, header, level, body))
+    assert [h for _, h, _, _ in by_doc[1]] == [
+        None, "# Title", "## Setup", "### Deep", "## Usage",
+    ]
+    assert [lv for _, _, lv, _ in by_doc[1]] == [0, 1, 2, 3, 2]
+    assert by_doc[1][0][3] == "preamble line one\npreamble line two\n"
+    assert by_doc[1][3][3] == "detail\n"
+    assert by_doc[2] == [(0, None, 0, "no headers at all\njust prose")]
+    assert by_doc[3] == [(0, "# only a header", 1, "")]
+    assert by_doc[4] == [(0, None, 0, "")]
+    assert 5 not in by_doc  # NULL text -> no rows
+    assert [h for _, h, _, _ in by_doc[6]] == ["# h", "# h2"]
+
+
+@pytest.mark.parametrize("did", [1, 2, 3, 6])
+def test_reconstruction_invariant(spark, docs, did):
+    """Interleaving headers and bodies in section order rebuilds the
+    original text byte-for-byte."""
+    original = dict(ROWS)[did]
+    secs = sorted(
+        (r["section_idx"], r["header"], r["body"])
+        for r in segments.split_markdown_sections(
+            docs.filter(F.col("doc_id") == did)
+        ).collect()
+    )
+    parts = []
+    for _, header, body in secs:
+        if header is not None:
+            parts.append(header)
+        if body != "" or header is None:
+            parts.append(body)
+    assert "\n".join(parts) == original
+
+
+def test_line_fracs_match_duckdb(spark, docs):
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in segments.content_shape(docs).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", ROWS)
+    for name, pat in segments.LINE_CLASSES.items():
+        want = dict(
+            con.execute(
+                r"""
+                SELECT doc_id,
+                  CASE WHEN len(str_split(text, chr(10))) > 0 THEN
+                    len(list_filter(str_split(text, chr(10)),
+                                    ln -> regexp_matches(ln, ?)))::DOUBLE
+                    / len(str_split(text, chr(10)))
+                  ELSE 0.0 END
+                FROM d WHERE text IS NOT NULL
+                """,
+                [pat],
+            ).fetchall()
+        )
+        for did, frac in want.items():
+            assert got[did][f"{name}_line_frac"] == pytest.approx(
+                frac, abs=1e-12
+            ), (did, name)
+    assert got[5]["n_lines"] == 0 and got[5]["prose_line_frac"] == 0.0
+    # doc 1 has code, table, bullets, headers, and prose all present
+    d1 = got[1]
+    for k in ("code", "table", "bullet", "header", "blank"):
+        assert d1[f"{k}_line_frac"] > 0, k
+    assert d1["prose_line_frac"] > 0
+
+
+def test_zero_shuffle(spark, docs):
+    for out in (
+        segments.split_markdown_sections(docs),
+        segments.content_shape(docs),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan, plan
