@@ -107,3 +107,57 @@ def test_chat_spans_slice_back_for_any_roles(spark, convs, template):
         for span, (role, content) in zip(spans, turns):
             assert row["text"][span["start"] - 1 : span["end"]] == content
             assert span["role"] == role
+
+
+_word = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta", "x1", "x2"]
+)
+_doc_words = st.lists(_word, min_size=0, max_size=20)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(_doc_words, min_size=2, max_size=4),
+    span=st.lists(_word, min_size=6, max_size=8),  # >= k+w-1 = 6
+)
+def test_winnow_guarantee_random_corpora(spark, docs, span):
+    """Inject the same >= (k+w-1)-token span into docs 0 and 1 of a
+    random corpus: winnowing must produce at least one shared
+    fingerprint between them (the Schleimer guarantee), whatever the
+    surrounding text."""
+    from ecomm_datapipeline_spark.operators import winnow
+
+    k, w = 3, 4
+    rows = []
+    for i, words in enumerate(docs):
+        text = " ".join(words)
+        if i < 2:
+            text = (text + " " + " ".join(span)).strip()
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in winnow.winnow_overlap_pairs(
+            df, k=k, w=w, min_shared=1, max_fp_freq=None
+        ).collect()
+    }
+    assert (0, 1) in pairs
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(docs=st.lists(_doc_words, min_size=1, max_size=4))
+def test_novelty_of_duplicated_corpus_is_total(spark, docs):
+    """Duplicate every document: every doc with >= k grams must score
+    dup_ngram_frac == 1.0 (its twin shares everything); gram-free
+    docs stay NULL."""
+    from ecomm_datapipeline_spark.operators import novelty
+
+    k = 3
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    rows += [(100 + i, t) for i, t in rows]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for r in novelty.ngram_novelty(df, k=k).collect():
+        if r["n_grams"] is None:
+            assert r["dup_ngram_frac"] is None
+        else:
+            assert r["dup_ngram_frac"] == 1.0, r
