@@ -1,0 +1,54 @@
+"""End-to-end corpus-build CLI (tools/build_corpus.py): the full
+mixture -> curation -> redaction -> split -> shards -> datasheet ->
+manifest composition runs on real testdata, shards cover exactly the
+train split, and a rebuild into a fresh dir is byte-deterministic."""
+
+import json
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+from tools.build_corpus import build  # noqa: E402
+
+
+def test_end_to_end_build_and_determinism(spark, tmp_path):
+    out1 = str(tmp_path / "o1")
+    os.makedirs(out1)
+    m1 = build(spark, out1, n_shards=2, min_quality=10)
+
+    assert m1["rows_total"] > 0
+    assert set(m1["split_sizes"]) <= {"train", "val", "test"}
+    assert sum(m1["split_sizes"].values()) == m1["rows_total"]
+    assert os.path.exists(os.path.join(out1, "manifest.json"))
+    with open(os.path.join(out1, "manifest.json")) as f:
+        assert json.load(f)["snapshot"] == m1["snapshot"]
+
+    shards = spark.read.parquet(os.path.join(out1, "shards"))
+    assert shards.select("shard").distinct().count() == 2
+    assert shards.count() == m1["split_sizes"].get("train", 0)
+
+    sheet = spark.read.parquet(os.path.join(out1, "datasheet"))
+    docs_row = sheet.filter(F.col("metric") == "docs").first()
+    assert docs_row["value"] == float(m1["rows_total"])
+
+    # determinism: fresh output dir, identical manifest + shard sets
+    out2 = str(tmp_path / "o2")
+    os.makedirs(out2)
+    m2 = build(spark, out2, n_shards=2, min_quality=10)
+    assert m1 == m2
+    s1 = sorted(
+        (r["shard"], r["corpus_key"])
+        for r in spark.read.parquet(os.path.join(out1, "shards"))
+        .select("shard", "corpus_key")
+        .collect()
+    )
+    s2 = sorted(
+        (r["shard"], r["corpus_key"])
+        for r in spark.read.parquet(os.path.join(out2, "shards"))
+        .select("shard", "corpus_key")
+        .collect()
+    )
+    assert s1 == s2

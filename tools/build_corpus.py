@@ -1,0 +1,126 @@
+"""End-to-end curated-corpus build CLI — the engine's operators
+composed the way a training-data team runs them, start to finish:
+
+    read parquet corpora -> weighted mixture -> curation (clean /
+    exact dedup / near-dup / quality / lang) -> PII redaction ->
+    token budget -> train/val/test split -> deterministic shards on
+    disk + a datasheet + a release manifest (row counts, split sizes,
+    snapshot fingerprint).
+
+Usage:
+    PYTHONPATH=. python tools/build_corpus.py OUT_DIR \\
+        [--sf-dir /root/testdata/sf0.001] [--token-budget N] \\
+        [--shards N] [--min-quality Q]
+
+Everything deterministic: re-running into a fresh OUT_DIR from the
+same inputs produces byte-identical shard assignments, splits, and
+fingerprints (xxhash64-keyed throughout — the engine-wide rule).
+Exercised end-to-end in tests/test_build_corpus.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def build(
+    spark,
+    out_dir: str,
+    sf_dir: str = "/root/testdata/sf0.001",
+    token_budget: int | None = None,
+    n_shards: int = 4,
+    min_quality: int = 20,
+    include_linguistic: bool = False,
+) -> dict:
+    """Run the build; returns the manifest dict (also written to
+    OUT_DIR/manifest.json). Importable so tests drive it without a
+    subprocess."""
+    from pyspark.sql import functions as F
+
+    from ecomm_datapipeline_spark.operators.curation import (
+        build_training_corpus,
+    )
+    from ecomm_datapipeline_spark.operators.datasheet import corpus_datasheet
+    from ecomm_datapipeline_spark.operators.sharding import (
+        write_training_shards,
+    )
+    from ecomm_datapipeline_spark.operators.versioning import (
+        snapshot_fingerprint,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = build_training_corpus(
+        {"docs": (docs, 1.0)},
+        token_budget=token_budget,
+        min_quality=min_quality,
+        split_fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    ).localCheckpoint()
+
+    split_sizes = {
+        r["split"]: r["n"]
+        for r in corpus.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    train = corpus.filter(F.col("split") == "train")
+    shards_dir = os.path.join(out_dir, "shards")
+    write_training_shards(
+        train, shards_dir, n_shards=n_shards, id_col="corpus_key"
+    )
+
+    sheet = corpus_datasheet(
+        corpus, include_linguistic=include_linguistic
+    )
+    sheet.write.mode("overwrite").parquet(os.path.join(out_dir, "datasheet"))
+
+    fp = snapshot_fingerprint(corpus, "corpus_key", ["text"]).first()
+    manifest = {
+        "rows_total": int(sum(split_sizes.values())),
+        "split_sizes": {k: int(v) for k, v in split_sizes.items()},
+        "n_shards": n_shards,
+        "token_budget": token_budget,
+        "min_quality": min_quality,
+        "snapshot": {
+            "n_rows": int(fp["n_rows"]),
+            "fp_sum": str(fp["fp_sum"]),
+        },
+        "sf_dir": sf_dir,
+    }
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("out_dir")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--token-budget", type=int, default=None)
+    ap.add_argument("--shards", type=int, default=4)
+    ap.add_argument("--min-quality", type=int, default=20)
+    ap.add_argument("--linguistic", action="store_true")
+    args = ap.parse_args()
+
+    from ecomm_datapipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="build-corpus")
+    manifest = build(
+        spark,
+        args.out_dir,
+        sf_dir=args.sf_dir,
+        token_budget=args.token_budget,
+        n_shards=args.shards,
+        min_quality=args.min_quality,
+        include_linguistic=args.linguistic,
+    )
+    print(json.dumps(manifest, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
