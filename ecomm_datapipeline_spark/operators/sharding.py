@@ -85,6 +85,7 @@ def write_training_shards(
     id_col: str,
     n_shards: int,
     seed: int = 42,
+    fmt: str = "parquet",
 ) -> None:
     """Materialize the sharded corpus: one directory per shard
     (`shard=K/`), rows within each shard's files sorted by the epoch-0
@@ -94,15 +95,25 @@ def write_training_shards(
     task holds whole shards — files never interleave shards), then a
     partition-local sort by (shard, read_order, id). The id tie-break
     makes the written order total even under a 64-bit hash collision.
-    """
+
+    fmt="json" writes JSON-lines shards instead — the format most
+    training loaders stream natively. Same partitioning, same sorted
+    in-file order (the JSON writer preserves partition-local row
+    order exactly like parquet); parquet remains the default for
+    anything Spark reads back."""
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be parquet|json: {fmt}")
     out = assign_shards(df, id_col, n_shards, seed)
-    (
+    writer = (
         out.repartition(n_shards, F.col(SHARD_COL))
         .sortWithinPartitions(SHARD_COL, ORDER_COL, id_col)
         .write.mode("overwrite")
         .partitionBy(SHARD_COL)
-        .parquet(path)
     )
+    if fmt == "json":
+        writer.json(path)
+    else:
+        writer.parquet(path)
 
 
 def read_shard_stream(

@@ -125,3 +125,39 @@ def test_assign_is_zero_shuffle(spark, docs):
         .toString()
     )
     assert "Exchange" not in plan, plan[:1500]
+
+
+def test_jsonl_shards_match_parquet_order(spark, tmp_path):
+    """fmt='json' writes the same shard membership AND the same
+    in-file row order as the parquet layout — a training loader
+    streaming the JSONL files sees the identical epoch-0 stream."""
+    import json as _json
+    import glob
+    import os
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(60)], "doc_id long, text string"
+    )
+    pq_path = str(tmp_path / "pq")
+    js_path = str(tmp_path / "js")
+    write_training_shards(df, pq_path, "doc_id", n_shards=3)
+    write_training_shards(
+        df, js_path, "doc_id", n_shards=3, fmt="json"
+    )
+    for shard_dir in sorted(glob.glob(os.path.join(js_path, "shard=*"))):
+        shard = int(shard_dir.split("=")[-1])
+        js_ids = []
+        for f in sorted(glob.glob(os.path.join(shard_dir, "part-*"))):
+            with open(f) as fh:
+                js_ids.extend(_json.loads(line)["doc_id"] for line in fh)
+        pq_ids = [
+            r["doc_id"]
+            for r in spark.read.parquet(pq_path)
+            .filter(F.col("shard") == shard)
+            .collect()
+        ]
+        assert js_ids == pq_ids, shard
+    with pytest.raises(ValueError, match="fmt"):
+        write_training_shards(
+            df, str(tmp_path / "x"), "doc_id", n_shards=2, fmt="csvish"
+        )
