@@ -1,0 +1,136 @@
+"""Distribution drift between corpus/table releases.
+
+Release governance (versioning.py) answers "WHICH rows changed";
+drift answers "did the DISTRIBUTION move" — the check that catches a
+quietly rebalanced upstream (a new crawl mix, a changed filter)
+whose individual rows all look fine. Two standard instruments:
+
+* `psi` — Population Stability Index over fixed-bin histograms:
+  sum((p_i - q_i) * ln(p_i / q_i)) with the industry reading
+  (<0.1 stable, 0.1-0.25 drifting, >0.25 shifted). Numeric columns
+  use `sketches.histogram_rollup`'s spelled-out bin arithmetic (one
+  aggregation per side, mergeable — PSI between STREAMED snapshots
+  costs no rescan); zero-count bins are smoothed with a configurable
+  epsilon mass so a bin appearing/vanishing yields a large-but-finite
+  contribution, never infinity.
+* `categorical_psi` — the same index over category frequencies (one
+  groupBy per side; categories absent from one side get the same
+  epsilon treatment; NULL is a real category).
+
+Both return driver floats plus a per-bin breakdown DataFrame so the
+alert can say WHERE the mass moved. DuckDB SQL differentials in
+tests/test_drift.py pin the exact smoothing and log arithmetic.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sketches import histogram_rollup
+
+
+def _psi_terms(p: list[float], q: list[float], eps: float) -> list[float]:
+    """Per-bin PSI contributions with epsilon-smoothed proportions.
+    Plain Python on driver-side bin counts — bins are O(n_bins),
+    never rows."""
+    sp, sq = sum(p), sum(q)
+    if sp <= 0 or sq <= 0:
+        raise ValueError("PSI undefined: a side has no rows")
+    out = []
+    for a, b in zip(p, q):
+        pa = max(a / sp, eps)
+        qb = max(b / sq, eps)
+        out.append((pa - qb) * math.log(pa / qb))
+    return out
+
+
+def psi(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    eps: float = 1e-4,
+) -> tuple[float, DataFrame]:
+    """(psi_value, breakdown): numeric-column PSI over n_bins+2
+    fixed bins (underflow/overflow included — a release suddenly
+    clipping values shows up IN the index, not outside it). One
+    aggregation per side; breakdown rows are (bin, old_frac,
+    new_frac, contribution)."""
+    counts = []
+    for side in (old, new):
+        row = (
+            histogram_rollup(side, value_col, [], lo, hi, n_bins)
+            .select("hist")
+            .first()
+        )
+        # an empty side aggregates to NULL bin sums — normalize to
+        # zeros so the shared guard raises the named error
+        hist = (row["hist"] if row is not None else None) or []
+        counts.append([float(x or 0) for x in hist] or [0.0] * (n_bins + 2))
+    terms = _psi_terms(counts[0], counts[1], eps)
+    sp, sq = sum(counts[0]), sum(counts[1])
+    spark = old.sparkSession
+    breakdown = spark.createDataFrame(
+        [
+            (i, counts[0][i] / sp, counts[1][i] / sq, terms[i])
+            for i in range(len(terms))
+        ],
+        "bin int, old_frac double, new_frac double, contribution double",
+    )
+    return float(sum(terms)), breakdown
+
+
+def categorical_psi(
+    old: DataFrame,
+    new: DataFrame,
+    cat_col: str,
+    eps: float = 1e-4,
+    max_categories: int = 10_000,
+) -> tuple[float, DataFrame]:
+    """(psi_value, breakdown) over category frequencies. NULL is a
+    real category (sentinel '\\x00NULL'). Raises if either side
+    exceeds max_categories — PSI over an unbounded id-like column is
+    a bug, not a drift check."""
+    sent = "\x00NULL"
+
+    def freqs(df: DataFrame) -> dict[str, int]:
+        rows = (
+            df.groupBy(
+                F.coalesce(F.col(cat_col).cast("string"), F.lit(sent)).alias("c")
+            )
+            .agg(F.count("*").alias("n"))
+            .limit(max_categories + 1)
+            .collect()
+        )
+        if len(rows) > max_categories:
+            raise ValueError(
+                f"{cat_col}: over {max_categories} categories — PSI over "
+                "an id-like column is a bug; bucket it first"
+            )
+        return {r["c"]: r["n"] for r in rows}
+
+    fo, fn = freqs(old), freqs(new)
+    cats = sorted(set(fo) | set(fn))
+    p = [float(fo.get(c, 0)) for c in cats]
+    q = [float(fn.get(c, 0)) for c in cats]
+    terms = _psi_terms(p, q, eps)
+    sp, sq = sum(p), sum(q)
+    spark = old.sparkSession
+    breakdown = spark.createDataFrame(
+        [
+            (
+                None if c == sent else c,
+                p[i] / sp,
+                q[i] / sq,
+                terms[i],
+            )
+            for i, c in enumerate(cats)
+        ],
+        "category string, old_frac double, new_frac double, contribution double",
+    )
+    return float(sum(terms)), breakdown

@@ -1,0 +1,90 @@
+"""PSI drift (operators/drift.py): DuckDB SQL differential for the
+numeric index, hand-computed categorical cases, smoothing semantics,
+directional sanity (identical -> 0, shifted -> large), and guards."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import drift
+
+LO, HI, NB, EPS = 0.0, 100.0, 5, 1e-4
+
+
+def _mk(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], ["v"])
+
+
+def test_numeric_psi_matches_duckdb(spark):
+    old_vals = [5, 15, 15, 35, 55, 75, 95, 120, -3]
+    new_vals = [5, 5, 25, 45, 45, 65, 85, 99]
+    got, breakdown = drift.psi(
+        _mk(spark, old_vals), _mk(spark, new_vals), "v", LO, HI, NB, eps=EPS
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o(v DOUBLE); CREATE TABLE n(v DOUBLE)")
+    con.executemany("INSERT INTO o VALUES (?)", [(v,) for v in old_vals])
+    con.executemany("INSERT INTO n VALUES (?)", [(v,) for v in new_vals])
+    # same spelled-out bin arithmetic as sketches.histogram_rollup:
+    # bin 0 underflow, 1..NB in-range, NB+1 overflow (hi-edge -> last)
+    bin_sql = f"""
+      CASE WHEN v < {LO} THEN 0
+           WHEN v >= {HI} THEN {NB + 1}
+           ELSE 1 + CAST(floor((v - {LO}) / (({HI} - {LO}) / {NB})) AS INT)
+      END
+    """
+    want = con.execute(
+        f"""
+        WITH bins AS (SELECT unnest(range(0, {NB + 2})) AS b),
+        oc AS (SELECT {bin_sql} AS b, count(*)::DOUBLE AS c FROM o GROUP BY 1),
+        nc AS (SELECT {bin_sql} AS b, count(*)::DOUBLE AS c FROM n GROUP BY 1),
+        j AS (
+          SELECT bins.b,
+                 greatest(coalesce(oc.c, 0) / (SELECT count(*) FROM o), {EPS}) AS p,
+                 greatest(coalesce(nc.c, 0) / (SELECT count(*) FROM n), {EPS}) AS q
+          FROM bins LEFT JOIN oc ON bins.b = oc.b LEFT JOIN nc ON bins.b = nc.b
+        )
+        SELECT sum((p - q) * ln(p / q)) FROM j
+        """
+    ).fetchone()[0]
+    assert got == pytest.approx(want, abs=1e-12)
+    assert breakdown.count() == NB + 2
+    assert got > 0
+
+
+def test_identical_and_shifted(spark):
+    base = list(range(0, 100, 2))
+    same, _ = drift.psi(_mk(spark, base), _mk(spark, base), "v", LO, HI, NB)
+    assert same == pytest.approx(0.0, abs=1e-12)
+    shifted, _ = drift.psi(
+        _mk(spark, base), _mk(spark, [v / 4 for v in base]), "v", LO, HI, NB
+    )
+    assert shifted > 0.25  # "shifted" band
+    empty = spark.createDataFrame([], "v double")
+    with pytest.raises(ValueError, match="no rows"):
+        drift.psi(empty, _mk(spark, base), "v", LO, HI, NB)
+
+
+def test_categorical_psi_hand_computed(spark):
+    old = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [(None,)], ["c"]
+    )
+    new = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 6 + [("z",)], ["c"]
+    )
+    got, breakdown = drift.categorical_psi(old, new, "c", eps=EPS)
+    p = {"a": 0.6, "b": 0.3, None: 0.1, "z": EPS}
+    q = {"a": 0.3, "b": 0.6, None: EPS, "z": 0.1}
+    want = sum(
+        (p[k] - q[k]) * math.log(p[k] / q[k]) for k in ("a", "b", None, "z")
+    )
+    assert got == pytest.approx(want, abs=1e-12)
+    rows = {r["category"]: r for r in breakdown.collect()}
+    assert set(rows) == {"a", "b", "z", None}
+    assert rows[None]["old_frac"] == pytest.approx(0.1)
+
+    wide = spark.range(200).select(F.col("id").cast("string").alias("c"))
+    with pytest.raises(ValueError, match="categories"):
+        drift.categorical_psi(wide, wide, "c", max_categories=100)
