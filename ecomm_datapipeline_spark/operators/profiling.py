@@ -90,3 +90,57 @@ def profile_table(
         for c in cols
     ]
     return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+def correlation_matrix(
+    df: DataFrame, cols: list[str], min_pairs: int = 2
+) -> DataFrame:
+    """Pairwise-complete Pearson correlations for every column pair,
+    in ONE aggregation pass (r6): per pair, the six sufficient sums
+    (n, Σa, Σb, Σa², Σb², Σab) are conditional aggregates over rows
+    where BOTH sides are non-null — p(p+1)/2 * 6 expressions, one
+    scan, one (tiny) result row; the r arithmetic happens on driver
+    scalars. Long output (col_a, col_b, n_pairs, r), col_a < col_b.
+
+    Pairwise-complete (each pair uses every row where ITS two columns
+    are present) rather than listwise: a high-null column must not
+    silently shrink every other pair's sample. Pairs with fewer than
+    `min_pairs` complete rows, or with zero variance on either side,
+    yield r = NULL (undefined, never 0.0 — "no correlation" and
+    "can't measure" are different facts)."""
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns: {cols}")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        both = F.col(a).isNotNull() & F.col(b).isNotNull()
+        av = F.when(both, F.col(a).cast("double"))
+        bv = F.when(both, F.col(b).cast("double"))
+        aggs.extend(
+            [
+                F.count(av).alias(f"_n{i}"),
+                F.sum(av).alias(f"_sa{i}"),
+                F.sum(bv).alias(f"_sb{i}"),
+                F.sum(av * av).alias(f"_saa{i}"),
+                F.sum(bv * bv).alias(f"_sbb{i}"),
+                F.sum(av * bv).alias(f"_sab{i}"),
+            ]
+        )
+    row = df.agg(*aggs).first()
+    out = []
+    for i, (a, b) in enumerate(pairs):
+        n = row[f"_n{i}"]
+        r = None
+        if n and n >= min_pairs:
+            sa, sb = row[f"_sa{i}"], row[f"_sb{i}"]
+            saa, sbb, sab = row[f"_saa{i}"], row[f"_sbb{i}"], row[f"_sab{i}"]
+            var_a = n * saa - sa * sa
+            var_b = n * sbb - sb * sb
+            if var_a > 0 and var_b > 0:
+                r = (n * sab - sa * sb) / ((var_a**0.5) * (var_b**0.5))
+        out.append((a, b, int(n or 0), r))
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, n_pairs long, r double"
+    )

@@ -76,3 +76,57 @@ def test_profile_on_testdata(spark):
     assert prof["doc_id"]["n_nulls"] == 0
     # doc_id is unique: HLL at rsd=0.05 stays within 5%ish of n
     assert abs(prof["doc_id"]["approx_distinct"] - n) <= max(3, 0.1 * n)
+
+
+def test_correlation_matrix_matches_duckdb(spark):
+    """One-pass pairwise-complete Pearson vs DuckDB's corr() on the
+    real lineitem columns, incl. a NULL-holed column."""
+    import duckdb
+
+    from ecomm_datapipeline_spark.operators.profiling import (
+        correlation_matrix,
+    )
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select(
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            F.when(F.col("l_orderkey") % 7 != 0, F.col("l_tax")).alias("l_tax"),
+        )
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = {
+        (r["col_a"], r["col_b"]): (r["n_pairs"], r["r"])
+        for r in correlation_matrix(li, cols).collect()
+    }
+    con = duckdb.connect()
+    con.register("li", li.toPandas())
+    assert len(got) == 6
+    for (a, b), (n, r) in got.items():
+        want_n, want_r = con.execute(
+            f"SELECT count(*), corr({a}, {b}) FROM li "
+            f"WHERE {a} IS NOT NULL AND {b} IS NOT NULL"
+        ).fetchone()
+        assert n == want_n, (a, b)
+        assert r == pytest.approx(want_r, abs=1e-9), (a, b)
+
+
+def test_correlation_matrix_degenerate(spark):
+    from ecomm_datapipeline_spark.operators.profiling import (
+        correlation_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0, None), (2.0, 5.0, None), (3.0, 5.0, None)],
+        "x double, c double, z double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): (r["n_pairs"], r["r"])
+        for r in correlation_matrix(df, ["x", "c", "z"]).collect()
+    }
+    assert got[("x", "c")] == (3, None)  # zero variance -> NULL, not 0
+    assert got[("x", "z")] == (0, None)  # no complete pairs
+    with pytest.raises(ValueError, match="columns"):
+        correlation_matrix(df, ["x"])
