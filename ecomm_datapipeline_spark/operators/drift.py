@@ -134,3 +134,28 @@ def categorical_psi(
         "category string, old_frac double, new_frac double, contribution double",
     )
     return float(sum(terms)), breakdown
+
+
+def psi_from_hists(
+    old_hist: list[int | float],
+    new_hist: list[int | float],
+    eps: float = 1e-4,
+) -> float:
+    """PSI from two already-materialized histogram arrays (same bin
+    layout) — the zero-rescan path: feed it `merge_histogram_rollup`
+    rows or `streaming/hist_rollup.read_histogram` output, so drift
+    between STREAMED snapshots costs a driver-side fold over
+    O(n_bins) longs and nothing else. Raises on layout mismatch."""
+    if len(old_hist) != len(new_hist):
+        raise ValueError(
+            f"bin layouts differ: {len(old_hist)} vs {len(new_hist)} bins"
+        )
+    return float(
+        sum(
+            _psi_terms(
+                [float(x or 0) for x in old_hist],
+                [float(x or 0) for x in new_hist],
+                eps,
+            )
+        )
+    )

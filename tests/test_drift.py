@@ -88,3 +88,22 @@ def test_categorical_psi_hand_computed(spark):
     wide = spark.range(200).select(F.col("id").cast("string").alias("c"))
     with pytest.raises(ValueError, match="categories"):
         drift.categorical_psi(wide, wide, "c", max_categories=100)
+
+
+def test_psi_from_hists_matches_dataframe_path(spark):
+    """The zero-rescan path over materialized histogram arrays equals
+    the DataFrame path bin-for-bin, and composes with the streaming
+    rollup's merged output shape."""
+    from ecomm_datapipeline_spark.operators.sketches import histogram_rollup
+
+    old_vals = [5, 15, 15, 35, 55, 75, 95, 120, -3]
+    new_vals = [5, 5, 25, 45, 45, 65, 85, 99]
+    want, _ = drift.psi(
+        _mk(spark, old_vals), _mk(spark, new_vals), "v", LO, HI, NB, eps=EPS
+    )
+    h_old = histogram_rollup(_mk(spark, old_vals), "v", [], LO, HI, NB).first()["hist"]
+    h_new = histogram_rollup(_mk(spark, new_vals), "v", [], LO, HI, NB).first()["hist"]
+    got = drift.psi_from_hists(h_old, h_new, eps=EPS)
+    assert got == pytest.approx(want, abs=1e-12)
+    with pytest.raises(ValueError, match="layouts"):
+        drift.psi_from_hists([1, 2], [1, 2, 3])
