@@ -145,3 +145,31 @@ def corpus_datasheet(
         )
         out = out.unionByName(ling)
     return out
+
+
+def datasheet_markdown(sheet: DataFrame, title: str = "Corpus datasheet") -> str:
+    """Render the (metric, key, value) frame as publishable markdown —
+    scalars as a two-column table, each keyed metric (lang,
+    quality_decile, linguistic rows ride as scalars) as its own
+    section sorted by descending mass. Driver-side formatting over
+    tens of rows; the numbers are the frame's, never recomputed."""
+    rows = sheet.collect()
+    scalars = [(r["metric"], r["value"]) for r in rows if r["key"] is None]
+    keyed: dict[str, list] = {}
+    for r in rows:
+        if r["key"] is not None:
+            keyed.setdefault(r["metric"], []).append((r["key"], r["value"]))
+
+    def fmt(v: float) -> str:
+        if v is None:
+            return ""
+        return f"{int(v)}" if float(v).is_integer() else f"{v:.6g}"
+
+    out = [f"# {title}", "", "| metric | value |", "|---|---|"]
+    for m, v in sorted(scalars):
+        out.append(f"| {m} | {fmt(v)} |")
+    for metric in sorted(keyed):
+        out += ["", f"## {metric}", "", "| key | value |", "|---|---|"]
+        for k, v in sorted(keyed[metric], key=lambda kv: (-kv[1], kv[0])):
+            out.append(f"| {k} | {fmt(v)} |")
+    return "\n".join(out) + "\n"

@@ -83,3 +83,27 @@ def test_linguistic_page_optional(spark):
     assert _get(rows, "heaps_beta") == pytest.approx(hf["heaps_beta"])
     # the non-linguistic rows are unchanged by the flag
     assert _get(rows, "docs") == _get(base, "docs")
+
+
+def test_markdown_render(spark):
+    from ecomm_datapipeline_spark.operators.datasheet import (
+        datasheet_markdown,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    sheet = corpus_datasheet(docs)
+    md = datasheet_markdown(sheet, title="Test corpus")
+    assert md.startswith("# Test corpus\n")
+    assert "| docs | 50 |" in md
+    assert "\n## lang\n" in md
+    # every sheet row appears exactly once in the rendering
+    assert md.count("| docs |") == 1
+    data_lines = [
+        ln
+        for ln in md.splitlines()
+        if ln.startswith("| ")
+        and not ln.startswith(("| metric |", "| key |"))
+    ]
+    assert len(data_lines) == sheet.count()
