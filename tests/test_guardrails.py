@@ -81,3 +81,40 @@ def test_audit_rows_schema(spark):
         "issue_description",
         "severity",
     ]
+
+
+def test_no_row_at_a_time_python_udfs():
+    """Package-wide static guard (r6): zero `F.udf(`/`@udf` row-wise
+    Python UDFs anywhere — Python appears ONLY as Arrow-batched
+    mapInPandas/applyInPandas at the documented seams. A new operator
+    reaching for the easy slow path fails HERE with its filename."""
+    import glob
+    import os
+
+    import ecomm_datapipeline_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = []
+    for path in glob.glob(os.path.join(root, "**", "*.py"), recursive=True):
+        src = open(path).read()
+        if "F.udf(" in src or "@udf" in src or "functions.udf(" in src:
+            offenders.append(os.path.relpath(path, root))
+    assert not offenders, f"row-at-a-time Python UDFs found: {offenders}"
+
+
+def test_toPandas_never_in_package():
+    """`.toPandas()` materializes a whole frame on the driver — fine
+    in tests, forbidden in the package (the check_oracle harness is
+    the only legitimate user and lives in tools/)."""
+    import glob
+    import os
+
+    import ecomm_datapipeline_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    offenders = [
+        os.path.relpath(p, root)
+        for p in glob.glob(os.path.join(root, "**", "*.py"), recursive=True)
+        if ".toPandas()" in open(p).read()
+    ]
+    assert not offenders, f"driver-side toPandas in package: {offenders}"
