@@ -311,3 +311,50 @@ def temperature_weights(
     return {
         name: (df, float(got[name]) ** alpha) for name, df in sources.items()
     }
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame | None = None,
+    splits: dict[str, float] | None = None,
+    out_col: str = "split",
+    text_col: str = "text",
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """split_assign with the contamination hole closed: near-duplicate
+    documents must land in the SAME split, or the test set silently
+    contains paraphrases of training rows and every eval number is a
+    lie. Group-aware assignment:
+
+    1. near-dup pairs (caller-supplied `pairs` with id_a/id_b — any
+       blocker: MinHash, SimHash, ROUGE — or MinHash-LSH over
+       `text_col` by default);
+    2. connected components collapse transitive chains to a
+       representative (dedup.connected_components — eager per-round
+       scalar, the components contract);
+    3. every row hashes its COMPONENT REPRESENTATIVE's id (itself for
+       singletons) through the ordinary split ranges.
+
+    Proportions stay approximately right (components are tiny relative
+    to the corpus); determinism is inherited (rep choice is min-id,
+    hash is xxhash64). Adding unrelated rows never moves existing
+    groups. NULL ids get NULL splits, as in split_assign."""
+    from .dedup import connected_components, minhash_lsh_candidates
+
+    if pairs is None:
+        pairs = (
+            minhash_lsh_candidates(df, text_col=text_col, id_col=id_col)
+            .filter(F.col("est_jaccard") >= near_dup_threshold)
+            .select("id_a", "id_b")
+        )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    with_rep = df.join(
+        comp.select(F.col("id").alias(id_col), F.col("rep").alias("_rep")),
+        id_col,
+        "left",
+    ).withColumn("_key", F.coalesce(F.col("_rep"), F.col(id_col)))
+    return (
+        split_assign(with_rep, "_key", splits, out_col)
+        .drop("_rep", "_key")
+    )

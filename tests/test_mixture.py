@@ -390,3 +390,64 @@ def test_ngram_doc_frequencies(spark):
     assert out[hot] == 9  # every doc once, repetition not inflated
     assert len(out) == 5
     assert max(out.values()) == out[hot]
+
+
+def test_leakage_safe_split_co_assigns_near_dups(spark):
+    """Planted paraphrase chains must land whole in ONE split —
+    whatever split their members would have drawn alone — and
+    singletons keep their ordinary split_assign assignment."""
+    from ecomm_datapipeline_spark.operators.sampling import (
+        leakage_safe_split,
+        split_assign,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog in the field today"
+    rows = []
+    # 30 near-dup pairs: (i, i+1000) share a long prefix
+    for i in range(30):
+        rows.append((i, f"{base} variant number {i}"))
+        rows.append((1000 + i, f"{base} variant number {i} extra"))
+    # 40 singletons with distinct vocabulary
+    for i in range(40):
+        rows.append((2000 + i, f"totally unique document {i} " + " ".join(
+            f"tok{i}_{j}" for j in range(10))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(30)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(df, "doc_id", pairs=pairs)
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    for i in range(30):
+        assert got[i] == got[1000 + i], i  # twins co-assigned
+    # singleton rows match plain split_assign exactly
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(
+            df.filter(F.col("doc_id") >= 2000), "doc_id"
+        ).collect()
+    }
+    for did, s in plain.items():
+        assert got[did] == s, did
+    # all three splits appear (proportions roughly honored)
+    assert set(got.values()) == {"train", "val", "test"}
+    # schema unchanged: helper columns dropped
+    assert set(out.columns) == {"doc_id", "text", "split"}
+
+
+def test_leakage_safe_split_default_blocker(spark):
+    """Without caller pairs the MinHash blocker finds byte-similar
+    twins and co-assigns them."""
+    from ecomm_datapipeline_spark.operators.sampling import (
+        leakage_safe_split,
+    )
+
+    long_text = " ".join(f"word{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, long_text), (3, "a completely different short doc")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["split"]
+        for r in leakage_safe_split(df, "doc_id").collect()
+    }
+    assert got[1] == got[2]
