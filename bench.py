@@ -217,6 +217,28 @@ def _linkage_slot(spark, sf_dir: str):
     return run
 
 
+def _winnow_slot(spark, sf_dir: str):
+    """Winnowing bench slot (r6): per-doc fingerprint folds + the
+    df-pruned overlap pair join — the compact alternative to the
+    every-window substring table."""
+    from ecomm_datapipeline_spark.operators.winnow import (
+        winnow_overlap_pairs,
+    )
+
+    # one-row-group scan = one task for the CPU-bound fingerprint
+    # folds; spread like a real many-file corpus (semdedup precedent)
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+        .localCheckpoint()
+    )
+
+    def run(spark, sf_dir):
+        return winnow_overlap_pairs(docs, k=5, w=4, min_shared=2)
+
+    return run
+
+
 def _novelty_slot(spark, sf_dir: str):
     """Cross-document n-gram novelty bench slot (r6): distinct
     3-shingle hashing, the corpus df aggregation, and the per-doc
@@ -393,6 +415,10 @@ def main() -> None:
         extra["ngram_novelty"] = _novelty_slot(spark, sf_dir)
     except Exception as exc:
         extra["ngram_novelty"] = exc
+    try:
+        extra["winnow_overlap"] = _winnow_slot(spark, sf_dir)
+    except Exception as exc:
+        extra["winnow_overlap"] = exc
     try:
         extra["bitext_margin_mine"] = _bitext_slot(spark, sf_dir)
     except Exception as exc:

@@ -109,7 +109,16 @@ def winnow_overlap_pairs(
     (boilerplate floods would otherwise go quadratic in the pair
     join); prune before pairing, same contract as the dedup blockers.
     Set None to disable."""
-    fps = winnow_fingerprints(docs, k, w, text_col, id_col).distinct()
+    # The fingerprint frame feeds the df-prune AND both self-join
+    # sides — up to four references; without materialization the
+    # interpreted HOF fold re-runs per reference (measured 6.9s -> 2.×s
+    # at sf0.1). Lazy localCheckpoint: the ngram_jaccard reuse pattern
+    # (self-cleaning, no CacheManager entry leaked).
+    fps = (
+        winnow_fingerprints(docs, k, w, text_col, id_col)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     if max_fp_freq is not None:
         hot = (
             fps.groupBy("fp")
