@@ -696,3 +696,61 @@ def incremental_minhash_candidates(
     vs_corpus = pairs(new_idx, index, strict_less=False)
     internal = pairs(new_idx, new_idx, strict_less=True)
     return vs_corpus.unionByName(internal).distinct(), new_idx
+
+
+def dedup_report(
+    pairs: DataFrame,
+    total_docs: int | None = None,
+) -> DataFrame:
+    """One-row audit of a near-dup pair set BEFORE committing to a
+    dedup: component count, docs-in-components, survivors after
+    min-id collapse, removal count, the largest component's size, and
+    a ':'-joined size histogram (2,3,4,5-9,10-99,100+ buckets). A
+    single mega-component is the classic blocker-too-loose failure —
+    this is the number to look at before deleting 30% of a corpus.
+
+    Cost: the components fixpoint (eager per-round scalar) plus two
+    aggregations over the component table — O(docs-in-pairs), never
+    the corpus. `total_docs` (optional) adds corpus-relative rates."""
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    sizes = comp.groupBy("rep").agg(F.count("*").alias("sz"))
+    bucket = (
+        F.when(F.col("sz") == 2, F.lit("2"))
+        .when(F.col("sz") == 3, F.lit("3"))
+        .when(F.col("sz") == 4, F.lit("4"))
+        .when(F.col("sz") <= 9, F.lit("5-9"))
+        .when(F.col("sz") <= 99, F.lit("10-99"))
+        .otherwise(F.lit("100+"))
+    )
+    hist = (
+        sizes.groupBy(bucket.alias("b"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    order = ["2", "3", "4", "5-9", "10-99", "100+"]
+    hmap = {r["b"]: r["n"] for r in hist}
+    row = sizes.agg(
+        F.count("*").alias("n_components"),
+        F.sum("sz").alias("docs_in_components"),
+        F.max("sz").alias("largest_component"),
+    ).first()
+    n_comp = row["n_components"] or 0
+    in_comp = row["docs_in_components"] or 0
+    spark = pairs.sparkSession
+    out = [
+        (
+            int(n_comp),
+            int(in_comp),
+            int(n_comp),                       # survivors: one rep each
+            int(in_comp - n_comp),             # removed
+            int(row["largest_component"] or 0),
+            ":".join(str(hmap.get(b, 0)) for b in order),
+            (float(in_comp - n_comp) / total_docs) if total_docs else None,
+        )
+    ]
+    return spark.createDataFrame(
+        out,
+        "n_components long, docs_in_components long, survivors long, "
+        "removed long, largest_component long, size_hist string, "
+        "removal_rate double",
+    )

@@ -674,3 +674,20 @@ def test_bruteforce_no_broadcast_path_identical(spark, emb):
         "dist",
     )
     assert c == d
+
+
+def test_dedup_report_hand_counts(spark):
+    """Components 1-2-3 (chain) and 10-11: sizes 3 and 2 -> hand-
+    checkable report numbers, with and without corpus-relative
+    rate."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    r = dedup.dedup_report(pairs, total_docs=100).first()
+    assert (r["n_components"], r["docs_in_components"]) == (2, 5)
+    assert (r["survivors"], r["removed"]) == (2, 3)
+    assert r["largest_component"] == 3
+    assert r["size_hist"] == "1:1:0:0:0:0"  # one size-2, one size-3
+    assert r["removal_rate"] == pytest.approx(0.03)
+    r2 = dedup.dedup_report(pairs).first()
+    assert r2["removal_rate"] is None
