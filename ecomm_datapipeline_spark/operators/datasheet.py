@@ -36,6 +36,7 @@ def corpus_datasheet(
     text_col: str = "text",
     id_col: str = "doc_id",
     include_linguistic: bool = False,
+    include_shape: bool = False,
 ) -> DataFrame:
     """(metric, key, value) summary rows; value is always double.
     NULL-text documents count toward `docs` and `docs_null_text` but
@@ -46,7 +47,13 @@ def corpus_datasheet(
     / heaps_k — the deviation-from-natural-text alarms. Opt-in
     because those fits run extra EAGER jobs (frequency ranks + the
     Heaps checkpoint curve) beyond this function's three aggregation
-    jobs."""
+    jobs.
+
+    `include_shape=True` appends corpus-mean content-shape and script
+    fractions (segments.content_shape_cols + text.script_profile_cols
+    means over non-null docs) — the code/table/prose and
+    writing-system mix a data-mixing decision reads. One extra
+    aggregation job over the same scan."""
     t = F.col(text_col)
     per_doc = docs.select(
         F.col(id_col),
@@ -144,6 +151,27 @@ def corpus_datasheet(
             "metric string, key string, value double",
         )
         out = out.unionByName(ling)
+    if include_shape:
+        from .segments import content_shape_cols
+        from .text import script_profile_cols
+
+        shape = content_shape_cols(F.col(text_col))
+        script = script_profile_cols(F.col(text_col))
+        frac_cols = {
+            f"mean_{n}": c
+            for n, c in {**shape, **script}.items()
+            if n.endswith("_frac")
+        }
+        srow = (
+            docs.filter(F.col(text_col).isNotNull())
+            .agg(*[F.avg(c).alias(n) for n, c in frac_cols.items()])
+            .first()
+        )
+        shape_rows = docs.sparkSession.createDataFrame(
+            [(n, None, float(srow[n] or 0.0)) for n in frac_cols],
+            "metric string, key string, value double",
+        )
+        out = out.unionByName(shape_rows)
     return out
 
 

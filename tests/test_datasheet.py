@@ -107,3 +107,25 @@ def test_markdown_render(spark):
         and not ln.startswith(("| metric |", "| key |"))
     ]
     assert len(data_lines) == sheet.count()
+
+
+def test_shape_page_optional(spark):
+    """include_shape appends mean content-shape + script fractions,
+    matching the standalone operators' per-doc means."""
+    from ecomm_datapipeline_spark.operators.segments import content_shape
+    from ecomm_datapipeline_spark.operators.text import script_profile
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(60).cache()
+    rows = corpus_datasheet(docs, include_shape=True).collect()
+    want_code = (
+        content_shape(docs).agg(F.avg("code_line_frac")).first()[0]
+    )
+    want_latin = (
+        script_profile(docs).agg(F.avg("latin_frac")).first()[0]
+    )
+    assert _get(rows, "mean_code_line_frac") == pytest.approx(want_code)
+    assert _get(rows, "mean_latin_frac") == pytest.approx(want_latin)
+    base = corpus_datasheet(docs).collect()
+    assert not [r for r in base if r["metric"].startswith("mean_")]
