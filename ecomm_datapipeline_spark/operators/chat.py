@@ -113,15 +113,26 @@ def _shape_ok(turns: Column) -> Column:
     then user/assistant strictly alternating starting at user, ending
     on assistant. Accumulator carries (expect, ok): expect is the
     role class the next turn must be."""
+    # States: "start" (nothing yet) -> system lands in "first_user"
+    # (a DISTINCT state: a system turn alone must not satisfy the
+    # final check — caught by the r6 reference property test) -> user
+    # from any of start/first_user/"user" lands in "assistant" ->
+    # assistant lands in "user". Final OK iff the LAST turn was an
+    # assistant turn (state "user") with no bad transition.
     init = F.struct(F.lit("start").alias("expect"), F.lit(True).alias("ok"))
 
     def step(acc: Column, turn: Column) -> Column:
         role = turn["role"]
         is_start = acc["expect"] == "start"
         nxt = (
-            F.when(is_start & (role == "system"), F.lit("user"))
+            F.when(is_start & (role == "system"), F.lit("first_user"))
             .when(
-                (is_start | (acc["expect"] == "user")) & (role == "user"),
+                (
+                    is_start
+                    | (acc["expect"] == "first_user")
+                    | (acc["expect"] == "user")
+                )
+                & (role == "user"),
                 F.lit("assistant"),
             )
             .when(
@@ -136,8 +147,6 @@ def _shape_ok(turns: Column) -> Column:
         )
 
     fin = F.aggregate(turns, init, step)
-    # must END having just seen an assistant turn (expect flipped to
-    # "user") and never hit a bad transition; empty/NULL arrays fail
     return F.coalesce(
         fin["ok"] & (fin["expect"] == "user"), F.lit(False)
     )

@@ -161,3 +161,42 @@ def test_novelty_of_duplicated_corpus_is_total(spark, docs):
             assert r["dup_ngram_frac"] is None
         else:
             assert r["dup_ngram_frac"] == 1.0, r
+
+
+def _py_shape_ok(roles):
+    """Independent reference for the canonical SFT shape: optional
+    leading system, then strict user/assistant alternation starting
+    at user, ending on assistant."""
+    if not roles:
+        return False
+    i = 1 if roles[0] == "system" else 0
+    rest = roles[i:]
+    if not rest or len(rest) % 2 != 0:
+        return False
+    return all(
+        r == ("user" if j % 2 == 0 else "assistant")
+        for j, r in enumerate(rest)
+    )
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    seqs=st.lists(
+        st.lists(
+            st.sampled_from(["system", "user", "assistant", "tool"]),
+            max_size=7,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_chat_shape_gate_matches_reference(spark, seqs):
+    df = spark.createDataFrame(
+        [(i, [(r, "x") for r in roles]) for i, roles in enumerate(seqs)],
+        "conv_id long, turns array<struct<role:string, content:string>>",
+    )
+    got = {
+        r["conv_id"]: r["shape_ok"] for r in chat.turn_stats(df).collect()
+    }
+    for i, roles in enumerate(seqs):
+        assert got[i] == _py_shape_ok(roles), roles
