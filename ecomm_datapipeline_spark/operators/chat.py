@@ -101,10 +101,19 @@ def render_chat(
 ) -> DataFrame:
     """(id_col, text, spans): flat training text + loss spans per
     conversation. NULL turn arrays yield NULL text/spans (loud
-    downstream, never a fabricated empty sample)."""
+    downstream, never a fabricated empty sample).
+
+    The render fold is projected ONCE into a struct and the two fields
+    selected from it in a second projection: referencing the
+    interpreted F.aggregate expression from both output columns would
+    run the full render twice per row (CollapseProject keeps the two
+    projections apart because the fold is non-cheap, so single
+    evaluation is guaranteed — pinned by the plan test)."""
     r = rendered_chat_cols(turns_col, template, loss_roles)
-    return df.select(
-        F.col(id_col), r["text"].alias("text"), r["spans"].alias("spans")
+    return df.select(F.col(id_col), r.alias("_r")).select(
+        id_col,
+        F.col("_r.text").alias("text"),
+        F.col("_r.spans").alias("spans"),
     )
 
 

@@ -128,6 +128,24 @@ def _checkpoints(n_docs: int, k: int) -> list[int]:
     return pts
 
 
+def _ranked_lengths(
+    docs: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, _len, _pos): documents globally positioned by id with
+    their token counts. Ranks (id, token_count) ONLY — global_rank
+    localCheckpoints its input, and ranking the text column would
+    materialize the whole corpus in executor storage for a 20-row
+    curve (the r6/r7 perf-weak finding). Callers needing tokens
+    equijoin _pos back onto the original scan; the checkpointed frame
+    is three thin columns regardless of corpus size (column set
+    pinned in tests)."""
+    return global_rank(
+        docs.select(id_col, F.size(_lower_toks(text_col)).alias("_len")),
+        [F.col(id_col)],
+        "_pos",
+    )
+
+
 def heaps_curve(
     docs: DataFrame,
     text_col: str = "text",
@@ -142,28 +160,21 @@ def heaps_curve(
     rank; each token's FIRST position is a min-aggregate over one
     explode; both curves are K conditional sums in one pass each —
     never a cumulative window over every prefix."""
-    # global_rank localCheckpoints its result, so the doc-grain and
-    # token-grain branches below read ONE materialized frame — the
-    # rank job never reruns per branch.
-    ranked = global_rank(
-        docs.select(id_col, text_col), [F.col(id_col)], "_pos"
-    )
+    ranked = _ranked_lengths(docs, text_col, id_col)
     n_docs = ranked.count()
     pts = _checkpoints(n_docs, n_points)
     # tokens per prefix ride the doc grain; vocab per prefix rides the
     # token grain (first occurrence position)
-    doc_row = ranked.select(
-        "_pos", F.size(_lower_toks(text_col)).alias("_len")
-    ).agg(
+    doc_row = ranked.agg(
         *[
             F.sum(F.when(F.col("_pos") <= p, F.col("_len"))).alias(f"_t{i}")
             for i, p in enumerate(pts)
         ]
     ).first()
     first = (
-        ranked.select(
-            "_pos", F.explode(_lower_toks(text_col)).alias("_tok")
-        )
+        docs.select(id_col, text_col)
+        .join(ranked.select(id_col, "_pos"), id_col)  # doc grain, THEN explode
+        .select("_pos", F.explode(_lower_toks(text_col)).alias("_tok"))
         .groupBy("_tok")
         .agg(F.min("_pos").alias("_first"))
     )

@@ -50,7 +50,10 @@ def sections_col(text_col: Column | str) -> Column:
     """array<struct<header, level, body>> for one document — ONE fold
     over the line array. header is the full header line (NULL for the
     preamble); level is the number of #s (0 preamble); body is the
-    lines under it joined with \\n ('' for a header with no body)."""
+    lines under it joined with \\n. body is NULL for a header with NO
+    lines under it — distinct from '' (exactly one blank line under
+    it), so headers + bodies re-interleave byte-exactly even for
+    blank-after-header and trailing-newline documents."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     init = F.lit(None).cast(_SECTION_T)
 
@@ -58,7 +61,11 @@ def sections_col(text_col: Column | str) -> Column:
         is_header = line.rlike(_HEADER_RE)
         level = F.length(F.regexp_extract(line, r"^(#{1,6}) ", 1)).cast("int")
         new_sec = F.struct(
-            line.alias("header"), level.alias("level"), F.lit("").alias("body")
+            line.alias("header"),
+            level.alias("level"),
+            # NULL = "no body yet" sentinel; '' would conflate a blank
+            # first body line with the absence of one (byte-exactness)
+            F.lit(None).cast("string").alias("body"),
         )
         preamble = F.struct(
             F.lit(None).cast("string").alias("header"),
@@ -70,9 +77,9 @@ def sections_col(text_col: Column | str) -> Column:
         grown = F.struct(
             last["header"].alias("header"),
             last["level"].alias("level"),
-            F.when(
-                (last["body"] == "") & last["header"].isNotNull(), line
-            ).otherwise(F.concat(last["body"], F.lit("\n"), line)).alias("body"),
+            F.when(last["body"].isNull(), line)
+            .otherwise(F.concat(last["body"], F.lit("\n"), line))
+            .alias("body"),
         )
         return (
             F.when(is_header, F.concat(base, F.array(new_sec)))
@@ -89,7 +96,8 @@ def split_markdown_sections(
     """(id, section_idx, header, level, body): one row per section in
     document order (0-based index). NULL text yields no rows; a
     headerless document yields exactly one preamble section holding
-    the whole text."""
+    the whole text; a header with no lines under it has body NULL
+    (a single blank line under it is body '')."""
     return df.select(
         F.col(id_col),
         F.posexplode(sections_col(text_col)).alias("section_idx", "_s"),

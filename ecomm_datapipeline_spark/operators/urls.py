@@ -65,10 +65,23 @@ def url_parts(url_col: Column | str) -> dict[str, Column]:
     than crashing a 100 TB scan on one malformed row."""
     u = F.col(url_col) if isinstance(url_col, str) else url_col
     authority = F.regexp_extract(u, _URL_RE, 2)
-    # authority = [userinfo@]host[:port]; split both decorations off
+    # authority = [userinfo@]host[:port]; split both decorations off.
+    # A bracketed IPv6 literal ([::1], RFC 3986 §3.2.2) contains ':'
+    # itself, so the split-on-':' path would yield host '[' — detect
+    # the leading '[' and take the bracketed span as the host (kept
+    # WITH brackets so normalize_url reconstructs a valid URL; RFC
+    # 5952 canonical form is lowercase hex, which the shared lower()
+    # below applies). Port is whatever follows ']:'. A '[' with no
+    # closing ']' is malformed: host and port both come out '' (junk,
+    # same contract as no-scheme URLs).
     host_port = F.element_at(F.split(authority, "@"), -1)
-    host = F.element_at(F.split(host_port, ":"), 1)
+    is_bracketed = host_port.startswith("[")
+    host = F.when(
+        is_bracketed, F.regexp_extract(host_port, r"^(\[[^\]]*\])", 1)
+    ).otherwise(F.element_at(F.split(host_port, ":"), 1))
     port = F.when(
+        is_bracketed, F.regexp_extract(host_port, r"^\[[^\]]*\]:(.+)$", 1)
+    ).when(
         host_port.contains(":"), F.element_at(F.split(host_port, ":"), -1)
     ).otherwise(F.lit(""))
     return {

@@ -117,3 +117,14 @@ def test_zero_shuffle_zero_python(spark, convs):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
         assert "EvalPython" not in plan, plan
+
+
+def test_render_fold_single_evaluation(spark, convs):
+    """Regression pin for the double-evaluated render fold: text and
+    spans used to each reference the interpreted F.aggregate render
+    expression, running the full render twice per row. The struct is
+    now projected once; exactly ONE aggregate(...) may appear in the
+    executed plan (CollapseProject must not merge the projections
+    back, because the fold is non-cheap)."""
+    plan = chat.render_chat(convs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("aggregate(") == 1, plan

@@ -139,3 +139,15 @@ def test_degenerate_inputs_raise(spark):
     # single type: rank variance is zero -> degenerate Zipf fit
     with pytest.raises(ValueError, match="degenerate"):
         cs.zipf_fit(one_tok)
+
+
+def test_heaps_checkpoint_frame_is_thin(spark, docs):
+    """The frame heaps_curve ranks (and global_rank localCheckpoints)
+    must never carry the text column — that materialized the whole
+    corpus in executor storage for a 20-row curve (r6/r7 perf-weak).
+    Pin: exactly (doc_id, _len, _pos), all fixed-width."""
+    ranked = cs._ranked_lengths(docs, "text", "doc_id")
+    assert set(ranked.columns) == {"doc_id", "_len", "_pos"}
+    assert all(
+        f.dataType.typeName() in ("long", "integer") for f in ranked.schema.fields
+    ), ranked.schema

@@ -1,11 +1,14 @@
 """Plan-shape regression lock: every catalog query's physical plan is
 pinned to a MAXIMUM number of Exchange (shuffle), Sort, and Generate
-nodes, captured from the audited round-4 plans. A change that adds a
-shuffle to any query fails HERE with the query's name, instead of
-surfacing as an unexplained bench regression two rounds later.
+nodes. A change that adds a shuffle to any query fails HERE with the
+query's name, instead of surfacing as an unexplained bench regression
+two rounds later.
 
-Ceilings, not exact counts: an optimization that removes a shuffle
-passes (tighten the pin when that happens); only regressions fail.
+Ceilings, not exact counts — but re-captured against actuals in round
+8: every pin below EQUALS its query's current actual (exchange, sort,
+generate) counts at sf0.001, so any added shuffle/sort/generate fails
+immediately. An optimization that removes one still passes (tighten
+the pin when that happens); only regressions fail.
 Iterative queries (driver-side loops) are excluded as in the other
 plan audits. Queries whose operators localCheckpoint internally
 (dedup_ngram_jaccard) pin only the post-checkpoint plan — their

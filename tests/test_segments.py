@@ -39,6 +39,12 @@ ROWS = [
     (4, ""),
     (5, None),
     (6, "# h\nbody\n# h2"),
+    # blank-line-after-header family: regression for the r7 ADVICE bug
+    # where a '' body sentinel swallowed the blank line
+    (7, "# H\n\nx"),
+    (8, "# H\n\n\nx"),
+    (9, "# H\n"),
+    (10, "# H\n\n"),
 ]
 
 
@@ -64,16 +70,22 @@ def test_hand_pinned_sections(spark, docs):
     assert by_doc[1][0][3] == "preamble line one\npreamble line two\n"
     assert by_doc[1][3][3] == "detail\n"
     assert by_doc[2] == [(0, None, 0, "no headers at all\njust prose")]
-    assert by_doc[3] == [(0, "# only a header", 1, "")]
+    assert by_doc[3] == [(0, "# only a header", 1, None)]
     assert by_doc[4] == [(0, None, 0, "")]
     assert 5 not in by_doc  # NULL text -> no rows
     assert [h for _, h, _, _ in by_doc[6]] == ["# h", "# h2"]
+    # NULL body = no lines under the header; '' = one blank line
+    assert by_doc[7] == [(0, "# H", 1, "\nx")]
+    assert by_doc[8] == [(0, "# H", 1, "\n\nx")]
+    assert by_doc[9] == [(0, "# H", 1, "")]
+    assert by_doc[10] == [(0, "# H", 1, "\n")]
 
 
-@pytest.mark.parametrize("did", [1, 2, 3, 6])
+@pytest.mark.parametrize("did", [1, 2, 3, 6, 7, 8, 9, 10])
 def test_reconstruction_invariant(spark, docs, did):
     """Interleaving headers and bodies in section order rebuilds the
-    original text byte-for-byte."""
+    original text byte-for-byte. The rule is exact: NULL body means
+    the header contributed no body lines at all."""
     original = dict(ROWS)[did]
     secs = sorted(
         (r["section_idx"], r["header"], r["body"])
@@ -85,7 +97,7 @@ def test_reconstruction_invariant(spark, docs, did):
     for _, header, body in secs:
         if header is not None:
             parts.append(header)
-        if body != "" or header is None:
+        if body is not None:
             parts.append(body)
     assert "\n".join(parts) == original
 

@@ -22,6 +22,11 @@ URLS = [
     (10, "https://a.b.c.d.example.com.au/deep?utm_x=1&k=v"),
     (11, "https://example.com/?utm_source=only"),
     (12, "https://EXAMPLE.com:8443/Q?b=2&a=1&a=0"),
+    # bracketed IPv6 authorities (RFC 3986 §3.2.2) — regression for
+    # the split-on-':' bug that parsed host as '['
+    (13, "https://[::1]:8080/x?b=2&a=1"),
+    (14, "https://[2001:DB8::1]/p"),
+    (15, "https://[::1]:443/z?utm_source=x"),
 ]
 
 
@@ -58,8 +63,12 @@ def test_normalize_matches_duckdb_reference(spark, udf):
               FROM parts
             ), h AS (
               SELECT doc_id, scheme, path, query,
-                lower(str_split(host_port, ':')[1]) AS host,
-                CASE WHEN contains(host_port, ':')
+                CASE WHEN starts_with(host_port, '[')
+                     THEN lower(regexp_extract(host_port, '^(\[[^\]]*\])', 1))
+                     ELSE lower(str_split(host_port, ':')[1]) END AS host,
+                CASE WHEN starts_with(host_port, '[')
+                     THEN regexp_extract(host_port, '^\[[^\]]*\]:(.+)$', 1)
+                     WHEN contains(host_port, ':')
                      THEN list_extract(str_split(host_port, ':'), -1)
                      ELSE '' END AS port
               FROM hp
@@ -172,3 +181,32 @@ def test_all_jvm_no_shuffle_for_rowwise_ops(spark, udf):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ipv6_authority_hand_pins(spark):
+    """Bracketed IPv6 hosts parse whole (never host '['), lowercase to
+    RFC 5952 hex case, keep non-default ports, and strip default ones
+    — so such URLs no longer collide under normalize_url dedup keys."""
+    rows = [
+        (1, "https://[::1]:8080/x?b=2&a=1"),
+        (2, "https://[2001:DB8::1]/p"),
+        (3, "https://[::1]:443/z"),
+        (4, "http://u@[::A]:9/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    p = urls.url_parts("url")
+    got = {
+        r["doc_id"]: (r["host"], r["port"], r["nu"])
+        for r in df.select(
+            "doc_id",
+            p["host"].alias("host"),
+            p["port"].alias("port"),
+            urls.normalize_url("url").alias("nu"),
+        ).collect()
+    }
+    assert got[1] == ("[::1]", "8080", "https://[::1]:8080/x?a=1&b=2")
+    assert got[2] == ("[2001:db8::1]", "", "https://[2001:db8::1]/p")
+    assert got[3] == ("[::1]", "443", "https://[::1]/z")
+    assert got[4] == ("[::a]", "9", "http://[::a]:9/q")
+    # distinct hosts stay distinct under the dedup key
+    assert len({v[2] for v in got.values()}) == 4

@@ -95,6 +95,30 @@ def test_density_bound(spark):
     assert 0 < n_fps < 0.6 * n_grams
 
 
+def test_kgram_hashing_scales_linearly(spark):
+    """Regression pin for the O(L²) _kgram_hashes trap: referencing
+    the tokenization expression inside the per-position lambda made
+    doubling document length QUADRUPLE runtime (measured 6.4s -> 24.9s
+    at 8k -> 16k tokens). With the token array bound as a lambda
+    variable, doubling 8k -> 16k must stay well under 3x (linear is
+    ~2x; post-fix measurement: 0.4s / 0.3s)."""
+    import time
+
+    def run(n_tokens):
+        text = " ".join(f"w{i % 997}t{i % 31}" for i in range(n_tokens))
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        t0 = time.time()
+        df.select(F.size(winnow.winnow_cols("text", 5, 4))).collect()
+        return time.time() - t0
+
+    run(1000)  # warm codegen/JIT
+    t8 = min(run(8000) for _ in range(3))
+    t16 = min(run(16000) for _ in range(3))
+    # the old quadratic put t8 alone at >5s; both bounds must hold
+    assert t8 < 3.0, f"8k-token doc took {t8:.2f}s"
+    assert t16 < max(3.0 * t8, 1.5), f"8k: {t8:.2f}s 16k: {t16:.2f}s"
+
+
 def test_df_pruning_drops_boilerplate(spark):
     tmpl = "this exact boilerplate sentence appears in every document here"
     rows = [(i, f"{tmpl} unique tail {i} {'x'*(i%3)} y{i} z{i}") for i in range(8)]
