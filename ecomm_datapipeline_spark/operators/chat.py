@@ -161,6 +161,15 @@ def _shape_ok(turns: Column) -> Column:
     )
 
 
+def shape_ok_col(turns: Column) -> Column:
+    """Public column form of the canonical-SFT-shape gate (see
+    `_shape_ok`): true iff optional leading system, then strictly
+    alternating user/assistant starting at user and ending on
+    assistant. Used by turn_stats/valid_dialogues and the oracle-gate
+    fold."""
+    return _shape_ok(turns)
+
+
 def turn_stats(
     df: DataFrame, turns_col: str = "turns", id_col: str = "conv_id"
 ) -> DataFrame:

@@ -1,0 +1,165 @@
+"""Public Suffix List (PSL) registrable domains — the full-rules
+upgrade of urls.registrable_domain's heuristic.
+
+The Mozilla PSL (publicsuffix.org) is the standard answer to "what is
+a site?": ~9k rules including *private registries* (`github.io`,
+`blogspot.com`) whose subdomains belong to DIFFERENT owners. The
+heuristic in operators/urls.py (last-2-labels + a small multi-label
+set) treats `alice.github.io` and `bob.github.io` as ONE domain — a
+per-domain cap or blocklist on a CommonCrawl-shaped corpus then
+collapses unrelated sites. This module consumes a real PSL with the
+full matching algorithm:
+
+* a rule matches when its labels are a suffix of the host's labels;
+  `*` (leftmost only, as published) matches exactly one extra label;
+* the prevailing rule is the EXCEPTION rule (`!www.ck`) if one
+  matches, else the longest match, else the implicit `*` default
+  (public suffix = the TLD);
+* the registrable domain is the public suffix plus one label; a host
+  that IS a public suffix passes through unchanged (the
+  urls.registrable_domain convention for `co.uk`-style inputs).
+
+Scale shape (the VERDICT r6 item 6 prescription): the rule set is a
+driver-parsed table broadcast to every executor; hosts are reduced to
+their DISTINCT values first (host cardinality is orders of magnitude
+below row count on a web corpus), each host explodes its O(labels)
+suffix candidates, one broadcast join + one host-keyed aggregation
+picks the prevailing rule, and the (host, domain) mapping joins back
+onto the input by host. No corpus-sized shuffle carries anything but
+the host strings.
+
+Verification: tests/test_psl.py — DuckDB SQL differential of the
+longest-match/exception/wildcard logic over a rule table, hand-pinned
+publicsuffix.org algorithm examples, and the private-registry cap
+test (alice/bob.github.io stay distinct under per_domain_cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# A realistic default rule subset: ICANN TLD/ccTLD rules covering the
+# urls.MULTI_LABEL_SUFFIXES heuristic plus the canonical wildcard /
+# exception examples and common PRIVATE registries. Callers pass the
+# full publicsuffix.org file for production use.
+DEFAULT_PSL_RULES = (
+    "com", "net", "org", "io", "co",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "au", "com.au", "net.au", "org.au",
+    "jp", "co.jp", "ne.jp", "or.jp",
+    "kr", "co.kr", "in", "co.in", "nz", "co.nz", "za", "co.za",
+    "br", "com.br", "mx", "com.mx", "cn", "com.cn",
+    "tw", "com.tw", "sg", "com.sg", "hk", "com.hk",
+    "ck", "*.ck", "!www.ck",
+    # private registries — the reason the heuristic is not enough
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+)
+
+_IP_RE = r"^\d{1,3}(\.\d{1,3}){3}$"
+
+
+def parse_psl(lines) -> list[tuple[str, int, bool]]:
+    """(join_key, ps_len, is_exception) per rule from PSL lines.
+    Comments (//) and blanks are skipped. join_key is the literal
+    label suffix a host candidate must equal: for `*.ck` that is the
+    tail `ck` with ps_len 2 (the wildcard consumes one extra label);
+    for `!www.ck` the key is `www.ck` with ps_len 1 (exception rules
+    name the registrable domain itself, so the public suffix is one
+    label shorter)."""
+    rules: list[tuple[str, int, bool]] = []
+    for raw in lines:
+        ln = raw.strip().lower()
+        if not ln or ln.startswith("//"):
+            continue
+        if ln.startswith("!"):
+            body = ln[1:]
+            rules.append((body, len(body.split(".")) - 1, True))
+        elif ln.startswith("*."):
+            tail = ln[2:]
+            rules.append((tail, len(tail.split(".")) + 1, False))
+        else:
+            rules.append((ln, len(ln.split(".")), False))
+    return rules
+
+
+def host_registrable_domains(
+    hosts: DataFrame,
+    psl_lines=DEFAULT_PSL_RULES,
+    host_col: str = "host",
+) -> DataFrame:
+    """(host, domain) for each DISTINCT input host under full PSL
+    matching. IPv4 literals and single-label hosts pass through; a
+    host that IS a public suffix passes through (no registrable
+    domain exists — documented convention, matching
+    urls.registrable_domain).
+
+    Plan: explode each host's O(labels) suffix candidates, broadcast
+    join the parsed rule table, take the prevailing rule per host as
+    max(struct(is_exception, ps_len)) — exceptions beat, else longest
+    — then slice the last ps_len + 1 labels."""
+    rules = parse_psl(psl_lines)
+    if not rules:
+        raise ValueError("empty PSL rule set")
+    spark = hosts.sparkSession
+    rule_df = spark.createDataFrame(
+        rules, "key string, ps_len int, is_exc boolean"
+    )
+    h = hosts.select(F.lower(F.col(host_col)).alias("host")).distinct()
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    cands = h.select(
+        "host",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws(
+                    ".", F.slice(labels, i, n - i + 1)
+                ),
+            )
+        ).alias("key"),
+    )
+    best = (
+        cands.join(F.broadcast(rule_df), "key")
+        .groupBy("host")
+        .agg(
+            F.max(
+                F.struct(F.col("is_exc"), F.col("ps_len"))
+            ).alias("_best")
+        )
+        .select("host", F.col("_best.ps_len").alias("_ps"))
+    )
+    out = h.join(best, "host", "left").select(
+        "host",
+        F.coalesce(F.col("_ps"), F.lit(1)).alias("_ps"),
+    )
+    labels2 = F.split(F.col("host"), r"\.")
+    n2 = F.size(labels2)
+    keep = F.col("_ps") + 1
+    return out.select(
+        "host",
+        F.when(
+            F.col("host").rlike(_IP_RE) | (n2 <= F.col("_ps")), F.col("host")
+        )
+        .otherwise(F.concat_ws(".", F.slice(labels2, -keep, keep)))
+        .alias("domain"),
+    )
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    psl_lines=DEFAULT_PSL_RULES,
+    host_col: str = "host",
+    out_col: str = "domain",
+) -> DataFrame:
+    """Input rows + `out_col`: the PSL registrable domain of
+    `host_col`. The PSL match runs on the DISTINCT host table (see
+    host_registrable_domains) and joins back by host — deterministic,
+    no row ids, and the corpus-sized shuffle carries only the host
+    string."""
+    mapping = host_registrable_domains(df, psl_lines, host_col).select(
+        F.col("host").alias("_psl_host"), F.col("domain").alias(out_col)
+    )
+    return df.join(
+        mapping, F.lower(F.col(host_col)) == F.col("_psl_host"), "left"
+    ).drop("_psl_host")

@@ -29,11 +29,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import portable_hash32
 from .text import tokens as _ws_tokens
 
 
-def _kgram_hashes(lt: Column, k: int) -> Column:
+def _kgram_hashes(lt: Column, k: int, portable: bool = False) -> Column:
     """array<long>: xxhash64 of each k-token gram (positions 1..L-k+1).
+    portable=True swaps in the md5-derived 32-bit hash
+    (dedup.portable_hash32) so the values are bit-identical in DuckDB
+    — the gate-fold mode; xxhash64 stays the production default.
 
     The token-array expression is BOUND as a lambda variable before
     the per-position transform: referencing `lt` directly inside the
@@ -42,6 +46,7 @@ def _kgram_hashes(lt: Column, k: int) -> Column:
     measured 6.4s -> 24.9s when doc length doubles 8k -> 16k tokens).
     Bound, each position does one O(k) slice of an already-built
     array: O(L·k) total."""
+    gram_hash = portable_hash32 if portable else F.xxhash64
     return F.element_at(
         F.transform(
             F.array(lt),
@@ -49,7 +54,7 @@ def _kgram_hashes(lt: Column, k: int) -> Column:
                 F.sequence(
                     F.lit(1), F.greatest(F.size(toks) - k + 1, F.lit(0))
                 ),
-                lambda p: F.xxhash64(F.concat_ws("\x01", F.slice(toks, p, k))),
+                lambda p: gram_hash(F.concat_ws("\x01", F.slice(toks, p, k))),
             ),
         ),
         1,
@@ -57,13 +62,14 @@ def _kgram_hashes(lt: Column, k: int) -> Column:
 
 
 def winnow_cols(
-    text_col: Column | str, k: int = 5, w: int = 4
+    text_col: Column | str, k: int = 5, w: int = 4, portable: bool = False
 ) -> Column:
     """array<long> of winnowed fingerprints for one document: the
     distinct window-minimum k-gram hashes (rightmost minimum per
     window — the robust-winnowing tie rule). One fold over window
     start positions; grams array BOUND as a lambda variable first
-    (the shingle_array_all O(L²) trap)."""
+    (the shingle_array_all O(L²) trap). portable=True uses md5-derived
+    gram hashes for bit-identical DuckDB twins (the gate fold)."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     lt = _ws_tokens(F.lower(t))
 
@@ -85,7 +91,9 @@ def winnow_cols(
     # this module does not do (substrings.py does).
     return F.when(
         F.size(lt) >= k + w - 1,
-        F.element_at(F.transform(F.array(_kgram_hashes(lt, k)), _select), 1),
+        F.element_at(
+            F.transform(F.array(_kgram_hashes(lt, k, portable)), _select), 1
+        ),
     ).otherwise(F.array().cast("array<long>"))
 
 
@@ -151,4 +159,169 @@ def winnow_overlap_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fps"))
         .filter(F.col("shared_fps") >= min_shared)
+    )
+
+
+def winnow_cols_positional(
+    text_col: Column | str, k: int = 5, w: int = 4, portable: bool = False
+) -> Column:
+    """array<struct<fp:long, pos:int>>: the winnowed fingerprints WITH
+    their gram positions (1-based token index of the gram start) —
+    the robust-winnowing selection: each window contributes its
+    minimum hash at that minimum's RIGHTMOST occurrence in the window
+    (Schleimer/Wilkerson/Aiken §4), then distinct (fp, pos) pairs.
+    Value-only winnow_cols answers "which documents overlap"; this
+    answers "where" at the same selection density."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    lt = _ws_tokens(F.lower(t))
+    out_t = "array<struct<fp:bigint,pos:int>>"
+
+    def _select(grams: Column) -> Column:
+        n_windows = F.greatest(F.size(grams) - w + 1, F.lit(0))
+
+        def window_pick(p: Column) -> Column:
+            # bind the window slice once; rightmost occurrence of the
+            # minimum = w - position of the minimum in the REVERSED
+            # window (array_position finds the first match)
+            return F.element_at(
+                F.transform(
+                    F.array(F.slice(grams, p, w)),
+                    lambda s: F.struct(
+                        F.array_min(s).alias("fp"),
+                        (
+                            p
+                            + (
+                                w
+                                - F.array_position(
+                                    F.reverse(s), F.array_min(s)
+                                )
+                            )
+                        )
+                        .cast("int")
+                        .alias("pos"),
+                    ),
+                ),
+                1,
+            )
+
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n_windows), window_pick)
+        )
+
+    return F.when(
+        F.size(lt) >= k + w - 1,
+        F.element_at(
+            F.transform(F.array(_kgram_hashes(lt, k, portable)), _select), 1
+        ),
+    ).otherwise(F.array().cast(out_t))
+
+
+def winnow_fingerprints_positional(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, fp, pos): exploded positional winnow selections — same
+    density as winnow_fingerprints, plus the 1-based gram position."""
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1: k={k}, w={w}")
+    return docs.select(
+        F.col(id_col), F.explode(winnow_cols_positional(text_col, k, w)).alias("_s")
+    ).select(id_col, F.col("_s.fp").alias("fp"), F.col("_s.pos").alias("pos"))
+
+
+def winnow_overlap_spans(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = 1000,
+    max_gap: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, shared_fps, spans): the overlap REPORT — which
+    documents share >= min_shared winnowed fingerprints, and WHERE:
+    `spans` is an array of struct(start_a, end_a, start_b, end_b,
+    n_fps) token ranges, one per maximal run of matched positions.
+
+    Runs segment the pair's matches (sorted by pos_a) wherever
+    consecutive pos_a values are more than `max_gap` apart (default
+    w + k - 1, the winnowing guarantee window: a shared run of that
+    length always contributes a fingerprint, so a larger gap means
+    the copied region genuinely ended). end = last gram start + k - 1
+    covers the gram's full token extent; the reported range over- or
+    under-shoots the true copied range by at most w + k - 1 tokens on
+    each end (winnowing samples ~2/(w+1) of positions).
+
+    Same df-pruning contract as winnow_overlap_pairs; the span
+    assembly is one collect_list + in-row fold per PAIR (bounded by
+    the pair's matched fingerprints, never the documents)."""
+    if max_gap is None:
+        max_gap = w + k - 1
+    fps = (
+        winnow_fingerprints_positional(docs, k, w, text_col, id_col)
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if max_fp_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.countDistinct(id_col).alias("_df"))
+            .filter(F.col("_df") > max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.select(
+        F.col(id_col).alias("id_a"), "fp", F.col("pos").alias("pos_a")
+    )
+    b = fps.select(
+        F.col(id_col).alias("id_b"), "fp", F.col("pos").alias("pos_b")
+    )
+    matched = a.join(b, "fp").filter(F.col("id_a") < F.col("id_b"))
+    run_t = (
+        "array<struct<start_a:int,end_a:int,start_b:int,end_b:int,n_fps:int>>"
+    )
+
+    def fold_runs(ms: Column) -> Column:
+        init = F.lit(None).cast(run_t)
+
+        def step(acc: Column, m: Column) -> Column:
+            base = F.coalesce(acc, F.array().cast(run_t))
+            last = F.element_at(base, -1)
+            fresh = F.struct(
+                m["pos_a"].alias("start_a"),
+                (m["pos_a"] + k - 1).cast("int").alias("end_a"),
+                m["pos_b"].alias("start_b"),
+                (m["pos_b"] + k - 1).cast("int").alias("end_b"),
+                F.lit(1).alias("n_fps"),
+            )
+            grown = F.struct(
+                last["start_a"].alias("start_a"),
+                F.greatest(last["end_a"], (m["pos_a"] + k - 1).cast("int")).alias("end_a"),
+                F.least(last["start_b"], m["pos_b"]).alias("start_b"),
+                F.greatest(last["end_b"], (m["pos_b"] + k - 1).cast("int")).alias("end_b"),
+                (last["n_fps"] + 1).alias("n_fps"),
+            )
+            new_run = (F.size(base) == 0) | (
+                m["pos_a"] - (last["end_a"] - k + 1) > max_gap
+            )
+            return F.when(
+                new_run, F.concat(base, F.array(fresh))
+            ).otherwise(
+                F.concat(F.slice(base, 1, F.size(base) - 1), F.array(grown))
+            )
+
+        return F.aggregate(F.array_sort(ms), init, step)
+
+    return (
+        matched.groupBy("id_a", "id_b")
+        .agg(
+            F.countDistinct("fp").alias("shared_fps"),
+            F.collect_list(F.struct("pos_a", "pos_b")).alias("_ms"),
+        )
+        .filter(F.col("shared_fps") >= min_shared)
+        .select("id_a", "id_b", "shared_fps", fold_runs(F.col("_ms")).alias("spans"))
     )

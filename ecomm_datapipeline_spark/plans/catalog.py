@@ -800,20 +800,100 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "json_extract_events",
+    # r8 folds the chat render/shape family into this hash-checked row
+    # (docs/GATE.md): each event_type group synthesizes a
+    # deterministic 3-turn conversation (system/user/assistant with
+    # group-dependent contents) and renders it with the REAL
+    # chat.rendered_chat_cols ChatML fold. The oracle rebuilds the
+    # expected rendered text by plain string concatenation — an
+    # independent statement of the template — so ANY change to the
+    # template constants, turn order, or span arithmetic mismatches.
+    # chat_spans_ok certifies the slice invariant (substr(text, span)
+    # == content, role + loss flags right) in-plan; the three shape
+    # columns pin the SFT shape gate's truth table, including the
+    # system-only regression case (must FAIL, the r6 property bug).
     """
     SELECT event_type,
       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-      COUNT(*) AS n
+      COUNT(*) AS n,
+      '<|im_start|>system' || chr(10) || 'You are ' || event_type
+        || '<|im_end|>' || chr(10)
+        || '<|im_start|>user' || chr(10) || 'count ' || event_type
+        || '?<|im_end|>' || chr(10)
+        || '<|im_start|>assistant' || chr(10) || 'n=' || CAST(COUNT(*) AS VARCHAR)
+        || '<|im_end|>' || chr(10) AS chat_text,
+      1 AS chat_spans_ok,
+      1 AS chat_shape_ok,
+      0 AS chat_shape_bad_tail,
+      0 AS chat_shape_sys_only
     FROM events
     GROUP BY 1
     """,
-    "§2.6 extension (JSON)",
+    "§2.6 extension (JSON) + r8 chat render/shape fold",
 )
 def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction aggregate plus the chat render/shape gate fold:
+    a synthesized per-group conversation rendered by
+    chat.rendered_chat_cols (ChatML), the span slice invariant checked
+    in-plan, and chat.shape_ok_col pinned on a valid / bad-tail /
+    system-only truth table. All per-row folds on a 5-row aggregate —
+    no plan-shape change beyond the projection."""
+    from ..operators.chat import rendered_chat_cols, shape_ok_col
+
     e = _t(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    base = e.groupBy("event_type").agg(
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
         F.count("*").alias("n"),
+    )
+
+    def turn(role: str, content) -> Column:
+        return F.struct(
+            F.lit(role).alias("role"), content.alias("content")
+        )
+
+    turns = F.array(
+        turn("system", F.concat(F.lit("You are "), F.col("event_type"))),
+        turn("user", F.concat(F.lit("count "), F.col("event_type"), F.lit("?"))),
+        turn("assistant", F.concat(F.lit("n="), F.col("n").cast("string"))),
+    )
+    bound = base.select(
+        "event_type",
+        "sum_k",
+        "n",
+        rendered_chat_cols(turns).alias("_r"),
+        turns.alias("_turns"),
+    )
+    text = F.col("_r.text")
+    spans_ok = F.forall(
+        F.zip_with(
+            F.col("_r.spans"),
+            F.col("_turns"),
+            lambda s, t: (
+                text.substr(s["start"], s["end"] - s["start"] + 1)
+                == F.coalesce(t["content"], F.lit(""))
+            )
+            & (s["role"] == t["role"])
+            & (s["loss"] == (t["role"] == "assistant")),
+        ),
+        lambda ok: ok,
+    )
+    return bound.select(
+        "event_type",
+        "sum_k",
+        "n",
+        text.alias("chat_text"),
+        spans_ok.cast("int").alias("chat_spans_ok"),
+        shape_ok_col(F.col("_turns")).cast("int").alias("chat_shape_ok"),
+        shape_ok_col(
+            F.concat(
+                F.col("_turns"), F.array(turn("user", F.lit("again?")))
+            )
+        )
+        .cast("int")
+        .alias("chat_shape_bad_tail"),
+        shape_ok_col(F.slice(F.col("_turns"), 1, 1))
+        .cast("int")
+        .alias("chat_shape_sys_only"),
     )
 
 
@@ -1629,18 +1709,40 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
         FROM scored
       ) WHERE rank <= 5
+    ), mavg_s AS (
+      SELECT query_id, AVG(sim) AS a_s FROM topk GROUP BY 1
+    ), mavg_t AS (
+      SELECT neighbor_id, AVG(sim) AS a_t FROM (
+        SELECT neighbor_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                                  ORDER BY sim DESC, query_id) AS rn
+        FROM topk
+      ) WHERE rn <= 5 GROUP BY 1
     )
     SELECT t.query_id, t.neighbor_id, t.sim, t.rank,
       round(CAST(list_sum([list_max([list_inner_product(qt, dt)
                                      for dt in dtv.tvs])
-                           for qt in qtv.tvs]) AS DOUBLE), 6) AS maxsim_q
+                           for qt in qtv.tvs]) AS DOUBLE), 6) AS maxsim_q,
+      round(t.sim / (ms.a_s / 2.0 + mt.a_t / 2.0), 6) AS margin_q
     FROM topk t
     JOIN tv qtv ON qtv.vec_id = t.query_id
     JOIN tv dtv ON dtv.vec_id = t.neighbor_id
+    JOIN mavg_s ms ON ms.query_id = t.query_id
+    JOIN mavg_t mt ON mt.neighbor_id = t.neighbor_id
     """,
-    "ext: similarity search (brute-force cosine top-k) + r5 MaxSim late-interaction fold",
+    "ext: cosine top-k + MaxSim fold + r8 bitext-margin fold (Artetxe-Schwenk ratio)",
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k with the MaxSim re-score fold (r5) and
+    the r8 bitext-margin fold: margin_q runs the REAL
+    bitext.margin_scores over the row's own (query, neighbor)
+    candidate pairs — the candidate_pairs seam that corpus x corpus
+    mining uses — with k=5 so the forward neighborhood is exactly the
+    row's top-k set. The oracle re-derives the Artetxe-Schwenk ratio
+    margin from its own topk CTE (avg forward sim per query, avg
+    top-5 backward sim per neighbor); quantized 1e-6 (the maxsim_q
+    convention)."""
+    from ..operators.bitext import margin_scores
     from ..operators.late_interaction import (
         maxsim_score,
         split_into_token_vectors,
@@ -1661,15 +1763,30 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qtv10 = tv.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("tvs").alias("_qtv")
     )
+    margins = margin_scores(
+        emb.filter(F.col("vec_id") < 10),
+        emb,
+        k=5,
+        candidate_pairs=topk50.select(
+            F.col("query_id").alias("src_id"),
+            F.col("neighbor_id").alias("tgt_id"),
+        ),
+    ).select(
+        F.col("src_id").alias("query_id"),
+        F.col("tgt_id").alias("neighbor_id"),
+        F.round(F.col("margin"), 6).alias("margin_q"),
+    )
     return (
         tv.join(F.broadcast(topk50), tv.vec_id == topk50.neighbor_id)
         .join(F.broadcast(qtv10), "query_id")
+        .join(F.broadcast(margins), ["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
             "sim",
             "rank",
             F.round(maxsim_score("_qtv", "tvs"), 6).alias("maxsim_q"),
+            "margin_q",
         )
     )
 
@@ -2312,24 +2429,69 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / len(regexp_split_to_array(trim(text), '\s+')))
         ) AS BIGINT) AS quality_score
       FROM near
+    ), nov_sh AS (
+      SELECT DISTINCT doc_id,
+        unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM documents)
+    ), nov_df AS (
+      SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM nov_sh GROUP BY 1
+    ), nov_doc AS (
+      SELECT s.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_shared
+      FROM nov_sh s JOIN nov_df USING (shingle) GROUP BY 1
+    ), nov AS (
+      SELECT CAST(SUM(n_grams) AS BIGINT) AS g, CAST(SUM(n_shared) AS BIGINT) AS s
+      FROM nov_doc
+    ), nov_free AS (
+      -- gram-free == fewer than 3 whitespace tokens (n tokens yield
+      -- n-2 3-grams; array_distinct of a non-empty list is non-empty)
+      SELECT CAST(COUNT(*) AS BIGINT) AS nf FROM documents
+      WHERE text IS NULL
+         OR len(regexp_split_to_array(lower(trim(text)), '\s+')) < 3
     )
-    SELECT n.doc_id, n.lang, n.n_chars
+    SELECT n.doc_id, n.lang, n.n_chars,
+           (SELECT g FROM nov) AS nov_grams_total,
+           (SELECT s FROM nov) AS nov_shared_total,
+           (SELECT nf FROM nov_free) AS nov_gramfree_docs
     FROM near n JOIN q USING (doc_id)
     WHERE q.quality_score >= 30
     """,
-    "ext: full curation pipeline (clean -> dedup -> MinHash near-dup -> quality), oracle-checked",
+    "ext: full curation pipeline + r8 cross-corpus n-gram novelty fold",
 )
 def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The minhash-variant curation pipeline plus the r8 n-gram
+    novelty gate fold: three EXACT corpus-level aggregates of
+    novelty.ngram_novelty over the raw documents table — total
+    distinct grams, total grams with df >= 2 (the duplicated-n-gram
+    numerators), and the gram-free (NULL-scored) document count —
+    attached as plan literals (the zipf_slope_q pattern). All three
+    are exact integers, so any change to novelty's k, tokenization,
+    distinctness, or df threshold hash-mismatches; the oracle
+    re-derives them from its own shingle CTEs."""
     from ..operators.curation import curate_documents
+    from ..operators.novelty import ngram_novelty
 
+    d = _t(spark, sf_dir, "documents")
+    nov = ngram_novelty(d).agg(
+        F.sum("n_grams").alias("g"),
+        F.sum("n_shared").alias("s"),
+        F.sum(F.col("n_grams").isNull().cast("long")).alias("nf"),
+    ).first()
     curated, _ = curate_documents(
-        _t(spark, sf_dir, "documents"),
+        d,
         near_dup_threshold=0.8,
         min_quality=30,
         collect_stats=False,
         minhash_portable=True,
     )
-    return curated.select("doc_id", "lang", "n_chars")
+    return (
+        curated.select("doc_id", "lang", "n_chars")
+        .withColumn("nov_grams_total", F.lit(int(nov["g"])))
+        .withColumn("nov_shared_total", F.lit(int(nov["s"])))
+        .withColumn("nov_gramfree_docs", F.lit(int(nov["nf"])))
+    )
 
 
 @register(
@@ -2931,6 +3093,100 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _content_shape_sql() -> str:
+    """DuckDB twin of segments.content_shape_cols over `text`: per
+    line-class fraction + n_lines + prose fraction, replicating the
+    Spark expressions op-for-op (split on chr(10), list_filter regex,
+    0.0 on empty). Patterns come FROM the operator's LINE_CLASSES so
+    the two sides can never silently diverge."""
+    from ..operators.segments import LINE_CLASSES
+
+    ls = "str_split(text, chr(10))"
+    parts = [f"CAST(CASE WHEN text IS NULL THEN 0 ELSE len({ls}) END AS INT) AS n_lines"]
+    for name, pat in LINE_CLASSES.items():
+        p = pat.replace("'", "''")
+        parts.append(
+            f"CASE WHEN len({ls}) > 0 THEN"
+            f" CAST(len(list_filter({ls}, x -> regexp_matches(x, '{p}'))) AS DOUBLE)"
+            f" / len({ls}) ELSE 0.0 END AS {name}_line_frac"
+        )
+    none = " AND ".join(
+        f"NOT regexp_matches(x, '{pat.replace(chr(39), chr(39) * 2)}')"
+        for pat in LINE_CLASSES.values()
+    )
+    parts.append(
+        f"CASE WHEN len({ls}) > 0 THEN"
+        f" CAST(len(list_filter({ls}, x -> {none})) AS DOUBLE)"
+        f" / len({ls}) ELSE 0.0 END AS prose_line_frac"
+    )
+    return ",\n      ".join(parts)
+
+
+def _script_profile_sql(st: str, emit: tuple[str, ...]) -> str:
+    """DuckDB twin of text.script_profile_cols over text expression
+    `st`: emits {name}_frac for `emit`, plus other_frac and
+    main_script. Replicates the Spark arithmetic exactly — per-class
+    count / non-ws length (0.0 fallbacks), other = greatest(0, 1 -
+    sum in SCRIPT_CLASSES insertion order), argmax via struct-list
+    max with ties to the lexicographically greatest name."""
+    from ..operators.text import SCRIPT_CLASSES
+
+    base = f"length(regexp_replace({st}, '\\s', '', 'g'))"
+
+    def frac(cls: str) -> str:
+        return (
+            f"CASE WHEN {base} > 0 THEN"
+            f" CAST(len(regexp_extract_all({st}, '{cls}')) AS DOUBLE) / {base}"
+            f" ELSE 0.0 END"
+        )
+
+    parts = [f"{frac(SCRIPT_CLASSES[n])} AS {n}_frac" for n in emit]
+    covered = " + ".join(f"({frac(c)})" for c in SCRIPT_CLASSES.values())
+    parts.append(f"greatest(0.0, 1.0 - ({covered})) AS other_frac")
+    pairs = ", ".join(
+        f"{{'f': ({frac(SCRIPT_CLASSES[n])}), 's': '{n}'}}"
+        for n in sorted(SCRIPT_CLASSES)
+    )
+    parts.append(
+        f"CASE WHEN {base} > 0 THEN list_max([{pairs}]).s END AS main_script"
+    )
+    return ",\n      ".join(parts)
+
+
+def _winnow_grams_cte(k: int) -> str:
+    """CTE body computing per-document winnow inputs ONCE (tokens and
+    the portable 32-bit k-gram hash list) — inlining `grams` into the
+    window-min transform would re-tokenize per window (the oracle-side
+    mirror of the O(L²) trap the Spark operator avoids)."""
+    lt = "regexp_split_to_array(trim(lower(text)), '\\s+')"
+    gram = (
+        f"CAST(('0x' || substr(md5(array_to_string("
+        f"list_slice(lt, p, p + {k - 1}), chr(1))), 1, 8)) AS BIGINT)"
+    )
+    return (
+        f"SELECT *, list_transform(range(1, greatest(len(lt) - {k - 1}, 0) + 1),"
+        f" p -> {gram}) AS grams"
+        f" FROM (SELECT *, {lt} AS lt FROM documents)"
+    )
+
+
+def _winnow_sig_sql(k: int, w: int) -> str:
+    """DuckDB twin of the portable-mode winnow fingerprint-set hash:
+    md5 of the ascending-sorted distinct window-minimum k-gram hashes
+    joined with ':' — reads the `lt`/`grams` columns computed by
+    _winnow_grams_cte. Docs shorter than k + w - 1 tokens hash the
+    empty set (matching the Spark otherwise-empty branch)."""
+    mins = (
+        f"list_transform(range(1, greatest(len(grams) - {w - 1}, 0) + 1),"
+        f" q -> list_min(list_slice(grams, q, q + {w - 1})))"
+    )
+    return (
+        f"CASE WHEN text IS NOT NULL AND len(lt) >= {k + w - 1}"
+        f" THEN md5(array_to_string(list_sort(list_distinct({mins})), ':'))"
+        f" ELSE md5('') END AS winnow_sig"
+    )
+
+
 @register(
     "text_pattern_scan",
     # url_norm / url_domain are the r6 URL-curation family folded into
@@ -2942,6 +3198,26 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registrable_domain). The oracle states the EXPECTED canonical
     # form directly from the construction rules — an independent
     # derivation, so any parser/normalizer defect hash-mismatches.
+    #
+    # r8 folds three more pytest-only families in as per-row columns
+    # (all pure expressions — the row stays zero-shuffle):
+    # * content shape (segments.content_shape_cols): line-class
+    #   fractions over the raw text, oracle re-derives each regex
+    #   fraction (_content_shape_sql).
+    # * markdown sectioning (segments.sections_col): a synthesized
+    #   markdown doc covering preamble / blank-line-after-header /
+    #   double-blank / no-body-header cases is split and REBUILT
+    #   in-plan; sections_ok pins byte-exact reconstruction (the
+    #   r7 blank-after-header bug flips this to 0), n_sections the
+    #   section count.
+    # * script profile (text.script_profile_cols): the raw text plus
+    #   a rotating non-Latin suffix; oracle replicates count/non-ws
+    #   arithmetic and the struct-max argmax (_script_profile_sql).
+    # * winnowing (winnow.winnow_cols portable mode): winnow_sig
+    #   hash-pins each document's exact fingerprint SET — any change
+    #   to k, w, tokenization, gram hashing, or the window-min
+    #   selection mismatches (_winnow_sig_sql).
+    "WITH wbase AS (" + _winnow_grams_cte(5) + ")"
     r"""
     SELECT doc_id,
       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
@@ -2959,10 +3235,20 @@ def returned_items_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHEN 0 THEN 'example.co.uk'
         WHEN 1 THEN 'example.com'
         ELSE source || '.io'
-      END AS url_domain
-    FROM documents
-    """,
-    "ext: PII / content pattern scan + URL normalize/eTLD+1 fold",
+      END AS url_domain,
+      """
+    + _content_shape_sql()
+    + ",\n      1 AS sections_ok,\n      5 AS n_sections,\n      "
+    + _script_profile_sql(
+        "(text || CASE CAST(doc_id % 3 AS INT)"
+        " WHEN 0 THEN ' Привет мир' WHEN 1 THEN ' 你好 世界'"
+        " ELSE '' END)",
+        ("latin", "cyrillic", "cjk"),
+    )
+    + ",\n      "
+    + _winnow_sig_sql(5, 4)
+    + "\n    FROM wbase\n    ",
+    "ext: PII scan + URL + content-shape + sections + script + winnow folds",
 )
 def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-screening pass: per-doc counts of emails / URLs / phone
@@ -2972,9 +3258,24 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     url_norm/url_domain: urls.normalize_url + registrable_domain over
     a synthesized messy URL (self-verifying fold, still one scan /
-    zero shuffle — the extra columns ride pattern_scan's projection)."""
-    from ..operators.text import pattern_scan
+    zero shuffle — the extra columns ride pattern_scan's projection).
+
+    r8 folds (docs/GATE.md, all pure per-row expressions — the row
+    keeps its zero-Exchange plan pin):
+    * content shape: segments.content_shape_cols on the raw text;
+    * markdown sectioning: segments.sections_col over a synthesized
+      markdown doc (preamble, blank-line-after-header, double-blank,
+      no-body header) REBUILT in-plan — sections_ok certifies the
+      byte-exact reconstruction invariant, n_sections the count;
+    * script profile: text.script_profile_cols over the text plus a
+      rotating Cyrillic/CJK suffix so non-Latin classes bind;
+    * winnowing: winnow.winnow_cols (portable md5 mode) — winnow_sig
+      is the md5 of the sorted distinct fingerprint set, so the
+      oracle pins the exact MOSS selection per document."""
+    from ..operators.segments import content_shape_cols, sections_col
+    from ..operators.text import pattern_scan, script_profile_cols
     from ..operators.urls import normalize_url, registrable_domain, url_parts
+    from ..operators.winnow import winnow_cols
 
     mod = (F.col("doc_id") % 3).cast("int")
     host = (
@@ -3005,11 +3306,64 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frag = F.when(mod == 0, F.lit("#frag")).otherwise(F.lit(""))
     u = F.concat(scheme, F.lit("://"), host, port, path, query, frag)
+
+    # --- markdown sectioning self-verify (synthesized structure) ---
+    md = F.concat(
+        F.lit("pre "),
+        F.col("source"),
+        F.lit("\n# A\n\nalpha "),
+        F.col("doc_id").cast("string"),
+        F.lit("\n## B\nbeta\n### C\n\n\n#### D"),
+    )
+    secs = sections_col(md)
+    rebuilt = F.array_join(
+        F.flatten(
+            F.transform(
+                secs,
+                lambda s: F.filter(
+                    F.array(s["header"], s["body"]), lambda p: p.isNotNull()
+                ),
+            )
+        ),
+        "\n",
+    )
+
+    # --- script profile over text + rotating non-Latin suffix ---
+    stext = F.concat(
+        F.col("text"),
+        F.when(mod == 0, F.lit(" Привет мир"))
+        .when(mod == 1, F.lit(" 你好 世界"))
+        .otherwise(F.lit("")),
+    )
+    sp = script_profile_cols(stext)
+
+    shape = content_shape_cols(F.col("text"))
+    winnow_sig = F.md5(
+        F.array_join(
+            F.transform(
+                F.array_sort(winnow_cols(F.col("text"), 5, 4, portable=True)),
+                lambda x: x.cast("string"),
+            ),
+            ":",
+        )
+    )
     return pattern_scan(
         _t(spark, sf_dir, "documents"),
         extra={
             "url_norm": normalize_url(u),
             "url_domain": registrable_domain(url_parts(u)["host"]),
+            "n_lines": shape["n_lines"].cast("int"),
+            **{
+                f"{n}_line_frac": shape[f"{n}_line_frac"]
+                for n in ("code", "table", "bullet", "header", "blank")
+            },
+            "prose_line_frac": shape["prose_line_frac"],
+            "sections_ok": (rebuilt == md).cast("int"),
+            "n_sections": F.size(secs),
+            **{f"{n}_frac": sp[f"{n}_frac"] for n in ("latin", "cyrillic", "cjk")},
+            "other_frac": sp["other_frac"],
+            "main_script": sp["main_script"],
+            "winnow_sig": winnow_sig,
         },
     )
 

@@ -59,6 +59,20 @@ def _batch_grams(batch: DataFrame, text_col: str, id_col: str, k: int) -> DataFr
     ).select(id_col, F.xxhash64("_sh").alias("gram_hash"))
 
 
+def _committed_floor(spark: SparkSession, path: str) -> int:
+    """Highest batch id present in a state table, -1 if absent/empty.
+    Because foreachBatch ids are monotone (and empty batches write
+    nothing but also replay as empty), floor >= id is a sound
+    already-committed test that SURVIVES compaction, unlike an
+    equality row probe."""
+    if not tables.table_exists(path):
+        return -1
+    row = tables.read_table(spark, path).agg(
+        F.max(_BATCH_COL).alias("m")
+    ).first()
+    return row["m"] if row["m"] is not None else -1
+
+
 def novelty_stream(
     docs_stream: DataFrame,
     state_path: str,
@@ -80,13 +94,15 @@ def novelty_stream(
         spark = batch.sparkSession
         grams = _batch_grams(batch, text_col, id_col, k).localCheckpoint()
 
-        df_done = tables.table_exists(df_path) and (
-            tables.read_table(spark, df_path)
-            .filter(F.col(_BATCH_COL) == batch_id)
-            .limit(1)
-            .count()
-            > 0
-        )
+        # Replay guards compare against the MAX committed batch id (a
+        # floor), not row existence for this exact id: foreachBatch
+        # ids are monotone, so floor >= batch_id proves this batch was
+        # already committed. An equality probe breaks after
+        # compact_gram_df — compaction keeps only max(_batch_id) per
+        # gram, so a batch whose every gram reappeared later leaves NO
+        # row with its id, and replaying it would double-count its df
+        # delta (the r6/r7 compaction hazard, pinned in tests).
+        df_done = _committed_floor(spark, df_path) >= batch_id
         if not df_done:
             delta = (
                 grams.groupBy("gram_hash")
@@ -95,14 +111,7 @@ def novelty_stream(
             )
             tables.write_table(delta, df_path, mode="append")
 
-        scores_done = tables.table_exists(scores_path) and (
-            tables.read_table(spark, scores_path)
-            .filter(F.col(_BATCH_COL) == batch_id)
-            .limit(1)
-            .count()
-            > 0
-        )
-        if scores_done:
+        if _committed_floor(spark, scores_path) >= batch_id:
             return  # full replay of a committed batch
         merged = (
             tables.read_table(spark, df_path)
@@ -152,7 +161,15 @@ def read_novelty_scores(spark: SparkSession, state_path: str) -> DataFrame:
 
 def compact_gram_df(spark: SparkSession, state_path: str) -> None:
     """Collapse the df rollup to one row per gram (max batch id kept
-    for replay detection), staged + atomic swap."""
+    for replay detection), staged + atomic swap.
+
+    Safe against replay: compaction preserves the table's GLOBAL
+    max(_batch_id), and the stream's replay guard is a
+    max-batch-id floor (_committed_floor), so a replayed batch <= that
+    floor is skipped even though compaction dropped its per-gram
+    rows. (An equality probe would re-append the delta of any batch
+    whose every gram reappeared in a later batch — double-counting
+    its df; pinned in tests/test_streaming_novelty.py.)"""
     df_path = os.path.join(state_path, _DF_DIR)
     deltas = tables.read_table(spark, df_path)
     compacted = deltas.groupBy("gram_hash").agg(

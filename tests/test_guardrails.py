@@ -30,9 +30,12 @@ def test_no_forced_broadcast_on_scaling_tables():
     # r5 folds: topk50/qtv10 = ann_cosine_topk's MaxSim re-score frames
     # (k x |vec_id<10 queries| and |queries| rows — constants at any
     # SF); shard_chk = train_split_assign's one-row shard-balance agg.
+    # r8: margins = ann_cosine_topk's bitext-margin fold frame — one
+    # row per (query, neighbor) candidate pair = k x |queries| = 50
+    # rows at any SF (same size class as topk50).
     one_row_aggs = (
         "exact_n", "pq_overlap", "pq_self", "sem_subset", "sem_ratio", "sem_clean",
-        "topk50", "qtv10", "shard_chk",
+        "topk50", "qtv10", "shard_chk", "margins",
     )
     offenders = [a for a in args if a not in ("n", "r") + one_row_aggs]
     assert not offenders, (

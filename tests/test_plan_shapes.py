@@ -58,7 +58,12 @@ PINNED = {
     # r5: +1 exchange/+2 sorts per corpus-scan ranker = the two-stage
     # partial top-k (VERDICT r4 item 2) — the extra exchange is spread
     # over |keys| x |partitions| groups instead of one task per key.
-    "ann_cosine_topk": (2, 4, 0),  # r5 MaxSim fold joins are all-broadcast
+    # r8: +8 exchanges/+15 sorts = the bitext-margin self-verifier
+    # (margin_scores over the row's candidate pairs: two id-equijoins
+    # to attach vectors + fwd/bwd two-stage top-k + two avg aggs) —
+    # all keyed on ids over the 50-pair candidate frame, never the
+    # corpus. The base top-k + MaxSim legs are unchanged.
+    "ann_cosine_topk": (10, 19, 0),
     "ann_cosine_topk_approx": (24, 35, 4),  # 4-method self-verifier + 2 exact twins
     # r5: the SemDeDup self-verifier runs the full cluster->pair->
     # dedup->recheck pipeline in-plan (cluster-key joins + one-row

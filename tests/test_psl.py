@@ -1,0 +1,167 @@
+"""PSL registrable domains (operators/psl.py): publicsuffix.org
+algorithm examples hand-pinned, DuckDB SQL differential of the
+exception/wildcard/longest-match logic, private-registry semantics
+(the github.io case the urls.py heuristic cannot express), and the
+per-domain-cap integration proving alice/bob.github.io stay two
+domains."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import psl
+
+RULES = (
+    "// comment line",
+    "",
+    "com",
+    "uk",
+    "co.uk",
+    "io",
+    "github.io",
+    "ck",
+    "*.ck",
+    "!www.ck",
+    "jp",
+    "co.jp",
+)
+
+HOSTS = [
+    # publicsuffix.org test-suite style cases
+    ("www.example.com", "example.com"),
+    ("example.com", "example.com"),
+    ("com", "com"),  # host IS a public suffix: pass-through
+    ("a.b.example.co.uk", "example.co.uk"),
+    ("co.uk", "co.uk"),
+    # wildcard *.ck: public suffix is <label>.ck
+    ("foo.bar.ck", "foo.bar.ck"),
+    ("bar.ck", "bar.ck"),  # IS a public suffix under *.ck
+    # exception !www.ck beats the wildcard
+    ("www.ck", "www.ck"),
+    ("sub.www.ck", "www.ck"),
+    # private registry: github.io subdomains are DIFFERENT sites
+    ("alice.github.io", "alice.github.io"),
+    ("bob.github.io", "bob.github.io"),
+    ("deep.sub.alice.github.io", "alice.github.io"),
+    ("github.io", "github.io"),
+    # default '*' rule: unknown TLD keeps last two labels
+    ("foo.bar.unknowntld", "bar.unknowntld"),
+    # IP literal passes through
+    ("192.168.0.1", "192.168.0.1"),
+    # case-insensitive
+    ("WWW.Example.COM", "example.com"),
+]
+
+
+@pytest.fixture(scope="module")
+def hosts(spark):
+    return spark.createDataFrame([(h,) for h, _ in HOSTS], ["host"])
+
+
+def test_psl_algorithm_hand_pins(spark, hosts):
+    got = {
+        r["host"]: r["domain"]
+        for r in psl.host_registrable_domains(hosts, RULES).collect()
+    }
+    for h, want in HOSTS:
+        assert got[h.lower()] == want, (h, got[h.lower()], want)
+
+
+def test_matches_duckdb_reference(spark, hosts):
+    """The exception-beats / longest-match / default-star logic
+    re-expressed as DuckDB window SQL over the same parsed rule table
+    must agree host-for-host."""
+    rules = psl.parse_psl(RULES)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE r(key VARCHAR, ps_len INT, is_exc BOOLEAN)")
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", rules)
+    con.execute("CREATE TABLE h(host VARCHAR)")
+    con.executemany(
+        "INSERT INTO h VALUES (?)", [(h.lower(),) for h, _ in HOSTS]
+    )
+    want = dict(
+        con.execute(
+            r"""
+            WITH cand AS (
+              SELECT host,
+                unnest(list_transform(
+                  range(1, len(str_split(host, '.')) + 1),
+                  i -> array_to_string(
+                    list_slice(str_split(host, '.'), i,
+                               len(str_split(host, '.'))), '.')
+                )) AS key
+              FROM h
+            ), best AS (
+              SELECT host, max({'e': is_exc, 'p': ps_len}) AS b
+              FROM cand JOIN r USING (key) GROUP BY 1
+            ), ps AS (
+              SELECT h.host, coalesce(b.b.p, 1) AS p
+              FROM h LEFT JOIN best b USING (host)
+            )
+            SELECT host,
+              CASE WHEN regexp_matches(host, '^\d{1,3}(\.\d{1,3}){3}$')
+                        OR len(str_split(host, '.')) <= p
+                   THEN host
+                   ELSE array_to_string(
+                     list_slice(str_split(host, '.'),
+                                len(str_split(host, '.')) - p,
+                                len(str_split(host, '.'))), '.')
+              END
+            FROM ps
+            """
+        ).fetchall()
+    )
+    got = {
+        r["host"]: r["domain"]
+        for r in psl.host_registrable_domains(hosts, RULES).collect()
+    }
+    assert got == want
+
+
+def test_with_registrable_domain_join_back(spark):
+    rows = [(i, h) for i, (h, _) in enumerate(HOSTS)]
+    df = spark.createDataFrame(rows, "row_id long, host string")
+    out = psl.with_registrable_domain(df, RULES)
+    assert out.count() == len(rows)  # join-back preserves row count
+    got = {r["row_id"]: r["domain"] for r in out.collect()}
+    for i, (h, want) in enumerate(HOSTS):
+        assert got[i] == want, (h, got[i], want)
+
+
+def test_private_registry_caps_stay_distinct(spark):
+    """The done-criterion for VERDICT r6 item 6: with the PSL,
+    alice.github.io and bob.github.io are TWO domains — a per-domain
+    cap of 1 keeps one doc from EACH, where the urls.py heuristic
+    collapses them into one github.io bucket."""
+    rows = [
+        (1, "alice.github.io"),
+        (2, "alice.github.io"),
+        (3, "bob.github.io"),
+        (4, "bob.github.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, host string")
+    dom = psl.with_registrable_domain(df, RULES)
+    per_domain = {
+        r["domain"]: r["n"]
+        for r in dom.groupBy("domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_domain == {"alice.github.io": 2, "bob.github.io": 2}
+    # keep min doc_id per domain: one from EACH site survives
+    kept = sorted(
+        r["doc_id"]
+        for r in dom.groupBy("domain").agg(F.min("doc_id").alias("doc_id")).collect()
+    )
+    assert kept == [1, 3]
+    # the heuristic would have made this ONE domain (the motivating gap)
+    from ecomm_datapipeline_spark.operators.urls import registrable_domain
+
+    heur = {
+        r["d"]
+        for r in df.select(registrable_domain("host").alias("d")).collect()
+    }
+    assert heur == {"github.io"}
+
+
+def test_empty_rules_raise(spark, hosts):
+    with pytest.raises(ValueError, match="empty PSL"):
+        psl.host_registrable_domains(hosts, ("// only a comment",))

@@ -130,3 +130,33 @@ def test_compaction_preserves_answers(spark, env):
     _drain(spark, env)
     got = _scores(spark, env)
     assert got[4][1] == 1.0  # template + twin grams all seen
+
+
+def test_compaction_replay_hazard_no_double_count(spark, env):
+    """The r6/r7 compaction hazard: batch 0's grams ALL reappear in
+    batch 1, so compaction (which keeps only max(_batch_id) per gram)
+    leaves no row carrying batch id 0. A fresh-checkpoint replay of
+    batch 0 must STILL be skipped — the max-floor guard proves it was
+    committed; the old equality probe would re-append its df delta and
+    double-count every gram."""
+    b1 = [(1, TMPL)]
+    b2 = [(2, f"{TMPL} with a tail")]
+    _write_batch(env["landing"], "b1.json", b1)
+    _drain(spark, env)
+    _write_batch(env["landing"], "b2.json", b2)
+    _drain(spark, env)
+    ns.compact_gram_df(spark, env["state"])
+    dfp = os.path.join(env["state"], "gram_df")
+    compacted = tables.read_table(spark, dfp)
+    # precondition of the hazard: no row carries batch id 0 anymore
+    assert compacted.filter(F.col("_batch_id") == 0).count() == 0
+    df_total = compacted.agg(F.sum("df").alias("s")).first()["s"]
+    before = _scores(spark, env)
+
+    # fresh checkpoint: both files replay as batch ids 0 and 1
+    _drain(spark, env, ckpt=env["ckpt"] + "_fresh")
+    after_df = tables.read_table(spark, dfp).agg(
+        F.sum("df").alias("s")
+    ).first()["s"]
+    assert after_df == df_total, "replayed batch double-counted its df delta"
+    assert _scores(spark, env) == before

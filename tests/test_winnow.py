@@ -130,3 +130,84 @@ def test_df_pruning_drops_boilerplate(spark):
         df, k=K, w=W, min_shared=1, max_fp_freq=4
     ).count()
     assert unpruned >= pruned  # hot template fingerprints pruned
+
+
+def test_positional_matches_value_winnow(spark):
+    """The positional selection's fingerprint SET equals value-only
+    winnow_cols exactly (same windows, same minima) — positions add
+    information, never change the selection."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "repeat repeat repeat repeat repeat repeat repeat repeat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    vals = {}
+    for r in winnow.winnow_fingerprints(df, k=K, w=W).collect():
+        vals.setdefault(r["doc_id"], set()).add(r["fp"])
+    pos = {}
+    for r in winnow.winnow_fingerprints_positional(df, k=K, w=W).collect():
+        pos.setdefault(r["doc_id"], set()).add(r["fp"])
+        # positions point at real gram starts
+        assert r["pos"] >= 1
+    assert pos == vals
+
+
+def test_planted_span_recovery(spark):
+    """Two documents share a planted 30-token run at different
+    offsets; winnow_overlap_spans must report exactly one span per
+    side covering the copied range within w + k - 1 tokens of slack
+    on each end (the winnowing sampling guarantee)."""
+    span = [f"shared{i}x" for i in range(30)]
+    pre_a = [f"aa{i}" for i in range(11)]
+    post_a = [f"az{i}" for i in range(7)]
+    pre_b = [f"bb{i}" for i in range(23)]
+    post_b = [f"bz{i}" for i in range(5)]
+    rows = [
+        (1, " ".join(pre_a + span + post_a)),
+        (2, " ".join(pre_b + span + post_b)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow.winnow_overlap_spans(
+        df, k=K, w=W, min_shared=1, max_fp_freq=None
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    spans = row["spans"]
+    assert len(spans) == 1, spans
+    s = spans[0]
+    slack = W + K - 1
+    # true copied gram range (1-based token indices)
+    a_start, a_end = len(pre_a) + 1, len(pre_a) + len(span)
+    b_start, b_end = len(pre_b) + 1, len(pre_b) + len(span)
+    assert abs(s["start_a"] - a_start) <= slack, (s, a_start)
+    assert abs(s["end_a"] - a_end) <= slack, (s, a_end)
+    assert abs(s["start_b"] - b_start) <= slack, (s, b_start)
+    assert abs(s["end_b"] - b_end) <= slack, (s, b_end)
+    assert s["n_fps"] == row["shared_fps"]
+
+
+def test_disjoint_spans_split_into_runs(spark):
+    """Two separate copied regions with unrelated text between them
+    come back as TWO spans, not one merged range."""
+    s1 = [f"one{i}q" for i in range(20)]
+    s2 = [f"two{i}q" for i in range(20)]
+    mid_a = [f"am{i}" for i in range(40)]
+    mid_b = [f"bm{i}" for i in range(31)]
+    rows = [
+        (1, " ".join(s1 + mid_a + s2)),
+        (2, " ".join(s2 + mid_b + s1)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnow.winnow_overlap_spans(
+        df, k=K, w=W, min_shared=1, max_fp_freq=None
+    ).collect()
+    assert len(out) == 1
+    spans = out[0]["spans"]
+    assert len(spans) == 2, spans
+    # runs ordered by pos_a; doc1 has s1 first, then s2 — while in
+    # doc2 their b-ranges are swapped (s2 leads)
+    assert spans[0]["end_a"] < spans[1]["start_a"]
+    assert spans[0]["start_b"] > spans[1]["end_b"]
