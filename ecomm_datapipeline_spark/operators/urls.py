@@ -44,8 +44,11 @@ TRACKING_PREFIXES = ("utm_",)
 # Multi-label public suffixes for the registrable-domain heuristic:
 # hosts ending in one of these keep THREE labels, anything else keeps
 # two. A deliberately small, well-known subset of the Mozilla Public
-# Suffix List — enough for caps/blocklists to act on site identity;
-# callers needing the full PSL pass their own list.
+# Suffix List — enough for caps/blocklists to act on site identity
+# with ZERO shuffle. For full PSL semantics (private registries like
+# github.io, wildcard/exception rules, longest-match) pass
+# `psl_lines` to domain_stats/per_domain_cap/domain_filter — backed
+# by operators/psl.py's distinct-host broadcast-join matcher.
 MULTI_LABEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk",
     "com.au", "net.au", "org.au",
@@ -173,14 +176,21 @@ def normalize_url(
 
 
 def domain_stats(
-    df: DataFrame, url_col: str = "url", count_col: str = "n_docs"
+    df: DataFrame,
+    url_col: str = "url",
+    count_col: str = "n_docs",
+    psl_lines=None,
 ) -> DataFrame:
     """(domain, n_docs, n_urls) per registrable domain — the profile a
     curation run reads before choosing caps. One keyed aggregation;
-    distinct-URL counting rides the same shuffle as the count."""
-    dom = registrable_domain(url_parts(url_col)["host"])
+    distinct-URL counting rides the same shuffle as the count. Pass
+    `psl_lines` for full-PSL domains (see _domain_tagged)."""
     return (
-        df.select(dom.alias("domain"), normalize_url(url_col).alias("_nu"))
+        _domain_tagged(df, url_col, psl_lines)
+        .select(
+            F.col("_dom").alias("domain"),
+            normalize_url(url_col).alias("_nu"),
+        )
         .groupBy("domain")
         .agg(
             F.count("*").alias(count_col),
@@ -189,23 +199,47 @@ def domain_stats(
     )
 
 
+def _domain_tagged(
+    df: DataFrame, url_col: str, psl_lines=None
+) -> DataFrame:
+    """Input rows + `_dom`: the registrable domain of the URL's host —
+    via the pure-expression heuristic by default, or full PSL matching
+    when `psl_lines` is given (operators/psl.py: private registries
+    like github.io become distinct domains, wildcard/exception rules
+    honored; costs the distinct-host broadcast-join instead of zero
+    shuffle)."""
+    if psl_lines is None:
+        return df.withColumn(
+            "_dom", registrable_domain(url_parts(url_col)["host"])
+        )
+    from .psl import with_registrable_domain
+
+    return with_registrable_domain(
+        df.withColumn("_host", url_parts(url_col)["host"]),
+        psl_lines,
+        host_col="_host",
+        out_col="_dom",
+    ).drop("_host")
+
+
 def per_domain_cap(
     df: DataFrame,
     n: int,
     url_col: str = "url",
     id_col: str = "doc_id",
     order_col: str | None = None,
+    psl_lines=None,
 ) -> DataFrame:
     """Keep at most `n` documents per registrable domain. Ranking is
     deterministic: `order_col` DESC when given (keep the best-scored),
     then xxhash64(id) — partitioning-independent, no quality column
     required. Uses the two-stage `_topk_per_key`, so a domain with 10M
     pages never ranks in a single task. Returns the input rows of the
-    keepers (all columns)."""
+    keepers (all columns). Pass `psl_lines` (a Public Suffix List) to
+    cap by FULL PSL domains — see _domain_tagged."""
     if n < 1:
         raise ValueError(f"n must be >= 1: {n}")
-    dom = registrable_domain(url_parts(url_col)["host"])
-    scored = df.withColumn("_dom", dom).withColumn(
+    scored = _domain_tagged(df, url_col, psl_lines).withColumn(
         "_tie", F.xxhash64(F.col(id_col))
     )
     order = (
@@ -224,17 +258,18 @@ def domain_filter(
     blocklist: DataFrame | list[str] | None = None,
     allowlist: DataFrame | list[str] | None = None,
     url_col: str = "url",
+    psl_lines=None,
 ) -> DataFrame:
     """Drop rows whose registrable domain is blocklisted (or keep only
     allowlisted ones). Lists may be Python lists (folded in as an
     `isin` literal set — the common few-thousand-entry case) or
     DataFrames with a `domain` column (broadcast anti/semi join — the
     list is always the small side). Exactly one of blocklist/allowlist
-    must be given."""
+    must be given. Pass `psl_lines` to resolve domains with the full
+    Public Suffix List (see _domain_tagged)."""
     if (blocklist is None) == (allowlist is None):
         raise ValueError("pass exactly one of blocklist / allowlist")
-    dom = registrable_domain(url_parts(url_col)["host"])
-    tagged = df.withColumn("_dom", dom)
+    tagged = _domain_tagged(df, url_col, psl_lines)
     lst, how = (
         (blocklist, "left_anti") if blocklist is not None else (allowlist, "left_semi")
     )

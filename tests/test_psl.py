@@ -165,3 +165,46 @@ def test_private_registry_caps_stay_distinct(spark):
 def test_empty_rules_raise(spark, hosts):
     with pytest.raises(ValueError, match="empty PSL"):
         psl.host_registrable_domains(hosts, ("// only a comment",))
+
+
+def test_per_domain_cap_with_psl(spark):
+    """urls.per_domain_cap(psl_lines=...) caps by FULL PSL domains:
+    four docs across two github.io sites with cap n=1 keep one doc
+    from EACH site; the default heuristic keeps one doc TOTAL."""
+    from ecomm_datapipeline_spark.operators.urls import per_domain_cap
+
+    rows = [
+        (1, "https://alice.github.io/a"),
+        (2, "https://alice.github.io/b"),
+        (3, "https://bob.github.io/a"),
+        (4, "https://bob.github.io/b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept_psl = sorted(
+        r["doc_id"] for r in per_domain_cap(df, 1, psl_lines=RULES).collect()
+    )
+    assert len(kept_psl) == 2
+    assert any(d in kept_psl for d in (1, 2))
+    assert any(d in kept_psl for d in (3, 4))
+    kept_heur = per_domain_cap(df, 1).count()
+    assert kept_heur == 1  # the motivating gap: one github.io bucket
+
+
+def test_domain_stats_with_psl(spark):
+    from ecomm_datapipeline_spark.operators.urls import domain_stats
+
+    rows = [
+        (1, "https://alice.github.io/a"),
+        (2, "https://bob.github.io/a"),
+        (3, "https://www.example.com/x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["domain"]: r["n_docs"]
+        for r in domain_stats(df, psl_lines=RULES).collect()
+    }
+    assert got == {
+        "alice.github.io": 1,
+        "bob.github.io": 1,
+        "example.com": 1,
+    }
