@@ -400,7 +400,8 @@ def ivf_index_query(
         F.col(id_col) != F.col(query_id_col)
     )
     adc = paired_adc.withColumn(
-        "approx_dist", adc_dist_col("_luts", F.col("pq_code"))
+        "approx_dist",
+        adc_dist_col("_luts", F.col("pq_code"), m=len(codebooks)),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_dist").asc(), F.col(id_col)

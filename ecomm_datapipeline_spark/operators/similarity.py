@@ -603,14 +603,31 @@ def pq_lut_col(vec_col: Column | str, codebooks: list[list[list[float]]]) -> Col
     )
 
 
-def adc_dist_col(lut_col: Column | str, code_col: Column | str) -> Column:
+def adc_dist_col(
+    lut_col: Column | str, code_col: Column | str, m: int | None = None
+) -> Column:
     """Approximate (asymmetric) squared-L2 distance: m LUT lookups
-    summed in fixed subspace order — zip the per-subspace LUT arrays
-    with the candidate's code array and fold. Bit-identical to the
-    literal path's term-by-term sum (same left-to-right double
-    addition)."""
+    summed in fixed subspace order. Bit-identical to the literal
+    path's term-by-term sum (same left-to-right double addition;
+    0.0 + t1 == t1 exactly for the non-negative squared terms).
+
+    Pass `m` (the subspace count, known at plan-build time from the
+    codebooks) to UNROLL the sum into m element_at terms — plain
+    expressions that stay inside whole-stage codegen. The default
+    zip_with+aggregate fold runs INTERPRETED per row, which dominates
+    a Q x N scoring join (measured on the 1000-query bench slot: the
+    fold was the single hottest expression). m=None keeps the fold
+    for callers with runtime-variable code widths."""
     lc = F.col(lut_col) if isinstance(lut_col, str) else lut_col
     cc = F.col(code_col) if isinstance(code_col, str) else code_col
+    if m is not None:
+        out = None
+        for j in range(m):
+            term = F.element_at(
+                F.element_at(lc, j + 1), F.element_at(cc, j + 1) + 1
+            )
+            out = term if out is None else out + term
+        return out
     return F.aggregate(
         F.zip_with(lc, cc, lambda l, c: F.element_at(l, c + 1)),
         F.lit(0.0),
@@ -671,7 +688,10 @@ def pq_topk(
         scored = (
             encoded.select(F.col(id_col).alias("neighbor_id"), code_col)
             .crossJoin(q)
-            .withColumn("approx_dist", adc_dist_col("_luts", code_col))
+            .withColumn(
+                "approx_dist",
+                adc_dist_col("_luts", code_col, m=len(codebooks)),
+            )
         )
         return _topk_per_key(
             scored,
