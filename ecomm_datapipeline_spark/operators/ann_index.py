@@ -167,11 +167,12 @@ def ivf_index_build(
     km = KMeans(
         k=n_clusters, seed=seed, featuresCol="_features", predictionCol="_cluster"
     ).fit(c.select("_features"))
+    dim = len(km.clusterCenters()[0])  # unrolled codegen norm (see _dot)
     assigned_cols = [
         F.col("_cluster"),
         F.col(id_col),
         F.col("_cv").alias("vec"),
-        _norm("_cv").alias("norm"),
+        _norm("_cv", dim).alias("norm"),
     ]
     codebooks = None
     if pq_m is not None:
@@ -231,11 +232,12 @@ def ivf_index_append(
     centroids = _read_centroids(spark, path)
     codebooks = _read_codebooks(spark, path)
     v = _as_double(new_vectors, vec_col, "_cv")
+    dim = len(centroids[0])
     cols = [
         F.element_at(_nearest_clusters("_cv", centroids, 1), 1).alias("_cluster"),
         F.col(id_col),
         F.col("_cv").alias("vec"),
-        _norm("_cv").alias("norm"),
+        _norm("_cv", dim).alias("norm"),
     ]
     if codebooks is not None:
         cols.append(_pq_code_col("_cv", codebooks).alias("pq_code"))
@@ -334,10 +336,11 @@ def ivf_index_query(
     quality; returns `sim` like exact mode."""
     spark = queries.sparkSession
     centroids = _read_centroids(spark, path)
+    dim = len(centroids[0])  # unrolled codegen dot/norm (see _dot)
     q = _as_double(queries, vec_col, "_qv").select(
         F.col(query_id_col),
         "_qv",
-        _norm("_qv").alias("_qn"),
+        _norm("_qv", dim).alias("_qn"),
         F.explode(_nearest_clusters("_qv", centroids, n_probe)).alias("_cluster"),
     )
     probed_ids = sorted(
@@ -352,7 +355,7 @@ def ivf_index_query(
 
     if mode == "exact":
         scored = paired.withColumn(
-            "sim", _dot("vec", "_qv") / (F.col("norm") * F.col("_qn"))
+            "sim", _dot("vec", "_qv", dim) / (F.col("norm") * F.col("_qn"))
         )
         w = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
         return (
@@ -418,7 +421,7 @@ def ivf_index_query(
         F.col("_adc_rank") <= k * rerank_factor
     )
     reranked = pruned.withColumn(
-        "sim", _dot("vec", "_qv") / (F.col("norm") * F.col("_qn"))
+        "sim", _dot("vec", "_qv", dim) / (F.col("norm") * F.col("_qn"))
     )
     w2 = Window.partitionBy(query_id_col).orderBy(F.desc("sim"), F.col(id_col))
     return (

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _as_double, _dot, _norm, _topk_per_key
+from .similarity import _as_double, _dim_or_none, _dot, _norm, _topk_per_key
 
 
 def _scored_pairs(
@@ -49,12 +49,15 @@ def _scored_pairs(
     """(src_id, tgt_id, cos) for every candidate pair. Default: all
     pairs with tgt broadcast. With `candidate_pairs` (src_id, tgt_id):
     two id-equijoins attach the vectors, cosine per row — the scale
-    path, shuffles keyed on ids only."""
+    path, shuffles keyed on ids only. The dot/norm folds unroll via
+    the probed vector dim (similarity._dot) — the scoring join is the
+    dominant cost and interpreted folds would run per pair."""
+    dim = _dim_or_none(src, vec_col)
     s = _as_double(src, vec_col, "_sv").select(
-        F.col(id_col).alias("src_id"), "_sv", _norm("_sv").alias("_sn")
+        F.col(id_col).alias("src_id"), "_sv", _norm("_sv", dim).alias("_sn")
     )
     t = _as_double(tgt, vec_col, "_tv").select(
-        F.col(id_col).alias("tgt_id"), "_tv", _norm("_tv").alias("_tn")
+        F.col(id_col).alias("tgt_id"), "_tv", _norm("_tv", dim).alias("_tn")
     )
     if candidate_pairs is None:
         paired = s.crossJoin(F.broadcast(t))
@@ -67,7 +70,7 @@ def _scored_pairs(
     return paired.select(
         "src_id",
         "tgt_id",
-        (_dot("_sv", "_tv") / (F.col("_sn") * F.col("_tn"))).alias("cos"),
+        (_dot("_sv", "_tv", dim) / (F.col("_sn") * F.col("_tn"))).alias("cos"),
     )
 
 

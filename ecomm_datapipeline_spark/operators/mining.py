@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _as_double, _dot, _norm, _topk_per_key
+from .similarity import _as_double, _dim_or_none, _dot, _norm, _topk_per_key
 
 
 def hard_negatives(
@@ -48,17 +48,18 @@ def hard_negatives(
     NULL labels never match either predicate and are skipped (a
     NULL-labeled corpus row can be neither a hard negative nor a
     positive — its relationship to the anchor is unknown)."""
+    dim = _dim_or_none(anchors, vec_col)
     c = _as_double(corpus, vec_col, "_cv").select(
         F.col(id_col),
         F.col(label_col).alias("_cl"),
         "_cv",
-        _norm("_cv").alias("_cn"),
+        _norm("_cv", dim).alias("_cn"),
     )
     a = _as_double(anchors, vec_col, "_av").select(
         F.col(anchor_id_col),
         F.col(label_col).alias("_al"),
         "_av",
-        _norm("_av").alias("_an"),
+        _norm("_av", dim).alias("_an"),
     )
     pred = (
         (F.col("_cl") == F.col("_al"))
@@ -69,7 +70,9 @@ def hard_negatives(
         c.crossJoin(F.broadcast(a))
         .filter(F.col(id_col) != F.col(anchor_id_col))
         .filter(pred)  # NULL labels fail both predicates
-        .withColumn("sim", _dot("_cv", "_av") / (F.col("_cn") * F.col("_an")))
+        .withColumn(
+            "sim", _dot("_cv", "_av", dim) / (F.col("_cn") * F.col("_an"))
+        )
     )
     return _topk_per_key(
         scored,

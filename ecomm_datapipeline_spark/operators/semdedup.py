@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ann_index import _sq_dists
-from .similarity import _as_double, _dot, _norm
+from .similarity import _as_double, _dim_or_none, _dot, _norm
 
 
 def fit_centroids(
@@ -105,10 +105,11 @@ def assign_clusters(
     cnorms = F.array(
         *[F.lit(math.sqrt(sum(x * x for x in ctr)) or 1.0) for ctr in centroids]
     )
+    dim = len(centroids[0])  # known: unrolled codegen norm (see _dot)
     base = v.select(
         F.col(id_col),
         F.col("_cv").alias("vec"),
-        _norm("_cv").alias("norm"),
+        _norm("_cv", dim).alias("norm"),
         best.alias("_best"),
     )
     cn = F.element_at(cnorms, F.col("_best.c") + 1)
@@ -144,10 +145,13 @@ def semantic_dup_pairs(
         F.col("vec").alias("_vb"),
         F.col("norm").alias("_nb"),
     )
+    dim = _dim_or_none(assigned, "vec")
     return (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")))
+        .withColumn(
+            "sim", _dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
+        )
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "cluster", "sim")
     )
@@ -210,11 +214,13 @@ def semantic_dedup(
         F.col("norm").alias("_nb"),
         *[F.col(c).alias(f"_pb_{c}") for c in pri_cols],
     )
+    dim = _dim_or_none(assigned, "vec")
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("_ia") < F.col("_ib"))
         .filter(
-            _dot("_va", "_vb") / (F.col("_na") * F.col("_nb")) >= threshold
+            _dot("_va", "_vb", dim) / (F.col("_na") * F.col("_nb"))
+            >= threshold
         )
     )
     if keep == "centroid_far":
