@@ -121,3 +121,25 @@ def test_toPandas_never_in_package():
         if ".toPandas()" in open(p).read()
     ]
     assert not offenders, f"driver-side toPandas in package: {offenders}"
+
+
+def test_unroll_cap_routes_expressions():
+    """docs/SCALE.md 'codegen cliff': _dot/_norm/adc_dist_col unroll
+    fixed-width sums only up to _UNROLL_MAX_DIM and keep the
+    interpreted fold beyond — an unrolled 64-term chain measured 3x
+    SLOWER than the fold. Pin the routing structurally (expression
+    string contains aggregate() only on the fold path)."""
+    from pyspark.sql import functions as F
+
+    from ecomm_datapipeline_spark.operators import similarity as sim
+
+    a, b = F.col("a"), F.col("b")
+    small = sim._UNROLL_MAX_DIM
+    assert "aggregate" not in str(sim._dot(a, b, small)._jc)
+    assert "aggregate" in str(sim._dot(a, b, small + 1)._jc)
+    assert "aggregate" in str(sim._dot(a, b, 64)._jc)
+    assert "aggregate" in str(sim._dot(a, b, None)._jc)
+    assert "aggregate" not in str(sim._norm(a, small)._jc)
+    assert "aggregate" in str(sim._norm(a, 64)._jc)
+    assert "aggregate" not in str(sim.adc_dist_col(a, b, 8)._jc)
+    assert "aggregate" in str(sim.adc_dist_col(a, b, None)._jc)
