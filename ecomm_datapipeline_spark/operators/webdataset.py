@@ -1,0 +1,252 @@
+"""WebDataset-style tar shards for multimodal training samples.
+
+JSONL shards (operators/sharding.write_training_shards) carry text;
+image/audio/video training loaders instead stream TAR shards where
+one sample is a group of files sharing a key prefix —
+`000042.txt` + `000042.jpg` + `000042.json` — the WebDataset
+convention (github.com/webdataset/webdataset) used by most
+large-scale multimodal loaders. This module materializes a curated
+sample table into that layout with the repo's determinism contract:
+
+* membership and order come from operators/sharding.assign_shards
+  (xxhash64 of the id — partitioning- and cluster-size-independent);
+* tar bytes are canonical: fixed mtime/uid/gid/mode, USTAR format,
+  members emitted in epoch-0 order with the sample's parts in the
+  caller's declared order — so REBUILDING a shard yields
+  byte-identical tars (asserted by sha256 in tests), and a task retry
+  simply rewrites the same bytes (atomic tmp+rename per shard);
+* scale shape: ONE hash shuffle on the shard column, a partition-
+  local sort, then a STREAMING per-partition assembly — each task
+  appends tar members row-by-row through Arrow batches and never
+  holds a shard in memory (the mapInPandas seam, documented Python:
+  tar framing is imperative byte layout, not a relational op).
+
+The output manifest (one row per shard: path, samples, bytes,
+sha256) is the only thing that crosses back — tars are written from
+the tasks to the shared filesystem, the parquet-writer model.
+
+Parts map string columns to utf-8 text members and binary columns to
+raw members; a NULL part value omits that member for the sample (the
+WebDataset missing-extension convention), a NULL id fails loudly in
+assign_shards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import tarfile
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .sharding import ORDER_COL, SHARD_COL, assign_shards
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+
+def _tar_member(name: str, payload: bytes) -> tarfile.TarInfo:
+    """Canonical member header: every field that could vary between
+    runs (mtime, ownership, mode) is pinned so tar bytes are a pure
+    function of (name, payload)."""
+    info = tarfile.TarInfo(name=name)
+    info.size = len(payload)
+    info.mtime = 0
+    info.uid = 0
+    info.gid = 0
+    info.uname = ""
+    info.gname = ""
+    info.mode = 0o644
+    return info
+
+
+class _ShardTar:
+    """One shard's tar under construction: streams members to the
+    final file through a hash so the manifest's sha256 needs no
+    re-read. Written to `<path>.tmp.<pid>` and os.replace'd on close
+    — concurrent retries of the same shard land identical bytes."""
+
+    def __init__(self, final_path: str):
+        self.final_path = final_path
+        self.tmp_path = f"{final_path}.tmp.{os.getpid()}"
+        self._hash = hashlib.sha256()
+        self._file = open(self.tmp_path, "wb")
+        self._tee = _TeeWriter(self._file, self._hash)
+        self._tar = tarfile.open(
+            fileobj=self._tee, mode="w", format=tarfile.USTAR_FORMAT
+        )
+        self.n_samples = 0
+
+    def add_sample(self, key: str, parts: list[tuple[str, bytes]]) -> None:
+        for ext, payload in parts:
+            self._tar.addfile(
+                _tar_member(f"{key}.{ext}", payload), io.BytesIO(payload)
+            )
+        self.n_samples += 1
+
+    def close(self) -> tuple[int, str]:
+        self._tar.close()
+        self._file.close()
+        n_bytes = os.path.getsize(self.tmp_path)
+        os.replace(self.tmp_path, self.final_path)
+        return n_bytes, self._hash.hexdigest()
+
+
+class _TeeWriter:
+    def __init__(self, f, h):
+        self._f, self._h = f, h
+
+    def write(self, data: bytes) -> int:
+        self._h.update(data)
+        return self._f.write(data)
+
+    def tell(self) -> int:
+        return self._f.tell()
+
+
+def _encode_part(value, is_binary: bool) -> bytes | None:
+    if value is None:
+        return None
+    if is_binary:
+        return bytes(value)
+    return str(value).encode("utf-8")
+
+
+def write_webdataset_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    parts: dict[str, str],
+    n_shards: int,
+    seed: int = 42,
+) -> list[dict]:
+    """Write `n_shards` WebDataset tars under `path` and return the
+    manifest (one dict per non-empty shard: shard, path, n_samples,
+    n_bytes, sha256), sorted by shard id.
+
+    `parts` maps column -> member extension in DECLARED order (dict
+    order is the in-tar order per sample); string columns become
+    utf-8 text members, binary columns raw members, nothing else is
+    accepted (encode upstream — a silent repr() would poison a
+    training set). Member names are `<id>.<ext>`; samples appear in
+    epoch-0 order (sharding.epoch_order), so sequential tar reads ARE
+    the epoch-0 stream, exactly like the JSONL layout."""
+    if not parts:
+        raise ValueError("parts must name at least one column")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    schema = dict(df.dtypes)
+    binary_flags = {}
+    for col, ext in parts.items():
+        if col not in schema:
+            raise ValueError(f"parts column {col!r} not in DataFrame")
+        if schema[col] == "binary":
+            binary_flags[col] = True
+        elif schema[col] == "string":
+            binary_flags[col] = False
+        else:
+            raise ValueError(
+                f"parts column {col!r} must be string or binary, got "
+                f"{schema[col]} (encode upstream)"
+            )
+    os.makedirs(path, exist_ok=True)
+    part_items = list(parts.items())
+    flags = [binary_flags[c] for c, _ in part_items]
+    assigned = (
+        assign_shards(df, id_col, n_shards, seed)
+        .select(
+            F.col(SHARD_COL),
+            F.col(ORDER_COL),
+            F.col(id_col).cast("string").alias("_wds_key"),
+            *[F.col(c) for c, _ in part_items],
+        )
+        .repartition(n_shards, F.col(SHARD_COL))
+        .sortWithinPartitions(SHARD_COL, ORDER_COL, "_wds_key")
+    )
+
+    def assemble(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        current_shard = None
+        tar: _ShardTar | None = None
+        out: list[tuple] = []
+
+        def close_current():
+            nonlocal tar
+            if tar is not None:
+                n_bytes, digest = tar.close()
+                out.append(
+                    (
+                        current_shard,
+                        tar.final_path,
+                        tar.n_samples,
+                        n_bytes,
+                        digest,
+                    )
+                )
+                tar = None
+
+        for pdf in batches:
+            # column access by NAME (never itertuples, which renames
+            # underscore-prefixed and non-identifier columns)
+            shards = pdf[SHARD_COL]
+            keys = pdf["_wds_key"]
+            part_series = [pdf[c] for c, _ in part_items]
+            for i in range(len(pdf)):
+                shard = int(shards.iat[i])
+                if shard != current_shard:
+                    close_current()
+                    current_shard = shard
+                    tar = _ShardTar(
+                        os.path.join(path, f"shard-{shard:05d}.tar")
+                    )
+                sample_parts = []
+                for (col, ext), is_bin, series in zip(
+                    part_items, flags, part_series
+                ):
+                    value = series.iat[i]
+                    payload = _encode_part(
+                        None if value is None else value, is_bin
+                    )
+                    if payload is not None:
+                        sample_parts.append((ext, payload))
+                tar.add_sample(str(keys.iat[i]), sample_parts)
+        close_current()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["shard", "path", "n_samples", "n_bytes", "sha256"]
+            )
+
+    manifest = assigned.mapInPandas(assemble, MANIFEST_SCHEMA).collect()
+    return sorted(
+        (r.asDict() for r in manifest), key=lambda d: d["shard"]
+    )
+
+
+def read_webdataset_shard(tar_path: str) -> list[tuple[str, dict[str, bytes]]]:
+    """Driver-side loader twin for verification: [(key, {ext: bytes})]
+    in tar order, grouping consecutive members by key prefix — the
+    WebDataset sample-grouping rule. Not a distributed reader (a
+    trainer's data loader consumes tars directly; Spark re-reads the
+    parquet layout instead)."""
+    samples: list[tuple[str, dict[str, bytes]]] = []
+    with tarfile.open(tar_path, "r") as tf:
+        for member in tf.getmembers():
+            key, ext = member.name.rsplit(".", 1)
+            payload = tf.extractfile(member).read()
+            if samples and samples[-1][0] == key:
+                samples[-1][1][ext] = payload
+            else:
+                samples.append((key, {ext: payload}))
+    return samples
