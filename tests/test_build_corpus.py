@@ -52,3 +52,39 @@ def test_end_to_end_build_and_determinism(spark, tmp_path):
         .collect()
     )
     assert s1 == s2
+
+
+def test_webdataset_leg(spark, tmp_path):
+    """--webdataset writes tar shards whose sample set equals the
+    parquet train shards and whose sha256s are manifest-recorded and
+    rebuild-deterministic."""
+    from ecomm_datapipeline_spark.operators.webdataset import (
+        read_webdataset_shard,
+    )
+
+    out1 = str(tmp_path / "w1")
+    os.makedirs(out1)
+    m1 = build(spark, out1, n_shards=2, min_quality=10, webdataset=True)
+    assert "webdataset" in m1 and m1["webdataset"]
+    assert sum(e["n_samples"] for e in m1["webdataset"]) == m1[
+        "split_sizes"
+    ].get("train", 0)
+
+    train_keys = {
+        str(r["corpus_key"])
+        for r in spark.read.parquet(os.path.join(out1, "shards"))
+        .select("corpus_key")
+        .collect()
+    }
+    tar_keys = set()
+    for e in m1["webdataset"]:
+        tar = os.path.join(out1, "wds", f"shard-{e['shard']:05d}.tar")
+        for key, files in read_webdataset_shard(tar):
+            assert set(files) == {"txt"}
+            tar_keys.add(key)
+    assert tar_keys == train_keys
+
+    out2 = str(tmp_path / "w2")
+    os.makedirs(out2)
+    m2 = build(spark, out2, n_shards=2, min_quality=10, webdataset=True)
+    assert m1["webdataset"] == m2["webdataset"]

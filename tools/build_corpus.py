@@ -38,6 +38,7 @@ def build(
     n_shards: int = 4,
     min_quality: int = 20,
     include_linguistic: bool = False,
+    webdataset: bool = False,
 ) -> dict:
     """Run the build; returns the manifest dict (also written to
     OUT_DIR/manifest.json). Importable so tests drive it without a
@@ -72,6 +73,22 @@ def build(
     write_training_shards(
         train, shards_dir, n_shards=n_shards, id_col="corpus_key"
     )
+    wds_manifest = None
+    if webdataset:
+        # same membership/order keys as the parquet shards (both ride
+        # sharding.assign_shards), so tar sample streams and parquet
+        # shard files agree sample-for-sample
+        from ecomm_datapipeline_spark.operators.webdataset import (
+            write_webdataset_shards,
+        )
+
+        wds_manifest = write_webdataset_shards(
+            train.select("corpus_key", "text"),
+            os.path.join(out_dir, "wds"),
+            id_col="corpus_key",
+            parts={"text": "txt"},
+            n_shards=n_shards,
+        )
 
     sheet = corpus_datasheet(
         corpus, include_linguistic=include_linguistic
@@ -91,6 +108,11 @@ def build(
         },
         "sf_dir": sf_dir,
     }
+    if wds_manifest is not None:
+        manifest["webdataset"] = [
+            {k: m[k] for k in ("shard", "n_samples", "n_bytes", "sha256")}
+            for m in wds_manifest
+        ]
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)
     return manifest
@@ -104,6 +126,12 @@ def main() -> int:
     ap.add_argument("--shards", type=int, default=4)
     ap.add_argument("--min-quality", type=int, default=20)
     ap.add_argument("--linguistic", action="store_true")
+    ap.add_argument(
+        "--webdataset",
+        action="store_true",
+        help="also write WebDataset tar shards under OUT_DIR/wds "
+        "(sha256s recorded in the manifest)",
+    )
     args = ap.parse_args()
 
     from ecomm_datapipeline_spark.session import get_spark
@@ -117,6 +145,7 @@ def main() -> int:
         n_shards=args.shards,
         min_quality=args.min_quality,
         include_linguistic=args.linguistic,
+        webdataset=args.webdataset,
     )
     print(json.dumps(manifest, sort_keys=True))
     return 0
