@@ -78,8 +78,12 @@ class _ShardTar:
     — concurrent retries of the same shard land identical bytes."""
 
     def __init__(self, final_path: str):
+        import uuid
+
         self.final_path = final_path
-        self.tmp_path = f"{final_path}.tmp.{os.getpid()}"
+        # pid alone is not unique: a speculative/retried task can run
+        # as another THREAD of the same executor process
+        self.tmp_path = f"{final_path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
         self._hash = hashlib.sha256()
         self._file = open(self.tmp_path, "wb")
         self._tee = _TeeWriter(self._file, self._hash)

@@ -2488,9 +2488,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         curated.select("doc_id", "lang", "n_chars")
-        .withColumn("nov_grams_total", F.lit(int(nov["g"])))
-        .withColumn("nov_shared_total", F.lit(int(nov["s"])))
-        .withColumn("nov_gramfree_docs", F.lit(int(nov["nf"])))
+        .withColumn("nov_grams_total", F.lit(int(nov["g"] or 0)))
+        .withColumn("nov_shared_total", F.lit(int(nov["s"] or 0)))
+        .withColumn("nov_gramfree_docs", F.lit(int(nov["nf"] or 0)))
     )
 
 
