@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _as_double, _dim_or_none, _dot, _norm, _topk_per_key
+from .similarity import _as_double, _dot, _norm, _topk_per_key
 
 
 def _scored_pairs(
@@ -45,14 +45,15 @@ def _scored_pairs(
     vec_col: str,
     id_col: str,
     candidate_pairs: DataFrame | None,
+    dim: int | None = None,
 ) -> DataFrame:
     """(src_id, tgt_id, cos) for every candidate pair. Default: all
     pairs with tgt broadcast. With `candidate_pairs` (src_id, tgt_id):
     two id-equijoins attach the vectors, cosine per row — the scale
-    path, shuffles keyed on ids only. The dot/norm folds unroll via
-    the probed vector dim (similarity._dot) — the scoring join is the
-    dominant cost and interpreted folds would run per pair."""
-    dim = _dim_or_none(src, vec_col)
+    path, shuffles keyed on ids only. A caller-passed `dim` <=
+    similarity._UNROLL_MAX_DIM unrolls the dot/norm folds into
+    codegen; None keeps the interpreted fold (identical results) —
+    never auto-probed, a first() probe is a driver job per plan."""
     s = _as_double(src, vec_col, "_sv").select(
         F.col(id_col).alias("src_id"), "_sv", _norm("_sv", dim).alias("_sn")
     )
@@ -81,6 +82,7 @@ def margin_scores(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     candidate_pairs: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """(src_id, tgt_id, cos, margin) for each src's top-k forward
     candidates. The margin denominator uses BOTH sides' kNN
@@ -90,7 +92,7 @@ def margin_scores(
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     scored = _scored_pairs(
-        src, tgt, vec_col, id_col, candidate_pairs
+        src, tgt, vec_col, id_col, candidate_pairs, dim
     ).localCheckpoint(eager=False)
     fwd = _topk_per_key(
         scored,
@@ -132,6 +134,7 @@ def mine_bitext(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     candidate_pairs: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Mined pairs (src_id, tgt_id, cos, margin): each src's single
     best-margin tgt with margin >= threshold; with `mutual=True`
@@ -139,7 +142,7 @@ def mine_bitext(
     intersection filter that trades recall for the precision a
     training corpus wants. Deterministic tie-breaks on partner id."""
     m = margin_scores(
-        src, tgt, k, vec_col, id_col, candidate_pairs
+        src, tgt, k, vec_col, id_col, candidate_pairs, dim
     ).localCheckpoint(eager=False)
     best_fwd = _topk_per_key(
         m,

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _as_double, _dim_or_none, _dot, _norm, _topk_per_key
+from .similarity import _as_double, _dot, _norm, _topk_per_key
 
 
 def hard_negatives(
@@ -38,6 +38,7 @@ def hard_negatives(
     label_col: str = "label",
     anchor_id_col: str = "anchor_id",
     positives: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """(anchor_id, anchor_label, negative_id, negative_label, sim,
     rank): the k highest-cosine DIFFERENT-label corpus vectors per
@@ -47,8 +48,11 @@ def hard_negatives(
     anchors: (anchor_id_col, vec_col, label_col) — small, broadcast.
     NULL labels never match either predicate and are skipped (a
     NULL-labeled corpus row can be neither a hard negative nor a
-    positive — its relationship to the anchor is unknown)."""
-    dim = _dim_or_none(anchors, vec_col)
+    positive — its relationship to the anchor is unknown).
+
+    `dim` <= similarity._UNROLL_MAX_DIM unrolls the dot/norm folds
+    into codegen; default None keeps the interpreted fold (identical
+    results, no construction-time probe job)."""
     c = _as_double(corpus, vec_col, "_cv").select(
         F.col(id_col),
         F.col(label_col).alias("_cl"),
@@ -98,6 +102,7 @@ def contrastive_triplets(
     id_col: str = "vec_id",
     label_col: str = "label",
     anchor_id_col: str = "anchor_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """(anchor_id, positive_id, negative_id, pos_sim, neg_sim): the
     ready-to-train triplet table — each anchor's most-similar
@@ -108,6 +113,7 @@ def contrastive_triplets(
     pos = hard_negatives(
         corpus, anchors, k=1, vec_col=vec_col, id_col=id_col,
         label_col=label_col, anchor_id_col=anchor_id_col, positives=True,
+        dim=dim,
     ).select(
         anchor_id_col,
         F.col("negative_id").alias("positive_id"),
@@ -115,7 +121,7 @@ def contrastive_triplets(
     )
     neg = hard_negatives(
         corpus, anchors, k=k_neg, vec_col=vec_col, id_col=id_col,
-        label_col=label_col, anchor_id_col=anchor_id_col,
+        label_col=label_col, anchor_id_col=anchor_id_col, dim=dim,
     ).select(
         anchor_id_col,
         "negative_id",

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .ann_index import _sq_dists
-from .similarity import _as_double, _dim_or_none, _dot, _norm
+from .similarity import _as_double, _dot, _norm
 
 
 def fit_centroids(
@@ -129,10 +129,14 @@ def semantic_dup_pairs(
     assigned: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Within-cluster candidate pairs with cosine >= threshold:
     (id_a, id_b, cluster, sim), id_a < id_b. One shuffle on the
-    cluster key; never a global all-pairs."""
+    cluster key; never a global all-pairs. `dim` <=
+    similarity._UNROLL_MAX_DIM unrolls the cosine folds into codegen
+    (semantic_dedup passes len(centroids[0]) for free); default None
+    keeps the interpreted fold — identical results, no probe job."""
     a = assigned.select(
         F.col("cluster"),
         F.col(id_col).alias("id_a"),
@@ -145,7 +149,6 @@ def semantic_dup_pairs(
         F.col("vec").alias("_vb"),
         F.col("norm").alias("_nb"),
     )
-    dim = _dim_or_none(assigned, "vec")
     return (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -214,7 +217,7 @@ def semantic_dedup(
         F.col("norm").alias("_nb"),
         *[F.col(c).alias(f"_pb_{c}") for c in pri_cols],
     )
-    dim = _dim_or_none(assigned, "vec")
+    dim = len(centroids[0])  # known: unrolled codegen cosine (see _dot)
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("_ia") < F.col("_ib"))

@@ -76,9 +76,12 @@ def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
 
 def _dim_or_none(df: DataFrame, vec_col: str) -> int | None:
     """_infer_dim that degrades to None (interpreted-fold fallback,
-    identical results) instead of raising — for operators that accept
-    empty frames. One tiny driver job buys codegen for every
-    downstream dot/norm (see _dot)."""
+    identical results) instead of raising. NOT called by any operator:
+    the probe is a driver job per plan construction (~0.5 s measured
+    at sf0.1), which r8 initially paid on every vector-op construction
+    for zero gain on >=_UNROLL_MAX_DIM corpora — operators now take an
+    explicit `dim` instead. Kept for callers who want one-off
+    auto-detection: `dim=_dim_or_none(df, "embedding")`."""
     try:
         return _infer_dim(df, vec_col)
     except ValueError:
@@ -135,6 +138,7 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     query_id_col: str = "query_id",
     broadcast_queries: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -145,8 +149,14 @@ def cosine_topk_bruteforce(
     pair), which is the only shape that exists for exact all-pairs at
     that size — results identical, pinned in tests. Deterministic
     ranking: (sim DESC, candidate id) tie-break.
+
+    `dim`: pass the vector width when it is <= _UNROLL_MAX_DIM to get
+    unrolled codegen dot/norms (see _dot). Default None keeps the
+    interpreted fold — identical results. NOT auto-probed: a
+    first()-probe here is a driver job per plan construction, which
+    r8 measured at ~0.5 s against a zero gain for the common >=64-dim
+    corpus where the fold is the right path anyway.
     """
-    dim = _dim_or_none(queries, vec_col)
     c = _as_double(candidates, vec_col, "_cv").select(
         F.col(id_col), F.col("_cv"), _norm("_cv", dim).alias("_cn")
     )
@@ -263,14 +273,20 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     seed: int = 42,
     probe_hamming: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates scored only within buckets the
     query probes. Multi-probe (sign-flip neighborhoods of the query's
     signature) buys recall without extra hash tables — at 100 TB the
     candidate side is hashed ONCE and only the tiny query side fans
     out to `sum(C(n_planes,i) for i<=h)` probe rows. Shuffle O(N),
-    score O(N*Q*probes/2^n_planes)."""
-    dim = _infer_dim(queries, vec_col)
+    score O(N*Q*probes/2^n_planes).
+
+    `dim` skips the one-row probe the hyperplanes otherwise require
+    (a driver job per plan construction) and, when <= _UNROLL_MAX_DIM,
+    buys unrolled dot/norm codegen."""
+    if dim is None:
+        dim = _infer_dim(queries, vec_col)
     planes = random_hyperplanes(dim, n_planes, seed)
     c = _as_double(candidates, vec_col, "_cv").select(
         F.col(id_col),
@@ -424,6 +440,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     seed: int = 42,
     exact: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b).
 
@@ -431,13 +448,18 @@ def embedding_near_dup_pairs(
     hyperplane computation at all.
     exact=False: LSH-bucketed — pairs must share a hyperplane bucket
     (the scale path; recall < 1 by design).
+
+    `dim`: the LSH path probes one row for it when not given (the
+    hyperplanes need the width); the exact path never probes —
+    None means the interpreted fold, identical results (see _dot).
     """
-    dim = _dim_or_none(df, vec_col)
+    if dim is None and not exact:
+        dim = _infer_dim(df, vec_col)
     d = _as_double(df, vec_col, "_v").select(
         F.col(id_col), "_v", _norm("_v", dim).alias("_n")
     )
     if not exact:
-        planes = random_hyperplanes(_infer_dim(df, vec_col), n_planes, seed)
+        planes = random_hyperplanes(dim, n_planes, seed)
         d = d.withColumn("bucket", lsh_bucket("_v", planes))
     cols_a = [
         F.col(id_col).alias("id_a"), F.col("_v").alias("va"),
