@@ -1,0 +1,234 @@
+"""HTML -> training-text extraction (no reference counterpart; the
+stage BEFORE every other text operator on a crawled-web corpus).
+
+A crawl delivers markup; the pipeline's quality/lang/dedup operators
+want visible text. This module is the deterministic tag-strip
+extractor — the WET-style baseline every web pipeline starts from —
+as a pure `regexp_replace` chain: JVM-side, whole-stage codegen, zero
+Python, so extraction runs at parquet-scan speed on 100 TB exactly
+like operators/text.py. Readability-style DOM scoring is out of scope
+by design; its job here is done downstream by
+`text.strip_boilerplate_lines` (corpus-level line df) and the quality
+gates (`html_stats` link/text density below feeds them).
+
+Pipeline (order matters and is part of the contract):
+
+1. drop non-content subtrees WITH their contents — script, style,
+   noscript, template — plus comments and DOCTYPE;
+2. block boundaries become newlines: <br>/<hr> and the open/close of
+   p, div, li, tr, headings, blockquote, pre, table cells, ... — so
+   paragraph structure survives for line-level operators;
+3. every remaining tag is stripped (inline tags: a, span, b, ...);
+4. the common named/numeric character entities are unescaped —
+   `&amp;` LAST so `&amp;lt;` yields the literal `&lt;` (one level,
+   per the spec); unknown entities pass through verbatim;
+5. whitespace canonicalization: NBSP -> space, space runs collapse,
+   line edges trim, newline runs collapse to ONE newline — one line
+   per block, the WET-extract convention (blank lines are never
+   significant downstream: line-level dedup, quality and lang-id all
+   key on lines or whole docs) — then outer trim.
+
+Every pattern sits in the Java-regex ∩ RE2 subset (no backreferences,
+no lookaround) so tests/test_html.py mirrors the exact chain in
+DuckDB SQL as a differential oracle; a round-trip invariant (wrap
+plain text in markup + entities -> extract -> original) pins the
+semantics from the other side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Subtrees whose CONTENT is not text. Expanded alternation per tag
+# (no backreference \1) to stay inside the RE2 subset DuckDB can run.
+_CONTENT_TAGS = ("script", "style", "noscript", "template")
+
+# Tags whose boundary is a line break for visible text.
+_BLOCK_TAGS = (
+    "p|div|li|ul|ol|dl|dt|dd|h1|h2|h3|h4|h5|h6|tr|td|th|table|thead"
+    "|tbody|tfoot|blockquote|pre|section|article|header|footer|nav"
+    "|aside|main|figure|figcaption|form|fieldset|address"
+)
+
+# Entity -> replacement, applied IN ORDER; `&amp;` must be last so
+# double-escaped entities unescape exactly one level.
+_ENTITIES = (
+    ("&lt;", "<"),
+    ("&#60;", "<"),
+    ("&gt;", ">"),
+    ("&#62;", ">"),
+    ("&quot;", '"'),
+    ("&#34;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&#160;", " "),
+    ("&amp;", "&"),
+    ("&#38;", "&"),
+)
+
+
+def _strip_content_tags(col: Column) -> Column:
+    for tag in _CONTENT_TAGS:
+        col = F.regexp_replace(
+            col, f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>", ""
+        )
+    return col
+
+
+def chain_steps() -> list[tuple[str, str]]:
+    """The ordered (pattern, replacement) chain that IS the extraction
+    contract — html_to_text_col applies it verbatim, and the oracle
+    gate / tests generate the DuckDB twin from the same list
+    (duckdb_html_to_text_sql), so the two engines cannot drift."""
+    steps = [
+        (f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>", "")
+        for tag in _CONTENT_TAGS
+    ]
+    steps += [
+        (r"(?s)<!--.*?-->", ""),
+        (r"(?i)<!DOCTYPE[^>]*>", ""),
+        # block boundaries -> newline BEFORE the generic strip, so
+        # `<p>a</p><p>b</p>` keeps its two lines
+        (r"(?i)<(?:br|hr)\s*/?\s*>", "\n"),
+        (f"(?is)</?(?:{_BLOCK_TAGS})\\b[^>]*>", "\n"),
+        (r"(?s)<[^>]*>", ""),
+        *_ENTITIES,
+        (" ", " "),  # raw NBSP chars, not just the entity
+        (r"[ \t\r]+", " "),
+        (r"(?m)^ +| +$", ""),
+        (r"\n{2,}", "\n"),
+        # full whitespace trim (trim() strips spaces only, not \n)
+        (r"^\s+|\s+$", ""),
+    ]
+    return steps
+
+
+def html_to_text_col(col: Column | str) -> Column:
+    """Visible text of an HTML string as a single column expression —
+    newline-separated blocks, entities unescaped, whitespace
+    canonical. NULL in -> NULL out."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, rep in chain_steps():
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def duckdb_html_to_text_sql(expr: str) -> str:
+    """DuckDB SQL computing html_to_text_col(`expr`) — the oracle
+    twin built from the same chain_steps(): nested regexp_replace
+    with the 'g' flag (DuckDB replaces first match by default; Spark
+    replaces all). Byte-equal output is the contract — every pattern
+    sits in the Java-regex ∩ RE2 subset (no backreferences or
+    lookaround; inline (?ism) flags only)."""
+    sql = expr
+    for pat, rep in chain_steps():
+        pat_sql = pat.replace("'", "''")
+        rep_sql = rep.replace("'", "''")
+        if "\n" in rep:  # newline literal via chr(10) concat
+            rep_lit = " || chr(10) || ".join(
+                f"'{p}'" for p in rep_sql.split("\n")
+            )
+        else:
+            rep_lit = f"'{rep_sql}'"
+        sql = f"regexp_replace({sql}, '{pat_sql}', {rep_lit}, 'g')"
+    return sql
+
+
+def html_to_text(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text): visible text per document. Per-row expressions
+    only — zero shuffle at any corpus size; chain
+    `text.strip_boilerplate_lines` after it for corpus-level nav/
+    footer removal."""
+    return df.select(
+        F.col(id_col), html_to_text_col(html_col).alias("text")
+    )
+
+
+def _sum_lengths(arr: Column) -> Column:
+    # total visible-char length of extracted fragments; 0 for no match
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.length(F.regexp_replace(x, r"(?s)<[^>]*>", "")),
+    )
+
+
+def html_stats(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Page-quality signals used as crawl-corpus gates BEFORE paying
+    for full extraction downstream (the classic boilerplate-page
+    discriminators):
+
+    * n_tags / n_anchors / n_scripts — raw structure counts;
+    * text_len — visible-text length (the extractor above);
+    * text_density — text_len / html length (boilerplate-heavy pages
+      score low);
+    * link_density — anchor-enclosed visible chars / text_len (nav
+      and link-farm pages score high; 0 when text_len = 0).
+
+    Integer counts + one IEEE division each — bit-identical across
+    engines, per the repo's oracle rule. Pure per-row expressions,
+    zero shuffle."""
+    h = F.col(html_col)
+    text_len = F.length(html_to_text_col(h))
+    anchor_chars = _sum_lengths(
+        F.regexp_extract_all(
+            _strip_content_tags(h), F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), 1
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(h, F.lit(r"(?s)<[^>]*>")).cast("bigint").alias("n_tags"),
+        F.regexp_count(h, F.lit(r"(?i)<a\b")).cast("bigint").alias("n_anchors"),
+        F.regexp_count(h, F.lit(r"(?i)<script\b"))
+        .cast("bigint")
+        .alias("n_scripts"),
+        text_len.cast("bigint").alias("text_len"),
+        (text_len.cast("double") / F.greatest(F.length(h), F.lit(1))).alias(
+            "text_density"
+        ),
+        (
+            anchor_chars.cast("double")
+            / F.greatest(text_len.cast("bigint"), F.lit(1))
+        ).alias("link_density"),
+    )
+
+
+def extract_documents(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    max_link_density: float = 0.5,
+    min_text_chars: int = 50,
+) -> DataFrame:
+    """The standard crawl-ingest recipe in one call: gate on the
+    html_stats signals (link farms out, near-empty pages out), then
+    extract. Returns (id, text) for pages that pass — the frame every
+    downstream text operator consumes. The gates are per-row
+    expressions on the SAME scan (no id join, nothing broadcast —
+    a keep-set join would be corpus-sized at 100 TB), so the whole
+    recipe is one zero-shuffle projection+filter stage."""
+    h = F.col(html_col)
+    text = html_to_text_col(h)
+    anchor_chars = _sum_lengths(
+        F.regexp_extract_all(
+            _strip_content_tags(h), F.lit(r"(?is)<a\b[^>]*>(.*?)</a\s*>"), 1
+        )
+    )
+    link_density = anchor_chars.cast("double") / F.greatest(
+        F.length(text).cast("bigint"), F.lit(1)
+    )
+    return (
+        df.select(F.col(id_col), text.alias("text"), link_density.alias("_ld"))
+        .filter(
+            (F.col("_ld") <= F.lit(max_link_density))
+            & (F.length("text") >= F.lit(min_text_chars))
+        )
+        .drop("_ld")
+    )

@@ -3153,6 +3153,35 @@ def _script_profile_sql(st: str, emit: tuple[str, ...]) -> str:
     return ",\n      ".join(parts)
 
 
+# The synthesized page for the html-extraction fold: built from
+# (source, text) identically on both sides, covering every chain
+# stage — doctype, comment, style-with-content, headings/paragraph
+# blocks, br, entities (incl. nbsp and the one-level &amp;lt; rule).
+_HTML_PAGE_PARTS = (
+    "<!DOCTYPE html><html><head><title>",  # + source
+    "</title><style>p{color:red}</style></head><body><!-- c --><h1>",
+    # + source
+    "</h1><p>",  # + text
+    "&nbsp;&amp;lt;tail</p><br><div>d</div></body></html>",
+)
+
+
+def _html_sig_sql() -> str:
+    """DuckDB twin of the html_sig fold: md5 of html.html_to_text_col
+    over the synthesized page — the chain SQL is GENERATED from the
+    operator's own chain_steps() (html.duckdb_html_to_text_sql), so
+    any change to tag classes, entity order, or whitespace rules
+    hash-mismatches this row."""
+    from ..operators.html import duckdb_html_to_text_sql
+
+    p = _HTML_PAGE_PARTS
+    page = (
+        f"('{p[0]}' || source || '{p[1]}' || source || '{p[2]}'"
+        f" || text || '{p[3]}')"
+    )
+    return f"md5({duckdb_html_to_text_sql(page)}) AS html_sig"
+
+
 def _winnow_grams_cte(k: int) -> str:
     """CTE body computing per-document winnow inputs ONCE (tokens and
     the portable 32-bit k-gram hash list) — inlining `grams` into the
@@ -3247,8 +3276,10 @@ def _winnow_sig_sql(k: int, w: int) -> str:
     )
     + ",\n      "
     + _winnow_sig_sql(5, 4)
+    + ",\n      "
+    + _html_sig_sql()
     + "\n    FROM wbase\n    ",
-    "ext: PII scan + URL + content-shape + sections + script + winnow folds",
+    "ext: PII scan + URL + content-shape + sections + script + winnow + html folds",
 )
 def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-screening pass: per-doc counts of emails / URLs / phone
@@ -3271,7 +3302,13 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       rotating Cyrillic/CJK suffix so non-Latin classes bind;
     * winnowing: winnow.winnow_cols (portable md5 mode) — winnow_sig
       is the md5 of the sorted distinct fingerprint set, so the
-      oracle pins the exact MOSS selection per document."""
+      oracle pins the exact MOSS selection per document;
+    * html extraction (operators/html.py): html_sig is the md5 of
+      html_to_text_col over a page synthesized from (source, text)
+      covering every chain stage; the oracle runs the SAME chain as
+      generated DuckDB SQL (html.duckdb_html_to_text_sql) over the
+      same synthesized page."""
+    from ..operators.html import html_to_text_col
     from ..operators.segments import content_shape_cols, sections_col
     from ..operators.text import pattern_scan, script_profile_cols
     from ..operators.urls import normalize_url, registrable_domain, url_parts
@@ -3337,6 +3374,12 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sp = script_profile_cols(stext)
 
+    hp = _HTML_PAGE_PARTS
+    page = F.concat(
+        F.lit(hp[0]), F.col("source"), F.lit(hp[1]), F.col("source"),
+        F.lit(hp[2]), F.col("text"), F.lit(hp[3]),
+    )
+
     shape = content_shape_cols(F.col("text"))
     winnow_sig = F.md5(
         F.array_join(
@@ -3364,6 +3407,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "other_frac": sp["other_frac"],
             "main_script": sp["main_script"],
             "winnow_sig": winnow_sig,
+            "html_sig": F.md5(html_to_text_col(page)),
         },
     )
 

@@ -1,0 +1,161 @@
+"""HTML -> text extraction (operators/html.py): DuckDB differential
+of the exact regexp_replace chain, a wrap/extract round-trip
+invariant, hand-pinned stats, gate semantics, and the zero-shuffle
+plan pin."""
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import html as H
+
+PAGES = [
+    (1, "<html><head><title>T</title><style>p{color:red}</style></head>"
+        "<body><p>Hello <b>world</b></p><p>Second&nbsp;para</p></body></html>"),
+    (2, "<!DOCTYPE html><div>a<br>b<br/>c<hr>d</div>"),
+    (3, "<script>var x = '<p>not text</p>';</script><p>kept</p>"
+        "<noscript>fallback</noscript>"),
+    (4, "plain text, no markup at all"),
+    (5, "<ul><li>one</li><li>two</li></ul><table><tr><td>c1</td>"
+        "<td>c2</td></tr></table>"),
+    (6, "<p>&lt;tag&gt; &amp; &quot;quoted&quot; &#39;s &amp;lt;</p>"),
+    (7, "<P CLASS='x'>upper\n  case   tags</P>"),
+    (8, "<a href='/x'>link one</a> and <a href='/y'>two</a><p>body text"
+        " that is longer than the links</p>"),
+    (9, ""),
+    (10, None),
+    (11, "<!-- comment <p>hidden</p> -->visible"),
+    (12, "<style type='text/css'>\n.a{..}\n</style>after style"),
+    (13, "<div><div><div>deep</div></div></div>\n\n\n\nspread"),
+]
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(PAGES, "doc_id long, html string")
+
+
+def test_matches_duckdb_reference(spark, pages):
+    got = {
+        r["doc_id"]: r["text"]
+        for r in H.html_to_text(pages, "html").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", PAGES)
+    want = dict(
+        con.execute(f"SELECT doc_id, {H.duckdb_html_to_text_sql('html')} FROM d").fetchall()
+    )
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did] == want[did], (did, got[did], want[did])
+
+
+def test_hand_pinned_extractions(spark, pages):
+    got = {
+        r["doc_id"]: r["text"]
+        for r in H.html_to_text(pages, "html").collect()
+    }
+    assert got[1] == "T\nHello world\nSecond para"
+    assert got[2] == "a\nb\nc\nd"
+    assert got[3] == "kept"  # script + noscript content gone
+    assert got[4] == "plain text, no markup at all"
+    assert got[5] == "one\ntwo\nc1\nc2"
+    # one level of entity unescape: &amp;lt; -> &lt;, never <
+    assert got[6] == "<tag> & \"quoted\" 's &lt;"
+    assert got[7] == "upper\ncase tags"
+    assert got[9] == ""
+    assert got[10] is None
+    assert got[11] == "visible"
+    assert got[12] == "after style"
+    assert got[13] == "deep\nspread"  # newline runs collapse to one
+
+
+def test_wrap_extract_roundtrip(spark):
+    """Escaping plain text into markup and extracting it back is the
+    identity on whitespace-canonical text — the invariant that pins
+    entity order (escape & first, unescape & last)."""
+    texts = [
+        "simple line",
+        "a < b && b > c",
+        'quotes "double" here',
+        "multi\nline\ntext",
+        "tabs\tand  runs",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wrapped = df.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><body><p>"),
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text"), "&", "&amp;"),
+                    "<",
+                    "&lt;",
+                ),
+                ">",
+                "&gt;",
+            ),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    got = {
+        r["doc_id"]: r["text"] for r in H.html_to_text(wrapped).collect()
+    }
+    canon = {
+        i: re.sub(
+            r"\n{2,}",
+            "\n",
+            re.sub(r"(?m)^ +| +$", "", re.sub(r"[ \t\r]+", " ", t)),
+        ).strip()
+        for i, t in enumerate(texts)
+    }
+    assert got == canon
+
+
+def test_html_stats_pinned(spark, pages):
+    got = {r["doc_id"]: r.asDict() for r in H.html_stats(pages).collect()}
+    r8 = got[8]
+    assert r8["n_anchors"] == 2
+    assert r8["n_scripts"] == 0
+    # anchor visible chars: "link one" + "two" = 11; text:
+    # "link one and two\nbody text that is longer than the links"
+    text = "link one and two\nbody text that is longer than the links"
+    assert r8["text_len"] == len(text)
+    assert r8["link_density"] == pytest.approx(11 / len(text))
+    r3 = got[3]
+    assert r3["n_scripts"] == 1
+    assert r3["text_len"] == len("kept")
+    # tag-free page: zero densities from structure, text = html
+    r4 = got[4]
+    assert r4["n_tags"] == 0 and r4["n_anchors"] == 0
+    assert r4["text_density"] == pytest.approx(1.0)
+    assert r4["link_density"] == 0.0
+    assert got[10]["text_len"] is None  # NULL propagates
+
+
+def test_extract_documents_gates(spark):
+    rows = [
+        (1, "<p>" + "good readable content here " * 5 + "</p>"),
+        (2, "<a href='/spam'>" + "buy now " * 30 + "</a><p>tiny</p>"),
+        (3, "<p>short</p>"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    kept = H.extract_documents(df, min_text_chars=50, max_link_density=0.5)
+    got = {r["doc_id"]: r["text"] for r in kept.collect()}
+    assert set(got) == {1}  # 2 = link farm, 3 = too short
+    assert got[1].startswith("good readable content")
+
+
+def test_zero_shuffle_plans(spark, pages):
+    for frame in (
+        H.html_to_text(pages),
+        H.html_stats(pages),
+        H.extract_documents(pages, min_text_chars=1, max_link_density=1.0),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert len(re.findall(r"\bExchange\b", plan)) == 0, plan
