@@ -1,0 +1,214 @@
+"""WARC source: read web-archive files (ISO 28500 — the CommonCrawl
+container) into a DataFrame, completing the crawl-ingest path
+`read_warc -> html.extract_documents -> curation`.
+
+Scale shape. WARC files are not record-splittable (gzip members per
+record, no sync markers Spark can seek), so the unit of parallelism
+is the FILE — the same contract every large-scale WARC consumer uses
+(CommonCrawl ships ~1 GB .warc.gz shards precisely so file-level
+parallelism saturates a cluster). The plan is:
+
+    binaryFile scan (one row per file, bytes in `content`)
+      -> repartition(paths) so each task decodes one file
+      -> mapInPandas record parser (the Arrow codec seam — WARC/HTTP
+         framing is imperative byte layout, not a relational op;
+         the same documented-Python-seam rule as multimodal decode)
+
+At 100 TB nothing changes: 100k files fan out as 100k tasks; the
+parser streams each file's records into Arrow batches and never
+keys, sorts, or shuffles anything.
+
+Format notes (public spec + CommonCrawl observations):
+* a record = `WARC/1.0\\r\\n` header block, `\\r\\n\\r\\n`, then
+  exactly WARC `Content-Length` payload bytes, then `\\r\\n\\r\\n`;
+* `.gz` files are MULTI-MEMBER gzip (one member per record);
+  Python's gzip handles concatenated members natively;
+* `response` records carry an HTTP response as payload: status line,
+  headers, `\\r\\n\\r\\n`, body — `http_status` and `content_type`
+  come from there and `payload` is the BODY alone;
+* non-response records (warcinfo, request, metadata, ...) pass
+  through with the raw payload and NULL http fields — filter on
+  `warc_type` downstream;
+* bodies decode as utf-8 with replacement; charset re-decoding from
+  Content-Type is out of scope by design (CommonCrawl's own WET
+  extraction treats non-utf-8 the same way: lossy-normalize early).
+
+Verification: tests/test_warc.py — synthesized uncompressed and
+multi-member-gzip WARCs round-trip record-exactly, and the WARC ->
+html_to_text pipeline recovers planted page text.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+def _parse_header_block(block: bytes) -> dict[str, str]:
+    """WARC/HTTP header block -> {lower(name): value}. Tolerates LF
+    line ends and skips malformed lines (the spec mandates CRLF, but
+    real crawls contain both)."""
+    headers: dict[str, str] = {}
+    for line in block.split(b"\n"):
+        line = line.strip(b"\r")
+        if b":" not in line:
+            continue
+        name, _, value = line.partition(b":")
+        headers[name.strip().lower().decode("latin-1")] = (
+            value.strip().decode("latin-1")
+        )
+    return headers
+
+
+def _split_records(raw: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
+    """(warc_headers, payload_bytes) per record from one decompressed
+    WARC stream. Length-driven (never a payload scan): the spec makes
+    Content-Length authoritative, so HTML containing 'WARC/1.0' can
+    never split a record."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and raw[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            return
+        if not raw.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"malformed WARC: expected record header at byte {pos}"
+            )
+        hdr_end = raw.find(b"\r\n\r\n", pos)
+        sep = 4
+        if hdr_end == -1:
+            hdr_end = raw.find(b"\n\n", pos)
+            sep = 2
+        if hdr_end == -1:
+            raise ValueError("malformed WARC: unterminated header block")
+        headers = _parse_header_block(raw[pos:hdr_end])
+        length = int(headers.get("content-length", "0"))
+        body_start = hdr_end + sep
+        yield headers, raw[body_start : body_start + length]
+        pos = body_start + length
+
+
+def _split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
+    """(status, content_type, body) from an HTTP response payload."""
+    hdr_end = payload.find(b"\r\n\r\n")
+    sep = 4
+    if hdr_end == -1:
+        hdr_end = payload.find(b"\n\n")
+        sep = 2
+    if hdr_end == -1 or not payload.startswith(b"HTTP/"):
+        return None, None, payload
+    head = payload[:hdr_end]
+    first, _, rest = head.partition(b"\n")
+    parts = first.split(None, 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = None
+    headers = _parse_header_block(rest)
+    return status, headers.get("content-type"), payload[hdr_end + sep :]
+
+
+def parse_warc_bytes(
+    name: str, data: bytes
+) -> Iterator[tuple[str, str, str, str, int | None, str | None, str]]:
+    """Rows (per WARC_SCHEMA, minus warc_file) from one WARC file's
+    bytes. Driver-free pure function — the task-side core, exposed for
+    tests."""
+    if name.endswith(".gz"):
+        # multi-member stream: gzip handles concatenated members
+        data = gzip.decompress(data)
+    for headers, payload in _split_records(data):
+        wtype = headers.get("warc-type", "")
+        status: int | None = None
+        ctype = headers.get("content-type")
+        body = payload
+        if wtype == "response":
+            status, http_ctype, body = _split_http_payload(payload)
+            if http_ctype is not None:
+                ctype = http_ctype
+        yield (
+            wtype,
+            headers.get("warc-record-id", ""),
+            headers.get("warc-target-uri", ""),
+            headers.get("warc-date", ""),
+            status,
+            ctype,
+            body.decode("utf-8", errors="replace"),
+        )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """One row per WARC record across every file matching `path`
+    (glob ok; .warc and .warc.gz). See module docstring for the plan
+    shape — file-level parallelism, one Arrow decode seam, zero
+    shuffle after the repartition-by-file."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for name, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_bytes(str(name), bytes(content)):
+                    out.append((str(name), *rec))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=[f.name for f in WARC_SCHEMA.fields]
+                )
+
+    return (
+        files.select("path", "content")
+        .repartition(F.col("path"))
+        .mapInPandas(decode, WARC_SCHEMA)
+    )
+
+
+def read_warc_documents(
+    spark: SparkSession,
+    path: str,
+    min_text_chars: int = 50,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """The crawl-ingest recipe in one call: 200-status HTML response
+    records -> html.extract_documents gates + extraction. Returns
+    (doc_id, text) where doc_id is the WARC record id — the frame
+    every downstream text operator (dedup, quality, lang-id,
+    curation) consumes. Still one scan + one decode seam + per-row
+    expressions; no shuffle."""
+    from ..operators.html import extract_documents
+
+    pages = (
+        read_warc(spark, path)
+        .filter(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+            & F.col("content_type").contains("html")
+        )
+        .select(F.col("record_id").alias("doc_id"), F.col("payload").alias("html"))
+    )
+    return extract_documents(
+        pages,
+        min_text_chars=min_text_chars,
+        max_link_density=max_link_density,
+    )

@@ -1,0 +1,182 @@
+"""WARC source (sources/warc.py): synthesized archives round-trip
+record-exactly (uncompressed + multi-member gzip), length-driven
+splitting survives payloads containing 'WARC/1.0', and the
+WARC -> html extraction pipeline recovers planted page text."""
+
+import gzip
+import os
+
+import pytest
+
+from ecomm_datapipeline_spark.sources import warc as W
+
+
+def _record(
+    wtype: str,
+    payload: bytes,
+    uri: str = "",
+    rec_id: str = "",
+    ctype: str = "application/octet-stream",
+) -> bytes:
+    headers = [
+        b"WARC/1.0",
+        f"WARC-Type: {wtype}".encode(),
+        f"WARC-Record-ID: {rec_id}".encode(),
+        f"WARC-Target-URI: {uri}".encode(),
+        b"WARC-Date: 2026-01-01T00:00:00Z",
+        f"Content-Type: {ctype}".encode(),
+        f"Content-Length: {len(payload)}".encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http_response(body: bytes, status: int = 200,
+                   ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\nContent-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+    )
+
+
+HTML_A = b"<html><body><p>alpha page body text</p></body></html>"
+HTML_B = (
+    b"<p>tricky body containing the literal WARC/1.0\r\n\r\n"
+    b"marker plus real content words</p>"
+)
+
+
+def _warc_bytes() -> bytes:
+    return (
+        _record("warcinfo", b"robots: classic\r\n", rec_id="<urn:info>")
+        + _record(
+            "request",
+            b"GET / HTTP/1.1\r\nHost: a.example\r\n\r\n",
+            uri="https://a.example/",
+            rec_id="<urn:req-1>",
+        )
+        + _record(
+            "response",
+            _http_response(HTML_A),
+            uri="https://a.example/",
+            rec_id="<urn:resp-a>",
+        )
+        + _record(
+            "response",
+            _http_response(HTML_B),
+            uri="https://b.example/x",
+            rec_id="<urn:resp-b>",
+        )
+        + _record(
+            "response",
+            _http_response(b"gone", status=404),
+            uri="https://a.example/missing",
+            rec_id="<urn:resp-404>",
+        )
+    )
+
+
+def test_parse_records_uncompressed():
+    rows = list(W.parse_warc_bytes("f.warc", _warc_bytes()))
+    assert [r[0] for r in rows] == [
+        "warcinfo", "request", "response", "response", "response",
+    ]
+    resp_a = rows[2]
+    assert resp_a[1] == "<urn:resp-a>"
+    assert resp_a[2] == "https://a.example/"
+    assert resp_a[4] == 200
+    assert resp_a[5] == "text/html"
+    assert resp_a[6] == HTML_A.decode()
+    # length-driven split: the embedded 'WARC/1.0' never breaks framing
+    assert rows[3][6] == HTML_B.decode()
+    assert rows[4][4] == 404
+    # non-response records keep raw payload + WARC content type
+    assert rows[0][6] == "robots: classic\r\n"
+    assert rows[0][4] is None
+
+
+def test_parse_gzip_multimember():
+    members = b"".join(
+        gzip.compress(chunk)
+        for chunk in (
+            _record("warcinfo", b"x", rec_id="<urn:i>"),
+            _record(
+                "response",
+                _http_response(HTML_A),
+                uri="https://a.example/",
+                rec_id="<urn:r>",
+            ),
+        )
+    )
+    rows = list(W.parse_warc_bytes("f.warc.gz", members))
+    assert [r[0] for r in rows] == ["warcinfo", "response"]
+    assert rows[1][6] == HTML_A.decode()
+
+
+def test_malformed_raises():
+    with pytest.raises(ValueError, match="malformed WARC"):
+        list(W.parse_warc_bytes("f.warc", b"not a warc at all"))
+
+
+def test_read_warc_dataframe(spark, tmp_path):
+    p1 = tmp_path / "a.warc"
+    p1.write_bytes(_warc_bytes())
+    p2 = tmp_path / "b.warc.gz"
+    p2.write_bytes(
+        gzip.compress(
+            _record(
+                "response",
+                _http_response(b"<p>second file</p>"),
+                uri="https://c.example/",
+                rec_id="<urn:c>",
+            )
+        )
+    )
+    df = W.read_warc(spark, os.path.join(str(tmp_path), "*.warc*"))
+    rows = {r["record_id"]: r for r in df.collect()}
+    assert len(rows) == 6
+    assert rows["<urn:resp-a>"]["http_status"] == 200
+    assert rows["<urn:resp-a>"]["warc_file"].endswith("a.warc")
+    assert rows["<urn:c>"]["payload"] == "<p>second file</p>"
+    assert rows["<urn:c>"]["warc_file"].endswith("b.warc.gz")
+
+
+def test_read_warc_documents_pipeline(spark, tmp_path):
+    """End-to-end crawl ingest: only 200 text/html records survive,
+    and their visible text matches html_to_text exactly."""
+    body = (
+        b"<html><body><h1>Title</h1><p>"
+        + b"real paragraph content with enough characters to pass "
+        + b"the minimum text gate easily</p></body></html>"
+    )
+    p = tmp_path / "c.warc"
+    p.write_bytes(
+        _record(
+            "response",
+            _http_response(body),
+            uri="https://ok.example/",
+            rec_id="<urn:ok>",
+        )
+        + _record(
+            "response",
+            _http_response(b'{"json": true}', ctype="application/json"),
+            uri="https://api.example/",
+            rec_id="<urn:json>",
+        )
+        + _record(
+            "response",
+            _http_response(b"<p>short</p>"),
+            uri="https://tiny.example/",
+            rec_id="<urn:tiny>",
+        )
+    )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in W.read_warc_documents(
+            spark, str(p), min_text_chars=50
+        ).collect()
+    }
+    assert set(docs) == {"<urn:ok>"}
+    assert docs["<urn:ok>"] == (
+        "Title\nreal paragraph content with enough characters to pass "
+        "the minimum text gate easily"
+    )
