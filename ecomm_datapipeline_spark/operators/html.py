@@ -69,11 +69,16 @@ _ENTITIES = (
 )
 
 
+def _content_tag_pattern(tag: str) -> str:
+    """Single source of the remove-subtree-with-content rule — used by
+    both chain_steps() (the extraction contract) and html_stats'
+    anchor pass; two copies would silently desynchronize them."""
+    return f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>"
+
+
 def _strip_content_tags(col: Column) -> Column:
     for tag in _CONTENT_TAGS:
-        col = F.regexp_replace(
-            col, f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>", ""
-        )
+        col = F.regexp_replace(col, _content_tag_pattern(tag), "")
     return col
 
 
@@ -82,10 +87,7 @@ def chain_steps() -> list[tuple[str, str]]:
     contract — html_to_text_col applies it verbatim, and the oracle
     gate / tests generate the DuckDB twin from the same list
     (duckdb_html_to_text_sql), so the two engines cannot drift."""
-    steps = [
-        (f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>", "")
-        for tag in _CONTENT_TAGS
-    ]
+    steps = [(_content_tag_pattern(tag), "") for tag in _CONTENT_TAGS]
     steps += [
         (r"(?s)<!--.*?-->", ""),
         (r"(?i)<!DOCTYPE[^>]*>", ""),

@@ -25,8 +25,13 @@ their DISTINCT values first (host cardinality is orders of magnitude
 below row count on a web corpus), each host explodes its O(labels)
 suffix candidates, one broadcast join + one host-keyed aggregation
 picks the prevailing rule, and the (host, domain) mapping joins back
-onto the input by host. No corpus-sized shuffle carries anything but
-the host strings.
+onto the input by host. That join-back is AQE-adaptive by design:
+when the distinct-host table is small it becomes a broadcast join
+(no corpus shuffle at all); when it is genuinely large — a 100 TB
+crawl has ~10^8 hosts, beyond any broadcast — the corpus pays ONE
+sort-merge shuffle keyed on the host string, the same cost class as
+per_domain_cap or any per-host aggregation. A forced broadcast hint
+would be wrong at exactly the scale this module targets.
 
 Verification: tests/test_psl.py — DuckDB SQL differential of the
 longest-match/exception/wildcard logic over a rule table, hand-pinned
@@ -155,8 +160,8 @@ def with_registrable_domain(
     """Input rows + `out_col`: the PSL registrable domain of
     `host_col`. The PSL match runs on the DISTINCT host table (see
     host_registrable_domains) and joins back by host — deterministic,
-    no row ids, and the corpus-sized shuffle carries only the host
-    string."""
+    no row ids; AQE broadcasts the mapping when small and falls back
+    to one host-keyed sort-merge shuffle when not (module docstring)."""
     mapping = host_registrable_domains(df, psl_lines, host_col).select(
         F.col("host").alias("_psl_host"), F.col("domain").alias(out_col)
     )

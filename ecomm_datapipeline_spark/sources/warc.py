@@ -41,6 +41,7 @@ html_to_text pipeline recovers planted page text.
 from __future__ import annotations
 
 import gzip
+import io
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,44 +78,70 @@ def _parse_header_block(block: bytes) -> dict[str, str]:
     return headers
 
 
-def _split_records(raw: bytes) -> Iterator[tuple[dict[str, str], bytes]]:
-    """(warc_headers, payload_bytes) per record from one decompressed
-    WARC stream. Length-driven (never a payload scan): the spec makes
-    Content-Length authoritative, so HTML containing 'WARC/1.0' can
-    never split a record."""
-    pos = 0
-    n = len(raw)
-    while pos < n:
-        # skip inter-record CRLFs
-        while pos < n and raw[pos : pos + 1] in (b"\r", b"\n"):
-            pos += 1
-        if pos >= n:
-            return
-        if not raw.startswith(b"WARC/", pos):
-            raise ValueError(
-                f"malformed WARC: expected record header at byte {pos}"
-            )
-        hdr_end = raw.find(b"\r\n\r\n", pos)
-        sep = 4
-        if hdr_end == -1:
-            hdr_end = raw.find(b"\n\n", pos)
-            sep = 2
-        if hdr_end == -1:
-            raise ValueError("malformed WARC: unterminated header block")
-        headers = _parse_header_block(raw[pos:hdr_end])
+def _find_blank_line(buf: bytes, start: int = 0) -> tuple[int, int]:
+    """(index, separator_len) of the EARLIEST header/body blank line —
+    CRLFCRLF or LFLF, whichever comes first. Earliest-wins matters:
+    searching CRLF first would let an LF-headed record whose payload
+    contains \r\n\r\n (any HTTP response does) mis-frame the whole
+    stream. (-1, 0) when neither appears."""
+    i_crlf = buf.find(b"\r\n\r\n", start)
+    i_lf = buf.find(b"\n\n", start)
+    if i_crlf == -1 and i_lf == -1:
+        return -1, 0
+    if i_lf == -1 or (i_crlf != -1 and i_crlf <= i_lf):
+        return i_crlf, 4
+    return i_lf, 2
+
+
+_READ_CHUNK = 1 << 20  # 1 MiB
+
+
+def _iter_records(stream) -> Iterator[tuple[dict[str, str], bytes]]:
+    """(warc_headers, payload_bytes) per record, STREAMED from a
+    binary file-like — resident memory is one record plus a read
+    buffer, never the decompressed archive (a ~1 GB .warc.gz
+    decompresses to 4-5 GB; buffering it whole per task is an
+    executor OOM at exactly the scale WARC exists for). Length-driven
+    framing (never a payload scan): the spec makes Content-Length
+    authoritative, so payloads containing 'WARC/1.0' or blank lines
+    can never split a record."""
+    buf = b""
+    while True:
+        # fill until the header terminator is visible; strip
+        # inter-record separators each pass (a chunk boundary can
+        # land before a record header)
+        while True:
+            buf = buf.lstrip(b"\r\n")
+            idx, sep = _find_blank_line(buf)
+            if idx != -1:
+                break
+            chunk = stream.read(_READ_CHUNK)
+            if not chunk:
+                if buf:
+                    raise ValueError(
+                        "malformed WARC: unterminated header block"
+                    )
+                return
+            buf += chunk
+        if not buf.startswith(b"WARC/"):
+            raise ValueError("malformed WARC: expected record header")
+        headers = _parse_header_block(buf[:idx])
         length = int(headers.get("content-length", "0"))
-        body_start = hdr_end + sep
-        yield headers, raw[body_start : body_start + length]
-        pos = body_start + length
+        body_start = idx + sep
+        while len(buf) < body_start + length:
+            chunk = stream.read(_READ_CHUNK)
+            if not chunk:
+                raise ValueError("malformed WARC: truncated payload")
+            buf += chunk
+        yield headers, buf[body_start : body_start + length]
+        buf = buf[body_start + length :]
 
 
 def _split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
-    """(status, content_type, body) from an HTTP response payload."""
-    hdr_end = payload.find(b"\r\n\r\n")
-    sep = 4
-    if hdr_end == -1:
-        hdr_end = payload.find(b"\n\n")
-        sep = 2
+    """(status, content_type, body) from an HTTP response payload.
+    Earliest blank line wins (see _find_blank_line) — LF-only HTTP
+    headers over a body containing \r\n\r\n must not truncate."""
+    hdr_end, sep = _find_blank_line(payload)
     if hdr_end == -1 or not payload.startswith(b"HTTP/"):
         return None, None, payload
     head = payload[:hdr_end]
@@ -134,10 +161,14 @@ def parse_warc_bytes(
     """Rows (per WARC_SCHEMA, minus warc_file) from one WARC file's
     bytes. Driver-free pure function — the task-side core, exposed for
     tests."""
+    stream: object
     if name.endswith(".gz"):
-        # multi-member stream: gzip handles concatenated members
-        data = gzip.decompress(data)
-    for headers, payload in _split_records(data):
+        # multi-member stream: GzipFile reads concatenated members and
+        # decompresses INCREMENTALLY (never the whole archive at once)
+        stream = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
+    for headers, payload in _iter_records(stream):
         wtype = headers.get("warc-type", "")
         status: int | None = None
         ctype = headers.get("content-type")
@@ -167,15 +198,19 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        flush_rows = 1024  # bound resident decoded records per task
+
         for pdf in batches:
             out: list[tuple] = []
             for name, content in zip(pdf["path"], pdf["content"]):
                 for rec in parse_warc_bytes(str(name), bytes(content)):
                     out.append((str(name), *rec))
+                    if len(out) >= flush_rows:
+                        yield pd.DataFrame(out, columns=cols)
+                        out = []
             if out:
-                yield pd.DataFrame(
-                    out, columns=[f.name for f in WARC_SCHEMA.fields]
-                )
+                yield pd.DataFrame(out, columns=cols)
 
     return (
         files.select("path", "content")
@@ -203,7 +238,7 @@ def read_warc_documents(
         .filter(
             (F.col("warc_type") == "response")
             & (F.col("http_status") == 200)
-            & F.col("content_type").contains("html")
+            & F.lower(F.col("content_type")).contains("html")
         )
         .select(F.col("record_id").alias("doc_id"), F.col("payload").alias("html"))
     )

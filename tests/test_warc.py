@@ -180,3 +180,78 @@ def test_read_warc_documents_pipeline(spark, tmp_path):
         "Title\nreal paragraph content with enough characters to pass "
         "the minimum text gate easily"
     )
+
+
+def _lf_record(wtype: str, payload: bytes, rec_id: str) -> bytes:
+    """LF-only header lines — tolerated per the parser contract."""
+    headers = (
+        f"WARC/1.0\nWARC-Type: {wtype}\nWARC-Record-ID: {rec_id}\n"
+        f"Content-Length: {len(payload)}\n\n"
+    ).encode()
+    return headers + payload + b"\n\n"
+
+
+def test_lf_headers_with_crlf_payload():
+    """Earliest-terminator framing: LF-only WARC headers must not be
+    mis-framed by the CRLFCRLF every HTTP payload contains."""
+    payload = _http_response(HTML_A)  # contains \r\n\r\n
+    rows = list(
+        W.parse_warc_bytes(
+            "f.warc",
+            _lf_record("response", payload, "<urn:lf-1>")
+            + _lf_record("metadata", b"k: v", "<urn:lf-2>"),
+        )
+    )
+    assert [r[0] for r in rows] == ["response", "metadata"]
+    assert rows[0][4] == 200
+    assert rows[0][6] == HTML_A.decode()
+    assert rows[1][1] == "<urn:lf-2>"
+
+
+def test_lf_http_headers_with_crlf_body():
+    """Same rule one level down: LF-only HTTP headers over a body
+    containing a literal CRLFCRLF must not truncate the body."""
+    body = b"<pre>raw http:\r\n\r\nHTTP/1.1 200 OK</pre>"
+    payload = (
+        f"HTTP/1.1 200 OK\nContent-Type: text/html\n\n".encode() + body
+    )
+    rows = list(
+        W.parse_warc_bytes(
+            "f.warc", _record("response", payload, rec_id="<urn:x>")
+        )
+    )
+    assert rows[0][4] == 200
+    assert rows[0][5] == "text/html"
+    assert rows[0][6] == body.decode()
+
+
+def test_chunk_boundary_streaming(monkeypatch):
+    """Records parse identically when the read buffer is far smaller
+    than a record (the streaming path's refill logic)."""
+    monkeypatch.setattr(W, "_READ_CHUNK", 7)
+    rows = list(W.parse_warc_bytes("f.warc", _warc_bytes()))
+    assert [r[0] for r in rows] == [
+        "warcinfo", "request", "response", "response", "response",
+    ]
+    assert rows[2][6] == HTML_A.decode()
+    assert rows[3][6] == HTML_B.decode()
+
+
+def test_mixed_case_content_type(spark, tmp_path):
+    """RFC 9110: Content-Type is case-insensitive — 'Text/HTML' pages
+    must survive the read_warc_documents filter."""
+    body = (
+        b"<p>mixed case content type page with plenty of text to pass"
+        b" the gate</p>"
+    )
+    p = tmp_path / "cc.warc"
+    p.write_bytes(
+        _record(
+            "response",
+            _http_response(body, ctype="Text/HTML; charset=ISO-8859-1"),
+            uri="https://mixed.example/",
+            rec_id="<urn:mixed>",
+        )
+    )
+    docs = W.read_warc_documents(spark, str(p), min_text_chars=20).collect()
+    assert [r["doc_id"] for r in docs] == ["<urn:mixed>"]
