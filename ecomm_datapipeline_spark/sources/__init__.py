@@ -6,6 +6,7 @@ from .landing import (
     read_products_csv,
 )
 from .tables import load_testdata, read_table, write_table
+from .warc import read_warc, read_warc_documents
 
 __all__ = [
     "archive_processed_files",
@@ -16,4 +17,6 @@ __all__ = [
     "load_testdata",
     "read_table",
     "write_table",
+    "read_warc",
+    "read_warc_documents",
 ]
