@@ -642,6 +642,51 @@ def repetition_filter(
     return df.filter(~drop)
 
 
+# Sentence boundary as an EXTRACTION pattern, not a split: runs of
+# non-terminator characters up to their terminator cluster (with any
+# closing quotes/brackets), or a terminator-less tail. Extraction
+# stays inside the Java-regex ∩ RE2 subset (a lookbehind split does
+# not), so the DuckDB differential mirrors it verbatim. Abbreviation
+# handling ("Dr.", "e.g.") is out of scope by design — the standard
+# regex-splitter limitation, documented rather than half-solved.
+SENTENCE_PATTERN = "[^.!?]+[.!?]+[\"')\\]]*|[^.!?]+"
+
+
+def sentence_array_col(text_col: Column | str) -> Column:
+    """array<string> of trimmed, non-empty sentences — the per-row
+    twin of split_sentences, composable inside other expressions
+    (e.g. a sentences-per-doc count on an existing scan). NULL in ->
+    NULL out; empty/whitespace text -> empty array."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        F.transform(
+            F.regexp_extract_all(t, F.lit(SENTENCE_PATTERN), 0),
+            lambda x: F.trim(x),
+        ),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def split_sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sent_id, sentence): one row per sentence in document
+    order — the grain bitext mining, SFT example splitting, and
+    sentence-level dedup consume. sent_id is 0-based position.
+    Pure per-row extraction + posexplode (a Generate, zero shuffle
+    at any corpus size). Reassembly: the raw matches partition the
+    text EXCEPT orphan terminator runs (a terminator with no
+    preceding content, e.g. a leading '!!!'), which drop — pinned in
+    tests along with the concat-reassembly invariant for normal
+    text."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(sentence_array_col(text_col)).alias(
+            "sent_id", "sentence"
+        ),
+    )
+
+
 def chunk_array(
     text_col: Column | str, max_tokens: int = 512, overlap: int = 64
 ) -> Column:

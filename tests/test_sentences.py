@@ -1,0 +1,125 @@
+"""Sentence segmentation (text.split_sentences): DuckDB differential
+of the extraction pattern, hand-pinned splits, reassembly invariant,
+orphan-terminator contract, and the Generate-only plan pin."""
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import text as t
+
+ROWS = [
+    (1, "Hello world. Second sentence! A third? yes."),
+    (2, "No terminator at all just a tail"),
+    (3, 'He said "stop." Then left.'),
+    (4, "Ellipsis... then more. End"),
+    (5, "(Parenthetical.) Next."),
+    (6, ""),
+    (7, None),
+    (8, "   "),
+    (9, "!!! leading orphans. normal one."),
+    (10, "One.Two.Three."),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_matches_duckdb_reference(spark, docs):
+    got = sorted(
+        (r["doc_id"], r["sent_id"], r["sentence"])
+        for r in t.split_sentences(docs).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", ROWS)
+    pat = t.SENTENCE_PATTERN.replace("'", "''")
+    want = sorted(
+        con.execute(
+            f"""
+            WITH sents AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(regexp_extract_all(text, '{pat}'),
+                                 x -> trim(x)),
+                  x -> length(x) > 0) AS arr
+              FROM d WHERE text IS NOT NULL
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(arr, 1) - 1 AS INT),
+                   unnest(arr)
+            FROM sents
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_hand_pinned_splits(spark, docs):
+    got = {}
+    for r in t.split_sentences(docs).collect():
+        got.setdefault(r["doc_id"], []).append(r["sentence"])
+    assert got[1] == [
+        "Hello world.", "Second sentence!", "A third?", "yes.",
+    ]
+    assert got[2] == ["No terminator at all just a tail"]
+    assert got[3] == ['He said "stop."', "Then left."]
+    assert got[4] == ["Ellipsis...", "then more.", "End"]
+    assert got[5] == ["(Parenthetical.)", "Next."]
+    # empty / whitespace / NULL docs emit no rows
+    assert 6 not in got and 7 not in got and 8 not in got
+    # leading orphan terminators drop (documented contract)
+    assert got[9] == ["leading orphans.", "normal one."]
+    # no-space boundaries still split on the terminator cluster
+    assert got[10] == ["One.", "Two.", "Three."]
+
+
+def test_reassembly_invariant(spark):
+    """For text without orphan terminator runs, the RAW matches
+    partition the text exactly: concat == original."""
+    texts = [
+        "Hello world. Second sentence! A third? yes.",
+        "No terminator at all just a tail",
+        'He said "stop." Then left.',
+        "a...b",
+    ]
+    df = spark.createDataFrame(
+        [(i, x) for i, x in enumerate(texts)], "doc_id long, text string"
+    )
+    joined = df.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.regexp_extract_all(F.col("text"), F.lit(t.SENTENCE_PATTERN), 0),
+        ).alias("re"),
+        "text",
+    )
+    for r in joined.collect():
+        assert r["re"] == r["text"], r["doc_id"]
+
+
+def test_sentence_array_col_composes(spark, docs):
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(t.sentence_array_col("text")).alias("n")
+        ).collect()
+    }
+    assert counts[1] == 4
+    assert counts[6] == 0 and counts[8] == 0
+    assert counts[7] is None  # size(NULL) -> NULL
+
+
+def test_generate_only_plan(spark, docs):
+    plan = (
+        t.split_sentences(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"\bExchange\b", plan)) == 0, plan
+    assert len(re.findall(r"\bGenerate\b", plan)) == 1, plan
