@@ -51,21 +51,22 @@ _BLOCK_TAGS = (
     "|aside|main|figure|figcaption|form|fieldset|address"
 )
 
-# Entity -> replacement, applied IN ORDER; `&amp;` must be last so
-# double-escaped entities unescape exactly one level.
+# Entity alternation -> replacement, applied IN ORDER — one regex
+# pass per TARGET character (regexp_replace takes a single
+# replacement string, so variants of the same character merge but
+# "<" and ">" cannot). The `&` pass runs LAST so double-escaped
+# entities unescape exactly one level, and BOTH ampersand spellings
+# share that one pass: when `&#38;` was a separate later pass, the
+# `&` produced by `&amp;` could combine with following text and
+# "&amp;#38;" unescaped twice. The space pass also normalizes raw
+# U+00A0 characters.
 _ENTITIES = (
-    ("&lt;", "<"),
-    ("&#60;", "<"),
-    ("&gt;", ">"),
-    ("&#62;", ">"),
-    ("&quot;", '"'),
-    ("&#34;", '"'),
-    ("&apos;", "'"),
-    ("&#39;", "'"),
-    ("&nbsp;", " "),
-    ("&#160;", " "),
-    ("&amp;", "&"),
-    ("&#38;", "&"),
+    ("(?:&lt;|&#60;)", "<"),
+    ("(?:&gt;|&#62;)", ">"),
+    ('(?:&quot;|&#34;)', '"'),
+    ("(?:&apos;|&#39;)", "'"),
+    ("(?:&nbsp;|&#160;|\xa0)", " "),
+    ("(?:&amp;|&#38;)", "&"),
 )
 
 
@@ -87,24 +88,31 @@ def chain_steps() -> list[tuple[str, str]]:
     contract — html_to_text_col applies it verbatim, and the oracle
     gate / tests generate the DuckDB twin from the same list
     (duckdb_html_to_text_sql), so the two engines cannot drift."""
-    steps = [(_content_tag_pattern(tag), "") for tag in _CONTENT_TAGS]
-    steps += [
-        (r"(?s)<!--.*?-->", ""),
-        (r"(?i)<!DOCTYPE[^>]*>", ""),
+    # one pass removes every content subtree (alternation of the four
+    # per-tag rules, flags hoisted); single-pass semantics are part of
+    # the contract — text joined by an earlier removal in the same
+    # pass is never re-scanned, identically in both engines
+    content = "|".join(
+        _content_tag_pattern(t).removeprefix("(?is)") for t in _CONTENT_TAGS
+    )
+    return [
+        (f"(?is)(?:{content})", ""),
+        (r"(?is)(?:<!--.*?-->|<!DOCTYPE[^>]*>)", ""),
         # block boundaries -> newline BEFORE the generic strip, so
         # `<p>a</p><p>b</p>` keeps its two lines
-        (r"(?i)<(?:br|hr)\s*/?\s*>", "\n"),
-        (f"(?is)</?(?:{_BLOCK_TAGS})\\b[^>]*>", "\n"),
+        (
+            "(?is)(?:<(?:br|hr)\\s*/?\\s*>"
+            f"|</?(?:{_BLOCK_TAGS})\\b[^>]*>)",
+            "\n",
+        ),
         (r"(?s)<[^>]*>", ""),
         *_ENTITIES,
-        (" ", " "),  # raw NBSP chars, not just the entity
         (r"[ \t\r]+", " "),
         (r"(?m)^ +| +$", ""),
         (r"\n{2,}", "\n"),
         # full whitespace trim (trim() strips spaces only, not \n)
         (r"^\s+|\s+$", ""),
     ]
-    return steps
 
 
 def html_to_text_col(col: Column | str) -> Column:

@@ -29,6 +29,7 @@ PAGES = [
     (11, "<!-- comment <p>hidden</p> -->visible"),
     (12, "<style type='text/css'>\n.a{..}\n</style>after style"),
     (13, "<div><div><div>deep</div></div></div>\n\n\n\nspread"),
+    (14, "<p>&amp;#38; stays</p>"),
 ]
 
 
@@ -65,6 +66,7 @@ def test_hand_pinned_extractions(spark, pages):
     assert got[5] == "one\ntwo\nc1\nc2"
     # one level of entity unescape: &amp;lt; -> &lt;, never <
     assert got[6] == "<tag> & \"quoted\" 's &lt;"
+    assert got[14] == "&#38; stays"  # both & spellings share ONE pass
     assert got[7] == "upper\ncase tags"
     assert got[9] == ""
     assert got[10] is None
