@@ -112,3 +112,94 @@ def t5_span_corruption(
         F.concat_ws(" ", F.col("_f.inp")).alias("input_text"),
         F.concat_ws(" ", F.col("_f.tgt")).alias("target_text"),
     ).drop("_f")
+
+
+FIM_PREFIX = "<fim_prefix>"
+FIM_MIDDLE = "<fim_middle>"
+FIM_SUFFIX = "<fim_suffix>"
+
+
+def fim_transform(
+    docs: DataFrame,
+    fim_rate: float = 0.9,
+    spm_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022, 'Efficient
+    Training of Language Models to Fill in the Middle') — the code-
+    corpus prep that teaches infilling at pretraining time by moving a
+    random middle span to the end:
+
+        PSM: <fim_prefix>{p}<fim_suffix>{s}<fim_middle>{m}
+        SPM: <fim_suffix>{s}<fim_prefix>{p}<fim_middle>{m}
+
+    (SPM orderings vary across public implementations; ours —
+    sentinel-before-each-part, suffix first — is pinned here and in
+    tests.) Adds three columns: `fim_text` (the rendered document —
+    unchanged text when not selected), `fim_applied`, and `fim_format`
+    ('psm' / 'spm' / NULL).
+
+    Selection and the two CHARACTER-level cut points derive from
+    xxhash64(doc_id, tag, seed) — never rand(), never partitioning —
+    so the corpus renders byte-identically on any cluster size
+    (the corruption/shard determinism contract). The paper applies
+    FIM to ~90% of documents (fim_rate) split between the two
+    formats (spm_frac).
+
+    Shape: substrings + hash arithmetic, one per-row projection —
+    zero shuffle, zero Python. Round-trip invariant (tests): for
+    every transformed row, prefix + middle + suffix == text exactly.
+    Empty or NULL text passes through unselected."""
+    if not 0.0 <= fim_rate <= 1.0:
+        raise ValueError(f"fim_rate must be in [0, 1]: {fim_rate}")
+    if not 0.0 <= spm_frac <= 1.0:
+        raise ValueError(f"spm_frac must be in [0, 1]: {spm_frac}")
+    t = F.col(text_col)
+    n = F.length(t)
+    mask53 = F.lit((1 << 53) - 1)
+    denom = F.lit(float(1 << 53))
+
+    def _u(tag: str) -> Column:
+        return (
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.lit(tag), F.lit(seed)), mask53
+            ).cast("double")
+            / denom
+        )
+
+    def _cut(tag: str) -> Column:
+        # uniform position in [0, n] — n+1 possible cut points
+        return F.pmod(
+            F.xxhash64(F.col(id_col), F.lit(tag), F.lit(seed)), n + 1
+        ).cast("int")
+
+    applied = (
+        t.isNotNull() & (n > 0) & (_u("fim:apply") < F.lit(fim_rate))
+    )
+    c1, c2 = _cut("fim:cut1"), _cut("fim:cut2")
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    prefix = t.substr(F.lit(1), lo)
+    middle = t.substr(lo + 1, hi - lo)
+    suffix = t.substr(hi + 1, n - hi)
+    spm = _u("fim:format") < F.lit(spm_frac)
+    psm_text = F.concat(
+        F.lit(FIM_PREFIX), prefix, F.lit(FIM_SUFFIX), suffix,
+        F.lit(FIM_MIDDLE), middle,
+    )
+    spm_text = F.concat(
+        F.lit(FIM_SUFFIX), suffix, F.lit(FIM_PREFIX), prefix,
+        F.lit(FIM_MIDDLE), middle,
+    )
+    return docs.select(
+        "*",
+        F.when(applied & spm, spm_text)
+        .when(applied, psm_text)
+        .otherwise(t)
+        .alias("fim_text"),
+        applied.alias("fim_applied"),
+        F.when(applied & spm, F.lit("spm"))
+        .when(applied, F.lit("psm"))
+        .alias("fim_format"),
+    )

@@ -113,3 +113,93 @@ def test_zero_shuffle_plan(spark, docs):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+# ---------------- FIM (fill-in-the-middle) ----------------
+
+from ecomm_datapipeline_spark.operators.corruption import (  # noqa: E402
+    FIM_MIDDLE,
+    FIM_PREFIX,
+    FIM_SUFFIX,
+    fim_transform,
+)
+
+
+def _fim_parts(rendered: str, fmt: str) -> tuple[str, str, str]:
+    """(prefix, middle, suffix) back out of a rendered FIM document."""
+    if fmt == "psm":
+        assert rendered.startswith(FIM_PREFIX)
+        rest = rendered[len(FIM_PREFIX):]
+        prefix, rest = rest.split(FIM_SUFFIX, 1)
+        suffix, middle = rest.split(FIM_MIDDLE, 1)
+    else:
+        assert rendered.startswith(FIM_SUFFIX)
+        rest = rendered[len(FIM_SUFFIX):]
+        suffix, rest = rest.split(FIM_PREFIX, 1)
+        prefix, middle = rest.split(FIM_MIDDLE, 1)
+    return prefix, middle, suffix
+
+
+@pytest.fixture(scope="module")
+def fim_docs(spark):
+    rows = [(i, f"document number {i} with some body text {'x' * (i % 17)}")
+            for i in range(300)]
+    rows += [(1000, ""), (1001, None)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fim_roundtrip_and_formats(spark, fim_docs):
+    out = fim_transform(fim_docs, fim_rate=0.9, spm_frac=0.5).collect()
+    texts = {r["doc_id"]: r for r in out}
+    n_applied = 0
+    fmts = set()
+    for r in out:
+        if not r["fim_applied"]:
+            assert r["fim_text"] == r["text"]
+            assert r["fim_format"] is None
+            continue
+        n_applied += 1
+        fmts.add(r["fim_format"])
+        p, m, s = _fim_parts(r["fim_text"], r["fim_format"])
+        assert p + m + s == r["text"], r["doc_id"]
+    # ~90% of the 300 non-empty docs selected; both formats exercised
+    assert 240 <= n_applied <= 297
+    assert fmts == {"psm", "spm"}
+    # empty / NULL text never selected
+    assert not texts[1000]["fim_applied"] and texts[1000]["fim_text"] == ""
+    assert not texts[1001]["fim_applied"] and texts[1001]["fim_text"] is None
+
+
+def test_fim_determinism_and_seed(spark, fim_docs):
+    a = {r["doc_id"]: r["fim_text"]
+         for r in fim_transform(fim_docs).collect()}
+    b = {r["doc_id"]: r["fim_text"]
+         for r in fim_transform(fim_docs.repartition(7)).collect()}
+    assert a == b  # partitioning-independent (hash-derived cuts)
+    c = {r["doc_id"]: r["fim_text"]
+         for r in fim_transform(fim_docs, seed=43).collect()}
+    assert a != c  # seed moves the cuts/selection
+
+
+def test_fim_rate_edges(spark, fim_docs):
+    none = fim_transform(fim_docs, fim_rate=0.0).collect()
+    assert all(not r["fim_applied"] for r in none)
+    assert all(r["fim_text"] == r["text"] or r["text"] is None for r in none)
+    full = fim_transform(fim_docs, fim_rate=1.0, spm_frac=0.0).collect()
+    for r in full:
+        if r["text"]:
+            assert r["fim_applied"] and r["fim_format"] == "psm"
+    with pytest.raises(ValueError, match="fim_rate"):
+        fim_transform(fim_docs, fim_rate=1.5)
+    with pytest.raises(ValueError, match="spm_frac"):
+        fim_transform(fim_docs, spm_frac=-0.1)
+
+
+def test_fim_zero_shuffle_plan(spark, fim_docs):
+    plan = (
+        fim_transform(fim_docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
