@@ -1,0 +1,144 @@
+"""Continuous crawl ingest: WARC archives land in a directory, the
+stream appends extracted documents — the streaming twin of
+`sources.warc.read_warc_documents`, with the landing-zone contract of
+`streaming/incremental.py` (files are the unit of arrival, the file
+source's checkpoint is the processed-file ledger, replays are safe).
+
+Shape per micro-batch:
+
+    new .warc/.warc.gz files (binaryFile stream source, one row per
+    file — the source tracks processed paths in the CHECKPOINT, so a
+    restarted stream never re-reads a finished archive)
+      -> the SAME Arrow decode seam as the batch reader
+         (sources.warc.read_warc -> records, streamed per file)
+      -> html.extract_documents gates + extraction (per-row
+         expressions)
+      -> append (doc_id, text, _batch_id) to the documents table
+
+Exactly-once: file-level dedup comes from the source checkpoint;
+within a batch the append is guarded by `_batch_id` replay detection
+(the dedup_index/novelty maintainer convention) — a crash after the
+append but before the commit re-runs the batch, sees its own batch id
+committed, and skips. doc_id is the WARC record id: globally unique
+per record by spec, so downstream exact dedup keys are stable across
+any arrival order.
+
+At 100 TB nothing changes: each micro-batch fans out one task per
+newly-landed archive; no state beyond the checkpoint's file ledger
+and no shuffle anywhere in the plan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+_BATCH_COL = "_batch_id"
+
+# binaryFile's fixed schema — the streaming source requires it spelled
+# out (only file-format sources with inferable schemas may omit it)
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _extract_batch(
+    batch: DataFrame,
+    min_text_chars: int,
+    max_link_density: float,
+) -> DataFrame:
+    """File rows -> extracted (doc_id, text): the batch reader's exact
+    record seam + gates, applied to one micro-batch's files."""
+    from ..operators.html import extract_documents
+    from ..sources.warc import WARC_SCHEMA, parse_warc_bytes
+
+    def decode(batches):
+        import pandas as pd
+
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        flush_rows = 1024
+        for pdf in batches:
+            out = []
+            for name, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc_bytes(str(name), bytes(content)):
+                    out.append((str(name), *rec))
+                    if len(out) >= flush_rows:
+                        yield pd.DataFrame(out, columns=cols)
+                        out = []
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    records = (
+        batch.select("path", "content")
+        .repartition(F.col("path"))
+        .mapInPandas(decode, WARC_SCHEMA)
+    )
+    pages = records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.lower(F.col("content_type")).contains("html")
+    ).select(F.col("record_id").alias("doc_id"), F.col("payload").alias("html"))
+    return extract_documents(
+        pages,
+        min_text_chars=min_text_chars,
+        max_link_density=max_link_density,
+    )
+
+
+def warc_ingest_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_text_chars: int = 50,
+    max_link_density: float = 0.5,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the crawl-ingest stream: archives landing under
+    `landing_dir` (glob *.warc / *.warc.gz) append extracted documents
+    to the parquet table at `out_dir`. `available_now=True` drains
+    what exists and stops (the incremental-tick mode every test and
+    cron driver uses); False runs continuously."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc*")
+        .load(landing_dir)
+    )
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        out_exists = os.path.exists(os.path.join(out_dir, "_SUCCESS")) or (
+            os.path.isdir(out_dir) and any(os.scandir(out_dir))
+        )
+        if out_exists:
+            spark_b = batch.sparkSession
+            done = (
+                spark_b.read.parquet(out_dir)
+                .filter(F.col(_BATCH_COL) == batch_id)
+                .limit(1)
+                .count()
+            )
+            if done:  # replayed batch: the append already committed
+                return
+        (
+            _extract_batch(batch, min_text_chars, max_link_density)
+            .withColumn(_BATCH_COL, F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    writer = files.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
