@@ -334,7 +334,7 @@ def _html_extract_slot(spark, sf_dir: str):
     + page-quality gates over pages synthesized from the document
     corpus (one deterministic wrap per row — the chain cost dominates
     by construction). Pure per-row expressions: measures whole-stage
-    codegen throughput of the 26-step regexp_replace chain, the
+    codegen throughput of the merged regexp_replace chain, the
     hottest per-byte stage of a raw-crawl pipeline."""
     from pyspark.sql import functions as F
 

@@ -146,7 +146,9 @@ def fim_transform(
     so the corpus renders byte-identically on any cluster size
     (the corruption/shard determinism contract). The paper applies
     FIM to ~90% of documents (fim_rate) split between the two
-    formats (spm_frac).
+    formats (spm_frac). Documents already containing a sentinel
+    string are never selected (their rendering would be ambiguous to
+    any consumer that splits on the sentinels).
 
     Shape: substrings + hash arithmetic, one per-row projection —
     zero shuffle, zero Python. Round-trip invariant (tests): for
@@ -175,8 +177,19 @@ def fim_transform(
             F.xxhash64(F.col(id_col), F.lit(tag), F.lit(seed)), n + 1
         ).cast("int")
 
+    # a document that already CONTAINS a sentinel string renders
+    # ambiguously (consumers split on the sentinels), so such docs
+    # pass through unselected — documented exclusion, pinned in tests
+    has_sentinel = (
+        t.contains(F.lit(FIM_PREFIX))
+        | t.contains(F.lit(FIM_MIDDLE))
+        | t.contains(F.lit(FIM_SUFFIX))
+    )
     applied = (
-        t.isNotNull() & (n > 0) & (_u("fim:apply") < F.lit(fim_rate))
+        t.isNotNull()
+        & (n > 0)
+        & ~has_sentinel
+        & (_u("fim:apply") < F.lit(fim_rate))
     )
     c1, c2 = _cut("fim:cut1"), _cut("fim:cut2")
     lo, hi = F.least(c1, c2), F.greatest(c1, c2)

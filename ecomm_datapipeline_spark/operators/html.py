@@ -77,10 +77,21 @@ def _content_tag_pattern(tag: str) -> str:
     return f"(?is)<{tag}\\b[^>]*>.*?</{tag}\\s*>"
 
 
+def _content_removal_pattern() -> str:
+    """All four content-subtree rules as ONE alternation — the
+    single-PASS semantics are part of the contract (splice-joined
+    text is never re-scanned), and both the extraction chain and
+    html_stats' anchor pass must apply the identical pass so the
+    link-density numerator and denominator agree about what content
+    exists."""
+    body = "|".join(
+        _content_tag_pattern(t).removeprefix("(?is)") for t in _CONTENT_TAGS
+    )
+    return f"(?is)(?:{body})"
+
+
 def _strip_content_tags(col: Column) -> Column:
-    for tag in _CONTENT_TAGS:
-        col = F.regexp_replace(col, _content_tag_pattern(tag), "")
-    return col
+    return F.regexp_replace(col, _content_removal_pattern(), "")
 
 
 def chain_steps() -> list[tuple[str, str]]:
@@ -88,15 +99,8 @@ def chain_steps() -> list[tuple[str, str]]:
     contract — html_to_text_col applies it verbatim, and the oracle
     gate / tests generate the DuckDB twin from the same list
     (duckdb_html_to_text_sql), so the two engines cannot drift."""
-    # one pass removes every content subtree (alternation of the four
-    # per-tag rules, flags hoisted); single-pass semantics are part of
-    # the contract — text joined by an earlier removal in the same
-    # pass is never re-scanned, identically in both engines
-    content = "|".join(
-        _content_tag_pattern(t).removeprefix("(?is)") for t in _CONTENT_TAGS
-    )
     return [
-        (f"(?is)(?:{content})", ""),
+        (_content_removal_pattern(), ""),
         (r"(?is)(?:<!--.*?-->|<!DOCTYPE[^>]*>)", ""),
         # block boundaries -> newline BEFORE the generic strip, so
         # `<p>a</p><p>b</p>` keeps its two lines

@@ -188,12 +188,27 @@ def parse_warc_bytes(
         )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """One row per WARC record across every file matching `path`
-    (glob ok; .warc and .warc.gz). See module docstring for the plan
-    shape — file-level parallelism, one Arrow decode seam, zero
-    shuffle after the repartition-by-file."""
-    files = spark.read.format("binaryFile").load(path)
+# Quarantined parse failures surface as rows of this type instead of
+# failing the task: record_id carries the file path, payload the
+# error. A one-shot batch read may prefer fail-fast (on_error="fail",
+# the default there); a CONTINUOUS ingest must not let one truncated
+# archive poison every future micro-batch (streaming/warc_stream.py).
+ERROR_TYPE = "_error"
+
+
+def records_from_files(files: DataFrame, on_error: str = "fail") -> DataFrame:
+    """(path, content) binary-file rows -> one row per WARC record —
+    THE decode seam, shared verbatim by the batch reader and the
+    streaming ingester so the two paths cannot desynchronize. One
+    hash shuffle on the file path (each task decodes whole files),
+    then Arrow batches flushed every 1024 records.
+
+    on_error="fail" raises on a malformed archive (batch semantics);
+    "quarantine" converts the file's failure into a single ERROR_TYPE
+    row and keeps going (continuous-ingest semantics)."""
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine: {on_error}")
+    quarantine = on_error == "quarantine"
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -204,11 +219,20 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             out: list[tuple] = []
             for name, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc_bytes(str(name), bytes(content)):
-                    out.append((str(name), *rec))
-                    if len(out) >= flush_rows:
-                        yield pd.DataFrame(out, columns=cols)
-                        out = []
+                try:
+                    for rec in parse_warc_bytes(str(name), bytes(content)):
+                        out.append((str(name), *rec))
+                        if len(out) >= flush_rows:
+                            yield pd.DataFrame(out, columns=cols)
+                            out = []
+                except (ValueError, OSError) as exc:
+                    # OSError: gzip corruption; ValueError: framing
+                    if not quarantine:
+                        raise
+                    out.append(
+                        (str(name), ERROR_TYPE, str(name), "", "",
+                         None, None, f"{type(exc).__name__}: {exc}")
+                    )
             if out:
                 yield pd.DataFrame(out, columns=cols)
 
@@ -217,6 +241,26 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .repartition(F.col("path"))
         .mapInPandas(decode, WARC_SCHEMA)
     )
+
+
+def html_pages(records: DataFrame) -> DataFrame:
+    """200-status text/html response records -> (doc_id, html) —
+    the page-gating predicate, shared by batch and streaming paths."""
+    return records.filter(
+        (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.lower(F.col("content_type")).contains("html")
+    ).select(
+        F.col("record_id").alias("doc_id"), F.col("payload").alias("html")
+    )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """One row per WARC record across every file matching `path`
+    (glob ok; .warc and .warc.gz). See module docstring for the plan
+    shape — file-level parallelism, one Arrow decode seam, zero
+    shuffle after the repartition-by-file."""
+    return records_from_files(spark.read.format("binaryFile").load(path))
 
 
 def read_warc_documents(
@@ -233,17 +277,8 @@ def read_warc_documents(
     expressions; no shuffle."""
     from ..operators.html import extract_documents
 
-    pages = (
-        read_warc(spark, path)
-        .filter(
-            (F.col("warc_type") == "response")
-            & (F.col("http_status") == 200)
-            & F.lower(F.col("content_type")).contains("html")
-        )
-        .select(F.col("record_id").alias("doc_id"), F.col("payload").alias("html"))
-    )
     return extract_documents(
-        pages,
+        html_pages(read_warc(spark, path)),
         min_text_chars=min_text_chars,
         max_link_density=max_link_density,
     )

@@ -9,11 +9,15 @@ Shape per micro-batch:
     new .warc/.warc.gz files (binaryFile stream source, one row per
     file — the source tracks processed paths in the CHECKPOINT, so a
     restarted stream never re-reads a finished archive)
-      -> the SAME Arrow decode seam as the batch reader
-         (sources.warc.read_warc -> records, streamed per file)
-      -> html.extract_documents gates + extraction (per-row
-         expressions)
-      -> append (doc_id, text, _batch_id) to the documents table
+      -> sources.warc.records_from_files — the SAME Arrow decode seam
+         as the batch reader (shared function, not a copy), in
+         quarantine mode: a truncated or malformed archive becomes
+         one ERROR_TYPE row instead of a poison pill that fails this
+         and every replayed micro-batch forever
+      -> sources.warc.html_pages + html.extract_documents gates
+      -> append (doc_id, text, _batch_id) to the documents table;
+         quarantined failures append (path, error, _batch_id) to
+         `<out_dir>_quarantine` for operator follow-up
 
 Exactly-once: file-level dedup comes from the source checkpoint;
 within a batch the append is guarded by `_batch_id` replay detection
@@ -23,19 +27,21 @@ committed, and skips. doc_id is the WARC record id: globally unique
 per record by spec, so downstream exact dedup keys are stable across
 any arrival order.
 
-At 100 TB nothing changes: each micro-batch fans out one task per
-newly-landed archive; no state beyond the checkpoint's file ledger
-and no shuffle anywhere in the plan.
+At 100 TB nothing changes: each micro-batch hash-shuffles only the
+tiny file-row frame (the repartition-by-file inside the decode seam)
+and fans out one task per newly-landed archive; no state beyond the
+checkpoint's file ledger, and nothing document-sized ever shuffles.
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
+
+from ..sources import tables
+from ..sources.warc import ERROR_TYPE, html_pages, records_from_files
 
 _BATCH_COL = "_batch_id"
 
@@ -51,49 +57,6 @@ _BINARY_FILE_SCHEMA = T.StructType(
 )
 
 
-def _extract_batch(
-    batch: DataFrame,
-    min_text_chars: int,
-    max_link_density: float,
-) -> DataFrame:
-    """File rows -> extracted (doc_id, text): the batch reader's exact
-    record seam + gates, applied to one micro-batch's files."""
-    from ..operators.html import extract_documents
-    from ..sources.warc import WARC_SCHEMA, parse_warc_bytes
-
-    def decode(batches):
-        import pandas as pd
-
-        cols = [f.name for f in WARC_SCHEMA.fields]
-        flush_rows = 1024
-        for pdf in batches:
-            out = []
-            for name, content in zip(pdf["path"], pdf["content"]):
-                for rec in parse_warc_bytes(str(name), bytes(content)):
-                    out.append((str(name), *rec))
-                    if len(out) >= flush_rows:
-                        yield pd.DataFrame(out, columns=cols)
-                        out = []
-            if out:
-                yield pd.DataFrame(out, columns=cols)
-
-    records = (
-        batch.select("path", "content")
-        .repartition(F.col("path"))
-        .mapInPandas(decode, WARC_SCHEMA)
-    )
-    pages = records.filter(
-        (F.col("warc_type") == "response")
-        & (F.col("http_status") == 200)
-        & F.lower(F.col("content_type")).contains("html")
-    ).select(F.col("record_id").alias("doc_id"), F.col("payload").alias("html"))
-    return extract_documents(
-        pages,
-        min_text_chars=min_text_chars,
-        max_link_density=max_link_density,
-    )
-
-
 def warc_ingest_stream(
     spark: SparkSession,
     landing_dir: str,
@@ -104,37 +67,57 @@ def warc_ingest_stream(
     available_now: bool = True,
 ) -> StreamingQuery:
     """Start the crawl-ingest stream: archives landing under
-    `landing_dir` (glob *.warc / *.warc.gz) append extracted documents
-    to the parquet table at `out_dir`. `available_now=True` drains
-    what exists and stops (the incremental-tick mode every test and
-    cron driver uses); False runs continuously."""
+    `landing_dir` (glob `*.{warc,warc.gz}` — a partially-staged
+    `.warc.tmp` is never picked up) append extracted documents to the
+    parquet table at `out_dir`; malformed archives append to
+    `<out_dir>_quarantine` instead of wedging the stream.
+    `available_now=True` drains what exists and stops (the
+    incremental-tick mode every test and cron driver uses); False
+    runs continuously."""
+    from ..operators.html import extract_documents
+
     files = (
         spark.readStream.format("binaryFile")
         .schema(_BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.warc*")
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
         .load(landing_dir)
     )
+    quarantine_dir = out_dir.rstrip("/") + "_quarantine"
+
+    def _already_committed(batch: DataFrame, batch_id: int, path: str) -> bool:
+        if not tables.table_exists(path):
+            return False
+        return bool(
+            batch.sparkSession.read.parquet(path)
+            .filter(F.col(_BATCH_COL) == batch_id)
+            .limit(1)
+            .count()
+        )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        out_exists = os.path.exists(os.path.join(out_dir, "_SUCCESS")) or (
-            os.path.isdir(out_dir) and any(os.scandir(out_dir))
-        )
-        if out_exists:
-            spark_b = batch.sparkSession
-            done = (
-                spark_b.read.parquet(out_dir)
-                .filter(F.col(_BATCH_COL) == batch_id)
-                .limit(1)
-                .count()
+        records = records_from_files(batch, on_error="quarantine")
+        if not _already_committed(batch, batch_id, out_dir):
+            (
+                extract_documents(
+                    html_pages(records),
+                    min_text_chars=min_text_chars,
+                    max_link_density=max_link_density,
+                )
+                .withColumn(_BATCH_COL, F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_dir)
             )
-            if done:  # replayed batch: the append already committed
-                return
-        (
-            _extract_batch(batch, min_text_chars, max_link_density)
-            .withColumn(_BATCH_COL, F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out_dir)
-        )
+        if not _already_committed(batch, batch_id, quarantine_dir):
+            errors = records.filter(
+                F.col("warc_type") == ERROR_TYPE
+            ).select(
+                F.col("warc_file").alias("path"),
+                F.col("payload").alias("error"),
+                F.lit(batch_id).alias(_BATCH_COL),
+            )
+            # write even when empty: the quarantine table doubles as
+            # the batch ledger for its own replay guard
+            errors.write.mode("append").parquet(quarantine_dir)
 
     writer = files.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

@@ -143,7 +143,8 @@ def _fim_parts(rendered: str, fmt: str) -> tuple[str, str, str]:
 def fim_docs(spark):
     rows = [(i, f"document number {i} with some body text {'x' * (i % 17)}")
             for i in range(300)]
-    rows += [(1000, ""), (1001, None)]
+    rows += [(1000, ""), (1001, None),
+             (1002, "doc discussing the literal <fim_middle> token")]
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
@@ -167,6 +168,9 @@ def test_fim_roundtrip_and_formats(spark, fim_docs):
     # empty / NULL text never selected
     assert not texts[1000]["fim_applied"] and texts[1000]["fim_text"] == ""
     assert not texts[1001]["fim_applied"] and texts[1001]["fim_text"] is None
+    # sentinel-bearing text passes through (ambiguous-render guard)
+    assert not texts[1002]["fim_applied"]
+    assert texts[1002]["fim_text"] == texts[1002]["text"]
 
 
 def test_fim_determinism_and_seed(spark, fim_docs):
@@ -186,7 +190,7 @@ def test_fim_rate_edges(spark, fim_docs):
     assert all(r["fim_text"] == r["text"] or r["text"] is None for r in none)
     full = fim_transform(fim_docs, fim_rate=1.0, spm_frac=0.0).collect()
     for r in full:
-        if r["text"]:
+        if r["text"] and "<fim_" not in r["text"]:
             assert r["fim_applied"] and r["fim_format"] == "psm"
     with pytest.raises(ValueError, match="fim_rate"):
         fim_transform(fim_docs, fim_rate=1.5)

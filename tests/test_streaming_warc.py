@@ -28,7 +28,10 @@ def _drain(spark, landing, out, ckpt):
     q = warc_ingest_stream(
         spark, landing, out, ckpt, min_text_chars=20, available_now=True
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(180)
+    if not finished:  # loud timeout, never a racing half-read
+        q.stop()
+        pytest.fail("warc ingest drain did not finish in 180s")
 
 
 def test_stream_matches_batch_and_replays_safely(spark, tmp_path):
@@ -65,3 +68,29 @@ def test_stream_matches_batch_and_replays_safely(spark, tmp_path):
         for r in spark.read.parquet(out).drop("_batch_id").collect()
     }
     assert batch == streamed
+
+
+def test_malformed_archive_quarantines_not_wedges(spark, tmp_path):
+    """A truncated archive lands in the quarantine table; good
+    archives in the SAME batch and in later batches still ingest —
+    the poison-pill contract."""
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    (landing / "good.warc").write_bytes(_page("g1", BODY))
+    (landing / "bad.warc").write_bytes(b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort")
+    (landing / "staged.warc.tmp").write_bytes(b"not picked up at all")
+    _drain(spark, str(landing), out, ckpt)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {"<urn:g1>"}
+    quar = spark.read.parquet(out + "_quarantine").filter("path is not null")
+    rows = quar.collect()
+    assert len(rows) == 1
+    assert rows[0]["path"].endswith("bad.warc")
+    assert "truncated payload" in rows[0]["error"]
+    # the stream is not wedged: a later good archive still ingests
+    (landing / "later.warc").write_bytes(_page("g2", BODY))
+    _drain(spark, str(landing), out, ckpt)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {
+        "<urn:g1>", "<urn:g2>",
+    }
