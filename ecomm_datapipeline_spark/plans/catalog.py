@@ -2081,6 +2081,21 @@ _BPE_GATE_MERGES = [
 ]
 
 
+def _n_sentences_sql() -> str:
+    """DuckDB twin of text.sentence_array_col's count — the r8
+    sentence-segmentation family's gate fold. The pattern comes FROM
+    the operator's SENTENCE_PATTERN constant (the LINE_CLASSES
+    precedent), the trim/non-empty filter replicated exactly."""
+    from ..operators.text import SENTENCE_PATTERN
+
+    pat = SENTENCE_PATTERN.replace("'", "''")
+    return (
+        f"CAST(len(list_filter(list_transform("
+        f"regexp_extract_all(text, '{pat}'), x -> trim(x)),"
+        f" x -> length(x) > 0)) AS INT) AS n_sentences"
+    )
+
+
 @register(
     "text_profile",
     # Repetition + chunk columns are r4's pytest-only families folded
@@ -2131,9 +2146,10 @@ _BPE_GATE_MERGES = [
     + _top_ngram_sql(4)
     + ",\n      "
     + _chunks_sql(_CHUNK_MAX_TOKENS, _CHUNK_OVERLAP)
-    + ",\n      1 AS bpe_ok"
+    + ",\n      1 AS bpe_ok,\n      "
+    + _n_sentences_sql()
     + "\n    FROM base\n    ",
-    "ext: token counting + fingerprint + repetition + chunks + BPE self-verify (single-pass)",
+    "ext: token counting + fingerprint + repetition + chunks + BPE + sentence-count (single-pass)",
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, the md5 dedup fingerprint, the nine Gopher
@@ -2147,7 +2163,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     families at once."""
     from ..operators.bpe import EOW, bpe_encode_col
     from ..operators.dedup import _parallelize
-    from ..operators.text import profile, tokens
+    from ..operators.text import profile, sentence_array_col, tokens
 
     t = F.col("text")
     # 6-token prefix x 8 merges: interpreted-fold cost is linear in
@@ -2198,7 +2214,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         include_repetition=True,
         chunk_max_tokens=_CHUNK_MAX_TOKENS,
         chunk_overlap=_CHUNK_OVERLAP,
-        extra_cols={"bpe_ok": bpe_ok_bound},
+        extra_cols={
+            "bpe_ok": bpe_ok_bound,
+            # r8 sentence-segmentation fold: the REAL operator column
+            "n_sentences": F.size(sentence_array_col(t)).cast("int"),
+        },
     )
 
 
