@@ -29,6 +29,12 @@ class CurationStats:
     after_near_dedup: int
     after_quality: int
     after_language: int
+    # (doc_id, dropped_stage) for every input document that did NOT
+    # survive — populated only by curate_documents(drop_audit=True);
+    # a LAZY frame (anti-joins over the stage plans; action it like
+    # any other audit output). Counts above stay -1 unless
+    # collect_stats was also passed.
+    drop_audit: "DataFrame | None" = None
 
 
 def curate_documents(
@@ -49,6 +55,7 @@ def curate_documents(
     perplexity_lm=None,
     dedup_substrings_window: int | None = None,
     substrings_min_count: int = 2,
+    drop_audit: bool = False,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
@@ -71,6 +78,16 @@ def curate_documents(
     count is a full action over the plan-so-far, 6 extra jobs per
     call. Pass True for audit runs — all counts still come from the
     same lazy stage definitions.
+
+    `drop_audit=True` additionally returns, via stats.drop_audit, a
+    LAZY (doc_id, dropped_stage) frame attributing every dropped
+    document to the stage that removed it (clean — incl. the
+    repetition gate when enabled; exact_dup; near_dup; quality —
+    incl. the perplexity gate when enabled; language). Built as
+    anti-joins between consecutive stage frames, so actioning it
+    re-executes the stage plans — an audit tool, like collect_stats,
+    not a production default. The funnel identity holds by
+    construction: |input| = |curated| + |drop_audit|.
     """
     n_input = docs.count() if collect_stats else -1
 
@@ -162,6 +179,7 @@ def curate_documents(
             gated, model, max_perplexity, text_col, id_col
         ).drop("perplexity")
     n_quality = gated.count() if collect_stats else -1
+    post_quality = gated  # the frame BEFORE the language stage
 
     if keep_langs is not None:
         lang = text.language_id(gated, text_col, id_col).filter(
@@ -170,9 +188,29 @@ def curate_documents(
         gated = gated.join(lang, id_col, "left_semi")
     n_lang = gated.count() if collect_stats else -1
 
+    audit_df = None
+    if drop_audit:
+        def _drops(prev: DataFrame, cur: DataFrame, stage: str) -> DataFrame:
+            return (
+                prev.select(id_col)
+                .join(cur.select(id_col), id_col, "left_anti")
+                .select(
+                    F.col(id_col), F.lit(stage).alias("dropped_stage")
+                )
+            )
+
+        audit_df = (
+            _drops(docs, cleaned, "clean")
+            .unionByName(_drops(cleaned, exact, "exact_dup"))
+            .unionByName(_drops(exact, near, "near_dup"))
+            .unionByName(_drops(near, post_quality, "quality"))
+            .unionByName(_drops(post_quality, gated, "language"))
+        )
     stats = (
-        CurationStats(n_input, n_clean, n_exact, n_near, n_quality, n_lang)
-        if collect_stats
+        CurationStats(
+            n_input, n_clean, n_exact, n_near, n_quality, n_lang, audit_df
+        )
+        if (collect_stats or drop_audit)
         else None
     )
     return gated, stats

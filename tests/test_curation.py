@@ -503,3 +503,60 @@ def test_decontaminate_ngram_plan_broadcasts_benchmark(spark):
     )
     plan = report._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_drop_audit_funnel(spark):
+    """drop_audit attributes every dropped document to exactly one
+    stage and the funnel identity holds: input = curated + audit."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest to find a quiet place to sleep"
+    )
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),                        # exact dup
+        (3, base.replace("quiet", "silent"), "en"),  # near dup
+        (4, "too short", "en"),                 # clean gate
+        (5, "@@ ## !! %% ^^ && ** (( )) {{ }} [[ ]] :: ;;", "en"),  # quality
+        (6, "der hund und die katze und das haus und der baum sind hier "
+            "und dort und der wald ist der ort und die sonne ist das licht",
+         "de"),                                 # language gate
+    ]
+    docs_with_dups = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    curated, stats = curate_documents(
+        docs_with_dups,
+        near_dup_threshold=0.5,
+        min_quality=20,
+        keep_langs=("en",),
+        near_dup="ngram",
+        drop_audit=True,
+    )
+    audit = stats.drop_audit
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    dropped = {r["doc_id"]: r["dropped_stage"] for r in audit.collect()}
+    all_ids = {r["doc_id"] for r in docs_with_dups.select("doc_id").collect()}
+    # partition: every input id is kept XOR dropped, exactly once
+    assert kept | set(dropped) == all_ids
+    assert not (kept & set(dropped))
+    assert len(dropped) == len(all_ids) - len(kept)
+    # stages are the documented vocabulary and more than one fires
+    assert set(dropped.values()) <= {
+        "clean", "exact_dup", "near_dup", "quality", "language",
+    }
+    assert len(set(dropped.values())) >= 2
+    # cross-check one stage against its own operator: exact-dup drops
+    # are precisely the non-representative exact duplicates
+    from ecomm_datapipeline_spark.operators import dedup, text as T
+
+    cleaned = T.clean_text(docs_with_dups, "text", 5, 100_000)
+    exact_kept = {
+        r["doc_id"]
+        for r in dedup.drop_exact_duplicates(cleaned, "text", "doc_id")
+        .select("doc_id").collect()
+    }
+    cleaned_ids = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert {
+        d for d, st in dropped.items() if st == "exact_dup"
+    } == cleaned_ids - exact_kept
