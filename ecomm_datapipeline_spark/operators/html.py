@@ -246,3 +246,51 @@ def extract_documents(
         )
         .drop("_ld")
     )
+
+
+# href extraction: double-quoted, single-quoted, or bare attribute
+# values; group 1/2/3 carries the URL. Case-insensitive, inside <a>
+# tags only. Stays in the Java ∩ RE2 subset (no backreferences).
+_HREF_PATTERNS = (
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"",
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*'([^']*)'",
+    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*([^\\s\"'>]+)",
+)
+
+
+def extract_links_col(col: Column | str) -> Column:
+    """array<string> of ABSOLUTE http(s) link targets in document
+    order per quoting style (double-quoted, then single-quoted, then
+    bare) — relative-URL resolution needs the page's base URL and is
+    deliberately out of scope (join the target_uri column and resolve
+    upstream if needed). Pure expressions, zero shuffle; feeds
+    urls.normalize_url / registrable_domain and graph.pagerank."""
+    c = F.col(col) if isinstance(col, str) else col
+    all_hrefs = F.concat(
+        *[F.regexp_extract_all(c, F.lit(p), 1) for p in _HREF_PATTERNS]
+    )
+    return F.filter(all_hrefs, lambda u: u.rlike("(?i)^https?://"))
+
+
+def link_edges(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(src, dst) host-level edges from pages' outbound links — the
+    frame graph.pagerank/trustrank consume for link-quality
+    propagation over a crawl. src is the page id (pass the page's
+    host as id_col for a host graph); dst is the link target's host,
+    lowercased. Self-loops and unparseable targets drop. One Generate
+    (the explode), zero shuffle — dedup/aggregate downstream."""
+    links = df.select(
+        F.col(id_col).alias("src"),
+        F.explode(extract_links_col(html_col)).alias("_url"),
+    )
+    dst = F.lower(
+        F.regexp_extract(F.col("_url"), r"(?i)^https?://([^/?#:]+)", 1)
+    )
+    return links.select("src", dst.alias("dst")).filter(
+        (F.col("dst") != "")
+        & (F.col("dst") != F.col("src").cast("string"))
+    )

@@ -161,3 +161,79 @@ def test_zero_shuffle_plans(spark, pages):
     ):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert len(re.findall(r"\bExchange\b", plan)) == 0, plan
+
+
+def test_extract_links_and_edges(spark):
+    rows = [
+        (1, '<a href="https://one.example/x">a</a> '
+            "<a href='HTTP://Two.Example/y?z=1'>b</a> "
+            "<a href=https://bare.example/p>c</a> "
+            '<a href="/relative/path">rel</a> '
+            '<a href="mailto:x@example.com">mail</a> '
+            '<a class="btn" href="https://one.example/other">again</a>'),
+        (2, "<p>no links at all</p>"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    links = {
+        r["doc_id"]: r["links"]
+        for r in df.select(
+            "doc_id", H.extract_links_col("html").alias("links")
+        ).collect()
+    }
+    # absolute http(s) only — relative / mailto excluded; all three
+    # quoting styles captured; duplicates preserved in order
+    assert links[1] == [
+        "https://one.example/x",
+        "https://one.example/other",
+        "HTTP://Two.Example/y?z=1",
+        "https://bare.example/p",
+    ]
+    assert links[2] == []
+    assert links[3] is None
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in H.link_edges(df).collect()
+    }
+    assert edges == {
+        (1, "one.example"),
+        (1, "two.example"),
+        (1, "bare.example"),
+    }
+
+
+def test_link_edges_duckdb_differential(spark):
+    """The href patterns are engine-portable: DuckDB re-extracts the
+    same targets from the same pages."""
+    rows = [
+        (1, '<a href="https://a.example/1">x</a>'
+            "<a href='https://b.example/2'>y</a>"
+            "<a href=https://c.example/3>z</a>"),
+        (2, '<A HREF="HTTPS://UPPER.EXAMPLE/P">u</A>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["links"]
+        for r in df.select(
+            "doc_id", H.extract_links_col("html").alias("links")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d(doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", rows)
+    pats = [p.replace("'", "''") for p in H._HREF_PATTERNS]
+    want = dict(
+        con.execute(
+            f"""
+            SELECT doc_id,
+              list_filter(
+                regexp_extract_all(html, '{pats[0]}', 1)
+                || regexp_extract_all(html, '{pats[1]}', 1)
+                || regexp_extract_all(html, '{pats[2]}', 1),
+                x -> regexp_matches(x, '(?i)^https?://'))
+            FROM d
+            """
+        ).fetchall()
+    )
+    assert got == want
