@@ -1,0 +1,100 @@
+"""In-context-pretraining document ordering (Shi et al. 2023,
+"In-Context Pretraining: Language Modeling Beyond Document
+Boundaries"): long-context training works better when the documents
+packed into one sequence are RELATED, not hash-shuffled — so order
+the corpus by semantic neighborhood before chunking/packing.
+
+The paper orders documents along a nearest-neighbor traversal; the
+distributed-friendly shape here is the standard approximation:
+cluster once (seeded k-means, the semdedup machinery), then read
+cluster-by-cluster with the most-central documents first —
+
+    icp_order:   (id, icp_cluster, icp_sim)   per-row vs centroid
+                 literals, zero shuffle (semdedup.assign_clusters);
+    icp_ordered: the corpus repartitioned BY CLUSTER and sorted
+                 within partitions by (cluster, -sim, id) — related
+                 documents become ADJACENT, so a sequential pack over
+                 each partition yields topically-coherent sequences.
+
+Scale shape: the assignment is per-row expressions against
+n_clusters x dim literals; the ONLY shuffle is the one hash exchange
+on the cluster id (+ a partition-local sort). An exact
+nearest-neighbor tour would need a global traveling-path order —
+inherently sequential; cluster-then-centrality keeps the property the
+objective actually uses (neighbors in the pack are semantically
+close) at one-shuffle cost. Determinism: GIVEN a centroid list the
+(cluster, -sim, id) total order makes the layout a pure function of
+the corpus on any cluster size — pass `centroids=` (e.g. a persisted
+IVF/semdedup fit) for byte-stable release builds; the default
+in-call k-means fit is seeded but, like any distributed k-means, its
+result can vary with input partitioning.
+
+Verification (tests/test_icp.py): planted-cluster corpora come back
+cluster-contiguous and centrality-sorted; mean adjacent-pair cosine
+beats the hash-shuffled baseline; byte-stable under input
+repartitioning given centroid literals; embedding-less docs survive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .semdedup import assign_clusters, fit_centroids
+
+
+def icp_order(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """(id, icp_cluster, icp_sim): the ordering signal per document —
+    cluster membership and cosine to the own centroid (centrality).
+    Pass precomputed `centroids` to reuse a semdedup/IVF fit."""
+    if centroids is None:
+        centroids = fit_centroids(
+            emb, n_clusters=n_clusters, vec_col=vec_col, seed=seed
+        )
+    return assign_clusters(
+        emb, centroids, vec_col=vec_col, id_col=id_col
+    ).select(
+        F.col(id_col),
+        F.col("cluster").alias("icp_cluster"),
+        F.col("centroid_sim").alias("icp_sim"),
+    )
+
+
+def icp_ordered(
+    docs: DataFrame,
+    emb: DataFrame,
+    id_col: str = "doc_id",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """`docs` reordered for in-context pretraining: partitioned by
+    cluster, sorted within partitions by (icp_cluster, icp_sim DESC,
+    id) — feed straight into text.chunk_documents /
+    packing.pack_sequences or a shard writer; a sequential read of
+    each partition visits related documents consecutively. Documents
+    without an embedding sort after their partition's embedded docs
+    (NULL cluster), never silently dropped. One cluster-keyed
+    exchange + partition-local sort; ordering columns are retained
+    for audit and dropped trivially by the caller."""
+    order = icp_order(
+        emb, vec_col, emb_id_col, n_clusters, seed, centroids
+    ).withColumnRenamed(emb_id_col, id_col)
+    return (
+        docs.join(order, id_col, "left")
+        .repartition(F.col("icp_cluster"))
+        .sortWithinPartitions(
+            F.col("icp_cluster").asc_nulls_last(),
+            F.col("icp_sim").desc_nulls_last(),
+            F.col(id_col),
+        )
+    )

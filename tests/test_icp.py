@@ -1,0 +1,129 @@
+"""In-context-pretraining ordering (operators/icp.py): planted
+clusters come back contiguous and centrality-sorted, adjacency beats
+the hash-shuffled baseline, and the layout is partitioning-stable."""
+
+import itertools
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.icp import icp_order, icp_ordered
+
+
+def _make_corpus(spark, n_per=40, dim=8, seed=7):
+    """Three well-separated planted clusters + noise."""
+    rng = random.Random(seed)
+    anchors = [
+        [10.0] + [0.0] * (dim - 1),
+        [0.0, 10.0] + [0.0] * (dim - 2),
+        [0.0, 0.0, 10.0] + [0.0] * (dim - 3),
+    ]
+    rows = []
+    i = 0
+    for c, a in enumerate(anchors):
+        for _ in range(n_per):
+            v = [x + rng.gauss(0, 0.5) for x in a]
+            rows.append((i, c, v, f"doc {i} of topic {c}"))
+            i += 1
+    emb = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows], "vec_id long, embedding array<double>"
+    )
+    docs = spark.createDataFrame(
+        [(r[0], r[3]) for r in rows], "doc_id long, text string"
+    )
+    truth = {r[0]: r[1] for r in rows}
+    return emb, docs, truth
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a)) or 1.0
+    nb = math.sqrt(sum(x * x for x in b)) or 1.0
+    return dot / (na * nb)
+
+
+def test_clusters_contiguous_and_centrality_sorted(spark):
+    emb, docs, truth = _make_corpus(spark)
+    out = icp_ordered(docs, emb, n_clusters=3)
+    parts = out.select(
+        F.spark_partition_id().alias("p"), "doc_id", "icp_cluster", "icp_sim"
+    ).collect()
+    by_part = {}
+    for r in parts:
+        by_part.setdefault(r["p"], []).append(r)
+    for rows in by_part.values():
+        # within a partition: clusters contiguous (no interleaving)
+        clusters = [r["icp_cluster"] for r in rows]
+        deduped = [k for k, _ in itertools.groupby(clusters)]
+        assert len(deduped) == len(set(deduped)), clusters
+        # within a cluster run: centrality-descending
+        for _, grp in itertools.groupby(rows, key=lambda r: r["icp_cluster"]):
+            sims = [r["icp_sim"] for r in grp]
+            assert sims == sorted(sims, reverse=True)
+    # the learned clusters recover the planted topics (purity = 1 on
+    # this separation): every icp_cluster maps to one true topic
+    m = {}
+    for r in parts:
+        m.setdefault(r["icp_cluster"], set()).add(truth[r["doc_id"]])
+    assert all(len(tops) == 1 for tops in m.values())
+
+
+def test_adjacent_similarity_beats_shuffled(spark):
+    emb, docs, truth = _make_corpus(spark)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    out = icp_ordered(docs, emb, n_clusters=3)
+    parts = out.select(
+        F.spark_partition_id().alias("p"), "doc_id"
+    ).collect()
+    ordered_ids = {}
+    for r in parts:
+        ordered_ids.setdefault(r["p"], []).append(r["doc_id"])
+
+    def mean_adjacent(seqs):
+        sims = [
+            _cos(vecs[a], vecs[b])
+            for seq in seqs
+            for a, b in zip(seq, seq[1:])
+        ]
+        return sum(sims) / len(sims)
+
+    icp_adj = mean_adjacent(list(ordered_ids.values()))
+    rng = random.Random(0)
+    shuffled = sorted(vecs, key=lambda _: rng.random())
+    base_adj = mean_adjacent([shuffled])
+    # planted clusters: related-adjacent ordering is dramatically
+    # tighter than a hash shuffle (~1.0 vs ~0.33 here)
+    assert icp_adj > base_adj + 0.3, (icp_adj, base_adj)
+
+
+def test_deterministic_under_repartition(spark):
+    """Byte-stable layout contract: GIVEN the centroid literals
+    (the release-build path), the ordering signal is invariant to
+    input partitioning. The in-call k-means fit is seeded but — like
+    any distributed k-means — may vary with partitioning, which is
+    why the contract requires passing centroids."""
+    from ecomm_datapipeline_spark.operators.semdedup import fit_centroids
+
+    emb, docs, truth = _make_corpus(spark)
+    cents = fit_centroids(emb, n_clusters=3)
+    a = icp_ordered(docs, emb, n_clusters=3, centroids=cents).select(
+        "doc_id", "icp_cluster", "icp_sim"
+    ).collect()
+    b = icp_ordered(
+        docs.repartition(7), emb.repartition(5), n_clusters=3,
+        centroids=cents,
+    ).select("doc_id", "icp_cluster", "icp_sim").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_docs_without_embedding_survive(spark):
+    emb, docs, truth = _make_corpus(spark, n_per=5)
+    extra = spark.createDataFrame(
+        [(999, "orphan doc with no embedding")], "doc_id long, text string"
+    )
+    out = icp_ordered(docs.unionByName(extra), emb, n_clusters=3)
+    rows = {r["doc_id"]: r["icp_cluster"] for r in out.collect()}
+    assert 999 in rows and rows[999] is None
+    assert len(rows) == 16
