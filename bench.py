@@ -37,9 +37,12 @@ HEADLINE = [
     ("dedup_ngram_jaccard", "dedup_ngram_jaccard"),
     ("dedup_minhash_lsh", "dedup_minhash_lsh"),
     # r5: slot renamed — the row now ALSO re-scores every result pair
-    # with the MaxSim late-interaction fold over the m=4 token split,
-    # so old-name ratios would compare different work.
-    ("ann_cosine_topk_maxsim", "ann_cosine_topk"),
+    # with the MaxSim late-interaction fold over the m=4 token split.
+    # r9: renamed again (VERDICT r8 item 2) — the r8 bitext-margin
+    # gate fold added a real margin_scores pass to this catalog row,
+    # so the r8-recorded 0.96->1.80s "regression" was added work, not
+    # a lost plan; old-name ratios would compare different work.
+    ("ann_cosine_topk_maxsim_margin", "ann_cosine_topk"),
     # r5: slot renamed — the row now ALSO runs BM25 scoring and the
     # bigram-LM perplexity fold (train collect + literal-map scoring),
     # so old-name ratios would compare different work.

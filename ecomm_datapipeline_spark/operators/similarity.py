@@ -45,7 +45,17 @@ def _dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     inside whole-stage codegen (the adc_dist_col lesson). Otherwise
     the zip_with+aggregate fold — interpreted, but past the codegen
     cliff it is the faster evaluator. Identical left-to-right double
-    addition either way, so scores are bit-identical."""
+    addition either way, so scores are bit-identical.
+
+    HAZARD — `dim` is trusted, not checked: a dim SMALLER than the
+    true vector width silently sums only the first dim terms,
+    yielding plausibly-scaled but WRONG scores (a dim larger than the
+    width yields NULL via element_at, which is at least visible). A
+    per-row size() guard would tax the hot unrolled path every
+    operator shares, so the contract is caller-side: operators thread
+    one explicit dim per corpus (see _dim_or_none for one-off
+    auto-detection); mixed-width corpora must validate widths
+    upstream, e.g. `F.size(col) == dim` as a quality gate."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     if dim is not None and dim <= _UNROLL_MAX_DIM:
@@ -60,6 +70,9 @@ def _dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
 
 
 def _norm(a: Column | str, dim: int | None = None) -> Column:
+    """Euclidean norm; same unroll/fold split and the same
+    trusted-dim hazard as _dot (an undersized dim silently norms a
+    prefix)."""
     a = F.col(a) if isinstance(a, str) else a
     if dim is not None and dim <= _UNROLL_MAX_DIM:
         out = None

@@ -8,15 +8,23 @@ is the FILE — the same contract every large-scale WARC consumer uses
 (CommonCrawl ships ~1 GB .warc.gz shards precisely so file-level
 parallelism saturates a cluster). The plan is:
 
-    binaryFile scan (one row per file, bytes in `content`)
-      -> repartition(paths) so each task decodes one file
-      -> mapInPandas record parser (the Arrow codec seam — WARC/HTTP
-         framing is imperative byte layout, not a relational op;
-         the same documented-Python-seam rule as multimodal decode)
+    binaryFile scan, PRUNED TO `path` (one ~100-byte row per file —
+    binaryFile supports column pruning, so the archive bytes are
+    never materialized into rows)
+      -> repartition(paths) so each task decodes one file; the
+         Exchange carries ONLY path strings, never archive bytes
+      -> mapInPandas parser that OPENS the file itself and streams
+         records out (the Arrow codec seam — WARC/HTTP framing is
+         imperative byte layout, not a relational op; the same
+         documented-Python-seam rule as multimodal decode)
 
 At 100 TB nothing changes: 100k files fan out as 100k tasks; the
-parser streams each file's records into Arrow batches and never
-keys, sorts, or shuffles anything.
+only Exchange in the plan moves 100k path strings (~10 MB total,
+not 100 TB of bytes), and each task's resident memory is one record
+plus a 1 MiB read buffer — opening inside the seam also lifts the
+binaryFile source's ~2 GB per-row content ceiling, so an oversized
+archive parses instead of failing the scan. Tested by a plan pin
+(tests/test_warc.py::test_no_content_bytes_in_exchange).
 
 Format notes (public spec + CommonCrawl observations):
 * a record = `WARC/1.0\\r\\n` header block, `\\r\\n\\r\\n`, then
@@ -29,9 +37,13 @@ Format notes (public spec + CommonCrawl observations):
 * non-response records (warcinfo, request, metadata, ...) pass
   through with the raw payload and NULL http fields — filter on
   `warc_type` downstream;
-* bodies decode as utf-8 with replacement; charset re-decoding from
-  Content-Type is out of scope by design (CommonCrawl's own WET
-  extraction treats non-utf-8 the same way: lossy-normalize early).
+* bodies decode as utf-8 with replacement by default (CommonCrawl's
+  own WET extraction treats non-utf-8 the same way: lossy-normalize
+  early); pass `detect_charset=True` to honor an explicit
+  `charset=` in the HTTP Content-Type (Python codecs, falling back
+  to utf-8-replace when the label is unknown) — recovers the ~5% of
+  the web in legacy encodings (Shift-JIS, GBK, ISO-8859) that would
+  otherwise arrive mojibake'd and silently fail quality gates.
 
 Verification: tests/test_warc.py — synthesized uncompressed and
 multi-member-gzip WARCs round-trip record-exactly, and the WARC ->
@@ -40,8 +52,10 @@ html_to_text pipeline recovers planted page text.
 
 from __future__ import annotations
 
+import codecs
 import gzip
 import io
+import re
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -126,7 +140,12 @@ def _iter_records(stream) -> Iterator[tuple[dict[str, str], bytes]]:
         if not buf.startswith(b"WARC/"):
             raise ValueError("malformed WARC: expected record header")
         headers = _parse_header_block(buf[:idx])
-        length = int(headers.get("content-length", "0"))
+        if "content-length" not in headers:
+            # the spec makes Content-Length mandatory; defaulting to 0
+            # would re-parse this record's payload as the next header
+            # and surface a misleading error several records later
+            raise ValueError("malformed WARC: missing Content-Length")
+        length = int(headers["content-length"])
         body_start = idx + sep
         while len(buf) < body_start + length:
             chunk = stream.read(_READ_CHUNK)
@@ -155,19 +174,34 @@ def _split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, headers.get("content-type"), payload[hdr_end + sep :]
 
 
-def parse_warc_bytes(
-    name: str, data: bytes
+_CHARSET_RE = re.compile(r'charset\s*=\s*["\']?([A-Za-z0-9._-]+)', re.I)
+
+
+def _decode_body(body: bytes, ctype: str | None, detect_charset: bool) -> str:
+    """Payload bytes -> str. Default: utf-8 with replacement (the WET
+    convention). With detect_charset, an explicit `charset=` label in
+    the Content-Type wins when Python knows the codec; decode errors
+    still replace (a mislabeled page must not fail the task), and an
+    unknown label falls back to the default path."""
+    if detect_charset and ctype:
+        m = _CHARSET_RE.search(ctype)
+        if m:
+            try:
+                codec = codecs.lookup(m.group(1)).name
+            except LookupError:
+                codec = None
+            if codec is not None:
+                return body.decode(codec, errors="replace")
+    return body.decode("utf-8", errors="replace")
+
+
+def parse_warc_stream(
+    name: str, stream, detect_charset: bool = False
 ) -> Iterator[tuple[str, str, str, str, int | None, str | None, str]]:
-    """Rows (per WARC_SCHEMA, minus warc_file) from one WARC file's
-    bytes. Driver-free pure function — the task-side core, exposed for
-    tests."""
-    stream: object
-    if name.endswith(".gz"):
-        # multi-member stream: GzipFile reads concatenated members and
-        # decompresses INCREMENTALLY (never the whole archive at once)
-        stream = gzip.GzipFile(fileobj=io.BytesIO(data))
-    else:
-        stream = io.BytesIO(data)
+    """Rows (per WARC_SCHEMA, minus warc_file) streamed from one WARC
+    file's binary file-like. Driver-free pure function — the task-side
+    core; `name` picks gzip handling upstream (see _open_stream) and
+    labels errors."""
     for headers, payload in _iter_records(stream):
         wtype = headers.get("warc-type", "")
         status: int | None = None
@@ -184,7 +218,48 @@ def parse_warc_bytes(
             headers.get("warc-date", ""),
             status,
             ctype,
-            body.decode("utf-8", errors="replace"),
+            _decode_body(body, ctype, detect_charset),
+        )
+
+
+def parse_warc_bytes(
+    name: str, data: bytes, detect_charset: bool = False
+) -> Iterator[tuple[str, str, str, str, int | None, str | None, str]]:
+    """In-memory variant of parse_warc_stream (tests + small files):
+    wraps the bytes in a stream and delegates."""
+    stream: object
+    if name.endswith(".gz"):
+        # multi-member stream: GzipFile reads concatenated members and
+        # decompresses INCREMENTALLY (never the whole archive at once)
+        stream = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        stream = io.BytesIO(data)
+    return parse_warc_stream(name, stream, detect_charset=detect_charset)
+
+
+def _stream_records(
+    path: str, detect_charset: bool = False
+) -> Iterator[tuple[str, str, str, str, int | None, str | None, str]]:
+    """Open one archive and stream its records — resident memory is
+    the gzip window plus the parser's read buffer, never the file's
+    bytes (this is what lifts binaryFile's ~2 GB per-row ceiling).
+    Spark hands binaryFile paths as file: URIs; strip the scheme. A
+    non-local scheme (s3://, hdfs://) needs a filesystem client usable
+    from Python (e.g. fsspec, not bundled here) — fail loudly rather
+    than misread."""
+    local = path
+    if local.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        local = unquote(urlparse(local).path)
+    elif "://" in local:
+        raise ValueError(
+            f"non-local path needs a Python filesystem client: {path}"
+        )
+    with open(local, "rb") as raw:
+        stream = gzip.GzipFile(fileobj=raw) if local.endswith(".gz") else raw
+        yield from parse_warc_stream(
+            path, stream, detect_charset=detect_charset
         )
 
 
@@ -196,12 +271,20 @@ def parse_warc_bytes(
 ERROR_TYPE = "_error"
 
 
-def records_from_files(files: DataFrame, on_error: str = "fail") -> DataFrame:
-    """(path, content) binary-file rows -> one row per WARC record —
-    THE decode seam, shared verbatim by the batch reader and the
-    streaming ingester so the two paths cannot desynchronize. One
-    hash shuffle on the file path (each task decodes whole files),
-    then Arrow batches flushed every 1024 records.
+def records_from_files(
+    files: DataFrame, on_error: str = "fail", detect_charset: bool = False
+) -> DataFrame:
+    """Binary-file rows (only `path` is consumed) -> one row per WARC
+    record — THE decode seam, shared verbatim by the batch reader and
+    the streaming ingester so the two paths cannot desynchronize.
+
+    Scale contract: the frame is pruned to `path` BEFORE the
+    repartition, so the one hash Exchange in the plan carries path
+    strings only — never archive bytes (at 100 TB that difference is
+    the whole corpus crossing the network before a single record
+    parses). Each task then OPENS its files inside the Arrow seam and
+    streams records out, flushing batches every 1024 records; see
+    _stream_records for the memory bound.
 
     on_error="fail" raises on a malformed archive (batch semantics);
     "quarantine" converts the file's failure into a single ERROR_TYPE
@@ -218,26 +301,30 @@ def records_from_files(files: DataFrame, on_error: str = "fail") -> DataFrame:
 
         for pdf in batches:
             out: list[tuple] = []
-            for name, content in zip(pdf["path"], pdf["content"]):
+            for name in pdf["path"]:
+                name = str(name)
                 try:
-                    for rec in parse_warc_bytes(str(name), bytes(content)):
-                        out.append((str(name), *rec))
+                    for rec in _stream_records(
+                        name, detect_charset=detect_charset
+                    ):
+                        out.append((name, *rec))
                         if len(out) >= flush_rows:
                             yield pd.DataFrame(out, columns=cols)
                             out = []
                 except (ValueError, OSError) as exc:
-                    # OSError: gzip corruption; ValueError: framing
+                    # OSError: gzip corruption / unreadable file;
+                    # ValueError: framing
                     if not quarantine:
                         raise
                     out.append(
-                        (str(name), ERROR_TYPE, str(name), "", "",
+                        (name, ERROR_TYPE, name, "", "",
                          None, None, f"{type(exc).__name__}: {exc}")
                     )
             if out:
                 yield pd.DataFrame(out, columns=cols)
 
     return (
-        files.select("path", "content")
+        files.select("path")
         .repartition(F.col("path"))
         .mapInPandas(decode, WARC_SCHEMA)
     )
@@ -255,12 +342,18 @@ def html_pages(records: DataFrame) -> DataFrame:
     )
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, detect_charset: bool = False
+) -> DataFrame:
     """One row per WARC record across every file matching `path`
     (glob ok; .warc and .warc.gz). See module docstring for the plan
-    shape — file-level parallelism, one Arrow decode seam, zero
-    shuffle after the repartition-by-file."""
-    return records_from_files(spark.read.format("binaryFile").load(path))
+    shape — file-level parallelism over a paths-only frame, one Arrow
+    decode seam that opens the files itself, zero shuffle after the
+    repartition-by-file."""
+    return records_from_files(
+        spark.read.format("binaryFile").load(path),
+        detect_charset=detect_charset,
+    )
 
 
 def read_warc_documents(

@@ -27,10 +27,15 @@ committed, and skips. doc_id is the WARC record id: globally unique
 per record by spec, so downstream exact dedup keys are stable across
 any arrival order.
 
-At 100 TB nothing changes: each micro-batch hash-shuffles only the
-tiny file-row frame (the repartition-by-file inside the decode seam)
-and fans out one task per newly-landed archive; no state beyond the
-checkpoint's file ledger, and nothing document-sized ever shuffles.
+At 100 TB nothing changes: each micro-batch hash-shuffles only file
+PATH strings (the decode seam prunes to `path` before its
+repartition-by-file and opens the archives inside the Arrow seam, so
+no Exchange ever carries archive bytes) and fans out one task per
+newly-landed archive; no state beyond the checkpoint's file ledger,
+and nothing document-sized ever shuffles. The decoded records frame
+is localCheckpoint'd once per batch so the documents append and the
+quarantine append share a single decode pass instead of re-running
+the gzip+parse work per write action.
 """
 
 from __future__ import annotations
@@ -95,29 +100,43 @@ def warc_ingest_stream(
         )
 
     def _sink(batch: DataFrame, batch_id: int) -> None:
-        records = records_from_files(batch, on_error="quarantine")
-        if not _already_committed(batch, batch_id, out_dir):
-            (
-                extract_documents(
-                    html_pages(records),
-                    min_text_chars=min_text_chars,
-                    max_link_density=max_link_density,
+        # materialize the decode ONCE: two write actions follow
+        # (documents + quarantine), and without this each would lazily
+        # re-run the gzip+parse of every newly-landed archive — the
+        # dominant ingest cost, paid twice
+        records = records_from_files(
+            batch, on_error="quarantine"
+        ).localCheckpoint()
+        try:
+            if not _already_committed(batch, batch_id, out_dir):
+                (
+                    extract_documents(
+                        html_pages(records),
+                        min_text_chars=min_text_chars,
+                        max_link_density=max_link_density,
+                    )
+                    .withColumn(_BATCH_COL, F.lit(batch_id))
+                    .write.mode("append")
+                    .parquet(out_dir)
                 )
-                .withColumn(_BATCH_COL, F.lit(batch_id))
-                .write.mode("append")
-                .parquet(out_dir)
-            )
-        if not _already_committed(batch, batch_id, quarantine_dir):
-            errors = records.filter(
-                F.col("warc_type") == ERROR_TYPE
-            ).select(
-                F.col("warc_file").alias("path"),
-                F.col("payload").alias("error"),
-                F.lit(batch_id).alias(_BATCH_COL),
-            )
-            # write even when empty: the quarantine table doubles as
-            # the batch ledger for its own replay guard
-            errors.write.mode("append").parquet(quarantine_dir)
+            if not _already_committed(batch, batch_id, quarantine_dir):
+                errors = records.filter(
+                    F.col("warc_type") == ERROR_TYPE
+                ).select(
+                    F.col("warc_file").alias("path"),
+                    F.col("payload").alias("error"),
+                    F.lit(batch_id).alias(_BATCH_COL),
+                )
+                # written even when no file failed; note an EMPTY
+                # append records zero rows, so the replay guard above
+                # never fires for an error-free batch — replaying such
+                # a batch re-runs this write, which is safe only
+                # because appending zero rows is idempotent (the
+                # guard, not this table, is what makes non-empty
+                # replays exactly-once)
+                errors.write.mode("append").parquet(quarantine_dir)
+        finally:
+            records.unpersist()
 
     writer = files.writeStream.foreachBatch(_sink).option(
         "checkpointLocation", checkpoint_dir

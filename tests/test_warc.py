@@ -237,6 +237,92 @@ def test_chunk_boundary_streaming(monkeypatch):
     assert rows[3][6] == HTML_B.decode()
 
 
+def test_missing_content_length_named(spark):
+    """A record without the mandatory Content-Length must fail with an
+    error NAMING the defect — defaulting to 0 would re-parse the
+    payload as the next header and blame framing several records
+    later."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: metadata\r\n"
+        b"WARC-Record-ID: <urn:nolen>\r\n\r\npayload\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="missing Content-Length"):
+        list(W.parse_warc_bytes("f.warc", bad))
+
+
+def test_no_content_bytes_in_exchange(spark, tmp_path):
+    """Scale pin: the decode seam's plan must never move archive bytes
+    through an Exchange — the frame is pruned to `path` before the
+    repartition, so `content` appears nowhere in the physical plan
+    (at 100 TB a content-carrying Exchange is a full-corpus network
+    shuffle before a single record parses)."""
+    p = tmp_path / "a.warc"
+    p.write_bytes(_warc_bytes())
+    df = W.read_warc(spark, str(p))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan  # the by-file fan-out is still there
+    # the binary `content` attribute must not exist anywhere in the
+    # plan ("content#" can't false-match the seam's content_type#NN
+    # output), and the scan itself must be pruned to path
+    assert "content#" not in plan
+    assert "ReadSchema: struct<path:string>" in plan
+
+
+def test_charset_redecode_opt_in(spark, tmp_path):
+    """detect_charset honors an explicit charset= label (ISO-8859-1,
+    Shift-JIS) inside the Arrow seam; default behavior is unchanged
+    utf-8-with-replacement; unknown labels fall back losslessly."""
+    latin = "café résumé"
+    sjis = "日本語"
+    archive = (
+        _record(
+            "response",
+            _http_response(
+                latin.encode("iso-8859-1"),
+                ctype="text/html; charset=ISO-8859-1",
+            ),
+            uri="https://l.example/",
+            rec_id="<urn:latin>",
+        )
+        + _record(
+            "response",
+            _http_response(
+                sjis.encode("shift_jis"),
+                ctype='text/html; charset="Shift_JIS"',
+            ),
+            uri="https://j.example/",
+            rec_id="<urn:sjis>",
+        )
+        + _record(
+            "response",
+            _http_response(b"plain ascii", ctype="text/html; charset=bogus-enc"),
+            uri="https://u.example/",
+            rec_id="<urn:unknown>",
+        )
+    )
+    # opt-in: planted text recovered exactly
+    rows = {
+        r[1]: r[6]
+        for r in W.parse_warc_bytes("f.warc", archive, detect_charset=True)
+    }
+    assert rows["<urn:latin>"] == latin
+    assert rows["<urn:sjis>"] == sjis
+    assert rows["<urn:unknown>"] == "plain ascii"  # unknown label -> utf-8
+    # default: unchanged lossy utf-8 (ISO-8859-1 bytes mojibake)
+    default = {
+        r[1]: r[6] for r in W.parse_warc_bytes("f.warc", archive)
+    }
+    assert default["<urn:latin>"] != latin
+    # and through the DataFrame reader
+    p = tmp_path / "cs.warc"
+    p.write_bytes(archive)
+    df_rows = {
+        r["record_id"]: r["payload"]
+        for r in W.read_warc(spark, str(p), detect_charset=True).collect()
+    }
+    assert df_rows["<urn:sjis>"] == sjis
+
+
 def test_mixed_case_content_type(spark, tmp_path):
     """RFC 9110: Content-Type is case-insensitive — 'Text/HTML' pages
     must survive the read_warc_documents filter."""
