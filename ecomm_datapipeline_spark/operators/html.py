@@ -258,17 +258,28 @@ _HREF_PATTERNS = (
 )
 
 
-def extract_links_col(col: Column | str) -> Column:
-    """array<string> of ABSOLUTE http(s) link targets in document
-    order per quoting style (double-quoted, then single-quoted, then
-    bare) — relative-URL resolution needs the page's base URL and is
-    deliberately out of scope (join the target_uri column and resolve
-    upstream if needed). Pure expressions, zero shuffle; feeds
-    urls.normalize_url / registrable_domain and graph.pagerank."""
+def extract_links_col(
+    col: Column | str, base: Column | str | None = None
+) -> Column:
+    """array<string> of http(s) link targets in document order per
+    quoting style (double-quoted, then single-quoted, then bare).
+    Without `base`, only ABSOLUTE http(s) hrefs survive. With `base`
+    (the page's own URL — e.g. the WARC target_uri), every href is
+    first resolved per RFC 3986 §5 (urls.resolve_url_col, pure
+    expressions), so relative links — the MAJORITY of intra-site
+    links — become real edges instead of dropping; non-http results
+    (mailto:, javascript:, unresolvable) still drop. Pure
+    expressions, zero shuffle; feeds urls.normalize_url /
+    registrable_domain and graph.pagerank."""
     c = F.col(col) if isinstance(col, str) else col
     all_hrefs = F.concat(
         *[F.regexp_extract_all(c, F.lit(p), 1) for p in _HREF_PATTERNS]
     )
+    if base is not None:
+        from .urls import resolve_url_col
+
+        b = F.col(base) if isinstance(base, str) else base
+        all_hrefs = F.transform(all_hrefs, lambda u: resolve_url_col(b, u))
     return F.filter(all_hrefs, lambda u: u.rlike("(?i)^https?://"))
 
 
@@ -276,16 +287,24 @@ def link_edges(
     df: DataFrame,
     html_col: str = "html",
     id_col: str = "doc_id",
+    base_col: str | None = None,
 ) -> DataFrame:
     """(src, dst) host-level edges from pages' outbound links — the
     frame graph.pagerank/trustrank consume for link-quality
     propagation over a crawl. src is the page id (pass the page's
     host as id_col for a host graph); dst is the link target's host,
-    lowercased. Self-loops and unparseable targets drop. One Generate
-    (the explode), zero shuffle — dedup/aggregate downstream."""
+    lowercased. Self-loops and unparseable targets drop. With
+    `base_col` (the page URL, e.g. the WARC target_uri), relative
+    hrefs resolve per RFC 3986 before host extraction — without it a
+    host graph only loses same-host self-loops (dropped anyway), but
+    cross-host relative links (protocol-relative //cdn.example/...)
+    and page-level graphs need it. One Generate (the explode), zero
+    shuffle — dedup/aggregate downstream."""
     links = df.select(
         F.col(id_col).alias("src"),
-        F.explode(extract_links_col(html_col)).alias("_url"),
+        F.explode(
+            extract_links_col(html_col, base=base_col)
+        ).alias("_url"),
     )
     dst = F.lower(
         F.regexp_extract(F.col("_url"), r"(?i)^https?://([^/?#:]+)", 1)

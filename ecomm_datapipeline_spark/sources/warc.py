@@ -331,14 +331,19 @@ def records_from_files(
 
 
 def html_pages(records: DataFrame) -> DataFrame:
-    """200-status text/html response records -> (doc_id, html) —
-    the page-gating predicate, shared by batch and streaming paths."""
+    """200-status text/html response records -> (doc_id, url, html) —
+    the page-gating predicate, shared by batch and streaming paths.
+    `url` is the WARC target URI: the base link_edges needs to resolve
+    the page's relative hrefs (base_col="url"); downstream consumers
+    that only want text simply don't select it."""
     return records.filter(
         (F.col("warc_type") == "response")
         & (F.col("http_status") == 200)
         & F.lower(F.col("content_type")).contains("html")
     ).select(
-        F.col("record_id").alias("doc_id"), F.col("payload").alias("html")
+        F.col("record_id").alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").alias("html"),
     )
 
 

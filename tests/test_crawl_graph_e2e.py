@@ -1,0 +1,114 @@
+"""End-to-end crawl-graph recipe (VERDICT r8 item 8): WARC fixture ->
+html_pages -> link_edges(base_col=url) -> graph.pagerank, with a
+planted link structure whose ranking is known — every host links to
+auth.example, so it must rank first. Also pins that the
+protocol-relative edge (//auth.example/...) exists ONLY because
+base-URL resolution runs: without base_col that page contributes no
+edge, and the planted authority would lose a vote.
+
+docs/RECIPES.md shows this composition; this test executes it whole
+at toy scale.
+"""
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import graph
+from ecomm_datapipeline_spark.operators.html import link_edges
+from ecomm_datapipeline_spark.sources import warc as W
+
+
+def _record(wtype: str, payload: bytes, uri: str = "", rec_id: str = "") -> bytes:
+    headers = [
+        b"WARC/1.0",
+        f"WARC-Type: {wtype}".encode(),
+        f"WARC-Record-ID: {rec_id}".encode(),
+        f"WARC-Target-URI: {uri}".encode(),
+        f"Content-Length: {len(payload)}".encode(),
+    ]
+    return b"\r\n".join(headers) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+
+def _http_response(body: bytes) -> bytes:
+    return (
+        f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n".encode() + body
+    )
+
+
+def _page(uri: str, rec_id: str, links_html: str) -> bytes:
+    body = (
+        "<html><body><p>filler paragraph text for the page body</p>"
+        f"{links_html}</body></html>"
+    ).encode()
+    return _record(
+        "response", _http_response(body), uri=uri, rec_id=rec_id
+    )
+
+
+def _crawl_warc() -> bytes:
+    return (
+        # hub1 -> auth (absolute) + a same-host relative link (self-loop,
+        # must drop from the host graph)
+        _page(
+            "http://hub1.example/dir/page.html",
+            "<urn:hub1>",
+            '<a href="http://auth.example/x">a</a><a href="../local">l</a>',
+        )
+        # hub2 -> auth ONLY via a protocol-relative href: the edge
+        # exists iff RFC 3986 resolution against the page URL runs
+        + _page(
+            "http://hub2.example/p",
+            "<urn:hub2>",
+            '<a href="//auth.example/y">a</a>',
+        )
+        # the authority links back to one hub (rank leaks back a bit,
+        # but in-degree 3 vs 1 keeps auth on top)
+        + _page(
+            "http://auth.example/index.html",
+            "<urn:auth>",
+            '<a href="http://hub1.example/">h</a>',
+        )
+        # a leaf that also votes for auth via a root-relative link on
+        # auth's host? no — cross-host absolute, plus a mailto (drops)
+        + _page(
+            "http://lone.example/q",
+            "<urn:lone>",
+            '<a href="https://auth.example/z">a</a><a href="mailto:x@y">m</a>',
+        )
+    )
+
+
+def test_crawl_graph_recipe_ranks_planted_authority(spark, tmp_path):
+    p = tmp_path / "crawl.warc.gz"
+    p.write_bytes(gzip.compress(_crawl_warc()))
+
+    pages = W.html_pages(W.read_warc(spark, str(p)))
+    host = F.lower(
+        F.regexp_extract(F.col("url"), r"(?i)^https?://([^/?#:]+)", 1)
+    )
+    hosted = pages.withColumn("host", host)
+
+    edges = link_edges(hosted, "html", id_col="host", base_col="url")
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {
+        ("hub1.example", "auth.example"),
+        ("hub2.example", "auth.example"),  # exists only via resolution
+        ("auth.example", "hub1.example"),
+        ("lone.example", "auth.example"),
+    }
+
+    ranks = graph.pagerank(edges).orderBy(F.desc("rank")).collect()
+    assert ranks[0]["id"] == "auth.example"
+    # everyone votes for auth; hub1 gets auth's single backlink, so it
+    # outranks the no-inlink vertices
+    assert ranks[1]["id"] == "hub1.example"
+
+    # counterfactual: without base_col the protocol-relative vote is
+    # lost — the exact failure mode resolution exists to prevent
+    no_base = {
+        (r["src"], r["dst"])
+        for r in link_edges(hosted, "html", id_col="host").collect()
+    }
+    assert ("hub2.example", "auth.example") not in no_base

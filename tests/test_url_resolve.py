@@ -1,0 +1,212 @@
+"""RFC 3986 §5 reference resolution (urls.resolve_url_col): the full
+§5.4.1 normal + §5.4.2 abnormal example tables, a randomized
+differential against Python's urllib.parse.urljoin (the stdlib RFC
+3986 implementation), and the link_edges base_col wiring.
+
+Known, documented divergence: for an absolute reference whose scheme
+EQUALS the base scheme ("http:g" against an http base), strict RFC
+3986 passes the reference through unchanged ("http:g") — the behavior
+resolve_url_col implements — while urljoin applies the pre-3986
+same-scheme backward-compat merge ("http://a/b/c/g"). The
+differential therefore skips same-scheme absolute refs.
+"""
+
+from urllib.parse import urljoin
+
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.urls import resolve_url_col
+
+BASE = "http://a/b/c/d;p?q"
+
+# RFC 3986 §5.4.1 — normal examples, verbatim
+NORMAL = {
+    "g:h": "g:h",
+    "g": "http://a/b/c/g",
+    "./g": "http://a/b/c/g",
+    "g/": "http://a/b/c/g/",
+    "/g": "http://a/g",
+    "//g": "http://g",
+    "?y": "http://a/b/c/d;p?y",
+    "g?y": "http://a/b/c/g?y",
+    "#s": "http://a/b/c/d;p?q#s",
+    "g#s": "http://a/b/c/g#s",
+    "g?y#s": "http://a/b/c/g?y#s",
+    ";x": "http://a/b/c/;x",
+    "g;x": "http://a/b/c/g;x",
+    "g;x?y#s": "http://a/b/c/g;x?y#s",
+    "": "http://a/b/c/d;p?q",
+    ".": "http://a/b/c/",
+    "./": "http://a/b/c/",
+    "..": "http://a/b/",
+    "../": "http://a/b/",
+    "../g": "http://a/b/g",
+    "../..": "http://a/",
+    "../../": "http://a/",
+    "../../g": "http://a/g",
+}
+
+# RFC 3986 §5.4.2 — abnormal examples, strict-parser column
+ABNORMAL = {
+    "../../../g": "http://a/g",
+    "../../../../g": "http://a/g",
+    "/./g": "http://a/g",
+    "/../g": "http://a/g",
+    "g.": "http://a/b/c/g.",
+    ".g": "http://a/b/c/.g",
+    "g..": "http://a/b/c/g..",
+    "..g": "http://a/b/c/..g",
+    "./../g": "http://a/b/g",
+    "./g/.": "http://a/b/c/g/",
+    "g/./h": "http://a/b/c/g/h",
+    "g/../h": "http://a/b/c/h",
+    "g;x=1/./y": "http://a/b/c/g;x=1/y",
+    "g;x=1/../y": "http://a/b/c/y",
+    "g?y/./x": "http://a/b/c/g?y/./x",
+    "g?y/../x": "http://a/b/c/g?y/../x",
+    "g#s/./x": "http://a/b/c/g#s/./x",
+    "g#s/../x": "http://a/b/c/g#s/../x",
+    "http:g": "http:g",  # strict (urljoin would compat-merge)
+}
+
+
+def _resolve_all(spark, pairs):
+    """[(base, ref)] -> [resolved] via the column expression."""
+    df = spark.createDataFrame(pairs, "base string, ref string")
+    rows = (
+        df.withColumn("i", F.monotonically_increasing_id())
+        .withColumn("out", resolve_url_col("base", "ref"))
+        .orderBy("i")
+        .select("out")
+        .collect()
+    )
+    return [r["out"] for r in rows]
+
+
+def test_rfc3986_examples(spark):
+    table = {**NORMAL, **ABNORMAL}
+    refs = list(table)
+    got = _resolve_all(spark, [(BASE, r) for r in refs])
+    mismatches = {
+        r: (g, table[r]) for r, g in zip(refs, got) if g != table[r]
+    }
+    assert not mismatches, mismatches
+
+
+# varied bases: ports, userinfo, IPv6 literal, empty path, root path,
+# deep path, trailing slash, query
+_BASES = [
+    "http://a/b/c/d;p?q",
+    "https://example.com",
+    "https://example.com/",
+    "https://user:pw@example.com:8443/one/two/three?x=1",
+    "http://[2001:db8::1]:8080/p/q",
+    "https://example.com/a/b/",
+    "http://example.com/a?q=old",
+]
+
+_REFS = [
+    "x", "x/y", "x/y/", "./x", "../x", "../../x", "../../../../x",
+    "/x", "/x/../y", "//other.example/z", "//other.example", "?n=1",
+    "#frag", "x?n=1#frag", ";params", "x;p=1/../y", ".", "..", "",
+    "x/./y/../z", "mailto:someone@example.com", "ftp://files.example/f",
+    "x#f/../g", "%7Euser/x", "x%20y", "/a//b/./c",
+]
+# NOT in _REFS: path-relative refs with empty interior segments
+# ("a//b") — CPython's urljoin filters empty segments out of the
+# merged path (filter(None, segments[1:-1])), which deviates from RFC
+# 3986 §5.2.3/§5.2.4 (empty segments are preserved; only '.'/'..'
+# are processed). resolve_url_col follows the RFC — pinned below in
+# test_empty_segments_preserved. Root-relative "//"-paths agree.
+
+
+def test_urljoin_differential(spark):
+    pairs, expected = [], []
+    for b in _BASES:
+        for r in _REFS:
+            # skip same-scheme absolute refs (documented divergence)
+            if r.split(":")[0] in ("http", "https") and ":" in r and not r.startswith("//"):
+                continue
+            pairs.append((b, r))
+            expected.append(urljoin(b, r))
+    got = _resolve_all(spark, pairs)
+    mismatches = [
+        (p, g, e) for p, g, e in zip(pairs, got, expected) if g != e
+    ]
+    assert not mismatches, mismatches[:10]
+
+
+def test_empty_segments_preserved(spark):
+    """RFC 3986 preserves empty path segments through merge and
+    dot-removal ('a//b' stays '//'); urljoin's interior-segment
+    filter is the stdlib's deviation, not ours."""
+    got = _resolve_all(
+        spark,
+        [(BASE, "a//b"), (BASE, "a//../b"), ("http://h/x//y/", "z")],
+    )
+    assert got == [
+        "http://a/b/c/a//b",
+        # '..' pops the empty segment itself, per the spec's stack
+        "http://a/b/c/a/b",
+        "http://h/x//y/z",
+    ]
+
+
+def test_null_and_junk_base(spark):
+    got = _resolve_all(
+        spark,
+        [
+            (None, "x/y"),          # NULL base + relative -> NULL
+            ("http://a/b", None),   # NULL ref -> NULL
+            ("not a url", "x/y"),   # junk base -> '' (url_parts contract)
+            ("not a url", "http://ok.example/x"),  # absolute ref survives
+        ],
+    )
+    assert got == [None, None, "", "http://ok.example/x"]
+
+
+def test_link_edges_base_col(spark):
+    """Relative + protocol-relative hrefs become real cross-host edges
+    once base_col is passed; without it only absolute hrefs survive."""
+    from ecomm_datapipeline_spark.operators.html import link_edges
+
+    html = (
+        '<a href="/local/page">l</a>'
+        '<a href="../up">u</a>'
+        '<a href="//cdn.example/asset">c</a>'
+        '<a href="https://abs.example/x">a</a>'
+        '<a href="mailto:x@y">m</a>'
+    )
+    df = spark.createDataFrame(
+        [("host-a.example", "http://host-a.example/dir/page.html", html)],
+        "doc_id string, page_url string, html string",
+    )
+    without = {
+        (r["src"], r["dst"])
+        for r in link_edges(df, "html", "doc_id").collect()
+    }
+    assert without == {("host-a.example", "abs.example")}
+    with_base = {
+        (r["src"], r["dst"])
+        for r in link_edges(df, "html", "doc_id", base_col="page_url").collect()
+    }
+    # relative links resolve to the page's own host -> self-loops drop;
+    # the protocol-relative CDN link becomes a real cross-host edge
+    assert with_base == {
+        ("host-a.example", "abs.example"),
+        ("host-a.example", "cdn.example"),
+    }
+
+
+def test_resolver_plan_is_pure_expressions(spark):
+    """Scale pin: resolution is projection-only — no Exchange, no
+    Python eval in the plan."""
+    df = spark.createDataFrame([(BASE, "../g")], "base string, ref string")
+    plan = (
+        df.select(resolve_url_col("base", "ref").alias("out"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
