@@ -254,3 +254,176 @@ def read_webdataset_shard(tar_path: str) -> list[tuple[str, dict[str, bytes]]]:
             else:
                 samples.append((key, {ext: payload}))
     return samples
+
+
+# ---------------------------------------------------------------------------
+# Engine-side reader (r9): tar shards -> one row per sample
+# ---------------------------------------------------------------------------
+
+# Quarantined read failures surface as rows with key NULL and `error`
+# set (the WARC ERROR_TYPE convention): a continuous re-ingest must
+# not let one truncated shard poison the whole read.
+def _reader_schema(parts: dict[str, str]) -> T.StructType:
+    fields = [
+        T.StructField("shard_file", T.StringType()),
+        T.StructField("key", T.StringType()),
+    ]
+    for ext, kind in parts.items():
+        if kind == "string":
+            fields.append(T.StructField(ext, T.StringType()))
+        elif kind == "binary":
+            fields.append(T.StructField(ext, T.BinaryType()))
+        else:
+            raise ValueError(
+                f"part {ext!r} must be 'string' or 'binary': {kind!r}"
+            )
+    fields.append(T.StructField("error", T.StringType()))
+    return T.StructType(fields)
+
+
+def samples_from_files(
+    files: DataFrame, parts: dict[str, str], on_error: str = "fail"
+) -> DataFrame:
+    """Binary-file rows (only `path` is consumed) -> one row per
+    WebDataset sample — the read-side twin of write_webdataset_shards,
+    sharing its member-order contract: a sample's members are
+    CONSECUTIVE in the tar sharing a `<key>.<ext>` prefix, so the
+    reader groups adjacent members and emits rows in tar order (the
+    epoch-0 stream).
+
+    Scale shape is the WARC seam's: prune to `path` BEFORE the
+    repartition-by-file (the one Exchange carries path strings, never
+    tar bytes), then each task opens its shards inside the Arrow seam
+    with tarfile's streaming mode ('r|*': sequential read, one member
+    resident, compression handled transparently) and flushes every
+    1024 samples.
+
+    `parts` maps member extension -> 'string' (utf-8, replacement on
+    invalid bytes) or 'binary'; a sample missing a declared extension
+    gets NULL there (the writer's NULL-omits-member convention
+    round-trips); UNDECLARED extensions are ignored — the WebDataset
+    field-selection semantics, a loader reads the fields it trains
+    on. on_error='quarantine' converts a truncated/malformed shard
+    into one error row (key NULL, `error` set) instead of failing the
+    read."""
+    if not parts:
+        raise ValueError("parts must name at least one extension")
+    if on_error not in ("fail", "quarantine"):
+        raise ValueError(f"on_error must be fail|quarantine: {on_error}")
+    quarantine = on_error == "quarantine"
+    schema = _reader_schema(parts)
+    part_items = list(parts.items())
+
+    def _local(path: str) -> str:
+        if path.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return unquote(urlparse(path).path)
+        if "://" in path:
+            raise ValueError(
+                f"non-local path needs a Python filesystem client: {path}"
+            )
+        return path
+
+    def _check_end_marker(local: str) -> None:
+        """Truncation detection for UNCOMPRESSED tars: tarfile's
+        streaming reader treats EOF mid-archive as a clean end (probed:
+        a half-truncated tar 'succeeds' with fewer members — silent
+        sample loss, the worst failure mode a training-set read can
+        have). A well-formed tar is 512-block-aligned and ends with
+        the two-zero-block end-of-archive marker; verify both with one
+        stat + one 1 KiB tail read. Compressed tars skip this: the
+        codec's own trailer (gzip CRC/length) makes truncation raise
+        during streaming."""
+        if local.endswith((".gz", ".bz2", ".xz")):
+            return
+        size = os.path.getsize(local)
+        if size < 1024 or size % 512 != 0:
+            raise ValueError(
+                f"truncated tar: size {size} not a valid archive"
+            )
+        with open(local, "rb") as f:
+            f.seek(size - 1024)
+            if f.read(1024) != b"\x00" * 1024:
+                raise ValueError(
+                    "truncated tar: missing end-of-archive marker"
+                )
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cols = [f.name for f in schema.fields]
+        flush_rows = 1024
+
+        def sample_row(name, key, members):
+            vals = []
+            for ext, kind in part_items:
+                payload = members.get(ext)
+                if payload is None:
+                    vals.append(None)
+                elif kind == "string":
+                    vals.append(payload.decode("utf-8", errors="replace"))
+                else:
+                    vals.append(payload)
+            return (name, key, *vals, None)
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for name in pdf["path"]:
+                name = str(name)
+                try:
+                    local = _local(name)
+                    _check_end_marker(local)
+                    with open(local, "rb") as raw, tarfile.open(
+                        fileobj=raw, mode="r|*"
+                    ) as tf:
+                        cur_key, cur = None, {}
+                        for member in tf:
+                            if not member.isfile():
+                                continue
+                            key, dot, ext = member.name.rpartition(".")
+                            if not dot:
+                                raise ValueError(
+                                    "malformed WebDataset member name "
+                                    f"(no extension): {member.name!r}"
+                                )
+                            payload = tf.extractfile(member).read()
+                            if key != cur_key:
+                                if cur_key is not None:
+                                    out.append(
+                                        sample_row(name, cur_key, cur)
+                                    )
+                                    if len(out) >= flush_rows:
+                                        yield pd.DataFrame(out, columns=cols)
+                                        out = []
+                                cur_key, cur = key, {}
+                            if ext in parts:
+                                cur[ext] = payload
+                        if cur_key is not None:
+                            out.append(sample_row(name, cur_key, cur))
+                except (tarfile.TarError, OSError, ValueError, EOFError) as exc:
+                    if not quarantine:
+                        raise
+                    out.append(
+                        (name, None)
+                        + (None,) * len(part_items)
+                        + (f"{type(exc).__name__}: {exc}",)
+                    )
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    return (
+        files.select("path")
+        .repartition(F.col("path"))
+        .mapInPandas(decode, schema)
+    )
+
+
+def read_webdataset(
+    spark, path: str, parts: dict[str, str], on_error: str = "fail"
+) -> DataFrame:
+    """One row per sample across every tar matching `path` (glob ok).
+    See samples_from_files for the contract and plan shape."""
+    return samples_from_files(
+        spark.read.format("binaryFile").load(path), parts, on_error
+    )

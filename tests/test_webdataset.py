@@ -44,22 +44,84 @@ def _build(spark, tmp, sub, df=None):
 
 
 def test_round_trip_byte_exact(spark, tmp_path):
+    """Engine-side round-trip: write -> read_webdataset -> frame
+    equality with the source (r9 — replaces the driver-side tarfile
+    verification; read_webdataset_shard remains only as the loader
+    twin for order checks)."""
     out, manifest = _build(spark, tmp_path, "a")
     assert sum(m["n_samples"] for m in manifest) == N
     assert {m["shard"] for m in manifest} <= set(range(SHARDS))
+    got = wds.read_webdataset(
+        spark,
+        os.path.join(out, "*.tar"),
+        {"txt": "string", "json": "string", "bin": "binary"},
+    )
+    assert [r["error"] for r in got.select("error").distinct().collect()] == [
+        None
+    ]
+    back = {
+        r["key"]: (r["txt"], r["json"], bytes(r["bin"]))
+        for r in got.collect()
+    }
     src = {
-        str(r["doc_id"]): r
+        str(r["doc_id"]): (r["text"], r["meta"], bytes(r["payload"]))
         for r in _samples(spark).collect()
     }
-    seen = set()
-    for m in manifest:
-        for key, files in wds.read_webdataset_shard(m["path"]):
-            row = src[key]
-            assert files["txt"] == row["text"].encode()
-            assert files["json"] == row["meta"].encode()
-            assert files["bin"] == bytes(row["payload"])
-            seen.add(key)
-    assert seen == set(src)
+    assert back == src
+
+
+def test_reader_quarantine_and_plan(spark, tmp_path):
+    """A truncated tar quarantines as ONE error row (key NULL) without
+    failing the healthy shards; fail mode raises; and the reader plan
+    never moves tar bytes through an Exchange (the WARC-seam pin)."""
+    out, manifest = _build(spark, tmp_path, "q")
+    # truncate one shard mid-archive
+    victim = manifest[0]["path"]
+    data = open(victim, "rb").read()
+    open(victim, "wb").write(data[: len(data) // 2 + 7])
+    parts = {"txt": "string", "bin": "binary"}
+    glob = os.path.join(out, "*.tar")
+    quarantined = wds.read_webdataset(
+        spark, glob, parts, on_error="quarantine"
+    ).collect()
+    errors = [r for r in quarantined if r["error"] is not None]
+    assert len(errors) == 1
+    assert errors[0]["shard_file"].endswith(os.path.basename(victim))
+    assert errors[0]["key"] is None
+    ok_keys = {r["key"] for r in quarantined if r["error"] is None}
+    # every sample of every healthy shard still arrives
+    healthy = sum(m["n_samples"] for m in manifest[1:])
+    assert len(ok_keys) >= healthy
+    with pytest.raises(Exception):
+        wds.read_webdataset(spark, glob, parts).collect()
+    plan = (
+        wds.read_webdataset(spark, glob, parts)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in plan
+    assert "content#" not in plan
+    assert "ReadSchema: struct<path:string>" in plan
+
+
+def test_reader_null_members_and_undeclared(spark, tmp_path):
+    """The writer's NULL-omits-member convention round-trips to NULL
+    columns; undeclared extensions are ignored (field selection)."""
+    df = spark.createDataFrame(
+        [(1, "has text", None, b"pp"), (2, None, '{"k":2}', None)],
+        "doc_id long, text string, meta string, payload binary",
+    )
+    out, _ = _build(spark, tmp_path, "rnull", df=df)
+    rows = {
+        r["key"]: r
+        for r in wds.read_webdataset(
+            spark, os.path.join(out, "*.tar"), {"txt": "string"}
+        ).collect()
+    }
+    assert rows["1"]["txt"] == "has text"
+    assert rows["2"]["txt"] is None  # json/bin members ignored, txt absent
+    assert set(rows) == {"1", "2"}
 
 
 def test_manifest_sha_matches_file(spark, tmp_path):
