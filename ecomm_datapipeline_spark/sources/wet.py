@@ -1,0 +1,204 @@
+"""WET export: write an extracted-text corpus as WARC 'conversion'
+records (the CommonCrawl WET convention — ISO 28500 container,
+text/plain payloads), closing the crawl loop: `read_warc ->
+extract_documents -> curate -> write_wet` produces shards any
+WET-consuming pipeline (including this repo's own `read_warc`) can
+ingest.
+
+Layout per shard: one `warcinfo` record describing the export, then
+one `conversion` record per document — WARC-Target-URI from the url
+column (when present), WARC-Refers-To from the source record id,
+Content-Type text/plain, utf-8 payload.
+
+Determinism contract (the webdataset-writer model):
+
+* shard membership and in-shard order come from
+  sharding.assign_shards (xxhash64 of the id — partitioning- and
+  cluster-size-independent);
+* record ids are md5-derived urn:uuid values of (shard, doc id), the
+  WARC-Date is a caller-pinned literal, and gzip members are written
+  with mtime=0 — so REBUILDING a shard yields byte-identical
+  .warc.gz files (sha256-asserted in tests) and a task retry
+  rewrites the same bytes (atomic tmp+rename);
+* scale shape: ONE hash shuffle on the shard column, partition-local
+  sort, then streaming per-partition assembly — each task appends
+  one gzip member per record through Arrow batches and never holds a
+  shard in memory. The manifest (one row per shard: path, records,
+  bytes, sha256) is all that crosses back to the driver.
+
+Multi-member gzip (one member per record) is the CommonCrawl layout
+and exactly what sources/warc.py streams back; the round-trip
+property test (tests/test_wet.py) reads every written shard with
+read_warc and asserts record-exact recovery.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.sharding import ORDER_COL, SHARD_COL, assign_shards
+
+WET_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+    ]
+)
+
+_SOFTWARE = "ecomm-datapipeline-spark wet-export"
+
+
+def _uuid_urn(*parts: str) -> str:
+    """Deterministic urn:uuid from md5 of the parts — RFC 4122 shape
+    (version nibble 3: md5-named), stable across rebuilds."""
+    h = hashlib.md5("\x00".join(parts).encode()).hexdigest()
+    return (
+        f"<urn:uuid:{h[0:8]}-{h[8:12]}-3{h[13:16]}-"
+        f"{h[16:20]}-{h[20:32]}>"
+    )
+
+
+def _record_bytes(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode() for k, v in headers
+    )
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def _gzip_member(data: bytes) -> bytes:
+    return gzip.compress(data, mtime=0)
+
+
+def write_wet_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    url_col: str | None = "url",
+    n_shards: int = 1,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    seed: int = 42,
+) -> list[dict]:
+    """Write `n_shards` WET files (`wet-#####.warc.gz`) under `path`
+    and return the manifest sorted by shard id. NULL text becomes an
+    empty payload; a NULL id fails loudly in assign_shards; `url_col`
+    =None omits WARC-Target-URI (records remain valid conversions)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    cols = dict(df.dtypes)
+    for c in (id_col, text_col) + ((url_col,) if url_col else ()):
+        if c not in cols:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    os.makedirs(path, exist_ok=True)
+
+    sel = [
+        F.col(SHARD_COL),
+        F.col(ORDER_COL),
+        F.col(id_col).cast("string").alias("_wet_id"),
+        F.col(text_col).cast("string").alias("_wet_text"),
+    ]
+    sel.append(
+        (F.col(url_col) if url_col else F.lit(None)).cast("string").alias(
+            "_wet_url"
+        )
+    )
+    assigned = (
+        assign_shards(df, id_col, n_shards, seed)
+        .select(*sel)
+        .repartition(n_shards, F.col(SHARD_COL))
+        .sortWithinPartitions(SHARD_COL, ORDER_COL, "_wet_id")
+    )
+
+    def assemble(batches: Iterator) -> Iterator:
+        import uuid
+
+        out: list[tuple] = []
+        current = None  # (shard, file, hash, tmp, final, n_records)
+
+        def open_shard(shard: int):
+            final = os.path.join(path, f"wet-{shard:05d}.warc.gz")
+            tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+            f = open(tmp, "wb")
+            h = hashlib.sha256()
+            info_id = _uuid_urn("warcinfo", str(shard))
+            info_payload = (
+                f"software: {_SOFTWARE}\r\nformat: WARC File Format 1.0\r\n"
+            ).encode()
+            member = _gzip_member(
+                _record_bytes(
+                    [
+                        ("WARC-Type", "warcinfo"),
+                        ("WARC-Record-ID", info_id),
+                        ("WARC-Date", warc_date),
+                        ("Content-Type", "application/warc-fields"),
+                        ("Content-Length", str(len(info_payload))),
+                    ],
+                    info_payload,
+                )
+            )
+            f.write(member)
+            h.update(member)
+            return [shard, f, h, tmp, final, 0]
+
+        def close_shard():
+            nonlocal current
+            if current is None:
+                return
+            shard, f, h, tmp, final, n = current
+            f.close()
+            n_bytes = os.path.getsize(tmp)
+            os.replace(tmp, final)
+            out.append((shard, final, n, n_bytes, h.hexdigest()))
+            current = None
+
+        for pdf in batches:
+            shards = pdf[SHARD_COL]
+            ids = pdf["_wet_id"]
+            texts = pdf["_wet_text"]
+            urls = pdf["_wet_url"]
+            for i in range(len(pdf)):
+                shard = int(shards.iat[i])
+                if current is None or current[0] != shard:
+                    close_shard()
+                    current = open_shard(shard)
+                doc_id = str(ids.iat[i])
+                text = texts.iat[i]
+                payload = ("" if text is None else str(text)).encode("utf-8")
+                headers = [
+                    ("WARC-Type", "conversion"),
+                    ("WARC-Record-ID", _uuid_urn("conversion", str(shard), doc_id)),
+                    ("WARC-Refers-To", doc_id),
+                    ("WARC-Date", warc_date),
+                ]
+                url = urls.iat[i]
+                if url is not None:
+                    headers.append(("WARC-Target-URI", str(url)))
+                headers += [
+                    ("Content-Type", "text/plain"),
+                    ("Content-Length", str(len(payload))),
+                ]
+                member = _gzip_member(_record_bytes(headers, payload))
+                current[1].write(member)
+                current[2].update(member)
+                current[5] += 1
+        close_shard()
+        if out:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                out,
+                columns=["shard", "path", "n_records", "n_bytes", "sha256"],
+            )
+
+    manifest = assigned.mapInPandas(assemble, WET_MANIFEST_SCHEMA).collect()
+    return sorted((r.asDict() for r in manifest), key=lambda d: d["shard"])
