@@ -1,0 +1,310 @@
+"""robots.txt parsing and URL permission evaluation (RFC 9309, the
+Robots Exclusion Protocol) — the crawl-pipeline stage that decides
+which fetched-or-to-be-fetched URLs a polite pipeline may keep:
+filtering a crawl frontier, auditing an existing crawl for pages that
+are now disallowed, or partitioning a corpus by crawlability.
+
+Spark-first shape (no reference twin — this extends the crawl surface
+of sources/warc.py + operators/urls.py):
+
+* `robots_groups_col` parses one robots.txt body into its RFC 9309
+  group structure with ONE array fold over the lines — consecutive
+  User-agent lines open a group, Allow/Disallow lines close it, a
+  User-agent line after rules starts the next group. Pure
+  expressions, zero Python, zero shuffle.
+* `robots_rules` explodes the groups of a (host, robots_txt) corpus
+  into one row per (host, agent, allow, path) rule, with the
+  pattern's regex translation and a no-wildcard fast-path flag
+  precomputed once per RULE (rules are ~tens per host; URLs are
+  billions — per-rule work amortizes to zero).
+* `robots_allowed` evaluates a URL frame against the rules for one
+  crawler product token: RFC 9309 group selection (the groups naming
+  the agent, merged; else the '*' groups), then longest-match wins
+  with Allow beating Disallow on ties (§2.2.2). The rules aggregate
+  to ONE array per host (a tiny frame), broadcast-join onto the URL
+  frame, and the verdict is a per-row fold over that array — the URL
+  side never shuffles, the exact shape of urls.per_domain_cap's
+  broadcast legs.
+
+Pattern semantics implemented per RFC 9309 §2.2.3: '*' matches any
+octet sequence, '$' at pattern end anchors the match, everything else
+is a literal prefix match against path + '?' + query. An empty
+Allow/Disallow value is a no-op line (the spec's explicit example),
+not a match-everything rule. Rules appearing before any User-agent
+line belong to no group and are dropped. Matching is
+case-SENSITIVE on paths (URLs are), case-INSENSITIVE on agent
+product tokens (§2.2.1). Crawl-delay / Sitemap are not rule lines;
+`robots_sitemaps` surfaces Sitemap URLs separately.
+
+Out of scope, documented: percent-encoding normalization of rule
+paths vs URL paths (compare pre-normalized with urls.normalize_url
+upstream if needed), and the 500 KiB parse cap (§2.4 allows either;
+callers truncate upstream).
+
+Verification (tests/test_robots.py): the RFC 9309 §2.2.2 group
+examples, §5.1-style longest-match/tie tables, wildcard + anchor
+cases against a from-scratch Python reference evaluator, and the
+group-structure fold against hand-stated expected groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_GROUPS_T = (
+    "array<struct<agents:array<string>,"
+    "rules:array<struct<allow:boolean,path:string>>,open:boolean>>"
+)
+_RULES_T = "array<struct<allow:boolean,path:string>>"
+
+
+def robots_groups_col(text: Column | str) -> Column:
+    """One robots.txt body -> array<struct<agents, rules, open>> per
+    the RFC 9309 grouping rules, via a single line fold. Comments
+    (#...) strip; unknown keys skip; keys are case-insensitive."""
+    t = F.col(text) if isinstance(text, str) else text
+    lines = F.split(t, "\n")
+
+    def step(acc: Column, raw: Column) -> Column:
+        line = F.trim(F.regexp_replace(raw, "#.*$", ""))
+        key = F.lower(F.regexp_extract(line, r"^([A-Za-z-]+)\s*:", 1))
+        val = F.trim(F.regexp_extract(line, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+        n = F.size(acc)
+        last = F.element_at(acc, -1)
+        head = F.slice(acc, 1, F.greatest(n - 1, F.lit(0)))
+
+        new_group = F.struct(
+            F.array(F.lower(val)).alias("agents"),
+            F.array().cast(_RULES_T).alias("rules"),
+            F.lit(True).alias("open"),
+        )
+        widened = F.struct(
+            F.concat(last["agents"], F.array(F.lower(val))).alias("agents"),
+            last["rules"].alias("rules"),
+            last["open"].alias("open"),
+        )
+        with_rule = F.struct(
+            last["agents"].alias("agents"),
+            F.concat(
+                last["rules"],
+                F.array(
+                    F.struct(
+                        (key == "allow").alias("allow"), val.alias("path")
+                    )
+                ),
+            ).alias("rules"),
+            F.lit(False).alias("open"),
+        )
+        return (
+            F.when(
+                (key == "user-agent") & (val != ""),
+                F.when(
+                    (n == 0) | ~last["open"],
+                    F.concat(acc, F.array(new_group)),
+                ).otherwise(F.concat(head, F.array(widened))),
+            )
+            .when(
+                key.isin("allow", "disallow") & (n > 0) & (val != ""),
+                F.concat(head, F.array(with_rule)),
+            )
+            .when(
+                # an EMPTY Allow/Disallow still closes the group (a
+                # User-agent line after it starts a new group) but
+                # contributes no rule — the spec's no-op line
+                key.isin("allow", "disallow") & (n > 0),
+                F.concat(
+                    head,
+                    F.array(
+                        F.struct(
+                            last["agents"].alias("agents"),
+                            last["rules"].alias("rules"),
+                            F.lit(False).alias("open"),
+                        )
+                    ),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    return F.aggregate(lines, F.array().cast(_GROUPS_T), step)
+
+
+def _pattern_regex(path: Column) -> Column:
+    """Robots path pattern -> anchored Java regex: escape regex
+    specials (except '*'), '*' -> '.*', a TRAILING '$' (escaped to
+    \\$ by the first pass) back to a real end anchor, then '^'-prefix
+    — a pattern without '$' stays a prefix match because the regex is
+    only left-anchored."""
+    esc = F.regexp_replace(path, r"([\\.\[\]{}()+\-?^$|])", r"\\$1")
+    wild = F.regexp_replace(esc, r"\*", ".*")
+    anchored = F.regexp_replace(wild, r"\\\$$", r"\$")
+    return F.concat(F.lit("^"), anchored)
+
+
+def robots_rules(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, agent, allow, path, plen, regex, literal) — one row per
+    (group agent x rule) across a robots corpus. `plen` is the RFC
+    specificity (octet length of the pattern), `literal` flags the
+    wildcard-free fast path (prefix compare instead of per-row regex),
+    `regex` the translated pattern for the rest."""
+    g = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(robots_groups_col(text_col)).alias("_g"),
+    ).select("host", F.explode(F.col("_g.agents")).alias("agent"), F.col("_g.rules").alias("_rules"))
+    r = g.select(
+        "host", "agent", F.explode("_rules").alias("_r")
+    ).select(
+        "host",
+        "agent",
+        F.col("_r.allow").alias("allow"),
+        F.col("_r.path").alias("path"),
+        F.length("_r.path").alias("plen"),
+        _pattern_regex(F.col("_r.path")).alias("regex"),
+        (~F.col("_r.path").contains("*") & ~F.col("_r.path").contains("$")).alias(
+            "literal"
+        ),
+    )
+    return r
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, sitemap): Sitemap lines are group-independent (§2.2.4
+    'other records'), so this is a stateless extract-all."""
+    t = F.col(text_col)
+    return robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                t, F.lit(r"(?im)^\s*sitemap\s*:\s*(\S+)"), 1
+            )
+        ).alias("sitemap"),
+    )
+
+
+def sitemap_urls(
+    sitemaps: DataFrame,
+    xml_col: str = "xml",
+    src_col: str | None = None,
+) -> DataFrame:
+    """Sitemap XML (sitemaps.org protocol) -> one row per entry:
+    (kind, loc, lastmod) where kind is 'url' for a urlset entry or
+    'sitemap' for a sitemapindex entry (feed those back through a
+    fetch + this parser to walk the index). Regex extraction over the
+    two-level element structure — the protocol's schema is flat
+    enough that <url>/<sitemap> blocks with inner <loc>/<lastmod>
+    cover real-world files; pure expressions, one Generate, zero
+    shuffle. `src_col` (e.g. the sitemap's own URL) is carried
+    through when given."""
+    x = F.col(xml_col)
+    blocks = F.regexp_extract_all(
+        x, F.lit(r"(?is)<(url|sitemap)\b[^>]*>(.*?)</\1\s*>"), 0
+    )
+    entry = F.explode(blocks).alias("_e")
+    e = F.col("_e")
+    carry = [F.col(src_col)] if src_col else []
+    return sitemaps.select(*carry, entry).select(
+        *carry,
+        F.lower(
+            F.regexp_extract(e, r"(?is)^<(url|sitemap)\b", 1)
+        ).alias("kind"),
+        F.trim(
+            F.regexp_extract(e, r"(?is)<loc\s*>\s*(.*?)\s*</loc\s*>", 1)
+        ).alias("loc"),
+        F.nullif(
+            F.trim(
+                F.regexp_extract(
+                    e, r"(?is)<lastmod\s*>\s*(.*?)\s*</lastmod\s*>", 1
+                )
+            ),
+            F.lit(""),
+        ).alias("lastmod"),
+    ).filter(F.col("loc") != "")
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    agent: str,
+    url_col: str = "url",
+) -> DataFrame:
+    """`urls` plus a boolean `robots_allowed` column for one crawler
+    product token: the RFC 9309 verdict of the URL's host's rules.
+
+    Group selection (§2.2.1): all rules whose agent equals the token
+    (case-insensitive, merged across groups) when any exist for the
+    host, else the '*' rules; a host with no robots.txt (or no
+    applicable group, or only no-op lines) allows everything.
+
+    Evaluation (§2.2.2): among matching rules the LONGEST pattern
+    wins; on a length tie Allow wins. Matching target is path +
+    '?query' (fragments are not sent to servers). The chosen rules
+    aggregate to one array per host and broadcast onto the URL frame;
+    the verdict is a per-row fold — zero shuffle on the URL side,
+    per-row regex only for rules that actually contain wildcards."""
+    agent_l = agent.lower()
+    spec = rules.filter(F.col("agent") == agent_l)
+    spec_hosts = spec.select("host").distinct()
+    fallback = rules.filter(F.col("agent") == "*").join(
+        F.broadcast(spec_hosts), "host", "left_anti"
+    )
+    chosen = spec.unionByName(fallback)
+    per_host = chosen.groupBy("host").agg(
+        F.collect_list(
+            F.struct("allow", "path", "plen", "regex", "literal")
+        ).alias("_rules")
+    )
+
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    path = F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
+    query = F.regexp_extract(u, r"^[^#]*?(\?[^#]*)", 1)
+    target = F.concat(
+        F.when(path == "", F.lit("/")).otherwise(path), query
+    )
+
+    with_rules = urls.withColumn("_rh", host).join(
+        F.broadcast(per_host.withColumnRenamed("host", "_rh")),
+        "_rh",
+        "left",
+    )
+
+    def best(rules_arr: Column, tgt: Column) -> Column:
+        def step(acc: Column, r: Column) -> Column:
+            matched = F.when(
+                r["literal"], tgt.startswith(r["path"])
+            ).otherwise(F.regexp_like(tgt, r["regex"]))
+            better = (r["plen"] > acc["plen"]) | (
+                (r["plen"] == acc["plen"]) & r["allow"] & ~acc["allow"]
+            )
+            return F.when(
+                matched & better,
+                F.struct(
+                    r["plen"].cast("int").alias("plen"),
+                    r["allow"].alias("allow"),
+                ),
+            ).otherwise(acc)
+
+        seeded = F.struct(
+            F.lit(-1).alias("plen"), F.lit(True).alias("allow")
+        )
+        return F.aggregate(rules_arr, seeded, step)["allow"]
+
+    # coalesce NULL rule arrays (host without robots) to empty = allow
+    allowed = best(
+        F.coalesce(
+            F.col("_rules"),
+            F.array().cast(
+                "array<struct<allow:boolean,path:string,plen:int,"
+                "regex:string,literal:boolean>>"
+            ),
+        ),
+        target,
+    )
+    return with_rules.withColumn("robots_allowed", allowed).drop(
+        "_rh", "_rules"
+    )

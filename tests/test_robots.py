@@ -1,0 +1,278 @@
+"""robots.txt (operators/robots.py): RFC 9309 group structure,
+longest-match/tie evaluation, wildcard + '$' anchor semantics — all
+checked against a FROM-SCRATCH Python reference evaluator written
+directly from the RFC text (not urllib.robotparser, which implements
+the pre-RFC first-match rule and no wildcards), plus hand-stated
+expected values for the RFC's own examples."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import robots as R
+
+
+# ---------------------------------------------------------------------------
+# independent reference implementation (RFC 9309, written from spec)
+# ---------------------------------------------------------------------------
+
+def _ref_groups(text: str):
+    groups, open_group = [], False
+    for raw in text.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        m = re.match(r"^([A-Za-z-]+)\s*:\s*(.*)$", line)
+        if not m:
+            continue
+        key, val = m.group(1).lower(), m.group(2).strip()
+        if key == "user-agent" and val:
+            if not groups or not open_group:
+                groups.append({"agents": [val.lower()], "rules": []})
+                open_group = True
+            else:
+                groups[-1]["agents"].append(val.lower())
+        elif key in ("allow", "disallow"):
+            if groups:
+                if val:
+                    groups[-1]["rules"].append((key == "allow", val))
+                open_group = False
+    return groups
+
+
+def _ref_match(pattern: str, target: str) -> bool:
+    rx = "^" + re.escape(pattern).replace(r"\*", ".*")
+    if rx.endswith(r"\$"):
+        rx = rx[:-2] + "$"
+    return re.match(rx, target) is not None
+
+
+def _ref_allowed(text: str, agent: str, url: str) -> bool:
+    groups = _ref_groups(text)
+    agent = agent.lower()
+    rules = [r for g in groups if agent in g["agents"] for r in g["rules"]]
+    if not any(agent in g["agents"] for g in groups):
+        rules = [r for g in groups if "*" in g["agents"] for r in g["rules"]]
+    m = re.match(r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)(\?[^#]*)?", url)
+    target = (m.group(1) or "/") + (m.group(2) or "")
+    best = None  # (plen, allow)
+    for allow, pattern in rules:
+        if _ref_match(pattern, target):
+            cand = (len(pattern), allow)
+            if best is None or cand[0] > best[0] or (
+                cand[0] == best[0] and allow and not best[1]
+            ):
+                best = cand
+    return True if best is None else best[1]
+
+
+# ---------------------------------------------------------------------------
+# fixtures
+# ---------------------------------------------------------------------------
+
+RFC_GROUPS_TXT = """\
+user-agent: a
+disallow: /c
+
+user-agent: b
+disallow: /d
+
+user-agent: e
+user-agent: f
+disallow: /g
+
+user-agent: h
+"""
+
+FOO_TXT = """\
+# comments everywhere  # nested
+User-Agent: FooBot
+Disallow: /private/
+Allow: /private/public.html
+Disallow: /*.php
+Allow: /cgi/*.php$
+Disallow: /tmp
+Allow:
+Disallow:
+
+User-agent: *
+Disallow: /
+Allow: /open/
+"""
+
+URLS = [
+    "http://x.example/",
+    "http://x.example/private/",
+    "http://x.example/private/public.html",
+    "http://x.example/private/secret.html",
+    "http://x.example/a/page.php",
+    "http://x.example/a/page.php?x=1",
+    "http://x.example/cgi/run.php",
+    "http://x.example/cgi/run.php?q=1",  # $ anchor: query breaks it
+    "http://x.example/tmp",
+    "http://x.example/tmpdir/file",  # prefix match: /tmp matches
+    "http://x.example/open/page",
+    "http://x.example",  # empty path -> '/'
+]
+
+
+def _rules_df(spark, pairs):
+    df = spark.createDataFrame(pairs, "host string, robots_txt string")
+    return R.robots_rules(df)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def test_group_structure_rfc_examples(spark):
+    """RFC 9309 §2.2.1-style grouping: two-agent groups share rules, a
+    rule line closes the group, a trailing agent-only group is empty —
+    and the Spark fold agrees with the reference parser exactly."""
+    df = spark.createDataFrame(
+        [("h.example", RFC_GROUPS_TXT)], "host string, robots_txt string"
+    )
+    got = df.select(
+        R.robots_groups_col("robots_txt").alias("g")
+    ).collect()[0]["g"]
+    as_tuples = [
+        (list(g["agents"]), [(r["allow"], r["path"]) for r in g["rules"]])
+        for g in got
+    ]
+    assert as_tuples == [
+        (["a"], [(False, "/c")]),
+        (["b"], [(False, "/d")]),
+        (["e", "f"], [(False, "/g")]),
+        (["h"], []),
+    ]
+    ref = _ref_groups(RFC_GROUPS_TXT)
+    assert as_tuples == [
+        (g["agents"], g["rules"]) for g in ref
+    ]
+
+
+def test_allowed_matches_reference(spark):
+    """Full differential: wildcard, anchor, tie (longest-match), no-op
+    empty rules, agent-specific vs '*' fallback, missing robots."""
+    rules = _rules_df(
+        spark,
+        [("x.example", FOO_TXT), ("y.example", "User-agent: *\nDisallow: /")],
+    )
+    cases = [(u, "FooBot") for u in URLS] + [
+        (u, "BarBot") for u in URLS
+    ] + [
+        ("http://y.example/anything", "FooBot"),
+        ("http://norobots.example/free", "FooBot"),
+    ]
+    for agent in ("FooBot", "BarBot"):
+        urls = spark.createDataFrame(
+            [(u,) for u, a in cases if a == agent], "url string"
+        )
+        got = {
+            r["url"]: r["robots_allowed"]
+            for r in R.robots_allowed(urls, rules, agent).collect()
+        }
+        for u, a in cases:
+            if a != agent:
+                continue
+            txt = (
+                FOO_TXT
+                if "x.example" in u
+                else ("User-agent: *\nDisallow: /" if "y.example" in u else "")
+            )
+            assert got[u] == _ref_allowed(txt, agent, u), (agent, u)
+
+
+def test_specific_cases_pinned(spark):
+    """Belt-and-braces: key verdicts stated by hand so a shared bug in
+    both implementations can't hide."""
+    rules = _rules_df(spark, [("x.example", FOO_TXT)])
+    urls = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in R.robots_allowed(urls, rules, "FooBot").collect()
+    }
+    assert got["http://x.example/private/public.html"] is True  # longest allow
+    assert got["http://x.example/private/secret.html"] is False
+    assert got["http://x.example/a/page.php"] is False  # /*.php wildcard
+    assert got["http://x.example/cgi/run.php"] is True  # anchored allow wins
+    assert got["http://x.example/cgi/run.php?q=1"] is False  # $ broken by query
+    assert got["http://x.example/tmpdir/file"] is False  # prefix semantics
+    assert got["http://x.example/"] is True  # no matching rule
+    assert got["http://x.example"] is True  # empty path -> '/'
+
+
+def test_sitemaps_and_plan_shape(spark):
+    rules_src = spark.createDataFrame(
+        [
+            (
+                "x.example",
+                "Sitemap: https://x.example/sm.xml\nUser-agent: *\n"
+                "Disallow: /\nsitemap: https://x.example/sm2.xml",
+            )
+        ],
+        "host string, robots_txt string",
+    )
+    sm = {
+        r["sitemap"]
+        for r in R.robots_sitemaps(rules_src).collect()
+    }
+    assert sm == {"https://x.example/sm.xml", "https://x.example/sm2.xml"}
+
+    # scale pin: the URL side of robots_allowed must not shuffle — the
+    # only exchanges feed the broadcast (tiny rules side)
+    rules = R.robots_rules(rules_src)
+    urls = spark.range(100).select(
+        F.concat(F.lit("http://x.example/p"), F.col("id")).alias("url")
+    )
+    plan = (
+        R.robots_allowed(urls, rules, "FooBot")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rules_before_any_group_dropped(spark):
+    rules = _rules_df(spark, [("x.example", "Disallow: /\nUser-agent: *\nDisallow: /b")])
+    got = [(r["agent"], r["allow"], r["path"]) for r in rules.collect()]
+    assert got == [("*", False, "/b")]
+
+
+SITEMAP_XML = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>https://x.example/page1</loc>
+    <lastmod>2026-01-01</lastmod>
+    <changefreq>daily</changefreq>
+  </url>
+  <url><loc> https://x.example/page2 </loc></url>
+</urlset>
+"""
+
+SITEMAP_INDEX = """<sitemapindex>
+  <sitemap><loc>https://x.example/sm-a.xml</loc>
+  <lastmod>2026-02-02T00:00:00Z</lastmod></sitemap>
+  <SITEMAP><LOC>https://x.example/sm-b.xml</LOC></SITEMAP>
+</sitemapindex>
+"""
+
+
+def test_sitemap_urls(spark):
+    df = spark.createDataFrame(
+        [("https://x.example/sm.xml", SITEMAP_XML),
+         ("https://x.example/smi.xml", SITEMAP_INDEX)],
+        "src string, xml string",
+    )
+    got = {
+        (r["src"], r["kind"], r["loc"], r["lastmod"])
+        for r in R.sitemap_urls(df, "xml", src_col="src").collect()
+    }
+    assert got == {
+        ("https://x.example/sm.xml", "url", "https://x.example/page1", "2026-01-01"),
+        ("https://x.example/sm.xml", "url", "https://x.example/page2", None),
+        ("https://x.example/smi.xml", "sitemap", "https://x.example/sm-a.xml",
+         "2026-02-02T00:00:00Z"),
+        ("https://x.example/smi.xml", "sitemap", "https://x.example/sm-b.xml", None),
+    }
