@@ -1826,16 +1826,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m.method,
            CASE WHEN m.method = 'pq' THEN (SELECT COUNT(*) FROM topk_l2)
+                WHEN m.method = 'icp' THEN (SELECT COUNT(*) FROM e)
                 ELSE (SELECT COUNT(*) FROM topk) END AS exact_k_rows,
            1 AS recall_ok, 1 AS sim_parity_ok
     FROM (SELECT 'ivf' AS method UNION ALL SELECT 'lsh'
-          UNION ALL SELECT 'pq') m
+          UNION ALL SELECT 'pq' UNION ALL SELECT 'icp') m
     ORDER BY method
     """,
     "ext: similarity search scale paths (LSH-bucketed + IVF/k-means + PQ/ADC)",
 )
 def ann_cosine_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import (
+        cosine,
         cosine_topk_bruteforce,
         cosine_topk_ivf,
         cosine_topk_lsh,
@@ -1939,7 +1941,55 @@ def ann_cosine_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim_parity_ok"),
         )
     )
-    return cosine_rows.unionByName(pq_row).orderBy("method")
+    # ICP leg (r9, VERDICT r8 item 6): in-context-pretraining ordering
+    # (operators/icp.py) gate-folded so the driver's table can see it
+    # go red. k-means layouts are not SQL-replicable, so the row
+    # carries the ordering-QUALITY invariant the paper's objective
+    # uses: mean cosine to the OWN centroid (the signal documents are
+    # ordered by) must beat a hash-random centroid assignment of the
+    # same corpus — robust to fit variation, red if assignment or the
+    # centrality signal breaks. exact_k_rows = corpus size (no doc
+    # dropped); sim_parity_ok = every row has a valid cluster id and a
+    # centroid_sim in [-1, 1].
+    from ..operators.semdedup import assign_clusters, fit_centroids
+
+    k_icp = 8
+    cents = fit_centroids(emb, n_clusters=k_icp, vec_col="embedding", seed=7)
+    # assign_clusters IS icp_order's body (icp.py renames cluster ->
+    # icp_cluster, centroid_sim -> icp_sim and drops vec/norm); using
+    # it directly keeps the fold per-row + one aggregate — no id-join,
+    # matching the module's own zero-shuffle assignment claim
+    order = assign_clusters(emb, cents, vec_col="embedding", id_col="vec_id")
+    dim = len(cents[0])
+    carr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    h = F.pmod(F.xxhash64(F.col("vec_id"), F.lit(9)), F.lit(k_icp))
+    rand_centroid = F.element_at(carr, (h + 1).cast("int"))
+    icp_agg = order.agg(
+        F.count("*").alias("n"),
+        F.avg("centroid_sim").alias("own_sim"),
+        F.avg(cosine(F.col("vec"), rand_centroid, dim)).alias("rand_sim"),
+        F.sum(
+            F.when(
+                F.col("cluster").isNotNull()
+                & F.col("cluster").between(0, k_icp - 1)
+                & F.col("centroid_sim").between(-1.0000001, 1.0000001),
+                0,
+            ).otherwise(1)
+        ).alias("n_bad"),
+    )
+    icp_row = icp_agg.select(
+        F.lit("icp").alias("method"),
+        F.col("n").alias("exact_k_rows"),
+        F.when(F.col("own_sim") >= F.col("rand_sim"), 1)
+        .otherwise(0)
+        .alias("recall_ok"),
+        F.when(F.col("n_bad") == 0, 1).otherwise(0).alias("sim_parity_ok"),
+    )
+    return (
+        cosine_rows.unionByName(pq_row).unionByName(icp_row).orderBy("method")
+    )
 
 
 @register(
@@ -3236,6 +3286,31 @@ def _winnow_sig_sql(k: int, w: int) -> str:
     )
 
 
+def _winnow_pos_sig_sql(k: int, w: int) -> str:
+    """DuckDB twin of the POSITIONAL winnow selection (r9, VERDICT r8
+    item 7): md5 over the sorted distinct 'fp@pos' pairs, where pos is
+    the window minimum's RIGHTMOST occurrence (robust winnowing §4):
+    pos = q + w - position of the min in the REVERSED window slice.
+    The window slice is bound once via a one-element list_transform
+    (the same let-binding idiom the Spark side uses) — inlining it
+    would recompute the slice three times per window."""
+    pick = (
+        f"list_transform([list_slice(grams, q, q + {w - 1})], s ->"
+        f" list_min(s)::VARCHAR || '@' ||"
+        f" (q + {w} - list_position(list_reverse(s), list_min(s)))::VARCHAR"
+        f")[1]"
+    )
+    pairs = (
+        f"list_transform(range(1, greatest(len(grams) - {w - 1}, 0) + 1),"
+        f" q -> {pick})"
+    )
+    return (
+        f"CASE WHEN text IS NOT NULL AND len(lt) >= {k + w - 1}"
+        f" THEN md5(array_to_string(list_sort(list_distinct({pairs})), ':'))"
+        f" ELSE md5('') END AS winnow_pos_sig"
+    )
+
+
 @register(
     "text_pattern_scan",
     # url_norm / url_domain are the r6 URL-curation family folded into
@@ -3297,6 +3372,14 @@ def _winnow_sig_sql(k: int, w: int) -> str:
     + ",\n      "
     + _winnow_sig_sql(5, 4)
     + ",\n      "
+    + _winnow_pos_sig_sql(5, 4)
+    + """,
+      CASE CAST(doc_id % 3 AS INT)
+        WHEN 0 THEN 'a,b|d:/x;a:/x/y#*|d:/'
+        WHEN 1 THEN 'z|d:/p'
+        ELSE 'q|d:/c#r|d:/d'
+      END AS robots_groups,
+      """
     + _html_sig_sql()
     + "\n    FROM wbase\n    ",
     "ext: PII scan + URL + content-shape + sections + script + winnow + html folds",
@@ -3323,6 +3406,10 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     * winnowing: winnow.winnow_cols (portable md5 mode) — winnow_sig
       is the md5 of the sorted distinct fingerprint set, so the
       oracle pins the exact MOSS selection per document;
+    * positional winnowing (r9): winnow_pos_sig pins the (fp, pos)
+      pairs of winnow.winnow_cols_positional — the rightmost-minimum
+      position rule gets the same differential treatment as the
+      value-only set (previously pytest-only);
     * html extraction (operators/html.py): html_sig is the md5 of
       html_to_text_col over a page synthesized from (source, text)
       covering every chain stage; the oracle runs the SAME chain as
@@ -3332,7 +3419,8 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.segments import content_shape_cols, sections_col
     from ..operators.text import pattern_scan, script_profile_cols
     from ..operators.urls import normalize_url, registrable_domain, url_parts
-    from ..operators.winnow import winnow_cols
+    from ..operators.robots import robots_groups_col
+    from ..operators.winnow import winnow_cols, winnow_cols_positional
 
     mod = (F.col("doc_id") % 3).cast("int")
     host = (
@@ -3410,6 +3498,69 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ":",
         )
     )
+    # robots.txt group-parser fold (r9): three synthesized robots
+    # bodies rotate by doc_id — multi-agent group + '*' fallback,
+    # orphan-rule drop + empty no-op line, comment stripping + group
+    # reopening. The REAL robots_groups_col fold parses them in-plan
+    # and renders canonically; the oracle states the expected render
+    # from the construction rules (the url_norm fold convention). The
+    # matcher side has a from-scratch reference differential in
+    # tests/test_robots.py.
+    rtxt = (
+        F.when(
+            (F.col("doc_id") % 3).cast("int") == 0,
+            F.lit(
+                "User-agent: a\nUser-agent: b\nDisallow: /x\n"
+                "Allow: /x/y\n\nUser-agent: *\nDisallow: /"
+            ),
+        )
+        .when(
+            (F.col("doc_id") % 3).cast("int") == 1,
+            F.lit("Disallow: /early\nUser-agent: z\nAllow:\nDisallow: /p"),
+        )
+        .otherwise(
+            F.lit(
+                "User-agent: q\n# comment\nDisallow: /c # inline\n"
+                "User-agent: r\nDisallow: /d"
+            )
+        )
+    )
+    robots_groups = F.array_join(
+        F.transform(
+            robots_groups_col(rtxt),
+            lambda g: F.concat(
+                F.array_join(g["agents"], ","),
+                F.lit("|"),
+                F.array_join(
+                    F.transform(
+                        g["rules"],
+                        lambda r: F.concat(
+                            F.when(r["allow"], F.lit("a")).otherwise(
+                                F.lit("d")
+                            ),
+                            F.lit(":"),
+                            r["path"],
+                        ),
+                    ),
+                    ";",
+                ),
+            ),
+        ),
+        "#",
+    )
+    winnow_pos_sig = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    winnow_cols_positional(F.col("text"), 5, 4, portable=True),
+                    lambda s: F.concat_ws(
+                        "@", s["fp"].cast("string"), s["pos"].cast("string")
+                    ),
+                )
+            ),
+            ":",
+        )
+    )
     return pattern_scan(
         _t(spark, sf_dir, "documents"),
         extra={
@@ -3427,6 +3578,8 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "other_frac": sp["other_frac"],
             "main_script": sp["main_script"],
             "winnow_sig": winnow_sig,
+            "winnow_pos_sig": winnow_pos_sig,
+            "robots_groups": robots_groups,
             "html_sig": F.md5(html_to_text_col(page)),
         },
     )

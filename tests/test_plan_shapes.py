@@ -64,7 +64,11 @@ PINNED = {
     # all keyed on ids over the 50-pair candidate frame, never the
     # corpus. The base top-k + MaxSim legs are unchanged.
     "ann_cosine_topk": (10, 19, 0),
-    "ann_cosine_topk_approx": (24, 35, 4),  # 4-method self-verifier + 2 exact twins
+    # r9: +1 exchange = the ICP gate leg's single two-phase aggregate
+    # (avg own-centroid vs hash-random-centroid sim); the assignment
+    # itself is per-row against centroid literals — no id-join, no
+    # corpus shuffle (assign_clusters used directly).
+    "ann_cosine_topk_approx": (25, 35, 4),  # 5-method self-verifier + 2 exact twins
     # r5: the SemDeDup self-verifier runs the full cluster->pair->
     # dedup->recheck pipeline in-plan (cluster-key joins + one-row
     # aggs); the base exact-pair leg itself is still shuffle-free.
