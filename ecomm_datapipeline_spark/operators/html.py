@@ -258,6 +258,27 @@ _HREF_PATTERNS = (
 )
 
 
+_BASE_PATTERNS = (
+    "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"",
+    "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*'([^']*)'",
+    "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*([^\\s\"'>]+)",
+)
+
+
+def base_href_col(col: Column | str) -> Column:
+    """First <base href> value in the document (double-quoted, then
+    single-quoted, then bare), or NULL when absent. Per the HTML spec
+    only the FIRST base element counts, and its href may itself be
+    relative (resolved against the document URL by the caller)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(c, p, 1), F.lit(""))
+            for p in _BASE_PATTERNS
+        ]
+    )
+
+
 def extract_links_col(
     col: Column | str, base: Column | str | None = None
 ) -> Column:
@@ -279,7 +300,27 @@ def extract_links_col(
         from .urls import resolve_url_col
 
         b = F.col(base) if isinstance(base, str) else base
-        all_hrefs = F.transform(all_hrefs, lambda u: resolve_url_col(b, u))
+        # HTML spec: a <base href> overrides the document URL as the
+        # base for relative references; it may itself be relative, so
+        # it first resolves against the document URL. The effective
+        # base MUST be bound as a lambda variable before the per-href
+        # transform: the per-href resolver references its base ~6
+        # times, and inlining the (itself resolver-sized) effective-
+        # base expression at each reference multiplies the expression
+        # tree ~40x per href — measured as a driver OOM at plan build
+        # (the winnow _kgram_hashes binding trap, one level up).
+        tag = base_href_col(c)
+        eb = F.when(tag.isNotNull(), resolve_url_col(b, tag)).otherwise(b)
+        hrefs = all_hrefs
+        all_hrefs = F.element_at(
+            F.transform(
+                F.array(eb),
+                lambda ebv: F.transform(
+                    hrefs, lambda u: resolve_url_col(ebv, u)
+                ),
+            ),
+            1,
+        )
     return F.filter(all_hrefs, lambda u: u.rlike("(?i)^https?://"))
 
 

@@ -175,19 +175,39 @@ def _split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
 
 
 _CHARSET_RE = re.compile(r'charset\s*=\s*["\']?([A-Za-z0-9._-]+)', re.I)
+# HTML <meta charset="..."> / <meta http-equiv=Content-Type
+# content="...; charset=..."> — the in-document label servers often
+# omit from the HTTP header. Bytes-level regex: it must run BEFORE
+# decoding (that is the point), and both forms are ASCII in practice
+# within the prologue of any legacy-encoded page.
+_META_CHARSET_RE = re.compile(
+    rb'<meta[^>]{0,200}?charset\s*=\s*["\']?([A-Za-z0-9._-]+)', re.I
+)
+_META_SNIFF_BYTES = 2048  # the HTML spec's own prescan window is 1024
 
 
 def _decode_body(body: bytes, ctype: str | None, detect_charset: bool) -> str:
     """Payload bytes -> str. Default: utf-8 with replacement (the WET
     convention). With detect_charset, an explicit `charset=` label in
-    the Content-Type wins when Python knows the codec; decode errors
-    still replace (a mislabeled page must not fail the task), and an
-    unknown label falls back to the default path."""
-    if detect_charset and ctype:
-        m = _CHARSET_RE.search(ctype)
-        if m:
+    the Content-Type wins; when the header has none, a <meta charset>
+    in the document's first 2 KiB is sniffed BYTES-side (the HTML
+    prescan convention — servers routinely omit the header charset
+    that the page itself declares). Decode errors still replace (a
+    mislabeled page must not fail the task), and an unknown label
+    falls back to the default path."""
+    if detect_charset:
+        label = None
+        if ctype:
+            m = _CHARSET_RE.search(ctype)
+            if m:
+                label = m.group(1)
+        if label is None:
+            m = _META_CHARSET_RE.search(body[:_META_SNIFF_BYTES])
+            if m:
+                label = m.group(1).decode("ascii", errors="replace")
+        if label is not None:
             try:
-                codec = codecs.lookup(m.group(1)).name
+                codec = codecs.lookup(label).name
             except LookupError:
                 codec = None
             if codec is not None:

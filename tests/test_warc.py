@@ -323,6 +323,50 @@ def test_charset_redecode_opt_in(spark, tmp_path):
     assert df_rows["<urn:sjis>"] == sjis
 
 
+def test_meta_charset_sniff(spark):
+    """When the HTTP header carries no charset, detect_charset sniffs
+    the document's own <meta charset> (bytes-side, first 2 KiB) —
+    both the HTML5 and the http-equiv legacy form; a header label
+    still wins over the meta tag."""
+    text = "snörkel café"
+    html5 = (
+        '<html><head><meta charset="iso-8859-1"></head><body>'
+        + text + "</body></html>"
+    ).encode("iso-8859-1")
+    legacy = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=iso-8859-1"></head><body>'
+        + text + "</body></html>"
+    ).encode("iso-8859-1")
+    # meta SAYS latin-1 but header says utf-8: header must win
+    conflict = (
+        '<html><head><meta charset="iso-8859-1"></head><body>'
+        + text + "</body></html>"
+    ).encode("utf-8")
+    archive = (
+        _record("response", _http_response(html5),
+                rec_id="<urn:html5>")
+        + _record("response", _http_response(legacy),
+                  rec_id="<urn:legacy>")
+        + _record(
+            "response",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            + f"Content-Length: {len(conflict)}\r\n\r\n".encode() + conflict,
+            rec_id="<urn:conflict>",
+        )
+    )
+    rows = {
+        r[1]: r[6]
+        for r in W.parse_warc_bytes("f.warc", archive, detect_charset=True)
+    }
+    assert text in rows["<urn:html5>"]
+    assert text in rows["<urn:legacy>"]
+    assert text in rows["<urn:conflict>"]
+    # default mode: unchanged lossy utf-8 (latin-1 bytes mojibake)
+    plain = {r[1]: r[6] for r in W.parse_warc_bytes("f.warc", archive)}
+    assert text not in plain["<urn:html5>"]
+
+
 def test_mixed_case_content_type(spark, tmp_path):
     """RFC 9110: Content-Type is case-insensitive — 'Text/HTML' pages
     must survive the read_warc_documents filter."""
