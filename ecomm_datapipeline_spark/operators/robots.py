@@ -36,10 +36,13 @@ case-SENSITIVE on paths (URLs are), case-INSENSITIVE on agent
 product tokens (§2.2.1). Crawl-delay / Sitemap are not rule lines;
 `robots_sitemaps` surfaces Sitemap URLs separately.
 
-Out of scope, documented: percent-encoding normalization of rule
-paths vs URL paths (compare pre-normalized with urls.normalize_url
-upstream if needed), and the 500 KiB parse cap (§2.4 allows either;
-callers truncate upstream).
+Percent-encoding (§2.2.2): rule patterns and URL targets are both
+canonicalized with urls.pct_normalize_col (unreserved escapes decode,
+other escapes' hex uppercases) before comparison, so /%7Edocs and
+/~docs match either way round; percent-ENCODING raw non-ASCII or
+reserved octets (the other canonical direction) is out of scope —
+byte-literal comparison applies there, as is the 500 KiB parse cap
+(§2.4 allows either; callers truncate upstream).
 
 Verification (tests/test_robots.py): the RFC 9309 §2.2.2 group
 examples, §5.1-style longest-match/tie tables, wildcard + anchor
@@ -150,22 +153,27 @@ def robots_rules(
     specificity (octet length of the pattern), `literal` flags the
     wildcard-free fast path (prefix compare instead of per-row regex),
     `regex` the translated pattern for the rest."""
+    from .urls import pct_normalize_col
+
     g = robots.select(
         F.col(host_col).alias("host"),
         F.explode(robots_groups_col(text_col)).alias("_g"),
     ).select("host", F.explode(F.col("_g.agents")).alias("agent"), F.col("_g.rules").alias("_rules"))
+    # RFC 9309 §2.2.2 compares canonicalized paths: rule patterns are
+    # percent-normalized here (once per rule), targets in
+    # robots_allowed — so /%7Edocs and /~docs match either way round.
+    # The '*'/'$' metacharacters are untouched (not escapes).
+    path_n = pct_normalize_col(F.col("_r.path"))
     r = g.select(
         "host", "agent", F.explode("_rules").alias("_r")
     ).select(
         "host",
         "agent",
         F.col("_r.allow").alias("allow"),
-        F.col("_r.path").alias("path"),
-        F.length("_r.path").alias("plen"),
-        _pattern_regex(F.col("_r.path")).alias("regex"),
-        (~F.col("_r.path").contains("*") & ~F.col("_r.path").contains("$")).alias(
-            "literal"
-        ),
+        path_n.alias("path"),
+        F.length(path_n).alias("plen"),
+        _pattern_regex(path_n).alias("regex"),
+        (~path_n.contains("*") & ~path_n.contains("$")).alias("literal"),
     )
     return r
 
@@ -259,12 +267,15 @@ def robots_allowed(
         ).alias("_rules")
     )
 
+    from .urls import pct_normalize_col
+
     u = F.col(url_col)
     host = F.lower(F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
     path = F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     query = F.regexp_extract(u, r"^[^#]*?(\?[^#]*)", 1)
-    target = F.concat(
-        F.when(path == "", F.lit("/")).otherwise(path), query
+    # same §2.2.2 canonicalization as the rule side (robots_rules)
+    target = pct_normalize_col(
+        F.concat(F.when(path == "", F.lit("/")).otherwise(path), query)
     )
 
     with_rules = urls.withColumn("_rh", host).join(

@@ -388,3 +388,44 @@ def resolve_url_col(base: Column | str, ref: Column | str) -> Column:
     return F.when(
         (r_scheme == "") & (b_scheme == ""), F.lit("")
     ).otherwise(resolved)
+
+
+def pct_normalize_col(col: Column | str) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, the two parts
+    expressible without re-encoding: %XX escapes of UNRESERVED
+    characters (ALPHA / DIGIT / '-' / '.' / '_' / '~') decode to the
+    literal character, and every other escape's hex uppercases
+    (%7euser -> ~user, %3a -> %3A). Malformed escapes (a '%' not
+    followed by two hex digits) pass through untouched. One split +
+    one fold — pure expressions.
+
+    NOT done here (document, don't surprise): percent-ENCODING raw
+    non-ASCII or reserved octets (the other §6.2.2 direction) —
+    callers comparing against encoded-by-construction strings (e.g.
+    RFC 9309 §2.2.2 robots paths) get the common mismatches
+    (%7E vs ~, hex case) fixed and keep byte-literal comparison for
+    the rest."""
+    u = F.col(col) if isinstance(col, str) else col
+    pieces = F.split(u, "%", -1)
+
+    def step(acc: Column, piece: Column) -> Column:
+        hex2 = F.substring(piece, 1, 2)
+        valid = hex2.rlike("^[0-9A-Fa-f]{2}$")
+        ch = F.char(F.conv(hex2, 16, 10).cast("int"))
+        unreserved = ch.rlike("^[A-Za-z0-9._~-]$")
+        rest = F.substring(piece, 3, 1 << 30)
+        return (
+            F.when(valid & unreserved, F.concat(acc, ch, rest))
+            .when(
+                valid, F.concat(acc, F.lit("%"), F.upper(hex2), rest)
+            )
+            .otherwise(F.concat(acc, F.lit("%"), piece))
+        )
+
+    return F.when(u.isNull(), F.lit(None).cast("string")).otherwise(
+        F.aggregate(
+            F.slice(pieces, 2, F.greatest(F.size(pieces) - 1, F.lit(0))),
+            F.element_at(pieces, 1),
+            step,
+        )
+    )

@@ -39,7 +39,20 @@ def _ref_groups(text: str):
     return groups
 
 
+def _ref_pct_normalize(s: str) -> str:
+    """RFC 3986 §6.2.2 partial canonicalization, independently
+    implemented: decode unreserved escapes, uppercase the rest."""
+    def sub(m):
+        ch = chr(int(m.group(1), 16))
+        if re.match(r"[A-Za-z0-9._~-]", ch):
+            return ch
+        return "%" + m.group(1).upper()
+
+    return re.sub(r"%([0-9A-Fa-f]{2})", sub, s)
+
+
 def _ref_match(pattern: str, target: str) -> bool:
+    pattern = _ref_pct_normalize(pattern)
     rx = "^" + re.escape(pattern).replace(r"\*", ".*")
     if rx.endswith(r"\$"):
         rx = rx[:-2] + "$"
@@ -53,11 +66,11 @@ def _ref_allowed(text: str, agent: str, url: str) -> bool:
     if not any(agent in g["agents"] for g in groups):
         rules = [r for g in groups if "*" in g["agents"] for r in g["rules"]]
     m = re.match(r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)(\?[^#]*)?", url)
-    target = (m.group(1) or "/") + (m.group(2) or "")
+    target = _ref_pct_normalize((m.group(1) or "/") + (m.group(2) or ""))
     best = None  # (plen, allow)
     for allow, pattern in rules:
         if _ref_match(pattern, target):
-            cand = (len(pattern), allow)
+            cand = (len(_ref_pct_normalize(pattern)), allow)
             if best is None or cand[0] > best[0] or (
                 cand[0] == best[0] and allow and not best[1]
             ):
@@ -276,3 +289,33 @@ def test_sitemap_urls(spark):
          "2026-02-02T00:00:00Z"),
         ("https://x.example/smi.xml", "sitemap", "https://x.example/sm-b.xml", None),
     }
+
+
+def test_percent_encoding_normalization(spark):
+    """§2.2.2 canonicalization: %7E in a rule matches a literal ~ in
+    the URL and vice versa; hex case differences never matter; raw
+    reserved escapes (%2F) stay byte-literal."""
+    txt = (
+        "User-agent: *\n"
+        "Disallow: /%7Eadmin/\n"      # rule encoded, URLs literal
+        "Disallow: /~ops/\n"          # rule literal, URLs encoded
+        "Disallow: /a%2fb\n"          # reserved escape: literal only
+    )
+    rules = _rules_df(spark, [("x.example", txt)])
+    urls = [
+        ("http://x.example/~admin/x", False),
+        ("http://x.example/%7eadmin/x", False),
+        ("http://x.example/%7Eops/y", False),
+        ("http://x.example/~ops/y", False),
+        ("http://x.example/a%2Fb", False),   # hex case normalized
+        ("http://x.example/a/b", True),      # %2F is NOT a path slash
+        ("http://x.example/free", True),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in urls], "url string")
+    got = {
+        r["url"]: r["robots_allowed"]
+        for r in R.robots_allowed(df, rules, "AnyBot").collect()
+    }
+    for u, expect in urls:
+        assert got[u] is expect, u
+        assert got[u] == _ref_allowed(txt, "AnyBot", u), u

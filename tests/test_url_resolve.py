@@ -210,3 +210,53 @@ def test_resolver_plan_is_pure_expressions(spark):
     )
     assert "Exchange" not in plan
     assert "Python" not in plan
+
+
+def test_base_tag_overrides_document_url(spark):
+    """HTML <base href> becomes the resolution base (itself resolved
+    against the document URL when relative); only the first base
+    element counts; pages without one keep the document URL."""
+    from ecomm_datapipeline_spark.operators.html import link_edges
+
+    mk = "doc_id string, page_url string, html string"
+    df = spark.createDataFrame(
+        [
+            # absolute base tag: relative href resolves against it ->
+            # cross-host edge appears that the page URL alone would
+            # have made a self-loop
+            (
+                "p1",
+                "http://site.example/dir/page",
+                '<base href="https://other.example/sub/">'
+                '<a href="x/y">l</a>',
+            ),
+            # relative base tag: first resolves against the page URL
+            (
+                "p2",
+                "http://site.example/a/b/page",
+                '<base href="../c/"><a href="//cdn.example/z">c</a>'
+                '<a href="q.html">q</a>',
+            ),
+            # second base tag must be ignored (first wins)
+            (
+                "p3",
+                "http://site.example/p",
+                '<base href="https://first.example/">'
+                '<base href="https://second.example/">'
+                '<a href="f">l</a>',
+            ),
+        ],
+        mk,
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in link_edges(df, "html", "doc_id", base_col="page_url").collect()
+    }
+    assert got == {
+        ("p1", "other.example"),
+        ("p2", "cdn.example"),  # protocol-relative unaffected by path base
+        # p2's q.html resolves under site.example -> dst == own host is
+        # kept here because src is doc_id, not host
+        ("p2", "site.example"),
+        ("p3", "first.example"),
+    }
