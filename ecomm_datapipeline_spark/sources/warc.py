@@ -72,6 +72,11 @@ WARC_SCHEMA = T.StructType(
         T.StructField("http_status", T.IntegerType()),
         T.StructField("content_type", T.StringType()),
         T.StructField("payload", T.StringType()),
+        # WARC-Refers-To (appended last so positional consumers keep
+        # their indices): conversion/revisit records point back to the
+        # record they derive from — the stable doc id across a
+        # crawl -> WET re-export (sources/wet.py round-trips on it)
+        T.StructField("refers_to", T.StringType()),
     ]
 )
 
@@ -239,6 +244,7 @@ def parse_warc_stream(
             status,
             ctype,
             _decode_body(body, ctype, detect_charset),
+            headers.get("warc-refers-to", ""),
         )
 
 
@@ -338,7 +344,7 @@ def records_from_files(
                         raise
                     out.append(
                         (name, ERROR_TYPE, name, "", "",
-                         None, None, f"{type(exc).__name__}: {exc}")
+                         None, None, f"{type(exc).__name__}: {exc}", "")
                     )
             if out:
                 yield pd.DataFrame(out, columns=cols)

@@ -202,3 +202,22 @@ def write_wet_shards(
 
     manifest = assigned.mapInPandas(assemble, WET_MANIFEST_SCHEMA).collect()
     return sorted((r.asDict() for r in manifest), key=lambda d: d["shard"])
+
+
+def read_wet(spark, path: str) -> "DataFrame":
+    """Ingest WET files (this writer's output or CommonCrawl's):
+    conversion records -> (doc_id, url, text). doc_id prefers the
+    WARC-Refers-To id this writer emits (stable across re-exports)
+    and falls back to the record's own id for third-party WET files.
+    Same plan shape as read_warc (it IS read_warc + a filter): file-
+    level parallelism, paths-only exchange, streamed decode."""
+    from .warc import read_warc
+
+    records = read_warc(spark, path)
+    return records.filter(F.col("warc_type") == "conversion").select(
+        F.coalesce(
+            F.nullif(F.col("refers_to"), F.lit("")), F.col("record_id")
+        ).alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").alias("text"),
+    )

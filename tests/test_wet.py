@@ -71,3 +71,21 @@ def test_validation(spark, tmp_path):
         wet.write_wet_shards(df, str(tmp_path / "v"), n_shards=0)
     with pytest.raises(ValueError, match="not in DataFrame"):
         wet.write_wet_shards(df, str(tmp_path / "v"), text_col="nope")
+
+
+def test_read_wet_recovers_original_ids(spark, tmp_path):
+    """read_wet: conversion records -> (doc_id, url, text) with the
+    ORIGINAL doc ids (WARC-Refers-To), not the export's derived
+    record ids — a crawl -> WET re-export round-trips its keys."""
+    out = str(tmp_path / "wet")
+    wet.write_wet_shards(_docs(spark), out, n_shards=SHARDS)
+    back = {
+        r["doc_id"]: (r["text"], r["url"])
+        for r in wet.read_wet(spark, os.path.join(out, "*.warc.gz")).collect()
+    }
+    src = {
+        r["doc_id"]: ("" if r["text"] is None else r["text"],
+                      "" if r["url"] is None else r["url"])
+        for r in _docs(spark).collect()
+    }
+    assert back == src
