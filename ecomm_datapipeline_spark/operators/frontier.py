@@ -1,0 +1,109 @@
+"""Crawl-frontier scheduling: exact per-host sequence numbers and
+politeness waves at any skew — the piece between link discovery
+(html.link_edges), permission (robots.robots_allowed) and the fetch
+loop: a polite crawler fetches at most K URLs per host per wave, so
+the frontier must be numbered WITHIN each host by priority.
+
+The naive `row_number() OVER (PARTITION BY host)` moves every URL of
+one host into one task — the shape that dies on the first
+10M-page template domain (the _topk_per_key lesson, but a top-k is
+not enough here: every row needs its sequence number). The scale
+shape generalizes recommend.global_rank's distributed zipWithIndex to
+per-key numbering:
+
+1. repartitionByRange on (key, *order_cols) — partitions tile the
+   (key, order) space contiguously, so one key's rows may span
+   several ADJACENT partitions but never interleave; stamp
+   spark_partition_id and localCheckpoint (the counts job and the
+   final plan must observe the same partitioning — range sampling is
+   not deterministic across jobs).
+2. count rows per (key, pid) and prefix-sum over pid WITHIN each key
+   — a window over at most #partitions rows per key, never corpus-
+   sized — giving each (key, pid) cell its within-key offset.
+3. join the tiny offsets frame back on (key, pid) and add the
+   within-cell row_number. The window's partition spec equals the
+   join key, so the exchange is reused: the whole operator costs the
+   range exchange + one hash exchange, independent of key skew.
+
+Like global_rank, the result depends only on the SET of rows (total
+order required: include a unique tiebreak column), not on input
+partitioning — pinned by the repartition-determinism test.
+
+Verification (tests/test_frontier.py): pandas groupby-rank
+differential on a skewed corpus (one host holding half the rows),
+determinism under arbitrary input repartitioning, and the politeness
+invariant (no wave holds more than K URLs of one host; waves are
+filled in priority order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def per_key_rank(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list,
+    idx_col: str = "rank_in_key",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All input columns + `idx_col`: each row's 1-based rank WITHIN
+    its `key_col` group under `order_cols` — exact per-key sequence
+    numbers without ever gathering a key into one task. The ordering
+    must be total within each key (append a unique column last)."""
+    in_cols = df.columns
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    key = F.col(key_col)
+    stamped = (
+        df.repartitionByRange(n, key, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # per-(key, pid) counts -> within-key offsets; the window spans at
+    # most #partitions rows per key (cells, not rows)
+    cells = stamped.groupBy(key_col, "_pid").agg(F.count("*").alias("_cnt"))
+    off_w = (
+        Window.partitionBy(key_col)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = cells.select(
+        key_col,
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+    )
+    cell_w = Window.partitionBy(key_col, "_pid").orderBy(*order_cols)
+    return (
+        stamped.join(offsets, [key_col, "_pid"])
+        .withColumn(idx_col, F.col("_off") + F.row_number().over(cell_w))
+        .select(*in_cols, idx_col)
+    )
+
+
+def frontier_waves(
+    urls: DataFrame,
+    per_host_per_wave: int,
+    host_col: str = "host",
+    order_cols: list | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """The frontier with (rank_in_host, wave): wave w contains each
+    host's URLs ranked (w*K, (w+1)*K] — fetching wave-by-wave touches
+    at most `per_host_per_wave` URLs of any host per wave while
+    higher-priority URLs always ride earlier waves. Default order is
+    the url column itself (deterministic); pass e.g.
+    [F.desc("priority"), F.col("url")] to schedule by score with a
+    unique tiebreak."""
+    if per_host_per_wave < 1:
+        raise ValueError(
+            f"per_host_per_wave must be >= 1: {per_host_per_wave}"
+        )
+    order = order_cols if order_cols is not None else [F.col(url_col)]
+    ranked = per_key_rank(urls, host_col, order, idx_col="rank_in_host")
+    return ranked.withColumn(
+        "wave",
+        ((F.col("rank_in_host") - 1) / per_host_per_wave).cast("int"),
+    )

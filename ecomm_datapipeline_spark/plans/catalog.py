@@ -3379,6 +3379,13 @@ def _winnow_pos_sig_sql(k: int, w: int) -> str:
         WHEN 1 THEN 'z|d:/p'
         ELSE 'q|d:/c#r|d:/d'
       END AS robots_groups,
+      CASE CAST(doc_id % 5 AS INT)
+        WHEN 0 THEN 'http://a/b/g'
+        WHEN 1 THEN 'http://a/b/c/g/'
+        WHEN 2 THEN 'http://g'
+        WHEN 3 THEN 'http://a/b/c/g?y#s'
+        ELSE 'https://ex.example/x'
+      END AS resolved_url,
       """
     + _html_sig_sql()
     + "\n    FROM wbase\n    ",
@@ -3418,7 +3425,12 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.html import html_to_text_col
     from ..operators.segments import content_shape_cols, sections_col
     from ..operators.text import pattern_scan, script_profile_cols
-    from ..operators.urls import normalize_url, registrable_domain, url_parts
+    from ..operators.urls import (
+        normalize_url,
+        registrable_domain,
+        resolve_url_col,
+        url_parts,
+    )
     from ..operators.robots import robots_groups_col
     from ..operators.winnow import winnow_cols, winnow_cols_positional
 
@@ -3548,6 +3560,25 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "#",
     )
+    # RFC 3986 resolver fold (r9): five rotating (base, ref) cases
+    # straight from the §5.4 example tables (path-merge, dot-removal
+    # with trailing slash, network-path, query+fragment, empty-path
+    # base) run through the REAL urls.resolve_url_col in-plan; the
+    # oracle states the RFC's own expected strings. pytest holds the
+    # full tables + urljoin/fuzz differentials; this puts the resolver
+    # in the driver's gate table too.
+    _rcase = (F.col("doc_id") % 5).cast("int")
+    _rbase = F.when(_rcase == 4, F.lit("https://ex.example")).otherwise(
+        F.lit("http://a/b/c/d;p?q")
+    )
+    _rref = (
+        F.when(_rcase == 0, F.lit("../g"))
+        .when(_rcase == 1, F.lit("./g/."))
+        .when(_rcase == 2, F.lit("//g"))
+        .when(_rcase == 3, F.lit("g?y#s"))
+        .otherwise(F.lit("../../x"))
+    )
+    resolved_url = resolve_url_col(_rbase, _rref)
     winnow_pos_sig = F.md5(
         F.array_join(
             F.array_sort(
@@ -3580,6 +3611,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winnow_sig": winnow_sig,
             "winnow_pos_sig": winnow_pos_sig,
             "robots_groups": robots_groups,
+            "resolved_url": resolved_url,
             "html_sig": F.md5(html_to_text_col(page)),
         },
     )

@@ -1,0 +1,86 @@
+"""Frontier scheduling (operators/frontier.py): per-key ranks match a
+pandas groupby-rank on a skewed corpus, are invariant to input
+partitioning, and frontier_waves keeps the politeness bound."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import frontier
+
+
+def _corpus(spark, n_small=40, n_hot=200):
+    # one hot host holds most rows — the skew that kills the naive
+    # single-window formulation
+    rows = [
+        (f"h{i % 8}.example", f"http://h{i % 8}.example/p{i:04d}", i % 7)
+        for i in range(n_small)
+    ] + [
+        ("hot.example", f"http://hot.example/p{i:05d}", i % 11)
+        for i in range(n_hot)
+    ]
+    return spark.createDataFrame(rows, "host string, url string, priority int")
+
+
+def test_matches_pandas_groupby_rank(spark):
+    df = _corpus(spark)
+    got = frontier.per_key_rank(
+        df, "host", [F.desc("priority"), F.col("url")]
+    ).toPandas()
+    pdf = df.toPandas()
+    pdf["_k"] = list(zip(-pdf["priority"], pdf["url"]))
+    pdf["expect"] = pdf.groupby("host")["_k"].rank(method="first").astype(int)
+    merged = got.merge(pdf[["url", "expect"]], on="url")
+    assert (merged["rank_in_key"] == merged["expect"]).all()
+
+
+@pytest.mark.parametrize("parts", [1, 7, 32])
+def test_partitioning_invariance(spark, parts):
+    df = _corpus(spark).repartition(parts)
+    got = {
+        r["url"]: r["rank_in_key"]
+        for r in frontier.per_key_rank(
+            df, "host", [F.desc("priority"), F.col("url")]
+        ).collect()
+    }
+    base = {
+        r["url"]: r["rank_in_key"]
+        for r in frontier.per_key_rank(
+            _corpus(spark), "host", [F.desc("priority"), F.col("url")]
+        ).collect()
+    }
+    assert got == base
+
+
+def test_waves_politeness_and_priority(spark):
+    K = 6
+    waves = frontier.frontier_waves(
+        _corpus(spark), K, order_cols=[F.desc("priority"), F.col("url")]
+    )
+    per = (
+        waves.groupBy("host", "wave")
+        .agg(F.count("*").alias("n"), F.min("priority").alias("min_p"),
+             F.max("priority").alias("max_p"))
+        .collect()
+    )
+    by_host = {}
+    for r in per:
+        assert r["n"] <= K, (r["host"], r["wave"], r["n"])
+        by_host.setdefault(r["host"], []).append(r)
+    # priority-ordered filling: within each host the max priority of
+    # wave w+1 never exceeds the MIN priority... not quite — equal
+    # priorities break ties on url across wave boundaries, so the
+    # strict statement is on RANKS, already pinned exactly by the
+    # pandas differential; here assert the wave arithmetic itself
+    rows = waves.collect()
+    for r in rows:
+        assert r["wave"] == (r["rank_in_host"] - 1) // K
+    # every wave except each host's last is FULL
+    last = {h: max(r["wave"] for r in rows) for h, rows in by_host.items()}
+    for r in per:
+        if r["wave"] < last[r["host"]]:
+            assert r["n"] == K
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="per_host_per_wave"):
+        frontier.frontier_waves(_corpus(spark), 0)
