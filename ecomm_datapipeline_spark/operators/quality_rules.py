@@ -1,0 +1,280 @@
+"""Published quality-filter rule sets as named, per-rule columns:
+the Gopher document rules (Rae et al. 2021, "Scaling Language Models:
+Methods, Analysis & Insights from Training Gopher", appendix A1.1)
+and the C4 line/page cleaning rules (Raffel et al. 2020, "Exploring
+the Limits of Transfer Learning with a Unified Text-to-Text
+Transformer", section 2.2). No reference counterpart (extension
+surface; BASELINE.json north star).
+
+The repetition half of Gopher's filter already lives in
+text.repetition_metric_cols / repetition_filter; this module adds the
+DOCUMENT-level half (word count, mean word length, symbol ratio,
+bullet/ellipsis line fractions, alpha-word fraction, stop-word
+presence) plus the whole C4 recipe, so a user can reproduce either
+published pipeline by name instead of re-deriving thresholds.
+
+Scale shape: every rule is a pure built-in-function Column over one
+text column — zero shuffles, zero Python, whole-stage codegen — so a
+rule sweep over 100 TB runs at parquet-scan speed. Rules are exposed
+three ways, mirroring the module conventions elsewhere:
+
+- *_metric_cols: the underlying numeric signals (auditable, foldable
+  into an existing gate scan via extra_cols),
+- *_rule_cols: one boolean per published rule + an overall pass flag
+  (the per-document audit trail curation.drop audit consumes),
+- *_filter / c4_clean: the applying operator (survivors only).
+
+Counting definitions (documented, pinned by the DuckDB differential
+in tests/test_quality_rules.py):
+
+- "word" = whitespace token (text.tokens), the Gopher convention;
+- mean word length = non-whitespace chars / n_words;
+- "symbol" = '#' or ellipsis ('...' or U+2026), per the published
+  symbol-to-word rule;
+- bullet lines start with a bullet glyph (•, -, *, +) or an ordered
+  'N. ' marker (superset of segments.LINE_CLASSES['bullet'], adding
+  the U+2022 glyph Gopher names);
+- stop-word presence counts DISTINCT members of Gopher's 8-word list
+  found as \\b-delimited words of lower(text);
+- C4 "sentence" = text.SENTENCE_PATTERN extraction on the CLEANED
+  text (same Java∩RE2 subset, so the oracle mirrors it verbatim).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import SENTENCE_PATTERN, _count_matches, sentence_array_col, tokens
+
+# Gopher's published stop-word list (A1.1): a document must contain
+# at least two of these to pass the stop-word rule.
+GOPHER_STOP_WORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+# Canonical rule orders for rule_bits_col — bit i of the mask is rule
+# order[i], so the gate's bitmask pins every rule individually and a
+# reordering is a hash mismatch, not a silent re-labeling.
+GOPHER_RULE_ORDER: tuple[str, ...] = (
+    "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+    "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+    "rule_stop_words",
+)
+C4_RULE_ORDER: tuple[str, ...] = (
+    "rule_min_sentences", "rule_no_lorem_ipsum", "rule_no_brace",
+)
+
+_BULLET_START = r"^\s*([•\-\*\+]|\d+\.)\s"
+_ELLIPSIS_END = r"(\.\.\.|…)\s*$"
+# C4 keeps lines whose trimmed form ends in terminal punctuation,
+# optionally followed by a closing quote (the paper names the
+# "terminal punctuation mark (i.e. a period, exclamation mark,
+# question mark, or end quotation mark)").
+_C4_LINE_END = r"[.!?][\"']?$"
+
+
+def _lines(t: Column) -> Column:
+    return F.split(t, "\n")
+
+
+def _nonempty_lines(t: Column) -> Column:
+    return F.filter(_lines(t), lambda ln: F.length(F.trim(ln)) > 0)
+
+
+def gopher_metric_cols(text_col: Column | str) -> dict[str, Column]:
+    """The numeric signals under the Gopher document rules, as named
+    Column expressions over one text column (foldable into any
+    existing scan). NULL text -> NULL metrics."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = tokens(t)
+    n_words = F.size(words).cast("int")
+    nw = n_words.cast("double")
+    lines = _nonempty_lines(t)
+    n_lines = F.size(lines).cast("double")
+    low = F.lower(t)
+    n_stop = sum(
+        _count_matches(low, rf"\b{w}\b").cast("boolean").cast("int")
+        for w in GOPHER_STOP_WORDS
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": (
+            F.length(F.regexp_replace(t, r"\s+", "")).cast("double") / nw
+        ),
+        "symbol_word_ratio": (
+            (_count_matches(t, "#") + _count_matches(t, r"\.\.\.|…"))
+            .cast("double")
+            / nw
+        ),
+        "bullet_line_frac": (
+            F.size(F.filter(lines, lambda ln: ln.rlike(_BULLET_START)))
+            / F.greatest(n_lines, F.lit(1.0))
+        ),
+        "ellipsis_line_frac": (
+            F.size(F.filter(lines, lambda ln: ln.rlike(_ELLIPSIS_END)))
+            / F.greatest(n_lines, F.lit(1.0))
+        ),
+        "alpha_word_frac": (
+            F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / nw
+        ),
+        "n_stop_words": n_stop.cast("int"),
+    }
+
+
+def gopher_rule_cols(
+    text_col: Column | str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.10,
+    max_bullet_line_frac: float = 0.90,
+    max_ellipsis_line_frac: float = 0.30,
+    min_alpha_word_frac: float = 0.80,
+    min_stop_words: int = 2,
+) -> dict[str, Column]:
+    """One boolean per published Gopher document rule (True = the
+    document PASSES that rule; thresholds default to the paper's) +
+    'gopher_pass', their conjunction. Use with .withColumns for the
+    per-rule audit, or gopher_filter for survivors only."""
+    m = gopher_metric_cols(text_col)
+    rules = {
+        "rule_word_count": m["n_words"].between(min_words, max_words),
+        "rule_mean_word_len": m["mean_word_len"].between(
+            min_mean_word_len, max_mean_word_len
+        ),
+        "rule_symbol_ratio": m["symbol_word_ratio"] <= max_symbol_word_ratio,
+        "rule_bullet_lines": m["bullet_line_frac"] <= max_bullet_line_frac,
+        "rule_ellipsis_lines": (
+            m["ellipsis_line_frac"] <= max_ellipsis_line_frac
+        ),
+        "rule_alpha_words": m["alpha_word_frac"] >= min_alpha_word_frac,
+        "rule_stop_words": m["n_stop_words"] >= min_stop_words,
+    }
+    acc = F.lit(True)
+    for c in rules.values():
+        acc = acc & c
+    rules["gopher_pass"] = acc
+    return rules
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", **thresholds
+) -> DataFrame:
+    """Rows passing every Gopher document rule (all input columns
+    kept). Compose with text.repetition_filter for the full published
+    Gopher quality gate."""
+    return df.filter(gopher_rule_cols(F.col(text_col), **thresholds)["gopher_pass"])
+
+
+def c4_kept_lines_col(
+    text_col: Column | str, min_line_words: int = 5
+) -> Column:
+    """array<string>: the lines of `text_col` C4 keeps — trimmed form
+    ends in terminal punctuation (optionally + closing quote), holds
+    at least `min_line_words` whitespace words, and does not contain
+    the word 'javascript' (case-insensitive)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(
+        _lines(t),
+        lambda ln: (
+            F.trim(ln).rlike(_C4_LINE_END)
+            & (F.size(F.split(F.trim(ln), r"\s+")) >= min_line_words)
+            & ~F.lower(ln).rlike(r"\bjavascript\b")
+        ),
+    )
+
+
+def c4_clean_text_col(
+    text_col: Column | str, min_line_words: int = 5
+) -> Column:
+    """The C4-cleaned document text: kept lines re-joined with
+    newlines (empty string when no line survives)."""
+    return F.array_join(c4_kept_lines_col(text_col, min_line_words), "\n")
+
+
+def c4_page_rule_cols(
+    text_col: Column | str,
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+    blocklist: tuple[str, ...] = (),
+) -> dict[str, Column]:
+    """Page-level C4 booleans (True = passes), evaluated on the
+    CLEANED text where the paper does (sentence count) and on the raw
+    text where it does (lorem ipsum / brace / blocklist scans):
+    'rule_min_sentences', 'rule_no_lorem_ipsum', 'rule_no_brace',
+    'rule_no_blocklist' (vacuously true when `blocklist` is empty —
+    the paper's "List of Dirty, Naughty ..." is a caller-supplied
+    wordlist, not baked in), + 'c4_pass'."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    cleaned = c4_clean_text_col(t, min_line_words)
+    low = F.lower(t)
+    rules = {
+        "rule_min_sentences": (
+            F.size(sentence_array_col(cleaned)) >= min_sentences
+        ),
+        "rule_no_lorem_ipsum": ~low.contains("lorem ipsum"),
+        "rule_no_brace": ~t.contains("{"),
+        "rule_no_blocklist": (
+            ~low.rlike(r"\b(" + "|".join(blocklist) + r")\b")
+            if blocklist
+            else F.lit(True)
+        ),
+    }
+    acc = F.lit(True)
+    for c in rules.values():
+        acc = acc & c
+    rules["c4_pass"] = acc
+    return rules
+
+
+def rule_bits_col(rules: dict[str, Column], order: tuple[str, ...]) -> Column:
+    """The rule booleans packed into one BIGINT (bit i = order[i],
+    True -> set) — the compact form the oracle gate hash-pins so each
+    published rule is individually falsifiable in one column. A NULL
+    rule contributes 0 (the CASE/otherwise convention both engines
+    share)."""
+    acc: Column = F.lit(0)
+    for i, name in enumerate(order):
+        acc = acc + F.when(rules[name], F.lit(1 << i)).otherwise(F.lit(0))
+    return acc.cast("bigint")
+
+
+def duckdb_c4_clean_sql(text_expr: str = "text", min_line_words: int = 5) -> str:
+    """DuckDB twin of c4_clean_text_col, GENERATED from the same
+    _C4_LINE_END constant (the html.duckdb_html_to_text_sql
+    convention) so the oracle SQL cannot drift from the engine
+    expression. NULL text -> NULL; no kept lines -> '' (DuckDB's
+    array_to_string of an empty list is NULL where Spark's array_join
+    is '', hence the coalesce inside the NULL-text guard)."""
+    line_end = _C4_LINE_END.replace("'", "''")
+    return (
+        f"CASE WHEN {text_expr} IS NULL THEN NULL ELSE"
+        f" coalesce(array_to_string(list_filter("
+        f"string_split({text_expr}, chr(10)),"
+        f" x -> regexp_matches(trim(x), '{line_end}')"
+        f" AND len(regexp_split_to_array(trim(x), '\\s+')) >= {min_line_words}"
+        f" AND NOT regexp_matches(lower(x), '\\bjavascript\\b')),"
+        f" chr(10)), '') END"
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_sentences: int = 3,
+    min_line_words: int = 5,
+    blocklist: tuple[str, ...] = (),
+) -> DataFrame:
+    """The whole C4 cleaning recipe: line filter + page filters.
+    Returns surviving rows with `text_col` REPLACED by the cleaned
+    text (other columns untouched). One scan, zero shuffles; the
+    three-sentence-span corpus dedup the paper applies afterwards is
+    operators.substrings / dedup at the caller's choice of grain."""
+    rules = c4_page_rule_cols(
+        F.col(text_col), min_sentences, min_line_words, blocklist
+    )
+    return df.filter(rules["c4_pass"]).withColumn(
+        text_col, c4_clean_text_col(F.col(text_col), min_line_words)
+    )

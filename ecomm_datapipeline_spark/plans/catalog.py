@@ -3311,6 +3311,118 @@ def _winnow_pos_sig_sql(k: int, w: int) -> str:
     )
 
 
+# Synthesized quality-rule inputs (r9): the documents corpus is
+# punctuation-free word salad — the raw text trips NO C4 line rule
+# and few Gopher rules, so (like the markdown / robots / script
+# folds) the fold inputs are SYNTHESIZED from (doc_id, text) to make
+# every rule class bind:
+# * g_doc — text + a rotating rule-tripping suffix: 30 '#' tokens
+#   (symbol-ratio AND alpha-word-frac fail), 12 bullet lines
+#   (bullet-frac fail), 8 '...'-terminated lines (ellipsis fail), or
+#   nothing (word-count rule varies naturally over the 10-99-word
+#   corpus, straddling the 50 threshold).
+# * c4_doc — a page whose line set exercises keep (lead sentence
+#   carrying doc_id, text-derived sentence, closer), drop-short
+#   ('Too short.'), drop-javascript, and whose rotating tail trips
+#   exactly one page rule per class (brace / lorem ipsum /
+#   <3 sentences / none).
+_C4_LEAD = "Document "                        # + doc_id
+_C4_LEAD2 = " starts with proper words here."
+_C4_TEXTLINE_SUFFIX = " and this sentence ends properly."
+_C4_DROPPED = "Too short.\nPlease enable javascript to continue browsing."
+_C4_CLOSER = "A closing sentence completes the synthetic page!"
+_C4_BRACE = "Config uses { braces } here."
+_C4_LOREM = "Lorem ipsum dolor sit amet tonight."
+
+
+def _quality_docs_sql() -> str:
+    """qbase columns g_doc / c4_doc: the DuckDB side of the
+    synthesized fold inputs, built from the same string constants the
+    Spark side concatenates."""
+    nl = "chr(10)"
+    return (
+        "text || CASE CAST(doc_id % 4 AS INT)"
+        " WHEN 0 THEN ' ' || repeat('# ', 30)"
+        f" WHEN 1 THEN repeat({nl} || '- bullet item', 12)"
+        f" WHEN 2 THEN repeat({nl} || 'trailing thought...', 8)"
+        " ELSE '' END AS g_doc, "
+        f"'{_C4_LEAD}' || doc_id || '{_C4_LEAD2}' || {nl}"
+        f" || text || '{_C4_TEXTLINE_SUFFIX}' || {nl}"
+        " || 'Too short.' || " + nl
+        + " || 'Please enable javascript to continue browsing.'"
+        " || CASE CAST(doc_id % 4 AS INT)"
+        f" WHEN 0 THEN {nl} || '{_C4_CLOSER}' || {nl} || '{_C4_BRACE}'"
+        f" WHEN 1 THEN {nl} || '{_C4_CLOSER}' || {nl} || '{_C4_LOREM}'"
+        " WHEN 2 THEN ''"
+        f" ELSE {nl} || '{_C4_CLOSER}' END AS c4_doc"
+    )
+
+
+def _c4_cleaned_sql() -> str:
+    from ..operators.quality_rules import duckdb_c4_clean_sql
+
+    return duckdb_c4_clean_sql("c4_doc")
+
+
+def _gopher_c4_sql() -> str:
+    """DuckDB twin of the r9 quality-rule folds: gopher_bits (the 7
+    Gopher document rules of quality_rules.gopher_rule_cols over
+    g_doc, packed in GOPHER_RULE_ORDER), c4_bits (the 3 always-on C4
+    page rules over c4_doc in C4_RULE_ORDER, min_sentences evaluated
+    on the CLEANED text), and c4_sig (md5 of the C4 line-filtered
+    c4_doc — the cleaned-text SQL is GENERATED by quality_rules.
+    duckdb_c4_clean_sql, bound once as qclean.c4_cleaned). Regex
+    constants come FROM the operator module so the twin cannot drift;
+    thresholds are the paper defaults the Spark side also binds."""
+    from ..operators.quality_rules import (
+        _BULLET_START,
+        _ELLIPSIS_END,
+        GOPHER_STOP_WORDS,
+    )
+    from ..operators.text import SENTENCE_PATTERN
+
+    words = r"regexp_split_to_array(trim(g_doc), '\s+')"
+    lines = (
+        "list_filter(string_split(g_doc, chr(10)), x -> len(trim(x)) > 0)"
+    )
+    stop = " + ".join(
+        f"CASE WHEN regexp_matches(lower(g_doc), '\\b{w}\\b')"
+        " THEN 1 ELSE 0 END"
+        for w in GOPHER_STOP_WORDS
+    )
+    sent_pat = SENTENCE_PATTERN.replace("'", "''")
+    n_sent_clean = (
+        "len(list_filter(list_transform("
+        f"regexp_extract_all(c4_cleaned, '{sent_pat}'), x -> trim(x)),"
+        " x -> length(x) > 0))"
+    )
+    return f"""
+      CAST(
+        CASE WHEN len({words}) BETWEEN 50 AND 100000 THEN 1 ELSE 0 END
+      + CASE WHEN CAST(length(regexp_replace(g_doc, '\\s+', '', 'g')) AS DOUBLE)
+               / len({words}) BETWEEN 3.0 AND 10.0 THEN 2 ELSE 0 END
+      + CASE WHEN CAST(len(regexp_extract_all(g_doc, '#'))
+                 + len(regexp_extract_all(g_doc, '\\.\\.\\.|…')) AS DOUBLE)
+               / len({words}) <= 0.10 THEN 4 ELSE 0 END
+      + CASE WHEN CAST(len(list_filter({lines},
+                 x -> regexp_matches(x, '{_BULLET_START}'))) AS DOUBLE)
+               / greatest(len({lines}), 1) <= 0.90 THEN 8 ELSE 0 END
+      + CASE WHEN CAST(len(list_filter({lines},
+                 x -> regexp_matches(x, '{_ELLIPSIS_END}'))) AS DOUBLE)
+               / greatest(len({lines}), 1) <= 0.30 THEN 16 ELSE 0 END
+      + CASE WHEN CAST(len(list_filter({words},
+                 x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+               / len({words}) >= 0.80 THEN 32 ELSE 0 END
+      + CASE WHEN {stop} >= 2 THEN 64 ELSE 0 END
+      AS BIGINT) AS gopher_bits,
+      CAST(
+        CASE WHEN {n_sent_clean} >= 3 THEN 1 ELSE 0 END
+      + CASE WHEN NOT contains(lower(c4_doc), 'lorem ipsum') THEN 2 ELSE 0 END
+      + CASE WHEN NOT contains(c4_doc, '{{') THEN 4 ELSE 0 END
+      AS BIGINT) AS c4_bits,
+      md5(c4_cleaned) AS c4_sig"""
+
+
 @register(
     "text_pattern_scan",
     # url_norm / url_domain are the r6 URL-curation family folded into
@@ -3341,7 +3453,13 @@ def _winnow_pos_sig_sql(k: int, w: int) -> str:
     #   hash-pins each document's exact fingerprint SET — any change
     #   to k, w, tokenization, gram hashing, or the window-min
     #   selection mismatches (_winnow_sig_sql).
-    "WITH wbase AS (" + _winnow_grams_cte(5) + ")"
+    # r9 folds the published quality-rule sets in (gopher_bits /
+    # c4_bits / c4_sig — see _gopher_c4_sql); qbase binds the
+    # C4-cleaned text once (GENERATED SQL, quality_rules.
+    # duckdb_c4_clean_sql) for the sig and the sentence-count rule.
+    "WITH wbase AS (" + _winnow_grams_cte(5) + "), qbase AS "
+    "(SELECT *, " + _quality_docs_sql() + " FROM wbase), qclean AS "
+    "(SELECT *, " + _c4_cleaned_sql() + " AS c4_cleaned FROM qbase)"
     r"""
     SELECT doc_id,
       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
@@ -3388,8 +3506,10 @@ def _winnow_pos_sig_sql(k: int, w: int) -> str:
       END AS resolved_url,
       """
     + _html_sig_sql()
-    + "\n    FROM wbase\n    ",
-    "ext: PII scan + URL + content-shape + sections + script + winnow + html folds",
+    + ",\n      "
+    + _gopher_c4_sql()
+    + "\n    FROM qclean\n    ",
+    "ext: PII scan + URL + shape + sections + script + winnow + html + quality-rule folds",
 )
 def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII-screening pass: per-doc counts of emails / URLs / phone
@@ -3421,7 +3541,15 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       html_to_text_col over a page synthesized from (source, text)
       covering every chain stage; the oracle runs the SAME chain as
       generated DuckDB SQL (html.duckdb_html_to_text_sql) over the
-      same synthesized page."""
+      same synthesized page;
+    * published quality rules (r9, operators/quality_rules.py):
+      gopher_bits / c4_bits pack the REAL gopher_rule_cols /
+      c4_page_rule_cols booleans one-bit-per-rule, c4_sig hashes the
+      C4 line-filtered text — all over synthesized binding inputs
+      (the corpus trips no rule raw; see _quality_docs_sql), with
+      the cleaned-text oracle SQL GENERATED from the operator
+      (quality_rules.duckdb_c4_clean_sql). Red-tested on both the
+      gopher (max_words) and c4 (min_sentences) sides."""
     from ..operators.html import html_to_text_col
     from ..operators.segments import content_shape_cols, sections_col
     from ..operators.text import pattern_scan, script_profile_cols
@@ -3430,6 +3558,14 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         registrable_domain,
         resolve_url_col,
         url_parts,
+    )
+    from ..operators.quality_rules import (
+        C4_RULE_ORDER,
+        GOPHER_RULE_ORDER,
+        c4_clean_text_col,
+        c4_page_rule_cols,
+        gopher_rule_cols,
+        rule_bits_col,
     )
     from ..operators.robots import robots_groups_col
     from ..operators.winnow import winnow_cols, winnow_cols_positional
@@ -3579,6 +3715,29 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("../../x"))
     )
     resolved_url = resolve_url_col(_rbase, _rref)
+    # Quality-rule fold inputs (r9): the same synthesized g_doc /
+    # c4_doc the oracle constructs in _quality_docs_sql.
+    _qcase = (F.col("doc_id") % 4).cast("int")
+    g_doc = F.concat(
+        F.col("text"),
+        F.when(_qcase == 0, F.concat(F.lit(" "), F.repeat(F.lit("# "), 30)))
+        .when(_qcase == 1, F.repeat(F.lit("\n- bullet item"), 12))
+        .when(_qcase == 2, F.repeat(F.lit("\ntrailing thought..."), 8))
+        .otherwise(F.lit("")),
+    )
+    _closer_nl = F.concat(F.lit("\n"), F.lit(_C4_CLOSER))
+    c4_doc = F.concat(
+        F.lit(_C4_LEAD),
+        F.col("doc_id").cast("string"),
+        F.lit(_C4_LEAD2 + "\n"),
+        F.col("text"),
+        F.lit(_C4_TEXTLINE_SUFFIX + "\n"),
+        F.lit(_C4_DROPPED),
+        F.when(_qcase == 0, F.concat(_closer_nl, F.lit("\n" + _C4_BRACE)))
+        .when(_qcase == 1, F.concat(_closer_nl, F.lit("\n" + _C4_LOREM)))
+        .when(_qcase == 2, F.lit(""))
+        .otherwise(_closer_nl),
+    )
     winnow_pos_sig = F.md5(
         F.array_join(
             F.array_sort(
@@ -3613,6 +3772,18 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "robots_groups": robots_groups,
             "resolved_url": resolved_url,
             "html_sig": F.md5(html_to_text_col(page)),
+            # r9 quality-rule folds: the REAL gopher/c4 rule columns
+            # packed into bitmasks (one bit per published rule, order
+            # pinned by *_RULE_ORDER) + md5 of the C4-cleaned text,
+            # over the synthesized binding inputs (see the
+            # _quality_docs_sql note — the raw corpus trips no rule).
+            "gopher_bits": rule_bits_col(
+                gopher_rule_cols(g_doc), GOPHER_RULE_ORDER
+            ),
+            "c4_bits": rule_bits_col(
+                c4_page_rule_cols(c4_doc), C4_RULE_ORDER
+            ),
+            "c4_sig": F.md5(c4_clean_text_col(c4_doc)),
         },
     )
 

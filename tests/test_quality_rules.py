@@ -1,0 +1,255 @@
+"""Gopher document rules + C4 cleaning (operators/quality_rules.py):
+hand-pinned rule verdicts on constructed documents, a DuckDB
+differential of every metric over the real documents corpus, C4
+line-filter semantics, and the zero-shuffle plan pin."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import quality_rules as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+GOOD = (
+    "The project began with a simple goal that everyone could have "
+    "agreed to be worthwhile. We wanted to build something durable "
+    "and useful, and that meant working with care. Every decision "
+    "was written down so that the reasons would survive the people "
+    "who made them. Over time the record itself became the most "
+    "valuable part of the work, read far more often than the code."
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, GOOD),                                   # passes everything
+        (2, "short text"),                           # word count fails
+        (3, "\n".join("- item %d" % i for i in range(20))
+            + "\nOne real sentence to have some words here and the "
+              "rest of that to be with it."),        # bullet frac fails
+        (4, GOOD + "\n" + "\n".join("trailing off..." for _ in range(60))),
+        (5, "### " * 120 + GOOD),                    # symbol ratio fails
+        (6, " ".join("12345" for _ in range(80))),   # alpha + stop fail
+        (7, GOOD.replace("the", "xx").replace("The", "Xx")),
+        (8, ""),                                     # degenerate
+        (9, None),                                   # NULL text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _metrics(spark, docs):
+    return {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            *[c.alias(n) for n, c in Q.gopher_metric_cols("text").items()],
+            *[c.alias(n) for n, c in Q.gopher_rule_cols("text").items()],
+        ).collect()
+    }
+
+
+def test_gopher_rule_verdicts(spark, docs):
+    m = _metrics(spark, docs)
+    assert m[1]["gopher_pass"] is True
+    assert m[2]["rule_word_count"] is False
+    assert m[3]["rule_bullet_lines"] is False and m[3]["bullet_line_frac"] > 0.9
+    assert m[4]["rule_ellipsis_lines"] is False
+    assert m[5]["rule_symbol_ratio"] is False
+    assert m[6]["rule_alpha_words"] is False
+    assert m[6]["rule_stop_words"] is False  # no stop word in digit doc
+    assert m[1]["n_stop_words"] >= 2
+    # doc 7 stripped 'the' but keeps 'and'/'to'/'that'/'with' etc.
+    assert m[7]["n_stop_words"] >= 2
+    assert m[9]["n_words"] is None  # NULL in -> NULL out
+
+
+def test_gopher_filter_survivors(spark, docs):
+    kept = {r["doc_id"] for r in Q.gopher_filter(docs).select("doc_id").collect()}
+    assert 1 in kept
+    assert kept.isdisjoint({2, 3, 4, 5, 6, 8, 9})
+
+
+def test_gopher_duckdb_differential(spark):
+    """Every Gopher metric, engine vs DuckDB, over the real corpus."""
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in Q.gopher_metric_cols("text").items()],
+        ).collect()
+    }
+    con = duckdb.connect()
+    stop = " + ".join(
+        f"CAST(regexp_matches(lower(text), '\\b{w}\\b') AS INT)"
+        for w in Q.GOPHER_STOP_WORDS
+    )
+    exp = con.execute(
+        f"""
+        WITH L AS (
+          SELECT doc_id, text,
+            string_split_regex(trim(text), '\\s+') AS words,
+            list_filter(string_split(text, chr(10)),
+                        x -> len(trim(x)) > 0) AS lines
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        )
+        SELECT doc_id,
+          len(words) AS n_words,
+          CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+            / len(words) AS mean_word_len,
+          CAST(len(regexp_extract_all(text, '#'))
+             + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+            / len(words) AS symbol_word_ratio,
+          CAST(len(list_filter(lines,
+                x -> regexp_matches(x, '{Q._BULLET_START}'))) AS DOUBLE)
+            / greatest(len(lines), 1) AS bullet_line_frac,
+          CAST(len(list_filter(lines,
+                x -> regexp_matches(x, '{Q._ELLIPSIS_END}'))) AS DOUBLE)
+            / greatest(len(lines), 1) AS ellipsis_line_frac,
+          CAST(len(list_filter(words,
+                x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+            / len(words) AS alpha_word_frac,
+          {stop} AS n_stop_words
+        FROM L
+        """
+    ).fetchall()
+    assert len(exp) == len(got) > 0
+    for row in exp:
+        g = got[row[0]]
+        names = (
+            "n_words mean_word_len symbol_word_ratio bullet_line_frac "
+            "ellipsis_line_frac alpha_word_frac n_stop_words"
+        ).split()
+        for name, want in zip(names, row[1:]):
+            have = g[name]
+            if isinstance(want, float):
+                assert have == pytest.approx(want, abs=1e-12), (row[0], name)
+            else:
+                assert have == want, (row[0], name)
+
+
+C4_PAGE = (
+    "A first proper sentence that easily has five words.\n"
+    "short line.\n"
+    "no terminal punctuation here at all\n"
+    "Please enable Javascript to view this content properly.\n"
+    "A second proper sentence keeps the page alive today.\n"
+    "- bullet item without punctuation\n"
+    "And a third full sentence closes out the page!\n"
+    'He said “use quotes wisely." \n'
+)
+
+
+def test_c4_line_filter_semantics(spark):
+    df = spark.createDataFrame([(1, C4_PAGE)], "doc_id long, text string")
+    kept = df.select(
+        Q.c4_kept_lines_col("text").alias("kept")
+    ).collect()[0]["kept"]
+    assert kept == [
+        "A first proper sentence that easily has five words.",
+        "A second proper sentence keeps the page alive today.",
+        "And a third full sentence closes out the page!",
+        'He said “use quotes wisely." ',
+    ]
+
+
+def test_c4_page_rules(spark):
+    rows = [
+        (1, C4_PAGE),
+        (2, "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\n"
+            "Real sentence one has enough words in it.\n"
+            "Real sentence two also has enough words there.\n"
+            "Real sentence three also has enough words now."),
+        (3, "function f() { return 1; }\n"
+            "A sentence that would otherwise pass the filters fine.\n"
+            "Another sentence that would otherwise pass them too.\n"
+            "A third sentence that would otherwise pass as well."),
+        (4, "Only one proper sentence lives on this page today.\n"
+            "and then fragments\neverywhere\nno punct"),
+        (5, "A page mentioning the badword once in a sentence here.\n"
+            "A second sentence keeps the page going along fine.\n"
+            "A third sentence finishes the little page nicely."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[
+                c.alias(n)
+                for n, c in Q.c4_page_rule_cols(
+                    "text", blocklist=("badword",)
+                ).items()
+            ],
+        ).collect()
+    }
+    assert got[1]["c4_pass"] is True
+    assert got[2]["rule_no_lorem_ipsum"] is False
+    assert got[3]["rule_no_brace"] is False
+    assert got[4]["rule_min_sentences"] is False
+    assert got[5]["rule_no_blocklist"] is False
+    assert got[5]["rule_no_lorem_ipsum"] and got[5]["rule_no_brace"]
+
+
+def test_c4_clean_applies_both(spark):
+    rows = [(1, C4_PAGE), (2, "too short.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = Q.c4_clean(df).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["text"].count("\n") == 3  # 4 kept lines
+    assert "Javascript" not in out[0]["text"]
+
+
+def test_c4_duckdb_differential(spark):
+    """Cleaned-text equality, engine vs DuckDB, over the corpus."""
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["doc_id"]: r["cleaned"]
+        for r in df.select(
+            "doc_id", Q.c4_clean_text_col("text").alias("cleaned")
+        ).collect()
+    }
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        SELECT doc_id, {Q.duckdb_c4_clean_sql("text")} AS cleaned
+        FROM read_parquet('{SF_DIR}/documents.parquet')
+        """
+    ).fetchall()
+    assert len(exp) == len(got) > 0
+    for doc_id, want in exp:
+        assert got[doc_id] == want, doc_id
+
+
+def test_c4_sql_twin_null_and_empty(spark):
+    """The generated DuckDB twin agrees on the NULL / no-survivor
+    edge cases (NULL -> NULL, all-lines-dropped -> '')."""
+    rows = [(1, None), (2, "no terminal punct here"), (3, "Keeps one fine sentence right here.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cleaned"]
+        for r in df.select(
+            "doc_id", Q.c4_clean_text_col("text").alias("cleaned")
+        ).collect()
+    }
+    con = duckdb.connect()
+    exp = dict(
+        con.execute(
+            "SELECT doc_id, "
+            + Q.duckdb_c4_clean_sql("text")
+            + " FROM (VALUES (1, NULL), (2, 'no terminal punct here'),"
+              " (3, 'Keeps one fine sentence right here.'))"
+              " t(doc_id, text)"
+        ).fetchall()
+    )
+    assert got == exp
+    assert got[1] is None and got[2] == ""
+
+
+def test_zero_shuffle_plan(spark, docs):
+    """Rule evaluation + c4_clean stay shuffle-free (pure per-row)."""
+    out = Q.c4_clean(Q.gopher_filter(docs))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
