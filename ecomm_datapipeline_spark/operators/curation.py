@@ -18,7 +18,17 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import dedup, text
+from . import dedup, quality_rules, text
+
+# Published-pipeline presets: splat into curate_documents, e.g.
+# curate_documents(docs, **PRESETS["gopher"]). Thresholds stay the
+# papers' defaults (override by calling the quality_rules operators
+# directly); 'c4' also narrows to English, per the paper's langdetect
+# step, using this engine's lang-id heuristic.
+PRESETS: dict[str, dict] = {
+    "gopher": {"drop_repetitive": True, "gopher_document_rules": True},
+    "c4": {"c4_line_page_rules": True, "keep_langs": ("en",)},
+}
 
 
 @dataclass
@@ -56,6 +66,8 @@ def curate_documents(
     dedup_substrings_window: int | None = None,
     substrings_min_count: int = 2,
     drop_audit: bool = False,
+    c4_line_page_rules: bool = False,
+    gopher_document_rules: bool = False,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
@@ -88,23 +100,44 @@ def curate_documents(
     re-executes the stage plans — an audit tool, like collect_stats,
     not a production default. The funnel identity holds by
     construction: |input| = |curated| + |drop_audit|.
+
+    `c4_line_page_rules` / `gopher_document_rules` switch on the
+    published rule sets (operators/quality_rules.py, paper-default
+    thresholds): C4 runs FIRST (line filter rewrites the text; page
+    rules drop under their own 'c4' audit stage), the Gopher document
+    rules join the repetition rules in the clean stage. PRESETS holds
+    splat-ready kwargs for each published pipeline.
     """
     n_input = docs.count() if collect_stats else -1
 
-    cleaned = text.clean_text(docs, text_col, min_tokens, max_tokens)
+    pre = docs
+    if c4_line_page_rules:
+        # The C4 recipe runs FIRST (its line filter REWRITES the text;
+        # every downstream signal — dedup keys, quality counts, the
+        # LM — must judge what will actually ship). Page-rule drops
+        # get their own 'c4' audit stage; the rewrite itself is a
+        # zero-shuffle per-row fold on the same scan.
+        pre = quality_rules.c4_clean(docs, text_col)
+
+    cleaned = text.clean_text(pre, text_col, min_tokens, max_tokens)
     if drop_repetitive:
         # Gopher repetition rules (dup-line/paragraph fractions, modal
         # n-gram coverage) run BEFORE dedup: repetitive boilerplate is
         # exactly what inflates shingle frequencies downstream. Pure
         # per-row column folds — extends the clean stage's scan, adds
         # no shuffle; its removals land in the after_clean count.
+        cleaned = text.repetition_filter(cleaned, text_col, id_col)
+    if gopher_document_rules:
+        # The document-level half of the published Gopher filter
+        # (quality_rules.gopher_rule_cols) — same placement and same
+        # audit attribution ('clean') as the repetition half.
+        cleaned = quality_rules.gopher_filter(cleaned, text_col)
+    if drop_repetitive or gopher_document_rules:
         # Lazily checkpoint the survivors: the near-dup stage's
         # iterative connected-components re-executes its input every
         # propagation round, and re-running the (deliberately thorough)
-        # repetition folds each round multiplied e2e cost ~3x at sf0.1.
-        cleaned = text.repetition_filter(cleaned, text_col, id_col).localCheckpoint(
-            eager=False
-        )
+        # rule folds each round multiplied e2e cost ~3x at sf0.1.
+        cleaned = cleaned.localCheckpoint(eager=False)
     n_clean = cleaned.count() if collect_stats else -1
 
     exact = dedup.drop_exact_duplicates(cleaned, text_col, id_col)
@@ -199,8 +232,13 @@ def curate_documents(
                 )
             )
 
+        audit_df = _drops(pre, cleaned, "clean")
+        if c4_line_page_rules:
+            # c4 page-rule drops get their own stage (the line filter
+            # rewrites text but drops no rows by itself)
+            audit_df = _drops(docs, pre, "c4").unionByName(audit_df)
         audit_df = (
-            _drops(docs, cleaned, "clean")
+            audit_df
             .unionByName(_drops(cleaned, exact, "exact_dup"))
             .unionByName(_drops(exact, near, "near_dup"))
             .unionByName(_drops(near, post_quality, "quality"))

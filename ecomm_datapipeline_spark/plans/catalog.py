@@ -1412,28 +1412,66 @@ def quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "order_recency_gaps",
+    # r9 fold: rank_checksum pins the skew-safe per-key distributed
+    # zipWithIndex (operators/frontier.py per_key_rank — the crawl-
+    # frontier scheduling core) against the naive ROW_NUMBER oracle:
+    # SUM(rank * o_orderkey) per customer changes if ANY row's
+    # within-key rank is wrong, so the range-tile + cell-prefix-sum +
+    # join-back construction is value-equivalent to the single-task
+    # window at every key.
     """
     WITH gaps AS (
       SELECT o_custkey, o_orderdate,
         LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date
       FROM orders
+    ), rk AS (
+      SELECT o_custkey,
+        CAST(SUM(CAST(rn * o_orderkey AS BIGINT)) AS BIGINT) AS rank_checksum
+      FROM (
+        SELECT o_custkey, o_orderkey,
+          ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+      )
+      GROUP BY 1
     )
-    SELECT o_custkey,
-      CAST(COUNT(prev_date) AS BIGINT) AS n_gaps,
-      CAST(MAX(date_diff('day', prev_date, o_orderdate)) AS BIGINT) AS max_gap_days
-    FROM gaps
-    GROUP BY 1
-    HAVING COUNT(prev_date) > 0
+    SELECT o_custkey, n_gaps, max_gap_days, rank_checksum
+    FROM (
+      SELECT o_custkey,
+        CAST(COUNT(prev_date) AS BIGINT) AS n_gaps,
+        CAST(MAX(date_diff('day', prev_date, o_orderdate)) AS BIGINT) AS max_gap_days
+      FROM gaps
+      GROUP BY 1
+      HAVING COUNT(prev_date) > 0
+    ) JOIN rk USING (o_custkey)
     """,
-    "§2.5 lag/lead window",
+    "§2.5 lag/lead window + per-key distributed rank fold",
 )
 def order_recency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order gaps (lag window) + the r9 frontier fold:
+    rank_checksum runs the REAL frontier.per_key_rank over orders
+    (key = o_custkey, order = (o_orderdate, o_orderkey)) and
+    checksums rank*orderkey per key — the oracle derives the same
+    from ROW_NUMBER, so the distributed construction is pinned
+    value-equivalent to the per-key window at every customer."""
+    from ..operators.frontier import per_key_rank
+
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = o.select(
         "o_custkey",
         "o_orderdate",
         F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    ranked = per_key_rank(
+        o.select("o_custkey", "o_orderdate", "o_orderkey"),
+        "o_custkey",
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+        idx_col="rn",
+    )
+    rk = ranked.groupBy("o_custkey").agg(
+        F.sum(F.col("rn").cast("bigint") * F.col("o_orderkey"))
+        .cast("bigint")
+        .alias("rank_checksum")
     )
     return (
         gaps.groupBy("o_custkey")
@@ -1444,6 +1482,7 @@ def order_recency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("max_gap_days"),
         )
         .filter(F.col("n_gaps") > 0)
+        .join(rk, "o_custkey")
     )
 
 

@@ -560,3 +560,61 @@ def test_drop_audit_funnel(spark):
     assert {
         d for d, st in dropped.items() if st == "exact_dup"
     } == cleaned_ids - exact_kept
+
+
+def test_curation_published_rule_presets(spark):
+    """PRESETS['gopher'] / PRESETS['c4'] wire quality_rules into the
+    pipeline: gopher document rules drop in the clean stage, c4 page
+    rules drop under their own audit stage while the line filter
+    rewrites surviving text; the funnel identity still holds."""
+    from ecomm_datapipeline_spark.operators.curation import PRESETS
+
+    good = (
+        "The project began with a simple goal that everyone could have "
+        "agreed to be worthwhile and useful for the team. We wanted to "
+        "build something durable, and that meant working with care on "
+        "every piece. Every decision was written down so that all of "
+        "the reasons would survive the people who made them over time."
+    )
+    rows = [
+        (1, good, "en"),
+        (2, " ".join("12345" for _ in range(80)), "en"),   # alpha/stop fail
+        (3, good + "\n" + "\n".join("- item" for _ in range(40)), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    curated, stats = curate_documents(
+        docs, min_quality=0, drop_audit=True, near_dup="ngram",
+        **PRESETS["gopher"],
+    )
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    dropped = {r["doc_id"]: r["dropped_stage"] for r in stats.drop_audit.collect()}
+    assert 1 in kept
+    assert dropped.get(2) == "clean" and dropped.get(3) == "clean"
+    assert kept | set(dropped) == {1, 2, 3} and not (kept & set(dropped))
+
+    c4_rows = [
+        (1, "A first proper sentence that easily has five words.\n"
+            "fragment without punctuation\n"
+            "A second proper sentence keeps the page alive today.\n"
+            "And a third full sentence closes out the page!", "en"),
+        (2, "Code page { nope }.\n"
+            "A first proper sentence that easily has five words.\n"
+            "A second proper sentence keeps the page alive today.\n"
+            "And a third full sentence closes out the page!", "en"),
+    ]
+    c4_docs = spark.createDataFrame(
+        c4_rows, "doc_id long, text string, lang string"
+    )
+    curated2, stats2 = curate_documents(
+        c4_docs, min_quality=0, drop_audit=True, near_dup="ngram",
+        **PRESETS["c4"],
+    )
+    out = {r["doc_id"]: r["text"] for r in curated2.collect()}
+    dropped2 = {
+        r["doc_id"]: r["dropped_stage"] for r in stats2.drop_audit.collect()
+    }
+    assert dropped2.get(2) == "c4"            # brace page, its own stage
+    assert 1 in out
+    assert "fragment without punctuation" not in out[1]  # line rewritten
+    # 3 kept lines survive (clean_text later collapses \n to spaces)
+    assert out[1].count("sentence") == 3
