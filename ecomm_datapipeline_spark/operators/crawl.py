@@ -1,0 +1,150 @@
+"""Iterative crawl scheduling: BFS over the web graph with robots
+permission and per-host politeness, as a driver-side round loop over
+pure DataFrame transforms — the composition that turns this engine's
+crawl pieces (frontier waves, RFC 9309 robots, RFC 3986 resolution,
+link extraction) into an executable crawler. No reference counterpart
+(extension surface; the crawl-ingest story of docs/RECIPES.md).
+
+The FETCH step is a seam, not an implementation: `fetch_fn` takes the
+round's polite wave frame (url rows) and returns (url, html). Tests
+and simulations pass `simulated_fetcher(pages)` — a join against a
+static page corpus; a production deployment substitutes the real HTTP
+fetcher (an Arrow `mapInPandas` over the wave frame, the WARC-decode
+seam convention) without touching the scheduling loop.
+
+Scale shape, per round:
+- the frontier is always the SMALL side (URLs scheduled, not the
+  corpus): robots verdicts broadcast the rules (robots_allowed),
+  politeness uses frontier.frontier_waves (two exchanges at any host
+  skew — a 10M-page template domain never gathers into one task),
+  link extraction is per-row expressions + one Generate.
+- `seen` (attempted URLs) grows monotonically; the frontier-minus-
+  seen anti-join is one hash exchange on the normalized URL. At
+  full-web scale the seen set belongs in a persisted table bucketed
+  by url hash so the anti-join co-locates without re-shuffling seen
+  each round (docs/SCALE.md); the loop's logic is unchanged.
+- each round ends in localCheckpoint on the two carried frames
+  (seen, frontier) — the iterative-lineage convention of
+  dedup.connected_components — so round N's plan never replays
+  rounds 1..N-1.
+
+Politeness contract: a host contributes at most `per_host_per_round`
+fetches per round (frontier_waves wave 0); the overflow WAITS in the
+frontier for later rounds rather than dropping — discovery order is
+priority-free BFS (extend with a priority column via the order_cols
+parameter of frontier_waves if needed).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def simulated_fetcher(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> Callable[[DataFrame], DataFrame]:
+    """Fetch seam for tests/simulation: 'fetching' a URL is an inner
+    join against a static (url, html) corpus — URLs that 404 (no row)
+    simply return nothing, like a real fetcher's failures."""
+
+    def fetch(frontier: DataFrame) -> DataFrame:
+        return frontier.join(
+            pages.select(
+                F.col(url_col).alias("url"), F.col(html_col).alias("html")
+            ),
+            "url",
+        )
+
+    return fetch
+
+
+def crawl(
+    seeds: DataFrame,
+    fetch_fn: Callable[[DataFrame], DataFrame],
+    rounds: int = 3,
+    per_host_per_round: int = 100,
+    rules: DataFrame | None = None,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Run up to `rounds` BFS crawl rounds from `seeds`; returns the
+    fetched corpus (url, html, round) with round = the 1-based round
+    the page was fetched in. Stops early when the frontier drains
+    (one count per round — the iterative-loop convention).
+
+    Per round: normalize + dedup the frontier, drop robots-denied
+    URLs (RFC 9309 verdict for `agent` when `rules` — a
+    robots.robots_rules frame — is given), take each host's first
+    `per_host_per_round` URLs as the polite wave (the rest wait),
+    fetch the wave, extract + resolve the fetched pages' links
+    (<base href>-aware, RFC 3986), and queue the never-attempted
+    ones. Attempted-but-404 URLs enter `seen` too — a URL is tried
+    at most once."""
+    from .frontier import frontier_waves
+    from .html import extract_links_col
+    from .robots import robots_allowed
+    from .urls import normalize_url, url_parts
+
+    spark = seeds.sparkSession
+    empty = spark.createDataFrame([], "url string, html string, round int")
+    fetched_all = empty
+    frontier = (
+        seeds.select(normalize_url(F.col(url_col)).alias("url"))
+        .filter(F.col("url").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seen = frontier.select("url").limit(0).localCheckpoint(eager=True)
+
+    for rnd in range(1, rounds + 1):
+        if frontier.isEmpty():
+            break
+        cand = frontier
+        if rules is not None:
+            cand = (
+                robots_allowed(cand, rules, agent)
+                .filter(F.col("robots_allowed"))
+                .drop("robots_allowed")
+            )
+        waved = frontier_waves(
+            cand.withColumn("host", url_parts(F.col("url"))["host"]),
+            per_host_per_wave=per_host_per_round,
+        )
+        wave = waved.filter(F.col("wave") == 0).select("url")
+        deferred = waved.filter(F.col("wave") > 0).select("url")
+
+        fetched = fetch_fn(wave).select("url", "html")
+        new_links = (
+            fetched.select(
+                F.explode(
+                    extract_links_col("html", base="url")
+                ).alias("_u")
+            )
+            .select(normalize_url(F.col("_u")).alias("url"))
+            .filter(F.col("url").isNotNull())
+            .distinct()
+        )
+
+        fetched_all = fetched_all.unionByName(
+            fetched.withColumn("round", F.lit(rnd))
+        )
+        # every URL offered to the fetcher counts as attempted —
+        # robots-denied URLs also never re-enter (they would be
+        # re-denied every round forever)
+        denied = frontier.join(cand, "url", "left_anti")
+        seen = (
+            seen.unionByName(wave)
+            .unionByName(denied.select("url"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        frontier = (
+            deferred.unionByName(new_links)
+            .distinct()
+            .join(seen, "url", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    return fetched_all

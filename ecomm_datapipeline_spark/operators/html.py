@@ -354,3 +354,154 @@ def link_edges(
         (F.col("dst") != "")
         & (F.col("dst") != F.col("src").cast("string"))
     )
+
+
+# --- Anchor text ---------------------------------------------------------
+#
+# The anchor-text signal (the words authors use to LINK to a page)
+# is the classic off-page relevance/quality feature — per-target
+# anchor aggregation feeds search indexing, crawl prioritization,
+# and training-data quality scoring. Extraction here is the same
+# pure-regex shape as extract_links_col: whole <a ...>...</a>
+# elements first (non-greedy, so nested inline markup stays inside
+# one element), then href + inner text per element.
+
+_ANCHOR_TAG_PATTERN = "(?is)<a\\b[^>]*\\bhref[^>]*>.*?</a>"
+# The five named entities + nbsp the text-extraction chain maps —
+# anchors reuse the same literal set so the two surfaces agree.
+_ANCHOR_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+)
+
+
+def anchor_pairs_col(col: Column | str) -> Column:
+    """array<struct<href:string, anchor:string>> — every <a href>
+    element of the document in order: href per quoting style
+    (double, single, bare; the _HREF_PATTERNS precedence), anchor =
+    the element's inner text with tags stripped, basic entities
+    unescaped, and whitespace collapsed. Elements without a
+    recoverable href drop; empty anchors (image links) survive as
+    ''. Pure expressions, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    tags = F.regexp_extract_all(c, F.lit(_ANCHOR_TAG_PATTERN), 0)
+
+    def _pair(a: Column) -> Column:
+        href = F.coalesce(
+            *[
+                F.nullif(F.regexp_extract(a, p, 1), F.lit(""))
+                for p in _HREF_PATTERNS
+            ]
+        )
+        inner = F.regexp_extract(a, "(?is)^[^>]*>(.*)</a>$", 1)
+        anchor = F.regexp_replace(inner, "(?is)<[^>]*>", " ")
+        for ent, rep in _ANCHOR_ENTITIES:
+            anchor = F.replace(anchor, F.lit(ent), F.lit(rep))
+        anchor = F.trim(F.regexp_replace(anchor, "\\s+", " "))
+        return F.struct(href.alias("href"), anchor.alias("anchor"))
+
+    return F.filter(
+        F.transform(tags, _pair), lambda s: s["href"].isNotNull()
+    )
+
+
+def anchor_edges(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    base_col: str | None = None,
+) -> DataFrame:
+    """(src, dst, anchor): one row per outbound http(s) link with its
+    anchor text. With `base_col` (the page URL), hrefs resolve per
+    RFC 3986 §5 first — same contract as extract_links_col, so
+    relative links become edges. dst is the RESOLVED absolute URL
+    (normalize/host-extract downstream at the caller's grain). One
+    Generate, zero shuffle."""
+    pairs = anchor_pairs_col(html_col)
+    if base_col is not None:
+        from .urls import resolve_url_col
+
+        b = F.col(base_col)
+        tag = base_href_col(F.col(html_col))
+        eb = F.when(tag.isNotNull(), resolve_url_col(b, tag)).otherwise(b)
+        # bind the effective base ONCE (the extract_links_col lambda-
+        # binding note: inlining it per-struct multiplies the plan)
+        pairs = F.element_at(
+            F.transform(
+                F.array(eb),
+                lambda ebv: F.transform(
+                    pairs,
+                    lambda s: F.struct(
+                        resolve_url_col(ebv, s["href"]).alias("href"),
+                        s["anchor"].alias("anchor"),
+                    ),
+                ),
+            ),
+            1,
+        )
+    out = df.select(
+        F.col(id_col).alias("src"), F.explode(pairs).alias("_p")
+    )
+    return out.select(
+        "src",
+        F.col("_p.href").alias("dst"),
+        F.col("_p.anchor").alias("anchor"),
+    ).filter(F.col("dst").rlike("(?i)^https?://"))
+
+
+def anchor_summary(
+    edges: DataFrame, k: int = 5, min_term_len: int = 2
+) -> DataFrame:
+    """Per-target anchor profile over an anchor_edges frame:
+    (dst, n_anchors, n_sources, top_terms) where top_terms is the k
+    most frequent lowercased whitespace terms of the target's anchor
+    texts (count desc, term asc — deterministic).
+
+    Scale shape: term counting is one (dst, term) hash aggregation;
+    the per-target top-k uses similarity._topk_per_key (rank within
+    (key, partition) first, then over <= partitions*k survivors), so
+    a target with 10^9 inbound anchors — the exact skew a popular
+    page produces — never gathers into one task. The counts
+    aggregation partially aggregates map-side, so hot targets cost
+    one combiner row per task, not a row per link."""
+    from .similarity import _topk_per_key
+
+    counts = edges.groupBy("dst").agg(
+        F.count("*").alias("n_anchors"),
+        F.count_distinct("src").alias("n_sources"),
+    )
+    terms = (
+        edges.select(
+            "dst",
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim(F.col("anchor"))), "\\s+"),
+                    lambda t: F.length(t) >= min_term_len,
+                )
+            ).alias("term"),
+        )
+        .groupBy("dst", "term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        _topk_per_key(
+            terms,
+            "dst",
+            [F.col("cnt").desc(), F.col("term").asc()],
+            k,
+            [F.col("dst"), F.col("term"), F.col("cnt"), F.col("rank")],
+        )
+        .groupBy("dst")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("rank", "term"))
+            ).alias("_ranked")
+        )
+        .select(
+            "dst",
+            F.transform(F.col("_ranked"), lambda s: s["term"]).alias(
+                "top_terms"
+            ),
+        )
+    )
+    return counts.join(top, "dst", "left")

@@ -1,0 +1,132 @@
+"""Anchor-text extraction + per-target aggregation (operators/html.py
+anchor_pairs_col / anchor_edges / anchor_summary): hand-pinned
+extraction semantics, a Python-re differential over corpus-synthesized
+pages, base-URL resolution, and the skew-safe aggregation contract."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import html as H
+
+PAGE = (
+    '<p>Intro</p><a href="https://ex.example/a">First <b>bold</b> link</a>'
+    "<a href='/rel/path'>Relative&nbsp;link</a>"
+    '<a href=https://bare.example/b>bare&amp;quoted</a>'
+    '<a href="mailto:x@example.com">mail me</a>'
+    '<a href="https://ex.example/img"><img src="x.png"></a>'
+    '<A HREF="https://upper.example/">UPPER case tag</A>'
+    "<a class='x' id='y'>no href drops</a>"
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.createDataFrame(
+        [(1, PAGE, "https://site.example/dir/page.html")],
+        "doc_id long, html string, url string",
+    )
+
+
+def test_anchor_pairs_semantics(spark, pages):
+    got = pages.select(
+        H.anchor_pairs_col("html").alias("pairs")
+    ).collect()[0]["pairs"]
+    assert [(p["href"], p["anchor"]) for p in got] == [
+        ("https://ex.example/a", "First bold link"),
+        ("/rel/path", "Relative link"),
+        ("https://bare.example/b", "bare&quoted"),
+        ("mailto:x@example.com", "mail me"),
+        ("https://ex.example/img", ""),
+        ("https://upper.example/", "UPPER case tag"),
+    ]
+
+
+def test_anchor_edges_resolution_and_scheme_filter(spark, pages):
+    got = H.anchor_edges(pages, base_col="url").collect()
+    dsts = {r["dst"]: r["anchor"] for r in got}
+    # relative href resolved against the page URL
+    assert dsts["https://site.example/rel/path"] == "Relative link"
+    # mailto dropped by the scheme filter even after resolution
+    assert not any(d.startswith("mailto") for d in dsts)
+    assert len(got) == 5
+
+
+def test_anchor_re_differential(spark):
+    """Pair extraction vs an independent Python-re derivation over
+    pages synthesized from the documents corpus."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pages = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><a href="https://a.example/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            F.substring(F.col("text"), 1, 40),
+            F.lit("</a><p>"),
+            F.col("text"),
+            F.lit('</p><a href=\'//cdn.example/x\'>cdn <i>link</i></a>'),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    got = {
+        r["doc_id"]: [(p["href"], p["anchor"]) for p in r["pairs"]]
+        for r in pages.select(
+            "doc_id", H.anchor_pairs_col("html").alias("pairs")
+        ).collect()
+    }
+    tag_re = re.compile(r"(?is)<a\b[^>]*\bhref[^>]*>.*?</a>")
+    href_res = [re.compile(p) for p in H._HREF_PATTERNS]
+    inner_re = re.compile(r"(?is)^[^>]*>(.*)</a>$")
+    for row in pages.select("doc_id", "html").collect():
+        exp = []
+        for m in tag_re.findall(row["html"]):
+            href = next(
+                (h.search(m).group(1) for h in href_res
+                 if h.search(m) and h.search(m).group(1)),
+                None,
+            )
+            if href is None:
+                continue
+            inner = inner_re.search(m).group(1)
+            anchor = re.sub(r"(?is)<[^>]*>", " ", inner)
+            for ent, rep in H._ANCHOR_ENTITIES:
+                anchor = anchor.replace(ent, rep)
+            anchor = re.sub(r"\s+", " ", anchor).strip()
+            exp.append((href, anchor))
+        assert got[row["doc_id"]] == exp, row["doc_id"]
+
+
+def test_anchor_summary(spark):
+    rows = [
+        (s, f"https://t{t}.example/", a)
+        for s, t, a in [
+            (1, 1, "best spark guide"), (2, 1, "spark guide"),
+            (3, 1, "the spark guide"), (4, 1, "a guide"),
+            (1, 2, "zz top"), (1, 2, "zz top"),
+        ]
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst string, anchor string")
+    got = {
+        r["dst"]: r
+        for r in H.anchor_summary(edges, k=2).collect()
+    }
+    t1 = got["https://t1.example/"]
+    assert t1["n_anchors"] == 4 and t1["n_sources"] == 4
+    # 'guide' x4 beats 'spark' x3; k=2 cuts there (count desc, term asc)
+    assert t1["top_terms"] == ["guide", "spark"]
+    t2 = got["https://t2.example/"]
+    assert t2["n_anchors"] == 2 and t2["n_sources"] == 1
+    assert t2["top_terms"] == ["top", "zz"]
+
+
+def test_anchor_summary_no_single_key_window(spark):
+    """The term top-k never ranks a whole key in one window: the plan
+    must contain the two-stage (_pid-partitioned) ranking."""
+    edges = spark.createDataFrame(
+        [(1, "https://t.example/", "a b")], "src long, dst string, anchor string"
+    )
+    plan = H.anchor_summary(edges)._jdf.queryExecution().optimizedPlan().toString()
+    assert "_pid" in plan

@@ -1,0 +1,68 @@
+"""Compression-ratio signal (operators/compress.py): exact zlib
+differential over the corpus, discrimination between repetitive and
+varied text, NULL/empty handling, filter semantics, and the
+zero-shuffle seam plan."""
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import compress as Z
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_zlib_differential(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in Z.compression_signal(df)
+        .select("doc_id", "text", "n_bytes", "n_compressed_bytes",
+                "compression_ratio")
+        .collect()
+    }
+    assert len(got) > 0
+    for doc_id, r in got.items():
+        raw = r["text"].encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        assert r["n_bytes"] == len(raw)
+        assert r["n_compressed_bytes"] == len(comp)
+        assert r["compression_ratio"] == pytest.approx(
+            len(comp) / len(raw), abs=1e-12
+        )
+
+
+def test_discrimination_and_nulls(spark):
+    rows = [
+        (1, "spam " * 400),                       # hyper-repetitive
+        (2, "The quick brown fox jumps over the lazy dog; meanwhile "
+            "seventeen astronauts debated quantum economics under a "
+            "violet sky, cataloguing improbable verbs with zeal."),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["compression_ratio"]
+        for r in Z.compression_signal(df).collect()
+    }
+    assert got[1] < 0.05            # boilerplate collapses
+    assert got[2] > 0.5             # varied prose does not
+    assert got[3] is None and got[4] is None
+
+    kept = {
+        r["doc_id"]
+        for r in Z.compression_filter(df, min_ratio=0.25).collect()
+    }
+    assert kept == {2}
+
+
+def test_zero_shuffle_plan(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        Z.compression_signal(df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan

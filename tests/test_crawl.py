@@ -1,0 +1,112 @@
+"""Iterative crawl loop (operators/crawl.py): BFS discovery rounds
+over a planted site graph, robots exclusion, per-host politeness
+deferral, at-most-once fetching, 404 handling, and early termination."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import crawl as C
+from ecomm_datapipeline_spark.operators import robots as R
+
+
+def _page(*links: str) -> str:
+    return "".join(f'<a href="{u}">x</a>' for u in links) or "<p>leaf</p>"
+
+
+@pytest.fixture(scope="module")
+def web(spark):
+    pages = [
+        # hub links relatively + cross-host; /p3 is robots-denied
+        ("https://a.example/", _page("/p1", "/p2", "/p3", "https://b.example/x")),
+        ("https://a.example/p1", _page()),
+        ("https://a.example/p2", _page()),
+        ("https://a.example/p3", _page("https://never.example/")),
+        ("https://b.example/x", _page("https://c.example/only")),
+        ("https://c.example/only", _page()),
+    ]
+    return spark.createDataFrame(pages, "url string, html string")
+
+
+@pytest.fixture(scope="module")
+def rules(spark):
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /p3")],
+        "host string, robots_txt string",
+    )
+    return R.robots_rules(robots)
+
+
+def test_crawl_bfs_rounds_and_robots(spark, web, rules):
+    seeds = spark.createDataFrame([("https://a.example/",)], "url string")
+    got = {
+        r["url"]: r["round"]
+        for r in C.crawl(
+            seeds, C.simulated_fetcher(web), rounds=5, rules=rules
+        ).collect()
+    }
+    assert got == {
+        "https://a.example/": 1,
+        "https://a.example/p1": 2,
+        "https://a.example/p2": 2,
+        "https://b.example/x": 2,
+        "https://c.example/only": 3,
+    }
+    # /p3 robots-denied: never fetched, its outlink never discovered
+    assert "https://a.example/p3" not in got
+    assert "https://never.example/" not in got
+
+
+def test_crawl_politeness_defers_not_drops(spark, web):
+    """K=1 per host per round: a.example's pages drain one per round,
+    every allowed page still gets fetched eventually."""
+    seeds = spark.createDataFrame([("https://a.example/",)], "url string")
+    rows = C.crawl(
+        seeds, C.simulated_fetcher(web), rounds=6, per_host_per_round=1
+    ).collect()
+    got = {r["url"]: r["round"] for r in rows}
+    a_rounds = sorted(v for k, v in got.items() if "a.example" in k)
+    # one a.example fetch per round, no round repeats the host
+    assert len(a_rounds) == len(set(a_rounds)) == 4
+    # every corpus page fetched (no robots here); the 404
+    # never.example/ was attempted but yields no row
+    assert set(got) == {
+        "https://a.example/",
+        "https://a.example/p1",
+        "https://a.example/p2",
+        "https://a.example/p3",
+        "https://b.example/x",
+        "https://c.example/only",
+    }
+
+
+def test_crawl_at_most_once_and_termination(spark, web):
+    """Cyclic links never refetch; the loop stops when the frontier
+    drains even with rounds to spare."""
+    cyc = spark.createDataFrame(
+        [
+            ("https://x.example/", _page("/loop")),
+            ("https://x.example/loop", _page("/")),
+        ],
+        "url string, html string",
+    )
+    seeds = spark.createDataFrame([("https://x.example/",)], "url string")
+    rows = C.crawl(seeds, C.simulated_fetcher(cyc), rounds=10).collect()
+    assert sorted((r["url"], r["round"]) for r in rows) == [
+        ("https://x.example/", 1),
+        ("https://x.example/loop", 2),
+    ]
+
+
+def test_crawl_404_attempted_once(spark, web):
+    """URLs missing from the corpus (404) are attempted, return no
+    row, and never re-enter the frontier."""
+    pages = spark.createDataFrame(
+        [("https://h.example/", _page("/gone", "/there")),
+         ("https://h.example/there", _page("/gone"))],
+        "url string, html string",
+    )
+    seeds = spark.createDataFrame([("https://h.example/",)], "url string")
+    rows = C.crawl(seeds, C.simulated_fetcher(pages), rounds=5).collect()
+    assert {r["url"] for r in rows} == {
+        "https://h.example/", "https://h.example/there",
+    }
