@@ -69,6 +69,7 @@ def crawl(
     rules: DataFrame | None = None,
     agent: str = "*",
     url_col: str = "url",
+    drop_traps: bool = True,
 ) -> DataFrame:
     """Run up to `rounds` BFS crawl rounds from `seeds`; returns the
     fetched corpus (url, html, round) with round = the 1-based round
@@ -82,11 +83,17 @@ def crawl(
     fetch the wave, extract + resolve the fetched pages' links
     (<base href>-aware, RFC 3986), and queue the never-attempted
     ones. Attempted-but-404 URLs enter `seen` too — a URL is tried
-    at most once."""
+    at most once.
+
+    `drop_traps` (default on) screens DISCOVERED links with
+    urls.crawl_trap_cols (depth / repeated-segment / query-shape /
+    session-id heuristics) before they enter the frontier, so spider
+    traps never consume politeness budget; seeds are exempt (the
+    operator trusts its caller's seed list)."""
     from .frontier import frontier_waves
     from .html import extract_links_col
     from .robots import robots_allowed
-    from .urls import normalize_url, url_parts
+    from .urls import drop_crawl_traps, normalize_url, url_parts
 
     spark = seeds.sparkSession
     empty = spark.createDataFrame([], "url string, html string, round int")
@@ -127,6 +134,8 @@ def crawl(
             .filter(F.col("url").isNotNull())
             .distinct()
         )
+        if drop_traps:
+            new_links = drop_crawl_traps(new_links)
 
         fetched_all = fetched_all.unionByName(
             fetched.withColumn("round", F.lit(rnd))

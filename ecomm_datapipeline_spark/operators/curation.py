@@ -68,6 +68,7 @@ def curate_documents(
     drop_audit: bool = False,
     c4_line_page_rules: bool = False,
     gopher_document_rules: bool = False,
+    compression_band: tuple[float, float] | None = None,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
@@ -132,7 +133,19 @@ def curate_documents(
         # (quality_rules.gopher_rule_cols) — same placement and same
         # audit attribution ('clean') as the repetition half.
         cleaned = quality_rules.gopher_filter(cleaned, text_col)
-    if drop_repetitive or gopher_document_rules:
+    if compression_band is not None:
+        # zlib-ratio boilerplate band (operators/compress.py): the
+        # model-free redundancy gate, same pre-dedup placement and
+        # 'clean' audit attribution as the repetition rules. The one
+        # Arrow seam in the stage — the checkpoint below keeps the
+        # CC rounds from re-running DEFLATE over the corpus.
+        from . import compress
+
+        lo, hi = compression_band
+        cleaned = compress.compression_filter(
+            cleaned, lo, hi, text_col, id_col
+        )
+    if drop_repetitive or gopher_document_rules or compression_band:
         # Lazily checkpoint the survivors: the near-dup stage's
         # iterative connected-components re-executes its input every
         # propagation round, and re-running the (deliberately thorough)

@@ -505,3 +505,37 @@ def anchor_summary(
         )
     )
     return counts.join(top, "dst", "left")
+
+
+def duckdb_anchor_sig_sql(expr: str) -> str:
+    """DuckDB twin of md5 over anchor_pairs_col rendered as
+    'href@anchor' joined with '|' — GENERATED from the same pattern
+    and entity constants (_ANCHOR_TAG_PATTERN / _HREF_PATTERNS /
+    _ANCHOR_ENTITIES) so the oracle cannot drift from the engine
+    expression. The href extraction is computed twice (filter +
+    project) instead of bound through a struct — the fold input is a
+    small synthesized page, and DuckDB's optimizer CSEs it anyway."""
+    tag = _ANCHOR_TAG_PATTERN.replace("'", "''")
+    href = (
+        "coalesce("
+        + ", ".join(
+            f"nullif(regexp_extract(a, '{p.replace(chr(39), chr(39) * 2)}', 1), '')"
+            for p in _HREF_PATTERNS
+        )
+        + ")"
+    )
+    anchor = (
+        "regexp_replace(regexp_extract(a, '(?is)^[^>]*>(.*)</a>$', 1),"
+        " '(?is)<[^>]*>', ' ', 'g')"
+    )
+    for ent, rep in _ANCHOR_ENTITIES:
+        e = ent.replace("'", "''")
+        r = rep.replace("'", "''")
+        anchor = f"replace({anchor}, '{e}', '{r}')"
+    anchor = f"trim(regexp_replace({anchor}, '\\s+', ' ', 'g'))"
+    return (
+        f"md5(array_to_string(list_transform(list_filter("
+        f"regexp_extract_all({expr}, '{tag}', 0),"
+        f" a -> {href} IS NOT NULL),"
+        f" a -> {href} || '@' || {anchor}), '|'))"
+    )

@@ -429,3 +429,81 @@ def pct_normalize_col(col: Column | str) -> Column:
             step,
         )
     )
+
+
+# --- Crawl-trap detection ------------------------------------------------
+#
+# Spider traps (infinite calendars, session-id permutations, cyclic
+# path growth) waste a crawler's politeness budget on one host. The
+# standard defenses are URL-shape heuristics (Heydon & Najork,
+# "Mercator: A scalable, extensible Web crawler", 1999): bounded
+# depth, bounded query, no repeated path segments, no session ids.
+
+_SESSION_PARAM_RE = (
+    r"(?i)(phpsessid|jsessionid|aspsessionid[a-z]*|sessionid|sid|"
+    r"session_key|cfid|cftoken)="
+)
+
+
+def crawl_trap_cols(
+    url_col: Column | str,
+    max_depth: int = 12,
+    max_query_len: int = 200,
+    max_params: int = 10,
+    max_segment_repeats: int = 2,
+) -> dict[str, Column]:
+    """URL-shape trap signals as named Columns (pure expressions):
+    path_depth, n_repeated_segments (path segments appearing more
+    than once — cyclic growth like /a/b/a/b/a), query_len, n_params,
+    has_session_id, and `likely_trap` (any threshold exceeded).
+    NULL url -> NULL signals."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    parts = url_parts(u)
+    path, query = parts["path"], parts["query"]
+    segs = F.filter(
+        F.split(F.coalesce(path, F.lit("")), "/"),
+        lambda s: F.length(s) > 0,
+    )
+    depth = F.size(segs)
+    n_rep = depth - F.size(F.array_distinct(segs))
+    qlen = F.length(F.coalesce(query, F.lit("")))
+    n_params = F.when(qlen == 0, F.lit(0)).otherwise(
+        F.size(F.split(query, "&"))
+    )
+    sess = F.coalesce(query, F.lit("")).rlike(_SESSION_PARAM_RE) | F.coalesce(
+        path, F.lit("")
+    ).rlike(r"(?i);jsessionid=")
+    def _guarded(c: Column, typ: str) -> Column:
+        return F.when(u.isNull(), F.lit(None).cast(typ)).otherwise(
+            c.cast(typ)
+        )
+
+    return {
+        "path_depth": _guarded(depth, "int"),
+        "n_repeated_segments": _guarded(n_rep, "int"),
+        "query_len": _guarded(qlen, "int"),
+        "n_params": _guarded(n_params, "int"),
+        "has_session_id": _guarded(sess, "boolean"),
+        "likely_trap": _guarded(
+            (depth > max_depth)
+            | (n_rep > max_segment_repeats)
+            | (qlen > max_query_len)
+            | (n_params > max_params)
+            | sess,
+            "boolean",
+        ),
+    }
+
+
+def drop_crawl_traps(
+    df: DataFrame, url_col: str = "url", **thresholds
+) -> DataFrame:
+    """Rows whose url is not flagged by crawl_trap_cols (NULL urls
+    drop). The frontier-side companion of per_domain_cap: apply
+    BEFORE scheduling so traps never consume politeness budget."""
+    return df.filter(
+        ~F.coalesce(
+            crawl_trap_cols(F.col(url_col), **thresholds)["likely_trap"],
+            F.lit(True),
+        )
+    )

@@ -3403,6 +3403,24 @@ def _c4_cleaned_sql() -> str:
     return duckdb_c4_clean_sql("c4_doc")
 
 
+def _anchor_sig_sql() -> str:
+    """DuckDB twin of the r9 anchor_sig fold: the synthesized anchor
+    page (absolute double-quoted href with per-doc content, relative
+    single-quoted href, entity in the anchor text, href-less element
+    that must drop) run through the GENERATED anchor-pair SQL
+    (html.duckdb_anchor_sig_sql — the duckdb_c4_clean_sql
+    convention)."""
+    from ..operators.html import duckdb_anchor_sig_sql
+
+    apage = (
+        "('<div><a href=\"https://x.example/' || doc_id || '\">link '"
+        " || source ||"
+        " '</a><a href=''/rel/' || CAST(doc_id % 7 AS INT) ||"
+        " '''>rel&amp;two</a><a class=no>skip</a></div>')"
+    )
+    return duckdb_anchor_sig_sql(apage) + " AS anchor_sig"
+
+
 def _gopher_c4_sql() -> str:
     """DuckDB twin of the r9 quality-rule folds: gopher_bits (the 7
     Gopher document rules of quality_rules.gopher_rule_cols over
@@ -3546,6 +3564,8 @@ def _gopher_c4_sql() -> str:
       """
     + _html_sig_sql()
     + ",\n      "
+    + _anchor_sig_sql()
+    + ",\n      "
     + _gopher_c4_sql()
     + "\n    FROM qclean\n    ",
     "ext: PII scan + URL + shape + sections + script + winnow + html + quality-rule folds",
@@ -3588,8 +3608,14 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       (the corpus trips no rule raw; see _quality_docs_sql), with
       the cleaned-text oracle SQL GENERATED from the operator
       (quality_rules.duckdb_c4_clean_sql). Red-tested on both the
-      gopher (max_words) and c4 (min_sentences) sides."""
-    from ..operators.html import html_to_text_col
+      gopher (max_words) and c4 (min_sentences) sides;
+    * anchor extraction (r9, html.anchor_pairs_col): anchor_sig
+      hashes the (href, anchor) pairs of a synthesized page
+      (absolute/relative/entity/href-less cases) with the oracle SQL
+      GENERATED from the operator's constants
+      (html.duckdb_anchor_sig_sql); red-tested via the relative-href
+      literal."""
+    from ..operators.html import anchor_pairs_col, html_to_text_col
     from ..operators.segments import content_shape_cols, sections_col
     from ..operators.text import pattern_scan, script_profile_cols
     from ..operators.urls import (
@@ -3764,6 +3790,25 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(_qcase == 2, F.repeat(F.lit("\ntrailing thought..."), 8))
         .otherwise(F.lit("")),
     )
+    # anchor fold input (r9): same synthesized page as _anchor_sig_sql
+    apage = F.concat(
+        F.lit('<div><a href="https://x.example/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">link '),
+        F.col("source"),
+        F.lit("</a><a href='/rel/"),
+        (F.col("doc_id") % 7).cast("int").cast("string"),
+        F.lit("'>rel&amp;two</a><a class=no>skip</a></div>"),
+    )
+    anchor_sig = F.md5(
+        F.array_join(
+            F.transform(
+                anchor_pairs_col(apage),
+                lambda p: F.concat(p["href"], F.lit("@"), p["anchor"]),
+            ),
+            "|",
+        )
+    )
     _closer_nl = F.concat(F.lit("\n"), F.lit(_C4_CLOSER))
     c4_doc = F.concat(
         F.lit(_C4_LEAD),
@@ -3811,6 +3856,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "robots_groups": robots_groups,
             "resolved_url": resolved_url,
             "html_sig": F.md5(html_to_text_col(page)),
+            "anchor_sig": anchor_sig,
             # r9 quality-rule folds: the REAL gopher/c4 rule columns
             # packed into bitmasks (one bit per published rule, order
             # pinned by *_RULE_ORDER) + md5 of the C4-cleaned text,

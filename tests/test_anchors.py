@@ -130,3 +130,44 @@ def test_anchor_summary_no_single_key_window(spark):
     )
     plan = H.anchor_summary(edges)._jdf.queryExecution().optimizedPlan().toString()
     assert "_pid" in plan
+
+
+def test_anchor_sig_duckdb_generated_twin(spark):
+    """The generated DuckDB twin (duckdb_anchor_sig_sql) matches the
+    engine md5 over corpus-synthesized anchor pages byte-for-byte."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    apage = F.concat(
+        F.lit('<p><a href="https://t.example/'),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.substring(F.col("text"), 1, 30),
+        F.lit(" <i>x</i>&amp;y</a><a name=skip>drop</a></p>"),
+    )
+    sig = F.md5(
+        F.array_join(
+            F.transform(
+                H.anchor_pairs_col(apage),
+                lambda p: F.concat(p["href"], F.lit("@"), p["anchor"]),
+            ),
+            "|",
+        )
+    )
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", sig.alias("sig")).collect()
+    }
+    sql_page = (
+        "('<p><a href=\"https://t.example/' || doc_id || '\">'"
+        " || substr(text, 1, 30) ||"
+        " ' <i>x</i>&amp;y</a><a name=skip>drop</a></p>')"
+    )
+    exp = dict(
+        duckdb.sql(
+            f"SELECT doc_id, {H.duckdb_anchor_sig_sql(sql_page)}"
+            f" FROM read_parquet('{sf}/documents.parquet')"
+        ).fetchall()
+    )
+    assert got == exp and len(got) > 0

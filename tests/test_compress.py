@@ -66,3 +66,28 @@ def test_zero_shuffle_plan(spark):
     )
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_compression_band_in_curation(spark):
+    """curate_documents(compression_band=...) drops boilerplate in
+    the clean stage; funnel identity holds."""
+    from ecomm_datapipeline_spark.operators.curation import curate_documents
+
+    varied = (
+        "The quick brown fox jumps over the lazy dog while seventeen "
+        "astronauts debated quantum economics under a violet sky, "
+        "cataloguing improbable verbs with considerable zeal today."
+    )
+    rows = [
+        (1, varied, "en"),
+        (2, "spam ham " * 300, "en"),   # collapses under DEFLATE
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    curated, stats = curate_documents(
+        docs, min_quality=0, near_dup="ngram", drop_audit=True,
+        compression_band=(0.25, 1.05),
+    )
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    dropped = {r["doc_id"]: r["dropped_stage"] for r in stats.drop_audit.collect()}
+    assert kept == {1}
+    assert dropped[2] == "clean"

@@ -110,3 +110,33 @@ def test_crawl_404_attempted_once(spark, web):
     assert {r["url"] for r in rows} == {
         "https://h.example/", "https://h.example/there",
     }
+
+
+def test_crawl_trap_links_never_queued(spark):
+    """Discovered trap-shaped links (session ids, cyclic paths) are
+    screened before entering the frontier; seeds are exempt."""
+    trap = "https://t.example/a/b/a/b/a/b/a"
+    sess = "https://t.example/page?PHPSESSID=deadbeef"
+    pages = spark.createDataFrame(
+        [
+            ("https://t.example/", _page(trap, sess, "/fine")),
+            ("https://t.example/fine", _page()),
+            (trap, _page()),
+            (sess, _page()),
+        ],
+        "url string, html string",
+    )
+    seeds = spark.createDataFrame([("https://t.example/",)], "url string")
+    got = {
+        r["url"]
+        for r in C.crawl(seeds, C.simulated_fetcher(pages), rounds=4).collect()
+    }
+    assert got == {"https://t.example/", "https://t.example/fine"}
+    # with screening off, both traps are fetched
+    got_off = {
+        r["url"]
+        for r in C.crawl(
+            seeds, C.simulated_fetcher(pages), rounds=4, drop_traps=False
+        ).collect()
+    }
+    assert trap in got_off and sess in got_off

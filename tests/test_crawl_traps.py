@@ -1,0 +1,100 @@
+"""Crawl-trap detection (operators/urls.py crawl_trap_cols /
+drop_crawl_traps): hand-pinned verdicts per trap class, a DuckDB
+differential of every signal, NULL handling, and filter semantics."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import urls as U
+
+CASES = [
+    (1, "https://ok.example/a/b/c?x=1&y=2"),
+    (2, "https://deep.example/" + "/".join(f"s{i}" for i in range(15))),
+    (3, "https://cyc.example/a/b/a/b/a/b"),
+    (4, "https://q.example/p?" + "&".join(f"k{i}=v" for i in range(12))),
+    (5, "https://sess.example/p?PHPSESSID=abc123"),
+    (6, "https://sess2.example/p;jsessionid=XYZ?x=1"),
+    (7, "https://long.example/p?x=" + "a" * 250),
+    (8, None),
+    (9, "not a url at all"),
+]
+
+
+@pytest.fixture(scope="module")
+def urls_df(spark):
+    return spark.createDataFrame(CASES, "id long, url string")
+
+
+def _got(urls_df):
+    return {
+        r["id"]: r
+        for r in urls_df.select(
+            "id",
+            *[
+                c.alias(n)
+                for n, c in U.crawl_trap_cols("url").items()
+            ],
+        ).collect()
+    }
+
+
+def test_trap_verdicts(spark, urls_df):
+    g = _got(urls_df)
+    assert g[1]["likely_trap"] is False
+    assert g[2]["likely_trap"] and g[2]["path_depth"] == 15
+    assert g[3]["likely_trap"] and g[3]["n_repeated_segments"] == 4
+    assert g[4]["likely_trap"] and g[4]["n_params"] == 12
+    assert g[5]["likely_trap"] and g[5]["has_session_id"]
+    assert g[6]["likely_trap"] and g[6]["has_session_id"]
+    assert g[7]["likely_trap"] and g[7]["query_len"] > 200
+    assert g[8]["likely_trap"] is None and g[8]["path_depth"] is None
+    # unparseable: url_parts yields empty strings -> zero signals
+    assert g[9]["likely_trap"] is False and g[9]["path_depth"] == 0
+
+
+def test_drop_crawl_traps(spark, urls_df):
+    kept = {
+        r["id"] for r in U.drop_crawl_traps(urls_df).select("id").collect()
+    }
+    assert kept == {1, 9}  # NULL url (8) drops too
+
+
+def test_trap_duckdb_differential(spark, urls_df):
+    g = _got(urls_df)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, url VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, u) for i, u in CASES]
+    )
+    url_re = U._URL_RE.replace("'", "''")
+    exp = con.execute(
+        f"""
+        WITH p AS (
+          SELECT id,
+            regexp_extract(url, '{url_re}', 3) AS path,
+            regexp_extract(url, '{url_re}', 4) AS query
+          FROM t
+        ), s AS (
+          SELECT id, query,
+            list_filter(string_split(coalesce(path, ''), '/'),
+                        x -> length(x) > 0) AS segs
+          FROM p
+        )
+        SELECT id,
+          CAST(len(segs) AS INT) AS path_depth,
+          CAST(len(segs) - len(list_distinct(segs)) AS INT)
+            AS n_repeated_segments,
+          CAST(length(coalesce(query, '')) AS INT) AS query_len,
+          CAST(CASE WHEN length(coalesce(query, '')) = 0 THEN 0
+               ELSE len(string_split(query, '&')) END AS INT) AS n_params
+        FROM s
+        """
+    ).fetchall()
+    for id_, depth, nrep, qlen, nparams in exp:
+        if id_ == 8:
+            continue  # NULL url: engine yields NULL by contract
+        assert g[id_]["path_depth"] == depth, id_
+        assert g[id_]["n_repeated_segments"] == nrep, id_
+        assert g[id_]["query_len"] == qlen, id_
+        assert g[id_]["n_params"] == nparams, id_

@@ -1,0 +1,58 @@
+"""Rule-distilled quality classifier — the DCLM/FineWeb-Edu pattern
+composed from existing operators with zero new code: label documents
+with a published rule (quality_rules), featurize (hashed TF-IDF),
+fit the linear head (classifier), score the corpus with the
+plan-literal serving expression, and verify the classifier recovers
+the rule on held-out documents."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import quality_rules as Q
+from ecomm_datapipeline_spark.operators.classifier import train_and_score
+from ecomm_datapipeline_spark.operators.vectorize import hashed_tfidf_vectors
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_distill_gopher_alpha_rule(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # plant a content-level rule violation: odd docs become digit
+    # salad, failing the alpha-word rule (the label must be learnable
+    # from CONTENT — unit-L2 TF-IDF destroys raw length, so a
+    # length-based rule would be the wrong probe here)
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 1,
+            F.regexp_replace(F.col("text"), "[A-Za-z]", "7"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    labels = corpus.select(
+        "doc_id",
+        Q.gopher_rule_cols("text")["rule_alpha_words"]
+        .cast("int")
+        .alias("label"),
+    )
+    # sanity: the planted corruption IS the label
+    lab = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert all(v == (1 - i % 2) for i, v in lab.items())
+
+    vecs = hashed_tfidf_vectors(corpus, dim=128)
+    labeled = vecs.join(labels, "doc_id")
+    train = labeled.filter(F.col("doc_id") < 250)
+    test = labeled.filter(F.col("doc_id") >= 250)
+    scored = train_and_score(
+        train, test.drop("label"), max_iter=50
+    ).join(labels, "doc_id")
+    rows = scored.select("doc_id", "clf_score", "label").collect()
+    assert len(rows) > 100
+    acc = sum(
+        1 for r in rows if (r["clf_score"] >= 0.5) == (r["label"] == 1)
+    ) / len(rows)
+    assert acc >= 0.95
+    # (the zero-shuffle serving contract of linear_classifier_score
+    # is plan-pinned in the classifier/similarity suites; the
+    # vectorizer input here shuffles by design)
