@@ -70,6 +70,7 @@ def crawl(
     agent: str = "*",
     url_col: str = "url",
     drop_traps: bool = True,
+    priority_fn: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """Run up to `rounds` BFS crawl rounds from `seeds`; returns the
     fetched corpus (url, html, round) with round = the 1-based round
@@ -89,7 +90,14 @@ def crawl(
     urls.crawl_trap_cols (depth / repeated-segment / query-shape /
     session-id heuristics) before they enter the frontier, so spider
     traps never consume politeness budget; seeds are exempt (the
-    operator trusts its caller's seed list)."""
+    operator trusts its caller's seed list).
+
+    `priority_fn` (optional) scores the round's candidate frame —
+    given a (url) DataFrame it must return it with a numeric
+    `priority` column (e.g. host PageRank joined in, or anchor
+    counts from already-fetched pages). Higher priority rides
+    earlier politeness waves WITHIN each host (frontier_waves
+    order_cols); BFS round structure is unchanged."""
     from .frontier import frontier_waves
     from .html import extract_links_col
     from .robots import robots_allowed
@@ -116,9 +124,14 @@ def crawl(
                 .filter(F.col("robots_allowed"))
                 .drop("robots_allowed")
             )
+        order = None
+        if priority_fn is not None:
+            cand = priority_fn(cand)
+            order = [F.desc("priority"), F.col("url")]
         waved = frontier_waves(
             cand.withColumn("host", url_parts(F.col("url"))["host"]),
             per_host_per_wave=per_host_per_round,
+            order_cols=order,
         )
         wave = waved.filter(F.col("wave") == 0).select("url")
         deferred = waved.filter(F.col("wave") > 0).select("url")
@@ -157,3 +170,47 @@ def crawl(
             .localCheckpoint(eager=True)
         )
     return fetched_all
+
+
+def seeds_from_sitemaps(
+    robots_corpus: DataFrame,
+    fetch_fn: Callable[[DataFrame], DataFrame],
+    max_index_depth: int = 2,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """Seed discovery: robots.txt Sitemap lines -> fetch the sitemap
+    XML (through the same fetch seam as crawl) -> sitemaps.org
+    entries, walking <sitemapindex> files up to `max_index_depth`
+    fetch rounds. Returns (url) page seeds ready for crawl().
+
+    Each walk level is one fetch over the CURRENT index frontier —
+    index files are rare relative to leaf sitemaps, so the loop does
+    depth rounds over shrinking tiny frames; entry extraction is
+    robots.sitemap_urls (pure expressions + one Generate)."""
+    from .robots import robots_sitemaps, sitemap_urls
+
+    to_fetch = (
+        robots_sitemaps(robots_corpus, host_col, text_col)
+        .select(F.col("sitemap").alias("url"))
+        .distinct()
+    )
+    seeds = None
+    for _ in range(max_index_depth):
+        if to_fetch.isEmpty():
+            break
+        entries = sitemap_urls(
+            fetch_fn(to_fetch).withColumnRenamed("html", "xml")
+        ).localCheckpoint(eager=True)
+        urls = entries.filter(F.col("kind") == "url").select(
+            F.col("loc").alias("url")
+        )
+        seeds = urls if seeds is None else seeds.unionByName(urls)
+        to_fetch = entries.filter(F.col("kind") == "sitemap").select(
+            F.col("loc").alias("url")
+        ).distinct()
+    return (
+        seeds.distinct()
+        if seeds is not None
+        else to_fetch.limit(0)
+    )

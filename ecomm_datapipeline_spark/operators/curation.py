@@ -27,7 +27,11 @@ from . import dedup, quality_rules, text
 # step, using this engine's lang-id heuristic.
 PRESETS: dict[str, dict] = {
     "gopher": {"drop_repetitive": True, "gopher_document_rules": True},
-    "c4": {"c4_line_page_rules": True, "keep_langs": ("en",)},
+    "c4": {
+        "c4_line_page_rules": True,
+        "dedup_sentence_spans": True,
+        "keep_langs": ("en",),
+    },
 }
 
 
@@ -65,6 +69,7 @@ def curate_documents(
     perplexity_lm=None,
     dedup_substrings_window: int | None = None,
     substrings_min_count: int = 2,
+    dedup_sentence_spans: bool = False,
     drop_audit: bool = False,
     c4_line_page_rules: bool = False,
     gopher_document_rules: bool = False,
@@ -202,6 +207,18 @@ def curate_documents(
             text_col=text_col,
             id_col=id_col,
         ).drop("n_removed_tokens").localCheckpoint(eager=False)
+    if dedup_sentence_spans:
+        # C4's corpus-level step ("all but one of any three-sentence
+        # span"): sentence-grain sibling of the token-window rewrite
+        # above, same placement (after whole-document dedup, before
+        # the quality gates judge what ships) and the same checkpoint
+        # rationale — its corpus shuffle must not re-run per CC round
+        # of any downstream caller.
+        from .substrings import remove_duplicate_sentence_spans
+
+        near = remove_duplicate_sentence_spans(
+            near, text_col=text_col, id_col=id_col
+        ).drop("n_removed_sentences").localCheckpoint(eager=False)
     n_near = near.count() if collect_stats else -1
 
     quality = text.quality_score(near, text_col, id_col).filter(

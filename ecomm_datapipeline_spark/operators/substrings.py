@@ -153,3 +153,111 @@ def remove_shared_substrings(
         out_text.alias(text_col),
         n_removed.cast("int").alias("n_removed_tokens"),
     )
+
+
+# --- Sentence-grain span dedup (the C4 step) -----------------------------
+
+
+def sentence_span_occurrences(
+    docs: DataFrame,
+    span: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """(id, pos, shash) for every rolling `span`-sentence window —
+    the sentence-grain analog of window_occurrences. Sentences come
+    from text.sentence_array_col; matching normalizes each sentence
+    (lowercase + whitespace squeeze) so formatting differences don't
+    hide a verbatim repeat. Documents with < span sentences emit
+    nothing (and are never touched downstream)."""
+    from .text import sentence_array_col
+
+    sents = sentence_array_col(F.col(text_col))
+    norm = F.transform(
+        sents,
+        lambda s: F.regexp_replace(F.lower(s), r"\s+", " "),
+    )
+    base = docs.select(
+        F.col(id_col), norm.alias("_ns")
+    ).filter(F.size("_ns") >= span)
+    return base.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_ns") - span + 1),
+                lambda p: _window_hash(F.col("_ns"), p, span, portable),
+            )
+        ).alias("_p0", "shash"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "shash")
+
+
+def remove_duplicate_sentence_spans(
+    docs: DataFrame,
+    span: int = 3,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    portable: bool = False,
+) -> DataFrame:
+    """C4's corpus-level dedup step (Raffel et al. 2020 §2.2: "we
+    discarded all but one of any three-sentence span occurring more
+    than once in the data set"), the sentence-grain sibling of
+    remove_shared_substrings with the same four-stage scale shape:
+    one Generate for span hashes, ONE corpus shuffle keyed on 8-byte
+    digests, keeper election at min (doc, pos), tiny per-doc span
+    table joined back (AQE picks broadcast), map-only mask rebuild.
+
+    Every occurrence of a repeated span except the globally-first
+    loses its `span` sentences; surviving sentences re-join with
+    single spaces (documents the operator does not touch pass
+    through byte-exact, including < span-sentence documents). Adds
+    `n_removed_sentences`. Overlapping repeated spans union in the
+    mask, so a repeated 4-sentence passage removes all 4 sentences
+    at non-keeper sites."""
+    from .text import sentence_array_col
+
+    occ = sentence_span_occurrences(docs, span, text_col, id_col, portable)
+    flagged = (
+        occ.groupBy("shash")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("keep"),
+        )
+        .filter(F.col("n") >= min_count)
+    )
+    spans = (
+        occ.join(flagged, "shash")
+        .filter(
+            (F.col(id_col) != F.col(f"keep.{id_col}"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select(
+            id_col,
+            F.col("pos").alias("start"),
+            (F.col("pos") + span - 1).alias("end"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_list(F.struct("start", "end")).alias("_spans"))
+    )
+    joined = docs.join(spans, id_col, "left")
+    sents = sentence_array_col(F.col(text_col))
+    kept = F.filter(
+        sents,
+        lambda x, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (i + 1 >= s["start"]) & (i + 1 <= s["end"]),
+        ),
+    )
+    out_text = F.when(F.col("_spans").isNull(), F.col(text_col)).otherwise(
+        F.concat_ws(" ", kept)
+    )
+    n_removed = F.when(F.col("_spans").isNull(), F.lit(0)).otherwise(
+        F.size(sents) - F.size(kept)
+    )
+    others = [c for c in docs.columns if c != text_col]
+    return joined.select(
+        *others,
+        out_text.alias(text_col),
+        n_removed.cast("int").alias("n_removed_sentences"),
+    )

@@ -140,3 +140,68 @@ def test_crawl_trap_links_never_queued(spark):
         ).collect()
     }
     assert trap in got_off and sess in got_off
+
+
+def test_seeds_from_sitemaps_walks_index(spark):
+    """robots Sitemap lines -> index walk -> page seeds through the
+    fetch seam; crawl() accepts the result directly."""
+    robots_corpus = spark.createDataFrame(
+        [("s.example",
+          "User-agent: *\nDisallow:\nSitemap: https://s.example/idx.xml")],
+        "host string, robots_txt string",
+    )
+    idx = (
+        "<sitemapindex><sitemap><loc>https://s.example/a.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    leaf = (
+        "<urlset><url><loc>https://s.example/p1</loc></url>"
+        "<url><loc>https://s.example/p2</loc></url></urlset>"
+    )
+    web = spark.createDataFrame(
+        [
+            ("https://s.example/idx.xml", idx),
+            ("https://s.example/a.xml", leaf),
+            ("https://s.example/p1", _page("/p2")),
+            ("https://s.example/p2", _page()),
+        ],
+        "url string, html string",
+    )
+    fetch = C.simulated_fetcher(web)
+    seeds = C.seeds_from_sitemaps(robots_corpus, fetch)
+    assert {r["url"] for r in seeds.collect()} == {
+        "https://s.example/p1", "https://s.example/p2",
+    }
+    crawled = {r["url"] for r in C.crawl(seeds, fetch, rounds=2).collect()}
+    assert crawled == {"https://s.example/p1", "https://s.example/p2"}
+
+
+def test_crawl_priority_orders_waves(spark, web):
+    """priority_fn: higher-priority URLs ride earlier politeness
+    waves within a host (K=1 makes the order observable as rounds)."""
+    pages = spark.createDataFrame(
+        [
+            ("https://p.example/", _page("/low", "/high")),
+            ("https://p.example/low", _page()),
+            ("https://p.example/high", _page()),
+        ],
+        "url string, html string",
+    )
+    seeds = spark.createDataFrame([("https://p.example/",)], "url string")
+
+    def prio(cand):
+        return cand.withColumn(
+            "priority",
+            F.when(F.col("url").endswith("/high"), F.lit(10.0)).otherwise(
+                F.lit(1.0)
+            ),
+        )
+
+    got = {
+        r["url"]: r["round"]
+        for r in C.crawl(
+            seeds, C.simulated_fetcher(pages), rounds=5,
+            per_host_per_round=1, priority_fn=prio,
+        ).collect()
+    }
+    assert got["https://p.example/high"] < got["https://p.example/low"]

@@ -50,7 +50,13 @@ PINNED = {
     "event_funnel": (2, 1, 0),
     "weekly_retention": (3, 0, 0),
     "quantity_stats": (1, 0, 0),  # r5 histogram fold rides the same shuffle
-    "order_recency_gaps": (1, 1, 0),
+    # r9: +4 exchanges/+2 sorts = the frontier per_key_rank fold
+    # (rank_checksum): post-checkpoint cell counts (1 ex), the
+    # within-key offset window + join-back (reused partitioning),
+    # the checksum aggregation, and the join onto the gaps agg —
+    # all frontier-frame-sized, none corpus-gathering. Re-captured
+    # equal to actuals at sf0.001.
+    "order_recency_gaps": (5, 3, 0),
     "dedup_exact": (1, 0, 0),
     "dedup_ngram_jaccard": (1, 0, 0),  # post-checkpoint plan
     "dedup_minhash_lsh": (1, 0, 2),

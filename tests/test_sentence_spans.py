@@ -1,0 +1,144 @@
+"""C4 sentence-span dedup (operators/substrings.py
+remove_duplicate_sentence_spans): planted cross-doc and within-doc
+repeats, keeper election, overlap union, untouched-doc byte-exactness,
+and a Python-model differential over synthesized sentence corpora."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import substrings as S
+from ecomm_datapipeline_spark.operators.text import SENTENCE_PATTERN
+
+PASSAGE = (
+    "The shared passage starts here. It continues with a second "
+    "sentence. And it ends with a third sentence."
+)
+
+
+def _sents(text):
+    return [
+        m.strip()
+        for m in re.findall(SENTENCE_PATTERN, text)
+        if m.strip()
+    ]
+
+
+def _model(rows, span=3, min_count=2):
+    """Independent Python derivation of the operator's contract."""
+    occ = []
+    for doc_id, text in rows:
+        ns = [re.sub(r"\s+", " ", s.lower()) for s in _sents(text)]
+        for p in range(len(ns) - span + 1):
+            occ.append((doc_id, p + 1, "\x01".join(ns[p : p + span])))
+    from collections import Counter, defaultdict
+
+    cnt = Counter(h for _, _, h in occ)
+    keep = {}
+    for doc_id, pos, h in sorted(occ):
+        if h not in keep:
+            keep[h] = (doc_id, pos)
+    masks = defaultdict(set)
+    for doc_id, pos, h in occ:
+        if cnt[h] >= min_count and keep[h] != (doc_id, pos):
+            masks[doc_id].update(range(pos, pos + span))
+    out = {}
+    for doc_id, text in rows:
+        sents = _sents(text)
+        if doc_id not in masks:
+            out[doc_id] = (text, 0)
+        else:
+            kept = [
+                s for i, s in enumerate(sents) if (i + 1) not in masks[doc_id]
+            ]
+            out[doc_id] = (" ".join(kept), len(sents) - len(kept))
+    return out
+
+
+def test_cross_doc_span_dedup(spark):
+    rows = [
+        (1, PASSAGE + " Unique closer for document one."),
+        (2, "Document two opens differently. " + PASSAGE),
+        (3, "Totally unrelated content lives here. It says nothing "
+            "twice. Every sentence is fresh."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_sentences"])
+        for r in S.remove_duplicate_sentence_spans(df).collect()
+    }
+    # doc 1 holds the globally-first occurrence: untouched byte-exact
+    assert got[1] == (rows[0][1], 0)
+    # doc 2 loses exactly the three passage sentences
+    assert got[2][1] == 3
+    assert "shared passage" not in got[2][0]
+    assert got[2][0].startswith("Document two opens differently.")
+    # doc 3 untouched byte-exact
+    assert got[3] == (rows[2][1], 0)
+
+
+def test_within_doc_repeat_and_short_docs(spark):
+    rows = [
+        (1, PASSAGE + " A bridge sentence sits between. " + PASSAGE),
+        (2, "Too short. Only two sentences."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_sentences"])
+        for r in S.remove_duplicate_sentence_spans(df).collect()
+    }
+    assert got[1][1] == 3                      # second occurrence gone
+    assert got[1][0].count("shared passage") == 1
+    assert got[2] == (rows[1][1], 0)           # < span sentences: byte-exact
+
+
+def test_python_model_differential(spark):
+    """Synthesized multi-sentence corpus: operator vs the independent
+    Python model, including overlap-union cases."""
+    base = [
+        "Alpha sentence number %d stands alone.",
+        "Beta sentence number %d follows along.",
+        "Gamma sentence number %d walks behind.",
+        "Delta sentence number %d closes ranks.",
+    ]
+    rows = []
+    for d in range(12):
+        sents = [base[i % 4] % (d * 7 + i) for i in range(5)]
+        if d % 3 == 0:
+            # plant a 4-sentence repeated passage (overlap union)
+            sents[1:5] = [
+                "Repeated one is here.", "Repeated two is here.",
+                "Repeated three is here.", "Repeated four is here.",
+            ]
+        rows.append((d, " ".join(sents)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_sentences"])
+        for r in S.remove_duplicate_sentence_spans(df).collect()
+    }
+    assert got == _model(rows)
+    # the overlap union removed all 4 sentences at non-keeper sites
+    assert got[3][1] == 4 and got[6][1] == 4 and got[0][1] == 0
+
+
+def test_c4_preset_includes_span_dedup(spark):
+    """PRESETS['c4'] runs the full published recipe: line/page rules
+    AND the three-sentence span dedup."""
+    from ecomm_datapipeline_spark.operators.curation import (
+        PRESETS, curate_documents,
+    )
+
+    dup = (
+        "A first unique opener sentence sits here today. "
+        + PASSAGE
+    )
+    dup2 = "A different opener arrives here instead now. " + PASSAGE
+    rows = [(1, dup, "en"), (2, dup2, "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    curated, _ = curate_documents(
+        docs, min_quality=0, near_dup="ngram", **PRESETS["c4"],
+    )
+    out = {r["doc_id"]: r["text"] for r in curated.collect()}
+    assert out[1].count("shared passage") == 1
+    assert "shared passage" not in out[2]
