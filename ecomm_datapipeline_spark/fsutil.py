@@ -1,0 +1,29 @@
+"""Path-scheme helpers shared by the Arrow file-opening seams (WARC,
+WebDataset): Spark's binaryFile source hands paths as file: URIs, and
+a seam that opens files itself can only open LOCAL ones — non-local
+schemes must either fail loudly or route through the bytes-carrying
+fallback (sources.warc.records_from_files carry_bytes)."""
+
+from __future__ import annotations
+
+
+def is_remote(path: str) -> bool:
+    """True for scheme-qualified non-local paths (s3a://, hdfs://...);
+    file: URIs and plain paths are local."""
+    return "://" in path and not path.startswith("file:")
+
+
+def local_path(path: str) -> str:
+    """file: URI or plain path -> a local filesystem path usable with
+    open(). Raises ValueError for non-local schemes (a Python-side
+    open cannot reach them; callers with a bytes-carrying fallback
+    should route on is_remote BEFORE reaching a task)."""
+    if path.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(path).path)
+    if is_remote(path):
+        raise ValueError(
+            f"non-local path needs a Python filesystem client: {path}"
+        )
+    return path

@@ -37,7 +37,6 @@ from pyspark.sql.types import (
 def compression_signal(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     level: int = 6,
 ) -> DataFrame:
     """`df` plus (n_bytes, n_compressed_bytes, compression_ratio):
@@ -86,7 +85,6 @@ def compression_filter(
     min_ratio: float = 0.25,
     max_ratio: float = 1.05,
     text_col: str = "text",
-    id_col: str = "doc_id",
     level: int = 6,
 ) -> DataFrame:
     """Rows whose compression_ratio lies in [min_ratio, max_ratio]
@@ -96,7 +94,7 @@ def compression_filter(
     audit surface of compression_signal, not this gate's output."""
     in_cols = df.columns
     return (
-        compression_signal(df, text_col, id_col, level)
+        compression_signal(df, text_col, level)
         .filter(
             F.col("compression_ratio").between(min_ratio, max_ratio)
         )

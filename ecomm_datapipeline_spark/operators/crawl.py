@@ -106,9 +106,11 @@ def crawl(
     spark = seeds.sparkSession
     empty = spark.createDataFrame([], "url string, html string, round int")
     fetched_all = empty
+    # normalize_url maps unparseable URLs to '' (documented contract)
+    # — filter both NULL and empty or junk consumes politeness slots
     frontier = (
         seeds.select(normalize_url(F.col(url_col)).alias("url"))
-        .filter(F.col("url").isNotNull())
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -136,7 +138,15 @@ def crawl(
         wave = waved.filter(F.col("wave") == 0).select("url")
         deferred = waved.filter(F.col("wave") > 0).select("url")
 
-        fetched = fetch_fn(wave).select("url", "html")
+        # checkpoint the fetch result: new_links actions it this
+        # round and the caller actions fetched_all later — without
+        # this the lazy lineage re-runs fetch_fn per action (a real
+        # HTTP fetcher would fetch every page TWICE, and the second
+        # pass could return different bytes than the pages whose
+        # links drove scheduling)
+        fetched = (
+            fetch_fn(wave).select("url", "html").localCheckpoint(eager=False)
+        )
         new_links = (
             fetched.select(
                 F.explode(
@@ -144,7 +154,7 @@ def crawl(
                 ).alias("_u")
             )
             .select(normalize_url(F.col("_u")).alias("url"))
-            .filter(F.col("url").isNotNull())
+            .filter(F.col("url").isNotNull() & (F.col("url") != ""))
             .distinct()
         )
         if drop_traps:

@@ -147,9 +147,7 @@ def curate_documents(
         from . import compress
 
         lo, hi = compression_band
-        cleaned = compress.compression_filter(
-            cleaned, lo, hi, text_col, id_col
-        )
+        cleaned = compress.compression_filter(cleaned, lo, hi, text_col)
     if drop_repetitive or gopher_document_rules or compression_band:
         # Lazily checkpoint the survivors: the near-dup stage's
         # iterative connected-components re-executes its input every

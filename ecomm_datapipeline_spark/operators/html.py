@@ -367,12 +367,6 @@ def link_edges(
 # one element), then href + inner text per element.
 
 _ANCHOR_TAG_PATTERN = "(?is)<a\\b[^>]*\\bhref[^>]*>.*?</a>"
-# The five named entities + nbsp the text-extraction chain maps —
-# anchors reuse the same literal set so the two surfaces agree.
-_ANCHOR_ENTITIES = (
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-    ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
-)
 
 
 def anchor_pairs_col(col: Column | str) -> Column:
@@ -395,8 +389,11 @@ def anchor_pairs_col(col: Column | str) -> Column:
         )
         inner = F.regexp_extract(a, "(?is)^[^>]*>(.*)</a>$", 1)
         anchor = F.regexp_replace(inner, "(?is)<[^>]*>", " ")
-        for ent, rep in _ANCHOR_ENTITIES:
-            anchor = F.replace(anchor, F.lit(ent), F.lit(rep))
+        # THE text chain's entity passes (_ENTITIES: both spellings
+        # per character, '&' LAST so double-escapes unescape exactly
+        # one level) — anchors and body text agree by construction
+        for pat, rep in _ENTITIES:
+            anchor = F.regexp_replace(anchor, pat, rep)
         anchor = F.trim(F.regexp_replace(anchor, "\\s+", " "))
         return F.struct(href.alias("href"), anchor.alias("anchor"))
 
@@ -511,7 +508,7 @@ def duckdb_anchor_sig_sql(expr: str) -> str:
     """DuckDB twin of md5 over anchor_pairs_col rendered as
     'href@anchor' joined with '|' — GENERATED from the same pattern
     and entity constants (_ANCHOR_TAG_PATTERN / _HREF_PATTERNS /
-    _ANCHOR_ENTITIES) so the oracle cannot drift from the engine
+    _ENTITIES) so the oracle cannot drift from the engine
     expression. The href extraction is computed twice (filter +
     project) instead of bound through a struct — the fold input is a
     small synthesized page, and DuckDB's optimizer CSEs it anyway."""
@@ -528,10 +525,10 @@ def duckdb_anchor_sig_sql(expr: str) -> str:
         "regexp_replace(regexp_extract(a, '(?is)^[^>]*>(.*)</a>$', 1),"
         " '(?is)<[^>]*>', ' ', 'g')"
     )
-    for ent, rep in _ANCHOR_ENTITIES:
-        e = ent.replace("'", "''")
+    for pat, rep in _ENTITIES:
+        e = pat.replace("'", "''")
         r = rep.replace("'", "''")
-        anchor = f"replace({anchor}, '{e}', '{r}')"
+        anchor = f"regexp_replace({anchor}, '{e}', '{r}', 'g')"
     anchor = f"trim(regexp_replace({anchor}, '\\s+', ' ', 'g'))"
     return (
         f"md5(array_to_string(list_transform(list_filter("

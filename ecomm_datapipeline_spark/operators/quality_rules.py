@@ -42,6 +42,8 @@ in tests/test_quality_rules.py):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -194,6 +196,17 @@ def c4_clean_text_col(
     return F.array_join(c4_kept_lines_col(text_col, min_line_words), "\n")
 
 
+def _word_pattern(w: str) -> str:
+    """Blocklist entry -> literal regex with word boundaries only at
+    word-character edges. re.escape: wordlists carry metacharacters
+    ('c++', 'a$$') — unescaped they error or silently never match;
+    and \\b after a NON-word edge char can never match, so boundaries
+    apply only where the entry's edge is a word character."""
+    pre = r"\b" if re.match(r"\w", w) else ""
+    suf = r"\b" if re.search(r"\w$", w) else ""
+    return pre + re.escape(w) + suf
+
+
 def c4_page_rule_cols(
     text_col: Column | str,
     min_sentences: int = 3,
@@ -217,7 +230,7 @@ def c4_page_rule_cols(
         "rule_no_lorem_ipsum": ~low.contains("lorem ipsum"),
         "rule_no_brace": ~t.contains("{"),
         "rule_no_blocklist": (
-            ~low.rlike(r"\b(" + "|".join(blocklist) + r")\b")
+            ~low.rlike("(" + "|".join(map(_word_pattern, blocklist)) + ")")
             if blocklist
             else F.lit(True)
         ),

@@ -845,3 +845,41 @@ def mixed_script_filter(
         *[cols[f"{n}_frac"] for n in SCRIPT_CLASSES if n != "digit"]
     )
     return df.filter(cols["main_script"].isNull() | (best_frac >= min_main_frac))
+
+
+def readability_cols(text_col: Column | str) -> dict[str, Column]:
+    """Flesch reading ease + Flesch-Kincaid grade (Kincaid et al.
+    1975) as named Column expressions: words = whitespace tokens
+    (tokens), sentences = SENTENCE_PATTERN extraction (the module's
+    shared definitions), syllables = per-word count of [aeiouy]+
+    vowel groups floored at 1 (the standard regex proxy — hyphenation
+    dictionaries are out of scope by design, like the sentence
+    splitter's abbreviation caveat). Degenerate inputs divide by
+    greatest(count, 1); NULL text -> NULL scores. Pure rational
+    arithmetic in a FIXED operation order, so the oracle twin is
+    bit-identical (no transcendentals)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = tokens(t)
+    n_w = F.size(words).cast("double")
+    n_s = F.size(sentence_array_col(t)).cast("double")
+    n_syl = F.aggregate(
+        words,
+        F.lit(0).cast("double"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.lit(1), F.regexp_count(F.lower(w), F.lit("[aeiouy]+"))
+        ).cast("double"),
+    )
+    wps = n_w / F.greatest(n_s, F.lit(1.0))
+    spw = n_syl / F.greatest(n_w, F.lit(1.0))
+    return {
+        "n_words_rd": n_w.cast("int"),
+        "n_sentences_rd": n_s.cast("int"),
+        "n_syllables": n_syl.cast("int"),
+        "flesch_reading_ease": (
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+        ),
+        "fk_grade": (
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+        ),
+    }

@@ -439,8 +439,12 @@ def pct_normalize_col(col: Column | str) -> Column:
 # "Mercator: A scalable, extensible Web crawler", 1999): bounded
 # depth, bounded query, no repeated path segments, no session ids.
 
+# Param NAMES must start at a query boundary (^ of the query string
+# or a separator) — an unanchored match flagged benign params merely
+# ENDING in 'sid' (classid=, newsid=) and silently dropped their
+# whole site sections from the frontier.
 _SESSION_PARAM_RE = (
-    r"(?i)(phpsessid|jsessionid|aspsessionid[a-z]*|sessionid|sid|"
+    r"(?i)(^|[?&;])(phpsessid|jsessionid|aspsessionid[a-z]*|sessionid|sid|"
     r"session_key|cfid|cftoken)="
 )
 

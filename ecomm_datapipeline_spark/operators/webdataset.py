@@ -314,16 +314,7 @@ def samples_from_files(
     schema = _reader_schema(parts)
     part_items = list(parts.items())
 
-    def _local(path: str) -> str:
-        if path.startswith("file:"):
-            from urllib.parse import unquote, urlparse
-
-            return unquote(urlparse(path).path)
-        if "://" in path:
-            raise ValueError(
-                f"non-local path needs a Python filesystem client: {path}"
-            )
-        return path
+    from ..fsutil import local_path as _local
 
     def _check_end_marker(local: str) -> None:
         """Truncation detection for UNCOMPRESSED tars: tarfile's

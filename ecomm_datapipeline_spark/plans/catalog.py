@@ -3403,6 +3403,36 @@ def _c4_cleaned_sql() -> str:
     return duckdb_c4_clean_sql("c4_doc")
 
 
+def _readability_sql() -> str:
+    """DuckDB twin of the r9 readability fold (text.readability_cols
+    over the raw text): n_syllables + fk_grade. Pure rational
+    arithmetic replicated in the SAME operation order, so the double
+    hashes exactly (no transcendentals); the [aeiouy]+ per-word
+    floor-at-1 syllable proxy and SENTENCE_PATTERN come from the
+    operator's constants."""
+    from ..operators.text import SENTENCE_PATTERN
+
+    pat = SENTENCE_PATTERN.replace("'", "''")
+    nw = r"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)"
+    ns = (
+        f"CAST(len(list_filter(list_transform("
+        f"regexp_extract_all(text, '{pat}'), x -> trim(x)),"
+        f" x -> length(x) > 0)) AS DOUBLE)"
+    )
+    nsyl = (
+        r"list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        r" list_transform(regexp_split_to_array(trim(text), '\s+'),"
+        r" w -> CAST(greatest(1,"
+        r" len(regexp_extract_all(lower(w), '[aeiouy]+'))) AS DOUBLE))),"
+        r" (a, b) -> a + b)"
+    )
+    return (
+        f"CAST({nsyl} AS INT) AS n_syllables,\n"
+        f"      0.39 * ({nw} / greatest({ns}, 1.0))"
+        f" + 11.8 * ({nsyl} / greatest({nw}, 1.0)) - 15.59 AS fk_grade"
+    )
+
+
 def _anchor_sig_sql() -> str:
     """DuckDB twin of the r9 anchor_sig fold: the synthesized anchor
     page (absolute double-quoted href with per-doc content, relative
@@ -3566,6 +3596,8 @@ def _gopher_c4_sql() -> str:
     + ",\n      "
     + _anchor_sig_sql()
     + ",\n      "
+    + _readability_sql()
+    + ",\n      "
     + _gopher_c4_sql()
     + "\n    FROM qclean\n    ",
     "ext: PII scan + URL + shape + sections + script + winnow + html + quality-rule folds",
@@ -3617,7 +3649,11 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
       literal."""
     from ..operators.html import anchor_pairs_col, html_to_text_col
     from ..operators.segments import content_shape_cols, sections_col
-    from ..operators.text import pattern_scan, script_profile_cols
+    from ..operators.text import (
+        pattern_scan,
+        readability_cols,
+        script_profile_cols,
+    )
     from ..operators.urls import (
         normalize_url,
         registrable_domain,
@@ -3857,6 +3893,10 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resolved_url": resolved_url,
             "html_sig": F.md5(html_to_text_col(page)),
             "anchor_sig": anchor_sig,
+            # r9 readability fold (text.readability_cols): exact
+            # rational arithmetic, raw-double hash parity
+            "n_syllables": readability_cols(F.col("text"))["n_syllables"],
+            "fk_grade": readability_cols(F.col("text"))["fk_grade"],
             # r9 quality-rule folds: the REAL gopher/c4 rule columns
             # packed into bitmasks (one bit per published rule, order
             # pinned by *_RULE_ORDER) + md5 of the C4-cleaned text,

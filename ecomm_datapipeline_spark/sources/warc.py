@@ -216,7 +216,15 @@ def _decode_body(body: bytes, ctype: str | None, detect_charset: bool) -> str:
             except LookupError:
                 codec = None
             if codec is not None:
-                return body.decode(codec, errors="replace")
+                try:
+                    return body.decode(codec, errors="replace")
+                except LookupError:
+                    # codecs.lookup also resolves NON-TEXT codecs
+                    # (charset=base64/hex/zlib on a crawled page);
+                    # bytes.decode refuses them with LookupError —
+                    # fall through to the default path rather than
+                    # failing the task on one mislabeled page
+                    pass
     return body.decode("utf-8", errors="replace")
 
 
@@ -269,19 +277,14 @@ def _stream_records(
     """Open one archive and stream its records — resident memory is
     the gzip window plus the parser's read buffer, never the file's
     bytes (this is what lifts binaryFile's ~2 GB per-row ceiling).
-    Spark hands binaryFile paths as file: URIs; strip the scheme. A
-    non-local scheme (s3://, hdfs://) needs a filesystem client usable
-    from Python (e.g. fsspec, not bundled here) — fail loudly rather
-    than misread."""
-    local = path
-    if local.startswith("file:"):
-        from urllib.parse import unquote, urlparse
+    Spark hands binaryFile paths as file: URIs; strip the scheme
+    (fsutil.local_path). A non-local scheme (s3://, hdfs://) cannot
+    be opened from Python here — read_warc routes those through the
+    carry_bytes fallback BEFORE any task runs; reaching this raise
+    means a caller bypassed that routing."""
+    from ..fsutil import local_path
 
-        local = unquote(urlparse(local).path)
-    elif "://" in local:
-        raise ValueError(
-            f"non-local path needs a Python filesystem client: {path}"
-        )
+    local = local_path(path)
     with open(local, "rb") as raw:
         stream = gzip.GzipFile(fileobj=raw) if local.endswith(".gz") else raw
         yield from parse_warc_stream(
@@ -298,19 +301,29 @@ ERROR_TYPE = "_error"
 
 
 def records_from_files(
-    files: DataFrame, on_error: str = "fail", detect_charset: bool = False
+    files: DataFrame,
+    on_error: str = "fail",
+    detect_charset: bool = False,
+    carry_bytes: bool = False,
 ) -> DataFrame:
-    """Binary-file rows (only `path` is consumed) -> one row per WARC
-    record — THE decode seam, shared verbatim by the batch reader and
-    the streaming ingester so the two paths cannot desynchronize.
+    """Binary-file rows -> one row per WARC record — THE decode seam,
+    shared verbatim by the batch reader and the streaming ingester so
+    the two paths cannot desynchronize.
 
-    Scale contract: the frame is pruned to `path` BEFORE the
-    repartition, so the one hash Exchange in the plan carries path
-    strings only — never archive bytes (at 100 TB that difference is
-    the whole corpus crossing the network before a single record
-    parses). Each task then OPENS its files inside the Arrow seam and
-    streams records out, flushing batches every 1024 records; see
-    _stream_records for the memory bound.
+    Default (local filesystems): only `path` is consumed, pruned
+    BEFORE the repartition, so the one hash Exchange in the plan
+    carries path strings only — never archive bytes (at 100 TB that
+    difference is the whole corpus crossing the network before a
+    single record parses). Each task then OPENS its files inside the
+    Arrow seam and streams records out, flushing batches every 1024
+    records; see _stream_records for the memory bound.
+
+    carry_bytes=True (remote filesystems — s3a://, hdfs://, any
+    scheme Python cannot open directly): the seam decodes binaryFile's
+    `content` column instead. NO repartition, so bytes still never
+    cross an Exchange — they move scan -> seam within one task; the
+    trade is binaryFile's ~2 GB per-row ceiling and scan-granularity
+    parallelism. read_warc routes on the path scheme automatically.
 
     on_error="fail" raises on a malformed archive (batch semantics);
     "quarantine" converts the file's failure into a single ERROR_TYPE
@@ -318,12 +331,17 @@ def records_from_files(
     if on_error not in ("fail", "quarantine"):
         raise ValueError(f"on_error must be fail|quarantine: {on_error}")
     quarantine = on_error == "quarantine"
+    cols = [f.name for f in WARC_SCHEMA.fields]
+    flush_rows = 1024  # bound resident decoded records per task
+
+    def _quarantine_row(name: str, exc: Exception) -> tuple:
+        return (
+            name, ERROR_TYPE, name, "", "",
+            None, None, f"{type(exc).__name__}: {exc}", "",
+        )
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
-
-        cols = [f.name for f in WARC_SCHEMA.fields]
-        flush_rows = 1024  # bound resident decoded records per task
 
         for pdf in batches:
             out: list[tuple] = []
@@ -342,13 +360,36 @@ def records_from_files(
                     # ValueError: framing
                     if not quarantine:
                         raise
-                    out.append(
-                        (name, ERROR_TYPE, name, "", "",
-                         None, None, f"{type(exc).__name__}: {exc}", "")
-                    )
+                    out.append(_quarantine_row(name, exc))
             if out:
                 yield pd.DataFrame(out, columns=cols)
 
+    def decode_bytes(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out: list[tuple] = []
+            for name, data in zip(pdf["path"], pdf["content"]):
+                name = str(name)
+                try:
+                    for rec in parse_warc_bytes(
+                        name, bytes(data), detect_charset=detect_charset
+                    ):
+                        out.append((name, *rec))
+                        if len(out) >= flush_rows:
+                            yield pd.DataFrame(out, columns=cols)
+                            out = []
+                except (ValueError, OSError) as exc:
+                    if not quarantine:
+                        raise
+                    out.append(_quarantine_row(name, exc))
+            if out:
+                yield pd.DataFrame(out, columns=cols)
+
+    if carry_bytes:
+        return files.select("path", "content").mapInPandas(
+            decode_bytes, WARC_SCHEMA
+        )
     return (
         files.select("path")
         .repartition(F.col("path"))
@@ -377,13 +418,18 @@ def read_warc(
     spark: SparkSession, path: str, detect_charset: bool = False
 ) -> DataFrame:
     """One row per WARC record across every file matching `path`
-    (glob ok; .warc and .warc.gz). See module docstring for the plan
-    shape — file-level parallelism over a paths-only frame, one Arrow
-    decode seam that opens the files itself, zero shuffle after the
-    repartition-by-file."""
+    (glob ok; .warc and .warc.gz). Local paths: file-level parallelism
+    over a paths-only frame, one Arrow decode seam that opens the
+    files itself, zero shuffle after the repartition-by-file. Remote
+    schemes (s3a://, hdfs://): the seam cannot open them from Python,
+    so the bytes-carrying variant decodes binaryFile's content column
+    in place (no Exchange ever carries bytes either way)."""
+    from ..fsutil import is_remote
+
     return records_from_files(
         spark.read.format("binaryFile").load(path),
         detect_charset=detect_charset,
+        carry_bytes=is_remote(path),
     )
 
 

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
+from ..fsutil import is_remote
 from ..sources import tables
 from ..sources.warc import ERROR_TYPE, html_pages, records_from_files
 
@@ -103,9 +104,14 @@ def warc_ingest_stream(
         # materialize the decode ONCE: two write actions follow
         # (documents + quarantine), and without this each would lazily
         # re-run the gzip+parse of every newly-landed archive — the
-        # dominant ingest cost, paid twice
+        # dominant ingest cost, paid twice.
+        # carry_bytes on remote landing zones: the paths-only seam
+        # opens files with Python open() — an s3a:// landing dir
+        # would otherwise quarantine 100% of archives SILENTLY
         records = records_from_files(
-            batch, on_error="quarantine"
+            batch,
+            on_error="quarantine",
+            carry_bytes=is_remote(landing_dir),
         ).localCheckpoint()
         try:
             if not _already_committed(batch, batch_id, out_dir):

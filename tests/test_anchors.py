@@ -43,6 +43,18 @@ def test_anchor_pairs_semantics(spark, pages):
     ]
 
 
+def test_anchor_entity_single_level_unescape(spark):
+    """Anchors share the text chain's entity passes: '&' decodes
+    LAST, so a double-escaped '&amp;lt;b&amp;gt;' unescapes exactly
+    one level (to '&lt;b&gt;'), never to markup."""
+    df = spark.createDataFrame(
+        [(1, '<a href="/x">&amp;lt;b&amp;gt; and &apos;q&apos;</a>')],
+        "doc_id long, html string",
+    )
+    got = df.select(H.anchor_pairs_col("html").alias("p")).collect()[0]["p"]
+    assert got[0]["anchor"] == "&lt;b&gt; and 'q'"
+
+
 def test_anchor_edges_resolution_and_scheme_filter(spark, pages):
     got = H.anchor_edges(pages, base_col="url").collect()
     dsts = {r["dst"]: r["anchor"] for r in got}
@@ -92,8 +104,8 @@ def test_anchor_re_differential(spark):
                 continue
             inner = inner_re.search(m).group(1)
             anchor = re.sub(r"(?is)<[^>]*>", " ", inner)
-            for ent, rep in H._ANCHOR_ENTITIES:
-                anchor = anchor.replace(ent, rep)
+            for pat, rep in H._ENTITIES:
+                anchor = re.sub(pat, rep, anchor)
             anchor = re.sub(r"\s+", " ", anchor).strip()
             exp.append((href, anchor))
         assert got[row["doc_id"]] == exp, row["doc_id"]

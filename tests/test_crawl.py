@@ -205,3 +205,41 @@ def test_crawl_priority_orders_waves(spark, web):
         ).collect()
     }
     assert got["https://p.example/high"] < got["https://p.example/low"]
+
+
+def test_crawl_junk_seed_dropped(spark, web):
+    """Unparseable seeds normalize to '' and never consume a fetch."""
+    seeds = spark.createDataFrame(
+        [("not a url",), ("https://a.example/",)], "url string"
+    )
+    got = {
+        r["url"]
+        for r in C.crawl(seeds, C.simulated_fetcher(web), rounds=1).collect()
+    }
+    assert got == {"https://a.example/"}
+
+
+def test_crawl_fetches_each_wave_once(spark, web):
+    """The fetch seam runs once per wave even when the returned
+    corpus is actioned afterwards (the checkpoint on `fetched`) —
+    a real HTTP fetcher must not fetch every page twice."""
+    acc = spark.sparkContext.accumulator(0)
+    inner = C.simulated_fetcher(web)
+
+    def counting_fetch(frontier):
+        def bump(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        fetched = inner(frontier)
+        return fetched.mapInPandas(bump, fetched.schema)
+
+    out = C.crawl(seeds=spark.createDataFrame(
+        [("https://a.example/",)], "url string"
+    ), fetch_fn=counting_fetch, rounds=5)
+    rows = out.collect()
+    _ = out.count()  # a second action over the returned corpus
+    # 6 corpus pages fetched once each (the 404 produces no row);
+    # without the checkpoint the two actions above would double it
+    assert acc.value == len(rows) == 6

@@ -98,3 +98,24 @@ def test_trap_duckdb_differential(spark, urls_df):
         assert g[id_]["n_repeated_segments"] == nrep, id_
         assert g[id_]["query_len"] == qlen, id_
         assert g[id_]["n_params"] == nparams, id_
+
+
+def test_session_param_requires_boundary(spark):
+    """Param names ENDING in 'sid' (classid, newsid) are not session
+    ids; real session params match at any query position."""
+    cases = [
+        (1, "https://x.example/p?classid=3"),
+        (2, "https://x.example/p?newsid=9&page=2"),
+        (3, "https://x.example/p?sid=abc"),
+        (4, "https://x.example/p?a=1&sid=abc"),
+        (5, "https://x.example/p?a=1;sid=abc"),
+    ]
+    df = spark.createDataFrame(cases, "id long, url string")
+    got = {
+        r["id"]: r["flag"]
+        for r in df.select(
+            "id",
+            U.crawl_trap_cols("url")["has_session_id"].alias("flag"),
+        ).collect()
+    }
+    assert got == {1: False, 2: False, 3: True, 4: True, 5: True}

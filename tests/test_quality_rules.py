@@ -253,3 +253,27 @@ def test_zero_shuffle_plan(spark, docs):
     out = Q.c4_clean(Q.gopher_filter(docs))
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_blocklist_metacharacters_escaped(spark):
+    """Wordlist entries with regex metacharacters ('c++') match
+    literally instead of erroring or silently never matching."""
+    rows = [
+        (1, "We write c++ code here daily with care and joy.\n"
+            "A second proper sentence keeps the page alive.\n"
+            "A third proper sentence closes the page out."),
+        (2, "We write rust code here daily with care and joy.\n"
+            "A second proper sentence keeps the page alive.\n"
+            "A third proper sentence closes the page out."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["ok"]
+        for r in df.select(
+            "doc_id",
+            Q.c4_page_rule_cols("text", blocklist=("c++",))[
+                "rule_no_blocklist"
+            ].alias("ok"),
+        ).collect()
+    }
+    assert got == {1: False, 2: True}

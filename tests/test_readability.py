@@ -1,0 +1,97 @@
+"""Flesch/Flesch-Kincaid readability (operators/text.py
+readability_cols): a hand-worked example, monotonicity between simple
+and complex prose, degenerate inputs, and a DuckDB differential of
+every column over the documents corpus."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import text as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _got(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in T.readability_cols("text").items()],
+        ).collect()
+    }
+
+
+def test_hand_worked_example(spark):
+    # 1 sentence, 4 words; syllable groups: the=1, cat=1, sat=1,
+    # down=1 -> wps=4, spw=1
+    g = _got(spark, [(1, "The cat sat down.")])[1]
+    assert (g["n_words_rd"], g["n_sentences_rd"], g["n_syllables"]) == (4, 1, 4)
+    assert g["flesch_reading_ease"] == pytest.approx(
+        206.835 - 1.015 * 4 - 84.6 * 1
+    )
+    assert g["fk_grade"] == pytest.approx(0.39 * 4 + 11.8 * 1 - 15.59)
+
+
+def test_monotonicity_and_degenerates(spark):
+    g = _got(
+        spark,
+        [
+            (1, "See the dog. It runs fast. We like it."),
+            (2, "Nevertheless, incomprehensible bureaucratic "
+                "terminologies invariably obfuscate straightforward "
+                "administrative communications unnecessarily."),
+            (3, ""),
+            (4, None),
+        ],
+    )
+    assert g[1]["flesch_reading_ease"] > g[2]["flesch_reading_ease"]
+    assert g[1]["fk_grade"] < g[2]["fk_grade"]
+    assert g[3]["flesch_reading_ease"] is not None  # guarded division
+    assert g[4]["flesch_reading_ease"] is None      # NULL in -> NULL out
+
+
+def test_duckdb_differential(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(n) for n, c in T.readability_cols("text").items()],
+        ).collect()
+    }
+    pat = T.SENTENCE_PATTERN.replace("'", "''")
+    con = duckdb.connect()
+    exp = con.execute(
+        f"""
+        WITH b AS (
+          SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS nw,
+            CAST(len(list_filter(list_transform(
+              regexp_extract_all(text, '{pat}'), x -> trim(x)),
+              x -> length(x) > 0)) AS DOUBLE) AS ns,
+            list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                w -> CAST(greatest(1,
+                  len(regexp_extract_all(lower(w), '[aeiouy]+'))) AS DOUBLE))),
+              (a, b) -> a + b) AS nsyl
+          FROM read_parquet('{SF_DIR}/documents.parquet')
+        )
+        SELECT doc_id, CAST(nw AS INT), CAST(ns AS INT), CAST(nsyl AS INT),
+          206.835 - 1.015 * (nw / greatest(ns, 1.0))
+                  - 84.6 * (nsyl / greatest(nw, 1.0)) AS ease,
+          0.39 * (nw / greatest(ns, 1.0))
+                + 11.8 * (nsyl / greatest(nw, 1.0)) - 15.59 AS grade
+        FROM b
+        """
+    ).fetchall()
+    assert len(exp) == len(got) > 0
+    for doc_id, nw, ns, nsyl, ease, grade in exp:
+        g = got[doc_id]
+        assert (g["n_words_rd"], g["n_sentences_rd"], g["n_syllables"]) == (
+            nw, ns, nsyl,
+        ), doc_id
+        # pure rational arithmetic in the same op order: exact equality
+        assert g["flesch_reading_ease"] == ease, doc_id
+        assert g["fk_grade"] == grade, doc_id

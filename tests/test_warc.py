@@ -385,3 +385,51 @@ def test_mixed_case_content_type(spark, tmp_path):
     )
     docs = W.read_warc_documents(spark, str(p), min_text_chars=20).collect()
     assert [r["doc_id"] for r in docs] == ["<urn:mixed>"]
+
+
+def test_carry_bytes_parity_and_routing(spark, tmp_path):
+    """The remote-filesystem fallback (carry_bytes=True: decode
+    binaryFile's content column in place) yields record-identical
+    output to the paths-only seam, including quarantine rows; and
+    read_warc routes on the path scheme."""
+    from ecomm_datapipeline_spark.fsutil import is_remote
+
+    (tmp_path / "a.warc").write_bytes(_warc_bytes())
+    (tmp_path / "bad.warc").write_bytes(b"NOT A WARC AT ALL")
+    files = spark.read.format("binaryFile").load(
+        os.path.join(str(tmp_path), "*.warc")
+    )
+    a = W.records_from_files(files, on_error="quarantine").collect()
+    b = W.records_from_files(
+        files, on_error="quarantine", carry_bytes=True
+    ).collect()
+    key = lambda r: (r["warc_file"], r["record_id"])
+    assert sorted(map(tuple, a), key=str) == sorted(map(tuple, b), key=str)
+    assert any(r["warc_type"] == W.ERROR_TYPE for r in b)
+    # the bytes-carrying plan has NO Exchange at all
+    plan = (
+        W.records_from_files(files, carry_bytes=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert is_remote("s3a://bucket/x.warc.gz")
+    assert not is_remote("file:/tmp/x.warc") and not is_remote("/tmp/x.warc")
+
+
+def test_charset_label_naming_non_text_codec(spark, tmp_path):
+    """charset=base64 (codecs.lookup resolves it, bytes.decode
+    refuses with LookupError) must fall back to utf-8-replace, not
+    fail the task."""
+    rec = _record(
+        "response",
+        _http_response(
+            "body with ünïcode".encode("utf-8"),
+            ctype="text/html; charset=base64",
+        ),
+        uri="https://x.example/",
+        rec_id="<urn:b64>",
+    )
+    p = tmp_path / "c.warc"
+    p.write_bytes(rec)
+    rows = W.read_warc(spark, str(p), detect_charset=True).collect()
+    assert rows[0]["payload"] == "body with ünïcode"
