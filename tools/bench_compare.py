@@ -22,13 +22,59 @@ import subprocess
 import sys
 
 
+#: payload keys that regex tail-recovery must not mistake for slots
+_NON_SLOT_KEYS = {"value", "sf", "samples", "n_high_variance"}
+
+
+def _prefer_min(payload: dict) -> dict:
+    """Normalize a bench payload onto the MIN-of-samples basis when
+    it carries one (`query_min`, emitted since r8) — the repo's
+    variance-aware convention; both compare sides go through this so
+    the ratio is always min/min or median/median, never mixed."""
+    if payload.get("query_min"):
+        out = dict(payload)
+        out["queries"] = payload["query_min"]
+        out["value"] = sum(payload["query_min"].values())
+        out["basis"] = "min"
+        return out
+    return payload
+
+
+def _recover_from_tail(tail: str) -> dict | None:
+    """Driver artifact with parsed=null (the final JSON line overflowed
+    the recorder's stdout window — happened to BENCH_r08): the window
+    keeps the line's LAST 2000 chars, and bench.py emits `query_min`
+    as the last per-slot dict, so taking the LAST scalar seen per name
+    recovers the min-basis payload for every slot inside the window.
+    Slots truncated away just drop out of the shared-slot comparison
+    (reported, never failed — same contract as renamed slots)."""
+    import re
+
+    pairs: dict[str, float] = {}
+    for m in re.finditer(r'"([a-z0-9_]+)":\s*([0-9.]+)', tail):
+        if m.group(1) not in _NON_SLOT_KEYS:
+            pairs[m.group(1)] = float(m.group(2))
+    if not pairs:
+        return None
+    return {
+        "queries": pairs,
+        "value": sum(pairs.values()),
+        "basis": "min (tail-recovered)",
+    }
+
+
 def load(path_or_json: str) -> dict:
     with open(path_or_json) as fh:
         doc = json.load(fh)
     if "parsed" in doc and doc["parsed"]:
-        return doc["parsed"]
+        return _prefer_min(doc["parsed"])
     if "queries" in doc:
-        return doc
+        return _prefer_min(doc)
+    if doc.get("tail"):
+        if recovered := _recover_from_tail(doc["tail"]):
+            print(f"note: {path_or_json} parsed=null; recovered "
+                  f"{len(recovered['queries'])} slots from its tail")
+            return recovered
     raise SystemExit(f"{path_or_json}: no parsed bench payload")
 
 
@@ -50,7 +96,7 @@ def main() -> int:
             tail = "\n".join(out.stderr.splitlines()[-15:])
             print(f"FAIL: bench produced no JSON output; stderr tail:\n{tail}")
             return 1
-        cur = json.loads(lines[-1])
+        cur = _prefer_min(json.loads(lines[-1]))
 
     rc = 0
     bq, cq = base["queries"], cur["queries"]
