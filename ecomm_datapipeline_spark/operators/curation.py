@@ -74,6 +74,7 @@ def curate_documents(
     c4_line_page_rules: bool = False,
     gopher_document_rules: bool = False,
     compression_band: tuple[float, float] | None = None,
+    near_dup_quality_col: str | None = None,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
@@ -183,10 +184,28 @@ def curate_documents(
     else:
         raise ValueError(f"near_dup must be minhash|ngram: {near_dup}")
     groups = dedup.connected_components(confirmed)
-    to_drop = (
-        groups.filter(F.col("id") != F.col("rep"))
-        .select(F.col("id").alias(id_col))
-    )
+    if near_dup_quality_col is not None:
+        # Quality-aware keeper (dedup.component_keepers): survive the
+        # BEST member of each component instead of the min-id one.
+        # Same drop COUNT per component (size - 1), so stats and the
+        # drop_audit conservation invariant are unchanged — only
+        # membership of the survivor set moves.
+        keepers = dedup.component_keepers(
+            groups,
+            exact.select(id_col, near_dup_quality_col),
+            id_col=id_col,
+            quality_col=near_dup_quality_col,
+        )
+        to_drop = (
+            groups.join(keepers, "rep")
+            .filter(F.col("id") != F.col("keep_id"))
+            .select(F.col("id").alias(id_col))
+        )
+    else:
+        to_drop = (
+            groups.filter(F.col("id") != F.col("rep"))
+            .select(F.col("id").alias(id_col))
+        )
     near = exact.join(to_drop, id_col, "left_anti")
     if dedup_substrings_window is not None:
         # Exact substring dedup (operators/substrings.py) rewrites

@@ -87,11 +87,40 @@ def exact_dedup_groups(
 
 
 def drop_exact_duplicates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
 ) -> DataFrame:
-    """Keep exactly the representative rows (min id per fingerprint)."""
-    keep = exact_dedup_groups(df, text_col, id_col).select(
-        F.col("keep_id").alias(id_col)
+    """Keep exactly one representative row per fingerprint: the min id
+    (default), or with `quality_col` the member with the MAX quality,
+    ties broken to the min id (NULL quality ranks below any value).
+
+    The quality path is the same skew-safe two-pass argmax as
+    component_keepers — max quality per fingerprint (map-side
+    combinable), join back, min id among the tied best — never a
+    window sort: a boilerplate fingerprint duplicated 10^8 times stays
+    a partial-aggregate, not a single-task sort."""
+    if quality_col is None:
+        keep = exact_dedup_groups(df, text_col, id_col).select(
+            F.col("keep_id").alias(id_col)
+        )
+        return df.join(keep, id_col, "left_semi")
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = df.select(
+        F.md5(norm).alias("_fp"),
+        F.col(id_col).alias("_kid"),
+        F.coalesce(
+            F.col(quality_col).cast("double"), F.lit(float("-inf"))
+        ).alias("_q"),
+    )
+    best = base.groupBy("_fp").agg(F.max("_q").alias("_max_q"))
+    keep = (
+        base.join(best, "_fp")
+        .filter(F.col("_q") == F.col("_max_q"))
+        .groupBy("_fp")
+        .agg(F.min("_kid").alias(id_col))
+        .select(id_col)
     )
     return df.join(keep, id_col, "left_semi")
 
@@ -523,6 +552,54 @@ def connected_components(
             "shaped boilerplate; consider tightening the pair threshold)"
         )
     return labels
+
+
+def component_keepers(
+    labels: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware representative selection over near-dup components
+    — published pipelines keep the BEST member of each duplicate
+    cluster, not an arbitrary one (e.g. longest / highest quality
+    score / lowest perplexity), because boilerplate variants of a good
+    page often carry lower ids than the page itself.
+
+    Input: `labels` = (id, rep) from connected_components;
+    `quality` = per-document frame with (id_col, quality_col). Output
+    one row per component: (rep, keep_id, keep_quality) where keep_id
+    maximizes quality within the component, ties broken to the MIN id
+    (so quality = a constant degenerates to the min-id policy), and
+    documents missing from `quality` (or NULL) rank below any scored
+    member. keep_quality is NULL for a -inf (unscored) winner.
+
+    Scale: both aggregations are keyed partial aggregates over the
+    component LABEL frame (O(docs-in-pairs), tiny vs the corpus) —
+    max-per-rep, join back, min-id-among-best — never a per-component
+    window sort, so a mega-component (the blocker-too-loose failure
+    dedup_report flags) cannot serialize into one task."""
+    q = quality.select(
+        F.col(id_col).alias("id"),
+        F.col(quality_col).cast("double").alias("_q"),
+    )
+    j = labels.select("id", "rep").join(q, "id", "left").select(
+        "id",
+        "rep",
+        F.coalesce(F.col("_q"), F.lit(float("-inf"))).alias("_q"),
+    )
+    best = j.groupBy("rep").agg(F.max("_q").alias("_max_q"))
+    return (
+        j.join(best, "rep")
+        .filter(F.col("_q") == F.col("_max_q"))
+        .groupBy("rep")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.when(
+                F.max("_q") != F.lit(float("-inf")), F.max("_q")
+            ).alias("keep_quality"),
+        )
+    )
 
 
 def _band_buckets(

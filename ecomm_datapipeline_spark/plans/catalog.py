@@ -1585,8 +1585,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT src, src FROM edges
       UNION
       SELECT e.dst, r.r FROM edges e JOIN reach r ON e.src = r.id
+    ), comp AS (
+      SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+    ), scored AS (
+      SELECT c.id, c.rep,
+             CAST(coalesce(length(d.text), -1) AS DOUBLE) AS q
+      FROM comp c JOIN documents d ON d.doc_id = c.id
+    ), best AS (
+      SELECT rep, MAX(q) AS max_q FROM scored GROUP BY rep
+    ), keepers AS (
+      SELECT s.rep, MIN(s.id) AS keep_id
+      FROM scored s JOIN best b ON s.rep = b.rep AND s.q = b.max_q
+      GROUP BY s.rep
     )
-    SELECT id, MIN(r) AS rep FROM reach GROUP BY id
+    SELECT s.id, s.rep, k.keep_id FROM scored s JOIN keepers k USING (rep)
     """,
     "ext: connected components over the near-dup graph (iterative, oracle-checked vs recursive CTE)",
 )
@@ -1597,14 +1609,34 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses). The oracle computes the same fixpoint with a
     recursive CTE: a genuinely iterative distributed algorithm, still
     hash-checked. Per round: one shuffle over the PAIR graph (tiny
-    relative to the corpus); rounds = component diameter."""
-    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    relative to the corpus); rounds = component diameter.
 
+    r9 fold: keep_id = the quality-aware representative
+    (dedup.component_keepers with quality = doc length, the skew-safe
+    two-pass argmax; ties -> min id) — the keeper policy
+    curate_documents(near_dup_quality_col=...) applies, replicated in
+    the oracle as a plain SQL argmax over the same recursive-CTE
+    components."""
+    from ..operators.dedup import (
+        component_keepers,
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.4, max_shingle_freq=None
+        docs, threshold=0.4, max_shingle_freq=None
     ).select("id_a", "id_b")
-    return connected_components(pairs).select(
-        F.col("id").alias("id"), F.col("rep").alias("rep")
+    labels = connected_components(pairs)
+    quality = docs.select(
+        "doc_id",
+        F.coalesce(F.length("text").cast("double"), F.lit(-1.0)).alias("q"),
+    )
+    keepers = component_keepers(
+        labels, quality, id_col="doc_id", quality_col="q"
+    )
+    return labels.join(keepers.select("rep", "keep_id"), "rep").select(
+        F.col("id").alias("id"), F.col("rep").alias("rep"), "keep_id"
     )
 
 

@@ -1,0 +1,166 @@
+"""Quality-aware dedup representative selection
+(operators/dedup.component_keepers + drop_exact_duplicates
+quality_col + curate_documents near_dup_quality_col): argmax
+semantics, tie-breaks, unscored members, a DuckDB differential of the
+argmax, and the curation wiring (same survivor COUNT as the min-id
+policy, different membership when quality disagrees with id order)."""
+
+import duckdb
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import dedup
+
+
+def _labels(spark, rows):
+    return spark.createDataFrame(rows, "id long, rep long")
+
+
+def _quality(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, quality double")
+
+
+def _keepers(spark, labels, quality):
+    return {
+        r["rep"]: (r["keep_id"], r["keep_quality"])
+        for r in dedup.component_keepers(
+            _labels(spark, labels), _quality(spark, quality)
+        ).collect()
+    }
+
+
+def test_max_quality_wins(spark):
+    got = _keepers(
+        spark,
+        [(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)],
+        [(1, 0.1), (2, 5.0), (3, 2.0), (7, 1.0), (9, 3.0)],
+    )
+    assert got == {1: (2, 5.0), 7: (9, 3.0)}
+
+
+def test_ties_break_to_min_id(spark):
+    got = _keepers(
+        spark, [(4, 4), (6, 4), (5, 4)], [(4, 2.0), (5, 2.0), (6, 2.0)]
+    )
+    # constant quality degenerates to the min-id policy
+    assert got == {4: (4, 2.0)}
+
+
+def test_unscored_ranks_below_any_value(spark):
+    got = _keepers(
+        spark,
+        [(1, 1), (2, 1), (3, 3), (4, 3)],
+        [(2, -100.0)],  # 1 missing entirely; component {3,4} unscored
+    )
+    # -100 beats missing; an all-unscored component keeps min id with
+    # NULL keep_quality
+    assert got == {1: (2, -100.0), 3: (3, None)}
+
+
+def test_argmax_duckdb_differential(spark):
+    """The skew-safe two-pass argmax equals SQL's window argmax on a
+    seeded random component set (ties included via integer quality)."""
+    import random
+
+    rng = random.Random(9)
+    labels = [(i, i // 4 * 4) for i in range(200)]
+    quality = [(i, float(rng.randint(0, 5))) for i in range(200) if i % 7]
+    got = {
+        r["rep"]: r["keep_id"]
+        for r in dedup.component_keepers(
+            _labels(spark, labels), _quality(spark, quality)
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE l(id BIGINT, rep BIGINT); "
+        "CREATE TABLE q(doc_id BIGINT, quality DOUBLE)"
+    )
+    con.executemany("INSERT INTO l VALUES (?, ?)", labels)
+    con.executemany("INSERT INTO q VALUES (?, ?)", quality)
+    want = dict(
+        con.execute(
+            """
+            SELECT rep, id FROM (
+              SELECT l.rep, l.id, ROW_NUMBER() OVER (
+                PARTITION BY l.rep
+                ORDER BY coalesce(q.quality, -1e308) DESC, l.id
+              ) AS rk
+              FROM l LEFT JOIN q ON q.doc_id = l.id
+            ) WHERE rk = 1
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_exact_dedup_quality_col(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "same text", 0.5),
+            (2, "same  TEXT ", 9.0),  # normalizes equal; best quality
+            (3, "same text", 9.0),  # tied best -> min id wins (2)
+            (4, "unique", None),
+        ],
+        "doc_id long, text string, score double",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.drop_exact_duplicates(
+            df, quality_col="score"
+        ).collect()
+    )
+    assert kept == [2, 4]
+    # default policy unchanged: min id
+    kept_min = sorted(
+        r["doc_id"] for r in dedup.drop_exact_duplicates(df).collect()
+    )
+    assert kept_min == [1, 4]
+
+
+def test_curation_wiring(spark):
+    """near_dup_quality_col changes WHICH near-dup survives, never how
+    many survive."""
+    from ecomm_datapipeline_spark.operators.curation import curate_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "in the golden afternoon light near the quiet river bend"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base + " extra"),  # near-dup of 2, longer
+            (2, base),
+            (10, "a completely different document about spark shuffle "
+                 "partitioning strategies and broadcast joins at scale"),
+        ],
+        "doc_id long, text string",
+    ).withColumn("q", F.length("text").cast("double"))
+
+    def run(**kw):
+        out, _ = curate_documents(
+            docs,
+            near_dup="ngram",
+            near_dup_threshold=0.5,
+            min_quality=0,
+            min_tokens=1,
+            **kw,
+        )
+        return sorted(r["doc_id"] for r in out.select("doc_id").collect())
+
+    assert run() == [1, 10]  # min-id policy keeps 1
+    assert run(near_dup_quality_col="q") == [1, 10]  # 1 is also longest
+    docs_swapped = docs.withColumn(
+        "q", (-F.length("text")).cast("double")
+    )
+    out, _ = curate_documents(
+        docs_swapped,
+        near_dup="ngram",
+        near_dup_threshold=0.5,
+        min_quality=0,
+        min_tokens=1,
+        near_dup_quality_col="q",
+    )
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == [
+        2,
+        10,
+    ]
