@@ -883,3 +883,84 @@ def readability_cols(text_col: Column | str) -> dict[str, Column]:
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
         ),
     }
+
+
+# --- credit-card (PAN) detection: Luhn-gated, engine-portable ---------------
+# Candidate = 13-19 digits with optional single space/dash group
+# separators, bounded by \b so a longer digit run can never backtrack
+# into a "card" (a 20-digit id matches nothing: every shorter suffix
+# start fails the leading \b, every shorter prefix end fails the
+# trailing one). Same dialect constraints as PATTERNS — \b + character
+# classes only, no lookaround — so the twin runs unchanged in RE2.
+CCN_CANDIDATE_PATTERN = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
+
+
+def luhn_valid_col(col: Column | str) -> Column:
+    """ISO/IEC 7812 Luhn checksum over a digit string (separators
+    allowed, stripped first) as a pure expression: reverse, double
+    every second digit (0-based odd index), fold digits > 9 by
+    subtracting 9, sum % 10 == 0. All JVM higher-order functions —
+    transform / aggregate — zero Python, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    rev = F.reverse(F.regexp_replace(c, "[ -]", ""))
+    # split("...","") yields a trailing "" element — contribute 0
+    contrib = F.transform(
+        F.split(rev, ""),
+        lambda ch, i: F.when(ch == "", F.lit(0)).otherwise(
+            F.when(
+                i % 2 == 1,
+                F.when(
+                    ch.cast("int") * 2 > 9, ch.cast("int") * 2 - 9
+                ).otherwise(ch.cast("int") * 2),
+            ).otherwise(ch.cast("int"))
+        ),
+    )
+    return F.aggregate(contrib, F.lit(0), lambda a, x: a + x) % 10 == 0
+
+
+def ccn_cols(text_col: Column | str) -> dict[str, Column]:
+    """PAN screening columns: n_ccn_candidates (digit runs shaped like
+    a card number) and n_ccn (candidates passing Luhn — the signal a
+    PII gate acts on; the candidate count without the checksum is the
+    false-positive audit column, order ids and timestamps land there).
+    """
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    cands = F.regexp_extract_all(t, F.lit(CCN_CANDIDATE_PATTERN), 0)
+    valid = F.filter(cands, luhn_valid_col)
+    return {
+        "n_ccn_candidates": F.size(cands),
+        "n_ccn": F.size(valid),
+    }
+
+
+def redact_ccn_col(text_col: Column | str, token: str = "<CCN>") -> Column:
+    """Replace every Luhn-VALID candidate with the placeholder token —
+    a fold of literal replaces over the validated candidate list, so
+    Luhn-invalid runs (order numbers, timestamps) survive untouched;
+    a plain regexp_replace cannot express that gate. Composes with
+    redact(): run this first (its candidates contain no '<')."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    cands = F.regexp_extract_all(t, F.lit(CCN_CANDIDATE_PATTERN), 0)
+    valid = F.filter(cands, luhn_valid_col)
+    return F.aggregate(
+        valid, t, lambda acc, c: F.replace(acc, c, F.lit(token))
+    )
+
+
+def duckdb_luhn_count_sql(expr: str) -> str:
+    """DuckDB twin of ccn_cols(expr)['n_ccn'] — GENERATED from
+    CCN_CANDIDATE_PATTERN so the oracle cannot drift from the engine
+    expression. DuckDB indexes 1-based where Spark's transform lambda
+    is 0-based: 'double every second digit from the right' is odd
+    0-based == even 1-based — same digits."""
+    digits = "regexp_replace(c, '[ -]', '', 'g')"
+    digit_i = f"CAST(substr(reverse({digits}), i, 1) AS INT)"
+    return (
+        f"len(list_filter("
+        f"regexp_extract_all({expr}, '{CCN_CANDIDATE_PATTERN}'),"
+        f" c -> list_sum(list_transform(range(1, length({digits})+1),"
+        f" i -> CASE WHEN i % 2 = 0 THEN"
+        f" CASE WHEN 2*{digit_i} > 9 THEN 2*{digit_i} - 9"
+        f" ELSE 2*{digit_i} END"
+        f" ELSE {digit_i} END)) % 10 = 0))"
+    )

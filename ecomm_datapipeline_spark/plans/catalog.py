@@ -3483,6 +3483,44 @@ def _anchor_sig_sql() -> str:
     return duckdb_anchor_sig_sql(apage) + " AS anchor_sig"
 
 
+def _ccn_full() -> "F.Column":
+    """Spark half of the Luhn fold's synthesized 16-digit PAN (see
+    _ccn_sql for the construction and why it is synthesized)."""
+    return F.concat(
+        F.substring(
+            F.repeat(F.lpad(F.col("doc_id").cast("string"), 8, "0"), 2),
+            1,
+            15,
+        ),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+
+
+def _ccn_sql() -> str:
+    """DuckDB twin of the r9 Luhn fold: a synthesized PAN (15
+    deterministic digits from doc_id + check digit = doc_id % 10, so
+    ~1 doc in 10 carries a Luhn-VALID number; every third doc shows it
+    dash-grouped to exercise separator stripping) counted by the
+    GENERATED Luhn SQL (text.duckdb_luhn_count_sql) — the checksum
+    arithmetic, candidate regex, and separator handling all hash-
+    checked. The real corpus has no card-shaped digit runs, so the
+    fold synthesizes its input from per-doc values like the anchor
+    fold does."""
+    from ..operators.text import duckdb_luhn_count_sql
+
+    full = (
+        "(substr(repeat(lpad(CAST(doc_id AS VARCHAR), 8, '0'), 2), 1, 15)"
+        " || CAST(doc_id % 10 AS VARCHAR))"
+    )
+    shown = (
+        f"CASE WHEN doc_id % 3 = 0 THEN substr({full}, 1, 4) || '-' ||"
+        f" substr({full}, 5, 4) || '-' || substr({full}, 9, 8)"
+        f" ELSE {full} END"
+    )
+    synth = f"('ref ' || {shown} || ' end')"
+    return f"CAST({duckdb_luhn_count_sql(synth)} AS INT) AS n_ccn_synth"
+
+
 def _gopher_c4_sql() -> str:
     """DuckDB twin of the r9 quality-rule folds: gopher_bits (the 7
     Gopher document rules of quality_rules.gopher_rule_cols over
@@ -3630,6 +3668,8 @@ def _gopher_c4_sql() -> str:
     + ",\n      "
     + _readability_sql()
     + ",\n      "
+    + _ccn_sql()
+    + ",\n      "
     + _gopher_c4_sql()
     + "\n    FROM qclean\n    ",
     "ext: PII scan + URL + shape + sections + script + winnow + html + quality-rule folds",
@@ -3682,6 +3722,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.html import anchor_pairs_col, html_to_text_col
     from ..operators.segments import content_shape_cols, sections_col
     from ..operators.text import (
+        ccn_cols,
         pattern_scan,
         readability_cols,
         script_profile_cols,
@@ -3929,6 +3970,24 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             # rational arithmetic, raw-double hash parity
             "n_syllables": readability_cols(F.col("text"))["n_syllables"],
             "fk_grade": readability_cols(F.col("text"))["fk_grade"],
+            # r9 Luhn fold (text.ccn_cols / luhn_valid_col): synth PAN
+            # per doc — check digit doc_id%10, dash-grouped every 3rd
+            "n_ccn_synth": ccn_cols(
+                F.concat(
+                    F.lit("ref "),
+                    F.when(
+                        F.col("doc_id") % 3 == 0,
+                        F.concat(
+                            F.substring(_ccn_full(), 1, 4),
+                            F.lit("-"),
+                            F.substring(_ccn_full(), 5, 4),
+                            F.lit("-"),
+                            F.substring(_ccn_full(), 9, 8),
+                        ),
+                    ).otherwise(_ccn_full()),
+                    F.lit(" end"),
+                )
+            )["n_ccn"],
             # r9 quality-rule folds: the REAL gopher/c4 rule columns
             # packed into bitmasks (one bit per published rule, order
             # pinned by *_RULE_ORDER) + md5 of the C4-cleaned text,

@@ -1,0 +1,100 @@
+"""Luhn-gated credit-card (PAN) screening (operators/text.py
+luhn_valid_col / ccn_cols / redact_ccn_col): known card test numbers,
+separator stripping, the \\b no-backtrack-into-longer-runs property,
+Luhn-invalid runs surviving redaction, and a seeded DuckDB
+differential of the generated twin SQL."""
+
+import random
+
+import duckdb
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import text as T
+
+
+def _py_luhn(digits: str) -> bool:
+    s = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        s += d
+    return s % 10 == 0
+
+
+def _scan(spark, rows):
+    df = spark.createDataFrame(
+        list(enumerate(rows)), "doc_id long, text string"
+    )
+    cols = T.ccn_cols("text")
+    return df.select(
+        "doc_id",
+        cols["n_ccn_candidates"].alias("cand"),
+        cols["n_ccn"].alias("valid"),
+        T.redact_ccn_col("text").alias("red"),
+    ).collect()
+
+
+def test_known_numbers_and_boundaries(spark):
+    rows = [
+        "pay 4111111111111111 now",        # valid (Visa test number)
+        "pay 4111111111111112 now",        # bad check digit
+        "card 5500-0000-0000-0004 here",   # valid, dash-grouped
+        "amex 3782 822463 10005 ok",       # valid, space-grouped
+        "ref 12345678901234567890 end",    # 20 digits: not a candidate
+        "short 123456789012 end",          # 12 digits: not a candidate
+        "phone 555-123-4567 only",         # not a candidate
+    ]
+    got = {r["doc_id"]: r for r in _scan(spark, rows)}
+    assert [(got[i]["cand"], got[i]["valid"]) for i in range(7)] == [
+        (1, 1), (1, 0), (1, 1), (1, 1), (0, 0), (0, 0), (0, 0),
+    ]
+    assert got[0]["red"] == "pay <CCN> now"
+    # Luhn-invalid candidate survives redaction untouched
+    assert got[1]["red"] == "pay 4111111111111112 now"
+    assert got[2]["red"] == "card <CCN> here"
+    assert got[4]["red"] == rows[4]
+
+
+def test_duckdb_differential_seeded(spark):
+    """Random 12-20 digit runs with random separators: the Spark
+    count equals the generated DuckDB twin AND a pure-Python Luhn on
+    every row."""
+    rng = random.Random(99)
+    rows = []
+    for _ in range(120):
+        n = rng.randint(12, 20)
+        digits = "".join(rng.choice("0123456789") for _ in range(n))
+        sep = rng.choice(["", " ", "-"])
+        shown = sep.join(
+            digits[i : i + 4] for i in range(0, len(digits), 4)
+        )
+        rows.append(f"id x{rng.randint(0,9)} ref {shown} end")
+    df = spark.createDataFrame(
+        list(enumerate(rows)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", T.ccn_cols("text")["n_ccn"].alias("n")
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", list(enumerate(rows)))
+    sql = T.duckdb_luhn_count_sql("text")
+    want = dict(
+        con.execute(f"SELECT doc_id, {sql} FROM t ORDER BY doc_id").fetchall()
+    )
+    assert got == want
+    # and both agree with a reference Python implementation
+    import re
+
+    for i, row in enumerate(rows):
+        cands = re.findall(r"\b[0-9](?:[ -]?[0-9]){12,18}\b", row)
+        expect = sum(
+            _py_luhn(re.sub("[ -]", "", c)) for c in cands
+        )
+        assert got[i] == expect, (i, row)
