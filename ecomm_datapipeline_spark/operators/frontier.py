@@ -89,6 +89,7 @@ def frontier_waves(
     host_col: str = "host",
     order_cols: list | None = None,
     url_col: str = "url",
+    host_budgets: DataFrame | None = None,
 ) -> DataFrame:
     """The frontier with (rank_in_host, wave): wave w contains each
     host's URLs ranked (w*K, (w+1)*K] — fetching wave-by-wave touches
@@ -96,14 +97,33 @@ def frontier_waves(
     higher-priority URLs always ride earlier waves. Default order is
     the url column itself (deterministic); pass e.g.
     [F.desc("priority"), F.col("url")] to schedule by score with a
-    unique tiebreak."""
+    unique tiebreak.
+
+    `host_budgets` (optional, (host, per_wave)) overrides the default
+    K per host — the robots Crawl-delay integration: feed
+    robots.crawl_delay_budgets(robots, wave_seconds) and a host
+    declaring Crawl-delay: 10 gets floor(wave_seconds/10) slots per
+    wave instead of K. Hosts absent from the frame keep the default.
+    One extra hash join on host against a distinct-hosts-sized frame
+    (NOT broadcast by hand: at web scale hosts are ~10^8 rows; AQE
+    picks broadcast when the frame is actually small)."""
     if per_host_per_wave < 1:
         raise ValueError(
             f"per_host_per_wave must be >= 1: {per_host_per_wave}"
         )
     order = order_cols if order_cols is not None else [F.col(url_col)]
     ranked = per_key_rank(urls, host_col, order, idx_col="rank_in_host")
+    if host_budgets is None:
+        k = F.lit(per_host_per_wave)
+    else:
+        budgets = host_budgets.select(
+            F.col("host").alias(host_col), F.col("per_wave").alias("_bk")
+        )
+        ranked = ranked.join(budgets, host_col, "left")
+        k = F.greatest(
+            F.coalesce(F.col("_bk"), F.lit(per_host_per_wave)), F.lit(1)
+        )
     return ranked.withColumn(
         "wave",
-        ((F.col("rank_in_host") - 1) / per_host_per_wave).cast("int"),
-    )
+        ((F.col("rank_in_host") - 1) / k).cast("int"),
+    ).drop("_bk")

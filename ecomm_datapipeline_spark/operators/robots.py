@@ -33,8 +33,11 @@ Allow/Disallow value is a no-op line (the spec's explicit example),
 not a match-everything rule. Rules appearing before any User-agent
 line belong to no group and are dropped. Matching is
 case-SENSITIVE on paths (URLs are), case-INSENSITIVE on agent
-product tokens (§2.2.1). Crawl-delay / Sitemap are not rule lines;
-`robots_sitemaps` surfaces Sitemap URLs separately.
+product tokens (§2.2.1). Sitemap is not a rule line;
+`robots_sitemaps` surfaces Sitemap URLs separately. Crawl-delay (the
+de-facto extension, not in RFC 9309) is parsed group-scoped by
+`crawl_delay_col`, and `crawl_delay_budgets` turns it into per-host
+wave budgets for frontier_waves(host_budgets=...).
 
 Percent-encoding (§2.2.2): rule patterns and URL targets are both
 canonicalized with urls.pct_normalize_col (unreserved escapes decode,
@@ -318,4 +321,107 @@ def robots_allowed(
     )
     return with_rules.withColumn("robots_allowed", allowed).drop(
         "_rh", "_rules"
+    )
+
+
+# --- Crawl-delay (de-facto extension; group-scoped like rule lines) ---------
+def crawl_delay_col(
+    text: Column | str, agent: str = "*"
+) -> Column:
+    """One robots.txt body -> the Crawl-delay seconds that apply to
+    `agent` (NULL when none declared). Crawl-delay is not an RFC 9309
+    record but the widely-honored de-facto extension: group-scoped
+    like Allow/Disallow (it may follow the group's rules), with an
+    exact agent-token match taking precedence over the '*' group and
+    the FIRST declaration winning within a precedence tier. Non-
+    numeric values are ignored. A separate focused fold rather than a
+    widening of robots_groups_col's struct: the rule surface (and its
+    plan pins) stays untouched."""
+    t = F.col(text) if isinstance(text, str) else text
+    lines = F.split(t, "\n")
+    me = F.lit(agent.lower())
+
+    def step(acc: Column, raw: Column) -> Column:
+        line = F.trim(F.regexp_replace(raw, "#.*$", ""))
+        key = F.lower(F.regexp_extract(line, r"^([A-Za-z-]+)\s*:", 1))
+        val = F.trim(F.regexp_extract(line, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
+        started = F.struct(
+            F.when(
+                acc["open"],
+                F.concat(acc["agents"], F.array(F.lower(val))),
+            )
+            .otherwise(F.array(F.lower(val)))
+            .alias("agents"),
+            F.lit(True).alias("open"),
+            acc["exact"].alias("exact"),
+            acc["wild"].alias("wild"),
+        )
+        secs = F.when(
+            val.rlike(r"^[0-9]+(\.[0-9]+)?$"), val.cast("double")
+        )
+        with_delay = F.struct(
+            acc["agents"].alias("agents"),
+            F.lit(False).alias("open"),
+            F.coalesce(
+                acc["exact"],
+                F.when(F.array_contains(acc["agents"], me), secs),
+            ).alias("exact"),
+            F.coalesce(
+                acc["wild"],
+                F.when(F.array_contains(acc["agents"], "*"), secs),
+            ).alias("wild"),
+        )
+        closed = F.struct(
+            acc["agents"].alias("agents"),
+            F.lit(False).alias("open"),
+            acc["exact"].alias("exact"),
+            acc["wild"].alias("wild"),
+        )
+        return (
+            F.when((key == "user-agent") & (val != ""), started)
+            .when(key == "crawl-delay", with_delay)
+            .when(key.isin("allow", "disallow"), closed)
+            .otherwise(acc)
+        )
+
+    seeded = F.struct(
+        F.array().cast("array<string>").alias("agents"),
+        F.lit(False).alias("open"),
+        F.lit(None).cast("double").alias("exact"),
+        F.lit(None).cast("double").alias("wild"),
+    )
+    out = F.aggregate(lines, seeded, step)
+    return F.coalesce(out["exact"], out["wild"])
+
+
+def crawl_delay_budgets(
+    robots: DataFrame,
+    wave_seconds: float,
+    agent: str = "*",
+    max_per_wave: int | None = None,
+    host_col: str = "host",
+    text_col: str = "robots_txt",
+) -> DataFrame:
+    """(host, per_wave): how many URLs of each host fit in one
+    politeness wave of `wave_seconds` under the host's declared
+    Crawl-delay — floor(wave_seconds / delay), floored at 1 so a
+    delay longer than the wave still makes progress, optionally
+    clamped to `max_per_wave`. Hosts with no (valid) Crawl-delay are
+    ABSENT from the result: frontier_waves(host_budgets=...) falls
+    back to its default for them. Feed straight into
+    frontier_waves — see the politeness test for the composition."""
+    if wave_seconds <= 0:
+        raise ValueError(f"wave_seconds must be > 0: {wave_seconds}")
+    delay = crawl_delay_col(F.col(text_col), agent)
+    per = F.greatest(
+        F.floor(F.lit(float(wave_seconds)) / delay), F.lit(1)
+    )
+    if max_per_wave is not None:
+        per = F.least(per, F.lit(int(max_per_wave)))
+    return (
+        robots.select(
+            F.col(host_col).alias("host"), delay.alias("_d"), per.alias("per_wave")
+        )
+        .filter(F.col("_d").isNotNull() & (F.col("_d") > 0))
+        .select("host", F.col("per_wave").cast("int"))
     )

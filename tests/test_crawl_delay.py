@@ -1,0 +1,98 @@
+"""Crawl-delay parsing + frontier integration
+(operators/robots.crawl_delay_col / crawl_delay_budgets +
+operators/frontier.frontier_waves host_budgets): group scoping,
+exact-agent vs '*' precedence, delay-after-rules, budgets math, and
+the per-host politeness invariant under mixed budgets."""
+
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import frontier, robots
+
+
+def _delay(spark, txt, agent="*"):
+    df = spark.createDataFrame([(txt,)], "robots_txt string")
+    return df.select(
+        robots.crawl_delay_col("robots_txt", agent).alias("d")
+    ).first()["d"]
+
+
+def test_group_scoping_and_precedence(spark):
+    txt = (
+        "User-agent: fastbot\nCrawl-delay: 1\nDisallow: /x\n"
+        "User-agent: *\nDisallow: /y\nCrawl-delay: 10\n"
+    )
+    # delay appearing AFTER the group's rules still belongs to it
+    assert _delay(spark, txt, agent="*") == 10.0
+    # exact agent match beats the '*' group, case-insensitively
+    assert _delay(spark, txt, agent="FastBot") == 1.0
+    # unknown agent falls back to '*'
+    assert _delay(spark, txt, agent="otherbot") == 10.0
+
+
+def test_multi_agent_group_first_wins_nonnumeric(spark):
+    txt = (
+        "User-agent: a\nUser-agent: b\nCrawl-delay: 2.5\n"
+        "User-agent: b\nCrawl-delay: 7\n"
+    )
+    # both agents of the merged group get the delay; the FIRST
+    # declaration wins for b
+    assert _delay(spark, txt, agent="a") == 2.5
+    assert _delay(spark, txt, agent="b") == 2.5
+    # non-numeric -> ignored; no declaration -> NULL
+    assert _delay(spark, "User-agent: *\nCrawl-delay: soon\n") is None
+    assert _delay(spark, "User-agent: *\nDisallow: /\n") is None
+    # a delay before any User-agent line belongs to no group
+    assert _delay(spark, "Crawl-delay: 4\nUser-agent: *\nDisallow:\n") is None
+
+
+def test_budgets_math(spark):
+    rdf = spark.createDataFrame(
+        [
+            ("slow.example", "User-agent: *\nCrawl-delay: 10\n"),
+            ("glacial.example", "User-agent: *\nCrawl-delay: 120\n"),
+            ("fast.example", "User-agent: *\nCrawl-delay: 0.5\n"),
+            ("plain.example", "User-agent: *\nDisallow: /private\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {
+        r["host"]: r["per_wave"]
+        for r in robots.crawl_delay_budgets(
+            rdf, wave_seconds=60, max_per_wave=50
+        ).collect()
+    }
+    # floor(60/10)=6; floor(60/120)=0 floored at 1; floor(60/0.5)=120
+    # clamped to 50; no declaration -> absent (default applies)
+    assert got == {
+        "slow.example": 6,
+        "glacial.example": 1,
+        "fast.example": 50,
+    }
+
+
+def test_frontier_budget_invariant(spark):
+    rdf = spark.createDataFrame(
+        [("slow.example", "User-agent: *\nCrawl-delay: 30\n")],
+        "host string, robots_txt string",
+    )
+    budgets = robots.crawl_delay_budgets(rdf, wave_seconds=60)
+    urls = spark.createDataFrame(
+        [(f"slow.example", f"https://slow.example/p{i:03d}") for i in range(10)]
+        + [("other.example", f"https://other.example/p{i:03d}") for i in range(10)],
+        "host string, url string",
+    )
+    waved = frontier.frontier_waves(
+        urls, per_host_per_wave=4, host_budgets=budgets
+    )
+    per = {
+        (r["host"], r["wave"]): r["n"]
+        for r in waved.groupBy("host", "wave")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # slow.example: 2 per wave (floor(60/30)); other.example: default 4
+    assert per == {
+        ("slow.example", w): 2 for w in range(5)
+    } | {("other.example", w): 4 for w in range(3)} | {
+        ("other.example", 2): 2
+    }
