@@ -51,6 +51,98 @@ class CurationStats:
     drop_audit: "DataFrame | None" = None
 
 
+def clean_stage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    drop_repetitive: bool = False,
+    gopher_document_rules: bool = False,
+    compression_band: tuple[float, float] | None = None,
+    c4_line_page_rules: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """The per-row clean stage, shared VERBATIM by curate_documents
+    and the streaming ingester (streaming/curate_stream.py) so the two
+    paths cannot desynchronize (the records_from_files convention).
+    Returns (pre, cleaned): `pre` is the input after the C4 line
+    rewrite (the 'c4' audit boundary), `cleaned` after every enabled
+    per-row gate. Pure column transforms — zero shuffle — except the
+    compression band's Arrow codec seam."""
+    pre = docs
+    if c4_line_page_rules:
+        # The C4 recipe runs FIRST (its line filter REWRITES the text;
+        # every downstream signal — dedup keys, quality counts, the
+        # LM — must judge what will actually ship). Page-rule drops
+        # get their own 'c4' audit stage; the rewrite itself is a
+        # zero-shuffle per-row fold on the same scan.
+        pre = quality_rules.c4_clean(docs, text_col)
+
+    cleaned = text.clean_text(pre, text_col, min_tokens, max_tokens)
+    if drop_repetitive:
+        # Gopher repetition rules (dup-line/paragraph fractions, modal
+        # n-gram coverage) run BEFORE dedup: repetitive boilerplate is
+        # exactly what inflates shingle frequencies downstream. Pure
+        # per-row column folds — extends the clean stage's scan, adds
+        # no shuffle; its removals land in the after_clean count.
+        cleaned = text.repetition_filter(cleaned, text_col, id_col)
+    if gopher_document_rules:
+        # The document-level half of the published Gopher filter
+        # (quality_rules.gopher_rule_cols) — same placement and same
+        # audit attribution ('clean') as the repetition half.
+        cleaned = quality_rules.gopher_filter(cleaned, text_col)
+    if compression_band is not None:
+        # zlib-ratio boilerplate band (operators/compress.py): the
+        # model-free redundancy gate, same pre-dedup placement and
+        # 'clean' audit attribution as the repetition rules. The one
+        # Arrow seam in the stage.
+        from . import compress
+
+        lo, hi = compression_band
+        cleaned = compress.compression_filter(cleaned, lo, hi, text_col)
+    return pre, cleaned
+
+
+def quality_language_stage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: int = 30,
+    keep_langs: tuple[str, ...] | None = None,
+    max_perplexity: float | None = None,
+    perplexity_lm=None,
+) -> tuple[DataFrame, DataFrame]:
+    """The post-dedup quality + language gates, shared by
+    curate_documents and the streaming ingester. Returns
+    (after_quality, after_language) — both lazy. When max_perplexity
+    is set without perplexity_lm, the LM self-trains on the quality-
+    gated input (batch semantics; a STREAM caller must pass a literal
+    model — a per-micro-batch self-trained LM would drift)."""
+    quality = text.quality_score(df, text_col, id_col).filter(
+        F.col("quality_score") >= min_quality
+    ).select(id_col)
+    gated = df.join(quality, id_col, "left_semi")
+    if max_perplexity is not None:
+        # CCNet-style LM stage (operators/lm.py), AFTER dedup so the
+        # reference LM is not asked to rescue boilerplate dedup already
+        # kills: keep the low-perplexity head. Scoring is a
+        # zero-shuffle literal-model fold; training (when self-
+        # trained) adds lm_train's one aggregation pass.
+        from . import lm as _lm
+
+        model = perplexity_lm or _lm.lm_train(gated, text_col)
+        gated = _lm.lm_quality_filter(
+            gated, model, max_perplexity, text_col, id_col
+        ).drop("perplexity")
+    after_quality = gated
+    if keep_langs is not None:
+        lang = text.language_id(gated, text_col, id_col).filter(
+            F.col("predicted_lang").isin(*keep_langs)
+        ).select(id_col)
+        gated = gated.join(lang, id_col, "left_semi")
+    return after_quality, gated
+
+
 def curate_documents(
     docs: DataFrame,
     text_col: str = "text",
@@ -117,38 +209,17 @@ def curate_documents(
     """
     n_input = docs.count() if collect_stats else -1
 
-    pre = docs
-    if c4_line_page_rules:
-        # The C4 recipe runs FIRST (its line filter REWRITES the text;
-        # every downstream signal — dedup keys, quality counts, the
-        # LM — must judge what will actually ship). Page-rule drops
-        # get their own 'c4' audit stage; the rewrite itself is a
-        # zero-shuffle per-row fold on the same scan.
-        pre = quality_rules.c4_clean(docs, text_col)
-
-    cleaned = text.clean_text(pre, text_col, min_tokens, max_tokens)
-    if drop_repetitive:
-        # Gopher repetition rules (dup-line/paragraph fractions, modal
-        # n-gram coverage) run BEFORE dedup: repetitive boilerplate is
-        # exactly what inflates shingle frequencies downstream. Pure
-        # per-row column folds — extends the clean stage's scan, adds
-        # no shuffle; its removals land in the after_clean count.
-        cleaned = text.repetition_filter(cleaned, text_col, id_col)
-    if gopher_document_rules:
-        # The document-level half of the published Gopher filter
-        # (quality_rules.gopher_rule_cols) — same placement and same
-        # audit attribution ('clean') as the repetition half.
-        cleaned = quality_rules.gopher_filter(cleaned, text_col)
-    if compression_band is not None:
-        # zlib-ratio boilerplate band (operators/compress.py): the
-        # model-free redundancy gate, same pre-dedup placement and
-        # 'clean' audit attribution as the repetition rules. The one
-        # Arrow seam in the stage — the checkpoint below keeps the
-        # CC rounds from re-running DEFLATE over the corpus.
-        from . import compress
-
-        lo, hi = compression_band
-        cleaned = compress.compression_filter(cleaned, lo, hi, text_col)
+    pre, cleaned = clean_stage(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        min_tokens=min_tokens,
+        max_tokens=max_tokens,
+        drop_repetitive=drop_repetitive,
+        gopher_document_rules=gopher_document_rules,
+        compression_band=compression_band,
+        c4_line_page_rules=c4_line_page_rules,
+    )
     if drop_repetitive or gopher_document_rules or compression_band:
         # Lazily checkpoint the survivors: the near-dup stage's
         # iterative connected-components re-executes its input every
@@ -238,34 +309,16 @@ def curate_documents(
         ).drop("n_removed_sentences").localCheckpoint(eager=False)
     n_near = near.count() if collect_stats else -1
 
-    quality = text.quality_score(near, text_col, id_col).filter(
-        F.col("quality_score") >= min_quality
-    ).select(id_col)
-    gated = near.join(quality, id_col, "left_semi")
-    if max_perplexity is not None:
-        # CCNet-style LM stage (operators/lm.py), AFTER dedup so the
-        # reference LM is not asked to rescue boilerplate dedup already
-        # kills: keep the low-perplexity head. The model defaults to
-        # self-trained on the deduped survivors (the fluency prior of
-        # the corpus itself); pass `perplexity_lm` (an NgramLM, e.g.
-        # trained on a target domain) for a CCNet-faithful external
-        # reference. Scoring is a zero-shuffle literal-model fold, so
-        # this extends the quality stage's scan; training (when
-        # self-trained) adds lm_train's one aggregation pass.
-        from . import lm as _lm
-
-        model = perplexity_lm or _lm.lm_train(gated, text_col)
-        gated = _lm.lm_quality_filter(
-            gated, model, max_perplexity, text_col, id_col
-        ).drop("perplexity")
-    n_quality = gated.count() if collect_stats else -1
-    post_quality = gated  # the frame BEFORE the language stage
-
-    if keep_langs is not None:
-        lang = text.language_id(gated, text_col, id_col).filter(
-            F.col("predicted_lang").isin(*keep_langs)
-        ).select(id_col)
-        gated = gated.join(lang, id_col, "left_semi")
+    post_quality, gated = quality_language_stage(
+        near,
+        text_col=text_col,
+        id_col=id_col,
+        min_quality=min_quality,
+        keep_langs=keep_langs,
+        max_perplexity=max_perplexity,
+        perplexity_lm=perplexity_lm,
+    )
+    n_quality = post_quality.count() if collect_stats else -1
     n_lang = gated.count() if collect_stats else -1
 
     audit_df = None

@@ -70,14 +70,26 @@ def _parallelize(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def text_fingerprint_col(text_col: Column | str) -> Column:
+    """The exact-dedup key: md5 over whitespace-normalized lowercased
+    text. ONE definition shared by exact_dedup_groups,
+    drop_exact_duplicates, and the streaming curator's fingerprint
+    table (streaming/curate_stream.py) — a drifted normalization
+    would silently stop recognizing history as duplicate."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.lower(F.regexp_replace(F.trim(t), r"\s+", " ")))
+
+
 def exact_dedup_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Hash-groupBy exact dedup: one row per distinct text with the
     minimal id as the kept representative and the duplicate count."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     return (
-        df.select(F.md5(norm).alias("fingerprint"), F.col(id_col))
+        df.select(
+            text_fingerprint_col(text_col).alias("fingerprint"),
+            F.col(id_col),
+        )
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -106,9 +118,8 @@ def drop_exact_duplicates(
             F.col("keep_id").alias(id_col)
         )
         return df.join(keep, id_col, "left_semi")
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
     base = df.select(
-        F.md5(norm).alias("_fp"),
+        text_fingerprint_col(text_col).alias("_fp"),
         F.col(id_col).alias("_kid"),
         F.coalesce(
             F.col(quality_col).cast("double"), F.lit(float("-inf"))

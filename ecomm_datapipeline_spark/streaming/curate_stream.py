@@ -1,0 +1,285 @@
+"""Streaming document curation: new documents arrive on any stream,
+per-row gates + dedup screening run per micro-batch, survivors append
+to the curated corpus — the TABLE-BACKED streaming twin of
+operators/curation.curate_documents, built from the SAME stage
+functions (curation.clean_stage / quality_language_stage — shared
+seams, the records_from_files convention) so the two paths cannot
+desynchronize.
+
+Two streaming curators exist by design:
+
+* streaming/incremental.curate_documents_stream — the STATELESS
+  variant: per-row gates + watermark-scoped exact dedup, returns a
+  streaming frame to compose into any sink; corpus-history dedup is
+  deferred to batch compaction.
+* this module — the INGEST variant: foreachBatch with persisted
+  fingerprint + MinHash-index tables, so dedup is against the entire
+  shipped corpus (not a watermark window), with exactly-once table
+  appends and per-stage drop audit. The production landing-zone
+  shape.
+
+What "dedup on a stream" means here (and what it cannot mean):
+
+* Exact dedup is EXACT and corpus-wide: a fingerprint table (md5 of
+  the normalized text, the same dedup.text_fingerprint_col the batch
+  groupBy keys on) holds one row per SHIPPED document; each batch
+  drops rows whose fingerprint already shipped, then min-id-collapses
+  its own internal duplicates. Per-batch cost: one fingerprint
+  equijoin, O(batch) probe side.
+* Near-dup screening (optional: pass `index_path`) probes the
+  incremental MinHash band index (operators/dedup.minhash_band_index
+  — the same table streaming/dedup_index.py maintains) against the
+  SHIPPED corpus: a batch doc whose estimated Jaccard with any
+  shipped doc clears `neardup_threshold` is dropped; batch-internal
+  candidate pairs collapse PAIRWISE to the smaller id. Pairwise, not
+  transitive: the batch-mode connected-components fixpoint needs the
+  whole pair graph, which a stream by definition has not seen —
+  chains split across micro-batches resolve per-pair against whatever
+  already shipped (each doc is compared against ALL shipped docs, so
+  the only divergence from batch semantics is which REPRESENTATIVE of
+  a chain survives, never whether near-dups coexist).
+* Dedup is against the SHIPPED corpus, not the observed stream: a
+  document dropped by the quality gate leaves no fingerprint/index
+  row, so a later identical-but-cleaner variant still gets its
+  chance. (Batch runs its gates after dedup too — same order here.)
+
+Quality gates needing corpus state are rejected: max_perplexity
+requires a LITERAL perplexity_lm (a per-micro-batch self-trained LM
+would drift batch to batch).
+
+Exactly-once: every appended row carries `_batch_id`; each of the
+(curated, fingerprints, index, audit) appends is independently
+replay-guarded by its own committed-batch check, and the probes
+exclude the current batch's rows from the fingerprint/index tables so
+a crash between appends cannot pair a half-committed batch against
+itself (the dedup_index convention).
+
+At 100 TB: per-batch work is O(batch) — the clean/quality gates are
+per-row folds on the batch, the fingerprint probe and index probe are
+equijoins whose corpus side is never re-hashed (persist both as
+bucketed tables on the join key for high-frequency triggers, see
+streaming/dedup_index.py scale notes). Nothing corpus-sized ever
+shuffles per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators import curation, dedup
+from ..sources import tables
+
+_BATCH_COL = "_batch_id"
+
+
+def _committed(spark, path: str, batch_id: int) -> bool:
+    if not tables.table_exists(path):
+        return False
+    df = tables.read_table(spark, path)
+    return (
+        _BATCH_COL in df.columns
+        and df.filter(F.col(_BATCH_COL) == batch_id).limit(1).count() > 0
+    )
+
+
+def _exclude_batch(df: DataFrame, batch_id: int) -> DataFrame:
+    if _BATCH_COL in df.columns:
+        return df.filter(F.col(_BATCH_COL) != batch_id)
+    return df
+
+
+def curate_ingest_stream(
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_quality: int = 30,
+    keep_langs: tuple[str, ...] | None = None,
+    drop_repetitive: bool = False,
+    gopher_document_rules: bool = False,
+    compression_band: tuple[float, float] | None = None,
+    c4_line_page_rules: bool = False,
+    max_perplexity: float | None = None,
+    perplexity_lm=None,
+    index_path: str | None = None,
+    neardup_threshold: float = 0.8,
+    k: int = 3,
+    num_perm: int = 16,
+    bands: int = 4,
+    portable: bool = False,
+    audit: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the streaming curator; returns the running query.
+
+    Tables written (all append-only, all `_batch_id`-stamped):
+      `out_dir`                 — curated documents (input columns)
+      `<out_dir>_fingerprints`  — (fp) per shipped doc, the exact-
+                                  dedup history
+      `index_path` (if given)   — MinHash band index rows per shipped
+                                  doc (minhash_band_index schema)
+      `<out_dir>_audit` (audit=True) — (id, dropped_stage) per
+                                  dropped doc: clean / exact_dup /
+                                  near_dup / quality / language
+    """
+    if max_perplexity is not None and perplexity_lm is None:
+        raise ValueError(
+            "streaming max_perplexity needs a literal perplexity_lm — "
+            "a per-micro-batch self-trained LM would drift"
+        )
+    fp_path = out_dir.rstrip("/") + "_fingerprints"
+    audit_path = out_dir.rstrip("/") + "_audit"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        guarded = [out_dir, fp_path] + (
+            [index_path] if index_path else []
+        ) + ([audit_path] if audit else [])
+        if all(_committed(spark, p, batch_id) for p in guarded):
+            return  # full replay of a committed batch
+
+        _, cleaned = curation.clean_stage(
+            batch,
+            text_col=text_col,
+            id_col=id_col,
+            min_tokens=min_tokens,
+            max_tokens=max_tokens,
+            drop_repetitive=drop_repetitive,
+            gopher_document_rules=gopher_document_rules,
+            compression_band=compression_band,
+            c4_line_page_rules=c4_line_page_rules,
+        )
+        # one decode of the gates for the several probes/writes below
+        cleaned = cleaned.localCheckpoint()
+
+        # exact: within-batch min-id collapse, then drop what shipped
+        exact = dedup.drop_exact_duplicates(cleaned, text_col, id_col)
+        if tables.table_exists(fp_path):
+            shipped_fps = _exclude_batch(
+                tables.read_table(spark, fp_path), batch_id
+            ).select("fp")
+            exact = exact.withColumn(
+                "_fp", dedup.text_fingerprint_col(text_col)
+            ).join(
+                shipped_fps.withColumnRenamed("fp", "_fp"),
+                "_fp",
+                "left_anti",
+            ).drop("_fp")
+
+        # near-dup vs the shipped corpus + pairwise within the batch.
+        # A missing index table (first-ever batch) still probes an
+        # EMPTY index: the batch's internal pairs must screen from
+        # batch one, not from batch two.
+        if index_path is not None:
+            from .dedup_index import _empty_index
+
+            if tables.table_exists(index_path):
+                index = _exclude_batch(
+                    tables.read_table(spark, index_path), batch_id
+                ).drop(_BATCH_COL)
+            else:
+                index = _empty_index(
+                    spark, id_col, batch.schema[id_col].dataType, portable
+                ).drop(_BATCH_COL)
+            cands, _ = dedup.incremental_minhash_candidates(
+                exact,
+                index,
+                text_col=text_col,
+                id_col=id_col,
+                k=k,
+                num_perm=num_perm,
+                bands=bands,
+                portable=portable,
+            )
+            conf = cands.filter(
+                F.col("est_jaccard") >= neardup_threshold
+            ).localCheckpoint()
+            batch_ids = exact.select(F.col(id_col).alias("id_existing"))
+            # internal pair (id_new < id_existing): larger id drops;
+            # corpus pair: the batch side (id_new) drops
+            internal = conf.join(batch_ids, "id_existing", "left_semi")
+            vs_corpus = conf.join(batch_ids, "id_existing", "left_anti")
+            to_drop = (
+                internal.select(F.col("id_existing").alias(id_col))
+                .unionByName(vs_corpus.select(F.col("id_new").alias(id_col)))
+                .distinct()
+            )
+            near = exact.join(to_drop, id_col, "left_anti")
+        else:
+            near = exact
+
+        _, final = curation.quality_language_stage(
+            near,
+            text_col=text_col,
+            id_col=id_col,
+            min_quality=min_quality,
+            keep_langs=keep_langs,
+            max_perplexity=max_perplexity,
+            perplexity_lm=perplexity_lm,
+        )
+        final = final.localCheckpoint()
+
+        if not _committed(spark, out_dir, batch_id):
+            tables.write_table(
+                final.withColumn(_BATCH_COL, F.lit(batch_id)),
+                out_dir,
+                mode="append",
+            )
+        if not _committed(spark, fp_path, batch_id):
+            tables.write_table(
+                final.select(
+                    dedup.text_fingerprint_col(text_col).alias("fp")
+                ).withColumn(_BATCH_COL, F.lit(batch_id)),
+                fp_path,
+                mode="append",
+            )
+        if index_path is not None and not _committed(
+            spark, index_path, batch_id
+        ):
+            idx_rows = dedup.minhash_band_index(
+                final,
+                text_col,
+                id_col,
+                k=k,
+                num_perm=num_perm,
+                bands=bands,
+                portable=portable,
+            )
+            tables.write_table(
+                idx_rows.withColumn(_BATCH_COL, F.lit(batch_id)),
+                index_path,
+                mode="append",
+            )
+        if audit and not _committed(spark, audit_path, batch_id):
+            def drops(prev: DataFrame, cur: DataFrame, stage: str):
+                return (
+                    prev.select(id_col)
+                    .join(cur.select(id_col), id_col, "left_anti")
+                    .select(
+                        F.col(id_col),
+                        F.lit(stage).alias("dropped_stage"),
+                    )
+                )
+
+            audit_df = (
+                drops(batch, cleaned, "clean")
+                .unionByName(drops(cleaned, exact, "exact_dup"))
+                .unionByName(drops(exact, near, "near_dup"))
+                .unionByName(drops(near, final, "quality_language"))
+                .withColumn(_BATCH_COL, F.lit(batch_id))
+            )
+            tables.write_table(audit_df, audit_path, mode="append")
+
+    writer = docs_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,118 @@
+"""Table-backed streaming curation (streaming/curate_stream.py):
+cross-batch exact + near-dup screening against the shipped corpus,
+per-stage audit, replay idempotency, and single-batch parity with the
+batch pipeline's survivor set."""
+
+from ecomm_datapipeline_spark.streaming import curate_stream
+
+A = (
+    "the quick brown fox jumps over the lazy dog near the quiet river "
+    "bend every single morning before the town wakes up"
+)
+E = (
+    "distributed shuffle partitioning strategies decide how a large "
+    "join moves its rows between the executors of a busy cluster"
+)
+
+
+def _near(base: str, tail: str) -> str:
+    return base.rsplit(" ", 1)[0] + " " + tail
+
+
+def _run(spark, src, tmp_path, **kw):
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = curate_stream.curate_ingest_stream(
+        stream,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        index_path=str(tmp_path / "idx"),
+        neardup_threshold=0.4,
+        min_quality=30,
+        audit=True,
+        **kw,
+    )
+    q.awaitTermination(180)
+
+
+def _ids(spark, tmp_path):
+    return {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+
+
+def test_cross_batch_screening_and_audit(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    b1 = [
+        (1, A),
+        (3, A + " "),          # exact dup of 1 (normalization): drops
+        (5, "!!! ??? ### $$$ %%% ^^^ && **"),  # junk: quality gate drops
+    ]
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    _run(spark, src, tmp_path)
+    assert _ids(spark, tmp_path) == {1}
+
+    b2 = [
+        (11, A),                      # exact dup of SHIPPED 1: drops
+        (13, E),                      # new clean doc: ships
+        (15, _near(A, "evening")),    # near-dup of SHIPPED 1: drops
+        (17, _near(E, "datacenter")), # near-dup of batch-mate 13: drops
+    ]
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    _run(spark, src, tmp_path)
+    assert _ids(spark, tmp_path) == {1, 13}
+
+    audit = {
+        r["doc_id"]: r["dropped_stage"]
+        for r in spark.read.parquet(str(tmp_path / "out_audit")).collect()
+    }
+    assert audit[3] == "exact_dup" and audit[11] == "exact_dup"
+    assert audit[5] == "quality_language"
+    assert audit[15] == "near_dup" and audit[17] == "near_dup"
+    # conservation per batch: input = shipped + audited
+    assert set(audit) | _ids(spark, tmp_path) == {1, 3, 5, 11, 13, 15, 17}
+
+    # fingerprints/index hold exactly the shipped docs
+    fps = spark.read.parquet(str(tmp_path / "out_fingerprints"))
+    assert fps.count() == 2
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert {
+        r["doc_id"] for r in idx.select("doc_id").distinct().collect()
+    } == {1, 13}
+
+    # replay with the same checkpoint and no new files: a no-op
+    before = spark.read.parquet(str(tmp_path / "out")).count()
+    _run(spark, src, tmp_path)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == before
+
+
+def test_single_batch_parity_with_batch_pipeline(spark, tmp_path):
+    """One micro-batch through the ingest curator = curate_documents'
+    survivor set (same stage functions, same minhash params, pair-
+    shaped dup groups so pairwise == connected components)."""
+    from ecomm_datapipeline_spark.operators.curation import curate_documents
+
+    rows = [
+        (1, A),
+        (2, A + "  "),               # exact dup pair
+        (3, E),
+        (4, _near(E, "datacenter")),  # near-dup pair
+        (5, "!!! ??? ### $$$ %%% ^^^ && **"),  # junk
+    ]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    _run(spark, src, tmp_path)
+
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    want, _ = curate_documents(
+        batch, near_dup="minhash", near_dup_threshold=0.4, min_quality=30
+    )
+    assert _ids(spark, tmp_path) == {
+        r["doc_id"] for r in want.select("doc_id").collect()
+    }
