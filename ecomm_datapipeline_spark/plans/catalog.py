@@ -3654,6 +3654,12 @@ def _gopher_c4_sql() -> str:
         WHEN 1 THEN 'z|d:/p'
         ELSE 'q|d:/c#r|d:/d'
       END AS robots_groups,
+      CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN CAST(doc_id % 7 AS DOUBLE)
+        WHEN 1 THEN CAST(doc_id % 5 AS DOUBLE) + 0.5
+        WHEN 2 THEN 3.0
+        ELSE -1.0
+      END AS crawl_delay_q,
       CASE CAST(doc_id % 5 AS INT)
         WHEN 0 THEN 'http://a/b/g'
         WHEN 1 THEN 'http://a/b/c/g/'
@@ -3741,7 +3747,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         gopher_rule_cols,
         rule_bits_col,
     )
-    from ..operators.robots import robots_groups_col
+    from ..operators.robots import crawl_delay_col, robots_groups_col
     from ..operators.winnow import winnow_cols, winnow_cols_positional
 
     mod = (F.col("doc_id") % 3).cast("int")
@@ -3889,6 +3895,45 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("../../x"))
     )
     resolved_url = resolve_url_col(_rbase, _rref)
+    # Crawl-delay fold (r9): four rotating synthesized robots bodies
+    # — exact-agent group with the delay AFTER its rules beating a
+    # '*' group, fractional wildcard delay, non-numeric exact value
+    # falling through to the wildcard group, and a pre-group delay
+    # that belongs to nobody (NULL -> -1). The REAL crawl_delay_col
+    # fold parses them (agent 'Bot' also pins case-insensitivity);
+    # the oracle states the closed-form expected seconds.
+    _dcase = (F.col("doc_id") % 4).cast("int")
+    _dtxt = (
+        F.when(
+            _dcase == 0,
+            F.concat(
+                F.lit("User-agent: bot\nDisallow: /a\nCrawl-delay: "),
+                (F.col("doc_id") % 7).cast("int").cast("string"),
+                F.lit("\nUser-agent: *\nCrawl-delay: 99"),
+            ),
+        )
+        .when(
+            _dcase == 1,
+            F.concat(
+                F.lit("User-agent: *\nCrawl-delay: "),
+                (F.col("doc_id") % 5).cast("int").cast("string"),
+                F.lit(".5"),
+            ),
+        )
+        .when(
+            _dcase == 2,
+            F.lit(
+                "User-agent: bot\nCrawl-delay: soon\n"
+                "User-agent: *\nCrawl-delay: 3"
+            ),
+        )
+        .otherwise(
+            F.lit("Crawl-delay: 8\nUser-agent: other\nCrawl-delay: 4")
+        )
+    )
+    crawl_delay_q = F.coalesce(
+        crawl_delay_col(_dtxt, agent="Bot"), F.lit(-1.0)
+    )
     # Quality-rule fold inputs (r9): the same synthesized g_doc /
     # c4_doc the oracle constructs in _quality_docs_sql.
     _qcase = (F.col("doc_id") % 4).cast("int")
@@ -3963,6 +4008,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "winnow_sig": winnow_sig,
             "winnow_pos_sig": winnow_pos_sig,
             "robots_groups": robots_groups,
+            "crawl_delay_q": crawl_delay_q,
             "resolved_url": resolved_url,
             "html_sig": F.md5(html_to_text_col(page)),
             "anchor_sig": anchor_sig,
