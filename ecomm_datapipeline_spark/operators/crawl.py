@@ -156,6 +156,14 @@ def crawl(
             .select(normalize_url(F.col("_u")).alias("url"))
             .filter(F.col("url").isNotNull() & (F.col("url") != ""))
             .distinct()
+            # barrier before the trap filter: its predicate references
+            # only the grouping column, so Catalyst pushes it through
+            # the distinct and inlines the normalize-over-resolver
+            # tree into every trap term — a multiplicative expression
+            # blowup that lands in a per-task GeneratePredicate (the
+            # measured frontier_store OOM; see docs/SCALE.md). Lazy:
+            # computed once when the round's frontier materializes.
+            .localCheckpoint(eager=False)
         )
         if drop_traps:
             new_links = drop_crawl_traps(new_links)

@@ -1,0 +1,261 @@
+"""Persistent, restartable crawl frontier: the state table between
+crawl rounds — operators/crawl.crawl is the in-memory loop (lineage
+lives in localCheckpoint blocks, gone with the driver), this module
+is its production shape: every URL's lifecycle (pending -> fetched /
+failed-with-retries) lives in ONE parquet/Delta table keyed by url,
+every round commits atomically, and the driver loop can be killed and
+restarted at any point without double-fetching committed rounds or
+losing discovered links.
+
+Table schema (key: url — normalized by urls.normalize_url on entry,
+so one page is one row no matter how many raw spellings link to it):
+
+    url string, host string, status string (pending|fetched|failed),
+    priority double, tries int, discovered_round int, last_round int
+
+Commit protocol (commit_round): status transitions for the round's
+attempted wave + inserts for its newly-discovered links go through
+ONE tables.merge_table call — parquet merges stage to a sibling dir
+and swap via rename, so a crash mid-commit leaves the PREVIOUS state
+intact, never a half-applied round. Replays are detected per row:
+a wave row whose last_round already equals the committing round is
+passed through unchanged (tries does not double-increment), and
+discovered URLs already known insert nothing — so re-running a round
+after a crash is idempotent in state even though the fetch itself is
+at-least-once (refetching a page is the web-crawl norm; the STATE is
+exactly-once).
+
+Scale: the table is O(discovered URLs) short rows; pending_wave reads
+it with a status filter (partition the table by status for pruning if
+the fetched set dwarfs pending), schedules with frontier_waves (the
+skew-safe per-host ranker — no per-host window), and honors
+robots Crawl-delay via the same host_budgets seam. merge_table's
+parquet leg rewrites the table per round — at frontier scale
+(billions of URLs) use a Delta target (real MERGE, file pruning) or
+partition by a stable hash bucket of url so each round rewrites only
+touched buckets: pass partition_by=['bucket'] via init/commit and the
+merge stays partition-scoped because bucket derives from the key.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import tables
+
+def _normalized_urls(df: DataFrame, url_col: str) -> DataFrame:
+    from .urls import normalize_url
+
+    return (
+        df.select(normalize_url(F.col(url_col)).alias("url"))
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .distinct()
+    )
+
+
+def _as_rows(urls: DataFrame, round_id: int, priority: float) -> DataFrame:
+    from .urls import url_parts
+
+    return urls.select(
+        "url",
+        url_parts(F.col("url"))["host"].alias("host"),
+        F.lit("pending").alias("status"),
+        F.lit(float(priority)).alias("priority"),
+        F.lit(0).alias("tries"),
+        F.lit(int(round_id)).alias("discovered_round"),
+        F.lit(None).cast("int").alias("last_round"),
+    )
+
+
+def init_frontier(
+    seeds: DataFrame, path: str, url_col: str = "url"
+) -> None:
+    """Create the frontier table from a seed frame (idempotent: an
+    existing table absorbs the seeds as round-0 discoveries instead
+    of being clobbered)."""
+    rows = _as_rows(_normalized_urls(seeds, url_col), 0, 0.0)
+    if tables.table_exists(path):
+        known = tables.read_table(seeds.sparkSession, path).select("url")
+        rows = rows.join(known, "url", "left_anti")
+        tables.write_table(rows, path, mode="append")
+    else:
+        tables.write_table(rows, path, mode="append")
+
+
+def last_committed_round(spark: SparkSession, path: str) -> int:
+    """Highest round id any row carries (0 when the table is fresh) —
+    the restart point for crawl_rounds."""
+    row = (
+        tables.read_table(spark, path)
+        .agg(F.max(F.coalesce(F.col("last_round"), F.col("discovered_round"))))
+        .first()
+    )
+    return int(row[0] or 0)
+
+
+def pending_wave(
+    spark: SparkSession,
+    path: str,
+    per_host_per_wave: int,
+    max_tries: int = 3,
+    host_budgets: DataFrame | None = None,
+) -> DataFrame:
+    """The next politeness wave: pending URLs plus failed ones with
+    retries left, ranked per host by (priority desc, url) through
+    frontier_waves, wave 0 only. Returns (url, host, priority,
+    tries)."""
+    from .frontier import frontier_waves
+
+    state = tables.read_table(spark, path)
+    eligible = state.filter(
+        (F.col("status") == "pending")
+        | ((F.col("status") == "failed") & (F.col("tries") < max_tries))
+    ).select("url", "host", "priority", "tries")
+    waved = frontier_waves(
+        eligible,
+        per_host_per_wave=per_host_per_wave,
+        order_cols=[F.desc("priority"), F.col("url")],
+        host_budgets=host_budgets,
+    )
+    return waved.filter(F.col("wave") == 0).select(
+        "url", "host", "priority", "tries"
+    )
+
+
+def commit_round(
+    spark: SparkSession,
+    path: str,
+    round_id: int,
+    attempted: DataFrame,
+    fetched_ok: DataFrame,
+    discovered: DataFrame | None = None,
+    discovered_priority: float = 0.0,
+) -> None:
+    """Atomically apply one round: `attempted` (url) rows transition
+    to fetched/failed depending on membership in `fetched_ok` (url),
+    with tries incremented once per ATTEMPT; `discovered` raw URLs
+    (already link-extracted by the caller) insert as pending unless
+    already known. One merge_table call = one atomic swap; rows whose
+    last_round already equals round_id pass through unchanged, making
+    a post-crash replay a state no-op."""
+    state = tables.read_table(spark, path)
+    ok = fetched_ok.select("url").distinct().withColumn("_ok", F.lit(True))
+    att = attempted.select("url").distinct()
+    updates = (
+        state.join(att, "url", "left_semi")
+        .join(ok, "url", "left")
+        .select(
+            "url",
+            "host",
+            F.when(
+                F.col("last_round") == round_id, F.col("status")
+            )
+            .otherwise(
+                F.when(F.col("_ok"), F.lit("fetched")).otherwise(
+                    F.lit("failed")
+                )
+            )
+            .alias("status"),
+            "priority",
+            F.when(F.col("last_round") == round_id, F.col("tries"))
+            .otherwise(F.col("tries") + 1)
+            .alias("tries"),
+            "discovered_round",
+            F.lit(int(round_id)).alias("last_round"),
+        )
+    )
+    new_rows = None
+    if discovered is not None:
+        new_rows = (
+            _as_rows(
+                _normalized_urls(discovered, "url"),
+                round_id,
+                discovered_priority,
+            )
+            .join(state.select("url"), "url", "left_anti")
+            .join(att, "url", "left_anti")
+        )
+        updates = updates.unionByName(new_rows)
+    # one atomic swap for the whole round (merge stages to a sibling
+    # dir and renames; a crash leaves the previous table intact)
+    ck = updates.localCheckpoint()
+    try:
+        tables.merge_table(ck, path, keys=["url"])
+    finally:
+        ck.unpersist()
+
+
+def crawl_rounds(
+    spark: SparkSession,
+    path: str,
+    fetch_fn: Callable[[DataFrame], DataFrame],
+    rounds: int,
+    per_host_per_wave: int = 100,
+    max_tries: int = 3,
+    host_budgets: DataFrame | None = None,
+    drop_traps: bool = True,
+) -> DataFrame:
+    """The restartable crawl driver: resume after last_committed_round
+    and run up to `rounds` MORE rounds (stop early when no URL is
+    eligible). fetch_fn maps a (url, ...) frame to (url, html) rows —
+    URLs it omits count as failures and retry up to max_tries. Link
+    extraction, normalization, and trap screening mirror
+    operators/crawl.crawl. Returns the final state frame.
+
+    Restart contract: kill at ANY point; rerun with the same
+    arguments. A round whose commit landed is skipped (its effects
+    are in the table); a round that crashed before commit re-fetches
+    its wave (at-least-once fetch, exactly-once state)."""
+    from .html import extract_links_col
+    from .urls import drop_crawl_traps
+
+    start = last_committed_round(spark, path)
+    for rnd in range(start + 1, start + 1 + rounds):
+        wave = pending_wave(
+            spark, path, per_host_per_wave, max_tries, host_budgets
+        ).localCheckpoint()
+        if wave.isEmpty():
+            wave.unpersist()
+            break
+        fetched = (
+            fetch_fn(wave).select("url", "html").localCheckpoint()
+        )
+        # Materialization BARRIER between extraction and the
+        # normalize/trap chain: composing resolve-per-href, URL
+        # normalization, and the trap regexes into ONE expression
+        # multiplies their tree sizes (each wrapper re-references its
+        # whole argument tree several times) — the composed stage's
+        # generated code measurably exhausts a small driver heap as a
+        # single giant source string. Two bounded stages instead; the
+        # checkpointed frame is one round's raw hrefs, O(wave links).
+        raw_links = fetched.select(
+            F.explode(extract_links_col("html", base="url")).alias("url")
+        ).localCheckpoint()
+        # second barrier AFTER normalize+distinct: the trap filter's
+        # predicate references only the grouping column, so Catalyst
+        # pushes it through the distinct and inlines the normalize
+        # tree into every trap term — the same multiplicative blowup,
+        # landing in a per-task GeneratePredicate. The distinct
+        # shuffles this (small) frame anyway; checkpointing its output
+        # costs one storage pass of the round's unique URLs.
+        links_ck = _normalized_urls(raw_links, "url").localCheckpoint()
+        links = drop_crawl_traps(links_ck) if drop_traps else links_ck
+        commit_round(
+            spark,
+            path,
+            rnd,
+            attempted=wave,
+            fetched_ok=fetched,
+            discovered=links,
+        )
+        # round-local checkpoint blocks die with the round, not the
+        # loop (the warc_stream unpersist convention) — a long crawl
+        # must not accumulate per-round blocks in executor storage
+        # unpersist the CHECKPOINTED handles (a derived frame's
+        # unpersist would be a silent no-op)
+        for df in (wave, fetched, raw_links, links_ck):
+            df.unpersist()
+    return tables.read_table(spark, path)

@@ -1,0 +1,121 @@
+"""Persistent crawl frontier (operators/frontier_store.py): state
+transitions, retry budget, atomic round commits with replay
+idempotency, restartable driver loop, and equivalence of the fetched
+page set with the in-memory crawl() loop on the same synthetic web."""
+
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import crawl, frontier_store
+from ecomm_datapipeline_spark.sources import tables
+
+# a tiny synthetic web: every page links to its listed neighbours
+WEB = {
+    "http://a.example/": ["http://a.example/p1", "http://b.example/"],
+    "http://a.example/p1": ["http://a.example/p2"],
+    "http://a.example/p2": [],
+    "http://b.example/": ["http://b.example/only"],
+    # b/only always fails to fetch (absent from WEB)
+}
+
+
+def _html(links):
+    return "".join(f'<a href="{u}">x</a>' for u in links)
+
+
+def _fetcher(spark):
+    rows = [(u, _html(ls)) for u, ls in WEB.items()]
+    pages = spark.createDataFrame(rows, "url string, html string")
+
+    def fetch(wave):
+        return wave.select("url").join(pages, "url")
+
+    return fetch
+
+
+def _state(spark, path):
+    return {
+        r["url"]: (r["status"], r["tries"], r["last_round"])
+        for r in tables.read_table(spark, path).collect()
+    }
+
+
+def test_rounds_and_retries(spark, tmp_path):
+    path = str(tmp_path / "frontier")
+    seeds = spark.createDataFrame(
+        [("http://a.example/",)], "url string"
+    )
+    frontier_store.init_frontier(seeds, path)
+    # idempotent re-init: absorbs, never clobbers
+    frontier_store.init_frontier(seeds, path)
+    assert _state(spark, path) == {
+        "http://a.example/": ("pending", 0, None)
+    }
+
+    out = frontier_store.crawl_rounds(
+        spark, path, _fetcher(spark), rounds=10, max_tries=2
+    )
+    got = _state(spark, path)
+    fetched = {u for u, (s, _, _) in got.items() if s == "fetched"}
+    assert fetched == {u for u in WEB}
+    # the unfetchable page exhausted its retry budget
+    assert got["http://b.example/only"][0] == "failed"
+    assert got["http://b.example/only"][1] == 2
+    # nothing eligible remains
+    assert frontier_store.pending_wave(
+        spark, path, 100, max_tries=2
+    ).isEmpty()
+    assert out.count() == len(got)
+
+
+def test_commit_replay_is_noop(spark, tmp_path):
+    path = str(tmp_path / "frontier")
+    frontier_store.init_frontier(
+        spark.createDataFrame([("http://a.example/",)], "url string"), path
+    )
+    wave = frontier_store.pending_wave(spark, path, 100)
+    ok = spark.createDataFrame([("http://a.example/",)], "url string")
+    disc = spark.createDataFrame(
+        [("http://a.example/p1",)], "url string"
+    )
+    frontier_store.commit_round(spark, path, 1, wave, ok, disc)
+    first = _state(spark, path)
+    # crash-replay of the SAME round: state unchanged (tries does not
+    # double-increment, discoveries do not duplicate)
+    frontier_store.commit_round(spark, path, 1, wave, ok, disc)
+    assert _state(spark, path) == first
+    assert first["http://a.example/"] == ("fetched", 1, 1)
+    assert first["http://a.example/p1"] == ("pending", 0, None)
+
+
+def test_restart_mid_crawl(spark, tmp_path):
+    """Kill after round 1, restart: the driver resumes at round 2 and
+    converges to the same state as an uninterrupted run."""
+    path = str(tmp_path / "f1")
+    path2 = str(tmp_path / "f2")
+    seeds = spark.createDataFrame([("http://a.example/",)], "url string")
+    for p in (path, path2):
+        frontier_store.init_frontier(seeds, p)
+
+    frontier_store.crawl_rounds(spark, path, _fetcher(spark), rounds=1)
+    assert frontier_store.last_committed_round(spark, path) == 1
+    frontier_store.crawl_rounds(spark, path, _fetcher(spark), rounds=9, max_tries=2)
+
+    frontier_store.crawl_rounds(spark, path2, _fetcher(spark), rounds=10, max_tries=2)
+    assert _state(spark, path) == _state(spark, path2)
+
+
+def test_matches_in_memory_crawl(spark, tmp_path):
+    path = str(tmp_path / "frontier")
+    seeds = spark.createDataFrame([("http://a.example/",)], "url string")
+    frontier_store.init_frontier(seeds, path)
+    frontier_store.crawl_rounds(
+        spark, path, _fetcher(spark), rounds=10, max_tries=1
+    )
+    stored = {
+        r["url"]
+        for r in tables.read_table(spark, path)
+        .filter(F.col("status") == "fetched")
+        .collect()
+    }
+    mem = crawl.crawl(seeds, _fetcher(spark), rounds=10)
+    assert stored == {r["url"] for r in mem.select("url").collect()}
