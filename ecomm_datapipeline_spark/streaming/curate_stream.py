@@ -125,7 +125,15 @@ def curate_ingest_stream(
                                   doc (minhash_band_index schema)
       `<out_dir>_audit` (audit=True) — (id, dropped_stage) per
                                   dropped doc: clean / exact_dup /
-                                  near_dup / quality / language
+                                  near_dup / quality_language.
+                                  Coarser than the batch audit by
+                                  design: C4 page-rule drops land in
+                                  'clean' (not a separate 'c4' stage)
+                                  and the quality/perplexity/language
+                                  gates share one stage label — the
+                                  conservation identity |batch| =
+                                  |shipped| + |audit| still holds
+                                  exactly (pytest-pinned).
     """
     if max_perplexity is not None and perplexity_lm is None:
         raise ValueError(

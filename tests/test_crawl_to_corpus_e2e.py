@@ -1,0 +1,128 @@
+"""Capstone e2e: the full production crawl->corpus pipeline composed
+from this round's pieces — persistent frontier crawl
+(operators/frontier_store) whose fetcher lands pages like a real
+fetcher writes archives, HTML->text extraction (operators/html), and
+table-backed streaming curation (streaming/curate_stream) with exact
++ near-dup screening — asserting the curated corpus is exactly the
+hand-derivable survivor set of a planted synthetic web."""
+
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators import frontier_store
+from ecomm_datapipeline_spark.operators.html import html_to_text_col
+from ecomm_datapipeline_spark.streaming import curate_stream
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog near the quiet river "
+    "bend every single morning before the town wakes up"
+)
+OTHER = (
+    "distributed shuffle partitioning strategies decide how a large "
+    "join moves its rows between the executors of a busy cluster"
+)
+
+
+def _page(body, *links):
+    anchors = "".join(f'<a href="{u}">next</a>' for u in links)
+    return f"<html><body><p>{body}</p>{anchors}</body></html>"
+
+
+# seed -> clean page; /dup is an exact duplicate of the seed's body;
+# /near is a near-duplicate (one word changed); /junk fails the
+# quality gate; /other is a second clean page
+WEB = {
+    "http://site.example/": _page(
+        GOOD,
+        "http://site.example/dup",
+        "http://site.example/near",
+        "http://site.example/junk",
+        "http://site.example/other",
+    ),
+    # same body AND same anchors as the seed (anchor text is part of
+    # the extracted text, so only an identical page is an exact dup)
+    "http://site.example/dup": _page(
+        GOOD,
+        "http://site.example/dup",
+        "http://site.example/near",
+        "http://site.example/junk",
+        "http://site.example/other",
+    ),
+    "http://site.example/near": _page(GOOD.rsplit(" ", 1)[0] + " evening"),
+    "http://site.example/junk": _page("!!! ??? ### $$$ %%% ^^^ && **"),
+    "http://site.example/other": _page(OTHER),
+}
+
+
+def test_crawl_to_curated_corpus(spark, tmp_path):
+    pages = spark.createDataFrame(
+        list(WEB.items()), "url string, html string"
+    )
+    landing = str(tmp_path / "landing")
+
+    def fetch(wave):
+        # a real fetcher writes what it fetched to the landing zone;
+        # the curator streams from there
+        got = wave.select("url").join(pages, "url").localCheckpoint()
+        got.write.mode("append").parquet(landing)
+        return got
+
+    fpath = str(tmp_path / "frontier")
+    frontier_store.init_frontier(
+        spark.createDataFrame([("http://site.example/",)], "url string"),
+        fpath,
+    )
+    state = frontier_store.crawl_rounds(
+        spark, fpath, fetch, rounds=5, per_host_per_wave=10, max_tries=1
+    )
+    assert {
+        r["url"]
+        for r in state.filter(F.col("status") == "fetched").collect()
+    } == set(WEB)
+
+    # landed pages -> documents -> streaming curator
+    docs_dir = str(tmp_path / "docs")
+    (
+        spark.read.parquet(landing)
+        .select(
+            F.col("url").alias("doc_id"),
+            html_to_text_col("html").alias("text"),
+        )
+        .write.mode("append")
+        .parquet(docs_dir)
+    )
+    stream = spark.readStream.schema("doc_id string, text string").parquet(
+        docs_dir
+    )
+    q = curate_stream.curate_ingest_stream(
+        stream,
+        out_dir=str(tmp_path / "corpus"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        index_path=str(tmp_path / "idx"),
+        neardup_threshold=0.4,
+        min_quality=30,
+        audit=True,
+    )
+    q.awaitTermination(180)
+
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "corpus")).collect()
+    }
+    # exactly one member of the {seed, dup, near} cluster ships, plus
+    # the other clean page; junk is gated out
+    assert len(kept) == 2
+    assert "http://site.example/other" in kept
+    assert kept - {"http://site.example/other"} <= {
+        "http://site.example/",
+        "http://site.example/dup",
+        "http://site.example/near",
+    }
+    audit = {
+        r["doc_id"]: r["dropped_stage"]
+        for r in spark.read.parquet(str(tmp_path / "corpus_audit")).collect()
+    }
+    assert audit["http://site.example/junk"] == "quality_language"
+    assert (
+        sorted(v for k, v in audit.items() if k != "http://site.example/junk")
+        == ["exact_dup", "near_dup"]
+    )
