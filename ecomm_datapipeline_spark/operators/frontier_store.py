@@ -29,12 +29,15 @@ Scale: the table is O(discovered URLs) short rows; pending_wave reads
 it with a status filter (partition the table by status for pruning if
 the fetched set dwarfs pending), schedules with frontier_waves (the
 skew-safe per-host ranker — no per-host window), and honors
-robots Crawl-delay via the same host_budgets seam. merge_table's
-parquet leg rewrites the table per round — at frontier scale
-(billions of URLs) use a Delta target (real MERGE, file pruning) or
-partition by a stable hash bucket of url so each round rewrites only
-touched buckets: pass partition_by=['bucket'] via init/commit and the
-merge stays partition-scoped because bucket derives from the key.
+robots Crawl-delay via the same host_budgets seam. Commit cost:
+unbucketed parquet rewrites the table per round — fine for modest
+frontiers; at frontier scale (billions of URLs) pass
+init_frontier(n_buckets=...) to hash-partition the table by a stable
+bucket of url, and every commit then merges on (url, bucket) so
+merge_table's partition-scoped leg rewrites ONLY the buckets the
+round touched — O(round), not O(frontier). (A Delta target gets
+file-level MERGE pruning instead.) The bucket count persists in a
+`<path>_meta` sidecar so all later commits bucket identically.
 """
 
 from __future__ import annotations
@@ -45,6 +48,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import tables
+
+def _bucket_col(n_buckets: int):
+    """Stable url -> bucket: derives from the merge KEY, so a merge
+    on (url, bucket) is equivalent to url alone and merge_table's
+    partition-scoped leg prunes to the touched buckets."""
+    return F.pmod(F.xxhash64("url"), F.lit(int(n_buckets))).cast("int")
+
+
+def _meta_path(path: str) -> str:
+    return path.rstrip("/") + "_meta"
+
+
+def _read_n_buckets(spark: SparkSession, path: str) -> int | None:
+    mp = _meta_path(path)
+    if not tables.table_exists(mp):
+        return None
+    return int(tables.read_table(spark, mp).first()["n_buckets"])
+
 
 def _normalized_urls(df: DataFrame, url_col: str) -> DataFrame:
     from .urls import normalize_url
@@ -71,16 +92,49 @@ def _as_rows(urls: DataFrame, round_id: int, priority: float) -> DataFrame:
 
 
 def init_frontier(
-    seeds: DataFrame, path: str, url_col: str = "url"
+    seeds: DataFrame,
+    path: str,
+    url_col: str = "url",
+    n_buckets: int | None = None,
 ) -> None:
     """Create the frontier table from a seed frame (idempotent: an
     existing table absorbs the seeds as round-0 discoveries instead
-    of being clobbered)."""
+    of being clobbered, keeping ITS bucketing — n_buckets applies to
+    fresh tables only).
+
+    `n_buckets` partitions the table by a stable hash bucket of url:
+    each round's merge then rewrites ONLY the buckets its rows touch
+    (merge_table's partition-scoped leg) instead of the whole table —
+    the difference between O(round) and O(frontier) commit cost on a
+    billion-URL parquet frontier. Size it so a bucket is a few
+    hundred MB at the target frontier size; the bucket count is
+    persisted in a `<path>_meta` sidecar table so every later commit
+    buckets identically."""
+    spark = seeds.sparkSession
     rows = _as_rows(_normalized_urls(seeds, url_col), 0, 0.0)
     if tables.table_exists(path):
-        known = tables.read_table(seeds.sparkSession, path).select("url")
+        nb = _read_n_buckets(spark, path)
+        if nb is not None:
+            rows = rows.withColumn("bucket", _bucket_col(nb))
+        known = tables.read_table(spark, path).select("url")
         rows = rows.join(known, "url", "left_anti")
-        tables.write_table(rows, path, mode="append")
+        tables.write_table(
+            rows,
+            path,
+            mode="append",
+            partition_by=["bucket"] if nb is not None else None,
+        )
+        return
+    if n_buckets is not None:
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
+        rows = rows.withColumn("bucket", _bucket_col(n_buckets))
+        tables.write_table(rows, path, mode="append", partition_by=["bucket"])
+        tables.write_table(
+            spark.createDataFrame([(int(n_buckets),)], "n_buckets int"),
+            _meta_path(path),
+            mode="overwrite",
+        )
     else:
         tables.write_table(rows, path, mode="append")
 
@@ -142,8 +196,10 @@ def commit_round(
     last_round already equals round_id pass through unchanged, making
     a post-crash replay a state no-op."""
     state = tables.read_table(spark, path)
+    nb = _read_n_buckets(spark, path)
     ok = fetched_ok.select("url").distinct().withColumn("_ok", F.lit(True))
     att = attempted.select("url").distinct()
+    keep_cols = (["bucket"] if nb is not None else [])
     updates = (
         state.join(att, "url", "left_semi")
         .join(ok, "url", "left")
@@ -165,6 +221,7 @@ def commit_round(
             .alias("tries"),
             "discovered_round",
             F.lit(int(round_id)).alias("last_round"),
+            *keep_cols,
         )
     )
     new_rows = None
@@ -178,12 +235,22 @@ def commit_round(
             .join(state.select("url"), "url", "left_anti")
             .join(att, "url", "left_anti")
         )
+        if nb is not None:
+            new_rows = new_rows.withColumn("bucket", _bucket_col(nb))
         updates = updates.unionByName(new_rows)
-    # one atomic swap for the whole round (merge stages to a sibling
-    # dir and renames; a crash leaves the previous table intact)
+    # one atomic commit for the whole round. Unbucketed: merge stages
+    # a full rewrite to a sibling dir and renames. Bucketed: bucket
+    # derives from the key, so merging on (url, bucket) lets
+    # merge_table's partition-scoped leg rewrite ONLY the buckets this
+    # round touched — O(round), not O(frontier).
     ck = updates.localCheckpoint()
     try:
-        tables.merge_table(ck, path, keys=["url"])
+        if nb is not None:
+            tables.merge_table(
+                ck, path, keys=["url", "bucket"], partition_by=["bucket"]
+            )
+        else:
+            tables.merge_table(ck, path, keys=["url"])
     finally:
         ck.unpersist()
 

@@ -119,3 +119,49 @@ def test_matches_in_memory_crawl(spark, tmp_path):
     }
     mem = crawl.crawl(seeds, _fetcher(spark), rounds=10)
     assert stored == {r["url"] for r in mem.select("url").collect()}
+
+
+def test_bucketed_frontier_equivalent_and_scoped(spark, tmp_path):
+    """n_buckets changes the COMMIT COST SHAPE, never the state: a
+    bucketed run converges to the unbucketed run's state, and a
+    commit leaves the parquet files of untouched buckets untouched
+    (partition-scoped merge, not a full rewrite)."""
+    import os
+
+    seeds = spark.createDataFrame([("http://a.example/",)], "url string")
+    pb = str(tmp_path / "bucketed")
+    pu = str(tmp_path / "plain")
+    frontier_store.init_frontier(seeds, pb, n_buckets=8)
+    frontier_store.init_frontier(seeds, pu)
+    for p in (pb, pu):
+        frontier_store.crawl_rounds(
+            spark, p, _fetcher(spark), rounds=10, max_tries=2
+        )
+    got_b = _state(spark, pb)
+    assert got_b == _state(spark, pu)
+
+    # partition scoping: commit a round touching ONE url; every
+    # bucket directory not holding that url (or a discovery) keeps
+    # its files byte-for-byte (same names, same mtimes)
+    def bucket_files(root):
+        out = {}
+        for d in os.listdir(root):
+            if d.startswith("bucket="):
+                full = os.path.join(root, d)
+                out[d] = {
+                    f: os.path.getmtime(os.path.join(full, f))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    before = bucket_files(pb)
+    one = spark.createDataFrame([("http://a.example/p1",)], "url string")
+    frontier_store.commit_round(
+        spark, pb, 99, attempted=one, fetched_ok=one
+    )
+    after = bucket_files(pb)
+    touched = [d for d in before if before[d] != after.get(d)]
+    # the single updated url lives in exactly one bucket
+    assert len(touched) == 1
+    assert set(before) == set(after)
