@@ -220,11 +220,19 @@ def curate_documents(
         compression_band=compression_band,
         c4_line_page_rules=c4_line_page_rules,
     )
-    if drop_repetitive or gopher_document_rules or compression_band:
+    if (
+        drop_repetitive
+        or gopher_document_rules
+        or compression_band
+        or c4_line_page_rules
+    ):
         # Lazily checkpoint the survivors: the near-dup stage's
         # iterative connected-components re-executes its input every
         # propagation round, and re-running the (deliberately thorough)
         # rule folds each round multiplied e2e cost ~3x at sf0.1.
+        # c4_line_page_rules counts too — its line filter REWRITES the
+        # text with per-row regex folds that are just as expensive to
+        # replay per CC round.
         cleaned = cleaned.localCheckpoint(eager=False)
     n_clean = cleaned.count() if collect_stats else -1
 

@@ -116,9 +116,14 @@ def frontier_waves(
     if host_budgets is None:
         k = F.lit(per_host_per_wave)
     else:
-        budgets = host_budgets.select(
-            F.col("host").alias(host_col), F.col("per_wave").alias("_bk")
-        )
+        # one row per host, MIN budget on conflict: a long crawl's
+        # robots corpus legitimately holds several snapshots of one
+        # host's robots.txt, and a duplicate-host join here would
+        # duplicate every ranked URL of that host (breaking the
+        # politeness bound itself); the politest declaration wins
+        budgets = host_budgets.groupBy(
+            F.col("host").alias(host_col)
+        ).agg(F.min("per_wave").alias("_bk"))
         ranked = ranked.join(budgets, host_col, "left")
         k = F.greatest(
             F.coalesce(F.col("_bk"), F.lit(per_host_per_wave)), F.lit(1)

@@ -279,6 +279,34 @@ def base_href_col(col: Column | str) -> Column:
     )
 
 
+def _map_with_effective_base(html: Column, base: Column, arr, fn) -> Column:
+    """Map `fn(effective_base, element)` over `arr` with the page's
+    effective base bound ONCE as a lambda variable — shared by
+    extract_links_col and anchor_edges so the subtle binding idiom
+    has one definition.
+
+    HTML spec: a <base href> overrides the document URL as the base
+    for relative references; it may itself be relative, so it first
+    resolves against the document URL. The effective base MUST be
+    bound as a lambda variable before the per-element transform: the
+    per-href resolver references its base ~6 times, and inlining the
+    (itself resolver-sized) effective-base expression at each
+    reference multiplies the expression tree ~40x per element —
+    measured as a driver OOM at plan build (the winnow _kgram_hashes
+    binding trap, one level up)."""
+    from .urls import resolve_url_col
+
+    tag = base_href_col(html)
+    eb = F.when(tag.isNotNull(), resolve_url_col(base, tag)).otherwise(base)
+    return F.element_at(
+        F.transform(
+            F.array(eb),
+            lambda ebv: F.transform(arr, lambda x: fn(ebv, x)),
+        ),
+        1,
+    )
+
+
 def extract_links_col(
     col: Column | str, base: Column | str | None = None
 ) -> Column:
@@ -300,26 +328,8 @@ def extract_links_col(
         from .urls import resolve_url_col
 
         b = F.col(base) if isinstance(base, str) else base
-        # HTML spec: a <base href> overrides the document URL as the
-        # base for relative references; it may itself be relative, so
-        # it first resolves against the document URL. The effective
-        # base MUST be bound as a lambda variable before the per-href
-        # transform: the per-href resolver references its base ~6
-        # times, and inlining the (itself resolver-sized) effective-
-        # base expression at each reference multiplies the expression
-        # tree ~40x per href — measured as a driver OOM at plan build
-        # (the winnow _kgram_hashes binding trap, one level up).
-        tag = base_href_col(c)
-        eb = F.when(tag.isNotNull(), resolve_url_col(b, tag)).otherwise(b)
-        hrefs = all_hrefs
-        all_hrefs = F.element_at(
-            F.transform(
-                F.array(eb),
-                lambda ebv: F.transform(
-                    hrefs, lambda u: resolve_url_col(ebv, u)
-                ),
-            ),
-            1,
+        all_hrefs = _map_with_effective_base(
+            c, b, all_hrefs, lambda ebv, u: resolve_url_col(ebv, u)
         )
     return F.filter(all_hrefs, lambda u: u.rlike("(?i)^https?://"))
 
@@ -418,23 +428,14 @@ def anchor_edges(
     if base_col is not None:
         from .urls import resolve_url_col
 
-        b = F.col(base_col)
-        tag = base_href_col(F.col(html_col))
-        eb = F.when(tag.isNotNull(), resolve_url_col(b, tag)).otherwise(b)
-        # bind the effective base ONCE (the extract_links_col lambda-
-        # binding note: inlining it per-struct multiplies the plan)
-        pairs = F.element_at(
-            F.transform(
-                F.array(eb),
-                lambda ebv: F.transform(
-                    pairs,
-                    lambda s: F.struct(
-                        resolve_url_col(ebv, s["href"]).alias("href"),
-                        s["anchor"].alias("anchor"),
-                    ),
-                ),
+        pairs = _map_with_effective_base(
+            F.col(html_col),
+            F.col(base_col),
+            pairs,
+            lambda ebv, s: F.struct(
+                resolve_url_col(ebv, s["href"]).alias("href"),
+                s["anchor"].alias("anchor"),
             ),
-            1,
         )
     out = df.select(
         F.col(id_col).alias("src"), F.explode(pairs).alias("_p")

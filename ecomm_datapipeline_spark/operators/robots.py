@@ -155,7 +155,15 @@ def robots_rules(
     (group agent x rule) across a robots corpus. `plen` is the RFC
     specificity (octet length of the pattern), `literal` flags the
     wildcard-free fast path (prefix compare instead of per-row regex),
-    `regex` the translated pattern for the rest."""
+    `regex` the translated pattern for the rest.
+
+    A group with NO rules (the standard whitelist-one-bot pattern,
+    'User-agent: mybot' followed only by no-op lines) still emits ONE
+    row per agent with a NULL path: group EXISTENCE is what RFC 9309
+    §2.2.1 selects on, so robots_allowed must see the group — an
+    empty matching group means allow-everything, never fall back to
+    '*'. The NULL-path row is inert in the evaluation fold (its
+    `matched` is NULL)."""
     from .urls import pct_normalize_col
 
     g = robots.select(
@@ -168,7 +176,7 @@ def robots_rules(
     # The '*'/'$' metacharacters are untouched (not escapes).
     path_n = pct_normalize_col(F.col("_r.path"))
     r = g.select(
-        "host", "agent", F.explode("_rules").alias("_r")
+        "host", "agent", F.explode_outer("_rules").alias("_r")
     ).select(
         "host",
         "agent",

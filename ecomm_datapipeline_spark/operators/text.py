@@ -935,15 +935,27 @@ def ccn_cols(text_col: Column | str) -> dict[str, Column]:
 
 def redact_ccn_col(text_col: Column | str, token: str = "<CCN>") -> Column:
     """Replace every Luhn-VALID candidate with the placeholder token —
-    a fold of literal replaces over the validated candidate list, so
+    a fold of replaces over the validated candidate list, so
     Luhn-invalid runs (order numbers, timestamps) survive untouched;
-    a plain regexp_replace cannot express that gate. Composes with
-    redact(): run this first (its candidates contain no '<')."""
+    a plain regexp_replace cannot express that gate. Each replace is
+    \\b-anchored (candidates begin and end with digits, so \\b re-
+    states the extraction boundary): a copy of the same digit string
+    EMBEDDED in a longer run — which the candidate pattern by design
+    never matched — is left alone, not rewritten. Candidates contain
+    only digits/space/dash, so no regex-metachar escaping is needed.
+    Composes with redact(): run this first (its candidates contain no
+    '<')."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col
     cands = F.regexp_extract_all(t, F.lit(CCN_CANDIDATE_PATTERN), 0)
     valid = F.filter(cands, luhn_valid_col)
     return F.aggregate(
-        valid, t, lambda acc, c: F.replace(acc, c, F.lit(token))
+        valid,
+        t,
+        lambda acc, c: F.regexp_replace(
+            acc,
+            F.concat(F.lit(r"\b"), c, F.lit(r"\b")),
+            F.lit(token),
+        ),
     )
 
 

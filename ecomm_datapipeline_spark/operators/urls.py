@@ -292,12 +292,20 @@ _SCHEME_PREFIX = r"^([A-Za-z][A-Za-z0-9+.\-]*):"
 
 
 def _remove_dot_segments(p: Column) -> Column:
-    """RFC 3986 §5.2.4 over an ABSOLUTE path column (leading '/', or
-    empty). One split + one array fold — '.' drops, '..' pops, and a
-    trailing '.'/'..' leaves the trailing slash the spec requires.
-    Extra '..' at the root are ignored (the §5.4.2 abnormal cases);
-    empty segments ('//') pass through untouched, as in the spec."""
-    segs = F.split(F.substr(p, F.lit(2), F.length(p)), "/")
+    """RFC 3986 §5.2.4 over a path column. One split + one array fold
+    — '.' drops, '..' pops, and a trailing '.'/'..' leaves the
+    trailing slash the spec requires. Extra '..' at the root are
+    ignored (the §5.4.2 abnormal cases); empty segments ('//') pass
+    through untouched, as in the spec.
+
+    Paths WITHOUT a leading '/' (the §5.2.3 merge output when the
+    base has no authority — urn-like bases) are handled by the
+    prefix trick: process '/'+p, strip the added slash after —
+    previously this case corrupted the first segment by
+    unconditionally assuming a leading '/'."""
+    rooted = p.startswith("/")
+    q = F.when(rooted, p).otherwise(F.concat(F.lit("/"), p))
+    segs = F.split(F.substr(q, F.lit(2), F.length(q)), "/")
     folded = F.aggregate(
         segs,
         F.array().cast("array<string>"),
@@ -311,8 +319,11 @@ def _remove_dot_segments(p: Column) -> Column:
     out_segs = F.when(
         trailing_dot, F.concat(folded, F.array(F.lit("")))
     ).otherwise(folded)
+    absolute = F.concat(F.lit("/"), F.array_join(out_segs, "/"))
     return F.when(p == "", F.lit("")).otherwise(
-        F.concat(F.lit("/"), F.array_join(out_segs, "/"))
+        F.when(rooted, absolute).otherwise(
+            F.substr(absolute, F.lit(2), F.length(absolute))
+        )
     )
 
 
@@ -471,8 +482,11 @@ def crawl_trap_cols(
     depth = F.size(segs)
     n_rep = depth - F.size(F.array_distinct(segs))
     qlen = F.length(F.coalesce(query, F.lit("")))
+    # '&' AND ';' both separate params — _SESSION_PARAM_RE above
+    # already treats ';' as a query boundary, and a 50-param
+    # ';'-separated facet/calendar trap must not count as one param
     n_params = F.when(qlen == 0, F.lit(0)).otherwise(
-        F.size(F.split(query, "&"))
+        F.size(F.split(query, "[&;]"))
     )
     sess = F.coalesce(query, F.lit("")).rlike(_SESSION_PARAM_RE) | F.coalesce(
         path, F.lit("")

@@ -326,7 +326,10 @@ def samples_from_files(
         stat + one 1 KiB tail read. Compressed tars skip this: the
         codec's own trailer (gzip CRC/length) makes truncation raise
         during streaming."""
-        if local.endswith((".gz", ".bz2", ".xz")):
+        # combined-suffix spellings (.tgz et al.) are the same codecs
+        if local.endswith(
+            (".gz", ".bz2", ".xz", ".tgz", ".tbz2", ".txz")
+        ):
             return
         size = os.path.getsize(local)
         if size < 1024 or size % 512 != 0:

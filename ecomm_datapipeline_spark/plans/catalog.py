@@ -3934,6 +3934,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl_delay_q = F.coalesce(
         crawl_delay_col(_dtxt, agent="Bot"), F.lit(-1.0)
     )
+    _rd = readability_cols(F.col("text"))
     # Quality-rule fold inputs (r9): the same synthesized g_doc /
     # c4_doc the oracle constructs in _quality_docs_sql.
     _qcase = (F.col("doc_id") % 4).cast("int")
@@ -4013,9 +4014,11 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "html_sig": F.md5(html_to_text_col(page)),
             "anchor_sig": anchor_sig,
             # r9 readability fold (text.readability_cols): exact
-            # rational arithmetic, raw-double hash parity
-            "n_syllables": readability_cols(F.col("text"))["n_syllables"],
-            "fk_grade": readability_cols(F.col("text"))["fk_grade"],
+            # rational arithmetic, raw-double hash parity; dict bound
+            # ONCE — a second call would duplicate the whole
+            # token/sentence/syllable subtree in this plan
+            "n_syllables": _rd["n_syllables"],
+            "fk_grade": _rd["fk_grade"],
             # r9 Luhn fold (text.ccn_cols / luhn_valid_col): synth PAN
             # per doc — check digit doc_id%10, dash-grouped every 3rd
             "n_ccn_synth": ccn_cols(

@@ -98,3 +98,18 @@ def test_duckdb_differential_seeded(spark):
             _py_luhn(re.sub("[ -]", "", c)) for c in cands
         )
         assert got[i] == expect, (i, row)
+
+
+def test_redaction_leaves_embedded_copies_alone(spark):
+    """A valid PAN's digit string EMBEDDED in a longer run (which the
+    candidate pattern never matched) must not be rewritten by the
+    standalone PAN's redaction."""
+    got = _scan(
+        spark,
+        ["order 1234411111111111111105 then card 4111111111111111 end"],
+    )[0]
+    assert got["valid"] == 1
+    assert (
+        got["red"]
+        == "order 1234411111111111111105 then card <CCN> end"
+    )

@@ -319,3 +319,35 @@ def test_percent_encoding_normalization(spark):
     for u, expect in urls:
         assert got[u] is expect, u
         assert got[u] == _ref_allowed(txt, "AnyBot", u), u
+
+
+def test_empty_matching_group_allows_everything(spark):
+    """RFC 9309 group selection: a group naming the agent with NO
+    rules (the standard whitelist-one-bot robots.txt) means
+    allow-everything for that agent — never a fallback to the '*'
+    group. The Spark verdict must agree with the reference
+    evaluator on this shape (it selects on group EXISTENCE)."""
+    txt = "User-agent: mybot\nDisallow:\n\nUser-agent: *\nDisallow: /"
+    rules = _rules_df(spark, [("w.example", txt)])
+    urls = spark.createDataFrame(
+        [("http://w.example/page",), ("http://w.example/",)], "url string"
+    )
+    for agent, want in (("MyBot", True), ("OtherBot", False)):
+        got = {
+            r["url"]: r["robots_allowed"]
+            for r in R.robots_allowed(urls, rules, agent).collect()
+        }
+        for u, v in got.items():
+            assert v == _ref_allowed(txt, agent, u), (agent, u)
+            assert v is want, (agent, u)
+    # adjacent agent lines (no rule line between, blank lines do not
+    # close a group per RFC 9309) MERGE into one group: mybot then
+    # shares the '*' group's Disallow and is correctly denied
+    txt2 = "User-agent: mybot\n\nUser-agent: *\nDisallow: /"
+    rules2 = _rules_df(spark, [("w.example", txt2)])
+    got2 = {
+        r["url"]: r["robots_allowed"]
+        for r in R.robots_allowed(urls, rules2, "mybot").collect()
+    }
+    for u, v in got2.items():
+        assert v == _ref_allowed(txt2, "mybot", u) == False, u

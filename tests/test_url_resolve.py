@@ -327,3 +327,24 @@ def test_network_ref_dot_removal(spark):
         "http://other.example/b",
         "http://other.example/x",
     ]
+
+
+def test_authorityless_base_path_merge(spark):
+    """RFC 3986 resolution against a base WITHOUT an authority
+    (urn-like): the merged path has no leading '/', which previously
+    corrupted the first segment in dot-segment removal. Expected
+    strings computed by hand from §5.2 (urllib special-cases urn: as
+    non-relative, so no urljoin differential here)."""
+    cases = [
+        ("urn:a/b", "x/y", "urn:a/x/y"),
+        ("urn:a/b", "../x", "urn:x"),
+        ("urn:b", "x", "urn:x"),
+        ("urn:a/b/c", "./x", "urn:a/b/x"),
+        ("urn:a/b", "", "urn:a/b"),
+    ]
+    df = spark.createDataFrame(cases, "base string, ref string, want string")
+    got = df.select(
+        "want", resolve_url_col("base", "ref").alias("got")
+    ).collect()
+    for r in got:
+        assert r["got"] == r["want"], (r["want"], r["got"])
