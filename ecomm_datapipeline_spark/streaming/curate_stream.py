@@ -164,8 +164,12 @@ def curate_ingest_stream(
             compression_band=compression_band,
             c4_line_page_rules=c4_line_page_rules,
         )
-        # one decode of the gates for the several probes/writes below
+        # one decode of the gates for the several probes/writes below;
+        # batch-local checkpoint blocks die with the batch (the
+        # _batch_ckpts unpersist below) — a long-running stream must
+        # not accumulate per-batch blocks in executor storage
         cleaned = cleaned.localCheckpoint()
+        _batch_ckpts = [cleaned]
 
         # exact: within-batch min-id collapse, then drop what shipped
         exact = dedup.drop_exact_duplicates(cleaned, text_col, id_col)
@@ -180,110 +184,120 @@ def curate_ingest_stream(
                 "_fp",
                 "left_anti",
             ).drop("_fp")
+        # several consumers re-execute `exact` (index probe, drop
+        # joins, quality stage, audit) — pay its fp-table read once
+        exact = exact.localCheckpoint()
+        _batch_ckpts.append(exact)
 
-        # near-dup vs the shipped corpus + pairwise within the batch.
-        # A missing index table (first-ever batch) still probes an
-        # EMPTY index: the batch's internal pairs must screen from
-        # batch one, not from batch two.
-        if index_path is not None:
-            from .dedup_index import _empty_index
+        try:
+            # near-dup vs the shipped corpus + pairwise within the batch.
+            # A missing index table (first-ever batch) still probes an
+            # EMPTY index: the batch's internal pairs must screen from
+            # batch one, not from batch two.
+            if index_path is not None:
+                from .dedup_index import _empty_index
 
-            if tables.table_exists(index_path):
-                index = _exclude_batch(
-                    tables.read_table(spark, index_path), batch_id
-                ).drop(_BATCH_COL)
+                if tables.table_exists(index_path):
+                    index = _exclude_batch(
+                        tables.read_table(spark, index_path), batch_id
+                    ).drop(_BATCH_COL)
+                else:
+                    index = _empty_index(
+                        spark, id_col, batch.schema[id_col].dataType, portable
+                    ).drop(_BATCH_COL)
+                cands, _ = dedup.incremental_minhash_candidates(
+                    exact,
+                    index,
+                    text_col=text_col,
+                    id_col=id_col,
+                    k=k,
+                    num_perm=num_perm,
+                    bands=bands,
+                    portable=portable,
+                )
+                conf = cands.filter(
+                    F.col("est_jaccard") >= neardup_threshold
+                ).localCheckpoint()
+                batch_ids = exact.select(F.col(id_col).alias("id_existing"))
+                # internal pair (id_new < id_existing): larger id drops;
+                # corpus pair: the batch side (id_new) drops
+                internal = conf.join(batch_ids, "id_existing", "left_semi")
+                vs_corpus = conf.join(batch_ids, "id_existing", "left_anti")
+                to_drop = (
+                    internal.select(F.col("id_existing").alias(id_col))
+                    .unionByName(vs_corpus.select(F.col("id_new").alias(id_col)))
+                    .distinct()
+                )
+                near = exact.join(to_drop, id_col, "left_anti")
             else:
-                index = _empty_index(
-                    spark, id_col, batch.schema[id_col].dataType, portable
-                ).drop(_BATCH_COL)
-            cands, _ = dedup.incremental_minhash_candidates(
-                exact,
-                index,
+                near = exact
+
+            _, final = curation.quality_language_stage(
+                near,
                 text_col=text_col,
                 id_col=id_col,
-                k=k,
-                num_perm=num_perm,
-                bands=bands,
-                portable=portable,
+                min_quality=min_quality,
+                keep_langs=keep_langs,
+                max_perplexity=max_perplexity,
+                perplexity_lm=perplexity_lm,
             )
-            conf = cands.filter(
-                F.col("est_jaccard") >= neardup_threshold
-            ).localCheckpoint()
-            batch_ids = exact.select(F.col(id_col).alias("id_existing"))
-            # internal pair (id_new < id_existing): larger id drops;
-            # corpus pair: the batch side (id_new) drops
-            internal = conf.join(batch_ids, "id_existing", "left_semi")
-            vs_corpus = conf.join(batch_ids, "id_existing", "left_anti")
-            to_drop = (
-                internal.select(F.col("id_existing").alias(id_col))
-                .unionByName(vs_corpus.select(F.col("id_new").alias(id_col)))
-                .distinct()
-            )
-            near = exact.join(to_drop, id_col, "left_anti")
-        else:
-            near = exact
+            final = final.localCheckpoint()
+            _batch_ckpts.append(final)
 
-        _, final = curation.quality_language_stage(
-            near,
-            text_col=text_col,
-            id_col=id_col,
-            min_quality=min_quality,
-            keep_langs=keep_langs,
-            max_perplexity=max_perplexity,
-            perplexity_lm=perplexity_lm,
-        )
-        final = final.localCheckpoint()
-
-        if not _committed(spark, out_dir, batch_id):
-            tables.write_table(
-                final.withColumn(_BATCH_COL, F.lit(batch_id)),
-                out_dir,
-                mode="append",
-            )
-        if not _committed(spark, fp_path, batch_id):
-            tables.write_table(
-                final.select(
-                    dedup.text_fingerprint_col(text_col).alias("fp")
-                ).withColumn(_BATCH_COL, F.lit(batch_id)),
-                fp_path,
-                mode="append",
-            )
-        if index_path is not None and not _committed(
-            spark, index_path, batch_id
-        ):
-            idx_rows = dedup.minhash_band_index(
-                final,
-                text_col,
-                id_col,
-                k=k,
-                num_perm=num_perm,
-                bands=bands,
-                portable=portable,
-            )
-            tables.write_table(
-                idx_rows.withColumn(_BATCH_COL, F.lit(batch_id)),
-                index_path,
-                mode="append",
-            )
-        if audit and not _committed(spark, audit_path, batch_id):
-            def drops(prev: DataFrame, cur: DataFrame, stage: str):
-                return (
-                    prev.select(id_col)
-                    .join(cur.select(id_col), id_col, "left_anti")
-                    .select(
-                        F.col(id_col),
-                        F.lit(stage).alias("dropped_stage"),
-                    )
+            if not _committed(spark, out_dir, batch_id):
+                tables.write_table(
+                    final.withColumn(_BATCH_COL, F.lit(batch_id)),
+                    out_dir,
+                    mode="append",
                 )
+            if not _committed(spark, fp_path, batch_id):
+                tables.write_table(
+                    final.select(
+                        dedup.text_fingerprint_col(text_col).alias("fp")
+                    ).withColumn(_BATCH_COL, F.lit(batch_id)),
+                    fp_path,
+                    mode="append",
+                )
+            if index_path is not None and not _committed(
+                spark, index_path, batch_id
+            ):
+                idx_rows = dedup.minhash_band_index(
+                    final,
+                    text_col,
+                    id_col,
+                    k=k,
+                    num_perm=num_perm,
+                    bands=bands,
+                    portable=portable,
+                )
+                tables.write_table(
+                    idx_rows.withColumn(_BATCH_COL, F.lit(batch_id)),
+                    index_path,
+                    mode="append",
+                )
+            if audit and not _committed(spark, audit_path, batch_id):
+                def drops(prev: DataFrame, cur: DataFrame, stage: str):
+                    return (
+                        prev.select(id_col)
+                        .join(cur.select(id_col), id_col, "left_anti")
+                        .select(
+                            F.col(id_col),
+                            F.lit(stage).alias("dropped_stage"),
+                        )
+                    )
 
-            audit_df = (
-                drops(batch, cleaned, "clean")
-                .unionByName(drops(cleaned, exact, "exact_dup"))
-                .unionByName(drops(exact, near, "near_dup"))
-                .unionByName(drops(near, final, "quality_language"))
-                .withColumn(_BATCH_COL, F.lit(batch_id))
-            )
-            tables.write_table(audit_df, audit_path, mode="append")
+                audit_df = (
+                    drops(batch, cleaned, "clean")
+                    .unionByName(drops(cleaned, exact, "exact_dup"))
+                    .unionByName(drops(exact, near, "near_dup"))
+                    .unionByName(drops(near, final, "quality_language"))
+                    .withColumn(_BATCH_COL, F.lit(batch_id))
+                )
+                tables.write_table(audit_df, audit_path, mode="append")
+        finally:
+            # batch-local blocks die with the batch, success or not
+            for _df in _batch_ckpts:
+                _df.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
