@@ -93,57 +93,62 @@ def novelty_stream(
             return
         spark = batch.sparkSession
         grams = _batch_grams(batch, text_col, id_col, k).localCheckpoint()
+        # batch-local checkpoint blocks die with the batch — a long-
+        # running stream must not accumulate them in executor storage
+        try:
 
-        # Replay guards compare against the MAX committed batch id (a
-        # floor), not row existence for this exact id: foreachBatch
-        # ids are monotone, so floor >= batch_id proves this batch was
-        # already committed. An equality probe breaks after
-        # compact_gram_df — compaction keeps only max(_batch_id) per
-        # gram, so a batch whose every gram reappeared later leaves NO
-        # row with its id, and replaying it would double-count its df
-        # delta (the r6/r7 compaction hazard, pinned in tests).
-        df_done = _committed_floor(spark, df_path) >= batch_id
-        if not df_done:
-            delta = (
-                grams.groupBy("gram_hash")
-                .agg(F.countDistinct(id_col).alias("df"))
-                .withColumn(_BATCH_COL, F.lit(batch_id))
-            )
-            tables.write_table(delta, df_path, mode="append")
+            # Replay guards compare against the MAX committed batch id (a
+            # floor), not row existence for this exact id: foreachBatch
+            # ids are monotone, so floor >= batch_id proves this batch was
+            # already committed. An equality probe breaks after
+            # compact_gram_df — compaction keeps only max(_batch_id) per
+            # gram, so a batch whose every gram reappeared later leaves NO
+            # row with its id, and replaying it would double-count its df
+            # delta (the r6/r7 compaction hazard, pinned in tests).
+            df_done = _committed_floor(spark, df_path) >= batch_id
+            if not df_done:
+                delta = (
+                    grams.groupBy("gram_hash")
+                    .agg(F.countDistinct(id_col).alias("df"))
+                    .withColumn(_BATCH_COL, F.lit(batch_id))
+                )
+                tables.write_table(delta, df_path, mode="append")
 
-        if _committed_floor(spark, scores_path) >= batch_id:
-            return  # full replay of a committed batch
-        merged = (
-            tables.read_table(spark, df_path)
-            .groupBy("gram_hash")
-            .agg(F.sum("df").alias("df"))
-        )
-        scored = (
-            grams.join(merged, "gram_hash")
-            .groupBy(id_col)
-            .agg(
-                F.count("*").alias("n_grams"),
-                F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+            if _committed_floor(spark, scores_path) >= batch_id:
+                return  # full replay of a committed batch
+            merged = (
+                tables.read_table(spark, df_path)
+                .groupBy("gram_hash")
+                .agg(F.sum("df").alias("df"))
             )
-            .withColumn(
-                "dup_ngram_frac",
-                F.col("n_shared").cast("double") / F.col("n_grams"),
+            scored = (
+                grams.join(merged, "gram_hash")
+                .groupBy(id_col)
+                .agg(
+                    F.count("*").alias("n_grams"),
+                    F.sum((F.col("df") >= 2).cast("long")).alias("n_shared"),
+                )
+                .withColumn(
+                    "dup_ngram_frac",
+                    F.col("n_shared").cast("double") / F.col("n_grams"),
+                )
             )
-        )
-        # gram-free docs in the batch get NULL rows (the batch
-        # operator's contract), restored from the batch scan
-        empty = batch.filter(
-            F.size(shingle_array(text_col, k)) == 0
-        ).select(
-            F.col(id_col),
-            F.lit(None).cast("long").alias("n_grams"),
-            F.lit(None).cast("long").alias("n_shared"),
-            F.lit(None).cast("double").alias("dup_ngram_frac"),
-        )
-        out = scored.unionByName(empty).withColumn(
-            _BATCH_COL, F.lit(batch_id)
-        )
-        tables.write_table(out, scores_path, mode="append")
+            # gram-free docs in the batch get NULL rows (the batch
+            # operator's contract), restored from the batch scan
+            empty = batch.filter(
+                F.size(shingle_array(text_col, k)) == 0
+            ).select(
+                F.col(id_col),
+                F.lit(None).cast("long").alias("n_grams"),
+                F.lit(None).cast("long").alias("n_shared"),
+                F.lit(None).cast("double").alias("dup_ngram_frac"),
+            )
+            out = scored.unionByName(empty).withColumn(
+                _BATCH_COL, F.lit(batch_id)
+            )
+            tables.write_table(out, scores_path, mode="append")
+        finally:
+            grams.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint_dir
