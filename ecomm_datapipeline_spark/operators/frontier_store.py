@@ -125,16 +125,24 @@ def init_frontier(
             partition_by=["bucket"] if nb is not None else None,
         )
         return
-    if n_buckets is not None:
-        if n_buckets < 1:
-            raise ValueError(f"n_buckets must be >= 1: {n_buckets}")
-        rows = rows.withColumn("bucket", _bucket_col(n_buckets))
-        tables.write_table(rows, path, mode="append", partition_by=["bucket"])
+    # honor a meta sidecar from a previous init that crashed before
+    # its data write; an explicit n_buckets overrides it
+    nb = n_buckets if n_buckets is not None else _read_n_buckets(spark, path)
+    if nb is not None:
+        if nb < 1:
+            raise ValueError(f"n_buckets must be >= 1: {nb}")
+        # meta FIRST, data second: a crash between the writes must
+        # leave a recoverable state either way round, and data-
+        # without-meta would wedge every later commit (the state
+        # table carries a bucket column the commit would not know to
+        # produce) — meta-without-data just re-inits
         tables.write_table(
-            spark.createDataFrame([(int(n_buckets),)], "n_buckets int"),
+            spark.createDataFrame([(int(nb),)], "n_buckets int"),
             _meta_path(path),
             mode="overwrite",
         )
+        rows = rows.withColumn("bucket", _bucket_col(nb))
+        tables.write_table(rows, path, mode="append", partition_by=["bucket"])
     else:
         tables.write_table(rows, path, mode="append")
 

@@ -341,65 +341,87 @@ def crawl_delay_col(
     record but the widely-honored de-facto extension: group-scoped
     like Allow/Disallow (it may follow the group's rules), with an
     exact agent-token match taking precedence over the '*' group and
-    the FIRST declaration winning within a precedence tier. Non-
-    numeric values are ignored. A separate focused fold rather than a
-    widening of robots_groups_col's struct: the rule surface (and its
-    plan pins) stays untouched."""
+    the FIRST declaring group winning within a precedence tier.
+    Non-numeric values are ignored.
+
+    Grouping is IDENTICAL to robots_groups_col's — user-agent lines
+    open/widen a group, only Allow/Disallow close one, a Crawl-delay
+    line leaves the open-state untouched (so 'User-agent: a /
+    Crawl-delay: 5 / User-agent: b / Disallow: /x' is ONE group
+    {a,b} in BOTH folds, and b inherits the delay) — a delay fold
+    that closed groups on Crawl-delay lines would bind delays and
+    rules to different groups for the same file. The fold builds the
+    group array (agents, open, delay) and a second small fold picks
+    the verdict, so late-widened agents still see a delay declared
+    before they joined the group."""
     t = F.col(text) if isinstance(text, str) else text
     lines = F.split(t, "\n")
     me = F.lit(agent.lower())
+    groups_t = "array<struct<agents:array<string>,open:boolean,delay:double>>"
 
     def step(acc: Column, raw: Column) -> Column:
         line = F.trim(F.regexp_replace(raw, "#.*$", ""))
         key = F.lower(F.regexp_extract(line, r"^([A-Za-z-]+)\s*:", 1))
         val = F.trim(F.regexp_extract(line, r"^[A-Za-z-]+\s*:\s*(.*)$", 1))
-        started = F.struct(
-            F.when(
-                acc["open"],
-                F.concat(acc["agents"], F.array(F.lower(val))),
-            )
-            .otherwise(F.array(F.lower(val)))
-            .alias("agents"),
-            F.lit(True).alias("open"),
-            acc["exact"].alias("exact"),
-            acc["wild"].alias("wild"),
-        )
+        n = F.size(acc)
+        last = F.element_at(acc, -1)
+        head = F.slice(acc, 1, F.greatest(n - 1, F.lit(0)))
         secs = F.when(
             val.rlike(r"^[0-9]+(\.[0-9]+)?$"), val.cast("double")
         )
-        with_delay = F.struct(
-            acc["agents"].alias("agents"),
-            F.lit(False).alias("open"),
-            F.coalesce(
-                acc["exact"],
-                F.when(F.array_contains(acc["agents"], me), secs),
-            ).alias("exact"),
-            F.coalesce(
-                acc["wild"],
-                F.when(F.array_contains(acc["agents"], "*"), secs),
-            ).alias("wild"),
+
+        new_group = F.struct(
+            F.array(F.lower(val)).alias("agents"),
+            F.lit(True).alias("open"),
+            F.lit(None).cast("double").alias("delay"),
+        )
+        widened = F.struct(
+            F.concat(last["agents"], F.array(F.lower(val))).alias("agents"),
+            last["open"].alias("open"),
+            last["delay"].alias("delay"),
         )
         closed = F.struct(
-            acc["agents"].alias("agents"),
+            last["agents"].alias("agents"),
             F.lit(False).alias("open"),
-            acc["exact"].alias("exact"),
-            acc["wild"].alias("wild"),
+            last["delay"].alias("delay"),
+        )
+        delayed = F.struct(
+            last["agents"].alias("agents"),
+            last["open"].alias("open"),
+            F.coalesce(last["delay"], secs).alias("delay"),
         )
         return (
-            F.when((key == "user-agent") & (val != ""), started)
-            .when(key == "crawl-delay", with_delay)
-            .when(key.isin("allow", "disallow"), closed)
+            F.when(
+                (key == "user-agent") & (val != ""),
+                F.when(
+                    (n == 0) | ~last["open"],
+                    F.concat(acc, F.array(new_group)),
+                ).otherwise(F.concat(head, F.array(widened))),
+            )
+            .when(
+                key.isin("allow", "disallow") & (n > 0),
+                F.concat(head, F.array(closed)),
+            )
+            .when(
+                (key == "crawl-delay") & (n > 0),
+                F.concat(head, F.array(delayed)),
+            )
             .otherwise(acc)
         )
 
-    seeded = F.struct(
-        F.array().cast("array<string>").alias("agents"),
-        F.lit(False).alias("open"),
-        F.lit(None).cast("double").alias("exact"),
-        F.lit(None).cast("double").alias("wild"),
-    )
-    out = F.aggregate(lines, seeded, step)
-    return F.coalesce(out["exact"], out["wild"])
+    groups = F.aggregate(lines, F.array().cast(groups_t), step)
+
+    def first_delay(token: Column) -> Column:
+        return F.aggregate(
+            groups,
+            F.lit(None).cast("double"),
+            lambda acc, g: F.coalesce(
+                acc,
+                F.when(F.array_contains(g["agents"], token), g["delay"]),
+            ),
+        )
+
+    return F.coalesce(first_delay(me), first_delay(F.lit("*")))
 
 
 def crawl_delay_budgets(
@@ -420,16 +442,16 @@ def crawl_delay_budgets(
     frontier_waves — see the politeness test for the composition."""
     if wave_seconds <= 0:
         raise ValueError(f"wave_seconds must be > 0: {wave_seconds}")
-    delay = crawl_delay_col(F.col(text_col), agent)
+    # bind the line-fold ONCE as a column, derive per_wave from the
+    # bound attribute in a second select — embedding the fold twice
+    # in one projection duplicates its whole expression subtree
+    delayed = robots.select(
+        F.col(host_col).alias("host"),
+        crawl_delay_col(F.col(text_col), agent).alias("_d"),
+    ).filter(F.col("_d").isNotNull() & (F.col("_d") > 0))
     per = F.greatest(
-        F.floor(F.lit(float(wave_seconds)) / delay), F.lit(1)
+        F.floor(F.lit(float(wave_seconds)) / F.col("_d")), F.lit(1)
     )
     if max_per_wave is not None:
         per = F.least(per, F.lit(int(max_per_wave)))
-    return (
-        robots.select(
-            F.col(host_col).alias("host"), delay.alias("_d"), per.alias("per_wave")
-        )
-        .filter(F.col("_d").isNotNull() & (F.col("_d") > 0))
-        .select("host", F.col("per_wave").cast("int"))
-    )
+    return delayed.select("host", per.cast("int").alias("per_wave"))

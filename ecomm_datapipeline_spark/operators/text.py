@@ -890,8 +890,13 @@ def readability_cols(text_col: Column | str) -> dict[str, Column]:
 # separators, bounded by \b so a longer digit run can never backtrack
 # into a "card" (a 20-digit id matches nothing: every shorter suffix
 # start fails the leading \b, every shorter prefix end fails the
-# trailing one). Same dialect constraints as PATTERNS — \b + character
-# classes only, no lookaround — so the twin runs unchanged in RE2.
+# trailing one). Known precision/recall trade: digits ADJACENT to a
+# PAN across a separator ('99-4111...1111') merge into one longer
+# candidate that fails Luhn, hiding the card — the price of
+# tolerating separators without lookaround; the n_ccn_candidates
+# audit column still counts such runs. Same dialect constraints as
+# PATTERNS — \b + character classes only, no lookaround — so the
+# twin runs unchanged in RE2.
 CCN_CANDIDATE_PATTERN = r"\b[0-9](?:[ -]?[0-9]){12,18}\b"
 
 
@@ -940,9 +945,11 @@ def redact_ccn_col(text_col: Column | str, token: str = "<CCN>") -> Column:
     a plain regexp_replace cannot express that gate. Each replace is
     \\b-anchored (candidates begin and end with digits, so \\b re-
     states the extraction boundary): a copy of the same digit string
-    EMBEDDED in a longer run — which the candidate pattern by design
-    never matched — is left alone, not rewritten. Candidates contain
-    only digits/space/dash, so no regex-metachar escaping is needed.
+    embedded in a longer CONTIGUOUS digit run is left alone, not
+    rewritten (for separator-adjacent copies \\b holds at the digit
+    edges, so those rewrite — consistent with the candidate pattern's
+    own separator tolerance). Candidates contain only
+    digits/space/dash, so no regex-metachar escaping is needed.
     Composes with redact(): run this first (its candidates contain no
     '<')."""
     t = F.col(text_col) if isinstance(text_col, str) else text_col

@@ -3897,8 +3897,10 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved_url = resolve_url_col(_rbase, _rref)
     # Crawl-delay fold (r9): four rotating synthesized robots bodies
     # — exact-agent group with the delay AFTER its rules beating a
-    # '*' group, fractional wildcard delay, non-numeric exact value
-    # falling through to the wildcard group, and a pre-group delay
+    # '*' group, fractional wildcard delay, a non-numeric value that
+    # leaves its group undelayed (the later numeric declaration of
+    # the merged group applies — Crawl-delay lines do not close
+    # groups, matching robots_groups_col), and a pre-group delay
     # that belongs to nobody (NULL -> -1). The REAL crawl_delay_col
     # fold parses them (agent 'Bot' also pins case-insensitivity);
     # the oracle states the closed-form expected seconds.

@@ -197,7 +197,9 @@ def merge_table(
     if scoped:
         # Dynamic partition overwrite in place: only the touched
         # partitions are replaced. Forced dynamic for THIS write
-        # whatever the session default; restored after.
+        # whatever the session default; restored after. The checkpoint
+        # releases with the call — a caller looping merges per round
+        # (frontier_store) must not accumulate one block set per round.
         merged = merged.localCheckpoint()
         writer = merged.write.partitionBy(*partition_by)
         conf_key = "spark.sql.sources.partitionOverwriteMode"
@@ -207,6 +209,7 @@ def merge_table(
             writer.mode("overwrite").parquet(path)
         finally:
             spark.conf.set(conf_key, prev)
+            merged.unpersist()
     else:
         # Full rewrite: stage to a sibling dir (a DIFFERENT path, so
         # no read-overwrite hazard and no checkpoint materialization

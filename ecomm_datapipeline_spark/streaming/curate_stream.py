@@ -171,8 +171,14 @@ def curate_ingest_stream(
         cleaned = cleaned.localCheckpoint()
         _batch_ckpts = [cleaned]
 
-        # exact: within-batch min-id collapse, then drop what shipped
-        exact = dedup.drop_exact_duplicates(cleaned, text_col, id_col)
+        # exact: within-batch min-id collapse, then drop what shipped.
+        # dropDuplicates(id) first: an at-least-once upstream (the
+        # crawl->landing composition re-lands a page after a crash)
+        # can put two PHYSICAL copies of one doc_id in a batch, and
+        # the keeper semi-join alone would keep both rows
+        exact = dedup.drop_exact_duplicates(
+            cleaned.dropDuplicates([id_col]), text_col, id_col
+        )
         if tables.table_exists(fp_path):
             shipped_fps = _exclude_batch(
                 tables.read_table(spark, fp_path), batch_id
@@ -218,6 +224,7 @@ def curate_ingest_stream(
                 conf = cands.filter(
                     F.col("est_jaccard") >= neardup_threshold
                 ).localCheckpoint()
+                _batch_ckpts.append(conf)
                 batch_ids = exact.select(F.col(id_col).alias("id_existing"))
                 # internal pair (id_new < id_existing): larger id drops;
                 # corpus pair: the batch side (id_new) drops

@@ -96,3 +96,22 @@ def test_frontier_budget_invariant(spark):
     } | {("other.example", w): 4 for w in range(3)} | {
         ("other.example", 2): 2
     }
+
+
+def test_grouping_matches_rule_fold(spark):
+    """The delay fold and robots_groups_col must agree on GROUPING:
+    a Crawl-delay line does not close a group, so a User-agent line
+    after it widens the same group — the late-joining agent inherits
+    a delay declared before it joined, exactly as it inherits the
+    group's rules."""
+    txt = "User-agent: a\nCrawl-delay: 5\nUser-agent: b\nDisallow: /x\n"
+    assert _delay(spark, txt, agent="a") == 5.0
+    assert _delay(spark, txt, agent="b") == 5.0
+    # and the rule fold sees the same single group {a, b}
+    df = spark.createDataFrame([(txt,)], "robots_txt string")
+    g = df.select(robots.robots_groups_col("robots_txt").alias("g")).first()["g"]
+    assert len(g) == 1 and sorted(g[0]["agents"]) == ["a", "b"]
+    # after a rule line closes the group, a new agent group does NOT
+    # inherit the old delay
+    txt2 = "User-agent: a\nCrawl-delay: 5\nDisallow: /x\nUser-agent: b\nDisallow: /y\n"
+    assert _delay(spark, txt2, agent="b") is None
