@@ -14,7 +14,8 @@ seam convention) without touching the scheduling loop.
 
 Scale shape, per round:
 - the frontier is always the SMALL side (URLs scheduled, not the
-  corpus): robots verdicts broadcast the rules (robots_allowed),
+  corpus): robots verdicts semi-join the rules down to the wave's
+  hosts and let AQE pick the join strategy (robots_allowed),
   politeness uses frontier.frontier_waves (two exchanges at any host
   skew — a 10M-page template domain never gathers into one task),
   link extraction is per-row expressions + one Generate.

@@ -20,11 +20,13 @@ of sources/warc.py + operators/urls.py):
 * `robots_allowed` evaluates a URL frame against the rules for one
   crawler product token: RFC 9309 group selection (the groups naming
   the agent, merged; else the '*' groups), then longest-match wins
-  with Allow beating Disallow on ties (§2.2.2). The rules aggregate
-  to ONE array per host (a tiny frame), broadcast-join onto the URL
-  frame, and the verdict is a per-row fold over that array — the URL
-  side never shuffles, the exact shape of urls.per_domain_cap's
-  broadcast legs.
+  with Allow beating Disallow on ties (§2.2.2). The rules are first
+  semi-joined down to the hosts present in the URL frame (so the
+  chosen-rules frame scales with the wave being evaluated, not the
+  web — a full robots corpus is ~10^8 hosts and must never be
+  broadcast by hand), aggregate to ONE array per host, and join onto
+  the URL frame with the strategy left to the planner + AQE; the
+  verdict is a per-row fold over that array.
 
 Pattern semantics implemented per RFC 9309 §2.2.3: '*' matches any
 octet sequence, '$' at pattern end anchors the match, everything else
@@ -262,21 +264,23 @@ def robots_allowed(
     Evaluation (§2.2.2): among matching rules the LONGEST pattern
     wins; on a length tie Allow wins. Matching target is path +
     '?query' (fragments are not sent to servers). The chosen rules
-    aggregate to one array per host and broadcast onto the URL frame;
-    the verdict is a per-row fold — zero shuffle on the URL side,
-    per-row regex only for rules that actually contain wildcards."""
+    aggregate to one array per host and join onto the URL frame; the
+    verdict is a per-row fold — per-row regex only for rules that
+    actually contain wildcards.
+
+    Scale contract: a web-scale robots corpus is ~10^7-10^8 hosts x
+    ~KB of rules — far past Spark's 8 GB broadcast cap — so this
+    function never hands Spark a broadcast hint. Instead the rules
+    frame is first RESTRICTED to the hosts that actually appear in
+    `urls` (a semi-join on host: in the crawl loop the URL side is
+    one politeness wave, so the chosen-rules frame scales with the
+    wave, not the web), and the final join strategy is left to the
+    planner + AQE, which broadcasts exactly when the restricted frame
+    is actually small (the frontier.py:109 rule). The URL side's only
+    exchange is the distinct over its projected host column — a
+    1-column partial-aggregated shuffle whose output is the host
+    count, never the URL count."""
     agent_l = agent.lower()
-    spec = rules.filter(F.col("agent") == agent_l)
-    spec_hosts = spec.select("host").distinct()
-    fallback = rules.filter(F.col("agent") == "*").join(
-        F.broadcast(spec_hosts), "host", "left_anti"
-    )
-    chosen = spec.unionByName(fallback)
-    per_host = chosen.groupBy("host").agg(
-        F.collect_list(
-            F.struct("allow", "path", "plen", "regex", "literal")
-        ).alias("_rules")
-    )
 
     from .urls import pct_normalize_col
 
@@ -289,8 +293,22 @@ def robots_allowed(
         F.concat(F.when(path == "", F.lit("/")).otherwise(path), query)
     )
 
+    url_hosts = urls.select(host.alias("host")).distinct()
+    rules = rules.join(url_hosts, "host", "left_semi")
+    spec = rules.filter(F.col("agent") == agent_l)
+    spec_hosts = spec.select("host").distinct()
+    fallback = rules.filter(F.col("agent") == "*").join(
+        spec_hosts, "host", "left_anti"
+    )
+    chosen = spec.unionByName(fallback)
+    per_host = chosen.groupBy("host").agg(
+        F.collect_list(
+            F.struct("allow", "path", "plen", "regex", "literal")
+        ).alias("_rules")
+    )
+
     with_rules = urls.withColumn("_rh", host).join(
-        F.broadcast(per_host.withColumnRenamed("host", "_rh")),
+        per_host.withColumnRenamed("host", "_rh"),
         "_rh",
         "left",
     )

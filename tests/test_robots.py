@@ -231,20 +231,25 @@ def test_sitemaps_and_plan_shape(spark):
     }
     assert sm == {"https://x.example/sm.xml", "https://x.example/sm2.xml"}
 
-    # scale pin: the URL side of robots_allowed must not shuffle — the
-    # only exchanges feed the broadcast (tiny rules side)
+    # scale pin: robots_allowed must NOT hand Spark a broadcast hint —
+    # a web-scale rules frame (~10^8 hosts) is past the 8 GB broadcast
+    # cap, so the strategy is AQE-chosen after the rules are semi-joined
+    # down to the URL frame's hosts. No ResolvedHint may survive into
+    # the optimized plan, and once executed AQE must still pick a
+    # broadcast join for this actually-tiny restricted frame.
     rules = R.robots_rules(rules_src)
     urls = spark.range(100).select(
         F.concat(F.lit("http://x.example/p"), F.col("id")).alias("url")
     )
-    plan = (
-        R.robots_allowed(urls, rules, "FooBot")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    df = R.robots_allowed(urls, rules, "FooBot")
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Hint" not in optimized
+    assert "broadcast" not in optimized.lower()
+    rows = df.collect()
+    assert len(rows) == 100 and all(not r["robots_allowed"] for r in rows)
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "BroadcastHashJoin" in final
 
 
 def test_rules_before_any_group_dropped(spark):
