@@ -1,0 +1,143 @@
+"""Engine-side HTTP fetcher for the crawl seam (operators/crawl.crawl
+and operators/frontier_store.crawl_rounds both take a
+`fetch_fn: wave DataFrame -> (url, html, ...) DataFrame`; simulations
+pass crawl.simulated_fetcher — this module is the production
+implementation).
+
+Spark-first shape: the wave is hash-repartitioned by host and sorted
+within partitions, so every host's URLs land CONTIGUOUSLY in exactly
+one task, and an Arrow `mapInPandas` (the WARC-decode seam convention
+— Python only at the codec/IO boundary, never in a per-row UDF)
+fetches them sequentially with the politeness delay enforced BETWEEN
+consecutive same-host requests, across Arrow batch boundaries (the
+per-task last-request clock lives in the iterator closure, which
+spans all of a partition's batches). Crawl-delay politeness is
+therefore honored WITHIN a wave, not just between waves — the piece
+wave-granularity scheduling alone cannot give.
+
+Parallelism: hosts spread over shuffle partitions; one task serializes
+its hosts' requests (hosts are mutually politeness-independent, but a
+task is one thread — size spark.sql.shuffle.partitions to the wave's
+host spread for wall-clock; per-host ordering is strict either way).
+
+Delay resolution, most specific wins:
+  1. a `delay_s` column on the wave frame (the scale path: join
+     robots.crawl_delay_budgets onto the wave before fetching — the
+     per-host delays then ride the same exchange as the rows and no
+     driver-side map is needed),
+  2. the `host_delays` dict (driver-bounded: pass only the WAVE's
+     hosts, e.g. crawl_delay_budgets filtered to the wave and
+     collected — never a full-web host map),
+  3. `default_delay_s`.
+
+Failure contract (matches simulated_fetcher): a URL that cannot be
+fetched — non-2xx status, timeout, connection refused, oversized body
+— is OMITTED from the result; crawl_rounds counts omissions as
+failures and retries up to max_tries. Successful rows return
+(url, html, status); callers that want only the crawl contract select
+(url, html).
+
+Charset: decoded from the Content-Type header charset when present,
+else UTF-8, always errors='replace' (a crawler must never die on a
+mojibake page); for archival-grade recovery re-decode from WARC bytes
+with sources/warc.py's header+meta prescan instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FETCH_SCHEMA = "url string, html string, status int"
+
+
+def http_fetcher(
+    agent: str = "ecomm-datapipeline-spark/0.1",
+    timeout_s: float = 10.0,
+    default_delay_s: float = 0.0,
+    host_delays: dict[str, float] | None = None,
+    max_bytes: int = 4 * 1024 * 1024,
+) -> Callable[[DataFrame], DataFrame]:
+    """Build a production fetch_fn for crawl()/crawl_rounds(). See the
+    module docstring for the politeness and failure contracts."""
+    delays = dict(host_delays or {})
+
+    def fetch(wave: DataFrame) -> DataFrame:
+        from .urls import url_parts
+
+        cols = wave.columns
+        w = wave if "host" in cols else wave.withColumn(
+            "host", url_parts(F.col("url"))["host"]
+        )
+        has_delay_col = "delay_s" in cols
+        sel = ["host", "url"] + (["delay_s"] if has_delay_col else [])
+        order = [F.col("host")] + (
+            [F.desc("priority")] if "priority" in cols else []
+        ) + [F.col("url")]
+        # one host -> one partition, contiguous rows: the per-host
+        # request sequence (and its delay clock) is total-ordered
+        shaped = w.select(*sel).repartition("host").sortWithinPartitions(*order)
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import time
+            import urllib.error
+            import urllib.request
+
+            last: dict[str, float] = {}  # host -> last request monotonic
+            for pdf in batches:
+                out_url, out_html, out_status = [], [], []
+                for row in pdf.itertuples(index=False):
+                    host = row.host
+                    delay = (
+                        float(row.delay_s)
+                        if has_delay_col and row.delay_s is not None
+                        else delays.get(host, default_delay_s)
+                    )
+                    if host in last and delay > 0:
+                        wait = last[host] + delay - time.monotonic()
+                        if wait > 0:
+                            time.sleep(wait)
+                    last[host] = time.monotonic()
+                    try:
+                        req = urllib.request.Request(
+                            row.url, headers={"User-Agent": agent}
+                        )
+                        with urllib.request.urlopen(
+                            req, timeout=timeout_s
+                        ) as resp:
+                            status = int(getattr(resp, "status", 200))
+                            if not (200 <= status < 300):
+                                continue
+                            data = resp.read(max_bytes + 1)
+                            if len(data) > max_bytes:
+                                continue  # oversized: treat as failure
+                            charset = (
+                                resp.headers.get_content_charset() or "utf-8"
+                            )
+                            try:
+                                html = data.decode(charset, errors="replace")
+                            except LookupError:
+                                html = data.decode("utf-8", errors="replace")
+                    except (
+                        urllib.error.URLError,
+                        TimeoutError,
+                        ConnectionError,
+                        OSError,
+                        ValueError,  # malformed URL
+                    ):
+                        continue
+                    out_url.append(row.url)
+                    out_html.append(html)
+                    out_status.append(status)
+                yield pd.DataFrame(
+                    {"url": out_url, "html": out_html, "status": out_status}
+                )
+
+        return shaped.mapInPandas(run, FETCH_SCHEMA)
+
+    return fetch

@@ -2,52 +2,94 @@
 crawl rounds — operators/crawl.crawl is the in-memory loop (lineage
 lives in localCheckpoint blocks, gone with the driver), this module
 is its production shape: every URL's lifecycle (pending -> fetched /
-failed-with-retries) lives in ONE parquet/Delta table keyed by url,
-every round commits atomically, and the driver loop can be killed and
-restarted at any point without double-fetching committed rounds or
-losing discovered links.
+failed-with-retries, optionally -> re-eligible for a refetch) lives
+in ONE parquet/Delta table keyed by url, every round commits with a
+durable round marker, and the driver loop can be killed and restarted
+at ANY point without double-counting committed rounds or losing
+discovered links.
 
 Table schema (key: url — normalized by urls.normalize_url on entry,
 so one page is one row no matter how many raw spellings link to it):
 
     url string, host string, status string (pending|fetched|failed),
-    priority double, tries int, discovered_round int, last_round int
+    priority double, tries int, discovered_round int, last_round int,
+    fetched_at timestamp, refetch_after timestamp
 
-Commit protocol (commit_round): status transitions for the round's
-attempted wave + inserts for its newly-discovered links go through
-ONE tables.merge_table call — parquet merges stage to a sibling dir
-and swap via rename, so a crash mid-commit leaves the PREVIOUS state
-intact, never a half-applied round. Replays are detected per row:
-a wave row whose last_round already equals the committing round is
-passed through unchanged (tries does not double-increment), and
-discovered URLs already known insert nothing — so re-running a round
-after a crash is idempotent in state even though the fetch itself is
-at-least-once (refetching a page is the web-crawl norm; the STATE is
-exactly-once).
+Commit protocol (commit_round) — three durable steps, in this order:
 
-Scale: the table is O(discovered URLs) short rows; pending_wave reads
-it with a status filter (partition the table by status for pruning if
-the fetched set dwarfs pending), schedules with frontier_waves (the
-skew-safe per-host ranker — no per-host window), and honors
-robots Crawl-delay via the same host_budgets seam. Commit cost:
-unbucketed parquet rewrites the table per round — fine for modest
-frontiers; at frontier scale (billions of URLs) pass
-init_frontier(n_buckets=...) to hash-partition the table by a stable
-bucket of url, and every commit then merges on (url, bucket) so
-merge_table's partition-scoped leg rewrites ONLY the buckets the
-round touched — O(round), not O(frontier). (A Delta target gets
-file-level MERGE pruning instead.) The bucket count persists in a
-`<path>_meta` sidecar so all later commits bucket identically.
+  1. state MERGE: status transitions for the round's attempted wave
+     + inserts for its newly-discovered links go through ONE
+     tables.merge_table call (unbucketed: staged sibling-dir rewrite
+     + rename swap; bucketed: dynamic partition overwrite of ONLY the
+     touched buckets).
+  2. worklist sidecar rebuild (bucketed tables): the touched buckets
+     of `<path>_pending` are recomputed from the merged state.
+  3. round MARKER: `<path>_meta` is atomically rewritten (staged
+     swap) with committed_round = round id.
+
+The marker is written STRICTLY LAST, so last_committed_round never
+reports a round whose merge may have half-landed: the bucketed merge
+overwrites touched bucket partitions in place, and a driver crash
+mid-job can leave some buckets rewritten and others not — inferring
+the committed round from row maxima (the pre-marker design) would
+then skip the round on restart and silently lose discovered links
+whose bucket was not rewritten while their source pages already read
+'fetched'. With the marker, ANY crash inside commit_round leaves
+committed_round at N-1 and the round replays.
+
+Replay protocol (crawl_rounds): before any state mutation the round's
+scheduled wave is logged to `<path>_wal` (staged swap; a partial
+first write — no _SUCCESS — is ignored, which is sound because the
+WAL write precedes every mutation). On restart, a WAL whose round id
+equals committed_round+1 is replayed AS THE WAVE, so the exact
+original wave re-fetches: pages whose bucket did commit pass through
+the merge unchanged (tries does not double-increment — per-row
+last_round==round guard), while their re-extracted links re-insert
+into the buckets that missed the crash. Fetches are at-least-once;
+the STATE is exactly-once.
+
+Scale: the table is O(discovered URLs) short rows. For bucketed
+tables pending_wave reads the thin `<path>_pending` worklist sidecar
+(rows not terminally fetched, plus fetched rows carrying a
+refetch_after policy) instead of scanning the full state — O(pending)
+per wave, not O(frontier); the sidecar's touched buckets are
+recomputed inside the same commit (step 2), and any crash between
+steps is healed by the round replay before the next wave is
+scheduled. Commit cost: unbucketed parquet rewrites the table per
+round — fine for modest frontiers; at frontier scale (billions of
+URLs) pass init_frontier(n_buckets=...) to hash-partition the table
+by a stable bucket of url, and every commit then merges on
+(url, bucket) so merge_table's partition-scoped leg rewrites ONLY the
+buckets the round touched — O(round), not O(frontier). (A Delta
+target gets file-level MERGE pruning instead.) The bucket count
+persists in the `<path>_meta` sidecar so all later commits bucket
+identically.
+
+Recrawl/freshness: pass refetch_interval_s (and a now_fn for
+deterministic tests) to crawl_rounds — fetched rows gain fetched_at
+and refetch_after = fetched_at + interval, and pending_wave(as_of=..)
+adds a third eligibility arm for fetched rows whose refetch_after has
+passed. A refetched row keeps its tries/discovered_round history
+(tries counts lifetime attempts). Sitemap `lastmod` feeds the same
+seam: seed refetch_after directly via commit_round's transition or a
+caller-side column update.
 """
 
 from __future__ import annotations
 
+import os
+import uuid as _uuid
+from datetime import datetime, timezone
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import tables
+
+_META_SCHEMA = "n_buckets int, committed_round int"
+_V2_COLS = {"fetched_at": "timestamp", "refetch_after": "timestamp"}
+
 
 def _bucket_col(n_buckets: int):
     """Stable url -> bucket: derives from the merge KEY, so a merge
@@ -60,11 +102,73 @@ def _meta_path(path: str) -> str:
     return path.rstrip("/") + "_meta"
 
 
-def _read_n_buckets(spark: SparkSession, path: str) -> int | None:
+def _pending_path(path: str) -> str:
+    return path.rstrip("/") + "_pending"
+
+
+def _wal_path(path: str) -> str:
+    return path.rstrip("/") + "_wal"
+
+
+def _staged_overwrite(df: DataFrame, path: str) -> None:
+    """Overwrite `path` with `df` such that a crash at any point
+    leaves either the previous content or the new content, never a
+    half-written dir: write to a sibling tmp, then rename into place
+    (tables._swap_into when the target exists)."""
+    tmp = f"{path.rstrip('/')}__tmp_{_uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    if tables.table_exists(path):
+        tables._swap_into(tmp, path)
+    else:
+        os.rename(tmp, path)
+
+
+def _write_meta(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int | None,
+    committed_round: int | None,
+) -> None:
+    df = spark.createDataFrame(
+        [
+            (
+                None if n_buckets is None else int(n_buckets),
+                None if committed_round is None else int(committed_round),
+            )
+        ],
+        _META_SCHEMA,
+    ).coalesce(1)
+    _staged_overwrite(df, _meta_path(path))
+
+
+def _read_meta(
+    spark: SparkSession, path: str
+) -> tuple[int | None, int | None]:
+    """(n_buckets, committed_round); tolerant of pre-marker sidecars
+    that carry only n_buckets."""
     mp = _meta_path(path)
     if not tables.table_exists(mp):
-        return None
-    return int(tables.read_table(spark, mp).first()["n_buckets"])
+        return None, None
+    df = tables.read_table(spark, mp)
+    row = df.first()
+    nb = row["n_buckets"] if "n_buckets" in df.columns else None
+    cr = row["committed_round"] if "committed_round" in df.columns else None
+    return (
+        int(nb) if nb is not None else None,
+        int(cr) if cr is not None else None,
+    )
+
+
+def _read_n_buckets(spark: SparkSession, path: str) -> int | None:
+    return _read_meta(spark, path)[0]
+
+
+def _with_v2(df: DataFrame) -> DataFrame:
+    """Add the recrawl columns as NULLs when reading a pre-v2 table."""
+    for c, t in _V2_COLS.items():
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    return df
 
 
 def _normalized_urls(df: DataFrame, url_col: str) -> DataFrame:
@@ -88,7 +192,15 @@ def _as_rows(urls: DataFrame, round_id: int, priority: float) -> DataFrame:
         F.lit(0).alias("tries"),
         F.lit(int(round_id)).alias("discovered_round"),
         F.lit(None).cast("int").alias("last_round"),
+        F.lit(None).cast("timestamp").alias("fetched_at"),
+        F.lit(None).cast("timestamp").alias("refetch_after"),
     )
+
+
+def _worklist_pred():
+    """A worklist row is anything a future wave could schedule: not
+    terminally fetched, or fetched under a refetch policy."""
+    return (F.col("status") != "fetched") | F.col("refetch_after").isNotNull()
 
 
 def init_frontier(
@@ -108,48 +220,68 @@ def init_frontier(
     the difference between O(round) and O(frontier) commit cost on a
     billion-URL parquet frontier. Size it so a bucket is a few
     hundred MB at the target frontier size; the bucket count is
-    persisted in a `<path>_meta` sidecar table so every later commit
-    buckets identically."""
+    persisted in the `<path>_meta` sidecar so every later commit
+    buckets identically. Bucketed tables also get the `<path>_pending`
+    worklist sidecar that makes pending_wave O(pending)."""
     spark = seeds.sparkSession
     rows = _as_rows(_normalized_urls(seeds, url_col), 0, 0.0)
     if tables.table_exists(path):
-        nb = _read_n_buckets(spark, path)
+        nb, _ = _read_meta(spark, path)
         if nb is not None:
             rows = rows.withColumn("bucket", _bucket_col(nb))
         known = tables.read_table(spark, path).select("url")
-        rows = rows.join(known, "url", "left_anti")
-        tables.write_table(
-            rows,
-            path,
-            mode="append",
-            partition_by=["bucket"] if nb is not None else None,
-        )
+        rows = rows.join(known, "url", "left_anti").localCheckpoint()
+        try:
+            tables.write_table(
+                rows,
+                path,
+                mode="append",
+                partition_by=["bucket"] if nb is not None else None,
+            )
+            # absorbed seeds are pending: they belong in the worklist
+            if nb is not None and tables.table_exists(_pending_path(path)):
+                tables.write_table(
+                    rows, _pending_path(path), mode="append",
+                    partition_by=["bucket"],
+                )
+        finally:
+            rows.unpersist()
         return
     # honor a meta sidecar from a previous init that crashed before
     # its data write; an explicit n_buckets overrides it
     nb = n_buckets if n_buckets is not None else _read_n_buckets(spark, path)
+    if nb is not None and nb < 1:
+        raise ValueError(f"n_buckets must be >= 1: {nb}")
+    # meta FIRST, data second: a crash between the writes must leave a
+    # recoverable state either way round, and data-without-meta would
+    # wedge every later commit (the state table carries a bucket
+    # column the commit would not know to produce) — meta-without-data
+    # just re-inits. committed_round starts at 0 so restart logic
+    # reads the marker, never the row-maxima fallback.
+    _write_meta(spark, path, nb, 0)
     if nb is not None:
-        if nb < 1:
-            raise ValueError(f"n_buckets must be >= 1: {nb}")
-        # meta FIRST, data second: a crash between the writes must
-        # leave a recoverable state either way round, and data-
-        # without-meta would wedge every later commit (the state
-        # table carries a bucket column the commit would not know to
-        # produce) — meta-without-data just re-inits
-        tables.write_table(
-            spark.createDataFrame([(int(nb),)], "n_buckets int"),
-            _meta_path(path),
-            mode="overwrite",
-        )
-        rows = rows.withColumn("bucket", _bucket_col(nb))
-        tables.write_table(rows, path, mode="append", partition_by=["bucket"])
+        rows = rows.withColumn("bucket", _bucket_col(nb)).localCheckpoint()
+        try:
+            tables.write_table(rows, path, mode="append", partition_by=["bucket"])
+            tables.write_table(
+                rows, _pending_path(path), mode="append", partition_by=["bucket"]
+            )
+        finally:
+            rows.unpersist()
     else:
         tables.write_table(rows, path, mode="append")
 
 
 def last_committed_round(spark: SparkSession, path: str) -> int:
-    """Highest round id any row carries (0 when the table is fresh) —
-    the restart point for crawl_rounds."""
+    """The durable round marker from the `<path>_meta` sidecar —
+    written strictly AFTER each round's merge, so it can never name a
+    round whose bucketed merge half-landed. Pre-marker tables (no
+    committed_round in meta) fall back to the row-maxima inference,
+    which is only sound for unbucketed tables (their merge is one
+    atomic swap)."""
+    _, cr = _read_meta(spark, path)
+    if cr is not None:
+        return cr
     row = (
         tables.read_table(spark, path)
         .agg(F.max(F.coalesce(F.col("last_round"), F.col("discovered_round"))))
@@ -164,18 +296,36 @@ def pending_wave(
     per_host_per_wave: int,
     max_tries: int = 3,
     host_budgets: DataFrame | None = None,
+    as_of: datetime | None = None,
 ) -> DataFrame:
-    """The next politeness wave: pending URLs plus failed ones with
-    retries left, ranked per host by (priority desc, url) through
-    frontier_waves, wave 0 only. Returns (url, host, priority,
-    tries)."""
+    """The next politeness wave: pending URLs, failed ones with
+    retries left, and — when `as_of` is given — fetched ones whose
+    refetch_after has passed, ranked per host by (priority desc, url)
+    through frontier_waves, wave 0 only. Returns (url, host, priority,
+    tries).
+
+    Reads the `<path>_pending` worklist sidecar when one exists
+    (bucketed tables): O(pending) per wave instead of an O(frontier)
+    scan of a mostly-fetched state table. The sidecar is maintained
+    inside commit_round, before the round marker, so a crash anywhere
+    is healed by the round replay before this is called again."""
     from .frontier import frontier_waves
 
-    state = tables.read_table(spark, path)
-    eligible = state.filter(
-        (F.col("status") == "pending")
-        | ((F.col("status") == "failed") & (F.col("tries") < max_tries))
-    ).select("url", "host", "priority", "tries")
+    pp = _pending_path(path)
+    src = tables.read_table(spark, pp if tables.table_exists(pp) else path)
+    state = _with_v2(src)
+    eligible_pred = (F.col("status") == "pending") | (
+        (F.col("status") == "failed") & (F.col("tries") < max_tries)
+    )
+    if as_of is not None:
+        eligible_pred = eligible_pred | (
+            (F.col("status") == "fetched")
+            & F.col("refetch_after").isNotNull()
+            & (F.col("refetch_after") <= F.lit(as_of))
+        )
+    eligible = state.filter(eligible_pred).select(
+        "url", "host", "priority", "tries"
+    )
     waved = frontier_waves(
         eligible,
         per_host_per_wave=per_host_per_wave,
@@ -187,6 +337,61 @@ def pending_wave(
     )
 
 
+def _ensure_v2_table(spark: SparkSession, path: str, nb: int | None) -> None:
+    """One-time in-place schema upgrade for pre-v2 tables (adds the
+    recrawl columns as NULLs) — staged swap, O(frontier) once."""
+    df = tables.read_table(spark, path)
+    if set(_V2_COLS) <= set(df.columns):
+        return
+    up = _with_v2(df)
+    tmp = f"{path.rstrip('/')}__tmp_{_uuid.uuid4().hex[:8]}"
+    w = up.repartition("bucket").write.partitionBy("bucket") if nb is not None else up.write
+    w.mode("overwrite").parquet(tmp)
+    tables._swap_into(tmp, path)
+
+
+def _rebuild_worklist_buckets(
+    spark: SparkSession, path: str, touched: list[int]
+) -> None:
+    """Recompute the worklist sidecar for the given buckets from the
+    (already merged) state table. Touched buckets with no worklist
+    rows left get their sidecar partition REMOVED — dynamic partition
+    overwrite only replaces partitions present in the written frame,
+    so an emptied bucket would otherwise keep stale rows."""
+    import shutil
+
+    pp = _pending_path(path)
+    post = (
+        tables.read_table(spark, path)
+        .filter(F.col("bucket").isin([int(b) for b in touched]))
+        .filter(_worklist_pred())
+        .localCheckpoint()
+    )
+    try:
+        nonempty = {r["bucket"] for r in post.select("bucket").distinct().collect()}
+        if not tables.table_exists(pp):
+            # first commit on a pre-sidecar table: build it FULLY from
+            # state (one O(frontier) pass), not just the touched slice
+            full = tables.read_table(spark, path).filter(_worklist_pred())
+            tmp = f"{pp}__tmp_{_uuid.uuid4().hex[:8]}"
+            full.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
+            os.rename(tmp, pp)
+            return
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            post.write.partitionBy("bucket").mode("overwrite").parquet(pp)
+        finally:
+            spark.conf.set(conf_key, prev)
+        for b in set(int(t) for t in touched) - nonempty:
+            d = os.path.join(pp, f"bucket={b}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    finally:
+        post.unpersist()
+
+
 def commit_round(
     spark: SparkSession,
     path: str,
@@ -195,44 +400,63 @@ def commit_round(
     fetched_ok: DataFrame,
     discovered: DataFrame | None = None,
     discovered_priority: float = 0.0,
+    fetched_at: datetime | None = None,
+    refetch_interval_s: float | None = None,
 ) -> None:
-    """Atomically apply one round: `attempted` (url) rows transition
-    to fetched/failed depending on membership in `fetched_ok` (url),
-    with tries incremented once per ATTEMPT; `discovered` raw URLs
-    (already link-extracted by the caller) insert as pending unless
-    already known. One merge_table call = one atomic swap; rows whose
-    last_round already equals round_id pass through unchanged, making
-    a post-crash replay a state no-op."""
-    state = tables.read_table(spark, path)
-    nb = _read_n_buckets(spark, path)
+    """Apply one round durably: `attempted` (url) rows transition to
+    fetched/failed depending on membership in `fetched_ok` (url), with
+    tries incremented once per ATTEMPT; `discovered` raw URLs (already
+    link-extracted by the caller) insert as pending unless already
+    known. Rows whose last_round already equals round_id pass through
+    unchanged, making a post-crash replay a state no-op.
+
+    Durability order: state merge, then worklist sidecar (bucketed),
+    then the `<path>_meta` committed_round marker — see the module
+    docstring for why the marker must be last. A successful fetch with
+    `fetched_at` set stamps the row; with `refetch_interval_s` also
+    set, refetch_after = fetched_at + interval makes the row
+    re-eligible for pending_wave(as_of=...) later. A failed attempt
+    keeps its previous fetched_at/refetch_after history."""
+    nb, committed = _read_meta(spark, path)
+    _ensure_v2_table(spark, path, nb)
+    state = _with_v2(tables.read_table(spark, path))
     ok = fetched_ok.select("url").distinct().withColumn("_ok", F.lit(True))
     att = attempted.select("url").distinct()
     keep_cols = (["bucket"] if nb is not None else [])
+    replay = F.col("last_round") == round_id
+    fa = F.lit(fetched_at).cast("timestamp")
+    ra = (
+        F.lit(None).cast("timestamp")
+        if fetched_at is None or refetch_interval_s is None
+        else fa + F.make_dt_interval(secs=F.lit(float(refetch_interval_s)))
+    )
+    got = F.coalesce(F.col("_ok"), F.lit(False))
     updates = (
         state.join(att, "url", "left_semi")
         .join(ok, "url", "left")
         .select(
             "url",
             "host",
-            F.when(
-                F.col("last_round") == round_id, F.col("status")
-            )
+            F.when(replay, F.col("status"))
             .otherwise(
-                F.when(F.col("_ok"), F.lit("fetched")).otherwise(
-                    F.lit("failed")
-                )
+                F.when(got, F.lit("fetched")).otherwise(F.lit("failed"))
             )
             .alias("status"),
             "priority",
-            F.when(F.col("last_round") == round_id, F.col("tries"))
+            F.when(replay, F.col("tries"))
             .otherwise(F.col("tries") + 1)
             .alias("tries"),
             "discovered_round",
             F.lit(int(round_id)).alias("last_round"),
+            F.when(replay | ~got, F.col("fetched_at"))
+            .otherwise(fa)
+            .alias("fetched_at"),
+            F.when(replay | ~got, F.col("refetch_after"))
+            .otherwise(ra)
+            .alias("refetch_after"),
             *keep_cols,
         )
     )
-    new_rows = None
     if discovered is not None:
         new_rows = (
             _as_rows(
@@ -246,21 +470,64 @@ def commit_round(
         if nb is not None:
             new_rows = new_rows.withColumn("bucket", _bucket_col(nb))
         updates = updates.unionByName(new_rows)
-    # one atomic commit for the whole round. Unbucketed: merge stages
-    # a full rewrite to a sibling dir and renames. Bucketed: bucket
-    # derives from the key, so merging on (url, bucket) lets
-    # merge_table's partition-scoped leg rewrite ONLY the buckets this
-    # round touched — O(round), not O(frontier).
+    # Step 1 — state merge. Unbucketed: merge stages a full rewrite to
+    # a sibling dir and renames (atomic). Bucketed: bucket derives
+    # from the key, so merging on (url, bucket) lets merge_table's
+    # partition-scoped leg rewrite ONLY the buckets this round touched
+    # — O(round), not O(frontier), but NOT atomic across buckets: the
+    # marker below is what makes a mid-merge crash recoverable.
     ck = updates.localCheckpoint()
     try:
         if nb is not None:
             tables.merge_table(
                 ck, path, keys=["url", "bucket"], partition_by=["bucket"]
             )
+            # Step 2 — worklist sidecar for the touched buckets.
+            # Bucket ids are bounded by n_buckets (a user-sized table
+            # constant, not data-scale), so the collect is driver-safe
+            # and the isin filter statically prunes state partitions.
+            touched = [
+                r["bucket"] for r in ck.select("bucket").distinct().collect()
+            ]
+            _rebuild_worklist_buckets(spark, path, touched)
         else:
             tables.merge_table(ck, path, keys=["url"])
     finally:
         ck.unpersist()
+    # Step 3 — the durable round marker, strictly last.
+    _write_meta(spark, path, nb, max(committed or 0, int(round_id)))
+
+
+def _write_wal(
+    spark: SparkSession, path: str, round_id: int, wave: DataFrame
+) -> None:
+    df = wave.select(
+        F.lit(int(round_id)).alias("wal_round"),
+        "url",
+        "host",
+        "priority",
+        "tries",
+    ).coalesce(1)
+    _staged_overwrite(df, _wal_path(path))
+
+
+def _read_wal(
+    spark: SparkSession, path: str
+) -> tuple[int, DataFrame] | None:
+    """The last logged wave, or None. A dir without _SUCCESS (a crash
+    inside the very first WAL write) is ignored — sound because the
+    WAL write precedes every state mutation of its round, so falling
+    back to a freshly scheduled wave loses nothing."""
+    wp = _wal_path(path)
+    if not tables.table_exists(wp) or not os.path.exists(
+        os.path.join(wp, "_SUCCESS")
+    ):
+        return None
+    df = tables.read_table(spark, wp)
+    first = df.first()
+    if first is None:
+        return None
+    return int(first["wal_round"]), df.select("url", "host", "priority", "tries")
 
 
 def crawl_rounds(
@@ -272,6 +539,8 @@ def crawl_rounds(
     max_tries: int = 3,
     host_budgets: DataFrame | None = None,
     drop_traps: bool = True,
+    refetch_interval_s: float | None = None,
+    now_fn: Callable[[], datetime] | None = None,
 ) -> DataFrame:
     """The restartable crawl driver: resume after last_committed_round
     and run up to `rounds` MORE rounds (stop early when no URL is
@@ -281,20 +550,42 @@ def crawl_rounds(
     operators/crawl.crawl. Returns the final state frame.
 
     Restart contract: kill at ANY point; rerun with the same
-    arguments. A round whose commit landed is skipped (its effects
-    are in the table); a round that crashed before commit re-fetches
-    its wave (at-least-once fetch, exactly-once state)."""
+    arguments. A round whose marker landed is skipped (its effects are
+    in the table); a round that crashed anywhere before its marker
+    replays its WAL-logged wave EXACTLY — refetching the original wave
+    (at-least-once fetch) so links discovered by pages whose bucket
+    did commit are re-derived for the buckets that did not, while
+    committed rows pass through the merge unchanged (exactly-once
+    state).
+
+    Recrawl: with refetch_interval_s set, each fetched row is stamped
+    fetched_at = now_fn() (default: UTC now at round start)
+    and becomes wave-eligible again once refetch_after passes —
+    tries/discovered_round history survives the refetch."""
     from .html import extract_links_col
     from .urls import drop_crawl_traps
 
     start = last_committed_round(spark, path)
     for rnd in range(start + 1, start + 1 + rounds):
-        wave = pending_wave(
-            spark, path, per_host_per_wave, max_tries, host_budgets
-        ).localCheckpoint()
-        if wave.isEmpty():
-            wave.unpersist()
-            break
+        now = now_fn() if now_fn is not None else (
+            datetime.now(timezone.utc) if refetch_interval_s is not None
+            else None
+        )
+        wal = _read_wal(spark, path)
+        if wal is not None and wal[0] == rnd:
+            # crash replay: the logged wave, exactly
+            wave = wal[1].localCheckpoint()
+        else:
+            wave = pending_wave(
+                spark, path, per_host_per_wave, max_tries, host_budgets,
+                as_of=now,
+            ).localCheckpoint()
+            if wave.isEmpty():
+                wave.unpersist()
+                break
+            # WAL before ANY mutation: a crash from here to the marker
+            # replays this exact wave
+            _write_wal(spark, path, rnd, wave)
         fetched = (
             fetch_fn(wave).select("url", "html").localCheckpoint()
         )
@@ -325,6 +616,8 @@ def crawl_rounds(
             attempted=wave,
             fetched_ok=fetched,
             discovered=links,
+            fetched_at=now,
+            refetch_interval_s=refetch_interval_s,
         )
         # round-local checkpoint blocks die with the round, not the
         # loop (the warc_stream unpersist convention) — a long crawl

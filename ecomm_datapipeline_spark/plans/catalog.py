@@ -1434,7 +1434,14 @@ def quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       GROUP BY 1
     )
-    SELECT o_custkey, n_gaps, max_gap_days, rank_checksum
+    SELECT o_custkey, n_gaps, max_gap_days, rank_checksum,
+      (SELECT md5(string_agg(u || '|' || s || '|' || t || '|' || lr, ','
+                             ORDER BY u || '|' || s || '|' || t || '|' || lr))
+       FROM (VALUES ('http://s.example/',  'fetched', '1', '1'),
+                    ('http://s.example/a', 'fetched', '1', '2'),
+                    ('http://s.example/b', 'fetched', '1', '2'),
+                    ('http://s.example/c', 'pending', '0', '')
+            ) AS v(u, s, t, lr)) AS frontier_state_md5
     FROM (
       SELECT o_custkey,
         CAST(COUNT(prev_date) AS BIGINT) AS n_gaps,
@@ -1444,7 +1451,8 @@ def quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       HAVING COUNT(prev_date) > 0
     ) JOIN rk USING (o_custkey)
     """,
-    "§2.5 lag/lead window + per-key distributed rank fold",
+    "§2.5 lag/lead window + per-key distributed rank fold"
+    " + frontier_store crawl_rounds state fold",
 )
 def order_recency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order gaps (lag window) + the r9 frontier fold:
@@ -1452,7 +1460,15 @@ def order_recency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (key = o_custkey, order = (o_orderdate, o_orderkey)) and
     checksums rank*orderkey per key — the oracle derives the same
     from ROW_NUMBER, so the distributed construction is pinned
-    value-equivalent to the per-key window at every customer."""
+    value-equivalent to the per-key window at every customer.
+
+    r10 fold: frontier_state_md5 runs the REAL persistent frontier
+    (operators/frontier_store: init -> 2 crawl_rounds over a planted
+    4-page site with a simulated fetcher, WAL + marker + merge all
+    live) and checksums the final state table (url, status, tries,
+    last_round rows, sorted, md5) — the oracle states the hand-derived
+    expected state as a VALUES literal and computes the identical
+    digest, pinning the whole commit protocol's end state."""
     from ..operators.frontier import per_key_rank
 
     o = _t(spark, sf_dir, "orders")
@@ -1483,7 +1499,78 @@ def order_recency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") > 0)
         .join(rk, "o_custkey")
+        .withColumn("frontier_state_md5", F.lit(_frontier_state_md5(spark)))
     )
+
+
+def _frontier_state_md5(spark: SparkSession) -> str:
+    """Run the persistent crawl frontier END-TO-END on a deterministic
+    planted site and digest its final state (the order_recency_gaps
+    r10 fold). The fixture: seed http://s.example/, 2 committed rounds
+    at default politeness; round 1 fetches the seed and discovers
+    /a + /b, round 2 fetches both and discovers /c, which stays
+    pending. The checksum is md5 over the sorted
+    url|status|tries|last_round rows — any deviation in wave
+    scheduling, the WAL, the merge transitions, or the round marker
+    changes it. Computed EAGERLY (one scalar collect over 4 rows) so
+    the fixture's temp dir can be removed before the caller collects."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..operators import crawl, frontier_store
+    from ..sources import tables
+
+    site = {
+        "http://s.example/": ["http://s.example/a", "http://s.example/b"],
+        "http://s.example/a": ["http://s.example/c"],
+        "http://s.example/b": [],
+    }
+    pages = spark.createDataFrame(
+        [
+            (u, "".join(f'<a href="{x}">x</a>' for x in ls))
+            for u, ls in site.items()
+        ],
+        "url string, html string",
+    )
+    tmp = tempfile.mkdtemp(prefix="frontier_gate_")
+    try:
+        path = os.path.join(tmp, "frontier")
+        frontier_store.init_frontier(
+            spark.createDataFrame([("http://s.example/",)], "url string"),
+            path,
+        )
+        frontier_store.crawl_rounds(
+            spark, path, crawl.simulated_fetcher(pages), rounds=2
+        )
+        row = (
+            tables.read_table(spark, path)
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(
+                            F.collect_list(
+                                F.concat_ws(
+                                    "|",
+                                    F.col("url"),
+                                    F.col("status"),
+                                    F.col("tries").cast("string"),
+                                    F.coalesce(
+                                        F.col("last_round").cast("string"),
+                                        F.lit(""),
+                                    ),
+                                )
+                            )
+                        ),
+                    )
+                ).alias("m")
+            )
+            .first()
+        )
+        return row["m"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # NOTE: the standalone clean_text_gate entry was folded out (driver

@@ -77,6 +77,12 @@ WARC_SCHEMA = T.StructType(
         # record they derive from — the stable doc id across a
         # crawl -> WET re-export (sources/wet.py round-trips on it)
         T.StructField("refers_to", T.StringType()),
+        # WARC-Payload-Digest (ISO 28500 §5.9; CommonCrawl stamps
+        # 'sha1:BASE32' on responses AND on the revisit records that
+        # replace duplicate payloads) — the format-level exact-dedup
+        # key read_warc_documents short-circuits on before any
+        # extraction regex runs
+        T.StructField("payload_digest", T.StringType()),
     ]
 )
 
@@ -253,6 +259,7 @@ def parse_warc_stream(
             ctype,
             _decode_body(body, ctype, detect_charset),
             headers.get("warc-refers-to", ""),
+            headers.get("warc-payload-digest", ""),
         )
 
 
@@ -337,7 +344,7 @@ def records_from_files(
     def _quarantine_row(name: str, exc: Exception) -> tuple:
         return (
             name, ERROR_TYPE, name, "", "",
-            None, None, f"{type(exc).__name__}: {exc}", "",
+            None, None, f"{type(exc).__name__}: {exc}", "", "",
         )
 
     def decode(batches: Iterator) -> Iterator:
@@ -433,22 +440,90 @@ def read_warc(
     )
 
 
+def drop_duplicate_payloads(records: DataFrame) -> DataFrame:
+    """Format-level exact dedup the WARC format hands out for free:
+    among RESPONSE records sharing a non-empty WARC-Payload-Digest
+    (ISO 28500 §5.9), keep the smallest record_id; every other row —
+    non-responses (warcinfo/request/revisit/conversion) and digestless
+    responses — passes through untouched.
+
+    100 TB shape: the duplicated-digest set is computed on a 2-column
+    projection (one thin aggregate exchange) and is tiny on real
+    archives (CommonCrawl replaces duplicate payloads with payload-
+    free revisit records, so response digests are near-unique there),
+    so the resolving join broadcasts under AQE — the response rows'
+    payloads never shuffle. No hand hint (the robots_allowed rule)."""
+    is_dd = (F.col("warc_type") == "response") & (
+        F.col("payload_digest") != ""
+    )
+    dups = (
+        records.filter(is_dd)
+        .groupBy("payload_digest")
+        .agg(F.count("*").alias("_n"), F.min("record_id").alias("_keep_id"))
+        .filter(F.col("_n") > 1)
+        .select("payload_digest", "_keep_id")
+    )
+    resolved = records.filter(is_dd).join(dups, "payload_digest", "left")
+    kept = resolved.filter(
+        F.col("_keep_id").isNull()
+        | (F.col("record_id") == F.col("_keep_id"))
+    ).drop("_keep_id")
+    return kept.unionByName(records.filter(~is_dd))
+
+
+def revisit_originals(records: DataFrame) -> DataFrame:
+    """Resolve each REVISIT record (CommonCrawl's marker for 'this URL
+    served a payload we already stored') to the record it duplicates:
+    (revisit_id, url, original_id). WARC-Refers-To wins when present;
+    otherwise the revisit's payload digest matches back to the
+    smallest-id response carrying the same digest. Thin projections
+    on both join sides — payloads never move."""
+    revisits = records.filter(F.col("warc_type") == "revisit").select(
+        F.col("record_id").alias("revisit_id"),
+        F.col("target_uri").alias("url"),
+        F.nullif(F.col("refers_to"), F.lit("")).alias("_refers"),
+        "payload_digest",
+    )
+    by_digest = (
+        records.filter(
+            (F.col("warc_type") == "response")
+            & (F.col("payload_digest") != "")
+        )
+        .groupBy("payload_digest")
+        .agg(F.min("record_id").alias("_digest_match"))
+    )
+    return revisits.join(by_digest, "payload_digest", "left").select(
+        "revisit_id",
+        "url",
+        F.coalesce(F.col("_refers"), F.col("_digest_match")).alias(
+            "original_id"
+        ),
+    )
+
+
 def read_warc_documents(
     spark: SparkSession,
     path: str,
     min_text_chars: int = 50,
     max_link_density: float = 0.5,
+    dedup_payload_digest: bool = True,
 ) -> DataFrame:
     """The crawl-ingest recipe in one call: 200-status HTML response
     records -> html.extract_documents gates + extraction. Returns
     (doc_id, text) where doc_id is the WARC record id — the frame
     every downstream text operator (dedup, quality, lang-id,
     curation) consumes. Still one scan + one decode seam + per-row
-    expressions; no shuffle."""
+    expressions; no shuffle (revisit records carry no payload and are
+    gated out by the response filter; with dedup_payload_digest,
+    digest-duplicate responses are also dropped BEFORE any extraction
+    regex runs — see drop_duplicate_payloads for the plan shape)."""
     from ..operators.html import extract_documents
 
+    records = read_warc(spark, path)
+    if dedup_payload_digest:
+        records = drop_duplicate_payloads(records)
     return extract_documents(
-        html_pages(read_warc(spark, path)),
+        html_pages(records),
         min_text_chars=min_text_chars,
         max_link_density=max_link_density,
     )

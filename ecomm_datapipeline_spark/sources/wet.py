@@ -59,13 +59,14 @@ _SOFTWARE = "ecomm-datapipeline-spark wet-export"
 
 
 def _uuid_urn(*parts: str) -> str:
-    """Deterministic urn:uuid from md5 of the parts — RFC 4122 shape
-    (version nibble 3: md5-named), stable across rebuilds."""
-    h = hashlib.md5("\x00".join(parts).encode()).hexdigest()
-    return (
-        f"<urn:uuid:{h[0:8]}-{h[8:12]}-3{h[13:16]}-"
-        f"{h[16:20]}-{h[20:32]}>"
-    )
+    """Deterministic urn:uuid from md5 of the parts — a VALID RFC 4122
+    version-3 UUID (uuid.UUID sets both the version nibble AND the
+    variant bits of clock_seq_hi, which a bare hex-slice spelling would
+    leave as raw digest bits), stable across rebuilds."""
+    import uuid
+
+    h = hashlib.md5("\x00".join(parts).encode()).digest()
+    return f"<urn:uuid:{uuid.UUID(bytes=h, version=3)}>"
 
 
 def _record_bytes(headers: list[tuple[str, str]], payload: bytes) -> bytes:

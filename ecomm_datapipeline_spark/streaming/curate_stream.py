@@ -131,9 +131,15 @@ def curate_ingest_stream(
                                   'clean' (not a separate 'c4' stage)
                                   and the quality/perplexity/language
                                   gates share one stage label — the
-                                  conservation identity |batch| =
-                                  |shipped| + |audit| still holds
-                                  exactly (pytest-pinned).
+                                  conservation identity is over
+                                  DISTINCT doc_ids: |distinct ids in
+                                  batch| = |shipped| + |audit| holds
+                                  exactly (pytest-pinned). Physical
+                                  duplicate rows of one doc_id (the
+                                  at-least-once upstream case the
+                                  dropDuplicates below collapses)
+                                  count once, on whichever side the
+                                  surviving row lands.
     """
     if max_perplexity is not None and perplexity_lm is None:
         raise ValueError(

@@ -57,6 +57,9 @@ def test_cross_batch_screening_and_audit(spark, tmp_path):
     b2 = [
         (11, A),                      # exact dup of SHIPPED 1: drops
         (13, E),                      # new clean doc: ships
+        (13, E),                      # PHYSICAL duplicate row (at-least-
+                                      # once upstream): collapses, counts
+                                      # once in the distinct-id identity
         (15, _near(A, "evening")),    # near-dup of SHIPPED 1: drops
         (17, _near(E, "datacenter")), # near-dup of batch-mate 13: drops
     ]
@@ -73,8 +76,14 @@ def test_cross_batch_screening_and_audit(spark, tmp_path):
     assert audit[3] == "exact_dup" and audit[11] == "exact_dup"
     assert audit[5] == "quality_language"
     assert audit[15] == "near_dup" and audit[17] == "near_dup"
-    # conservation per batch: input = shipped + audited
-    assert set(audit) | _ids(spark, tmp_path) == {1, 3, 5, 11, 13, 15, 17}
+    # conservation per batch, over DISTINCT doc_ids: every distinct id
+    # lands on exactly one side (the duplicate physical row of 13
+    # collapsed — shipped once, no audit row, no double-count)
+    shipped = _ids(spark, tmp_path)
+    assert set(audit) | shipped == {1, 3, 5, 11, 13, 15, 17}
+    assert set(audit) & shipped == set()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.filter("doc_id = 13").count() == 1
 
     # fingerprints/index hold exactly the shipped docs
     fps = spark.read.parquet(str(tmp_path / "out_fingerprints"))

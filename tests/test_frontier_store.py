@@ -165,3 +165,193 @@ def test_bucketed_frontier_equivalent_and_scoped(spark, tmp_path):
     # the single updated url lives in exactly one bucket
     assert len(touched) == 1
     assert set(before) == set(after)
+
+
+def test_crash_mid_bucketed_commit_recovers(spark, tmp_path):
+    """The ADVICE r9 scenario: a driver crash DURING the bucketed
+    merge leaves some bucket partitions rewritten and others not.
+    The durable round marker (written strictly after the merge) must
+    keep reporting the previous round, and the restart must replay
+    the WAL-logged wave so links whose bucket missed the crash are
+    re-derived — converging to the uninterrupted twin's state."""
+    import pytest
+
+    seeds = spark.createDataFrame([("http://a.example/",)], "url string")
+    pb = str(tmp_path / "crashy")
+    pu = str(tmp_path / "smooth")
+    frontier_store.init_frontier(seeds, pb, n_buckets=8)
+    frontier_store.init_frontier(seeds, pu, n_buckets=8)
+    frontier_store.crawl_rounds(spark, pb, _fetcher(spark), rounds=1, max_tries=2)
+    frontier_store.crawl_rounds(spark, pu, _fetcher(spark), rounds=1, max_tries=2)
+
+    class Boom(Exception):
+        pass
+
+    real_merge = tables.merge_table
+
+    def partial_merge(df, path, keys, partition_by=None):
+        # apply the merge to HALF the buckets, then die mid-job
+        real_merge(
+            df.filter(F.col("bucket") < 4), path, keys, partition_by
+        )
+        raise Boom()
+
+    frontier_store.tables.merge_table = partial_merge
+    try:
+        with pytest.raises(Boom):
+            frontier_store.crawl_rounds(
+                spark, pb, _fetcher(spark), rounds=1, max_tries=2
+            )
+    finally:
+        frontier_store.tables.merge_table = real_merge
+
+    # the marker never advanced past the crash...
+    assert frontier_store.last_committed_round(spark, pb) == 1
+    # ...and the crashed round's wave is WAL-logged for exact replay
+    wal = frontier_store._read_wal(spark, pb)
+    assert wal is not None and wal[0] == 2
+
+    frontier_store.crawl_rounds(spark, pb, _fetcher(spark), rounds=10, max_tries=2)
+    frontier_store.crawl_rounds(spark, pu, _fetcher(spark), rounds=10, max_tries=2)
+    assert _state(spark, pb) == _state(spark, pu)
+
+
+def test_crash_before_marker_recovers(spark, tmp_path):
+    """Crash AFTER a fully-landed merge but BEFORE the marker: the
+    round replays (at-least-once fetch) as a per-row state no-op."""
+    import pytest
+
+    seeds = spark.createDataFrame([("http://a.example/",)], "url string")
+    path = str(tmp_path / "f")
+    frontier_store.init_frontier(seeds, path, n_buckets=4)
+
+    class Boom(Exception):
+        pass
+
+    real_meta = frontier_store._write_meta
+
+    def no_marker(spark_, path_, nb, cr):
+        raise Boom()
+
+    frontier_store._write_meta = no_marker
+    try:
+        with pytest.raises(Boom):
+            frontier_store.crawl_rounds(spark, path, _fetcher(spark), rounds=1)
+    finally:
+        frontier_store._write_meta = real_meta
+
+    assert frontier_store.last_committed_round(spark, path) == 0
+    after_crash = _state(spark, path)
+    assert after_crash["http://a.example/"][0] == "fetched"  # merge landed
+    frontier_store.crawl_rounds(spark, path, _fetcher(spark), rounds=1)
+    assert frontier_store.last_committed_round(spark, path) == 1
+    # replay was a state no-op: tries did not double-increment
+    assert _state(spark, path) == after_crash
+
+
+def test_worklist_sidecar_is_o_pending(spark, tmp_path):
+    """Bucketed tables schedule waves from the thin `_pending`
+    worklist sidecar: its content always equals the state-table
+    filter, and pending_wave's scan reads ONLY sidecar files — never
+    the O(frontier) state table."""
+    seeds = spark.createDataFrame([("http://a.example/",)], "url string")
+    path = str(tmp_path / "front")
+    frontier_store.init_frontier(seeds, path, n_buckets=8)
+    frontier_store.crawl_rounds(spark, path, _fetcher(spark), rounds=10, max_tries=2)
+
+    pp = path + "_pending"
+    assert tables.table_exists(pp)
+    side = {
+        (r["url"], r["status"], r["tries"])
+        for r in tables.read_table(spark, pp).collect()
+    }
+    expect = {
+        (r["url"], r["status"], r["tries"])
+        for r in tables.read_table(spark, path)
+        .filter(
+            (F.col("status") != "fetched")
+            | F.col("refetch_after").isNotNull()
+        )
+        .collect()
+    }
+    assert side == expect
+    # everything fetchable is fetched; only the exhausted failure stays
+    assert side == {("http://b.example/only", "failed", 2)}
+
+    # pending_wave reads ONLY the sidecar, never the state table
+    reads = []
+    real_read = tables.read_table
+
+    def spy_read(s, p):
+        reads.append(p)
+        return real_read(s, p)
+
+    frontier_store.tables.read_table = spy_read
+    try:
+        wave = frontier_store.pending_wave(spark, path, 100, max_tries=5)
+    finally:
+        frontier_store.tables.read_table = real_read
+    assert reads == [pp]
+    # and the sidecar-scheduled wave matches the state-table answer
+    assert {r["url"] for r in wave.collect()} == {"http://b.example/only"}
+
+
+def test_recrawl_freshness(spark, tmp_path):
+    """A fetched row with a refetch policy re-enters EXACTLY one wave
+    once refetch_after passes; its tries/discovered_round history
+    survives the refetch and the marker/WAL replay stays idempotent."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    t1 = t0 + timedelta(seconds=200)
+    seeds = spark.createDataFrame([("http://a.example/p2",)], "url string")
+    path = str(tmp_path / "fresh")
+    frontier_store.init_frontier(seeds, path, n_buckets=4)
+
+    frontier_store.crawl_rounds(
+        spark, path, _fetcher(spark), rounds=5,
+        refetch_interval_s=100, now_fn=lambda: t0,
+    )
+    got = {
+        r["url"]: r
+        for r in tables.read_table(spark, path).collect()
+    }["http://a.example/p2"]
+    assert (got["status"], got["tries"], got["last_round"]) == ("fetched", 1, 1)
+    assert got["fetched_at"] == t0
+    assert got["refetch_after"] == t0 + timedelta(seconds=100)
+    # not yet stale at t0: no second wave ran (rounds=5 stopped early)
+
+    frontier_store.crawl_rounds(
+        spark, path, _fetcher(spark), rounds=5,
+        refetch_interval_s=100, now_fn=lambda: t1,
+    )
+    got = {
+        r["url"]: r
+        for r in tables.read_table(spark, path).collect()
+    }["http://a.example/p2"]
+    # exactly ONE refetch wave: tries 1 -> 2, history survives
+    assert (got["status"], got["tries"], got["last_round"]) == ("fetched", 2, 2)
+    assert got["discovered_round"] == 0
+    assert got["fetched_at"] == t1
+    assert got["refetch_after"] == t1 + timedelta(seconds=100)
+
+
+def test_pre_v2_table_upgrade_and_marker_fallback(spark, tmp_path):
+    """A pre-v2 frontier (no recrawl columns, no meta sidecar) still
+    commits: last_committed_round falls back to row inference, the
+    first commit upgrades the schema in place and leaves a marker."""
+    path = str(tmp_path / "old")
+    spark.createDataFrame(
+        [("http://a.example/", "a.example", "pending", 0.0, 0, 0, None)],
+        "url string, host string, status string, priority double, "
+        "tries int, discovered_round int, last_round int",
+    ).write.parquet(path)
+    assert frontier_store.last_committed_round(spark, path) == 0
+
+    one = spark.createDataFrame([("http://a.example/",)], "url string")
+    frontier_store.commit_round(spark, path, 1, attempted=one, fetched_ok=one)
+    got = _state(spark, path)
+    assert got["http://a.example/"] == ("fetched", 1, 1)
+    assert frontier_store.last_committed_round(spark, path) == 1
+    cols = tables.read_table(spark, path).columns
+    assert {"fetched_at", "refetch_after"} <= set(cols)

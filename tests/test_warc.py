@@ -17,6 +17,7 @@ def _record(
     uri: str = "",
     rec_id: str = "",
     ctype: str = "application/octet-stream",
+    extra: tuple = (),
 ) -> bytes:
     headers = [
         b"WARC/1.0",
@@ -24,6 +25,7 @@ def _record(
         f"WARC-Record-ID: {rec_id}".encode(),
         f"WARC-Target-URI: {uri}".encode(),
         b"WARC-Date: 2026-01-01T00:00:00Z",
+        *(h.encode() for h in extra),
         f"Content-Type: {ctype}".encode(),
         f"Content-Length: {len(payload)}".encode(),
     ]
@@ -433,3 +435,114 @@ def test_charset_label_naming_non_text_codec(spark, tmp_path):
     p.write_bytes(rec)
     rows = W.read_warc(spark, str(p), detect_charset=True).collect()
     assert rows[0]["payload"] == "body with ünïcode"
+
+
+# --- WARC-Payload-Digest / revisit handling (ISO 28500 §5.9, §6.7.2) -------
+DUP_HTML = b"<html><body><p>the very same body both times around</p></body></html>"
+
+
+def _digest_warc_bytes() -> bytes:
+    dg = "sha1:DUPDIGESTAAAA"
+    return (
+        _record("warcinfo", b"robots: classic\r\n", rec_id="<urn:info>")
+        + _record(
+            "response",
+            _http_response(DUP_HTML),
+            uri="https://a.example/orig",
+            rec_id="<urn:resp-1>",
+            extra=(f"WARC-Payload-Digest: {dg}",),
+        )
+        # a sloppy archive DUPLICATING the payload as a second response
+        + _record(
+            "response",
+            _http_response(DUP_HTML),
+            uri="https://mirror.example/copy",
+            rec_id="<urn:resp-2>",
+            extra=(f"WARC-Payload-Digest: {dg}",),
+        )
+        # the CommonCrawl way: a payload-free revisit marker, with
+        # refers_to naming the original
+        + _record(
+            "revisit",
+            b"",
+            uri="https://b.example/again",
+            rec_id="<urn:revisit-1>",
+            extra=(
+                f"WARC-Payload-Digest: {dg}",
+                "WARC-Refers-To: <urn:resp-1>",
+            ),
+        )
+        # a revisit WITHOUT refers_to: resolves via the digest
+        + _record(
+            "revisit",
+            b"",
+            uri="https://c.example/yet-again",
+            rec_id="<urn:revisit-2>",
+            extra=(f"WARC-Payload-Digest: {dg}",),
+        )
+        + _record(
+            "response",
+            _http_response(b"<html><body><p>a genuinely distinct page body here</p></body></html>"),
+            uri="https://d.example/other",
+            rec_id="<urn:resp-3>",
+            extra=("WARC-Payload-Digest: sha1:OTHERDIGESTBB",),
+        )
+    )
+
+
+def _write_digest_warc(tmp_path) -> str:
+    p = os.path.join(str(tmp_path), "dup.warc")
+    with open(p, "wb") as f:
+        f.write(_digest_warc_bytes())
+    return p
+
+
+def test_payload_digest_surfaced(spark, tmp_path):
+    p = _write_digest_warc(tmp_path)
+    rows = {
+        r["record_id"]: (r["warc_type"], r["payload_digest"])
+        for r in W.read_warc(spark, p).collect()
+    }
+    assert rows["<urn:resp-1>"] == ("response", "sha1:DUPDIGESTAAAA")
+    assert rows["<urn:revisit-1>"] == ("revisit", "sha1:DUPDIGESTAAAA")
+    assert rows["<urn:info>"][1] == ""  # no digest header -> empty
+
+
+def test_drop_duplicate_payloads(spark, tmp_path):
+    p = _write_digest_warc(tmp_path)
+    records = W.read_warc(spark, p)
+    kept = W.drop_duplicate_payloads(records)
+    ids = {r["record_id"] for r in kept.collect()}
+    # min-id keeper wins among digest-duplicate responses; revisits,
+    # warcinfo, and distinct responses all pass through
+    assert ids == {"<urn:info>", "<urn:resp-1>", "<urn:revisit-1>",
+                   "<urn:revisit-2>", "<urn:resp-3>"}
+
+
+def test_read_warc_documents_digest_shortcircuit(spark, tmp_path):
+    p = _write_digest_warc(tmp_path)
+    docs = W.read_warc_documents(spark, p, min_text_chars=10)
+    by_id = {r["doc_id"] for r in docs.collect()}
+    # the duplicate payload is extracted ONCE; the revisits never
+    # reach extraction (no payload to extract)
+    assert by_id == {"<urn:resp-1>", "<urn:resp-3>"}
+    # opting out re-extracts the duplicate
+    raw = W.read_warc_documents(
+        spark, p, min_text_chars=10, dedup_payload_digest=False
+    )
+    assert {r["doc_id"] for r in raw.collect()} == {
+        "<urn:resp-1>", "<urn:resp-2>", "<urn:resp-3>"
+    }
+
+
+def test_revisit_originals(spark, tmp_path):
+    p = _write_digest_warc(tmp_path)
+    got = {
+        r["revisit_id"]: r["original_id"]
+        for r in W.revisit_originals(W.read_warc(spark, p)).collect()
+    }
+    # refers_to wins when present; digest match resolves the rest
+    assert got == {
+        "<urn:revisit-1>": "<urn:resp-1>",
+        "<urn:revisit-2>": "<urn:resp-1>",
+    }
