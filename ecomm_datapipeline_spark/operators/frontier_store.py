@@ -117,7 +117,9 @@ def _staged_overwrite(df: DataFrame, path: str) -> None:
     (tables._swap_into when the target exists)."""
     tmp = f"{path.rstrip('/')}__tmp_{_uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
-    if tables.table_exists(path):
+    # isdir, not table_exists: a dataless dir (only _SUCCESS) still
+    # blocks a rename and must be swapped out
+    if os.path.isdir(path):
         tables._swap_into(tmp, path)
     else:
         os.rename(tmp, path)
@@ -370,12 +372,17 @@ def _rebuild_worklist_buckets(
     try:
         nonempty = {r["bucket"] for r in post.select("bucket").distinct().collect()}
         if not tables.table_exists(pp):
-            # first commit on a pre-sidecar table: build it FULLY from
+            # first commit on a pre-sidecar table — or on a sidecar
+            # whose every bucket was emptied (dir holds only _SUCCESS;
+            # table_exists is data-file-driven): build it FULLY from
             # state (one O(frontier) pass), not just the touched slice
             full = tables.read_table(spark, path).filter(_worklist_pred())
             tmp = f"{pp}__tmp_{_uuid.uuid4().hex[:8]}"
             full.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-            os.rename(tmp, pp)
+            if os.path.isdir(pp):
+                tables._swap_into(tmp, pp)
+            else:
+                os.rename(tmp, pp)
             return
         conf_key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(conf_key, "static")
@@ -496,6 +503,65 @@ def commit_round(
         ck.unpersist()
     # Step 3 — the durable round marker, strictly last.
     _write_meta(spark, path, nb, max(committed or 0, int(round_id)))
+
+
+def seed_refetch(
+    spark: SparkSession,
+    path: str,
+    schedule: DataFrame,
+    url_col: str = "url",
+    refetch_after_col: str = "refetch_after",
+) -> None:
+    """Seed per-URL refetch times onto EXISTING frontier rows — the
+    sitemap seam: feed it robots.sitemap_urls' (loc, lastmod) with a
+    change-rate interval added, and pages a site declares freshly
+    modified become wave-eligible (pending_wave(as_of=...)) without
+    waiting out the blanket refetch_interval_s policy.
+
+    Matching rows (urls normalized like every other entry point) get
+    refetch_after = the schedule's value (latest wins on duplicate
+    schedule rows); URLs the frontier does not know are IGNORED —
+    discovery is init_frontier/commit_round's job, this only
+    re-schedules. One key-level merge; bucketed tables also refresh
+    the touched worklist-sidecar buckets so the new eligibility is
+    visible to the O(pending) wave read. Idempotent: re-running the
+    same schedule is a state no-op, so a crash mid-call is healed by
+    re-running it."""
+    from .urls import normalize_url
+
+    nb, _ = _read_meta(spark, path)
+    _ensure_v2_table(spark, path, nb)
+    sched = (
+        schedule.select(
+            normalize_url(F.col(url_col)).alias("url"),
+            F.col(refetch_after_col).cast("timestamp").alias("_ra"),
+        )
+        .filter(F.col("url").isNotNull() & (F.col("url") != ""))
+        .groupBy("url")
+        .agg(F.max("_ra").alias("_ra"))
+    )
+    state = _with_v2(tables.read_table(spark, path))
+    updates = (
+        state.join(sched, "url", "inner")
+        .withColumn("refetch_after", F.col("_ra"))
+        .drop("_ra")
+    )
+    ck = updates.localCheckpoint()
+    try:
+        if ck.isEmpty():
+            return
+        if nb is not None:
+            tables.merge_table(
+                ck, path, keys=["url", "bucket"], partition_by=["bucket"]
+            )
+            touched = [
+                r["bucket"] for r in ck.select("bucket").distinct().collect()
+            ]
+            _rebuild_worklist_buckets(spark, path, touched)
+        else:
+            tables.merge_table(ck, path, keys=["url"])
+    finally:
+        ck.unpersist()
 
 
 def _write_wal(

@@ -525,3 +525,44 @@ def drop_crawl_traps(
             F.lit(True),
         )
     )
+
+
+def surt_col(url_col: Column | str) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the
+    canonical sort key of web-archive CDX indexes (pywb/OpenWayback
+    convention): host labels reversed and comma-joined, then ')' and
+    the path, so one domain's URLs (and its subdomains') sort
+    contiguously:
+
+        https://www.Example.com/A/b?q=2&a=1
+          -> com,example)/a/b?a=1&q=2
+
+    Canonicalization applied (the common pywb subset): lowercase,
+    scheme/userinfo/fragment dropped, default-irrelevant 'www.'
+    prefix dropped, empty path -> '/', query params sorted (stable
+    byte sort) with session-id params already strippable upstream via
+    normalize_url. Port is kept when explicit (':8080' suffixes the
+    reversed host, pywb-style). Pure expressions — one split + one
+    reverse + joins, zero Python, runs at scan speed; unparseable
+    URLs ('' host) yield '' so downstream filters treat them as junk.
+
+    Simplifications vs full pywb canon (documented, deterministic):
+    no IDN/punycode mapping and no %-case folding here — compose with
+    pct_normalize_col / normalize_url upstream when those matter."""
+    p = url_parts(url_col)
+    host = F.regexp_replace(p["host"], r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    port = F.when(
+        p["port"] != "", F.concat(F.lit(":"), p["port"])
+    ).otherwise(F.lit(""))
+    path = F.lower(p["path"])
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    q = F.lower(p["query"])
+    qs = F.when(
+        q == "", F.lit("")
+    ).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.sort_array(F.split(q, "&")), "&"))
+    )
+    return F.when(
+        host == "", F.lit("")
+    ).otherwise(F.concat(rev, port, F.lit(")"), path, qs))

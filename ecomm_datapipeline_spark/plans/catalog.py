@@ -3754,6 +3754,12 @@ def _gopher_c4_sql() -> str:
         WHEN 3 THEN 'http://a/b/c/g?y#s'
         ELSE 'https://ex.example/x'
       END AS resolved_url,
+      CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'com,example)/a/b?a=1&q=2'
+        WHEN 1 THEN 'org,example,host,sub)/'
+        WHEN 2 THEN 'com,example:8080)/x'
+        ELSE 'com,example)/'
+      END AS surt_key,
       """
     + _html_sig_sql()
     + ",\n      "
@@ -3824,6 +3830,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_url,
         registrable_domain,
         resolve_url_col,
+        surt_col,
         url_parts,
     )
     from ..operators.quality_rules import (
@@ -3982,6 +3989,19 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("../../x"))
     )
     resolved_url = resolve_url_col(_rbase, _rref)
+    # SURT fold (r10): four rotating messy URLs through the REAL
+    # urls.surt_col (the CDX index sort key — cdx_index/write_cdx
+    # order and prune on it); the oracle states the expected
+    # pywb-style keys: reversed host labels, www/scheme/case
+    # canonicalization, explicit port kept, query params sorted.
+    _scase = (F.col("doc_id") % 4).cast("int")
+    _surl = (
+        F.when(_scase == 0, F.lit("https://www.Example.com/A/b?q=2&a=1"))
+        .when(_scase == 1, F.lit("http://sub.host.example.org/"))
+        .when(_scase == 2, F.lit("http://example.com:8080/x"))
+        .otherwise(F.lit("https://example.com"))
+    )
+    surt_key = surt_col(_surl)
     # Crawl-delay fold (r9): four rotating synthesized robots bodies
     # — exact-agent group with the delay AFTER its rules beating a
     # '*' group, fractional wildcard delay, a non-numeric value that
@@ -4100,6 +4120,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "robots_groups": robots_groups,
             "crawl_delay_q": crawl_delay_q,
             "resolved_url": resolved_url,
+            "surt_key": surt_key,
             "html_sig": F.md5(html_to_text_col(page)),
             "anchor_sig": anchor_sig,
             # r9 readability fold (text.readability_cols): exact

@@ -83,6 +83,11 @@ WARC_SCHEMA = T.StructType(
         # key read_warc_documents short-circuits on before any
         # extraction regex runs
         T.StructField("payload_digest", T.StringType()),
+        # record address in the archive stream (see _iter_records for
+        # the .warc vs .warc.gz semantics) — what cdx_index serves
+        # ranged re-reads from
+        T.StructField("record_offset", T.LongType()),
+        T.StructField("record_length", T.LongType()),
     ]
 )
 
@@ -121,22 +126,35 @@ def _find_blank_line(buf: bytes, start: int = 0) -> tuple[int, int]:
 _READ_CHUNK = 1 << 20  # 1 MiB
 
 
-def _iter_records(stream) -> Iterator[tuple[dict[str, str], bytes]]:
-    """(warc_headers, payload_bytes) per record, STREAMED from a
-    binary file-like — resident memory is one record plus a read
-    buffer, never the decompressed archive (a ~1 GB .warc.gz
-    decompresses to 4-5 GB; buffering it whole per task is an
+def _iter_records(
+    stream,
+) -> Iterator[tuple[dict[str, str], bytes, int, int]]:
+    """(warc_headers, payload_bytes, offset, length) per record,
+    STREAMED from a binary file-like — resident memory is one record
+    plus a read buffer, never the decompressed archive (a ~1 GB
+    .warc.gz decompresses to 4-5 GB; buffering it whole per task is an
     executor OOM at exactly the scale WARC exists for). Length-driven
     framing (never a payload scan): the spec makes Content-Length
     authoritative, so payloads containing 'WARC/1.0' or blank lines
-    can never split a record."""
+    can never split a record.
+
+    offset/length address the record (header through payload end,
+    excluding the inter-record CRLFs) in the stream THIS function
+    reads: for a plain .warc that is the file itself, so
+    file[offset:offset+length] is a ranged re-read of the record (the
+    CDX use); for .warc.gz it is the DECOMPRESSED stream (classic CDX
+    stores compressed member offsets, which a decompressing reader
+    cannot see — cdx_index documents the distinction)."""
     buf = b""
+    pos = 0  # absolute offset of buf[0] in the stream read so far
     while True:
         # fill until the header terminator is visible; strip
         # inter-record separators each pass (a chunk boundary can
         # land before a record header)
         while True:
+            n = len(buf)
             buf = buf.lstrip(b"\r\n")
+            pos += n - len(buf)
             idx, sep = _find_blank_line(buf)
             if idx != -1:
                 break
@@ -163,8 +181,10 @@ def _iter_records(stream) -> Iterator[tuple[dict[str, str], bytes]]:
             if not chunk:
                 raise ValueError("malformed WARC: truncated payload")
             buf += chunk
-        yield headers, buf[body_start : body_start + length]
-        buf = buf[body_start + length :]
+        consumed = body_start + length
+        yield headers, buf[body_start:consumed], pos, consumed
+        buf = buf[consumed:]
+        pos += consumed
 
 
 def _split_http_payload(payload: bytes) -> tuple[int | None, str | None, bytes]:
@@ -241,7 +261,7 @@ def parse_warc_stream(
     file's binary file-like. Driver-free pure function — the task-side
     core; `name` picks gzip handling upstream (see _open_stream) and
     labels errors."""
-    for headers, payload in _iter_records(stream):
+    for headers, payload, offset, length in _iter_records(stream):
         wtype = headers.get("warc-type", "")
         status: int | None = None
         ctype = headers.get("content-type")
@@ -260,6 +280,8 @@ def parse_warc_stream(
             _decode_body(body, ctype, detect_charset),
             headers.get("warc-refers-to", ""),
             headers.get("warc-payload-digest", ""),
+            offset,
+            length,
         )
 
 
@@ -345,6 +367,7 @@ def records_from_files(
         return (
             name, ERROR_TYPE, name, "", "",
             None, None, f"{type(exc).__name__}: {exc}", "", "",
+            None, None,
         )
 
     def decode(batches: Iterator) -> Iterator:
@@ -499,6 +522,88 @@ def revisit_originals(records: DataFrame) -> DataFrame:
             "original_id"
         ),
     )
+
+
+def cdx_index(records: DataFrame) -> DataFrame:
+    """CDX(J)-style capture index over a WARC records frame: one row
+    per response with the web-archive lookup tuple —
+
+      (surt, ts, url, mime, status, digest, length, offset, filename)
+
+    surt is urls.surt_col (the pywb sort key: one domain's captures
+    sort contiguously), ts the 14-digit CDX timestamp from WARC-Date.
+    offset/length address the record in the DECOMPRESSED stream (see
+    _iter_records): for plain .warc shards they are exact ranged-read
+    coordinates; classic CDX over .warc.gz stores compressed MEMBER
+    offsets, which a decompressing reader cannot observe — re-pack to
+    per-record gzip members (the CommonCrawl layout) if byte-ranged
+    HTTP access to .gz archives is required. Pure projection +
+    expressions; no shuffle (write_cdx adds the one range exchange
+    that makes lookups prune)."""
+    from ..operators.urls import surt_col
+
+    return records.filter(F.col("warc_type") == "response").select(
+        surt_col(F.col("target_uri")).alias("surt"),
+        F.substring(
+            F.regexp_replace("warc_date", r"[^0-9]", ""), 1, 14
+        ).alias("ts"),
+        F.col("target_uri").alias("url"),
+        F.col("content_type").alias("mime"),
+        F.col("http_status").alias("status"),
+        F.col("payload_digest").alias("digest"),
+        F.col("record_length").alias("length"),
+        F.col("record_offset").alias("offset"),
+        F.col("warc_file").alias("filename"),
+    )
+
+
+def write_cdx_layout(idx: DataFrame, path: str, n_shards: int | None = None) -> None:
+    """Materialize a (surt, ts, ...) capture-index frame as a
+    range-partitioned, (surt, ts)-sorted parquet table — the ZipNum
+    shape: each output file covers one disjoint surt range and is
+    sorted within, so parquet min/max stats prune a point or prefix
+    lookup to ~one file and ~one row group however many billions of
+    captures the index holds. Shared by write_cdx (decompressed-offset
+    index from a records frame) and warc_write.write_warc_shards (the
+    true compressed-member-offset index known only at write time)."""
+    shaped = (
+        idx.repartitionByRange(n_shards, "surt", "ts")
+        if n_shards
+        else idx.repartitionByRange("surt", "ts")
+    )
+    shaped.sortWithinPartitions("surt", "ts").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def write_cdx(
+    records: DataFrame, path: str, n_shards: int | None = None
+) -> None:
+    """cdx_index + write_cdx_layout (see both)."""
+    write_cdx_layout(cdx_index(records), path, n_shards)
+
+
+def cdx_lookup(
+    spark: SparkSession,
+    path: str,
+    url: str | None = None,
+    surt_prefix: str | None = None,
+) -> DataFrame:
+    """Captures for one URL (exact surt match — the url is surt-
+    canonicalized with the same surt_col expression, constant-folded
+    by Catalyst into a pushable literal) or a surt prefix (domain
+    sweeps: 'com,example)' matches the whole domain). Both predicates
+    push down to the parquet scan of the write_cdx layout, where the
+    range partitioning + in-file sort make them row-group prunes, not
+    scans."""
+    from ..operators.urls import surt_col
+
+    df = spark.read.parquet(path)
+    if url is not None:
+        return df.filter(F.col("surt") == surt_col(F.lit(url)))
+    if surt_prefix is None:
+        raise ValueError("cdx_lookup needs url or surt_prefix")
+    return df.filter(F.col("surt").startswith(surt_prefix))
 
 
 def read_warc_documents(

@@ -1,0 +1,250 @@
+"""WARC response-archive writer: the crawl pipeline's archival last
+mile — fetched pages -> `warc-#####.warc.gz` shards in the
+CommonCrawl member layout (EVERY record its own gzip member), plus an
+optional TRUE-compressed-offset CDX index emitted from the same write.
+
+Why per-record members: a gzip stream is only seekable at member
+boundaries, so one-member-per-record is what makes byte-ranged access
+(HTTP Range + gunzip of exactly one member) possible — the layout
+classic CDX offsets address. A decompressing reader can never recover
+those offsets after the fact (warc.cdx_index documents that limit);
+the writer is the one place they are known, so write_warc_shards
+captures (offset, length) per member as it writes and hands back a
+capture frame that drops straight into warc.write_cdx_layout.
+
+Spark shape (the WET-writer conventions, sources/wet.py): ONE hash
+exchange (sharding.assign_shards — xxhash64, partitioning- and
+cluster-size-independent), partition-local sort, one streaming Arrow
+mapInPandas seam that assembles tar... WARC bytes imperatively (a
+documented codec seam — byte framing is not expressible as Column
+algebra) and never holds a shard in memory; atomic tmp+rename per
+shard so task retries are idempotent. Everything is deterministic —
+record ids are md5-named RFC 4122 urns of (shard, url), gzip mtime=0,
+declared order — so a rebuild is byte-identical (sha256-pinned in
+tests, the wet.py contract).
+
+Round-trip: read_warc parses these shards record-exactly; the payload
+carries a synthesized HTTP/1.1 response head, so http_status /
+content_type / payload land exactly as a live crawl's would, and
+WARC-Payload-Digest (sha1:BASE32, the CommonCrawl spelling) feeds
+drop_duplicate_payloads / revisit_originals downstream.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.sharding import ORDER_COL, SHARD_COL, assign_shards
+from .wet import _gzip_member, _record_bytes, _uuid_urn
+
+_SOFTWARE = "ecomm-datapipeline-spark warc-export"
+
+CAPTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("is_summary", T.BooleanType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("digest", T.StringType()),
+        T.StructField("filename", T.StringType()),
+        T.StructField("offset", T.LongType()),   # compressed member start
+        T.StructField("length", T.LongType()),   # compressed member bytes
+        T.StructField("n_records", T.LongType()),  # summary rows only
+        T.StructField("n_bytes", T.LongType()),    # summary rows only
+        T.StructField("sha256", T.StringType()),   # summary rows only
+    ]
+)
+
+
+def _payload_digest(body: bytes) -> str:
+    return "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+
+
+def write_warc_shards(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    html_col: str = "html",
+    n_shards: int = 1,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    status_col: str | None = None,
+    mime: str = "text/html",
+    seed: int = 42,
+    cdx_path: str | None = None,
+    cdx_shards: int | None = None,
+) -> list[dict]:
+    """Write fetched pages as WARC response shards; return the
+    manifest (shard, path, n_records, n_bytes, sha256) sorted by
+    shard. With `cdx_path`, also writes the compressed-member-offset
+    CDX (warc.write_cdx_layout: range-partitioned on surt, sorted,
+    prunable) — file[offset : offset+length] of any indexed capture
+    gunzips to exactly its record. `status_col` (int, default 200)
+    rides into the synthesized HTTP head; NULL html writes an empty
+    body (a 204-style capture)."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    cols = dict(df.dtypes)
+    for c in (url_col, html_col) + ((status_col,) if status_col else ()):
+        if c not in cols:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    os.makedirs(path, exist_ok=True)
+
+    assigned = (
+        assign_shards(df, url_col, n_shards, seed)
+        .select(
+            F.col(SHARD_COL),
+            F.col(ORDER_COL),
+            F.col(url_col).cast("string").alias("_w_url"),
+            F.col(html_col).cast("string").alias("_w_html"),
+            (
+                F.col(status_col) if status_col else F.lit(200)
+            ).cast("int").alias("_w_status"),
+        )
+        .repartition(n_shards, F.col(SHARD_COL))
+        .sortWithinPartitions(SHARD_COL, ORDER_COL, "_w_url")
+    )
+
+    def assemble(batches: Iterator) -> Iterator:
+        import uuid
+
+        out: list[tuple] = []
+        current = None  # [shard, file, hash, tmp, final, n_records, pos]
+
+        def open_shard(shard: int):
+            final = os.path.join(path, f"warc-{shard:05d}.warc.gz")
+            tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+            f = open(tmp, "wb")
+            h = hashlib.sha256()
+            info_payload = (
+                f"software: {_SOFTWARE}\r\nformat: WARC File Format 1.0\r\n"
+            ).encode()
+            member = _gzip_member(
+                _record_bytes(
+                    [
+                        ("WARC-Type", "warcinfo"),
+                        ("WARC-Record-ID", _uuid_urn("warcinfo", str(shard))),
+                        ("WARC-Date", warc_date),
+                        ("Content-Type", "application/warc-fields"),
+                        ("Content-Length", str(len(info_payload))),
+                    ],
+                    info_payload,
+                )
+            )
+            f.write(member)
+            h.update(member)
+            return [shard, f, h, tmp, final, 0, len(member)]
+
+        def close_shard():
+            nonlocal current
+            if current is None:
+                return
+            shard, f, h, tmp, final, n, pos = current
+            f.close()
+            os.replace(tmp, final)
+            out.append(
+                (
+                    shard, True, None, None, None, None, None, final,
+                    None, None, n, pos, h.hexdigest(),
+                )
+            )
+            current = None
+
+        for pdf in batches:
+            for i in range(len(pdf)):
+                shard = int(pdf[SHARD_COL].iat[i])
+                if current is None or current[0] != shard:
+                    close_shard()
+                    current = open_shard(shard)
+                url = str(pdf["_w_url"].iat[i])
+                html = pdf["_w_html"].iat[i]
+                status = int(pdf["_w_status"].iat[i])
+                body = ("" if html is None else str(html)).encode("utf-8")
+                digest = _payload_digest(body)
+                http_head = (
+                    f"HTTP/1.1 {status} OK\r\n"
+                    f"Content-Type: {mime}; charset=utf-8\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode()
+                payload = http_head + body
+                member = _gzip_member(
+                    _record_bytes(
+                        [
+                            ("WARC-Type", "response"),
+                            (
+                                "WARC-Record-ID",
+                                _uuid_urn("response", str(shard), url),
+                            ),
+                            ("WARC-Date", warc_date),
+                            ("WARC-Target-URI", url),
+                            ("WARC-Payload-Digest", digest),
+                            (
+                                "Content-Type",
+                                "application/http; msgtype=response",
+                            ),
+                            ("Content-Length", str(len(payload))),
+                        ],
+                        payload,
+                    )
+                )
+                f = current[1]
+                offset = current[6]
+                f.write(member)
+                current[2].update(member)
+                current[5] += 1
+                current[6] += len(member)
+                out.append(
+                    (
+                        current[0], False, url, warc_date, status, mime,
+                        digest, current[4], offset, len(member),
+                        None, None, None,
+                    )
+                )
+        close_shard()
+        if out:
+            import pandas as pd
+
+            yield pd.DataFrame(out, columns=[f.name for f in CAPTURE_SCHEMA])
+
+    captures = assigned.mapInPandas(assemble, CAPTURE_SCHEMA).localCheckpoint()
+    try:
+        manifest = (
+            captures.filter(F.col("is_summary"))
+            .select(
+                "shard",
+                F.col("filename").alias("path"),
+                "n_records",
+                "n_bytes",
+                "sha256",
+            )
+            .collect()
+        )
+        if cdx_path is not None:
+            from ..operators.urls import surt_col
+            from .warc import write_cdx_layout
+
+            idx = captures.filter(~F.col("is_summary")).select(
+                surt_col(F.col("url")).alias("surt"),
+                F.substring(
+                    F.regexp_replace("warc_date", r"[^0-9]", ""), 1, 14
+                ).alias("ts"),
+                "url",
+                "mime",
+                "status",
+                "digest",
+                "length",
+                "offset",
+                "filename",
+            )
+            write_cdx_layout(idx, cdx_path, cdx_shards)
+    finally:
+        captures.unpersist()
+    return sorted((r.asDict() for r in manifest), key=lambda d: d["shard"])

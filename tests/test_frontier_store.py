@@ -355,3 +355,56 @@ def test_pre_v2_table_upgrade_and_marker_fallback(spark, tmp_path):
     assert frontier_store.last_committed_round(spark, path) == 1
     cols = tables.read_table(spark, path).columns
     assert {"fetched_at", "refetch_after"} <= set(cols)
+
+
+def test_seed_refetch_from_sitemap_lastmod(spark, tmp_path):
+    """The sitemap seam: <lastmod>-derived refetch times re-schedule
+    KNOWN fetched pages (one wave, history intact); unknown sitemap
+    URLs are ignored; the worklist sidecar sees the new eligibility."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 2, 1, 0, 0, 0)
+    path = str(tmp_path / "fresh")
+    frontier_store.init_frontier(
+        spark.createDataFrame(
+            [("http://a.example/p2",)], "url string"
+        ),
+        path,
+        n_buckets=4,
+    )
+    frontier_store.crawl_rounds(
+        spark, path, _fetcher(spark), rounds=3, now_fn=lambda: t0
+    )
+    # fetched, no refetch policy -> nothing eligible even far ahead
+    far = t0 + timedelta(days=30)
+    assert frontier_store.pending_wave(spark, path, 10, as_of=far).isEmpty()
+
+    # sitemap declares the page modified: lastmod + interval
+    sched = spark.createDataFrame(
+        [
+            ("http://a.example/p2", t0 + timedelta(days=1)),
+            ("http://elsewhere.example/unknown", t0),  # ignored
+        ],
+        "url string, refetch_after timestamp",
+    )
+    frontier_store.seed_refetch(spark, path, sched)
+    state = {r["url"]: r for r in tables.read_table(spark, path).collect()}
+    assert set(state) == {"http://a.example/p2"}  # unknown NOT inserted
+    assert state["http://a.example/p2"]["refetch_after"] == t0 + timedelta(days=1)
+    assert state["http://a.example/p2"]["status"] == "fetched"  # untouched
+
+    # now eligible exactly once; tries/history survive the refetch
+    t1 = t0 + timedelta(days=2)
+    frontier_store.crawl_rounds(
+        spark, path, _fetcher(spark), rounds=3, now_fn=lambda: t1
+    )
+    got = {r["url"]: r for r in tables.read_table(spark, path).collect()}
+    p2 = got["http://a.example/p2"]
+    assert (p2["status"], p2["tries"], p2["discovered_round"]) == ("fetched", 2, 0)
+    assert p2["fetched_at"] == t1
+    assert p2["refetch_after"] is None  # no blanket policy -> one-shot
+
+    # idempotent replay: same schedule again is a state no-op
+    frontier_store.seed_refetch(spark, path, sched)
+    after = {r["url"]: (r["status"], r["tries"]) for r in tables.read_table(spark, path).collect()}
+    assert after == {u: (r["status"], r["tries"]) for u, r in got.items()}

@@ -546,3 +546,72 @@ def test_revisit_originals(spark, tmp_path):
         "<urn:revisit-1>": "<urn:resp-1>",
         "<urn:revisit-2>": "<urn:resp-1>",
     }
+
+
+# --- record offsets / SURT / CDX index --------------------------------------
+def test_record_offsets_slice_back_exactly():
+    """offset/length re-slice each record from the raw archive bytes:
+    the slice starts at the record's own WARC/ magic and carries its
+    record id (the ranged-read contract cdx_index serves)."""
+    data = _warc_bytes()
+    rows = list(W.parse_warc_bytes("f.warc", data))
+    assert len(rows) == 5
+    for r in rows:
+        off, ln = r[9], r[10]
+        chunk = data[off : off + ln]
+        assert chunk.startswith(b"WARC/1.0")
+        assert r[1].encode() in chunk  # record id inside ITS slice
+    # slices tile the file: strictly increasing, non-overlapping
+    spans = [(r[9], r[9] + r[10]) for r in rows]
+    assert spans == sorted(spans)
+    assert all(b0 >= a1 for (_, a1), (b0, _) in zip(spans, spans[1:]))
+
+
+def test_surt_key(spark):
+    from pyspark.sql import functions as F
+
+    from ecomm_datapipeline_spark.operators.urls import surt_col
+
+    cases = {
+        "https://www.Example.com/A/b?q=2&a=1": "com,example)/a/b?a=1&q=2",
+        "http://sub.host.example.org/": "org,example,host,sub)/",
+        "https://example.com": "com,example)/",
+        "http://example.com:8080/x": "com,example:8080)/x",
+        "not a url": "",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {
+        r["url"]: r["surt"]
+        for r in df.select("url", surt_col(F.col("url")).alias("surt")).collect()
+    }
+    assert got == cases
+
+
+def test_cdx_index_and_lookup(spark, tmp_path):
+    p = tmp_path / "a.warc"
+    p.write_bytes(_warc_bytes())
+    records = W.read_warc(spark, str(p))
+    idx = str(tmp_path / "cdx")
+    W.write_cdx(records, idx, n_shards=2)
+
+    hit = W.cdx_lookup(spark, idx, url="https://a.example/").collect()
+    assert len(hit) == 1
+    r = hit[0]
+    assert (r["surt"], r["status"], r["ts"]) == (
+        "example,a)/", 200, "20260101000000"
+    )
+    # the offset/length round-trip: re-slice the archive at the CDX
+    # coordinates and recover the addressed record
+    raw = p.read_bytes()[r["offset"] : r["offset"] + r["length"]]
+    assert raw.startswith(b"WARC/1.0") and b"<urn:resp-a>" in raw
+
+    # domain prefix sweep catches both a.example captures
+    dom = W.cdx_lookup(spark, idx, surt_prefix="example,a)").collect()
+    assert {x["url"] for x in dom} == {
+        "https://a.example/", "https://a.example/missing"
+    }
+    # the exact-match predicate constant-folds and pushes to the scan
+    plan = W.cdx_lookup(
+        spark, idx, url="https://a.example/"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(surt), EqualTo(surt,example,a)/)]" in plan

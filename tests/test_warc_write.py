@@ -1,0 +1,115 @@
+"""WARC response-archive writer (sources/warc_write.py): byte-
+deterministic shard rebuilds, record-exact round-trips through this
+repo's own read_warc, the compressed-member-offset CDX serving true
+ranged reads, and the crawl -> archive -> ingest composition."""
+
+import gzip
+import hashlib
+
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.sources import warc as W
+from ecomm_datapipeline_spark.sources import warc_write as WW
+
+PAGES = [
+    ("https://a.example/", "<html><body><p>alpha page body text here</p></body></html>"),
+    ("https://a.example/p1", "<p>bravo body</p>"),
+    ("https://b.example/x", "<p>charlie body</p>"),
+    ("https://c.example/y?b=2&a=1", None),  # NULL html: empty body
+]
+
+
+def _pages(spark):
+    return spark.createDataFrame(PAGES, "url string, html string")
+
+
+def test_deterministic_rebuild_and_manifest(spark, tmp_path):
+    m1 = WW.write_warc_shards(_pages(spark), str(tmp_path / "one"), n_shards=2)
+    m2 = WW.write_warc_shards(
+        _pages(spark).repartition(7), str(tmp_path / "two"), n_shards=2
+    )
+    key = lambda ms: [(m["shard"], m["n_records"], m["sha256"]) for m in ms]  # noqa: E731
+    assert key(m1) == key(m2)  # byte-identical under repartitioning
+    assert sum(m["n_records"] for m in m1) == len(PAGES)
+    for m in m1:
+        digest = hashlib.sha256(open(m["path"], "rb").read()).hexdigest()
+        assert digest == m["sha256"]
+        assert m["n_bytes"] > 0
+
+
+def test_round_trip_through_read_warc(spark, tmp_path):
+    out = str(tmp_path / "arch")
+    WW.write_warc_shards(_pages(spark), out, n_shards=1)
+    records = W.read_warc(spark, out + "/*.warc.gz")
+    resp = {
+        r["target_uri"]: r
+        for r in records.filter(F.col("warc_type") == "response").collect()
+    }
+    assert set(resp) == {u for u, _ in PAGES}
+    for url, html in PAGES:
+        r = resp[url]
+        assert r["http_status"] == 200
+        assert r["payload"] == ("" if html is None else html)
+        assert r["content_type"].startswith("text/html")
+        assert r["payload_digest"].startswith("sha1:")
+    # digest is over the HTTP body: recompute and compare
+    import base64
+
+    body = PAGES[0][1].encode()
+    expect = "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+    assert resp[PAGES[0][0]]["payload_digest"] == expect
+    # one warcinfo per shard
+    assert records.filter(F.col("warc_type") == "warcinfo").count() == 1
+
+
+def test_compressed_cdx_ranged_read(spark, tmp_path):
+    """The point of per-record gzip members: CDX offset/length address
+    one member; Range-read + gunzip recovers exactly that record."""
+    out = str(tmp_path / "arch")
+    cdx = str(tmp_path / "cdx")
+    WW.write_warc_shards(
+        _pages(spark), out, n_shards=2, cdx_path=cdx, cdx_shards=2
+    )
+    hit = W.cdx_lookup(spark, cdx, url="https://a.example/p1").collect()
+    assert len(hit) == 1
+    r = hit[0]
+    with open(r["filename"], "rb") as f:
+        f.seek(r["offset"])
+        member = f.read(r["length"])
+    rec = gzip.decompress(member)
+    assert rec.startswith(b"WARC/1.0")
+    assert b"WARC-Target-URI: https://a.example/p1" in rec
+    assert b"bravo body" in rec
+    # the surt canonicalization sorts query params
+    q = W.cdx_lookup(spark, cdx, url="https://c.example/y?a=1&b=2").collect()
+    assert len(q) == 1 and q[0]["url"] == "https://c.example/y?b=2&a=1"
+
+
+def test_crawl_archive_ingest_composition(spark, tmp_path):
+    """crawl() -> write_warc_shards -> read_warc_documents: the full
+    acquisition-to-text loop over a planted site, with the digest
+    dedup dropping a mirrored duplicate payload on ingest."""
+    from ecomm_datapipeline_spark.operators import crawl as C
+
+    site = {
+        "http://s.example/": '<a href="/a">a</a><a href="/b">b</a>'
+        + "<p>seed page with plenty of body text to pass gates</p>",
+        "http://s.example/a": "<p>alpha body with plenty of words to pass the text gate</p>",
+        "http://s.example/b": "<p>alpha body with plenty of words to pass the text gate</p>",
+    }
+    pages = spark.createDataFrame(
+        list(site.items()), "url string, html string"
+    )
+    fetched = C.crawl(
+        spark.createDataFrame([("http://s.example/",)], "url string"),
+        C.simulated_fetcher(pages),
+        rounds=3,
+    )
+    out = str(tmp_path / "arch")
+    WW.write_warc_shards(fetched.select("url", "html"), out, n_shards=1)
+    docs = W.read_warc_documents(spark, out + "/*.warc.gz", min_text_chars=20)
+    texts = [r["text"] for r in docs.collect()]
+    # /a and /b share a payload digest -> extracted once
+    assert len(texts) == 2
+    assert any("seed page" in t for t in texts)
+    assert sum("alpha body" in t for t in texts) == 1
