@@ -61,6 +61,7 @@ def clean_stage(
     gopher_document_rules: bool = False,
     compression_band: tuple[float, float] | None = None,
     c4_line_page_rules: bool = False,
+    fix_mojibake: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """The per-row clean stage, shared VERBATIM by curate_documents
     and the streaming ingester (streaming/curate_stream.py) so the two
@@ -70,13 +71,22 @@ def clean_stage(
     per-row gate. Pure column transforms — zero shuffle — except the
     compression band's Arrow codec seam."""
     pre = docs
+    if fix_mojibake:
+        # Encoding repair runs FIRST of all (before even the C4 line
+        # rewrite): every downstream signal — line shapes, dedup keys,
+        # quality counts — must judge the text as it will ship, and a
+        # mojibake'd page otherwise fails gates (symbol ratios, stop
+        # words) it would pass repaired. Pure guarded expressions
+        # (text.fix_mojibake_col), zero shuffle, no audit stage of its
+        # own: it rewrites, never drops.
+        pre = docs.withColumn(text_col, text.fix_mojibake_col(text_col))
     if c4_line_page_rules:
         # The C4 recipe runs FIRST (its line filter REWRITES the text;
         # every downstream signal — dedup keys, quality counts, the
         # LM — must judge what will actually ship). Page-rule drops
         # get their own 'c4' audit stage; the rewrite itself is a
         # zero-shuffle per-row fold on the same scan.
-        pre = quality_rules.c4_clean(docs, text_col)
+        pre = quality_rules.c4_clean(pre, text_col)
 
     cleaned = text.clean_text(pre, text_col, min_tokens, max_tokens)
     if drop_repetitive:
@@ -167,6 +177,7 @@ def curate_documents(
     gopher_document_rules: bool = False,
     compression_band: tuple[float, float] | None = None,
     near_dup_quality_col: str | None = None,
+    fix_mojibake: bool = False,
 ) -> tuple[DataFrame, CurationStats | None]:
     """Run the full curation flow; returns (curated_df, stats).
 
@@ -219,6 +230,7 @@ def curate_documents(
         gopher_document_rules=gopher_document_rules,
         compression_band=compression_band,
         c4_line_page_rules=c4_line_page_rules,
+        fix_mojibake=fix_mojibake,
     )
     if (
         drop_repetitive

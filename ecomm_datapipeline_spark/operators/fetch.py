@@ -84,6 +84,7 @@ def http_fetcher(
         shaped = w.select(*sel).repartition("host").sortWithinPartitions(*order)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import http.client
             import time
             import urllib.error
             import urllib.request
@@ -93,9 +94,13 @@ def http_fetcher(
                 out_url, out_html, out_status = [], [], []
                 for row in pdf.itertuples(index=False):
                     host = row.host
+                    # NULL delay_s arrives as NaN through Arrow, which
+                    # `is not None` would treat as a real zero-ish
+                    # delay — notna() so delay-less hosts fall through
+                    # to the dict/default tiers as documented
                     delay = (
                         float(row.delay_s)
-                        if has_delay_col and row.delay_s is not None
+                        if has_delay_col and pd.notna(row.delay_s)
                         else delays.get(host, default_delay_s)
                     )
                     if host in last and delay > 0:
@@ -125,6 +130,11 @@ def http_fetcher(
                                 html = data.decode("utf-8", errors="replace")
                     except (
                         urllib.error.URLError,
+                        # BadStatusLine / IncompleteRead / LineTooLong:
+                        # NOT OSErrors — a garbage banner or truncated
+                        # chunked body must omit the row, not crash
+                        # the task (and abort the whole crawl round)
+                        http.client.HTTPException,
                         TimeoutError,
                         ConnectionError,
                         OSError,

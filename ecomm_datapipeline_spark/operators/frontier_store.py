@@ -110,6 +110,24 @@ def _wal_path(path: str) -> str:
     return path.rstrip("/") + "_wal"
 
 
+def _recover_swapped(path: str) -> None:
+    """Heal the _swap_into window: between its two renames the target
+    is absent with the PREVIOUS content stranded at `__old_*`. A kill
+    there (per-round meta/WAL rewrites pass through it every round)
+    must roll BACK — restoring the previous value keeps the invariant
+    that the marker is never NEWER than the data it attests, so the
+    interrupted round simply replays. No-op when the target exists
+    (a surviving `__old_*` beside it is the post-swap rmtree window —
+    the new content already won; the stale dir is ignored)."""
+    if os.path.isdir(path):
+        return
+    import glob
+
+    cands = sorted(glob.glob(path + "__old_*"), key=os.path.getmtime)
+    if cands:
+        os.rename(cands[-1], path)
+
+
 def _staged_overwrite(df: DataFrame, path: str) -> None:
     """Overwrite `path` with `df` such that a crash at any point
     leaves either the previous content or the new content, never a
@@ -147,8 +165,11 @@ def _read_meta(
     spark: SparkSession, path: str
 ) -> tuple[int | None, int | None]:
     """(n_buckets, committed_round); tolerant of pre-marker sidecars
-    that carry only n_buckets."""
+    that carry only n_buckets. Recovers a kill inside the staged-swap
+    rename window first — losing the meta sidecar would strand
+    n_buckets and wedge every later bucketed commit."""
     mp = _meta_path(path)
+    _recover_swapped(mp)
     if not tables.table_exists(mp):
         return None, None
     df = tables.read_table(spark, mp)
@@ -240,14 +261,31 @@ def init_frontier(
                 mode="append",
                 partition_by=["bucket"] if nb is not None else None,
             )
-            # absorbed seeds are pending: they belong in the worklist
-            if nb is not None and tables.table_exists(_pending_path(path)):
-                tables.write_table(
-                    rows, _pending_path(path), mode="append",
-                    partition_by=["bucket"],
-                )
         finally:
             rows.unpersist()
+        # worklist RECONCILE, not a blind append of `rows`: any state
+        # row a future wave could schedule that the sidecar lacks gets
+        # appended — which covers these seeds AND rows a crash between
+        # a previous init's two writes stranded (state-but-not-sidecar
+        # would otherwise never be scheduled: pending_wave reads only
+        # the sidecar, and commits rebuild only wave-touched buckets).
+        # One state scan per init — init is per-crawl, not per-round.
+        pp = _pending_path(path)
+        if nb is not None and tables.table_exists(pp):
+            side = tables.read_table(spark, pp).select("url")
+            missing = (
+                _with_v2(tables.read_table(spark, path))
+                .filter(_worklist_pred())
+                .join(side, "url", "left_anti")
+                .localCheckpoint()
+            )
+            try:
+                if not missing.isEmpty():
+                    tables.write_table(
+                        missing, pp, mode="append", partition_by=["bucket"]
+                    )
+            finally:
+                missing.unpersist()
         return
     # honor a meta sidecar from a previous init that crashed before
     # its data write; an explicit n_buckets overrides it
@@ -430,6 +468,29 @@ def commit_round(
     ok = fetched_ok.select("url").distinct().withColumn("_ok", F.lit(True))
     att = attempted.select("url").distinct()
     keep_cols = (["bucket"] if nb is not None else [])
+    disc_norm = (
+        _normalized_urls(discovered, "url")
+        if discovered is not None
+        else None
+    )
+    touched: list[int] = []
+    if nb is not None:
+        # Prune the state reads to the buckets this round can touch:
+        # bucket derives from url, so attempted/discovered rows can
+        # only collide with state rows in THEIR buckets — without the
+        # prune, the semi- and anti-joins below read O(frontier) per
+        # round, not O(round). Bucket ids are bounded by n_buckets (a
+        # table constant, never data-scale), so the collect is
+        # driver-safe and isin prunes partitions statically.
+        tb = att.withColumn("bucket", _bucket_col(nb)).select("bucket")
+        if disc_norm is not None:
+            tb = tb.unionByName(
+                disc_norm.withColumn("bucket", _bucket_col(nb)).select(
+                    "bucket"
+                )
+            )
+        touched = [r["bucket"] for r in tb.distinct().collect()]
+        state = state.filter(F.col("bucket").isin(touched))
     replay = F.col("last_round") == round_id
     fa = F.lit(fetched_at).cast("timestamp")
     ra = (
@@ -464,13 +525,9 @@ def commit_round(
             *keep_cols,
         )
     )
-    if discovered is not None:
+    if disc_norm is not None:
         new_rows = (
-            _as_rows(
-                _normalized_urls(discovered, "url"),
-                round_id,
-                discovered_priority,
-            )
+            _as_rows(disc_norm, round_id, discovered_priority)
             .join(state.select("url"), "url", "left_anti")
             .join(att, "url", "left_anti")
         )
@@ -489,13 +546,8 @@ def commit_round(
             tables.merge_table(
                 ck, path, keys=["url", "bucket"], partition_by=["bucket"]
             )
-            # Step 2 — worklist sidecar for the touched buckets.
-            # Bucket ids are bounded by n_buckets (a user-sized table
-            # constant, not data-scale), so the collect is driver-safe
-            # and the isin filter statically prunes state partitions.
-            touched = [
-                r["bucket"] for r in ck.select("bucket").distinct().collect()
-            ]
+            # Step 2 — worklist sidecar for the touched buckets
+            # (computed once above, shared with the state prune)
             _rebuild_worklist_buckets(spark, path, touched)
         else:
             tables.merge_table(ck, path, keys=["url"])
@@ -541,6 +593,17 @@ def seed_refetch(
         .agg(F.max("_ra").alias("_ra"))
     )
     state = _with_v2(tables.read_table(spark, path))
+    touched: list[int] = []
+    if nb is not None:
+        # same O(touched-buckets) prune as commit_round: a schedule
+        # url can only match state rows in its own derived bucket
+        touched = [
+            r["bucket"]
+            for r in sched.select(_bucket_col(nb).alias("bucket"))
+            .distinct()
+            .collect()
+        ]
+        state = state.filter(F.col("bucket").isin(touched))
     updates = (
         state.join(sched, "url", "inner")
         .withColumn("refetch_after", F.col("_ra"))
@@ -554,9 +617,6 @@ def seed_refetch(
             tables.merge_table(
                 ck, path, keys=["url", "bucket"], partition_by=["bucket"]
             )
-            touched = [
-                r["bucket"] for r in ck.select("bucket").distinct().collect()
-            ]
             _rebuild_worklist_buckets(spark, path, touched)
         else:
             tables.merge_table(ck, path, keys=["url"])
@@ -585,6 +645,7 @@ def _read_wal(
     WAL write precedes every state mutation of its round, so falling
     back to a freshly scheduled wave loses nothing."""
     wp = _wal_path(path)
+    _recover_swapped(wp)
     if not tables.table_exists(wp) or not os.path.exists(
         os.path.join(wp, "_SUCCESS")
     ):

@@ -983,3 +983,128 @@ def duckdb_luhn_count_sql(expr: str) -> str:
         f" ELSE 2*{digit_i} END"
         f" ELSE {digit_i} END)) % 10 = 0))"
     )
+
+
+# --- credential / secret screening ------------------------------------------
+# Published, fixed-prefix token formats only (prefix + charset + exact
+# or bounded length): fixed shapes keep the false-positive rate near
+# zero without entropy heuristics, and the regexes stay in the
+# PATTERNS dialect (character classes + \b, no lookaround) so Java
+# (Spark) and RE2 (DuckDB) count identically — gate-twinnable. JWT
+# carries no trailing \b ('-' is a non-word char, so \b there would
+# be position-dependent); the eyJ prefix is base64('{"') — every JOSE
+# header starts with it.
+SECRET_PATTERNS = {
+    "n_aws_keys": r"\bAKIA[0-9A-Z]{16}\b",
+    "n_github_tokens": r"\bghp_[A-Za-z0-9]{36}\b",
+    "n_slack_tokens": r"\bxox[abprs]-[A-Za-z0-9-]{10,}",
+    "n_private_key_blocks": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "n_jwts": r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}",
+}
+
+
+def secret_scan_cols(text_col: Column | str) -> dict[str, Column]:
+    """Per-document counts of leaked-credential shapes (AWS access key
+    ids, GitHub PATs, Slack tokens, PEM private-key blocks, JWTs) —
+    the secrets arm of the PII/credential screen every training-data
+    pipeline runs before shipping a corpus (code crawls leak keys
+    constantly). Counts only, never spans: nothing sensitive
+    materializes. Pure expressions; compose into pattern_scan(extra=)
+    to ride the same single scan."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        name: _count_matches(t, pat).cast("bigint")
+        for name, pat in SECRET_PATTERNS.items()
+    }
+
+
+def redact_secrets_col(
+    text_col: Column | str, token: str = "<SECRET>"
+) -> Column:
+    """Replace every SECRET_PATTERNS match with the placeholder token
+    — one regexp_replace chain (insertion order; the patterns are
+    mutually disjoint by their fixed prefixes). Composes with
+    redact() and redact_ccn_col the same way: scan-speed, zero
+    shuffle, placeholders keep sentence structure."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    for pat in SECRET_PATTERNS.values():
+        t = F.regexp_replace(t, pat, token)
+    return t
+
+
+def duckdb_secret_count_sql(expr: str) -> str:
+    """DuckDB twin of sum(secret_scan_cols(expr).values()) — GENERATED
+    from SECRET_PATTERNS so the oracle cannot drift from the engine
+    expressions (the duckdb_luhn_count_sql convention)."""
+    terms = " + ".join(
+        f"len(regexp_extract_all({expr}, '{pat}'))"
+        for pat in SECRET_PATTERNS.values()
+    )
+    return f"({terms})"
+
+
+# --- mojibake repair (the ftfy-core case, as pure expressions) ---------------
+# UTF-8 bytes mis-decoded as Latin-1/CP1252 is THE classic web-corpus
+# encoding defect ('e-acute' -> 'A-tilde + (c)', right-quote -> 'a-hat
+# + euro + TM'). The repair re-derives the original bytes and decodes
+# them properly -- expressible entirely JVM-side because Spark ships
+# encode/decode/translate/is_valid_utf8:
+#   1. translate CP1252-only characters (the 0x80-0x9F graphics
+#      Latin-1 lacks: euro, dagger, curly quotes, ..., Y-diaeresis)
+#      back to their byte-value code points,
+#   2. encode as ISO-8859-1 (now lossless: every char <= U+00FF),
+#   3. decode as UTF-8 when the bytes are valid UTF-8.
+# Guards, evaluated in short-circuit order so encode never sees an
+# unmappable char: a mojibake MARKER (an 0xC2-0xF4-range lead char (2/3/4-byte UTF-8 leads)
+# followed by a UTF-8 continuation-byte character) gates the attempt,
+# a repairable-charset check proves losslessness of step 2, and
+# is_valid_utf8 proves step 3 cannot throw. Anything failing a guard
+# passes through unchanged -- a curation transform must never die on
+# (or mangle) clean text.
+_CP1252_UNMAPPED = (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+_CP1252_SRC = "".join(
+    bytes([i]).decode("cp1252")
+    for i in range(0x80, 0xA0)
+    if i not in _CP1252_UNMAPPED
+)
+_CP1252_DST = "".join(
+    chr(i) for i in range(0x80, 0xA0) if i not in _CP1252_UNMAPPED
+)
+# a UTF-8 continuation byte, as it appears after the bad decode:
+# U+0080-U+00BF directly (Latin-1) or a CP1252 graphic (0x80-0x9F)
+_CONTINUATION = "\u0080-\u00bf" + _CP1252_SRC
+_MOJIBAKE_MARKER = f"[\u00c2-\u00f4][{_CONTINUATION}]"
+_REPAIRABLE = f"^[\u0000-\u00ff{_CP1252_SRC}]*$"
+
+
+def fix_mojibake_col(text_col: Column | str) -> Column:
+    """Repair UTF-8-as-Latin-1/CP1252 mojibake, pure expressions,
+    zero Python -- see the module comment above for the 3-step byte
+    round-trip and the guard ordering that keeps encode/decode total.
+    One pass repairs one level of mis-decoding (the overwhelmingly
+    common case); doubly-mangled text still matches the marker
+    afterwards, so callers that care can apply the column twice."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    translated = F.translate(t, _CP1252_SRC, _CP1252_DST)
+    b = F.encode(translated, "ISO-8859-1")
+    return F.when(
+        t.rlike(_MOJIBAKE_MARKER)
+        & t.rlike(_REPAIRABLE)
+        & F.is_valid_utf8(b),
+        F.decode(b, "UTF-8"),
+    ).otherwise(t)
+
+
+def mojibake_cols(text_col: Column | str) -> dict[str, Column]:
+    """Screening columns: is_mojibake (marker hit AND repairable --
+    what fix_mojibake_col would rewrite) and n_mojibake_marks (marker
+    count, severity signal)."""
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {
+        "is_mojibake": (
+            t.rlike(_MOJIBAKE_MARKER) & t.rlike(_REPAIRABLE)
+        ),
+        "n_mojibake_marks": _count_matches(t, _MOJIBAKE_MARKER).cast(
+            "bigint"
+        ),
+    }

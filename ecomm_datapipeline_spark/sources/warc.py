@@ -476,8 +476,12 @@ def drop_duplicate_payloads(records: DataFrame) -> DataFrame:
     free revisit records, so response digests are near-unique there),
     so the resolving join broadcasts under AQE — the response rows'
     payloads never shuffle. No hand hint (the robots_allowed rule)."""
-    is_dd = (F.col("warc_type") == "response") & (
-        F.col("payload_digest") != ""
+    # NULL-safe: a NULL digest (caller-built or externally-written
+    # frames — the schema field is nullable) must behave like the
+    # documented digestless '' pass-through, not evaluate the split
+    # predicate to NULL and vanish from BOTH branches
+    is_dd = (F.col("warc_type") == "response") & F.coalesce(
+        F.col("payload_digest") != "", F.lit(False)
     )
     dups = (
         records.filter(is_dd)

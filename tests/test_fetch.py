@@ -162,3 +162,53 @@ def test_crawl_rounds_over_real_http(spark, server, tmp_path):
     fetched = {u for u, (s, _) in got.items() if s == "fetched"}
     assert fetched == {f"{base}{p}" for p in pages}
     assert got[f"{base}/gone"] == ("failed", 2)
+
+
+def test_null_delay_s_falls_back_to_host_delays(spark, server):
+    """A NULL delay_s (the left-join case: host declared no
+    Crawl-delay) arrives as NaN through Arrow and must fall back to
+    the host_delays/default tiers, not silently disable politeness."""
+    pages = {f"/n{i}": "x" for i in range(3)}
+    base, log = server(pages)
+    fetch = fetch_mod.http_fetcher(
+        timeout_s=5, host_delays={"127.0.0.1": 0.3}
+    )
+    wave = spark.createDataFrame(
+        [(f"{base}/n{i}", None) for i in range(3)],
+        "url string, delay_s double",
+    )
+    assert fetch(wave).count() == 3
+    gaps = [b - a for (a, _), (b, _) in zip(log, log[1:])]
+    assert all(g >= 0.25 for g in gaps), gaps
+
+
+def test_garbage_http_banner_is_omitted(spark):
+    """A non-HTTP banner raises http.client.BadStatusLine, which is
+    not an OSError — it must omit the row, not crash the task."""
+    import socket
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(5)
+    port = srv.getsockname()[1]
+
+    def serve():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            try:
+                conn.recv(1024)
+                conn.sendall(b"NOT HTTP AT ALL\r\n\r\n")
+            finally:
+                conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    try:
+        fetch = fetch_mod.http_fetcher(timeout_s=5)
+        got = fetch(_wave(spark, [f"http://127.0.0.1:{port}/x"])).collect()
+        assert got == []
+    finally:
+        srv.close()

@@ -408,3 +408,74 @@ def test_seed_refetch_from_sitemap_lastmod(spark, tmp_path):
     frontier_store.seed_refetch(spark, path, sched)
     after = {r["url"]: (r["status"], r["tries"]) for r in tables.read_table(spark, path).collect()}
     assert after == {u: (r["status"], r["tries"]) for u, r in got.items()}
+
+
+def test_meta_swap_window_recovers(spark, tmp_path):
+    """A kill between _swap_into's two renames leaves the meta sidecar
+    ABSENT with the previous value stranded at __old_*: reads must
+    roll back to the previous marker (the interrupted round replays)
+    instead of wedging every later bucketed commit."""
+    import os
+
+    path = str(tmp_path / "f")
+    frontier_store.init_frontier(
+        spark.createDataFrame([("http://a.example/",)], "url string"),
+        path,
+        n_buckets=4,
+    )
+    frontier_store.crawl_rounds(spark, path, _fetcher(spark), rounds=1)
+    assert frontier_store.last_committed_round(spark, path) == 1
+    before = _state(spark, path)
+
+    mp = path + "_meta"
+    os.rename(mp, mp + "__old_deadbeef")  # the mid-swap kill state
+    assert frontier_store.last_committed_round(spark, path) == 1
+    assert os.path.isdir(mp)  # rolled back in place
+
+    # and the driver continues normally from the recovered marker
+    frontier_store.crawl_rounds(spark, path, _fetcher(spark), rounds=9, max_tries=2)
+    p2 = str(tmp_path / "twin")
+    frontier_store.init_frontier(
+        spark.createDataFrame([("http://a.example/",)], "url string"),
+        p2,
+        n_buckets=4,
+    )
+    frontier_store.crawl_rounds(spark, p2, _fetcher(spark), rounds=10, max_tries=2)
+    assert _state(spark, path) == _state(spark, p2)
+    assert before  # (round-1 state was readable mid-recovery)
+
+
+def test_init_reconciles_lost_worklist_rows(spark, tmp_path):
+    """A crash between a previous init's state append and its sidecar
+    write leaves rows pending-in-state but absent from the worklist —
+    re-running init_frontier must heal them back into scheduling."""
+    import shutil
+
+    path = str(tmp_path / "f")
+    seeds = spark.createDataFrame(
+        [("http://a.example/",), ("http://b.example/",)], "url string"
+    )
+    frontier_store.init_frontier(seeds, path, n_buckets=4)
+
+    # simulate the stranded state: rebuild the sidecar WITHOUT b.example
+    pp = path + "_pending"
+    kept = (
+        tables.read_table(spark, pp)
+        .filter(F.col("url") != "http://b.example/")
+        .localCheckpoint()
+    )
+    shutil.rmtree(pp)
+    tables.write_table(kept, pp, mode="append", partition_by=["bucket"])
+    wave = {
+        r["url"]
+        for r in frontier_store.pending_wave(spark, path, 100).collect()
+    }
+    assert wave == {"http://a.example/"}  # the loss, observable
+
+    # idempotent re-init heals: b.example is back in the worklist
+    frontier_store.init_frontier(seeds, path, n_buckets=4)
+    wave = {
+        r["url"]
+        for r in frontier_store.pending_wave(spark, path, 100).collect()
+    }
+    assert wave == {"http://a.example/", "http://b.example/"}

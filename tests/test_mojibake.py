@@ -1,0 +1,106 @@
+"""Mojibake repair (text.fix_mojibake_col): UTF-8-as-Latin-1/CP1252
+mis-decoding repaired JVM-side; clean, non-Latin, and unrepairable
+texts pass through untouched; differential vs Python's own
+encode/decode round-trip (planted strings are COMPUTED by mangling,
+never typed as literals — some mojibake contains control chars)."""
+
+from ecomm_datapipeline_spark.operators import text as T
+
+
+def _fix(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    return [
+        r["f"]
+        for r in df.select(T.fix_mojibake_col("t").alias("f")).collect()
+    ]
+
+
+def _mangle(s: str, codec: str) -> str:
+    if codec == "latin-1":
+        return s.encode("utf-8").decode("latin-1")
+    # browser-style CP1252: the five unmapped bytes fall back to
+    # their Latin-1 (C1 control) interpretation instead of erroring
+    out = []
+    for b in s.encode("utf-8"):
+        try:
+            out.append(bytes([b]).decode("cp1252"))
+        except UnicodeDecodeError:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def test_latin1_mojibake_repairs(spark):
+    originals = ["Café résumé", "naïve façade"]
+    mangled = [_mangle(o, "latin-1") for o in originals]
+    assert mangled[0] == "CafÃ© rÃ©sumÃ©"
+    assert _fix(spark, mangled) == originals
+
+
+def test_cp1252_mojibake_repairs(spark):
+    originals = [
+        "it’s “quoted” here",
+        "em dash—and €50 • done",
+    ]
+    mangled = [_mangle(o, "cp1252") for o in originals]
+    assert _fix(spark, mangled) == originals
+
+
+def test_passthrough_cases(spark):
+    cases = [
+        "perfectly clean ascii",
+        # real Latin-1 characters, no C2-DF + continuation pair
+        "echtes Deutsch: schön, Ärger, Übung",
+        "中文文本 stays as is",  # non-repairable charset
+        "São Paulo à noite",  # lowercase a-tilde: no marker
+    ]
+    assert _fix(spark, cases) == cases
+
+
+def test_pound_sign_repairs(spark):
+    # 'Â£' (A-circumflex-like marker + pound) is mojibake of '£'
+    assert _fix(spark, ["price Â£5"]) == ["price £5"]
+
+
+def test_matches_python_round_trip(spark):
+    originals = [
+        "héllo wörld — “nice” ‘quotes’ …",
+        "français: déjà vu, garçon",
+        "€ 99,95 • 100 % — fertig",
+    ]
+    mangled = [_mangle(o, "cp1252") for o in originals]
+    assert _fix(spark, mangled) == originals
+
+
+def test_screen_cols(spark):
+    df = spark.createDataFrame(
+        [(1, _mangle("Café", "latin-1")), (2, "clean text")],
+        "doc_id int, t string",
+    )
+    cols = T.mojibake_cols("t")
+    rows = {
+        r["doc_id"]: (r["is_mojibake"], r["n_mojibake_marks"])
+        for r in df.select(
+            "doc_id", *[c.alias(n) for n, c in cols.items()]
+        ).collect()
+    }
+    assert rows[1] == (True, 1)
+    assert rows[2] == (False, 0)
+
+
+def test_curation_integration(spark):
+    """curate_documents(fix_mojibake=True): a mojibake'd page is
+    repaired BEFORE the gates and ships with clean text; the same
+    call without the flag ships it mangled."""
+    from ecomm_datapipeline_spark.operators import curation
+
+    body = (
+        "héllo wörld this page carries plenty of ordinary words to "
+        "pass every quality and length gate easily without trouble"
+    )
+    docs = spark.createDataFrame(
+        [(1, _mangle(body, "latin-1"))], "doc_id long, text string"
+    )
+    fixed, _ = curation.curate_documents(docs, fix_mojibake=True)
+    assert [r["text"] for r in fixed.collect()] == [body]
+    raw, _ = curation.curate_documents(docs)
+    assert [r["text"] for r in raw.collect()] == [_mangle(body, "latin-1")]

@@ -615,3 +615,21 @@ def test_cdx_index_and_lookup(spark, tmp_path):
         spark, idx, url="https://a.example/"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(surt), EqualTo(surt,example,a)/)]" in plan
+
+
+def test_drop_duplicate_payloads_null_digest_passthrough(spark):
+    """NULL payload_digest (caller-built frames) must behave like the
+    digestless '' pass-through — not NULL out of BOTH filter branches
+    and silently vanish from the corpus."""
+    rows = spark.createDataFrame(
+        [
+            ("response", "<id:1>", None),
+            ("response", "<id:2>", ""),
+            ("response", "<id:3>", "sha1:X"),
+            ("response", "<id:4>", "sha1:X"),
+            ("revisit", "<id:5>", "sha1:X"),
+        ],
+        "warc_type string, record_id string, payload_digest string",
+    )
+    kept = {r["record_id"] for r in W.drop_duplicate_payloads(rows).collect()}
+    assert kept == {"<id:1>", "<id:2>", "<id:3>", "<id:5>"}
