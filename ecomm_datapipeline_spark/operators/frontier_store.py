@@ -11,7 +11,8 @@ discovered links.
 Table schema (key: url — normalized by urls.normalize_url on entry,
 so one page is one row no matter how many raw spellings link to it):
 
-    url string, host string, status string (pending|fetched|failed),
+    url string, host string,
+    status string (pending|fetched|failed|denied),
     priority double, tries int, discovered_round int, last_round int,
     fetched_at timestamp, refetch_after timestamp
 
@@ -221,9 +222,13 @@ def _as_rows(urls: DataFrame, round_id: int, priority: float) -> DataFrame:
 
 
 def _worklist_pred():
-    """A worklist row is anything a future wave could schedule: not
-    terminally fetched, or fetched under a refetch policy."""
-    return (F.col("status") != "fetched") | F.col("refetch_after").isNotNull()
+    """A worklist row is anything a future wave could schedule:
+    pending, failed (retry arm), or any row under a refetch policy —
+    terminal states (fetched without a policy, robots-denied) leave
+    the worklist."""
+    return F.col("status").isin("pending", "failed") | F.col(
+        "refetch_after"
+    ).isNotNull()
 
 
 def init_frontier(
@@ -447,13 +452,18 @@ def commit_round(
     discovered_priority: float = 0.0,
     fetched_at: datetime | None = None,
     refetch_interval_s: float | None = None,
+    denied: DataFrame | None = None,
 ) -> None:
     """Apply one round durably: `attempted` (url) rows transition to
     fetched/failed depending on membership in `fetched_ok` (url), with
     tries incremented once per ATTEMPT; `discovered` raw URLs (already
     link-extracted by the caller) insert as pending unless already
-    known. Rows whose last_round already equals round_id pass through
-    unchanged, making a post-crash replay a state no-op.
+    known; `denied` (url) rows — wave members screened out before any
+    request, e.g. by a robots verdict — transition to the terminal
+    'denied' status WITHOUT a tries increment (nothing was attempted)
+    and leave the worklist. Rows whose last_round already equals
+    round_id pass through unchanged, making a post-crash replay a
+    state no-op.
 
     Durability order: state merge, then worklist sidecar (bucketed),
     then the `<path>_meta` committed_round marker — see the module
@@ -473,6 +483,11 @@ def commit_round(
         if discovered is not None
         else None
     )
+    den = denied.select("url").distinct() if denied is not None else None
+    if den is not None:
+        # denied wins over attempted on overlap — one update row per
+        # key, or the merge would union two conflicting versions
+        att = att.join(den, "url", "left_anti")
     touched: list[int] = []
     if nb is not None:
         # Prune the state reads to the buckets this round can touch:
@@ -488,6 +503,10 @@ def commit_round(
                 disc_norm.withColumn("bucket", _bucket_col(nb)).select(
                     "bucket"
                 )
+            )
+        if den is not None:
+            tb = tb.unionByName(
+                den.withColumn("bucket", _bucket_col(nb)).select("bucket")
             )
         touched = [r["bucket"] for r in tb.distinct().collect()]
         state = state.filter(F.col("bucket").isin(touched))
@@ -525,12 +544,33 @@ def commit_round(
             *keep_cols,
         )
     )
+    if den is not None:
+        den_updates = state.join(den, "url", "left_semi").select(
+            "url",
+            "host",
+            F.when(replay, F.col("status"))
+            .otherwise(F.lit("denied"))
+            .alias("status"),
+            "priority",
+            "tries",  # never attempted: no increment
+            "discovered_round",
+            F.lit(int(round_id)).alias("last_round"),
+            "fetched_at",
+            # a denied row must not re-enter via the refetch arm
+            F.when(replay, F.col("refetch_after"))
+            .otherwise(F.lit(None).cast("timestamp"))
+            .alias("refetch_after"),
+            *keep_cols,
+        )
+        updates = updates.unionByName(den_updates)
     if disc_norm is not None:
         new_rows = (
             _as_rows(disc_norm, round_id, discovered_priority)
             .join(state.select("url"), "url", "left_anti")
             .join(att, "url", "left_anti")
         )
+        if den is not None:
+            new_rows = new_rows.join(den, "url", "left_anti")
         if nb is not None:
             new_rows = new_rows.withColumn("bucket", _bucket_col(nb))
         updates = updates.unionByName(new_rows)
@@ -668,6 +708,8 @@ def crawl_rounds(
     drop_traps: bool = True,
     refetch_interval_s: float | None = None,
     now_fn: Callable[[], datetime] | None = None,
+    rules: DataFrame | None = None,
+    agent: str = "*",
 ) -> DataFrame:
     """The restartable crawl driver: resume after last_committed_round
     and run up to `rounds` MORE rounds (stop early when no URL is
@@ -688,7 +730,16 @@ def crawl_rounds(
     Recrawl: with refetch_interval_s set, each fetched row is stamped
     fetched_at = now_fn() (default: UTC now at round start)
     and becomes wave-eligible again once refetch_after passes —
-    tries/discovered_round history survives the refetch."""
+    tries/discovered_round history survives the refetch.
+
+    Robots: with `rules` (a robots.robots_rules frame — build it with
+    robots.fetch_robots_rules through the same fetch seam), each
+    wave's RFC 9309 verdicts for `agent` split it BEFORE any request:
+    allowed rows fetch, denied rows transition to the terminal
+    'denied' status (no try spent, out of the worklist) so they never
+    consume politeness budget again. The WAL logs the PRE-verdict
+    wave; pass the same rules on restart so a replay re-derives the
+    same split."""
     from .html import extract_links_col
     from .urls import drop_crawl_traps
 
@@ -713,8 +764,18 @@ def crawl_rounds(
             # WAL before ANY mutation: a crash from here to the marker
             # replays this exact wave
             _write_wal(spark, path, rnd, wave)
+        denied = None
+        to_fetch = wave
+        if rules is not None:
+            from .robots import robots_allowed
+
+            flagged = robots_allowed(wave, rules, agent).localCheckpoint()
+            to_fetch = flagged.filter(F.col("robots_allowed")).drop(
+                "robots_allowed"
+            )
+            denied = flagged.filter(~F.col("robots_allowed")).select("url")
         fetched = (
-            fetch_fn(wave).select("url", "html").localCheckpoint()
+            fetch_fn(to_fetch).select("url", "html").localCheckpoint()
         )
         # Materialization BARRIER between extraction and the
         # normalize/trap chain: composing resolve-per-href, URL
@@ -740,17 +801,21 @@ def crawl_rounds(
             spark,
             path,
             rnd,
-            attempted=wave,
+            attempted=to_fetch,
             fetched_ok=fetched,
             discovered=links,
             fetched_at=now,
             refetch_interval_s=refetch_interval_s,
+            denied=denied,
         )
         # round-local checkpoint blocks die with the round, not the
         # loop (the warc_stream unpersist convention) — a long crawl
         # must not accumulate per-round blocks in executor storage
         # unpersist the CHECKPOINTED handles (a derived frame's
         # unpersist would be a silent no-op)
-        for df in (wave, fetched, raw_links, links_ck):
+        drop = [wave, fetched, raw_links, links_ck]
+        if rules is not None:
+            drop.append(flagged)
+        for df in drop:
             df.unpersist()
     return tables.read_table(spark, path)

@@ -473,3 +473,49 @@ def crawl_delay_budgets(
     if max_per_wave is not None:
         per = F.least(per, F.lit(int(max_per_wave)))
     return delayed.select("host", per.cast("int").alias("per_wave"))
+
+
+def fetch_robots_rules(
+    urls: DataFrame, fetch_fn, url_col: str = "url"
+) -> DataFrame:
+    """Acquire and parse robots.txt for every distinct authority in
+    `urls`, through the SAME fetch seam as page fetching (production:
+    fetch.http_fetcher(); tests/simulation: crawl.simulated_fetcher)
+    — the acquisition stage that turns a seed/wave frame into a rules
+    frame for robots_allowed / crawl_rounds(rules=...).
+
+    Per RFC 9309 §2.3.1: a host whose robots.txt is not found (404 —
+    the fetch seam omits the row) contributes no rules, and
+    robots_allowed then allows everything for it (the spec's 'MAY
+    access any resources' branch). The seam cannot distinguish a 5xx
+    (§2.3.1.4: SHOULD assume full disallow) from a 404; a crawler
+    that must honor that branch screens those hosts upstream. One
+    fetch per authority per call — persist the returned frame and
+    refresh on a cache schedule (§2.4 allows up to 24h), do not
+    re-fetch per wave.
+
+    Scale shape: authorities distinct-aggregate from a 1-column
+    projection (https preferred over http when both appear); the
+    fetch is the politeness-aware Arrow seam; parsing is
+    robots_rules' one fold per body."""
+    u = F.col(url_col)
+    auth = F.lower(
+        F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    )
+    base = F.regexp_extract(u, r"(?i)^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
+    targets = (
+        urls.select(auth.alias("host"), base.alias("_base"))
+        .filter(F.col("host") != "")
+        .groupBy("host")
+        .agg(F.max("_base").alias("_base"))  # 'https://' > 'http://'
+        .select(F.concat(F.col("_base"), F.lit("/robots.txt")).alias("url"))
+    )
+    fetched = fetch_fn(targets).select(
+        F.lower(
+            F.regexp_extract(
+                F.col("url"), r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1
+            )
+        ).alias("host"),
+        F.col("html").alias("robots_txt"),
+    )
+    return robots_rules(fetched)

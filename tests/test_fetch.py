@@ -212,3 +212,63 @@ def test_garbage_http_banner_is_omitted(spark):
         assert got == []
     finally:
         srv.close()
+
+
+def test_fetch_robots_rules_and_denied_pages(spark, server, tmp_path):
+    """The full acquisition loop with robots enforcement: robots.txt
+    fetched through the SAME seam, disallowed pages transition to a
+    terminal 'denied' status WITHOUT ever being requested, and the
+    worklist drops them."""
+    from ecomm_datapipeline_spark.operators import robots as R
+
+    pages = {
+        "/robots.txt": "User-agent: *\nDisallow: /secret\n",
+        "/": '<a href="/ok">a</a><a href="/secret/page">s</a><p>seed</p>',
+        "/ok": "<p>fine body</p>",
+        "/secret/page": "<p>must never be requested</p>",
+    }
+    base, log = server(pages)
+    fetcher = fetch_mod.http_fetcher(timeout_s=5)
+    rules = R.fetch_robots_rules(
+        spark.createDataFrame([(f"{base}/",)], "url string"), fetcher
+    ).localCheckpoint()
+    assert rules.count() > 0
+
+    path = str(tmp_path / "frontier")
+    frontier_store.init_frontier(
+        spark.createDataFrame([(f"{base}/",)], "url string"), path,
+        n_buckets=4,
+    )
+    frontier_store.crawl_rounds(
+        spark, path, fetcher, rounds=5, rules=rules, agent="TestBot"
+    )
+    got = {
+        r["url"]: r["status"]
+        for r in tables.read_table(spark, path).collect()
+    }
+    assert got[f"{base}/"] == "fetched"
+    assert got[f"{base}/ok"] == "fetched"
+    assert got[f"{base}/secret/page"] == "denied"
+    # the denied page was NEVER requested over the wire
+    assert "/secret/page" not in {p for _, p in log}
+    # ...and it has left the worklist: nothing is eligible anymore
+    # (every row is terminal, so the sidecar is fully emptied —
+    # dataless dir, which table_exists treats as absent)
+    assert frontier_store.pending_wave(spark, path, 100).isEmpty()
+    assert not tables.table_exists(path + "_pending")
+
+
+def test_fetch_robots_rules_missing_robots_allows_all(spark, server):
+    from ecomm_datapipeline_spark.operators import robots as R
+
+    base, _ = server({"/a": "x"})  # no /robots.txt -> 404
+    rules = R.fetch_robots_rules(
+        spark.createDataFrame([(f"{base}/a",)], "url string"),
+        fetch_mod.http_fetcher(timeout_s=5),
+    )
+    assert rules.count() == 0  # no rules: robots_allowed allows all
+    out = R.robots_allowed(
+        spark.createDataFrame([(f"{base}/a",)], "url string"),
+        rules, "AnyBot",
+    ).first()
+    assert out["robots_allowed"] is True

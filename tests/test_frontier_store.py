@@ -269,7 +269,7 @@ def test_worklist_sidecar_is_o_pending(spark, tmp_path):
         (r["url"], r["status"], r["tries"])
         for r in tables.read_table(spark, path)
         .filter(
-            (F.col("status") != "fetched")
+            F.col("status").isin("pending", "failed")
             | F.col("refetch_after").isNotNull()
         )
         .collect()
