@@ -111,24 +111,6 @@ def _wal_path(path: str) -> str:
     return path.rstrip("/") + "_wal"
 
 
-def _recover_swapped(path: str) -> None:
-    """Heal the _swap_into window: between its two renames the target
-    is absent with the PREVIOUS content stranded at `__old_*`. A kill
-    there (per-round meta/WAL rewrites pass through it every round)
-    must roll BACK — restoring the previous value keeps the invariant
-    that the marker is never NEWER than the data it attests, so the
-    interrupted round simply replays. No-op when the target exists
-    (a surviving `__old_*` beside it is the post-swap rmtree window —
-    the new content already won; the stale dir is ignored)."""
-    if os.path.isdir(path):
-        return
-    import glob
-
-    cands = sorted(glob.glob(path + "__old_*"), key=os.path.getmtime)
-    if cands:
-        os.rename(cands[-1], path)
-
-
 def _staged_overwrite(df: DataFrame, path: str) -> None:
     """Overwrite `path` with `df` such that a crash at any point
     leaves either the previous content or the new content, never a
@@ -166,11 +148,11 @@ def _read_meta(
     spark: SparkSession, path: str
 ) -> tuple[int | None, int | None]:
     """(n_buckets, committed_round); tolerant of pre-marker sidecars
-    that carry only n_buckets. Recovers a kill inside the staged-swap
-    rename window first — losing the meta sidecar would strand
+    that carry only n_buckets. A kill inside the staged-swap rename
+    window is healed by tables.table_exists/read_table
+    (tables.recover_swapped) — losing the meta sidecar would strand
     n_buckets and wedge every later bucketed commit."""
     mp = _meta_path(path)
-    _recover_swapped(mp)
     if not tables.table_exists(mp):
         return None, None
     df = tables.read_table(spark, mp)
@@ -610,11 +592,15 @@ def seed_refetch(
     modified become wave-eligible (pending_wave(as_of=...)) without
     waiting out the blanket refetch_interval_s policy.
 
-    Matching rows (urls normalized like every other entry point) get
-    refetch_after = the schedule's value (latest wins on duplicate
-    schedule rows); URLs the frontier does not know are IGNORED —
-    discovery is init_frontier/commit_round's job, this only
-    re-schedules. One key-level merge; bucketed tables also refresh
+    Matching FETCHED rows (urls normalized like every other entry
+    point) get refetch_after = the schedule's value (latest wins on
+    duplicate schedule rows); URLs the frontier does not know are
+    IGNORED — discovery is init_frontier/commit_round's job, this only
+    re-schedules — and so are non-fetched rows: pending/failed are
+    already schedulable, and a terminal 'denied' row stamped with a
+    refetch time would re-enter the worklist sidecar as a permanently
+    unschedulable zombie (the wave's refetch arm only honors fetched
+    rows). One key-level merge; bucketed tables also refresh
     the touched worklist-sidecar buckets so the new eligibility is
     visible to the O(pending) wave read. Idempotent: re-running the
     same schedule is a state no-op, so a crash mid-call is healed by
@@ -645,7 +631,8 @@ def seed_refetch(
         ]
         state = state.filter(F.col("bucket").isin(touched))
     updates = (
-        state.join(sched, "url", "inner")
+        state.filter(F.col("status") == "fetched")
+        .join(sched, "url", "inner")
         .withColumn("refetch_after", F.col("_ra"))
         .drop("_ra")
     )
@@ -685,7 +672,6 @@ def _read_wal(
     WAL write precedes every state mutation of its round, so falling
     back to a freshly scheduled wave loses nothing."""
     wp = _wal_path(path)
-    _recover_swapped(wp)
     if not tables.table_exists(wp) or not os.path.exists(
         os.path.join(wp, "_SUCCESS")
     ):

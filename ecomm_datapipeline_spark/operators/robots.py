@@ -66,6 +66,16 @@ _GROUPS_T = (
 )
 _RULES_T = "array<struct<allow:boolean,path:string>>"
 
+# ONE authority extraction shared by every host-keying site in this
+# module: the rules frame's host key (fetch_robots_rules) and the
+# per-URL host key (robots_allowed) must stay byte-identical or
+# enforcement silently allows everything for mismatched hosts.
+_AUTHORITY_RE = r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def _host_key(u: Column) -> Column:
+    return F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))
+
 
 def robots_groups_col(text: Column | str) -> Column:
     """One robots.txt body -> array<struct<agents, rules, open>> per
@@ -285,7 +295,7 @@ def robots_allowed(
     from .urls import pct_normalize_col
 
     u = F.col(url_col)
-    host = F.lower(F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1))
+    host = _host_key(u)
     path = F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     query = F.regexp_extract(u, r"^[^#]*?(\?[^#]*)", 1)
     # same §2.2.2 canonicalization as the rule side (robots_rules)
@@ -499,23 +509,22 @@ def fetch_robots_rules(
     fetch is the politeness-aware Arrow seam; parsing is
     robots_rules' one fold per body."""
     u = F.col(url_col)
-    auth = F.lower(
-        F.regexp_extract(u, r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    # base is LOWERCASED whole (scheme + authority are both
+    # case-insensitive): the https-over-http preference below is a
+    # lexicographic max, which an uppercase 'HTTPS://' spelling would
+    # otherwise invert ('h' > 'H')
+    base = F.lower(
+        F.regexp_extract(u, r"(?i)^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
     )
-    base = F.regexp_extract(u, r"(?i)^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
     targets = (
-        urls.select(auth.alias("host"), base.alias("_base"))
+        urls.select(_host_key(u).alias("host"), base.alias("_base"))
         .filter(F.col("host") != "")
         .groupBy("host")
         .agg(F.max("_base").alias("_base"))  # 'https://' > 'http://'
         .select(F.concat(F.col("_base"), F.lit("/robots.txt")).alias("url"))
     )
     fetched = fetch_fn(targets).select(
-        F.lower(
-            F.regexp_extract(
-                F.col("url"), r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)", 1
-            )
-        ).alias("host"),
+        _host_key(F.col("url")).alias("host"),
         F.col("html").alias("robots_txt"),
     )
     return robots_rules(fetched)

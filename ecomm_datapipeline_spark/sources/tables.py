@@ -20,8 +20,41 @@ from pyspark.sql import functions as F
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    """Table scan (S4)."""
+    """Table scan (S4). Heals a mid-swap strand first (see
+    recover_swapped) so a reader never fails path-not-found inside
+    _swap_into's two-rename window."""
+    recover_swapped(path)
     return spark.read.parquet(path)
+
+
+def _old_strands(path: str) -> list[str]:
+    """`<path>__old_*` siblings, oldest first. glob.escape: a path
+    containing [ ] * ? must not become a pattern — an unmatched
+    strand would silently disable crash recovery."""
+    import glob
+
+    return sorted(
+        glob.glob(glob.escape(path.rstrip("/")) + "__old_*"),
+        key=os.path.getmtime,
+    )
+
+
+def recover_swapped(path: str) -> None:
+    """Heal _swap_into's crash window: between its two renames the
+    target is ABSENT with the previous content stranded at `__old_*` —
+    roll the strand back in, restoring the invariant that a swapped
+    table is always readable and never newer than its sidecar markers
+    (a kill mid-swap simply replays the interrupted operation).
+    No-op when the target exists: a strand beside a live target is a
+    completed swap's interrupted rmtree, which the NEXT swap removes
+    before creating its own strand (so at most one strand can exist
+    when the target is absent — no ambiguity about which to roll
+    back)."""
+    if os.path.isdir(path):
+        return
+    strands = _old_strands(path)
+    if strands:
+        os.rename(strands[-1], path)
 
 
 def table_exists(path: str) -> bool:
@@ -46,6 +79,7 @@ def table_exists(path: str) -> bool:
     def hidden(name: str) -> bool:
         return name.startswith(("_", ".")) and "=" not in name
 
+    recover_swapped(path)  # heal a mid-swap strand before answering
     if not os.path.isdir(path):
         return False
     for _dir, subdirs, files in os.walk(path):
@@ -112,6 +146,13 @@ def _swap_into(tmp: str, path: str) -> None:
     import shutil
     import uuid
 
+    # stale strands first: any __old_* beside a LIVE target is a
+    # previous swap's interrupted rmtree — superseded the moment that
+    # swap's second rename landed. Removing them here keeps the
+    # invariant recover_swapped relies on: when the target is absent,
+    # at most ONE strand exists, and it is the previous content.
+    for stale in _old_strands(path):
+        shutil.rmtree(stale, ignore_errors=True)
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
     try:

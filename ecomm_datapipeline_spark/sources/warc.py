@@ -476,13 +476,14 @@ def drop_duplicate_payloads(records: DataFrame) -> DataFrame:
     free revisit records, so response digests are near-unique there),
     so the resolving join broadcasts under AQE — the response rows'
     payloads never shuffle. No hand hint (the robots_allowed rule)."""
-    # NULL-safe: a NULL digest (caller-built or externally-written
-    # frames — the schema field is nullable) must behave like the
-    # documented digestless '' pass-through, not evaluate the split
-    # predicate to NULL and vanish from BOTH branches
-    is_dd = (F.col("warc_type") == "response") & F.coalesce(
-        F.col("payload_digest") != "", F.lit(False)
-    )
+    # NULL-safe on BOTH terms: a NULL digest or a NULL warc_type
+    # (caller-built or externally-written frames — the schema fields
+    # are nullable) must behave like the documented pass-through, not
+    # evaluate the split predicate to NULL and vanish from BOTH
+    # branches (filter(p) and filter(~p) each drop NULL)
+    is_dd = F.coalesce(
+        F.col("warc_type") == "response", F.lit(False)
+    ) & F.coalesce(F.col("payload_digest") != "", F.lit(False))
     dups = (
         records.filter(is_dd)
         .groupBy("payload_digest")

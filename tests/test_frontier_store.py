@@ -479,3 +479,90 @@ def test_init_reconciles_lost_worklist_rows(spark, tmp_path):
         for r in frontier_store.pending_wave(spark, path, 100).collect()
     }
     assert wave == {"http://a.example/", "http://b.example/"}
+
+
+def test_swap_recovery_layers(spark, tmp_path):
+    """tables-layer crash healing (second review batch): (a) a stale
+    __old_* strand beside a LIVE table (interrupted post-swap rmtree)
+    is removed by the next swap and never resurrected; (b) a mid-swap
+    kill on the STATE table itself heals on the next read; (c) glob
+    metacharacters in the path don't disable recovery."""
+    import os
+
+    # (c): glob metacharacters in the path must not disable strand
+    # discovery (helper-level: Spark itself reads table paths as
+    # globs, so bracketed dirs can't host live tables anyway)
+    broot = tmp_path / "run[1]"
+    broot.mkdir()
+    bpath = str(broot / "f")
+    os.makedirs(bpath + "__old_x")
+    assert tables._old_strands(bpath) == [bpath + "__old_x"]
+    tables.recover_swapped(bpath)
+    assert os.path.isdir(bpath)  # strand rolled back in
+
+    path = str(tmp_path / "f")
+    seeds = spark.createDataFrame([("http://a.example/",)], "url string")
+    frontier_store.init_frontier(seeds, path)  # unbucketed
+    frontier_store.crawl_rounds(spark, path, _fetcher(spark), rounds=1)
+    before = _state(spark, path)
+
+    # (a): plant a stale strand with WRONG content beside the live
+    # meta, then force another marker write (a swap): the stale
+    # strand must be gone afterwards, not resurrectable
+    mp = path + "_meta"
+    stale = mp + "__old_stale"
+    os.makedirs(stale)
+    open(os.path.join(stale, "junk"), "w").write("x")
+    frontier_store._write_meta(spark, path, None, 1)  # swap
+    assert not os.path.isdir(stale)
+
+    # (b): kill mid-swap on the STATE table itself
+    os.rename(path, path + "__old_kill")
+    assert tables.table_exists(path)  # healed by the existence check
+    assert _state(spark, path) == before
+    # and init_frontier does NOT clobber the healed table
+    frontier_store.init_frontier(seeds, path)
+    assert _state(spark, path) == before
+
+    # (b) again through read_table directly
+    os.rename(path, path + "__old_kill2")
+    assert _state(spark, path) == before
+
+
+def test_seed_refetch_ignores_denied_rows(spark, tmp_path):
+    """A sitemap listing a robots-denied URL must not stamp it with a
+    refetch time: the wave's refetch arm only honors fetched rows, so
+    a stamped denied row would re-enter the worklist sidecar as a
+    permanently unschedulable zombie."""
+    from datetime import datetime
+
+    path = str(tmp_path / "f")
+    seeds = spark.createDataFrame(
+        [("http://a.example/p2",), ("http://a.example/secret",)],
+        "url string",
+    )
+    frontier_store.init_frontier(seeds, path, n_buckets=4)
+    ok = spark.createDataFrame([("http://a.example/p2",)], "url string")
+    den = spark.createDataFrame([("http://a.example/secret",)], "url string")
+    frontier_store.commit_round(
+        spark, path, 1, attempted=ok, fetched_ok=ok, denied=den
+    )
+    got = _state(spark, path)
+    assert got["http://a.example/secret"] == ("denied", 0, 1)
+
+    sched = spark.createDataFrame(
+        [
+            ("http://a.example/secret", datetime(2026, 3, 1)),
+            ("http://a.example/p2", datetime(2026, 3, 1)),
+        ],
+        "url string, refetch_after timestamp",
+    )
+    frontier_store.seed_refetch(spark, path, sched)
+    rows = {r["url"]: r for r in tables.read_table(spark, path).collect()}
+    assert rows["http://a.example/secret"]["refetch_after"] is None
+    assert rows["http://a.example/p2"]["refetch_after"] == datetime(2026, 3, 1)
+    # the denied row stays out of the worklist sidecar
+    pp = path + "_pending"
+    if tables.table_exists(pp):
+        side = {r["url"] for r in tables.read_table(spark, pp).collect()}
+        assert "http://a.example/secret" not in side

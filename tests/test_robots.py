@@ -356,3 +356,27 @@ def test_empty_matching_group_allows_everything(spark):
     }
     for u, v in got2.items():
         assert v == _ref_allowed(txt2, "mybot", u) == False, u
+
+
+def test_fetch_robots_rules_prefers_https_case_insensitively(spark):
+    """The https-over-http preference is a lexicographic max over the
+    LOWERCASED base — an uppercase 'HTTPS://' spelling must not invert
+    it ('h' > 'H' would pick http)."""
+    from ecomm_datapipeline_spark.operators import crawl
+
+    pages = spark.createDataFrame(
+        [
+            ("https://site.example/robots.txt",
+             "User-agent: *\nDisallow: /tls"),
+            ("http://site.example/robots.txt",
+             "User-agent: *\nDisallow: /plain"),
+        ],
+        "url string, html string",
+    )
+    urls = spark.createDataFrame(
+        [("HTTPS://Site.example/x",), ("http://site.example/y",)],
+        "url string",
+    )
+    rules = R.fetch_robots_rules(urls, crawl.simulated_fetcher(pages))
+    got = {(r["host"], r["path"]) for r in rules.collect()}
+    assert got == {("site.example", "/tls")}

@@ -628,8 +628,9 @@ def test_drop_duplicate_payloads_null_digest_passthrough(spark):
             ("response", "<id:3>", "sha1:X"),
             ("response", "<id:4>", "sha1:X"),
             ("revisit", "<id:5>", "sha1:X"),
+            (None, "<id:6>", "sha1:X"),  # NULL warc_type: pass through
         ],
         "warc_type string, record_id string, payload_digest string",
     )
     kept = {r["record_id"] for r in W.drop_duplicate_payloads(rows).collect()}
-    assert kept == {"<id:1>", "<id:2>", "<id:3>", "<id:5>"}
+    assert kept == {"<id:1>", "<id:2>", "<id:3>", "<id:5>", "<id:6>"}
