@@ -4341,6 +4341,129 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Harmonic centrality (r10): the rank Common Crawl ships with its host
+# graphs. One gate row certifies BOTH paths of operators/graph.py on a
+# planted circulant graph over nation (25 vertices, steps +1/+5/+7 —
+# strongly connected, diameter ~6, distance-diverse):
+#   * harmonic      — the exact distributed BFS (harmonic_centrality);
+#     oracle = recursive-CTE shortest paths (distinct (u,v,d) triples,
+#     depth-capped at 25 >= diameter, MIN per pair) + SUM(1/d).
+#   * hb_harmonic / hb_reachers — the REAL HyperBall loop in portable-
+#     hash mode; the oracle REPLAYS the HLL registers from exact
+#     distances (register j = h%64, rho = 27-or-26-floor(log2) of the
+#     md5-derived 32-bit hash — bit-identical to dedup.portable_hash32)
+#     and applies the same m=64 estimator (alpha=0.709, linear-counting
+#     branch below 2.5m) per ball radius t, accumulating (est_t -
+#     est_{t-1})/t. Propagated registers == distance-replayed registers
+#     is exactly the HyperBall fixpoint claim, so a hash match here
+#     certifies the iteration, not just the estimator arithmetic.
+# Doubles rounded to 6 (catalog convention); the 2^-M sums are dyadic
+# (exact), ln/div are IEEE-nearest in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "harmonic_centrality",
+    """
+    WITH RECURSIVE
+    e AS (
+      SELECT CAST(n_nationkey AS BIGINT) AS src,
+             CAST((n_nationkey + s.s) % 25 AS BIGINT) AS dst
+      FROM nation, (SELECT UNNEST([1, 5, 7]) AS s) s
+      UNION ALL SELECT 3, 17 UNION ALL SELECT 20, 4
+    ),
+    -- explicit DISTINCT subquery: inside WITH RECURSIVE DuckDB does
+    -- NOT dedup a plain UNION in a non-recursive CTE (measured: 50
+    -- rows from 25+25) — the subquery form dedups correctly
+    verts AS (SELECT DISTINCT id FROM
+              (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+    sp(u, v, d) AS (
+      SELECT id, id, 0 FROM verts
+      UNION
+      SELECT sp.u, e.dst, sp.d + 1 FROM sp JOIN e ON sp.v = e.src
+      WHERE sp.d < 25
+    ),
+    mind AS (SELECT u, v, MIN(d) AS d FROM sp GROUP BY u, v),
+    harm AS (
+      SELECT v AS id, SUM(1.0 / d) AS h FROM mind WHERE d > 0 GROUP BY v
+    ),
+    hreg AS (
+      SELECT id, h32 % 64 AS j,
+             CASE WHEN (h32 // 64) = 0 THEN 27
+                  ELSE 26 - CAST(FLOOR(LOG2(h32 // 64)) AS INT) END AS rho
+      FROM (SELECT id,
+                   CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h32
+            FROM verts)
+    ),
+    tt AS (SELECT UNNEST(range(0, 26)) AS t),
+    mreg AS (
+      SELECT m.v, t.t, r.j, MAX(r.rho) AS mr
+      FROM mind m JOIN tt t ON m.d <= t.t JOIN hreg r ON r.id = m.u
+      GROUP BY m.v, t.t, r.j
+    ),
+    esti AS (
+      SELECT v, t,
+             SUM(POWER(2.0, -mr)) + (64 - COUNT(*)) AS inv_sum,
+             64 - COUNT(*) AS zeros
+      FROM mreg GROUP BY v, t
+    ),
+    estv AS (
+      SELECT v, t,
+             CASE WHEN (0.709 * 4096 / inv_sum) <= 160.0 AND zeros > 0
+                  THEN 64.0 * LN(64.0 / zeros)
+                  ELSE 0.709 * 4096 / inv_sum END AS est
+      FROM esti
+    ),
+    hb AS (
+      SELECT e1.v AS id,
+             SUM((e1.est - e0.est) / e1.t) AS hb_h,
+             MAX(CASE WHEN e1.t = 25 THEN e1.est END) - 1.0 AS hb_r
+      FROM estv e1 JOIN estv e0 ON e0.v = e1.v AND e0.t = e1.t - 1
+      GROUP BY e1.v
+    )
+    SELECT v.id AS id,
+           ROUND(COALESCE(h.h, 0.0), 6) AS harmonic,
+           ROUND(hb.hb_h, 6) AS hb_harmonic,
+           ROUND(hb.hb_r, 6) AS hb_reachers
+    FROM verts v JOIN harm h ON h.id = v.id JOIN hb ON hb.id = v.id
+    """,
+    "ext: harmonic centrality — exact distributed BFS + HyperBall HLL"
+    " (Boldi & Vigna 2013), oracle-replayed registers",
+)
+def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality both ways on the planted circulant graph:
+    the exact multi-source BFS (operators/graph.harmonic_centrality)
+    and the HyperBall estimator loop (hyperball_harmonic, m=64
+    portable-hash mode) — the estimate columns hash-match the oracle's
+    distance-replayed registers, pinning the propagation fixpoint."""
+    from ..operators.graph import harmonic_centrality as _hc
+    from ..operators.graph import hyperball_harmonic
+
+    nation = _t(spark, sf_dir, "nation")
+    edges = nation.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(7))).alias("s"),
+    ).select(
+        "src", ((F.col("src") + F.col("s")) % 25).cast("long").alias("dst")
+    ).unionByName(
+        # two chords breaking the circulant's vertex-transitivity, so
+        # per-vertex harmonic values genuinely differ
+        nation.sparkSession.createDataFrame(
+            [(3, 17), (20, 4)], "src long, dst long"
+        )
+    )
+    exact = _hc(edges)
+    hb = hyperball_harmonic(edges, log2m=6, portable=True)
+    return exact.join(hb, "id").select(
+        F.col("id").cast("bigint").alias("id"),
+        F.round("harmonic", 6).alias("harmonic"),
+        F.round("harmonic_est", 6).alias("hb_harmonic"),
+        F.round("n_reachers_est", 6).alias("hb_reachers"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

@@ -1,0 +1,215 @@
+"""Harmonic centrality (operators/graph.py): exact BFS parity against
+a from-scratch pure-Python BFS reference and closed forms, plus the
+HyperBall estimator — register-fixpoint semantics, approximation
+quality vs exact on a deterministic graph, determinism, portable-hash
+mode, and the convergence guard."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.graph import (
+    _floor_log2,
+    _hll_alpha,
+    harmonic_centrality,
+    hyperball_harmonic,
+    shortest_path_pairs,
+)
+
+
+def _py_harmonic(edges):
+    """Reference: BFS from every vertex along out-edges; H(v) sums
+    1/d(u, v) over sources u reaching v."""
+    verts = sorted({v for e in edges for v in e})
+    adj = {v: [] for v in verts}
+    for s, d in edges:
+        adj[s].append(d)
+    h = {v: 0.0 for v in verts}
+    for u in verts:
+        dist = {u: 0}
+        frontier = [u]
+        t = 0
+        while frontier:
+            t += 1
+            nxt = []
+            for w in frontier:
+                for x in adj[w]:
+                    if x not in dist:
+                        dist[x] = t
+                        nxt.append(x)
+            frontier = nxt
+        for v, d in dist.items():
+            if d > 0:
+                h[v] += 1.0 / d
+    return h
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        [(int(s), int(d)) for s, d in edges], "src long, dst long"
+    )
+
+
+def _circulant(n, steps):
+    return [(v, (v + s) % n) for v in range(n) for s in steps]
+
+
+class TestExact:
+    def test_path_graph_closed_form(self, spark):
+        # a -> b -> c -> d: H(d) = 1 + 1/2 + 1/3, H(a) = 0
+        got = dict(
+            harmonic_centrality(
+                _edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+            ).collect()
+        )
+        assert got[0] == 0.0
+        assert got[1] == pytest.approx(1.0)
+        assert got[2] == pytest.approx(1.5)
+        assert got[3] == pytest.approx(1.0 + 0.5 + 1.0 / 3.0)
+
+    def test_star_in_and_out(self, spark):
+        # hub <- leaves: H(hub) = n_leaves; leaves unreachable
+        edges = [(i, 99) for i in range(1, 6)]
+        got = dict(harmonic_centrality(_edges_df(spark, edges)).collect())
+        assert got[99] == pytest.approx(5.0)
+        assert all(got[i] == 0.0 for i in range(1, 6))
+
+    def test_disconnected_components(self, spark):
+        got = dict(
+            harmonic_centrality(
+                _edges_df(spark, [(0, 1), (10, 11), (11, 12)])
+            ).collect()
+        )
+        assert got[1] == pytest.approx(1.0)
+        assert got[12] == pytest.approx(1.5)
+        assert got[0] == 0.0 and got[10] == 0.0
+
+    def test_parity_vs_python_reference(self, spark):
+        edges = _circulant(23, (1, 5, 8)) + [(3, 17), (20, 4)]
+        want = _py_harmonic(edges)
+        got = dict(harmonic_centrality(_edges_df(spark, edges)).collect())
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], rel=1e-12)
+
+    def test_pairs_are_min_distances(self, spark):
+        # two routes 0 -> 3: direct edge (1 hop) and a 3-hop chain;
+        # the settled pair must carry the minimum
+        pairs = {
+            (r.src, r.dst): r.dist
+            for r in shortest_path_pairs(
+                _edges_df(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+            ).collect()
+        }
+        assert pairs[(0, 3)] == 1
+        assert pairs[(0, 2)] == 2
+        assert pairs[(0, 0)] == 0
+
+    def test_parallel_edges_and_self_loops_harmless(self, spark):
+        base = [(0, 1), (1, 2)]
+        noisy = base + [(0, 1), (1, 1), (2, 2)]
+        want = dict(harmonic_centrality(_edges_df(spark, base)).collect())
+        got = dict(harmonic_centrality(_edges_df(spark, noisy)).collect())
+        for v in want:
+            assert got[v] == pytest.approx(want[v])
+
+    def test_max_rounds_guard(self, spark):
+        with pytest.raises(RuntimeError, match="diameter"):
+            shortest_path_pairs(
+                _edges_df(spark, [(i, i + 1) for i in range(6)]),
+                max_rounds=2,
+            )
+
+
+class TestFloorLog2:
+    def test_exact_at_boundaries(self, spark):
+        # the double-log2 failure mode this helper exists to avoid:
+        # values just below / at powers of two
+        vals = [1, 2, 3, 4, 7, 8, (1 << 25) - 1, 1 << 25, (1 << 26) - 1]
+        df = spark.createDataFrame([(v,) for v in vals], "w long")
+        got = [
+            r.fl
+            for r in df.select(
+                _floor_log2(F.col("w"), 27).alias("fl")
+            ).collect()
+        ]
+        assert got == [int(math.floor(math.log2(v))) for v in vals]
+
+
+class TestHyperBall:
+    def test_alpha_constants(self):
+        assert _hll_alpha(64) == 0.709
+        assert _hll_alpha(1 << 12) == pytest.approx(
+            0.7213 / (1 + 1.079 / 4096)
+        )
+
+    def test_tracks_exact_on_deterministic_graph(self, spark):
+        # m = 256 -> ~6.5% HLL sigma; balls here are <= 60 so the
+        # linear-counting branch dominates and per-vertex error is
+        # well inside 15%
+        edges = _circulant(60, (1, 7, 11)) + [(2, 40), (33, 5)]
+        exact = dict(harmonic_centrality(_edges_df(spark, edges)).collect())
+        est = {
+            r.id: r.harmonic_est
+            for r in hyperball_harmonic(
+                _edges_df(spark, edges), log2m=8
+            ).collect()
+        }
+        assert set(est) == set(exact)
+        for v, want in exact.items():
+            assert est[v] == pytest.approx(want, rel=0.15)
+
+    def test_reacher_counts_near_exact_small_range(self, spark):
+        # path graph: v is reached by exactly v earlier vertices;
+        # tiny balls -> linear counting -> near-exact
+        edges = [(i, i + 1) for i in range(8)]
+        got = {
+            r.id: r.n_reachers_est
+            for r in hyperball_harmonic(
+                _edges_df(spark, edges), log2m=8
+            ).collect()
+        }
+        for v in range(9):
+            assert got[v] == pytest.approx(float(v), abs=0.35)
+
+    def test_deterministic_across_runs(self, spark):
+        edges = _circulant(30, (1, 4))
+        a = sorted(hyperball_harmonic(_edges_df(spark, edges)).collect())
+        b = sorted(hyperball_harmonic(_edges_df(spark, edges)).collect())
+        assert a == b
+
+    def test_portable_mode_matches_xxhash_shape(self, spark):
+        # portable mode changes the hash, not the semantics: on a
+        # strongly connected ring every vertex's settled ball is the
+        # SAME full vertex set, so n_reachers_est is identical across
+        # vertices under either hash, and harmonic stays near exact
+        edges = _circulant(12, (1,))
+        exact = dict(harmonic_centrality(_edges_df(spark, edges)).collect())
+        for portable in (False, True):
+            rows = hyperball_harmonic(
+                _edges_df(spark, edges), log2m=8, portable=portable
+            ).collect()
+            finals = {round(r.n_reachers_est, 9) for r in rows}
+            assert len(finals) == 1
+            for r in rows:
+                assert r.harmonic_est == pytest.approx(
+                    exact[r.id], rel=0.15
+                )
+
+    def test_zero_when_nothing_reaches(self, spark):
+        got = {
+            r.id: (r.harmonic_est, r.n_reachers_est)
+            for r in hyperball_harmonic(
+                _edges_df(spark, [(0, 1)]), log2m=6
+            ).collect()
+        }
+        assert got[0][0] == pytest.approx(0.0)
+        assert got[0][1] == pytest.approx(0.0, abs=0.05)
+
+    def test_max_iter_guard(self, spark):
+        with pytest.raises(RuntimeError, match="converge"):
+            hyperball_harmonic(
+                _edges_df(spark, [(i, i + 1) for i in range(6)]),
+                max_iter=2,
+            )
