@@ -81,6 +81,7 @@ def write_warc_shards(
     seed: int = 42,
     cdx_path: str | None = None,
     cdx_shards: int | None = None,
+    revisit_duplicates: bool = False,
 ) -> list[dict]:
     """Write fetched pages as WARC response shards; return the
     manifest (shard, path, n_records, n_bytes, sha256) sorted by
@@ -89,7 +90,21 @@ def write_warc_shards(
     prunable) — file[offset : offset+length] of any indexed capture
     gunzips to exactly its record. `status_col` (int, default 200)
     rides into the synthesized HTTP head; NULL html writes an empty
-    body (a 204-style capture)."""
+    body (a 204-style capture).
+
+    revisit_duplicates=True is the CommonCrawl archival convention:
+    pages whose payload bytes duplicate another capture are written
+    as payload-free `revisit` records (identical-payload-digest
+    profile, ISO 28500 + WARC 1.1 §6.7.2) carrying WARC-Refers-To =
+    the kept response's record id and WARC-Refers-To-Target-URI — so
+    the archive stores each distinct body ONCE, and the read side's
+    revisit_originals / drop_duplicate_payloads recover the identity
+    for free. Winner = min url per body digest (deterministic across
+    rebuilds). Scale shape: the duplicate set is found on a thin
+    (digest, url) aggregate and joined back as a small frame (AQE
+    broadcast — real corpora have near-unique digests), so payload
+    bytes never take an extra exchange beyond the shard repartition
+    every written page pays anyway."""
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1: {n_shards}")
     cols = dict(df.dtypes)
@@ -98,8 +113,39 @@ def write_warc_shards(
             raise ValueError(f"column {c!r} not in DataFrame")
     os.makedirs(path, exist_ok=True)
 
+    src = df
+    if revisit_duplicates:
+        body = F.encode(
+            F.coalesce(F.col(html_col).cast("string"), F.lit("")), "UTF-8"
+        )
+        src = src.withColumn("_w_dig", F.sha1(body))
+        dups = (
+            src.groupBy("_w_dig")
+            .agg(
+                F.count("*").alias("_n"),
+                F.min(F.col(url_col).cast("string")).alias("_w_orig"),
+            )
+            .filter(F.col("_n") > 1)
+            .select("_w_dig", "_w_orig")
+        )
+        src = src.join(dups, "_w_dig", "left")
+        refers = F.when(
+            F.col("_w_orig").isNotNull()
+            & (F.col(url_col).cast("string") != F.col("_w_orig")),
+            F.col("_w_orig"),
+        )
+        # the original's record id is derived from (its shard, url);
+        # its shard is the same xxhash64 assign_shards computes
+        ref_shard = F.when(
+            refers.isNotNull(),
+            F.pmod(F.xxhash64(F.col("_w_orig"), F.lit(seed)), F.lit(n_shards)),
+        ).cast("int")
+    else:
+        refers = F.lit(None).cast("string")
+        ref_shard = F.lit(None).cast("int")
+
     assigned = (
-        assign_shards(df, url_col, n_shards, seed)
+        assign_shards(src, url_col, n_shards, seed)
         .select(
             F.col(SHARD_COL),
             F.col(ORDER_COL),
@@ -108,6 +154,8 @@ def write_warc_shards(
             (
                 F.col(status_col) if status_col else F.lit(200)
             ).cast("int").alias("_w_status"),
+            refers.alias("_w_refers"),
+            ref_shard.alias("_w_refshard"),
         )
         .repartition(n_shards, F.col(SHARD_COL))
         .sortWithinPartitions(SHARD_COL, ORDER_COL, "_w_url")
@@ -167,6 +215,8 @@ def write_warc_shards(
                 url = str(pdf["_w_url"].iat[i])
                 html = pdf["_w_html"].iat[i]
                 status = int(pdf["_w_status"].iat[i])
+                refers = pdf["_w_refers"].iat[i]
+                is_revisit = isinstance(refers, str) and refers != ""
                 body = ("" if html is None else str(html)).encode("utf-8")
                 digest = _payload_digest(body)
                 http_head = (
@@ -174,27 +224,57 @@ def write_warc_shards(
                     f"Content-Type: {mime}; charset=utf-8\r\n"
                     f"Content-Length: {len(body)}\r\n\r\n"
                 ).encode()
-                payload = http_head + body
-                member = _gzip_member(
-                    _record_bytes(
-                        [
-                            ("WARC-Type", "response"),
-                            (
-                                "WARC-Record-ID",
-                                _uuid_urn("response", str(shard), url),
-                            ),
-                            ("WARC-Date", warc_date),
-                            ("WARC-Target-URI", url),
-                            ("WARC-Payload-Digest", digest),
-                            (
-                                "Content-Type",
-                                "application/http; msgtype=response",
-                            ),
-                            ("Content-Length", str(len(payload))),
-                        ],
-                        payload,
+                if is_revisit:
+                    # payload-free revisit: the response HEAD only —
+                    # the body lives in the referred-to response
+                    ref_id = _uuid_urn(
+                        "response",
+                        str(int(pdf["_w_refshard"].iat[i])),
+                        refers,
                     )
-                )
+                    rec_mime = "warc/revisit"
+                    payload = http_head
+                    headers = [
+                        ("WARC-Type", "revisit"),
+                        (
+                            "WARC-Record-ID",
+                            _uuid_urn("revisit", str(shard), url),
+                        ),
+                        ("WARC-Date", warc_date),
+                        ("WARC-Target-URI", url),
+                        ("WARC-Payload-Digest", digest),
+                        ("WARC-Refers-To", ref_id),
+                        ("WARC-Refers-To-Target-URI", refers),
+                        (
+                            "WARC-Profile",
+                            "http://netpreserve.org/warc/1.0/revisit/"
+                            "identical-payload-digest",
+                        ),
+                        (
+                            "Content-Type",
+                            "application/http; msgtype=response",
+                        ),
+                        ("Content-Length", str(len(payload))),
+                    ]
+                else:
+                    rec_mime = mime
+                    payload = http_head + body
+                    headers = [
+                        ("WARC-Type", "response"),
+                        (
+                            "WARC-Record-ID",
+                            _uuid_urn("response", str(shard), url),
+                        ),
+                        ("WARC-Date", warc_date),
+                        ("WARC-Target-URI", url),
+                        ("WARC-Payload-Digest", digest),
+                        (
+                            "Content-Type",
+                            "application/http; msgtype=response",
+                        ),
+                        ("Content-Length", str(len(payload))),
+                    ]
+                member = _gzip_member(_record_bytes(headers, payload))
                 f = current[1]
                 offset = current[6]
                 f.write(member)
@@ -203,7 +283,7 @@ def write_warc_shards(
                 current[6] += len(member)
                 out.append(
                     (
-                        current[0], False, url, warc_date, status, mime,
+                        current[0], False, url, warc_date, status, rec_mime,
                         digest, current[4], offset, len(member),
                         None, None, None,
                     )

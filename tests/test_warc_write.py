@@ -113,3 +113,91 @@ def test_crawl_archive_ingest_composition(spark, tmp_path):
     assert len(texts) == 2
     assert any("seed page" in t for t in texts)
     assert sum("alpha body" in t for t in texts) == 1
+
+
+DUP_PAGES = [
+    ("https://a.example/", "<p>same body</p>"),
+    ("https://b.example/mirror", "<p>same body</p>"),
+    ("https://z.example/mirror2", "<p>same body</p>"),
+    ("https://c.example/unique", "<p>different</p>"),
+]
+
+
+def test_revisit_duplicates_written_and_resolved(spark, tmp_path):
+    """revisit_duplicates=True stores each distinct payload ONCE: the
+    min-url capture is the response, mirrors become payload-free
+    revisit records whose WARC-Refers-To resolves straight back
+    through revisit_originals."""
+    out = str(tmp_path / "arch")
+    dups = spark.createDataFrame(DUP_PAGES, "url string, html string")
+    WW.write_warc_shards(dups, out, n_shards=2, revisit_duplicates=True)
+    records = W.read_warc(spark, out + "/*.warc.gz").localCheckpoint()
+    resp = records.filter(F.col("warc_type") == "response")
+    revs = records.filter(F.col("warc_type") == "revisit")
+    assert {r["target_uri"] for r in resp.collect()} == {
+        "https://a.example/", "https://c.example/unique",
+    }
+    got_rev = {r["target_uri"]: r for r in revs.collect()}
+    assert set(got_rev) == {
+        "https://b.example/mirror", "https://z.example/mirror2",
+    }
+    # payload-free: the record carries the HTTP head only — the body
+    # bytes live solely in the referred-to response
+    for r in got_rev.values():
+        content = r["payload"] or ""
+        assert "same body" not in str(content)
+        assert str(content).startswith("HTTP/1.1")
+        assert r["refers_to"] != ""
+        assert r["payload_digest"].startswith("sha1:")
+    # the pointer resolves to the kept response's record id
+    resolved = {
+        r["url"]: r["original_id"]
+        for r in W.revisit_originals(records).collect()
+    }
+    keep_id = resp.filter(
+        F.col("target_uri") == "https://a.example/"
+    ).first()["record_id"]
+    assert resolved["https://b.example/mirror"] == keep_id
+    assert resolved["https://z.example/mirror2"] == keep_id
+    records.unpersist()
+
+
+def test_revisit_rebuild_deterministic_and_off_by_default(spark, tmp_path):
+    dups = spark.createDataFrame(DUP_PAGES, "url string, html string")
+    m1 = WW.write_warc_shards(
+        dups, str(tmp_path / "one"), n_shards=2, revisit_duplicates=True
+    )
+    m2 = WW.write_warc_shards(
+        dups.repartition(5), str(tmp_path / "two"), n_shards=2,
+        revisit_duplicates=True,
+    )
+    key = lambda ms: [(m["shard"], m["n_records"], m["sha256"]) for m in ms]  # noqa: E731
+    assert key(m1) == key(m2)
+    # default keeps the old behavior: every capture a full response
+    m3 = WW.write_warc_shards(dups, str(tmp_path / "plain"), n_shards=1)
+    recs = W.read_warc(spark, str(tmp_path / "plain") + "/*.warc.gz")
+    assert recs.filter(F.col("warc_type") == "revisit").count() == 0
+    assert recs.filter(F.col("warc_type") == "response").count() == 4
+    assert sum(m["n_records"] for m in m3) == 4
+
+
+def test_revisit_cdx_marks_warc_revisit_mime(spark, tmp_path):
+    out = str(tmp_path / "arch")
+    cdx = str(tmp_path / "cdx")
+    dups = spark.createDataFrame(DUP_PAGES, "url string, html string")
+    WW.write_warc_shards(
+        dups, out, n_shards=1, cdx_path=cdx, revisit_duplicates=True
+    )
+    idx = spark.read.parquet(cdx)
+    got = {r["url"]: r["mime"] for r in idx.collect()}
+    assert got["https://b.example/mirror"] == "warc/revisit"
+    assert got["https://a.example/"] == "text/html"
+    # the revisit member is still independently gunzippable at its
+    # recorded offset and parses as a revisit record
+    row = idx.filter(F.col("url") == "https://z.example/mirror2").first()
+    blob = open(row["filename"], "rb").read()
+    member = blob[row["offset"]: row["offset"] + row["length"]]
+    text = gzip.decompress(member).decode("utf-8", errors="replace")
+    assert "WARC-Type: revisit" in text
+    assert "WARC-Refers-To-Target-URI: https://a.example/" in text
+    assert "identical-payload-digest" in text
