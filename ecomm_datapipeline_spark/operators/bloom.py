@@ -1,0 +1,187 @@
+"""Bloom-filter membership screening as pure Column algebra.
+
+Training-data pipelines need cheap "have I seen this?" tests against
+sets too large (or too hot) to join every batch against: test-set
+n-grams for decontamination (the GPT-3 appendix-C / PaLM procedure is
+a Bloom filter over eval shingles), frontier seen-URL screening, and
+incremental-ingest novelty gates. A Bloom filter (Bloom 1970) answers
+with ZERO corpus-side shuffle: the filter is a small array of words
+that broadcasts to every task, and membership is a per-row expression
+— no exchange, no join, false-positive-only error (never a false
+negative), so a positive can be verified by an exact join against the
+tiny matched subset while the (vast) negative majority never moves.
+
+Spark shape:
+
+* bloom_build — one thin aggregate: k hash positions per value
+  (explode), distinct, OR-folded into m_bits/32 words. Returns a
+  ONE-ROW DataFrame (words array<bigint>) — the filter itself never
+  touches the driver unless the caller collects it.
+* with_bloom_membership — crossJoin(broadcast(one-row filter)) + the
+  membership expression: the words array rides a broadcast variable
+  (not the plan), so filters of tens of MB work unchanged, and the
+  probe side stays whole-stage-codegen per-row work.
+* Bits are packed 32 per 64-bit word and masks are built with
+  pow(2, p%32) (exact in double up to 2^31) — no variable-distance
+  shift expressions, every operation available and bit-identical in
+  DuckDB for the portable-hash oracle mode (md5-derived positions,
+  the dedup.portable_hash32 convention); production hashing is
+  xxhash64(value, i).
+
+Sizing: false-positive rate ~ (1 - e^(-k*n/m))^k (bloom_fpr); the
+usual operating point m/n ~ 10 bits/item, k = 7 gives ~1%. For a
+10^9-item seen-set that is ~1.2 GB — broadcastable cluster-wide,
+where the equivalent exact join shuffles the corpus every batch.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS_PER_WORD = 32  # packed into bigints; 2^31 masks stay sign-safe
+
+
+def _check_params(m_bits: int, k: int) -> None:
+    if m_bits < BITS_PER_WORD or m_bits % BITS_PER_WORD != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of {BITS_PER_WORD}: {m_bits}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+
+
+def bloom_positions(
+    value: Column | str, m_bits: int, k: int, portable: bool = False
+) -> list[Column]:
+    """The k bit positions of `value`, each in [0, m_bits). Production
+    = xxhash64(value, i); portable = md5 of "i:value" (first 8 hex
+    digits as a 32-bit int — CAST('0x' || substr(md5(...), 1, 8) AS
+    BIGINT) in DuckDB, the portable_hash32 convention)."""
+    _check_params(m_bits, k)
+    v = F.col(value) if isinstance(value, str) else value
+    out = []
+    for i in range(k):
+        if portable:
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), v.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+        else:
+            h = F.xxhash64(v, F.lit(i))
+        out.append(F.pmod(h, F.lit(m_bits)))
+    return out
+
+
+def _mask(p: Column) -> Column:
+    """2^(p % 32) as a bigint — exact (dyadic, < 2^31), portable."""
+    return F.pow(
+        F.lit(2.0), F.pmod(p, F.lit(BITS_PER_WORD)).cast("double")
+    ).cast("long")
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int,
+    portable: bool = False,
+) -> DataFrame:
+    """Build the filter over every value of df[col]: a ONE-ROW frame
+    (words array<bigint> of length m_bits/32, m_bits int, k int).
+    One explode + one distinct + one 2-column aggregate — the values
+    themselves never leave their tasks after hashing. NULLs are
+    skipped (a NULL is not a member)."""
+    _check_params(m_bits, k)
+    n_words = m_bits // BITS_PER_WORD
+    spark = df.sparkSession
+    pos = (
+        df.filter(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                F.array(*bloom_positions(F.col(col), m_bits, k, portable))
+            ).alias("p")
+        )
+        .distinct()
+    )
+    words = pos.groupBy(
+        F.floor(F.col("p") / BITS_PER_WORD).cast("long").alias("w")
+    ).agg(F.bit_or(_mask(F.col("p"))).alias("bits"))
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").alias("w"))
+        .join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+    )
+    return dense.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("_s")
+    ).select(
+        F.transform("_s", lambda x: x["bits"]).alias("words"),
+        F.lit(int(m_bits)).alias("m_bits"),
+        F.lit(int(k)).alias("k"),
+    )
+
+
+def bloom_contains_col(
+    value: Column | str,
+    words: Column | str,
+    m_bits: int,
+    k: int,
+    portable: bool = False,
+) -> Column:
+    """Membership expression: true iff every one of the k bits of
+    `value` is set in `words` (an array<bigint> column — a literal or
+    a broadcast-joined filter row). NULL value -> false."""
+    _check_params(m_bits, k)
+    w = F.col(words) if isinstance(words, str) else words
+    v = F.col(value) if isinstance(value, str) else value
+    checks = []
+    for p in bloom_positions(v, m_bits, k, portable):
+        word = F.element_at(
+            w, (F.floor(p / BITS_PER_WORD) + 1).cast("int")
+        )
+        checks.append(word.bitwiseAND(_mask(p)) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return F.when(v.isNull(), F.lit(False)).otherwise(out)
+
+
+def with_bloom_membership(
+    df: DataFrame,
+    col: str,
+    bloom: DataFrame,
+    m_bits: int,
+    k: int,
+    portable: bool = False,
+    out_col: str = "in_bloom",
+) -> DataFrame:
+    """Probe every row of df[col] against a bloom_build result: the
+    one-row filter crossJoins in as an explicit broadcast (one row —
+    the broadcast is the words array, never the probe side) and the
+    membership check runs as per-row codegen. m_bits/k/portable must
+    match the build call."""
+    b = bloom.select(F.col("words").alias("_bloom_words"))
+    return (
+        df.crossJoin(F.broadcast(b))
+        .withColumn(
+            out_col,
+            bloom_contains_col(
+                F.col(col), F.col("_bloom_words"), m_bits, k, portable
+            ),
+        )
+        .drop("_bloom_words")
+    )
+
+
+def bloom_fpr(n_items: int, m_bits: int, k: int) -> float:
+    """Expected false-positive rate for n inserted items:
+    (1 - e^(-k*n/m))^k."""
+    if n_items <= 0:
+        return 0.0
+    return (1.0 - math.exp(-k * n_items / float(m_bits))) ** k

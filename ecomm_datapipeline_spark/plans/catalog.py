@@ -4464,6 +4464,94 @@ def harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter screening (r10): zero-shuffle membership (decontam
+# prefilter / seen-URL gate). Portable mode makes the WHOLE filter —
+# md5-derived positions, 32-bit-per-word packing via exact POWER(2,·)
+# masks, bit_or fold — bit-identical in DuckDB, so the oracle REBUILDS
+# the words array from scratch and replays both probe sets: a hash
+# match certifies build + probe, including any false positive the
+# parameters produce (both engines produce the same one).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_screen",
+    """
+    WITH pos AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || n_name),
+                             1, 8)) AS BIGINT) % 1024 AS p
+      FROM nation, (SELECT UNNEST([0, 1, 2]) AS i) i
+    ),
+    words AS (
+      SELECT p // 32 AS w, bit_or(CAST(POWER(2, p % 32) AS BIGINT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    dense AS (
+      SELECT r.w, COALESCE(words.bits, 0) AS bits
+      FROM (SELECT UNNEST(range(0, 32)) AS w) r LEFT JOIN words USING (w)
+    ),
+    warr AS (SELECT LIST(bits ORDER BY w) AS ws FROM dense),
+    pc AS (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS popcount
+           FROM dense),
+    pv AS (
+      SELECT n_nationkey AS id, n_name AS v, 'm' AS tag FROM nation
+      UNION ALL
+      SELECT n_nationkey, 'absent-' || n_name, 'a' FROM nation
+    ),
+    ppos AS (
+      SELECT id, tag,
+        CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || v),
+                             1, 8)) AS BIGINT) % 1024 AS p
+      FROM pv, (SELECT UNNEST([0, 1, 2]) AS i) i
+    ),
+    pbits AS (
+      SELECT id, tag,
+        BOOL_AND((warr.ws[CAST(p // 32 AS INT) + 1]
+                  & CAST(POWER(2, p % 32) AS BIGINT)) <> 0) AS hit
+      FROM ppos, warr GROUP BY id, tag
+    )
+    SELECT m.id AS id, m.hit AS member_hit, a.hit AS absent_hit,
+           pc.popcount AS popcount
+    FROM (SELECT id, hit FROM pbits WHERE tag = 'm') m
+    JOIN (SELECT id, hit FROM pbits WHERE tag = 'a') a USING (id), pc
+    """,
+    "ext: Bloom-filter build + membership screening (portable-hash"
+    " mode, oracle rebuilds the words array from scratch)",
+)
+def bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL bloom_build over nation names (m=1024, k=3, portable
+    hashing) probed through the REAL broadcast crossJoin path: every
+    member must hit (the no-false-negative law), the synthesized
+    'absent-*' twins take whatever the parameters give (the oracle
+    reproduces any false positive exactly), and popcount pins the
+    words array itself."""
+    from ..operators.bloom import bloom_build, bloom_contains_col
+
+    nation = _t(spark, sf_dir, "nation")
+    bloom = bloom_build(nation, "n_name", 1024, 3, portable=True)
+    b = bloom.select(F.col("words").alias("_w"))
+    return nation.crossJoin(F.broadcast(b)).select(
+        F.col("n_nationkey").cast("bigint").alias("id"),
+        bloom_contains_col(
+            F.col("n_name"), F.col("_w"), 1024, 3, portable=True
+        ).alias("member_hit"),
+        bloom_contains_col(
+            F.concat(F.lit("absent-"), F.col("n_name")),
+            F.col("_w"),
+            1024,
+            3,
+            portable=True,
+        ).alias("absent_hit"),
+        F.aggregate(
+            "_w",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.bit_count(x).cast("long"),
+        ).alias("popcount"),
+    )
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

@@ -1,0 +1,124 @@
+"""Bloom filter (operators/bloom.py): the no-false-negative
+guarantee, measured FPR vs the analytic bound, build/probe parity in
+both hash modes, packing invariants, the broadcast probe path, and
+parameter validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.bloom import (
+    bloom_build,
+    bloom_contains_col,
+    bloom_fpr,
+    bloom_positions,
+    with_bloom_membership,
+)
+
+
+def _strings(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v string")
+
+
+@pytest.mark.parametrize("portable", [False, True])
+def test_no_false_negatives(spark, portable):
+    members = [f"doc-{i}" for i in range(200)]
+    bloom = bloom_build(
+        _strings(spark, members), "v", m_bits=4096, k=3, portable=portable
+    )
+    probed = with_bloom_membership(
+        _strings(spark, members), "v", bloom, 4096, 3, portable=portable
+    )
+    assert probed.filter(~F.col("in_bloom")).count() == 0
+
+
+def test_fpr_within_analytic_bound(spark):
+    members = [f"m-{i}" for i in range(100)]
+    absent = [f"a-{i}" for i in range(2000)]
+    m_bits, k = 4096, 3
+    bloom = bloom_build(_strings(spark, members), "v", m_bits, k)
+    hits = (
+        with_bloom_membership(_strings(spark, absent), "v", bloom, m_bits, k)
+        .filter(F.col("in_bloom"))
+        .count()
+    )
+    expected = bloom_fpr(len(members), m_bits, k)
+    # generous slack: 2000 Bernoulli trials around ~1.3% expected
+    assert hits / len(absent) < 5 * expected + 0.01
+
+
+def test_words_packing_invariants(spark):
+    members = [f"x{i}" for i in range(25)]
+    m_bits, k = 1024, 3
+    row = bloom_build(_strings(spark, members), "v", m_bits, k).first()
+    assert len(row["words"]) == m_bits // 32
+    assert (row["m_bits"], row["k"]) == (m_bits, k)
+    popcount = sum(bin(w & 0xFFFFFFFF).count("1") for w in row["words"])
+    assert 0 < popcount <= k * len(members)
+    # every word fits the 32-bit packing (no sign-bit masks)
+    assert all(0 <= w < (1 << 32) for w in row["words"])
+
+
+def test_deterministic_and_mode_isolated(spark):
+    members = ["a", "b", "c"]
+    r1 = bloom_build(_strings(spark, members), "v", 256, 2).first()["words"]
+    r2 = bloom_build(
+        _strings(spark, members).repartition(5), "v", 256, 2
+    ).first()["words"]
+    assert r1 == r2
+    rp = bloom_build(
+        _strings(spark, members), "v", 256, 2, portable=True
+    ).first()["words"]
+    assert rp != r1  # different hash family, same machinery
+
+
+def test_positions_in_range_and_distinct_seeds(spark):
+    df = _strings(spark, ["hello"]).select(
+        *[
+            p.alias(f"p{i}")
+            for i, p in enumerate(
+                bloom_positions(F.col("v"), 512, 4, portable=True)
+            )
+        ]
+    )
+    row = df.first()
+    ps = [row[f"p{i}"] for i in range(4)]
+    assert all(0 <= p < 512 for p in ps)
+    assert len(set(ps)) > 1  # the k hashes are genuinely different
+
+
+def test_null_values_are_not_members(spark):
+    df = spark.createDataFrame([("a",), (None,)], "v string")
+    bloom = bloom_build(df, "v", 256, 2)
+    got = {
+        r["v"]: r["in_bloom"]
+        for r in with_bloom_membership(df, "v", bloom, 256, 2).collect()
+    }
+    assert got["a"] is True
+    assert got[None] is False
+
+
+def test_literal_words_expression_path(spark):
+    """bloom_contains_col also works against a plain array literal —
+    the small-filter path where the words ride the plan itself."""
+    members = ["u", "w"]
+    words = bloom_build(_strings(spark, members), "v", 128, 2).first()[
+        "words"
+    ]
+    lit_words = F.array(*[F.lit(int(x)) for x in words])
+    got = {
+        r["v"]: r["hit"]
+        for r in _strings(spark, ["u", "nope"])
+        .select("v", bloom_contains_col("v", lit_words, 128, 2).alias("hit"))
+        .collect()
+    }
+    assert got["u"] is True and got["nope"] is False
+
+
+def test_param_validation():
+    with pytest.raises(ValueError, match="multiple"):
+        bloom_fpr_args = None  # noqa: F841
+        bloom_positions(F.lit("x"), 100, 2)
+    with pytest.raises(ValueError, match="k must be"):
+        bloom_positions(F.lit("x"), 128, 0)
+    assert bloom_fpr(0, 128, 2) == 0.0
+    assert 0.0 < bloom_fpr(100, 1024, 3) < 1.0
