@@ -31,11 +31,20 @@ Delay resolution, most specific wins:
   3. `default_delay_s`.
 
 Failure contract (matches simulated_fetcher): a URL that cannot be
-fetched — non-2xx status, timeout, connection refused, oversized body
-— is OMITTED from the result; crawl_rounds counts omissions as
-failures and retries up to max_tries. Successful rows return
-(url, html, status); callers that want only the crawl contract select
-(url, html).
+fetched — non-2xx status (304 excepted, below), timeout, connection
+refused, oversized body — is OMITTED from the result; crawl_rounds
+counts omissions as failures and retries up to max_tries. Successful
+rows return (url, html, status, etag, last_modified, not_modified);
+callers that want only the crawl contract select (url, html).
+
+Conditional refetch (RFC 9110 §13): when the wave carries `etag` /
+`last_modified` columns (the frontier persists both validators from
+prior responses — frontier_store schema), non-NULL values are sent as
+If-None-Match / If-Modified-Since, and a 304 Not Modified comes back
+as a SUCCESS row with html = NULL and not_modified = true: the crawl
+driver re-stamps freshness without re-downloading, re-parsing, or
+re-extracting the page. 200 rows carry the response's own ETag /
+Last-Modified headers for the frontier to persist.
 
 Charset: decoded from the Content-Type header charset when present,
 else UTF-8, always errors='replace' (a crawler must never die on a
@@ -53,7 +62,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-FETCH_SCHEMA = "url string, html string, status int"
+FETCH_SCHEMA = (
+    "url string, html string, status int,"
+    " etag string, last_modified string, not_modified boolean"
+)
 
 
 def http_fetcher(
@@ -75,7 +87,12 @@ def http_fetcher(
             "host", url_parts(F.col("url"))["host"]
         )
         has_delay_col = "delay_s" in cols
-        sel = ["host", "url"] + (["delay_s"] if has_delay_col else [])
+        validators = [c for c in ("etag", "last_modified") if c in cols]
+        sel = (
+            ["host", "url"]
+            + (["delay_s"] if has_delay_col else [])
+            + validators
+        )
         order = [F.col("host")] + (
             [F.desc("priority")] if "priority" in cols else []
         ) + [F.col("url")]
@@ -91,7 +108,7 @@ def http_fetcher(
 
             last: dict[str, float] = {}  # host -> last request monotonic
             for pdf in batches:
-                out_url, out_html, out_status = [], [], []
+                out: list[tuple] = []
                 for row in pdf.itertuples(index=False):
                     host = row.host
                     # NULL delay_s arrives as NaN through Arrow, which
@@ -108,10 +125,16 @@ def http_fetcher(
                         if wait > 0:
                             time.sleep(wait)
                     last[host] = time.monotonic()
+                    headers = {"User-Agent": agent}
+                    # NULL validators arrive as None/NaN through Arrow
+                    row_etag = getattr(row, "etag", None)
+                    row_lm = getattr(row, "last_modified", None)
+                    if isinstance(row_etag, str) and row_etag:
+                        headers["If-None-Match"] = row_etag
+                    if isinstance(row_lm, str) and row_lm:
+                        headers["If-Modified-Since"] = row_lm
                     try:
-                        req = urllib.request.Request(
-                            row.url, headers={"User-Agent": agent}
-                        )
+                        req = urllib.request.Request(row.url, headers=headers)
                         with urllib.request.urlopen(
                             req, timeout=timeout_s
                         ) as resp:
@@ -128,6 +151,38 @@ def http_fetcher(
                                 html = data.decode(charset, errors="replace")
                             except LookupError:
                                 html = data.decode("utf-8", errors="replace")
+                            out.append(
+                                (
+                                    row.url,
+                                    html,
+                                    status,
+                                    resp.headers.get("ETag"),
+                                    resp.headers.get("Last-Modified"),
+                                    False,
+                                )
+                            )
+                    except urllib.error.HTTPError as err:
+                        # 304 Not Modified: a SUCCESS of the
+                        # conditional request — the cached content
+                        # stands; carry any refreshed validators (a
+                        # 304 may legally re-send ETag) and fall back
+                        # to the ones we asked with
+                        if err.code == 304:
+                            out.append(
+                                (
+                                    row.url,
+                                    None,
+                                    304,
+                                    err.headers.get("ETag")
+                                    or (row_etag if isinstance(row_etag, str) else None),
+                                    err.headers.get("Last-Modified")
+                                    or (row_lm if isinstance(row_lm, str) else None),
+                                    True,
+                                )
+                            )
+                        err.close()
+                        if err.code != 304:
+                            continue
                     except (
                         urllib.error.URLError,
                         # BadStatusLine / IncompleteRead / LineTooLong:
@@ -141,11 +196,16 @@ def http_fetcher(
                         ValueError,  # malformed URL
                     ):
                         continue
-                    out_url.append(row.url)
-                    out_html.append(html)
-                    out_status.append(status)
                 yield pd.DataFrame(
-                    {"url": out_url, "html": out_html, "status": out_status}
+                    out,
+                    columns=[
+                        "url",
+                        "html",
+                        "status",
+                        "etag",
+                        "last_modified",
+                        "not_modified",
+                    ],
                 )
 
         return shaped.mapInPandas(run, FETCH_SCHEMA)

@@ -14,7 +14,15 @@ so one page is one row no matter how many raw spellings link to it):
     url string, host string,
     status string (pending|fetched|failed|denied),
     priority double, tries int, discovered_round int, last_round int,
-    fetched_at timestamp, refetch_after timestamp
+    fetched_at timestamp, refetch_after timestamp,
+    etag string, last_modified string
+
+(etag / last_modified are the RFC 9110 cache validators from the last
+successful 200 — pending_wave hands them back on refetch-eligible
+rows so a conditional fetcher can send If-None-Match /
+If-Modified-Since and a 304 re-stamps freshness without re-parsing;
+see operators/fetch.py. Pre-validator tables upgrade in place on
+first touch, like the v2 recrawl columns.)
 
 Commit protocol (commit_round) — three durable steps, in this order:
 
@@ -89,7 +97,14 @@ from pyspark.sql import functions as F
 from ..sources import tables
 
 _META_SCHEMA = "n_buckets int, committed_round int"
-_V2_COLS = {"fetched_at": "timestamp", "refetch_after": "timestamp"}
+# v2 added the recrawl timestamps; v3 the conditional-fetch validators.
+# One dict: _ensure_v2_table upgrades any older table to the full set.
+_V2_COLS = {
+    "fetched_at": "timestamp",
+    "refetch_after": "timestamp",
+    "etag": "string",
+    "last_modified": "string",
+}
 
 
 def _bucket_col(n_buckets: int):
@@ -200,6 +215,8 @@ def _as_rows(urls: DataFrame, round_id: int, priority: float) -> DataFrame:
         F.lit(None).cast("int").alias("last_round"),
         F.lit(None).cast("timestamp").alias("fetched_at"),
         F.lit(None).cast("timestamp").alias("refetch_after"),
+        F.lit(None).cast("string").alias("etag"),
+        F.lit(None).cast("string").alias("last_modified"),
     )
 
 
@@ -329,7 +346,9 @@ def pending_wave(
     retries left, and — when `as_of` is given — fetched ones whose
     refetch_after has passed, ranked per host by (priority desc, url)
     through frontier_waves, wave 0 only. Returns (url, host, priority,
-    tries).
+    tries, etag, last_modified) — the validators ride along so a
+    conditional fetcher (operators/fetch.http_fetcher) can turn a
+    refetch into If-None-Match / If-Modified-Since.
 
     Reads the `<path>_pending` worklist sidecar when one exists
     (bucketed tables): O(pending) per wave instead of an O(frontier)
@@ -351,7 +370,7 @@ def pending_wave(
             & (F.col("refetch_after") <= F.lit(as_of))
         )
     eligible = state.filter(eligible_pred).select(
-        "url", "host", "priority", "tries"
+        "url", "host", "priority", "tries", "etag", "last_modified"
     )
     waved = frontier_waves(
         eligible,
@@ -360,7 +379,7 @@ def pending_wave(
         host_budgets=host_budgets,
     )
     return waved.filter(F.col("wave") == 0).select(
-        "url", "host", "priority", "tries"
+        "url", "host", "priority", "tries", "etag", "last_modified"
     )
 
 
@@ -453,11 +472,51 @@ def commit_round(
     `fetched_at` set stamps the row; with `refetch_interval_s` also
     set, refetch_after = fetched_at + interval makes the row
     re-eligible for pending_wave(as_of=...) later. A failed attempt
-    keeps its previous fetched_at/refetch_after history."""
+    keeps its previous fetched_at/refetch_after history.
+
+    Conditional-fetch validators: when `fetched_ok` carries `etag` /
+    `last_modified` / `not_modified` columns (operators/fetch.py's
+    FETCH_SCHEMA), a fresh 200 overwrites the row's stored validators
+    with the response's (NULL if the server stopped sending them); a
+    304 (`not_modified`) keeps the stored ones unless the 304 re-sent
+    a value. Failed attempts keep validator history, like the
+    timestamps."""
     nb, committed = _read_meta(spark, path)
     _ensure_v2_table(spark, path, nb)
     state = _with_v2(tables.read_table(spark, path))
-    ok = fetched_ok.select("url").distinct().withColumn("_ok", F.lit(True))
+    fcols = set(fetched_ok.columns)
+    _e = (
+        F.col("etag").cast("string")
+        if "etag" in fcols
+        else F.lit(None).cast("string")
+    )
+    _lm = (
+        F.col("last_modified").cast("string")
+        if "last_modified" in fcols
+        else F.lit(None).cast("string")
+    )
+    _nm = (
+        F.col("not_modified").cast("boolean")
+        if "not_modified" in fcols
+        else F.lit(False)
+    )
+    ok = (
+        fetched_ok.select(
+            "url",
+            _e.alias("_etag"),
+            _lm.alias("_lm"),
+            F.coalesce(_nm, F.lit(False)).alias("_nm"),
+        )
+        # MAX per url: deterministic on (pathological) duplicate
+        # fetch rows, and max(bool) keeps any 304 visible
+        .groupBy("url")
+        .agg(
+            F.max("_etag").alias("_etag"),
+            F.max("_lm").alias("_lm"),
+            F.max("_nm").alias("_nm"),
+        )
+        .withColumn("_ok", F.lit(True))
+    )
     att = attempted.select("url").distinct()
     keep_cols = (["bucket"] if nb is not None else [])
     disc_norm = (
@@ -523,6 +582,23 @@ def commit_round(
             F.when(replay | ~got, F.col("refetch_after"))
             .otherwise(ra)
             .alias("refetch_after"),
+            # 200 -> response validators verbatim; 304 -> keep stored
+            # unless the 304 re-sent one; failure/replay -> history
+            F.when(replay | ~got, F.col("etag"))
+            .otherwise(
+                F.when(
+                    F.col("_nm"), F.coalesce(F.col("_etag"), F.col("etag"))
+                ).otherwise(F.col("_etag"))
+            )
+            .alias("etag"),
+            F.when(replay | ~got, F.col("last_modified"))
+            .otherwise(
+                F.when(
+                    F.col("_nm"),
+                    F.coalesce(F.col("_lm"), F.col("last_modified")),
+                ).otherwise(F.col("_lm"))
+            )
+            .alias("last_modified"),
             *keep_cols,
         )
     )
@@ -542,6 +618,8 @@ def commit_round(
             F.when(replay, F.col("refetch_after"))
             .otherwise(F.lit(None).cast("timestamp"))
             .alias("refetch_after"),
+            "etag",
+            "last_modified",
             *keep_cols,
         )
         updates = updates.unionByName(den_updates)
@@ -654,12 +732,14 @@ def seed_refetch(
 def _write_wal(
     spark: SparkSession, path: str, round_id: int, wave: DataFrame
 ) -> None:
+    extra = [c for c in ("etag", "last_modified") if c in wave.columns]
     df = wave.select(
         F.lit(int(round_id)).alias("wal_round"),
         "url",
         "host",
         "priority",
         "tries",
+        *extra,
     ).coalesce(1)
     _staged_overwrite(df, _wal_path(path))
 
@@ -680,7 +760,10 @@ def _read_wal(
     first = df.first()
     if first is None:
         return None
-    return int(first["wal_round"]), df.select("url", "host", "priority", "tries")
+    extra = [c for c in ("etag", "last_modified") if c in df.columns]
+    return int(first["wal_round"]), df.select(
+        "url", "host", "priority", "tries", *extra
+    )
 
 
 def crawl_rounds(
@@ -716,7 +799,12 @@ def crawl_rounds(
     Recrawl: with refetch_interval_s set, each fetched row is stamped
     fetched_at = now_fn() (default: UTC now at round start)
     and becomes wave-eligible again once refetch_after passes —
-    tries/discovered_round history survives the refetch.
+    tries/discovered_round history survives the refetch. Waves hand
+    the stored etag/last_modified validators to fetch_fn; a fetcher
+    that emits FETCH_SCHEMA metadata (operators/fetch.http_fetcher)
+    turns refetches into conditional requests, 304 rows re-stamp
+    freshness with NO parse/extract work, and fresh 200s rotate the
+    stored validators.
 
     Robots: with `rules` (a robots.robots_rules frame — build it with
     robots.fetch_robots_rules through the same fetch seam), each
@@ -760,9 +848,20 @@ def crawl_rounds(
                 "robots_allowed"
             )
             denied = flagged.filter(~F.col("robots_allowed")).select("url")
-        fetched = (
-            fetch_fn(to_fetch).select("url", "html").localCheckpoint()
+        raw_fetched = fetch_fn(to_fetch)
+        # carry the conditional-fetch metadata ONLY when the fetcher
+        # really emits FETCH_SCHEMA (the not_modified marker): a
+        # plain passthrough fetcher (simulated_fetcher keeps the
+        # wave's columns) would otherwise echo the wave's STORED
+        # validators back as if they were response headers
+        meta_cols = (
+            ["etag", "last_modified", "not_modified"]
+            if "not_modified" in raw_fetched.columns
+            else []
         )
+        fetched = raw_fetched.select(
+            "url", "html", *meta_cols
+        ).localCheckpoint()
         # Materialization BARRIER between extraction and the
         # normalize/trap chain: composing resolve-per-href, URL
         # normalization, and the trap regexes into ONE expression
@@ -771,9 +870,16 @@ def crawl_rounds(
         # generated code measurably exhausts a small driver heap as a
         # single giant source string. Two bounded stages instead; the
         # checkpointed frame is one round's raw hrefs, O(wave links).
-        raw_links = fetched.select(
-            F.explode(extract_links_col("html", base="url")).alias("url")
-        ).localCheckpoint()
+        # 304 rows carry html = NULL — nothing to re-extract (the
+        # filter is also what makes a refetch round cheap: unchanged
+        # pages never reach the parse chain)
+        raw_links = (
+            fetched.filter(F.col("html").isNotNull())
+            .select(
+                F.explode(extract_links_col("html", base="url")).alias("url")
+            )
+            .localCheckpoint()
+        )
         # second barrier AFTER normalize+distinct: the trap filter's
         # predicate references only the grouping column, so Catalyst
         # pushes it through the distinct and inlines the normalize

@@ -258,6 +258,175 @@ def test_fetch_robots_rules_and_denied_pages(spark, server, tmp_path):
     assert not tables.table_exists(path + "_pending")
 
 
+def _serve_cond(pages):
+    """A conditional-GET server: pages maps path -> (body, etag,
+    last_modified). If-None-Match equal to the page's etag -> 304
+    (re-sending ETag, as RFC 9110 allows); otherwise 200 with both
+    validators. Records (path, if_none_match, status) per request."""
+    log = []
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            entry = pages.get(self.path)
+            inm = self.headers.get("If-None-Match")
+            if entry is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            body, etag, lm = entry
+            if inm is not None and inm == etag:
+                self.send_response(304)
+                self.send_header("ETag", etag)
+                self.end_headers()
+                return
+            data = body.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.send_header("ETag", etag)
+            self.send_header("Last-Modified", lm)
+            self.end_headers()
+            self.wfile.write(data)
+
+        def send_response(self, code, message=None):
+            with lock:
+                log.append((self.path, self.headers.get("If-None-Match"), code))
+            super().send_response(code, message)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, log
+
+
+@pytest.fixture
+def cond_server():
+    started = []
+
+    def start(pages):
+        srv, log = _serve_cond(pages)
+        started.append(srv)
+        return f"http://127.0.0.1:{srv.server_port}", log
+
+    yield start
+    for s in started:
+        s.shutdown()
+        s.server_close()
+
+
+_LM = "Mon, 01 Jan 2026 00:00:00 GMT"
+
+
+def test_conditional_fetch_304_and_validator_capture(spark, cond_server):
+    """First (unconditional) fetch captures the response validators;
+    a second wave carrying them sends If-None-Match and turns the 304
+    into a success row with html NULL and not_modified true."""
+    base, log = cond_server({"/a": ("<p>alpha</p>", '"v1"', _LM)})
+    fetch = fetch_mod.http_fetcher(timeout_s=5)
+    first = fetch(_wave(spark, [f"{base}/a"])).collect()
+    assert len(first) == 1
+    r = first[0]
+    assert (r["html"], r["status"], r["not_modified"]) == (
+        "<p>alpha</p>", 200, False,
+    )
+    assert r["etag"] == '"v1"' and r["last_modified"] == _LM
+    wave2 = spark.createDataFrame(
+        [(f"{base}/a", r["etag"], r["last_modified"])],
+        "url string, etag string, last_modified string",
+    )
+    second = fetch(wave2).collect()
+    assert len(second) == 1
+    s = second[0]
+    assert s["html"] is None and s["status"] == 304
+    assert s["not_modified"] is True
+    assert s["etag"] == '"v1"'  # kept for the frontier to persist
+    # the wire really saw a conditional request answered 304
+    assert log[-1] == ("/a", '"v1"', 304)
+
+
+def test_conditional_fetch_stale_etag_rotates(spark, cond_server):
+    """A changed page (stored etag no longer matches) re-downloads
+    and hands back the NEW validators."""
+    base, log = cond_server({"/a": ("<p>v2 body</p>", '"v2"', _LM)})
+    fetch = fetch_mod.http_fetcher(timeout_s=5)
+    wave = spark.createDataFrame(
+        [(f"{base}/a", '"v1"', _LM)],
+        "url string, etag string, last_modified string",
+    )
+    got = fetch(wave).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["html"] == "<p>v2 body</p>" and r["status"] == 200
+    assert r["etag"] == '"v2"' and r["not_modified"] is False
+    assert log[-1] == ("/a", '"v1"', 200)
+
+
+def test_null_validator_columns_fetch_unconditionally(spark, cond_server):
+    """NULL etag/last_modified (a first fetch routed through a wave
+    that carries the columns) must NOT send conditional headers."""
+    base, log = cond_server({"/a": ("<p>x</p>", '"v1"', _LM)})
+    fetch = fetch_mod.http_fetcher(timeout_s=5)
+    wave = spark.createDataFrame(
+        [(f"{base}/a", None, None)],
+        "url string, etag string, last_modified string",
+    )
+    got = fetch(wave).collect()
+    assert got[0]["status"] == 200
+    assert log[-1] == ("/a", None, 200)
+
+
+def test_crawl_rounds_conditional_refetch_e2e(spark, cond_server, tmp_path):
+    """The full recrawl loop over real HTTP: round 1 downloads and
+    stores validators, later refetch waves send If-None-Match, the
+    server answers 304, and the frontier re-stamps freshness — the
+    page body crosses the wire exactly once."""
+    from datetime import datetime, timedelta, timezone
+
+    pages = {
+        "/": ('<a href="/ok">o</a><p>seed</p>', '"e-root"', _LM),
+        "/ok": ("<p>leaf</p>", '"e-ok"', _LM),
+    }
+    base, log = cond_server(pages)
+    path = str(tmp_path / "frontier")
+    frontier_store.init_frontier(
+        spark.createDataFrame([(f"{base}/",)], "url string"), path,
+        n_buckets=2,
+    )
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    clock = {"n": 0}
+
+    def now_fn():
+        clock["n"] += 1
+        return t0 + timedelta(minutes=clock["n"])
+
+    frontier_store.crawl_rounds(
+        spark, path, fetch_mod.http_fetcher(timeout_s=5),
+        rounds=4, refetch_interval_s=30, now_fn=now_fn,
+    )
+    state = {
+        r["url"]: r for r in tables.read_table(spark, path).collect()
+    }
+    root = state[f"{base}/"]
+    assert root["status"] == "fetched" and root["etag"] == '"e-root"'
+    assert state[f"{base}/ok"]["etag"] == '"e-ok"'
+    # every URL was DOWNLOADED exactly once; every later hit was a
+    # conditional 304
+    full = [(p, c) for p, _, c in log if c == 200]
+    assert sorted(full) == [("/", 200), ("/ok", 200)]
+    conds = [(p, inm, c) for p, inm, c in log if c == 304]
+    assert len(conds) >= 2  # refetch rounds really went conditional
+    assert all(inm is not None for _, inm, _ in conds)
+    # freshness was re-stamped by the refetch (fetched_at advanced
+    # past the first round's clock tick; Spark hands back naive
+    # session-local datetimes — UTC in tests)
+    assert root["fetched_at"].replace(tzinfo=timezone.utc) > t0 + timedelta(
+        minutes=1
+    )
+
+
 def test_fetch_robots_rules_missing_robots_allows_all(spark, server):
     from ecomm_datapipeline_spark.operators import robots as R
 

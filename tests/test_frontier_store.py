@@ -566,3 +566,106 @@ def test_seed_refetch_ignores_denied_rows(spark, tmp_path):
     if tables.table_exists(pp):
         side = {r["url"] for r in tables.read_table(spark, pp).collect()}
         assert "http://a.example/secret" not in side
+
+
+def test_validator_persistence_rules(spark, tmp_path):
+    """commit_round's conditional-fetch validator lifecycle: a 200
+    stores the response validators, a 304 keeps (or refreshes) them,
+    a fresh 200 with none rotates them to NULL, and a failed attempt
+    keeps history."""
+    from datetime import datetime, timezone
+
+    path = str(tmp_path / "frontier")
+    url = "http://a.example/"
+    frontier_store.init_frontier(
+        spark.createDataFrame([(url,)], "url string"), path
+    )
+    wave = spark.createDataFrame([(url,)], "url string")
+    t = datetime(2026, 1, 1, tzinfo=timezone.utc)
+
+    def fetched_ok(etag, lm, nm):
+        return spark.createDataFrame(
+            [(url, etag, lm, nm)],
+            "url string, etag string, last_modified string,"
+            " not_modified boolean",
+        )
+
+    def row():
+        return tables.read_table(spark, path).filter(
+            F.col("url") == url
+        ).first()
+
+    # round 1: 200 with validators -> stored
+    frontier_store.commit_round(
+        spark, path, 1, wave, fetched_ok('"v1"', "lm1", False),
+        fetched_at=t, refetch_interval_s=1.0,
+    )
+    r = row()
+    assert (r["etag"], r["last_modified"]) == ('"v1"', "lm1")
+    # round 2: 304 with no re-sent validators -> kept
+    frontier_store.commit_round(
+        spark, path, 2, wave, fetched_ok(None, None, True),
+        fetched_at=t, refetch_interval_s=1.0,
+    )
+    r = row()
+    assert (r["etag"], r["last_modified"]) == ('"v1"', "lm1")
+    assert r["status"] == "fetched"
+    # round 3: 304 re-sending a rotated etag -> refreshed
+    frontier_store.commit_round(
+        spark, path, 3, wave, fetched_ok('"v1b"', None, True),
+        fetched_at=t, refetch_interval_s=1.0,
+    )
+    assert row()["etag"] == '"v1b"'
+    # round 4: failed attempt (not in fetched_ok) -> history kept
+    frontier_store.commit_round(
+        spark, path, 4, wave, fetched_ok(None, None, False).limit(0),
+        fetched_at=t, refetch_interval_s=1.0,
+    )
+    r = row()
+    assert r["status"] == "failed"
+    assert (r["etag"], r["last_modified"]) == ('"v1b"', "lm1")
+    # round 5: fresh 200, server stopped sending validators -> NULLs
+    frontier_store.commit_round(
+        spark, path, 5, wave, fetched_ok(None, None, False),
+        fetched_at=t, refetch_interval_s=1.0,
+    )
+    r = row()
+    assert r["etag"] is None and r["last_modified"] is None
+    # legacy contract: a plain (url)-only fetched_ok still works and
+    # rotates validators to NULL like a validator-less 200
+    frontier_store.commit_round(
+        spark, path, 6, wave,
+        spark.createDataFrame([(url,)], "url string"),
+        fetched_at=t, refetch_interval_s=1.0,
+    )
+    assert row()["etag"] is None
+
+
+def test_pending_wave_carries_validators(spark, tmp_path):
+    """Refetch-eligible rows hand their stored validators to the
+    wave so the fetcher can go conditional."""
+    from datetime import datetime, timedelta, timezone
+
+    path = str(tmp_path / "frontier")
+    url = "http://a.example/"
+    frontier_store.init_frontier(
+        spark.createDataFrame([(url,)], "url string"), path, n_buckets=2
+    )
+    t = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    wave = frontier_store.pending_wave(spark, path, 10)
+    assert {"etag", "last_modified"} <= set(wave.columns)
+    first = wave.first()
+    assert first["etag"] is None  # nothing stored yet
+    frontier_store.commit_round(
+        spark, path, 1, wave,
+        spark.createDataFrame(
+            [(url, '"e9"', "lmx", False)],
+            "url string, etag string, last_modified string,"
+            " not_modified boolean",
+        ),
+        fetched_at=t, refetch_interval_s=30.0,
+    )
+    redo = frontier_store.pending_wave(
+        spark, path, 10, as_of=t + timedelta(minutes=5)
+    ).first()
+    assert (redo["etag"], redo["last_modified"]) == ('"e9"', "lmx")
