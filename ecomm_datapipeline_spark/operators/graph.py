@@ -358,6 +358,7 @@ def hyperball_harmonic(
     log2m: int = 6,
     max_iter: int = 200,
     portable: bool = False,
+    radius: int | None = None,
 ) -> DataFrame:
     """HyperBall harmonic centrality (Boldi & Vigna 2013): (id,
     harmonic_est, n_reachers_est) over (src, dst) edges, where
@@ -383,7 +384,16 @@ def hyperball_harmonic(
     portable=True swaps xxhash64 for the md5-derived 32-bit hash so a
     SQL oracle can replay the registers bit-for-bit from exact
     distances (plans/catalog harmonic_centrality row); production
-    default stays xxhash64."""
+    default stays xxhash64.
+
+    `radius` bounds the ball growth: stop after `radius` rounds even
+    if registers are still changing — the result is then harmonic
+    centrality truncated to contributions within `radius` hops (and
+    n_reachers_est counts the radius-ball), a standard web-graph
+    practice: 1/d terms beyond a few hops are numerically marginal
+    while a long-diameter component would otherwise cost one shuffle
+    round per hop. With radius set, max_iter non-convergence is not
+    an error."""
     m = 1 << log2m
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     verts = (
@@ -450,20 +460,28 @@ def hyperball_harmonic(
             )
             .localCheckpoint()
         )
-        n_changed = new.filter(F.col("_reg2") != F.col("reg")).count()
+        # radius-bounded runs skip convergence detection entirely —
+        # the changed-row count is one extra job per round that a
+        # fixed-depth run never needs
+        n_changed = (
+            None
+            if radius is not None
+            else new.filter(F.col("_reg2") != F.col("reg")).count()
+        )
         state = new.select(
             "id",
             F.col("_reg2").alias("reg"),
             F.col("_est2").alias("est"),
             "harmonic",
         ).localCheckpoint(eager=False)
-        if n_changed == 0:
+        if (radius is not None and t >= radius) or n_changed == 0:
             break
     else:
-        raise RuntimeError(
-            f"hyperball_harmonic did not converge in {max_iter} rounds — "
-            "the graph's diameter exceeds max_iter"
-        )
+        if radius is None:
+            raise RuntimeError(
+                f"hyperball_harmonic did not converge in {max_iter} rounds "
+                "— the graph's diameter exceeds max_iter"
+            )
     return state.select(
         "id",
         F.col("harmonic").alias("harmonic_est"),

@@ -213,3 +213,34 @@ class TestHyperBall:
                 _edges_df(spark, [(i, i + 1) for i in range(6)]),
                 max_iter=2,
             )
+
+
+class TestRadius:
+    def test_truncated_matches_full_prefix(self, spark):
+        # on a path graph, radius-2 harmonic of vertex v counts only
+        # the <=2-hop reachers: 1 + 1/2
+        edges = [(i, i + 1) for i in range(6)]
+        got = {
+            r.id: r.harmonic_est
+            for r in hyperball_harmonic(
+                _edges_df(spark, edges), log2m=8, radius=2
+            ).collect()
+        }
+        assert got[6] == pytest.approx(1.5, abs=0.1)
+        assert got[1] == pytest.approx(1.0, abs=0.05)
+        # full run (no radius) keeps the complete sum
+        full = {
+            r.id: r.harmonic_est
+            for r in hyperball_harmonic(
+                _edges_df(spark, edges), log2m=8
+            ).collect()
+        }
+        assert full[6] > got[6]
+
+    def test_radius_disables_convergence_error(self, spark):
+        # diameter 6 > max_iter 3, but radius=3 makes that fine
+        edges = [(i, i + 1) for i in range(6)]
+        out = hyperball_harmonic(
+            _edges_df(spark, edges), log2m=6, max_iter=3, radius=3
+        )
+        assert out.count() == 7
