@@ -132,3 +132,51 @@ def frontier_waves(
         "wave",
         ((F.col("rank_in_host") - 1) / k).cast("int"),
     ).drop("_bk")
+
+
+def authority_budgets(
+    ranks: DataFrame,
+    base_per_wave: int,
+    host_col: str = "host",
+    rank_col: str = "rank",
+    max_per_wave: int | None = None,
+) -> DataFrame:
+    """HOST-level authority -> politeness-wave budgets: (host,
+    per_wave) for frontier_waves/pending_wave(host_budgets=...), where
+    a host's slots scale with its graph rank relative to the mean —
+    per_wave = clamp(round(base * rank / mean_rank), 1, max). This is
+    where host ranks (graph.pagerank / hyperball_harmonic over the
+    host graph) belong: within one host every URL shares the host's
+    rank, so routing it into row PRIORITY would be a per-host no-op
+    (frontier_store.reseed_priorities documents the split — page
+    ranks there, host ranks here). An authoritative host gets more of
+    the crawl's wave budget; the politeness character is unchanged
+    (Crawl-delay budgets still win: frontier_waves takes the MIN on
+    duplicate host rows, so pass both frames unioned).
+
+    One scalar aggregate (the mean) + a per-row projection on a
+    hosts-sized frame. Ranks <= 0 or NULL clamp to 1 slot."""
+    if base_per_wave < 1:
+        raise ValueError(f"base_per_wave must be >= 1: {base_per_wave}")
+    if max_per_wave is not None and max_per_wave < 1:
+        raise ValueError(f"max_per_wave must be >= 1: {max_per_wave}")
+    r = ranks.select(
+        F.col(host_col).cast("string").alias("host"),
+        F.col(rank_col).cast("double").alias("_r"),
+    ).filter(F.col("host").isNotNull())
+    mean = r.agg(F.avg("_r")).first()[0]
+    if mean is None or mean <= 0:
+        # no usable signal: every listed host keeps the base budget
+        return r.select("host", F.lit(int(base_per_wave)).alias("per_wave"))
+    scaled = F.round(
+        F.lit(float(base_per_wave)) * F.col("_r") / F.lit(float(mean))
+    ).cast("int")
+    capped = (
+        F.least(scaled, F.lit(int(max_per_wave)))
+        if max_per_wave is not None
+        else scaled
+    )
+    return r.select(
+        "host",
+        F.greatest(F.coalesce(capped, F.lit(1)), F.lit(1)).alias("per_wave"),
+    )

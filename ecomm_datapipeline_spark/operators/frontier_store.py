@@ -729,6 +729,83 @@ def seed_refetch(
         ck.unpersist()
 
 
+def reseed_priorities(
+    spark: SparkSession,
+    path: str,
+    ranks: DataFrame,
+    url_col: str = "url",
+    rank_col: str = "rank",
+    weight: float = 1.0,
+) -> None:
+    """Feed PAGE-level link-graph authority back into crawl
+    scheduling: replace the priority of every NON-TERMINAL frontier
+    row whose url appears in `ranks` (graph.pagerank or
+    hyperball_harmonic over the page graph the crawl itself
+    discovered) with weight * rank — the crawl-ordering-by-importance
+    loop of Cho, Garcia-Molina & Page (1998) as one idempotent merge.
+    pending_wave orders every host's queue by (priority desc, url),
+    so the next wave fetches each host's highest-authority pages
+    first. Unranked and terminal rows keep their priority (no link
+    evidence is not negative evidence; terminal rows are never
+    scheduled anyway).
+
+    HOST-level authority does not belong here — within one host every
+    row would get the same priority, which per-host ordering ignores.
+    Route host ranks to WAVE BUDGETS instead:
+    frontier.authority_budgets -> pending_wave/crawl_rounds
+    (host_budgets=...), where authority buys a host more slots per
+    politeness wave.
+
+    Scale shape: reads the O(pending) worklist sidecar when one
+    exists (only worklist rows can change here, and the sidecar IS
+    that set, with full state schema including bucket); the merge
+    then rewrites only the buckets holding updated rows. Idempotent:
+    re-running the same ranks is a state no-op, so a crash mid-call
+    heals by re-running."""
+    from .urls import normalize_url
+
+    nb, _ = _read_meta(spark, path)
+    _ensure_v2_table(spark, path, nb)
+    r = (
+        ranks.select(
+            normalize_url(F.col(url_col)).alias("url"),
+            F.col(rank_col).cast("double").alias("_rank"),
+        )
+        .filter(F.col("url").isNotNull() & F.col("_rank").isNotNull())
+        # one row per url, max rank on duplicates (deterministic)
+        .groupBy("url")
+        .agg(F.max("_rank").alias("_rank"))
+    )
+    pp = _pending_path(path)
+    src = tables.read_table(
+        spark, pp if tables.table_exists(pp) else path
+    )
+    updates = (
+        _with_v2(src)
+        .filter(_worklist_pred())
+        .join(r, "url", "inner")
+        .withColumn("priority", F.lit(float(weight)) * F.col("_rank"))
+        .drop("_rank")
+    )
+    ck = updates.localCheckpoint()
+    try:
+        if ck.isEmpty():
+            return
+        if nb is not None:
+            touched = [
+                row["bucket"]
+                for row in ck.select("bucket").distinct().collect()
+            ]
+            tables.merge_table(
+                ck, path, keys=["url", "bucket"], partition_by=["bucket"]
+            )
+            _rebuild_worklist_buckets(spark, path, touched)
+        else:
+            tables.merge_table(ck, path, keys=["url"])
+    finally:
+        ck.unpersist()
+
+
 def _write_wal(
     spark: SparkSession, path: str, round_id: int, wave: DataFrame
 ) -> None:

@@ -84,3 +84,76 @@ def test_waves_politeness_and_priority(spark):
 def test_validation(spark):
     with pytest.raises(ValueError, match="per_host_per_wave"):
         frontier.frontier_waves(_corpus(spark), 0)
+
+
+class TestAuthorityBudgets:
+    def _ranks(self, spark, rows):
+        return spark.createDataFrame(rows, "host string, rank double")
+
+    def test_scales_with_mean_and_clamps(self, spark):
+        got = {
+            r["host"]: r["per_wave"]
+            for r in frontier.authority_budgets(
+                self._ranks(
+                    spark,
+                    [("a.example", 3.0), ("b.example", 1.0),
+                     ("c.example", 0.0), ("d.example", 8.0)],
+                ),
+                base_per_wave=2,
+                max_per_wave=4,
+            ).collect()
+        }
+        # mean rank = 3.0 -> a: round(2*3/3)=2, b: round(2/3)=1,
+        # c: clamps up to 1, d: round(16/3)=5 -> capped at 4
+        assert got == {
+            "a.example": 2, "b.example": 1, "c.example": 1, "d.example": 4,
+        }
+
+    def test_no_signal_falls_back_to_base(self, spark):
+        got = {
+            r["host"]: r["per_wave"]
+            for r in frontier.authority_budgets(
+                self._ranks(spark, [("a.example", 0.0), ("b.example", 0.0)]),
+                base_per_wave=3,
+            ).collect()
+        }
+        assert got == {"a.example": 3, "b.example": 3}
+
+    def test_budgets_buy_wave_slots(self, spark):
+        # the e2e point: a high-authority host lands more URLs in
+        # wave 0 than a low-authority one
+        urls = spark.createDataFrame(
+            [(f"big.example", f"http://big.example/p{i}") for i in range(6)]
+            + [(f"small.example", f"http://small.example/p{i}")
+               for i in range(6)],
+            "host string, url string",
+        )
+        budgets = frontier.authority_budgets(
+            self._ranks(
+                spark, [("big.example", 3.0), ("small.example", 1.0)]
+            ),
+            base_per_wave=2,
+        )
+        wave0 = (
+            frontier.frontier_waves(
+                urls, per_host_per_wave=2, host_budgets=budgets
+            )
+            .filter(F.col("wave") == 0)
+            .groupBy("host")
+            .count()
+            .collect()
+        )
+        got = {r["host"]: r["count"] for r in wave0}
+        # mean 2.0: big -> round(2*3/2)=3 slots, small -> 1 slot
+        assert got == {"big.example": 3, "small.example": 1}
+
+    def test_validation(self, spark):
+        with pytest.raises(ValueError, match="base_per_wave"):
+            frontier.authority_budgets(
+                self._ranks(spark, [("a", 1.0)]), base_per_wave=0
+            )
+        with pytest.raises(ValueError, match="max_per_wave"):
+            frontier.authority_budgets(
+                self._ranks(spark, [("a", 1.0)]), base_per_wave=1,
+                max_per_wave=0,
+            )

@@ -3,6 +3,7 @@ transitions, retry budget, atomic round commits with replay
 idempotency, restartable driver loop, and equivalence of the fetched
 page set with the in-memory crawl() loop on the same synthetic web."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from ecomm_datapipeline_spark.operators import crawl, frontier_store
@@ -669,3 +670,64 @@ def test_pending_wave_carries_validators(spark, tmp_path):
         spark, path, 10, as_of=t + timedelta(minutes=5)
     ).first()
     assert (redo["etag"], redo["last_modified"]) == ('"e9"', "lmx")
+
+
+def test_reseed_priorities_reorders_waves(spark, tmp_path):
+    """Page-rank feedback: reseed_priorities updates worklist rows
+    from a (url, rank) frame, the next wave fetches the highest-
+    authority page first, terminal rows and unranked rows keep their
+    priority, and re-running the same ranks is a no-op."""
+    path = str(tmp_path / "frontier")
+    urls = [f"http://a.example/p{i}" for i in range(3)]
+    frontier_store.init_frontier(
+        spark.createDataFrame([(u,) for u in urls], "url string"),
+        path, n_buckets=2,
+    )
+    # mark p0 fetched (terminal: no refetch policy) so only p1/p2 stay
+    wave = spark.createDataFrame([(urls[0],)], "url string")
+    frontier_store.commit_round(spark, path, 1, wave, wave)
+    ranks = spark.createDataFrame(
+        [(urls[2], 0.9), (urls[0], 5.0), ("http://a.example/unknown", 7.0)],
+        "url string, rank double",
+    )
+    frontier_store.reseed_priorities(spark, path, ranks, weight=2.0)
+    state = {
+        r["url"]: r for r in tables.read_table(spark, path).collect()
+    }
+    assert state[urls[2]]["priority"] == pytest.approx(1.8)
+    assert state[urls[1]]["priority"] == 0.0  # unranked: untouched
+    assert state[urls[0]]["priority"] == 0.0  # terminal: untouched
+    assert "http://a.example/unknown" not in state  # no discovery here
+    # the next wave (1 slot for the host) picks the reseeded page
+    nxt = frontier_store.pending_wave(spark, path, 1).collect()
+    assert [r["url"] for r in nxt] == [urls[2]]
+    # idempotent: re-running the same ranks changes nothing
+    frontier_store.reseed_priorities(spark, path, ranks, weight=2.0)
+    again = {
+        r["url"]: r["priority"]
+        for r in tables.read_table(spark, path).collect()
+    }
+    assert again == {u: state[u]["priority"] for u in state}
+
+
+def test_reseed_priorities_unbucketed_and_refetch_rows(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    path = str(tmp_path / "frontier")
+    url = "http://a.example/"
+    frontier_store.init_frontier(
+        spark.createDataFrame([(url,)], "url string"), path
+    )
+    wave = spark.createDataFrame([(url,)], "url string")
+    t = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    # fetched WITH a refetch policy -> still a worklist row -> reseeds
+    frontier_store.commit_round(
+        spark, path, 1, wave, wave, fetched_at=t, refetch_interval_s=60.0
+    )
+    frontier_store.reseed_priorities(
+        spark, path,
+        spark.createDataFrame([(url, 0.25)], "url string, rank double"),
+    )
+    row = tables.read_table(spark, path).first()
+    assert row["priority"] == pytest.approx(0.25)
+    assert row["status"] == "fetched"
