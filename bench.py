@@ -414,12 +414,13 @@ def _link_resolve_slot(spark, sf_dir: str):
 
 def _hyperball_slot(spark, sf_dir: str):
     """Host-graph harmonic centrality bench slot (r10): HyperBall
-    (m=64 registers/vertex, radius 4) over a deterministic host graph
+    (m=32 registers/vertex, radius 3) over a deterministic host graph
     derived from the document corpus — 2000 hosts, two out-edges per
-    document. Measures the per-round absorb shuffle (join + 64 max
+    document. Measures the per-round absorb shuffle (join + 32 max
     aggregates keyed on dst) that dominates web-graph ranking; the
     radius bound is the production shape (1/d tails beyond a few hops
-    are numerically marginal)."""
+    are numerically marginal, and fixed depth skips the per-round
+    convergence count)."""
     from pyspark.sql import functions as F
 
     from ecomm_datapipeline_spark.operators.graph import hyperball_harmonic

@@ -166,8 +166,16 @@ def http_fetcher(
                         # conditional request — the cached content
                         # stands; carry any refreshed validators (a
                         # 304 may legally re-send ETag) and fall back
-                        # to the ones we asked with
-                        if err.code == 304:
+                        # to the ones we asked with. A 304 to a
+                        # request that sent NO validator is a server
+                        # bug — there is no cached content to stand,
+                        # so it must take the failure/retry path, not
+                        # mark the row fetched with nothing.
+                        sent_conditional = (
+                            "If-None-Match" in headers
+                            or "If-Modified-Since" in headers
+                        )
+                        if err.code == 304 and sent_conditional:
                             out.append(
                                 (
                                     row.url,
@@ -181,7 +189,7 @@ def http_fetcher(
                                 )
                             )
                         err.close()
-                        if err.code != 304:
+                        if err.code != 304 or not sent_conditional:
                             continue
                     except (
                         urllib.error.URLError,

@@ -168,15 +168,16 @@ def authority_budgets(
     if mean is None or mean <= 0:
         # no usable signal: every listed host keeps the base budget
         return r.select("host", F.lit(int(base_per_wave)).alias("per_wave"))
+    # clamp in DOUBLE before the int cast: heavy-tailed ranks (one
+    # host holding a large share of total mass) push round(base*r/mean)
+    # past INT_MAX, where an ANSI cast aborts the job and a non-ANSI
+    # cast NULLs — handing the MOST authoritative host the MINIMUM
+    # budget via the coalesce
+    cap = float(max_per_wave) if max_per_wave is not None else 2147483647.0
     scaled = F.round(
         F.lit(float(base_per_wave)) * F.col("_r") / F.lit(float(mean))
-    ).cast("int")
-    capped = (
-        F.least(scaled, F.lit(int(max_per_wave)))
-        if max_per_wave is not None
-        else scaled
     )
-    return r.select(
-        "host",
-        F.greatest(F.coalesce(capped, F.lit(1)), F.lit(1)).alias("per_wave"),
+    bounded = F.greatest(
+        F.least(F.coalesce(scaled, F.lit(1.0)), F.lit(cap)), F.lit(1.0)
     )
+    return r.select("host", bounded.cast("int").alias("per_wave"))

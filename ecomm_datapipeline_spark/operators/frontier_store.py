@@ -384,8 +384,15 @@ def pending_wave(
 
 
 def _ensure_v2_table(spark: SparkSession, path: str, nb: int | None) -> None:
-    """One-time in-place schema upgrade for pre-v2 tables (adds the
-    recrawl columns as NULLs) — staged swap, O(frontier) once."""
+    """One-time in-place schema upgrade for pre-v2/v3 tables (adds the
+    recrawl + validator columns as NULLs) — staged swap, O(frontier)
+    once. The worklist sidecar is rebuilt IN FULL from the upgraded
+    state in the same call: later commits rebuild only touched
+    buckets, so an un-upgraded sidecar would otherwise keep mixing
+    pre-upgrade parquet files (missing the new columns) with new ones
+    — and spark.read.parquet infers schema from one file, silently
+    dropping the validator columns from reads whenever it picks an
+    old file."""
     df = tables.read_table(spark, path)
     if set(_V2_COLS) <= set(df.columns):
         return
@@ -394,6 +401,17 @@ def _ensure_v2_table(spark: SparkSession, path: str, nb: int | None) -> None:
     w = up.repartition("bucket").write.partitionBy("bucket") if nb is not None else up.write
     w.mode("overwrite").parquet(tmp)
     tables._swap_into(tmp, path)
+    pp = _pending_path(path)
+    if tables.table_exists(pp):
+        full = tables.read_table(spark, path).filter(_worklist_pred())
+        ptmp = f"{pp}__tmp_{_uuid.uuid4().hex[:8]}"
+        pw = (
+            full.repartition("bucket").write.partitionBy("bucket")
+            if nb is not None
+            else full.write
+        )
+        pw.mode("overwrite").parquet(ptmp)
+        tables._swap_into(ptmp, pp)
 
 
 def _rebuild_worklist_buckets(
@@ -756,12 +774,15 @@ def reseed_priorities(
     (host_budgets=...), where authority buys a host more slots per
     politeness wave.
 
-    Scale shape: reads the O(pending) worklist sidecar when one
-    exists (only worklist rows can change here, and the sidecar IS
-    that set, with full state schema including bucket); the merge
-    then rewrites only the buckets holding updated rows. Idempotent:
-    re-running the same ranks is a state no-op, so a crash mid-call
-    heals by re-running."""
+    Scale shape: the seed_refetch discipline — updates derive from
+    the authoritative STATE table, pruned to the buckets derivable
+    from the ranks' own urls (bucket = f(url), so the prune costs one
+    bounded collect), NEVER from the worklist sidecar: the sidecar
+    can be one crash older than the state (commit_round rebuilds it
+    AFTER the state merge), and merging full sidecar rows back would
+    revert committed fetch state. The merge then rewrites only the
+    buckets holding updated rows. Idempotent: re-running the same
+    ranks is a state no-op, so a crash mid-call heals by re-running."""
     from .urls import normalize_url
 
     nb, _ = _read_meta(spark, path)
@@ -776,13 +797,18 @@ def reseed_priorities(
         .groupBy("url")
         .agg(F.max("_rank").alias("_rank"))
     )
-    pp = _pending_path(path)
-    src = tables.read_table(
-        spark, pp if tables.table_exists(pp) else path
-    )
+    state = _with_v2(tables.read_table(spark, path))
+    touched: list[int] = []
+    if nb is not None:
+        touched = [
+            row["bucket"]
+            for row in r.select(_bucket_col(nb).alias("bucket"))
+            .distinct()
+            .collect()
+        ]
+        state = state.filter(F.col("bucket").isin(touched))
     updates = (
-        _with_v2(src)
-        .filter(_worklist_pred())
+        state.filter(_worklist_pred())
         .join(r, "url", "inner")
         .withColumn("priority", F.lit(float(weight)) * F.col("_rank"))
         .drop("_rank")
@@ -792,10 +818,6 @@ def reseed_priorities(
         if ck.isEmpty():
             return
         if nb is not None:
-            touched = [
-                row["bucket"]
-                for row in ck.select("bucket").distinct().collect()
-            ]
             tables.merge_table(
                 ck, path, keys=["url", "bucket"], partition_by=["bucket"]
             )

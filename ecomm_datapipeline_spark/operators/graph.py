@@ -116,6 +116,7 @@ def pagerank(
         state.filter(F.col("out_deg") == 0).agg(F.sum("rank")).collect()[0][0]
         or 0.0
     )
+    prev_ck = state  # released once the next round's state materializes
     for _ in range(max_iter):
         contrib = (
             sym.join(
@@ -161,6 +162,11 @@ def pagerank(
             F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))),
         ).collect()[0]
         l1, dangling = l1 or 0.0, dangling or 0.0
+        # the agg collect materialized new_state's checkpoint, so the
+        # previous round's blocks are consumed — release them (a
+        # 200-round convergence must not hold 200 rank-frame copies)
+        prev_ck.unpersist()
+        prev_ck = new_state
         state = new_state.drop("_delta")
         if l1 < tol:
             break
@@ -249,9 +255,17 @@ def shortest_path_pairs(
             .localCheckpoint()
         )
         if nxt.isEmpty():
+            nxt.unpersist()
             break
-        seen = seen.unionByName(nxt).localCheckpoint(eager=False)
-        frontier = nxt
+        new_seen = seen.unionByName(nxt).localCheckpoint()
+        # new_seen is eagerly materialized: the previous pair set and
+        # the previous frontier are fully consumed — release their
+        # blocks so a deep BFS holds ~one pair-set copy, not O(rounds)
+        old_seen, old_frontier = seen, frontier
+        seen, frontier = new_seen, nxt
+        old_seen.unpersist()
+        if old_frontier is not old_seen:
+            old_frontier.unpersist()
     else:
         raise RuntimeError(
             f"shortest_path_pairs did not settle in {max_rounds} hops — "
@@ -386,14 +400,18 @@ def hyperball_harmonic(
     distances (plans/catalog harmonic_centrality row); production
     default stays xxhash64.
 
-    `radius` bounds the ball growth: stop after `radius` rounds even
-    if registers are still changing — the result is then harmonic
-    centrality truncated to contributions within `radius` hops (and
-    n_reachers_est counts the radius-ball), a standard web-graph
-    practice: 1/d terms beyond a few hops are numerically marginal
-    while a long-diameter component would otherwise cost one shuffle
-    round per hop. With radius set, max_iter non-convergence is not
-    an error."""
+    `radius` bounds the ball growth: run exactly `radius` rounds
+    (settled registers absorb to themselves, so extra rounds are
+    correct, just not free) — the result is then
+    harmonic centrality truncated to contributions within `radius`
+    hops (and n_reachers_est counts the radius-ball), a standard
+    web-graph practice: 1/d terms beyond a few hops are numerically
+    marginal while a long-diameter component would otherwise cost one
+    shuffle round per hop. With radius set, max_iter and the
+    convergence error do not apply (radius defines the work), and the
+    per-round changed-row count is skipped. Per-round checkpoint
+    blocks are released as soon as the next round materializes, so
+    executor storage holds ~one round of register state."""
     m = 1 << log2m
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     verts = (
@@ -410,7 +428,17 @@ def hyperball_harmonic(
         _hll_estimate(F.col("reg"), m).alias("est"),
         F.lit(0.0).alias("harmonic"),
     ).localCheckpoint()
-    for t in range(1, max_iter + 1):
+    # the previous round's eager checkpoint: releasable once the
+    # current round's checkpoint has materialized (the crawl_rounds
+    # convention — a long run must not accumulate per-round blocks)
+    prev_ck = state
+    if radius is not None and radius < 1:
+        raise ValueError(f"radius must be >= 1: {radius}")
+    # radius DEFINES the depth when set (max_iter is the convergence
+    # guard for unbounded runs only — min()-ing them would silently
+    # hand back a shallower truncation than the caller asked for)
+    bound = radius if radius is not None else max_iter
+    for t in range(1, bound + 1):
         merged = (
             e.join(
                 state.select(F.col("id").alias("src"), "reg"), "src"
@@ -468,13 +496,18 @@ def hyperball_harmonic(
             if radius is not None
             else new.filter(F.col("_reg2") != F.col("reg")).count()
         )
+        # `new` is eagerly materialized, so the previous round's
+        # blocks (its inputs) are consumed — release them; the state
+        # projection below is plain lineage over the fresh checkpoint
+        prev_ck.unpersist()
+        prev_ck = new
         state = new.select(
             "id",
             F.col("_reg2").alias("reg"),
             F.col("_est2").alias("est"),
             "harmonic",
-        ).localCheckpoint(eager=False)
-        if (radius is not None and t >= radius) or n_changed == 0:
+        )
+        if n_changed == 0:
             break
     else:
         if radius is None:

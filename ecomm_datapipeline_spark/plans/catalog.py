@@ -4363,6 +4363,19 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _floor_log2_sql(expr: str, width: int) -> str:
+    """floor(log2(expr)) for integral expr in [1, 2^width) as EXACT
+    integer threshold comparisons — mirrors graph._floor_log2, which
+    exists precisely because FLOOR(LOG2(w)) can round wrong at
+    power-of-two boundaries (libm-dependent); the oracle must not
+    reintroduce the hazard the Spark side engineered out."""
+    terms = " + ".join(
+        f"CASE WHEN ({expr}) >= {1 << k} THEN 1 ELSE 0 END"
+        for k in range(1, width)
+    )
+    return f"({terms})"
+
+
 @register(
     "harmonic_centrality",
     """
@@ -4391,7 +4404,9 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     hreg AS (
       SELECT id, h32 % 64 AS j,
              CASE WHEN (h32 // 64) = 0 THEN 27
-                  ELSE 26 - CAST(FLOOR(LOG2(h32 // 64)) AS INT) END AS rho
+                  ELSE 26 - """
+    + _floor_log2_sql("h32 // 64", 26)
+    + """ END AS rho
       FROM (SELECT id,
                    CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))
                         AS BIGINT) AS h32

@@ -441,3 +441,51 @@ def test_fetch_robots_rules_missing_robots_allows_all(spark, server):
         rules, "AnyBot",
     ).first()
     assert out["robots_allowed"] is True
+
+
+def test_304_to_unconditional_request_is_a_failure(spark, cond_server):
+    """A 304 answered to a request that sent NO validator is a server
+    bug: there is no cached content to stand, so the row must take
+    the omission/retry path, never 'fetched' with html NULL."""
+
+    class Always304:
+        pass
+
+    # a raw socket server that answers 304 to everything
+    import socket
+    import threading as th
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(5)
+    port = srv.getsockname()[1]
+
+    def serve():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            try:
+                conn.recv(4096)
+                conn.sendall(
+                    b"HTTP/1.1 304 Not Modified\r\n"
+                    b'ETag: "phantom"\r\n\r\n'
+                )
+            finally:
+                conn.close()
+
+    th.Thread(target=serve, daemon=True).start()
+    try:
+        fetch = fetch_mod.http_fetcher(timeout_s=5)
+        got = fetch(_wave(spark, [f"http://127.0.0.1:{port}/x"])).collect()
+        assert got == []  # omitted -> crawl_rounds retries it
+        # ...but WITH a validator the same 304 is a success
+        wave = spark.createDataFrame(
+            [(f"http://127.0.0.1:{port}/x", '"phantom"', None)],
+            "url string, etag string, last_modified string",
+        )
+        ok = fetch(wave).collect()
+        assert len(ok) == 1 and ok[0]["not_modified"] is True
+    finally:
+        srv.close()

@@ -731,3 +731,47 @@ def test_reseed_priorities_unbucketed_and_refetch_rows(spark, tmp_path):
     row = tables.read_table(spark, path).first()
     assert row["priority"] == pytest.approx(0.25)
     assert row["status"] == "fetched"
+
+
+def test_schema_upgrade_rebuilds_sidecar_in_full(spark, tmp_path):
+    """The validator-column upgrade must cover the worklist sidecar
+    too: commit_round only rebuilds TOUCHED sidecar buckets, so a
+    pre-upgrade sidecar would otherwise keep mixing old-schema files
+    with new ones — and spark.read.parquet infers schema from one
+    file, silently dropping the validator columns on reads."""
+    import os
+
+    path = str(tmp_path / "frontier")
+    urls = [f"http://h{i}.example/" for i in range(8)]
+    frontier_store.init_frontier(
+        spark.createDataFrame([(u,) for u in urls], "url string"),
+        path, n_buckets=4,
+    )
+    # simulate a pre-v3 table: strip the validator columns from both
+    # the state table and the sidecar, preserving the bucket layout
+    for p in (path, path + "_pending"):
+        df = tables.read_table(spark, p).drop("etag", "last_modified")
+        tmp = p + "__strip"
+        df.repartition("bucket").write.partitionBy("bucket").mode(
+            "overwrite"
+        ).parquet(tmp)
+        import shutil
+
+        shutil.rmtree(p)
+        os.rename(tmp, p)
+    # one commit touching ONE url (-> one bucket) triggers the upgrade
+    wave = spark.createDataFrame([(urls[0],)], "url string")
+    frontier_store.commit_round(spark, path, 1, wave, wave)
+    # EVERY sidecar bucket file now carries the validator columns —
+    # read each bucket dir in isolation (full-table reads can mask a
+    # mixed schema by picking a new file for inference)
+    pp = path + "_pending"
+    buckets = [d for d in os.listdir(pp) if d.startswith("bucket=")]
+    assert buckets
+    for b in buckets:
+        cols = spark.read.parquet(os.path.join(pp, b)).columns
+        assert "etag" in cols and "last_modified" in cols, (b, cols)
+    # and the wave hands validators back without schema surprises
+    assert {"etag", "last_modified"} <= set(
+        frontier_store.pending_wave(spark, path, 10).columns
+    )
