@@ -122,3 +122,21 @@ def test_param_validation():
         bloom_positions(F.lit("x"), 128, 0)
     assert bloom_fpr(0, 128, 2) == 0.0
     assert 0.0 < bloom_fpr(100, 1024, 3) < 1.0
+
+
+def test_probe_side_never_shuffles(spark):
+    """Scale pin: the whole point of the Bloom screen is that the
+    probe corpus pays ZERO exchange — the filter broadcasts (one row)
+    and membership is per-row codegen. The physical plan must show a
+    broadcast join and no shuffle partitioning anywhere."""
+    members = [f"m{i}" for i in range(50)]
+    bloom = bloom_build(
+        _strings(spark, members), "v", 512, 3
+    ).localCheckpoint()
+    probed = with_bloom_membership(
+        _strings(spark, [f"p{i}" for i in range(100)]), "v", bloom, 512, 3
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
