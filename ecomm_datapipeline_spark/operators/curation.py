@@ -454,6 +454,12 @@ def decontaminate(
     definition), so the corpus side is one map-side semi-join over its
     exploded 8-byte shingle hashes: O(corpus tokens) work, no
     corpus-sized shuffle.
+    mode="bloom": the ngram rule with the benchmark's gram set held
+    as a Bloom filter instead of an exact broadcast — the seen-set-
+    scale path (prior-snapshot grams, every eval suite unioned):
+    fixed ~2 bytes/gram broadcast, zero-exchange corpus scan,
+    one-sided error (FPR over-removes conservatively, never leaks;
+    report rows carry _bench_id NULL since a filter cannot attribute).
     mode="minhash": near-dup probe of the corpus against the
     benchmark's band index (dedup.minhash_band_index +
     incremental_minhash_candidates with the corpus as the "batch") —
@@ -480,7 +486,7 @@ def decontaminate(
         hits = corp_fp.join(bench_fp, "fingerprint").select(
             id_col, "_bench_id", F.lit("exact").alias("how")
         )
-    elif mode == "ngram":
+    elif mode in ("ngram", "bloom"):
         def _grams(df_in: DataFrame, key: str) -> DataFrame:
             return df_in.select(
                 F.col(key),
@@ -491,6 +497,52 @@ def decontaminate(
                     )
                 ).alias("_gram_h"),
             )
+
+        if mode == "bloom":
+            # the ngram rule at SEEN-SET scale: when the "benchmark"
+            # is huge (a prior snapshot's n-grams, a union of every
+            # eval suite), broadcasting its exact hash set is
+            # gigabytes — a Bloom filter is a fixed ~2 bytes/gram
+            # broadcast and the corpus side stays one zero-exchange
+            # scan. One-sided error only: an FPR-flagged document is
+            # REMOVED conservatively (never the reverse — Bloom has
+            # no false negatives), so cleanliness is preserved and
+            # the over-removal rate is bloom_fpr(n, m, k) per gram.
+            # The report carries _bench_id NULL: a filter cannot name
+            # which benchmark doc matched; use mode="ngram" when the
+            # audit needs attribution.
+            from .bloom import bloom_build, with_bloom_membership
+
+            bgrams = (
+                _grams(bench_ids, "_bench_id").select("_gram_h").distinct()
+            )
+            n_grams = bgrams.count()
+            # ~16 bits/gram, k=3 -> FPR ~0.5%; floor keeps tiny
+            # benchmarks from degenerate m
+            m_bits = max(1024, 32 * ((16 * n_grams + 31) // 32))
+            blm = bloom_build(bgrams, "_gram_h", m_bits, 3)
+            hits = (
+                with_bloom_membership(
+                    _grams(corpus, id_col), "_gram_h", blm, m_bits, 3,
+                    out_col="_in",
+                )
+                .filter(F.col("_in"))
+                .select(id_col)
+                .distinct()
+                .select(
+                    id_col,
+                    F.lit(None)
+                    .cast(dict(benchmark.dtypes)[id_col])
+                    .alias("_bench_id"),
+                    F.lit(f"bloom{ngram_n}").alias("how"),
+                )
+            )
+            cleaned = corpus.join(
+                hits.select(id_col).distinct(), id_col, "left_anti"
+            )
+            if return_report:
+                return cleaned, hits
+            return cleaned
 
         bench_grams = (
             _grams(bench_ids, "_bench_id").distinct()
@@ -537,7 +589,7 @@ def decontaminate(
             .select(id_col, "_bench_id", F.lit("minhash").alias("how"))
         )
     else:
-        raise ValueError(f"mode must be exact|ngram|minhash: {mode}")
+        raise ValueError(f"mode must be exact|ngram|minhash|bloom: {mode}")
 
     cleaned = corpus.join(hits.select(id_col).distinct(), id_col, "left_anti")
     if return_report:

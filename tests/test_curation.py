@@ -618,3 +618,69 @@ def test_curation_published_rule_presets(spark):
     assert "fragment without punctuation" not in out[1]  # line rewritten
     # 3 kept lines survive (clean_text later collapses \n to spaces)
     assert out[1].count("sentence") == 3
+
+
+def test_decontaminate_bloom_matches_ngram_semantics(spark):
+    """mode='bloom': the same 13-gram rule behind a Bloom filter —
+    the quoted-snippet doc is removed (no false negatives ever), the
+    12-word near-miss and the clean doc survive at these parameters,
+    and the report carries NULL _bench_id (a filter can't attribute)."""
+    from ecomm_datapipeline_spark.operators.curation import decontaminate
+
+    bench_text = " ".join(f"benchword{i}" for i in range(20))
+    filler = " ".join(f"host{i} token{i}" for i in range(150))
+    snippet13 = " ".join(bench_text.split()[:13])
+    snippet12 = " ".join(bench_text.split()[:12])
+    corpus = spark.createDataFrame(
+        [
+            (1, f"{filler} {snippet13} {filler}"),
+            (2, f"{filler} {snippet12}-x {filler}"),
+            (3, filler),
+        ],
+        "doc_id long, text string",
+    )
+    benchmark = spark.createDataFrame(
+        [(7, bench_text)], "doc_id long, text string"
+    )
+    cleaned, report = decontaminate(
+        corpus, benchmark, mode="bloom", ngram_n=13, return_report=True
+    )
+    kept = {r["doc_id"] for r in cleaned.collect()}
+    assert kept == {2, 3}
+    rep = [(r["doc_id"], r["_bench_id"], r["how"]) for r in report.collect()]
+    assert rep == [(1, None, "bloom13")]
+    # agreement with the exact ngram mode on this fixture
+    kept_ngram = {
+        r["doc_id"]
+        for r in decontaminate(
+            corpus, benchmark, mode="ngram", ngram_n=13
+        ).collect()
+    }
+    assert kept == kept_ngram
+
+
+def test_decontaminate_bloom_never_leaks(spark):
+    """The one-sided-error law at the decontamination level: every
+    document sharing a 13-gram with the benchmark is ALWAYS removed
+    under mode='bloom', whatever the collision luck — scanned across
+    many distinct contaminated docs."""
+    from ecomm_datapipeline_spark.operators.curation import decontaminate
+
+    bench_text = " ".join(f"evaltok{i}" for i in range(40))
+    grams = bench_text.split()
+    rows = []
+    for d in range(30):  # 30 contaminated docs quoting different spans
+        start = d % 20
+        quote = " ".join(grams[start:start + 13])
+        rows.append((d, f"pad{d} alpha beta {quote} gamma delta"))
+    rows.append((100, " ".join(f"clean{i}" for i in range(60))))
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    benchmark = spark.createDataFrame(
+        [(1, bench_text)], "doc_id long, text string"
+    )
+    kept = {
+        r["doc_id"]
+        for r in decontaminate(corpus, benchmark, mode="bloom").collect()
+    }
+    assert 100 in kept
+    assert kept & set(range(30)) == set()
