@@ -37,6 +37,13 @@ counts omissions as failures and retries up to max_tries. Successful
 rows return (url, html, status, etag, last_modified, not_modified);
 callers that want only the crawl contract select (url, html).
 
+Redirects: urllib follows 3xx chains transparently; `final_url` is
+the URL the content was actually served from (resp.geturl()). When it
+differs from `url`, the pair is a redirect alias — feed it the same
+alias-collapse path as html.canonical_alias_pairs so mirror spellings
+fold together BEFORE content dedup (and before the frontier wastes
+budget fetching both).
+
 Conditional refetch (RFC 9110 §13): when the wave carries `etag` /
 `last_modified` columns (the frontier persists both validators from
 prior responses — frontier_store schema), non-NULL values are sent as
@@ -64,7 +71,8 @@ from pyspark.sql import functions as F
 
 FETCH_SCHEMA = (
     "url string, html string, status int,"
-    " etag string, last_modified string, not_modified boolean"
+    " etag string, last_modified string, not_modified boolean,"
+    " final_url string"
 )
 
 
@@ -159,6 +167,7 @@ def http_fetcher(
                                     resp.headers.get("ETag"),
                                     resp.headers.get("Last-Modified"),
                                     False,
+                                    resp.geturl() or row.url,
                                 )
                             )
                     except urllib.error.HTTPError as err:
@@ -186,6 +195,7 @@ def http_fetcher(
                                     err.headers.get("Last-Modified")
                                     or (row_lm if isinstance(row_lm, str) else None),
                                     True,
+                                    row.url,  # a 304 serves no redirect
                                 )
                             )
                         err.close()
@@ -213,6 +223,7 @@ def http_fetcher(
                         "etag",
                         "last_modified",
                         "not_modified",
+                        "final_url",
                     ],
                 )
 

@@ -279,6 +279,95 @@ def base_href_col(col: Column | str) -> Column:
     )
 
 
+def _bind1(expr: Column, fn) -> Column:
+    """Bind `expr` ONCE as a lambda variable so `fn` may reference it
+    freely without duplicating its tree — the value-level form of the
+    _map_with_effective_base idiom. Composing big expression builders
+    (resolver -> normalize -> predicates) without this multiplies the
+    inner tree at every outer reference; measured here as a driver
+    heap OOM during plan canonicalization (canonical_alias_pairs, the
+    same trap crawl_rounds barriers against)."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
+_CANONICAL_TAG = (
+    "(?is)<link\\b[^>]*\\brel\\s*=\\s*['\"]?canonical\\b['\"]?[^>]*>"
+)
+_TAG_HREF_PATTERNS = (
+    "(?is)\\bhref\\s*=\\s*\"([^\"]*)\"",
+    "(?is)\\bhref\\s*=\\s*'([^']*)'",
+    "(?is)\\bhref\\s*=\\s*([^\\s\"'>]+)",
+)
+
+
+def canonical_url_col(
+    col: Column | str, base: Column | str | None = None
+) -> Column:
+    """The page's declared canonical URL — the first
+    `<link rel="canonical" href=...>` value — or NULL when absent.
+    The whole tag is captured first, so attribute ORDER doesn't
+    matter (href-before-rel is common in the wild); href extraction
+    then follows the quoting ladder every extractor here uses.
+
+    With `base` (the page's own URL), the value resolves per RFC 3986
+    against the page's effective base (<base href> honored, bound
+    once — the _map_with_effective_base discipline) and non-http(s)
+    results NULL out; without base, only absolute http(s) values
+    survive. Canonical declarations are how a crawl collapses
+    parameter/mirror aliases BEFORE content dedup ever runs — pair
+    with urls.normalize_url and the dedup keepers."""
+    c = F.col(col) if isinstance(col, str) else col
+    tag = F.nullif(F.regexp_extract(c, _CANONICAL_TAG, 0), F.lit(""))
+    href = F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(tag, p, 1), F.lit(""))
+            for p in _TAG_HREF_PATTERNS
+        ]
+    )
+    if base is not None:
+        from .urls import resolve_url_col
+
+        b = F.col(base) if isinstance(base, str) else base
+        href = F.element_at(
+            _map_with_effective_base(
+                c, b, F.array(href), lambda ebv, u: resolve_url_col(ebv, u)
+            ),
+            1,
+        )
+    return _bind1(href, lambda h: F.when(h.rlike("(?i)^https?://"), h))
+
+
+def canonical_alias_pairs(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+) -> DataFrame:
+    """(url, canonical) for every page whose declared canonical
+    differs from its own (normalized) URL — the alias map a crawl
+    folds into dedup: all alias rows collapse onto the canonical
+    BEFORE any content fingerprinting. Pure expressions + one filter;
+    zero shuffle."""
+    from .urls import normalize_url
+
+    # every seam bound once (_bind1): raw extraction -> normalize ->
+    # the self/empty gate each reference their input several times,
+    # and unbounded composition OOMs plan canonicalization
+    raw = canonical_url_col(F.col(html_col), F.col(url_col))
+    # explicitly unary lambdas: F.transform probes fn arity, and
+    # normalize_url's tuple defaults would receive the index column
+    canon = _bind1(raw, lambda v: normalize_url(v))
+    own = _bind1(F.col(url_col), lambda v: normalize_url(v))
+    gated = _bind1(
+        canon,
+        lambda cv: F.when(
+            cv.isNotNull() & (cv != "") & (cv != own), cv
+        ),
+    )
+    return df.select(
+        F.col(url_col).alias("url"), gated.alias("canonical")
+    ).filter(F.col("canonical").isNotNull())
+
+
 def _map_with_effective_base(html: Column, base: Column, arr, fn) -> Column:
     """Map `fn(effective_base, element)` over `arr` with the page's
     effective base bound ONCE as a lambda variable — shared by

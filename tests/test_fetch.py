@@ -489,3 +489,42 @@ def test_304_to_unconditional_request_is_a_failure(spark, cond_server):
         assert len(ok) == 1 and ok[0]["not_modified"] is True
     finally:
         srv.close()
+
+
+def test_redirect_final_url_surfaces(spark, server):
+    """3xx chains are followed transparently; final_url names where
+    the content actually came from, so (url, final_url) pairs feed
+    the alias-collapse path."""
+    import urllib.request  # noqa: F401
+
+    pages = {"/real": "<p>target body</p>"}
+    base, log = server(pages)
+
+    # a redirecting handler in front of the page server
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    import threading as th
+
+    class R(BaseHTTPRequestHandler):
+        def do_GET(self):
+            self.send_response(302)
+            self.send_header("Location", f"{base}/real")
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    rsrv = ThreadingHTTPServer(("127.0.0.1", 0), R)
+    th.Thread(target=rsrv.serve_forever, daemon=True).start()
+    try:
+        rbase = f"http://127.0.0.1:{rsrv.server_port}"
+        got = fetch_mod.http_fetcher(timeout_s=5)(
+            _wave(spark, [f"{rbase}/moved"])
+        ).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["url"] == f"{rbase}/moved"
+        assert r["final_url"] == f"{base}/real"
+        assert r["html"] == "<p>target body</p>"
+    finally:
+        rsrv.shutdown()
+        rsrv.server_close()

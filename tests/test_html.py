@@ -237,3 +237,81 @@ def test_link_edges_duckdb_differential(spark):
         ).fetchall()
     )
     assert got == want
+
+
+class TestCanonical:
+    def _one(self, spark, html, url=None):
+        from ecomm_datapipeline_spark.operators.html import canonical_url_col
+
+        df = spark.createDataFrame(
+            [(html, url or "https://site.example/a/page?x=1")],
+            "html string, url string",
+        )
+        return df.select(
+            canonical_url_col("html", "url").alias("c")
+        ).first()["c"]
+
+    def test_absolute_and_attribute_order(self, spark):
+        assert self._one(
+            spark,
+            '<link rel="canonical" href="https://site.example/page">',
+        ) == "https://site.example/page"
+        # href BEFORE rel — common in the wild
+        assert self._one(
+            spark,
+            "<link href='https://site.example/p2' rel='canonical'>",
+        ) == "https://site.example/p2"
+        # bare-quoted, mixed case, extra attrs
+        assert self._one(
+            spark,
+            '<LINK REL=canonical data-x="1" HREF=https://s.example/P>',
+        ) == "https://s.example/P"
+
+    def test_relative_resolves_against_page_and_base(self, spark):
+        assert self._one(
+            spark, '<link rel="canonical" href="../clean">'
+        ) == "https://site.example/clean"
+        # <base href> overrides the page URL as the resolution base
+        assert self._one(
+            spark,
+            '<base href="https://cdn.example/root/">'
+            '<link rel="canonical" href="c.html">',
+        ) == "https://cdn.example/root/c.html"
+
+    def test_absent_and_non_http_are_null(self, spark):
+        assert self._one(spark, "<p>no links at all</p>") is None
+        assert self._one(
+            spark, '<link rel="stylesheet" href="/style.css">'
+        ) is None
+
+    def test_first_declaration_wins(self, spark):
+        html = (
+            '<link rel="canonical" href="https://a.example/one">'
+            '<link rel="canonical" href="https://a.example/two">'
+        )
+        assert self._one(spark, html) == "https://a.example/one"
+
+    def test_alias_pairs_filters_self_and_normalizes(self, spark):
+        from ecomm_datapipeline_spark.operators.html import (
+            canonical_alias_pairs,
+        )
+
+        rows = [
+            # alias: declares a different canonical
+            ("https://s.example/p?utm_source=x",
+             '<link rel="canonical" href="https://s.example/p2">'),
+            # self-canonical after normalization (tracking param drops,
+            # so the declared canonical IS the normalized own url)
+            ("https://s.example/q?utm_source=x",
+             '<link rel="canonical" href="https://s.example/q">'),
+            # no declaration
+            ("https://s.example/r", "<p>plain</p>"),
+        ]
+        df = spark.createDataFrame(rows, "url string, html string")
+        got = {
+            r["url"]: r["canonical"]
+            for r in canonical_alias_pairs(df).collect()
+        }
+        assert got == {
+            "https://s.example/p?utm_source=x": "https://s.example/p2"
+        }
