@@ -3782,6 +3782,12 @@ def _gopher_c4_sql() -> str:
         WHEN 2 THEN 'com,example:8080)/x'
         ELSE 'com,example)/'
       END AS surt_key,
+      CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN 'https://www.Ex.example/Keep/p?b=2&a=1'
+        WHEN 1 THEN 'http://h7.example/c.html'
+        WHEN 2 THEN 'https://cdn.example/r/x/y'
+        ELSE NULL
+      END AS canonical_url,
       """
     + _html_sig_sql()
     + ",\n      "
@@ -4026,6 +4032,40 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("https://example.com"))
     )
     surt_key = surt_col(_surl)
+    # Canonical-link fold (r10): four rotating pages through the REAL
+    # html.canonical_url_col with base resolution — absolute href with
+    # query kept verbatim, href-BEFORE-rel relative (dot-segment
+    # merge), <base href> override with a bare-quoted href, and
+    # no-declaration -> NULL. The oracle states the expected strings
+    # closed-form (the surt-fold convention); pytest holds the
+    # attribute-order/quoting matrix and the resolver differentials.
+    from ..operators.html import canonical_url_col
+
+    _ccase = (F.col("doc_id") % 4).cast("int")
+    _cpage = (
+        F.when(
+            _ccase == 0,
+            F.lit(
+                '<link rel="canonical" '
+                'href="https://www.Ex.example/Keep/p?b=2&a=1">'
+            ),
+        )
+        .when(
+            _ccase == 1,
+            F.lit("<link href='../c.html' rel='canonical'><p>x</p>"),
+        )
+        .when(
+            _ccase == 2,
+            F.lit(
+                '<base href="https://cdn.example/r/">'
+                "<link rel=canonical href=x/y>"
+            ),
+        )
+        .otherwise(F.lit("<p>no declaration</p>"))
+    )
+    canonical_url = canonical_url_col(
+        _cpage, F.lit("http://h7.example/dir/page.html")
+    )
     # r10 secrets fold inputs (see the dict-entry comment below)
     from functools import reduce as _reduce
     from operator import add as _add
@@ -4166,6 +4206,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crawl_delay_q": crawl_delay_q,
             "resolved_url": resolved_url,
             "surt_key": surt_key,
+            "canonical_url": canonical_url,
             "html_sig": F.md5(html_to_text_col(page)),
             "anchor_sig": anchor_sig,
             # r9 readability fold (text.readability_cols): exact
