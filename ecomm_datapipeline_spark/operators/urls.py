@@ -566,3 +566,100 @@ def surt_col(url_col: Column | str) -> Column:
     return F.when(
         host == "", F.lit("")
     ).otherwise(F.concat(rev, port, F.lit(")"), path, qs))
+
+
+def resolve_alias_chains(
+    pairs: DataFrame,
+    max_hops: int = 3,
+    url_col: str = "url",
+    target_col: str = "canonical",
+) -> DataFrame:
+    """Follow directed alias edges (url -> canonical/final_url, from
+    html.canonical_alias_pairs and fetch redirects) to their sink:
+    (url, rep) where rep is the chain's end within `max_hops`
+    pointer jumps. Chains in the wild are shallow (a page declaring a
+    canonical that itself declares another is already sloppy markup),
+    so the default 3 hops covers real data; each hop is ONE hash join
+    of the alias map against itself — the map is alias-sized (pages
+    that DECLARED a different target), never corpus-sized.
+
+    Mutual declarations (a <-> b, the 2-cycle) collapse onto the
+    lexicographically smaller member — deterministic, the dedup
+    keeper tiebreak convention. Longer cycles (>= 3 pages declaring a
+    ring of canonicals — markup that broken is vanishingly rare) are
+    left pointing within the ring: keys permute consistently but do
+    not collapse, which downstream dedup treats as ordinary distinct
+    urls. A sink (a declared target that declares nothing itself)
+    never appears as a key, matching the input contract."""
+    if max_hops < 1:
+        raise ValueError(f"max_hops must be >= 1: {max_hops}")
+    m = pairs.select(
+        F.col(url_col).cast("string").alias("url"),
+        F.col(target_col).cast("string").alias("rep"),
+    ).filter(
+        F.col("url").isNotNull()
+        & F.col("rep").isNotNull()
+        & (F.col("url") != F.col("rep"))
+    )
+    # one row per url: a page declaring two different canonicals is
+    # broken markup — keep the smallest target, deterministic
+    m = m.groupBy("url").agg(F.min("rep").alias("rep"))
+    jump = m.select(
+        F.col("url").alias("_ju"), F.col("rep").alias("_jr")
+    )
+    out = m
+    for _ in range(max_hops - 1):
+        out = (
+            out.join(jump, out["rep"] == jump["_ju"], "left")
+            .select(
+                "url",
+                # never step back onto yourself: a cycle's walk stops
+                # at the member just before home, so mutual detection
+                # below sees a stable (a->b, b->a) shape at any hop
+                # parity instead of a self-pointer
+                F.coalesce(
+                    F.when(F.col("_jr") != F.col("url"), F.col("_jr")),
+                    F.col("rep"),
+                ).alias("rep"),
+            )
+        )
+    # 2-cycles: mutual pairs agree on the smaller member; everything
+    # else keeps its chain end. Both joins are alias-map-sized.
+    x, y = out.alias("_x"), out.alias("_y")
+    mutual = x.join(
+        y,
+        (F.col("_x.rep") == F.col("_y.url"))
+        & (F.col("_y.rep") == F.col("_x.url")),
+        "left_semi",
+    ).select("url", "rep")
+    fixed = mutual.select(
+        "url", F.least("url", "rep").alias("rep")
+    ).filter(F.col("url") != F.col("rep"))
+    non_mutual = out.join(mutual.select("url"), "url", "left_anti")
+    return non_mutual.unionByName(fixed).filter(
+        F.col("url") != F.col("rep")
+    )
+
+
+def collapse_aliases(
+    df: DataFrame,
+    aliases: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Rewrite df[url_col] through a resolved alias map ((url, rep)
+    from resolve_alias_chains): alias rows take their rep's URL,
+    everything else passes through — run BEFORE dedup/fingerprinting
+    so mirror spellings (canonical declarations, redirect chains)
+    collapse onto one key instead of surviving as near-dups. One hash
+    join against the alias-sized map (AQE broadcasts it when small —
+    the robots_allowed rule: no hand hint at web scale)."""
+    a = aliases.select(
+        F.col("url").alias(url_col), F.col("rep").alias("_rep")
+    )
+    return (
+        df.join(a, url_col, "left")
+        .withColumn(
+            url_col, F.coalesce(F.col("_rep"), F.col(url_col))
+        )
+        .drop("_rep")
+    )

@@ -210,3 +210,61 @@ def test_ipv6_authority_hand_pins(spark):
     assert got[4] == ("[::a]", "9", "http://[::a]:9/q")
     # distinct hosts stay distinct under the dedup key
     assert len({v[2] for v in got.values()}) == 4
+
+
+class TestAliasChains:
+    def _pairs(self, spark, rows):
+        return spark.createDataFrame(rows, "url string, canonical string")
+
+    def _resolve(self, spark, rows, **kw):
+        from ecomm_datapipeline_spark.operators.urls import (
+            resolve_alias_chains,
+        )
+
+        return {
+            r["url"]: r["rep"]
+            for r in resolve_alias_chains(
+                self._pairs(spark, rows), **kw
+            ).collect()
+        }
+
+    def test_chain_follows_to_sink(self, spark):
+        got = self._resolve(
+            spark, [("a", "b"), ("b", "c"), ("x", "y")]
+        )
+        assert got == {"a": "c", "b": "c", "x": "y"}
+
+    def test_two_cycle_collapses_to_smaller(self, spark):
+        got = self._resolve(spark, [("b", "a"), ("a", "b"), ("q", "a")])
+        # both cycle members agree on 'a'; the outside chain q -> a
+        assert got == {"b": "a", "q": "a"}
+
+    def test_hop_budget_bounds_depth(self, spark):
+        rows = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        got = self._resolve(spark, rows, max_hops=2)
+        assert got["a"] == "c"  # one jump only
+        got_full = self._resolve(spark, rows, max_hops=4)
+        assert got_full["a"] == "e"
+
+    def test_conflicting_declarations_deterministic(self, spark):
+        got = self._resolve(spark, [("a", "z"), ("a", "b")])
+        assert got == {"a": "b"}  # min target wins
+
+    def test_collapse_rewrites_only_aliases(self, spark):
+        from ecomm_datapipeline_spark.operators.urls import (
+            collapse_aliases,
+            resolve_alias_chains,
+        )
+
+        aliases = resolve_alias_chains(
+            self._pairs(spark, [("a", "b"), ("b", "c")])
+        )
+        docs = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 3), ("other", 4)],
+            "url string, payload int",
+        )
+        got = {
+            r["payload"]: r["url"]
+            for r in collapse_aliases(docs, aliases).collect()
+        }
+        assert got == {1: "c", 2: "c", 3: "c", 4: "other"}
