@@ -1,0 +1,232 @@
+"""Streaming Bloom seen-set: a persistent membership filter
+maintained across micro-batches — the online form of
+operators/bloom.py, for the gates a running ingest needs: "has any
+earlier batch brought this URL / document fingerprint / n-gram?"
+without joining every batch against an ever-growing exact key table.
+
+State is the filter's word array stored SPARSE — (w, bits,
+_batch_id) rows, one per touched word per batch — and it is
+mergeable under bitwise OR, the same append-only shape as the
+novelty df rollup: per-batch deltas OR together in any order, a
+replayed delta is a no-op under OR, and compaction (bit_or per word)
+never changes the merged value. The exact-key table this replaces
+grows with the corpus; the filter is fixed at m_bits/8 bytes forever.
+
+Per micro-batch (foreachBatch, ids monotone):
+
+1. probe the batch's keys against the merged filter of batches
+   STRICTLY BEFORE this one (replay-stable: the merge filters
+   _batch_id < batch_id, so a crash-replay probes the same state) —
+   seen_before is false-positive-only, never false-negative;
+2. append (key, seen_before, _batch_id) to `screened`;
+3. append the batch's own word delta to `bloom`.
+
+Within-batch duplicates both read seen_before = false (the filter
+cannot count); exact within-batch dedup is upstream's
+dropDuplicates. Both appends are floor-guarded like every maintainer
+here (max committed batch id — survives compaction), so any crash
+window replays to exactly-once tables.
+
+Scale: the probe is the batch crossJoin-broadcast against ONE dense
+row assembled from the merged words (zero batch-side exchange —
+operators/bloom's plan-pinned shape); the delta is one thin
+aggregate of the batch's k hash positions. Nothing here reads or
+shuffles prior batches' KEYS — only the fixed-size word state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.bloom import (
+    BITS_PER_WORD,
+    _check_params,
+    _mask,
+    bloom_contains_col,
+    bloom_positions,
+)
+from ..sources import tables
+
+_BATCH_COL = "_batch_id"
+_BLOOM_DIR = "bloom"
+_SCREENED_DIR = "screened"
+
+
+def _committed_floor(spark: SparkSession, path: str) -> int:
+    if not tables.table_exists(path):
+        return -1
+    row = (
+        tables.read_table(spark, path)
+        .agg(F.max(_BATCH_COL).alias("m"))
+        .first()
+    )
+    return row["m"] if row["m"] is not None else -1
+
+
+def _word_delta(
+    batch: DataFrame, key_col: str, m_bits: int, k: int, portable: bool
+) -> DataFrame:
+    pos = (
+        batch.filter(F.col(key_col).isNotNull())
+        .select(
+            F.explode(
+                F.array(
+                    *bloom_positions(F.col(key_col), m_bits, k, portable)
+                )
+            ).alias("p")
+        )
+        .distinct()
+    )
+    return pos.groupBy(
+        F.floor(F.col("p") / BITS_PER_WORD).cast("long").alias("w")
+    ).agg(F.bit_or(_mask(F.col("p"))).alias("bits"))
+
+
+def _dense_words(
+    spark: SparkSession, merged: DataFrame, m_bits: int
+) -> DataFrame:
+    """One row (words array<bigint>) from sparse (w, bits) rows —
+    absent words are zero."""
+    n_words = m_bits // BITS_PER_WORD
+    dense = (
+        spark.range(n_words)
+        .select(F.col("id").alias("w"))
+        .join(merged, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+    )
+    return (
+        dense.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("_s"))
+        .select(F.transform("_s", lambda x: x["bits"]).alias("words"))
+    )
+
+
+def bloom_seen_stream(
+    keys_stream: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    m_bits: int,
+    k: int = 3,
+    key_col: str = "url",
+    portable: bool = False,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the maintainer. `state_path` holds `bloom` (sparse word
+    rows) and `screened` ((key, seen_before, _batch_id) per arriving
+    row). m_bits/k/portable are the filter's identity — pass the SAME
+    values on every (re)start against one state dir; size m_bits for
+    the LIFETIME key count (bloom_fpr), the filter never grows."""
+    _check_params(m_bits, k)
+    bloom_path = os.path.join(state_path, _BLOOM_DIR)
+    screened_path = os.path.join(state_path, _SCREENED_DIR)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        keys = batch.select(key_col).localCheckpoint()
+        try:
+            if _committed_floor(spark, screened_path) < batch_id:
+                if tables.table_exists(bloom_path):
+                    merged = (
+                        tables.read_table(spark, bloom_path)
+                        # strictly-prior state: replay-stable even
+                        # when this batch's own delta already landed
+                        .filter(F.col(_BATCH_COL) < batch_id)
+                        .groupBy("w")
+                        .agg(F.bit_or("bits").alias("bits"))
+                    )
+                else:
+                    merged = spark.createDataFrame([], "w long, bits long")
+                words = _dense_words(spark, merged, m_bits).select(
+                    F.col("words").alias("_bloom_words")
+                )
+                screened = (
+                    keys.crossJoin(F.broadcast(words))
+                    .select(
+                        key_col,
+                        bloom_contains_col(
+                            F.col(key_col),
+                            F.col("_bloom_words"),
+                            m_bits,
+                            k,
+                            portable,
+                        ).alias("seen_before"),
+                    )
+                    .withColumn(_BATCH_COL, F.lit(batch_id).cast("long"))
+                )
+                tables.write_table(screened, screened_path, mode="append")
+            if _committed_floor(spark, bloom_path) < batch_id:
+                delta = _word_delta(
+                    keys, key_col, m_bits, k, portable
+                ).withColumn(_BATCH_COL, F.lit(batch_id).cast("long"))
+                # a batch of only-NULL keys still needs its marker row
+                # or the floor guard would replay it forever
+                if delta.isEmpty():
+                    delta = spark.createDataFrame(
+                        [(-1, 0, batch_id)],
+                        f"w long, bits long, {_BATCH_COL} long",
+                    )
+                tables.write_table(delta, bloom_path, mode="append")
+        finally:
+            keys.unpersist()
+
+    writer = keys_stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_screened(spark: SparkSession, state_path: str) -> DataFrame:
+    return tables.read_table(
+        spark, os.path.join(state_path, _SCREENED_DIR)
+    )
+
+
+def bloom_words(
+    spark: SparkSession, state_path: str, m_bits: int
+) -> DataFrame:
+    """The current merged filter as a ONE-ROW (words) frame — drop it
+    straight into operators/bloom.with_bloom_membership for batch-side
+    probes against the stream's seen-set."""
+    merged = (
+        tables.read_table(spark, os.path.join(state_path, _BLOOM_DIR))
+        .filter(F.col("w") >= 0)
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    return _dense_words(spark, merged, m_bits)
+
+
+def compact_bloom(spark: SparkSession, state_path: str) -> None:
+    """Rewrite the sparse word table to one row per word (bit_or is
+    the merge, so compaction is value-preserving); the batch-id floor
+    is kept as max(_batch_id) so replay guards survive, the
+    compact_gram_df convention."""
+    path = os.path.join(state_path, _BLOOM_DIR)
+    df = tables.read_table(spark, path)
+    floor = df.agg(F.max(_BATCH_COL)).first()[0]
+    compacted = (
+        df.filter(F.col("w") >= 0)
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+        .withColumn(_BATCH_COL, F.lit(int(floor)).cast("long"))
+        # the floor marker survives compaction UNCONDITIONALLY: the
+        # globally-latest batch may have been an only-NULL-keys marker
+        # with no word rows, and losing its id would replay it
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, 0, int(floor))],
+                f"w long, bits long, {_BATCH_COL} long",
+            )
+        )
+    )
+    tmp = path.rstrip("/") + "._compact_tmp"
+    tables.write_table(compacted, tmp, mode="overwrite")
+    tables._swap_into(tmp, path)

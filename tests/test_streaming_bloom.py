@@ -1,0 +1,194 @@
+"""Streaming Bloom seen-set (streaming/bloom_stream.py): causal
+screening semantics (strictly-prior state; within-batch dups read
+novel), the no-false-negative law across batches, replay idempotence
+through crash windows, NULL-key batches, compaction value
+preservation, and batch-side probes against the stream's filter."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ecomm_datapipeline_spark.operators.bloom import with_bloom_membership
+from ecomm_datapipeline_spark.sources import tables
+from ecomm_datapipeline_spark.streaming import bloom_stream as bs
+
+M_BITS, K = 4096, 3
+
+
+def _write_batch(landing, name, urls):
+    with open(os.path.join(landing, name), "w") as f:
+        for u in urls:
+            f.write(json.dumps({"url": u}) + "\n")
+
+
+@pytest.fixture()
+def env(tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    return {
+        "landing": landing,
+        "state": str(tmp_path / "state"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def _drain(spark, env, ckpt=None):
+    stream = (
+        spark.readStream.schema("url string")
+        .option("maxFilesPerTrigger", 1)
+        .json(env["landing"])
+    )
+    q = bs.bloom_seen_stream(
+        stream, env["state"], ckpt or env["ckpt"], m_bits=M_BITS, k=K
+    )
+    q.awaitTermination(180)
+    return q
+
+
+def _screened(spark, env):
+    return {
+        (r["url"], r["_batch_id"]): r["seen_before"]
+        for r in bs.read_screened(spark, env["state"]).collect()
+    }
+
+
+B1 = ["https://a.example/", "https://b.example/", "https://b.example/"]
+B2 = ["https://b.example/", "https://c.example/"]
+
+
+def test_causal_screening(spark, env):
+    _write_batch(env["landing"], "b1.json", B1)
+    _write_batch(env["landing"], "b2.json", B2)
+    _drain(spark, env)
+    got = _screened(spark, env)
+    # batch 0: nothing prior -> all novel, INCLUDING the within-batch
+    # duplicate (the filter cannot count; documented contract)
+    assert got[("https://a.example/", 0)] is False
+    assert got[("https://b.example/", 0)] is False
+    # batch 1: b was brought by batch 0 -> seen (never a false
+    # negative); c is novel at these parameters
+    assert got[("https://b.example/", 1)] is True
+    assert got[("https://c.example/", 1)] is False
+
+
+def test_no_false_negatives_across_many_batches(spark, env):
+    for i in range(4):
+        _write_batch(
+            env["landing"], f"n{i}.json", [f"https://h{j}.example/p{i}" for j in range(10)]
+        )
+    _drain(spark, env)
+    # a later batch repeating one key from EVERY earlier batch —
+    # drained separately so it is guaranteed to arrive AFTER them
+    # (within one drain the file source's batch order is not promised)
+    _write_batch(
+        env["landing"], "probe.json",
+        [f"https://h3.example/p{i}" for i in range(4)],
+    )
+    _drain(spark, env)
+    got = _screened(spark, env)
+    probe_bid = max(b for (_, b) in got)
+    for i in range(4):
+        assert got[(f"https://h3.example/p{i}", probe_bid)] is True
+
+
+def test_replay_after_delta_committed_screened_missing(spark, env):
+    """Crash window: batch 1's bloom DELTA landed but its screened
+    rows did not. The replay must probe against STRICTLY-PRIOR state
+    (not the half-landed own delta — else every batch-1 key would
+    read seen) and skip the already-committed delta, leaving both
+    tables exactly-once."""
+    _write_batch(env["landing"], "b1.json", B1)
+    _drain(spark, env)
+    bloom_path = os.path.join(env["state"], "bloom")
+    screened_path = os.path.join(env["state"], "screened")
+    # hand-land batch 1's delta, as if the crash hit after step 3's
+    # write but before the checkpoint advanced past the batch
+    delta = bs._word_delta(
+        spark.createDataFrame([(u,) for u in B2], "url string"),
+        "url", M_BITS, K, False,
+    ).withColumn("_batch_id", F.lit(1).cast("long"))
+    tables.write_table(delta, bloom_path, mode="append")
+    bloom_rows = tables.read_table(spark, bloom_path).count()
+    # now the file actually arrives; a FRESH checkpoint re-plays both
+    # batches (0 then 1)
+    _write_batch(env["landing"], "b2.json", B2)
+    _drain(spark, env, ckpt=env["ckpt"] + "_replay")
+    got = _screened(spark, env)
+    # c was NOT seen before despite its own delta being in the table
+    # at probe time — the strictly-prior filter excluded it
+    assert got[("https://c.example/", 1)] is False
+    assert got[("https://b.example/", 1)] is True
+    # the delta was not double-appended
+    assert tables.read_table(spark, bloom_path).count() == bloom_rows
+    # exactly-once: one screened row per ARRIVING row (B1's
+    # within-batch duplicate keeps both its rows), nothing doubled
+    scr = tables.read_table(spark, screened_path)
+    assert scr.count() == len(B1) + len(B2)
+
+
+def test_null_keys_batch_keeps_floor(spark, env):
+    # one drain per file: within-drain batch order is not promised
+    _write_batch(env["landing"], "b1.json", ["https://a.example/"])
+    _drain(spark, env)
+    with open(os.path.join(env["landing"], "b2.json"), "w") as f:
+        f.write(json.dumps({"url": None}) + "\n")
+    _drain(spark, env)
+    _write_batch(env["landing"], "b3.json", ["https://a.example/"])
+    _drain(spark, env)
+    got = _screened(spark, env)
+    assert got[("https://a.example/", 2)] is True
+    assert got[(None, 1)] is False  # NULL is never a member
+    # the marker row kept batch 1's floor: a fresh-checkpoint replay
+    # appends nothing
+    n = tables.read_table(spark, os.path.join(env["state"], "bloom")).count()
+    _drain(spark, env, ckpt=env["ckpt"] + "_r")
+    assert (
+        tables.read_table(
+            spark, os.path.join(env["state"], "bloom")
+        ).count()
+        == n
+    )
+
+
+def test_compaction_preserves_filter_and_floor(spark, env):
+    _write_batch(env["landing"], "b1.json", B1)
+    _write_batch(env["landing"], "b2.json", B2)
+    _drain(spark, env)
+    words_before = bs.bloom_words(spark, env["state"], M_BITS).first()[
+        "words"
+    ]
+    bs.compact_bloom(spark, env["state"])
+    words_after = bs.bloom_words(spark, env["state"], M_BITS).first()[
+        "words"
+    ]
+    assert words_before == words_after
+    # floor survives -> fresh-checkpoint replay appends nothing
+    n = tables.read_table(
+        spark, os.path.join(env["state"], "bloom")
+    ).count()
+    _drain(spark, env, ckpt=env["ckpt"] + "_c")
+    assert (
+        tables.read_table(
+            spark, os.path.join(env["state"], "bloom")
+        ).count()
+        == n
+    )
+
+
+def test_batch_side_probe_against_stream_filter(spark, env):
+    _write_batch(env["landing"], "b1.json", B1)
+    _drain(spark, env)
+    corpus = spark.createDataFrame(
+        [("https://b.example/",), ("https://z.example/",)], "url string"
+    )
+    words = bs.bloom_words(spark, env["state"], M_BITS)
+    got = {
+        r["url"]: r["in_bloom"]
+        for r in with_bloom_membership(
+            corpus, "url", words, M_BITS, K
+        ).collect()
+    }
+    assert got["https://b.example/"] is True
+    assert got["https://z.example/"] is False
