@@ -116,7 +116,6 @@ def test_literal_words_expression_path(spark):
 
 def test_param_validation():
     with pytest.raises(ValueError, match="multiple"):
-        bloom_fpr_args = None  # noqa: F841
         bloom_positions(F.lit("x"), 100, 2)
     with pytest.raises(ValueError, match="k must be"):
         bloom_positions(F.lit("x"), 128, 0)

@@ -448,9 +448,6 @@ def test_304_to_unconditional_request_is_a_failure(spark, cond_server):
     bug: there is no cached content to stand, so the row must take
     the omission/retry path, never 'fetched' with html NULL."""
 
-    class Always304:
-        pass
-
     # a raw socket server that answers 304 to everything
     import socket
     import threading as th
