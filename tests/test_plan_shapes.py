@@ -22,7 +22,14 @@ import pytest
 from ecomm_datapipeline_spark.plans import catalog
 
 SF = "/root/testdata/sf0.001"
-SKIP = {"neardup_components", "curate_corpus", "curate_corpus_exact"}
+# harmonic_centrality: iterative (BFS + HyperBall driver loops with
+# per-round localCheckpoints) — excluded like the other loop queries
+SKIP = {
+    "neardup_components",
+    "curate_corpus",
+    "curate_corpus_exact",
+    "harmonic_centrality",
+}
 
 # (max exchanges, max sorts, max generates) per query — round-4 plans.
 PINNED = {
@@ -105,6 +112,10 @@ PINNED = {
     "returned_items_by_customer": (1, 0, 0),
     "text_pattern_scan": (0, 0, 0),
     "embedding_stats": (0, 0, 0),
+    # r10: build-side aggregate (distinct positions + word bit_or) and
+    # the dense-array assembly; the probe side rides the broadcast
+    # crossJoin with ZERO exchanges (plan-pinned in test_bloom too)
+    "bloom_screen": (2, 0, 1),
     "approx_distinct_users": (5, 1, 0),  # sketch rollup + exact twin
 }
 
