@@ -4587,8 +4587,8 @@ def bloom_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     nation = _t(spark, sf_dir, "nation")
     bloom = bloom_build(nation, "n_name", 1024, 3, portable=True)
-    b = bloom.select(F.col("words").alias("_w"))
-    return nation.crossJoin(F.broadcast(b)).select(
+    bloom_row = bloom.select(F.col("words").alias("_w"))
+    return nation.crossJoin(F.broadcast(bloom_row)).select(
         F.col("n_nationkey").cast("bigint").alias("id"),
         bloom_contains_col(
             F.col("n_name"), F.col("_w"), 1024, 3, portable=True

@@ -89,6 +89,9 @@ def test_compact_table_range_clustering(spark, tmp_path):
 #   event_funnel / weekly_retention — scalar/spine-sized cross steps
 #   train_split_assign — r5 shard self-verify: the ONE-row balance
 #     aggregate cross-joins onto the per-doc split rows (broadcast)
+#   bloom_screen — r10: the Bloom filter IS one broadcast row crossed
+#     onto the probe side (the operator's plan-pinned zero-exchange
+#     probe shape, tests/test_bloom.py)
 CROSS_ALLOWED = {
     "embedding_neardup_pairs",
     "ann_cosine_topk",
@@ -97,11 +100,17 @@ CROSS_ALLOWED = {
     "event_funnel",
     "weekly_retention",
     "train_split_assign",
+    "bloom_screen",
 }
 
 # Iterative queries run driver-side loops at plan-build time; they are
 # audited by their own tests, and building them here is slow.
-SKIP = {"neardup_components", "curate_corpus", "curate_corpus_exact"}
+SKIP = {
+    "neardup_components",
+    "curate_corpus",
+    "curate_corpus_exact",
+    "harmonic_centrality",
+}
 
 
 def test_no_cartesian_or_bnl_outside_allowlist(spark):
