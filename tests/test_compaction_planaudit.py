@@ -89,9 +89,6 @@ def test_compact_table_range_clustering(spark, tmp_path):
 #   event_funnel / weekly_retention — scalar/spine-sized cross steps
 #   train_split_assign — r5 shard self-verify: the ONE-row balance
 #     aggregate cross-joins onto the per-doc split rows (broadcast)
-#   bloom_screen — r10: the Bloom filter IS one broadcast row crossed
-#     onto the probe side (the operator's plan-pinned zero-exchange
-#     probe shape, tests/test_bloom.py)
 CROSS_ALLOWED = {
     "embedding_neardup_pairs",
     "ann_cosine_topk",
@@ -100,16 +97,18 @@ CROSS_ALLOWED = {
     "event_funnel",
     "weekly_retention",
     "train_split_assign",
-    "bloom_screen",
 }
 
 # Iterative queries run driver-side loops at plan-build time; they are
 # audited by their own tests, and building them here is slow.
+# supplier_balance_by_nation: iterative since the r10 harmonic fold;
+# its Bloom leg's one-row broadcast crossJoin is the operator's
+# plan-pinned probe shape (tests/test_bloom.py).
 SKIP = {
     "neardup_components",
     "curate_corpus",
     "curate_corpus_exact",
-    "harmonic_centrality",
+    "supplier_balance_by_nation",
 }
 
 

@@ -33,9 +33,10 @@ def test_no_forced_broadcast_on_scaling_tables():
     # r8: margins = ann_cosine_topk's bitext-margin fold frame — one
     # row per (query, neighbor) candidate pair = k x |queries| = 50
     # rows at any SF (same size class as topk50).
-    # r10: bloom_row = bloom_screen's filter — EXACTLY one row (the
-    # words array) at any SF; broadcasting it is the operator's
-    # zero-exchange probe shape.
+    # r10: bloom_row = the Bloom-screen fold's filter (rides
+    # supplier_balance_by_nation) — EXACTLY one row (the words array)
+    # at any SF; broadcasting it is the operator's zero-exchange
+    # probe shape.
     one_row_aggs = (
         "exact_n", "pq_overlap", "pq_self", "sem_subset", "sem_ratio", "sem_clean",
         "topk50", "qtv10", "shard_chk", "margins", "bloom_row",
