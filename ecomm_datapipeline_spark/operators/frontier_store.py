@@ -525,15 +525,32 @@ def commit_round(
             _lm.alias("_lm"),
             F.coalesce(_nm, F.lit(False)).alias("_nm"),
         )
-        # MAX per url: deterministic on (pathological) duplicate
-        # fetch rows, and max(bool) keeps any 304 visible
+        # ONE whole row per url, deterministic on (pathological)
+        # duplicate fetch rows: prefer a fresh 200 (not_modified =
+        # false) over a 304, then the lexicographically greatest
+        # validator pair FROM THAT ROW — independent per-column max
+        # could stitch an ETag from one response with a Last-Modified
+        # (or 304 flag) from another, storing a validator pair no
+        # response ever sent. struct max is field-lexicographic, so
+        # the whole row travels together.
         .groupBy("url")
         .agg(
-            F.max("_etag").alias("_etag"),
-            F.max("_lm").alias("_lm"),
-            F.max("_nm").alias("_nm"),
+            F.max(
+                F.struct(
+                    (~F.col("_nm")).cast("int").alias("_p"),
+                    F.col("_etag").alias("_etag"),
+                    F.col("_lm").alias("_lm"),
+                    F.col("_nm").alias("_nm"),
+                )
+            ).alias("_r")
         )
-        .withColumn("_ok", F.lit(True))
+        .select(
+            "url",
+            F.col("_r._etag").alias("_etag"),
+            F.col("_r._lm").alias("_lm"),
+            F.col("_r._nm").alias("_nm"),
+            F.lit(True).alias("_ok"),
+        )
     )
     att = attempted.select("url").distinct()
     keep_cols = (["bucket"] if nb is not None else [])

@@ -635,7 +635,19 @@ def resolve_alias_chains(
     fixed = mutual.select(
         "url", F.least("url", "rep").alias("rep")
     ).filter(F.col("url") != F.col("rep"))
-    non_mutual = out.join(mutual.select("url"), "url", "left_anti")
+    # Re-point chain ends that landed ON a mutual member to that
+    # pair's winner: a chain d -> ... -> {a <-> b} walks to a
+    # hop-parity-dependent cycle member, so without this join d could
+    # keep key b while b's own rows collapse onto a — one alias family
+    # split across two keys. One extra alias-sized join.
+    winners = mutual.select(
+        F.col("url").alias("_mu"), F.least("url", "rep").alias("_mw")
+    ).distinct()
+    non_mutual = (
+        out.join(mutual.select("url"), "url", "left_anti")
+        .join(winners, F.col("rep") == F.col("_mu"), "left")
+        .select("url", F.coalesce("_mw", "rep").alias("rep"))
+    )
     return non_mutual.unionByName(fixed).filter(
         F.col("url") != F.col("rep")
     )

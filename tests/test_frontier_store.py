@@ -642,6 +642,35 @@ def test_validator_persistence_rules(spark, tmp_path):
     assert row()["etag"] is None
 
 
+def test_duplicate_fetch_rows_pick_one_whole_response(spark, tmp_path):
+    """Pathological duplicate fetched_ok rows for one url must store
+    ONE response's validator pair, never a cross-row stitch: with a
+    304 row carrying ("zzz", None) and a fresh 200 carrying
+    ("aaa", "lm-200"), independent per-column max would persist
+    (zzz, lm-200) + not_modified=true — a combination no response
+    sent. The whole-row pick prefers the fresh 200."""
+    from datetime import datetime, timezone
+
+    path = str(tmp_path / "frontier")
+    url = "http://a.example/"
+    frontier_store.init_frontier(
+        spark.createDataFrame([(url,)], "url string"), path
+    )
+    wave = spark.createDataFrame([(url,)], "url string")
+    dup = spark.createDataFrame(
+        [(url, '"zzz"', None, True), (url, '"aaa"', "lm-200", False)],
+        "url string, etag string, last_modified string,"
+        " not_modified boolean",
+    )
+    frontier_store.commit_round(
+        spark, path, 1, wave, dup,
+        fetched_at=datetime(2026, 1, 1, tzinfo=timezone.utc),
+        refetch_interval_s=1.0,
+    )
+    r = tables.read_table(spark, path).filter(F.col("url") == url).first()
+    assert (r["etag"], r["last_modified"]) == ('"aaa"', "lm-200")
+
+
 def test_pending_wave_carries_validators(spark, tmp_path):
     """Refetch-eligible rows hand their stored validators to the
     wave so the fetcher can go conditional."""

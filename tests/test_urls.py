@@ -250,6 +250,18 @@ class TestAliasChains:
         got = self._resolve(spark, [("a", "z"), ("a", "b")])
         assert got == {"a": "b"}  # min target wins
 
+    def test_chain_into_two_cycle_joins_one_family(self, spark):
+        """A chain FEEDING a mutual pair must land on the pair's
+        winner regardless of hop parity: d -> c -> a with a <-> b
+        previously resolved d to b (odd walk) while b's own rows moved
+        to a, splitting one alias family across two keys."""
+        got = self._resolve(
+            spark,
+            [("d", "c"), ("c", "a"), ("a", "b"), ("b", "a")],
+            max_hops=3,
+        )
+        assert got == {"d": "a", "c": "a", "b": "a"}
+
     def test_collapse_rewrites_only_aliases(self, spark):
         from ecomm_datapipeline_spark.operators.urls import (
             collapse_aliases,
