@@ -478,6 +478,42 @@ def _bloom_slot(spark, sf_dir: str):
     return run
 
 
+def _bloom_blocked_slot(spark, sf_dir: str):
+    """Blocked-Bloom screening bench slot (r11): the SAME
+    decontamination-prefilter shape as bloom_screen_tokens but through
+    the block-partitioned representation (operators/bloom
+    blocked_bloom_build / one-join probe) — the seen-set-scale path.
+    At bench m_bits the block frame AQE-broadcasts, so this slot
+    measures the join probe's overhead against the one-row broadcast
+    twin; at real seen-set m only this path exists."""
+    from pyspark.sql import functions as F
+
+    from ecomm_datapipeline_spark.operators.bloom import (
+        blocked_bloom_build,
+        with_blocked_bloom_membership,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    m_bits, k, bb = 1 << 20, 3, 4096
+
+    def run(spark, sf_dir):
+        blocks = blocked_bloom_build(
+            toks.filter(F.col("doc_id") % 2 == 0), "tok", m_bits, k, bb
+        )
+        probes = toks.filter(F.col("doc_id") % 2 == 1)
+        return (
+            with_blocked_bloom_membership(probes, "tok", blocks, m_bits, k, bb)
+            .groupBy("in_bloom")
+            .agg(F.count("*").alias("n"))
+        )
+
+    return run
+
+
 def _silence_benign_dag_errors(spark) -> None:
     """BENCH tail hygiene (VERDICT r5 item 2): stages whose upstream
     frames were localCheckpointed can finish after the original RDD's
@@ -588,6 +624,10 @@ def main() -> None:
         extra["bloom_screen_tokens"] = _bloom_slot(spark, sf_dir)
     except Exception as exc:
         extra["bloom_screen_tokens"] = exc
+    try:
+        extra["bloom_screen_blocked"] = _bloom_blocked_slot(spark, sf_dir)
+    except Exception as exc:
+        extra["bloom_screen_blocked"] = exc
 
     # Median of `samples` runs per slot (VERDICT r5 item 5): single
     # samples made a 1.49x swing on a 0.5s query indistinguishable

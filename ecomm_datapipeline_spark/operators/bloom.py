@@ -5,33 +5,48 @@ sets too large (or too hot) to join every batch against: test-set
 n-grams for decontamination (the GPT-3 appendix-C / PaLM procedure is
 a Bloom filter over eval shingles), frontier seen-URL screening, and
 incremental-ingest novelty gates. A Bloom filter (Bloom 1970) answers
-with ZERO corpus-side shuffle: the filter is a small array of words
-that broadcasts to every task, and membership is a per-row expression
-— no exchange, no join, false-positive-only error (never a false
-negative), so a positive can be verified by an exact join against the
-tiny matched subset while the (vast) negative majority never moves.
+with false-positive-only error (never a false negative), so a positive
+can be verified by an exact join against the tiny matched subset while
+the (vast) negative majority never moves.
 
-Spark shape:
+TWO representations, by filter size:
 
-* bloom_build — one thin aggregate: k hash positions per value
-  (explode), distinct, OR-folded into m_bits/32 words. Returns a
-  ONE-ROW DataFrame (words array<bigint>) — the filter itself never
-  touches the driver unless the caller collects it.
-* with_bloom_membership — crossJoin(broadcast(one-row filter)) + the
-  membership expression: the words array rides a broadcast variable
-  (not the plan), so filters of tens of MB work unchanged, and the
-  probe side stays whole-stage-codegen per-row work.
-* Bits are packed 32 per 64-bit word and masks are built with
-  pow(2, p%32) (exact in double up to 2^31) — no variable-distance
-  shift expressions, every operation available and bit-identical in
-  DuckDB for the portable-hash oracle mode (md5-derived positions,
-  the dedup.portable_hash32 convention); production hashing is
-  xxhash64(value, i).
+* ONE-ROW dense (bloom_build / with_bloom_membership) — the filter is
+  a single words array that broadcasts to every task; membership is a
+  per-row expression, zero probe-side exchange. This is the SMALL-m
+  convenience: the build funnels all m_bits/32 words through one
+  groupBy().collect_list task into ONE Row, so its practical ceiling
+  is a filter of a few tens of MB (~10^8 bits) — single-task assembly
+  memory and per-probe rebroadcast cost both grow with m, long before
+  the hard ~2 GB single-Row/broadcast limits. Use it for bounded sets:
+  eval-shingle decontamination, dictionary gates, per-partition
+  screens.
+* BLOCK-PARTITIONED (blocked_bloom_build /
+  with_blocked_bloom_membership) — the scale path for lifetime
+  seen-sets (10^9+ items): the register-blocked Bloom filter of
+  Putze, Sanders & Singler (2007, "Cache-, Hash- and Space-Efficient
+  Bloom Filters"). One extra hash picks a BLOCK of block_bits bits and
+  all k bit positions fall inside that block, so the filter is an
+  ordinary (block, words) DataFrame — the build is two thin
+  distributed aggregates whose largest group is ONE BLOCK (never a
+  global single-partition assembly), untouched blocks are simply
+  absent, and the probe is ONE equi-join on block (AQE broadcasts the
+  block frame while it is small; past broadcast size it degrades to a
+  partitioned hash join — the filter never has to fit anywhere whole).
+  The price is the published FPR penalty from uneven block load
+  (blocked_bloom_fpr) — fractions of a bit per item at practical
+  block sizes.
+
+Bits are packed 32 per 64-bit word and masks are built with
+pow(2, p%32) (exact in double up to 2^31) — no variable-distance
+shift expressions, every operation available and bit-identical in
+DuckDB for the portable-hash oracle mode (md5-derived positions,
+the dedup.portable_hash32 convention); production hashing is
+xxhash64(value, i), with the dedicated "B:" / seed -1 salt for the
+block hash so it is independent of the k bit hashes.
 
 Sizing: false-positive rate ~ (1 - e^(-k*n/m))^k (bloom_fpr); the
-usual operating point m/n ~ 10 bits/item, k = 7 gives ~1%. For a
-10^9-item seen-set that is ~1.2 GB — broadcastable cluster-wide,
-where the equivalent exact join shuffles the corpus every batch.
+usual operating point m/n ~ 10 bits/item, k = 7 gives ~1%.
 """
 
 from __future__ import annotations
@@ -185,3 +200,168 @@ def bloom_fpr(n_items: int, m_bits: int, k: int) -> float:
     if n_items <= 0:
         return 0.0
     return (1.0 - math.exp(-k * n_items / float(m_bits))) ** k
+
+
+# ---------------------------------------------------------------------------
+# Block-partitioned (register-blocked) filter — the 100 TB seen-set path
+
+
+def _check_blocked(m_bits: int, k: int, block_bits: int) -> None:
+    _check_params(block_bits, k)
+    if m_bits < block_bits or m_bits % block_bits != 0:
+        raise ValueError(
+            f"m_bits must be a positive multiple of block_bits:"
+            f" {m_bits} / {block_bits}"
+        )
+
+
+def bloom_block_col(
+    value: Column | str, n_blocks: int, portable: bool = False
+) -> Column:
+    """The block index of `value`, in [0, n_blocks) — a dedicated hash
+    (salt "B:" portable / seed -1 production) independent of the k bit
+    hashes, per Putze et al.'s one-block-per-key scheme. NULL -> NULL
+    (a NULL is not a member; the probe join then misses)."""
+    v = F.col(value) if isinstance(value, str) else value
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.concat(F.lit("B:"), v.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(v, F.lit(-1))
+    return F.pmod(h, F.lit(int(n_blocks)))
+
+
+def blocked_bloom_build(
+    df: DataFrame,
+    col: str,
+    m_bits: int,
+    k: int,
+    block_bits: int = 4096,
+    portable: bool = False,
+) -> DataFrame:
+    """Build the block-partitioned filter over every value of df[col]:
+    (block bigint, words array<bigint> of block_bits/32) rows, one per
+    TOUCHED block — untouched blocks are absent (all-zero by
+    construction, the probe's left join reads a miss). All k bit
+    positions of a value land in its one hashed block.
+
+    Plan shape: explode to (block, local position), distinct, one
+    (block, word) bit_or aggregate, one per-block word assembly whose
+    largest group is block_bits/32 entries — every stage distributed,
+    NO global single-partition aggregate at any m_bits (contrast
+    bloom_build's one-row assembly). m_bits = 2^40 with a sparse value
+    set costs O(values) rows, not O(m)."""
+    _check_blocked(m_bits, k, block_bits)
+    n_blocks = m_bits // block_bits
+    wpb = block_bits // BITS_PER_WORD
+    v = F.col(col)
+    pos = (
+        df.filter(v.isNotNull())
+        .select(
+            bloom_block_col(v, n_blocks, portable).alias("block"),
+            F.explode(
+                F.array(*bloom_positions(v, block_bits, k, portable))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    words = pos.groupBy(
+        "block",
+        F.floor(F.col("p") / BITS_PER_WORD).cast("int").alias("w"),
+    ).agg(F.bit_or(_mask(F.col("p"))).alias("bits"))
+    return (
+        words.groupBy("block")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("w", "bits"))
+            ).alias("_m")
+        )
+        .select(
+            "block",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(wpb - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+                ),
+            ).alias("words"),
+        )
+    )
+
+
+def blocked_bloom_contains_col(
+    value: Column | str,
+    words: Column | str,
+    block_bits: int,
+    k: int,
+    portable: bool = False,
+) -> Column:
+    """Membership expression given the value's own block row already
+    joined alongside (`words` = that block's array, NULL when the
+    block was never touched -> false)."""
+    w = F.col(words) if isinstance(words, str) else words
+    base = bloom_contains_col(value, w, block_bits, k, portable)
+    return F.when(w.isNull(), F.lit(False)).otherwise(base)
+
+
+def with_blocked_bloom_membership(
+    df: DataFrame,
+    col: str,
+    blocks: DataFrame,
+    m_bits: int,
+    k: int,
+    block_bits: int = 4096,
+    portable: bool = False,
+    out_col: str = "in_bloom",
+) -> DataFrame:
+    """Probe every row of df[col] against a blocked_bloom_build result:
+    ONE left equi-join on the value's block (AQE broadcasts the block
+    frame when it is small; a multi-GB filter degrades to a partitioned
+    hash join — the filter never needs to fit in one task, one Row, or
+    one broadcast), then the per-row bit check. m_bits/k/block_bits/
+    portable must match the build call."""
+    _check_blocked(m_bits, k, block_bits)
+    n_blocks = m_bits // block_bits
+    b = blocks.select(
+        F.col("block").alias("_bloom_blk"),
+        F.col("words").alias("_bloom_bw"),
+    )
+    return (
+        df.withColumn(
+            "_bloom_blk", bloom_block_col(F.col(col), n_blocks, portable)
+        )
+        .join(b, "_bloom_blk", "left")
+        .withColumn(
+            out_col,
+            blocked_bloom_contains_col(
+                F.col(col), F.col("_bloom_bw"), block_bits, k, portable
+            ),
+        )
+        .drop("_bloom_blk", "_bloom_bw")
+    )
+
+
+def blocked_bloom_fpr(
+    n_items: int, m_bits: int, k: int, block_bits: int
+) -> float:
+    """Expected FPR of the blocked filter: blocks receive Poisson(n /
+    n_blocks) items, and a probe's FPR is the standard filter's at ITS
+    block's load — E_j~Pois(lam)[bloom_fpr(j, block_bits, k)] (Putze
+    et al. 2007 eq. 3). Always >= bloom_fpr(n, m_bits, k); the gap is
+    the block-load variance penalty, shrinking as block_bits grows."""
+    _check_blocked(m_bits, k, block_bits)
+    if n_items <= 0:
+        return 0.0
+    lam = n_items / float(m_bits // block_bits)
+    total, pj = 0.0, math.exp(-lam)
+    j = 0
+    # truncate once the Poisson tail is negligible
+    cum = 0.0
+    while cum < 1.0 - 1e-12 and j < lam + 40 * math.sqrt(lam + 1) + 10:
+        total += pj * bloom_fpr(j, block_bits, k)
+        cum += pj
+        j += 1
+        pj *= lam / j
+    return total + (1.0 - cum)  # tail bounded by fpr <= 1

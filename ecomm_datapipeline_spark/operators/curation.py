@@ -502,28 +502,38 @@ def decontaminate(
             # the ngram rule at SEEN-SET scale: when the "benchmark"
             # is huge (a prior snapshot's n-grams, a union of every
             # eval suite), broadcasting its exact hash set is
-            # gigabytes — a Bloom filter is a fixed ~2 bytes/gram
-            # broadcast and the corpus side stays one zero-exchange
-            # scan. One-sided error only: an FPR-flagged document is
+            # gigabytes — a Bloom filter is ~2 bits-per-gram-hash
+            # state. One-sided error only: an FPR-flagged document is
             # REMOVED conservatively (never the reverse — Bloom has
             # no false negatives), so cleanliness is preserved and
-            # the over-removal rate is bloom_fpr(n, m, k) per gram.
-            # The report carries _bench_id NULL: a filter cannot name
-            # which benchmark doc matched; use mode="ngram" when the
-            # audit needs attribution.
-            from .bloom import bloom_build, with_bloom_membership
+            # the over-removal rate is ~blocked_bloom_fpr(n, m, k, bb)
+            # per gram. The report carries _bench_id NULL: a filter
+            # cannot name which benchmark doc matched; use
+            # mode="ngram" when the audit needs attribution.
+            # r11: BLOCK-PARTITIONED representation (operators/bloom)
+            # — m scales with the benchmark's gram count, so the
+            # one-row dense form's single-task assembly + per-probe
+            # whole-filter broadcast would cap exactly the huge-
+            # benchmark case this mode exists for; the blocked build
+            # is distributed at any m and the probe is one block join
+            # (AQE broadcasts it while small).
+            from .bloom import (
+                blocked_bloom_build,
+                with_blocked_bloom_membership,
+            )
 
             bgrams = (
                 _grams(bench_ids, "_bench_id").select("_gram_h").distinct()
             )
             n_grams = bgrams.count()
+            bb = 4096
             # ~16 bits/gram, k=3 -> FPR ~0.5%; floor keeps tiny
             # benchmarks from degenerate m
-            m_bits = max(1024, 32 * ((16 * n_grams + 31) // 32))
-            blm = bloom_build(bgrams, "_gram_h", m_bits, 3)
+            m_bits = max(bb, bb * ((16 * n_grams + bb - 1) // bb))
+            blm = blocked_bloom_build(bgrams, "_gram_h", m_bits, 3, bb)
             hits = (
-                with_bloom_membership(
-                    _grams(corpus, id_col), "_gram_h", blm, m_bits, 3,
+                with_blocked_bloom_membership(
+                    _grams(corpus, id_col), "_gram_h", blm, m_bits, 3, bb,
                     out_col="_in",
                 )
                 .filter(F.col("_in"))

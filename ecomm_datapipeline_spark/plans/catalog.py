@@ -1182,7 +1182,60 @@ def _nation_graph_bloom_sql() -> str:
         BOOL_AND((bs_warr.ws[CAST(p // 32 AS INT) + 1]
                   & CAST(POWER(2, p % 32) AS BIGINT)) <> 0) AS hit
       FROM bs_ppos, bs_warr GROUP BY id, tag
+    ),
+    blk_pos AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5('B:' || n_name), 1, 8)) AS BIGINT) % 8 AS blk,
+        CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || n_name),
+                             1, 8)) AS BIGINT) % 128 AS p
+      FROM nation, (SELECT UNNEST([0, 1, 2]) AS i) i
+    ),
+    blk_words AS (
+      SELECT blk, p // 32 AS w,
+             bit_or(CAST(POWER(2, p % 32) AS BIGINT)) AS bits
+      FROM blk_pos GROUP BY 1, 2
+    ),
+    blk_ppos AS (
+      SELECT id, tag,
+        CAST(('0x' || substr(md5('B:' || v), 1, 8)) AS BIGINT) % 8 AS blk,
+        CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || v),
+                             1, 8)) AS BIGINT) % 128 AS p
+      FROM bs_pv, (SELECT UNNEST([0, 1, 2]) AS i) i
+    ),
+    blk_hits AS (
+      SELECT pr.id, pr.tag,
+        BOOL_AND((COALESCE(w.bits, 0)
+                  & CAST(POWER(2, pr.p % 32) AS BIGINT)) <> 0) AS hit
+      FROM blk_ppos pr
+      LEFT JOIN blk_words w ON w.blk = pr.blk AND w.w = pr.p // 32
+      GROUP BY 1, 2
     )"""
+    )
+
+
+def _supplier_balance_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-ITERATIVE supplier aggregate under
+    supplier_balance_by_nation: one broadcast dim join + one grouped
+    aggregate (1 exchange). Factored out so the plan-shape lock can
+    keep auditing it — the registered query became iterative with the
+    r10 harmonic/Bloom folds (driver-side BFS/HyperBall loops at
+    plan-build time) and left the whole-query pin, which would
+    otherwise leave this shuffle unaudited repo-wide (ADVICE r10)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_nationkey").cast("long").alias("id"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            dollars(F.sum(cents(F.col("s_acctbal")))).alias("total_acctbal"),
+            F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0)).alias(
+                "n_negative"
+            ),
+        )
     )
 
 
@@ -1205,12 +1258,15 @@ def _nation_graph_bloom_sql() -> str:
            ROUND(COALESCE(h.h, 0.0), 6) AS harmonic,
            ROUND(hb.hb_h, 6) AS hb_harmonic,
            ROUND(hb.hb_r, 6) AS hb_reachers,
-           bm.hit AS member_hit, ba.hit AS absent_hit, bpc.popcount
+           bm.hit AS member_hit, ba.hit AS absent_hit, bpc.popcount,
+           bkm.hit AS blk_member_hit, bka.hit AS blk_absent_hit
     FROM sup
     JOIN harm h ON h.id = sup.id
     JOIN hb ON hb.id = sup.id
     JOIN (SELECT id, hit FROM bs_pbits WHERE tag = 'm') bm ON bm.id = sup.id
-    JOIN (SELECT id, hit FROM bs_pbits WHERE tag = 'a') ba ON ba.id = sup.id,
+    JOIN (SELECT id, hit FROM bs_pbits WHERE tag = 'a') ba ON ba.id = sup.id
+    JOIN (SELECT id, hit FROM blk_hits WHERE tag = 'm') bkm ON bkm.id = sup.id
+    JOIN (SELECT id, hit FROM blk_hits WHERE tag = 'a') bka ON bka.id = sup.id,
     bs_pc bpc
     """,
     "A1,A6,P6,J2 + harmonic centrality (exact BFS + HyperBall,"
@@ -1233,27 +1289,23 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
       nation names probed through the broadcast crossJoin path
       (operators/bloom.py); members must always hit (no false
       negatives), the 'absent-*' twins take whatever the parameters
-      give, and popcount pins the words array."""
-    from ..operators.bloom import bloom_build, bloom_contains_col
+      give, and popcount pins the words array.
+    * blk_member_hit / blk_absent_hit — the same screen through the
+      BLOCK-PARTITIONED representation (blocked_bloom_build, r11: the
+      Putze-et-al one-join probe that replaces the one-row broadcast
+      at seen-set scale), m=1024 / block_bits=128 / k=3, oracle-
+      rebuilt block words joined on (blk, w)."""
+    from ..operators.bloom import (
+        blocked_bloom_build,
+        bloom_build,
+        bloom_contains_col,
+        with_blocked_bloom_membership,
+    )
     from ..operators.graph import harmonic_centrality as _hc
     from ..operators.graph import hyperball_harmonic
 
-    s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
-    sup = (
-        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
-        .groupBy(
-            F.col("n_nationkey").cast("long").alias("id"),
-            F.col("n_name").alias("nation"),
-        )
-        .agg(
-            F.count("*").alias("n_suppliers"),
-            dollars(F.sum(cents(F.col("s_acctbal")))).alias("total_acctbal"),
-            F.sum(F.when(F.col("s_acctbal") < 0, 1).otherwise(0)).alias(
-                "n_negative"
-            ),
-        )
-    )
+    sup = _supplier_balance_core(spark, sf_dir)
     edges = n.select(
         F.col("n_nationkey").cast("long").alias("src"),
         F.explode(F.array(F.lit(1), F.lit(5), F.lit(7))).alias("s"),
@@ -1286,10 +1338,31 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + F.bit_count(x).cast("long"),
         ).alias("popcount"),
     )
+    blk = blocked_bloom_build(
+        n, "n_name", 1024, 3, block_bits=128, portable=True
+    )
+    blk_m = with_blocked_bloom_membership(
+        n.select(
+            F.col("n_nationkey").cast("long").alias("id"),
+            F.col("n_name").alias("_v"),
+        ),
+        "_v", blk, 1024, 3, block_bits=128, portable=True,
+        out_col="blk_member_hit",
+    ).select("id", "blk_member_hit")
+    blk_a = with_blocked_bloom_membership(
+        n.select(
+            F.col("n_nationkey").cast("long").alias("id"),
+            F.concat(F.lit("absent-"), F.col("n_name")).alias("_v"),
+        ),
+        "_v", blk, 1024, 3, block_bits=128, portable=True,
+        out_col="blk_absent_hit",
+    ).select("id", "blk_absent_hit")
     return (
         sup.join(exact, "id")
         .join(hbf, "id")
         .join(scr, "id")
+        .join(blk_m, "id")
+        .join(blk_a, "id")
         .select(
             "nation",
             "n_suppliers",
@@ -1301,6 +1374,8 @@ def supplier_balance_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "member_hit",
             "absent_hit",
             "popcount",
+            "blk_member_hit",
+            "blk_absent_hit",
         )
     )
 

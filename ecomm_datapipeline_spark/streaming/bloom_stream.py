@@ -27,11 +27,29 @@ dropDuplicates. Both appends are floor-guarded like every maintainer
 here (max committed batch id — survives compaction), so any crash
 window replays to exactly-once tables.
 
-Scale: the probe is the batch crossJoin-broadcast against ONE dense
-row assembled from the merged words (zero batch-side exchange —
-operators/bloom's plan-pinned shape); the delta is one thin
-aggregate of the batch's k hash positions. Nothing here reads or
-shuffles prior batches' KEYS — only the fixed-size word state.
+Scale (reworked in r11 — the r10 probe assembled the WHOLE filter
+into one dense Row through a single-partition collect_list and
+re-broadcast it per batch, a hard ceiling at seen-set m_bits):
+
+* The probe joins the batch's k hash positions against the sparse
+  word state ON THE WORD INDEX: the state is first restricted to the
+  batch's touched words by a broadcast semi-join (the broadcast side
+  is the BATCH's <= batch*k distinct word ids, never the filter), so
+  the word table streams through one scan per batch — no state-side
+  shuffle, no dense assembly, no filter-sized broadcast, at any
+  m_bits. The only exchanges are batch-sized (distinct keys, the
+  per-key all-k-bits aggregate).
+* The committed-batch floor is read from parquet FOOTER STATISTICS
+  (min/max of _batch_id per row group) — O(#files) driver-side
+  metadata reads, zero Spark job — instead of aggregating the
+  ever-growing screened table each batch (its per-batch cost grew
+  with corpus history). The data itself stays the commit marker
+  (exactly-once needs append-and-marker to be one atomic write), the
+  footer is just the O(1) way to read it; any file without usable
+  stats falls back to the exact scan.
+* bloom_words (the dense one-row export) remains a SMALL-m
+  convenience for dropping into operators/bloom.with_bloom_membership
+  — at seen-set scale probe batches through probe_seen_keys instead.
 """
 
 from __future__ import annotations
@@ -46,7 +64,6 @@ from ..operators.bloom import (
     BITS_PER_WORD,
     _check_params,
     _mask,
-    bloom_contains_col,
     bloom_positions,
 )
 from ..sources import tables
@@ -56,9 +73,48 @@ _BLOOM_DIR = "bloom"
 _SCREENED_DIR = "screened"
 
 
+def _footer_max(path: str, col: str) -> int | None:
+    """max(col) from parquet row-group footer statistics — O(#files)
+    driver-side metadata reads, no Spark job, no row scan. Returns
+    None when any file lacks usable stats for `col` (caller falls
+    back to the exact aggregate) or the dir holds no parquet files."""
+    import pyarrow.parquet as pq
+
+    mx: int | None = None
+    saw = False
+    for name in os.listdir(path):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(path, name)
+        try:
+            md = pq.ParquetFile(full).metadata
+        except Exception:
+            return None
+        idx = None
+        for i in range(md.num_columns):
+            if md.schema.column(i).name == col:
+                idx = i
+                break
+        if idx is None:
+            return None
+        for rg in range(md.num_row_groups):
+            c = md.row_group(rg).column(idx)
+            st = c.statistics
+            if c.num_values == 0:
+                continue
+            if st is None or not st.has_min_max:
+                return None
+            saw = True
+            mx = st.max if mx is None else max(mx, st.max)
+    return mx if saw else None
+
+
 def _committed_floor(spark: SparkSession, path: str) -> int:
     if not tables.table_exists(path):
         return -1
+    mx = _footer_max(path, _BATCH_COL)
+    if mx is not None:
+        return int(mx)
     row = (
         tables.read_table(spark, path)
         .agg(F.max(_BATCH_COL).alias("m"))
@@ -90,7 +146,9 @@ def _dense_words(
     spark: SparkSession, merged: DataFrame, m_bits: int
 ) -> DataFrame:
     """One row (words array<bigint>) from sparse (w, bits) rows —
-    absent words are zero."""
+    absent words are zero. SMALL-m export only: this funnels m_bits/32
+    rows through one task into one Row (operators/bloom's documented
+    one-row ceiling); the per-batch probe path never calls it."""
     n_words = m_bits // BITS_PER_WORD
     dense = (
         spark.range(n_words)
@@ -102,6 +160,61 @@ def _dense_words(
         dense.groupBy()
         .agg(F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("_s"))
         .select(F.transform("_s", lambda x: x["bits"]).alias("words"))
+    )
+
+
+def probe_seen_keys(
+    keys: DataFrame,
+    state: DataFrame,
+    key_col: str,
+    m_bits: int,
+    k: int,
+    portable: bool = False,
+    out_col: str = "seen_before",
+) -> DataFrame:
+    """Probe every row of `keys` against sparse (w, bits) word state
+    WITHOUT assembling or broadcasting the filter: explode each
+    distinct key to its k (word, mask) positions, restrict the state
+    to those words with a broadcast semi-join (broadcasting the
+    BATCH's word ids — bounded by batch*k — never the filter), join
+    on w, and fold all-k-bits-set per key. Duplicate key rows each
+    carry the same verdict (joined back by key); NULL keys read
+    false. State-side cost: one scan, zero exchange, at any m_bits."""
+    _check_params(m_bits, k)
+    kc = F.col(key_col)
+    dk = keys.filter(kc.isNotNull()).select(key_col).distinct()
+    exploded = dk.select(
+        key_col,
+        F.explode(
+            F.array(*bloom_positions(kc, m_bits, k, portable))
+        ).alias("p"),
+    ).select(
+        key_col,
+        F.floor(F.col("p") / BITS_PER_WORD).cast("long").alias("w"),
+        _mask(F.col("p")).alias("_m"),
+    )
+    touched = exploded.select("w").distinct()
+    sub = (
+        state.join(F.broadcast(touched), "w", "left_semi")
+        # merge replayed/uncompacted duplicates of a touched word only
+        # — the group count is bounded by the batch's word ids
+        .groupBy("w")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    per_key = (
+        exploded.join(sub, "w", "left")
+        .withColumn(
+            "_hit",
+            F.coalesce(F.col("bits"), F.lit(0).cast("long")).bitwiseAND(
+                F.col("_m")
+            )
+            != 0,
+        )
+        .groupBy(key_col)
+        .agg(F.min("_hit").alias(out_col))
+    )
+    return keys.join(per_key, key_col, "left").withColumn(
+        out_col, F.coalesce(F.col(out_col), F.lit(False))
     )
 
 
@@ -132,33 +245,18 @@ def bloom_seen_stream(
         try:
             if _committed_floor(spark, screened_path) < batch_id:
                 if tables.table_exists(bloom_path):
-                    merged = (
+                    prior = (
                         tables.read_table(spark, bloom_path)
                         # strictly-prior state: replay-stable even
                         # when this batch's own delta already landed
                         .filter(F.col(_BATCH_COL) < batch_id)
-                        .groupBy("w")
-                        .agg(F.bit_or("bits").alias("bits"))
+                        .select("w", "bits")
                     )
                 else:
-                    merged = spark.createDataFrame([], "w long, bits long")
-                words = _dense_words(spark, merged, m_bits).select(
-                    F.col("words").alias("_bloom_words")
-                )
-                screened = (
-                    keys.crossJoin(F.broadcast(words))
-                    .select(
-                        key_col,
-                        bloom_contains_col(
-                            F.col(key_col),
-                            F.col("_bloom_words"),
-                            m_bits,
-                            k,
-                            portable,
-                        ).alias("seen_before"),
-                    )
-                    .withColumn(_BATCH_COL, F.lit(batch_id).cast("long"))
-                )
+                    prior = spark.createDataFrame([], "w long, bits long")
+                screened = probe_seen_keys(
+                    keys, prior, key_col, m_bits, k, portable
+                ).withColumn(_BATCH_COL, F.lit(batch_id).cast("long"))
                 tables.write_table(screened, screened_path, mode="append")
             if _committed_floor(spark, bloom_path) < batch_id:
                 delta = _word_delta(
@@ -194,7 +292,9 @@ def bloom_words(
 ) -> DataFrame:
     """The current merged filter as a ONE-ROW (words) frame — drop it
     straight into operators/bloom.with_bloom_membership for batch-side
-    probes against the stream's seen-set."""
+    probes against the stream's seen-set. SMALL-m only (the one-row
+    assembly ceiling); at seen-set scale read the sparse table and
+    probe through probe_seen_keys instead."""
     merged = (
         tables.read_table(spark, os.path.join(state_path, _BLOOM_DIR))
         .filter(F.col("w") >= 0)

@@ -139,3 +139,145 @@ def test_probe_side_never_shuffles(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Block-partitioned filter (the 100 TB seen-set representation)
+
+
+class TestBlockedBloom:
+    def _b(self):
+        from ecomm_datapipeline_spark.operators import bloom
+
+        return bloom
+
+    @pytest.mark.parametrize("portable", [False, True])
+    def test_no_false_negatives(self, spark, portable):
+        b = self._b()
+        members = [f"doc-{i}" for i in range(300)]
+        blocks = b.blocked_bloom_build(
+            _strings(spark, members), "v", m_bits=8192, k=3,
+            block_bits=512, portable=portable,
+        )
+        probed = b.with_blocked_bloom_membership(
+            _strings(spark, members), "v", blocks, 8192, 3,
+            block_bits=512, portable=portable,
+        )
+        assert probed.filter(~F.col("in_bloom")).count() == 0
+
+    def test_fpr_within_blocked_analytic_bound(self, spark):
+        b = self._b()
+        members = [f"m-{i}" for i in range(200)]
+        absent = [f"a-{i}" for i in range(3000)]
+        m_bits, k, bb = 8192, 3, 512
+        blocks = b.blocked_bloom_build(
+            _strings(spark, members), "v", m_bits, k, block_bits=bb
+        )
+        hits = (
+            b.with_blocked_bloom_membership(
+                _strings(spark, absent), "v", blocks, m_bits, k, block_bits=bb
+            )
+            .filter(F.col("in_bloom"))
+            .count()
+        )
+        expected = b.blocked_bloom_fpr(len(members), m_bits, k, bb)
+        # the blocked bound is the right yardstick (>= the standard one)
+        assert expected >= b.bloom_fpr(len(members), m_bits, k)
+        assert hits / len(absent) < 5 * expected + 0.01
+
+    def test_matches_dense_semantics_per_block(self, spark):
+        """Every touched block's words must equal a STANDARD dense
+        build at m=block_bits over exactly the values hashed to that
+        block — the blocked filter is |blocks| independent small
+        filters, nothing more."""
+        b = self._b()
+        members = [f"val{i}" for i in range(80)]
+        m_bits, k, bb = 2048, 3, 256
+        n_blocks = m_bits // bb
+        blocks = {
+            r["block"]: list(r["words"])
+            for r in b.blocked_bloom_build(
+                _strings(spark, members), "v", m_bits, k, block_bits=bb,
+                portable=True,
+            ).collect()
+        }
+        by_block = (
+            _strings(spark, members)
+            .withColumn("blk", b.bloom_block_col("v", n_blocks, portable=True))
+            .collect()
+        )
+        import collections
+
+        grouped = collections.defaultdict(list)
+        for r in by_block:
+            grouped[r["blk"]].append(r["v"])
+        assert set(blocks) == set(grouped)
+        for blk, vals in grouped.items():
+            dense = b.bloom_build(
+                _strings(spark, vals), "v", bb, k, portable=True
+            ).first()["words"]
+            assert blocks[blk] == list(dense), f"block {blk} diverged"
+
+    def test_pathological_m_bits_no_global_aggregate(self, spark):
+        """The one-row path is structurally impossible at m = 2^30
+        (a 33M-word single Row); the blocked build at the same m must
+        (a) complete against a small value set in O(values), and
+        (b) show NO single-partition exchange anywhere in build or
+        probe plans — the ADVICE/VERDICT r10 scale-killer pin."""
+        b = self._b()
+        m_bits, k, bb = 1 << 30, 5, 4096
+        vals = [f"url-{i}" for i in range(100)]
+        blocks = b.blocked_bloom_build(
+            _strings(spark, vals), "v", m_bits, k, block_bits=bb
+        )
+        build_plan = blocks._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in build_plan
+        rows = blocks.collect()
+        # 100 values touch at most 100 blocks; words arrays are block-sized
+        assert 0 < len(rows) <= len(vals)
+        assert all(len(r["words"]) == bb // 32 for r in rows)
+        blocks_ck = blocks.localCheckpoint()
+        probed = b.with_blocked_bloom_membership(
+            _strings(spark, vals + ["absent-1", "absent-2"]),
+            "v", blocks_ck, m_bits, k, block_bits=bb,
+        )
+        probe_plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in probe_plan
+        got = {r["v"]: r["in_bloom"] for r in probed.collect()}
+        assert all(got[v] for v in vals)  # no false negatives
+        # at 10.7M bits/item the absent probes are all-but-surely clean
+        assert not got["absent-1"] and not got["absent-2"]
+
+    def test_null_and_param_validation(self, spark):
+        b = self._b()
+        df = spark.createDataFrame([("a",), (None,)], "v string")
+        blocks = b.blocked_bloom_build(df, "v", 1024, 2, block_bits=256)
+        got = {
+            r["v"]: r["in_bloom"]
+            for r in b.with_blocked_bloom_membership(
+                df, "v", blocks, 1024, 2, block_bits=256
+            ).collect()
+        }
+        assert got["a"] is True and got[None] is False
+        with pytest.raises(ValueError, match="multiple of block_bits"):
+            b.blocked_bloom_build(df, "v", 1000, 2, block_bits=256)
+        with pytest.raises(ValueError, match="multiple"):
+            b.blocked_bloom_build(df, "v", 1024, 2, block_bits=100)
+
+    def test_deterministic_under_repartition(self, spark):
+        b = self._b()
+        members = [f"z{i}" for i in range(40)]
+        r1 = {
+            r["block"]: list(r["words"])
+            for r in b.blocked_bloom_build(
+                _strings(spark, members), "v", 2048, 3, block_bits=512
+            ).collect()
+        }
+        r2 = {
+            r["block"]: list(r["words"])
+            for r in b.blocked_bloom_build(
+                _strings(spark, members).repartition(7), "v", 2048, 3,
+                block_bits=512,
+            ).collect()
+        }
+        assert r1 == r2

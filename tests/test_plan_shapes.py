@@ -127,6 +127,29 @@ def test_every_registered_query_is_pinned():
     assert not stale, f"remove stale pins: {sorted(stale)}"
 
 
+def test_supplier_balance_core_pinned(spark):
+    """The registered supplier_balance_by_nation became iterative with
+    the r10 folds and left the whole-query pin (SKIP above); its
+    non-iterative supplier aggregate stays audited HERE via the
+    factored catalog-internal frame: one exchange, no sort/generate,
+    and no cartesian/BNL (the dim join must broadcast)."""
+    plan = (
+        catalog._supplier_balance_core(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    got = (
+        len(re.findall(r"\bExchange\b", plan)),
+        len(re.findall(r"\bSort\b", plan)),
+        len(re.findall(r"\bGenerate\b", plan)),
+    )
+    assert got == (1, 0, 0), f"supplier core drifted: {got}\n" + plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 @pytest.mark.parametrize("name", sorted(PINNED))
 def test_plan_shape_within_pin(spark, name):
     plan = (
