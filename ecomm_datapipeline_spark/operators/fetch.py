@@ -57,6 +57,16 @@ Charset: decoded from the Content-Type header charset when present,
 else UTF-8, always errors='replace' (a crawler must never die on a
 mojibake page); for archival-grade recovery re-decode from WARC bytes
 with sources/warc.py's header+meta prescan instead.
+
+Content-Encoding (RFC 9110 §8.4): requests advertise
+`Accept-Encoding: gzip` and gzip/x-gzip responses are decompressed
+with the DECOMPRESSED size capped at max_bytes (zip-bomb guard — an
+over-cap or corrupt stream takes the omission path, never a crash).
+A body carrying the gzip magic with NO Content-Encoding header (CDNs
+that force compression without negotiating or labeling it) is
+sniff-decompressed, since the raw bytes would otherwise decode to
+garbage "html" and silently poison extraction; an encoding we never
+asked for (br, zstd, deflate) is undecodable here and omits the row.
 """
 
 from __future__ import annotations
@@ -74,6 +84,32 @@ FETCH_SCHEMA = (
     " etag string, last_modified string, not_modified boolean,"
     " final_url string"
 )
+
+
+def _gunzip_capped(data: bytes, cap: int) -> bytes | None:
+    """Decompress gzip member(s) with a decompressed-size cap: None
+    when the output would exceed `cap` (zip-bomb guard -> the caller's
+    omission path) or the stream is corrupt/truncated. Streaming zlib
+    — never materializes more than cap+1 output bytes. Concatenated
+    members (legal gzip, some servers emit them) decompress in
+    sequence; trailing non-gzip junk after the last member is
+    tolerated (padding), a lying header over a non-gzip body is not."""
+    import zlib
+
+    out = b""
+    rest = data
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(31)
+        try:
+            out += d.decompress(rest, cap + 1 - len(out))
+        except zlib.error:
+            return None
+        if len(out) > cap or not d.eof:
+            return None
+        rest = d.unused_data
+    if not out and data:
+        return None  # claimed gzip, no gzip member found
+    return out
 
 
 def http_fetcher(
@@ -133,7 +169,10 @@ def http_fetcher(
                         if wait > 0:
                             time.sleep(wait)
                     last[host] = time.monotonic()
-                    headers = {"User-Agent": agent}
+                    headers = {
+                        "User-Agent": agent,
+                        "Accept-Encoding": "gzip",
+                    }
                     # NULL validators arrive as None/NaN through Arrow
                     row_etag = getattr(row, "etag", None)
                     row_lm = getattr(row, "last_modified", None)
@@ -152,6 +191,32 @@ def http_fetcher(
                             data = resp.read(max_bytes + 1)
                             if len(data) > max_bytes:
                                 continue  # oversized: treat as failure
+                            enc = (
+                                resp.headers.get("Content-Encoding") or ""
+                            ).strip().lower()
+                            if enc in ("gzip", "x-gzip"):
+                                data = _gunzip_capped(data, max_bytes)
+                                if data is None:
+                                    # bomb or corrupt: omission/retry,
+                                    # never a crash or garbage html
+                                    continue
+                            elif enc in ("", "identity"):
+                                if data[:2] == b"\x1f\x8b":
+                                    # forced, unlabeled compression
+                                    # (CDN misconfig): the magic bytes
+                                    # say gzip even though the header
+                                    # does not — sniff-decompress; on
+                                    # failure keep the raw bytes (it
+                                    # may genuinely be a .gz payload)
+                                    sniffed = _gunzip_capped(
+                                        data, max_bytes
+                                    )
+                                    if sniffed is not None:
+                                        data = sniffed
+                            else:
+                                # br/zstd/deflate: never advertised,
+                                # undecodable here -> omission
+                                continue
                             charset = (
                                 resp.headers.get_content_charset() or "utf-8"
                             )

@@ -525,3 +525,147 @@ def test_redirect_final_url_surfaces(spark, server):
     finally:
         rsrv.shutdown()
         rsrv.server_close()
+
+
+# ---------------------------------------------------------------------------
+# Content-Encoding (r11): gzip negotiation, sniffing, bomb guard
+
+
+def _serve_enc(responses):
+    """Server with explicit (raw_body_bytes, extra_headers) control per
+    path; records each request's Accept-Encoding header."""
+    seen_ae = {}
+    lock = threading.Lock()
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                seen_ae[self.path] = self.headers.get("Accept-Encoding")
+            item = responses.get(self.path)
+            if item is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            data, extra = item
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            for k, v in extra.items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, seen_ae
+
+
+@pytest.fixture
+def enc_server():
+    started = []
+
+    def start(responses):
+        srv, seen_ae = _serve_enc(responses)
+        started.append(srv)
+        return f"http://127.0.0.1:{srv.server_port}", seen_ae
+
+    yield start
+    for s in started:
+        s.shutdown()
+        s.server_close()
+
+
+def test_gzip_negotiated_and_decompressed(spark, enc_server):
+    import gzip
+
+    body = "<p>compressed alpha</p>"
+    base, seen_ae = enc_server(
+        {
+            "/gz": (gzip.compress(body.encode()), {"Content-Encoding": "gzip"}),
+            "/plain": (b"<p>plain</p>", {}),
+        }
+    )
+    fetch = fetch_mod.http_fetcher(timeout_s=5)
+    got = {
+        r["url"]: r["html"]
+        for r in fetch(_wave(spark, [f"{base}/gz", f"{base}/plain"])).collect()
+    }
+    assert got[f"{base}/gz"] == body
+    assert got[f"{base}/plain"] == "<p>plain</p>"
+    # the request advertised gzip (RFC 9110 content negotiation)
+    assert "gzip" in (seen_ae["/gz"] or "")
+
+
+def test_forced_unlabeled_gzip_is_sniffed(spark, enc_server):
+    """A CDN that compresses without negotiating or labeling: gzip
+    magic bytes, no Content-Encoding header. Raw decode would yield
+    mojibake 'html'; the sniff path must recover the real text."""
+    import gzip
+
+    body = "<p>forced but recoverable</p>"
+    base, _ = enc_server({"/forced": (gzip.compress(body.encode()), {})})
+    fetch = fetch_mod.http_fetcher(timeout_s=5)
+    got = fetch(_wave(spark, [f"{base}/forced"])).collect()
+    assert len(got) == 1 and got[0]["html"] == body
+
+
+def test_gzip_bomb_takes_omission_path(spark, enc_server):
+    """A tiny compressed body expanding past max_bytes must be OMITTED
+    (failure/retry), never decompressed whole or crashed on."""
+    import gzip
+
+    bomb = gzip.compress(b"A" * (4 * 1024 * 1024))  # ~4 MB -> ~4 KB
+    assert len(bomb) < 64 * 1024
+    base, _ = enc_server(
+        {"/bomb": (bomb, {"Content-Encoding": "gzip"}),
+         "/ok": (b"<p>fine</p>", {})}
+    )
+    fetch = fetch_mod.http_fetcher(timeout_s=5, max_bytes=1024 * 1024)
+    got = {
+        r["url"]: r["html"]
+        for r in fetch(_wave(spark, [f"{base}/bomb", f"{base}/ok"])).collect()
+    }
+    assert f"{base}/bomb" not in got  # omitted
+    assert got[f"{base}/ok"] == "<p>fine</p>"
+
+
+def test_corrupt_or_alien_encoding_is_omitted(spark, enc_server):
+    """A lying gzip header over garbage, and an encoding we never
+    advertised (br), both take the omission path — extraction must
+    never see undecodable bytes as 'html'."""
+    base, _ = enc_server(
+        {
+            "/lie": (b"this is not gzip at all", {"Content-Encoding": "gzip"}),
+            "/br": (b"\x00\x01\x02\x03", {"Content-Encoding": "br"}),
+            "/ok": (b"<p>still fine</p>", {}),
+        }
+    )
+    fetch = fetch_mod.http_fetcher(timeout_s=5)
+    got = {
+        r["url"]: r["html"]
+        for r in fetch(
+            _wave(spark, [f"{base}/lie", f"{base}/br", f"{base}/ok"])
+        ).collect()
+    }
+    assert set(got) == {f"{base}/ok"}
+
+
+def test_gunzip_capped_members_and_padding():
+    """Unit pins for the decompressor: concatenated members join,
+    trailing padding after the last member is tolerated, truncation
+    and cap overruns return None."""
+    import gzip
+
+    from ecomm_datapipeline_spark.operators.fetch import _gunzip_capped
+
+    two = gzip.compress(b"hello ") + gzip.compress(b"world")
+    assert _gunzip_capped(two, 100) == b"hello world"
+    assert _gunzip_capped(two + b"\x00\x00", 100) == b"hello world"
+    assert _gunzip_capped(two, 5) is None  # cap
+    whole = gzip.compress(b"abcdef")
+    assert _gunzip_capped(whole[:-3], 100) is None  # truncated
+    assert _gunzip_capped(b"junk", 100) is None  # no member at all
+    assert _gunzip_capped(b"", 100) == b""  # empty body, empty page
