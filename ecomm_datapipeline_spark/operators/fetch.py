@@ -118,9 +118,22 @@ def http_fetcher(
     default_delay_s: float = 0.0,
     host_delays: dict[str, float] | None = None,
     max_bytes: int = 4 * 1024 * 1024,
+    emit_http_errors: bool = False,
 ) -> Callable[[DataFrame], DataFrame]:
     """Build a production fetch_fn for crawl()/crawl_rounds(). See the
-    module docstring for the politeness and failure contracts."""
+    module docstring for the politeness and failure contracts.
+
+    emit_http_errors=True changes the failure contract for HTTP-level
+    errors only: a definitive non-2xx status (4xx/5xx) emits a row
+    with html = NULL and the real status instead of being omitted, so
+    callers that must act on the CODE can — robots acquisition is the
+    canonical case (RFC 9309 §2.3.1.4: a 5xx robots.txt SHOULD read as
+    full disallow, which the omission contract erases into the unsafe
+    'no rules -> allow all'; see robots.fetch_robots_rules). Transport
+    failures (timeout, refused, garbage banner) still omit — there is
+    no status to report. Page crawling keeps the default: crawl_rounds
+    counts membership in fetched_ok as success, so feeding it error
+    rows would mark failures fetched."""
     delays = dict(host_delays or {})
 
     def fetch(wave: DataFrame) -> DataFrame:
@@ -265,6 +278,18 @@ def http_fetcher(
                             )
                         err.close()
                         if err.code != 304 or not sent_conditional:
+                            if emit_http_errors and err.code != 304:
+                                out.append(
+                                    (
+                                        row.url,
+                                        None,
+                                        int(err.code),
+                                        None,
+                                        None,
+                                        False,
+                                        row.url,
+                                    )
+                                )
                             continue
                     except (
                         urllib.error.URLError,

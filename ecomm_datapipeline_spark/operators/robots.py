@@ -495,14 +495,19 @@ def fetch_robots_rules(
     frame for robots_allowed / crawl_rounds(rules=...).
 
     Per RFC 9309 §2.3.1: a host whose robots.txt is not found (404 —
-    the fetch seam omits the row) contributes no rules, and
+    no row, or a row with a 4xx status) contributes no rules, and
     robots_allowed then allows everything for it (the spec's 'MAY
-    access any resources' branch). The seam cannot distinguish a 5xx
-    (§2.3.1.4: SHOULD assume full disallow) from a 404; a crawler
-    that must honor that branch screens those hosts upstream. One
-    fetch per authority per call — persist the returned frame and
-    refresh on a cache schedule (§2.4 allows up to 24h), do not
-    re-fetch per wave.
+    access any resources' branch). §2.3.1.4's 5xx branch (SHOULD
+    assume full disallow — an erroring server must read as closed,
+    not open) is honored WHEN the fetch seam surfaces statuses: pass
+    fetch.http_fetcher(emit_http_errors=True) and every 5xx authority
+    gets a synthesized full-disallow rules row ('User-agent: * /
+    Disallow: /'). A status-less seam (simulated fetchers, the plain
+    omission contract) cannot distinguish 5xx from 404 and keeps the
+    allow fallback — production acquisition should always surface
+    statuses. One fetch per authority per call — persist the returned
+    frame and refresh on a cache schedule (§2.4 allows up to 24h), do
+    not re-fetch per wave.
 
     Scale shape: authorities distinct-aggregate from a 1-column
     projection (https preferred over http when both appear); the
@@ -523,7 +528,17 @@ def fetch_robots_rules(
         .agg(F.max("_base").alias("_base"))  # 'https://' > 'http://'
         .select(F.concat(F.col("_base"), F.lit("/robots.txt")).alias("url"))
     )
-    fetched = fetch_fn(targets).select(
+    raw = fetch_fn(targets)
+    if "status" in raw.columns:
+        ok2 = (F.col("status") >= 200) & (F.col("status") < 300)
+        s5 = (F.col("status") >= 500) & (F.col("status") < 600)
+        raw = raw.filter(ok2 | s5).select(
+            "url",
+            F.when(s5, F.lit("User-agent: *\nDisallow: /"))
+            .otherwise(F.col("html"))
+            .alias("html"),
+        )
+    fetched = raw.select(
         _host_key(F.col("url")).alias("host"),
         F.col("html").alias("robots_txt"),
     )

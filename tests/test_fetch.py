@@ -669,3 +669,91 @@ def test_gunzip_capped_members_and_padding():
     assert _gunzip_capped(whole[:-3], 100) is None  # truncated
     assert _gunzip_capped(b"junk", 100) is None  # no member at all
     assert _gunzip_capped(b"", 100) == b""  # empty body, empty page
+
+
+def test_robots_5xx_reads_as_full_disallow(spark, server, tmp_path):
+    """RFC 9309 §2.3.1.4: an erroring robots.txt server must read as
+    CLOSED, not open. With a status-surfacing fetcher
+    (emit_http_errors=True), a 500-robots authority gets a synthesized
+    full-disallow rules row and its pages transition to 'denied'
+    without a request; a 404-robots authority stays allow-all."""
+    from ecomm_datapipeline_spark.operators import robots as R
+
+    # authority A: robots.txt -> 500, pages exist
+    lock = threading.Lock()
+    a_log = []
+
+    class H500(BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                a_log.append(self.path)
+            if self.path == "/robots.txt":
+                self.send_response(500)
+                self.end_headers()
+                return
+            data = b"<p>page behind erroring robots</p>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv_a = ThreadingHTTPServer(("127.0.0.1", 0), H500)
+    threading.Thread(target=srv_a.serve_forever, daemon=True).start()
+    base_a = f"http://127.0.0.1:{srv_a.server_port}"
+    # authority B: no robots.txt at all (404), pages exist
+    base_b, b_log = server({"/": "<p>open host</p>"})
+    try:
+        seeds = spark.createDataFrame(
+            [(f"{base_a}/",), (f"{base_b}/",)], "url string"
+        )
+        fetcher = fetch_mod.http_fetcher(timeout_s=5)
+        rules = R.fetch_robots_rules(
+            seeds, fetch_mod.http_fetcher(timeout_s=5, emit_http_errors=True)
+        ).localCheckpoint()
+        verdicts = {
+            r["url"]: r["robots_allowed"]
+            for r in R.robots_allowed(seeds, rules, "TestBot").collect()
+        }
+        assert verdicts[f"{base_a}/"] is False  # 5xx -> full disallow
+        assert verdicts[f"{base_b}/"] is True  # 404 -> allow all
+        # e2e: the crawl denies A's seed terminally, never requests it
+        path = str(tmp_path / "frontier")
+        frontier_store.init_frontier(seeds, path)
+        frontier_store.crawl_rounds(
+            spark, path, fetcher, rounds=3, rules=rules, agent="TestBot"
+        )
+        got = {
+            r["url"]: r["status"]
+            for r in tables.read_table(spark, path).collect()
+        }
+        assert got[f"{base_a}/"] == "denied"
+        assert got[f"{base_b}/"] == "fetched"
+        assert "/" not in a_log  # only /robots.txt was ever requested
+    finally:
+        srv_a.shutdown()
+        srv_a.server_close()
+
+
+def test_emit_http_errors_rows_carry_status(spark, server):
+    """The status-surfacing contract itself: 4xx/5xx become html-NULL
+    rows with the real code; 2xx rows are unchanged; transport
+    failures still omit."""
+    base, _ = server({"/ok": "<p>k</p>"})
+    fetch = fetch_mod.http_fetcher(timeout_s=5, emit_http_errors=True)
+    got = {
+        r["url"]: (r["status"], r["html"])
+        for r in fetch(
+            _wave(
+                spark,
+                [f"{base}/ok", f"{base}/missing",
+                 "http://127.0.0.1:1/unreachable"],
+            )
+        ).collect()
+    }
+    assert got[f"{base}/ok"][0] == 200
+    assert got[f"{base}/missing"] == (404, None)
+    assert "http://127.0.0.1:1/unreachable" not in got
