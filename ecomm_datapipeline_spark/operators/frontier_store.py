@@ -12,7 +12,7 @@ Table schema (key: url — normalized by urls.normalize_url on entry,
 so one page is one row no matter how many raw spellings link to it):
 
     url string, host string,
-    status string (pending|fetched|failed|denied),
+    status string (pending|fetched|failed|denied|aliased),
     priority double, tries int, discovered_round int, last_round int,
     fetched_at timestamp, refetch_after timestamp,
     etag string, last_modified string
@@ -472,6 +472,9 @@ def commit_round(
     fetched_at: datetime | None = None,
     refetch_interval_s: float | None = None,
     denied: DataFrame | None = None,
+    aliased: DataFrame | None = None,
+    refetch_growth: float = 1.0,
+    refetch_max_s: float | None = None,
 ) -> None:
     """Apply one round durably: `attempted` (url) rows transition to
     fetched/failed depending on membership in `fetched_ok` (url), with
@@ -483,6 +486,21 @@ def commit_round(
     and leave the worklist. Rows whose last_round already equals
     round_id pass through unchanged, making a post-crash replay a
     state no-op.
+
+    Redirect aliases: `aliased` is a resolved (url, rep) map
+    (urls.resolve_alias_chains over the round's url -> final_url
+    redirect pairs). The `url` side — spellings whose request was
+    SERVED from somewhere else — transitions to the terminal 'aliased'
+    status (an attempt was spent, so tries increments; refetch_after
+    clears so the row leaves the worklist and a future wave never
+    spends budget on the mirror spelling again). The `rep` side is
+    where the content actually lives: `fetched_ok` must arrive
+    REKEYED to rep (crawl_rounds does this), reps already in the
+    state transition to 'fetched' with the response validators like
+    any attempted row, and reps the frontier has never seen insert
+    directly as 'fetched' rows (NOT pending — the bytes were just
+    fetched; inserting pending would schedule a wasted refetch)
+    stamped with the round's freshness/validators.
 
     Durability order: state merge, then worklist sidecar (bucketed),
     then the `<path>_meta` committed_round marker — see the module
@@ -498,7 +516,20 @@ def commit_round(
     with the response's (NULL if the server stopped sending them); a
     304 (`not_modified`) keeps the stored ones unless the 304 re-sent
     a value. Failed attempts keep validator history, like the
-    timestamps."""
+    timestamps.
+
+    Adaptive recrawl (`refetch_growth` > 1): the per-URL interval is
+    DERIVED, not stored — the row's previous interval is simply
+    refetch_after - fetched_at, both already persisted. Each 304
+    (content unchanged) stretches it: next = clamp(prev * growth,
+    [refetch_interval_s, refetch_max_s]); any fresh 200 — which on a
+    conditional request MEANS the content changed — snaps it back to
+    the base interval. Static pages thus decay toward refetch_max_s
+    (one cheap 304 per visit, geometrically rarer) while churning
+    pages stay at the base rate, the standard adaptive-revisit policy
+    (cf. Cho & Garcia-Molina, 'Effective Page Refresh Policies',
+    TODS 2003) without a schema change or extra state. growth=1.0
+    (default) is the fixed-interval behavior, bit-for-bit."""
     nb, committed = _read_meta(spark, path)
     _ensure_v2_table(spark, path, nb)
     state = _with_v2(tables.read_table(spark, path))
@@ -564,6 +595,18 @@ def commit_round(
         # denied wins over attempted on overlap — one update row per
         # key, or the merge would union two conflicting versions
         att = att.join(den, "url", "left_anti")
+    al_keys = reps = None
+    if aliased is not None:
+        al_keys = aliased.select("url").distinct()
+        reps = aliased.select(F.col("rep").alias("url")).distinct()
+        # reps join the attempted set (their state rows, if any,
+        # transition to fetched via the ok join below); alias keys
+        # leave it (they get their own terminal update rows). Subtract
+        # AFTER the union so a degenerate ring where one url is both
+        # key and rep yields exactly one update row — the terminal one.
+        att = att.unionByName(reps).distinct().join(
+            al_keys, "url", "left_anti"
+        )
     touched: list[int] = []
     if nb is not None:
         # Prune the state reads to the buckets this round can touch:
@@ -584,15 +627,36 @@ def commit_round(
             tb = tb.unionByName(
                 den.withColumn("bucket", _bucket_col(nb)).select("bucket")
             )
+        if al_keys is not None:
+            tb = tb.unionByName(
+                al_keys.withColumn("bucket", _bucket_col(nb)).select(
+                    "bucket"
+                )
+            )
         touched = [r["bucket"] for r in tb.distinct().collect()]
         state = state.filter(F.col("bucket").isin(touched))
     replay = F.col("last_round") == round_id
     fa = F.lit(fetched_at).cast("timestamp")
-    ra = (
-        F.lit(None).cast("timestamp")
-        if fetched_at is None or refetch_interval_s is None
-        else fa + F.make_dt_interval(secs=F.lit(float(refetch_interval_s)))
-    )
+    if fetched_at is None or refetch_interval_s is None:
+        ra = F.lit(None).cast("timestamp")
+    elif refetch_growth > 1.0:
+        # previous interval lives in the row itself (refetch_after -
+        # fetched_at); a 304 stretches it, a fresh 200 resets to base.
+        # Timestamps cast to double = epoch seconds.
+        base = F.lit(float(refetch_interval_s))
+        prev = F.col("refetch_after").cast("double") - F.col(
+            "fetched_at"
+        ).cast("double")
+        grown = F.greatest(
+            F.coalesce(prev, base) * F.lit(float(refetch_growth)), base
+        )
+        if refetch_max_s is not None:
+            grown = F.least(grown, F.lit(float(refetch_max_s)))
+        ra = fa + F.make_dt_interval(
+            secs=F.when(F.col("_nm"), grown).otherwise(base)
+        )
+    else:
+        ra = fa + F.make_dt_interval(secs=F.lit(float(refetch_interval_s)))
     got = F.coalesce(F.col("_ok"), F.lit(False))
     updates = (
         state.join(att, "url", "left_semi")
@@ -658,6 +722,70 @@ def commit_round(
             *keep_cols,
         )
         updates = updates.unionByName(den_updates)
+    if al_keys is not None:
+        al_updates = state.join(al_keys, "url", "left_semi").select(
+            "url",
+            "host",
+            F.when(replay, F.col("status"))
+            .otherwise(F.lit("aliased"))
+            .alias("status"),
+            "priority",
+            # the redirect consumed a request: tries increments like
+            # any attempt (replay-guarded like the normal arm)
+            F.when(replay, F.col("tries"))
+            .otherwise(F.col("tries") + 1)
+            .alias("tries"),
+            "discovered_round",
+            F.lit(int(round_id)).alias("last_round"),
+            "fetched_at",
+            # terminal: must not re-enter via the refetch arm
+            F.when(replay, F.col("refetch_after"))
+            .otherwise(F.lit(None).cast("timestamp"))
+            .alias("refetch_after"),
+            "etag",
+            "last_modified",
+            *keep_cols,
+        )
+        updates = updates.unionByName(al_updates)
+        # reps the frontier has never seen insert directly as FETCHED
+        # rows carrying the response validators — the content was just
+        # fetched under this spelling, so a 'pending' insert would buy
+        # a duplicate fetch next wave
+        new_reps = (
+            _as_rows(
+                reps.join(state.select("url"), "url", "left_anti").join(
+                    al_keys, "url", "left_anti"
+                ),
+                round_id,
+                discovered_priority,
+            )
+            .join(ok, "url", "left")
+            .select(
+                "url",
+                "host",
+                F.when(
+                    F.coalesce(F.col("_ok"), F.lit(False)),
+                    F.lit("fetched"),
+                )
+                .otherwise(F.lit("failed"))
+                .alias("status"),
+                "priority",
+                F.lit(1).alias("tries"),
+                "discovered_round",
+                F.lit(int(round_id)).alias("last_round"),
+                F.when(F.coalesce(F.col("_ok"), F.lit(False)), fa)
+                .otherwise(F.lit(None).cast("timestamp"))
+                .alias("fetched_at"),
+                F.when(F.coalesce(F.col("_ok"), F.lit(False)), ra)
+                .otherwise(F.lit(None).cast("timestamp"))
+                .alias("refetch_after"),
+                F.col("_etag").alias("etag"),
+                F.col("_lm").alias("last_modified"),
+            )
+        )
+        if nb is not None:
+            new_reps = new_reps.withColumn("bucket", _bucket_col(nb))
+        updates = updates.unionByName(new_reps)
     if disc_norm is not None:
         new_rows = (
             _as_rows(disc_norm, round_id, discovered_priority)
@@ -666,6 +794,10 @@ def commit_round(
         )
         if den is not None:
             new_rows = new_rows.join(den, "url", "left_anti")
+        if al_keys is not None:
+            new_rows = new_rows.join(al_keys, "url", "left_anti").join(
+                reps, "url", "left_anti"
+            )
         if nb is not None:
             new_rows = new_rows.withColumn("bucket", _bucket_col(nb))
         updates = updates.unionByName(new_rows)
@@ -895,6 +1027,8 @@ def crawl_rounds(
     now_fn: Callable[[], datetime] | None = None,
     rules: DataFrame | None = None,
     agent: str = "*",
+    refetch_growth: float = 1.0,
+    refetch_max_s: float | None = None,
 ) -> DataFrame:
     """The restartable crawl driver: resume after last_committed_round
     and run up to `rounds` MORE rounds (stop early when no URL is
@@ -920,7 +1054,18 @@ def crawl_rounds(
     that emits FETCH_SCHEMA metadata (operators/fetch.http_fetcher)
     turns refetches into conditional requests, 304 rows re-stamp
     freshness with NO parse/extract work, and fresh 200s rotate the
-    stored validators.
+    stored validators. With `refetch_growth` > 1, each 304 stretches
+    that URL's interval geometrically (clamped to refetch_max_s) and
+    any content change snaps it back to refetch_interval_s — see
+    commit_round's adaptive-recrawl contract; at web scale a fixed
+    interval re-downloads the mostly-static web forever, so the
+    change history the frontier already stores should set the pace.
+
+    Redirects: a fetch_fn that surfaces `final_url` (FETCH_SCHEMA)
+    gets its redirect aliases folded back automatically — mirror
+    spellings go terminal ('aliased'), content/links/validators move
+    to the representative URL, and the rep upserts as fetched — see
+    commit_round's `aliased` contract.
 
     Robots: with `rules` (a robots.robots_rules frame — build it with
     robots.fetch_robots_rules through the same fetch seam), each
@@ -964,7 +1109,13 @@ def crawl_rounds(
                 "robots_allowed"
             )
             denied = flagged.filter(~F.col("robots_allowed")).select("url")
-        raw_fetched = fetch_fn(to_fetch)
+        # checkpoint the raw fetch FIRST: fetch_fn is side-effecting
+        # (real HTTP), and both the alias map and the content frame
+        # derive from it — without this barrier each derivation's
+        # action re-executes the fetch plan and every page downloads
+        # twice per round
+        raw_fetched = fetch_fn(to_fetch).localCheckpoint()
+        raw_fetched_ck = raw_fetched
         # carry the conditional-fetch metadata ONLY when the fetcher
         # really emits FETCH_SCHEMA (the not_modified marker): a
         # plain passthrough fetcher (simulated_fetcher keeps the
@@ -975,6 +1126,41 @@ def crawl_rounds(
             if "not_modified" in raw_fetched.columns
             else []
         )
+        # Redirect aliases (VERDICT r10 #3): when the fetcher surfaces
+        # final_url (operators/fetch.FETCH_SCHEMA), rows served from a
+        # different spelling fold into the frontier BY DEFAULT — the
+        # requested url goes terminal ('aliased'), the content rekeys
+        # to its representative, links attribute to the rep (it is
+        # also the correct RFC 3986 base: the bytes came from there),
+        # and the rep itself lands/updates as a fetched row — so the
+        # budget never fetches both spellings of a mirror again. The
+        # alias map is redirect-sized; resolve_alias_chains collapses
+        # same-wave chains (a->b->c) so every spelling keys to the
+        # chain sink.
+        amap = None
+        if "final_url" in raw_fetched.columns:
+            from .urls import (
+                collapse_aliases,
+                normalize_url,
+                resolve_alias_chains,
+            )
+
+            nf = raw_fetched.withColumn(
+                "_final", normalize_url(F.col("final_url"))
+            )
+            pairs = nf.filter(
+                F.col("_final").isNotNull()
+                & (F.col("_final") != "")
+                & (F.col("_final") != F.col("url"))
+            ).select("url", F.col("_final").alias("canonical"))
+            amap = resolve_alias_chains(pairs).localCheckpoint()
+            if amap.isEmpty():
+                amap.unpersist()
+                amap = None
+            else:
+                raw_fetched = collapse_aliases(
+                    nf.drop("_final", "final_url"), amap
+                )
         fetched = raw_fetched.select(
             "url", "html", *meta_cols
         ).localCheckpoint()
@@ -1015,13 +1201,18 @@ def crawl_rounds(
             fetched_at=now,
             refetch_interval_s=refetch_interval_s,
             denied=denied,
+            aliased=amap,
+            refetch_growth=refetch_growth,
+            refetch_max_s=refetch_max_s,
         )
         # round-local checkpoint blocks die with the round, not the
         # loop (the warc_stream unpersist convention) — a long crawl
         # must not accumulate per-round blocks in executor storage
         # unpersist the CHECKPOINTED handles (a derived frame's
         # unpersist would be a silent no-op)
-        drop = [wave, fetched, raw_links, links_ck]
+        drop = [wave, raw_fetched_ck, fetched, raw_links, links_ck]
+        if amap is not None:
+            drop.append(amap)
         if rules is not None:
             drop.append(flagged)
         for df in drop:

@@ -1731,13 +1731,14 @@ def quantity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1
     )
     SELECT o_custkey, n_gaps, max_gap_days, rank_checksum,
-      (SELECT md5(string_agg(u || '|' || s || '|' || t || '|' || lr, ','
-                             ORDER BY u || '|' || s || '|' || t || '|' || lr))
-       FROM (VALUES ('http://s.example/',  'fetched', '1', '1'),
-                    ('http://s.example/a', 'fetched', '1', '2'),
-                    ('http://s.example/b', 'fetched', '1', '2'),
-                    ('http://s.example/c', 'pending', '0', '')
-            ) AS v(u, s, t, lr)) AS frontier_state_md5
+      (SELECT md5(string_agg(u || '|' || s || '|' || t || '|' || lr || '|' || iv, ','
+                             ORDER BY u || '|' || s || '|' || t || '|' || lr || '|' || iv))
+       FROM (VALUES ('http://s.example/',  'fetched', '2', '3', '200'),
+                    ('http://s.example/a', 'fetched', '1', '2', '100'),
+                    ('http://s.example/b', 'aliased', '1', '2', ''),
+                    ('http://s.example/c', 'fetched', '1', '3', '100'),
+                    ('http://s.example/r', 'fetched', '1', '2', '100')
+            ) AS v(u, s, t, lr, iv)) AS frontier_state_md5
     FROM (
       SELECT o_custkey,
         CAST(COUNT(prev_date) AS BIGINT) AS n_gaps,
@@ -1758,13 +1759,18 @@ def order_recency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ROW_NUMBER, so the distributed construction is pinned
     value-equivalent to the per-key window at every customer.
 
-    r10 fold: frontier_state_md5 runs the REAL persistent frontier
-    (operators/frontier_store: init -> 2 crawl_rounds over a planted
-    4-page site with a simulated fetcher, WAL + marker + merge all
-    live) and checksums the final state table (url, status, tries,
-    last_round rows, sorted, md5) — the oracle states the hand-derived
-    expected state as a VALUES literal and computes the identical
-    digest, pinning the whole commit protocol's end state."""
+    r10 fold (widened r11): frontier_state_md5 runs the REAL
+    persistent frontier (operators/frontier_store: init -> 3
+    crawl_rounds over a planted site through a conditional,
+    redirecting simulated fetcher — WAL + marker + merge + alias
+    collapse + adaptive recrawl all live) and checksums the final
+    state table (url, status, tries, last_round, refetch interval
+    rows, sorted, md5) — the oracle states the hand-derived expected
+    state as a VALUES literal and computes the identical digest,
+    pinning the commit protocol's end state INCLUDING the redirect
+    spelling going terminal 'aliased', its rep inserted directly as
+    fetched, and a 304 stretching the seed's interval 100 -> 200
+    while fresh 200s stay at base."""
     from ..operators.frontier import per_key_rank
 
     o = _t(spark, sf_dir, "orders")
@@ -1802,33 +1808,67 @@ def order_recency_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _frontier_state_md5(spark: SparkSession) -> str:
     """Run the persistent crawl frontier END-TO-END on a deterministic
     planted site and digest its final state (the order_recency_gaps
-    r10 fold). The fixture: seed http://s.example/, 2 committed rounds
-    at default politeness; round 1 fetches the seed and discovers
-    /a + /b, round 2 fetches both and discovers /c, which stays
-    pending. The checksum is md5 over the sorted
-    url|status|tries|last_round rows — any deviation in wave
-    scheduling, the WAL, the merge transitions, or the round marker
-    changes it. Computed EAGERLY (one scalar collect over 4 rows) so
+    r10 fold, widened r11 to the full conditional/redirect/adaptive
+    loop). The fixture, 3 committed rounds at a controlled clock
+    (base interval 100 s, growth 2x):
+
+      round 1 (t0):     wave = {seed}; 200, discovers /a + /b
+      round 2 (t0+50):  wave = {/a, /b}; /a 200 discovers /c; /b is
+                        SERVED FROM /r (redirect) -> /b goes terminal
+                        'aliased', /r inserts directly as fetched
+      round 3 (t0+120): wave = {/c, seed} (seed refetch-due at
+                        t0+100); /c 200; seed answers 304 via its
+                        stored ETag -> freshness re-stamped and the
+                        interval STRETCHES 100 -> 200
+
+    The checksum is md5 over the sorted
+    url|status|tries|last_round|interval rows (interval =
+    refetch_after - fetched_at in whole seconds) — any deviation in
+    wave scheduling, the WAL, the merge transitions, the round
+    marker, the alias fold, or the adaptive-recrawl arithmetic
+    changes it. Computed EAGERLY (one scalar collect over 5 rows) so
     the fixture's temp dir can be removed before the caller collects."""
     import os
     import shutil
     import tempfile
+    from datetime import datetime, timedelta, timezone
 
-    from ..operators import crawl, frontier_store
+    from ..operators import frontier_store
     from ..sources import tables
 
     site = {
         "http://s.example/": ["http://s.example/a", "http://s.example/b"],
         "http://s.example/a": ["http://s.example/c"],
-        "http://s.example/b": [],
+        "http://s.example/c": [],
+        "http://s.example/r": [],
     }
-    pages = spark.createDataFrame(
-        [
-            (u, "".join(f'<a href="{x}">x</a>' for x in ls))
-            for u, ls in site.items()
-        ],
-        "url string, html string",
-    )
+    redir = {"http://s.example/b": "http://s.example/r"}
+
+    def fetcher(wave):
+        # deterministic conditional+redirecting fetcher (the fixture
+        # twin of operators/fetch.http_fetcher's contract): content
+        # lives at the redirect targets; a wave row carrying the
+        # page's ETag gets a 304 (html NULL, not_modified) instead of
+        # a re-download. Driver-side collect is fixture-sized.
+        rows = []
+        for r in wave.select("url", "etag").collect():
+            tgt = redir.get(r["url"], r["url"])
+            if tgt not in site:
+                continue
+            if r["etag"] == '"e"':
+                rows.append((r["url"], None, '"e"', None, True, r["url"]))
+            else:
+                html = "".join(f'<a href="{x}">x</a>' for x in site[tgt])
+                rows.append((r["url"], html, '"e"', None, False, tgt))
+        return spark.createDataFrame(
+            rows,
+            "url string, html string, etag string, last_modified string,"
+            " not_modified boolean, final_url string",
+        )
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    ticks = [t0, t0 + timedelta(seconds=50), t0 + timedelta(seconds=120)]
+    clock = iter(ticks)
     tmp = tempfile.mkdtemp(prefix="frontier_gate_")
     try:
         path = os.path.join(tmp, "frontier")
@@ -1837,7 +1877,9 @@ def _frontier_state_md5(spark: SparkSession) -> str:
             path,
         )
         frontier_store.crawl_rounds(
-            spark, path, crawl.simulated_fetcher(pages), rounds=2
+            spark, path, fetcher, rounds=3,
+            refetch_interval_s=100, refetch_growth=2.0, refetch_max_s=300,
+            now_fn=lambda: next(clock),
         )
         row = (
             tables.read_table(spark, path)
@@ -1854,6 +1896,17 @@ def _frontier_state_md5(spark: SparkSession) -> str:
                                     F.col("tries").cast("string"),
                                     F.coalesce(
                                         F.col("last_round").cast("string"),
+                                        F.lit(""),
+                                    ),
+                                    F.coalesce(
+                                        (
+                                            F.col("refetch_after").cast(
+                                                "long"
+                                            )
+                                            - F.col("fetched_at").cast(
+                                                "long"
+                                            )
+                                        ).cast("string"),
                                         F.lit(""),
                                     ),
                                 )

@@ -427,6 +427,61 @@ def test_crawl_rounds_conditional_refetch_e2e(spark, cond_server, tmp_path):
     )
 
 
+def test_adaptive_recrawl_interval_stretches_and_snaps(
+    spark, cond_server, tmp_path
+):
+    """Adaptive recrawl over real conditional HTTP: consecutive 304s
+    stretch the per-URL interval geometrically up to refetch_max_s;
+    the first content change (a 200 on a conditional request) snaps
+    it back to the base interval. Replaying the committed loop is a
+    state no-op."""
+    from datetime import datetime, timedelta, timezone
+
+    pages = {"/": ("<p>alpha</p>", '"v1"', _LM)}
+    base, log = cond_server(pages)
+    path = str(tmp_path / "frontier")
+    frontier_store.init_frontier(
+        spark.createDataFrame([(f"{base}/",)], "url string"), path
+    )
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    # clock ticks chosen so each round's refetch is JUST past due
+    ticks = [
+        t0,
+        t0 + timedelta(seconds=150),     # 100s interval passed
+        t0 + timedelta(seconds=150 + 250),    # 200s passed
+        t0 + timedelta(seconds=150 + 250 + 450),   # 400s (capped)
+        t0 + timedelta(seconds=150 + 250 + 450 + 450),
+    ]
+
+    def interval():
+        r = tables.read_table(spark, path).first()
+        return (r["refetch_after"] - r["fetched_at"]).total_seconds()
+
+    want = [100.0, 200.0, 400.0, 400.0, 100.0]
+    for i, now in enumerate(ticks):
+        if i == 4:
+            # the page changes: conditional 200 must snap back
+            pages["/"] = ("<p>beta</p>", '"v2"', _LM)
+        frontier_store.crawl_rounds(
+            spark, path, fetch_mod.http_fetcher(timeout_s=5), rounds=1,
+            refetch_interval_s=100, refetch_growth=2.0,
+            refetch_max_s=400, now_fn=lambda: now,
+        )
+        assert interval() == want[i], (i, interval())
+    # the wire saw: 1 full download, 3 conditional 304s, 1 refresh
+    assert [c for _, _, c in log] == [200, 304, 304, 304, 200]
+    row = tables.read_table(spark, path).first()
+    assert row["etag"] == '"v2"' and row["status"] == "fetched"
+    # committed rounds replay as a no-op (same clock, nothing due)
+    before = tables.read_table(spark, path).collect()
+    frontier_store.crawl_rounds(
+        spark, path, fetch_mod.http_fetcher(timeout_s=5), rounds=1,
+        refetch_interval_s=100, refetch_growth=2.0,
+        refetch_max_s=400, now_fn=lambda: ticks[-1],
+    )
+    assert tables.read_table(spark, path).collect() == before
+
+
 def test_fetch_robots_rules_missing_robots_allows_all(spark, server):
     from ecomm_datapipeline_spark.operators import robots as R
 

@@ -804,3 +804,87 @@ def test_schema_upgrade_rebuilds_sidecar_in_full(spark, tmp_path):
     assert {"etag", "last_modified"} <= set(
         frontier_store.pending_wave(spark, path, 10).columns
     )
+
+
+# --- redirect-alias folding (fetch_fn surfacing final_url) ---
+
+# content lives at the REP spellings; ALIASES redirect to them
+REDIR_WEB = {
+    "http://a.example/new": ["http://a.example/p1"],
+    "http://a.example/p1": [],
+}
+REDIR_ALIASES = {"http://a.example/old": "http://a.example/new"}
+
+
+def _redir_fetcher(spark, calls):
+    """Simulated fetcher with redirects: emits FETCH_SCHEMA-style
+    final_url (the spelling the content was actually served from)."""
+
+    def fetch(wave):
+        urls = sorted(r["url"] for r in wave.select("url").collect())
+        calls.append(set(urls))
+        rows = []
+        for u in urls:
+            target = REDIR_ALIASES.get(u, u)
+            if target in REDIR_WEB:
+                rows.append((u, _html(REDIR_WEB[target]), target))
+        return spark.createDataFrame(
+            rows, "url string, html string, final_url string"
+        )
+
+    return fetch
+
+
+@pytest.mark.parametrize("n_buckets", [None, 4])
+def test_redirect_alias_folds_into_frontier(spark, tmp_path, n_buckets):
+    """A wave URL served from a different final_url goes terminal
+    ('aliased'), the rep upserts as FETCHED (never pending — no wasted
+    refetch), discovered links attribute to the rep, and the mirror
+    spelling is requested exactly once across the whole crawl."""
+    path = str(tmp_path / "redir")
+    seeds = spark.createDataFrame([("http://a.example/old",)], "url string")
+    frontier_store.init_frontier(seeds, path, n_buckets=n_buckets)
+    calls = []
+    frontier_store.crawl_rounds(
+        spark, path, _redir_fetcher(spark, calls), rounds=10
+    )
+    got = _state(spark, path)
+    assert got["http://a.example/old"] == ("aliased", 1, 1)
+    # rep inserted directly as fetched in the SAME round
+    assert got["http://a.example/new"] == ("fetched", 1, 1)
+    # the rep page's links were extracted and attributed: p1 crawled
+    assert got["http://a.example/p1"][0] == "fetched"
+    # alias spelling requested exactly once; rep never requested at
+    # all (its bytes arrived via the redirect)
+    assert sum("http://a.example/old" in c for c in calls) == 1
+    assert not any("http://a.example/new" in c for c in calls)
+    # terminal: neither spelling is ever wave-eligible again
+    wave = frontier_store.pending_wave(spark, path, 100)
+    assert wave.isEmpty()
+    # replay/rerun is a state no-op
+    frontier_store.crawl_rounds(
+        spark, path, _redir_fetcher(spark, calls), rounds=10
+    )
+    assert _state(spark, path) == got
+
+
+def test_redirect_alias_rep_already_known(spark, tmp_path):
+    """Both spellings in one wave: the rep (already a pending state
+    row) transitions to fetched through the normal attempted arm, the
+    alias goes terminal, and duplicate rekeyed content rows collapse
+    to one update."""
+    path = str(tmp_path / "redir2")
+    seeds = spark.createDataFrame(
+        [("http://a.example/old",), ("http://a.example/new",)],
+        "url string",
+    )
+    frontier_store.init_frontier(seeds, path)
+    calls = []
+    frontier_store.crawl_rounds(
+        spark, path, _redir_fetcher(spark, calls), rounds=10
+    )
+    got = _state(spark, path)
+    assert got["http://a.example/old"][0] == "aliased"
+    assert got["http://a.example/new"][0] == "fetched"
+    # both spellings were in the first wave together
+    assert {"http://a.example/old", "http://a.example/new"} <= calls[0]
