@@ -1,0 +1,367 @@
+"""WAT export: the link/metadata sidecar of a web archive — WARC
+'metadata' records with a JSON payload per captured page, the Common
+Crawl convention (crawl X ships warc/ for bytes, wet/ for text, wat/
+for metadata) that lets graph-building consumers read URLS AND LINKS
+without re-parsing HTML out of the full WARC. Closing that loop here:
+`read_warc -> write_wat_shards` exports the sidecar, and
+`read_wat -> wat_link_edges` feeds operators/graph.py (pagerank,
+harmonic, trustrank) from the sidecar alone — round-trip-pinned equal
+to the edges html.link_edges derives from the raw HTML.
+
+Payload shape (one JSON object per record, built Spark-side with
+to_json — the writer task never parses anything):
+
+    {"Envelope": {
+       "WARC-Header-Metadata": {"WARC-Target-URI": url},
+       "Payload-Metadata": {"HTML-Metadata": {
+          "Head": {"Title": title},
+          "Links":   [{"url": resolved_absolute_url}, ...],
+          "Anchors": [{"url": resolved_href, "text": anchor}, ...]}}}}
+
+following Common Crawl's Envelope/Payload-Metadata/HTML-Metadata
+nesting (commoncrawl.org's WAT description). Divergence, documented:
+Common Crawl merges every link kind (<a>, <link>, scripts, imgs)
+into one Links array with a `path` discriminator; here `Links` is
+exactly html.extract_links_col's output (<a href> targets, RFC
+3986-resolved against the page URL — the frame link_edges consumes,
+so graph parity holds BY CONSTRUCTION) and `Anchors` carries the
+(href, text) pairs from html.anchor_pairs_col for anchor-text
+consumers.
+
+Determinism and scale contract = sources/wet.py verbatim (shared
+helpers): metadata derivation is pure Column expressions fused into
+the source scan; shard membership/order from sharding.assign_shards;
+ONE hash exchange on the shard column; per-partition streaming gzip
+assembly with mtime=0 and md5-urn record ids, so rebuilding a shard
+is byte-identical and a task retry rewrites the same bytes; only the
+one-row-per-shard manifest crosses to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.sharding import ORDER_COL, SHARD_COL, assign_shards
+from .wet import (
+    WET_MANIFEST_SCHEMA as WAT_MANIFEST_SCHEMA,
+    _gzip_member,
+    _record_bytes,
+    _uuid_urn,
+)
+
+_SOFTWARE = "ecomm-datapipeline-spark wat-export"
+
+# the reader's from_json twin of the writer's to_json struct
+WAT_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "Envelope",
+            T.StructType(
+                [
+                    T.StructField(
+                        "WARC-Header-Metadata",
+                        T.StructType(
+                            [T.StructField("WARC-Target-URI", T.StringType())]
+                        ),
+                    ),
+                    T.StructField(
+                        "Payload-Metadata",
+                        T.StructType(
+                            [
+                                T.StructField(
+                                    "HTML-Metadata",
+                                    T.StructType(
+                                        [
+                                            T.StructField(
+                                                "Head",
+                                                T.StructType(
+                                                    [
+                                                        T.StructField(
+                                                            "Title",
+                                                            T.StringType(),
+                                                        )
+                                                    ]
+                                                ),
+                                            ),
+                                            T.StructField(
+                                                "Links",
+                                                T.ArrayType(
+                                                    T.StructType(
+                                                        [
+                                                            T.StructField(
+                                                                "url",
+                                                                T.StringType(),
+                                                            )
+                                                        ]
+                                                    )
+                                                ),
+                                            ),
+                                            T.StructField(
+                                                "Anchors",
+                                                T.ArrayType(
+                                                    T.StructType(
+                                                        [
+                                                            T.StructField(
+                                                                "url",
+                                                                T.StringType(),
+                                                            ),
+                                                            T.StructField(
+                                                                "text",
+                                                                T.StringType(),
+                                                            ),
+                                                        ]
+                                                    )
+                                                ),
+                                            ),
+                                        ]
+                                    ),
+                                )
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        )
+    ]
+)
+
+
+def title_col(html) -> "F.Column":
+    """The document <title>, tags stripped, entities unescaped (the
+    text chain's passes), whitespace collapsed — NULL when absent."""
+    from ..operators.html import _ENTITIES
+
+    c = F.col(html) if isinstance(html, str) else html
+    t = F.regexp_extract(c, "(?is)<title[^>]*>(.*?)</title>", 1)
+    t = F.regexp_replace(t, "(?is)<[^>]*>", " ")
+    for pat, rep in _ENTITIES:
+        t = F.regexp_replace(t, pat, rep)
+    return F.nullif(F.trim(F.regexp_replace(t, "\\s+", " ")), F.lit(""))
+
+
+def wat_payload_col(html_col: str = "html", url_col: str = "url"):
+    """The record's JSON payload as ONE Column expression: link
+    extraction (RFC 3986-resolved against the page URL), anchor
+    pairs, and the title, nested per the module docstring and
+    serialized with to_json. Pure expressions fused into the source
+    scan — the writer ships finished strings."""
+    from ..operators.html import (
+        _map_with_effective_base,
+        anchor_pairs_col,
+        extract_links_col,
+    )
+    from ..operators.urls import resolve_url_col
+
+    # NULL html (a capture with no recoverable body) still gets a
+    # sidecar row — empty arrays, not a missing JSON field (to_json
+    # silently DROPS null fields, which would read back asymmetric)
+    c = F.coalesce(F.col(html_col), F.lit(""))
+    links = F.transform(
+        extract_links_col(c, base=url_col), lambda u: F.struct(
+            u.alias("url")
+        )
+    )
+    anchors = _map_with_effective_base(
+        c,
+        F.col(url_col),
+        anchor_pairs_col(c),
+        lambda ebv, s: F.struct(
+            resolve_url_col(ebv, s["href"]).alias("url"),
+            s["anchor"].alias("text"),
+        ),
+    )
+    anchors = F.filter(anchors, lambda s: s["url"].rlike("(?i)^https?://"))
+    return F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.col(url_col).alias("WARC-Target-URI")
+                ).alias("WARC-Header-Metadata"),
+                F.struct(
+                    F.struct(
+                        F.struct(title_col(c).alias("Title")).alias(
+                            "Head"
+                        ),
+                        links.alias("Links"),
+                        anchors.alias("Anchors"),
+                    ).alias("HTML-Metadata")
+                ).alias("Payload-Metadata"),
+            ).alias("Envelope")
+        )
+    )
+
+
+def write_wat_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    url_col: str = "url",
+    n_shards: int = 1,
+    warc_date: str = "2026-01-01T00:00:00Z",
+    seed: int = 42,
+) -> list[dict]:
+    """Write `n_shards` WAT files (`wat-#####.warc.gz`) under `path`
+    from (id, url, html) rows and return the manifest sorted by shard
+    id (shard, path, n_records, n_bytes, sha256). NULL html yields a
+    record with empty Links/Anchors and NULL Title — the page was
+    captured, its sidecar row must exist; a NULL id fails loudly in
+    assign_shards."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1: {n_shards}")
+    cols = dict(df.dtypes)
+    for c in (id_col, html_col, url_col):
+        if c not in cols:
+            raise ValueError(f"column {c!r} not in DataFrame")
+    os.makedirs(path, exist_ok=True)
+
+    assigned = (
+        assign_shards(df, id_col, n_shards, seed)
+        .select(
+            F.col(SHARD_COL),
+            F.col(ORDER_COL),
+            F.col(id_col).cast("string").alias("_wat_id"),
+            F.col(url_col).cast("string").alias("_wat_url"),
+            wat_payload_col(html_col, url_col).alias("_wat_json"),
+        )
+        .repartition(n_shards, F.col(SHARD_COL))
+        .sortWithinPartitions(SHARD_COL, ORDER_COL, "_wat_id")
+    )
+
+    def assemble(batches: Iterator) -> Iterator:
+        import hashlib
+        import uuid
+
+        out: list[tuple] = []
+        current = None  # [shard, file, hash, tmp, final, n_records]
+
+        def open_shard(shard: int):
+            final = os.path.join(path, f"wat-{shard:05d}.warc.gz")
+            tmp = f"{final}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+            f = open(tmp, "wb")
+            h = hashlib.sha256()
+            info_id = _uuid_urn("warcinfo", str(shard))
+            info_payload = (
+                f"software: {_SOFTWARE}\r\nformat: WARC File Format 1.0\r\n"
+            ).encode()
+            member = _gzip_member(
+                _record_bytes(
+                    [
+                        ("WARC-Type", "warcinfo"),
+                        ("WARC-Record-ID", info_id),
+                        ("WARC-Date", warc_date),
+                        ("Content-Type", "application/warc-fields"),
+                        ("Content-Length", str(len(info_payload))),
+                    ],
+                    info_payload,
+                )
+            )
+            f.write(member)
+            h.update(member)
+            return [shard, f, h, tmp, final, 0]
+
+        def close_shard():
+            nonlocal current
+            if current is None:
+                return
+            shard, f, h, tmp, final, n = current
+            f.close()
+            n_bytes = os.path.getsize(tmp)
+            os.replace(tmp, final)
+            out.append((shard, final, n, n_bytes, h.hexdigest()))
+            current = None
+
+        for pdf in batches:
+            shards = pdf[SHARD_COL]
+            ids = pdf["_wat_id"]
+            urls = pdf["_wat_url"]
+            jsons = pdf["_wat_json"]
+            for i in range(len(pdf)):
+                shard = int(shards.iat[i])
+                if current is None or current[0] != shard:
+                    close_shard()
+                    current = open_shard(shard)
+                doc_id = str(ids.iat[i])
+                payload = str(jsons.iat[i]).encode("utf-8")
+                headers = [
+                    ("WARC-Type", "metadata"),
+                    (
+                        "WARC-Record-ID",
+                        _uuid_urn("metadata", str(shard), doc_id),
+                    ),
+                    ("WARC-Refers-To", doc_id),
+                    ("WARC-Date", warc_date),
+                ]
+                url = urls.iat[i]
+                if url is not None:
+                    headers.append(("WARC-Target-URI", str(url)))
+                headers += [
+                    ("Content-Type", "application/json"),
+                    ("Content-Length", str(len(payload))),
+                ]
+                member = _gzip_member(_record_bytes(headers, payload))
+                current[1].write(member)
+                current[2].update(member)
+                current[5] += 1
+        close_shard()
+        if out:
+            import pandas as pd
+
+            yield pd.DataFrame(
+                out,
+                columns=["shard", "path", "n_records", "n_bytes", "sha256"],
+            )
+
+    manifest = assigned.mapInPandas(assemble, WAT_MANIFEST_SCHEMA).collect()
+    return sorted((r.asDict() for r in manifest), key=lambda d: d["shard"])
+
+
+def read_wat(spark: SparkSession, path: str) -> DataFrame:
+    """Ingest WAT files (this writer's output): metadata records ->
+    (doc_id, url, title, links array<string>, anchors
+    array<struct<url,text>>). doc_id prefers WARC-Refers-To (the
+    captured record's id, stable across re-exports), url prefers the
+    WARC header and falls back to the envelope. Same plan shape as
+    read_warc + a filter + one from_json projection: file-level
+    parallelism, paths-only exchange, streamed decode — no HTML ever
+    crosses this path."""
+    from .warc import read_warc
+
+    records = read_warc(spark, path)
+    meta = F.from_json(F.col("payload"), WAT_PAYLOAD_SCHEMA)["Envelope"]
+    html_meta = meta["Payload-Metadata"]["HTML-Metadata"]
+    return records.filter(F.col("warc_type") == "metadata").select(
+        F.coalesce(
+            F.nullif(F.col("refers_to"), F.lit("")), F.col("record_id")
+        ).alias("doc_id"),
+        F.coalesce(
+            F.nullif(F.col("target_uri"), F.lit("")),
+            meta["WARC-Header-Metadata"]["WARC-Target-URI"],
+        ).alias("url"),
+        html_meta["Head"]["Title"].alias("title"),
+        F.transform(html_meta["Links"], lambda s: s["url"]).alias("links"),
+        html_meta["Anchors"].alias("anchors"),
+    )
+
+
+def wat_link_edges(wat: DataFrame) -> DataFrame:
+    """(src, dst) host-level edges from a read_wat frame — the
+    html.link_edges twin that never touches HTML: src is the page
+    URL's host, dst each link target's host, self-loops and
+    unparseable targets drop. One Generate, zero shuffle; feeds
+    graph.pagerank / harmonic exactly like the HTML-derived frame
+    (round-trip-pinned in tests/test_wat.py)."""
+    host = "(?i)^https?://([^/?#:]+)"
+    src = F.lower(F.regexp_extract(F.col("url"), host, 1))
+    out = wat.select(
+        src.alias("src"), F.explode("links").alias("_url")
+    )
+    dst = F.lower(F.regexp_extract(F.col("_url"), host, 1))
+    return out.select("src", dst.alias("dst")).filter(
+        (F.col("dst") != "") & (F.col("src") != "") & (F.col("dst") != F.col("src"))
+    )
