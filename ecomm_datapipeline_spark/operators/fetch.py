@@ -82,8 +82,32 @@ from pyspark.sql import functions as F
 FETCH_SCHEMA = (
     "url string, html string, status int,"
     " etag string, last_modified string, not_modified boolean,"
-    " final_url string"
+    " final_url string, retry_after_s double"
 )
+
+
+def _retry_after_s(headers) -> float | None:
+    """RFC 9110 §10.2.3 Retry-After as seconds from now: the
+    delta-seconds form verbatim, the HTTP-date form relative to the
+    current clock, clamped >= 0; None when absent or unparseable."""
+    raw = headers.get("Retry-After") if headers is not None else None
+    if not raw:
+        return None
+    raw = raw.strip()
+    if raw.isdigit():
+        return float(raw)
+    try:
+        from datetime import datetime, timezone
+        from email.utils import parsedate_to_datetime
+
+        dt = parsedate_to_datetime(raw)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return max(
+            0.0, (dt - datetime.now(timezone.utc)).total_seconds()
+        )
+    except (TypeError, ValueError):
+        return None
 
 
 def _gunzip_capped(data: bytes, cap: int) -> bytes | None:
@@ -131,9 +155,15 @@ def http_fetcher(
     full disallow, which the omission contract erases into the unsafe
     'no rules -> allow all'; see robots.fetch_robots_rules). Transport
     failures (timeout, refused, garbage banner) still omit — there is
-    no status to report. Page crawling keeps the default: crawl_rounds
-    counts membership in fetched_ok as success, so feeding it error
-    rows would mark failures fetched."""
+    no status to report. Error rows carry retry_after_s (RFC 9110
+    Retry-After, seconds or HTTP-date form) when the server sent one
+    — 429/503 rate-limit answers — and crawl_rounds splits on the
+    status column, so error rows count as failures there AND their
+    Retry-After becomes a per-URL not-before gate on the retry
+    (frontier_store backoff contract); emit_http_errors=True is the
+    recommended production crawl configuration for exactly that
+    reason. Only a fetcher that emits NO status column relies on pure
+    omission."""
     delays = dict(host_delays or {})
 
     def fetch(wave: DataFrame) -> DataFrame:
@@ -246,6 +276,7 @@ def http_fetcher(
                                     resp.headers.get("Last-Modified"),
                                     False,
                                     resp.geturl() or row.url,
+                                    None,
                                 )
                             )
                     except urllib.error.HTTPError as err:
@@ -274,8 +305,10 @@ def http_fetcher(
                                     or (row_lm if isinstance(row_lm, str) else None),
                                     True,
                                     row.url,  # a 304 serves no redirect
+                                    None,
                                 )
                             )
+                        retry_after = _retry_after_s(err.headers)
                         err.close()
                         if err.code != 304 or not sent_conditional:
                             if emit_http_errors and err.code != 304:
@@ -288,6 +321,7 @@ def http_fetcher(
                                         None,
                                         False,
                                         row.url,
+                                        retry_after,
                                     )
                                 )
                             continue
@@ -314,6 +348,7 @@ def http_fetcher(
                         "last_modified",
                         "not_modified",
                         "final_url",
+                        "retry_after_s",
                     ],
                 )
 

@@ -360,9 +360,19 @@ def pending_wave(
     pp = _pending_path(path)
     src = tables.read_table(spark, pp if tables.table_exists(pp) else path)
     state = _with_v2(src)
-    eligible_pred = (F.col("status") == "pending") | (
-        (F.col("status") == "failed") & (F.col("tries") < max_tries)
+    failed_pred = (F.col("status") == "failed") & (
+        F.col("tries") < max_tries
     )
+    if as_of is not None:
+        # Retry-After backoff gate: a failed row carrying a not-before
+        # time (commit_round's `backoff` contract — a 429/503 server
+        # asked for quiet) waits it out; history-less failures retry
+        # immediately as before
+        failed_pred = failed_pred & (
+            F.col("refetch_after").isNull()
+            | (F.col("refetch_after") <= F.lit(as_of))
+        )
+    eligible_pred = (F.col("status") == "pending") | failed_pred
     if as_of is not None:
         eligible_pred = eligible_pred | (
             (F.col("status") == "fetched")
@@ -475,6 +485,7 @@ def commit_round(
     aliased: DataFrame | None = None,
     refetch_growth: float = 1.0,
     refetch_max_s: float | None = None,
+    backoff: DataFrame | None = None,
 ) -> None:
     """Apply one round durably: `attempted` (url) rows transition to
     fetched/failed depending on membership in `fetched_ok` (url), with
@@ -529,7 +540,16 @@ def commit_round(
     pages stay at the base rate, the standard adaptive-revisit policy
     (cf. Cho & Garcia-Molina, 'Effective Page Refresh Policies',
     TODS 2003) without a schema change or extra state. growth=1.0
-    (default) is the fixed-interval behavior, bit-for-bit."""
+    (default) is the fixed-interval behavior, bit-for-bit.
+
+    Retry-After backoff: `backoff` is a (url, not_before timestamp)
+    frame — rate-limited attempts (429/503 with Retry-After, surfaced
+    by crawl_rounds from the fetcher's error rows). A FAILED attempted
+    row matching it stores not_before in refetch_after, and
+    pending_wave(as_of=...) will not re-schedule it before that time —
+    a server asking for an hour of quiet gets it instead of being
+    re-hammered next wave. Successful rows ignore it (their
+    refetch_after is the recrawl policy's)."""
     nb, committed = _read_meta(spark, path)
     _ensure_v2_table(spark, path, nb)
     state = _with_v2(tables.read_table(spark, path))
@@ -658,9 +678,20 @@ def commit_round(
     else:
         ra = fa + F.make_dt_interval(secs=F.lit(float(refetch_interval_s)))
     got = F.coalesce(F.col("_ok"), F.lit(False))
+    bk = (
+        backoff.select("url", F.col("not_before").cast("timestamp").alias("_nb"))
+        .groupBy("url")
+        .agg(F.max("_nb").alias("_nb"))
+        if backoff is not None
+        else None
+    )
+    updates = state.join(att, "url", "left_semi").join(ok, "url", "left")
+    if bk is not None:
+        updates = updates.join(bk, "url", "left")
+    else:
+        updates = updates.withColumn("_nb", F.lit(None).cast("timestamp"))
     updates = (
-        state.join(att, "url", "left_semi")
-        .join(ok, "url", "left")
+        updates
         .select(
             "url",
             "host",
@@ -678,8 +709,12 @@ def commit_round(
             F.when(replay | ~got, F.col("fetched_at"))
             .otherwise(fa)
             .alias("fetched_at"),
-            F.when(replay | ~got, F.col("refetch_after"))
-            .otherwise(ra)
+            # success -> the recrawl policy's time; failure -> the
+            # Retry-After not-before when the server sent one, else
+            # history; replay -> untouched
+            F.when(replay, F.col("refetch_after"))
+            .when(got, ra)
+            .otherwise(F.coalesce(F.col("_nb"), F.col("refetch_after")))
             .alias("refetch_after"),
             # 200 -> response validators verbatim; 304 -> keep stored
             # unless the 304 re-sent one; failure/replay -> history
@@ -1116,6 +1151,33 @@ def crawl_rounds(
         # twice per round
         raw_fetched = fetch_fn(to_fetch).localCheckpoint()
         raw_fetched_ck = raw_fetched
+        # Status split (a fetcher emitting error rows — http_fetcher's
+        # emit_http_errors mode — must not get its 4xx/5xx rows read
+        # as successes): 2xx and 304 are fetched, everything else is a
+        # failure whose Retry-After (429/503 rate limiting) becomes a
+        # per-URL not-before gate on the retry when this crawl runs
+        # with a clock.
+        backoff = None
+        if "status" in raw_fetched.columns:
+            ok_pred = (
+                (F.col("status") >= 200) & (F.col("status") < 300)
+            ) | (F.col("status") == 304)
+            if "retry_after_s" in raw_fetched.columns and now is not None:
+                backoff = (
+                    raw_fetched.filter(
+                        ~ok_pred & F.col("retry_after_s").isNotNull()
+                    )
+                    .groupBy("url")
+                    .agg(F.max("retry_after_s").alias("_ras"))
+                    .select(
+                        "url",
+                        (
+                            F.lit(now).cast("timestamp")
+                            + F.make_dt_interval(secs=F.col("_ras"))
+                        ).alias("not_before"),
+                    )
+                )
+            raw_fetched = raw_fetched.filter(ok_pred)
         # carry the conditional-fetch metadata ONLY when the fetcher
         # really emits FETCH_SCHEMA (the not_modified marker): a
         # plain passthrough fetcher (simulated_fetcher keeps the
@@ -1204,6 +1266,7 @@ def crawl_rounds(
             aliased=amap,
             refetch_growth=refetch_growth,
             refetch_max_s=refetch_max_s,
+            backoff=backoff,
         )
         # round-local checkpoint blocks die with the round, not the
         # loop (the warc_stream unpersist convention) — a long crawl

@@ -482,6 +482,131 @@ def test_adaptive_recrawl_interval_stretches_and_snaps(
     assert tables.read_table(spark, path).collect() == before
 
 
+def test_retry_after_header_parses_both_forms():
+    from email.utils import format_datetime
+    from datetime import datetime, timedelta, timezone
+
+    class H(dict):
+        def get(self, k, d=None):
+            return super().get(k, d)
+
+    assert fetch_mod._retry_after_s(H({"Retry-After": "120"})) == 120.0
+    future = datetime.now(timezone.utc) + timedelta(seconds=300)
+    got = fetch_mod._retry_after_s(
+        H({"Retry-After": format_datetime(future, usegmt=True)})
+    )
+    assert 290 <= got <= 301
+    past = datetime.now(timezone.utc) - timedelta(seconds=300)
+    assert fetch_mod._retry_after_s(
+        H({"Retry-After": format_datetime(past, usegmt=True)})
+    ) == 0.0
+    assert fetch_mod._retry_after_s(H({})) is None
+    assert fetch_mod._retry_after_s(H({"Retry-After": "soon"})) is None
+
+
+def _serve_rate_limited(retry_after, fail_times):
+    """429 + Retry-After for the first `fail_times` requests per path,
+    then 200. Records every request path."""
+    log = []
+    lock = threading.Lock()
+    seen: dict = {}
+
+    class H(BaseHTTPRequestHandler):
+        def do_GET(self):
+            with lock:
+                log.append(self.path)
+                n = seen.get(self.path, 0)
+                seen[self.path] = n + 1
+            if n < fail_times:
+                self.send_response(429)
+                self.send_header("Retry-After", str(retry_after))
+                self.end_headers()
+                return
+            data = b"<p>ok</p>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, log
+
+
+def test_retry_after_backoff_gates_the_retry(spark, tmp_path):
+    """A 429 with Retry-After becomes a per-URL not-before time: the
+    failed row is NOT re-scheduled until the asked-for quiet passes,
+    then retries and succeeds. The server is hit exactly twice."""
+    from datetime import datetime, timedelta, timezone
+
+    srv, log = _serve_rate_limited(retry_after=100, fail_times=1)
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        path = str(tmp_path / "frontier")
+        frontier_store.init_frontier(
+            spark.createDataFrame([(f"{base}/a",)], "url string"), path
+        )
+        t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        fetch = fetch_mod.http_fetcher(timeout_s=5, emit_http_errors=True)
+
+        def run(now):
+            frontier_store.crawl_rounds(
+                spark, path, fetch, rounds=1, max_tries=5,
+                now_fn=lambda: now,
+            )
+            return {
+                r["url"]: r for r in tables.read_table(spark, path).collect()
+            }[f"{base}/a"]
+
+        r = run(t0)
+        # the 429 error row is a FAILURE (never marked fetched), and
+        # Retry-After landed as the not-before time
+        assert (r["status"], r["tries"]) == ("failed", 1)
+        assert r["refetch_after"].replace(tzinfo=timezone.utc) == t0 + timedelta(
+            seconds=100
+        )
+        # too early: the wave must NOT include the backed-off row
+        r = run(t0 + timedelta(seconds=50))
+        assert (r["status"], r["tries"]) == ("failed", 1)
+        assert log == ["/a"]
+        # past the not-before: retried and fetched
+        r = run(t0 + timedelta(seconds=150))
+        assert (r["status"], r["tries"]) == ("fetched", 2)
+        assert log == ["/a", "/a"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_error_rows_never_mark_fetched(spark, server, tmp_path):
+    """crawl_rounds splits on the status column: a 500 error row from
+    an emit_http_errors fetcher is a failure (retried), never a
+    fetched row with NULL html."""
+    base, _ = server({"/ok": "<p>fine</p>"})  # /missing 404s
+    path = str(tmp_path / "frontier")
+    frontier_store.init_frontier(
+        spark.createDataFrame(
+            [(f"{base}/ok",), (f"{base}/missing",)], "url string"
+        ),
+        path,
+    )
+    frontier_store.crawl_rounds(
+        spark, path,
+        fetch_mod.http_fetcher(timeout_s=5, emit_http_errors=True),
+        rounds=1, max_tries=3,
+    )
+    got = {
+        r["url"]: (r["status"], r["tries"])
+        for r in tables.read_table(spark, path).collect()
+    }
+    assert got[f"{base}/ok"] == ("fetched", 1)
+    assert got[f"{base}/missing"] == ("failed", 1)
+
+
 def test_fetch_robots_rules_missing_robots_allows_all(spark, server):
     from ecomm_datapipeline_spark.operators import robots as R
 
