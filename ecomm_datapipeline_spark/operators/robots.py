@@ -513,6 +513,14 @@ def fetch_robots_rules(
     projection (https preferred over http when both appear); the
     fetch is the politeness-aware Arrow seam; parsing is
     robots_rules' one fold per body."""
+    return robots_rules(
+        _acquire_robots_bodies(_robots_targets(urls, url_col), fetch_fn)
+    )
+
+
+def _robots_targets(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, url) — one robots.txt fetch target per distinct
+    authority in `urls`, https preferred over http."""
     u = F.col(url_col)
     # base is LOWERCASED whole (scheme + authority are both
     # case-insensitive): the https-over-http preference below is a
@@ -521,14 +529,22 @@ def fetch_robots_rules(
     base = F.lower(
         F.regexp_extract(u, r"(?i)^([a-z][a-z0-9+.-]*://[^/?#]+)", 1)
     )
-    targets = (
+    return (
         urls.select(_host_key(u).alias("host"), base.alias("_base"))
         .filter(F.col("host") != "")
         .groupBy("host")
         .agg(F.max("_base").alias("_base"))  # 'https://' > 'http://'
-        .select(F.concat(F.col("_base"), F.lit("/robots.txt")).alias("url"))
+        .select(
+            "host",
+            F.concat(F.col("_base"), F.lit("/robots.txt")).alias("url"),
+        )
     )
-    raw = fetch_fn(targets)
+
+
+def _acquire_robots_bodies(targets: DataFrame, fetch_fn) -> DataFrame:
+    """(host, robots_txt) through the fetch seam — the §2.3.1.4 5xx
+    full-disallow synthesis lives here (see fetch_robots_rules)."""
+    raw = fetch_fn(targets.select("url"))
     if "status" in raw.columns:
         ok2 = (F.col("status") >= 200) & (F.col("status") < 300)
         s5 = (F.col("status") >= 500) & (F.col("status") < 600)
@@ -538,8 +554,88 @@ def fetch_robots_rules(
             .otherwise(F.col("html"))
             .alias("html"),
         )
-    fetched = raw.select(
+    return raw.select(
         _host_key(F.col("url")).alias("host"),
         F.col("html").alias("robots_txt"),
     )
-    return robots_rules(fetched)
+
+
+def cached_robots_rules(
+    spark,
+    urls: DataFrame,
+    fetch_fn,
+    cache_path: str,
+    ttl_s: float = 24 * 3600,
+    url_col: str = "url",
+    now=None,
+) -> DataFrame:
+    """Rules for every authority in `urls`, served from a PERSISTENT
+    robots-body cache and refreshed through the fetch seam only for
+    authorities whose entry is older than `ttl_s` (RFC 9309 §2.4:
+    crawlers MAY cache robots.txt, typically up to 24 hours) or
+    missing — the long-running-crawl seam fetch_robots_rules' own
+    docstring prescribes ("persist the returned frame and refresh on
+    a cache schedule, do not re-fetch per wave").
+
+    The cache stores BODIES, not parsed rules — (host, url,
+    robots_txt, fetched_at) keyed by host — so the parse (one fold
+    per body) always runs at the current parser and a parser fix
+    never needs a cache bust. Authorities the seam returned nothing
+    for (404 / unreachable under the omission contract) cache a NULL
+    body: "known absent, allow-all" is negative-cached for the same
+    TTL instead of being re-fetched every call; a 5xx under an
+    emit_http_errors seam caches the synthesized full-disallow body
+    (the §2.3.1.4 arm in _acquire_robots_bodies). One merge_table on
+    host per refresh; fresh calls cost one cache scan and zero
+    fetches. Returns the parsed rules for exactly the requested
+    authorities."""
+    from datetime import datetime, timezone
+
+    from ..sources import tables
+
+    if now is None:
+        now = datetime.now(timezone.utc)
+    needed = _robots_targets(urls, url_col).localCheckpoint()
+    try:
+        have = (
+            tables.read_table(spark, cache_path)
+            if tables.table_exists(cache_path)
+            else spark.createDataFrame(
+                [],
+                "host string, url string, robots_txt string,"
+                " fetched_at timestamp",
+            )
+        )
+        cutoff = F.lit(now).cast("timestamp") - F.make_dt_interval(
+            secs=F.lit(float(ttl_s))
+        )
+        fresh_hosts = have.filter(F.col("fetched_at") > cutoff).select(
+            "host"
+        )
+        stale = needed.join(fresh_hosts, "host", "left_anti").localCheckpoint()
+        try:
+            # all-fresh calls never touch the seam at all
+            if not stale.isEmpty():
+                refreshed = stale.join(
+                    _acquire_robots_bodies(stale, fetch_fn), "host", "left"
+                ).select(
+                    "host",
+                    "url",
+                    # NULL when the seam omitted: negative cache
+                    "robots_txt",
+                    F.lit(now).cast("timestamp").alias("fetched_at"),
+                ).localCheckpoint()
+                try:
+                    tables.merge_table(refreshed, cache_path, keys=["host"])
+                finally:
+                    refreshed.unpersist()
+        finally:
+            stale.unpersist()
+        cache = tables.read_table(spark, cache_path)
+        return robots_rules(
+            cache.join(needed.select("host"), "host", "left_semi").filter(
+                F.col("robots_txt").isNotNull()
+            )
+        )
+    finally:
+        needed.unpersist()

@@ -380,3 +380,146 @@ def test_fetch_robots_rules_prefers_https_case_insensitively(spark):
     rules = R.fetch_robots_rules(urls, crawl.simulated_fetcher(pages))
     got = {(r["host"], r["path"]) for r in rules.collect()}
     assert got == {("site.example", "/tls")}
+
+
+# --- cached robots acquisition (RFC 9309 §2.4 cache schedule) ---
+
+
+def _counting_robots_fetcher(spark, bodies, calls):
+    """DataFrame-level robots fetcher that records the target URL list
+    of every seam invocation (eager collect, fixture-sized)."""
+
+    def fetch(targets):
+        urls = sorted(r["url"] for r in targets.collect())
+        calls.append(urls)
+        rows = [(u, bodies[u]) for u in urls if u in bodies]
+        return spark.createDataFrame(rows, "url string, html string")
+
+    return fetch
+
+
+def test_cached_robots_rules_ttl_and_negative_cache(spark, tmp_path):
+    """First call fetches and persists bodies; a within-TTL call costs
+    ZERO seam traffic (including for authorities that 404ed — negative
+    cache); past the TTL the authority refetches and a changed body
+    takes effect."""
+    from datetime import datetime, timedelta, timezone
+
+    cache = str(tmp_path / "robots_cache")
+    bodies = {
+        "https://a.example/robots.txt": "User-agent: *\nDisallow: /priv",
+        # b.example missing: 404 / omission
+    }
+    calls = []
+    fetch = _counting_robots_fetcher(spark, bodies, calls)
+    urls = spark.createDataFrame(
+        [("https://a.example/x",), ("https://b.example/y",)], "url string"
+    )
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rules = R.cached_robots_rules(
+        spark, urls, fetch, cache, ttl_s=3600, now=t0
+    )
+    assert {(r["host"], r["path"]) for r in rules.collect()} == {
+        ("a.example", "/priv")
+    }
+    assert calls == [
+        [
+            "https://a.example/robots.txt",
+            "https://b.example/robots.txt",
+        ]
+    ]
+    # within TTL: same answer, NO seam traffic at all (b.example's
+    # miss is negative-cached too)
+    rules = R.cached_robots_rules(
+        spark, urls, fetch, cache, ttl_s=3600,
+        now=t0 + timedelta(seconds=1800),
+    )
+    assert {(r["host"], r["path"]) for r in rules.collect()} == {
+        ("a.example", "/priv")
+    }
+    assert len(calls) == 1
+    # past TTL: refetch; the changed body takes effect
+    bodies["https://a.example/robots.txt"] = "User-agent: *\nDisallow: /new"
+    bodies["https://b.example/robots.txt"] = "User-agent: *\nDisallow: /b"
+    rules = R.cached_robots_rules(
+        spark, urls, fetch, cache, ttl_s=3600,
+        now=t0 + timedelta(seconds=7200),
+    )
+    assert {(r["host"], r["path"]) for r in rules.collect()} == {
+        ("a.example", "/new"),
+        ("b.example", "/b"),
+    }
+    assert len(calls) == 2
+
+
+def test_cached_robots_rules_partial_refresh_and_scope(spark, tmp_path):
+    """Only stale/missing authorities hit the seam; the returned rules
+    cover exactly the REQUESTED authorities even though the cache
+    holds more."""
+    from datetime import datetime, timedelta, timezone
+
+    cache = str(tmp_path / "robots_cache")
+    bodies = {
+        "https://a.example/robots.txt": "User-agent: *\nDisallow: /a",
+        "https://c.example/robots.txt": "User-agent: *\nDisallow: /c",
+    }
+    calls = []
+    fetch = _counting_robots_fetcher(spark, bodies, calls)
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    R.cached_robots_rules(
+        spark,
+        spark.createDataFrame([("https://a.example/x",)], "url string"),
+        fetch, cache, ttl_s=3600, now=t0,
+    )
+    # later call adds c.example: only c fetches (a is fresh)
+    rules = R.cached_robots_rules(
+        spark,
+        spark.createDataFrame(
+            [("https://a.example/x",), ("https://c.example/z",)],
+            "url string",
+        ),
+        fetch, cache, ttl_s=3600, now=t0 + timedelta(seconds=60),
+    )
+    assert calls[-1] == ["https://c.example/robots.txt"]
+    assert {(r["host"], r["path"]) for r in rules.collect()} == {
+        ("a.example", "/a"),
+        ("c.example", "/c"),
+    }
+    # a c-only request returns c's rules only, zero fetches
+    rules = R.cached_robots_rules(
+        spark,
+        spark.createDataFrame([("https://c.example/q",)], "url string"),
+        fetch, cache, ttl_s=3600, now=t0 + timedelta(seconds=120),
+    )
+    assert len(calls) == 2
+    assert {(r["host"], r["path"]) for r in rules.collect()} == {
+        ("c.example", "/c")
+    }
+
+
+def test_cached_robots_rules_5xx_full_disallow_cached(spark, tmp_path):
+    """A 5xx robots authority under a status-emitting seam caches the
+    synthesized full-disallow body (§2.3.1.4) for the TTL."""
+    from datetime import datetime, timezone
+
+    cache = str(tmp_path / "robots_cache")
+    calls = []
+
+    def fetch(targets):
+        urls = sorted(r["url"] for r in targets.collect())
+        calls.append(urls)
+        return spark.createDataFrame(
+            [(u, None, 500) for u in urls],
+            "url string, html string, status int",
+        )
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    urls = spark.createDataFrame([("https://s.example/x",)], "url string")
+    for _ in range(2):  # second call must be served from cache
+        rules = R.cached_robots_rules(
+            spark, urls, fetch, cache, ttl_s=3600, now=t0
+        )
+        got = {(r["host"], r["agent"], r["allow"], r["path"])
+               for r in rules.collect()}
+        assert got == {("s.example", "*", False, "/")}
+    assert len(calls) == 1
