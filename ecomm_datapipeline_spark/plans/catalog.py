@@ -4137,6 +4137,10 @@ def _gopher_c4_sql() -> str:
         WHEN 2 THEN 'https://cdn.example/r/x/y'
         ELSE NULL
       END AS canonical_url,
+      CASE CAST(doc_id % 2 AS INT)
+        WHEN 0 THEN '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://w.example/a"},"Payload-Metadata":{"HTML-Metadata":{"Head":{"Title":"T & U"},"Links":[{"url":"https://w.example/b"}],"Anchors":[{"url":"https://w.example/b","text":"B !"}]}}}}'
+        ELSE '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://w.example/c/"},"Payload-Metadata":{"HTML-Metadata":{"Head":{},"Links":[{"url":"https://w.example/d"}],"Anchors":[{"url":"https://w.example/d","text":"D"}]}}}}'
+      END AS wat_payload,
       """
     + _html_sig_sql()
     + ",\n      "
@@ -4533,6 +4537,24 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ":",
         )
     )
+    # r11 WAT-payload fold (sources/wat.wat_payload_col): two rotating
+    # (url, page) cases through the REAL sidecar-payload expression —
+    # entity-unescaped title + root-relative href + inner-tag-stripped
+    # anchor text, and a title-less page whose ../ href dot-merges
+    # against a directory base. The oracle states the exact compact
+    # to_json strings closed-form (the canonical-fold convention);
+    # tests/test_wat.py holds the WARC round-trip + graph parity.
+    from ..sources.wat import wat_payload_col
+
+    _wcase = (F.col("doc_id") % 2).cast("int")
+    _wurl = F.when(_wcase == 0, F.lit("https://w.example/a")).otherwise(
+        F.lit("https://w.example/c/")
+    )
+    _wpage = F.when(
+        _wcase == 0,
+        F.lit('<title>T &amp; U</title><a href="/b">B<i>!</i></a>'),
+    ).otherwise(F.lit('<a href="../d">D</a>'))
+    wat_payload = wat_payload_col(_wpage, _wurl)
     return pattern_scan(
         _t(spark, sf_dir, "documents"),
         extra={
@@ -4556,6 +4578,7 @@ def text_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resolved_url": resolved_url,
             "surt_key": surt_key,
             "canonical_url": canonical_url,
+            "wat_payload": wat_payload,
             "html_sig": F.md5(html_to_text_col(page)),
             "anchor_sig": anchor_sig,
             # r9 readability fold (text.readability_cols): exact

@@ -144,12 +144,13 @@ def title_col(html) -> "F.Column":
     return F.nullif(F.trim(F.regexp_replace(t, "\\s+", " ")), F.lit(""))
 
 
-def wat_payload_col(html_col: str = "html", url_col: str = "url"):
+def wat_payload_col(html_col="html", url_col="url"):
     """The record's JSON payload as ONE Column expression: link
     extraction (RFC 3986-resolved against the page URL), anchor
     pairs, and the title, nested per the module docstring and
     serialized with to_json. Pure expressions fused into the source
-    scan — the writer ships finished strings."""
+    scan — the writer ships finished strings. Accepts column names or
+    Column expressions."""
     from ..operators.html import (
         _map_with_effective_base,
         anchor_pairs_col,
@@ -160,15 +161,17 @@ def wat_payload_col(html_col: str = "html", url_col: str = "url"):
     # NULL html (a capture with no recoverable body) still gets a
     # sidecar row — empty arrays, not a missing JSON field (to_json
     # silently DROPS null fields, which would read back asymmetric)
-    c = F.coalesce(F.col(html_col), F.lit(""))
+    hc = F.col(html_col) if isinstance(html_col, str) else html_col
+    uc = F.col(url_col) if isinstance(url_col, str) else url_col
+    c = F.coalesce(hc, F.lit(""))
     links = F.transform(
-        extract_links_col(c, base=url_col), lambda u: F.struct(
+        extract_links_col(c, base=uc), lambda u: F.struct(
             u.alias("url")
         )
     )
     anchors = _map_with_effective_base(
         c,
-        F.col(url_col),
+        uc,
         anchor_pairs_col(c),
         lambda ebv, s: F.struct(
             resolve_url_col(ebv, s["href"]).alias("url"),
@@ -180,7 +183,7 @@ def wat_payload_col(html_col: str = "html", url_col: str = "url"):
         F.struct(
             F.struct(
                 F.struct(
-                    F.col(url_col).alias("WARC-Target-URI")
+                    uc.alias("WARC-Target-URI")
                 ).alias("WARC-Header-Metadata"),
                 F.struct(
                     F.struct(
