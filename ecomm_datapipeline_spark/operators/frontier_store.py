@@ -126,6 +126,10 @@ def _wal_path(path: str) -> str:
     return path.rstrip("/") + "_wal"
 
 
+def _hostquiet_path(path: str) -> str:
+    return path.rstrip("/") + "_hostquiet"
+
+
 def _staged_overwrite(df: DataFrame, path: str) -> None:
     """Overwrite `path` with `df` such that a crash at any point
     leaves either the previous content or the new content, never a
@@ -382,6 +386,19 @@ def pending_wave(
     eligible = state.filter(eligible_pred).select(
         "url", "host", "priority", "tries", "etag", "last_modified"
     )
+    if as_of is not None:
+        # authority-level Retry-After quiet (commit_round's
+        # host_backoff contract): drop every row of a still-quiet
+        # host BEFORE ranking, so quiet hosts consume no wave slots.
+        # The sidecar is O(rate-limited hosts); AQE broadcasts it.
+        hqp = _hostquiet_path(path)
+        if tables.table_exists(hqp):
+            quiet = tables.read_table(spark, hqp).filter(
+                F.col("not_before") > F.lit(as_of)
+            )
+            eligible = eligible.join(
+                quiet.select("host"), "host", "left_anti"
+            )
     waved = frontier_waves(
         eligible,
         per_host_per_wave=per_host_per_wave,
@@ -486,6 +503,7 @@ def commit_round(
     refetch_growth: float = 1.0,
     refetch_max_s: float | None = None,
     backoff: DataFrame | None = None,
+    host_backoff: DataFrame | None = None,
 ) -> None:
     """Apply one round durably: `attempted` (url) rows transition to
     fetched/failed depending on membership in `fetched_ok` (url), with
@@ -549,7 +567,15 @@ def commit_round(
     pending_wave(as_of=...) will not re-schedule it before that time —
     a server asking for an hour of quiet gets it instead of being
     re-hammered next wave. Successful rows ignore it (their
-    refetch_after is the recrawl policy's)."""
+    refetch_after is the recrawl policy's). `host_backoff` is the
+    authority-level form, (host, not_before): rate limiting is a HOST
+    property, so quieting only the 429ed URL would just rotate the
+    next wave onto the host's other pending URLs. It persists in the
+    tiny `<path>_hostquiet` sidecar (merged on host between the
+    worklist rebuild and the round marker — idempotent, so the crash
+    replay re-merges harmlessly) and pending_wave(as_of=...) drops
+    every wave row of a still-quiet host; O(limited hosts) rows, one
+    AQE-sized join per wave."""
     nb, committed = _read_meta(spark, path)
     _ensure_v2_table(spark, path, nb)
     state = _with_v2(tables.read_table(spark, path))
@@ -855,6 +881,25 @@ def commit_round(
             tables.merge_table(ck, path, keys=["url"])
     finally:
         ck.unpersist()
+    # Step 2b — host-quiet sidecar (authority-level Retry-After).
+    # Keyed merge on host, latest round's answer wins; idempotent, so
+    # a crash between here and the marker replays harmlessly.
+    if host_backoff is not None:
+        hq = (
+            host_backoff.select(
+                F.col("host").cast("string").alias("host"),
+                F.col("not_before").cast("timestamp").alias("not_before"),
+            )
+            .filter(F.col("host").isNotNull() & (F.col("host") != ""))
+            .groupBy("host")
+            .agg(F.max("not_before").alias("not_before"))
+            .localCheckpoint()
+        )
+        try:
+            if not hq.isEmpty():
+                tables.merge_table(hq, _hostquiet_path(path), keys=["host"])
+        finally:
+            hq.unpersist()
     # Step 3 — the durable round marker, strictly last.
     _write_meta(spark, path, nb, max(committed or 0, int(round_id)))
 
@@ -1157,26 +1202,27 @@ def crawl_rounds(
         # failure whose Retry-After (429/503 rate limiting) becomes a
         # per-URL not-before gate on the retry when this crawl runs
         # with a clock.
-        backoff = None
+        backoff = host_backoff = None
         if "status" in raw_fetched.columns:
             ok_pred = (
                 (F.col("status") >= 200) & (F.col("status") < 300)
             ) | (F.col("status") == 304)
             if "retry_after_s" in raw_fetched.columns and now is not None:
-                backoff = (
-                    raw_fetched.filter(
-                        ~ok_pred & F.col("retry_after_s").isNotNull()
-                    )
-                    .groupBy("url")
-                    .agg(F.max("retry_after_s").alias("_ras"))
-                    .select(
-                        "url",
-                        (
-                            F.lit(now).cast("timestamp")
-                            + F.make_dt_interval(secs=F.col("_ras"))
-                        ).alias("not_before"),
-                    )
+                limited = raw_fetched.filter(
+                    ~ok_pred & F.col("retry_after_s").isNotNull()
                 )
+                nb = F.lit(now).cast("timestamp") + F.make_dt_interval(
+                    secs=F.max("retry_after_s")
+                )
+                backoff = limited.groupBy("url").agg(nb.alias("not_before"))
+                # a 429/503 rate-limits the HOST, not one URL: quiet
+                # the whole authority so the next wave does not just
+                # rotate to its OTHER pending URLs
+                from .urls import url_parts
+
+                host_backoff = limited.groupBy(
+                    url_parts(F.col("url"))["host"].alias("host")
+                ).agg(nb.alias("not_before"))
             raw_fetched = raw_fetched.filter(ok_pred)
         # carry the conditional-fetch metadata ONLY when the fetcher
         # really emits FETCH_SCHEMA (the not_modified marker): a
@@ -1267,6 +1313,7 @@ def crawl_rounds(
             refetch_growth=refetch_growth,
             refetch_max_s=refetch_max_s,
             backoff=backoff,
+            host_backoff=host_backoff,
         )
         # round-local checkpoint blocks die with the round, not the
         # loop (the warc_stream unpersist convention) — a long crawl

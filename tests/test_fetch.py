@@ -504,9 +504,10 @@ def test_retry_after_header_parses_both_forms():
     assert fetch_mod._retry_after_s(H({"Retry-After": "soon"})) is None
 
 
-def _serve_rate_limited(retry_after, fail_times):
-    """429 + Retry-After for the first `fail_times` requests per path,
-    then 200. Records every request path."""
+def _serve_rate_limited(retry_after, fail_times, paths=None):
+    """429 + Retry-After for the first `fail_times` requests per path
+    (all paths, or only `paths` when given), then 200. Records every
+    request path."""
     log = []
     lock = threading.Lock()
     seen: dict = {}
@@ -517,7 +518,7 @@ def _serve_rate_limited(retry_after, fail_times):
                 log.append(self.path)
                 n = seen.get(self.path, 0)
                 seen[self.path] = n + 1
-            if n < fail_times:
+            if n < fail_times and (paths is None or self.path in paths):
                 self.send_response(429)
                 self.send_header("Retry-After", str(retry_after))
                 self.end_headers()
@@ -577,6 +578,63 @@ def test_retry_after_backoff_gates_the_retry(spark, tmp_path):
         r = run(t0 + timedelta(seconds=150))
         assert (r["status"], r["tries"]) == ("fetched", 2)
         assert log == ["/a", "/a"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_retry_after_quiets_the_whole_host(spark, tmp_path):
+    """Rate limiting is a host property: after /a answers 429 with
+    Retry-After, the host's OTHER pending URLs are not scheduled
+    either until the quiet passes — the wave would otherwise just
+    rotate onto them."""
+    from datetime import datetime, timedelta, timezone
+
+    srv, log = _serve_rate_limited(
+        retry_after=100, fail_times=1, paths={"/a"}
+    )
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        path = str(tmp_path / "frontier")
+        frontier_store.init_frontier(
+            spark.createDataFrame(
+                [(f"{base}/a",), (f"{base}/b",)], "url string"
+            ),
+            path,
+        )
+        t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        fetch = fetch_mod.http_fetcher(timeout_s=5, emit_http_errors=True)
+        # wave of 1: only /a attempted; it 429s with Retry-After 100
+        frontier_store.crawl_rounds(
+            spark, path, fetch, rounds=1, max_tries=5,
+            per_host_per_wave=1, now_fn=lambda: t0,
+        )
+        assert log == ["/a"]
+        # within the quiet window the host's PENDING /b is not
+        # scheduled either (nor /a): no wire traffic at all
+        frontier_store.crawl_rounds(
+            spark, path, fetch, rounds=3, max_tries=5,
+            per_host_per_wave=1, now_fn=lambda: t0 + timedelta(seconds=50),
+        )
+        assert log == ["/a"]
+        got = {
+            r["url"]: r["status"]
+            for r in tables.read_table(spark, path).collect()
+        }
+        assert got[f"{base}/b"] == "pending"
+        # quiet passed: both fetch (separate waves of 1)
+        frontier_store.crawl_rounds(
+            spark, path, fetch, rounds=3, max_tries=5,
+            per_host_per_wave=1,
+            now_fn=lambda: t0 + timedelta(seconds=150),
+        )
+        got = {
+            r["url"]: r["status"]
+            for r in tables.read_table(spark, path).collect()
+        }
+        assert got[f"{base}/a"] == "fetched"
+        assert got[f"{base}/b"] == "fetched"
+        assert sorted(log) == ["/a", "/a", "/b"]
     finally:
         srv.shutdown()
         srv.server_close()
