@@ -145,9 +145,16 @@ def crawl(
         # HTTP fetcher would fetch every page TWICE, and the second
         # pass could return different bytes than the pages whose
         # links drove scheduling)
-        fetched = (
-            fetch_fn(wave).select("url", "html").localCheckpoint(eager=False)
-        )
+        raw = fetch_fn(wave)
+        if "status" in raw.columns:
+            # a status-emitting fetcher (http_fetcher's
+            # emit_http_errors mode) surfaces 4xx/5xx as rows — they
+            # are FAILURES, not corpus pages (the crawl_rounds split)
+            raw = raw.filter(
+                ((F.col("status") >= 200) & (F.col("status") < 300))
+                | (F.col("status") == 304)
+            )
+        fetched = raw.select("url", "html").localCheckpoint(eager=False)
         new_links = (
             fetched.select(
                 F.explode(

@@ -122,7 +122,9 @@ def _gunzip_capped(data: bytes, cap: int) -> bytes | None:
 
     out = b""
     rest = data
+    saw_member = False
     while rest[:2] == b"\x1f\x8b":
+        saw_member = True
         d = zlib.decompressobj(31)
         try:
             out += d.decompress(rest, cap + 1 - len(out))
@@ -131,8 +133,11 @@ def _gunzip_capped(data: bytes, cap: int) -> bytes | None:
         if len(out) > cap or not d.eof:
             return None
         rest = d.unused_data
-    if not out and data:
-        return None  # claimed gzip, no gzip member found
+    # a consumed member whose payload is EMPTY is a valid response
+    # (gzip.compress(b'') — empty pages behind compressing frontends);
+    # only a non-empty body with no gzip member at all is a lie
+    if not saw_member and data:
+        return None
     return out
 
 

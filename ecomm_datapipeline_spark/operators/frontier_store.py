@@ -653,6 +653,14 @@ def commit_round(
         att = att.unionByName(reps).distinct().join(
             al_keys, "url", "left_anti"
         )
+        if den is not None:
+            # denied STILL wins: an allowed page redirecting onto a
+            # robots-denied URL must not re-insert that URL into the
+            # attempted arm — den_updates already emits its (terminal)
+            # row, and two update rows for one key would merge as
+            # duplicate state rows
+            att = att.join(den, "url", "left_anti")
+            reps = reps.join(den, "url", "left_anti")
     touched: list[int] = []
     if nb is not None:
         # Prune the state reads to the buckets this round can touch:
@@ -688,11 +696,19 @@ def commit_round(
     elif refetch_growth > 1.0:
         # previous interval lives in the row itself (refetch_after -
         # fetched_at); a 304 stretches it, a fresh 200 resets to base.
-        # Timestamps cast to double = epoch seconds.
+        # Timestamps cast to double = epoch seconds. The derivation is
+        # only meaningful when the row's LAST transition was a
+        # successful fetch (status 'fetched' — refetch_after is then
+        # policy-set): a failed row's refetch_after may hold a
+        # Retry-After not-before (the backoff arm), and days of 429
+        # quiet must not masquerade as the recrawl interval and
+        # inflate the next 304's stretch unboundedly.
         base = F.lit(float(refetch_interval_s))
-        prev = F.col("refetch_after").cast("double") - F.col(
-            "fetched_at"
-        ).cast("double")
+        prev = F.when(
+            F.col("status") == "fetched",
+            F.col("refetch_after").cast("double")
+            - F.col("fetched_at").cast("double"),
+        )
         grown = F.greatest(
             F.coalesce(prev, base) * F.lit(float(refetch_growth)), base
         )
@@ -1109,6 +1125,7 @@ def crawl_rounds(
     agent: str = "*",
     refetch_growth: float = 1.0,
     refetch_max_s: float | None = None,
+    retry_after_cap_s: float = 6 * 3600,
 ) -> DataFrame:
     """The restartable crawl driver: resume after last_committed_round
     and run up to `rounds` MORE rounds (stop early when no URL is
@@ -1211,18 +1228,28 @@ def crawl_rounds(
                 limited = raw_fetched.filter(
                     ~ok_pred & F.col("retry_after_s").isNotNull()
                 )
+                # clamp BEFORE it becomes durable state: Retry-After
+                # is attacker/misconfig-controlled, and an uncapped
+                # value ('Retry-After: 9999999999') would write a
+                # centuries-long quiet into the _hostquiet sidecar and
+                # silence the whole host forever
                 nb = F.lit(now).cast("timestamp") + F.make_dt_interval(
-                    secs=F.max("retry_after_s")
+                    secs=F.least(
+                        F.col("retry_after_s"),
+                        F.lit(float(retry_after_cap_s)),
+                    )
                 )
-                backoff = limited.groupBy("url").agg(nb.alias("not_before"))
+                # per-row frames; commit_round owns the per-key max
+                backoff = limited.select("url", nb.alias("not_before"))
                 # a 429/503 rate-limits the HOST, not one URL: quiet
                 # the whole authority so the next wave does not just
                 # rotate to its OTHER pending URLs
                 from .urls import url_parts
 
-                host_backoff = limited.groupBy(
-                    url_parts(F.col("url"))["host"].alias("host")
-                ).agg(nb.alias("not_before"))
+                host_backoff = limited.select(
+                    url_parts(F.col("url"))["host"].alias("host"),
+                    nb.alias("not_before"),
+                )
             raw_fetched = raw_fetched.filter(ok_pred)
         # carry the conditional-fetch metadata ONLY when the fetcher
         # really emits FETCH_SCHEMA (the not_modified marker): a

@@ -11,6 +11,12 @@ from pyspark.sql import functions as F
 from ecomm_datapipeline_spark.operators import crawl, frontier_store, graph
 from ecomm_datapipeline_spark.operators.html import extract_links_col
 from ecomm_datapipeline_spark.sources import tables
+import pytest
+
+# full-e2e module (real sockets / multi-round crawl loops): the fast
+# lane skips it via -m 'not e2e'; the default full run still includes it
+pytestmark = pytest.mark.e2e
+
 
 HOST = "http://site.example"
 

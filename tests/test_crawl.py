@@ -243,3 +243,28 @@ def test_crawl_fetches_each_wave_once(spark, web):
     # 6 corpus pages fetched once each (the 404 produces no row);
     # without the checkpoint the two actions above would double it
     assert acc.value == len(rows) == 6
+
+
+def test_crawl_drops_status_emitting_error_rows(spark):
+    """A status-emitting fetcher's 4xx/5xx rows must not enter the
+    corpus as fetched pages (the crawl_rounds split, mirrored here)."""
+    from pyspark.sql import functions as F
+
+    def fetch(wave):
+        rows = [
+            (r["url"], "<p>ok</p>", 200)
+            if r["url"].endswith("/ok")
+            else (r["url"], None, 500)
+            for r in wave.select("url").collect()
+        ]
+        return spark.createDataFrame(
+            rows, "url string, html string, status int"
+        )
+
+    seeds = spark.createDataFrame(
+        [("http://h.example/ok",), ("http://h.example/err",)],
+        "url string",
+    )
+    out = C.crawl(seeds, fetch, rounds=1)
+    got = {r["url"] for r in out.collect()}
+    assert got == {"http://h.example/ok"}

@@ -17,6 +17,12 @@ from pyspark.sql import functions as F
 from ecomm_datapipeline_spark.operators import graph
 from ecomm_datapipeline_spark.operators.html import link_edges
 from ecomm_datapipeline_spark.sources import warc as W
+import pytest
+
+# full-e2e module (real sockets / multi-round crawl loops): the fast
+# lane skips it via -m 'not e2e'; the default full run still includes it
+pytestmark = pytest.mark.e2e
+
 
 
 def _record(wtype: str, payload: bytes, uri: str = "", rec_id: str = "") -> bytes:

@@ -11,6 +11,12 @@ from pyspark.sql import functions as F
 from ecomm_datapipeline_spark.operators import frontier_store
 from ecomm_datapipeline_spark.operators.html import html_to_text_col
 from ecomm_datapipeline_spark.streaming import curate_stream
+import pytest
+
+# full-e2e module (real sockets / multi-round crawl loops): the fast
+# lane skips it via -m 'not e2e'; the default full run still includes it
+pytestmark = pytest.mark.e2e
+
 
 GOOD = (
     "the quick brown fox jumps over the lazy dog near the quiet river "

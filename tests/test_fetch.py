@@ -14,6 +14,11 @@ from ecomm_datapipeline_spark.operators import fetch as fetch_mod
 from ecomm_datapipeline_spark.operators import frontier_store
 from ecomm_datapipeline_spark.sources import tables
 
+# full-e2e module (real sockets / multi-round crawl loops): the fast
+# lane skips it via -m 'not e2e'; the default full run still includes it
+pytestmark = pytest.mark.e2e
+
+
 
 def _serve(pages, fail_after=None):
     """A planted-page HTTP server recording (monotonic, path) per
@@ -640,6 +645,36 @@ def test_retry_after_quiets_the_whole_host(spark, tmp_path):
         srv.server_close()
 
 
+def test_retry_after_is_capped_before_persisting(spark, tmp_path):
+    """An absurd Retry-After (attacker/misconfig-controlled) is
+    clamped by retry_after_cap_s before it becomes durable backoff
+    state — otherwise one header silences a host for centuries."""
+    from datetime import datetime, timedelta, timezone
+
+    srv, log = _serve_rate_limited(retry_after=9999999999, fail_times=1)
+    try:
+        base = f"http://127.0.0.1:{srv.server_port}"
+        path = str(tmp_path / "frontier")
+        frontier_store.init_frontier(
+            spark.createDataFrame([(f"{base}/a",)], "url string"), path
+        )
+        t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+        frontier_store.crawl_rounds(
+            spark, path,
+            fetch_mod.http_fetcher(timeout_s=5, emit_http_errors=True),
+            rounds=1, max_tries=5, now_fn=lambda: t0,
+            retry_after_cap_s=60,
+        )
+        r = tables.read_table(spark, path).first()
+        assert r["status"] == "failed"
+        assert r["refetch_after"].replace(
+            tzinfo=timezone.utc
+        ) == t0 + timedelta(seconds=60)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_error_rows_never_mark_fetched(spark, server, tmp_path):
     """crawl_rounds splits on the status column: a 500 error row from
     an emit_http_errors fetcher is a failure (retried), never a
@@ -906,6 +941,12 @@ def test_gunzip_capped_members_and_padding():
     whole = gzip.compress(b"abcdef")
     assert _gunzip_capped(whole[:-3], 100) is None  # truncated
     assert _gunzip_capped(b"junk", 100) is None  # no member at all
+    # a VALID member with an empty payload is a real (empty) response
+    # — compressing frontends gzip empty pages too; must not be read
+    # as "claimed gzip, no member" and dropped to the omission path
+    import gzip as _gz
+
+    assert _gunzip_capped(_gz.compress(b""), 100) == b""
     assert _gunzip_capped(b"", 100) == b""  # empty body, empty page
 
 

@@ -9,6 +9,11 @@ from pyspark.sql import functions as F
 from ecomm_datapipeline_spark.operators import crawl, frontier_store
 from ecomm_datapipeline_spark.sources import tables
 
+# full-e2e module (real sockets / multi-round crawl loops): the fast
+# lane skips it via -m 'not e2e'; the default full run still includes it
+pytestmark = pytest.mark.e2e
+
+
 # a tiny synthetic web: every page links to its listed neighbours
 WEB = {
     "http://a.example/": ["http://a.example/p1", "http://b.example/"],
@@ -888,3 +893,101 @@ def test_redirect_alias_rep_already_known(spark, tmp_path):
     assert got["http://a.example/new"][0] == "fetched"
     # both spellings were in the first wave together
     assert {"http://a.example/old", "http://a.example/new"} <= calls[0]
+
+
+def test_redirect_onto_denied_rep_stays_denied(spark, tmp_path):
+    """An allowed page redirecting onto a robots-DENIED URL must not
+    smuggle that URL back in as 'fetched': denied wins, the state
+    keeps exactly ONE row per url, and the alias source still goes
+    terminal."""
+    from ecomm_datapipeline_spark.operators import robots as R
+
+    path = str(tmp_path / "redirden")
+    seeds = spark.createDataFrame(
+        [("http://a.example/old",), ("http://a.example/new",)],
+        "url string",
+    )
+    frontier_store.init_frontier(seeds, path)
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /new")],
+            "host string, robots_txt string",
+        )
+    )
+    calls = []
+    frontier_store.crawl_rounds(
+        spark, path, _redir_fetcher(spark, calls), rounds=10, rules=rules
+    )
+    rows = tables.read_table(spark, path).collect()
+    per_url = {}
+    for r in rows:
+        per_url.setdefault(r["url"], []).append(r["status"])
+    # one row per url — the merge invariant
+    assert all(len(v) == 1 for v in per_url.values()), per_url
+    assert per_url["http://a.example/new"] == ["denied"]
+    assert per_url["http://a.example/old"] == ["aliased"]
+
+
+def test_backoff_window_never_becomes_the_recrawl_interval(
+    spark, tmp_path
+):
+    """A failed row's refetch_after may hold a Retry-After not-before;
+    when the URL later answers 304, the adaptive stretch must derive
+    from the BASE interval, not from the (possibly huge) backoff
+    window — only a previously-FETCHED row's refetch_after is a
+    policy interval."""
+    from datetime import datetime, timedelta, timezone
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    path = str(tmp_path / "bk304")
+    url = "http://a.example/p"
+    frontier_store.init_frontier(
+        spark.createDataFrame([(url,)], "url string"), path
+    )
+    w = spark.createDataFrame([(url,)], "url string")
+
+    def row():
+        return tables.read_table(spark, path).first()
+
+    # round 1: fresh 200 with validators -> base interval
+    ok1 = spark.createDataFrame(
+        [(url, '"e"', None, False)],
+        "url string, etag string, last_modified string,"
+        " not_modified boolean",
+    )
+    frontier_store.commit_round(
+        spark, path, 1, w, ok1, fetched_at=t0,
+        refetch_interval_s=100, refetch_growth=2.0, refetch_max_s=10000,
+    )
+    assert (row()["refetch_after"] - row()["fetched_at"]).total_seconds() == 100
+    # round 2: rate-limited attempt -> failed with a HUGE not-before
+    t1 = t0 + timedelta(seconds=150)
+    empty_ok = ok1.limit(0)
+    frontier_store.commit_round(
+        spark, path, 2, w, empty_ok, fetched_at=t1,
+        refetch_interval_s=100, refetch_growth=2.0, refetch_max_s=10000,
+        backoff=spark.createDataFrame(
+            [(url, t1 + timedelta(seconds=50000))],
+            "url string, not_before timestamp",
+        ),
+    )
+    r = row()
+    assert r["status"] == "failed"
+    assert r["refetch_after"].replace(tzinfo=timezone.utc) == t1 + timedelta(
+        seconds=50000
+    )
+    # round 3: the retry answers 304 -> interval derives from BASE
+    # (200s), never from the 50000s backoff window
+    t2 = t1 + timedelta(seconds=60000)
+    ok3 = spark.createDataFrame(
+        [(url, '"e"', None, True)],
+        "url string, etag string, last_modified string,"
+        " not_modified boolean",
+    )
+    frontier_store.commit_round(
+        spark, path, 3, w, ok3, fetched_at=t2,
+        refetch_interval_s=100, refetch_growth=2.0, refetch_max_s=10000,
+    )
+    r = row()
+    assert r["status"] == "fetched"
+    assert (r["refetch_after"] - r["fetched_at"]).total_seconds() == 200.0
