@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Parallel full-suite runner: the whole of tests/ in N pytest
-processes (default 4), each with its own SparkSession on local[8] and
-its own warehouse dir.
+"""Parallel full-suite runner: the whole of tests/ through N
+work-stealing workers (default 4), each running one test FILE at a
+time as its own pytest process with its own SparkSession on local[8]
+and its own warehouse dir.
 
 Why: the suite is DRIVER-bound, not executor-bound — hundreds of
 tests each run many small Spark jobs whose cost is plan construction,
@@ -13,12 +14,11 @@ from 32 to 8 per shard, which tiny test data never notices.
 pytest-xdist is not in the container, so this is a plain
 subprocess fan-out.
 
-Coverage contract: every tests/test_*.py file lands in exactly one
-shard — same test count as `pytest tests/`, zero coverage loss, just
-wall-clock. Shards are balanced greedily by measured per-file
-wall-clock (the r11 --durations=60 profile, aggregated per file;
-unknown files get a default weight), heaviest file first onto the
-lightest shard.
+Coverage contract: every tests/test_*.py file is popped off the queue
+exactly once — same test count as `pytest tests/`, zero coverage
+loss, just wall-clock. The queue is ordered longest-expected-first
+(measured weights when available) purely to shrink the tail; order
+never affects coverage.
 
 Usage: python tools/fast_suite.py [n_shards] [extra pytest args...]
 Exit 0 iff every shard exits 0. Each shard's tail is printed with its
@@ -142,6 +142,23 @@ def _harvest_weights(repo: str, n: int) -> None:
 
 
 def main() -> int:
+    """Work-stealing pool: N workers pop the next test FILE off one
+    shared queue (longest-expected first, to shrink the tail) and run
+    it as its own pytest process. No static balance to get wrong —
+    the r11 static-shard variant oscillated: per-file times MEASURED
+    under contention are systematically low for whichever files
+    shared a light shard, so the next run packs them together into a
+    new heavy shard (measured max-shard 44:57 vs the 5639s/4 ~ 23:30
+    ideal). The queue makes wall-clock ~ total/N + longest single
+    file, whatever the weights say; weights only order the queue.
+    Cost: one pytest+SparkSession startup per FILE (~10s) instead of
+    per shard — ~3-4 min of overhead spread over N workers, bought
+    back many times over by the removed imbalance."""
+    import queue
+    import threading
+    import time
+
+    t_start = time.monotonic()
     args = sys.argv[1:]
     n = int(args[0]) if args and args[0].isdigit() else 4
     extra = args[1:] if args and args[0].isdigit() else args
@@ -156,28 +173,33 @@ def main() -> int:
     def w(p: str) -> float:
         return weights.get(os.path.basename(p), DEFAULT_W)
 
-    # greedy: heaviest file onto the currently lightest shard
-    shards: list[list[str]] = [[] for _ in range(n)]
-    loads = [0.0] * n
+    q: "queue.Queue[str]" = queue.Queue()
     for f in sorted(files, key=w, reverse=True):
-        i = loads.index(min(loads))
-        shards[i].append(f)
-        loads[i] += w(f)
-    procs = []
-    for i, shard in enumerate(shards):
+        q.put(f)
+    print(
+        f"{len(files)} files on one queue, {n} workers"
+        + (" (measured order)" if measured else " (builtin order)"),
+        flush=True,
+    )
+    rcs: list[int] = []
+    lock = threading.Lock()
+
+    def worker(i: int) -> None:
         env = dict(os.environ)
         env["SPARK_GRAFT_CPUS"] = env.get("FAST_SUITE_CPUS", "8")
         env["SPARK_GRAFT_WAREHOUSE"] = f"/tmp/spark-wh-shard{i}"
-        log = open(f"/tmp/fast_suite_shard{i}.log", "w")
-        procs.append(
-            (
-                i,
-                subprocess.Popen(
+        with open(f"/tmp/fast_suite_shard{i}.log", "w") as log:
+            while True:
+                try:
+                    f = q.get_nowait()
+                except queue.Empty:
+                    return
+                p = subprocess.run(
                     [
                         sys.executable,
                         "-m",
                         "pytest",
-                        *shard,
+                        f,
                         "-q",
                         "--durations=0",
                         *extra,
@@ -186,29 +208,37 @@ def main() -> int:
                     env=env,
                     stdout=log,
                     stderr=subprocess.STDOUT,
-                ),
-                log,
-            )
-        )
-        print(
-            f"shard {i}: {len(shard)} files, est {loads[i]:.0f}s"
-            + (" (measured)" if measured else " (builtin)"),
-            flush=True,
-        )
-    rc = 0
-    for i, p, log in procs:
-        p.wait()
-        log.close()
-        with open(f"/tmp/fast_suite_shard{i}.log") as fh:
-            tail = [
-                ln
-                for ln in fh.readlines()
-                if " passed" in ln or " failed" in ln or " error" in ln
-            ][-2:]
-        print(f"--- shard {i} rc={p.returncode} ---")
-        for line in tail:
-            print(f"  {line.rstrip()}")
-        rc = rc or p.returncode
+                )
+                with lock:
+                    rcs.append(p.returncode)
+                    if p.returncode not in (0, 5):  # 5 = no tests picked up
+                        print(f"FAIL rc={p.returncode}: {f}", flush=True)
+
+    threads = [
+        threading.Thread(target=worker, args=(i,), daemon=True)
+        for i in range(n)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    rc = 0 if all(r in (0, 5) for r in rcs) else 1
+    # per-worker tallies
+    import re
+
+    total_pass = total_fail = 0
+    for i in range(n):
+        try:
+            with open(f"/tmp/fast_suite_shard{i}.log") as fh:
+                txt = fh.read()
+        except OSError:
+            continue
+        total_pass += sum(int(m) for m in re.findall(r"(\d+) passed", txt))
+        total_fail += sum(int(m) for m in re.findall(r"(\d+) failed", txt))
+    print(
+        f"total: {total_pass} passed, {total_fail} failed, rc={rc},"
+        f" wall {time.monotonic() - t_start:.0f}s"
+    )
     if rc == 0:
         _harvest_weights(repo, n)
     return rc
