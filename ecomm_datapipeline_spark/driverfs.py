@@ -1,0 +1,185 @@
+"""Driver-side filesystem seam for table/sidecar maintenance.
+
+Every atomic-swap primitive in sources/tables.py (staged overwrite,
+two-rename swap, crash-strand recovery, data-file existence walks) and
+every frontier sidecar (meta / WAL / worklist / hostquiet,
+operators/frontier_store.py) runs DRIVER-side file operations. On a
+laptop those are os/shutil calls; on a real cluster the frontier and
+its sidecars must live on SHARED storage (HDFS, or an object store) or
+a driver restart on a different node loses the crawl state. This
+module is the seam that makes that a deployment choice instead of a
+rewrite:
+
+* ``LocalDriverFS`` — os/shutil/glob, byte-for-byte the behavior the
+  crash-replay tests pin. The default for plain paths.
+* ``HadoopDriverFS`` — the same contract through the active Spark
+  session's Hadoop ``FileSystem`` API (py4j), so ``hdfs://`` paths
+  work unchanged: HDFS ``rename`` is atomic, which is the property the
+  swap protocol (tables._swap_into) actually relies on. It also runs
+  against local paths (Hadoop's RawLocalFileSystem), which is how the
+  tests prove the two implementations agree.
+
+Contract notes for object stores (s3a://, gs://): their "rename" is
+copy+delete — NOT atomic and O(data). The swap protocol is still
+CRASH-SAFE there (a kill mid-copy leaves the ``__old_*`` strand or the
+tmp dir, both healed by recover_swapped / the next swap's strand
+sweep), but readers can observe a longer absent-target window and the
+commit cost gains an O(table-slice) copy. For serious object-store
+deployments prefer a manifest/pointer pattern (Delta/Iceberg — the
+merge path already routes to Delta when available) over path swaps;
+this seam deliberately keeps the SAME semantics everywhere rather than
+hiding that difference.
+
+Selection: ``fs_for(path)`` returns the override installed via
+``set_driver_fs`` (tests, custom backends), else ``HadoopDriverFS``
+for paths with a non-file URI scheme (requires an active
+SparkSession), else ``LocalDriverFS``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+
+_SCHEME_RE = re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://")
+
+
+class LocalDriverFS:
+    """os/shutil implementation — the default for plain local paths."""
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic directory move; raises OSError on failure (dst
+        occupied, src missing) — the swap protocol's rollback relies
+        on the raise."""
+        os.rename(src, dst)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def listdir(self, path: str) -> list[tuple[str, bool]]:
+        """[(name, is_dir)] for the directory's entries."""
+        out = []
+        with os.scandir(path) as it:
+            for e in it:
+                out.append((e.name, e.is_dir()))
+        return out
+
+    def strands(self, prefix: str) -> list[str]:
+        """Paths matching `<prefix>*` (the __old_/__tmp_ sibling
+        pattern), oldest-first by modification time. glob.escape: a
+        prefix containing [ ] * ? must not become a pattern — an
+        unmatched strand would silently disable crash recovery."""
+        import glob
+
+        return sorted(glob.glob(glob.escape(prefix) + "*"), key=os.path.getmtime)
+
+    def getsize(self, path: str) -> int:
+        return os.path.getsize(path)
+
+
+class HadoopDriverFS:
+    """The same contract through the JVM Hadoop FileSystem of an
+    active SparkSession — hdfs:// (atomic rename), file://, and any
+    scheme the cluster's Hadoop conf can mount. Driver-side-only and
+    py4j-call-per-op: these are sidecar-maintenance operations (a few
+    per commit), never a data path."""
+
+    def __init__(self, spark) -> None:
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+
+    @staticmethod
+    def for_active_session() -> "HadoopDriverFS":
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "HadoopDriverFS needs an active SparkSession (a URI-"
+                "scheme path was used before any session was built)"
+            )
+        return HadoopDriverFS(spark)
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    def _fs(self, p: str):
+        return self._path(p).getFileSystem(self._conf)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs(path).exists(self._path(path)))
+
+    def isdir(self, path: str) -> bool:
+        fs, p = self._fs(path), self._path(path)
+        return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
+
+    def rename(self, src: str, dst: str) -> None:
+        fs = self._fs(src)
+        # Hadoop rename returns false instead of raising; the swap
+        # protocol needs the raise (its rollback path keys on it)
+        if not fs.rename(self._path(src), self._path(dst)):
+            raise OSError(f"hadoop rename failed: {src} -> {dst}")
+
+    def rmtree(self, path: str) -> None:
+        fs, p = self._fs(path), self._path(path)
+        if fs.exists(p):
+            fs.delete(p, True)
+
+    def listdir(self, path: str) -> list[tuple[str, bool]]:
+        fs = self._fs(path)
+        out = []
+        for st in fs.listStatus(self._path(path)):
+            out.append((st.getPath().getName(), bool(st.isDirectory())))
+        return out
+
+    def strands(self, prefix: str) -> list[str]:
+        # list the parent and prefix-match NAMES (no glob semantics —
+        # special chars in the prefix stay literal, matching
+        # LocalDriverFS's glob.escape discipline)
+        parent = prefix.rsplit("/", 1)[0] if "/" in prefix else "."
+        name_prefix = prefix.rsplit("/", 1)[-1]
+        fs = self._fs(parent)
+        pp = self._path(parent)
+        if not fs.exists(pp):
+            return []
+        matches = []
+        for st in fs.listStatus(pp):
+            name = st.getPath().getName()
+            if name.startswith(name_prefix):
+                matches.append((st.getModificationTime(), f"{parent}/{name}"))
+        return [p for _, p in sorted(matches)]
+
+    def getsize(self, path: str) -> int:
+        return int(
+            self._fs(path).getFileStatus(self._path(path)).getLen()
+        )
+
+
+_LOCAL = LocalDriverFS()
+_OVERRIDE = None
+
+
+def set_driver_fs(fs) -> None:
+    """Install a process-wide override (None restores scheme-based
+    selection). Tests use this to run the whole sidecar stack through
+    HadoopDriverFS on local paths."""
+    global _OVERRIDE
+    _OVERRIDE = fs
+
+
+def fs_for(path: str):
+    """The DriverFS for `path`: the installed override, else Hadoop
+    for URI-scheme paths (file:// included — Spark writes there too),
+    else local os calls."""
+    if _OVERRIDE is not None:
+        return _OVERRIDE
+    if _SCHEME_RE.match(path):
+        return HadoopDriverFS.for_active_session()
+    return _LOCAL

@@ -45,6 +45,16 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode runs driver + all 32 executor threads in ONE JVM;
+        # Spark's 1g default heap leaves ~30 MB per concurrent task —
+        # large expression trees (the WAT/URL-resolver folds) OOM task
+        # deserialization at that size. 8g is still tiny against the
+        # 128 GiB box; honored only at JVM launch (getOrCreate on a
+        # live session ignores it, like any static conf).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # Determinism / parity with BigQuery-in-UTC.
         .config("spark.sql.session.timeZone", "UTC")
         # Adaptive execution: coalesce shuffles, split skewed joins,

@@ -28,15 +28,12 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _old_strands(path: str) -> list[str]:
-    """`<path>__old_*` siblings, oldest first. glob.escape: a path
-    containing [ ] * ? must not become a pattern — an unmatched
-    strand would silently disable crash recovery."""
-    import glob
+    """`<path>__old_*` siblings, oldest first (fs seam — see
+    driverfs.py; an unmatched strand would silently disable crash
+    recovery, so prefix matching is literal, never a glob pattern)."""
+    from ..driverfs import fs_for
 
-    return sorted(
-        glob.glob(glob.escape(path.rstrip("/")) + "__old_*"),
-        key=os.path.getmtime,
-    )
+    return fs_for(path).strands(path.rstrip("/") + "__old_")
 
 
 def recover_swapped(path: str) -> None:
@@ -50,11 +47,14 @@ def recover_swapped(path: str) -> None:
     before creating its own strand (so at most one strand can exist
     when the target is absent — no ambiguity about which to roll
     back)."""
-    if os.path.isdir(path):
+    from ..driverfs import fs_for
+
+    fs = fs_for(path)
+    if fs.isdir(path):
         return
     strands = _old_strands(path)
     if strands:
-        os.rename(strands[-1], path)
+        fs.rename(strands[-1], path)
 
 
 def table_exists(path: str) -> bool:
@@ -79,13 +79,22 @@ def table_exists(path: str) -> bool:
     def hidden(name: str) -> bool:
         return name.startswith(("_", ".")) and "=" not in name
 
+    from ..driverfs import fs_for
+
+    fs = fs_for(path)
     recover_swapped(path)  # heal a mid-swap strand before answering
-    if not os.path.isdir(path):
+    if not fs.isdir(path):
         return False
-    for _dir, subdirs, files in os.walk(path):
-        subdirs[:] = [d for d in subdirs if not hidden(d)]
-        if any(f.endswith(".parquet") and not hidden(f) for f in files):
-            return True
+    stack = [path]
+    while stack:
+        d = stack.pop()
+        for name, is_dir in fs.listdir(d):
+            if hidden(name):
+                continue
+            if is_dir:
+                stack.append(f"{d.rstrip('/')}/{name}")
+            elif name.endswith(".parquet"):
+                return True
     return False
 
 
@@ -120,6 +129,29 @@ def write_table(
         writer.mode(mode).parquet(path)
 
 
+def staged_overwrite(df: DataFrame, path: str) -> None:
+    """Overwrite `path` with `df` such that a crash at any point leaves
+    either the previous content or the new content, never a
+    half-written dir: write to a sibling tmp, then rename into place
+    (_swap_into when the target exists). The sidecar-table write
+    primitive (frontier meta/WAL/hostquiet, robots body cache); all
+    driver-side file ops go through the fs seam (driverfs.py), so the
+    sidecars can live on shared storage."""
+    import uuid
+
+    from ..driverfs import fs_for
+
+    fs = fs_for(path)
+    tmp = f"{path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    # isdir, not table_exists: a dataless dir (only _SUCCESS) still
+    # blocks a rename and must be swapped out
+    if fs.isdir(path):
+        _swap_into(tmp, path)
+    else:
+        fs.rename(tmp, path)
+
+
 def delta_available() -> bool:
     """True when the delta-spark package is importable (it is not baked
     into this container; the Delta path is exercised wherever it is)."""
@@ -132,35 +164,43 @@ def delta_available() -> bool:
 
 
 def _is_delta_table(path: str) -> bool:
-    return os.path.isdir(os.path.join(path, "_delta_log"))
+    from ..driverfs import fs_for
+
+    return fs_for(path).isdir(path.rstrip("/") + "/_delta_log")
 
 
 def _swap_into(tmp: str, path: str) -> None:
     """Swap a fully-written sibling directory into place via two
     renames: readers never observe a half-written table, but there is a
     milliseconds-wide window between the renames where the path is
-    absent (POSIX has no atomic directory exchange) — a reader in that
-    window fails cleanly with path-not-found and succeeds on retry. If
-    the second rename fails, the original directory is restored; a
-    crash mid-swap leaves the data intact under a `__old_*` sibling."""
-    import shutil
+    absent (POSIX and HDFS have no atomic directory exchange) — a
+    reader in that window fails cleanly with path-not-found and
+    succeeds on retry. If the second rename fails, the original
+    directory is restored; a crash mid-swap leaves the data intact
+    under a `__old_*` sibling. All ops go through the fs seam
+    (driverfs.py): HDFS rename is atomic like POSIX; object-store
+    rename is copy+delete — still crash-safe, but see driverfs.py for
+    the cost/visibility caveats."""
     import uuid
 
+    from ..driverfs import fs_for
+
+    fs = fs_for(path)
     # stale strands first: any __old_* beside a LIVE target is a
     # previous swap's interrupted rmtree — superseded the moment that
     # swap's second rename landed. Removing them here keeps the
     # invariant recover_swapped relies on: when the target is absent,
     # at most ONE strand exists, and it is the previous content.
     for stale in _old_strands(path):
-        shutil.rmtree(stale, ignore_errors=True)
+        fs.rmtree(stale)
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
-    os.rename(path, old)
+    fs.rename(path, old)
     try:
-        os.rename(tmp, path)
+        fs.rename(tmp, path)
     except OSError:
-        os.rename(old, path)  # roll the original back in
+        fs.rename(old, path)  # roll the original back in
         raise
-    shutil.rmtree(old)
+    fs.rmtree(old)
 
 
 def merge_table(
@@ -313,12 +353,7 @@ def compact_table(
     import math
     import uuid
 
-    size = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    size = sum(s for _, s in _parquet_files(path))
     n_files = max(1, math.ceil(size / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     if sort_cols:
@@ -332,12 +367,24 @@ def compact_table(
         writer = writer.partitionBy(*partition_by)
     writer.mode("overwrite").parquet(tmp)
     _swap_into(tmp, path)
-    return sum(
-        1
-        for _, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    return sum(1 for _ in _parquet_files(path))
+
+
+def _parquet_files(path: str):
+    """(file_path, size) for every .parquet under `path` — the fs-seam
+    walk compact_table sizes from."""
+    from ..driverfs import fs_for
+
+    fs = fs_for(path)
+    stack = [path]
+    while stack:
+        d = stack.pop()
+        for name, is_dir in fs.listdir(d):
+            child = f"{d.rstrip('/')}/{name}"
+            if is_dir:
+                stack.append(child)
+            elif name.endswith(".parquet"):
+                yield child, fs.getsize(child)
 
 
 def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
