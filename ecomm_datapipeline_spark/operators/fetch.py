@@ -59,14 +59,19 @@ mojibake page); for archival-grade recovery re-decode from WARC bytes
 with sources/warc.py's header+meta prescan instead.
 
 Content-Encoding (RFC 9110 §8.4): requests advertise
-`Accept-Encoding: gzip` and gzip/x-gzip responses are decompressed
-with the DECOMPRESSED size capped at max_bytes (zip-bomb guard — an
-over-cap or corrupt stream takes the omission path, never a crash).
-A body carrying the gzip magic with NO Content-Encoding header (CDNs
-that force compression without negotiating or labeling it) is
-sniff-decompressed, since the raw bytes would otherwise decode to
-garbage "html" and silently poison extraction; an encoding we never
-asked for (br, zstd, deflate) is undecodable here and omits the row.
+`Accept-Encoding: gzip, deflate` and both decompress with the
+DECOMPRESSED size capped at max_bytes (zip-bomb guard — an over-cap
+or corrupt stream takes the omission path, never a crash). deflate
+accepts the spec's zlib wrapping AND the bare-deflate form some
+servers send (the classic interop bug). A body carrying the gzip
+magic with NO Content-Encoding header (CDNs that force compression
+without negotiating or labeling it) is sniff-decompressed, since the
+raw bytes would otherwise decode to garbage "html" and silently
+poison extraction. An encoding we never asked for (br, zstd) is
+undecodable here — under emit_http_errors it surfaces as a COUNTED
+error row (NULL status, omit_reason naming the encoding) so br-only
+CDN hosts show up as visible corpus loss instead of silently
+vanishing; the status-less contract still omits.
 """
 
 from __future__ import annotations
@@ -82,7 +87,7 @@ from pyspark.sql import functions as F
 FETCH_SCHEMA = (
     "url string, html string, status int,"
     " etag string, last_modified string, not_modified boolean,"
-    " final_url string, retry_after_s double"
+    " final_url string, retry_after_s double, omit_reason string"
 )
 
 
@@ -139,6 +144,33 @@ def _gunzip_capped(data: bytes, cap: int) -> bytes | None:
     if not saw_member and data:
         return None
     return out
+
+
+def _inflate_capped(data: bytes, cap: int) -> bytes | None:
+    """Decompress a `deflate` body with the same decompressed-size cap
+    as _gunzip_capped. RFC 9110 says deflate = zlib-wrapped (RFC 1950),
+    but a long tail of servers sends BARE deflate (RFC 1951) under the
+    same label — the classic interop bug every browser works around —
+    so zlib wrapping is tried first and raw second. None on bomb,
+    corrupt stream, or trailing junk (a lying header must take the
+    omission path, never yield garbage html)."""
+    import zlib
+
+    if not data:
+        return None
+    for wbits in (15, -15):
+        d = zlib.decompressobj(wbits)
+        try:
+            out = d.decompress(data, cap + 1)
+        except zlib.error:
+            continue
+        if len(out) > cap:
+            # decodable but over-cap: a bomb regardless of wrapping
+            return None
+        if not d.eof or d.unconsumed_tail:
+            continue
+        return out
+    return None
 
 
 def http_fetcher(
@@ -219,7 +251,7 @@ def http_fetcher(
                     last[host] = time.monotonic()
                     headers = {
                         "User-Agent": agent,
-                        "Accept-Encoding": "gzip",
+                        "Accept-Encoding": "gzip, deflate",
                     }
                     # NULL validators arrive as None/NaN through Arrow
                     row_etag = getattr(row, "etag", None)
@@ -248,6 +280,10 @@ def http_fetcher(
                                     # bomb or corrupt: omission/retry,
                                     # never a crash or garbage html
                                     continue
+                            elif enc == "deflate":
+                                data = _inflate_capped(data, max_bytes)
+                                if data is None:
+                                    continue
                             elif enc in ("", "identity"):
                                 if data[:2] == b"\x1f\x8b":
                                     # forced, unlabeled compression
@@ -262,8 +298,30 @@ def http_fetcher(
                                     if sniffed is not None:
                                         data = sniffed
                             else:
-                                # br/zstd/deflate: never advertised,
-                                # undecodable here -> omission
+                                # br/zstd: never advertised and
+                                # undecodable here. Visible loss, not
+                                # silence: under emit_http_errors the
+                                # row surfaces as an error row whose
+                                # NULL status keeps every caller's
+                                # 2xx test false (counted as a
+                                # failure, never a success) and whose
+                                # omit_reason names the encoding —
+                                # br-only hosts then show up in loss
+                                # accounting instead of vanishing
+                                if emit_http_errors:
+                                    out.append(
+                                        (
+                                            row.url,
+                                            None,
+                                            None,
+                                            None,
+                                            None,
+                                            False,
+                                            row.url,
+                                            None,
+                                            f"unsupported-encoding: {enc}",
+                                        )
+                                    )
                                 continue
                             charset = (
                                 resp.headers.get_content_charset() or "utf-8"
@@ -281,6 +339,7 @@ def http_fetcher(
                                     resp.headers.get("Last-Modified"),
                                     False,
                                     resp.geturl() or row.url,
+                                    None,
                                     None,
                                 )
                             )
@@ -311,6 +370,7 @@ def http_fetcher(
                                     True,
                                     row.url,  # a 304 serves no redirect
                                     None,
+                                    None,
                                 )
                             )
                         retry_after = _retry_after_s(err.headers)
@@ -327,6 +387,7 @@ def http_fetcher(
                                         False,
                                         row.url,
                                         retry_after,
+                                        None,
                                     )
                                 )
                             continue
@@ -354,6 +415,7 @@ def http_fetcher(
                         "not_modified",
                         "final_url",
                         "retry_after_s",
+                        "omit_reason",
                     ],
                 )
 

@@ -86,7 +86,6 @@ caller-side column update.
 
 from __future__ import annotations
 
-import os
 import uuid as _uuid
 from datetime import datetime, timezone
 from typing import Callable
@@ -131,18 +130,9 @@ def _hostquiet_path(path: str) -> str:
 
 
 def _staged_overwrite(df: DataFrame, path: str) -> None:
-    """Overwrite `path` with `df` such that a crash at any point
-    leaves either the previous content or the new content, never a
-    half-written dir: write to a sibling tmp, then rename into place
-    (tables._swap_into when the target exists)."""
-    tmp = f"{path.rstrip('/')}__tmp_{_uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
-    # isdir, not table_exists: a dataless dir (only _SUCCESS) still
-    # blocks a rename and must be swapped out
-    if os.path.isdir(path):
-        tables._swap_into(tmp, path)
-    else:
-        os.rename(tmp, path)
+    """tables.staged_overwrite — kept as the module-local name every
+    sidecar write here goes through."""
+    tables.staged_overwrite(df, path)
 
 
 def _write_meta(
@@ -449,8 +439,9 @@ def _rebuild_worklist_buckets(
     rows left get their sidecar partition REMOVED — dynamic partition
     overwrite only replaces partitions present in the written frame,
     so an emptied bucket would otherwise keep stale rows."""
-    import shutil
+    from ..driverfs import fs_for
 
+    fs = fs_for(path)
     pp = _pending_path(path)
     post = (
         tables.read_table(spark, path)
@@ -468,10 +459,10 @@ def _rebuild_worklist_buckets(
             full = tables.read_table(spark, path).filter(_worklist_pred())
             tmp = f"{pp}__tmp_{_uuid.uuid4().hex[:8]}"
             full.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-            if os.path.isdir(pp):
+            if fs.isdir(pp):
                 tables._swap_into(tmp, pp)
             else:
-                os.rename(tmp, pp)
+                fs.rename(tmp, pp)
             return
         conf_key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(conf_key, "static")
@@ -481,9 +472,9 @@ def _rebuild_worklist_buckets(
         finally:
             spark.conf.set(conf_key, prev)
         for b in set(int(t) for t in touched) - nonempty:
-            d = os.path.join(pp, f"bucket={b}")
-            if os.path.isdir(d):
-                shutil.rmtree(d)
+            d = f"{pp}/bucket={b}"
+            if fs.isdir(d):
+                fs.rmtree(d)
     finally:
         post.unpersist()
 
@@ -690,6 +681,15 @@ def commit_round(
         touched = [r["bucket"] for r in tb.distinct().collect()]
         state = state.filter(F.col("bucket").isin(touched))
     replay = F.col("last_round") == round_id
+    # Terminal 'denied' is FROZEN across rounds, not just within one:
+    # the den anti-joins above only cover THIS round's denied frame, so
+    # a rep (or alias key) whose existing state row was denied in an
+    # EARLIER round would otherwise ride the attempted arm and flip to
+    # 'fetched' — a robots bypass (an allowed page 302ing onto a
+    # previously-denied URL would resurrect it). Denied rows keep
+    # status/tries/validators exactly like a replay; only last_round
+    # advances.
+    frozen = replay | (F.col("status") == "denied")
     fa = F.lit(fetched_at).cast("timestamp")
     if fetched_at is None or refetch_interval_s is None:
         ra = F.lit(None).cast("timestamp")
@@ -737,37 +737,37 @@ def commit_round(
         .select(
             "url",
             "host",
-            F.when(replay, F.col("status"))
+            F.when(frozen, F.col("status"))
             .otherwise(
                 F.when(got, F.lit("fetched")).otherwise(F.lit("failed"))
             )
             .alias("status"),
             "priority",
-            F.when(replay, F.col("tries"))
+            F.when(frozen, F.col("tries"))
             .otherwise(F.col("tries") + 1)
             .alias("tries"),
             "discovered_round",
             F.lit(int(round_id)).alias("last_round"),
-            F.when(replay | ~got, F.col("fetched_at"))
+            F.when(frozen | ~got, F.col("fetched_at"))
             .otherwise(fa)
             .alias("fetched_at"),
             # success -> the recrawl policy's time; failure -> the
             # Retry-After not-before when the server sent one, else
-            # history; replay -> untouched
-            F.when(replay, F.col("refetch_after"))
+            # history; replay/denied -> untouched
+            F.when(frozen, F.col("refetch_after"))
             .when(got, ra)
             .otherwise(F.coalesce(F.col("_nb"), F.col("refetch_after")))
             .alias("refetch_after"),
             # 200 -> response validators verbatim; 304 -> keep stored
             # unless the 304 re-sent one; failure/replay -> history
-            F.when(replay | ~got, F.col("etag"))
+            F.when(frozen | ~got, F.col("etag"))
             .otherwise(
                 F.when(
                     F.col("_nm"), F.coalesce(F.col("_etag"), F.col("etag"))
                 ).otherwise(F.col("_etag"))
             )
             .alias("etag"),
-            F.when(replay | ~got, F.col("last_modified"))
+            F.when(frozen | ~got, F.col("last_modified"))
             .otherwise(
                 F.when(
                     F.col("_nm"),
@@ -803,20 +803,20 @@ def commit_round(
         al_updates = state.join(al_keys, "url", "left_semi").select(
             "url",
             "host",
-            F.when(replay, F.col("status"))
+            F.when(frozen, F.col("status"))
             .otherwise(F.lit("aliased"))
             .alias("status"),
             "priority",
             # the redirect consumed a request: tries increments like
-            # any attempt (replay-guarded like the normal arm)
-            F.when(replay, F.col("tries"))
+            # any attempt (replay/denied-guarded like the normal arm)
+            F.when(frozen, F.col("tries"))
             .otherwise(F.col("tries") + 1)
             .alias("tries"),
             "discovered_round",
             F.lit(int(round_id)).alias("last_round"),
             "fetched_at",
             # terminal: must not re-enter via the refetch arm
-            F.when(replay, F.col("refetch_after"))
+            F.when(frozen, F.col("refetch_after"))
             .otherwise(F.lit(None).cast("timestamp"))
             .alias("refetch_after"),
             "etag",
@@ -898,24 +898,54 @@ def commit_round(
     finally:
         ck.unpersist()
     # Step 2b — host-quiet sidecar (authority-level Retry-After).
-    # Keyed merge on host, latest round's answer wins; idempotent, so
-    # a crash between here and the marker replays harmlessly.
-    if host_backoff is not None:
-        hq = (
-            host_backoff.select(
-                F.col("host").cast("string").alias("host"),
-                F.col("not_before").cast("timestamp").alias("not_before"),
-            )
-            .filter(F.col("host").isNotNull() & (F.col("host") != ""))
-            .groupBy("host")
-            .agg(F.max("not_before").alias("not_before"))
-            .localCheckpoint()
+    # Keyed union-max on host (latest answer wins) with EXPIRED rows
+    # purged in the same write: a row whose not_before has passed the
+    # round's clock is dead weight every pending_wave would read and
+    # filter forever, so the sidecar stays O(currently quiet hosts)
+    # over a months-long crawl instead of O(hosts ever rate-limited).
+    # Tiny table -> one staged swap; idempotent, so a crash between
+    # here and the marker replays harmlessly. Rounds with no new
+    # backoff still sweep an existing sidecar when they carry a clock
+    # (skipping the rewrite when nothing expired).
+    hqp = _hostquiet_path(path)
+    hq_new = (
+        host_backoff.select(
+            F.col("host").cast("string").alias("host"),
+            F.col("not_before").cast("timestamp").alias("not_before"),
+        ).filter(F.col("host").isNotNull() & (F.col("host") != ""))
+        if host_backoff is not None
+        else None
+    )
+    if hq_new is not None or (
+        fetched_at is not None and tables.table_exists(hqp)
+    ):
+        cur_q = (
+            tables.read_table(spark, hqp).select("host", "not_before")
+            if tables.table_exists(hqp)
+            else None
         )
-        try:
-            if not hq.isEmpty():
-                tables.merge_table(hq, _hostquiet_path(path), keys=["host"])
-        finally:
-            hq.unpersist()
+        parts = [f for f in (cur_q, hq_new) if f is not None]
+        if parts:
+            allq = parts[0]
+            for f in parts[1:]:
+                allq = allq.unionByName(f)
+            merged = allq.groupBy("host").agg(
+                F.max("not_before").alias("not_before")
+            )
+            if fetched_at is not None:
+                merged = merged.filter(
+                    F.col("not_before") > F.lit(fetched_at).cast("timestamp")
+                )
+            merged = merged.coalesce(1).localCheckpoint()
+            try:
+                n_cur = cur_q.count() if cur_q is not None else 0
+                changed = merged.count() != n_cur or (
+                    hq_new is not None and not hq_new.isEmpty()
+                )
+                if changed:
+                    _staged_overwrite(merged, hqp)
+            finally:
+                merged.unpersist()
     # Step 3 — the durable round marker, strictly last.
     _write_meta(spark, path, nb, max(committed or 0, int(round_id)))
 
@@ -1095,9 +1125,11 @@ def _read_wal(
     inside the very first WAL write) is ignored — sound because the
     WAL write precedes every state mutation of its round, so falling
     back to a freshly scheduled wave loses nothing."""
+    from ..driverfs import fs_for
+
     wp = _wal_path(path)
-    if not tables.table_exists(wp) or not os.path.exists(
-        os.path.join(wp, "_SUCCESS")
+    if not tables.table_exists(wp) or not fs_for(wp).exists(
+        wp.rstrip("/") + "/_SUCCESS"
     ):
         return None
     df = tables.read_table(spark, wp)
@@ -1177,10 +1209,13 @@ def crawl_rounds(
 
     start = last_committed_round(spark, path)
     for rnd in range(start + 1, start + 1 + rounds):
-        now = now_fn() if now_fn is not None else (
-            datetime.now(timezone.utc) if refetch_interval_s is not None
-            else None
-        )
+        # The clock is UNCONDITIONAL (ADVICE r11): Retry-After backoff
+        # (per-URL refetch_after on failed rows, the _hostquiet
+        # sidecar) is durable state a PREVIOUS run may have written —
+        # a clock-less run would hand pending_wave as_of=None and
+        # re-hammer servers whose quiet window is already recorded.
+        # now_fn stays the deterministic-test override.
+        now = now_fn() if now_fn is not None else datetime.now(timezone.utc)
         wal = _read_wal(spark, path)
         if wal is not None and wal[0] == rnd:
             # crash replay: the logged wave, exactly
@@ -1296,6 +1331,38 @@ def crawl_rounds(
                 raw_fetched = collapse_aliases(
                     nf.drop("_final", "final_url"), amap
                 )
+        bad_reps = None
+        if amap is not None and rules is not None:
+            # Robots gate for redirect TARGETS: the wave's verdict only
+            # covered the REQUESTED spellings, but a 3xx can land on a
+            # rep the rules disallow — folding it as fetched would push
+            # disallowed bytes and their links into the corpus and
+            # frontier (and resurrect a previously-denied row). Re-run
+            # the verdict over the rep side: disallowed reps join the
+            # denied frame (existing rows go/stay terminal 'denied';
+            # never-seen reps are simply not inserted) and their content
+            # rows — already rekeyed to rep by collapse_aliases — drop
+            # before extraction. The alias keys still go terminal.
+            rep_flags = robots_allowed(
+                amap.select(F.col("rep").alias("url")).distinct(),
+                rules,
+                agent,
+            )
+            bad_reps = (
+                rep_flags.filter(~F.col("robots_allowed"))
+                .select("url")
+                .localCheckpoint()
+            )
+            if bad_reps.isEmpty():
+                bad_reps.unpersist()
+                bad_reps = None
+            else:
+                denied = (
+                    bad_reps
+                    if denied is None
+                    else denied.unionByName(bad_reps).distinct()
+                )
+                raw_fetched = raw_fetched.join(bad_reps, "url", "left_anti")
         fetched = raw_fetched.select(
             "url", "html", *meta_cols
         ).localCheckpoint()
@@ -1350,6 +1417,8 @@ def crawl_rounds(
         drop = [wave, raw_fetched_ck, fetched, raw_links, links_ck]
         if amap is not None:
             drop.append(amap)
+        if bad_reps is not None:
+            drop.append(bad_reps)
         if rules is not None:
             drop.append(flagged)
         for df in drop:

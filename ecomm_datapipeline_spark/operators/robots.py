@@ -541,16 +541,31 @@ def _robots_targets(urls: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def _acquire_robots_bodies(targets: DataFrame, fetch_fn) -> DataFrame:
+def _acquire_robots_bodies(
+    targets: DataFrame, fetch_fn, keep_definitive_absent: bool = False
+) -> DataFrame:
     """(host, robots_txt) through the fetch seam — the §2.3.1.4 5xx
-    full-disallow synthesis lives here (see fetch_robots_rules)."""
+    full-disallow synthesis lives here (see fetch_robots_rules).
+
+    keep_definitive_absent (the cache path): under a status-emitting
+    seam, 4xx rows are KEPT as (host, NULL) — a definitive "no
+    robots.txt here" (§2.3.1.3: allow-all) a caller may negative-cache
+    — instead of being dropped into the omission bucket, which also
+    holds transport failures (timeout, DNS, refused) that must NOT be
+    cached as allow-all. Status-less seams cannot make the distinction,
+    so their omissions stay omissions either way."""
     raw = fetch_fn(targets.select("url"))
     if "status" in raw.columns:
         ok2 = (F.col("status") >= 200) & (F.col("status") < 300)
+        s4 = (F.col("status") >= 400) & (F.col("status") < 500)
         s5 = (F.col("status") >= 500) & (F.col("status") < 600)
-        raw = raw.filter(ok2 | s5).select(
+        keep = ok2 | s5
+        if keep_definitive_absent:
+            keep = keep | s4
+        raw = raw.filter(keep).select(
             "url",
             F.when(s5, F.lit("User-agent: *\nDisallow: /"))
+            .when(s4, F.lit(None).cast("string"))
             .otherwise(F.col("html"))
             .alias("html"),
         )
@@ -568,6 +583,7 @@ def cached_robots_rules(
     ttl_s: float = 24 * 3600,
     url_col: str = "url",
     now=None,
+    now_fn=None,
 ) -> DataFrame:
     """Rules for every authority in `urls`, served from a PERSISTENT
     robots-body cache and refreshed through the fetch seam only for
@@ -580,13 +596,26 @@ def cached_robots_rules(
     The cache stores BODIES, not parsed rules — (host, url,
     robots_txt, fetched_at) keyed by host — so the parse (one fold
     per body) always runs at the current parser and a parser fix
-    never needs a cache bust. Authorities the seam returned nothing
-    for (404 / unreachable under the omission contract) cache a NULL
-    body: "known absent, allow-all" is negative-cached for the same
-    TTL instead of being re-fetched every call; a 5xx under an
-    emit_http_errors seam caches the synthesized full-disallow body
-    (the §2.3.1.4 arm in _acquire_robots_bodies). One merge_table on
-    host per refresh; fresh calls cost one cache scan and zero
+    never needs a cache bust.
+
+    What gets cached (ADVICE r11): only authorities the seam ANSWERED.
+    A 2xx caches its body; a 5xx under an emit_http_errors seam caches
+    the synthesized full-disallow body (§2.3.1.4); a definitive 4xx
+    under that seam negative-caches a NULL body ("known absent,
+    allow-all", §2.3.1.3). Pure omissions — transport failures under a
+    status seam, or ANY miss under a status-less seam (which cannot
+    tell a 404 from a timeout) — are NOT cached: one DNS blip must not
+    read as allow-all for 24h. An unanswered authority whose old entry
+    has gone stale KEEPS that stale entry (§2.4 explicitly allows
+    using a cached robots.txt for longer when it cannot be refreshed)
+    and is retried on the next call; an unanswered authority with no
+    history parses as no-rules (allow-all) for THIS call only.
+
+    Each refresh also sweeps expired rows: beyond-TTL entries not
+    refreshed and not protected by the unreachable-keep above are
+    dropped, so the cache stays O(recently seen hosts) over a
+    months-long crawl instead of growing monotonically. One staged
+    rewrite per refresh; all-fresh calls cost one cache scan and zero
     fetches. Returns the parsed rules for exactly the requested
     authorities."""
     from datetime import datetime, timezone
@@ -594,7 +623,7 @@ def cached_robots_rules(
     from ..sources import tables
 
     if now is None:
-        now = datetime.now(timezone.utc)
+        now = now_fn() if now_fn is not None else datetime.now(timezone.utc)
     needed = _robots_targets(urls, url_col).localCheckpoint()
     try:
         have = (
@@ -617,21 +646,53 @@ def cached_robots_rules(
             # all-fresh calls never touch the seam at all
             if not stale.isEmpty():
                 refreshed = stale.join(
-                    _acquire_robots_bodies(stale, fetch_fn), "host", "left"
+                    _acquire_robots_bodies(
+                        stale, fetch_fn, keep_definitive_absent=True
+                    ),
+                    "host",
+                    "inner",  # answered authorities only — see above
                 ).select(
                     "host",
                     "url",
-                    # NULL when the seam omitted: negative cache
                     "robots_txt",
                     F.lit(now).cast("timestamp").alias("fetched_at"),
                 ).localCheckpoint()
                 try:
-                    tables.merge_table(refreshed, cache_path, keys=["host"])
+                    if not refreshed.isEmpty():
+                        # upsert + expiry sweep in ONE staged rewrite:
+                        # keep fresh rows and stale-but-unanswered
+                        # requested rows (§2.4 unreachable-keep), drop
+                        # the rest of the expired tail
+                        rehosts = refreshed.select("host")
+                        not_ref = have.join(rehosts, "host", "left_anti")
+                        unanswered = stale.select("host").join(
+                            rehosts, "host", "left_anti"
+                        )
+                        kept = not_ref.filter(
+                            F.col("fetched_at") > cutoff
+                        ).unionByName(
+                            not_ref.filter(
+                                F.col("fetched_at") <= cutoff
+                            ).join(unanswered, "host", "left_semi")
+                        )
+                        final = (
+                            kept.unionByName(refreshed)
+                            .coalesce(1)
+                            .localCheckpoint()
+                        )
+                        try:
+                            tables.staged_overwrite(final, cache_path)
+                        finally:
+                            final.unpersist()
                 finally:
                     refreshed.unpersist()
         finally:
             stale.unpersist()
-        cache = tables.read_table(spark, cache_path)
+        cache = (
+            tables.read_table(spark, cache_path)
+            if tables.table_exists(cache_path)
+            else have
+        )
         return robots_rules(
             cache.join(needed.select("host"), "host", "left_semi").filter(
                 F.col("robots_txt").isNotNull()

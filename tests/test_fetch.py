@@ -1036,3 +1036,93 @@ def test_emit_http_errors_rows_carry_status(spark, server):
     assert got[f"{base}/ok"][0] == 200
     assert got[f"{base}/missing"] == (404, None)
     assert "http://127.0.0.1:1/unreachable" not in got
+
+
+def test_deflate_negotiated_both_wrappings(spark, enc_server):
+    """`deflate` responses decode under the same cap — both the RFC
+    9110 zlib-wrapped form and the bare-deflate form the interop-buggy
+    tail of servers sends; the request advertises deflate."""
+    import zlib
+
+    body = "<p>deflated beta</p>"
+    zl = zlib.compress(body.encode())  # RFC 1950 wrapping
+    raw = zlib.compressobj(wbits=-15)
+    bare = raw.compress(body.encode()) + raw.flush()  # RFC 1951 bare
+    base, seen_ae = enc_server(
+        {
+            "/zl": (zl, {"Content-Encoding": "deflate"}),
+            "/bare": (bare, {"Content-Encoding": "deflate"}),
+        }
+    )
+    fetch = fetch_mod.http_fetcher(timeout_s=5)
+    got = {
+        r["url"]: r["html"]
+        for r in fetch(_wave(spark, [f"{base}/zl", f"{base}/bare"])).collect()
+    }
+    assert got[f"{base}/zl"] == body
+    assert got[f"{base}/bare"] == body
+    assert "deflate" in (seen_ae["/zl"] or "")
+
+
+def test_deflate_bomb_and_corrupt_omitted(spark, enc_server):
+    import zlib
+
+    bomb = zlib.compress(b"A" * (4 * 1024 * 1024))
+    base, _ = enc_server(
+        {
+            "/bomb": (bomb, {"Content-Encoding": "deflate"}),
+            "/lie": (b"not deflate data", {"Content-Encoding": "deflate"}),
+            "/ok": (b"<p>fine</p>", {}),
+        }
+    )
+    fetch = fetch_mod.http_fetcher(timeout_s=5, max_bytes=1024 * 1024)
+    got = {
+        r["url"]: r["html"]
+        for r in fetch(
+            _wave(spark, [f"{base}/bomb", f"{base}/lie", f"{base}/ok"])
+        ).collect()
+    }
+    assert set(got) == {f"{base}/ok"}
+
+
+def test_unsupported_encoding_is_counted_loss_not_silence(
+    spark, enc_server
+):
+    """A br response under emit_http_errors surfaces as a COUNTED
+    error row — NULL status (so no caller's 2xx test reads it as a
+    success) and omit_reason naming the encoding — instead of
+    silently vanishing from the corpus; without emit_http_errors the
+    pure-omission contract holds."""
+    base, _ = enc_server(
+        {
+            "/br": (b"\x00\x01\x02\x03", {"Content-Encoding": "br"}),
+            "/ok": (b"<p>fine</p>", {}),
+        }
+    )
+    fetch = fetch_mod.http_fetcher(timeout_s=5, emit_http_errors=True)
+    rows = {
+        r["url"]: r
+        for r in fetch(_wave(spark, [f"{base}/br", f"{base}/ok"])).collect()
+    }
+    br = rows[f"{base}/br"]
+    assert br["status"] is None and br["html"] is None
+    assert br["omit_reason"] == "unsupported-encoding: br"
+    assert rows[f"{base}/ok"]["status"] == 200
+    # and through crawl_rounds the br row is a FAILURE, never fetched
+    path = str(_tmp_frontier_dir())
+    frontier_store.init_frontier(
+        spark.createDataFrame([(f"{base}/br",)], "url string"), path
+    )
+    frontier_store.crawl_rounds(spark, path, fetch, rounds=1, max_tries=3)
+    r = tables.read_table(spark, path).first()
+    assert (r["status"], r["tries"]) == ("failed", 1)
+    # status-less contract: plain omission, no error row
+    fetch_plain = fetch_mod.http_fetcher(timeout_s=5)
+    urls = {r["url"] for r in fetch_plain(_wave(spark, [f"{base}/br"])).collect()}
+    assert urls == set()
+
+
+def _tmp_frontier_dir():
+    import tempfile
+
+    return tempfile.mkdtemp(prefix="frontier_br_")

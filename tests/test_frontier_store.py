@@ -991,3 +991,183 @@ def test_backoff_window_never_becomes_the_recrawl_interval(
     r = row()
     assert r["status"] == "fetched"
     assert (r["refetch_after"] - r["fetched_at"]).total_seconds() == 200.0
+
+
+# --- cross-round denial invariants ---
+
+
+def test_redirect_cannot_resurrect_earlier_round_denial(spark, tmp_path):
+    """A URL denied in round 1 must STAY terminal-denied when a later
+    round's redirect lands on it: no try spent, no refetch window, and
+    the denied page's links never enter the frontier."""
+    from ecomm_datapipeline_spark.operators import robots as R
+
+    path = str(tmp_path / "redirden2")
+    seeds = spark.createDataFrame(
+        [("http://a.example/old",), ("http://a.example/new",)],
+        "url string",
+    )
+    frontier_store.init_frontier(seeds, path)
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /new")],
+            "host string, robots_txt string",
+        )
+    )
+    calls = []
+    # wave of 1: round 1 schedules /new (url-ordered) -> denied with
+    # no request; round 2 fetches /old, which redirects onto /new
+    frontier_store.crawl_rounds(
+        spark, path, _redir_fetcher(spark, calls), rounds=10,
+        rules=rules, per_host_per_wave=1,
+    )
+    got = _state(spark, path)
+    assert got["http://a.example/new"][:2] == ("denied", 0)
+    assert got["http://a.example/old"][0] == "aliased"
+    # the denied rep's content never reached extraction: its link
+    # target p1 is nowhere in the frontier
+    assert "http://a.example/p1" not in got
+    # /new was never requested on the wire
+    assert not any("http://a.example/new" in c for c in calls)
+
+
+def test_redirect_onto_never_seen_disallowed_rep(spark, tmp_path):
+    """A redirect landing on a URL the frontier has never seen but the
+    rules disallow must not insert it as 'fetched' nor extract its
+    links — the rep side gets its own robots verdict."""
+    from ecomm_datapipeline_spark.operators import robots as R
+
+    path = str(tmp_path / "redirden3")
+    frontier_store.init_frontier(
+        spark.createDataFrame([("http://a.example/old",)], "url string"),
+        path,
+    )
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("a.example", "User-agent: *\nDisallow: /new")],
+            "host string, robots_txt string",
+        )
+    )
+    calls = []
+    frontier_store.crawl_rounds(
+        spark, path, _redir_fetcher(spark, calls), rounds=10, rules=rules
+    )
+    got = _state(spark, path)
+    assert got["http://a.example/old"][0] == "aliased"
+    assert got.get("http://a.example/new", ("absent",))[0] != "fetched"
+    assert "http://a.example/p1" not in got
+
+
+def test_commit_round_denied_is_frozen_across_rounds(spark, tmp_path):
+    """commit_round backstop (no rules in sight): a state row denied
+    in an EARLIER round never transitions through the attempted or
+    alias-rep arms — status/tries/refetch stay frozen. The same-round
+    den anti-join cannot cover this; the frozen guard must."""
+    path = str(tmp_path / "frozen")
+    url = "http://a.example/x"
+    frontier_store.init_frontier(
+        spark.createDataFrame([(url,)], "url string"), path
+    )
+    w = spark.createDataFrame([(url,)], "url string")
+    frontier_store.commit_round(
+        spark, path, 1, attempted=w, fetched_ok=w.limit(0), denied=w
+    )
+    assert _state(spark, path)[url] == ("denied", 0, 1)
+    # round 2: the denied url arrives as a redirect REP with a
+    # "successful" fetch row — must not flip to fetched
+    amap = spark.createDataFrame(
+        [("http://a.example/y", url)], "url string, rep string"
+    )
+    frontier_store.commit_round(
+        spark, path, 2, attempted=w.limit(0), fetched_ok=w, aliased=amap
+    )
+    r = {
+        row["url"]: row
+        for row in tables.read_table(spark, path).collect()
+    }[url]
+    assert (r["status"], r["tries"]) == ("denied", 0)
+    assert r["refetch_after"] is None and r["fetched_at"] is None
+    # round 3: attempted directly (a caller scheduling it by mistake)
+    frontier_store.commit_round(spark, path, 3, attempted=w, fetched_ok=w)
+    assert _state(spark, path)[url][:2] == ("denied", 0)
+
+
+def test_hostquiet_sidecar_purges_expired_rows(spark, tmp_path):
+    """The host-quiet sidecar drops rows whose not_before passed the
+    round clock: the gate works while quiet, the host is re-eligible
+    after, and a later clocked commit sweeps the dead row so the
+    sidecar stays O(currently quiet hosts)."""
+    from datetime import datetime, timedelta, timezone
+
+    path = str(tmp_path / "hq")
+    url = "http://a.example/p"
+    frontier_store.init_frontier(
+        spark.createDataFrame([(url,)], "url string"), path
+    )
+    w = spark.createDataFrame([(url,)], "url string")
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    hb = spark.createDataFrame(
+        [("a.example", t0 + timedelta(seconds=100))],
+        "host string, not_before timestamp",
+    )
+    frontier_store.commit_round(
+        spark, path, 1, attempted=w, fetched_ok=w.limit(0),
+        fetched_at=t0, host_backoff=hb,
+    )
+    hqp = frontier_store._hostquiet_path(path)
+    assert tables.table_exists(hqp)
+    # quiet gate active before expiry; eligible again after
+    assert frontier_store.pending_wave(
+        spark, path, 100, as_of=t0 + timedelta(seconds=50)
+    ).isEmpty()
+    assert not frontier_store.pending_wave(
+        spark, path, 100, as_of=t0 + timedelta(seconds=150)
+    ).isEmpty()
+    # a later clocked commit (no new backoff) sweeps the expired row
+    frontier_store.commit_round(
+        spark, path, 2, attempted=w, fetched_ok=w.limit(0),
+        fetched_at=t0 + timedelta(seconds=200),
+    )
+    assert tables.read_table(spark, hqp).isEmpty()
+
+
+def test_hostquiet_purge_keeps_unexpired_rows(spark, tmp_path):
+    """The sweep is selective: a commit that quiets host B while host
+    A's window is still open keeps A's row and the union-max answer."""
+    from datetime import datetime, timedelta, timezone
+
+    path = str(tmp_path / "hq2")
+    frontier_store.init_frontier(
+        spark.createDataFrame(
+            [("http://a.example/p",), ("http://b.example/q",)],
+            "url string",
+        ),
+        path,
+    )
+    w = spark.createDataFrame([("http://a.example/p",)], "url string")
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    frontier_store.commit_round(
+        spark, path, 1, attempted=w, fetched_ok=w.limit(0), fetched_at=t0,
+        host_backoff=spark.createDataFrame(
+            [("a.example", t0 + timedelta(seconds=1000))],
+            "host string, not_before timestamp",
+        ),
+    )
+    frontier_store.commit_round(
+        spark, path, 2, attempted=w.limit(0), fetched_ok=w.limit(0),
+        fetched_at=t0 + timedelta(seconds=10),
+        host_backoff=spark.createDataFrame(
+            [("b.example", t0 + timedelta(seconds=500))],
+            "host string, not_before timestamp",
+        ),
+    )
+    hq = {
+        r["host"]: r["not_before"].replace(tzinfo=timezone.utc)
+        for r in tables.read_table(
+            spark, frontier_store._hostquiet_path(path)
+        ).collect()
+    }
+    assert hq == {
+        "a.example": t0 + timedelta(seconds=1000),
+        "b.example": t0 + timedelta(seconds=500),
+    }

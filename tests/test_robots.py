@@ -398,17 +398,19 @@ def _counting_robots_fetcher(spark, bodies, calls):
     return fetch
 
 
-def test_cached_robots_rules_ttl_and_negative_cache(spark, tmp_path):
-    """First call fetches and persists bodies; a within-TTL call costs
-    ZERO seam traffic (including for authorities that 404ed — negative
-    cache); past the TTL the authority refetches and a changed body
-    takes effect."""
+def test_cached_robots_rules_ttl_and_omission_retry(spark, tmp_path):
+    """First call fetches and persists the bodies the seam ANSWERED; a
+    within-TTL call costs seam traffic only for the authority that
+    never answered (a status-less seam cannot tell a 404 from a
+    transport failure, so omissions are retried, never negative-cached
+    as allow-all); past the TTL everything refetches and a changed
+    body takes effect."""
     from datetime import datetime, timedelta, timezone
 
     cache = str(tmp_path / "robots_cache")
     bodies = {
         "https://a.example/robots.txt": "User-agent: *\nDisallow: /priv",
-        # b.example missing: 404 / omission
+        # b.example missing: omission (404 or a DNS blip — unknowable)
     }
     calls = []
     fetch = _counting_robots_fetcher(spark, bodies, calls)
@@ -428,8 +430,7 @@ def test_cached_robots_rules_ttl_and_negative_cache(spark, tmp_path):
             "https://b.example/robots.txt",
         ]
     ]
-    # within TTL: same answer, NO seam traffic at all (b.example's
-    # miss is negative-cached too)
+    # within TTL: a serves from cache; the OMITTED b retries (only b)
     rules = R.cached_robots_rules(
         spark, urls, fetch, cache, ttl_s=3600,
         now=t0 + timedelta(seconds=1800),
@@ -437,19 +438,157 @@ def test_cached_robots_rules_ttl_and_negative_cache(spark, tmp_path):
     assert {(r["host"], r["path"]) for r in rules.collect()} == {
         ("a.example", "/priv")
     }
-    assert len(calls) == 1
-    # past TTL: refetch; the changed body takes effect
-    bodies["https://a.example/robots.txt"] = "User-agent: *\nDisallow: /new"
+    assert calls[-1] == ["https://b.example/robots.txt"]
+    assert len(calls) == 2
+    # b comes back up: the retry lands the body and caches it
     bodies["https://b.example/robots.txt"] = "User-agent: *\nDisallow: /b"
     rules = R.cached_robots_rules(
         spark, urls, fetch, cache, ttl_s=3600,
-        now=t0 + timedelta(seconds=7200),
+        now=t0 + timedelta(seconds=1900),
+    )
+    assert {(r["host"], r["path"]) for r in rules.collect()} == {
+        ("a.example", "/priv"),
+        ("b.example", "/b"),
+    }
+    assert len(calls) == 3
+    # now everything is cached: zero traffic
+    R.cached_robots_rules(
+        spark, urls, fetch, cache, ttl_s=3600,
+        now=t0 + timedelta(seconds=2000),
+    )
+    assert len(calls) == 3
+    # past both TTLs: refetch; the changed bodies take effect
+    bodies["https://a.example/robots.txt"] = "User-agent: *\nDisallow: /new"
+    rules = R.cached_robots_rules(
+        spark, urls, fetch, cache, ttl_s=3600,
+        now=t0 + timedelta(seconds=9000),
     )
     assert {(r["host"], r["path"]) for r in rules.collect()} == {
         ("a.example", "/new"),
         ("b.example", "/b"),
     }
+    assert len(calls) == 4
+
+
+def test_cached_robots_rules_404_negative_cached_transport_not(
+    spark, tmp_path
+):
+    """Under a status-emitting seam, a definitive 404 IS negative-
+    cached (allow-all, zero traffic within the TTL) while a transport
+    failure — a row the seam omits entirely even though it emits
+    statuses — is NOT cached and retries next call."""
+    from datetime import datetime, timedelta, timezone
+
+    cache = str(tmp_path / "robots_cache")
+    calls = []
+
+    def fetch(targets):
+        urls = sorted(r["url"] for r in targets.collect())
+        calls.append(urls)
+        rows = [
+            (u, None, 404) for u in urls if u.startswith("https://four.")
+        ]  # down.example: omitted (timeout / DNS / refused)
+        return spark.createDataFrame(
+            rows, "url string, html string, status int"
+        )
+
+    urls = spark.createDataFrame(
+        [("https://four.example/x",), ("https://down.example/y",)],
+        "url string",
+    )
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    rules = R.cached_robots_rules(
+        spark, urls, fetch, cache, ttl_s=3600, now=t0
+    )
+    assert rules.isEmpty()  # both allow-all this call
+    assert len(calls) == 1 and len(calls[0]) == 2
+    # within TTL: the 404 is negative-cached; only the transport
+    # failure retries
+    R.cached_robots_rules(
+        spark, urls, fetch, cache, ttl_s=3600,
+        now=t0 + timedelta(seconds=60),
+    )
+    assert calls[-1] == ["https://down.example/robots.txt"]
+
+
+def test_cached_robots_rules_keeps_stale_body_when_unreachable(
+    spark, tmp_path
+):
+    """An authority that cannot be refreshed keeps serving its STALE
+    cached rules (RFC 9309 §2.4 allows extended cache use while
+    robots.txt is unreachable) instead of snapping to allow-all — and
+    the stale row survives the expiry sweep a different authority's
+    refresh triggers."""
+    from datetime import datetime, timedelta, timezone
+
+    cache = str(tmp_path / "robots_cache")
+    bodies = {
+        "https://a.example/robots.txt": "User-agent: *\nDisallow: /priv",
+    }
+    calls = []
+    fetch = _counting_robots_fetcher(spark, bodies, calls)
+    a = spark.createDataFrame([("https://a.example/x",)], "url string")
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    R.cached_robots_rules(spark, a, fetch, cache, ttl_s=3600, now=t0)
+    del bodies["https://a.example/robots.txt"]  # server goes dark
+    # past the TTL: refresh attempted, nothing answers -> stale body
+    # still governs
+    rules = R.cached_robots_rules(
+        spark, a, fetch, cache, ttl_s=3600,
+        now=t0 + timedelta(seconds=7200),
+    )
+    assert {(r["host"], r["path"]) for r in rules.collect()} == {
+        ("a.example", "/priv")
+    }
     assert len(calls) == 2
+    # a NEW authority answering forces a cache rewrite; the
+    # unreachable a's stale row must survive the sweep
+    bodies["https://c.example/robots.txt"] = "User-agent: *\nDisallow: /c"
+    both = spark.createDataFrame(
+        [("https://a.example/x",), ("https://c.example/z",)], "url string"
+    )
+    rules = R.cached_robots_rules(
+        spark, both, fetch, cache, ttl_s=3600,
+        now=t0 + timedelta(seconds=7300),
+    )
+    assert {(r["host"], r["path"]) for r in rules.collect()} == {
+        ("a.example", "/priv"),
+        ("c.example", "/c"),
+    }
+
+
+def test_cached_robots_rules_sweeps_expired_unrequested_rows(
+    spark, tmp_path
+):
+    """Rows for authorities that STOPPED being requested are dropped
+    once beyond the TTL at the next refresh — the cache stays
+    O(recently seen hosts) over a long crawl instead of growing
+    monotonically."""
+    from datetime import datetime, timedelta, timezone
+
+    from ecomm_datapipeline_spark.sources import tables
+
+    cache = str(tmp_path / "robots_cache")
+    bodies = {
+        "https://a.example/robots.txt": "User-agent: *\nDisallow: /a",
+        "https://b.example/robots.txt": "User-agent: *\nDisallow: /b",
+    }
+    calls = []
+    fetch = _counting_robots_fetcher(spark, bodies, calls)
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    R.cached_robots_rules(
+        spark,
+        spark.createDataFrame([("https://a.example/x",)], "url string"),
+        fetch, cache, ttl_s=3600, now=t0,
+    )
+    # much later, only b is requested: the refresh sweeps a's row out
+    R.cached_robots_rules(
+        spark,
+        spark.createDataFrame([("https://b.example/y",)], "url string"),
+        fetch, cache, ttl_s=3600, now=t0 + timedelta(seconds=7200),
+    )
+    hosts = {r["host"] for r in tables.read_table(spark, cache).collect()}
+    assert hosts == {"b.example"}
 
 
 def test_cached_robots_rules_partial_refresh_and_scope(spark, tmp_path):
