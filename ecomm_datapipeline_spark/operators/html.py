@@ -251,11 +251,18 @@ def extract_documents(
 # href extraction: double-quoted, single-quoted, or bare attribute
 # values; group 1/2/3 carries the URL. Case-insensitive, inside <a>
 # tags only. Stays in the Java ∩ RE2 subset (no backreferences).
-_HREF_PATTERNS = (
-    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"",
-    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*'([^']*)'",
-    "(?is)<a\\b[^>]*?\\bhref\\s*=\\s*([^\\s\"'>]+)",
-)
+def tag_attr_patterns(tag: str, attr: str) -> tuple[str, str, str]:
+    """The quoting ladder (double-quoted, single-quoted, bare) for one
+    (tag, attr) pair — the generic form of _HREF_PATTERNS, used by the
+    WAT exporter for IMG@/src, SCRIPT@/src, LINK@/href link kinds."""
+    return (
+        f"(?is)<{tag}\\b[^>]*?\\b{attr}\\s*=\\s*\"([^\"]*)\"",
+        f"(?is)<{tag}\\b[^>]*?\\b{attr}\\s*=\\s*'([^']*)'",
+        f"(?is)<{tag}\\b[^>]*?\\b{attr}\\s*=\\s*([^\\s\"'>]+)",
+    )
+
+
+_HREF_PATTERNS = tag_attr_patterns("a", "href")
 
 
 _BASE_PATTERNS = (

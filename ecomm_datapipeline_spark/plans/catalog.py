@@ -4138,8 +4138,8 @@ def _gopher_c4_sql() -> str:
         ELSE NULL
       END AS canonical_url,
       CASE CAST(doc_id % 2 AS INT)
-        WHEN 0 THEN '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://w.example/a"},"Payload-Metadata":{"HTML-Metadata":{"Head":{"Title":"T & U"},"Links":[{"url":"https://w.example/b"}],"Anchors":[{"url":"https://w.example/b","text":"B !"}]}}}}'
-        ELSE '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://w.example/c/"},"Payload-Metadata":{"HTML-Metadata":{"Head":{},"Links":[{"url":"https://w.example/d"}],"Anchors":[{"url":"https://w.example/d","text":"D"}]}}}}'
+        WHEN 0 THEN '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://w.example/a"},"Payload-Metadata":{"HTML-Metadata":{"Head":{"Title":"T & U"},"Links":[{"path":"A@/href","url":"https://w.example/b"}],"Anchors":[{"url":"https://w.example/b","text":"B !"}]}}}}'
+        ELSE '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"https://w.example/c/"},"Payload-Metadata":{"HTML-Metadata":{"Head":{},"Links":[{"path":"A@/href","url":"https://w.example/d"}],"Anchors":[{"url":"https://w.example/d","text":"D"}]}}}}'
       END AS wat_payload,
       """
     + _html_sig_sql()

@@ -88,6 +88,13 @@ WARC_SCHEMA = T.StructType(
         # ranged re-reads from
         T.StructField("record_offset", T.LongType()),
         T.StructField("record_length", T.LongType()),
+        # X-Doc-Id extension header (appended last, same positional
+        # contract as refers_to): this repo's WET/WAT writers carry the
+        # source row's RAW doc id here, because WARC 1.0 requires
+        # WARC-Refers-To to be a bracketed URI naming another record —
+        # the raw id string was never a valid value for it. Unknown
+        # extension fields are ignored by spec-conforming tools.
+        T.StructField("x_doc_id", T.StringType()),
     ]
 )
 
@@ -282,6 +289,7 @@ def parse_warc_stream(
             headers.get("warc-payload-digest", ""),
             offset,
             length,
+            headers.get("x-doc-id", ""),
         )
 
 
@@ -367,7 +375,7 @@ def records_from_files(
         return (
             name, ERROR_TYPE, name, "", "",
             None, None, f"{type(exc).__name__}: {exc}", "", "",
-            None, None,
+            None, None, "",
         )
 
     def decode(batches: Iterator) -> Iterator:

@@ -15,18 +15,22 @@ to_json — the writer task never parses anything):
        "WARC-Header-Metadata": {"WARC-Target-URI": url},
        "Payload-Metadata": {"HTML-Metadata": {
           "Head": {"Title": title},
-          "Links":   [{"url": resolved_absolute_url}, ...],
+          "Links":   [{"path": "A@/href", "url": resolved_url}, ...],
           "Anchors": [{"url": resolved_href, "text": anchor}, ...]}}}}
 
 following Common Crawl's Envelope/Payload-Metadata/HTML-Metadata
-nesting (commoncrawl.org's WAT description). Divergence, documented:
-Common Crawl merges every link kind (<a>, <link>, scripts, imgs)
-into one Links array with a `path` discriminator; here `Links` is
-exactly html.extract_links_col's output (<a href> targets, RFC
-3986-resolved against the page URL — the frame link_edges consumes,
-so graph parity holds BY CONSTRUCTION) and `Anchors` carries the
-(href, text) pairs from html.anchor_pairs_col for anchor-text
-consumers.
+nesting (commoncrawl.org's WAT description), including CC's merged
+Links array: every link KIND in one array with the `path`
+discriminator — "A@/href" (anchors), "IMG@/src", "SCRIPT@/src",
+"LINK@/href" — so CC-shaped consumers see script/img/stylesheet
+references, not just anchors. The A@/href subset is exactly
+html.extract_links_col's output (RFC 3986-resolved against the page
+URL — the frame link_edges consumes, so graph parity holds BY
+CONSTRUCTION; read_wat's `links` column and wat_link_edges filter to
+it). `Anchors` carries the (href, text) pairs from
+html.anchor_pairs_col for anchor-text consumers. Remaining documented
+divergence: urls here are RFC 3986-RESOLVED absolutes (CC keeps raw
+attribute values), and only the four kinds above are extracted.
 
 Determinism and scale contract = sources/wet.py verbatim (shared
 helpers): metadata derivation is pure Column expressions fused into
@@ -50,6 +54,7 @@ from ..operators.sharding import ORDER_COL, SHARD_COL, assign_shards
 from .wet import (
     WET_MANIFEST_SCHEMA as WAT_MANIFEST_SCHEMA,
     _gzip_member,
+    _header_value,
     _record_bytes,
     _uuid_urn,
 )
@@ -94,9 +99,13 @@ WAT_PAYLOAD_SCHEMA = T.StructType(
                                                     T.StructType(
                                                         [
                                                             T.StructField(
+                                                                "path",
+                                                                T.StringType(),
+                                                            ),
+                                                            T.StructField(
                                                                 "url",
                                                                 T.StringType(),
-                                                            )
+                                                            ),
                                                         ]
                                                     )
                                                 ),
@@ -145,16 +154,16 @@ def title_col(html) -> "F.Column":
 
 
 def wat_payload_col(html_col="html", url_col="url"):
-    """The record's JSON payload as ONE Column expression: link
-    extraction (RFC 3986-resolved against the page URL), anchor
-    pairs, and the title, nested per the module docstring and
-    serialized with to_json. Pure expressions fused into the source
-    scan — the writer ships finished strings. Accepts column names or
-    Column expressions."""
+    """The record's JSON payload as ONE Column expression: the merged
+    link array (per-kind `path` discriminator, RFC 3986-resolved
+    against the page URL), anchor pairs, and the title, nested per
+    the module docstring and serialized with to_json. Pure
+    expressions fused into the source scan — the writer ships
+    finished strings. Accepts column names or Column expressions."""
     from ..operators.html import (
         _map_with_effective_base,
         anchor_pairs_col,
-        extract_links_col,
+        tag_attr_patterns,
     )
     from ..operators.urls import resolve_url_col
 
@@ -164,10 +173,45 @@ def wat_payload_col(html_col="html", url_col="url"):
     hc = F.col(html_col) if isinstance(html_col, str) else html_col
     uc = F.col(url_col) if isinstance(url_col, str) else url_col
     c = F.coalesce(hc, F.lit(""))
-    links = F.transform(
-        extract_links_col(c, base=uc), lambda u: F.struct(
-            u.alias("url")
+
+    # CC's link kinds, each extracted by the same quoting ladder the
+    # anchor extractor uses; the A@/href arm IS extract_links_col's
+    # extraction (identical patterns), so the anchor subset of Links
+    # stays bit-equal to the frame link_edges derives — the graph
+    # round-trip pin. All kinds concat into ONE raw array and resolve
+    # through ONE effective-base binding (the _map_with_effective_base
+    # discipline — per-kind bindings would multiply the resolver tree).
+    def kind(tag, attr, label):
+        hrefs = F.concat(
+            *[
+                F.regexp_extract_all(c, F.lit(p), 1)
+                for p in tag_attr_patterns(tag, attr)
+            ]
         )
+        return F.transform(
+            hrefs,
+            lambda u: F.struct(
+                F.lit(label).alias("path"), u.alias("url")
+            ),
+        )
+
+    raw_links = F.concat(
+        kind("a", "href", "A@/href"),
+        kind("img", "src", "IMG@/src"),
+        kind("script", "src", "SCRIPT@/src"),
+        kind("link", "href", "LINK@/href"),
+    )
+    links = F.filter(
+        _map_with_effective_base(
+            c,
+            uc,
+            raw_links,
+            lambda ebv, s: F.struct(
+                s["path"].alias("path"),
+                resolve_url_col(ebv, s["url"]).alias("url"),
+            ),
+        ),
+        lambda s: s["url"].rlike("(?i)^https?://"),
     )
     anchors = _map_with_effective_base(
         c,
@@ -297,12 +341,20 @@ def write_wat_shards(
                         "WARC-Record-ID",
                         _uuid_urn("metadata", str(shard), doc_id),
                     ),
-                    ("WARC-Refers-To", doc_id),
+                    # WARC 1.0 requires Refers-To to be a bracketed
+                    # URI naming the capture record — a deterministic
+                    # URN of the doc id (the same one write_wet_shards
+                    # emits, so WET and WAT rows for one capture agree);
+                    # the raw id rides the X-Doc-Id extension header
+                    ("WARC-Refers-To", _uuid_urn("capture", doc_id)),
+                    ("X-Doc-Id", _header_value(doc_id)),
                     ("WARC-Date", warc_date),
                 ]
                 url = urls.iat[i]
                 if url is not None:
-                    headers.append(("WARC-Target-URI", str(url)))
+                    headers.append(
+                        ("WARC-Target-URI", _header_value(str(url)))
+                    )
                 headers += [
                     ("Content-Type", "application/json"),
                     ("Content-Length", str(len(payload))),
@@ -326,9 +378,15 @@ def write_wat_shards(
 
 def read_wat(spark: SparkSession, path: str) -> DataFrame:
     """Ingest WAT files (this writer's output): metadata records ->
-    (doc_id, url, title, links array<string>, anchors
-    array<struct<url,text>>). doc_id prefers WARC-Refers-To (the
-    captured record's id, stable across re-exports), url prefers the
+    (doc_id, url, title, links array<string>, link_entries
+    array<struct<path,url>>, anchors array<struct<url,text>>).
+    doc_id prefers the X-Doc-Id extension header (the source row's
+    raw id — WARC-Refers-To is a bracketed URN per WARC 1.0, not the
+    id itself), falling back to refers_to for pre-URN files, then the
+    record's own id. `links` is the ANCHOR subset (path "A@/href") —
+    the html.extract_links_col twin wat_link_edges consumes for graph
+    parity; `link_entries` is CC's full merged array with the path
+    discriminator (IMG/SCRIPT/LINK kinds included). url prefers the
     WARC header and falls back to the envelope. Same plan shape as
     read_warc + a filter + one from_json projection: file-level
     parallelism, paths-only exchange, streamed decode — no HTML ever
@@ -338,16 +396,29 @@ def read_wat(spark: SparkSession, path: str) -> DataFrame:
     records = read_warc(spark, path)
     meta = F.from_json(F.col("payload"), WAT_PAYLOAD_SCHEMA)["Envelope"]
     html_meta = meta["Payload-Metadata"]["HTML-Metadata"]
+    entries = html_meta["Links"]
+    # pre-path files (every entry's path NULL) read as all-anchors —
+    # their Links were anchors-only by construction
+    anchor_urls = F.transform(
+        F.filter(
+            entries,
+            lambda s: s["path"].isNull() | (s["path"] == "A@/href"),
+        ),
+        lambda s: s["url"],
+    )
     return records.filter(F.col("warc_type") == "metadata").select(
         F.coalesce(
-            F.nullif(F.col("refers_to"), F.lit("")), F.col("record_id")
+            F.nullif(F.col("x_doc_id"), F.lit("")),
+            F.nullif(F.col("refers_to"), F.lit("")),
+            F.col("record_id"),
         ).alias("doc_id"),
         F.coalesce(
             F.nullif(F.col("target_uri"), F.lit("")),
             meta["WARC-Header-Metadata"]["WARC-Target-URI"],
         ).alias("url"),
         html_meta["Head"]["Title"].alias("title"),
-        F.transform(html_meta["Links"], lambda s: s["url"]).alias("links"),
+        anchor_urls.alias("links"),
+        entries.alias("link_entries"),
         html_meta["Anchors"].alias("anchors"),
     )
 

@@ -7,7 +7,9 @@ ingest.
 
 Layout per shard: one `warcinfo` record describing the export, then
 one `conversion` record per document — WARC-Target-URI from the url
-column (when present), WARC-Refers-To from the source record id,
+column (when present), WARC-Refers-To a bracketed URN derived from
+the source record id (WARC 1.0 requires a URI there; the RAW id
+rides the X-Doc-Id extension header, which read_wet prefers back),
 Content-Type text/plain, utf-8 payload.
 
 Determinism contract (the webdataset-writer model):
@@ -67,6 +69,17 @@ def _uuid_urn(*parts: str) -> str:
 
     h = hashlib.md5("\x00".join(parts).encode()).digest()
     return f"<urn:uuid:{uuid.UUID(bytes=h, version=3)}>"
+
+
+def _header_value(s: str) -> str:
+    """Sanitize a dynamic string (doc id, URL) before it becomes a
+    WARC header value: CR/LF or other control bytes inside a value
+    would terminate the header line early and corrupt record framing
+    for every downstream reader. Control chars collapse to a space,
+    matching what any header-folding normalization would do."""
+    import re
+
+    return re.sub(r"[\x00-\x1f\x7f]+", " ", s).strip()
 
 
 def _record_bytes(headers: list[tuple[str, str]], payload: bytes) -> bytes:
@@ -178,12 +191,17 @@ def write_wet_shards(
                 headers = [
                     ("WARC-Type", "conversion"),
                     ("WARC-Record-ID", _uuid_urn("conversion", str(shard), doc_id)),
-                    ("WARC-Refers-To", doc_id),
+                    # WARC 1.0 requires Refers-To to be a bracketed URI
+                    # naming the source record — a deterministic URN of
+                    # the doc id; the raw id rides the X-Doc-Id
+                    # extension header (read_wet prefers it back)
+                    ("WARC-Refers-To", _uuid_urn("capture", doc_id)),
+                    ("X-Doc-Id", _header_value(doc_id)),
                     ("WARC-Date", warc_date),
                 ]
                 url = urls.iat[i]
                 if url is not None:
-                    headers.append(("WARC-Target-URI", str(url)))
+                    headers.append(("WARC-Target-URI", _header_value(str(url))))
                 headers += [
                     ("Content-Type", "text/plain"),
                     ("Content-Length", str(len(payload))),
@@ -217,7 +235,9 @@ def read_wet(spark, path: str) -> "DataFrame":
     records = read_warc(spark, path)
     return records.filter(F.col("warc_type") == "conversion").select(
         F.coalesce(
-            F.nullif(F.col("refers_to"), F.lit("")), F.col("record_id")
+            F.nullif(F.col("x_doc_id"), F.lit("")),
+            F.nullif(F.col("refers_to"), F.lit("")),
+            F.col("record_id"),
         ).alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("payload").alias("text"),

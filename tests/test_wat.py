@@ -54,13 +54,22 @@ def test_wat_round_trip_and_content(spark, tmp_path):
     assert r0["url"] == "https://a.example/index"
     # entity-unescaped, whitespace-collapsed title
     assert r0["title"] == "Home & start"
-    # relative href resolved against <base href>; Links is exactly
-    # extract_links_col's output (<a href> targets — the link_edges
-    # contract), so the stylesheet <link> does NOT appear
+    # relative href resolved against <base href>; `links` is the
+    # ANCHOR subset — exactly extract_links_col's output (the
+    # link_edges contract), so the stylesheet <link> does NOT appear
     assert set(r0["links"]) == {
         "https://a.example/sub/page1",
         "https://b.example/x",
     }
+    # ...but the CC-shaped merged array DOES carry it, with the
+    # path discriminator and the protocol-relative href resolved
+    # against the effective base's scheme
+    entries = {(e["path"], e["url"]) for e in r0["link_entries"]}
+    assert ("LINK@/href", "https://cdn.example/s.css") in entries
+    assert {
+        ("A@/href", "https://a.example/sub/page1"),
+        ("A@/href", "https://b.example/x"),
+    } <= entries
     # anchors: <a> only, resolved, inner tags stripped
     assert {(a["url"], a["text"]) for a in r0["anchors"]} == {
         ("https://a.example/sub/page1", "One"),
@@ -81,7 +90,14 @@ def test_wat_round_trip_and_content(spark, tmp_path):
     records = W.read_warc(spark, os.path.join(out, "*.warc.gz"))
     metas = records.filter(F.col("warc_type") == "metadata")
     assert metas.count() == len(_PAGES)
-    assert metas.filter(F.col("refers_to") == "doc-001").count() == 1
+    # WARC 1.0: Refers-To is a bracketed URN, never the raw doc id
+    # (which rides the X-Doc-Id extension header instead)
+    assert metas.filter(F.col("x_doc_id") == "doc-001").count() == 1
+    assert (
+        metas.filter(F.col("refers_to").rlike(r"^<urn:uuid:[0-9a-f-]+>$"))
+        .count()
+        == len(_PAGES)
+    )
 
 
 def test_wat_graph_parity_with_html(spark, tmp_path):

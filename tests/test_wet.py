@@ -89,3 +89,30 @@ def test_read_wet_recovers_original_ids(spark, tmp_path):
         for r in _docs(spark).collect()
     }
     assert back == src
+
+
+def test_header_values_sanitized_against_injection(spark, tmp_path):
+    """A doc id (or URL) containing CR/LF must not terminate a header
+    line early and corrupt record framing: control chars collapse to
+    a space in X-Doc-Id / WARC-Target-URI, the Refers-To URN stays a
+    valid bracketed URI, and the archive still parses record-exactly."""
+    df = spark.createDataFrame(
+        [
+            (
+                "evil\r\nWARC-Type: response",
+                "https://x.example/a\r\nX-Inject: 1",
+                "body text",
+            ),
+            ("ok-1", "https://x.example/b", "fine"),
+        ],
+        "doc_id string, url string, text string",
+    )
+    out = str(tmp_path / "wet_inj")
+    manifest = wet.write_wet_shards(df, out, n_shards=1)
+    assert manifest[0]["n_records"] == 2
+    rows = wet.read_wet(spark, os.path.join(out, "*.warc.gz")).collect()
+    got = {r["doc_id"]: r["url"] for r in rows}
+    # exactly two conversion records — the CRLF never split a record
+    assert len(got) == 2
+    assert got["evil WARC-Type: response"] == "https://x.example/a X-Inject: 1"
+    assert got["ok-1"] == "https://x.example/b"
