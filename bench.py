@@ -514,6 +514,46 @@ def _bloom_blocked_slot(spark, sf_dir: str):
     return run
 
 
+_EXTRA_SLOT_BUILDERS = {
+    "pq_topk_adc": _pq_topk_slot,
+    "semantic_dedup": _semdedup_slot,
+    "hist_rollup_merge": _hist_rollup_slot,
+    "corpus_diff": _corpus_diff_slot,
+    "pmi_collocations": _pmi_slot,
+    "linkage_pairs": _linkage_slot,
+    "pq_topk_join_q1000": _pq_join_q1000_slot,
+    "zipf_token_ranks": _zipf_slot,
+    "ngram_novelty": _novelty_slot,
+    "winnow_overlap": _winnow_slot,
+    "bitext_margin_mine": _bitext_slot,
+    "html_extract": _html_extract_slot,
+    "link_resolve": _link_resolve_slot,
+    "harmonic_hyperball": _hyperball_slot,
+    "bloom_screen_tokens": _bloom_slot,
+    "bloom_screen_blocked": _bloom_blocked_slot,
+}
+
+
+def build_extra_slots(
+    spark, sf_dir: str, names: list[str] | None = None
+) -> dict[str, object]:
+    """Non-catalog slots: name -> callable(spark, sf_dir) (or the
+    build-time Exception, which the measured loop records per-slot).
+    Setup that is an offline build step (PQ codebook training) happens
+    inside the builder, outside the timed region. Shared with
+    tools/scale_canary.py so the sf-scaling measurements time exactly
+    the slots the bench artifact reports."""
+    extra: dict[str, object] = {}
+    for name, builder in _EXTRA_SLOT_BUILDERS.items():
+        if names is not None and name not in names:
+            continue
+        try:
+            extra[name] = builder(spark, sf_dir)
+        except Exception as exc:
+            extra[name] = exc
+    return extra
+
+
 def _silence_benign_dag_errors(spark) -> None:
     """BENCH tail hygiene (VERDICT r5 item 2): stages whose upstream
     frames were localCheckpointed can finish after the original RDD's
@@ -559,75 +599,7 @@ def main() -> None:
         except Exception:
             pass  # the measured loop will record the error per-query
 
-    # Non-catalog slots: name -> callable(spark, sf_dir). Setup that is
-    # an offline build step (PQ codebook training) happens HERE, outside
-    # the timed region; failures fall through to the per-slot error
-    # capture below.
-    extra: dict[str, object] = {}
-    try:
-        extra["pq_topk_adc"] = _pq_topk_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["pq_topk_adc"] = exc
-    try:
-        extra["semantic_dedup"] = _semdedup_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["semantic_dedup"] = exc
-    try:
-        extra["hist_rollup_merge"] = _hist_rollup_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["hist_rollup_merge"] = exc
-    try:
-        extra["corpus_diff"] = _corpus_diff_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["corpus_diff"] = exc
-    try:
-        extra["pmi_collocations"] = _pmi_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["pmi_collocations"] = exc
-    try:
-        extra["linkage_pairs"] = _linkage_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["linkage_pairs"] = exc
-    try:
-        extra["pq_topk_join_q1000"] = _pq_join_q1000_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["pq_topk_join_q1000"] = exc
-    try:
-        extra["zipf_token_ranks"] = _zipf_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["zipf_token_ranks"] = exc
-    try:
-        extra["ngram_novelty"] = _novelty_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["ngram_novelty"] = exc
-    try:
-        extra["winnow_overlap"] = _winnow_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["winnow_overlap"] = exc
-    try:
-        extra["bitext_margin_mine"] = _bitext_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["bitext_margin_mine"] = exc
-    try:
-        extra["html_extract"] = _html_extract_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["html_extract"] = exc
-    try:
-        extra["link_resolve"] = _link_resolve_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["link_resolve"] = exc
-    try:
-        extra["harmonic_hyperball"] = _hyperball_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["harmonic_hyperball"] = exc
-    try:
-        extra["bloom_screen_tokens"] = _bloom_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["bloom_screen_tokens"] = exc
-    try:
-        extra["bloom_screen_blocked"] = _bloom_blocked_slot(spark, sf_dir)
-    except Exception as exc:
-        extra["bloom_screen_blocked"] = exc
+    extra = build_extra_slots(spark, sf_dir)
 
     # Median of `samples` runs per slot (VERDICT r5 item 5): single
     # samples made a 1.49x swing on a 0.5s query indistinguishable

@@ -315,12 +315,16 @@ def _floor_log2(w: Column, width: int) -> Column:
     return out
 
 
-def _hll_init_reg(idc: Column, log2m: int, portable: bool) -> Column:
-    """A vertex's initial HLL register array: the singleton {id}.
-    Register index = low log2m hash bits; value rho = 1 + leading-zero
-    count of the remaining hash field (Flajolet et al. 2007).
-    portable=True hashes with dedup.portable_hash32 (md5-derived, bit-
-    identical in DuckDB — the oracle mode); default is xxhash64."""
+def _hll_init_cols(idc: Column, log2m: int, portable: bool) -> list[Column]:
+    """A vertex's initial HLL registers as m SEPARATE tinyint Columns:
+    the singleton {id}. Register index = low log2m hash bits; value
+    rho = 1 + leading-zero count of the remaining hash field (Flajolet
+    et al. 2007). portable=True hashes with dedup.portable_hash32
+    (md5-derived, bit-identical in DuckDB — the oracle mode); default
+    is xxhash64. Column-per-register (not array<int>) is the hot-loop
+    layout: the absorb aggregate is then a plain per-column max with
+    no per-row array allocation, and tinyint state is 4x smaller on
+    the per-round shuffle than int."""
     from .dedup import portable_hash32
 
     m = 1 << log2m
@@ -335,11 +339,16 @@ def _hll_init_reg(idc: Column, log2m: int, portable: bool) -> Column:
     rho = F.when(w == 0, F.lit(width + 1)).otherwise(
         F.lit(width) - _floor_log2(w, width)
     )
+    return [
+        F.when(j == i, rho).otherwise(F.lit(0)).cast("tinyint")
+        for i in range(m)
+    ]
+
+
+def _hll_init_reg(idc: Column, log2m: int, portable: bool) -> Column:
+    """Array form of _hll_init_cols (kept for array-based callers)."""
     return F.array(
-        *[
-            F.when(j == i, rho).otherwise(F.lit(0)).cast("int")
-            for i in range(m)
-        ]
+        *[c.cast("int") for c in _hll_init_cols(idc, log2m, portable)]
     )
 
 
@@ -360,6 +369,24 @@ def _hll_estimate(reg: Column, m: int) -> Column:
         F.lit(0),
         lambda acc, r: acc + F.when(r == 0, 1).otherwise(0),
     )
+    return _hll_estimate_from(inv_sum, zeros, m)
+
+
+def _hll_estimate_cols(regs: list[Column], m: int) -> Column:
+    """_hll_estimate over column-per-register state. The inverse-power
+    sum is chained left-to-right in register order — the identical
+    double addition order as F.aggregate's fold over the array form,
+    so the two layouts are bit-equal (the catalog fold replays these
+    doubles in SQL)."""
+    inv_sum = F.lit(0.0)
+    zeros = F.lit(0)
+    for r in regs:
+        inv_sum = inv_sum + F.pow(F.lit(2.0), -r.cast("double"))
+        zeros = zeros + F.when(r == 0, 1).otherwise(0)
+    return _hll_estimate_from(inv_sum, zeros, m)
+
+
+def _hll_estimate_from(inv_sum: Column, zeros: Column, m: int) -> Column:
     raw = F.lit(_hll_alpha(m) * m * m) / inv_sum
     return F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
@@ -409,10 +436,27 @@ def hyperball_harmonic(
     marginal while a long-diameter component would otherwise cost one
     shuffle round per hop. With radius set, max_iter and the
     convergence error do not apply (radius defines the work), and the
-    per-round changed-row count is skipped. Per-round checkpoint
+    per-round convergence scalar is skipped. Per-round checkpoint
     blocks are released as soon as the next round materializes, so
-    executor storage holds ~one round of register state."""
+    executor storage holds ~one round of register state.
+
+    Per-round physical shape: propagate (edge join on src — AQE
+    broadcasts the edge side when it is the small one), absorb
+    (groupBy dst, m register maxes), fold back (left join on id — the
+    absorbed frame is at most |reachable dst| rows, so AQE broadcasts
+    it at host-graph sizes and the state side never shuffles).
+
+    The round is issued as ONE generated SQL statement (r12): the
+    Column-API form made ~3m py4j round-trips per round (m element_at
+    aggregates, the re-array, the zip_with) — measured at ~0.4 s of
+    driver time per round at m=32, a third of the whole bench slot —
+    while a parameterized spark.sql call ships the identical Catalyst
+    plan in one round-trip. Expression semantics are unchanged: the
+    SQL `aggregate`/`pow`/`ln`/`zip_with` lower to the same JVM
+    expressions as the F.* builders, so estimates stay bit-equal
+    (the portable catalog fold pins this)."""
     m = 1 << log2m
+    spark = edges.sparkSession
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     verts = (
         e.select(F.col("src").alias("id"))
@@ -422,91 +466,64 @@ def hyperball_harmonic(
     state = verts.select(
         "id", _hll_init_reg(F.col("id"), log2m, portable).alias("reg")
     )
-    state = state.select(
-        "id",
-        "reg",
-        _hll_estimate(F.col("reg"), m).alias("est"),
-        F.lit(0.0).alias("harmonic"),
+    if radius is not None and radius < 1:
+        raise ValueError(f"radius must be >= 1: {radius}")
+    est0 = _hll_est_sql("reg", m)
+    state = spark.sql(
+        f"SELECT id, reg, {est0} AS est, 0.0D AS harmonic FROM {{s}}",
+        s=state,
     ).localCheckpoint()
     # the previous round's eager checkpoint: releasable once the
     # current round's checkpoint has materialized (the crawl_rounds
     # convention — a long run must not accumulate per-round blocks)
     prev_ck = state
-    if radius is not None and radius < 1:
-        raise ValueError(f"radius must be >= 1: {radius}")
     # radius DEFINES the depth when set (max_iter is the convergence
     # guard for unbounded runs only — min()-ing them would silently
     # hand back a shallower truncation than the caller asked for)
     bound = radius if radius is not None else max_iter
+    maxes = ", ".join(
+        f"max(element_at(s.reg, {i + 1})) AS _m{i}" for i in range(m)
+    )
+    arr = ", ".join(f"_m{i}" for i in range(m))
+    est2 = _hll_est_sql("_reg2", m)
+    # the pre-absorb registers ride along ONLY when the convergence
+    # test needs them (unbounded runs) — a radius-bounded round must
+    # not checkpoint two register arrays per row for nothing
+    old_reg = ", reg AS _old_reg" if radius is None else ""
     for t in range(1, bound + 1):
-        merged = (
-            e.join(
-                state.select(F.col("id").alias("src"), "reg"), "src"
-            )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(
-                *[
-                    F.max(F.element_at("reg", i + 1)).alias(f"_m{i}")
-                    for i in range(m)
-                ]
-            )
-            .select(
-                "id",
-                F.array(*[F.col(f"_m{i}") for i in range(m)]).alias("_in"),
-            )
+        round_sql = f"""
+        WITH merged AS (
+          SELECT id, array({arr}) AS _in FROM (
+            SELECT e.dst AS id, {maxes}
+            FROM {{e}} e JOIN {{st}} s ON e.src = s.id GROUP BY e.dst)
+        ), absorbed AS (
+          SELECT s.id, s.reg, s.est, s.harmonic,
+                 CASE WHEN m._in IS NULL THEN s.reg
+                      ELSE zip_with(s.reg, m._in, (a, b) -> greatest(a, b))
+                 END AS _reg2
+          FROM {{st}} s LEFT JOIN merged m ON s.id = m.id
+        ), estimated AS (
+          SELECT id, reg, _reg2, harmonic, est, {est2} AS _est2
+          FROM absorbed
         )
-        new = (
-            state.join(merged, "id", "left")
-            .select(
-                "id",
-                "reg",
-                "est",
-                "harmonic",
-                F.when(F.col("_in").isNull(), F.col("reg"))
-                .otherwise(
-                    F.zip_with("reg", "_in", lambda a, b: F.greatest(a, b))
-                )
-                .alias("_reg2"),
-            )
-            .select(
-                "id",
-                "reg",
-                "_reg2",
-                "est",
-                "harmonic",
-                _hll_estimate(F.col("_reg2"), m).alias("_est2"),
-            )
-            .select(
-                "id",
-                "reg",
-                "_reg2",
-                "_est2",
-                (
-                    F.col("harmonic")
-                    + (F.col("_est2") - F.col("est")) / F.lit(float(t))
-                ).alias("harmonic"),
-            )
-            .localCheckpoint()
-        )
+        SELECT id{old_reg}, _reg2 AS reg, _est2 AS est,
+               harmonic + (_est2 - est) / CAST({t} AS DOUBLE) AS harmonic
+        FROM estimated"""
+        new = spark.sql(round_sql, st=state, e=e).localCheckpoint()
         # radius-bounded runs skip convergence detection entirely —
         # the changed-row count is one extra job per round that a
         # fixed-depth run never needs
         n_changed = (
             None
             if radius is not None
-            else new.filter(F.col("_reg2") != F.col("reg")).count()
+            else new.filter(F.col("reg") != F.col("_old_reg")).count()
         )
         # `new` is eagerly materialized, so the previous round's
         # blocks (its inputs) are consumed — release them; the state
         # projection below is plain lineage over the fresh checkpoint
         prev_ck.unpersist()
         prev_ck = new
-        state = new.select(
-            "id",
-            F.col("_reg2").alias("reg"),
-            F.col("_est2").alias("est"),
-            "harmonic",
-        )
+        state = new.drop("_old_reg")
         if n_changed == 0:
             break
     else:
@@ -521,4 +538,22 @@ def hyperball_harmonic(
         # the settled ball is the full in-reachability set; subtract
         # the vertex's own membership so the count reads "reachers"
         (F.col("est") - F.lit(1.0)).alias("n_reachers_est"),
+    )
+
+
+def _hll_est_sql(x: str, m: int) -> str:
+    """_hll_estimate as a SQL fragment over register-array column `x`
+    — the same Catalyst expressions (aggregate/pow/ln), so the doubles
+    are bit-equal with the Column form; exists because the hyperball
+    round is issued as one spark.sql call (see hyperball_harmonic)."""
+    inv = (
+        f"aggregate({x}, 0.0D, (acc, r) -> acc"
+        " + pow(2.0D, -CAST(r AS DOUBLE)))"
+    )
+    zeros = f"aggregate({x}, 0, (acc, r) -> acc + IF(r = 0, 1, 0))"
+    raw = f"{_hll_alpha(m) * m * m!r}D / {inv}"
+    return (
+        f"CASE WHEN ({raw}) <= {2.5 * m!r}D AND {zeros} > 0"
+        f" THEN {float(m)!r}D * ln({float(m)!r}D / {zeros})"
+        f" ELSE {raw} END"
     )

@@ -1,0 +1,364 @@
+"""sf-N scale canary: measure, don't assert, the scaling story.
+
+Every 100 TB claim in this repo is plan-audited (exchange counts,
+pruning, no all-pairs), but plan shape cannot reveal a hidden
+super-linear constant — only running the same slot at two data scales
+can. This tool (VERDICT r11 lead item):
+
+1. ``gen``: generates an sf-N testdata directory (default sf1, 10x
+   the bench's sf0.1) with the SAME schemas and distributions as the
+   driver's /root/testdata tables (TESTDATA.md shapes, measured from
+   sf0.1: uniform 30-word document vocabulary with the ~0.16%% 'dup'
+   exact-duplicate tail, 64-dim N(0, 0.12) float embeddings with
+   labels 0-9, TPC-H-ish keys/dates/flags). Seeded (numpy
+   default_rng(42)), pure pyarrow — no Spark needed to generate.
+2. ``run``: times selected bench slots (the same callables bench.py
+   reports, via bench.build_extra_slots / the catalog) once at the
+   base dir and once at the target dir, and prints per-slot the
+   wall-clock ratio and the empirical scaling exponent
+   ``log(t_hi/t_lo) / log(rows_hi/rows_lo)`` — 1.0 = perfectly
+   linear, <=~1.1 healthy (log-factors from sorts/shuffles), >>1.1 a
+   super-linear slot the plan audit missed.
+
+Results are recorded in docs/SCALE.md per round.
+
+Usage:
+    python tools/scale_canary.py gen [--sf 1.0] [--out DIR]
+    python tools/scale_canary.py run [--base /root/testdata/sf0.1]
+        [--target DIR] [--slots a,b,c] [--samples N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+
+# measured from /root/testdata/sf0.1 (see module docstring)
+_VOCAB = (
+    "spark window merge table column vector stream value data small "
+    "join filter big group hash customer sort order slow line part "
+    "fast the row agg key query a scan batch"
+).split()
+_LANGS = ["en", "de", "fr", "zh", "es"]
+_LANG_W = [0.41, 0.14, 0.15, 0.15, 0.15]
+_SEGMENTS = ["MACHINERY", "BUILDING", "HOUSEHOLD", "AUTOMOBILE", "FURNITURE"]
+_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+_EVENT_TYPES = ["signup", "click", "error", "view", "purchase"]
+_P_NAMES1 = ["large", "hot", "blue", "old", "small", "new", "red", "green"]
+_P_NAMES2 = ["ring", "bolt", "plate", "box", "case", "tube", "disk", "cap"]
+_P_TYPES = ["LARGE", "ECONOMY", "SMALL", "STANDARD", "MEDIUM", "PROMO"]
+_REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+# row counts at sf=1.0 (10x the sf0.1 counts)
+_BASE_ROWS = {
+    "customer": 150_000,
+    "supplier": 10_000,
+    "part": 200_000,
+    "orders": 1_500_000,
+    "lineitem_per_order": 4,  # ~4.07 at sf0.1; drawn 1..7 uniform-ish
+    "events": 1_000_000,
+    "documents": 50_000,
+    "embeddings": 20_000,
+}
+
+
+def _write(out_dir: str, name: str, table: pa.Table) -> None:
+    pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
+    print(f"  {name}: {table.num_rows} rows", flush=True)
+
+
+def generate(sf: float, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    n = {k: (v if k == "lineitem_per_order" else max(1, int(v * sf)))
+         for k, v in _BASE_ROWS.items()}
+
+    # region / nation: fixed tiny dims
+    _write(out_dir, "region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": pa.array(_REGIONS),
+    }))
+    _write(out_dir, "nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": pa.array([f"NATION_{i:02d}" for i in range(25)]),
+        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+    }))
+
+    nc = n["customer"]
+    _write(out_dir, "customer", pa.table({
+        "c_custkey": pa.array(np.arange(nc, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(nc)]),
+        "c_nationkey": pa.array(
+            rng.integers(0, 25, nc).astype(np.int32)),
+        "c_acctbal": pa.array(
+            np.round(rng.uniform(-999.99, 9999.99, nc), 2)),
+        "c_mktsegment": pa.array(
+            [_SEGMENTS[i] for i in rng.integers(0, 5, nc)]),
+    }))
+
+    ns = n["supplier"]
+    _write(out_dir, "supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(ns, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(ns)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, ns).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-999.99, 9999.99, ns), 2)),
+    }))
+
+    npart = n["part"]
+    _write(out_dir, "part", pa.table({
+        "p_partkey": pa.array(np.arange(npart, dtype=np.int64)),
+        "p_name": pa.array([
+            f"{_P_NAMES1[a]} {_P_NAMES2[b]}"
+            for a, b in zip(rng.integers(0, 8, npart),
+                            rng.integers(0, 8, npart))
+        ]),
+        "p_brand": pa.array(
+            [f"Brand#{i}" for i in rng.integers(1, 26, npart)]),
+        "p_type": pa.array([_P_TYPES[i] for i in rng.integers(0, 6, npart)]),
+        "p_size": pa.array(rng.integers(1, 51, npart).astype(np.int32)),
+        "p_retailprice": pa.array(
+            np.round(900.0 + (np.arange(npart) % 1000) / 10.0, 2)),
+    }))
+
+    no = n["orders"]
+    o_dates = np.datetime64("1995-01-01") + rng.integers(
+        0, 2404, no
+    ).astype("timedelta64[D]")
+    _write(out_dir, "orders", pa.table({
+        "o_orderkey": pa.array(np.arange(no, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, nc, no).astype(np.int64)),
+        "o_orderstatus": pa.array(
+            [("O", "P", "F")[i] for i in rng.integers(0, 3, no)]),
+        "o_totalprice": pa.array(
+            np.round(rng.uniform(1000.0, 500000.0, no), 2)),
+        "o_orderdate": pa.array(o_dates.astype("datetime64[us]")),
+        "o_orderpriority": pa.array(
+            [_PRIORITIES[i] for i in rng.integers(0, 5, no)]),
+    }))
+
+    # lineitem: 1..7 lines per order (mean ~4, matching sf0.1)
+    per = rng.integers(1, 8, no)
+    nl = int(per.sum())
+    l_orderkey = np.repeat(np.arange(no, dtype=np.int64), per)
+    l_linenumber = np.concatenate(
+        [np.arange(1, k + 1, dtype=np.int32) for k in per]
+    ) if no else np.array([], dtype=np.int32)
+    ship = np.repeat(o_dates, per) + rng.integers(1, 122, nl).astype(
+        "timedelta64[D]"
+    )
+    _write(out_dir, "lineitem", pa.table({
+        "l_orderkey": pa.array(l_orderkey),
+        "l_partkey": pa.array(rng.integers(0, npart, nl).astype(np.int64)),
+        "l_suppkey": pa.array(rng.integers(0, ns, nl).astype(np.int64)),
+        "l_linenumber": pa.array(l_linenumber),
+        "l_quantity": pa.array(
+            rng.integers(1, 51, nl).astype(np.float64)),
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(900.0, 105000.0, nl), 2)),
+        "l_discount": pa.array(
+            np.round(rng.integers(0, 11, nl) / 100.0, 2)),
+        "l_tax": pa.array(np.round(rng.integers(0, 9, nl) / 100.0, 2)),
+        "l_returnflag": pa.array(
+            [("R", "A", "N")[i] for i in rng.integers(0, 3, nl)]),
+        "l_linestatus": pa.array(
+            [("O", "F")[i] for i in rng.integers(0, 2, nl)]),
+        "l_shipdate": pa.array(ship.astype("datetime64[us]")),
+    }))
+
+    ne = n["events"]
+    ts = np.datetime64("2024-01-01T00:00:00") + rng.integers(
+        0, 30 * 24 * 3600 * 1_000_000, ne
+    ).astype("timedelta64[us]")
+    _write(out_dir, "events", pa.table({
+        "event_id": pa.array(np.arange(ne, dtype=np.int64)),
+        "ts": pa.array(ts),
+        "user_id": pa.array(
+            rng.integers(0, max(1, int(1500 * 10 * sf)), ne).astype(np.int64)
+        ),
+        "event_type": pa.array(
+            [_EVENT_TYPES[i] for i in rng.integers(0, 5, ne)]),
+        "value": pa.array(np.round(rng.uniform(0.0, 561.0, ne), 2)),
+        "props": pa.array(
+            [f'{{"k": {k}}}' for k in rng.integers(0, 100, ne)]),
+    }))
+
+    nd = n["documents"]
+    vocab = np.array(_VOCAB)
+    lang_idx = rng.choice(5, nd, p=np.array(_LANG_W) / sum(_LANG_W))
+    lens = rng.integers(8, 97, nd)  # words; ~44..577 chars like sf0.1
+    texts = []
+    for i in range(nd):
+        words = vocab[rng.integers(0, len(vocab), lens[i])]
+        texts.append(" ".join(words.tolist()))
+    # exact-duplicate tail (~0.16% of docs share a planted text), the
+    # shape dedup_exact/minhash rely on at sf0.1
+    n_dup = max(2, int(nd * 0.0016))
+    dup_text = "dup " + " ".join(
+        vocab[rng.integers(0, len(vocab), 40)].tolist()
+    )
+    for i in rng.choice(nd, n_dup, replace=False):
+        texts[int(i)] = dup_text
+    _write(out_dir, "documents", pa.table({
+        "doc_id": pa.array(np.arange(nd, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array([_LANGS[i] for i in lang_idx]),
+        "source": pa.array([f"src{i % 20}" for i in range(nd)]),
+        "n_chars": pa.array(
+            np.array([len(t) for t in texts], dtype=np.int64)),
+    }))
+
+    nv = n["embeddings"]
+    emb = rng.normal(0.0, 0.123, (nv, 64)).astype(np.float32)
+    _write(out_dir, "embeddings", pa.table({
+        "vec_id": pa.array(np.arange(nv, dtype=np.int64)),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, nv).astype(np.int32)),
+    }))
+    print(f"generated sf={sf} at {out_dir}", flush=True)
+
+
+DEFAULT_SLOTS = [
+    "harmonic_hyperball",
+    "text_quality_lang_bm25_ppl",
+    "pq_topk_join_q1000",
+    "semantic_dedup",
+    "ngram_novelty",
+    "dedup_minhash_lsh",
+]
+
+# bench HEADLINE maps slot name -> catalog query name; canary slots may
+# come from either registry
+_CATALOG_SLOTS = {
+    "text_quality_lang_bm25_ppl": "text_quality_lang",
+    "dedup_minhash_lsh": "dedup_minhash_lsh",
+    "dedup_ngram_jaccard": "dedup_ngram_jaccard",
+    "dedup_exact": "dedup_exact",
+    "fact_enrichment": "fact_enrichment",
+    "pricing_summary": "pricing_summary",
+    "hourly_event_metrics": "hourly_event_metrics",
+    "sessionize_events": "sessionize_events",
+    "ann_cosine_topk_maxsim_margin": "ann_cosine_topk",
+    "text_profile_repetition": "text_profile",
+}
+
+
+def _slot_fns(spark, sf_dir: str, names: list[str]):
+    import bench
+    from ecomm_datapipeline_spark.plans import catalog
+
+    qs = catalog.queries()
+    extra_names = [s for s in names if s in bench._EXTRA_SLOT_BUILDERS]
+    extra = bench.build_extra_slots(spark, sf_dir, extra_names)
+    out = {}
+    for s in names:
+        if s in extra:
+            out[s] = extra[s]
+        elif s in _CATALOG_SLOTS:
+            out[s] = qs[_CATALOG_SLOTS[s]]
+        else:
+            raise SystemExit(f"unknown slot: {s}")
+    return out
+
+
+def _time_slot(spark, fn, sf_dir: str, samples: int) -> float:
+    ts = []
+    for _ in range(samples):
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ts.append(time.monotonic() - t0)
+    return min(ts)  # least-noise estimate (bench's query_min rationale)
+
+
+def run(base: str, target: str, slots: list[str], samples: int) -> None:
+    from ecomm_datapipeline_spark.session import get_spark
+
+    import bench as bench_mod
+
+    spark = get_spark(app_name="scale-canary")
+    bench_mod._silence_benign_dag_errors(spark)
+    # row ratio from lineitem (the scale-defining table)
+    import duckdb
+
+    con = duckdb.connect()
+    rows = {}
+    for d in (base, target):
+        rows[d] = con.execute(
+            f"SELECT count(*) FROM '{d}/lineitem.parquet'"
+        ).fetchone()[0]
+    ratio_rows = rows[target] / rows[base]
+    print(f"row ratio (lineitem): {ratio_rows:.2f}x", flush=True)
+
+    results = {}
+    for name in slots:
+        per_dir = {}
+        for d in (base, target):
+            fns = _slot_fns(spark, d, [name])
+            fn = fns[name]
+            if isinstance(fn, Exception):
+                per_dir[d] = fn
+                continue
+            # one untimed warmup (codegen + footers), then timed
+            try:
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                per_dir[d] = _time_slot(spark, fn, d, samples)
+            except Exception as exc:  # record, keep canary going
+                per_dir[d] = exc
+        lo, hi = per_dir[base], per_dir[target]
+        if isinstance(lo, Exception) or isinstance(hi, Exception):
+            results[name] = {"error": f"{lo!r} / {hi!r}"}
+            print(f"  {name}: ERROR {lo!r} / {hi!r}", flush=True)
+            continue
+        expo = math.log(hi / lo) / math.log(ratio_rows)
+        results[name] = {
+            "t_base_s": round(lo, 3),
+            "t_target_s": round(hi, 3),
+            "ratio": round(hi / lo, 2),
+            "exponent": round(expo, 2),
+        }
+        print(
+            f"  {name}: {lo:.2f}s -> {hi:.2f}s "
+            f"({hi / lo:.2f}x, exponent {expo:.2f})",
+            flush=True,
+        )
+    print(json.dumps({
+        "base": base, "target": target, "row_ratio": round(ratio_rows, 2),
+        "samples": samples, "slots": results,
+    }))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("gen")
+    g.add_argument("--sf", type=float, default=1.0)
+    g.add_argument("--out", default=None)
+    r = sub.add_parser("run")
+    r.add_argument("--base", default="/root/testdata/sf0.1")
+    r.add_argument("--target", default="/tmp/sf1")
+    r.add_argument("--slots", default=",".join(DEFAULT_SLOTS))
+    r.add_argument("--samples", type=int, default=2)
+    args = ap.parse_args()
+    if args.cmd == "gen":
+        out = args.out or f"/tmp/sf{args.sf:g}"
+        generate(args.sf, out)
+    else:
+        run(args.base, args.target, args.slots.split(","), args.samples)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
