@@ -1158,6 +1158,8 @@ def crawl_rounds(
     refetch_growth: float = 1.0,
     refetch_max_s: float | None = None,
     retry_after_cap_s: float = 6 * 3600,
+    robots_cache_path: str | None = None,
+    robots_ttl_s: float = 24 * 3600,
 ) -> DataFrame:
     """The restartable crawl driver: resume after last_committed_round
     and run up to `rounds` MORE rounds (stop early when no URL is
@@ -1203,10 +1205,29 @@ def crawl_rounds(
     'denied' status (no try spent, out of the worklist) so they never
     consume politeness budget again. The WAL logs the PRE-verdict
     wave; pass the same rules on restart so a replay re-derives the
-    same split."""
+    same split.
+
+    Robots, the long-crawl form: `robots_cache_path` (mutually
+    exclusive with `rules`) derives each round's rules FROM THE CRAWL
+    ITSELF — the wave's authorities resolve through the persistent
+    robots body cache (robots.cached_robots_rules: fetched through
+    the same fetch_fn seam, refreshed only past `robots_ttl_s`, RFC
+    9309 §2.4) so rules stay current across a weeks-long crawl with
+    ~zero robots traffic per round, instead of being frozen at
+    whatever frame the caller built before round 1. The round clock
+    (now_fn) drives the TTL, so refresh behavior is replayable; a
+    crash replay re-derives the same split as long as the cached
+    bodies' TTL has not lapsed mid-replay (and a lapsed refresh only
+    tightens toward the CURRENT published rules — never resurrects a
+    denial)."""
     from .html import extract_links_col
     from .urls import drop_crawl_traps
 
+    if rules is not None and robots_cache_path is not None:
+        raise ValueError(
+            "pass rules OR robots_cache_path, not both — a static frame "
+            "and the per-round cache would disagree about freshness"
+        )
     start = last_committed_round(spark, path)
     for rnd in range(start + 1, start + 1 + rounds):
         # The clock is UNCONDITIONAL (ADVICE r11): Retry-After backoff
@@ -1233,10 +1254,29 @@ def crawl_rounds(
             _write_wal(spark, path, rnd, wave)
         denied = None
         to_fetch = wave
-        if rules is not None:
+        round_rules = rules
+        if robots_cache_path is not None:
+            from .robots import cached_robots_rules
+
+            # derived per round from THIS wave's authorities, served
+            # from the persistent body cache (zero robots traffic for
+            # cached-fresh hosts); checkpointed because the rules feed
+            # both the wave verdict and the redirect-rep gate, and the
+            # acquisition leg is a side-effecting fetch
+            round_rules = cached_robots_rules(
+                spark,
+                wave,
+                fetch_fn,
+                robots_cache_path,
+                ttl_s=robots_ttl_s,
+                now=now,
+            ).localCheckpoint()
+        if round_rules is not None:
             from .robots import robots_allowed
 
-            flagged = robots_allowed(wave, rules, agent).localCheckpoint()
+            flagged = robots_allowed(
+                wave, round_rules, agent
+            ).localCheckpoint()
             to_fetch = flagged.filter(F.col("robots_allowed")).drop(
                 "robots_allowed"
             )
@@ -1332,7 +1372,7 @@ def crawl_rounds(
                     nf.drop("_final", "final_url"), amap
                 )
         bad_reps = None
-        if amap is not None and rules is not None:
+        if amap is not None and round_rules is not None:
             # Robots gate for redirect TARGETS: the wave's verdict only
             # covered the REQUESTED spellings, but a 3xx can land on a
             # rep the rules disallow — folding it as fetched would push
@@ -1345,7 +1385,7 @@ def crawl_rounds(
             # before extraction. The alias keys still go terminal.
             rep_flags = robots_allowed(
                 amap.select(F.col("rep").alias("url")).distinct(),
-                rules,
+                round_rules,
                 agent,
             )
             bad_reps = (
@@ -1419,8 +1459,10 @@ def crawl_rounds(
             drop.append(amap)
         if bad_reps is not None:
             drop.append(bad_reps)
-        if rules is not None:
+        if round_rules is not None:
             drop.append(flagged)
+        if robots_cache_path is not None:
+            drop.append(round_rules)
         for df in drop:
             df.unpersist()
     return tables.read_table(spark, path)

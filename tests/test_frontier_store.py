@@ -1171,3 +1171,108 @@ def test_hostquiet_purge_keeps_unexpired_rows(spark, tmp_path):
         "a.example": t0 + timedelta(seconds=1000),
         "b.example": t0 + timedelta(seconds=500),
     }
+
+
+def test_crawl_rounds_with_persistent_robots_cache(spark, tmp_path):
+    """robots_cache_path: each round's rules derive from the wave's
+    authorities through the SAME fetch seam, served from the
+    persistent body cache — robots.txt is fetched once across many
+    rounds within the TTL, disallowed paths go terminal-denied, and a
+    TTL lapse picks up CHANGED rules."""
+    from datetime import datetime, timedelta, timezone
+
+    path = str(tmp_path / "frontier")
+    cache = str(tmp_path / "robots_cache")
+    robots_body = {"v": "User-agent: *\nDisallow: /blocked"}
+    web = {
+        "http://a.example/": [
+            "http://a.example/blocked", "http://a.example/ok",
+        ],
+        "http://a.example/ok": ["http://a.example/later"],
+        "http://a.example/later": [],
+        "http://a.example/blocked": [],
+    }
+    calls = []
+
+    def fetch(wave):
+        urls = sorted(r["url"] for r in wave.select("url").collect())
+        calls.append(urls)
+        rows = []
+        for u in urls:
+            if u.endswith("/robots.txt"):
+                rows.append((u, robots_body["v"]))
+            elif u in web:
+                rows.append((u, _html(web[u])))
+        return spark.createDataFrame(rows, "url string, html string")
+
+    frontier_store.init_frontier(
+        spark.createDataFrame([("http://a.example/",)], "url string"),
+        path,
+    )
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    frontier_store.crawl_rounds(
+        spark, path, fetch, rounds=10,
+        robots_cache_path=cache, robots_ttl_s=3600,
+        now_fn=lambda: t0,
+    )
+    got = _state(spark, path)
+    assert got["http://a.example/"][0] == "fetched"
+    assert got["http://a.example/ok"][0] == "fetched"
+    assert got["http://a.example/later"][0] == "fetched"
+    # denied before any request, terminal
+    assert got["http://a.example/blocked"][:2] == ("denied", 0)
+    # robots.txt crossed the seam exactly ONCE across all rounds
+    robots_calls = [
+        u for c in calls for u in c if u.endswith("/robots.txt")
+    ]
+    assert robots_calls == ["http://a.example/robots.txt"]
+    assert not any(
+        "http://a.example/blocked" in c for c in calls
+    )
+    # the site REMOVES the disallow; past the TTL the refreshed rules
+    # re-admit the path once something makes it wave-eligible again
+    robots_body["v"] = "User-agent: *\n"
+    frontier_store.seed_refetch(
+        spark, path,
+        spark.createDataFrame(
+            [("http://a.example/ok", t0 + timedelta(seconds=4000))],
+            "url string, refetch_after timestamp",
+        ),
+    )
+    frontier_store.crawl_rounds(
+        spark, path, fetch, rounds=2,
+        robots_cache_path=cache, robots_ttl_s=3600,
+        now_fn=lambda: t0 + timedelta(seconds=5000),
+    )
+    # refreshed exactly once more
+    robots_calls = [
+        u for c in calls for u in c if u.endswith("/robots.txt")
+    ]
+    assert robots_calls == [
+        "http://a.example/robots.txt", "http://a.example/robots.txt",
+    ]
+    # NOTE: /blocked itself stays terminal-denied (denial is terminal
+    # by design; re-admitting it needs an explicit re-seed) — but new
+    # fetches under the relaxed rules are allowed: /ok refetched fine
+    assert _state(spark, path)["http://a.example/ok"][0] == "fetched"
+
+
+def test_crawl_rounds_rejects_rules_plus_cache(spark, tmp_path):
+    from ecomm_datapipeline_spark.operators import robots as R
+
+    path = str(tmp_path / "frontier2")
+    frontier_store.init_frontier(
+        spark.createDataFrame([("http://a.example/",)], "url string"),
+        path,
+    )
+    rules = R.robots_rules(
+        spark.createDataFrame(
+            [("a.example", "User-agent: *\n")],
+            "host string, robots_txt string",
+        )
+    )
+    with pytest.raises(ValueError, match="not both"):
+        frontier_store.crawl_rounds(
+            spark, path, _fetcher(spark), rounds=1,
+            rules=rules, robots_cache_path=str(tmp_path / "rc"),
+        )
