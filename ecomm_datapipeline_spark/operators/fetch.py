@@ -167,7 +167,12 @@ def _inflate_capped(data: bytes, cap: int) -> bytes | None:
         if len(out) > cap:
             # decodable but over-cap: a bomb regardless of wrapping
             return None
-        if not d.eof or d.unconsumed_tail:
+        # unused_data: bytes AFTER a complete stream. Trailing junk
+        # must not be silently accepted, and a bare-deflate body whose
+        # prefix spuriously parses as a short complete zlib stream
+        # must fall through to the wbits=-15 retry, not return the
+        # truncated decode.
+        if not d.eof or d.unused_data:
             continue
         return out
     return None

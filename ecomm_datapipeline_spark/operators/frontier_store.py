@@ -457,12 +457,7 @@ def _rebuild_worklist_buckets(
             # table_exists is data-file-driven): build it FULLY from
             # state (one O(frontier) pass), not just the touched slice
             full = tables.read_table(spark, path).filter(_worklist_pred())
-            tmp = f"{pp}__tmp_{_uuid.uuid4().hex[:8]}"
-            full.write.partitionBy("bucket").mode("overwrite").parquet(tmp)
-            if fs.isdir(pp):
-                tables._swap_into(tmp, pp)
-            else:
-                fs.rename(tmp, pp)
+            tables.staged_overwrite(full, pp, partition_by=["bucket"])
             return
         conf_key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(conf_key, "static")
@@ -1383,16 +1378,35 @@ def crawl_rounds(
             # never-seen reps are simply not inserted) and their content
             # rows — already rekeyed to rep by collapse_aliases — drop
             # before extraction. The alias keys still go terminal.
-            rep_flags = robots_allowed(
-                amap.select(F.col("rep").alias("url")).distinct(),
-                round_rules,
-                agent,
-            )
+            rep_urls = amap.select(F.col("rep").alias("url")).distinct()
+            rep_rules = round_rules
+            rep_rules_ck = None
+            if robots_cache_path is not None:
+                # CROSS-HOST redirects: the round's rules only cover
+                # the wave's authorities, and robots_allowed reads a
+                # rules-less host as allow-all — a 3xx onto another
+                # host would sail through ungated. Resolve the REP
+                # authorities through the same cache (fetching any the
+                # crawl has never seen) so the verdict is real.
+                from .robots import cached_robots_rules as _crr
+
+                rep_rules_ck = _crr(
+                    spark,
+                    rep_urls,
+                    fetch_fn,
+                    robots_cache_path,
+                    ttl_s=robots_ttl_s,
+                    now=now,
+                ).localCheckpoint()
+                rep_rules = rep_rules_ck
+            rep_flags = robots_allowed(rep_urls, rep_rules, agent)
             bad_reps = (
                 rep_flags.filter(~F.col("robots_allowed"))
                 .select("url")
                 .localCheckpoint()
             )
+            if rep_rules_ck is not None:
+                rep_rules_ck.unpersist()
             if bad_reps.isEmpty():
                 bad_reps.unpersist()
                 bad_reps = None

@@ -315,16 +315,12 @@ def _floor_log2(w: Column, width: int) -> Column:
     return out
 
 
-def _hll_init_cols(idc: Column, log2m: int, portable: bool) -> list[Column]:
-    """A vertex's initial HLL registers as m SEPARATE tinyint Columns:
-    the singleton {id}. Register index = low log2m hash bits; value
-    rho = 1 + leading-zero count of the remaining hash field (Flajolet
-    et al. 2007). portable=True hashes with dedup.portable_hash32
-    (md5-derived, bit-identical in DuckDB — the oracle mode); default
-    is xxhash64. Column-per-register (not array<int>) is the hot-loop
-    layout: the absorb aggregate is then a plain per-column max with
-    no per-row array allocation, and tinyint state is 4x smaller on
-    the per-round shuffle than int."""
+def _hll_init_reg(idc: Column, log2m: int, portable: bool) -> Column:
+    """A vertex's initial HLL register array: the singleton {id}.
+    Register index = low log2m hash bits; value rho = 1 + leading-zero
+    count of the remaining hash field (Flajolet et al. 2007).
+    portable=True hashes with dedup.portable_hash32 (md5-derived, bit-
+    identical in DuckDB — the oracle mode); default is xxhash64."""
     from .dedup import portable_hash32
 
     m = 1 << log2m
@@ -339,16 +335,11 @@ def _hll_init_cols(idc: Column, log2m: int, portable: bool) -> list[Column]:
     rho = F.when(w == 0, F.lit(width + 1)).otherwise(
         F.lit(width) - _floor_log2(w, width)
     )
-    return [
-        F.when(j == i, rho).otherwise(F.lit(0)).cast("tinyint")
-        for i in range(m)
-    ]
-
-
-def _hll_init_reg(idc: Column, log2m: int, portable: bool) -> Column:
-    """Array form of _hll_init_cols (kept for array-based callers)."""
     return F.array(
-        *[c.cast("int") for c in _hll_init_cols(idc, log2m, portable)]
+        *[
+            F.when(j == i, rho).otherwise(F.lit(0)).cast("int")
+            for i in range(m)
+        ]
     )
 
 
@@ -369,24 +360,6 @@ def _hll_estimate(reg: Column, m: int) -> Column:
         F.lit(0),
         lambda acc, r: acc + F.when(r == 0, 1).otherwise(0),
     )
-    return _hll_estimate_from(inv_sum, zeros, m)
-
-
-def _hll_estimate_cols(regs: list[Column], m: int) -> Column:
-    """_hll_estimate over column-per-register state. The inverse-power
-    sum is chained left-to-right in register order — the identical
-    double addition order as F.aggregate's fold over the array form,
-    so the two layouts are bit-equal (the catalog fold replays these
-    doubles in SQL)."""
-    inv_sum = F.lit(0.0)
-    zeros = F.lit(0)
-    for r in regs:
-        inv_sum = inv_sum + F.pow(F.lit(2.0), -r.cast("double"))
-        zeros = zeros + F.when(r == 0, 1).otherwise(0)
-    return _hll_estimate_from(inv_sum, zeros, m)
-
-
-def _hll_estimate_from(inv_sum: Column, zeros: Column, m: int) -> Column:
     raw = F.lit(_hll_alpha(m) * m * m) / inv_sum
     return F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),

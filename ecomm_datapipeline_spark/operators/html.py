@@ -254,22 +254,27 @@ def extract_documents(
 def tag_attr_patterns(tag: str, attr: str) -> tuple[str, str, str]:
     """The quoting ladder (double-quoted, single-quoted, bare) for one
     (tag, attr) pair — the generic form of _HREF_PATTERNS, used by the
-    WAT exporter for IMG@/src, SCRIPT@/src, LINK@/href link kinds."""
+    WAT exporter for IMG@/src, SCRIPT@/src, LINK@/href link kinds.
+
+    The attribute is required to be WHITESPACE-preceded (attributes
+    are whitespace-separated per the HTML grammar): a `\\b{attr}`
+    spelling would match inside `data-{attr}` ('-' is a word
+    boundary), and on lazy-loading markup like
+    `<img data-src="real.jpg" src="placeholder.gif">` the non-greedy
+    prefix would then extract the data-src value and never reach the
+    real attribute. RE2-compatible (no lookbehind) so the DuckDB
+    oracle twins generate from the same strings."""
     return (
-        f"(?is)<{tag}\\b[^>]*?\\b{attr}\\s*=\\s*\"([^\"]*)\"",
-        f"(?is)<{tag}\\b[^>]*?\\b{attr}\\s*=\\s*'([^']*)'",
-        f"(?is)<{tag}\\b[^>]*?\\b{attr}\\s*=\\s*([^\\s\"'>]+)",
+        f"(?is)<{tag}\\b[^>]*?\\s{attr}\\s*=\\s*\"([^\"]*)\"",
+        f"(?is)<{tag}\\b[^>]*?\\s{attr}\\s*=\\s*'([^']*)'",
+        f"(?is)<{tag}\\b[^>]*?\\s{attr}\\s*=\\s*([^\\s\"'>]+)",
     )
 
 
 _HREF_PATTERNS = tag_attr_patterns("a", "href")
 
 
-_BASE_PATTERNS = (
-    "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*\"([^\"]*)\"",
-    "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*'([^']*)'",
-    "(?is)<base\\b[^>]*?\\bhref\\s*=\\s*([^\\s\"'>]+)",
-)
+_BASE_PATTERNS = tag_attr_patterns("base", "href")
 
 
 def base_href_col(col: Column | str) -> Column:
@@ -298,12 +303,15 @@ def _bind1(expr: Column, fn) -> Column:
 
 
 _CANONICAL_TAG = (
-    "(?is)<link\\b[^>]*\\brel\\s*=\\s*['\"]?canonical\\b['\"]?[^>]*>"
+    "(?is)<link\\b[^>]*\\srel\\s*=\\s*['\"]?canonical\\b['\"]?[^>]*>"
 )
+# whitespace-preceded like tag_attr_patterns — `\bhref` would match
+# inside data-href (these run on a captured whole tag, where every
+# attribute is whitespace-separated)
 _TAG_HREF_PATTERNS = (
-    "(?is)\\bhref\\s*=\\s*\"([^\"]*)\"",
-    "(?is)\\bhref\\s*=\\s*'([^']*)'",
-    "(?is)\\bhref\\s*=\\s*([^\\s\"'>]+)",
+    "(?is)\\shref\\s*=\\s*\"([^\"]*)\"",
+    "(?is)\\shref\\s*=\\s*'([^']*)'",
+    "(?is)\\shref\\s*=\\s*([^\\s\"'>]+)",
 )
 
 
@@ -472,7 +480,7 @@ def link_edges(
 # elements first (non-greedy, so nested inline markup stays inside
 # one element), then href + inner text per element.
 
-_ANCHOR_TAG_PATTERN = "(?is)<a\\b[^>]*\\bhref[^>]*>.*?</a>"
+_ANCHOR_TAG_PATTERN = "(?is)<a\\b[^>]*\\shref[^>]*>.*?</a>"
 
 
 def anchor_pairs_col(col: Column | str) -> Column:

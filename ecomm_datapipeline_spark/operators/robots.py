@@ -583,7 +583,6 @@ def cached_robots_rules(
     ttl_s: float = 24 * 3600,
     url_col: str = "url",
     now=None,
-    now_fn=None,
 ) -> DataFrame:
     """Rules for every authority in `urls`, served from a PERSISTENT
     robots-body cache and refreshed through the fetch seam only for
@@ -623,7 +622,7 @@ def cached_robots_rules(
     from ..sources import tables
 
     if now is None:
-        now = now_fn() if now_fn is not None else datetime.now(timezone.utc)
+        now = datetime.now(timezone.utc)
     needed = _robots_targets(urls, url_col).localCheckpoint()
     try:
         have = (

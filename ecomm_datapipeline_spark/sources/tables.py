@@ -129,21 +129,26 @@ def write_table(
         writer.mode(mode).parquet(path)
 
 
-def staged_overwrite(df: DataFrame, path: str) -> None:
+def staged_overwrite(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
     """Overwrite `path` with `df` such that a crash at any point leaves
     either the previous content or the new content, never a
     half-written dir: write to a sibling tmp, then rename into place
     (_swap_into when the target exists). The sidecar-table write
-    primitive (frontier meta/WAL/hostquiet, robots body cache); all
-    driver-side file ops go through the fs seam (driverfs.py), so the
-    sidecars can live on shared storage."""
+    primitive (frontier meta/WAL/hostquiet/worklist, robots body
+    cache); all driver-side file ops go through the fs seam
+    (driverfs.py), so the sidecars can live on shared storage."""
     import uuid
 
     from ..driverfs import fs_for
 
     fs = fs_for(path)
     tmp = f"{path.rstrip('/')}__tmp_{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    writer = df.write
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.mode("overwrite").parquet(tmp)
     # isdir, not table_exists: a dataless dir (only _SUCCESS) still
     # blocks a rename and must be swapped out
     if fs.isdir(path):

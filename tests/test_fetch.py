@@ -1126,3 +1126,43 @@ def _tmp_frontier_dir():
     import tempfile
 
     return tempfile.mkdtemp(prefix="frontier_br_")
+
+
+def test_deflate_trailing_junk_is_omitted(spark, enc_server):
+    """A complete deflate stream followed by garbage must take the
+    omission path (d.unused_data check): trailing junk is either a
+    truncation artifact or smuggled bytes, never silently accepted."""
+    import zlib
+
+    junky = zlib.compress(b"<p>x</p>") + b"JUNKJUNK"
+    base, _ = enc_server(
+        {
+            "/junk": (junky, {"Content-Encoding": "deflate"}),
+            "/ok": (b"<p>fine</p>", {}),
+        }
+    )
+    fetch = fetch_mod.http_fetcher(timeout_s=5)
+    got = {
+        r["url"]: r["html"]
+        for r in fetch(
+            _wave(spark, [f"{base}/junk", f"{base}/ok"])
+        ).collect()
+    }
+    assert set(got) == {f"{base}/ok"}
+
+
+def test_inflate_capped_unit_pins():
+    import zlib
+
+    from ecomm_datapipeline_spark.operators.fetch import _inflate_capped
+
+    body = b"<p>deflated</p>"
+    zl = zlib.compress(body)
+    raw = zlib.compressobj(wbits=-15)
+    bare = raw.compress(body) + raw.flush()
+    assert _inflate_capped(zl, 100) == body
+    assert _inflate_capped(bare, 100) == body
+    assert _inflate_capped(zl + b"junk", 100) is None
+    assert _inflate_capped(b"not deflate", 100) is None
+    assert _inflate_capped(b"", 100) is None
+    assert _inflate_capped(zlib.compress(b"A" * 1000), 100) is None

@@ -150,3 +150,35 @@ def test_wat_validation(spark, tmp_path):
         wat.write_wat_shards(
             _docs(spark).drop("url"), str(tmp_path / "y")
         )
+
+
+def test_link_kinds_ignore_data_prefixed_attributes(spark, tmp_path):
+    """Lazy-loading markup: data-src/data-href must neither be
+    extracted as the link value nor shadow the REAL attribute in the
+    same tag ('-' is a regex word boundary, so a \\b-anchored pattern
+    did both)."""
+    docs = spark.createDataFrame(
+        [
+            (
+                "d0",
+                "https://a.example/",
+                '<img data-src="https://a.example/real.jpg"'
+                ' src="https://a.example/placeholder.gif">'
+                '<a data-href="https://a.example/fake" '
+                'href="https://a.example/true">t</a>'
+                '<img src="https://a.example/plain.png" '
+                'data-src="https://a.example/lazy.png">',
+            ),
+        ],
+        "doc_id string, url string, html string",
+    )
+    out = str(tmp_path / "wat")
+    wat.write_wat_shards(docs, out, n_shards=1)
+    r = wat.read_wat(spark, os.path.join(out, "*.warc.gz")).first()
+    entries = {(e["path"], e["url"]) for e in r["link_entries"]}
+    assert entries == {
+        ("IMG@/src", "https://a.example/placeholder.gif"),
+        ("IMG@/src", "https://a.example/plain.png"),
+        ("A@/href", "https://a.example/true"),
+    }
+    assert r["links"] == ["https://a.example/true"]
