@@ -4754,6 +4754,400 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r12: families previously verified only in pytest promoted to oracle
+# gate rows — privacy, SCD2, CDC collapse, co-visitation, trending,
+# record linkage, drift (PSI), global rank, rolling-zscore anomaly —
+# plus the classic-OLAP suite (operators/olap.py), whose DuckDB twins
+# already existed and ran differentially in tests/test_olap.py.  Every
+# row wraps the REAL operator function; the query body only binds
+# testdata columns and casts booleans to int / quantizes the one
+# derived double (the maxsim_q round-6 convention) so the gate hash is
+# engine-portable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "privacy_release_audit",
+    """
+    WITH g AS (
+      SELECT c_mktsegment,
+             '[' || CAST(CAST(-1000 + FLOOR((c_acctbal - (-1000.0))/2000.0)*2000 AS BIGINT) AS VARCHAR)
+                 || ',' || CAST(CAST(-1000 + (FLOOR((c_acctbal - (-1000.0))/2000.0) + 1)*2000 AS BIGINT) AS VARCHAR)
+                 || ')' AS bal_band,
+             c_nationkey
+      FROM customer
+    )
+    SELECT c_mktsegment, bal_band,
+           COUNT(*) AS group_size,
+           CAST(COUNT(*) < 5 AS INT) AS suppressed,
+           COUNT(DISTINCT c_nationkey)
+             + MAX(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS sensitive_distinct,
+           CAST(COUNT(DISTINCT c_nationkey)
+             + MAX(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) >= 3 AS INT) AS diverse
+    FROM g GROUP BY 1, 2
+    """,
+    "ext-privacy (k-anonymity / l-diversity)",
+)
+def privacy_release_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity release audit over customer: quasi =
+    (segment, $2000 acctbal band via generalize_numeric), sensitive =
+    nationkey; k=5, l=3. Exercises privacy.k_anonymity_report AND
+    privacy.l_diversity_report joined on the quasi key (the two audits
+    a release review reads side by side)."""
+    from ..operators.privacy import (
+        generalize_numeric,
+        k_anonymity_report,
+        l_diversity_report,
+    )
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "bal_band", generalize_numeric(F.col("c_acctbal"), 2000.0, -1000.0)
+    )
+    quasi = ["c_mktsegment", "bal_band"]
+    rep = k_anonymity_report(c, quasi, k=5).withColumn(
+        "suppressed", F.col("suppressed").cast("int")
+    )
+    ldiv = l_diversity_report(c, quasi, "c_nationkey", l=3).select(
+        *quasi,
+        "sensitive_distinct",
+        F.col("diverse").cast("int").alias("diverse"),
+    )
+    return rep.join(ldiv, quasi)
+
+
+@register(
+    "scd2_priority_history",
+    """
+    WITH c AS (
+      SELECT o_custkey, o_orderdate,
+             arg_min(o_orderpriority, o_orderkey) AS o_orderpriority
+      FROM orders GROUP BY 1, 2
+    ), f AS (
+      SELECT *, LAG(o_orderpriority) OVER
+                  (PARTITION BY o_custkey ORDER BY o_orderdate) AS prev
+      FROM c
+    ), v AS (
+      SELECT * FROM f WHERE prev IS NULL OR o_orderpriority <> prev
+    )
+    SELECT o_custkey, o_orderpriority,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate) AS valid_to,
+           CAST(LEAD(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate) IS NULL AS INT)
+             AS is_current
+    FROM v
+    """,
+    "ext-scd2 (type-2 history from a change log)",
+)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history of each customer's order priority: one change row
+    per (custkey, orderdate) — ties broken by min orderkey so the log
+    is deterministic — folded through scd.scd2_from_changes (identical
+    consecutive states collapse; lead() closes each version; open
+    version has valid_to NULL)."""
+    from ..operators.scd import scd2_from_changes
+
+    o = _t(spark, sf_dir, "orders")
+    ch = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.min_by("o_orderpriority", "o_orderkey").alias("o_orderpriority")
+    )
+    hist = scd2_from_changes(ch, "o_custkey", "o_orderdate", ["o_orderpriority"])
+    return hist.withColumn("is_current", F.col("is_current").cast("int"))
+
+
+@register(
+    "cdc_collapse_survivors",
+    """
+    WITH ch AS (
+      SELECT user_id, event_id AS seq,
+             CASE WHEN event_type = 'signup' THEN 'I'
+                  WHEN event_type = 'error' THEN 'D'
+                  ELSE 'U' END AS op,
+             event_type,
+             CAST(FLOOR(value*100 + 0.5) AS BIGINT) AS value_cents
+      FROM events
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER
+                  (PARTITION BY user_id ORDER BY seq DESC) AS rn
+      FROM ch
+    )
+    SELECT user_id, seq, op, event_type, value_cents FROM r WHERE rn = 1
+    """,
+    "ext-cdc (batch collapse, last-writer-wins)",
+)
+def cdc_collapse_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cdc.collapse_changes over a CDC log derived from events
+    (key=user_id, seq=event_id — unique, so the oracle's plain
+    max-seq row_number is the exact survivor; the op-rank and
+    payload-struct tie-breaks are pinned by tests/test_cdc.py's
+    duplicate-seq cases). Survivor = the highest-seq change per user."""
+    from ..operators.cdc import collapse_changes
+
+    e = _t(spark, sf_dir, "events")
+    ch = e.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        "event_type",
+        cents(F.col("value")).alias("value_cents"),
+    )
+    return collapse_changes(ch, ["user_id"])
+
+
+@register(
+    "covisitation_pairs",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, json_extract_string(props, '$.k') AS item,
+        CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                  > INTERVAL 30 MINUTE
+               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sessions AS (
+      SELECT user_id, item,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged WHERE item IS NOT NULL
+    ), si AS (
+      SELECT DISTINCT user_id, session_id, item FROM sessions
+    ), sized AS (
+      SELECT user_id, session_id FROM si GROUP BY 1, 2
+      HAVING count(*) BETWEEN 2 AND 50
+    )
+    SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_sessions
+    FROM si a
+    JOIN si b ON a.user_id = b.user_id AND a.session_id = b.session_id
+             AND a.item < b.item
+    JOIN sized s ON a.user_id = s.user_id AND a.session_id = s.session_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+    "ext-covisitation (within-session item pairs)",
+)
+def covisitation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """covisitation.covisitation_counts over events (30-min sessionize,
+    item = props.$.k): sessions containing both items of a pair,
+    max_items=50 skew cap, min_sessions=2. The oracle is the
+    tests/test_covisitation.py differential SQL bound to the same
+    parameters."""
+    from ..operators.covisitation import covisitation_counts
+
+    e = _t(spark, sf_dir, "events")
+    pairs, _skipped = covisitation_counts(e, min_sessions=2, max_items=50)
+    return pairs
+
+
+@register(
+    "trending_topk_events",
+    """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - j * INTERVAL '30 minutes' AS window_start,
+             event_type AS key
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS j)
+    ), c AS (
+      SELECT window_start, key, COUNT(*) AS n FROM w GROUP BY 1, 2
+    ), r AS (
+      SELECT window_start, key, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                    ORDER BY n DESC, key) AS INT) AS "rank"
+      FROM c
+    )
+    SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+           key, n, "rank"
+    FROM r WHERE "rank" <= 3
+    """,
+    "ext-trending (sliding-window top-k)",
+)
+def trending_topk_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trending.trending_topk: hottest event types per sliding 1h/30m
+    window (rank 1 = most events, ties by key). The oracle fans each
+    event into its two overlapping windows explicitly (epoch-aligned
+    30-min buckets — time_bucket's origin sits on a 30-min boundary,
+    matching F.window's epoch alignment)."""
+    from ..operators.trending import trending_topk
+
+    e = _t(spark, sf_dir, "events")
+    return trending_topk(e, "event_type", k=3, window="1 hour", slide="30 minutes")
+
+
+@register(
+    "linkage_scored_pairs",
+    """
+    WITH keyed AS (
+      SELECT p_partkey AS id,
+             regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g') AS nm
+      FROM part
+    ), nz AS (SELECT * FROM keyed WHERE length(nm) > 0),
+    blocks AS (
+      SELECT id, nm, 'p:' || substring(nm, 1, 4) AS block_key FROM nz
+      UNION ALL
+      SELECT id, nm, 's:' || right(nm, 4) AS block_key FROM nz
+    ), ok AS (
+      SELECT block_key FROM blocks GROUP BY 1 HAVING count(*) <= 60
+    ), kb AS (SELECT b.* FROM blocks b JOIN ok USING (block_key)),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                      a.nm AS name_a, b.nm AS name_b
+      FROM kb a JOIN kb b USING (block_key)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           1.0 - CAST(levenshtein(name_a, name_b) AS DOUBLE)
+               / greatest(length(name_a), length(name_b), 1) AS sim
+    FROM pairs
+    """,
+    "ext-linkage (blocked candidate pairs + edit similarity)",
+)
+def linkage_scored_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linkage.candidate_pairs + linkage_scores over part names
+    (prefix/suffix blocking, max_block_size=60 — the generic 4-char
+    prefix blocks exceed the cap and are dropped, exercising the
+    skew guard; sim = 1 - levenshtein/max_len, identical definitions
+    in both engines)."""
+    from ..operators.linkage import candidate_pairs, linkage_scores
+
+    p = _t(spark, sf_dir, "part")
+    return linkage_scores(candidate_pairs(p, "p_partkey", "p_name", max_block_size=60))
+
+
+@register(
+    "drift_psi_segments",
+    """
+    WITH o AS (
+      SELECT c_mktsegment AS category, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM customer WHERE c_custkey % 2 = 0 GROUP BY 1
+    ), n2 AS (
+      SELECT c_mktsegment AS category, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM customer WHERE c_custkey % 2 = 1 GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT SUM(n) FROM o) AS so, (SELECT SUM(n) FROM n2) AS sn
+    ), j AS (
+      SELECT COALESCE(o.category, n2.category) AS category,
+             COALESCE(o.n, 0) AS po, COALESCE(n2.n, 0) AS qn
+      FROM o FULL OUTER JOIN n2 ON o.category = n2.category
+    )
+    SELECT category,
+           po / so AS old_frac,
+           qn / sn AS new_frac,
+           CAST(FLOOR((GREATEST(po/so, 1e-4) - GREATEST(qn/sn, 1e-4))
+                * LN(GREATEST(po/so, 1e-4) / GREATEST(qn/sn, 1e-4))
+                * 1000000000 + 0.5) AS BIGINT) AS contribution_q9
+    FROM j, tot
+    """,
+    "ext-drift (categorical PSI)",
+)
+def drift_psi_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drift.categorical_psi between the even- and odd-custkey customer
+    populations on c_mktsegment (a deterministic A/B split). Fractions
+    are exact count ratios; the per-category PSI contribution is
+    quantized at 1e-9 (cents-style floor) since it carries an ln()."""
+    from ..operators.drift import categorical_psi
+
+    c = _t(spark, sf_dir, "customer")
+    old = c.filter(F.col("c_custkey") % 2 == 0)
+    new = c.filter(F.col("c_custkey") % 2 == 1)
+    _total, breakdown = categorical_psi(old, new, "c_mktsegment")
+    return breakdown.select(
+        "category",
+        "old_frac",
+        "new_frac",
+        F.floor(F.col("contribution") * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("contribution_q9"),
+    )
+
+
+@register(
+    "recommend_global_rank",
+    """
+    SELECT o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS idx
+    FROM orders
+    """,
+    "ext-recommend (distributed global rank / zipWithIndex)",
+)
+def recommend_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recommend.global_rank over orders by (totalprice desc, orderkey)
+    — the range-partitioned global row number (per-partition counts
+    folded into plan-literal offsets; no single-partition window). The
+    oracle is the single-window ROW_NUMBER it must equal."""
+    from ..operators.recommend import global_rank
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return global_rank(
+        o, [F.desc("o_totalprice"), F.asc("o_orderkey")], idx_col="idx"
+    )
+
+
+@register(
+    "anomaly_zscore_hourly",
+    """
+    WITH s AS (
+      SELECT date_trunc('hour', ts) AS bucket_ts,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1
+    ), st AS (
+      SELECT bucket_ts, n,
+             AVG(n) OVER w AS m,
+             STDDEV_SAMP(n) OVER w AS sd,
+             COUNT(n) OVER w AS h
+      FROM s
+      WINDOW w AS (ORDER BY bucket_ts ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT bucket_ts, CAST(n AS BIGINT) AS n,
+           ROUND(m, 6) AS trailing_mean_r6,
+           ROUND(sd, 6) AS trailing_std_r6,
+           ROUND(CASE WHEN h >= 6 AND sd > 0 THEN (n - m)/sd END, 6) AS zscore_r6,
+           CAST(COALESCE(
+                 ABS(CASE WHEN h >= 6 AND sd > 0 THEN (n - m)/sd END) >= 3.0
+                 OR (h >= 6 AND sd = 0 AND n <> m), FALSE) AS INT) AS is_anomaly
+    FROM st
+    """,
+    "ext-anomaly (rolling z-score)",
+)
+def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anomaly.rolling_zscore_anomalies on the hourly event count
+    series (trailing 24 buckets, |z| >= 3, min_history 6). Counts are
+    integral doubles so the trailing mean is exact; the std/zscore
+    doubles are round-6-quantized for the cross-engine hash (the
+    maxsim_q convention)."""
+    from ..operators.anomaly import rolling_zscore_anomalies
+
+    e = _t(spark, sf_dir, "events")
+    out = rolling_zscore_anomalies(
+        e, bucket="hour", trailing=24, z_threshold=3.0, min_history=6
+    )
+    return out.select(
+        "bucket_ts",
+        F.col("n").cast("long").alias("n"),
+        F.round("trailing_mean", 6).alias("trailing_mean_r6"),
+        F.round("trailing_std", 6).alias("trailing_std_r6"),
+        F.round("zscore", 6).alias("zscore_r6"),
+        F.col("is_anomaly").cast("int").alias("is_anomaly"),
+    )
+
+
+# The classic-OLAP suite: operators/olap.py ships 19 TPC-H-shaped
+# queries, each with a DuckDB twin (OLAP_ORACLES) that has run
+# differentially in tests/test_olap.py since r6 with the same canon +
+# value-hash discipline as this gate.  Registering them here lifts
+# that verification into the driver's CORRECTNESS artifact.
+def _register_olap() -> None:
+    from ..operators.olap import OLAP_ORACLES, OLAP_QUERIES
+
+    for _name, _fn in OLAP_QUERIES.items():
+        REGISTRY[_name] = QuerySpec(_fn, OLAP_ORACLES[_name], "ext-olap (TPC-H shape)")
+
+
+_register_olap()
+
+
 def names() -> list[str]:
     return list(REGISTRY)
 

@@ -89,6 +89,10 @@ def test_compact_table_range_clustering(spark, tmp_path):
 #   event_funnel / weekly_retention — scalar/spine-sized cross steps
 #   train_split_assign — r5 shard self-verify: the ONE-row balance
 #     aggregate cross-joins onto the per-doc split rows (broadcast)
+#   revenue_concentration / idle_rich_customers — r12 OLAP promotions:
+#     the "% of global total" scalar stays in-plan as a broadcast
+#     one-row cross (olap.py documents the shape; the broadcast side
+#     is exactly one row)
 CROSS_ALLOWED = {
     "embedding_neardup_pairs",
     "ann_cosine_topk",
@@ -97,6 +101,8 @@ CROSS_ALLOWED = {
     "event_funnel",
     "weekly_retention",
     "train_split_assign",
+    "revenue_concentration",
+    "idle_rich_customers",
 }
 
 # Iterative queries run driver-side loops at plan-build time; they are

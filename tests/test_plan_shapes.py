@@ -115,6 +115,36 @@ PINNED = {
     "text_pattern_scan": (0, 0, 0),
     "embedding_stats": (0, 0, 0),
     "approx_distinct_users": (5, 1, 0),  # sketch rollup + exact twin
+    # r12 promotions — captured equal to actuals at sf0.001 on the day
+    # they entered the gate (same recapture discipline as round 8).
+    "privacy_release_audit": (3, 0, 0),  # window count + 2 report aggs
+    "scd2_priority_history": (2, 3, 0),  # change dedup agg + lag/lead windows
+    "cdc_collapse_survivors": (1, 2, 0),  # one keyed max_by collapse
+    "covisitation_pairs": (2, 1, 1),  # sessionize window + pair agg, ONE explode
+    "trending_topk_events": (3, 3, 0),  # sliding-window agg + bounded rank
+    "linkage_scored_pairs": (3, 2, 0),  # block agg + block join + pair dedup
+    "drift_psi_segments": (0, 0, 0),  # breakdown is a driver-built local frame
+    "recommend_global_rank": (1, 1, 0),  # post-checkpoint: per-partition window
+    "anomaly_zscore_hourly": (2, 1, 0),  # bucket agg + trailing window
+    "revenue_concentration": (3, 1, 0),
+    "supplier_variety_excluding": (3, 1, 0),
+    "sole_late_supplier": (8, 4, 0),  # Q21: EXISTS + NOT EXISTS legs
+    "customer_order_distribution": (3, 1, 0),
+    "large_volume_orders": (2, 1, 0),
+    "idle_rich_customers": (4, 1, 0),
+    "top_acctbal_customer_per_nation": (2, 2, 0),
+    "late_ship_priority_counts": (4, 3, 0),
+    "volume_shipping": (2, 1, 0),
+    "market_share": (2, 1, 0),
+    "promo_revenue_pct": (2, 1, 0),
+    "nation_part_revenue": (2, 1, 0),
+    "acctbal_rank_profile": (2, 2, 0),
+    "forecast_revenue_change": (1, 0, 0),
+    "priority_lateness_counts": (2, 1, 0),
+    "top_supplier_revenue": (4, 1, 0),
+    "small_quantity_revenue": (2, 1, 0),
+    "bracket_revenue": (1, 0, 0),
+    "excess_volume_suppliers": (3, 1, 0),
 }
 
 
