@@ -5139,24 +5139,31 @@ def anomaly_zscore_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value-hash discipline as this gate.  Registering them here lifts
 # that verification into the driver's CORRECTNESS artifact.
 def _register_olap() -> None:
+    """Lazy: operators/olap.py imports this module's _t/cents/dollars
+    helpers, so registering at catalog-import time would be a circular
+    import whenever olap is imported first. Idempotent — every public
+    accessor calls it."""
     from ..operators.olap import OLAP_ORACLES, OLAP_QUERIES
 
     for _name, _fn in OLAP_QUERIES.items():
-        REGISTRY[_name] = QuerySpec(_fn, OLAP_ORACLES[_name], "ext-olap (TPC-H shape)")
-
-
-_register_olap()
+        if _name not in REGISTRY:
+            REGISTRY[_name] = QuerySpec(
+                _fn, OLAP_ORACLES[_name], "ext-olap (TPC-H shape)"
+            )
 
 
 def names() -> list[str]:
+    _register_olap()
     return list(REGISTRY)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _register_olap()
     return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _register_olap()
     return {
         name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
     }
