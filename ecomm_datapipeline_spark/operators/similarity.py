@@ -483,7 +483,16 @@ def embedding_near_dup_pairs(
         F.col("_n").alias("nb"),
     ]
     if exact:
-        joined = d.select(*cols_a).crossJoin(d.select(*cols_b))
+        # The O(n^2) oracle path parallelizes over the STREAMED (left)
+        # side of the nested-loop cross: a small single-file embeddings
+        # table scans as 1-2 partitions, which would serialize the n^2
+        # dot products onto as many cores (measured: 25+ min 2-wide at
+        # sf1 vs minutes 32-wide). Round-robin the left side to
+        # defaultParallelism first — a no-op on well-split input, and
+        # the right side stays a single broadcast either way.
+        from .dedup import _parallelize
+
+        joined = _parallelize(d.select(*cols_a)).crossJoin(d.select(*cols_b))
     else:
         a = d.select(*cols_a, F.col("bucket").alias("ba"))
         b = d.select(*cols_b, F.col("bucket").alias("bb"))
@@ -832,4 +841,69 @@ def pq_topk(
         [F.col("approx_dist").asc(), F.col("neighbor_id")],
         k,
         [query_id_col, "neighbor_id", "approx_dist", "rank"],
+    )
+
+
+def pq_topk_rerank(
+    encoded: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    true_vecs: DataFrame,
+    k: int = 5,
+    shortlist_factor: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    code_col: str = "pq_code",
+    method: str = "auto",
+    literal_max_queries: int = 100,
+) -> DataFrame:
+    """ADC shortlist + exact squared-L2 re-rank — the production PQ
+    serving shape, and the non-indexed twin of ann_index.ivf_pq_topk
+    mode="adc_rerank".
+
+    Raw ADC ordering degrades as the corpus grows: with more vectors
+    the true top-k margins shrink below the quantization distortion
+    (the r12 sf1 canary measured pq recall@5 falling from 0.30 at
+    2k structureless vectors to under 0.1 at 20k). The standard remedy
+    is over-retrieval: take k*shortlist_factor candidates by ADC (one
+    cheap code-table scan), then re-score ONLY the shortlist —
+    O(Q * k * factor) exact distances, corpus-size-independent —
+    against the true vectors and return the exact-ranked top k.
+    The shortlist side is broadcast into the true-vector equi-join,
+    so the re-rank adds no corpus-sized shuffle."""
+    if shortlist_factor < 1:
+        raise ValueError(f"shortlist_factor must be >= 1: {shortlist_factor}")
+    wide = pq_topk(
+        encoded,
+        queries,
+        codebooks,
+        k=k * shortlist_factor,
+        vec_col=vec_col,
+        id_col=id_col,
+        query_id_col=query_id_col,
+        code_col=code_col,
+        method=method,
+        literal_max_queries=literal_max_queries,
+    )
+    tv = _as_double(true_vecs, vec_col, "_tv").select(
+        F.col(id_col).alias("neighbor_id"), "_tv"
+    )
+    qv = _as_double(queries, vec_col, "_qv").select(F.col(query_id_col), "_qv")
+    dist = F.aggregate(
+        F.zip_with("_tv", "_qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        tv.join(F.broadcast(wide.select(query_id_col, "neighbor_id")), "neighbor_id")
+        .join(F.broadcast(qv), query_id_col)
+        .withColumn("dist", dist)
+    )
+    return _topk_per_key(
+        scored,
+        query_id_col,
+        [F.col("dist").asc(), F.col("neighbor_id")],
+        k,
+        [query_id_col, "neighbor_id", "dist", "rank"],
     )

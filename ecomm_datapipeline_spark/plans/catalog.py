@@ -2351,6 +2351,7 @@ def ann_cosine_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         euclidean_topk_bruteforce,
         pq_encode,
         pq_topk,
+        pq_topk_rerank,
         pq_train,
     )
 
@@ -2408,16 +2409,28 @@ def ann_cosine_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # PQ leg (VERDICT r4 item 1): ADC approximates SQUARED L2, so its
     # exact twin is the euclidean brute force, not the cosine one.
-    # recall floor 0.1 (observed 0.30 at sf0.01; random is k/N = 0.01);
-    # for 'pq' the sim_parity_ok column carries the self-retrieval
-    # invariant instead (every query's rank-1 ADC neighbor is itself —
-    # its reconstruction distance is the subspace-wise minimum).
-    codebooks = pq_train(emb, m=8, k=16)
+    # recall floor 0.1 over the ADC-shortlist + exact-rerank path
+    # (similarity.pq_topk_rerank, the production serving shape): raw
+    # ADC recall is corpus-size-sensitive on structureless vectors —
+    # the r12 sf1 canary measured it at 0.30 (sf0.01) but <0.1 at 20k
+    # vectors — while the reranked path holds the floor at every
+    # tested scale. Codebooks are 6-bit (k=64): 4-bit (16) is too
+    # coarse for 20k structureless vectors even with rerank (measured
+    # 4/50 at sf1 vs 15/50 at k=64); 8-bit (256), the serving
+    # standard, triples training time for no floor-relevant gain
+    # here. The raw-ADC leg keeps the scale-independent
+    # self-retrieval invariant in sim_parity_ok (every query's rank-1
+    # ADC neighbor is itself — its reconstruction distance is the
+    # subspace-wise minimum).
+    codebooks = pq_train(emb, m=8, k=64)
     encoded = pq_encode(emb, codebooks)
     pqk = pq_topk(encoded, queries, codebooks, k=6)
+    pqk_rr = pq_topk_rerank(
+        encoded, queries, codebooks, emb, k=6, shortlist_factor=5
+    )
     exact_l2 = euclidean_topk_bruteforce(emb, queries, k=5)
     pq_overlap = (
-        pqk.filter(F.col("neighbor_id") != F.col("query_id"))
+        pqk_rr.filter(F.col("neighbor_id") != F.col("query_id"))
         .join(
             exact_l2.select("query_id", "neighbor_id"),
             ["query_id", "neighbor_id"],

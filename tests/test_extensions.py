@@ -521,6 +521,41 @@ def test_pq_encode_properties(spark, emb):
     assert "Exchange" not in plan and "EvalPython" not in plan, plan
 
 
+def test_pq_topk_rerank_matches_exact_when_shortlist_covers_corpus(spark, emb):
+    """pq_topk_rerank with k*shortlist_factor >= corpus size ADC-lists
+    the whole corpus, so the exact re-rank must reproduce the
+    euclidean brute force exactly: self at rank 1 (distance 0), then
+    the true L2 top-k in order — regardless of how lossy the
+    codebooks are. (The scale story — raw ADC recall decaying with
+    corpus size, rerank holding the floor — is measured in the
+    ann_cosine_topk_approx gate row and docs/SCALE.md r12.)"""
+    from ecomm_datapipeline_spark.operators import similarity
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cbs = similarity.pq_train(emb, m=4, k=16)
+    enc = similarity.pq_encode(emb, cbs)
+    n = emb.count()
+    rr = similarity.pq_topk_rerank(
+        enc, queries, cbs, emb, k=6, shortlist_factor=(n // 6) + 1
+    )
+    got = {}
+    for r in rr.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    exact = similarity.euclidean_topk_bruteforce(emb, queries, k=5)
+    want = {}
+    for r in exact.collect():
+        want.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert set(got) == set(want)
+    for qid, rows in got.items():
+        rows.sort()
+        assert rows[0] == (1, qid), f"query {qid} did not retrieve itself first"
+        assert [nid for _, nid in rows[1:]] == [
+            nid for _, nid in sorted(want[qid])
+        ], f"query {qid}: reranked tail != exact top-k"
+
+
 def test_pq_topk_self_retrieval_and_recall(spark, emb):
     """Every query retrieves ITSELF at rank 1 (its reconstruction
     distance is the subspace-wise minimum), distances ascend with

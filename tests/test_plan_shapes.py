@@ -83,11 +83,18 @@ PINNED = {
     # (avg own-centroid vs hash-random-centroid sim); the assignment
     # itself is per-row against centroid literals — no id-join, no
     # corpus shuffle (assign_clusters used directly).
-    "ann_cosine_topk_approx": (25, 35, 4),  # 5-method self-verifier + 2 exact twins
+    # r12: +4 exchanges/+6 sorts = the PQ ADC-shortlist + exact-rerank
+    # leg (pq_topk_rerank) — two broadcast joins + one partial top-k
+    # over the Q*k*factor shortlist, never the corpus.
+    "ann_cosine_topk_approx": (29, 41, 4),  # 5-method self-verifier + 2 exact twins
     # r5: the SemDeDup self-verifier runs the full cluster->pair->
     # dedup->recheck pipeline in-plan (cluster-key joins + one-row
     # aggs); the base exact-pair leg itself is still shuffle-free.
-    "embedding_neardup_pairs": (12, 8, 0),
+    # r12: +4 exchanges = the exact-path left-side _parallelize
+    # (similarity.embedding_near_dup_pairs) printed once per
+    # self-verifier branch reusing the base subtree — the sf1 canary
+    # caught the n^2 cross running 2-wide on an under-split scan.
+    "embedding_neardup_pairs": (16, 8, 0),
     # r5: +1 exchange each — an explicit _parallelize spreads the
     # one-row-group documents scan before the CPU-bound interpreted
     # folds (repetition/BPE/LM); <1 MB shuffled vs seconds of
