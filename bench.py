@@ -88,6 +88,38 @@ def _pq_topk_slot(spark, sf_dir: str):
     return run
 
 
+def _pq_rerank_slot(spark, sf_dir: str):
+    """PQ ADC-shortlist + exact-rerank slot (r12): the production
+    serving shape (similarity.pq_topk_rerank) over the same
+    offline-built code table as pq_topk_adc. Times the steady state:
+    ADC scan to a k*5 shortlist + exact squared-L2 re-scoring of JUST
+    the shortlist (O(Q*k*factor) true distances, corpus-independent)
+    — the delta over pq_topk_adc is the price of scale-robust recall
+    (see the ann_cosine_topk_approx gate row and docs/SCALE.md r12)."""
+    from pyspark.sql import functions as F
+
+    from ecomm_datapipeline_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    codebooks = pq_train(emb, m=8, k=16)
+    encoded = pq_encode(emb, codebooks).localCheckpoint()
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq_topk_rerank(
+        encoded, queries, codebooks, emb, k=10, shortlist_factor=5
+    )
+
+    def run(spark, sf_dir):
+        return out
+
+    return run
+
+
 def _semdedup_slot(spark, sf_dir: str):
     """SemDeDup bench slot (r5): k-means fit is the offline model-build
     step (fit_centroids outside the timed region, like PQ training);
@@ -516,6 +548,7 @@ def _bloom_blocked_slot(spark, sf_dir: str):
 
 _EXTRA_SLOT_BUILDERS = {
     "pq_topk_adc": _pq_topk_slot,
+    "pq_topk_rerank": _pq_rerank_slot,
     "semantic_dedup": _semdedup_slot,
     "hist_rollup_merge": _hist_rollup_slot,
     "corpus_diff": _corpus_diff_slot,
