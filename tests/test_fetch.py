@@ -119,13 +119,15 @@ def test_delay_column_beats_dict(spark, server):
         [(f"{base}/x", 0.2), (f"{base}/y", 0.2)],
         "url string, delay_s double",
     )
-    t0 = time.monotonic()
     assert fetch(wave).count() == 2
     # ...but the per-row delay_s column wins (the scale path where
-    # crawl_delay_budgets is joined onto the wave)
-    assert time.monotonic() - t0 < 4.0
+    # crawl_delay_budgets is joined onto the wave). Assert on the
+    # INTER-REQUEST gap, not wall-clock: the old `elapsed < 4.0`
+    # bound also counted cold JVM/Python-worker startup, which on a
+    # contended box exceeds 4 s by itself (r12: failed at 8-17 s
+    # elapsed while the gap was a correct 0.199 s every time).
     gaps = [b - a for (a, _), (b, _) in zip(log, log[1:])]
-    assert all(g >= 0.15 for g in gaps), gaps
+    assert all(0.15 <= g < 4.0 for g in gaps), gaps
 
 
 def test_429_after_n_degrades_to_omissions(spark, server):

@@ -1,0 +1,53 @@
+"""Time one or more bench slots in isolation: N noop-sink samples per
+slot in a fresh session, print every sample + min. Min-of-many is the
+least-noise basis on a steal-prone box (the r11 interleaved-A/B
+lesson); use this for optimization A/B, never single samples.
+
+Usage: python tools/time_slot.py slot[,slot...] [samples]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ecomm_datapipeline_spark.plans import catalog  # noqa: E402
+from ecomm_datapipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    names = sys.argv[1].split(",")
+    samples = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="time-slot")
+
+    import bench
+
+    bench._silence_benign_dag_errors(spark)
+    qs = catalog.queries()
+    headline = dict(bench.HEADLINE)
+    fns = {}
+    for name in names:
+        if name in headline:
+            fns[name] = qs[headline[name]]
+        elif name in qs:
+            fns[name] = qs[name]
+        else:
+            fns[name] = bench.build_extra_slots(spark, sf_dir, [name])[name]
+
+    for name, fn in fns.items():
+        if isinstance(fn, Exception):
+            raise fn
+        ts = []
+        for _ in range(samples):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 3))
+        print(f"{name}: min={min(ts)} samples={ts}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
