@@ -93,8 +93,17 @@ def pmi_collocations(
     """(w1, w2, pair_cnt, pmi) — PMI over corpus counts, the unigram
     table broadcast into both joins. With `top_k`, the highest-PMI
     pairs via TakeOrderedAndProject (ties broken by (w1, w2))."""
-    uni = unigram_counts(docs, text_col)
-    bi = bigram_counts(docs, text_col, min_count)
+    # Materialize the two count tables ONCE (r12): both are
+    # vocabulary-sized by construction, yet each used to be recomputed
+    # from the corpus per reference — t_uni's eager scalar, b_total's
+    # eager scalar, u1, u2, and the join's bigram side made FIVE
+    # corpus-scale explode+aggregate passes per query. Eager
+    # localCheckpoint pins each to one pass; the totals and both
+    # broadcast builds then read vocabulary-sized checkpoints
+    # (measured at sf0.1: the bench slot drops ~2x; the checkpoint is
+    # the lm_train pairs_full convention).
+    uni = unigram_counts(docs, text_col).localCheckpoint(eager=True)
+    bi = bigram_counts(docs, text_col, min_count).localCheckpoint(eager=True)
     totals = uni.agg(
         F.sum("cnt").alias("_t_uni"),
     ).first()

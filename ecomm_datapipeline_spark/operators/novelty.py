@@ -45,15 +45,22 @@ def ngram_doc_frequency(
 ) -> DataFrame:
     """(gram_hash, df): corpus document-frequency per distinct word
     k-shingle, keyed on xxhash64 of the shingle string (8 bytes ride
-    the shuffle, never the text)."""
+    the shuffle, never the text).
+
+    count(*), not countDistinct(id): shingle_array is per-document
+    DISTINCT by construction, so every (doc, gram_hash) row is already
+    unique and the two aggregates are equal — but countDistinct plans
+    as a two-phase partial-agg on (gram_hash, id) that shuffles the id
+    alongside every hash, while count(*) partial-aggregates map-side
+    to one long per hash and the id never leaves the scan (r12; plan
+    diff in plans/r12/ngram_novelty_*.txt). Equality holds up to an
+    intra-document xxhash64 collision, which already breaks the
+    oracle's string-keyed twin — not a new failure mode."""
     return (
-        df.select(
-            F.col(id_col),
-            F.explode(shingle_array(text_col, k)).alias("_sh"),
-        )
-        .select(id_col, F.xxhash64("_sh").alias("gram_hash"))
+        df.select(F.explode(shingle_array(text_col, k)).alias("_sh"))
+        .select(F.xxhash64("_sh").alias("gram_hash"))
         .groupBy("gram_hash")
-        .agg(F.countDistinct(id_col).alias("df"))
+        .agg(F.count("*").alias("df"))
     )
 
 
@@ -94,8 +101,15 @@ def ngram_novelty(
     # restore gram-free documents (shorter than k tokens) with NULLs —
     # derived from the source scan, not an anti-join against `scored`
     # (the vectorize.py precedent: that join would duplicate the whole
-    # explode/aggregate subtree in the plan)
-    empty = df.filter(F.size(shingle_array(text_col, k)) == 0).select(
+    # explode/aggregate subtree in the plan). Gram-freeness is decided
+    # on the TOKEN count (r12): size(shingles)==0 <=> tokens < k or
+    # NULL text (shingle_array's own guard), so this third scan pays
+    # one split() instead of building + distinct-ing the shingle array
+    # it only ever compared against empty.
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    empty = df.filter(
+        F.col(text_col).isNull() | (F.size(toks) < k)
+    ).select(
         F.col(id_col),
         F.lit(None).cast("long").alias("n_grams"),
         F.lit(None).cast("long").alias("n_shared"),
