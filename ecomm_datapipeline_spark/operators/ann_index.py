@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import tables
+from ._lit import lit_array
 from .similarity import (
     _as_double,
     _dot,
@@ -46,7 +47,7 @@ _PQ_CODEBOOKS = "pq_codebooks"
 
 
 def _centroid_literals(centroids: list[list[float]]) -> list[Column]:
-    return [F.array(*[F.lit(float(x)) for x in ctr]) for ctr in centroids]
+    return [lit_array(ctr, float) for ctr in centroids]
 
 
 def _sq_dists(vec_col: str, centroids: list[list[float]]) -> Column:

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._lit import lit_array
 from .text import tokens as _tokens
 
 
@@ -328,9 +329,9 @@ def negative_samples(
     vocab = [r["token"] for r in rows]
     prob, alias = _alias_table([float(r["cnt"]) ** power for r in rows])
     v = len(vocab)
-    vocab_lit = F.array(*[F.lit(t) for t in vocab])
-    prob_lit = F.array(*[F.lit(p) for p in prob])
-    alias_lit = F.array(*[F.lit(a) for a in alias])
+    vocab_lit = lit_array(vocab, str)
+    prob_lit = lit_array(prob, float)
+    alias_lit = lit_array(alias, int)
     # uniform in [0, 1) from the low 53 bits of xxhash64 (exactly the
     # double-precision mantissa width)
     mask = F.lit((1 << 53) - 1)

@@ -43,6 +43,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._lit import lit_array
 from .text import tokens as _ws_tokens
 
 #: OOV sentinel — a control character can never collide with a
@@ -87,8 +88,7 @@ def _mapped_tokens(text_col: str | Column, vocab: tuple[str, ...]) -> Column:
     if not vocab:
         return F.transform(toks, lambda x: F.lit(UNK))
     vmap = F.map_from_arrays(
-        F.array(*[F.lit(t) for t in vocab]),
-        F.array(*[F.lit(True) for _ in vocab]),
+        lit_array(vocab, str), lit_array([True] * len(vocab))
     )
     return F.transform(
         toks,
@@ -143,11 +143,32 @@ def lm_train(
     # bounded by (V+1)^2 rows, so prev totals and the top-P cut both
     # derive from it without re-reading the corpus (the second explode
     # pass was the dominant lm_train cost at sf0.1).
-    pairs_full = (
-        bi.groupBy("prev", "word")
-        .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
-    )
+    pairs_full = bi.groupBy("prev", "word").agg(F.count("*").alias("c"))
+    if (vocab_size + 1) ** 2 <= 1 << 18:
+        # Small-V fast path (r12): collect the (V+1)^2-bounded pair
+        # table ONCE and derive the prev sums and the deterministic
+        # top-P cut driver-side — one Spark job instead of three
+        # (eager checkpoint + two collects), identical counts and the
+        # identical (c desc, prev asc, word asc) tie-break. Guarded at
+        # 2^18 rows (~a few MB of strings) so a large-vocab train
+        # keeps the distributed cut and the <= V + P driver contract.
+        rows = pairs_full.collect()
+        prev_counts: dict[str, float] = {}
+        for r in rows:
+            prev_counts[r["prev"]] = prev_counts.get(r["prev"], 0.0) + float(
+                r["c"]
+            )
+        top = sorted(rows, key=lambda r: (-r["c"], r["prev"], r["word"]))
+        pair_counts = {
+            (r["prev"], r["word"]): float(r["c"]) for r in top[:max_pairs]
+        }
+        return NgramLM(
+            vocab=vocab,
+            prev_counts=prev_counts,
+            pair_counts=pair_counts,
+            alpha=alpha,
+        )
+    pairs_full = pairs_full.localCheckpoint(eager=True)
     prev_counts = {
         r["prev"]: float(r["s"])
         for r in pairs_full.groupBy("prev").agg(F.sum("c").alias("s")).collect()
@@ -243,14 +264,12 @@ def _model_literal(model: NgramLM) -> Column:
             F.struct(
                 F.lit(model.prev_counts.get(p, 0.0)).alias("pc"),
                 F.map_from_arrays(
-                    F.array(*[F.lit(w) for w in words]),
-                    F.array(*[F.lit(inner[w]) for w in words]),
+                    lit_array(words, str),
+                    lit_array([inner[w] for w in words], float),
                 ).alias("pairs"),
             )
         )
-    return F.map_from_arrays(
-        F.array(*[F.lit(p) for p in prevs]), F.array(*entries)
-    )
+    return F.map_from_arrays(lit_array(prevs, str), F.array(*entries))
 
 
 def lm_logprob_cols(model: NgramLM, text_col: str | Column = "text") -> dict[str, Column]:

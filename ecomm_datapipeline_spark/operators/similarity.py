@@ -27,6 +27,8 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ._lit import lit_array, lit_matrix
+
 
 # Unrolled-sum width cap: element_at chains beat the interpreted HOF
 # fold ONLY while the generated code stays JIT-friendly — measured on
@@ -251,7 +253,7 @@ def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     vec = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = lit_array(plane, float)
         proj = _dot(vec, lit_plane, len(plane))
         bucket = bucket + F.when(proj >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -386,7 +388,7 @@ def cosine_topk_ivf(
             F.aggregate(
                 F.zip_with(
                     "_qv",
-                    F.array(*[F.lit(float(x)) for x in ctr]),
+                    lit_array(ctr, float),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
@@ -532,7 +534,7 @@ def linear_classifier_score(
     dimension differs from len(weights) score NULL (loud in downstream
     filters, never a silent truncated dot product — zip_with would
     otherwise NULL-pad the shorter side)."""
-    w = F.array(*[F.lit(float(x)) for x in weights])
+    w = lit_array(weights, float)
     v = F.col(emb_col).cast("array<double>")
     # dim = len(weights): unrolled codegen dot; an element_at past a
     # shorter embedding yields NULL terms -> NULL sum, and the
@@ -620,7 +622,7 @@ def _sub_argmin_code(sub: Column, codebook: list[list[float]]) -> Column:
             F.aggregate(
                 F.zip_with(
                     sub,
-                    F.array(*[F.lit(float(x)) for x in ctr]),
+                    lit_array(ctr, float),
                     lambda a, b: (a - b) * (a - b),
                 ),
                 F.lit(0.0),
@@ -682,9 +684,7 @@ def pq_lut_col(vec_col: Column | str, codebooks: list[list[list[float]]]) -> Col
         # one-arg lambda on purpose: F.transform dispatches on lambda
         # ARITY, so capturing `sub` via a default arg would make it the
         # (int) element index
-        cb = F.array(
-            *[F.array(*[F.lit(float(x)) for x in ctr]) for ctr in book]
-        )
+        cb = lit_matrix(book)
         return F.transform(
             cb,
             lambda ctr: F.aggregate(
@@ -819,7 +819,7 @@ def pq_topk(
         qid, qv = row[query_id_col], row["_qv"]
         dist = None
         for j in range(m):
-            lut = F.array(*[F.lit(x) for x in lut_for(qv, j)])
+            lut = lit_array(lut_for(qv, j), float)
             term = F.element_at(lut, F.element_at(F.col(code_col), j + 1) + 1)
             dist = term if dist is None else dist + term
         score_cols.append((qid, dist))

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ._lit import lit_array
+
 
 def distinct_sketch_rollup(
     df: DataFrame,
@@ -85,7 +87,7 @@ def approx_quantiles(
     <= 1/accuracy of the group size."""
     qs = F.approx_percentile(
         F.col(value_col),
-        F.array(*[F.lit(p) for p in probabilities]),
+        lit_array(probabilities, float),
         F.lit(accuracy),
     )
     out = df.groupBy(*group_cols).agg(qs.alias("_q"))

@@ -2481,9 +2481,9 @@ def ann_cosine_topk_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matching the module's own zero-shuffle assignment claim
     order = assign_clusters(emb, cents, vec_col="embedding", id_col="vec_id")
     dim = len(cents[0])
-    carr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
-    )
+    from ..operators._lit import lit_matrix
+
+    carr = lit_matrix(cents)
     h = F.pmod(F.xxhash64(F.col("vec_id"), F.lit(9)), F.lit(k_icp))
     rand_centroid = F.element_at(carr, (h + 1).cast("int"))
     icp_agg = order.agg(
@@ -2943,6 +2943,8 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     BM25's pass-1 stats and lm_train's capped model collect are tiny
     eager jobs (k+2 scalars / <=V+P rows); scoring then rides the
     same single document scan as quality + lang-id, zero shuffles."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.dedup import _parallelize
     from ..operators.lm import lm_logprob_cols, lm_train
     from ..operators.search import bm25_score_cols
@@ -2951,10 +2953,21 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the CPU-bound scoring scan AND lm_train's aggregation
     # passes off the one-row-group scan (see text_profile's note)
     docs = _parallelize(_t(spark, sf_dir, "documents"))
-    score, hits = bm25_score_cols(docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B)
-    lmc = lm_logprob_cols(
-        lm_train(docs, vocab_size=24, max_pairs=512, alpha=0.1)
-    )
+    # The two stats phases are independent driver-blocking jobs (BM25's
+    # one-pass corpus stats; lm_train's unigram + pair passes), and
+    # each leaves most executor cores idle while the driver collects —
+    # overlap them on two driver threads (guide §2.6 pattern; Spark's
+    # scheduler interleaves the jobs). Values are identical: each
+    # phase's math never sees the other's timing.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_bm25 = pool.submit(
+            bm25_score_cols, docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+        )
+        f_lm = pool.submit(
+            lm_train, docs, vocab_size=24, max_pairs=512, alpha=0.1
+        )
+        score, hits = f_bm25.result()
+        lmc = lm_logprob_cols(f_lm.result())
     nb, tot = lmc["n_bigrams"], lmc["_lm_total"]
     lm_q = F.coalesce(
         F.when(nb > 0, F.round((tot / nb) * F.lit(1e6)).cast("bigint")),

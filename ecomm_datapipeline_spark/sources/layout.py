@@ -38,6 +38,8 @@ import uuid
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators._lit import lit_array
+
 from .tables import _swap_into
 
 
@@ -47,7 +49,7 @@ def _bucket_expr(col: str, boundaries: list[float], bits: int) -> Column:
     itself stays in its lower bucket, so duplicate boundaries from a
     heavy hitter still map it to one bucket). NULLs sort to bucket 0
     (they cluster together, which is what a pruning layout wants)."""
-    blit = F.array(*[F.lit(float(b)) for b in boundaries])
+    blit = lit_array(boundaries, float)
     v = F.col(col).cast("double")
     n = F.aggregate(
         blit,
