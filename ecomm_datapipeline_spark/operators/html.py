@@ -340,12 +340,13 @@ def canonical_url_col(
         ]
     )
     if base is not None:
-        from .urls import resolve_url_col
+        from .urls import resolve_with_base_parts
 
         b = F.col(base) if isinstance(base, str) else base
         href = F.element_at(
             _map_with_effective_base(
-                c, b, F.array(href), lambda ebv, u: resolve_url_col(ebv, u)
+                c, b, F.array(href),
+                lambda ebv, u: resolve_with_base_parts(ebv, u),
             ),
             1,
         )
@@ -398,14 +399,26 @@ def _map_with_effective_base(html: Column, base: Column, arr, fn) -> Column:
     reference multiplies the expression tree ~40x per element —
     measured as a driver OOM at plan build (the winnow _kgram_hashes
     binding trap, one level up)."""
-    from .urls import resolve_url_col
+    from .urls import base_parts_col, resolve_url_col
 
     tag = base_href_col(html)
     eb = F.when(tag.isNotNull(), resolve_url_col(base, tag)).otherwise(base)
+    # bind TWICE (r12): first the effective-base STRING (eb embeds a
+    # full-document <base> scan — parts reference their input once per
+    # field, so an unbound eb would re-scan the page five times), then
+    # the PARSED parts struct, so fn's per-href resolution reads
+    # pre-parsed components instead of re-running the five base
+    # regexes per href inside the interpreted transform.
     return F.element_at(
         F.transform(
             F.array(eb),
-            lambda ebv: F.transform(arr, lambda x: fn(ebv, x)),
+            lambda ebv: F.element_at(
+                F.transform(
+                    F.array(base_parts_col(ebv)),
+                    lambda p: F.transform(arr, lambda x: fn(p, x)),
+                ),
+                1,
+            ),
         ),
         1,
     )
@@ -429,11 +442,11 @@ def extract_links_col(
         *[F.regexp_extract_all(c, F.lit(p), 1) for p in _HREF_PATTERNS]
     )
     if base is not None:
-        from .urls import resolve_url_col
+        from .urls import resolve_with_base_parts
 
         b = F.col(base) if isinstance(base, str) else base
         all_hrefs = _map_with_effective_base(
-            c, b, all_hrefs, lambda ebv, u: resolve_url_col(ebv, u)
+            c, b, all_hrefs, lambda ebv, u: resolve_with_base_parts(ebv, u)
         )
     return F.filter(all_hrefs, lambda u: u.rlike("(?i)^https?://"))
 
@@ -530,14 +543,14 @@ def anchor_edges(
     Generate, zero shuffle."""
     pairs = anchor_pairs_col(html_col)
     if base_col is not None:
-        from .urls import resolve_url_col
+        from .urls import resolve_with_base_parts
 
         pairs = _map_with_effective_base(
             F.col(html_col),
             F.col(base_col),
             pairs,
             lambda ebv, s: F.struct(
-                resolve_url_col(ebv, s["href"]).alias("href"),
+                resolve_with_base_parts(ebv, s["href"]).alias("href"),
                 s["anchor"].alias("anchor"),
             ),
         )

@@ -327,33 +327,43 @@ def _remove_dot_segments(p: Column) -> Column:
     )
 
 
-def resolve_url_col(base: Column | str, ref: Column | str) -> Column:
-    """Resolve a (possibly relative) reference against a base URL —
-    RFC 3986 §5.2, strict, as PURE column expressions (regexps + one
-    array fold, whole-stage codegen; zero Python, zero shuffle). This
-    is what turns extracted hrefs into a page-level crawl graph: the
-    majority of intra-site links are relative, so without resolution
-    a page-level link graph loses most of its edges.
-
-    Handles every §5.4.1 normal and §5.4.2 abnormal example: absolute
-    references pass through ("http:g" stays "http:g" — strict parser),
-    network-path ("//g"), root-relative ("/g"), query-only ("?y"),
-    fragment-only ("#s"), empty (""), and path-relative references
-    with full dot-segment removal. NULL base or ref resolves to NULL.
-    Verified against Python urllib.parse.urljoin (the stdlib RFC 3986
-    implementation) over the RFC tables plus randomized differentials
-    (tests/test_url_resolve.py)."""
+def base_parts_col(base: Column | str) -> Column:
+    """The base-URL components RFC 3986 §5.2 resolution needs, as ONE
+    struct column: scheme, authority (with '//'), path, query (with
+    '?'), and the path's directory prefix. Split out of
+    resolve_url_col (r12) so per-element resolvers — a page resolves
+    MANY hrefs against one base — parse the base ONCE per page (bound
+    as a HOF lambda variable) instead of re-running these five regexes
+    per href inside the interpreted transform."""
     b = F.col(base) if isinstance(base, str) else base
-    r = F.col(ref) if isinstance(ref, str) else ref
-
-    b_scheme = F.regexp_extract(b, _SCHEME_PREFIX, 1)
-    # authority INCLUDING the '//' ('' when absent), path, query-with-
-    # '?' ('' when absent) — appendix-B-style component extracts
-    b_auth = F.regexp_extract(b, r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/?#]*)", 1)
     b_path = F.regexp_extract(
         b, r"^(?:[A-Za-z][A-Za-z0-9+.\-]*:)?(?://[^/?#]*)?([^?#]*)", 1
     )
-    b_query = F.regexp_extract(b, r"^[^?#]*(\?[^#]*)", 1)
+    return F.struct(
+        F.regexp_extract(b, _SCHEME_PREFIX, 1).alias("scheme"),
+        # authority INCLUDING the '//' ('' when absent), query with '?'
+        F.regexp_extract(
+            b, r"^[A-Za-z][A-Za-z0-9+.\-]*:(//[^/?#]*)", 1
+        ).alias("auth"),
+        b_path.alias("path"),
+        F.regexp_extract(b, r"^[^?#]*(\?[^#]*)", 1).alias("query"),
+        # base path up to its last '/' (greedy), for the §5.2.3 merge
+        F.regexp_extract(b_path, r"^(.*/)", 1).alias("dir"),
+    )
+
+
+def resolve_with_base_parts(parts: Column, ref: Column | str) -> Column:
+    """RFC 3986 §5.2 resolution against a PRE-PARSED base
+    (base_parts_col's struct) — THE definition of the resolution math;
+    resolve_url_col wraps it for string bases. Callers resolving many
+    references per base (html._map_with_effective_base, the WAT
+    exporter) bind the parts struct once per row and share it across
+    every element."""
+    r = F.col(ref) if isinstance(ref, str) else ref
+    b_scheme, b_auth, b_path, b_query, b_dir = (
+        parts["scheme"], parts["auth"], parts["path"],
+        parts["query"], parts["dir"],
+    )
 
     r_scheme = F.regexp_extract(r, _SCHEME_PREFIX, 1)
     r_auth = F.regexp_extract(r, r"^(//[^/?#]*)", 1)
@@ -363,7 +373,6 @@ def resolve_url_col(base: Column | str, ref: Column | str) -> Column:
 
     # §5.2.3 merge: base-with-authority-and-empty-path -> '/' + ref
     # path; else base path up to its last '/' (greedy) + ref path
-    b_dir = F.regexp_extract(b_path, r"^(.*/)", 1)
     merged = F.when(
         (b_auth != "") & (b_path == ""), F.concat(F.lit("/"), r_path)
     ).otherwise(F.concat(b_dir, r_path))
@@ -399,6 +408,38 @@ def resolve_url_col(base: Column | str, ref: Column | str) -> Column:
     return F.when(
         (r_scheme == "") & (b_scheme == ""), F.lit("")
     ).otherwise(resolved)
+
+
+def resolve_url_col(base: Column | str, ref: Column | str) -> Column:
+    """Resolve a (possibly relative) reference against a base URL —
+    RFC 3986 §5.2, strict, as PURE column expressions (regexps + one
+    array fold, whole-stage codegen; zero Python, zero shuffle). This
+    is what turns extracted hrefs into a page-level crawl graph: the
+    majority of intra-site links are relative, so without resolution
+    a page-level link graph loses most of its edges.
+
+    Handles every §5.4.1 normal and §5.4.2 abnormal example: absolute
+    references pass through ("http:g" stays "http:g" — strict parser),
+    network-path ("//g"), root-relative ("/g"), query-only ("?y"),
+    fragment-only ("#s"), empty (""), and path-relative references
+    with full dot-segment removal. NULL base or ref resolves to NULL.
+    Verified against Python urllib.parse.urljoin (the stdlib RFC 3986
+    implementation) over the RFC tables plus randomized differentials
+    (tests/test_url_resolve.py).
+
+    The base components are bound ONCE per row (a 1-element transform
+    — the html._bind1 idiom) and the math lives in
+    resolve_with_base_parts; per-element callers should bind
+    base_parts_col themselves and call resolve_with_base_parts so the
+    base parses once per ROW GROUP of elements, not per element."""
+    r = F.col(ref) if isinstance(ref, str) else ref
+    return F.element_at(
+        F.transform(
+            F.array(base_parts_col(base)),
+            lambda p: resolve_with_base_parts(p, r),
+        ),
+        1,
+    )
 
 
 def pct_normalize_col(col: Column | str) -> Column:

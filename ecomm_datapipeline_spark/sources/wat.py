@@ -165,7 +165,7 @@ def wat_payload_col(html_col="html", url_col="url"):
         anchor_pairs_col,
         tag_attr_patterns,
     )
-    from ..operators.urls import resolve_url_col
+    from ..operators.urls import resolve_with_base_parts
 
     # NULL html (a capture with no recoverable body) still gets a
     # sidecar row — empty arrays, not a missing JSON field (to_json
@@ -208,7 +208,7 @@ def wat_payload_col(html_col="html", url_col="url"):
             raw_links,
             lambda ebv, s: F.struct(
                 s["path"].alias("path"),
-                resolve_url_col(ebv, s["url"]).alias("url"),
+                resolve_with_base_parts(ebv, s["url"]).alias("url"),
             ),
         ),
         lambda s: s["url"].rlike("(?i)^https?://"),
@@ -218,7 +218,7 @@ def wat_payload_col(html_col="html", url_col="url"):
         uc,
         anchor_pairs_col(c),
         lambda ebv, s: F.struct(
-            resolve_url_col(ebv, s["href"]).alias("url"),
+            resolve_with_base_parts(ebv, s["href"]).alias("url"),
             s["anchor"].alias("text"),
         ),
     )
