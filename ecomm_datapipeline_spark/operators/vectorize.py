@@ -76,8 +76,11 @@ def hashed_tfidf_vectors(
         .localCheckpoint(eager=True)
     )
     n_docs = pairs.select("_id").distinct().count()
+    # count(*) == countDistinct(_id) here: pairs is the output of a
+    # groupBy(_id, _b), so (_id, _b) rows are unique (r12 — drops the
+    # two-phase distinct aggregation).
     idf = pairs.groupBy("_b").agg(
-        F.countDistinct("_id").alias("_df")
+        F.count("*").alias("_df")
     ).select(
         "_b",
         (

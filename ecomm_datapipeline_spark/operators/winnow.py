@@ -144,9 +144,14 @@ def winnow_overlap_pairs(
         .localCheckpoint(eager=False)
     )
     if max_fp_freq is not None:
+        # count(*), not countDistinct: fps is .distinct()ed (id, fp)
+        # rows, so the two are equal and count(*) drops the two-phase
+        # distinct aggregation (r12; the positional variant below
+        # keeps countDistinct — its rows carry positions, so (id, fp)
+        # repeats there).
         hot = (
             fps.groupBy("fp")
-            .agg(F.countDistinct(id_col).alias("_df"))
+            .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_fp_freq)
             .select("fp")
         )
