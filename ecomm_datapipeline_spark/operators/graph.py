@@ -367,6 +367,32 @@ def _hll_estimate(reg: Column, m: int) -> Column:
     ).otherwise(raw)
 
 
+def _hll_init_sql(log2m: int) -> str:
+    """_hll_init_reg (portable=False / xxhash64 mode) as ONE SQL
+    fragment over vertex column `id` — the r12 driver-cost twin of
+    _hll_est_sql: the Column form chains ~250 py4j calls (m register
+    whens + the width-1 floor-log2 comparisons), ~1s of driver time
+    per hyperball call, while this string parses in one round-trip.
+    Expression semantics are identical (IF == when, same
+    shiftrightunsigned/& operands, same casts), so registers — and
+    every estimate derived from them — are bit-equal; pinned by the
+    Column-vs-SQL equality test in tests/test_harmonic.py. The
+    portable (md5) mode keeps the Column path: it feeds the
+    hash-checked catalog fold and is never the hot path."""
+    m = 1 << log2m
+    width = 64 - log2m
+    flog2 = " + ".join(f"IF(w >= {1 << k}L, 1, 0)" for k in range(1, width))
+    rho = f"IF(w = 0L, {width + 1}, {width} - ({flog2}))"
+    regs = ", ".join(f"CAST(IF(t.j = {i}L, t.rho, 0) AS INT)" for i in range(m))
+    return (
+        "element_at(transform(array("
+        f"shiftrightunsigned(xxhash64(id), {log2m})), w -> "
+        "element_at(transform(array(named_struct("
+        f"'j', xxhash64(id) & {m - 1}L, 'rho', {rho}"
+        f")), t -> array({regs})), 1)), 1)"
+    )
+
+
 def hyperball_harmonic(
     edges: DataFrame,
     log2m: int = 6,
@@ -436,16 +462,26 @@ def hyperball_harmonic(
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    state = verts.select(
-        "id", _hll_init_reg(F.col("id"), log2m, portable).alias("reg")
-    )
     if radius is not None and radius < 1:
         raise ValueError(f"radius must be >= 1: {radius}")
     est0 = _hll_est_sql("reg", m)
-    state = spark.sql(
-        f"SELECT id, reg, {est0} AS est, 0.0D AS harmonic FROM {{s}}",
-        s=state,
-    ).localCheckpoint()
+    if portable:
+        state = verts.select(
+            "id", _hll_init_reg(F.col("id"), log2m, portable).alias("reg")
+        )
+        state = spark.sql(
+            f"SELECT id, reg, {est0} AS est, 0.0D AS harmonic FROM {{s}}",
+            s=state,
+        ).localCheckpoint()
+    else:
+        # one statement for init + first estimate (r12): the Column
+        # register builder cost ~1s of py4j/driver work per call — see
+        # _hll_init_sql; registers are bit-equal either way
+        state = spark.sql(
+            f"SELECT id, reg, {est0} AS est, 0.0D AS harmonic FROM "
+            f"(SELECT id, {_hll_init_sql(log2m)} AS reg FROM {{v}})",
+            v=verts,
+        ).localCheckpoint()
     # the previous round's eager checkpoint: releasable once the
     # current round's checkpoint has materialized (the crawl_rounds
     # convention — a long run must not accumulate per-round blocks)

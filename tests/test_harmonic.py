@@ -244,3 +244,23 @@ class TestRadius:
             _edges_df(spark, edges), log2m=6, max_iter=3, radius=3
         )
         assert out.count() == 7
+
+    def test_init_sql_twin_bit_equal(self, spark):
+        # the r12 driver-cost fast path: _hll_init_sql must produce
+        # registers BIT-EQUAL to the Column builder for the xxhash64
+        # mode (the estimates, and therefore every hyperball output,
+        # derive from them)
+        from ecomm_datapipeline_spark.operators.graph import (
+            _hll_init_reg,
+            _hll_init_sql,
+        )
+
+        ids = spark.range(0, 2000).select(F.col("id").cast("long").alias("id"))
+        for log2m in (5, 6):
+            col_form = ids.select(
+                "id", _hll_init_reg(F.col("id"), log2m, False).alias("reg")
+            ).orderBy("id").collect()
+            sql_form = spark.sql(
+                f"SELECT id, {_hll_init_sql(log2m)} AS reg FROM {{v}}", v=ids
+            ).orderBy("id").collect()
+            assert col_form == sql_form
