@@ -65,22 +65,16 @@ def fit_centroids(
     return [[float(x) for x in ctr] for ctr in km.clusterCenters()]
 
 
-def assign_clusters(
+def _assign_clusters_cols(
     emb: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, cluster, vec, norm, centroid_sim): nearest-centroid
-    assignment + the paper's priority signal (cosine to own centroid),
-    all against centroid literals — zero shuffle, zero Python.
-
-    The k squared distances are computed ONCE per row (bound as a
-    lambda variable, docs/SCALE.md "HOF lambda scoping"); the cosine
-    to the winning centroid is recovered algebraically from its d^2
-    (<v,c> = (|v|^2 + |c|^2 - d^2) / 2) instead of a second O(k*dim)
-    dot pass — fp-identical ordering is not required of a priority
-    signal, and the assignment itself stays exact."""
+    """Column-API form of the assignment — retained as the readable
+    definition and for the Column-vs-SQL equality pin in
+    tests/test_semdedup.py; assign_clusters routes through the SQL
+    twin below (same expressions, one py4j round-trip)."""
     import math
 
     v = _as_double(emb, vec_col, "_cv")
@@ -122,6 +116,79 @@ def assign_clusters(
         "vec",
         "norm",
         (dot / (F.col("norm") * cn)).alias("centroid_sim"),
+    )
+
+
+def _assign_sql(
+    centroids: list[list[float]], vec_col: str, id_col: str
+) -> str:
+    """The assignment as ONE SQL statement body (the hyperball
+    _hll_init_sql precedent, r12): the Column form chains hundreds of
+    py4j calls (k distance folds + the argmin struct sort + the
+    algebraic-cosine arithmetic) — measured ~1.3 s of driver time per
+    semantic_dedup call, as much as the execution itself. The SQL text
+    lowers to the SAME Catalyst expressions (zip_with/aggregate folds
+    in the same order, named_struct == struct, IF/CASE parity), so
+    every output double is bit-equal — pinned by the equality test."""
+    import math
+
+    k = len(centroids)
+    ds = ", ".join(
+        "aggregate(zip_with(_cv, array("
+        + ",".join(f"{float(x)!r}D" for x in ctr)
+        + "), (a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x)"
+        for ctr in centroids
+    )
+    cnorms = ",".join(
+        f"{math.sqrt(sum(x * x for x in ctr)) or 1.0!r}D" for ctr in centroids
+    )
+    # norm: the >=_UNROLL_MAX_DIM fold form — bit-equal to the
+    # unrolled chain (same left-to-right double sum; similarity._dot)
+    norm = (
+        "sqrt(aggregate(transform(_cv, x -> x * x), 0.0D,"
+        " (acc, x) -> acc + x))"
+    )
+    best = (
+        f"element_at(transform(array(array({ds})), ds -> "
+        f"element_at(array_sort(transform(sequence(0, {k - 1}), i -> "
+        "named_struct('d2', element_at(ds, i + 1), 'c', i))), 1)), 1)"
+    )
+    return f"""
+    SELECT `{id_col}`, _best.c AS cluster, _cv AS vec, _norm AS norm,
+           ((_norm * _norm + _cn * _cn - _best.d2) / 2.0D)
+             / (_norm * _cn) AS centroid_sim
+    FROM (
+      SELECT `{id_col}`, _cv, _norm, _best,
+             element_at(array({cnorms}), _best.c + 1) AS _cn
+      FROM (
+        SELECT `{id_col}`, _cv, {norm} AS _norm, {best} AS _best
+        FROM (SELECT `{id_col}`,
+                     CAST(`{vec_col}` AS ARRAY<DOUBLE>) AS _cv
+              FROM {{src}})
+      )
+    )"""
+
+
+def assign_clusters(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster, vec, norm, centroid_sim): nearest-centroid
+    assignment + the paper's priority signal (cosine to own centroid),
+    all against centroid literals — zero shuffle, zero Python.
+
+    The k squared distances are computed ONCE per row (bound as a
+    lambda variable, docs/SCALE.md "HOF lambda scoping"); the cosine
+    to the winning centroid is recovered algebraically from its d^2
+    (<v,c> = (|v|^2 + |c|^2 - d^2) / 2) instead of a second O(k*dim)
+    dot pass — fp-identical ordering is not required of a priority
+    signal, and the assignment itself stays exact. Issued as one
+    spark.sql statement (see _assign_sql; bit-equal to the Column
+    form, which _assign_clusters_cols retains)."""
+    return emb.sparkSession.sql(
+        _assign_sql(centroids, vec_col, id_col), src=emb
     )
 
 

@@ -126,3 +126,20 @@ def test_testdata_smoke(spark):
     )
     n_in, n_kept = emb.count(), kept.count()
     assert 0 < n_kept <= n_in
+
+
+def test_assign_sql_twin_bit_equal(spark):
+    # the r12 driver-cost fast path: assign_clusters' SQL statement
+    # must be BIT-EQUAL to the Column-API form (cluster ids, norms,
+    # centroid_sim all feed the keep/drop decisions)
+    from ecomm_datapipeline_spark.operators.semdedup import (
+        _assign_clusters_cols,
+        assign_clusters,
+        fit_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = fit_centroids(emb, n_clusters=8, seed=42)
+    a = _assign_clusters_cols(emb, cents).orderBy("vec_id").collect()
+    b = assign_clusters(emb, cents).orderBy("vec_id").collect()
+    assert a == b
