@@ -75,7 +75,7 @@ def _scored_pairs(
     )
 
 
-def margin_scores(
+def _margin_scores_cols(
     src: DataFrame,
     tgt: DataFrame,
     k: int = 4,
@@ -84,11 +84,11 @@ def margin_scores(
     candidate_pairs: DataFrame | None = None,
     dim: int | None = None,
 ) -> DataFrame:
-    """(src_id, tgt_id, cos, margin) for each src's top-k forward
-    candidates. The margin denominator uses BOTH sides' kNN
-    neighborhoods, computed from one scored-pair frame (the forward
-    and backward top-k read the same localCheckpointed scores — the
-    scoring cross join runs once)."""
+    """Column-API form of the margin pipeline — retained as the
+    readable definition and for the Column-vs-SQL equality pin in
+    tests/test_bitext.py; margin_scores routes through the SQL twin
+    (same window/aggregate/join expressions, far fewer py4j
+    round-trips)."""
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
     scored = _scored_pairs(
@@ -122,6 +122,75 @@ def margin_scores(
                 / (F.col("_avg_s") / 2.0 + F.col("_avg_t") / 2.0)
             ).alias("margin"),
         )
+    )
+
+
+def _topk_sql(key: str, order: str, k: int) -> str:
+    """The two-stage partial top-k (similarity._topk_per_key) as a SQL
+    fragment over the {sc} template binding — stage 1 ranks within
+    (key, input-partition id), stage 2 ranks the bounded survivors;
+    identical window expressions, so results are bit-equal to the
+    Column form."""
+    return f"""
+      SELECT src_id, tgt_id, cos FROM (
+        SELECT src_id, tgt_id, cos,
+               row_number() OVER (PARTITION BY {key} ORDER BY {order})
+                 AS _rank
+        FROM (
+          SELECT src_id, tgt_id, cos,
+                 row_number() OVER (PARTITION BY {key}, _pid
+                                    ORDER BY {order}) AS _prank
+          FROM (SELECT src_id, tgt_id, cos, spark_partition_id() AS _pid
+                FROM {{sc}})
+        ) WHERE _prank <= {k}
+      ) WHERE _rank <= {k}"""
+
+
+def margin_scores(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    candidate_pairs: DataFrame | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """(src_id, tgt_id, cos, margin) for each src's top-k forward
+    candidates. The margin denominator uses BOTH sides' kNN
+    neighborhoods, computed from one scored-pair frame (the forward
+    and backward top-k read the same localCheckpointed scores — the
+    scoring cross join runs once).
+
+    Everything downstream of the scored frame is issued as THREE
+    spark.sql statements (r12, the hyperball/semdedup precedent): the
+    Column form's ~20 chained Dataset ops cost ~1 s of driver
+    analysis/py4j per call — as much as the execution at bench scale —
+    while the SQL text lowers to the identical windows, aggregates and
+    joins. Three statements, not one fused WITH: the fused form let
+    the optimizer re-associate the avg accumulation and drifted the
+    margin by one ulp on ~10% of rows (measured) — the per-frame
+    statements reproduce the Column plan exactly, and the equality
+    pin in tests/test_bitext.py holds bit-for-bit."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    scored = _scored_pairs(
+        src, tgt, vec_col, id_col, candidate_pairs, dim
+    ).localCheckpoint(eager=False)
+    spark = src.sparkSession
+    fwd = spark.sql(_topk_sql("src_id", "cos DESC, tgt_id", k), sc=scored)
+    bwd = spark.sql(_topk_sql("tgt_id", "cos DESC, src_id", k), sc=scored)
+    return spark.sql(
+        """
+        SELECT f.src_id, f.tgt_id, f.cos,
+               f.cos / (_avg_s / 2.0D + _avg_t / 2.0D) AS margin
+        FROM {f} f
+        JOIN (SELECT src_id, avg(cos) AS _avg_s FROM {f} GROUP BY src_id)
+          USING (src_id)
+        JOIN (SELECT tgt_id, avg(cos) AS _avg_t FROM {b} GROUP BY tgt_id)
+          USING (tgt_id)
+        """,
+        f=fwd,
+        b=bwd,
     )
 
 

@@ -138,3 +138,38 @@ def test_candidate_pairs_path_matches_bruteforce(spark, planted):
 
     with pytest.raises(ValueError, match="k must"):
         bitext.margin_scores(src, tgt, k=0)
+
+
+def test_margin_sql_twin_bit_equal(spark):
+    # the r12 driver-cost fast path: margin_scores' SQL statements
+    # must be BIT-EQUAL to the Column-API form — the margins feed the
+    # hash-pinned ann_cosine_topk fold, where even a last-ulp drift
+    # could flip the 1e-6 quantization (the fused one-statement WITH
+    # form DID drift one ulp on ~10% of rows and was rejected).
+    from pyspark.sql import functions as F
+
+    from ecomm_datapipeline_spark.operators.bitext import (
+        _margin_scores_cols,
+        margin_scores,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    src = emb.filter(F.col("vec_id") < n // 2)
+    tgt = emb.filter(F.col("vec_id") >= n // 2)
+    a = _margin_scores_cols(src, tgt, k=4).orderBy("src_id", "tgt_id").collect()
+    b = margin_scores(src, tgt, k=4).orderBy("src_id", "tgt_id").collect()
+    assert a == b
+    # the candidate_pairs seam (the ann_cosine_topk fold's shape)
+    cp = spark.createDataFrame(
+        [(r.src_id, r.tgt_id) for r in a[:50]], "src_id long, tgt_id long"
+    )
+    a2 = (
+        _margin_scores_cols(src, tgt, k=3, candidate_pairs=cp)
+        .orderBy("src_id", "tgt_id").collect()
+    )
+    b2 = (
+        margin_scores(src, tgt, k=3, candidate_pairs=cp)
+        .orderBy("src_id", "tgt_id").collect()
+    )
+    assert a2 == b2
