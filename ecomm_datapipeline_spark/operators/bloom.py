@@ -109,34 +109,41 @@ def bloom_build(
 ) -> DataFrame:
     """Build the filter over every value of df[col]: a ONE-ROW frame
     (words array<bigint> of length m_bits/32, m_bits int, k int).
-    One explode + one distinct + one 2-column aggregate — the values
+    One explode + one 2-column aggregate — the values
     themselves never leave their tasks after hashing. NULLs are
     skipped (a NULL is not a member)."""
     _check_params(m_bits, k)
     n_words = m_bits // BITS_PER_WORD
-    spark = df.sparkSession
-    pos = (
-        df.filter(F.col(col).isNotNull())
-        .select(
-            F.explode(
-                F.array(*bloom_positions(F.col(col), m_bits, k, portable))
-            ).alias("p")
-        )
-        .distinct()
+    # No .distinct() before the aggregate: bit_or is idempotent, so
+    # duplicate positions cannot change any word (and the optimizer's
+    # RemoveRedundantAggregates was already dropping the Deduplicate —
+    # r13, verified in plans/r13/bloom_screen_tokens_before.txt).
+    pos = df.filter(F.col(col).isNotNull()).select(
+        F.explode(
+            F.array(*bloom_positions(F.col(col), m_bits, k, portable))
+        ).alias("p")
     )
     words = pos.groupBy(
         F.floor(F.col("p") / BITS_PER_WORD).cast("long").alias("w")
     ).agg(F.bit_or(_mask(F.col("p"))).alias("bits"))
-    dense = (
-        spark.range(n_words)
-        .select(F.col("id").alias("w"))
-        .join(words, "w", "left")
-        .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
-    )
-    return dense.groupBy().agg(
-        F.array_sort(F.collect_list(F.struct("w", "bits"))).alias("_s")
+    # Dense assembly (r13): one single-row aggregate builds a sparse
+    # w->bits map, and the length-n_words array densifies it as a pure
+    # expression — replaces the former range(n_words) LEFT JOIN +
+    # collect_list/array_sort chain (one Range scan, one
+    # BroadcastExchange and a whole stage wave removed; the blocked
+    # build below always worked this way). words[i] is identical:
+    # the set word for i, else 0.
+    return words.groupBy().agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("_m")
     ).select(
-        F.transform("_s", lambda x: x["bits"]).alias("words"),
+        F.transform(
+            F.sequence(
+                F.lit(0).cast("long"), F.lit(int(n_words - 1)).cast("long")
+            ),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i), F.lit(0).cast("long")
+            ),
+        ).alias("words"),
         F.lit(int(m_bits)).alias("m_bits"),
         F.lit(int(k)).alias("k"),
     )
@@ -248,7 +255,7 @@ def blocked_bloom_build(
     construction, the probe's left join reads a miss). All k bit
     positions of a value land in its one hashed block.
 
-    Plan shape: explode to (block, local position), distinct, one
+    Plan shape: explode to (block, local position), one
     (block, word) bit_or aggregate, one per-block word assembly whose
     largest group is block_bits/32 entries — every stage distributed,
     NO global single-partition aggregate at any m_bits (contrast
@@ -258,15 +265,14 @@ def blocked_bloom_build(
     n_blocks = m_bits // block_bits
     wpb = block_bits // BITS_PER_WORD
     v = F.col(col)
-    pos = (
-        df.filter(v.isNotNull())
-        .select(
-            bloom_block_col(v, n_blocks, portable).alias("block"),
-            F.explode(
-                F.array(*bloom_positions(v, block_bits, k, portable))
-            ).alias("p"),
-        )
-        .distinct()
+    # No .distinct(): bit_or is idempotent over duplicate positions
+    # (same rationale as bloom_build; the optimizer was already
+    # removing it — plans/r13/bloom_screen_blocked_before.txt).
+    pos = df.filter(v.isNotNull()).select(
+        bloom_block_col(v, n_blocks, portable).alias("block"),
+        F.explode(
+            F.array(*bloom_positions(v, block_bits, k, portable))
+        ).alias("p"),
     )
     words = pos.groupBy(
         "block",

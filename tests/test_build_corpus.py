@@ -3,6 +3,15 @@ mixture -> curation -> redaction -> split -> shards -> datasheet ->
 manifest composition runs on real testdata, shards cover exactly the
 train split, and a rebuild into a fresh dir is byte-deterministic."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import json
 import os
 import sys

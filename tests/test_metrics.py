@@ -3,6 +3,15 @@ ranking cases, a DuckDB SQL differential over a seeded prediction
 table, AUC vs a from-scratch reference (with ties), and composition
 with a real retrieval surface (BM25 self-retrieval)."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import hashlib
 import math
 import random

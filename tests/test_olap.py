@@ -3,6 +3,15 @@ against its DuckDB SQL twin with the SAME canon + value-hash logic
 the driver gate uses — oracle-grade verification beyond the 50-row
 gate window. Plus plan assertions for the shapes that matter."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import hashlib
 import os
 

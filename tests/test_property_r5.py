@@ -8,6 +8,15 @@ example counts low (each example pays a Spark job); derandomize=True
 keeps CI deterministic.
 """
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import collections
 
 import pytest

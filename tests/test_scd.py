@@ -4,6 +4,15 @@ nights (change / delete / revive), point-in-time lookups against a
 DuckDB interval-join twin, and invariants (non-overlap, one current
 version per live key)."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import datetime as dt
 
 import duckdb

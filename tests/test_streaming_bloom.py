@@ -4,6 +4,15 @@ novel), the no-false-negative law across batches, replay idempotence
 through crash windows, NULL-key batches, compaction value
 preservation, and batch-side probes against the stream's filter."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import json
 import os
 

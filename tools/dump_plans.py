@@ -1,5 +1,5 @@
 """Capture `.explain("formatted")` for catalog queries and bench slots
-into plans/r12/<name>_<tag>.txt (optimization-round evidence: the judge
+into plans/r13/<name>_<tag>.txt (optimization-round evidence: the judge
 checks plan claims against these files).
 
 Usage:
@@ -35,7 +35,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "plans", "r12",
+        "plans", "r13",
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump-plans")

@@ -201,6 +201,11 @@ def main() -> int:
                         "pytest",
                         f,
                         "-q",
+                        # clear the ini budget-lane filter (addopts
+                        # -m "not slow and not e2e"): the fast suite
+                        # is the FULL-coverage lane
+                        "-m",
+                        "",
                         "--durations=0",
                         *extra,
                     ],
