@@ -136,6 +136,34 @@ def drop_exact_duplicates(
     return df.join(keep, id_col, "left_semi")
 
 
+def lower_tokens(col: Column | str) -> Column:
+    """THE whitespace tokenizer the shingle/n-gram family is defined
+    over: split(trim(lower(text)), r"\\s+"). Factored out (r13) so
+    every consumer (shingle_array_all, novelty's gram-free restore,
+    text's bound repetition struct) shares one definition instead of
+    re-deriving the expression inline and silently drifting."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def shingles_from_tokens(tk: Column, k: int) -> Column:
+    """All word k-shingles (with repeats) over an ALREADY-BOUND token
+    array — `tk` must be a lambda variable or a materialized column
+    (an unbound expression here is re-evaluated per element; see
+    shingle_array_all). Guard: sequence(1, n) DESCENDS when n < 1
+    (would fabricate shingles for docs shorter than k tokens) ->
+    empty array."""
+    return F.when(
+        F.size(tk) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tk, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def shingle_array_all(text_col: str | Column, k: int = 3) -> Column:
     """Per-row array of ALL word k-shingles (with repeats) — the raw
     sequence for frequency-sensitive consumers (text.repetition_stats
@@ -149,22 +177,12 @@ def shingle_array_all(text_col: str | Column, k: int = 3) -> Column:
     (measured 6s for bare 2-shingles over 5k short docs at sf0.1;
     ~0.2s bound)."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.trim(F.lower(col)), r"\s+")
-
-    def _build(tk: Column) -> Column:
-        # Guard: sequence(1, n) DESCENDS when n < 1 (would fabricate
-        # shingles for docs shorter than k tokens) -> empty array.
-        return F.when(
-            F.size(tk) >= k,
-            F.transform(
-                F.sequence(F.lit(1), F.size(tk) - (k - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tk, i + j) for j in range(k)]
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    return F.element_at(F.transform(F.array(toks), _build), 1)
+    return F.element_at(
+        F.transform(
+            F.array(lower_tokens(col)), lambda tk: shingles_from_tokens(tk, k)
+        ),
+        1,
+    )
 
 
 def shingle_array(text_col: str, k: int = 3) -> Column:

@@ -55,7 +55,16 @@ def ngram_doc_frequency(
     to one long per hash and the id never leaves the scan (r12; plan
     diff in plans/r12/ngram_novelty_*.txt). Equality holds up to an
     intra-document xxhash64 collision, which already breaks the
-    oracle's string-keyed twin — not a new failure mode."""
+    oracle's string-keyed twin — not a new failure mode.
+
+    CONTRACT (r13, VERDICT r12 item 8): `df` must hold ONE ROW PER
+    DOCUMENT. A frame with the same document id on several rows (or
+    the same text ingested twice) inflates every shared gram's df by
+    the duplication factor — count(*) counts ROWS, and per-document
+    dedup happens inside shingle_array, not across rows. `id_col` is
+    kept in the signature as the name of that contract; callers with
+    possibly-duplicated inputs must `.dropDuplicates([id_col])` first.
+    Pinned by tests/test_novelty.py::test_doc_frequency_row_contract."""
     return (
         df.select(F.explode(shingle_array(text_col, k)).alias("_sh"))
         .select(F.xxhash64("_sh").alias("gram_hash"))
@@ -106,7 +115,12 @@ def ngram_novelty(
     # NULL text (shingle_array's own guard), so this third scan pays
     # one split() instead of building + distinct-ing the shingle array
     # it only ever compared against empty.
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    # dedup.lower_tokens IS shingle_array_all's tokenizer (r13,
+    # factored out) — the gram-free decision stays coupled to the
+    # scored path's tokenization by construction.
+    from .dedup import lower_tokens
+
+    toks = lower_tokens(F.col(text_col))
     empty = df.filter(
         F.col(text_col).isNull() | (F.size(toks) < k)
     ).select(

@@ -169,20 +169,51 @@ def profile(
         F.md5(norm).alias("fingerprint"),
         F.octet_length(t).alias("n_bytes"),
     ]
-    if include_repetition:
-        cols.extend(
-            c.alias(name) for name, c in repetition_metric_cols(t).items()
-        )
-    if chunk_max_tokens is not None:
-        chunks = chunk_array(t, chunk_max_tokens, chunk_overlap)
-        cols.append(F.size(chunks).alias("n_chunks"))
-        cols.append(
-            F.md5(
-                F.concat_ws(
-                    "\x01", F.transform(chunks, lambda c: c["chunk_text"])
+    if include_repetition or chunk_max_tokens is not None:
+        # Two-stage form (r13): materialize the shared heavy arrays
+        # (line/para splits, token array, chunk windows) ONCE per row
+        # behind a Generate barrier — explode(array(struct)) is a
+        # 1:1 generator CollapseProject cannot inline through — then
+        # derive every metric from the materialized struct's fields
+        # (O(1) attribute reads). The former single Project
+        # re-evaluated the line split ~8x, the para split ~8x, the
+        # token split 3x and the chunk window build 2x per row,
+        # because HOF folds are CodegenFallback with no subexpression
+        # elimination. Values are bit-identical (same building-block
+        # expressions over the same inputs; tests/test_repetition.py
+        # pins equality against the unshared repetition_metric_cols).
+        bfields = []
+        if include_repetition:
+            bfields.append(repetition_input_struct(t).alias("rep"))
+        if chunk_max_tokens is not None:
+            bfields.append(
+                chunk_array(t, chunk_max_tokens, chunk_overlap).alias(
+                    "chunks"
                 )
-            ).alias("chunks_fingerprint")
+            )
+        base = df.select(
+            F.col(id_col),
+            t,
+            F.explode(F.array(F.struct(*bfields))).alias("_pb"),
         )
+        b = F.col("_pb")
+        if include_repetition:
+            cols.extend(
+                c.alias(name)
+                for name, c in repetition_metric_cols_bound(b["rep"]).items()
+            )
+        if chunk_max_tokens is not None:
+            cols.append(F.size(b["chunks"]).alias("n_chunks"))
+            cols.append(
+                F.md5(
+                    F.concat_ws(
+                        "\x01",
+                        F.transform(b["chunks"], lambda c: c["chunk_text"]),
+                    )
+                ).alias("chunks_fingerprint")
+            )
+        cols.extend(c.alias(name) for name, c in (extra_cols or {}).items())
+        return base.select(*cols)
     cols.extend(c.alias(name) for name, c in (extra_cols or {}).items())
     return df.select(*cols)
 
@@ -517,13 +548,21 @@ def _top_ngram_char_frac(text_col: Column, n: int) -> Column:
     sorted array — no explode, no shuffle, no window."""
     from .dedup import shingle_array_all
 
-    grams = F.array_sort(shingle_array_all(text_col, n))
-    # Fold state: (prev, run, best_run, best_chars). The modal n-gram
-    # is chosen by occurrence count first, covered chars as the
-    # tiebreak. Runs of 1 are NOT repetition — a clean short document's
-    # longest n-gram would otherwise trip the threshold (the published
-    # rule assumes separate min-length gates); requiring run >= 2 keeps
-    # the metric zero on repetition-free text.
+    return _top_ngram_frac_from(
+        F.array_sort(shingle_array_all(text_col, n)), n, F.length(text_col)
+    )
+
+
+def _top_ngram_frac_from(grams: Column, n: int, doc_chars: Column) -> Column:
+    """The modal-n-gram fold over an already SORTED gram array —
+    factored out (r13) so the bound repetition struct can feed it
+    grams built from a materialized token column. Fold state: (prev,
+    run, best_run, best_chars). The modal n-gram is chosen by
+    occurrence count first, covered chars as the tiebreak. Runs of 1
+    are NOT repetition — a clean short document's longest n-gram would
+    otherwise trip the threshold (the published rule assumes separate
+    min-length gates); requiring run >= 2 keeps the metric zero on
+    repetition-free text."""
     best = F.aggregate(
         grams,
         F.struct(
@@ -535,7 +574,6 @@ def _top_ngram_char_frac(text_col: Column, n: int) -> Column:
         lambda acc, x: _top_ngram_step(acc, x, n),
         lambda acc: acc["best_chars"],
     )
-    doc_chars = F.length(text_col)
     return F.when(
         doc_chars > 0,
         # overlapping occurrences can cover the same characters more
@@ -587,6 +625,61 @@ def repetition_metric_cols(text_col: Column | str) -> dict[str, Column]:
         "top_3gram_char_frac": _top_ngram_char_frac(t, 3),
         "top_4gram_char_frac": _top_ngram_char_frac(t, 4),
     }
+
+
+def repetition_input_struct(text_col: Column | str) -> Column:
+    """The shared per-row inputs of the nine repetition metrics as ONE
+    struct: non-blank lines, non-blank paragraphs, the lowercased
+    token array (dedup.lower_tokens — the shingle tokenizer) and the
+    character count. Materialize this ONCE per row behind a Generate
+    barrier (profile's explode(array(...)) — CollapseProject cannot
+    inline through a Generate) and feed the materialized struct to
+    repetition_metric_cols_bound: the single-Project form re-evaluated
+    the line split ~8x and the token split 3x per row because HOF
+    folds are CodegenFallback and get no subexpression elimination
+    (r13; guide §1.2 per-row work)."""
+    from .dedup import lower_tokens
+
+    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.struct(
+        F.filter(
+            F.split(t, r"\n"), lambda x: F.length(F.trim(x)) > 0
+        ).alias("lines"),
+        F.filter(
+            F.split(t, r"\n{2,}"), lambda x: F.length(F.trim(x)) > 0
+        ).alias("paras"),
+        lower_tokens(t).alias("tk"),
+        F.length(t).alias("nc"),
+    )
+
+
+def repetition_metric_cols_bound(bound: Column) -> dict[str, Column]:
+    """The nine Gopher repetition metrics over a MATERIALIZED
+    repetition_input_struct column (field references on a struct
+    attribute are O(1) row accesses, unlike re-inlined expressions).
+    Same building blocks as repetition_metric_cols (_dup_unit_fracs /
+    _top_ngram_frac_from / dedup.shingles_from_tokens), so every value
+    is bit-identical to the unshared form — pinned in
+    tests/test_repetition.py."""
+    from .dedup import shingles_from_tokens
+
+    lines, paras = bound["lines"], bound["paras"]
+    tk, nc = bound["tk"], bound["nc"]
+    dl, dlc = _dup_unit_fracs(lines)
+    dp, dpc = _dup_unit_fracs(paras)
+    out = {
+        "n_lines": F.size(lines),
+        "n_paras": F.size(paras),
+        "dup_line_frac": dl,
+        "dup_line_char_frac": dlc,
+        "dup_para_frac": dp,
+        "dup_para_char_frac": dpc,
+    }
+    for n in (2, 3, 4):
+        out[f"top_{n}gram_char_frac"] = _top_ngram_frac_from(
+            F.array_sort(shingles_from_tokens(tk, n)), n, nc
+        )
+    return out
 
 
 def repetition_stats(

@@ -113,3 +113,22 @@ def test_shuffle_carries_hashes_not_text(spark, docs):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "_sh" not in line, line
+
+
+def test_doc_frequency_row_contract(spark):
+    """Pin the one-row-per-document CONTRACT (r13, VERDICT r12 item 8):
+    ngram_doc_frequency counts ROWS, so a duplicated document row
+    inflates df by the duplication factor. If this test ever starts
+    failing because df stayed at 1, the function began deduplicating
+    and every caller's plan cost assumptions (and the r12 plan-shape
+    evidence) need re-deriving; if a caller feeds duplicated ids, this
+    is the documented behavior they get."""
+    one = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    dup = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (1, "alpha beta gamma")],
+        "doc_id long, text string",
+    )
+    assert novelty.ngram_doc_frequency(one, k=K).collect()[0]["df"] == 1
+    assert novelty.ngram_doc_frequency(dup, k=K).collect()[0]["df"] == 2

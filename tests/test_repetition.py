@@ -298,3 +298,41 @@ def test_chunk_then_pack_composition(spark):
     # exactly-once membership of every chunk
     member = [d for r in rows for d in r["doc_ids"]]
     assert sorted(member) == sorted({c["doc_id"] for c in chunks.collect()})
+
+
+def test_bound_struct_metrics_bit_equal(spark):
+    """r13 dual-form pin: the bound-struct repetition path profile()
+    uses (repetition_input_struct materialized behind a Generate
+    barrier + repetition_metric_cols_bound) must reproduce the
+    unshared repetition_metric_cols bit-for-bit on real documents —
+    both forms are built from the same _dup_unit_fracs /
+    _top_ngram_frac_from building blocks, so any future edit that
+    touches only one form fails here."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(200)
+    )
+    t = F.col("text")
+    unshared = docs.select(
+        "doc_id",
+        *[
+            c.alias(n)
+            for n, c in text.repetition_metric_cols(t).items()
+        ],
+    )
+    bound = docs.select(
+        "doc_id", F.explode(
+            F.array(F.struct(text.repetition_input_struct(t).alias("rep")))
+        ).alias("_pb")
+    ).select(
+        "doc_id",
+        *[
+            c.alias(n)
+            for n, c in text.repetition_metric_cols_bound(
+                F.col("_pb")["rep"]
+            ).items()
+        ],
+    )
+    a = sorted(map(tuple, unshared.collect()))
+    b = sorted(map(tuple, bound.collect()))
+    assert a == b
