@@ -84,7 +84,13 @@ def _mapped_tokens(text_col: str | Column, vocab: tuple[str, ...]) -> Column:
     vocabulary (a degenerate/empty training corpus) maps every token
     to UNK — an empty F.array() literal would type as array<void> and
     break downstream extraction."""
-    toks = _lower_tokens(text_col)
+    return _map_vocab(_lower_tokens(text_col), vocab)
+
+
+def _map_vocab(toks: Column, vocab: tuple[str, ...]) -> Column:
+    """The UNK-collapse over an existing token-array Column (r13:
+    split out of _mapped_tokens so lm_train can map a pre-tokenized
+    shared frame instead of re-splitting the corpus)."""
     if not vocab:
         return F.transform(toks, lambda x: F.lit(UNK))
     vmap = F.map_from_arrays(
@@ -102,6 +108,7 @@ def lm_train(
     vocab_size: int = 256,
     max_pairs: int = 4096,
     alpha: float = 0.1,
+    tokens_df: DataFrame | None = None,
 ) -> NgramLM:
     """Fit the bigram LM on the reference corpus.
 
@@ -112,10 +119,21 @@ def lm_train(
     pair_counts keeps the top `max_pairs`; pairs outside the cap score
     as unseen — the literal-LM trade, same spirit as PQ's k=16
     codebooks. Both caps are the knobs that keep the scoring plan
-    literal bounded no matter the reference corpus size."""
-    toks = ref_docs.select(_lower_tokens(text_col).alias("_t")).filter(
-        F.col("_t").isNotNull()
+    literal bounded no matter the reference corpus size.
+
+    tokens_df (r13): optionally a frame whose `_t` column is the
+    ALREADY-SPLIT token array (one row per ref_docs row, value-equal
+    to split(trim(lower(text_col)))) — lets a caller materialize one
+    tokenize pass (e.g. an eager localCheckpoint) and share it across
+    the unigram pass, the pair pass, AND sibling stats jobs (the
+    text_quality_lang row shares it with BM25's pass-1). Counts are
+    identical: both passes here only ever consumed that expression."""
+    base = (
+        tokens_df
+        if tokens_df is not None
+        else ref_docs.select(_lower_tokens(text_col).alias("_t"))
     )
+    toks = base.filter(F.col("_t").isNotNull())
     uni = (
         toks.select(F.explode("_t").alias("tok"))
         .groupBy("tok")
@@ -126,7 +144,7 @@ def lm_train(
     )
     vocab = tuple(r["tok"] for r in uni)
 
-    mapped = ref_docs.select(_mapped_tokens(text_col, vocab).alias("_m")).filter(
+    mapped = base.select(_map_vocab(F.col("_t"), vocab).alias("_m")).filter(
         F.col("_m").isNotNull() & (F.size("_m") >= 2)
     )
     n = F.size("_m")

@@ -43,6 +43,7 @@ def bm25_score_cols(
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
+    stats_tokens: DataFrame | None = None,
 ) -> tuple[Column, Column]:
     """(bm25_score, n_terms_hit) as pure Column expressions over
     df's text column — THE scoring definition, shared by bm25_scores /
@@ -53,7 +54,17 @@ def bm25_score_cols(
     scalars to the driver — the mixture-weights pattern) and folds
     N/avgdl/idf into the returned expressions as literals. NULL text
     scores 0.0 / hits 0 (coalesced — NULL would otherwise propagate
-    through size/filter and surprise raw-score consumers)."""
+    through size/filter and surprise raw-score consumers).
+
+    stats_tokens (r13): optionally a frame whose `_t` column is the
+    lowered token array, one row per df row (value-equal to
+    transform(split(trim(text)), lower) — lower() never creates or
+    removes whitespace, so lower-then-split and split-then-lower give
+    the same array). Pass a materialized shared tokenize pass (e.g.
+    the localCheckpoint text_quality_lang shares with lm_train) and
+    pass 1 aggregates over it instead of re-splitting the corpus; the
+    returned SCORING expressions are unchanged and still evaluate over
+    df's text column."""
     terms = _norm_terms(query_terms)
     if not terms:
         raise ValueError("query_terms must contain at least one term")
@@ -64,11 +75,15 @@ def bm25_score_cols(
     # lower() can't change the array length, so the value is identical
     # to counting raw tokens while letting codegen CSE one split()
     # serve both avgdl and every df_i term.
-    stat_row = df.agg(
+    if stats_tokens is not None:
+        stat_src, stat_toks = stats_tokens, F.col("_t")
+    else:
+        stat_src, stat_toks = df, toks
+    stat_row = stat_src.agg(
         F.count("*").alias("n"),
-        F.avg(F.size(toks)).alias("avgdl"),
+        F.avg(F.size(stat_toks)).alias("avgdl"),
         *[
-            F.sum((_tf(toks, t) > 0).cast("long")).alias(f"df_{i}")
+            F.sum((_tf(stat_toks, t) > 0).cast("long")).alias(f"df_{i}")
             for i, t in enumerate(terms)
         ],
     ).first()

@@ -2953,6 +2953,20 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the CPU-bound scoring scan AND lm_train's aggregation
     # passes off the one-row-group scan (see text_profile's note)
     docs = _parallelize(_t(spark, sf_dir, "documents"))
+    # ONE tokenize pass for every stats job (r13; the pmi-collocations
+    # checkpoint precedent): BM25's pass-1 and lm_train's unigram +
+    # pair passes each re-scanned and re-split the whole corpus. An
+    # eager localCheckpoint of the lowered token arrays is built once
+    # per run (inside the timed region — nothing persists across
+    # runs), and all three aggregates read compact arrays instead of
+    # re-running trim/lower/split over the text. Values identical:
+    # both operators only ever consumed that expression (lower()
+    # never creates or removes whitespace).
+    from ..operators.dedup import lower_tokens
+
+    toks_ckpt = docs.select(
+        lower_tokens(F.col("text")).alias("_t")
+    ).localCheckpoint(eager=True)
     # The two stats phases are independent driver-blocking jobs (BM25's
     # one-pass corpus stats; lm_train's unigram + pair passes), and
     # each leaves most executor cores idle while the driver collects —
@@ -2961,10 +2975,20 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phase's math never sees the other's timing.
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_bm25 = pool.submit(
-            bm25_score_cols, docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B
+            bm25_score_cols,
+            docs,
+            list(_BM25_TERMS),
+            k1=_BM25_K1,
+            b=_BM25_B,
+            stats_tokens=toks_ckpt,
         )
         f_lm = pool.submit(
-            lm_train, docs, vocab_size=24, max_pairs=512, alpha=0.1
+            lm_train,
+            docs,
+            vocab_size=24,
+            max_pairs=512,
+            alpha=0.1,
+            tokens_df=toks_ckpt,
         )
         score, hits = f_bm25.result()
         lmc = lm_logprob_cols(f_lm.result())
