@@ -221,25 +221,37 @@ def ngram_jaccard_pairs(
 
     `reuse_base` (default on) lazily localCheckpoints the hashed
     shingle base so the self-join's two sides (plus the df-prune's
-    recount) read ONE materialization of compact long rows instead of
-    each re-running the string-heavy shingle explode — measured 2.0x
-    at sf0.1 (2.9s -> 1.0s pruned; 1.9s -> 1.4s unpruned). Same
-    pattern the MinHash path uses for signature reuse. The base is
-    (id, n_sh, hash) longs — smaller than the shuffle files the join
-    writes anyway; disable for one-shot plans on storage-starved
-    executors.
+    passes) read ONE materialization instead of each re-running the
+    string-heavy shingle explode — measured 2.0x at sf0.1 (2.9s ->
+    1.0s pruned; 1.9s -> 1.4s unpruned). Same pattern the MinHash
+    path uses for signature reuse. The checkpointed row is the
+    COMPACT per-document (id, n_sh, array<hash>) form (r13) — ~k x
+    fewer rows than the exploded stream; disable for one-shot plans
+    on storage-starved executors.
     """
     # explode(array(...)) = a Generate-node barrier: CollapseProject
     # would otherwise inline the shingle-array expression into every
     # consumer and recompute it per reference (measured 4.5x on the
-    # minhash path).
-    base = _parallelize(df).select(
+    # minhash path). The checkpointed unit is the COMPACT per-document
+    # row (id, n_sh, hash array) — one row per doc instead of one per
+    # shingle (r13): the materialization writes ~k x fewer rows (the
+    # id/n_sh no longer repeat per shingle) and each join side explodes
+    # cheap long arrays off it. Interleaved A/B at sf0.1: 1.07 -> 0.93 s
+    # min on the unpruned bench shape, identical pairs.
+    comp = _parallelize(df).select(
         F.col(id_col),
         F.explode(F.array(shingle_array(text_col, k))).alias("_sh"),
     ).select(
         F.col(id_col),
         F.size("_sh").alias("n_sh"),
-        F.explode(F.transform("_sh", lambda s: F.xxhash64(s))).alias("shingle_h"),
+        F.transform("_sh", lambda s: F.xxhash64(s)).alias("_h"),
+    )
+    if reuse_base:
+        # lazy: materializes compact (id, n_sh, hashes) rows on first
+        # action; every pass below reads it instead of re-shingling
+        comp = comp.localCheckpoint(eager=False)
+    base = comp.select(
+        F.col(id_col), "n_sh", F.explode("_h").alias("shingle_h")
     )
     if max_shingle_freq is not None:
         # df-pruning: drop degenerate hot shingles (skew + no signal).
@@ -249,20 +261,30 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_shingle_freq)
             .select("shingle_h")
         )
-        base = base.join(hot, "shingle_h", "left_anti")
         # Recompute set sizes over the SURVIVING shingles: keeping the
         # pre-prune n_sh would shrink the intersection but not the
         # denominator, systematically underestimating Jaccard for
-        # boilerplate-heavy near-dups.
-        from pyspark.sql import Window as _W
-
-        base = base.withColumn(
-            "n_sh", F.count("*").over(_W.partitionBy(id_col))
+        # boilerplate-heavy near-dups. n_surviving = n_sh - (this
+        # doc's hot-shingle rows): exact row arithmetic, computed as a
+        # small per-doc aggregate of the hot matches and attached with
+        # a (AQE-broadcastable) left join — the former
+        # Window.partitionBy(id) recount shuffled AND sorted every
+        # surviving shingle row (r13; guide §2.4).
+        hot_per_doc = (
+            base.join(hot, "shingle_h")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("_n_hot"))
         )
-    if reuse_base:
-        # lazy: materializes compact (id, n_sh, hash) longs on first
-        # action; both join sides then read it instead of re-shingling
-        base = base.localCheckpoint(eager=False)
+        base = (
+            base.join(hot, "shingle_h", "left_anti")
+            .join(hot_per_doc, id_col, "left")
+            .withColumn(
+                "n_sh",
+                F.col("n_sh").cast("long")
+                - F.coalesce(F.col("_n_hot"), F.lit(0).cast("long")),
+            )
+            .drop("_n_hot")
+        )
     a = base.select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle_h"
     )
@@ -321,30 +343,41 @@ def minhash_signatures(
     engine-portable."""
     # Generate-node barrier (see ngram_jaccard_pairs): materialize the
     # base-hash array ONCE; the num_perm min expressions then read an
-    # attribute instead of each re-deriving shingles + hashes.
-    if portable:
-        base_hash = portable_hash32
-    else:
-        def base_hash(s: Column) -> Column:
-            return F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1))
+    # attribute instead of each re-deriving shingles + hashes. The
+    # whole expression set is a pure function of (text_col, k,
+    # num_perm, portable) — ~1500 py4j calls to build — so it is
+    # memoized per SparkContext (operators/_colmemo.py, r13).
+    from ._colmemo import memo_expr
 
-    arr = F.transform(shingle_array(text_col, k), base_hash)
+    def _build() -> tuple[Column, tuple[Column, ...]]:
+        if portable:
+            base_hash = portable_hash32
+        else:
+            def base_hash(s: Column) -> Column:
+                return F.xxhash64(s).bitwiseAND(F.lit((1 << 32) - 1))
+
+        arr = F.transform(shingle_array(text_col, k), base_hash)
+        consts = portable_perm_constants(num_perm)
+
+        def _perm(a: int, b: int):
+            # single-arg closure: transform() counts lambda params, so
+            # default-arg capture (lambda h, a=a, b=b) would read as a
+            # 3-ary lambda and fail analysis.
+            return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(PORTABLE_PRIME)
+
+        mins = tuple(
+            F.array_min(F.transform(F.col("_sh"), _perm(a, b))).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(consts)
+        )
+        return arr, mins
+
+    arr, mins = memo_expr(
+        ("minhash_sig", text_col, k, num_perm, portable), _build
+    )
     base = _parallelize(df).select(
         F.col(id_col),
         F.explode(F.array(arr)).alias("_sh"),
     ).filter(F.size("_sh") > 0)
-    consts = portable_perm_constants(num_perm)
-
-    def _perm(a: int, b: int):
-        # single-arg closure: transform() counts lambda params, so
-        # default-arg capture (lambda h, a=a, b=b) would read as a
-        # 3-ary lambda and fail analysis.
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(PORTABLE_PRIME)
-
-    mins = [
-        F.array_min(F.transform(F.col("_sh"), _perm(a, b))).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(consts)
-    ]
     return base.select(F.col(id_col), *mins)
 
 
@@ -642,6 +675,29 @@ def _band_buckets(
     portable=True buckets via md5 of "b,sig...,sig" (the exact string
     DuckDB's string_agg produces) instead of xxhash64 — 32-byte string
     keys, engine-portable."""
+    from ._colmemo import memo_expr
+
+    rows_per_band = num_perm // bands
+
+    def _build() -> tuple[Column, ...]:
+        return _band_cols(num_perm, bands, portable)
+
+    band_cols = list(
+        memo_expr(("band_cols", num_perm, bands, portable), _build)
+    )
+    return sig.select(F.col(id_col), *band_cols).select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "bucket"
+        ),
+    )
+
+
+def _band_cols(
+    num_perm: int, bands: int, portable: bool
+) -> tuple[Column, ...]:
+    """The per-band hash columns (_colmemo-built; pure function of the
+    three parameters — mh_i column names are fixed by convention)."""
     rows_per_band = num_perm // bands
     if portable:
         band_cols = [
@@ -665,12 +721,7 @@ def _band_buckets(
             ).alias(f"band_{b}")
             for b in range(bands)
         ]
-    return sig.select(F.col(id_col), *band_cols).select(
-        F.col(id_col),
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
-            "bucket"
-        ),
-    )
+    return tuple(band_cols)
 
 
 def _index_params(k: int, num_perm: int, bands: int, portable: bool = False) -> str:

@@ -424,19 +424,6 @@ def _map_with_effective_base(html: Column, base: Column, arr, fn) -> Column:
     )
 
 
-# Built-Column memo for extract_links_col (r13): the resolver tree is
-# ~1500 py4j round trips to construct (measured 1.5-4 s per call under
-# load — about HALF the link_resolve bench slot), yet it is a pure
-# function of the INPUT COLUMN NAMES — no data, no literals derived
-# from any input. Column objects are immutable unresolved expression
-# trees, so one instance can be re-selected against any DataFrame; the
-# cache is keyed by the live SparkContext's identity so a restarted
-# JVM never sees a stale py4j handle. This caches CODE (an expression
-# tree), never results: every query still scans, resolves and
-# aggregates from the parquet inputs on every run.
-_LINKS_COL_CACHE: dict[tuple, Column] = {}
-
-
 def extract_links_col(
     col: Column | str, base: Column | str | None = None
 ) -> Column:
@@ -449,20 +436,21 @@ def extract_links_col(
     links — become real edges instead of dropping; non-http results
     (mailto:, javascript:, unresolvable) still drop. Pure
     expressions, zero shuffle; feeds urls.normalize_url /
-    registrable_domain and graph.pagerank. String col/base names hit
-    the built-Column memo above."""
-    if isinstance(col, str) and (base is None or isinstance(base, str)):
-        from pyspark import SparkContext
+    registrable_domain and graph.pagerank.
 
-        sc = SparkContext._active_spark_context
-        key = (id(sc), col, base)
-        cached = _LINKS_COL_CACHE.get(key)
-        if cached is None:
-            cached = _extract_links_col(col, base)
-            for k in [k for k in _LINKS_COL_CACHE if k[0] != id(sc)]:
-                del _LINKS_COL_CACHE[k]  # drop dead-context handles
-            _LINKS_COL_CACHE[key] = cached
-        return cached
+    The resolver tree is ~1500 py4j round trips to construct
+    (measured 1.5-4 s per call under load — about half the
+    link_resolve bench slot) but is a pure function of the input
+    column NAMES, so string-named calls return a memoized instance
+    (operators/_colmemo.py — caches the expression tree, never
+    data)."""
+    if isinstance(col, str) and (base is None or isinstance(base, str)):
+        from ._colmemo import memo_expr
+
+        return memo_expr(
+            ("extract_links_col", col, base),
+            lambda: _extract_links_col(col, base),
+        )
     return _extract_links_col(col, base)
 
 

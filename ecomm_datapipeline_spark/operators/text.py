@@ -155,6 +155,45 @@ def profile(
     single scan — zero extra shuffles — and exist so the oracle gate
     hash-pins repetition and chunking semantics inside this row
     (VERDICT r4 item 1)."""
+    from ._colmemo import memo_expr
+
+    cols, bfields = memo_expr(
+        (
+            "profile_cols",
+            text_col,
+            id_col,
+            include_repetition,
+            chunk_max_tokens,
+            chunk_overlap,
+        ),
+        lambda: _profile_cols(
+            text_col, id_col, include_repetition, chunk_max_tokens,
+            chunk_overlap,
+        ),
+    )
+    cols = list(cols)
+    cols.extend(c.alias(name) for name, c in (extra_cols or {}).items())
+    if bfields:
+        base = df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.array(F.struct(*bfields))).alias("_pb"),
+        )
+        return base.select(*cols)
+    return df.select(*cols)
+
+
+def _profile_cols(
+    text_col: str,
+    id_col: str,
+    include_repetition: bool,
+    chunk_max_tokens: int | None,
+    chunk_overlap: int,
+) -> tuple[tuple[Column, ...], tuple[Column, ...]]:
+    """profile()'s built-once column set: (output columns sans
+    extra_cols, Generate-barrier struct fields). Pure function of
+    names + constants — memoized per SparkContext via _colmemo
+    (construction is ~2900 py4j calls with repetition + chunks)."""
     t = F.col(text_col)
     n_tokens = F.size(tokens(t))
     norm = F.lower(F.regexp_replace(F.trim(t), _WS, " "))
@@ -169,6 +208,7 @@ def profile(
         F.md5(norm).alias("fingerprint"),
         F.octet_length(t).alias("n_bytes"),
     ]
+    bfields: list[Column] = []
     if include_repetition or chunk_max_tokens is not None:
         # Two-stage form (r13): materialize the shared heavy arrays
         # (line/para splits, token array, chunk windows) ONCE per row
@@ -182,7 +222,6 @@ def profile(
         # elimination. Values are bit-identical (same building-block
         # expressions over the same inputs; tests/test_repetition.py
         # pins equality against the unshared repetition_metric_cols).
-        bfields = []
         if include_repetition:
             bfields.append(repetition_input_struct(t).alias("rep"))
         if chunk_max_tokens is not None:
@@ -191,11 +230,6 @@ def profile(
                     "chunks"
                 )
             )
-        base = df.select(
-            F.col(id_col),
-            t,
-            F.explode(F.array(F.struct(*bfields))).alias("_pb"),
-        )
         b = F.col("_pb")
         if include_repetition:
             cols.extend(
@@ -212,10 +246,7 @@ def profile(
                     )
                 ).alias("chunks_fingerprint")
             )
-        cols.extend(c.alias(name) for name, c in (extra_cols or {}).items())
-        return base.select(*cols)
-    cols.extend(c.alias(name) for name, c in (extra_cols or {}).items())
-    return df.select(*cols)
+    return tuple(cols), tuple(bfields)
 
 
 def quality_lang(

@@ -2731,11 +2731,35 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge table) in ONE document scan. The single-select form keeps
     the row zero-shuffle while the oracle hash-pins five operator
     families at once."""
-    from ..operators.bpe import EOW, bpe_encode_col
+    from ..operators._colmemo import memo_expr
     from ..operators.dedup import _parallelize
-    from ..operators.text import profile, sentence_array_col, tokens
+    from ..operators.text import profile
+
+    # One-row-group parquet scans as ONE task; the interpreted
+    # repetition/BPE folds are CPU-bound per row, so spread them —
+    # a <1 MB round-robin exchange vs seconds of single-core folds
+    # (dedup._parallelize's rationale; no-op on well-split input).
+    return profile(
+        _parallelize(_t(spark, sf_dir, "documents")),
+        include_repetition=True,
+        chunk_max_tokens=_CHUNK_MAX_TOKENS,
+        chunk_overlap=_CHUNK_OVERLAP,
+        extra_cols=memo_expr(("text_profile_extra",), _text_profile_extra),
+    )
+
+
+def _text_profile_extra() -> dict[str, Column]:
+    """text_profile's BPE self-verifier + sentence-count columns —
+    split out so _colmemo can build them once per SparkContext."""
+    from ..operators.bpe import EOW, bpe_encode_col
+    from ..operators.text import sentence_array_col, tokens
 
     t = F.col("text")
+
+    # The BPE/sentence extra columns are a pure function of the text
+    # column name and gate constants — ~1500 py4j calls to construct —
+    # so the built trees are memoized per SparkContext
+    # (operators/_colmemo.py, r13). Expression code, never data.
     # 6-token prefix x 8 merges: interpreted-fold cost is linear in
     # BOTH (measured at sf0.1: 12x16 = 7.2s, 6x8 = ~1.3s); a merge-
     # sequence PREFIX is itself a valid BPE model, so the invariants
@@ -2775,21 +2799,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         1,
     )
-    # One-row-group parquet scans as ONE task; the interpreted
-    # repetition/BPE folds are CPU-bound per row, so spread them —
-    # a <1 MB round-robin exchange vs seconds of single-core folds
-    # (dedup._parallelize's rationale; no-op on well-split input).
-    return profile(
-        _parallelize(_t(spark, sf_dir, "documents")),
-        include_repetition=True,
-        chunk_max_tokens=_CHUNK_MAX_TOKENS,
-        chunk_overlap=_CHUNK_OVERLAP,
-        extra_cols={
-            "bpe_ok": bpe_ok_bound,
-            # r8 sentence-segmentation fold: the REAL operator column
-            "n_sentences": F.size(sentence_array_col(t)).cast("int"),
-        },
-    )
+    return {
+        "bpe_ok": bpe_ok_bound,
+        # r8 sentence-segmentation fold: the REAL operator column
+        "n_sentences": F.size(sentence_array_col(t)).cast("int"),
+    }
 
 
 # BM25 gate parameters: mid-frequency terms from the synthetic corpus
