@@ -54,11 +54,19 @@ def _scored_pairs(
     similarity._UNROLL_MAX_DIM unrolls the dot/norm folds into
     codegen; None keeps the interpreted fold (identical results) —
     never auto-probed, a first() probe is a driver job per plan."""
+    from ecomm_datapipeline_spark.operators._colmemo import memo_expr
+
+    sn = memo_expr(("sim_norm", "_sv", dim), lambda: _norm("_sv", dim))
+    tn = memo_expr(("sim_norm", "_tv", dim), lambda: _norm("_tv", dim))
+    cos = memo_expr(
+        ("bitext_cos", dim),
+        lambda: _dot("_sv", "_tv", dim) / (F.col("_sn") * F.col("_tn")),
+    )
     s = _as_double(src, vec_col, "_sv").select(
-        F.col(id_col).alias("src_id"), "_sv", _norm("_sv", dim).alias("_sn")
+        F.col(id_col).alias("src_id"), "_sv", sn.alias("_sn")
     )
     t = _as_double(tgt, vec_col, "_tv").select(
-        F.col(id_col).alias("tgt_id"), "_tv", _norm("_tv", dim).alias("_tn")
+        F.col(id_col).alias("tgt_id"), "_tv", tn.alias("_tn")
     )
     if candidate_pairs is None:
         paired = s.crossJoin(F.broadcast(t))
@@ -68,11 +76,7 @@ def _scored_pairs(
             .join(s, "src_id")
             .join(t, "tgt_id")
         )
-    return paired.select(
-        "src_id",
-        "tgt_id",
-        (_dot("_sv", "_tv", dim) / (F.col("_sn") * F.col("_tn"))).alias("cos"),
-    )
+    return paired.select("src_id", "tgt_id", cos.alias("cos"))
 
 
 def _margin_scores_cols(

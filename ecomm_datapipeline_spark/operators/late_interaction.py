@@ -49,8 +49,20 @@ def maxsim_score(query_vecs: Column | str, doc_vecs: Column | str) -> Column:
 
     NULL/empty doc token lists score NULL (there is no max over an
     empty set — callers filter or coalesce); empty query token lists
-    score 0.0 (an empty sum).
+    score 0.0 (an empty sum). String-named calls return a memoized
+    tree (_colmemo, r13 — pure function of the column names).
     """
+    if isinstance(query_vecs, str) and isinstance(doc_vecs, str):
+        from ._colmemo import memo_expr
+
+        q, d = query_vecs, doc_vecs
+        return memo_expr(
+            ("maxsim", q, d), lambda: _maxsim_score(F.col(q), F.col(d))
+        )
+    return _maxsim_score(query_vecs, doc_vecs)
+
+
+def _maxsim_score(query_vecs: Column | str, doc_vecs: Column | str) -> Column:
     qv = F.col(query_vecs) if isinstance(query_vecs, str) else query_vecs
     dv = F.col(doc_vecs) if isinstance(doc_vecs, str) else doc_vecs
     per_token_best = F.transform(
@@ -89,7 +101,20 @@ def split_into_token_vectors(
     this exists because the container has no model to produce them —
     the Spark-side schema, folds, and plans are identical either way.
     Requires dim % m == 0 (yields NULL otherwise, same contract as
-    pq_encode's sub-spaces)."""
+    pq_encode's sub-spaces). String-named calls return a memoized tree
+    (_colmemo, r13)."""
+    if isinstance(vec_col, str):
+        from ._colmemo import memo_expr
+
+        name = vec_col
+        return memo_expr(
+            ("split_tv", name, m),
+            lambda: _split_into_token_vectors(F.col(name), m),
+        )
+    return _split_into_token_vectors(vec_col, m)
+
+
+def _split_into_token_vectors(vec_col: Column | str, m: int) -> Column:
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     v = v.cast("array<double>")
     sub = F.size(v) / F.lit(m)

@@ -172,18 +172,28 @@ def cosine_topk_bruteforce(
     r8 measured at ~0.5 s against a zero gain for the common >=64-dim
     corpus where the fold is the right path anyway.
     """
+    # norm/dot trees are pure functions of the fixed internal names
+    # (+ dim) — memoized per SparkContext (_colmemo, r13): with an
+    # unrolled dim they are ~2*dim py4j calls each, rebuilt per query
+    # construction otherwise.
+    from ._colmemo import memo_expr
+
+    cn = memo_expr(("sim_norm", "_cv", dim), lambda: _norm("_cv", dim))
+    qn = memo_expr(("sim_norm", "_qv", dim), lambda: _norm("_qv", dim))
+    sim = memo_expr(
+        ("ctb_sim", dim),
+        lambda: _dot("_cv", "_qv", dim) / (F.col("_cn") * F.col("_qn")),
+    )
     c = _as_double(candidates, vec_col, "_cv").select(
-        F.col(id_col), F.col("_cv"), _norm("_cv", dim).alias("_cn")
+        F.col(id_col), F.col("_cv"), cn.alias("_cn")
     )
     q = _as_double(queries, vec_col, "_qv").select(
-        F.col(query_id_col), F.col("_qv"), _norm("_qv", dim).alias("_qn")
+        F.col(query_id_col), F.col("_qv"), qn.alias("_qn")
     )
     scored = (
         c.crossJoin(F.broadcast(q) if broadcast_queries else q)
         .filter(F.col(id_col) != F.col(query_id_col))
-        .withColumn(
-            "sim", _dot("_cv", "_qv", dim) / (F.col("_cn") * F.col("_qn"))
-        )
+        .withColumn("sim", sim)
     )
     return _topk_per_key(
         scored,
