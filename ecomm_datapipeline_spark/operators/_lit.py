@@ -36,6 +36,12 @@ from pyspark.sql import functions as F
 def _sql_scalar(v) -> str | None:
     """SQL literal text for one scalar, or None when it has no exact
     spelling (non-finite floats, unsupported types)."""
+    if type(v).__module__ == "numpy":
+        # numpy scalar inside a plain Python list (the tolist() guard
+        # in lit_array only sees sequence objects): under numpy>=2
+        # repr(np.float64(x)) is 'np.float64(x)' — unparseable SQL.
+        # .item() yields the exact same double/int bit pattern.
+        v = v.item()
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, int):

@@ -735,3 +735,21 @@ def test_dedup_report_hand_counts(spark):
     assert r["removal_rate"] == pytest.approx(0.03)
     r2 = dedup.dedup_report(pairs).first()
     assert r2["removal_rate"] is None
+
+
+def test_lit_array_numpy_scalars_in_plain_list(spark):
+    """r13 (ADVICE r12): a plain Python list of numpy scalars has no
+    tolist(), so each element reaches _sql_scalar directly — under
+    numpy>=2 repr(np.float64(x)) is 'np.float64(x)', which would blow
+    up F.expr parsing. _sql_scalar now unwraps numpy scalars via
+    .item(); values must stay bit-identical to the F.lit path."""
+    import numpy as np
+
+    from ecomm_datapipeline_spark.operators._lit import lit_array
+
+    got = spark.range(1).select(
+        lit_array([np.float64(0.1), np.float64(-3.75)]).alias("a"),
+        lit_array([np.int64(7), np.int64(-(1 << 40))]).alias("b"),
+    ).collect()[0]
+    assert got["a"] == [0.1, -3.75]
+    assert got["b"] == [7, -(1 << 40)]

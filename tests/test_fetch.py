@@ -126,8 +126,13 @@ def test_delay_column_beats_dict(spark, server):
     # bound also counted cold JVM/Python-worker startup, which on a
     # contended box exceeds 4 s by itself (r12: failed at 8-17 s
     # elapsed while the gap was a correct 0.199 s every time).
-    gaps = [b - a for (a, _), (b, _) in zip(log, log[1:])]
-    assert all(0.15 <= g < 4.0 for g in gaps), gaps
+    gaps = sorted(b - a for (a, _), (b, _) in zip(log, log[1:]))
+    assert gaps[0] >= 0.15, gaps
+    # the 5 s dict delay must NOT be applied: bound the MEDIAN gap —
+    # a single GC/steal stall on a contended box can push one gap past
+    # any fixed ceiling without the delay column being wrong (r13,
+    # de-flaking the r12 per-gap ceiling)
+    assert gaps[len(gaps) // 2] < 4.0, gaps
 
 
 def test_429_after_n_degrades_to_omissions(spark, server):
