@@ -188,7 +188,16 @@ def shingle_array_all(text_col: str | Column, k: int = 3) -> Column:
 def shingle_array(text_col: str, k: int = 3) -> Column:
     """Per-row array of DISTINCT word k-shingles — array_distinct keeps
     the dedup inside the row (no shuffle; a post-explode global
-    distinct() would shuffle every shingle instance)."""
+    distinct() would shuffle every shingle instance). String-named
+    calls return a memoized tree (_colmemo, r13) — the builder is a
+    pure function of the column name and k."""
+    if isinstance(text_col, str):
+        from ._colmemo import memo_expr
+
+        return memo_expr(
+            ("shingle_array", text_col, k),
+            lambda: F.array_distinct(shingle_array_all(text_col, k)),
+        )
     return F.array_distinct(shingle_array_all(text_col, k))
 
 

@@ -69,8 +69,23 @@ def winnow_cols(
     window — the robust-winnowing tie rule). One fold over window
     start positions; grams array BOUND as a lambda variable first
     (the shingle_array_all O(L²) trap). portable=True uses md5-derived
-    gram hashes for bit-identical DuckDB twins (the gate fold)."""
-    t = F.col(text_col) if isinstance(text_col, str) else text_col
+    gram hashes for bit-identical DuckDB twins (the gate fold).
+    String-named calls return a memoized tree (_colmemo, r13)."""
+    if isinstance(text_col, str):
+        from ._colmemo import memo_expr
+
+        name = text_col
+        return memo_expr(
+            ("winnow_cols", name, k, w, portable),
+            lambda: _winnow_cols(F.col(name), k, w, portable),
+        )
+    return _winnow_cols(text_col, k, w, portable)
+
+
+def _winnow_cols(
+    text_col: Column, k: int, w: int, portable: bool
+) -> Column:
+    t = text_col
     lt = _ws_tokens(F.lower(t))
 
     def _select(grams: Column) -> Column:
