@@ -89,12 +89,21 @@ def ngram_novelty(
     distinct shingles. Pass `doc_freq` (from `ngram_doc_frequency`,
     possibly persisted) to amortize the corpus aggregation across
     scoring runs."""
-    if doc_freq is None:
-        doc_freq = ngram_doc_frequency(df, text_col, id_col, k)
     grams = df.select(
         F.col(id_col),
         F.explode(shingle_array(text_col, k)).alias("_sh"),
     ).select(id_col, F.xxhash64("_sh").alias("gram_hash"))
+    if doc_freq is None:
+        # Derive the corpus df from ONE materialization of the hashed
+        # gram rows instead of shingling the corpus twice (r13; the
+        # ngram_jaccard reuse pattern — the former plan carried two
+        # Generate subtrees over the text). Counts identical: the df
+        # aggregate reads the same (id, gram_hash) rows it previously
+        # re-derived. Lazy localCheckpoint: materialized on first
+        # action, blocks reclaimed with the frame. Interleaved A/B at
+        # sf0.1: 1.46 -> 1.18 s min.
+        grams = grams.localCheckpoint(eager=False)
+        doc_freq = grams.groupBy("gram_hash").agg(F.count("*").alias("df"))
     scored = (
         grams.join(doc_freq, "gram_hash")
         .groupBy(id_col)
