@@ -76,7 +76,11 @@ PINNED = {
     # equal to actuals at sf0.001.
     "order_recency_gaps": (5, 3, 0),
     "dedup_exact": (1, 0, 0),
-    "dedup_ngram_jaccard": (1, 0, 0),  # post-checkpoint plan
+    # r13: the checkpoint row is the COMPACT per-doc (id, n_sh, hashes)
+    # form, so each join side explodes its long array AFTER the
+    # checkpoint — two 1:N Generates over materialized arrays replace
+    # the pre-checkpoint explosion (fewer materialized rows, same pairs)
+    "dedup_ngram_jaccard": (1, 0, 2),  # post-checkpoint plan
     "dedup_minhash_lsh": (1, 0, 2),
     "dedup_simhash": (4, 0, 2),
     # r5: +1 exchange/+2 sorts per corpus-scan ranker = the two-stage
@@ -108,7 +112,10 @@ PINNED = {
     # one-row-group documents scan before the CPU-bound interpreted
     # folds (repetition/BPE/LM); <1 MB shuffled vs seconds of
     # single-core work. The scoring stage itself is still shuffle-free.
-    "text_profile": (1, 0, 0),
+    # r13: ONE 1:1 Generate — profile()'s explode(array(struct)) barrier
+    # that materializes the shared repetition/chunk arrays once per row
+    # (no row growth; see operators/text.py)
+    "text_profile": (1, 0, 1),
     "text_quality_lang": (1, 0, 0),
     "multimodal_image_features": (0, 0, 0),
     "multimodal_frame_sample": (0, 0, 1),
