@@ -25,6 +25,9 @@ PY
 # Compare against the MOST RECENT committed bench artifact (ADVICE r4:
 # pinning r01 made the per-query comparison increasingly disjoint as
 # slots evolve); renamed slots are reported as evolution, not failed.
-LATEST_BENCH=$(ls BENCH_r*.json | sort -V | tail -1)
+# main-line artifacts only: suffixed companions (BENCH_r12_c8.json,
+# BENCH_r13_sf1.json) are different core counts / scale factors and
+# must never become the 2x bar (sort -V would pick them last)
+LATEST_BENCH=$(ls BENCH_r*.json | grep -E '^BENCH_r[0-9]+\.json$' | sort -V | tail -1)
 echo "baseline artifact: $LATEST_BENCH"
 python tools/bench_compare.py "$LATEST_BENCH" /tmp/bench_current_parsed.json
